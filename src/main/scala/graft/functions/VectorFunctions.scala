@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.functions.call_function
+
+/**
+ * Column-level API + SQL registration for the vector expressions.
+ *
+ * Functions are registered in the session FunctionRegistry (so `spark.sql`
+ * can call them by name) and exposed as `Column` helpers via
+ * `call_function`, which keeps us off private Column constructors.
+ */
+object VectorFunctions {
+
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_dot" -> (es => VectorDot(es(0), es(1))),
+    "vec_l2sq" -> (es => VectorL2Sq(es(0), es(1))),
+    "vec_l2" -> (es => VectorL2(es(0), es(1))),
+    "vec_neg_dot" -> (es => VectorNegDot(es(0), es(1))),
+    "vec_cosine_dist" -> (es => VectorCosineDistance(es(0), es(1))),
+    "vec_norm" -> (es => VectorNorm(es(0))),
+    "vec_normalize" -> (es => VectorNormalize(es(0))),
+    "hamming_dist" -> (es => HammingDistance(es(0), es(1))),
+  )
+
+  /** Idempotent; call once per session before using the Column helpers. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
+  }
+
+  def vec_dot(l: Column, r: Column): Column = call_function("vec_dot", l, r)
+  def vec_l2sq(l: Column, r: Column): Column = call_function("vec_l2sq", l, r)
+  def vec_l2(l: Column, r: Column): Column = call_function("vec_l2", l, r)
+  def vec_neg_dot(l: Column, r: Column): Column = call_function("vec_neg_dot", l, r)
+  def vec_cosine_dist(l: Column, r: Column): Column = call_function("vec_cosine_dist", l, r)
+  def vec_norm(c: Column): Column = call_function("vec_norm", c)
+  def vec_normalize(c: Column): Column = call_function("vec_normalize", c)
+  def hamming_dist(l: Column, r: Column): Column = call_function("hamming_dist", l, r)
+}
+
+/**
+ * Primitive-array distance kernels for use inside graph build/search code
+ * (mapPartitions), where values are plain `Array[Float]` rather than Catalyst
+ * `ArrayData`. Same numeric semantics as the Catalyst expressions above.
+ */
+object VectorKernels {
+  final def dot(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+  final def l2sq(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+    acc
+  }
+  final def negDot(a: Array[Float], b: Array[Float]): Double = -dot(a, b)
+  final def cosineDist(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      d += x * y; na += x * x; nb += y * y; i += 1
+    }
+    1.0 - d / math.sqrt(na * nb)
+  }
+  /** Reference `distance_cosine` form: assumes normalized inputs, clamps at 0
+    * (distance/mod.rs:192-223). Used inside the index kernels. */
+  final def cosineDistNormalized(a: Array[Float], b: Array[Float]): Double =
+    math.max(1.0 - dot(a, b), 0.0)
+  final def hamming(a: Array[Long], b: Array[Long]): Long = {
+    var acc = 0L; var i = 0
+    while (i < a.length) { acc += java.lang.Long.bitCount(a(i) ^ b(i)); i += 1 }
+    acc
+  }
+  final def norm(a: Array[Float]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { val x = a(i).toDouble; acc += x * x; i += 1 }
+    math.sqrt(acc)
+  }
+  /** preprocess_cosine semantics (distance/mod.rs:225-253). */
+  final def normalize(a: Array[Float]): Array[Float] = {
+    val n = norm(a)
+    if (n == 0.0 || math.abs(n - 1.0) < java.lang.Math.ulp(1.0f)) a
+    else {
+      val out = new Array[Float](a.length)
+      var i = 0
+      while (i < a.length) { out(i) = (a(i) / n).toFloat; i += 1 }
+      out
+    }
+  }
+}

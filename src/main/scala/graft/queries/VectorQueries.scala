@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.functions.VectorFunctions._
+
+/**
+ * Exact (brute-force) vector search queries — the M0 slice of SURVEY.md §7.1
+ * and the permanent correctness oracle for the ANN path.
+ *
+ * Each query is a declarative DataFrame plan: the distance expression is a
+ * codegen'd Catalyst Expression, top-k is Spark's native
+ * `TakeOrderedAndProject` (partial per-partition top-k + final merge — the
+ * scalable shape at any data size), and the query vector is broadcast via a
+ * 1-row cross join (no collect on the hot path).
+ *
+ * Semantics mirror pgvectorscale's SQL surface (SURVEY.md §2.3):
+ * `<=>` = vec_cosine_dist, `<->` = vec_l2, `<#>` = vec_neg_dot; label
+ * filtering is `arrays_overlap` (SURVEY.md §2.2 P1). Distances are rounded to
+ * 6 decimals *before* ordering so result sets are deterministic across
+ * engines; ties break on vec_id (SURVEY.md §2.6 T4).
+ */
+object VectorQueries {
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** 1-row DataFrame holding the query vector (vec_id QID), for broadcast. */
+  private val QID = 0
+
+  private def withQuery(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") === QID).select(col("embedding").as("qvec"))
+    e.filter(col("vec_id") =!= QID).crossJoin(broadcast(q))
+  }
+
+  private def topK(spark: SparkSession, dir: String, distCol: String,
+      dist: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+      k: Int = 10): DataFrame = {
+    VectorFunctions.register(spark)
+    withQuery(spark, dir)
+      .select(col("vec_id"), round(dist(col("embedding"), col("qvec")), 6).as(distCol))
+      .orderBy(col(distCol), col("vec_id"))
+      .limit(k)
+  }
+
+  private def oracleQvec = s"(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = $QID)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_exact_cosine" -> ((s, d) => topK(s, d, "dist", vec_cosine_dist)),
+    "knn_exact_l2" -> ((s, d) => topK(s, d, "dist", vec_l2)),
+    "knn_exact_l2sq" -> ((s, d) => topK(s, d, "dist", vec_l2sq)),
+    "knn_exact_ip" -> ((s, d) => topK(s, d, "dist", vec_neg_dot)),
+
+    // Label-filtered exact KNN: the engine's label model is ARRAY<SHORT> with
+    // `arrays_overlap` semantics (P1); the test table carries a scalar label,
+    // wrapped here into a 1-element array.
+    "knn_labeled" -> ((s, d) => {
+      VectorFunctions.register(s)
+      withQuery(s, d)
+        .filter(arrays_overlap(array(col("label")), lit(Array(1, 3))))
+        .select(col("vec_id"), round(vec_cosine_dist(col("embedding"), col("qvec")), 6).as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(10)
+    }),
+
+    // KNN join: top-3 neighbors for each of 5 query vectors. Queries are
+    // broadcast; ranking is a window over the (small) per-query candidate
+    // stream. At scale the partial top-k would use Similarity.knnJoin's
+    // aggregator; this form is the exact-oracle shape.
+    "knn_join_topk" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      import org.apache.spark.sql.expressions.Window
+      e.filter(col("vec_id") >= 5)
+        .crossJoin(broadcast(q))
+        .select(col("qid"), col("vec_id"),
+          round(vec_cosine_dist(col("embedding"), col("qvec")), 6).as("dist"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))))
+        .filter(col("rnk") <= 3)
+        .select(col("qid"), col("vec_id"), col("dist"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    "vector_norms" -> ((s, d) => {
+      VectorFunctions.register(s)
+      emb(s, d).select(col("vec_id"), round(vec_norm(col("embedding")), 6).as("nrm"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Matryoshka truncation (SURVEY.md §4.1): search on a 16-dim prefix slice.
+    "matryoshka_prefix" -> ((s, d) => {
+      VectorFunctions.register(s)
+      withQuery(s, d)
+        .select(col("vec_id"),
+          round(vec_l2(slice(col("embedding"), 1, 16), slice(col("qvec"), 1, 16)), 6).as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(10)
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "knn_exact_cosine" ->
+      s"""SELECT vec_id, round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) AS dist
+         |FROM embeddings WHERE vec_id <> $QID ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+    "knn_exact_l2" ->
+      s"""SELECT vec_id, round(list_distance(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) AS dist
+         |FROM embeddings WHERE vec_id <> $QID ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+    "knn_exact_l2sq" ->
+      s"""SELECT vec_id, round(list_distance(CAST(embedding AS DOUBLE[]), $oracleQvec) ^ 2, 6) AS dist
+         |FROM embeddings WHERE vec_id <> $QID ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+    "knn_exact_ip" ->
+      s"""SELECT vec_id, round(-list_dot_product(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) AS dist
+         |FROM embeddings WHERE vec_id <> $QID ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+    "knn_labeled" ->
+      s"""SELECT vec_id, round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) AS dist
+         |FROM embeddings WHERE vec_id <> $QID AND label IN (1, 3) ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+    "knn_join_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT q.qid, e.vec_id,
+         |        round(1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qvec), 6) AS dist
+         |      FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 5),
+         |r AS (SELECT qid, vec_id, dist,
+         |        row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rnk FROM c)
+         |SELECT qid, vec_id, dist, rnk FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    "vector_norms" ->
+      """SELECT vec_id, round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS nrm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "matryoshka_prefix" ->
+      s"""SELECT vec_id, round(list_distance(CAST(embedding[1:16] AS DOUBLE[]), (SELECT CAST(embedding[1:16] AS DOUBLE[]) FROM embeddings WHERE vec_id = $QID)), 6) AS dist
+         |FROM embeddings WHERE vec_id <> $QID ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+  )
+}

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{VectorFunctions, VectorKernels}
+import graft.functions.VectorFunctions._
+
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    VectorFunctions.register(s)
+    s
+  }
+}
+
+/** Mirrors the reference's metric-semantics tests (FIXTURES.md F2;
+  * pgvectorscale build.rs:1476-1557, distance/mod.rs tests). */
+class VectorExpressionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val a = Array(1f, 2f, 3f)
+  private val b = Array(4f, 5f, 6f)
+
+  private def one(c: org.apache.spark.sql.Column): Any =
+    Seq((a, b)).toDF("a", "b").select(c).collect()(0).get(0)
+
+  test("vec_dot / vec_neg_dot") {
+    assert(one(vec_dot($"a", $"b")) == 32.0)
+    assert(one(vec_neg_dot($"a", $"b")) == -32.0)
+  }
+
+  test("vec_l2sq is squared L2; vec_l2 is true L2") {
+    assert(one(vec_l2sq($"a", $"b")) == 27.0)
+    assert(one(vec_l2($"a", $"b")) == math.sqrt(27.0))
+  }
+
+  test("vec_cosine_dist matches general cosine formula") {
+    val expected = 1.0 - 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(one(vec_cosine_dist($"a", $"b")).asInstanceOf[Double] - expected) < 1e-12)
+  }
+
+  test("nulls propagate (NULL vector is never indexed / distance is NULL)") {
+    val r = Seq((Option(a), Option.empty[Array[Float]]))
+      .toDF("a", "b").select(vec_dot($"a", $"b")).collect()(0)
+    assert(r.isNullAt(0))
+  }
+
+  test("vec_norm and vec_normalize") {
+    assert(one(vec_norm($"a")) == math.sqrt(14.0))
+    val n = Seq(Tuple1(a)).toDF("a").select(vec_normalize($"a")).collect()(0)
+      .getSeq[Float](0)
+    assert(math.abs(VectorKernels.norm(n.toArray) - 1.0) < 1e-6)
+  }
+
+  test("vec_normalize no-ops on zero vectors and already-normalized vectors") {
+    // preprocess_cosine semantics: distance/mod.rs:225-253
+    val z = Array(0f, 0f, 0f)
+    val u = Array(1f, 0f, 0f)
+    val rows = Seq(Tuple1(z), Tuple1(u)).toDF("a")
+      .select(vec_normalize($"a")).collect()
+    assert(rows(0).getSeq[Float](0) == Seq(0f, 0f, 0f))
+    assert(rows(1).getSeq[Float](0) == Seq(1f, 0f, 0f))
+  }
+
+  test("cosineDistNormalized clamps at zero") {
+    val u = Array(1f, 0f, 0f)
+    assert(VectorKernels.cosineDistNormalized(u, u) == 0.0)
+  }
+
+  test("hamming_dist = popcount of xor") {
+    val r = Seq((Array(0xFFL, 0x0L), Array(0x0L, 0xF0L)))
+      .toDF("a", "b").select(hamming_dist($"a", $"b")).collect()(0).getLong(0)
+    assert(r == 8 + 4)
+  }
+
+  test("kernels agree with expressions") {
+    assert(VectorKernels.dot(a, b) == 32.0)
+    assert(VectorKernels.l2sq(a, b) == 27.0)
+    assert(math.abs(VectorKernels.cosineDist(a, b) -
+      one(vec_cosine_dist($"a", $"b")).asInstanceOf[Double]) < 1e-15)
+  }
+
+  test("expressions survive whole-stage codegen over a real scan") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.limit(1).select($"embedding".as("q"))
+    val n = e.crossJoin(broadcast(q))
+      .select(vec_cosine_dist($"embedding", $"q").as("d"))
+      .filter($"d" >= 0 && $"d" <= 2.0)
+      .count()
+    assert(n == 500)
+  }
+
+  test("SQL registration works") {
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .createOrReplaceTempView("emb_t")
+    val r = spark.sql(
+      "SELECT max(vec_norm(embedding)) m FROM emb_t").collect()(0).getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-5)
+  }
+}
