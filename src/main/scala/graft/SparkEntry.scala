@@ -12,10 +12,12 @@ object SparkEntry {
   private def all = Seq(
     _root_.graft.queries.VectorQueries.queries,
     _root_.graft.queries.SbqQueries.queries,
+    _root_.graft.queries.AnnQueries.queries,
   )
   private def allOracles = Seq(
     _root_.graft.queries.VectorQueries.oracleSql,
     _root_.graft.queries.SbqQueries.oracleSql,
+    _root_.graft.queries.AnnQueries.oracleSql,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,301 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.collection.mutable
+import graft.functions.{Sbq, VectorKernels}
+import graft.functions.Sbq.SbqModel
+
+/** Build/search parameters (defaults = reference defaults, BASELINE.md). */
+case class DiskannParams(
+    metric: String = "cosine",
+    numNeighbors: Int = 50, // R
+    searchListSize: Int = 100, // L (build)
+    maxAlpha: Double = 1.2,
+    bitsPerDim: Option[Int] = None,
+    storage: String = "sbq", // "sbq" | "plain"
+    /** target rows per shard; shard graphs must fit executor heap. At 100 TB
+      * this yields thousands of independent shards built in parallel. */
+    shardTargetRows: Long = 1L << 20)
+
+/**
+ * Sharded StreamingDiskANN-style index as Spark jobs (SURVEY.md §3.1 build
+ * plan, §2.5 G8 replacement).
+ *
+ * Build dataflow: job 1 trains the SBQ quantizer (one-pass distributed
+ * Welford); job 2 hash-shards rows by id and builds an independent Vamana
+ * sub-graph per shard inside `mapPartitions` (no shared state — the
+ * DSM/condvar coordination of the reference's parallel build is replaced by
+ * Spark partitioning); the nodes table is written as Parquet partitioned by
+ * shard, plus a 1-row `_meta` Parquet sidecar (replaces the versioned meta
+ * page, meta_page.rs:179-210).
+ *
+ * Serving: each shard is searched independently (quantized traversal + exact
+ * rescore) and per-shard top-k results are merged with a final window — the
+ * classic partial/final top-k, which is Spark's native TakeOrdered shape.
+ * Searching all shards and unioning is an over-approximation of single-graph
+ * search, so recall is ≥ the per-shard recall.
+ */
+object DiskannIndex {
+
+  private val nodeSchema = StructType(Seq(
+    StructField("shard", IntegerType, nullable = false),
+    StructField("node", IntegerType, nullable = false),
+    StructField("row_id", LongType, nullable = false),
+    StructField("vec", ArrayType(FloatType, containsNull = false), nullable = false),
+    StructField("code", ArrayType(LongType, containsNull = false), nullable = true),
+    StructField("labels", ArrayType(ShortType, containsNull = false), nullable = true),
+    StructField("neighbors", ArrayType(IntegerType, containsNull = false), nullable = false)))
+
+  def build(df: DataFrame, idCol: String, vecCol: String, labelsCol: Option[String],
+      path: String, params: DiskannParams = DiskannParams()): Unit = {
+    val spark = df.sparkSession
+    val metric = Metric(params.metric)
+
+    // NULL vectors are never indexed (build.rs:493-498)
+    val base0 = df.select(
+      col(idCol).cast(LongType).as("row_id"),
+      col(vecCol).as("vec"),
+      labelsCol.map(c => col(c).cast(ArrayType(ShortType)))
+        .getOrElse(lit(null).cast(ArrayType(ShortType))).as("labels"))
+      .filter(col("vec").isNotNull)
+    // cosine: the graph/quantizer operate on normalized vectors
+    // (preprocess_cosine, pg_vector.rs:153-155) but the nodes table stores
+    // the RAW vectors — rescoring and SQL-visible distances are computed on
+    // the original data, exactly like the reference's heap fetch (S5).
+    graft.functions.VectorFunctions.register(spark)
+    val trainBase = if (metric == Metric.Cosine)
+      base0.withColumn("vec", graft.functions.VectorFunctions.vec_normalize(col("vec")))
+    else base0
+    val base = base0
+
+    val useSbq = params.storage == "sbq"
+    val model: SbqModel =
+      if (useSbq) Sbq.train(trainBase, "vec", params.bitsPerDim) else null
+    val modelBc = spark.sparkContext.broadcast(model)
+
+    val n = model match { case null => base.count(); case m => m.count }
+    val numShards = math.max(1, math.ceil(n.toDouble / params.shardTargetRows).toInt)
+    val hasLabels = labelsCol.isDefined
+    val r = params.numNeighbors
+    val l = params.searchListSize
+    val alpha = params.maxAlpha
+
+    val sharded = base
+      .withColumn("shard", pmod(xxhash64(col("row_id")), lit(numShards)).cast(IntegerType))
+      .repartition(numShards, col("shard"))
+
+    val nodes = sharded.mapPartitions { it =>
+      // a task may receive >1 shard (hash collisions across shard keys);
+      // group locally and build each shard graph independently.
+      val byShard = mutable.Map.empty[Int, mutable.ArrayBuffer[(Long, Array[Float], Array[Short])]]
+      it.foreach { row =>
+        val shard = row.getAs[Int]("shard")
+        val vec = row.getAs[mutable.Seq[Float]]("vec").toArray
+        val lbs = row.getAs[mutable.Seq[Short]]("labels") match {
+          case null => null
+          case s => LabelSets.normalize(s.toArray)
+        }
+        byShard.getOrElseUpdate(shard, new mutable.ArrayBuffer) +=
+          ((row.getAs[Long]("row_id"), vec, lbs))
+      }
+      val m = modelBc.value
+      byShard.iterator.flatMap { case (shard, rowsBuf) =>
+        // deterministic insert order: ascending row_id (start-node election
+        // and tie-breaks reproducible across runs — SURVEY.md §7.3)
+        val rows = rowsBuf.sortInPlaceBy(_._1)
+        val vecs = rows.map(_._2).toArray
+        val buildVecs =
+          if (metric == Metric.Cosine) vecs.map(graft.functions.VectorKernels.normalize)
+          else vecs
+        val lbs = if (hasLabels) rows.map(t => Option(t._3).getOrElse(Array.emptyShortArray)).toArray else null
+        val builder = new VamanaBuilder(buildVecs, lbs, metric, r, l, alpha).build()
+        rows.indices.iterator.map { i =>
+          Row(shard, i, rows(i)._1, vecs(i),
+            if (m != null) m.quantize(buildVecs(i)) else null,
+            if (lbs != null) lbs(i) else null,
+            builder.neighborsOf(i))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(nodeSchema))
+
+    nodes.write.mode("overwrite").partitionBy("shard").parquet(s"$path/nodes")
+
+    // meta sidecar as a 1-row parquet (no JSON dependency, schema-checked)
+    import spark.implicits._
+    Seq(IndexMeta(params.metric, params.storage, r, l, alpha, numShards, n,
+      hasLabels,
+      if (model != null) model.bitsPerDim else 0,
+      if (model != null) model.count else 0L,
+      if (model != null) model.mean else Array.emptyDoubleArray,
+      if (model != null) model.m2 else Array.emptyDoubleArray))
+      .toDF().coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+    GraphSearcher.invalidate(path)
+  }
+
+  case class IndexMeta(metric: String, storage: String, numNeighbors: Int,
+      searchListSize: Int, maxAlpha: Double, numShards: Int, numRows: Long,
+      hasLabels: Boolean, bitsPerDim: Int, modelCount: Long,
+      modelMean: Array[Double], modelM2: Array[Double])
+
+  def loadMeta(spark: SparkSession, path: String): IndexMeta = {
+    import spark.implicits._
+    spark.read.parquet(s"$path/_meta").as[IndexMeta].head()
+  }
+
+  /** SQL-visible distance for projections (§4.3 note 1): true cosine / true
+    * L2-with-sqrt / negative inner product. */
+  private def reportDistFn(metric: Metric): (Array[Float], Array[Float]) => Double =
+    metric match {
+      case Metric.L2 => (a, b) => math.sqrt(VectorKernels.l2sq(a, b))
+      case Metric.Cosine => (a, b) => VectorKernels.cosineDist(a, b)
+      case Metric.InnerProduct => (a, b) => VectorKernels.negDot(a, b)
+    }
+
+  /**
+   * ANN search: `queries` has columns (qid LONG, qvec ARRAY<FLOAT>) and
+   * optionally qlabels ARRAY<SHORT> (null = unfiltered). Returns
+   * (qid, row_id, dist) with per-query top-k rows, dist in SQL-visible form.
+   *
+   * The query set is collected and broadcast (it is the small side by
+   * definition); the index scan is a narrow mapPartitions over the nodes
+   * table — no shuffle of index data, only of k rows per (shard, query).
+   */
+  def search(spark: SparkSession, path: String, queries: DataFrame, k: Int,
+      searchListSize: Int = 100, rescore: Int = 50,
+      tombstones: Set[Long] = Set.empty): DataFrame = {
+    val meta = loadMeta(spark, path)
+    val metric = Metric(meta.metric)
+    val model =
+      if (meta.storage == "sbq") SbqModel(meta.modelCount, meta.modelMean, meta.modelM2, meta.bitsPerDim)
+      else null
+
+    val hasQLabels = queries.columns.contains("qlabels")
+    val qRows: Array[(Long, Array[Float], Array[Short])] = queries.collect().map { r =>
+      val qv = r.getAs[mutable.Seq[Float]]("qvec").toArray
+      val ql = if (hasQLabels) r.getAs[mutable.Seq[Short]]("qlabels") match {
+        case null => null
+        case s => LabelSets.normalize(s.toArray)
+      } else null
+      (r.getAs[Long]("qid"), qv, ql)
+    }
+    val qBc = spark.sparkContext.broadcast(qRows)
+    val tombBc = spark.sparkContext.broadcast(tombstones)
+    val report = reportDistFn(metric)
+
+    val nodesDf = spark.read.parquet(s"$path/nodes")
+    val resultSchema = StructType(Seq(
+      StructField("qid", LongType, nullable = false),
+      StructField("row_id", LongType, nullable = false),
+      StructField("dist", DoubleType, nullable = false)))
+
+    val partial = nodesDf.mapPartitions { it =>
+      val rows = it.toArray
+      if (rows.isEmpty) Iterator.empty
+      else rows.groupBy(_.getAs[Int]("shard")).iterator.flatMap { case (shard, shardRows) =>
+        val searcher = GraphSearcher.getOrBuild(s"$path#$shard", () => {
+          val sorted = shardRows.sortBy(_.getAs[Int]("node"))
+          val nn = sorted.length
+          val rowIds = new Array[Long](nn)
+          val vecs = new Array[Array[Float]](nn)
+          val codes = if (model != null) new Array[Array[Long]](nn) else null
+          val lbs = if (meta.hasLabels) new Array[Array[Short]](nn) else null
+          val adj = new Array[Array[Int]](nn)
+          var i = 0
+          sorted.foreach { r =>
+            rowIds(i) = r.getAs[Long]("row_id")
+            vecs(i) = r.getAs[mutable.Seq[Float]]("vec").toArray
+            if (codes != null) codes(i) = r.getAs[mutable.Seq[Long]]("code").toArray
+            if (lbs != null) lbs(i) = Option(r.getAs[mutable.Seq[Short]]("labels"))
+              .map(_.toArray).getOrElse(Array.emptyShortArray)
+            adj(i) = r.getAs[mutable.Seq[Int]]("neighbors").toArray
+            i += 1
+          }
+          val off = new Array[Int](nn + 1)
+          var s = 0
+          var j = 0
+          while (j < nn) { off(j) = s; s += adj(j).length; j += 1 }
+          off(nn) = s
+          val tgt = new Array[Int](s)
+          j = 0
+          var p = 0
+          while (j < nn) {
+            adj(j).foreach { t => tgt(p) = t; p += 1 }
+            j += 1
+          }
+          new GraphSearcher(rowIds, vecs, codes, lbs, off, tgt, metric, model)
+        })
+        val tomb = tombBc.value
+        qBc.value.iterator.flatMap { case (qid, qvec, qlabels) =>
+          searcher.search(qvec, k, searchListSize, rescore, qlabels,
+            rid => tomb.contains(rid), report)
+            .take(k)
+            .map { case (rid, d) => Row(qid, rid, d) }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(resultSchema))
+
+    // final top-k merge per query
+    partial
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dist"), col("row_id"))))
+      .filter(col("rnk") <= k)
+      .drop("rnk")
+  }
+
+  /**
+   * Search main index + an unindexed delta (micro-batch appends, §3.3 / G9):
+   * the delta side is answered by exact brute force and merged into the final
+   * top-k. `delta` has columns (row_id, vec [, labels]).
+   */
+  def searchWithDelta(spark: SparkSession, path: String, queries: DataFrame,
+      delta: DataFrame, k: Int, searchListSize: Int = 100, rescore: Int = 50,
+      tombstones: Set[Long] = Set.empty): DataFrame = {
+    val meta = loadMeta(spark, path)
+    val metric = Metric(meta.metric)
+    val report = reportDistFn(metric)
+    val main = search(spark, path, queries, k, searchListSize, rescore, tombstones)
+
+    val hasQLabels = queries.columns.contains("qlabels")
+    val hasDLabels = delta.columns.contains("labels")
+    val qRows = queries.collect().map { r =>
+      (r.getAs[Long]("qid"),
+        r.getAs[mutable.Seq[Float]]("qvec").toArray,
+        if (hasQLabels) Option(r.getAs[mutable.Seq[Short]]("qlabels"))
+          .map(s => LabelSets.normalize(s.toArray)).orNull
+        else null)
+    }
+    val qBc = spark.sparkContext.broadcast(qRows)
+    val tombBc = spark.sparkContext.broadcast(tombstones)
+    val resultSchema = StructType(Seq(
+      StructField("qid", LongType, nullable = false),
+      StructField("row_id", LongType, nullable = false),
+      StructField("dist", DoubleType, nullable = false)))
+
+    val deltaHits = delta.mapPartitions { it =>
+      val tomb = tombBc.value
+      it.flatMap { r =>
+        val rid = r.getAs[Long]("row_id")
+        if (tomb.contains(rid)) Iterator.empty
+        else {
+          val v = r.getAs[mutable.Seq[Float]]("vec").toArray
+          val lbs = if (hasDLabels) Option(r.getAs[mutable.Seq[Short]]("labels"))
+            .map(s => LabelSets.normalize(s.toArray)).getOrElse(Array.emptyShortArray)
+          else null
+          qBc.value.iterator.flatMap { case (qid, qv, ql) =>
+            val ok = ql == null || (lbs != null && LabelSets.overlaps(lbs, ql))
+            if (ok) Iterator.single(Row(qid, rid, report(v, qv))) else Iterator.empty
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(resultSchema))
+
+    main.unionByName(deltaHits)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dist"), col("row_id"))))
+      .filter(col("rnk") <= k)
+      .drop("rnk")
+  }
+}

@@ -1,0 +1,133 @@
+package graft.index
+
+import scala.collection.mutable
+import graft.functions.Sbq.SbqModel
+import graft.functions.VectorKernels
+
+/**
+ * Immutable per-shard serving kernel (SURVEY.md §2.6, §3.2): resumable
+ * best-first traversal over the frozen graph using cheap quantized Hamming
+ * distances (SBQ asymmetric distance, sbq/mod.rs:139-159), followed by exact
+ * full-precision rescoring of the top `rescore` candidates
+ * (TSVResponseIterator::next_with_resort, scan.rs:244-305).
+ *
+ * CSR adjacency + primitive arrays: cache-friendly, zero boxing on the hot
+ * path. One instance per (index, shard), cached per executor JVM.
+ *
+ * Start nodes are recomputed deterministically from insert order (node 0 is
+ * the default start; the first node carrying each label is that label's
+ * start), which keeps the on-disk format to a single nodes table.
+ */
+final class GraphSearcher(
+    val rowIds: Array[Long],
+    val vectors: Array[Array[Float]],
+    val codes: Array[Array[Long]], // null => full-precision traversal (plain storage)
+    val labels: Array[Array[Short]], // null => unlabeled index
+    nbrOff: Array[Int],
+    nbrTgt: Array[Int],
+    val metric: Metric,
+    val model: SbqModel) extends Serializable {
+
+  val n: Int = rowIds.length
+
+  private val labelStarts: Map[Short, Int] = {
+    if (labels == null) Map.empty
+    else {
+      val m = mutable.Map.empty[Short, Int]
+      var i = 0
+      while (i < n) {
+        labels(i).foreach(lb => if (!m.contains(lb)) m(lb) = i)
+        i += 1
+      }
+      m.toMap
+    }
+  }
+
+  /** Candidate result: (rowId, exactDistance). `filterLabels == null` means
+    * unfiltered; an empty non-null filter matches nothing (P1 semantics).
+    * `reportDist` computes the SQL-visible distance (§4.3 note 1). */
+  def search(query: Array[Float], k: Int, searchListSize: Int, rescore: Int,
+      filterLabels: Array[Short], tombstoned: Long => Boolean,
+      reportDist: (Array[Float], Array[Float]) => Double): Array[(Long, Double)] = {
+    if (n == 0) return Array.empty
+    if (filterLabels != null && filterLabels.isEmpty) return Array.empty
+
+    val starts: Seq[Int] =
+      if (filterLabels == null) Seq(0)
+      else {
+        val s = filterLabels.toSeq.flatMap(labelStarts.get).distinct
+        if (s.isEmpty) Seq(0) else s
+      }
+
+    // the quantizer was trained on normalized vectors for cosine indexes.
+    // vectors are stored RAW; exact traversal (plain storage) orders by the
+    // SQL-visible distance, which is ordering-equivalent for all metrics.
+    val qcode =
+      if (model != null && codes != null)
+        model.quantize(if (metric == Metric.Cosine) VectorKernels.normalize(query) else query)
+      else null
+    @inline def traversalDist(i: Int): Double =
+      if (codes != null) VectorKernels.hamming(qcode, codes(i)).toDouble
+      else reportDist(vectors(i), query)
+    val l = math.max(searchListSize, k)
+
+    // bounded best-first traversal (greedy_search_iterate, graph/mod.rs:331-385)
+    val visited = new mutable.ArrayBuffer[(Int, Double)](l * 2)
+    val inserted = new java.util.HashSet[Integer](l * 4)
+    val ord = Ordering.by[(Int, Double), Double](_._2).reverse
+    val candidates = mutable.PriorityQueue.empty[(Int, Double)](ord)
+    starts.foreach { s =>
+      if (inserted.add(s)) candidates.enqueue((s, traversalDist(s)))
+    }
+    while (candidates.nonEmpty &&
+        (visited.length < l || candidates.head._2 < visited(l - 1)._2)) {
+      val head = candidates.dequeue()
+      var idx = visited.indexWhere(_._2 > head._2)
+      if (idx < 0) idx = visited.length
+      visited.insert(idx, head)
+      var e = nbrOff(head._1)
+      val end = nbrOff(head._1 + 1)
+      while (e < end) {
+        val cand = nbrTgt(e)
+        if (!inserted.contains(cand)) {
+          // in-traversal label skip (sbq/storage.rs:163-172)
+          val keep = filterLabels == null ||
+            LabelSets.overlaps(labels(cand), filterLabels)
+          if (keep) {
+            inserted.add(cand)
+            candidates.enqueue((cand, traversalDist(cand)))
+          }
+        }
+        e += 1
+      }
+    }
+
+    // rescore buffer (T2): exact distances for the top candidates
+    val poolSize = if (rescore <= 0) visited.length else math.max(rescore, k)
+    val out = visited.iterator
+      .filter { case (id, _) =>
+        !tombstoned(rowIds(id)) &&
+          (filterLabels == null || LabelSets.overlaps(labels(id), filterLabels))
+      }
+      .take(poolSize)
+      .map { case (id, _) => (rowIds(id), reportDist(vectors(id), query)) }
+      .toArray
+      .sortBy { case (rid, d) => (d, rid) }
+    out
+  }
+}
+
+object GraphSearcher {
+  /** Per-executor cache: shard graphs are immutable, so one decode per JVM
+    * serves every query in the executor's lifetime (the Spark analog of the
+    * reference keeping index pages in shared buffers). */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, GraphSearcher]()
+
+  def getOrBuild(key: String, mk: () => GraphSearcher): GraphSearcher =
+    cache.computeIfAbsent(key, _ => mk())
+
+  def invalidate(prefix: String): Unit = {
+    val it = cache.keySet().iterator()
+    while (it.hasNext) if (it.next().startsWith(prefix)) it.remove()
+  }
+}

@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, ShortType}
+import graft.index.{DiskannIndex, DiskannParams}
+
+/**
+ * ANN search queries through the DiskANN index (SURVEY.md §2.5/§2.6/§2.8:
+ * S2/S3/T1-T4, V1 tombstones, G9 delta append).
+ *
+ * At sf0.01 (500 vectors, R=50, L=200, rescore=150) the graph search is
+ * effectively exhaustive, so these hash-match the *exact* DuckDB oracle —
+ * the same two-gate approach as the reference's own tests (recall vs exact
+ * ground truth). The recall-under-scale behavior is covered by VamanaSpec.
+ */
+object AnnQueries {
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Deterministic per-sf index location; built once, reused across queries
+    * and rounds (rebuilt only if the driver wipes /tmp). */
+  private def indexPath(dir: String, name: String): String =
+    s"/tmp/graft_index/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
+
+  private val buildLock = new Object
+
+  private def ensureIndex(spark: SparkSession, dir: String, name: String,
+      df: => DataFrame, labeled: Boolean): String = buildLock.synchronized {
+    val path = indexPath(dir, name)
+    val done = new java.io.File(s"$path/_meta/_SUCCESS")
+    if (!done.exists()) {
+      DiskannIndex.build(df, "vec_id", "embedding",
+        if (labeled) Some("labels") else None, path, DiskannParams(metric = "cosine"))
+    }
+    path
+  }
+
+  private def withLabels(df: DataFrame): DataFrame =
+    df.withColumn("labels", array(col("label").cast(ShortType)))
+
+  private def queryDf(spark: SparkSession, dir: String,
+      qlabels: Option[Seq[Short]]): DataFrame = {
+    val base = emb(spark, dir).filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    qlabels match {
+      case Some(ls) => base.withColumn("qlabels",
+        lit(ls.toArray).cast(ArrayType(ShortType)))
+      case None => base
+    }
+  }
+
+  /** Round + deterministic order + k — the same shape as the exact queries
+    * so results hash-match the oracle. */
+  private def finish(res: DataFrame, k: Int, excludeSelf: Boolean): DataFrame = {
+    val f = if (excludeSelf) res.filter(col("row_id") =!= 0) else res
+    f.select(col("row_id").as("vec_id"), round(col("dist"), 6).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // T1/S2/S3: ORDER BY embedding <=> q LIMIT k through the graph index
+    "knn_ann_cosine" -> ((s, d) => {
+      val path = ensureIndex(s, d, "cos", emb(s, d), labeled = false)
+      // uniform random test vectors are the worst case for 2-bit SBQ (the
+      // Hamming signal is weak when all points are near-equidistant), so the
+      // query GUC analogs are widened vs the reference defaults; real
+      // clustered embeddings run fine at L=100/rescore=50 (VamanaSpec).
+      finish(DiskannIndex.search(s, path, queryDf(s, d, None), k = 11,
+        searchListSize = 200, rescore = 150), 10, excludeSelf = true)
+    }),
+
+    // label-filtered ANN (Filtered-DiskANN semantics: per-label start nodes,
+    // in-traversal skip, residual recheck)
+    "knn_ann_labeled" -> ((s, d) => {
+      val path = ensureIndex(s, d, "cos_lbl", withLabels(emb(s, d)), labeled = true)
+      // filtered traversal explores a sparser label subgraph: widen the
+      // frontier + rescore pool (the reference's query GUCs, guc.rs:3-4)
+      finish(DiskannIndex.search(s, path, queryDf(s, d, Some(Seq(1, 3))), k = 11,
+        searchListSize = 200, rescore = 150), 10, excludeSelf = true)
+    }),
+
+    // V1: tombstone deletes — deleted rows still route traversal but are
+    // never emitted. vec_id 0 is itself deleted (0 % 7 == 0).
+    "ann_delete" -> ((s, d) => {
+      val path = ensureIndex(s, d, "cos", emb(s, d), labeled = false)
+      val tomb = emb(s, d).filter(col("vec_id") % 7 === 0)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      // ~1/7 of rows are tombstoned: over-fetch so k survivors remain
+      finish(DiskannIndex.search(s, path, queryDf(s, d, None), k = 10,
+        searchListSize = 200, rescore = 150, tombstones = tomb), 10,
+        excludeSelf = false)
+    }),
+
+    // G9: micro-batch append — main index over vec_id < 400, the rest is an
+    // unindexed delta answered exactly and merged into the final top-k.
+    "ann_insert_delta" -> ((s, d) => {
+      val path = ensureIndex(s, d, "cos_main400",
+        emb(s, d).filter(col("vec_id") < 400), labeled = false)
+      val delta = emb(s, d).filter(col("vec_id") >= 400)
+        .select(col("vec_id").as("row_id"), col("embedding").as("vec"))
+      finish(DiskannIndex.searchWithDelta(s, path, queryDf(s, d, None), delta,
+        k = 11, searchListSize = 200, rescore = 150), 10, excludeSelf = true)
+    }),
+  )
+
+  private def oracleQvec = "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)"
+
+  val oracleSql: Map[String, String] = Map(
+    "knn_ann_cosine" ->
+      s"""SELECT vec_id, round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) AS dist
+         |FROM embeddings WHERE vec_id <> 0 ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+    "knn_ann_labeled" ->
+      s"""SELECT vec_id, round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) AS dist
+         |FROM embeddings WHERE vec_id <> 0 AND label IN (1, 3) ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+    "ann_delete" ->
+      s"""SELECT vec_id, round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) AS dist
+         |FROM embeddings WHERE vec_id % 7 <> 0 ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+    "ann_insert_delta" ->
+      s"""SELECT vec_id, round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) AS dist
+         |FROM embeddings WHERE vec_id <> 0 ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+  )
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.index.{DiskannIndex, DiskannParams}
+import graft.functions.VectorFunctions
+import graft.functions.VectorFunctions._
+
+/** End-to-end index build + search through the Spark API, including the
+  * multi-shard path (the scale design: independent per-shard graphs,
+  * partial top-k per shard, final merge). */
+class DiskannIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  private def exactTop(qid: Long, k: Int, excludeSelf: Boolean): Seq[(Long, Double)] = {
+    VectorFunctions.register(spark)
+    val q = emb.filter(col("vec_id") === qid).select(col("embedding").as("qvec"))
+    emb.filter(if (excludeSelf) col("vec_id") =!= qid else lit(true))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), vec_cosine_dist(col("embedding"), col("qvec")).as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(k)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+  }
+
+  test("multi-shard build: 4 shards, search merges to the exact top-10") {
+    val path = "/tmp/graft_test_index/multishard"
+    DiskannIndex.build(emb, "vec_id", "embedding", None, path,
+      DiskannParams(metric = "cosine", shardTargetRows = 128))
+    val meta = DiskannIndex.loadMeta(spark, path)
+    assert(meta.numShards == 4 && meta.numRows == 500)
+
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val got = DiskannIndex.search(spark, path, queries, k = 10,
+      searchListSize = 100, rescore = 50)
+      .collect().groupBy(_.getLong(0))
+    (0L until 3L).foreach { qid =>
+      val exact = exactTop(qid, 10, excludeSelf = false).map(_._1)
+      val ann = got(qid).sortBy(r => (r.getDouble(2), r.getLong(1))).map(_.getLong(1)).toSeq
+      val recall = exact.toSet.intersect(ann.toSet).size / 10.0
+      assert(recall >= 0.9, s"qid=$qid sharded recall $recall")
+      // the query vector itself must always come back first at distance ~0
+      assert(ann.head == qid)
+    }
+  }
+
+  test("each shard graph is self-contained (neighbors index into own shard)") {
+    val nodes = spark.read.parquet("/tmp/graft_test_index/multishard/nodes")
+    val bad = nodes.groupBy(col("shard")).agg(
+      max(array_max(col("neighbors"))).as("mx"), count(lit(1)).as("n"))
+      .filter(col("mx") >= col("n")).count()
+    assert(bad == 0)
+  }
+
+  test("index survives executor-cache invalidation and reload (fresh searcher)") {
+    graft.index.GraphSearcher.invalidate("/tmp/graft_test_index/multishard")
+    val queries = emb.filter(col("vec_id") === 7)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val out = DiskannIndex.search(spark, "/tmp/graft_test_index/multishard",
+      queries, k = 5).collect()
+    assert(out.length == 5 && out.map(_.getLong(1)).contains(7L))
+  }
+}
