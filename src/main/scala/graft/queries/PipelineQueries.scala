@@ -1,0 +1,230 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions.VectorFunctions
+
+/**
+ * Training-data pipeline queries over the `documents` and `embeddings`
+ * tables: deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard,
+ * embedding cosine), text analysis (language ID, quality, token counts,
+ * fingerprints), similarity search (exact pairs, IVF), and multimodal
+ * metadata extraction.
+ */
+object PipelineQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  // DuckDB equivalents of TextAnalysis.tokens / Dedup.shingles — kept in one
+  // place so the Spark and oracle definitions cannot drift apart.
+  private val sqlTokens =
+    """list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"""
+  private def sqlShingles(w: String) =
+    s"""list_distinct(CASE WHEN len($w) >= 3
+       |  THEN [$w[i] || ' ' || $w[i+1] || ' ' || $w[i+2] for i in range(1, len($w) - 1)]
+       |  ELSE [array_to_string($w, ' ')] END)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- dedup ----
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exactDedup(docs(s, d), "doc_id", "text").orderBy(col("content_hash"))),
+
+    "dedup_minhash" -> ((s, d) =>
+      Dedup.minhashNearDupPairs(docs(s, d), "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // SimHash signatures are engine-defined (FNV-based) → no SQL oracle;
+    // semantics covered by OperatorsSpec.
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhashNearDupPairs(docs(s, d), "doc_id", "text", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // exact n-gram Jaccard, top-20 most similar pairs (brute-force pairs at
+    // test scale; the LSH prefilter above is the 100 TB path)
+    "ngram_jaccard_top" -> ((s, d) => {
+      val sh = docs(s, d).select(col("doc_id").cast("long").as("id"),
+        Dedup.shingles(col("text"), 3).as("sh"))
+      sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          round(Dedup.jaccard(col("a.sh"), col("b.sh")), 6).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+        .limit(20)
+    }),
+
+    // ---- text analysis ----
+    "lang_id" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
+    "token_counts" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .orderBy(col("doc_id"))),
+
+    "text_quality" -> ((s, d) => {
+      val cols = TextAnalysis.qualityColumns(col("text")).toMap
+      docs(s, d).select(col("doc_id"),
+        cols("n_tokens").cast("long").as("n_tokens"),
+        round(cols("avg_token_len"), 6).as("avg_token_len"),
+        round(cols("alpha_ratio"), 6).as("alpha_ratio"),
+        round(cols("stopword_ratio"), 6).as("stopword_ratio"),
+        round(cols("quality_score"), 6).as("quality_score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // winnowing fingerprint (custom expression) → no SQL oracle
+    "doc_fingerprints" -> ((s, d) => {
+      TextAnalysis.register(s)
+      docs(s, d).select(col("doc_id"),
+        call_function("doc_fingerprint", col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- embedding near-dup / similarity ----
+    "neardup_embedding_exact" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val e = emb(s, d).select(col("vec_id").cast("long").as("id"),
+        col("embedding").as("vec"))
+      e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          round(lit(1.0) - VectorFunctions.vec_cosine_dist(col("a.vec"), col("b.vec")), 6)
+            .as("cosine"))
+        .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
+        .limit(20)
+    }),
+
+    // sign-LSH + exact verification. The random test vectors contain no true
+    // near-dups (max pairwise cosine ~0.51), so the scenario unions the table
+    // with deterministically perturbed copies (vec_id + 100000) — the classic
+    // "same item, re-encoded" duplicate — and detects the planted pairs.
+    // Recall is probabilistic → rows-only; provable bounds in OperatorsSpec.
+    "neardup_embedding_lsh" -> ((s, d) => {
+      val base = emb(s, d).select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding"))
+      val perturbed = base.select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x + (pmod(xxhash64(col("vec_id"), i), lit(7)) - lit(3))
+            .cast("float") * lit(0.01f)).as("embedding"))
+      Similarity.cosineNearDupPairs(base.unionByName(perturbed), "vec_id",
+        "embedding", dim = 64, threshold = 0.9)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "simsearch_ivf" -> ((s, d) => {
+      val e = emb(s, d)
+      val model = Similarity.trainIvf(e, "embedding", nCentroids = 8)
+      val clustered = Similarity.ivfAssign(e, "vec_id", "embedding", model)
+      val q = e.filter(col("vec_id") === 0).head().getAs[scala.collection.mutable.ArraySeq[Float]]("embedding").toArray
+      Similarity.ivfSearch(clustered, model, q, k = 10, nprobe = 4,
+        (a, b) => VectorFunctions.vec_cosine_dist(a, b))
+        .select(col("id").as("vec_id"), round(col("dist"), 6).as("dist"))
+    }),
+
+    // ---- multimodal ----
+    "multimodal_meta" -> ((s, d) =>
+      Multimodal.decodeMeta(Multimodal.mediaFromDocuments(docs(s, d)))
+        .orderBy(col("media_id"))),
+
+    // media → stub features → frame sampling: rows-only plumbing checks
+    "multimodal_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(Multimodal.mediaFromDocuments(docs(s, d)))
+        .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
+        .orderBy(col("media_id"))),
+  )
+
+  private val enList = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
+  private def hitsSql(lang: String) = {
+    val list = TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(w, x -> x IN ($list)))"
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS cnt
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+
+    "dedup_minhash" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+         |g AS (SELECT doc_id, ${sqlShingles("w")} AS sh FROM t)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |             len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+         |FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "ngram_jaccard_top" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+         |g AS (SELECT doc_id, ${sqlShingles("w")} AS sh FROM t)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |             len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+         |FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |ORDER BY jaccard DESC, id_a, id_b LIMIT 20""".stripMargin,
+
+    "lang_id" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+         |h AS (SELECT doc_id, ${hitsSql("en")} AS h_en, ${hitsSql("es")} AS h_es,
+         |             ${hitsSql("de")} AS h_de, ${hitsSql("fr")} AS h_fr,
+         |             ${hitsSql("zh")} AS h_zh FROM t)
+         |SELECT doc_id,
+         |  CASE WHEN h_zh > greatest(0, h_en, h_es, h_de, h_fr) THEN 'zh'
+         |       WHEN h_fr > greatest(0, h_en, h_es, h_de) THEN 'fr'
+         |       WHEN h_de > greatest(0, h_en, h_es) THEN 'de'
+         |       WHEN h_es > greatest(0, h_en) THEN 'es'
+         |       WHEN h_en > 0 THEN 'en'
+         |       ELSE 'und' END AS lang_pred
+         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "token_counts" ->
+      s"""SELECT doc_id, len($sqlTokens) AS n_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, $sqlTokens AS w FROM documents),
+         |q AS (SELECT doc_id,
+         |  len(w) AS n_tokens,
+         |  CASE WHEN len(w) > 0 THEN CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(w) ELSE 0.0 END AS avg_token_len,
+         |  CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS alpha_ratio,
+         |  CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS digit_ratio,
+         |  CASE WHEN len(w) > 0 THEN CAST(len(list_filter(w, x -> x IN ($enList))) AS DOUBLE) / len(w) ELSE 0.0 END AS stopword_ratio
+         |  FROM t)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  round(avg_token_len, 6) AS avg_token_len,
+         |  round(alpha_ratio, 6) AS alpha_ratio,
+         |  round(stopword_ratio, 6) AS stopword_ratio,
+         |  round(alpha_ratio * 0.4 + least(stopword_ratio * 5.0, 1.0) * 0.3 +
+         |        (CASE WHEN avg_token_len >= 3 AND avg_token_len <= 10 THEN 1.0 ELSE 0.0 END) * 0.2 +
+         |        (1.0 - least(digit_ratio * 5.0, 1.0)) * 0.1, 6) AS quality_score
+         |FROM q ORDER BY doc_id""".stripMargin,
+
+    "neardup_embedding_exact" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |             CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |ORDER BY cosine DESC, id_a, id_b LIMIT 20""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        |  (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS modality,
+        |  CASE (doc_id % 3) WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END AS format,
+        |  CASE (doc_id % 3) WHEN 0 THEN CAST(octet_length(encode(text)) % 640 + 32 AS INT)
+        |       WHEN 1 THEN 0 ELSE CAST(octet_length(encode(text)) % 1280 + 64 AS INT) END AS width,
+        |  CASE (doc_id % 3) WHEN 0 THEN CAST(octet_length(encode(text)) % 480 + 32 AS INT)
+        |       WHEN 1 THEN 0 ELSE CAST(octet_length(encode(text)) % 720 + 64 AS INT) END AS height,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CASE (doc_id % 3) WHEN 0 THEN 0
+        |       WHEN 1 THEN octet_length(encode(text)) * 8
+        |       ELSE octet_length(encode(text)) * 40 END AS duration_ms
+        |FROM documents ORDER BY media_id""".stripMargin,
+  )
+}

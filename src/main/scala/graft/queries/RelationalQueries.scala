@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Relational queries over the TPC-H-ish tables (SURVEY.md §2.7: set ops,
+ * windows, date math, joins come from Catalyst built-ins — these entries
+ * demonstrate that side of the engine plus the plans the bench exercises:
+ * partial aggregation, broadcast-join stars, window top-n).
+ */
+object RelationalQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table stores TIMESTAMP(NANOS) which Spark has no native type
+    * for: read nanos as long, convert to a microsecond timestamp column. */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape: map-side partial agg, one shuffle on the group keys
+    "q1_agg" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // star join: dims broadcast, single shuffle for the final group-by
+    "join_region_revenue" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      val n = t(s, d, "nation")
+      val r = t(s, d, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"))
+    }),
+
+    // window top-n: per-user totals, top 10 by value
+    "top_users_window" -> ((s, d) => {
+      val agg = events(s, d)
+        .groupBy(col("user_id"))
+        .agg(round(sum(col("value")), 4).as("total_value"), count(lit(1)).as("n_events"))
+      agg.withColumn("rnk",
+        row_number().over(Window.orderBy(col("total_value").desc, col("user_id"))))
+        .filter(col("rnk") <= 10)
+        .select(col("user_id"), col("total_value"), col("n_events"), col("rnk"))
+    }),
+
+    // time-bucketed streaming-style aggregation (batch form; the streaming
+    // variant lives in graft.streaming)
+    "events_hourly" -> ((s, d) =>
+      events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .orderBy(col("hour"), col("event_type"))),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice), 4) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "join_region_revenue" ->
+      """SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "top_users_window" ->
+      """WITH agg AS (SELECT user_id, round(sum(value), 4) AS total_value,
+        |                    count(*) AS n_events
+        |             FROM events GROUP BY 1),
+        |r AS (SELECT user_id, total_value, n_events,
+        |        row_number() OVER (ORDER BY total_value DESC, user_id) AS rnk FROM agg)
+        |SELECT user_id, total_value, n_events, rnk FROM r WHERE rnk <= 10""".stripMargin,
+    "events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |       count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  )
+}

@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+import graft.functions.{VectorFunctions, VectorKernels}
+
+/** Covers the operators whose queries have no SQL oracle: SimHash,
+  * winnowing fingerprints, LSH recall bounds, IVF, the top-k aggregator,
+  * and the multimodal plumbing. */
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docsDf = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+    (2L, "completely different content about spark engines and parquet files"),
+    (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("simhash: exact dup -> distance 0; near-dup small; unrelated large") {
+    TextAnalysis.register(spark)
+    val sigs = docsDf.select($"doc_id",
+      call_function("simhash64", TextAnalysis.tokens($"text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(0L), sigs(3L)) == 0)
+    assert(ham(sigs(0L), sigs(1L)) < ham(sigs(0L), sigs(2L)))
+    assert(ham(sigs(0L), sigs(1L)) <= 16)
+  }
+
+  test("simhashNearDupPairs finds the dup cluster, not the unrelated doc") {
+    val pairs = Dedup.simhashNearDupPairs(docsDf, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 2L || b == 2L })
+  }
+
+  test("doc_fingerprint: deterministic, dup-invariant, whitespace-normalized") {
+    TextAnalysis.register(spark)
+    val fps = docsDf.select($"doc_id", call_function("doc_fingerprint", $"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(0L) == fps(3L))
+    assert(fps(0L) != fps(2L))
+    val ws = Seq((9L, "the  quick   brown fox JUMPS over the lazy dog"))
+      .toDF("doc_id", "text")
+      .select(call_function("doc_fingerprint", $"text")).collect()(0).getLong(0)
+    assert(ws == fps(0L)) // case+whitespace normalization
+  }
+
+  test("minhash LSH finds planted near-dup pairs with exact jaccard") {
+    // 20 docs, half of them near-dups of the other half (1 token changed)
+    val base = (0 until 10).map { i =>
+      val words = (0 until 30).map(j => s"w${i}_$j").mkString(" ")
+      (i.toLong, words)
+    }
+    val dups = base.map { case (i, t) =>
+      (i + 100L, t.split(" ").updated(15, "CHANGED").mkString(" "))
+    }
+    val df = (base ++ dups).toDF("doc_id", "text")
+    val found = Dedup.minhashNearDupPairs(df, "doc_id", "text",
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 10).foreach { i => assert(found.contains((i.toLong, i + 100L)), s"missed pair $i") }
+    assert(found.size == 10) // no cross-pair false positives
+  }
+
+  test("cosine near-dup LSH finds planted perturbed twins") {
+    val rnd = new scala.util.Random(5)
+    val base = (0 until 50).map { i =>
+      (i.toLong, VectorKernels.normalize(Array.fill(16)(rnd.nextGaussian().toFloat)))
+    }
+    val twins = base.map { case (i, v) =>
+      (i + 1000L, VectorKernels.normalize(v.map(x => x + 0.02f * rnd.nextGaussian().toFloat)))
+    }
+    val df = (base ++ twins).toDF("id", "vec")
+    val pairs = Similarity.cosineNearDupPairs(df, "id", "vec", dim = 16,
+      threshold = 0.98, nPlanes = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = (0 until 50).count(i => pairs.contains((i.toLong, i + 1000L)))
+    assert(hits >= 45, s"LSH found only $hits/50 planted twins")
+  }
+
+  test("topK aggregator knnJoin == window-ranked exact result") {
+    VectorFunctions.register(spark)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = e.filter($"vec_id" >= 5)
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val queries = e.filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val viaAgg = Similarity.knnJoin(corpus, queries, 5,
+      (a, b) => VectorFunctions.vec_cosine_dist(a, b))
+      .select($"qid", $"id", $"rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    import org.apache.spark.sql.expressions.Window
+    val viaWindow = corpus.crossJoin(broadcast(queries))
+      .select($"qid", $"id",
+        VectorFunctions.vec_cosine_dist($"vec", $"qvec").as("dist"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"qid").orderBy($"dist", $"id")))
+      .filter($"rnk" <= 5)
+      .select($"qid", $"id", $"rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    assert(viaAgg == viaWindow)
+  }
+
+  test("IVF: full probe equals brute force; partial probe has high recall") {
+    VectorFunctions.register(spark)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = Similarity.trainIvf(e, "embedding", nCentroids = 8)
+    val clustered = Similarity.ivfAssign(e, "vec_id", "embedding", model).cache()
+    val q = e.filter($"vec_id" === 0).head()
+      .getAs[scala.collection.mutable.ArraySeq[Float]]("embedding").toArray
+    val dist = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      VectorFunctions.vec_cosine_dist(a, b)
+    val full = Similarity.ivfSearch(clustered, model, q, 10, nprobe = 8, dist)
+      .collect().map(_.getLong(0)).toSeq
+    val brute = e.select($"vec_id",
+      dist($"embedding", typedlit(q)).as("d"))
+      .orderBy($"d", $"vec_id").limit(10).collect().map(_.getLong(0)).toSeq
+    assert(full == brute)
+    val partial = Similarity.ivfSearch(clustered, model, q, 10, nprobe = 4, dist)
+      .collect().map(_.getLong(0)).toSet
+    assert(brute.toSet.intersect(partial).size >= 6)
+    clustered.unpersist()
+  }
+
+  test("multimodal: stub decode deterministic; features feed the ANN index") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val media = Multimodal.mediaFromDocuments(docs)
+    val meta1 = Multimodal.decodeMeta(media).orderBy($"media_id").collect()
+    val meta2 = Multimodal.decodeMeta(media).orderBy($"media_id").collect()
+    assert(meta1.sameElements(meta2))
+    assert(meta1.forall(r => r.getLong(5) > 0)) // n_bytes
+    val feats = Multimodal.extractFeatures(media)
+    val norms = feats.select(VectorFunctions.vec_norm($"feature").as("n"))
+      .agg(min($"n"), max($"n")).collect()(0)
+    assert(math.abs(norms.getDouble(0) - 1.0) < 1e-5 &&
+      math.abs(norms.getDouble(1) - 1.0) < 1e-5)
+    // end-to-end: multimodal features -> DiskANN index -> search
+    val path = "/tmp/graft_test_index/mm"
+    graft.index.DiskannIndex.build(feats, "media_id", "feature", None, path,
+      graft.index.DiskannParams(metric = "cosine", numNeighbors = 16, searchListSize = 32))
+    val queries = feats.limit(1).select($"media_id".as("qid"), $"feature".as("qvec"))
+    val hits = graft.index.DiskannIndex.search(spark, path, queries, k = 5).collect()
+    assert(hits.length == 5)
+  }
+
+  test("frame sampling yields ceil-ish frame counts and binary frames") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(30)
+    val frames = Multimodal.sampleFrames(Multimodal.mediaFromDocuments(docs))
+    val rows = frames.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Array[Byte]]("frame").length <= 64))
+  }
+}
