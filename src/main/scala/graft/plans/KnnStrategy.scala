@@ -1,0 +1,223 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.execution.{FilterExec, LeafExecNode, ProjectExec, SparkPlan}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{col, lit, typedlit}
+import graft.functions._
+import graft.index.DiskannIndex
+
+/**
+ * Planner integration (SURVEY.md §4.1, the analog of `amcanorderbyop` +
+ * `amcostestimate` gating): a `SparkStrategy` that recognizes
+ *
+ *   ORDER BY <vector distance>(indexedCol, literal) [WHERE arrays_overlap(
+ *   labelsCol, literal)] LIMIT k
+ *
+ * over a parquet relation registered in [[KnnCatalog]] and plans it as a
+ * [[KnnIndexScanExec]] instead of a full scan + TakeOrdered. Anything that
+ * doesn't match exactly — different metric than the index, extra WHERE
+ * conjuncts, descending order — falls through to the native plan (the
+ * brute-force path stays the always-correct fallback, exactly like Postgres
+ * choosing a seq scan when the index cost gate fails).
+ *
+ * Enable per session with [[Graft.enable]] (experimental.extraStrategies) or
+ * at build time via [[GraftExtensions]].
+ */
+object KnnCatalog {
+  case class Entry(indexPath: String, sourcePath: String, idCol: String,
+      vecCol: String, labelsCol: Option[String], metric: String)
+
+  private val registry = TrieMap.empty[String, Entry]
+
+  private def norm(p: String): String =
+    p.stripSuffix("/").replaceFirst("^file:", "")
+
+  def register(sourcePath: String, entry: Entry): Unit =
+    registry.put(norm(sourcePath), entry.copy(sourcePath = norm(sourcePath)))
+
+  def lookup(sourcePath: String): Option[Entry] = registry.get(norm(sourcePath))
+
+  def clear(): Unit = registry.clear()
+}
+
+object Graft {
+  /** Idempotently enable the vector functions + the KNN planner strategy on
+    * an existing session. */
+  def enable(spark: SparkSession): Unit = {
+    VectorFunctions.register(spark)
+    graft.operators.TextAnalysis.register(spark)
+    if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[KnnStrategy]))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ new KnnStrategy(spark)
+  }
+}
+
+/** Builder-time variant: `SparkSession.builder().withExtensions(new GraftExtensions)`. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(spark => new KnnStrategy(spark))
+  }
+}
+
+class KnnStrategy(spark: SparkSession) extends SparkStrategy {
+
+  private def metricOf(e: Expression): Option[(String, Expression, Expression)] = e match {
+    case VectorCosineDistance(l, r) => Some(("cosine", l, r))
+    case VectorL2(l, r) => Some(("l2", l, r))
+    case VectorL2Sq(l, r) => Some(("l2", l, r))
+    case VectorNegDot(l, r) => Some(("ip", l, r))
+    case _ => None
+  }
+
+  private def relationPath(plan: LogicalPlan): Option[(LogicalRelation, String)] = plan match {
+    case lr @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+      fs.location.rootPaths.headOption.map(p => (lr, p.toString))
+    case _ => None
+  }
+
+  private def evalFloatArray(e: Expression): Option[Array[Float]] =
+    if (!e.foldable) None
+    else e.eval(InternalRow.empty) match {
+      case a: ArrayData => Some(a.toFloatArray())
+      case _ => None
+    }
+
+  private def evalShortArray(e: Expression): Option[Array[Short]] =
+    if (!e.foldable) None
+    else e.eval(InternalRow.empty) match {
+      case a: ArrayData => Some(a.toShortArray())
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    // the planner hands strategies ReturnAnswer(root) first and SpecialLimits
+    // would otherwise claim the whole Limit+Sort — unwrap and retry
+    case ReturnAnswer(child) => apply(child)
+    case Limit(IntegerLiteral(k), Sort(orders, true, inner, _)) =>
+      planKnn(k, orders, inner, None).toSeq
+    case Limit(IntegerLiteral(k), Project(projList, Sort(orders, true, inner, _))) =>
+      planKnn(k, orders, inner, Some(projList)).toSeq
+    case _ => Nil
+  }
+
+  private def planKnn(k: Int, orders: Seq[SortOrder], inner0: LogicalPlan,
+      projList: Option[Seq[NamedExpression]]): Option[SparkPlan] = {
+    if (orders.length != 1 || orders.head.direction != Ascending) return None
+
+    // Peel column-pruning Projects (attribute-only) and a label filter whose
+    // every conjunct is arrays_overlap(labelsCol, literal) — the only
+    // predicate the traversal handles exactly (P1). Anything else → no match.
+    var cur = inner0
+    var projAttrs: Option[Seq[AttributeReference]] = None
+    var filterLabels: Option[Array[Short]] = None
+    var ok = true
+    var done = false
+    while (ok && !done) cur match {
+      case Project(ps, child) if projAttrs.isEmpty &&
+          ps.forall(_.isInstanceOf[AttributeReference]) =>
+        projAttrs = Some(ps.map(_.asInstanceOf[AttributeReference]))
+        cur = child
+      case Filter(cond, child) if filterLabels.isEmpty =>
+        def split(e: Expression): Seq[Expression] = e match {
+          case And(l, r) => split(l) ++ split(r)
+          case other => Seq(other)
+        }
+        val conjuncts = split(cond)
+        val overlaps = conjuncts.collect {
+          case ArraysOverlap(_: AttributeReference, rhs) => evalShortArray(rhs)
+          case ArraysOverlap(rhs, _: AttributeReference) => evalShortArray(rhs)
+        }
+        if (overlaps.length == conjuncts.length && overlaps.forall(_.isDefined)) {
+          filterLabels = Some(overlaps.flatten.flatten.toArray)
+          cur = child
+        } else ok = false
+      case _: LogicalRelation => done = true
+      case _ => ok = false
+    }
+    if (!ok) return None
+
+    for {
+      (metric, lhs, rhs) <- metricOf(orders.head.child)
+      (lr, path) <- relationPath(cur)
+      entry <- KnnCatalog.lookup(path)
+      if entry.metric == metric
+      attr <- lhs match {
+        case a: AttributeReference if a.name == entry.vecCol => Some(a)
+        case _ => None
+      }
+      qvec <- evalFloatArray(rhs)
+      if filterLabels.isEmpty || entry.labelsCol.isDefined
+    } yield {
+      val outAttrs = projAttrs.getOrElse(lr.output.map(_.asInstanceOf[AttributeReference]))
+      val exec = KnnIndexScanExec(outAttrs, spark, entry, qvec, k, filterLabels,
+        sortExpr = orders.head.child)
+      projList match {
+        case Some(pl) => ProjectExec(pl, exec)
+        case None => exec
+      }
+    }
+  }
+}
+
+/**
+ * Physical ANN top-k scan (the `amgettuple` analog, SURVEY.md §2.1 S2/S3):
+ * searches the registered DiskANN index for the k nearest row ids, then
+ * fetches those rows from the source relation (the heap-fetch S5 — a
+ * k-row pushed-down IN-filter scan, not a full table read) and emits them
+ * in exact distance order.
+ */
+case class KnnIndexScanExec(outAttrs: Seq[AttributeReference], spark: SparkSession,
+    entry: KnnCatalog.Entry, queryVec: Array[Float], k: Int,
+    filterLabels: Option[Array[Short]], sortExpr: Expression)
+    extends LeafExecNode {
+
+  override def output: Seq[Attribute] = outAttrs
+
+  override def doExecute(): RDD[InternalRow] = {
+    val searchList = spark.conf.get("graft.knn.searchListSize", "100").toInt
+    val rescore = spark.conf.get("graft.knn.rescore", "50").toInt
+
+    import spark.implicits._
+    var queries = Seq((0L, queryVec)).toDF("qid", "qvec")
+    filterLabels.foreach { ls =>
+      queries = queries.withColumn("qlabels",
+        typedlit(ls).cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.ShortType)))
+    }
+    val hits = DiskannIndex.search(spark, entry.indexPath, queries, k,
+      searchList, rescore).collect()
+    val rank: Map[Long, Int] = hits.sortBy(r => (r.getDouble(2), r.getLong(1)))
+      .zipWithIndex.map { case (r, i) => r.getLong(1) -> i }.toMap
+
+    // heap fetch (S5): k-row IN-filter scan of the source relation, with the
+    // projection pruned to this node's output columns (+ the id for ranking)
+    val wantCols = outAttrs.map(_.name)
+    val fetchCols = if (wantCols.contains(entry.idCol)) wantCols
+      else wantCols :+ entry.idCol
+    val src = spark.read.parquet(entry.sourcePath)
+      .filter(col(entry.idCol).isin(rank.keys.toSeq.map(Long.box): _*))
+      .select(fetchCols.map(col): _*)
+    val idIdx = fetchCols.indexOf(entry.idCol)
+    val nOut = wantCols.length
+    val fetched = src.queryExecution.toRdd.map(_.copy()).collect()
+      .sortBy(r => rank.getOrElse(r.getLong(idIdx), Int.MaxValue))
+      .take(k)
+      .map { r =>
+        if (fetchCols.length == nOut) r
+        else InternalRow.fromSeq((0 until nOut).map(i => r.get(i, outAttrs(i).dataType)))
+      }
+    sparkContext.parallelize(fetched.toSeq, 1)
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"KnnIndexScan k=$k metric=${entry.metric} index=${entry.indexPath}" +
+      filterLabels.map(l => s" labels=[${l.mkString(",")}]").getOrElse("")
+}

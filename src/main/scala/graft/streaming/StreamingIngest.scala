@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.index.{DiskannIndex, DiskannParams}
+
+/**
+ * Structured-Streaming ingestion for the vector engine (SURVEY.md §3.3 /
+ * §2.5 G9): the Spark-native replacement for `aminsert`.
+ *
+ * Single-row transactional inserts are a Postgres concept; on Spark,
+ * freshness comes from micro-batches. Each batch of new vectors is appended
+ * to the index's `delta/` directory (cheap, no graph work); queries merge the
+ * main graph search with an exact brute-force pass over the (small) delta via
+ * [[DiskannIndex.searchWithDelta]]; a compaction job periodically folds the
+ * delta into a rebuilt main graph — the same append-then-compact lifecycle
+ * as any LSM-style Spark table format.
+ */
+object StreamingIngest {
+
+  /** foreachBatch sink: append each micro-batch's (row_id, vec [, labels])
+    * rows to the index delta directory. */
+  def appendBatchToDelta(indexPath: String)(batch: DataFrame, batchId: Long): Unit =
+    batch.write.mode("append").parquet(s"$indexPath/delta")
+
+  /** Start a streaming query that feeds `stream` into the index delta. */
+  def startDeltaIngest(stream: DataFrame, indexPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(appendBatchToDelta(indexPath) _)
+      .start()
+
+  /** Search main graph + current delta (exact over the delta side). */
+  def searchFresh(spark: SparkSession, indexPath: String, queries: DataFrame,
+      k: Int, searchListSize: Int = 100, rescore: Int = 50,
+      tombstones: Set[Long] = Set.empty): DataFrame = {
+    val deltaDir = new java.io.File(s"$indexPath/delta")
+    if (deltaDir.exists()) {
+      val delta = spark.read.parquet(s"$indexPath/delta")
+      DiskannIndex.searchWithDelta(spark, indexPath, queries, delta, k,
+        searchListSize, rescore, tombstones)
+    } else {
+      DiskannIndex.search(spark, indexPath, queries, k, searchListSize,
+        rescore, tombstones)
+    }
+  }
+
+  /** Fold the delta into the main graph: rebuild from nodes ∪ delta, then
+    * clear the delta. The rebuild is the same 2-job distributed build. */
+  def compact(spark: SparkSession, indexPath: String,
+      params: DiskannParams = DiskannParams()): Unit = {
+    val deltaDir = new java.io.File(s"$indexPath/delta")
+    if (!deltaDir.exists()) return
+    val meta = DiskannIndex.loadMeta(spark, indexPath)
+    val existing = spark.read.parquet(s"$indexPath/nodes")
+      .select(col("row_id"), col("vec"), col("labels"))
+    val delta = spark.read.parquet(s"$indexPath/delta")
+      .select(col("row_id"), col("vec"),
+        (if (meta.hasLabels) col("labels") else lit(null)
+          .cast(org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.ShortType))).as("labels"))
+    val all = existing.unionByName(delta).cache()
+    val tmp = s"$indexPath.compacting"
+    DiskannIndex.build(all, "row_id", "vec",
+      if (meta.hasLabels) Some("labels") else None, tmp,
+      params.copy(metric = meta.metric))
+    all.unpersist()
+    // atomic-ish swap: move new index over the old path
+    val old = new java.io.File(indexPath)
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec)
+      f.delete()
+    }
+    deleteRec(old)
+    new java.io.File(tmp).renameTo(old)
+    graft.index.GraphSearcher.invalidate(indexPath)
+  }
+
+  /** Streaming windowed aggregation over the events stream (SURVEY.md §2.7 /
+    * the Structured Streaming surface): tumbling-window counts per type with
+    * a watermark for state cleanup. */
+  def windowedEventCounts(stream: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+}

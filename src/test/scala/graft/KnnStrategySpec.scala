@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.{Graft, KnnCatalog}
+import graft.index.{DiskannIndex, DiskannParams}
+import graft.functions.VectorFunctions._
+
+/** Planner integration: ORDER BY dist LIMIT k over a registered relation is
+  * planned as KnnIndexScan; everything else falls back to the native plan. */
+class KnnStrategySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val srcPath = "/root/testdata/sf0.001/embeddings.parquet"
+  private val idxPath = "/tmp/graft_test_index/strategy_cos"
+
+  private lazy val setup: Unit = {
+    val e = spark.read.parquet(srcPath)
+    DiskannIndex.build(e, "vec_id", "embedding", None, idxPath,
+      DiskannParams(metric = "cosine"))
+    Graft.enable(spark)
+    KnnCatalog.register(srcPath, KnnCatalog.Entry(idxPath, srcPath,
+      "vec_id", "embedding", None, "cosine"))
+    spark.conf.set("graft.knn.searchListSize", "200")
+    spark.conf.set("graft.knn.rescore", "150")
+  }
+
+  private def qvecSql: String = {
+    val q = spark.read.parquet(srcPath).filter($"vec_id" === 0)
+      .head().getAs[scala.collection.mutable.ArraySeq[Float]]("embedding")
+    s"CAST(array(${q.mkString(", ")}) AS ARRAY<FLOAT>)"
+  }
+
+  test("SQL ORDER BY cosine LIMIT k plans through the index and matches brute force") {
+    setup
+    val sql =
+      s"""SELECT vec_id FROM parquet.`$srcPath`
+         |ORDER BY vec_cosine_dist(embedding, $qvecSql) LIMIT 10""".stripMargin
+    val df = spark.sql(sql)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("KnnIndexScan"), s"expected index scan in plan:\n$plan")
+    val got = df.collect().map(_.getLong(0)).toSeq
+    val brute = spark.read.parquet(srcPath)
+      .crossJoin(broadcast(spark.read.parquet(srcPath).filter($"vec_id" === 0)
+        .select($"embedding".as("q"))))
+      .select($"vec_id", vec_cosine_dist($"embedding", $"q").as("d"))
+      .orderBy($"d", $"vec_id").limit(10).collect().map(_.getLong(0)).toSeq
+    assert(got == brute)
+    assert(got.head == 0L) // the query vector itself, distance 0
+  }
+
+  test("unregistered relation falls back to native TakeOrdered") {
+    setup
+    val sql =
+      s"""SELECT doc_id FROM parquet.`/root/testdata/sf0.001/documents.parquet`
+         |ORDER BY doc_id LIMIT 5""".stripMargin
+    val plan = spark.sql(sql).queryExecution.executedPlan.toString
+    assert(!plan.contains("KnnIndexScan"))
+  }
+
+  test("descending order and extra predicates fall back to native plan") {
+    setup
+    val desc = spark.sql(
+      s"""SELECT vec_id FROM parquet.`$srcPath`
+         |ORDER BY vec_cosine_dist(embedding, $qvecSql) DESC LIMIT 5""".stripMargin)
+    assert(!desc.queryExecution.executedPlan.toString.contains("KnnIndexScan"))
+    val filtered = spark.sql(
+      s"""SELECT vec_id FROM parquet.`$srcPath` WHERE vec_id > 100
+         |ORDER BY vec_cosine_dist(embedding, $qvecSql) LIMIT 5""".stripMargin)
+    assert(!filtered.queryExecution.executedPlan.toString.contains("KnnIndexScan"))
+    // correctness of the fallback itself
+    assert(filtered.collect().length == 5)
+  }
+
+  test("DataFrame API ORDER BY dist LIMIT also plans through the index") {
+    setup
+    val e = spark.read.parquet(srcPath)
+    val q = e.filter($"vec_id" === 0)
+      .head().getAs[scala.collection.mutable.ArraySeq[Float]]("embedding").toArray
+    val df = e.orderBy(vec_cosine_dist($"embedding", typedlit(q))).limit(7)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("KnnIndexScan"), s"plan was:\n$plan")
+    assert(df.collect().length == 7)
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.index.{DiskannIndex, DiskannParams}
+import graft.streaming.StreamingIngest
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("delta ingest: streamed vectors become searchable, compaction folds them in") {
+    val path = "/tmp/graft_test_index/streaming"
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    deleteRec(new java.io.File(path))
+
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    DiskannIndex.build(e.filter($"vec_id" < 400), "vec_id", "embedding", None,
+      path, DiskannParams(metric = "cosine"))
+
+    // stream the remaining 100 vectors in as micro-batches
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Float])]
+    val stream = mem.toDF().toDF("row_id", "vec")
+    val q = StreamingIngest.startDeltaIngest(stream, path,
+      s"/tmp/graft_ckpt_${System.nanoTime()}")
+    val tail = e.filter($"vec_id" >= 400)
+      .collect().map(r => (r.getLong(0),
+        r.getAs[scala.collection.mutable.ArraySeq[Float]](1).toArray))
+    mem.addData(tail.take(50).toSeq)
+    q.processAllAvailable()
+    mem.addData(tail.drop(50).toSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    // a query vector from the streamed range must now be findable at dist 0
+    val queries = e.filter($"vec_id" === 450)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val fresh = StreamingIngest.searchFresh(spark, path, queries, k = 5,
+      searchListSize = 200, rescore = 150).collect()
+    assert(fresh.map(_.getLong(1)).contains(450L))
+
+    // compaction folds the delta into the main graph
+    StreamingIngest.compact(spark, path, DiskannParams(metric = "cosine"))
+    assert(!new java.io.File(s"$path/delta").exists())
+    val meta = DiskannIndex.loadMeta(spark, path)
+    assert(meta.numRows == 500)
+    val after = DiskannIndex.search(spark, path, queries, k = 5,
+      searchListSize = 200, rescore = 150).collect()
+    assert(after.map(_.getLong(1)).contains(450L))
+  }
+
+  test("windowed event counts over a stream match the batch aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(($"ts" / 1000).cast("long")))
+      .select($"ts", $"event_type", $"value")
+    val rows = batch.collect().map(r =>
+      (r.getTimestamp(0), r.getString(1), r.getDouble(2)))
+
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = StreamingIngest.windowedEventCounts(
+      mem.toDF().toDF("ts", "event_type", "value"))
+    mem.addData(rows.toSeq)
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("ev_counts").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("ev_counts")
+      .select($"window_start", $"event_type", $"n").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val expected = batch
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start", $"event_type", $"n").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == expected)
+  }
+}
