@@ -19,15 +19,23 @@ import org.apache.spark.sql.types._
  */
 object Dedup {
 
-  /** Word n-gram shingles of a text column (distinct, order-free). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(text)
+  /** Word n-gram shingles from a *materialized* token column (distinct,
+    * order-free). The token column must be a plain attribute: embedding the
+    * tokenizer expression here would re-run it once per shingle index inside
+    * the transform lambda (higher-order functions are interpreted — no CSE),
+    * turning shingling O(tokens^2) in regex work. */
+  def shinglesFromTokens(toks: Column, n: Int = 3): Column =
     array_distinct(
       when(size(toks) >= n,
         transform(sequence(lit(0), size(toks) - n),
           i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
         .otherwise(array(concat_ws(" ", toks))))
-  }
+
+  /** Two-phase tokenize→shingle over a text column. */
+  def shingled(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    df.select(col(idCol).cast(LongType).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("__w"))
+      .select(col("id"), shinglesFromTokens(col("__w"), n).as("sh"))
 
   /** Exact dedup: every row keyed by content hash with the cluster's
     * canonical (minimum) id and multiplicity. */
@@ -53,8 +61,10 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     val r = numHashes / bands
     require(bands * r == numHashes, "bands must divide numHashes")
-    val base = df.select(col(idCol).cast(LongType).as("id"),
-      shingles(col(textCol), shingleSize).as("sh"))
+    // repartition first: a single small parquet file otherwise serializes
+    // the whole shingling/minhash pass into one task
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val base = shingled(df.repartition(par), idCol, textCol, shingleSize)
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
     val banded = base.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),

@@ -43,57 +43,60 @@ object TextAnalysis {
     size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
 
   /**
-   * Stopword-profile language ID: argmax of per-language stopword hit counts
-   * with a deterministic priority order on ties ("und" = unknown when no
-   * profile matches at all).
+   * Stopword-profile language ID: argmax of per-language stopword hit counts,
+   * first-in-priority-order wins ties ("und" when no profile matches).
+   *
+   * The CASE is flat (each hit count appears a bounded number of times) — a
+   * naive fold of when(h > best, ...) nests the previous best expression
+   * inside each level, doubling the tree per language; higher-order
+   * functions run interpreted (no codegen/CSE), so that shape re-tokenizes
+   * each row exponentially many times. Pass a *materialized* token column
+   * (two-phase select) to keep tokenization to once per row.
    */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
-    // build nested CASE: languages in fixed priority order; strict > keeps
-    // the tie-break deterministic (first language in order wins ties)
-    val langsOrdered = Seq("en", "es", "de", "fr", "zh")
-    val hits = langsOrdered.map(l => l -> stopwordHits(toks, stopwords(l))).toMap
-    val best = langsOrdered.foldLeft((lit("und"), lit(0))) {
-      case ((bestLang, bestHits), l) =>
-        val h = hits(l)
-        (when(h > bestHits, lit(l)).otherwise(bestLang),
-          when(h > bestHits, h).otherwise(bestHits))
-    }
-    best._1
+  def langIdFromTokens(toks: Column): Column = {
+    val h = Seq("en", "es", "de", "fr", "zh").map(l => stopwordHits(toks, stopwords(l)))
+    when(h(4) > greatest(lit(0), h(0), h(1), h(2), h(3)), lit("zh"))
+      .when(h(3) > greatest(lit(0), h(0), h(1), h(2)), lit("fr"))
+      .when(h(2) > greatest(lit(0), h(0), h(1)), lit("de"))
+      .when(h(1) > greatest(lit(0), h(0)), lit("es"))
+      .when(h(0) > lit(0), lit("en"))
+      .otherwise(lit("und"))
   }
 
+  def langId(text: Column): Column = langIdFromTokens(tokens(text))
+
   /**
-   * Quality signals in the Gopher/C4 style: token stats, alpha/digit/punct
-   * ratios, stopword ratio, plus a composite [0,1] score. All built-ins.
+   * Quality signals in the Gopher/C4 style, as a staged DataFrame transform:
+   * the expensive pieces (tokenize, regex strips, stopword filter) are
+   * materialized exactly once per row, then ratios and the composite score
+   * are cheap arithmetic over those columns.
    */
-  def qualityColumns(text: Column): Seq[(String, Column)] = {
-    val toks = tokens(text)
-    val nTok = size(toks).cast(DoubleType)
-    val nChar = length(text).cast(DoubleType)
-    val alpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast(DoubleType)
-    val digit = length(regexp_replace(text, "[^0-9]", "")).cast(DoubleType)
-    val punct = length(regexp_replace(text, "[^.,;:!?]", "")).cast(DoubleType)
-    val stopHits = stopwordHits(toks, stopwords("en")).cast(DoubleType)
-    val avgTokLen = when(nTok > 0, (aggregate(toks, lit(0L), (acc, t) => acc + length(t))
-      .cast(DoubleType)) / nTok).otherwise(lit(0.0))
-    val alphaRatio = when(nChar > 0, alpha / nChar).otherwise(0.0)
-    val digitRatio = when(nChar > 0, digit / nChar).otherwise(0.0)
-    val punctRatio = when(nChar > 0, punct / nChar).otherwise(0.0)
-    val stopRatio = when(nTok > 0, stopHits / nTok).otherwise(0.0)
-    // composite: reward alphabetic text with sane token lengths & stopwords
-    val score =
-      (alphaRatio * 0.4) +
-        (least(stopRatio * lit(5.0), lit(1.0)) * 0.3) +
-        (when(avgTokLen >= 3 && avgTokLen <= 10, 1.0).otherwise(0.0) * 0.2) +
-        ((lit(1.0) - least(digitRatio * 5.0, lit(1.0))) * 0.1)
-    Seq(
-      "n_tokens" -> nTok,
-      "avg_token_len" -> avgTokLen,
-      "alpha_ratio" -> alphaRatio,
-      "digit_ratio" -> digitRatio,
-      "punct_ratio" -> punctRatio,
-      "stopword_ratio" -> stopRatio,
-      "quality_score" -> score)
+  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val raw = df.select(col(idCol), text,
+      tokens(text).as("__toks"))
+    val parts = raw.select(col(idCol),
+      size(col("__toks")).cast(DoubleType).as("__n_tok"),
+      length(text).cast(DoubleType).as("__n_char"),
+      length(regexp_replace(text, "\\s", "")).cast(DoubleType).as("__strip"),
+      length(regexp_replace(text, "[^A-Za-z]", "")).cast(DoubleType).as("__alpha"),
+      length(regexp_replace(text, "[^0-9]", "")).cast(DoubleType).as("__digit"),
+      length(regexp_replace(text, "[^.,;:!?]", "")).cast(DoubleType).as("__punct"),
+      stopwordHits(col("__toks"), stopwords("en")).cast(DoubleType).as("__stop"))
+    val nTok = col("__n_tok"); val nChar = col("__n_char")
+    val ratios = parts.select(col(idCol),
+      nTok.cast("long").as("n_tokens"),
+      when(nTok > 0, col("__strip") / nTok).otherwise(0.0).as("avg_token_len"),
+      when(nChar > 0, col("__alpha") / nChar).otherwise(0.0).as("alpha_ratio"),
+      when(nChar > 0, col("__digit") / nChar).otherwise(0.0).as("digit_ratio"),
+      when(nChar > 0, col("__punct") / nChar).otherwise(0.0).as("punct_ratio"),
+      when(nTok > 0, col("__stop") / nTok).otherwise(0.0).as("stopword_ratio"))
+    ratios.withColumn("quality_score",
+      (col("alpha_ratio") * 0.4) +
+        (least(col("stopword_ratio") * lit(5.0), lit(1.0)) * 0.3) +
+        (when(col("avg_token_len") >= 3 && col("avg_token_len") <= 10, 1.0)
+          .otherwise(0.0) * 0.2) +
+        ((lit(1.0) - least(col("digit_ratio") * 5.0, lit(1.0))) * 0.1))
   }
 
   def register(spark: SparkSession): Unit = {

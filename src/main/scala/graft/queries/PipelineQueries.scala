@@ -59,7 +59,9 @@ object PipelineQueries {
 
     // ---- text analysis ----
     "lang_id" -> ((s, d) =>
-      docs(s, d).select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+      docs(s, d)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
+        .select(col("doc_id"), TextAnalysis.langIdFromTokens(col("w")).as("lang_pred"))
         .orderBy(col("doc_id"))),
 
     "token_counts" -> ((s, d) =>
@@ -67,16 +69,14 @@ object PipelineQueries {
         TextAnalysis.tokenCount(col("text")).as("n_tokens"))
         .orderBy(col("doc_id"))),
 
-    "text_quality" -> ((s, d) => {
-      val cols = TextAnalysis.qualityColumns(col("text")).toMap
-      docs(s, d).select(col("doc_id"),
-        cols("n_tokens").cast("long").as("n_tokens"),
-        round(cols("avg_token_len"), 6).as("avg_token_len"),
-        round(cols("alpha_ratio"), 6).as("alpha_ratio"),
-        round(cols("stopword_ratio"), 6).as("stopword_ratio"),
-        round(cols("quality_score"), 6).as("quality_score"))
-        .orderBy(col("doc_id"))
-    }),
+    "text_quality" -> ((s, d) =>
+      TextAnalysis.quality(docs(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("avg_token_len"), 6).as("avg_token_len"),
+          round(col("alpha_ratio"), 6).as("alpha_ratio"),
+          round(col("stopword_ratio"), 6).as("stopword_ratio"),
+          round(col("quality_score"), 6).as("quality_score"))
+        .orderBy(col("doc_id"))),
 
     // winnowing fingerprint (custom expression) → no SQL oracle
     "doc_fingerprints" -> ((s, d) => {
