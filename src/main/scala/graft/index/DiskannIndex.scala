@@ -16,6 +16,9 @@ case class DiskannParams(
     maxAlpha: Double = 1.2,
     bitsPerDim: Option[Int] = None,
     storage: String = "sbq", // "sbq" | "plain"
+    /** Matryoshka truncation (SURVEY.md §4.1): build the graph + codes on a
+      * prefix slice of the vector; rescoring always uses full vectors. */
+    numDimsToIndex: Option[Int] = None,
     /** target rows per shard; shard graphs must fit executor heap. At 100 TB
       * this yields thousands of independent shards built in parallel. */
     shardTargetRows: Long = 1L << 20)
@@ -66,9 +69,13 @@ object DiskannIndex {
     // the RAW vectors — rescoring and SQL-visible distances are computed on
     // the original data, exactly like the reference's heap fetch (S5).
     graft.functions.VectorFunctions.register(spark)
-    val trainBase = if (metric == Metric.Cosine)
-      base0.withColumn("vec", graft.functions.VectorFunctions.vec_normalize(col("vec")))
+    val dimsToIndex = params.numDimsToIndex.getOrElse(0) // 0 = full width
+    val slicedBase = if (dimsToIndex > 0)
+      base0.withColumn("vec", slice(col("vec"), 1, dimsToIndex))
     else base0
+    val trainBase = if (metric == Metric.Cosine)
+      slicedBase.withColumn("vec", graft.functions.VectorFunctions.vec_normalize(col("vec")))
+    else slicedBase
     val base = base0
 
     val useSbq = params.storage == "sbq"
@@ -107,9 +114,10 @@ object DiskannIndex {
         // and tie-breaks reproducible across runs — SURVEY.md §7.3)
         val rows = rowsBuf.sortInPlaceBy(_._1)
         val vecs = rows.map(_._2).toArray
+        val sliced = if (dimsToIndex > 0) vecs.map(_.take(dimsToIndex)) else vecs
         val buildVecs =
-          if (metric == Metric.Cosine) vecs.map(graft.functions.VectorKernels.normalize)
-          else vecs
+          if (metric == Metric.Cosine) sliced.map(graft.functions.VectorKernels.normalize)
+          else sliced
         val lbs = if (hasLabels) rows.map(t => Option(t._3).getOrElse(Array.emptyShortArray)).toArray else null
         val builder = new VamanaBuilder(buildVecs, lbs, metric, r, l, alpha).build()
         rows.indices.iterator.map { i =>
@@ -130,7 +138,7 @@ object DiskannIndex {
       if (model != null) model.bitsPerDim else 0,
       if (model != null) model.count else 0L,
       if (model != null) model.mean else Array.emptyDoubleArray,
-      if (model != null) model.m2 else Array.emptyDoubleArray))
+      if (model != null) model.m2 else Array.emptyDoubleArray, dimsToIndex))
       .toDF().coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
     GraphSearcher.invalidate(path)
   }
@@ -138,7 +146,7 @@ object DiskannIndex {
   case class IndexMeta(metric: String, storage: String, numNeighbors: Int,
       searchListSize: Int, maxAlpha: Double, numShards: Int, numRows: Long,
       hasLabels: Boolean, bitsPerDim: Int, modelCount: Long,
-      modelMean: Array[Double], modelM2: Array[Double])
+      modelMean: Array[Double], modelM2: Array[Double], dimsToIndex: Int)
 
   def loadMeta(spark: SparkSession, path: String): IndexMeta = {
     import spark.implicits._
@@ -225,7 +233,8 @@ object DiskannIndex {
             adj(j).foreach { t => tgt(p) = t; p += 1 }
             j += 1
           }
-          new GraphSearcher(rowIds, vecs, codes, lbs, off, tgt, metric, model)
+          new GraphSearcher(rowIds, vecs, codes, lbs, off, tgt, metric, model,
+            meta.dimsToIndex)
         })
         val tomb = tombBc.value
         qBc.value.iterator.flatMap { case (qid, qvec, qlabels) =>

@@ -26,7 +26,8 @@ final class GraphSearcher(
     nbrOff: Array[Int],
     nbrTgt: Array[Int],
     val metric: Metric,
-    val model: SbqModel) extends Serializable {
+    val model: SbqModel,
+    val dimsToIndex: Int = 0) extends Serializable {
 
   val n: Int = rowIds.length
 
@@ -62,9 +63,10 @@ final class GraphSearcher(
     // the quantizer was trained on normalized vectors for cosine indexes.
     // vectors are stored RAW; exact traversal (plain storage) orders by the
     // SQL-visible distance, which is ordering-equivalent for all metrics.
+    val qSliced = if (dimsToIndex > 0) query.take(dimsToIndex) else query
     val qcode =
       if (model != null && codes != null)
-        model.quantize(if (metric == Metric.Cosine) VectorKernels.normalize(query) else query)
+        model.quantize(if (metric == Metric.Cosine) VectorKernels.normalize(qSliced) else qSliced)
       else null
     @inline def traversalDist(i: Int): Double =
       if (codes != null) VectorKernels.hamming(qcode, codes(i)).toDouble

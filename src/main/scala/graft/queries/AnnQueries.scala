@@ -27,15 +27,17 @@ object AnnQueries {
   private val buildLock = new Object
 
   private def ensureIndex(spark: SparkSession, dir: String, name: String,
-      df: => DataFrame, labeled: Boolean): String = buildLock.synchronized {
-    val path = indexPath(dir, name)
-    val done = new java.io.File(s"$path/_meta/_SUCCESS")
-    if (!done.exists()) {
-      DiskannIndex.build(df, "vec_id", "embedding",
-        if (labeled) Some("labels") else None, path, DiskannParams(metric = "cosine"))
+      df: => DataFrame, labeled: Boolean,
+      params: DiskannParams = DiskannParams(metric = "cosine")): String =
+    buildLock.synchronized {
+      val path = indexPath(dir, name)
+      val done = new java.io.File(s"$path/_meta/_SUCCESS")
+      if (!done.exists()) {
+        DiskannIndex.build(df, "vec_id", "embedding",
+          if (labeled) Some("labels") else None, path, params)
+      }
+      path
     }
-    path
-  }
 
   private def withLabels(df: DataFrame): DataFrame =
     df.withColumn("labels", array(col("label").cast(ShortType)))
@@ -95,6 +97,36 @@ object AnnQueries {
         excludeSelf = false)
     }),
 
+    // D7/D2: inner-product metric through the SBQ index (ip requires SBQ in
+    // the reference, build.rs:264-266 — same here by default)
+    "knn_ann_ip" -> ((s, d) => {
+      val path = ensureIndex(s, d, "ip", emb(s, d), labeled = false,
+        DiskannParams(metric = "ip"))
+      finish(DiskannIndex.search(s, path, queryDf(s, d, None), k = 11,
+        searchListSize = 200, rescore = 150), 10, excludeSelf = true)
+    }),
+
+    // D10: plain (uncompressed) storage — full-precision traversal, no codes
+    "knn_ann_l2_plain" -> ((s, d) => {
+      val path = ensureIndex(s, d, "l2_plain", emb(s, d), labeled = false,
+        DiskannParams(metric = "l2", storage = "plain"))
+      finish(DiskannIndex.search(s, path, queryDf(s, d, None), k = 11,
+        searchListSize = 200, rescore = 150), 10, excludeSelf = true)
+    }),
+
+    // §4.1 Matryoshka: graph + codes built on a 16-dim prefix slice, exact
+    // rescoring on the full 64-dim vectors (resort forced, scan.rs:393-401).
+    // A 16-of-64 prefix of *uniform random* vectors carries only 1/4 of the
+    // distance signal, so the rescore pool is sized to the table here; on
+    // real Matryoshka-trained embeddings the prefix is information-dense and
+    // normal pools apply.
+    "knn_ann_matryoshka" -> ((s, d) => {
+      val path = ensureIndex(s, d, "cos_mat16", emb(s, d), labeled = false,
+        DiskannParams(metric = "cosine", numDimsToIndex = Some(16)))
+      finish(DiskannIndex.search(s, path, queryDf(s, d, None), k = 11,
+        searchListSize = 600, rescore = 600), 10, excludeSelf = true)
+    }),
+
     // G9: micro-batch append — main index over vec_id < 400, the rest is an
     // unindexed delta answered exactly and merged into the final top-k.
     "ann_insert_delta" -> ((s, d) => {
@@ -138,6 +170,15 @@ object AnnQueries {
     "knn_ann_labeled" ->
       s"""SELECT vec_id, round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) AS dist
          |FROM embeddings WHERE vec_id <> 0 AND label IN (1, 3) ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+    "knn_ann_ip" ->
+      s"""SELECT vec_id, round(-list_dot_product(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) AS dist
+         |FROM embeddings WHERE vec_id <> 0 ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+    "knn_ann_l2_plain" ->
+      s"""SELECT vec_id, round(list_distance(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) AS dist
+         |FROM embeddings WHERE vec_id <> 0 ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+    "knn_ann_matryoshka" ->
+      s"""SELECT vec_id, round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) AS dist
+         |FROM embeddings WHERE vec_id <> 0 ORDER BY dist, vec_id LIMIT 10""".stripMargin,
     "ann_delete" ->
       s"""SELECT vec_id, round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) AS dist
          |FROM embeddings WHERE vec_id % 7 <> 0 ORDER BY dist, vec_id LIMIT 10""".stripMargin,
