@@ -44,10 +44,13 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col("id")).as("canonical_id"), count(lit(1)).as("cnt"))
 
-  /** MinHash signature: numHashes permutations via seeded xxhash64. */
+  /** MinHash signature: numHashes permutations via the `minhash_sig`
+    * expression (one string hash per shingle + cheap per-permutation mixes —
+    * the interpreted transform/xxhash64 formulation re-hashed every string
+    * numHashes times and dominated the whole pipeline). Caller must have
+    * called `TextAnalysis.register`. */
   def minhashSignature(shingleCol: Column, numHashes: Int = 64): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingleCol, s => xxhash64(i, s))))
+    call_function("minhash_sig", shingleCol, lit(numHashes))
 
   /**
    * Near-duplicate pairs with exact-verified word-n-gram Jaccard >= threshold.
@@ -61,6 +64,7 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     val r = numHashes / bands
     require(bands * r == numHashes, "bands must divide numHashes")
+    TextAnalysis.register(df.sparkSession)
     // repartition first: a single small parquet file otherwise serializes
     // the whole shingling/minhash pass into one task
     val par = df.sparkSession.sparkContext.defaultParallelism

@@ -104,6 +104,9 @@ object TextAnalysis {
       "doc_fingerprint", es => DocFingerprint(es.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", es => SimHash64(es.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig", es => MinhashSig(es.head,
+        es.lift(1).map(_.eval(null).asInstanceOf[Int]).getOrElse(64)), "built-in")
   }
 
   def doc_fingerprint(spark: SparkSession, text: Column): Column = {
@@ -168,6 +171,49 @@ case class DocFingerprint(child: Expression, k: Int = 8, w: Int = 16)
       }
       acc
     }
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/**
+ * MinHash signature over a shingle set: each shingle is hashed once
+ * (FNV-1a 64), then the `numHashes` permutations are derived with a cheap
+ * avalanche mix of (hash + i·φ) — one string pass per shingle instead of
+ * `numHashes` (the interpreted `transform`+`xxhash64` formulation re-hashed
+ * every string 64 times). Output: ARRAY<LONG> of per-permutation minima;
+ * an empty/all-null input yields Long.MaxValue minima (never bucket-matches).
+ */
+case class MinhashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "minhash_sig"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<STRING>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val b = arr.getUTF8String(i).getBytes
+        val h = Hash64.bytes(b, 0, b.length)
+        var j = 0
+        var x = h
+        while (j < numHashes) {
+          val g = Hash64.avalanche(x)
+          if (g < mins(j)) mins(j) = g
+          x += 0x9e3779b97f4a7c15L // golden-ratio step per permutation
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
