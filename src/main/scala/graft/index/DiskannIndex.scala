@@ -171,9 +171,18 @@ object DiskannIndex {
    * definition); the index scan is a narrow mapPartitions over the nodes
    * table — no shuffle of index data, only of k rows per (shard, query).
    */
+  /** Executor-side scan telemetry sinks (V5): Spark `SQLMetric`s are
+    * `AccumulatorV2`s, so adding to them inside `mapPartitions` surfaces the
+    * counts in the SQL UI / `metrics` of [[graft.plans.KnnIndexScanExec]]. */
+  case class SearchMetrics(
+      nodesVisited: org.apache.spark.sql.execution.metric.SQLMetric,
+      quantizedCmps: org.apache.spark.sql.execution.metric.SQLMetric,
+      exactCmps: org.apache.spark.sql.execution.metric.SQLMetric)
+
   def search(spark: SparkSession, path: String, queries: DataFrame, k: Int,
       searchListSize: Int = 100, rescore: Int = 50,
-      tombstones: Set[Long] = Set.empty): DataFrame = {
+      tombstones: Set[Long] = Set.empty,
+      metrics: Option[SearchMetrics] = None): DataFrame = {
     val meta = loadMeta(spark, path)
     val metric = Metric(meta.metric)
     val model =
@@ -182,7 +191,8 @@ object DiskannIndex {
 
     val hasQLabels = queries.columns.contains("qlabels")
     val qRows: Array[(Long, Array[Float], Array[Short])] = queries.collect().map { r =>
-      val qv = r.getAs[mutable.Seq[Float]]("qvec").toArray
+      // null query vector => zero-vector search (labels/mod.rs:214-216)
+      val qv = Option(r.getAs[mutable.Seq[Float]]("qvec")).map(_.toArray).orNull
       val ql = if (hasQLabels) r.getAs[mutable.Seq[Short]]("qlabels") match {
         case null => null
         case s => LabelSets.normalize(s.toArray)
@@ -238,10 +248,15 @@ object DiskannIndex {
         })
         val tomb = tombBc.value
         qBc.value.iterator.flatMap { case (qid, qvec, qlabels) =>
-          searcher.search(qvec, k, searchListSize, rescore, qlabels,
-            rid => tomb.contains(rid), report)
-            .take(k)
-            .map { case (rid, d) => Row(qid, rid, d) }
+          val st = if (metrics.isDefined) new SearchStats else null
+          val hits = searcher.search(qvec, k, searchListSize, rescore, qlabels,
+            rid => tomb.contains(rid), report, st)
+          metrics.foreach { m =>
+            m.nodesVisited.add(st.nodesVisited)
+            m.quantizedCmps.add(st.quantizedCmps)
+            m.exactCmps.add(st.exactCmps)
+          }
+          hits.take(k).map { case (rid, d) => Row(qid, rid, d) }
         }
       }
     }(org.apache.spark.sql.Encoders.row(resultSchema))
@@ -306,5 +321,68 @@ object DiskannIndex {
         Window.partitionBy(col("qid")).orderBy(col("dist"), col("row_id"))))
       .filter(col("rnk") <= k)
       .drop("rnk")
+  }
+
+  /** Index introspection (V2, vacuum.rs:138-157 page-count analog): size and
+    * degree statistics computed with a single distributed aggregation. */
+  case class IndexStats(numRows: Long, numShards: Int, numEdges: Long,
+      avgDegree: Double, maxDegree: Int, metric: String, storage: String,
+      bitsPerDim: Int)
+
+  def stats(spark: SparkSession, path: String): IndexStats = {
+    val meta = loadMeta(spark, path)
+    val row = spark.read.parquet(s"$path/nodes")
+      .agg(count(lit(1)).as("n"), sum(size(col("neighbors"))).as("edges"),
+        max(size(col("neighbors"))).as("maxdeg"))
+      .head()
+    val n = row.getLong(0)
+    val edges = row.getLong(1)
+    IndexStats(n, meta.numShards, edges,
+      if (n == 0) 0.0 else edges.toDouble / n, row.getInt(2),
+      meta.metric, meta.storage, meta.bitsPerDim)
+  }
+
+  /** Debug graph dump in DOT format (V6, graph/mod.rs:535-635 /
+    * debugging.rs:12-50): one shard, capped at `maxNodes` nodes. Dev-only. */
+  def toDot(spark: SparkSession, path: String, shard: Int = 0,
+      maxNodes: Int = 200): String = {
+    val rows = spark.read.parquet(s"$path/nodes")
+      .filter(col("shard") === shard && col("node") < maxNodes)
+      .select(col("node"), col("row_id"), col("neighbors"))
+      .collect()
+      .sortBy(_.getInt(0))
+    val sb = new StringBuilder(s"digraph shard$shard {\n")
+    rows.foreach { r =>
+      val node = r.getInt(0)
+      sb.append(s"""  n$node [label="${r.getLong(1)}"];\n""")
+      r.getAs[mutable.Seq[Int]](2).foreach { t =>
+        if (t < maxNodes) sb.append(s"  n$node -> n$t;\n")
+      }
+    }
+    sb.append("}\n").toString
+  }
+
+  /** Graph-connectivity check (V6 / §4.3 gate 3a, build.rs:1717-1753): BFS
+    * from each shard's start node over its adjacency, summed across shards.
+    * Distributed: each shard's BFS runs inside its own task; only one count
+    * per shard crosses the wire. A healthy index returns `numRows`. */
+  def reachableCount(spark: SparkSession, path: String): Long = {
+    import spark.implicits._
+    spark.read.parquet(s"$path/nodes")
+      .select(col("shard"), col("node"), col("neighbors"))
+      .groupByKey(_.getAs[Int]("shard"))
+      .mapGroups { (_, it) =>
+        val adj = mutable.Map.empty[Int, Array[Int]]
+        it.foreach(r => adj(r.getAs[Int]("node")) = r.getAs[mutable.Seq[Int]]("neighbors").toArray)
+        val seen = mutable.BitSet(0)
+        val queue = mutable.Queue(0)
+        while (queue.nonEmpty) {
+          adj.getOrElse(queue.dequeue(), Array.emptyIntArray).foreach { t =>
+            if (seen.add(t)) queue.enqueue(t)
+          }
+        }
+        seen.size.toLong
+      }
+      .reduce(_ + _)
   }
 }

@@ -46,12 +46,16 @@ final class GraphSearcher(
 
   /** Candidate result: (rowId, exactDistance). `filterLabels == null` means
     * unfiltered; an empty non-null filter matches nothing (P1 semantics).
-    * `reportDist` computes the SQL-visible distance (§4.3 note 1). */
-  def search(query: Array[Float], k: Int, searchListSize: Int, rescore: Int,
+    * `reportDist` computes the SQL-visible distance (§4.3 note 1).
+    * A null `query` searches the zero vector (labels/mod.rs:214-216).
+    * `stats`, when non-null, accumulates scan telemetry (V5, stats.rs:29-283). */
+  def search(query0: Array[Float], k: Int, searchListSize: Int, rescore: Int,
       filterLabels: Array[Short], tombstoned: Long => Boolean,
-      reportDist: (Array[Float], Array[Float]) => Double): Array[(Long, Double)] = {
+      reportDist: (Array[Float], Array[Float]) => Double,
+      stats: SearchStats = null): Array[(Long, Double)] = {
     if (n == 0) return Array.empty
     if (filterLabels != null && filterLabels.isEmpty) return Array.empty
+    val query = if (query0 == null) new Array[Float](vectors(0).length) else query0
 
     val starts: Seq[Int] =
       if (filterLabels == null) Seq(0)
@@ -69,8 +73,13 @@ final class GraphSearcher(
         model.quantize(if (metric == Metric.Cosine) VectorKernels.normalize(qSliced) else qSliced)
       else null
     @inline def traversalDist(i: Int): Double =
-      if (codes != null) VectorKernels.hamming(qcode, codes(i)).toDouble
-      else reportDist(vectors(i), query)
+      if (codes != null) {
+        if (stats != null) stats.quantizedCmps += 1
+        VectorKernels.hamming(qcode, codes(i)).toDouble
+      } else {
+        if (stats != null) stats.exactCmps += 1
+        reportDist(vectors(i), query)
+      }
     val l = math.max(searchListSize, k)
 
     // bounded best-first traversal (greedy_search_iterate, graph/mod.rs:331-385)
@@ -112,11 +121,23 @@ final class GraphSearcher(
           (filterLabels == null || LabelSets.overlaps(labels(id), filterLabels))
       }
       .take(poolSize)
-      .map { case (id, _) => (rowIds(id), reportDist(vectors(id), query)) }
+      .map { case (id, _) =>
+        if (stats != null) stats.exactCmps += 1
+        (rowIds(id), reportDist(vectors(id), query))
+      }
       .toArray
       .sortBy { case (rid, d) => (d, rid) }
+    if (stats != null) stats.nodesVisited += visited.length
     out
   }
+}
+
+/** Mutable per-call scan telemetry (SURVEY.md §2.8 V5; mirrors the stat sinks
+  * of stats.rs:29-283: nodes visited, quantized vs full distance counts). */
+final class SearchStats extends Serializable {
+  var nodesVisited: Long = 0L
+  var quantizedCmps: Long = 0L
+  var exactCmps: Long = 0L
 }
 
 object GraphSearcher {

@@ -269,6 +269,21 @@ final class VamanaBuilder(
   def build(): VamanaBuilder = {
     var i = 0
     while (i < n) { insert(i); i += 1 }
+    // finalize (finalize_index_build, build.rs:905-960): node records hold
+    // exactly R neighbor slots — prune any list still inside the 1.3× build
+    // slack back down to numNeighbors before the graph is frozen.
+    i = 0
+    while (i < n) {
+      if (nbr(i).length > numNeighbors) {
+        val merged = new mutable.ArrayBuffer[(Int, Double)](nbr(i).length)
+        var j = 0
+        while (j < nbr(i).length) { merged += ((nbr(i)(j), nbrDist(i)(j))); j += 1 }
+        val fin = pruneNeighbors(i, labelsOf(i), merged)
+        nbr(i).clear(); nbrDist(i).clear()
+        fin.foreach { case (id, d) => nbr(i) += id; nbrDist(i) += d }
+      }
+      i += 1
+    }
     this
   }
 

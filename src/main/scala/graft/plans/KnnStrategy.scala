@@ -179,7 +179,17 @@ case class KnnIndexScanExec(outAttrs: Seq[AttributeReference], spark: SparkSessi
     filterLabels: Option[Array[Short]], sortExpr: Expression)
     extends LeafExecNode {
 
+  import org.apache.spark.sql.execution.metric.SQLMetrics
+
   override def output: Seq[Attribute] = outAttrs
+
+  // scan telemetry (V5, stats.rs:29-283 / end_scan scan.rs:458-476), surfaced
+  // in the Spark SQL UI like any other physical operator's metrics
+  override lazy val metrics = Map(
+    "numNodesVisited" -> SQLMetrics.createMetric(sparkContext, "graph nodes visited"),
+    "numQuantizedCmps" -> SQLMetrics.createMetric(sparkContext, "quantized distance comparisons"),
+    "numExactCmps" -> SQLMetrics.createMetric(sparkContext, "exact distance comparisons"),
+    "numHeapFetches" -> SQLMetrics.createMetric(sparkContext, "source rows fetched"))
 
   override def doExecute(): RDD[InternalRow] = {
     val searchList = spark.conf.get("graft.knn.searchListSize", "100").toInt
@@ -193,7 +203,9 @@ case class KnnIndexScanExec(outAttrs: Seq[AttributeReference], spark: SparkSessi
           org.apache.spark.sql.types.ShortType)))
     }
     val hits = DiskannIndex.search(spark, entry.indexPath, queries, k,
-      searchList, rescore).collect()
+      searchList, rescore, metrics = Some(DiskannIndex.SearchMetrics(
+        longMetric("numNodesVisited"), longMetric("numQuantizedCmps"),
+        longMetric("numExactCmps")))).collect()
     val rank: Map[Long, Int] = hits.sortBy(r => (r.getDouble(2), r.getLong(1)))
       .zipWithIndex.map { case (r, i) => r.getLong(1) -> i }.toMap
 
@@ -210,11 +222,13 @@ case class KnnIndexScanExec(outAttrs: Seq[AttributeReference], spark: SparkSessi
     val fetched = src.queryExecution.toRdd.map(_.copy()).collect()
       .sortBy(r => rank.getOrElse(r.getLong(idIdx), Int.MaxValue))
       .take(k)
+    longMetric("numHeapFetches").add(fetched.length)
+    val emitted = fetched
       .map { r =>
         if (fetchCols.length == nOut) r
         else InternalRow.fromSeq((0 until nOut).map(i => r.get(i, outAttrs(i).dataType)))
       }
-    sparkContext.parallelize(fetched.toSeq, 1)
+    sparkContext.parallelize(emitted.toSeq, 1)
   }
 
   override def simpleString(maxFields: Int): String =

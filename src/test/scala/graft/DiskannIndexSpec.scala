@@ -63,4 +63,28 @@ class DiskannIndexSpec extends AnyFunSuite {
       queries, k = 5).collect()
     assert(out.length == 5 && out.map(_.getLong(1)).contains(7L))
   }
+
+  test("stats / reachableCount / toDot introspection (V2, V6)") {
+    val path = "/tmp/graft_test_index/multishard"
+    val st = DiskannIndex.stats(spark, path)
+    assert(st.numRows == 500 && st.numShards == 4)
+    assert(st.avgDegree > 0 && st.maxDegree <= 50)
+    // completeness gate over the on-disk index (build.rs:1717-1753 analog):
+    // every node reachable from its shard's start node
+    assert(DiskannIndex.reachableCount(spark, path) == 500)
+    val dot = DiskannIndex.toDot(spark, path, shard = 0, maxNodes = 20)
+    assert(dot.startsWith("digraph") && dot.contains("->"))
+  }
+
+  test("null query vector searches the zero vector (labels/mod.rs:214-216)") {
+    import org.apache.spark.sql.types._
+    val path = "/tmp/graft_test_index/multishard"
+    val schema = StructType(Seq(
+      StructField("qid", LongType, nullable = false),
+      StructField("qvec", ArrayType(FloatType), nullable = true)))
+    val queries = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(0L, null)), schema)
+    val out = DiskannIndex.search(spark, path, queries, k = 5).collect()
+    assert(out.length == 5) // zero-vector search still returns k rows
+  }
 }

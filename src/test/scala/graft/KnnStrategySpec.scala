@@ -73,6 +73,22 @@ class KnnStrategySpec extends AnyFunSuite {
     assert(filtered.collect().length == 5)
   }
 
+  test("KnnIndexScan reports scan telemetry via SQLMetrics (V5)") {
+    setup
+    val df = spark.sql(
+      s"""SELECT vec_id FROM parquet.`$srcPath`
+         |ORDER BY vec_cosine_dist(embedding, $qvecSql) LIMIT 10""".stripMargin)
+    assert(df.collect().length == 10)
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case k: graft.plans.KnnIndexScanExec => k }
+    assert(scan.isDefined)
+    val m = scan.get.metrics
+    assert(m("numNodesVisited").value > 0, "nodes visited not recorded")
+    assert(m("numQuantizedCmps").value > 0, "quantized cmps not recorded")
+    assert(m("numExactCmps").value > 0, "exact cmps not recorded")
+    assert(m("numHeapFetches").value == 10, s"heap fetches ${m("numHeapFetches").value}")
+  }
+
   test("DataFrame API ORDER BY dist LIMIT also plans through the index") {
     setup
     val e = spark.read.parquet(srcPath)
