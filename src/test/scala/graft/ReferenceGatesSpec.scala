@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.index.{DiskannIndex, DiskannParams}
+
+/** Mirrors of the reference's own semantic gates that are not covered by the
+  * recall/connectivity suites (SURVEY.md §5 layer 1):
+  *  - hand-written 3-vector L2 / inner-product sanity (build.rs:1476-1557)
+  *  - no-rescore mode still returns correct top-k (build.rs:1420-1474)
+  *  - accuracy after delete: tombstoned rows never surface, remaining top-k
+  *    matches brute force over the survivors (vacuum.rs:159-460)
+  *  - NULL vectors are not indexed (build.rs:493-498)
+  */
+class ReferenceGatesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val vecSchema = StructType(Seq(
+    StructField("row_id", LongType, nullable = false),
+    StructField("vec", ArrayType(FloatType), nullable = true)))
+
+  private def df(rows: Seq[(Long, Array[Float])]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, v) => Row(id, v) }),
+      vecSchema)
+
+  private def queryDf(q: Array[Float]) = spark.createDataFrame(
+    spark.sparkContext.parallelize(Seq(Row(0L, q))),
+    StructType(Seq(
+      StructField("qid", LongType, nullable = false),
+      StructField("qvec", ArrayType(FloatType), nullable = true))))
+
+  test("L2 sanity: 3 hand-written vectors order by squared distance (build.rs:1476-1515)") {
+    // reference fixture: [1,1,1], [2,2,2], [3,3,3]; query [0,0,0]
+    val path = "/tmp/graft_test_index/gates_l2"
+    df(Seq(1L -> Array(1f, 1f, 1f), 2L -> Array(2f, 2f, 2f), 3L -> Array(3f, 3f, 3f)))
+      .transform(d => { DiskannIndex.build(d, "row_id", "vec", None, path,
+        DiskannParams(metric = "l2", storage = "plain", numNeighbors = 10,
+          searchListSize = 10)); d })
+    val got = DiskannIndex.search(spark, path, queryDf(Array(0f, 0f, 0f)), 3)
+      .orderBy("dist").collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L))
+    // SQL-visible L2 carries the sqrt (§4.3 note 1): |(1,1,1)| = sqrt(3)
+    assert(math.abs(got(0).getDouble(2) - math.sqrt(3)) < 1e-6)
+  }
+
+  test("IP sanity: larger dot product ranks first, reported as negative dot (build.rs:1517-1557)") {
+    val path = "/tmp/graft_test_index/gates_ip"
+    df(Seq(1L -> Array(1f, 1f, 1f), 2L -> Array(2f, 2f, 2f), 3L -> Array(3f, 3f, 3f)))
+      .transform(d => { DiskannIndex.build(d, "row_id", "vec", None, path,
+        DiskannParams(metric = "ip", numNeighbors = 10, searchListSize = 10)); d })
+    val got = DiskannIndex.search(spark, path, queryDf(Array(1f, 1f, 1f)), 3)
+      .orderBy("dist").collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(3L, 2L, 1L))
+    assert(math.abs(got(0).getDouble(2) - (-9.0)) < 1e-6)
+  }
+
+  test("no-rescore mode (rescore=0) still returns the exact top-k here (build.rs:1420-1474)") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 300L).map { i =>
+      i -> Array.fill(16)(rnd.nextGaussian().toFloat)
+    }
+    val path = "/tmp/graft_test_index/gates_norescore"
+    val d = df(rows)
+    DiskannIndex.build(d, "row_id", "vec", None, path,
+      DiskannParams(metric = "l2", numNeighbors = 20, searchListSize = 50))
+    val q = rows(17)._2
+    val got = DiskannIndex.search(spark, path, queryDf(q), 10, searchListSize = 100,
+      rescore = 0).collect().sortBy(_.getDouble(2)).map(_.getLong(1)).toSeq
+    assert(got.length == 10 && got.head == 17L)
+  }
+
+  test("accuracy after delete: tombstoned rows never surface; survivors match brute force (vacuum.rs:159-460)") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 400L).map { i =>
+      i -> Array.fill(12)(rnd.nextGaussian().toFloat)
+    }
+    val path = "/tmp/graft_test_index/gates_delete"
+    DiskannIndex.build(df(rows), "row_id", "vec", None, path,
+      DiskannParams(metric = "l2", numNeighbors = 20, searchListSize = 64))
+    val dead: Set[Long] = (0L until 400L by 7L).toSet
+    val q = rows(3)._2
+    val got = DiskannIndex.search(spark, path, queryDf(q), 10,
+      searchListSize = 200, rescore = 200, tombstones = dead)
+      .collect().sortBy(r => (r.getDouble(2), r.getLong(1))).map(_.getLong(1)).toSeq
+    assert(got.intersect(dead.toSeq).isEmpty)
+    val brute = rows.filterNot { case (id, _) => dead(id) }
+      .map { case (id, v) => (id, graft.functions.VectorKernels.l2sq(v, q)) }
+      .sortBy { case (id, dd) => (dd, id) }.take(10).map(_._1)
+    val recall = brute.toSet.intersect(got.toSet).size / 10.0
+    assert(recall >= 0.9, s"post-delete recall $recall")
+  }
+
+  test("NULL vectors are not indexed (build.rs:493-498)") {
+    val path = "/tmp/graft_test_index/gates_null"
+    df(Seq(1L -> Array(1f, 0f), 2L -> null, 3L -> Array(0f, 1f)))
+      .transform(d => { DiskannIndex.build(d, "row_id", "vec", None, path,
+        DiskannParams(metric = "l2", numNeighbors = 4, searchListSize = 8)); d })
+    assert(DiskannIndex.loadMeta(spark, path).numRows == 2)
+    val got = DiskannIndex.search(spark, path, queryDf(Array(1f, 0f)), 10).collect()
+    assert(got.map(_.getLong(1)).toSet == Set(1L, 3L))
+  }
+}
