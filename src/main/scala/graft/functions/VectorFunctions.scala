@@ -32,6 +32,15 @@ object VectorFunctions {
     }
   }
 
+  /** Builder-time registration via `SparkSessionExtensions.injectFunction`,
+    * so `withExtensions(new GraftExtensions)` sessions get the SQL surface
+    * without any per-session `register` call. */
+  private[graft] def injectInto(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    builders.foreach { case (name, b) =>
+      ext.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", name), b))
+    }
+
   def vec_dot(l: Column, r: Column): Column = call_function("vec_dot", l, r)
   def vec_l2sq(l: Column, r: Column): Column = call_function("vec_l2sq", l, r)
   def vec_l2(l: Column, r: Column): Column = call_function("vec_l2", l, r)

@@ -99,15 +99,23 @@ object TextAnalysis {
         ((lit(1.0) - least(col("digit_ratio") * 5.0, lit(1.0))) * 0.1))
   }
 
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "doc_fingerprint", es => DocFingerprint(es.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", es => SimHash64(es.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sig", es => MinhashSig(es.head,
-        es.lift(1).map(_.eval(null).asInstanceOf[Int]).getOrElse(64)), "built-in")
-  }
+  private val builders: Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    "doc_fingerprint" -> (es => DocFingerprint(es.head)),
+    "simhash64" -> (es => SimHash64(es.head)),
+    "minhash_sig" -> (es => MinhashSig(es.head,
+      es.lift(1).map(_.eval(null).asInstanceOf[Int]).getOrElse(64))),
+  )
+
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
+    }
+
+  private[graft] def injectInto(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    builders.foreach { case (name, b) =>
+      ext.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", name), b))
+    }
 
   def doc_fingerprint(spark: SparkSession, text: Column): Column = {
     register(spark); call_function("doc_fingerprint", text)

@@ -60,10 +60,14 @@ object Graft {
   }
 }
 
-/** Builder-time variant: `SparkSession.builder().withExtensions(new GraftExtensions)`. */
+/** Builder-time variant: `SparkSession.builder().withExtensions(new GraftExtensions)`
+  * (or `spark.sql.extensions=graft.plans.GraftExtensions`): injects the KNN
+  * planner strategy AND the whole SQL function surface. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(spark => new KnnStrategy(spark))
+    VectorFunctions.injectInto(ext)
+    graft.operators.TextAnalysis.injectInto(ext)
   }
 }
 

@@ -89,6 +89,24 @@ class KnnStrategySpec extends AnyFunSuite {
     assert(m("numHeapFetches").value == 10, s"heap fetches ${m("numHeapFetches").value}")
   }
 
+  test("withExtensions session gets the SQL function surface without register()") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark // force init of the shared session/context first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().master("local[2]")
+        .withExtensions(new graft.plans.GraftExtensions).getOrCreate()
+      val r = s2.sql(
+        "SELECT vec_cosine_dist(CAST(array(1.0,0.0) AS ARRAY<FLOAT>), CAST(array(0.0,1.0) AS ARRAY<FLOAT>)) d, " +
+        "simhash64(array('a','b')) h").head()
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-6 && !r.isNullAt(1))
+    } finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
+
   test("DataFrame API ORDER BY dist LIMIT also plans through the index") {
     setup
     val e = spark.read.parquet(srcPath)
