@@ -21,7 +21,13 @@ case class DiskannParams(
     numDimsToIndex: Option[Int] = None,
     /** target rows per shard; shard graphs must fit executor heap. At 100 TB
       * this yields thousands of independent shards built in parallel. */
-    shardTargetRows: Long = 1L << 20)
+    shardTargetRows: Long = 1L << 20,
+    /** "hash": shards are random; every query searches every shard (recall ==
+      * single-graph recall, cost O(numShards) per query). "ivf": shard =
+      * nearest of numShards k-means centroids; queries may then probe only
+      * the `nProbe` nearest shards — the scale path that keeps per-query cost
+      * O(nProbe) when numShards is in the thousands. */
+    partitioner: String = "hash")
 
 /**
  * Sharded StreamingDiskANN-style index as Spark jobs (SURVEY.md §3.1 build
@@ -90,7 +96,24 @@ object DiskannIndex {
     val l = params.searchListSize
     val alpha = params.maxAlpha
 
-    val sharded = base
+    // build-space transform (Matryoshka slice + cosine normalize) applied to
+    // one raw vector — shared by IVF assignment here and routing at search
+    def toBuildSpace(v: Array[Float]): Array[Float] = {
+      val sliced = if (dimsToIndex > 0) v.take(dimsToIndex) else v
+      if (metric == Metric.Cosine) VectorKernels.normalize(sliced) else sliced
+    }
+
+    val ivfModel: graft.operators.Similarity.IvfModel =
+      if (params.partitioner == "ivf")
+        graft.operators.Similarity.trainIvf(trainBase, "vec", numShards,
+          sampleSize = math.min(numShards * 256, 1 << 16))
+      else null
+    val sharded = if (ivfModel != null) {
+      val mBc = spark.sparkContext.broadcast(ivfModel)
+      val assign = udf((v: mutable.Seq[Float]) =>
+        mBc.value.nearest(toBuildSpace(v.toArray), 1)(0))
+      base.withColumn("shard", assign(col("vec"))).repartition(numShards, col("shard"))
+    } else base
       .withColumn("shard", pmod(xxhash64(col("row_id")), lit(numShards)).cast(IntegerType))
       .repartition(numShards, col("shard"))
 
@@ -138,7 +161,9 @@ object DiskannIndex {
       if (model != null) model.bitsPerDim else 0,
       if (model != null) model.count else 0L,
       if (model != null) model.mean else Array.emptyDoubleArray,
-      if (model != null) model.m2 else Array.emptyDoubleArray, dimsToIndex))
+      if (model != null) model.m2 else Array.emptyDoubleArray, dimsToIndex,
+      params.partitioner,
+      if (ivfModel != null) ivfModel.centroids else Array.empty[Array[Float]]))
       .toDF().coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
     GraphSearcher.invalidate(path)
   }
@@ -146,7 +171,8 @@ object DiskannIndex {
   case class IndexMeta(metric: String, storage: String, numNeighbors: Int,
       searchListSize: Int, maxAlpha: Double, numShards: Int, numRows: Long,
       hasLabels: Boolean, bitsPerDim: Int, modelCount: Long,
-      modelMean: Array[Double], modelM2: Array[Double], dimsToIndex: Int)
+      modelMean: Array[Double], modelM2: Array[Double], dimsToIndex: Int,
+      partitioner: String, centroids: Array[Array[Float]])
 
   def loadMeta(spark: SparkSession, path: String): IndexMeta = {
     import spark.implicits._
@@ -179,10 +205,14 @@ object DiskannIndex {
       quantizedCmps: org.apache.spark.sql.execution.metric.SQLMetric,
       exactCmps: org.apache.spark.sql.execution.metric.SQLMetric)
 
+  /** `nProbe` > 0 on an IVF-partitioned index restricts each query to its
+    * nProbe nearest shards (per-query cost O(nProbe) instead of
+    * O(numShards)); 0 = search every shard (exact same recall as hash). */
   def search(spark: SparkSession, path: String, queries: DataFrame, k: Int,
       searchListSize: Int = 100, rescore: Int = 50,
       tombstones: Set[Long] = Set.empty,
-      metrics: Option[SearchMetrics] = None): DataFrame = {
+      metrics: Option[SearchMetrics] = None,
+      nProbe: Int = 0): DataFrame = {
     val meta = loadMeta(spark, path)
     val metric = Metric(meta.metric)
     val model =
@@ -199,6 +229,20 @@ object DiskannIndex {
       } else null
       (r.getAs[Long]("qid"), qv, ql)
     }
+    // IVF routing: per-query probe set computed once on the driver from the
+    // meta centroids (tiny); null = query searches every shard
+    val probeOf: Map[Long, Array[Int]] =
+      if (meta.partitioner == "ivf" && nProbe > 0 && nProbe < meta.numShards &&
+          meta.centroids.nonEmpty) {
+        val ivf = graft.operators.Similarity.IvfModel(meta.centroids)
+        qRows.map { case (qid, qv, _) =>
+          val raw = if (qv == null) new Array[Float](meta.centroids(0).length) else qv
+          val sliced = if (meta.dimsToIndex > 0) raw.take(meta.dimsToIndex) else raw
+          val bv = if (metric == Metric.Cosine) VectorKernels.normalize(sliced) else sliced
+          qid -> ivf.nearest(bv, nProbe)
+        }.toMap
+      } else Map.empty
+    val probeBc = spark.sparkContext.broadcast(probeOf)
     val qBc = spark.sparkContext.broadcast(qRows)
     val tombBc = spark.sparkContext.broadcast(tombstones)
     val report = reportDistFn(metric)
@@ -247,7 +291,12 @@ object DiskannIndex {
             meta.dimsToIndex)
         })
         val tomb = tombBc.value
-        qBc.value.iterator.flatMap { case (qid, qvec, qlabels) =>
+        val probes = probeBc.value
+        qBc.value.iterator
+          .filter { case (qid, _, _) =>
+            probes.get(qid).forall(_.contains(shard))
+          }
+          .flatMap { case (qid, qvec, qlabels) =>
           val st = if (metrics.isDefined) new SearchStats else null
           val hits = searcher.search(qvec, k, searchListSize, rescore, qlabels,
             rid => tomb.contains(rid), report, st)

@@ -198,6 +198,7 @@ case class KnnIndexScanExec(outAttrs: Seq[AttributeReference], spark: SparkSessi
   override def doExecute(): RDD[InternalRow] = {
     val searchList = spark.conf.get("graft.knn.searchListSize", "100").toInt
     val rescore = spark.conf.get("graft.knn.rescore", "50").toInt
+    val nProbe = spark.conf.get("graft.knn.nprobe", "0").toInt
 
     import spark.implicits._
     var queries = Seq((0L, queryVec)).toDF("qid", "qvec")
@@ -209,7 +210,7 @@ case class KnnIndexScanExec(outAttrs: Seq[AttributeReference], spark: SparkSessi
     val hits = DiskannIndex.search(spark, entry.indexPath, queries, k,
       searchList, rescore, metrics = Some(DiskannIndex.SearchMetrics(
         longMetric("numNodesVisited"), longMetric("numQuantizedCmps"),
-        longMetric("numExactCmps")))).collect()
+        longMetric("numExactCmps"))), nProbe = nProbe).collect()
     val rank: Map[Long, Int] = hits.sortBy(r => (r.getDouble(2), r.getLong(1)))
       .zipWithIndex.map { case (r, i) => r.getLong(1) -> i }.toMap
 

@@ -127,6 +127,21 @@ object AnnQueries {
         searchListSize = 600, rescore = 600), 10, excludeSelf = true)
     }),
 
+    // IVF-routed sharding (the 100 TB scale path): shard = nearest k-means
+    // centroid at build; each query probes only its nProbe nearest shards,
+    // making per-query cost O(nProbe) instead of O(numShards). On these
+    // uniform random fixtures routing is deliberately exercised at small
+    // nProbe — recall guarantees on *clustered* data are asserted in
+    // DiskannIndexSpec; no exact oracle exists by construction (rows-only).
+    "ann_ivf_routed" -> ((s, d) => {
+      val path = ensureIndex(s, d, "cos_ivf", emb(s, d), labeled = false,
+        DiskannParams(metric = "cosine", partitioner = "ivf",
+          shardTargetRows = 256))
+      finish(DiskannIndex.search(s, path, queryDf(s, d, None), k = 11,
+        searchListSize = 200, rescore = 150, nProbe = 2), 10,
+        excludeSelf = true)
+    }),
+
     // G9: micro-batch append — main index over vec_id < 400, the rest is an
     // unindexed delta answered exactly and merged into the final top-k.
     "ann_insert_delta" -> ((s, d) => {

@@ -64,7 +64,7 @@ object StreamingIngest {
     val tmp = s"$indexPath.compacting"
     DiskannIndex.build(all, "row_id", "vec",
       if (meta.hasLabels) Some("labels") else None, tmp,
-      params.copy(metric = meta.metric))
+      params.copy(metric = meta.metric, partitioner = meta.partitioner))
     all.unpersist()
     // atomic-ish swap: move new index over the old path
     val old = new java.io.File(indexPath)

@@ -76,6 +76,43 @@ class DiskannIndexSpec extends AnyFunSuite {
     assert(dot.startsWith("digraph") && dot.contains("->"))
   }
 
+  test("IVF partitioner: nProbe routing preserves recall on clustered data") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    // 8 well-separated gaussian blobs in 16-d: the shape IVF routing exists for
+    val rnd = new scala.util.Random(5)
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextGaussian().toFloat * 10f))
+    val rows = (0L until 800L).map { i =>
+      val c = centers((i % 8).toInt)
+      Row(i, c.map(x => x + rnd.nextGaussian().toFloat * 0.5f))
+    }
+    val schema = StructType(Seq(
+      StructField("row_id", LongType, nullable = false),
+      StructField("vec", ArrayType(FloatType), nullable = false)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val path = "/tmp/graft_test_index/ivf_routed"
+    DiskannIndex.build(df, "row_id", "vec", None, path,
+      DiskannParams(metric = "l2", numNeighbors = 16, searchListSize = 32,
+        shardTargetRows = 100, partitioner = "ivf"))
+    val meta = DiskannIndex.loadMeta(spark, path)
+    assert(meta.partitioner == "ivf" && meta.centroids.length == meta.numShards)
+
+    val qSchema = StructType(Seq(
+      StructField("qid", LongType, nullable = false),
+      StructField("qvec", ArrayType(FloatType), nullable = false)))
+    val queries = spark.createDataFrame(spark.sparkContext.parallelize(
+      (0 until 8).map(q => Row(q.toLong, rows(q * 97).getAs[Array[Float]](1)))), qSchema)
+
+    val full = DiskannIndex.search(spark, path, queries, 10, 100, 100)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val routed = DiskannIndex.search(spark, path, queries, 10, 100, 100, nProbe = 2)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    (0L until 8L).foreach { q =>
+      val recall = full(q).intersect(routed(q)).size / 10.0
+      assert(recall >= 0.9, s"qid=$q nProbe=2 recall $recall")
+    }
+  }
+
   test("null query vector searches the zero vector (labels/mod.rs:214-216)") {
     import org.apache.spark.sql.types._
     val path = "/tmp/graft_test_index/multishard"
