@@ -1,0 +1,61 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Physical-plan audit for the headline queries: prints `explain("formatted")`
+  * and greps the properties that matter at 100 TB — parquet `PushedFilters`,
+  * pruned `ReadSchema`, broadcast joins on small dims, and whole-stage
+  * codegen coverage. Run with an sf dir argument (default sf0.001):
+  *
+  *   sbt 'runMain graft.tools.PlanAudit /root/testdata/sf0.001'
+  *
+  * [audit] lines summarize each query; the full plans follow for reading.
+  */
+object PlanAudit {
+
+  private val audited = Seq(
+    // relational/aggregation surface: pushdown + pruning + codegen
+    "q1_agg", "join_region_revenue", "top_users_window", "events_hourly",
+    // vector surface: expressions must live inside codegen stages
+    "knn_exact_cosine", "vector_norms",
+    // pipeline surface
+    "dedup_exact", "token_counts")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // AQE query stages are leaf nodes in the plan tree — descend into them
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        p +: flatten(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: flatten(q.plan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+
+    audited.foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      df.collect() // finalize AQE so the executed plan carries codegen stages
+      val nodes = flatten(df.queryExecution.executedPlan)
+      val codegenStages = nodes.count(
+        _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
+      val broadcasts = nodes.count(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+      val shuffles = nodes.count(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+      val formatted = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val pushed = formatted.linesIterator.count(l =>
+        l.contains("PushedFilters: [") && !l.contains("PushedFilters: []"))
+      println(s"[audit] $name pushedFilterScans=$pushed codegenStages=$codegenStages " +
+        s"broadcastJoins=$broadcasts shuffles=$shuffles")
+      println(formatted)
+    }
+  }
+}
