@@ -88,4 +88,59 @@ object StreamingIngest {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
+
+  case class SessionEvent(user_id: Long, ts_ms: Long, value: Double,
+      ts: java.sql.Timestamp)
+  case class SessionState(start: Long, last: Long, nEvents: Long, sumValue: Double)
+  case class SessionOut(user_id: Long, session_start: Long, session_end: Long,
+      n_events: Long, sum_value: Double)
+
+  /** Custom per-key state (the `flatMapGroupsWithState` surface): gap-based
+    * sessionization of the events stream. A session closes either when a
+    * later event for the same user arrives past the gap, or when the
+    * watermark passes session_end + gap (event-time timeout) — each session
+    * is emitted exactly once. Input columns: (user_id LONG, ts_ms LONG,
+    * value DOUBLE). State is per-user and O(1), so this scales to any key
+    * cardinality the state store can shard. */
+  def sessionize(events: org.apache.spark.sql.Dataset[(Long, Long, Double)],
+      gapMs: Long): org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.toDF("user_id", "ts_ms", "value")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", "0 seconds")
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[SessionEvent],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s.start, s.last, s.nEvents, s.sumValue))
+          } else {
+            val sorted = rows.toArray.sortBy(_.ts_ms)
+            var cur = state.getOption
+            val closed = Iterator.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts_ms - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, e.ts_ms, s.nEvents + 1, s.sumValue + e.value))
+                case Some(s) =>
+                  closed += SessionOut(user, s.start, s.last, s.nEvents, s.sumValue)
+                  cur = Some(SessionState(e.ts_ms, e.ts_ms, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(e.ts_ms, e.ts_ms, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.result()
+          }
+      }
+  }
 }

@@ -83,4 +83,28 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
     assert(streamed == expected)
   }
+
+  test("sessionize (flatMapGroupsWithState): gap splits sessions, watermark closes idle ones") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double)]
+    // user 1: two sessions separated by a >10s gap; user 2: one idle session
+    val sessions = StreamingIngest.sessionize(mem.toDS(), gapMs = 10000L)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions").start()
+    mem.addData((1L, 1000L, 1.0), (1L, 3000L, 2.0), (2L, 1000L, 5.0))
+    q.processAllAvailable()
+    // user 1 returns after a 20s gap -> first session closes in-line
+    mem.addData((1L, 23000L, 3.0))
+    q.processAllAvailable()
+    // watermark is now 23000: user 2's timeout (11000) fires on the next batch
+    mem.addData((3L, 30000L, 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("sessions").as[StreamingIngest.SessionOut]
+      .collect().sortBy(s => (s.user_id, s.session_start))
+    assert(out.toSeq == Seq(
+      StreamingIngest.SessionOut(1L, 1000L, 3000L, 2L, 3.0),
+      StreamingIngest.SessionOut(2L, 1000L, 1000L, 1L, 5.0)))
+  }
 }
