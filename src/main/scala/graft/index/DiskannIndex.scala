@@ -154,7 +154,11 @@ object DiskannIndex {
 
     nodes.write.mode("overwrite").partitionBy("shard").parquet(s"$path/nodes")
 
-    // meta sidecar as a 1-row parquet (no JSON dependency, schema-checked)
+    // meta sidecar as a 1-row parquet (no JSON dependency, schema-checked).
+    // buildId is a fresh epoch per (re)build: executor caches key on it, so a
+    // rebuild at the same path naturally misses every executor's cache — no
+    // driver-to-executor invalidation broadcast needed (the analog of the
+    // reference bumping the meta page version).
     import spark.implicits._
     Seq(IndexMeta(params.metric, params.storage, r, l, alpha, numShards, n,
       hasLabels,
@@ -163,7 +167,8 @@ object DiskannIndex {
       if (model != null) model.mean else Array.emptyDoubleArray,
       if (model != null) model.m2 else Array.emptyDoubleArray, dimsToIndex,
       params.partitioner,
-      if (ivfModel != null) ivfModel.centroids else Array.empty[Array[Float]]))
+      if (ivfModel != null) ivfModel.centroids else Array.empty[Array[Float]],
+      params.shardTargetRows, java.util.UUID.randomUUID().toString))
       .toDF().coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
     GraphSearcher.invalidate(path)
   }
@@ -172,11 +177,32 @@ object DiskannIndex {
       searchListSize: Int, maxAlpha: Double, numShards: Int, numRows: Long,
       hasLabels: Boolean, bitsPerDim: Int, modelCount: Long,
       modelMean: Array[Double], modelM2: Array[Double], dimsToIndex: Int,
-      partitioner: String, centroids: Array[Array[Float]])
+      partitioner: String, centroids: Array[Array[Float]],
+      shardTargetRows: Long, buildId: String) {
+    /** The params this index was built with (minus the SBQ auto-default
+      * already resolved into bitsPerDim) — compaction/rebuild starts here so
+      * storage type, quantization width and graph shape survive. */
+    def toParams: DiskannParams = DiskannParams(
+      metric = metric,
+      numNeighbors = numNeighbors,
+      searchListSize = searchListSize,
+      maxAlpha = maxAlpha,
+      bitsPerDim = if (storage == "sbq" && bitsPerDim > 0) Some(bitsPerDim) else None,
+      storage = storage,
+      numDimsToIndex = if (dimsToIndex > 0) Some(dimsToIndex) else None,
+      shardTargetRows = shardTargetRows,
+      partitioner = partitioner)
+  }
 
   def loadMeta(spark: SparkSession, path: String): IndexMeta = {
     import spark.implicits._
-    spark.read.parquet(s"$path/_meta").as[IndexMeta].head()
+    // tolerate metas written before shardTargetRows/buildId existed
+    var df = spark.read.parquet(s"$path/_meta")
+    if (!df.columns.contains("shardTargetRows"))
+      df = df.withColumn("shardTargetRows", lit(1L << 20))
+    if (!df.columns.contains("buildId"))
+      df = df.withColumn("buildId", lit("legacy"))
+    df.as[IndexMeta].head()
   }
 
   /** SQL-visible distance for projections (§4.3 note 1): true cosine / true
@@ -204,6 +230,28 @@ object DiskannIndex {
       nodesVisited: org.apache.spark.sql.execution.metric.SQLMetric,
       quantizedCmps: org.apache.spark.sql.execution.metric.SQLMetric,
       exactCmps: org.apache.spark.sql.execution.metric.SQLMetric)
+
+  /**
+   * A scan of the nodes table whose every task sees only WHOLE shards.
+   * Parquet files are splittable (and Spark splits aggressively to fill
+   * parallelism — maxSplitBytes can drop to openCostInBytes), so a plain
+   * `spark.read.parquet(...).mapPartitions` can hand a task a shard SUBSET;
+   * node ids would no longer equal array positions after sort-and-compact and
+   * the adjacency would be corrupt. Two shapes, picked by shard count:
+   *
+   *  - moderate (≤ 256 shards): a union of per-shard partition-pruned scans,
+   *    each `coalesce(1)` — pruning keeps each branch to its own shard
+   *    directory and coalesce glues that shard's splits into ONE task with NO
+   *    shuffle. One union branch per shard is fine at this plan size.
+   *  - large (100 TB-scale, thousands of shards): one hash repartition on the
+   *    shard key — a single shuffle beats a many-thousand-branch union plan,
+   *    and co-locates each shard in exactly one task by construction.
+   */
+  private def wholeShardScan(nodes: DataFrame, numShards: Int): DataFrame =
+    if (numShards <= 256)
+      (0 until numShards).map(s => nodes.filter(col("shard") === s).coalesce(1))
+        .reduce(_ unionByName _)
+    else nodes.repartition(numShards, col("shard"))
 
   /** `nProbe` > 0 on an IVF-partitioned index restricts each query to its
     * nProbe nearest shards (per-query cost O(nProbe) instead of
@@ -247,19 +295,32 @@ object DiskannIndex {
     val tombBc = spark.sparkContext.broadcast(tombstones)
     val report = reportDistFn(metric)
 
-    val nodesDf = spark.read.parquet(s"$path/nodes")
+    val nodesDf = wholeShardScan(spark.read.parquet(s"$path/nodes"), meta.numShards)
     val resultSchema = StructType(Seq(
       StructField("qid", LongType, nullable = false),
       StructField("row_id", LongType, nullable = false),
       StructField("dist", DoubleType, nullable = false)))
 
+    val buildId = meta.buildId
+
     val partial = nodesDf.mapPartitions { it =>
       val rows = it.toArray
       if (rows.isEmpty) Iterator.empty
       else rows.groupBy(_.getAs[Int]("shard")).iterator.flatMap { case (shard, shardRows) =>
-        val searcher = GraphSearcher.getOrBuild(s"$path#$shard", () => {
+        val searcher = GraphSearcher.getOrBuild(s"$path#$shard#$buildId", () => {
           val sorted = shardRows.sortBy(_.getAs[Int]("node"))
           val nn = sorted.length
+          // fail fast on a partial shard (neighbors are positions into the
+          // node-sorted array — a subset would silently corrupt adjacency)
+          var chk = 0
+          while (chk < nn) {
+            if (sorted(chk).getAs[Int]("node") != chk)
+              throw new IllegalStateException(
+                s"index $path shard $shard arrived incomplete in one task " +
+                  s"(expected contiguous node ids 0..${nn - 1}); " +
+                  "the nodes scan must deliver whole shards")
+            chk += 1
+          }
           val rowIds = new Array[Long](nn)
           val vecs = new Array[Array[Float]](nn)
           val codes = if (model != null) new Array[Array[Long]](nn) else null

@@ -54,7 +54,11 @@ final class GraphSearcher(
       reportDist: (Array[Float], Array[Float]) => Double,
       stats: SearchStats = null): Array[(Long, Double)] = {
     if (n == 0) return Array.empty
-    if (filterLabels != null && filterLabels.isEmpty) return Array.empty
+    // an empty non-null filter matches nothing (P1), and so does any label
+    // filter against an index built WITHOUT labels — mirroring that empty
+    // semantics instead of NPE-ing on labels(cand)
+    if (filterLabels != null && (filterLabels.isEmpty || labels == null))
+      return Array.empty
     val query = if (query0 == null) new Array[Float](vectors(0).length) else query0
 
     val starts: Seq[Int] =
@@ -143,12 +147,18 @@ final class SearchStats extends Serializable {
 object GraphSearcher {
   /** Per-executor cache: shard graphs are immutable, so one decode per JVM
     * serves every query in the executor's lifetime (the Spark analog of the
-    * reference keeping index pages in shared buffers). */
+    * reference keeping index pages in shared buffers). Keys are
+    * `path#shard#buildId` — the buildId is a fresh UUID per (re)build written
+    * into `_meta`, so after a rebuild every executor naturally misses without
+    * any cross-JVM invalidation. [[invalidate]] is only an eager-eviction
+    * hygiene hook for the local/same-JVM case. */
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, GraphSearcher]()
 
   def getOrBuild(key: String, mk: () => GraphSearcher): GraphSearcher =
     cache.computeIfAbsent(key, _ => mk())
 
+  /** Best-effort same-JVM eviction of stale builds (frees memory promptly in
+    * local mode); correctness across executors comes from buildId keying. */
   def invalidate(prefix: String): Unit = {
     val it = cache.keySet().iterator()
     while (it.hasNext) if (it.next().startsWith(prefix)) it.remove()

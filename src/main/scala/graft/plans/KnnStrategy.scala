@@ -116,12 +116,16 @@ class KnnStrategy(spark: SparkSession) extends SparkStrategy {
       projList: Option[Seq[NamedExpression]]): Option[SparkPlan] = {
     if (orders.length != 1 || orders.head.direction != Ascending) return None
 
-    // Peel column-pruning Projects (attribute-only) and a label filter whose
-    // every conjunct is arrays_overlap(labelsCol, literal) — the only
-    // predicate the traversal handles exactly (P1). Anything else → no match.
+    // Peel column-pruning Projects (attribute-only) and a label filter that is
+    // EXACTLY ONE arrays_overlap(labelsCol, literal) conjunct — the only
+    // predicate the index answers natively (P1). The reference's amrescan
+    // likewise asserts at most one label key (scan.rs:344); multiple overlap
+    // conjuncts are AND semantics, which a single unioned label set would turn
+    // into OR — so anything else falls through to the brute-force plan.
     var cur = inner0
     var projAttrs: Option[Seq[AttributeReference]] = None
     var filterLabels: Option[Array[Short]] = None
+    var filterLabelCol: Option[String] = None
     var ok = true
     var done = false
     while (ok && !done) cur match {
@@ -136,13 +140,25 @@ class KnnStrategy(spark: SparkSession) extends SparkStrategy {
         }
         val conjuncts = split(cond)
         val overlaps = conjuncts.collect {
-          case ArraysOverlap(_: AttributeReference, rhs) => evalShortArray(rhs)
-          case ArraysOverlap(rhs, _: AttributeReference) => evalShortArray(rhs)
+          case ArraysOverlap(a: AttributeReference, rhs) =>
+            evalShortArray(rhs).map(ls => (a.exprId, a.name, ls))
+          case ArraysOverlap(rhs, a: AttributeReference) =>
+            evalShortArray(rhs).map(ls => (a.exprId, a.name, ls))
+        }.flatten
+        overlaps match {
+          // exactly one overlap; the only other conjuncts tolerated are the
+          // IsNotNull(labels) Catalyst infers from it (the index already
+          // excludes null-label rows, so discarding it is semantics-preserving)
+          case Seq((exprId, name, ls)) if conjuncts.forall {
+                case ArraysOverlap(_, _) => true
+                case IsNotNull(a: AttributeReference) => a.exprId == exprId
+                case _ => false
+              } =>
+            filterLabelCol = Some(name)
+            filterLabels = Some(ls)
+            cur = child
+          case _ => ok = false
         }
-        if (overlaps.length == conjuncts.length && overlaps.forall(_.isDefined)) {
-          filterLabels = Some(overlaps.flatten.flatten.toArray)
-          cur = child
-        } else ok = false
       case _: LogicalRelation => done = true
       case _ => ok = false
     }
@@ -158,7 +174,10 @@ class KnnStrategy(spark: SparkSession) extends SparkStrategy {
         case _ => None
       }
       qvec <- evalFloatArray(rhs)
-      if filterLabels.isEmpty || entry.labelsCol.isDefined
+      // a label filter is only claimable when it targets the column the index
+      // was built with — an overlap on any other array column must fall
+      // through to the native plan or we'd silently drop that predicate
+      if filterLabelCol.forall(n => entry.labelsCol.contains(n))
     } yield {
       val outAttrs = projAttrs.getOrElse(lr.output.map(_.asInstanceOf[AttributeReference]))
       val exec = KnnIndexScanExec(outAttrs, spark, entry, qvec, k, filterLabels,

@@ -47,9 +47,15 @@ object StreamingIngest {
   }
 
   /** Fold the delta into the main graph: rebuild from nodes ∪ delta, then
-    * clear the delta. The rebuild is the same 2-job distributed build. */
+    * clear the delta. The rebuild is the same 2-job distributed build.
+    *
+    * Build parameters are reconstructed from the index's own `_meta`
+    * ([[DiskannIndex.IndexMeta.toParams]]) so the storage type, bits/dim,
+    * Matryoshka width, R/L/alpha and partitioner all survive compaction —
+    * `tune` lets a caller override individual fields explicitly
+    * (e.g. `_.copy(numNeighbors = 64)`). */
   def compact(spark: SparkSession, indexPath: String,
-      params: DiskannParams = DiskannParams()): Unit = {
+      tune: DiskannParams => DiskannParams = identity): Unit = {
     val deltaDir = new java.io.File(s"$indexPath/delta")
     if (!deltaDir.exists()) return
     val meta = DiskannIndex.loadMeta(spark, indexPath)
@@ -63,8 +69,7 @@ object StreamingIngest {
     val all = existing.unionByName(delta).cache()
     val tmp = s"$indexPath.compacting"
     DiskannIndex.build(all, "row_id", "vec",
-      if (meta.hasLabels) Some("labels") else None, tmp,
-      params.copy(metric = meta.metric, partitioner = meta.partitioner))
+      if (meta.hasLabels) Some("labels") else None, tmp, tune(meta.toParams))
     all.unpersist()
     // atomic-ish swap: move new index over the old path
     val old = new java.io.File(indexPath)

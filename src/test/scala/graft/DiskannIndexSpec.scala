@@ -113,6 +113,40 @@ class DiskannIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("qlabels against an unlabeled index matches nothing (no NPE)") {
+    import org.apache.spark.sql.types._
+    val path = "/tmp/graft_test_index/multishard" // built without labels
+    val schema = StructType(Seq(
+      StructField("qid", LongType, nullable = false),
+      StructField("qvec", ArrayType(FloatType), nullable = false),
+      StructField("qlabels", ArrayType(ShortType), nullable = true)))
+    val q = emb.filter(col("vec_id") === 1).head()
+      .getAs[scala.collection.mutable.ArraySeq[Float]]("embedding").toArray
+    val queries = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(1L, q, Array[Short](3))), schema)
+    val out = DiskannIndex.search(spark, path, queries, k = 5).collect()
+    assert(out.isEmpty) // P1 semantics: filter on an index with no labels
+  }
+
+  test("whole-shard scan: forced parquet splits still deliver complete shards") {
+    val path = "/tmp/graft_test_index/multishard"
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val expected = DiskannIndex.search(spark, path, queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // shrink the split size so every shard file is chopped into many splits —
+    // without the whole-shard scan each task would see a shard subset and
+    // build corrupt adjacency (node ids != array positions)
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+    graft.index.GraphSearcher.invalidate(path) // force searcher rebuild from the split scan
+    try {
+      val got = DiskannIndex.search(spark, path, queries, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == expected)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
   test("null query vector searches the zero vector (labels/mod.rs:214-216)") {
     import org.apache.spark.sql.types._
     val path = "/tmp/graft_test_index/multishard"

@@ -73,6 +73,46 @@ class KnnStrategySpec extends AnyFunSuite {
     assert(filtered.collect().length == 5)
   }
 
+  test("label gate: one overlap on labelsCol claimed; AND of two or wrong column falls back") {
+    setup
+    val lblSrc = "/tmp/graft_test_index/strategy_lbl_src"
+    val lblIdx = "/tmp/graft_test_index/strategy_lbl"
+    // labels = (id%4, id%3+10); tags is an array column the index was NOT built on
+    spark.read.parquet(srcPath)
+      .withColumn("labels", array(($"vec_id" % 4).cast("short"),
+        ($"vec_id" % 3 + 10).cast("short")))
+      .withColumn("tags", array(($"vec_id" % 5).cast("short")))
+      .write.mode("overwrite").parquet(lblSrc)
+    DiskannIndex.build(spark.read.parquet(lblSrc), "vec_id", "embedding",
+      Some("labels"), lblIdx, DiskannParams(metric = "cosine"))
+    KnnCatalog.register(lblSrc, KnnCatalog.Entry(lblIdx, lblSrc,
+      "vec_id", "embedding", Some("labels"), "cosine"))
+    def q(where: String) = spark.sql(
+      s"""SELECT vec_id FROM parquet.`$lblSrc` WHERE $where
+         |ORDER BY vec_cosine_dist(embedding, $qvecSql) LIMIT 5""".stripMargin)
+    def sArr(x: Int) = s"CAST(array($x) AS ARRAY<SHORT>)"
+
+    val one = q(s"arrays_overlap(labels, ${sArr(1)})")
+    assert(one.queryExecution.executedPlan.toString.contains("KnnIndexScan"))
+    val got = one.collect().map(_.getLong(0)).toSeq
+    assert(got.length == 5 && got.forall(_ % 4 == 1)) // filter actually applied
+
+    // AND of two overlaps: no row carries both 1 and 2 (1 -> id%4==1,
+    // 2 -> id%4==2 are disjoint), so the correct answer is EMPTY. The old
+    // unioned-label-set gate would have claimed the plan and returned
+    // OR-semantics rows — this must fall through to the native plan instead.
+    val anded = q(s"arrays_overlap(labels, ${sArr(1)}) AND arrays_overlap(labels, ${sArr(2)})")
+    assert(!anded.queryExecution.executedPlan.toString.contains("KnnIndexScan"))
+    assert(anded.collect().isEmpty)
+
+    // an overlap on an array column the index was not built with must not be
+    // claimed (the index cannot answer it; claiming would drop the predicate)
+    val wrongCol = q(s"arrays_overlap(tags, ${sArr(1)})")
+    assert(!wrongCol.queryExecution.executedPlan.toString.contains("KnnIndexScan"))
+    val wc = wrongCol.collect().map(_.getLong(0))
+    assert(wc.length == 5 && wc.forall(_ % 5 == 1))
+  }
+
   test("KnnIndexScan reports scan telemetry via SQLMetrics (V5)") {
     setup
     val df = spark.sql(

@@ -45,11 +45,18 @@ class StreamingSpec extends AnyFunSuite {
       searchListSize = 200, rescore = 150).collect()
     assert(fresh.map(_.getLong(1)).contains(450L))
 
-    // compaction folds the delta into the main graph
-    StreamingIngest.compact(spark, path, DiskannParams(metric = "cosine"))
+    // compaction folds the delta into the main graph, preserving the
+    // original build params (metric/storage/R/L read back from _meta)
+    val before = DiskannIndex.loadMeta(spark, path)
+    StreamingIngest.compact(spark, path)
     assert(!new java.io.File(s"$path/delta").exists())
     val meta = DiskannIndex.loadMeta(spark, path)
     assert(meta.numRows == 500)
+    assert(meta.metric == before.metric && meta.storage == before.storage &&
+      meta.bitsPerDim == before.bitsPerDim &&
+      meta.numNeighbors == before.numNeighbors &&
+      meta.dimsToIndex == before.dimsToIndex)
+    assert(meta.buildId != before.buildId)
     val after = DiskannIndex.search(spark, path, queries, k = 5,
       searchListSize = 200, rescore = 150).collect()
     assert(after.map(_.getLong(1)).contains(450L))
