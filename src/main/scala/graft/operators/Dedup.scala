@@ -68,8 +68,14 @@ object Dedup {
     // repartition first: a single small parquet file otherwise serializes
     // the whole shingling/minhash pass into one task
     val par = df.sparkSession.sparkContext.defaultParallelism
+    // The signature table feeds three consumers (banding, and both sides of
+    // the verify join-back); without materialization Spark recomputes the
+    // tokenize→shingle→minhash subtree per consumer. Persist is the in-session
+    // form of the production shape — at pipeline scale you'd write signatures
+    // once to a table and join against that.
     val base = shingled(df.repartition(par), idCol, textCol, shingleSize)
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = base.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         j => xxhash64(j, slice(col("sig"), j * r + 1, lit(r))))))
@@ -105,10 +111,13 @@ object Dedup {
     TextAnalysis.register(spark)
     val sigs = df.select(col(idCol).cast(LongType).as("id"),
       call_function("simhash64", TextAnalysis.tokens(col(textCol))).as("sig"))
+    // both sides of the self-join read this tiny table (4 rows/doc, 3 longs
+    // each): persist so tokenize+simhash runs once, not once per join side
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)),
         j => call_function("shiftright", col("sig"), j * 16).bitwiseAND(lit(0xFFFFL)))))
       .select(col("id"), col("sig"), col("pos").as("band"), col("col").as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = banded.as("a").join(banded.as("b"),
       col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import scala.collection.mutable
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
@@ -146,6 +147,70 @@ object Similarity {
       .select(col("id"), dist(col("vec"), typedlit(query)).as("dist"))
       .orderBy(col("dist"), col("id"))
       .limit(k)
+  }
+
+  /**
+   * Exact all-pairs cosine top-N — the brute-force baseline made fast: the
+   * corpus (ids, vectors, squared norms) is broadcast once, and each task
+   * loops over its rows × the broadcast tail (id_b > id_a) in a primitive
+   * double loop with a bounded heap, so no per-pair join/row machinery ever
+   * materializes the O(n²) stream. Each partition emits its local top
+   * (topN + slack) raw candidates; the final round+order happens in SQL, so
+   * emitted doubles are bit-identical to the naive
+   * `1 - vec_cosine_dist(a, b)` formulation (same accumulation order, same
+   * `1-(1-dot/sqrt(nsqA*nsqB))` shape). The slack covers pairs whose RAW
+   * order differs inside a 1e-6 rounding band at the cut line.
+   *
+   * Scale note: all-pairs exact is inherently bounded to corpora that fit a
+   * broadcast (the reference's exact rescoring plays the same role); beyond
+   * that the LSH/ANN paths are the design ([[cosineNearDupPairs]], DiskANN).
+   */
+  def bruteCosineTopPairs(df: DataFrame, idCol: String, vecCol: String,
+      topN: Int, slack: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val corpus = df.select(col(idCol).cast(LongType), col(vecCol))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val ids = corpus.map(_._1)
+    val vecs = corpus.map(_._2)
+    val nsq = vecs.map { v =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      s
+    }
+    val bc = spark.sparkContext.broadcast((ids, vecs, nsq))
+    val par = spark.sparkContext.defaultParallelism
+    val k = topN + slack
+    val local = df.select(col(idCol).cast(LongType), col(vecCol))
+      .as[(Long, Array[Float])]
+      .repartition(par)
+      .mapPartitions { it =>
+        val (ids, vecs, nsq) = bc.value
+        val n = ids.length
+        // min-heap on raw cosine keeps the best k seen in this partition
+        val heap = mutable.PriorityQueue.empty[(Double, Long, Long)](
+          Ordering.by[(Double, Long, Long), Double](_._1).reverse)
+        it.foreach { case (ida, va) =>
+          val pos = java.util.Arrays.binarySearch(ids, ida)
+          var nsqa = 0.0
+          var i = 0
+          while (i < va.length) { nsqa += va(i).toDouble * va(i).toDouble; i += 1 }
+          var j = pos + 1
+          while (j < n) {
+            val vb = vecs(j)
+            var dot = 0.0
+            i = 0
+            while (i < va.length) { dot += va(i).toDouble * vb(i).toDouble; i += 1 }
+            val cos = 1.0 - (1.0 - dot / math.sqrt(nsqa * nsq(j)))
+            if (heap.size < k) heap.enqueue((cos, ida, ids(j)))
+            else if (cos > heap.head._1) { heap.dequeue(); heap.enqueue((cos, ida, ids(j))) }
+            j += 1
+          }
+        }
+        heap.iterator
+      }
+      .toDF("cos_raw", "id_a", "id_b")
+    local.select(col("id_a"), col("id_b"), col("cos_raw"))
   }
 
   // ---- embedding near-dup ----

@@ -87,17 +87,14 @@ object PipelineQueries {
     }),
 
     // ---- embedding near-dup / similarity ----
-    "neardup_embedding_exact" -> ((s, d) => {
-      VectorFunctions.register(s)
-      val e = emb(s, d).select(col("vec_id").cast("long").as("id"),
-        col("embedding").as("vec"))
-      e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-          round(lit(1.0) - VectorFunctions.vec_cosine_dist(col("a.vec"), col("b.vec")), 6)
-            .as("cosine"))
+    // exact brute-force all-pairs top-20: broadcast-corpus primitive kernel
+    // (Similarity.bruteCosineTopPairs) emitting raw doubles bit-identical to
+    // 1 - vec_cosine_dist(a, b); round + final order happen here in SQL.
+    "neardup_embedding_exact" -> ((s, d) =>
+      Similarity.bruteCosineTopPairs(emb(s, d), "vec_id", "embedding", topN = 20)
+        .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cosine"))
         .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
-        .limit(20)
-    }),
+        .limit(20)),
 
     // sign-LSH + exact verification. The random test vectors contain no true
     // near-dups (max pairwise cosine ~0.51), so the scenario unions the table

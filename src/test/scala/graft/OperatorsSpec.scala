@@ -82,6 +82,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hits >= 45, s"LSH found only $hits/50 planted twins")
   }
 
+  test("bruteCosineTopPairs == naive all-pairs join, bit-identical doubles") {
+    VectorFunctions.register(spark)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // cos_raw already carries the naive form's 1-(1-dot/sqrt(na*nb)) shape
+    val viaKernel = Similarity.bruteCosineTopPairs(e, "vec_id", "embedding", topN = 15)
+      .select($"id_a", $"id_b", $"cos_raw".as("cosine"))
+      .orderBy($"cosine".desc, $"id_a", $"id_b").limit(15)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val ee = e.select($"vec_id".as("id"), $"embedding".as("vec"))
+    val viaJoin = ee.as("a").join(ee.as("b"), $"a.id" < $"b.id")
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"),
+        (lit(1.0) - VectorFunctions.vec_cosine_dist($"a.vec", $"b.vec")).as("cosine"))
+      .orderBy($"cosine".desc, $"id_a", $"id_b").limit(15)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(viaKernel == viaJoin) // exact doubles, not approx — kernel is bit-identical
+  }
+
   test("topK aggregator knnJoin == window-ranked exact result") {
     VectorFunctions.register(spark)
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
