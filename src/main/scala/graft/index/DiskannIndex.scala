@@ -247,11 +247,13 @@ object DiskannIndex {
    *    shard key — a single shuffle beats a many-thousand-branch union plan,
    *    and co-locates each shard in exactly one task by construction.
    */
-  private def wholeShardScan(nodes: DataFrame, numShards: Int): DataFrame =
-    if (numShards <= 256)
-      (0 until numShards).map(s => nodes.filter(col("shard") === s).coalesce(1))
+  private def wholeShardScan(nodes: DataFrame, shards: Seq[Int]): DataFrame =
+    if (shards.length <= 256)
+      shards.map(s => nodes.filter(col("shard") === s).coalesce(1))
         .reduce(_ unionByName _)
-    else nodes.repartition(numShards, col("shard"))
+    else nodes
+      .filter(col("shard").isin(shards.map(Integer.valueOf): _*))
+      .repartition(shards.length, col("shard"))
 
   /** `nProbe` > 0 on an IVF-partitioned index restricts each query to its
     * nProbe nearest shards (per-query cost O(nProbe) instead of
@@ -295,7 +297,15 @@ object DiskannIndex {
     val tombBc = spark.sparkContext.broadcast(tombstones)
     val report = reportDistFn(metric)
 
-    val nodesDf = wholeShardScan(spark.read.parquet(s"$path/nodes"), meta.numShards)
+    // IVF routing also prunes the SCAN: only shards some query probes are
+    // read at all (partition-pruned by the shard directory key) — at
+    // thousands of shards a probe touches O(queries × nProbe) shards, not
+    // every shard. Unrouted searches read everything.
+    val neededShards: Seq[Int] =
+      if (probeOf.nonEmpty && probeOf.size == qRows.length)
+        probeOf.values.flatten.toSet.toSeq.sorted
+      else 0 until meta.numShards
+    val nodesDf = wholeShardScan(spark.read.parquet(s"$path/nodes"), neededShards)
     val resultSchema = StructType(Seq(
       StructField("qid", LongType, nullable = false),
       StructField("row_id", LongType, nullable = false),

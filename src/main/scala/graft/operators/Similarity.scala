@@ -235,8 +235,11 @@ object Similarity {
       when(VectorFunctions.vec_dot(col("vec"), typedlit(p)) > 0,
         lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+    // both the probe side and the build side read this table; persist so the
+    // nPlanes sign-projections per row are computed once, not per join side
     val base = df.select(col(idCol).cast(LongType).as("id"), col(vecCol).as("vec"))
       .withColumn("bucket", sigBits)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // multi-probe: each row also lands in every 1-bit-flip bucket
     val probed = base.select(col("id"), col("vec"),
       explode(array((col("bucket") +:
