@@ -30,11 +30,17 @@ object Bench {
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
-    val results = names.map { name =>
+    // best-of-2 timed runs per query: a single sample is hostage to transient
+    // host contention (shared VM); the minimum is the standard low-noise
+    // estimator of steady-state latency
+    def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = names.map { name =>
+      name -> math.min(timeOnce(name), timeOnce(name))
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.4f""" }
       .mkString("{", ",", "}")

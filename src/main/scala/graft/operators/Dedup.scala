@@ -101,21 +101,27 @@ object Dedup {
     size(array_intersect(a, b)).cast(DoubleType) / size(array_union(a, b))
 
   /**
-   * SimHash near-dup candidate pairs with Hamming distance <= maxHamming.
-   * Band trick: 4 16-bit bands of the 64-bit signature; any pair within
-   * Hamming distance 3 shares at least one full band (pigeonhole).
+   * SimHash near-dup pairs with Hamming distance <= maxHamming over the
+   * 60-bit md5-based signature ([[TextAnalysis.SimHashMd5]] — externally
+   * recomputable, so the whole pipeline is oracle-checkable in plain SQL).
+   * Band trick: 4 15-bit bands; any pair within Hamming distance 3 shares at
+   * least one full band (pigeonhole), so candidate generation loses nothing
+   * and the output is EXACTLY every pair at distance <= 3. Token-less
+   * documents carry no signal and are excluded.
    */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val spark = df.sparkSession
     TextAnalysis.register(spark)
     val sigs = df.select(col(idCol).cast(LongType).as("id"),
-      call_function("simhash64", TextAnalysis.tokens(col(textCol))).as("sig"))
+      TextAnalysis.tokens(col(textCol)).as("__w"))
+      .filter(size(col("__w")) > 0)
+      .select(col("id"), call_function("simhash_md5", col("__w")).as("sig"))
     // both sides of the self-join read this tiny table (4 rows/doc, 3 longs
     // each): persist so tokenize+simhash runs once, not once per join side
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)),
-        j => call_function("shiftright", col("sig"), j * 16).bitwiseAND(lit(0xFFFFL)))))
+        j => call_function("shiftright", col("sig"), j * 15).bitwiseAND(lit(0x7FFFL)))))
       .select(col("id"), col("sig"), col("pos").as("band"), col("col").as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = banded.as("a").join(banded.as("b"),
@@ -124,7 +130,8 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .distinct()
-    cand.withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+    cand.withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast(LongType))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }

@@ -102,6 +102,7 @@ object TextAnalysis {
   private val builders: Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
     "doc_fingerprint" -> (es => DocFingerprint(es.head)),
     "simhash64" -> (es => SimHash64(es.head)),
+    "simhash_md5" -> (es => SimHashMd5(es.head)),
     "minhash_sig" -> (es => MinhashSig(es.head,
       es.lift(1).map(_.eval(null).asInstanceOf[Int]).getOrElse(64))),
   )
@@ -264,4 +265,62 @@ case class SimHash64(child: Expression)
     sig
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/**
+ * 60-bit SimHash whose per-token hash is the LOW 60 BITS OF MD5 — chosen
+ * because any engine with an md5() function can recompute the signature
+ * independently (the low 60 bits are hex chars 18..32 of the digest, e.g.
+ * Spark `conv(substring(md5(t), 18, 15), 16, 10)`, DuckDB
+ * `('0x' || substr(md5(t), 18, 15))::UBIGINT`), making simhash-based dedup
+ * verifiable against an external SQL oracle rather than engine-defined.
+ * Same majority-vote semantics as [[SimHash64]]: bit set iff votes > 0.
+ */
+case class SimHashMd5(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "simhash_md5"
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<STRING>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val md = SimHashMd5.digest.get()
+    val arr = v.asInstanceOf[ArrayData]
+    val votes = new Array[Int](SimHashMd5.Bits)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        // big-endian long from digest bytes 8..15, masked to the low 60 bits
+        var h = 0L
+        var bi = 8
+        while (bi < 16) { h = (h << 8) | (d(bi) & 0xffL); bi += 1 }
+        h &= 0x0fffffffffffffffL
+        var bit = 0
+        while (bit < SimHashMd5.Bits) {
+          if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+          bit += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var bit = 0
+    while (bit < SimHashMd5.Bits) { if (votes(bit) > 0) sig |= 1L << bit; bit += 1 }
+    sig
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object SimHashMd5 {
+  val Bits = 60
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
 }

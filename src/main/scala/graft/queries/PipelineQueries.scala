@@ -39,8 +39,9 @@ object PipelineQueries {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
 
-    // SimHash signatures are engine-defined (FNV-based) → no SQL oracle;
-    // semantics covered by OperatorsSpec.
+    // md5-based 60-bit simhash: bands are recall-lossless at maxHamming=3
+    // (pigeonhole), so the result is exactly "every pair at distance <= 3"
+    // and DuckDB can recompute it from md5() alone (hash-matched oracle).
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashNearDupPairs(docs(s, d), "doc_id", "text", maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))),
@@ -147,6 +148,28 @@ object PipelineQueries {
       """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS cnt
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
 
+    // independent recomputation of the md5-simhash pipeline: per-token low-60
+    // md5 bits, per-bit majority vote (votes > 0), then ALL pairs at Hamming
+    // distance <= 3 (the banded candidate join is lossless at that radius)
+    "dedup_simhash" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+         |tok AS (SELECT doc_id, unnest(w) AS tk FROM t WHERE len(w) > 0),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(tk), 18, 15))::UBIGINT AS h FROM tok),
+         |bits AS (SELECT doc_id, r.range AS b,
+         |           CASE WHEN 2 * sum(CASE WHEN (h >> CAST(r.range AS INT)) & 1 = 1
+         |                                  THEN 1 ELSE 0 END) > count(*)
+         |                THEN 1 ELSE 0 END AS bit
+         |         FROM h CROSS JOIN range(60) r GROUP BY 1, 2),
+         |sig AS (SELECT doc_id,
+         |          sum(CASE WHEN bit = 1 THEN (1::UBIGINT << CAST(b AS INT))
+         |              ELSE 0::UBIGINT END) AS sig
+         |        FROM bits GROUP BY 1)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+
     "dedup_minhash" ->
       s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
          |g AS (SELECT doc_id, ${sqlShingles("w")} AS sh FROM t)
@@ -209,6 +232,14 @@ object PipelineQueries {
         |             CAST(b.embedding AS DOUBLE[])), 6) AS cosine
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |ORDER BY cosine DESC, id_a, id_b LIMIT 20""".stripMargin,
+
+    // the stub frame sampler emits max(floor(bytes/256)-1, 0)+1 frames per
+    // video payload (frameBytes=64 x stride=4) — closed form over byte length
+    "multimodal_frames" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(greatest(CAST(floor(octet_length(encode(text)) / 256.0) AS INT) - 1, 0) + 1
+        |       AS BIGINT) AS n_frames
+        |FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id AS media_id,
