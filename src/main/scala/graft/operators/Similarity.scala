@@ -215,11 +215,27 @@ object Similarity {
 
   // ---- embedding near-dup ----
 
-  /** Deterministic random hyperplanes (gaussian, seeded). */
-  private def planes(dim: Int, nPlanes: Int, seed: Long): Array[Array[Float]] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+  private[operators] def md5low60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s.getBytes("UTF-8"))
+    var h = 0L
+    var i = 8
+    while (i < 16) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h & 0x0fffffffffffffffL
   }
+
+  /** Deterministic hyperplanes with md5-derived uniform components in
+    * [-0.5, 0.5): any engine with md5() reproduces them exactly
+    * (`md5low60("plane:seed:i:j") / 2^60 - 0.5` as REAL), which makes the
+    * whole sign-LSH pipeline verifiable by an external SQL oracle. Uniform
+    * components preserve the sign-LSH collision property (the hyperplane
+    * direction distribution is symmetric, which is what the bound needs). */
+  private def planes(dim: Int, nPlanes: Int, seed: Long): Array[Array[Float]] =
+    Array.tabulate(nPlanes) { i =>
+      Array.tabulate(dim) { j =>
+        (md5low60(s"plane:$seed:$i:$j").toDouble / (1L << 60).toDouble - 0.5).toFloat
+      }
+    }
 
   /**
    * Pairs with cosine similarity >= threshold, found via sign-LSH buckets and

@@ -101,6 +101,7 @@ object TextAnalysis {
 
   private val builders: Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
     "doc_fingerprint" -> (es => DocFingerprint(es.head)),
+    "doc_fingerprint_md5" -> (es => DocFingerprintMd5(es.head)),
     "simhash64" -> (es => SimHash64(es.head)),
     "simhash_md5" -> (es => SimHashMd5(es.head)),
     "minhash_sig" -> (es => MinhashSig(es.head,
@@ -176,6 +177,58 @@ case class DocFingerprint(child: Expression, k: Int = 8, w: Int = 16)
         var j = start
         while (j < end) { if (gramHash(j) < mn) mn = gramHash(j); j += 1 }
         acc ^= Hash64.avalanche(mn) // order-independent combine of window minima
+        start += w
+      }
+      acc
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/**
+ * Winnowing fingerprint variant whose gram hash is the low 60 bits of md5 and
+ * whose combine is a plain XOR of window minima — every step is expressible
+ * in ordinary SQL (md5/substr/min/xor), so the fingerprint column can be
+ * hash-verified by an external engine. Grams are CHARACTER k-grams of the
+ * normalized text (lowercase, collapse whitespace, trim); windows of w grams
+ * step by w (non-overlapping minima, same window rule as [[DocFingerprint]]).
+ */
+case class DocFingerprintMd5(child: Expression, k: Int = 8, w: Int = 16)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "doc_fingerprint_md5"
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING")
+
+  private def md5low60(s: String): Long = {
+    val md = SimHashMd5.digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    var h = 0L
+    var i = 8
+    while (i < 16) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h & 0x0fffffffffffffffL
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+      .toLowerCase.replaceAll("\\s+", " ").trim
+    if (s.length < k) md5low60(s)
+    else {
+      val nGrams = s.length - k + 1
+      val gramHash = new Array[Long](nGrams)
+      var i = 0
+      while (i < nGrams) { gramHash(i) = md5low60(s.substring(i, i + k)); i += 1 }
+      var acc = 0L
+      var start = 0
+      while (start < nGrams) {
+        val end = math.min(start + w, nGrams)
+        var mn = Long.MaxValue
+        var j = start
+        while (j < end) { if (gramHash(j) < mn) mn = gramHash(j); j += 1 }
+        acc ^= mn
         start += w
       }
       acc
@@ -319,7 +372,7 @@ case class SimHashMd5(child: Expression)
 
 object SimHashMd5 {
   val Bits = 60
-  private val digest = new ThreadLocal[java.security.MessageDigest] {
+  private[operators] val digest = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }

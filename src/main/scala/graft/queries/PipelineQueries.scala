@@ -79,11 +79,13 @@ object PipelineQueries {
           round(col("quality_score"), 6).as("quality_score"))
         .orderBy(col("doc_id"))),
 
-    // winnowing fingerprint (custom expression) → no SQL oracle
+    // winnowing fingerprint over md5 gram hashes: every step (normalize,
+    // char 8-grams, md5-low-60, window minima, xor combine) is plain SQL,
+    // so the fingerprints hash-match an independent DuckDB recomputation
     "doc_fingerprints" -> ((s, d) => {
       TextAnalysis.register(s)
       docs(s, d).select(col("doc_id"),
-        call_function("doc_fingerprint", col("text")).as("fp"))
+        call_function("doc_fingerprint_md5", col("text")).as("fp"))
         .orderBy(col("doc_id"))
     }),
 
@@ -101,14 +103,20 @@ object PipelineQueries {
     // near-dups (max pairwise cosine ~0.51), so the scenario unions the table
     // with deterministically perturbed copies (vec_id + 100000) — the classic
     // "same item, re-encoded" duplicate — and detects the planted pairs.
-    // Recall is probabilistic → rows-only; provable bounds in OperatorsSpec.
+    // Hyperplanes AND the perturbation are md5-derived, and multi-probe
+    // candidacy is exactly "bucket signatures differ in <= 1 bit", so DuckDB
+    // can recompute the full pipeline (hash-matched oracle).
     "neardup_embedding_lsh" -> ((s, d) => {
       val base = emb(s, d).select(col("vec_id").cast("long").as("vec_id"),
         col("embedding"))
-      val perturbed = base.select((col("vec_id") + 100000).as("vec_id"),
-        transform(col("embedding"),
-          (x, i) => x + (pmod(xxhash64(col("vec_id"), i), lit(7)) - lit(3))
-            .cast("float") * lit(0.01f)).as("embedding"))
+      // two-stage select: the perturbation hash is keyed by the NEW id
+      // (vec_id + 100000), stated unambiguously
+      val perturbed = base
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+        .select(col("vec_id"), transform(col("embedding"),
+          (x, i) => x +
+            (conv(substring(md5(concat_ws(":", col("vec_id"), i)), 18, 15), 16, 10)
+              .cast("long") % 7 - 3).cast("float") * lit(0.01f)).as("embedding"))
       Similarity.cosineNearDupPairs(base.unionByName(perturbed), "vec_id",
         "embedding", dim = 64, threshold = 0.9)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
@@ -226,12 +234,63 @@ object PipelineQueries {
          |        (1.0 - least(digit_ratio * 5.0, 1.0)) * 0.1, 6) AS quality_score
          |FROM q ORDER BY doc_id""".stripMargin,
 
+    // full recomputation of the sign-LSH pipeline: md5-derived hyperplanes
+    // and perturbation (bit-identical REAL arithmetic via explicit casts),
+    // multi-probe candidacy == "bucket xor has <= 1 bit", exact cosine verify
+    "neardup_embedding_lsh" ->
+      """WITH pl AS (SELECT CAST(i.range AS INT) AS i,
+        |    [CAST(CAST(('0x' || substr(md5('plane:42:' || CAST(i.range AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 18, 15))::UBIGINT
+        |          / 1152921504606846976.0 - 0.5 AS REAL) AS DOUBLE)
+        |     for j in range(64)] AS p
+        |  FROM range(12) i),
+        |allv AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id,
+        |    [CAST(embedding[CAST(j AS INT)] +
+        |          CAST(CAST(CAST(('0x' || substr(md5(CAST(vec_id + 100000 AS VARCHAR) || ':' || CAST(j - 1 AS VARCHAR)), 18, 15))::UBIGINT AS BIGINT)
+        |               % 7 - 3 AS REAL) * CAST(0.01 AS REAL) AS REAL) AS REAL)
+        |     for j in range(1, 65)] AS embedding
+        |  FROM embeddings),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM allv),
+        |bk AS (SELECT v.vec_id,
+        |         sum(CASE WHEN list_inner_product(v.dv, pl.p) > 0
+        |             THEN (1::UBIGINT << pl.i) ELSE 0::UBIGINT END) AS bucket
+        |       FROM v CROSS JOIN pl GROUP BY 1),
+        |cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |         FROM bk a JOIN bk b ON a.vec_id < b.vec_id
+        |           AND bit_count(xor(a.bucket, b.bucket)) <= 1),
+        |sc AS (SELECT id_a, id_b,
+        |        1 - (1 - list_inner_product(va.dv, vb.dv) /
+        |             sqrt(list_inner_product(va.dv, va.dv) * list_inner_product(vb.dv, vb.dv))) AS cosine
+        |       FROM cand JOIN v va ON va.vec_id = cand.id_a
+        |                 JOIN v vb ON vb.vec_id = cand.id_b)
+        |SELECT id_a, id_b, round(cosine, 6) AS cosine
+        |FROM sc WHERE cosine >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+
     "neardup_embedding_exact" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |             CAST(b.embedding AS DOUBLE[])), 6) AS cosine
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |ORDER BY cosine DESC, id_a, id_b LIMIT 20""".stripMargin,
+
+    // independent recomputation of the md5-gram winnowing fingerprint:
+    // normalize, char 8-grams, md5-low-60 per gram, min per 16-gram window
+    // (stepping 16), xor of the minima
+    "doc_fingerprints" ->
+      s"""WITH norm AS (SELECT doc_id,
+         |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s FROM documents),
+         |g AS (SELECT doc_id, CASE WHEN length(s) < 8 THEN [s]
+         |    ELSE [substr(s, CAST(i AS INT), 8) for i in range(1, length(s) - 6)] END AS grams
+         |  FROM norm),
+         |h AS (SELECT doc_id,
+         |    [('0x' || substr(md5(x), 18, 15))::UBIGINT for x in grams] AS hs FROM g),
+         |m AS (SELECT doc_id,
+         |    [list_min(hs[CAST(st AS INT):CAST(st AS INT) + 15])
+         |     for st in range(1, len(hs) + 1, 16)] AS mins FROM h)
+         |SELECT doc_id, CAST(list_reduce(mins, (a, b) -> xor(a, b)) AS BIGINT) AS fp
+         |FROM m ORDER BY doc_id""".stripMargin,
 
     // the stub frame sampler emits max(floor(bytes/256)-1, 0)+1 frames per
     // video payload (frameBytes=64 x stride=4) — closed form over byte length
