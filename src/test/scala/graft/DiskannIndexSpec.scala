@@ -147,6 +147,23 @@ class DiskannIndexSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
+  test("high shard count takes the repartition scan path and stays correct") {
+    // shardTargetRows=1 -> 500 single-node shards (> 256), exercising the
+    // repartition-by-shard branch of the whole-shard scan
+    val path = "/tmp/graft_test_index/manyshards"
+    DiskannIndex.build(emb, "vec_id", "embedding", None, path,
+      DiskannParams(metric = "cosine", shardTargetRows = 1))
+    val meta = DiskannIndex.loadMeta(spark, path)
+    assert(meta.numShards == 500)
+    val queries = emb.filter(col("vec_id") === 11)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // 1-node shards make graph search exhaustive per shard: merged result
+    // must equal the exact brute-force top-10
+    val got = DiskannIndex.search(spark, path, queries, k = 10)
+      .collect().sortBy(r => (r.getDouble(2), r.getLong(1))).map(_.getLong(1)).toSeq
+    assert(got == exactTop(11L, 10, excludeSelf = false).map(_._1))
+  }
+
   test("null query vector searches the zero vector (labels/mod.rs:214-216)") {
     import org.apache.spark.sql.types._
     val path = "/tmp/graft_test_index/multishard"
