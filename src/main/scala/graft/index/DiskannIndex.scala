@@ -196,8 +196,15 @@ object DiskannIndex {
 
   def loadMeta(spark: SparkSession, path: String): IndexMeta = {
     import spark.implicits._
-    // tolerate metas written before shardTargetRows/buildId existed
+    // tolerate metas from earlier format generations (the analog of the
+    // reference's V1/V2→V3 meta-page upgrade path, meta_page.rs:296-424):
+    // fill every missing field with the default that generation implied
     var df = spark.read.parquet(s"$path/_meta")
+    if (!df.columns.contains("partitioner"))
+      df = df.withColumn("partitioner", lit("hash"))
+    if (!df.columns.contains("centroids"))
+      df = df.withColumn("centroids",
+        lit(Array.empty[Array[Float]]).cast(ArrayType(ArrayType(FloatType))))
     if (!df.columns.contains("shardTargetRows"))
       df = df.withColumn("shardTargetRows", lit(1L << 20))
     if (!df.columns.contains("buildId"))
@@ -254,6 +261,54 @@ object DiskannIndex {
     else nodes
       .filter(col("shard").isin(shards.map(Integer.valueOf): _*))
       .repartition(shards.length, col("shard"))
+
+  /** Decode one whole shard's rows into a serving [[GraphSearcher]] (CSR
+    * adjacency + primitive arrays), failing fast on a partial shard —
+    * neighbors are positions into the node-sorted array, so a subset would
+    * silently corrupt adjacency. */
+  private def buildShardSearcher(path: String, shard: Int, shardRows: Array[Row],
+      metric: Metric, model: SbqModel, hasLabels: Boolean,
+      dimsToIndex: Int): GraphSearcher = {
+    val sorted = shardRows.sortBy(_.getAs[Int]("node"))
+    val nn = sorted.length
+    var chk = 0
+    while (chk < nn) {
+      if (sorted(chk).getAs[Int]("node") != chk)
+        throw new IllegalStateException(
+          s"index $path shard $shard arrived incomplete in one task " +
+            s"(expected contiguous node ids 0..${nn - 1}); " +
+            "the nodes scan must deliver whole shards")
+      chk += 1
+    }
+    val rowIds = new Array[Long](nn)
+    val vecs = new Array[Array[Float]](nn)
+    val codes = if (model != null) new Array[Array[Long]](nn) else null
+    val lbs = if (hasLabels) new Array[Array[Short]](nn) else null
+    val adj = new Array[Array[Int]](nn)
+    var i = 0
+    sorted.foreach { r =>
+      rowIds(i) = r.getAs[Long]("row_id")
+      vecs(i) = r.getAs[mutable.Seq[Float]]("vec").toArray
+      if (codes != null) codes(i) = r.getAs[mutable.Seq[Long]]("code").toArray
+      if (lbs != null) lbs(i) = Option(r.getAs[mutable.Seq[Short]]("labels"))
+        .map(_.toArray).getOrElse(Array.emptyShortArray)
+      adj(i) = r.getAs[mutable.Seq[Int]]("neighbors").toArray
+      i += 1
+    }
+    val off = new Array[Int](nn + 1)
+    var s = 0
+    var j = 0
+    while (j < nn) { off(j) = s; s += adj(j).length; j += 1 }
+    off(nn) = s
+    val tgt = new Array[Int](s)
+    j = 0
+    var p = 0
+    while (j < nn) {
+      adj(j).foreach { t => tgt(p) = t; p += 1 }
+      j += 1
+    }
+    new GraphSearcher(rowIds, vecs, codes, lbs, off, tgt, metric, model, dimsToIndex)
+  }
 
   /** `nProbe` > 0 on an IVF-partitioned index restricts each query to its
     * nProbe nearest shards (per-query cost O(nProbe) instead of
@@ -317,50 +372,9 @@ object DiskannIndex {
       val rows = it.toArray
       if (rows.isEmpty) Iterator.empty
       else rows.groupBy(_.getAs[Int]("shard")).iterator.flatMap { case (shard, shardRows) =>
-        val searcher = GraphSearcher.getOrBuild(s"$path#$shard#$buildId", () => {
-          val sorted = shardRows.sortBy(_.getAs[Int]("node"))
-          val nn = sorted.length
-          // fail fast on a partial shard (neighbors are positions into the
-          // node-sorted array — a subset would silently corrupt adjacency)
-          var chk = 0
-          while (chk < nn) {
-            if (sorted(chk).getAs[Int]("node") != chk)
-              throw new IllegalStateException(
-                s"index $path shard $shard arrived incomplete in one task " +
-                  s"(expected contiguous node ids 0..${nn - 1}); " +
-                  "the nodes scan must deliver whole shards")
-            chk += 1
-          }
-          val rowIds = new Array[Long](nn)
-          val vecs = new Array[Array[Float]](nn)
-          val codes = if (model != null) new Array[Array[Long]](nn) else null
-          val lbs = if (meta.hasLabels) new Array[Array[Short]](nn) else null
-          val adj = new Array[Array[Int]](nn)
-          var i = 0
-          sorted.foreach { r =>
-            rowIds(i) = r.getAs[Long]("row_id")
-            vecs(i) = r.getAs[mutable.Seq[Float]]("vec").toArray
-            if (codes != null) codes(i) = r.getAs[mutable.Seq[Long]]("code").toArray
-            if (lbs != null) lbs(i) = Option(r.getAs[mutable.Seq[Short]]("labels"))
-              .map(_.toArray).getOrElse(Array.emptyShortArray)
-            adj(i) = r.getAs[mutable.Seq[Int]]("neighbors").toArray
-            i += 1
-          }
-          val off = new Array[Int](nn + 1)
-          var s = 0
-          var j = 0
-          while (j < nn) { off(j) = s; s += adj(j).length; j += 1 }
-          off(nn) = s
-          val tgt = new Array[Int](s)
-          j = 0
-          var p = 0
-          while (j < nn) {
-            adj(j).foreach { t => tgt(p) = t; p += 1 }
-            j += 1
-          }
-          new GraphSearcher(rowIds, vecs, codes, lbs, off, tgt, metric, model,
-            meta.dimsToIndex)
-        })
+        val searcher = GraphSearcher.getOrBuild(s"$path#$shard#$buildId",
+          () => buildShardSearcher(path, shard, shardRows, metric, model,
+            meta.hasLabels, meta.dimsToIndex))
         val tomb = tombBc.value
         val probes = probeBc.value
         qBc.value.iterator
@@ -382,6 +396,94 @@ object DiskannIndex {
     }(org.apache.spark.sql.Encoders.row(resultSchema))
 
     // final top-k merge per query
+    partial
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dist"), col("row_id"))))
+      .filter(col("rnk") <= k)
+      .drop("rnk")
+  }
+
+  /**
+   * Fully distributed ANN search for LARGE query sets — the offline
+   * "find neighbors for every row" workload where the query table itself has
+   * millions of rows and collecting/broadcasting it (as [[search]] does for
+   * online batches) would not scale.
+   *
+   * Nothing touches the driver except the tiny `_meta` (centroids): queries
+   * keep their rows distributed, each is routed to its probe shards with the
+   * broadcast centroid table (IVF + nProbe) or fanned to every shard (hash),
+   * and a `cogroup` on the shard key co-locates each whole shard with its
+   * query group in one task — per-shard searchers come from the same
+   * executor cache as the online path. Cost shape at 100 TB: one shuffle of
+   * the (pruned) nodes table + one shuffle of queries×nProbe, then a final
+   * per-query top-k merge; bucketing the nodes table by shard would remove
+   * the nodes shuffle entirely.
+   */
+  def searchDistributed(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, searchListSize: Int = 100, rescore: Int = 50,
+      tombstones: Set[Long] = Set.empty, nProbe: Int = 0): DataFrame = {
+    val meta = loadMeta(spark, path)
+    val metric = Metric(meta.metric)
+    val model =
+      if (meta.storage == "sbq") SbqModel(meta.modelCount, meta.modelMean, meta.modelM2, meta.bitsPerDim)
+      else null
+    val report = reportDistFn(metric)
+    val buildId = meta.buildId
+    val numShards = meta.numShards
+    val dimsToIndex = meta.dimsToIndex
+    val hasLabels = meta.hasLabels
+    val tombBc = spark.sparkContext.broadcast(tombstones)
+
+    // per-query probe-shard assignment, executor-side over broadcast centroids
+    val routed = meta.partitioner == "ivf" && nProbe > 0 &&
+      nProbe < numShards && meta.centroids.nonEmpty
+    val centBc = spark.sparkContext.broadcast(meta.centroids)
+    val probeShards = udf((qv: mutable.Seq[Float]) =>
+      if (!routed) (0 until numShards).toArray
+      else {
+        val raw = Option(qv).map(_.toArray)
+          .getOrElse(new Array[Float](centBc.value(0).length))
+        val sliced = if (dimsToIndex > 0) raw.take(dimsToIndex) else raw
+        val bv = if (metric == Metric.Cosine) VectorKernels.normalize(sliced) else sliced
+        graft.operators.Similarity.IvfModel(centBc.value).nearest(bv, nProbe)
+      })
+    val hasQLabels = queries.columns.contains("qlabels")
+    val q2 = queries.select(col("qid"), col("qvec"),
+      (if (hasQLabels) col("qlabels")
+       else lit(null).cast(ArrayType(ShortType))).as("qlabels"),
+      explode(probeShards(col("qvec"))).as("shard"))
+
+    // only shards that received at least one query are read at all (the ids
+    // are tiny — numShards ints at most — so this driver hop is free)
+    val neededShards: Seq[Int] =
+      if (routed) q2.select("shard").distinct().collect().map(_.getInt(0)).sorted.toSeq
+      else 0 until numShards
+    val nodes = spark.read.parquet(s"$path/nodes")
+      .filter(col("shard").isin(neededShards.map(Integer.valueOf): _*))
+
+    import spark.implicits._
+    val nodesByShard = nodes.groupByKey(_.getAs[Int]("shard"))
+    val qByShard = q2.groupByKey(_.getAs[Int]("shard"))
+    val partial = nodesByShard.cogroup(qByShard) { (shard, nodeIt, queryIt) =>
+      val qs = queryIt.toArray
+      if (qs.isEmpty) Iterator.empty
+      else {
+        val searcher = GraphSearcher.getOrBuild(s"$path#$shard#$buildId",
+          () => buildShardSearcher(path, shard, nodeIt.toArray, metric, model,
+            hasLabels, dimsToIndex))
+        val tomb = tombBc.value
+        qs.iterator.flatMap { r =>
+          val qid = r.getAs[Long]("qid")
+          val qvec = Option(r.getAs[mutable.Seq[Float]]("qvec")).map(_.toArray).orNull
+          val qlabels = Option(r.getAs[mutable.Seq[Short]]("qlabels"))
+            .map(s => LabelSets.normalize(s.toArray)).orNull
+          searcher.search(qvec, k, searchListSize, rescore, qlabels,
+            rid => tomb.contains(rid), report)
+            .take(k).iterator.map { case (rid, d) => (qid, rid, d) }
+        }
+      }
+    }.toDF("qid", "row_id", "dist")
+
     partial
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("dist"), col("row_id"))))

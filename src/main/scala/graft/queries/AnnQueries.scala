@@ -142,6 +142,28 @@ object AnnQueries {
         excludeSelf = true)
     }),
 
+    // Offline batch ANN (the "neighbors for every row" workload): queries
+    // stay distributed end-to-end — shard routing via broadcast centroids,
+    // cogroup on the shard key, no driver collect of the query table.
+    "knn_ann_batch" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val path = ensureIndex(s, d, "cos", emb(s, d), labeled = false)
+      val qs = emb(s, d).filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      // 8 distinct query points must ALL hit exact top-5: widen the frontier
+      // + rescore pool for the uniform-random worst case (same rationale as
+      // knn_ann_matryoshka above)
+      DiskannIndex.searchDistributed(s, path, qs, k = 6,
+        searchListSize = 600, rescore = 400)
+        .filter(col("row_id") =!= col("qid"))
+        .select(col("qid"), col("row_id").as("vec_id"),
+          round(col("dist"), 6).as("dist"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))))
+        .filter(col("rn") <= 5).drop("rn")
+        .orderBy(col("qid"), col("dist"), col("vec_id"))
+    }),
+
     // G9: micro-batch append — main index over vec_id < 400, the rest is an
     // unindexed delta answered exactly and merged into the final top-k.
     "ann_insert_delta" -> ((s, d) => {
@@ -200,5 +222,15 @@ object AnnQueries {
     "ann_insert_delta" ->
       s"""SELECT vec_id, round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) AS dist
          |FROM embeddings WHERE vec_id <> 0 ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+    "knn_ann_batch" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |d AS (SELECT q.qid, e.vec_id,
+        |        round(1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS dist
+        |      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
+        |r AS (SELECT qid, vec_id, dist,
+        |        row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn FROM d)
+        |SELECT qid, vec_id, dist FROM r WHERE rn <= 5
+        |ORDER BY qid, dist, vec_id""".stripMargin,
   )
 }

@@ -164,6 +164,26 @@ class DiskannIndexSpec extends AnyFunSuite {
     assert(got == exactTop(11L, 10, excludeSelf = false).map(_._1))
   }
 
+  test("searchDistributed (no driver collect) matches the broadcast path") {
+    val path = "/tmp/graft_test_index/multishard"
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def norm(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val viaBroadcast = norm(DiskannIndex.search(spark, path, queries, k = 10).collect())
+    val viaCogroup = norm(DiskannIndex.searchDistributed(spark, path, queries, k = 10).collect())
+    assert(viaCogroup == viaBroadcast)
+
+    // routed variant on the IVF index from the earlier test
+    val ivfPath = "/tmp/graft_test_index/ivf_routed"
+    val n = spark.read.parquet(s"$ivfPath/nodes")
+    val q2 = n.filter(col("row_id") < 4)
+      .select(col("row_id").as("qid"), col("vec").as("qvec"))
+    val a = norm(DiskannIndex.search(spark, ivfPath, q2, 5, nProbe = 2).collect())
+    val b = norm(DiskannIndex.searchDistributed(spark, ivfPath, q2, 5, nProbe = 2).collect())
+    assert(a == b)
+  }
+
   test("null query vector searches the zero vector (labels/mod.rs:214-216)") {
     import org.apache.spark.sql.types._
     val path = "/tmp/graft_test_index/multishard"

@@ -29,9 +29,16 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(f"{out}/oracle_sql.json"))
-    names = sorted(d for d in os.listdir(out) if os.path.isdir(os.path.join(out, d)))
+    dumped = set(d for d in os.listdir(out) if os.path.isdir(os.path.join(out, d)))
+    # iterate the UNION of dumped results and declared oracles: a query whose
+    # dump failed (no result dir) must show up as FAIL, not vanish
+    names = sorted(dumped | set(oracles))
     n_pass = n_fail = n_weak = 0
     for name in names:
+        if name not in dumped:
+            print(f"FAIL       {name}: no result dump (query failed in Verify)")
+            n_fail += 1
+            continue
         files = glob.glob(f"{out}/{name}/*.parquet")
         got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
         if name not in oracles:
