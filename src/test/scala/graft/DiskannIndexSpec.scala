@@ -184,6 +184,50 @@ class DiskannIndexSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("searchDistributed honors label filters like the broadcast path") {
+    import org.apache.spark.sql.types._
+    val path = "/tmp/graft_test_index/dist_lbl"
+    val labeled = emb.withColumn("labels",
+      array((col("vec_id") % 4).cast(ShortType)))
+    DiskannIndex.build(labeled, "vec_id", "embedding", Some("labels"), path,
+      DiskannParams(metric = "cosine", shardTargetRows = 200))
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        typedlit(Array[Short](2)).cast(ArrayType(ShortType)).as("qlabels"))
+    def norm(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val a = norm(DiskannIndex.search(spark, path, queries, k = 5,
+      searchListSize = 200, rescore = 150).collect())
+    val b = norm(DiskannIndex.searchDistributed(spark, path, queries, k = 5,
+      searchListSize = 200, rescore = 150).collect())
+    assert(a == b && a.nonEmpty)
+    assert(a.forall(_._2 % 4 == 2)) // only label-2 rows emitted
+  }
+
+  test("legacy meta (pre-IVF, pre-buildId) loads with upgrade defaults") {
+    // the analog of the reference's V1/V2->V3 meta upgrade tests
+    // (upgrade_test.rs): drop the newer columns and reload
+    val src = "/tmp/graft_test_index/multishard"
+    val legacy = "/tmp/graft_test_index/legacy_meta"
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    deleteRec(new java.io.File(legacy))
+    spark.read.parquet(s"$src/nodes").write.parquet(s"$legacy/nodes")
+    spark.read.parquet(s"$src/_meta")
+      .drop("partitioner", "centroids", "shardTargetRows", "buildId")
+      .coalesce(1).write.parquet(s"$legacy/_meta")
+    val meta = DiskannIndex.loadMeta(spark, legacy)
+    assert(meta.partitioner == "hash" && meta.centroids.isEmpty &&
+      meta.shardTargetRows == (1L << 20) && meta.buildId == "legacy")
+    // and the index still serves
+    val queries = emb.filter(col("vec_id") === 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val out = DiskannIndex.search(spark, legacy, queries, k = 5).collect()
+    assert(out.length == 5 && out.map(_.getLong(1)).contains(3L))
+  }
+
   test("null query vector searches the zero vector (labels/mod.rs:214-216)") {
     import org.apache.spark.sql.types._
     val path = "/tmp/graft_test_index/multishard"
