@@ -19,7 +19,10 @@ object PlanAudit {
     // vector surface: expressions must live inside codegen stages
     "knn_exact_cosine", "vector_norms",
     // pipeline surface
-    "dedup_exact", "token_counts")
+    "dedup_exact", "token_counts", "dedup_minhash", "dedup_simhash",
+    "neardup_embedding_lsh",
+    // ANN surface: routed + distributed paths
+    "ann_ivf_routed", "knn_ann_batch")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
