@@ -59,9 +59,16 @@ object Dedup {
    * impossible and false-negative probability is 1-(1-t^r)^b (~1e-7 at the
    * default 16x4 for t=0.9).
    */
+  /** `maxBucketSize` caps LSH bucket width (0 = uncapped). Pair output is
+    * inherently quadratic in bucket size, so one degenerate bucket (e.g.
+    * boilerplate-heavy shingles at web scale) can dominate the whole job;
+    * buckets past the cap are dropped. Any TRUE near-dup pair still has
+    * b·(1-t^r) other chances to collide in the remaining bands, so the
+    * standard LSH recall bound degrades gracefully rather than the job dying
+    * — the classic web-dedup trade. Exactness-sensitive callers keep 0. */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, maxBucketSize: Long = 0): DataFrame = {
     val r = numHashes / bands
     require(bands * r == numHashes, "bands must divide numHashes")
     TextAnalysis.register(df.sparkSession)
@@ -76,10 +83,14 @@ object Dedup {
     val base = shingled(df.repartition(par), idCol, textCol, shingleSize)
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = base.select(col("id"),
+    val banded0 = base.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         j => xxhash64(j, slice(col("sig"), j * r + 1, lit(r))))))
       .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+    val banded = if (maxBucketSize <= 0) banded0
+    else banded0.withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("__n") <= maxBucketSize).drop("__n")
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&

@@ -82,6 +82,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hits >= 45, s"LSH found only $hits/50 planted twins")
   }
 
+  test("minhash maxBucketSize drops degenerate buckets but keeps planted pairs") {
+    val base = (0 until 10).map(i => (i.toLong,
+      s"unique document number $i with some distinguishing words ${i * 7} and ${i * 13}"))
+    val dups = base.map { case (i, t) => (i + 100L, t + " x") }
+    // 30 boilerplate rows that would form a giant bucket
+    val noise = (0 until 30).map(i => (1000L + i, "the same boilerplate text"))
+    val df = (base ++ dups ++ noise).toDF("doc_id", "text")
+    val capped = Dedup.minhashNearDupPairs(df, "doc_id", "text",
+      threshold = 0.7, maxBucketSize = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 10).foreach { i => assert(capped.contains((i.toLong, i + 100L))) }
+    assert(!capped.exists { case (a, b) => a >= 1000L && b >= 1000L },
+      "boilerplate bucket should have been dropped by the cap")
+  }
+
   test("bruteCosineTopPairs == naive all-pairs join, bit-identical doubles") {
     VectorFunctions.register(spark)
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
