@@ -508,7 +508,9 @@ object DiskannIndex {
     val hasDLabels = delta.columns.contains("labels")
     val qRows = queries.collect().map { r =>
       (r.getAs[Long]("qid"),
-        r.getAs[mutable.Seq[Float]]("qvec").toArray,
+        // null query vector => zero-vector search, same as the main path
+        // (labels/mod.rs:214-216)
+        Option(r.getAs[mutable.Seq[Float]]("qvec")).map(_.toArray).orNull,
         if (hasQLabels) Option(r.getAs[mutable.Seq[Short]]("qlabels"))
           .map(s => LabelSets.normalize(s.toArray)).orNull
         else null)
@@ -530,7 +532,8 @@ object DiskannIndex {
           val lbs = if (hasDLabels) Option(r.getAs[mutable.Seq[Short]]("labels"))
             .map(s => LabelSets.normalize(s.toArray)).getOrElse(Array.emptyShortArray)
           else null
-          qBc.value.iterator.flatMap { case (qid, qv, ql) =>
+          qBc.value.iterator.flatMap { case (qid, qv0, ql) =>
+            val qv = if (qv0 == null) new Array[Float](v.length) else qv0
             val ok = ql == null || (lbs != null && LabelSets.overlaps(lbs, ql))
             if (ok) Iterator.single(Row(qid, rid, report(v, qv))) else Iterator.empty
           }

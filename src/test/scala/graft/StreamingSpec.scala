@@ -45,6 +45,17 @@ class StreamingSpec extends AnyFunSuite {
       searchListSize = 200, rescore = 150).collect()
     assert(fresh.map(_.getLong(1)).contains(450L))
 
+    // null query vector against main+delta: zero-vector search, no NPE
+    val nullQ = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(99L, null)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("qid",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("qvec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType), nullable = true))))
+    assert(StreamingIngest.searchFresh(spark, path, nullQ, k = 5).collect().length == 5)
+
     // compaction folds the delta into the main graph, preserving the
     // original build params (metric/storage/R/L read back from _meta)
     val before = DiskannIndex.loadMeta(spark, path)
