@@ -152,14 +152,39 @@ object GraphSearcher {
     * into `_meta`, so after a rebuild every executor naturally misses without
     * any cross-JVM invalidation. [[invalidate]] is only an eager-eviction
     * hygiene hook for the local/same-JVM case. */
-  private val cache = new java.util.concurrent.ConcurrentHashMap[String, GraphSearcher]()
+  /** Max cached shard graphs per JVM (`spark.graft.maxCachedShards`); at
+    * cluster scale an executor may be asked to serve more shards than fit
+    * its heap, so eviction is LRU — the analog of the reference sizing its
+    * build caches by maintenance_work_mem (neighbor_store.rs:78-97). */
+  private def maxEntries: Int =
+    try {
+      val env = org.apache.spark.SparkEnv.get
+      if (env == null) 256 else env.conf.getInt("spark.graft.maxCachedShards", 256)
+    } catch { case _: Throwable => 256 }
 
-  def getOrBuild(key: String, mk: () => GraphSearcher): GraphSearcher =
-    cache.computeIfAbsent(key, _ => mk())
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, GraphSearcher](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, GraphSearcher]): Boolean =
+        size() > maxEntries
+    })
+
+  def getOrBuild(key: String, mk: () => GraphSearcher): GraphSearcher = {
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else {
+      // build OUTSIDE the map lock so concurrent tasks decode different
+      // shards in parallel; a rare duplicate build of the same immutable
+      // shard is benign (first put wins)
+      val built = mk()
+      val prev = cache.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
 
   /** Best-effort same-JVM eviction of stale builds (frees memory promptly in
     * local mode); correctness across executors comes from buildId keying. */
-  def invalidate(prefix: String): Unit = {
+  def invalidate(prefix: String): Unit = cache.synchronized {
     val it = cache.keySet().iterator()
     while (it.hasNext) if (it.next().startsWith(prefix)) it.remove()
   }

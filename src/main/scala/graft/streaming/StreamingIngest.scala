@@ -71,14 +71,24 @@ object StreamingIngest {
     DiskannIndex.build(all, "row_id", "vec",
       if (meta.hasLabels) Some("labels") else None, tmp, tune(meta.toParams))
     all.unpersist()
-    // atomic-ish swap: move new index over the old path
+    // swap via backup-then-rename: the old index (including the consumed
+    // delta) moves aside before the new one takes its place, so a crash in
+    // the window leaves a recoverable `.old` instead of no index at all;
+    // the backup is dropped only after the new index is in position
     val old = new java.io.File(indexPath)
+    val bak = new java.io.File(s"$indexPath.old")
     def deleteRec(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(deleteRec)
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
       f.delete()
     }
-    deleteRec(old)
-    new java.io.File(tmp).renameTo(old)
+    deleteRec(bak)
+    if (!old.renameTo(bak))
+      throw new java.io.IOException(s"compact: could not move $indexPath aside")
+    if (!new java.io.File(tmp).renameTo(old)) {
+      bak.renameTo(old) // restore
+      throw new java.io.IOException(s"compact: could not install $tmp")
+    }
+    deleteRec(bak)
     graft.index.GraphSearcher.invalidate(indexPath)
   }
 
