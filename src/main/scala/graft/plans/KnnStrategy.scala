@@ -116,16 +116,17 @@ class KnnStrategy(spark: SparkSession) extends SparkStrategy {
       projList: Option[Seq[NamedExpression]]): Option[SparkPlan] = {
     if (orders.length != 1 || orders.head.direction != Ascending) return None
 
-    // Peel column-pruning Projects (attribute-only) and a label filter that is
-    // EXACTLY ONE arrays_overlap(labelsCol, literal) conjunct — the only
-    // predicate the index answers natively (P1). The reference's amrescan
-    // likewise asserts at most one label key (scan.rs:344); multiple overlap
-    // conjuncts are AND semantics, which a single unioned label set would turn
-    // into OR — so anything else falls through to the brute-force plan.
+    // Peel column-pruning Projects (attribute-only) and at most one Filter.
+    // The filter splits into (a) the ONE arrays_overlap(labelsCol, literal)
+    // conjunct the index answers natively (P1 — the reference's amrescan
+    // likewise asserts at most one label key, scan.rs:344) and (b) everything
+    // else, which becomes a RESIDUAL predicate re-checked above the scan with
+    // an over-fetch loop (P4 / xs_recheck: the executor keeps pulling until
+    // LIMIT is satisfied; here the scan escalates k until enough survivors).
     var cur = inner0
     var projAttrs: Option[Seq[AttributeReference]] = None
-    var filterLabels: Option[Array[Short]] = None
-    var filterLabelCol: Option[String] = None
+    var filterConjuncts: Seq[Expression] = Nil
+    var sawFilter = false
     var ok = true
     var done = false
     while (ok && !done) cur match {
@@ -133,32 +134,14 @@ class KnnStrategy(spark: SparkSession) extends SparkStrategy {
           ps.forall(_.isInstanceOf[AttributeReference]) =>
         projAttrs = Some(ps.map(_.asInstanceOf[AttributeReference]))
         cur = child
-      case Filter(cond, child) if filterLabels.isEmpty =>
+      case Filter(cond, child) if !sawFilter =>
         def split(e: Expression): Seq[Expression] = e match {
           case And(l, r) => split(l) ++ split(r)
           case other => Seq(other)
         }
-        val conjuncts = split(cond)
-        val overlaps = conjuncts.collect {
-          case ArraysOverlap(a: AttributeReference, rhs) =>
-            evalShortArray(rhs).map(ls => (a.exprId, a.name, ls))
-          case ArraysOverlap(rhs, a: AttributeReference) =>
-            evalShortArray(rhs).map(ls => (a.exprId, a.name, ls))
-        }.flatten
-        overlaps match {
-          // exactly one overlap; the only other conjuncts tolerated are the
-          // IsNotNull(labels) Catalyst infers from it (the index already
-          // excludes null-label rows, so discarding it is semantics-preserving)
-          case Seq((exprId, name, ls)) if conjuncts.forall {
-                case ArraysOverlap(_, _) => true
-                case IsNotNull(a: AttributeReference) => a.exprId == exprId
-                case _ => false
-              } =>
-            filterLabelCol = Some(name)
-            filterLabels = Some(ls)
-            cur = child
-          case _ => ok = false
-        }
+        filterConjuncts = split(cond)
+        sawFilter = true
+        cur = child
       case _: LogicalRelation => done = true
       case _ => ok = false
     }
@@ -174,17 +157,51 @@ class KnnStrategy(spark: SparkSession) extends SparkStrategy {
         case _ => None
       }
       qvec <- evalFloatArray(rhs)
-      // a label filter is only claimable when it targets the column the index
-      // was built with — an overlap on any other array column must fall
-      // through to the native plan or we'd silently drop that predicate
-      if filterLabelCol.forall(n => entry.labelsCol.contains(n))
     } yield {
-      val outAttrs = projAttrs.getOrElse(lr.output.map(_.asInstanceOf[AttributeReference]))
-      val exec = KnnIndexScanExec(outAttrs, spark, entry, qvec, k, filterLabels,
-        sortExpr = orders.head.child)
-      projList match {
-        case Some(pl) => ProjectExec(pl, exec)
-        case None => exec
+      // pick the index-native label conjunct: exactly one arrays_overlap,
+      // and only when it targets the column the index was built with —
+      // anything else (AND of overlaps, overlap on another array column,
+      // arbitrary predicates) stays in the residual and is re-checked
+      val overlapInfo = filterConjuncts.collect {
+        case o @ ArraysOverlap(a: AttributeReference, rhs2) =>
+          evalShortArray(rhs2).map(ls => (o, a, ls))
+        case o @ ArraysOverlap(rhs2, a: AttributeReference) =>
+          evalShortArray(rhs2).map(ls => (o, a, ls))
+      }.flatten
+      val (filterLabels, residualConjuncts) = overlapInfo match {
+        case Seq((o, a, ls)) if entry.labelsCol.contains(a.name) =>
+          // drop the claimed overlap and the IsNotNull(labels) Catalyst
+          // infers from it (the index already excludes null-label rows)
+          (Some(ls), filterConjuncts.filterNot {
+            case c if c eq o => true
+            case IsNotNull(ar: AttributeReference) => ar.exprId == a.exprId
+            case _ => false
+          })
+        case _ => (None, filterConjuncts)
+      }
+      val residual = residualConjuncts.reduceOption(And)
+
+      residual match {
+        case None =>
+          val outAttrs = projAttrs.getOrElse(lr.output.map(_.asInstanceOf[AttributeReference]))
+          val exec = KnnIndexScanExec(outAttrs, spark, entry, qvec, k, filterLabels,
+            sortExpr = orders.head.child)
+          projList match {
+            case Some(pl) => ProjectExec(pl, exec)
+            case None => exec
+          }
+        case Some(cond) =>
+          // over-fetch plan: scan emits ALL fetched columns in distance order
+          // (escalating k internally until >= k residual survivors), the
+          // residual FilterExec re-checks exactly, and Spark's own
+          // TakeOrderedAndProject applies the final sort+limit+projection
+          val fullAttrs = lr.output.map(_.asInstanceOf[AttributeReference])
+          val exec = KnnIndexScanExec(fullAttrs, spark, entry, qvec, k,
+            filterLabels, sortExpr = orders.head.child, residual = Some(cond))
+          val projectOut: Seq[NamedExpression] =
+            projList.getOrElse(projAttrs.getOrElse(fullAttrs))
+          org.apache.spark.sql.execution.TakeOrderedAndProjectExec(
+            k, orders, projectOut, FilterExec(cond, exec))
       }
     }
   }
@@ -199,7 +216,8 @@ class KnnStrategy(spark: SparkSession) extends SparkStrategy {
  */
 case class KnnIndexScanExec(outAttrs: Seq[AttributeReference], spark: SparkSession,
     entry: KnnCatalog.Entry, queryVec: Array[Float], k: Int,
-    filterLabels: Option[Array[Short]], sortExpr: Expression)
+    filterLabels: Option[Array[Short]], sortExpr: Expression,
+    residual: Option[Expression] = None)
     extends LeafExecNode {
 
   import org.apache.spark.sql.execution.metric.SQLMetrics
@@ -226,36 +244,87 @@ case class KnnIndexScanExec(outAttrs: Seq[AttributeReference], spark: SparkSessi
         typedlit(ls).cast(org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.ShortType)))
     }
-    val hits = DiskannIndex.search(spark, entry.indexPath, queries, k,
-      searchList, rescore, metrics = Some(DiskannIndex.SearchMetrics(
-        longMetric("numNodesVisited"), longMetric("numQuantizedCmps"),
-        longMetric("numExactCmps"))), nProbe = nProbe).collect()
-    val rank: Map[Long, Int] = hits.sortBy(r => (r.getDouble(2), r.getLong(1)))
-      .zipWithIndex.map { case (r, i) => r.getLong(1) -> i }.toMap
+    def searchK(kk: Int): Array[org.apache.spark.sql.Row] =
+      DiskannIndex.search(spark, entry.indexPath, queries, kk,
+        math.max(searchList, kk), rescore, metrics = Some(DiskannIndex.SearchMetrics(
+          longMetric("numNodesVisited"), longMetric("numQuantizedCmps"),
+          longMetric("numExactCmps"))), nProbe = nProbe).collect()
 
-    // heap fetch (S5): k-row IN-filter scan of the source relation, with the
-    // projection pruned to this node's output columns (+ the id for ranking)
+    // heap fetch (S5): a kk-row IN-filter scan of the source relation, with
+    // the projection pruned to this node's output columns (+ the id)
     val wantCols = outAttrs.map(_.name)
     val fetchCols = if (wantCols.contains(entry.idCol)) wantCols
       else wantCols :+ entry.idCol
-    val src = spark.read.parquet(entry.sourcePath)
-      .filter(col(entry.idCol).isin(rank.keys.toSeq.map(Long.box): _*))
-      .select(fetchCols.map(col): _*)
     val idIdx = fetchCols.indexOf(entry.idCol)
+    def fetchRanked(hits: Array[org.apache.spark.sql.Row]): Array[InternalRow] = {
+      val rank: Map[Long, Int] = hits.sortBy(r => (r.getDouble(2), r.getLong(1)))
+        .zipWithIndex.map { case (r, i) => r.getLong(1) -> i }.toMap
+      spark.read.parquet(entry.sourcePath)
+        .filter(col(entry.idCol).isin(rank.keys.toSeq.map(Long.box): _*))
+        .select(fetchCols.map(col): _*)
+        .queryExecution.toRdd.map(_.copy()).collect()
+        .sortBy(r => rank.getOrElse(r.getLong(idIdx), Int.MaxValue))
+    }
     val nOut = wantCols.length
-    val fetched = src.queryExecution.toRdd.map(_.copy()).collect()
-      .sortBy(r => rank.getOrElse(r.getLong(idIdx), Int.MaxValue))
-      .take(k)
-    longMetric("numHeapFetches").add(fetched.length)
-    val emitted = fetched
-      .map { r =>
+    def project(rows: Array[InternalRow]): Seq[InternalRow] =
+      rows.map { r =>
         if (fetchCols.length == nOut) r
         else InternalRow.fromSeq((0 until nOut).map(i => r.get(i, outAttrs(i).dataType)))
-      }
-    sparkContext.parallelize(emitted.toSeq, 1)
+      }.toSeq
+
+    val emitted: Seq[InternalRow] = residual match {
+      case None =>
+        val fetched = fetchRanked(searchK(k)).take(k)
+        longMetric("numHeapFetches").add(fetched.length)
+        project(fetched)
+
+      case Some(cond) =>
+        // over-fetch loop (P4 recheck / "executor keeps pulling"): escalate
+        // k until >= k rows survive the residual predicate, the index is
+        // exhausted, or everything was fetched; all fetched rows are emitted
+        // in distance order — the FilterExec/TakeOrdered above finish it
+        val colIdx = fetchCols.zipWithIndex.toMap
+        val bound = cond.transform {
+          case a: AttributeReference =>
+            BoundReference(colIdx(a.name), a.dataType, a.nullable)
+        }
+        val pred = Predicate.create(bound)
+        pred.initialize(0)
+        val total = DiskannIndex.loadMeta(spark, entry.indexPath).numRows
+        var kk = math.max(k * 4L, 64L).min(Int.MaxValue).toInt
+        var result: Array[InternalRow] = null
+        var done = false
+        while (!done) {
+          val hits = searchK(kk)
+          val fetched = fetchRanked(hits)
+          // position of the k-th survivor in the distance ranking: stopping
+          // is only safe when it sits in the TOP HALF of what we fetched —
+          // ANN ordering is least reliable at the deep end of the frontier,
+          // so a k-th survivor near rank kk forces another escalation round
+          var survivors = 0
+          var posKth = Int.MaxValue
+          var i = 0
+          while (i < fetched.length && survivors < k) {
+            if (pred.eval(fetched(i))) {
+              survivors += 1
+              if (survivors == k) posKth = i
+            }
+            i += 1
+          }
+          if ((survivors >= k && posKth <= kk / 2) ||
+              hits.length < kk || kk >= total) {
+            result = fetched
+            done = true
+          } else kk = (kk * 4L).min(math.max(total, kk.toLong)).min(Int.MaxValue).toInt
+        }
+        longMetric("numHeapFetches").add(result.length)
+        project(result)
+    }
+    sparkContext.parallelize(emitted, 1)
   }
 
   override def simpleString(maxFields: Int): String =
     s"KnnIndexScan k=$k metric=${entry.metric} index=${entry.indexPath}" +
-      filterLabels.map(l => s" labels=[${l.mkString(",")}]").getOrElse("")
+      filterLabels.map(l => s" labels=[${l.mkString(",")}]").getOrElse("") +
+      residual.map(r => s" recheck=${r.sql}").getOrElse("")
 }

@@ -59,18 +59,43 @@ class KnnStrategySpec extends AnyFunSuite {
     assert(!plan.contains("KnnIndexScan"))
   }
 
-  test("descending order and extra predicates fall back to native plan") {
+  test("descending order falls back; residual predicates plan as recheck") {
     setup
     val desc = spark.sql(
       s"""SELECT vec_id FROM parquet.`$srcPath`
          |ORDER BY vec_cosine_dist(embedding, $qvecSql) DESC LIMIT 5""".stripMargin)
     assert(!desc.queryExecution.executedPlan.toString.contains("KnnIndexScan"))
+    // a non-label WHERE becomes a residual recheck above the index scan
+    // (P4 / xs_recheck) with an over-fetch loop, not a brute-force fallback
     val filtered = spark.sql(
       s"""SELECT vec_id FROM parquet.`$srcPath` WHERE vec_id > 100
          |ORDER BY vec_cosine_dist(embedding, $qvecSql) LIMIT 5""".stripMargin)
-    assert(!filtered.queryExecution.executedPlan.toString.contains("KnnIndexScan"))
-    // correctness of the fallback itself
-    assert(filtered.collect().length == 5)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("KnnIndexScan") && plan.contains("recheck"), s"plan:\n$plan")
+    val got = filtered.collect().map(_.getLong(0)).toSeq
+    val brute = spark.read.parquet(srcPath).filter($"vec_id" > 100)
+      .crossJoin(broadcast(spark.read.parquet(srcPath).filter($"vec_id" === 0)
+        .select($"embedding".as("q"))))
+      .select($"vec_id", vec_cosine_dist($"embedding", $"q").as("d"))
+      .orderBy($"d", $"vec_id").limit(5).collect().map(_.getLong(0)).toSeq
+    assert(got == brute)
+  }
+
+  test("highly selective residual escalates the over-fetch until k survive") {
+    setup
+    // ~1% of rows survive: forces at least one k escalation round
+    val q = spark.sql(
+      s"""SELECT vec_id FROM parquet.`$srcPath` WHERE vec_id % 50 = 7
+         |ORDER BY vec_cosine_dist(embedding, $qvecSql) LIMIT 5""".stripMargin)
+    assert(q.queryExecution.executedPlan.toString.contains("recheck"))
+    val got = q.collect().map(_.getLong(0)).toSeq
+    assert(got.length == 5 && got.forall(_ % 50 == 7))
+    val brute = spark.read.parquet(srcPath).filter($"vec_id" % 50 === 7)
+      .crossJoin(broadcast(spark.read.parquet(srcPath).filter($"vec_id" === 0)
+        .select($"embedding".as("q"))))
+      .select($"vec_id", vec_cosine_dist($"embedding", $"q").as("d"))
+      .orderBy($"d", $"vec_id").limit(5).collect().map(_.getLong(0)).toSeq
+    assert(got == brute)
   }
 
   test("label gate: one overlap on labelsCol claimed; AND of two or wrong column falls back") {
@@ -99,16 +124,17 @@ class KnnStrategySpec extends AnyFunSuite {
 
     // AND of two overlaps: no row carries both 1 and 2 (1 -> id%4==1,
     // 2 -> id%4==2 are disjoint), so the correct answer is EMPTY. The old
-    // unioned-label-set gate would have claimed the plan and returned
-    // OR-semantics rows — this must fall through to the native plan instead.
+    // unioned-label-set gate claimed this with OR semantics; now the whole
+    // conjunction is a residual recheck — exact AND, zero survivors, even
+    // after the over-fetch loop exhausts the index.
     val anded = q(s"arrays_overlap(labels, ${sArr(1)}) AND arrays_overlap(labels, ${sArr(2)})")
-    assert(!anded.queryExecution.executedPlan.toString.contains("KnnIndexScan"))
+    assert(anded.queryExecution.executedPlan.toString.contains("recheck"))
     assert(anded.collect().isEmpty)
 
-    // an overlap on an array column the index was not built with must not be
-    // claimed (the index cannot answer it; claiming would drop the predicate)
+    // an overlap on an array column the index was NOT built with cannot be
+    // claimed as the index filter — it must be re-checked as residual
     val wrongCol = q(s"arrays_overlap(tags, ${sArr(1)})")
-    assert(!wrongCol.queryExecution.executedPlan.toString.contains("KnnIndexScan"))
+    assert(wrongCol.queryExecution.executedPlan.toString.contains("recheck"))
     val wc = wrongCol.collect().map(_.getLong(0))
     assert(wc.length == 5 && wc.forall(_ % 5 == 1))
   }
