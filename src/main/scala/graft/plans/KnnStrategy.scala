@@ -157,6 +157,13 @@ class KnnStrategy(spark: SparkSession) extends SparkStrategy {
         case _ => None
       }
       qvec <- evalFloatArray(rhs)
+      // the residual is re-evaluated row-at-a-time inside the scan's
+      // over-fetch loop, so it must be deterministic, subquery-free, and
+      // bound entirely to the relation's columns — anything else falls
+      // back to the native plan
+      if filterConjuncts.forall(c => c.deterministic &&
+        c.references.subsetOf(cur.outputSet) &&
+        !c.exists(_.isInstanceOf[PlanExpression[_]]))
     } yield {
       // pick the index-native label conjunct: exactly one arrays_overlap,
       // and only when it targets the column the index was built with —

@@ -81,6 +81,23 @@ class KnnStrategySpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("subquery and non-deterministic residuals fall back to native plan") {
+    setup
+    val sub = spark.sql(
+      s"""SELECT vec_id FROM parquet.`$srcPath`
+         |WHERE vec_id > (SELECT min(vec_id) + 100 FROM parquet.`$srcPath`)
+         |ORDER BY vec_cosine_dist(embedding, $qvecSql) LIMIT 5""".stripMargin)
+    assert(!sub.queryExecution.executedPlan.toString.contains("KnnIndexScan"))
+    assert(sub.collect().length == 5) // native plan answers it correctly
+    // rand() is non-deterministic: the residual cannot be re-evaluated in
+    // the scan's over-fetch loop, so the plan must stay native
+    val rand = spark.sql(
+      s"""SELECT vec_id FROM parquet.`$srcPath` WHERE rand(7) < 0.9
+         |ORDER BY vec_cosine_dist(embedding, $qvecSql) LIMIT 5""".stripMargin)
+    assert(!rand.queryExecution.executedPlan.toString.contains("KnnIndexScan"))
+    assert(rand.collect().length <= 5)
+  }
+
   test("highly selective residual escalates the over-fetch until k survive") {
     setup
     // ~1% of rows survive: forces at least one k escalation round
