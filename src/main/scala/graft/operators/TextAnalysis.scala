@@ -69,13 +69,16 @@ object TextAnalysis {
    * Quality signals in the Gopher/C4 style, as a staged DataFrame transform:
    * the expensive pieces (tokenize, regex strips, stopword filter) are
    * materialized exactly once per row, then ratios and the composite score
-   * are cheap arithmetic over those columns.
+   * are cheap arithmetic over those columns. The language prediction rides
+   * along for free (it reads the same materialized token column), so curation
+   * pipelines get lang + quality in ONE tokenization pass.
    */
   def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val text = col(textCol)
     val raw = df.select(col(idCol), text,
       tokens(text).as("__toks"))
     val parts = raw.select(col(idCol),
+      langIdFromTokens(col("__toks")).as("lang"),
       size(col("__toks")).cast(DoubleType).as("__n_tok"),
       length(text).cast(DoubleType).as("__n_char"),
       length(regexp_replace(text, "\\s", "")).cast(DoubleType).as("__strip"),
@@ -85,6 +88,7 @@ object TextAnalysis {
       stopwordHits(col("__toks"), stopwords("en")).cast(DoubleType).as("__stop"))
     val nTok = col("__n_tok"); val nChar = col("__n_char")
     val ratios = parts.select(col(idCol),
+      col("lang"),
       nTok.cast("long").as("n_tokens"),
       when(nTok > 0, col("__strip") / nTok).otherwise(0.0).as("avg_token_len"),
       when(nChar > 0, col("__alpha") / nChar).otherwise(0.0).as("alpha_ratio"),

@@ -133,6 +133,50 @@ object PipelineQueries {
         .select(col("id").as("vec_id"), round(col("dist"), 6).as("dist"))
     }),
 
+    // ---- composed curation pipeline ----
+    // the ops compose as ordinary DataFrame stages: quality + language gate,
+    // then exact-dedup keeping the canonical (minimum) doc per content hash —
+    // the standard pretraining-corpus curation shape, in one declarative plan
+    "pipeline_curate" -> ((s, d) => {
+      // dedup FIRST (identical text => identical score/lang, so the result is
+      // unchanged but only canonical docs pay the scoring pass). The winner
+      // set is computed from (hash, id) pairs only — the full text column
+      // never crosses a shuffle: one tiny groupBy, then a semi-join that
+      // Spark broadcasts while the id set fits (AQE decides at scale)
+      val winners = docs(s, d)
+        .select(md5(col("text")).as("__h"), col("doc_id"))
+        .groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val canonical = docs(s, d).join(broadcast(winners), Seq("doc_id"), "left_semi")
+      // materialize the scored table before filtering: predicate pushdown
+      // would otherwise re-inline the interpreted tokenizer HOFs into the
+      // condition below the staged projections (no CSE — several extra full
+      // tokenization passes). Persisting the tiny metrics table is the
+      // in-session form of a pipeline writing its score table out.
+      val scored = TextAnalysis.quality(canonical, "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("quality_score"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      scored
+        .filter(col("quality_score") >= 0.5 && col("lang") === "en")
+        .select(col("doc_id"), col("lang"),
+          round(col("quality_score"), 6).as("quality_score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // per-language corpus statistics with exact percentiles; tokens are
+    // materialized ONCE (HOFs are interpreted — no CSE across lang + count)
+    "corpus_stats" -> ((s, d) =>
+      docs(s, d)
+        .select(TextAnalysis.tokens(col("text")).as("__w"))
+        .select(TextAnalysis.langIdFromTokens(col("__w")).as("lang"),
+          size(col("__w")).cast("long").as("n_tokens"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          round(avg(col("n_tokens")), 6).as("mean_tokens"),
+          round(expr("percentile(n_tokens, 0.5)"), 6).as("median_tokens"))
+        .orderBy(col("lang"))),
+
     // ---- multimodal ----
     "multimodal_meta" -> ((s, d) =>
       Multimodal.decodeMeta(Multimodal.mediaFromDocuments(docs(s, d)))
@@ -299,6 +343,54 @@ object PipelineQueries {
         |  CAST(greatest(CAST(floor(octet_length(encode(text)) / 256.0) AS INT) - 1, 0) + 1
         |       AS BIGINT) AS n_frames
         |FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id""".stripMargin,
+
+    "pipeline_curate" ->
+      s"""WITH t AS (SELECT doc_id, text, $sqlTokens AS w FROM documents),
+         |h AS (SELECT doc_id, text, w, ${hitsSql("en")} AS h_en, ${hitsSql("es")} AS h_es,
+         |             ${hitsSql("de")} AS h_de, ${hitsSql("fr")} AS h_fr,
+         |             ${hitsSql("zh")} AS h_zh FROM t),
+         |q AS (SELECT doc_id, text,
+         |  CASE WHEN h_zh > greatest(0, h_en, h_es, h_de, h_fr) THEN 'zh'
+         |       WHEN h_fr > greatest(0, h_en, h_es, h_de) THEN 'fr'
+         |       WHEN h_de > greatest(0, h_en, h_es) THEN 'de'
+         |       WHEN h_es > greatest(0, h_en) THEN 'es'
+         |       WHEN h_en > 0 THEN 'en'
+         |       ELSE 'und' END AS lang,
+         |  len(w) AS n_tokens,
+         |  CASE WHEN len(w) > 0 THEN CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(w) ELSE 0.0 END AS avg_token_len,
+         |  CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS alpha_ratio,
+         |  CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS digit_ratio,
+         |  CASE WHEN len(w) > 0 THEN CAST(len(list_filter(w, x -> x IN ($enList))) AS DOUBLE) / len(w) ELSE 0.0 END AS stopword_ratio
+         |  FROM h),
+         |sc AS (SELECT doc_id, text, lang,
+         |  alpha_ratio * 0.4 + least(stopword_ratio * 5.0, 1.0) * 0.3 +
+         |  (CASE WHEN avg_token_len >= 3 AND avg_token_len <= 10 THEN 1.0 ELSE 0.0 END) * 0.2 +
+         |  (1.0 - least(digit_ratio * 5.0, 1.0)) * 0.1 AS quality_score
+         |  FROM q),
+         |f AS (SELECT doc_id, lang, quality_score,
+         |        row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |      FROM sc WHERE quality_score >= 0.5 AND lang = 'en')
+         |SELECT doc_id, lang, round(quality_score, 6) AS quality_score
+         |FROM f WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "corpus_stats" ->
+      s"""WITH t AS (SELECT doc_id, text, $sqlTokens AS w FROM documents),
+         |h AS (SELECT doc_id, len(w) AS n_tokens, ${hitsSql("en")} AS h_en, ${hitsSql("es")} AS h_es,
+         |             ${hitsSql("de")} AS h_de, ${hitsSql("fr")} AS h_fr,
+         |             ${hitsSql("zh")} AS h_zh FROM t),
+         |l AS (SELECT
+         |  CASE WHEN h_zh > greatest(0, h_en, h_es, h_de, h_fr) THEN 'zh'
+         |       WHEN h_fr > greatest(0, h_en, h_es, h_de) THEN 'fr'
+         |       WHEN h_de > greatest(0, h_en, h_es) THEN 'de'
+         |       WHEN h_es > greatest(0, h_en) THEN 'es'
+         |       WHEN h_en > 0 THEN 'en'
+         |       ELSE 'und' END AS lang,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens FROM h)
+         |SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |       round(avg(n_tokens), 6) AS mean_tokens,
+         |       round(quantile_cont(n_tokens, 0.5), 6) AS median_tokens
+         |FROM l GROUP BY 1 ORDER BY lang""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id AS media_id,
