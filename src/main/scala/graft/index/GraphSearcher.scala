@@ -182,6 +182,9 @@ object GraphSearcher {
     }
   }
 
+  /** Current number of cached shard graphs in this JVM (ops/test hook). */
+  def cachedCount: Int = cache.size()
+
   /** Best-effort same-JVM eviction of stale builds (frees memory promptly in
     * local mode); correctness across executors comes from buildId keying. */
   def invalidate(prefix: String): Unit = cache.synchronized {

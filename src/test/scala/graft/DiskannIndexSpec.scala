@@ -228,6 +228,30 @@ class DiskannIndexSpec extends AnyFunSuite {
     assert(out.length == 5 && out.map(_.getLong(1)).contains(3L))
   }
 
+  test("executor shard-graph cache evicts LRU past spark.graft.maxCachedShards") {
+    val env = org.apache.spark.SparkEnv.get
+    val prev = env.conf.getOption("spark.graft.maxCachedShards")
+    env.conf.set("spark.graft.maxCachedShards", "2")
+    try {
+      graft.index.GraphSearcher.invalidate("") // clear everything
+      assert(graft.index.GraphSearcher.cachedCount == 0)
+      val queries = emb.filter(col("vec_id") === 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      // searching the 4-shard index builds 4 searchers; only 2 may remain
+      val out = DiskannIndex.search(spark, "/tmp/graft_test_index/multishard",
+        queries, k = 5).collect()
+      assert(out.length == 5)
+      assert(graft.index.GraphSearcher.cachedCount <= 2,
+        s"cache held ${graft.index.GraphSearcher.cachedCount} > bound 2")
+    } finally {
+      prev match {
+        case Some(v) => env.conf.set("spark.graft.maxCachedShards", v)
+        case None => env.conf.remove("spark.graft.maxCachedShards")
+      }
+      graft.index.GraphSearcher.invalidate("")
+    }
+  }
+
   test("null query vector searches the zero vector (labels/mod.rs:214-216)") {
     import org.apache.spark.sql.types._
     val path = "/tmp/graft_test_index/multishard"
