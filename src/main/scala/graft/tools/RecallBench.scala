@@ -1,0 +1,87 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.index.{DiskannIndex, DiskannParams}
+
+/**
+ * Recall harness (the reference's own quality gate, measured: recall@10 vs
+ * exact ground truth must be >= 0.9 — filtering_tests.rs:1005-1020). Runs at
+ * an sf dir (default sf0.1, arg 1 overrides) over ~50 deterministic query
+ * points and reports one JSON line:
+ *
+ *   {"metric":"recall10","configs":{"<name>":r,...},"k":10,"nq":N,"sf":dir}
+ *
+ * Configs: reference query GUC defaults (L=100, rescore=50), the widened
+ * uniform-random setting the bench queries use (L=200, rescore=150), and
+ * IVF routing at nProbe=2 of 8 shards.
+ */
+object RecallBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    VectorFunctions.register(spark)
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
+    def ensure(name: String, params: DiskannParams): String = {
+      val path = s"/tmp/graft_recall/$tag/$name"
+      if (!new java.io.File(s"$path/_meta/_SUCCESS").exists())
+        DiskannIndex.build(e, "vec_id", "embedding", None, path, params)
+      path
+    }
+    val cosPath = ensure("cos", DiskannParams(metric = "cosine"))
+    val plainPath = ensure("plain", DiskannParams(metric = "cosine", storage = "plain"))
+    val ivfPath = ensure("ivf", DiskannParams(metric = "cosine",
+      partitioner = "ivf", shardTargetRows =
+        math.max(1L, e.count() / 8)))
+
+    val k = 10
+    val queries = e.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val nq = queries.count()
+
+    // exact ground truth: brute-force per-query top-k
+    val exact = e.crossJoin(broadcast(queries))
+      .select(col("qid"), col("vec_id"),
+        VectorFunctions.vec_cosine_dist(col("embedding"), col("qvec")).as("d"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id"))
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+    def recallOf(res: DataFrame): Double = {
+      val got = res.collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val rs = exact.map { case (qid, truth) =>
+        got.get(qid).map(g => g.intersect(truth).size.toDouble / k).getOrElse(0.0)
+      }
+      rs.sum / rs.size
+    }
+
+    val configs = Seq(
+      ("guc_defaults_L100_r50", cosPath, 100, 50, 0),
+      ("plain_L100_r50", plainPath, 100, 50, 0),
+      ("widened_L200_r150", cosPath, 200, 150, 0),
+      ("wide_L400_r300", cosPath, 400, 300, 0),
+      ("wide_L800_r600", cosPath, 800, 600, 0),
+      ("ivf_nprobe2_L200_r150", ivfPath, 200, 150, 2),
+      ("ivf_nprobe4_L400_r300", ivfPath, 400, 300, 4))
+    val results = configs.map { case (name, path, l, r, np) =>
+      name -> recallOf(DiskannIndex.search(spark, path, queries, k, l, r, nProbe = np))
+    }
+    val js = results.map { case (n, v) => "\"" + n + f"""\":$v%.4f""" }
+      .mkString("{", ",", "}")
+    println(f"""{"metric":"recall10","configs":$js,"k":$k,"nq":$nq,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
