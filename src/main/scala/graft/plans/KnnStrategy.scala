@@ -45,6 +45,8 @@ object KnnCatalog {
 
   def lookup(sourcePath: String): Option[Entry] = registry.get(norm(sourcePath))
 
+  def unregister(sourcePath: String): Unit = registry.remove(norm(sourcePath))
+
   def clear(): Unit = registry.clear()
 }
 
@@ -57,6 +59,38 @@ object Graft {
     if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[KnnStrategy]))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ new KnnStrategy(spark)
+  }
+
+  /**
+   * The `CREATE INDEX ... USING diskann` analog in one call: build the
+   * DiskANN index over a parquet source, register it for planner rewrites,
+   * and enable the strategy — after this, plain
+   * `ORDER BY <dist>(vecCol, q) LIMIT k` SQL/DataFrame queries over the
+   * source are served by the index.
+   */
+  def createIndex(spark: SparkSession, sourcePath: String, idCol: String,
+      vecCol: String, indexPath: String, labelsCol: Option[String] = None,
+      params: graft.index.DiskannParams = graft.index.DiskannParams()): Unit = {
+    graft.index.DiskannIndex.build(spark.read.parquet(sourcePath), idCol,
+      vecCol, labelsCol, indexPath, params)
+    KnnCatalog.register(sourcePath, KnnCatalog.Entry(indexPath, sourcePath,
+      idCol, vecCol, labelsCol, params.metric))
+    enable(spark)
+  }
+
+  /** `DROP INDEX` analog: unregister (queries fall back to brute force) and
+    * optionally delete the index files. */
+  def dropIndex(sourcePath: String, deleteFiles: Boolean = false): Unit = {
+    val entry = KnnCatalog.lookup(sourcePath)
+    KnnCatalog.unregister(sourcePath)
+    if (deleteFiles) entry.foreach { e =>
+      def rec(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rec))
+        f.delete()
+      }
+      rec(new java.io.File(e.indexPath))
+      graft.index.GraphSearcher.invalidate(e.indexPath)
+    }
   }
 }
 

@@ -190,6 +190,24 @@ class KnnStrategySpec extends AnyFunSuite {
     }
   }
 
+  test("createIndex/dropIndex lifecycle: one call to index, fallback on drop") {
+    setup
+    val src = "/tmp/graft_test_index/lifecycle_src"
+    spark.read.parquet(srcPath).write.mode("overwrite").parquet(src)
+    Graft.createIndex(spark, src, "vec_id", "embedding",
+      "/tmp/graft_test_index/lifecycle_idx",
+      params = DiskannParams(metric = "cosine"))
+    def plan = spark.sql(
+      s"""SELECT vec_id FROM parquet.`$src`
+         |ORDER BY vec_cosine_dist(embedding, $qvecSql) LIMIT 5""".stripMargin)
+    assert(plan.queryExecution.executedPlan.toString.contains("KnnIndexScan"))
+    assert(plan.collect().length == 5)
+    Graft.dropIndex(src, deleteFiles = true)
+    assert(!plan.queryExecution.executedPlan.toString.contains("KnnIndexScan"))
+    assert(plan.collect().length == 5) // brute force still answers
+    assert(!new java.io.File("/tmp/graft_test_index/lifecycle_idx").exists())
+  }
+
   test("DataFrame API ORDER BY dist LIMIT also plans through the index") {
     setup
     val e = spark.read.parquet(srcPath)
