@@ -89,6 +89,41 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(schema))
   }
 
+  /**
+   * STUB resize for image payloads: deterministic byte downsampling to a
+   * byte budget of targetW*targetH/4 (every `stride`-th byte, stride chosen
+   * so the output fits the budget) — a real implementation decodes, scales,
+   * and re-encodes here. Partition-local batch pass, no shuffle; output
+   * schema (media_id, width, height, n_bytes, payload) is what a decoder
+   * would produce.
+   */
+  def resizeImages(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val budget = targetW * targetH / 4
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    media.filter(col("modality") === "image").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getAs[Long]("media_id")
+        val p = r.getAs[Array[Byte]]("payload")
+        val out =
+          if (p.length <= budget) p
+          else {
+            val stride = math.ceil(p.length.toDouble / budget).toInt
+            val n = math.ceil(p.length.toDouble / stride).toInt
+            val b = new Array[Byte](n)
+            var i = 0
+            while (i < n) { b(i) = p(i * stride); i += 1 }
+            b
+          }
+        Row(id, targetW, targetH, out.length.toLong, out)
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   /** Frame sampling for video payloads: every `stride`-th fixed-size chunk of
     * the payload stands in for a decoded frame (explode keeps it columnar). */
   def sampleFrames(media: DataFrame, frameBytes: Int = 64, stride: Int = 4): DataFrame =

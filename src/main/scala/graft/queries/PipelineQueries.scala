@@ -70,6 +70,15 @@ object PipelineQueries {
         TextAnalysis.tokenCount(col("text")).as("n_tokens"))
         .orderBy(col("doc_id"))),
 
+    // BPE-ish subword counts: whitespace tokens plus splits at lower→upper/
+    // digit boundaries and before punctuation (lookaround regex in Spark;
+    // the oracle simulates the split points char-by-char since RE2 has no
+    // lookaround)
+    "subword_counts" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+        .orderBy(col("doc_id"))),
+
     "text_quality" -> ((s, d) =>
       TextAnalysis.quality(docs(s, d), "doc_id", "text")
         .select(col("doc_id"), col("n_tokens"),
@@ -187,6 +196,13 @@ object PipelineQueries {
       Multimodal.sampleFrames(Multimodal.mediaFromDocuments(docs(s, d)))
         .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
         .orderBy(col("media_id"))),
+
+    // stub resize of image payloads to 64x48 (byte budget 768): the output
+    // length is a closed form over input byte length, so oracle-checkable
+    "multimodal_resize" -> ((s, d) =>
+      Multimodal.resizeImages(Multimodal.mediaFromDocuments(docs(s, d)), 64, 48)
+        .select(col("media_id"), col("width"), col("height"), col("n_bytes"))
+        .orderBy(col("media_id"))),
   )
 
   private val enList = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
@@ -259,6 +275,28 @@ object PipelineQueries {
     "token_counts" ->
       s"""SELECT doc_id, len($sqlTokens) AS n_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // char-level simulation of the lookaround split: a subword STARTS at a
+    // non-space char that is at position 1, after a space, after a
+    // lower→upper/digit boundary, or is itself punctuation (non-\w)
+    "subword_counts" ->
+      """WITH t AS (SELECT doc_id, trim(text) AS s FROM documents)
+        |SELECT doc_id, len([1 for i in range(1, length(s) + 1)
+        |  if NOT regexp_matches(substr(s, CAST(i AS INT), 1), '\s')
+        |     AND (i = 1 OR regexp_matches(substr(s, CAST(i AS INT) - 1, 1), '\s')
+        |          OR (regexp_matches(substr(s, CAST(i AS INT) - 1, 1), '[a-z]')
+        |              AND regexp_matches(substr(s, CAST(i AS INT), 1), '[A-Z0-9]'))
+        |          OR regexp_matches(substr(s, CAST(i AS INT), 1), '[^A-Za-z0-9_\s]'))]) AS n_subwords
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    // images only (doc_id % 3 == 0); resized length =
+    // ceil(len / ceil(len / 768)) capped at the 768-byte budget
+    "multimodal_resize" ->
+      """SELECT doc_id AS media_id, 64 AS width, 48 AS height,
+        |  CAST(CASE WHEN octet_length(encode(text)) <= 768 THEN octet_length(encode(text))
+        |       ELSE CAST(ceil(octet_length(encode(text)) /
+        |            ceil(octet_length(encode(text)) / 768.0)) AS BIGINT) END AS BIGINT) AS n_bytes
+        |FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""".stripMargin,
 
     "text_quality" ->
       s"""WITH t AS (SELECT doc_id, text, $sqlTokens AS w FROM documents),
