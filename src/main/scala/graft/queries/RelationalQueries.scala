@@ -64,6 +64,33 @@ object RelationalQueries {
         .select(col("user_id"), col("total_value"), col("n_events"), col("rnk"))
     }),
 
+    // gap-based sessionization, batch form (the declarative twin of
+    // streaming sessionize in graft.streaming): lag -> new-session flag ->
+    // running session id -> per-session aggregate. Pure integer millisecond
+    // math so the oracle compare is exact.
+    "sessions_batch" -> ((s, d) => {
+      val gapMs = 30L * 60 * 1000
+      val ev = {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // integral div: nanos exceed double's 53-bit mantissa, so float
+        // division could land one ms off on boundary values
+        t(s, d, "events").select(col("user_id"),
+          expr("ts div 1000000").as("ts_ms"), col("value"))
+      }
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+      ev.withColumn("new_sess",
+          when(col("ts_ms") - lag(col("ts_ms"), 1).over(w) <= gapMs, 0).otherwise(1))
+        .withColumn("sess_id", sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(min(col("ts_ms")).as("session_start"),
+          max(col("ts_ms")).as("session_end"),
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("sum_value"))
+        .drop("sess_id")
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // time-bucketed streaming-style aggregation (batch form; the streaming
     // variant lives in graft.streaming)
     "events_hourly" -> ((s, d) =>
@@ -97,6 +124,22 @@ object RelationalQueries {
         |r AS (SELECT user_id, total_value, n_events,
         |        row_number() OVER (ORDER BY total_value DESC, user_id) AS rnk FROM agg)
         |SELECT user_id, total_value, n_events, rnk FROM r WHERE rnk <= 10""".stripMargin,
+    "sessions_batch" ->
+      """WITH e AS (SELECT user_id, CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS ts_ms, value
+        |           FROM events),
+        |f AS (SELECT user_id, ts_ms, value,
+        |        CASE WHEN ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) <= 1800000
+        |             THEN 0 ELSE 1 END AS new_sess
+        |      FROM e),
+        |g AS (SELECT user_id, ts_ms, value,
+        |        sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms
+        |                            ROWS UNBOUNDED PRECEDING) AS sess_id
+        |      FROM f)
+        |SELECT user_id, min(ts_ms) AS session_start, max(ts_ms) AS session_end,
+        |       count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM g GROUP BY user_id, sess_id
+        |ORDER BY user_id, session_start""".stripMargin,
+
     "events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |       count(*) AS n, round(sum(value), 4) AS sum_value
