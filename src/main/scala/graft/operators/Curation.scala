@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Corpus-curation operators for large-scale training-data pipelines:
+ * deterministic stratified sampling, vocabulary statistics, PII scrubbing,
+ * benchmark decontamination, and duplicate-cluster assignment (connected
+ * components over a near-dup pair graph). Everything is built from codegen'd
+ * Catalyst built-ins; the only iteration (connected components) converges in
+ * O(cluster diameter) rounds of one shuffle each.
+ */
+object Curation {
+
+  /** Uniform [0,1) derived from md5 of `seed:id` (low 60 bits / 2^60).
+    * Deterministic and engine-independent — any SQL engine with md5() can
+    * recompute the exact same sample, which makes sampled pipelines
+    * reproducible and auditable (no engine RNG, no partition-order
+    * dependence). */
+  def md5Uniform(seed: String, id: Column): Column =
+    conv(substring(md5(concat_ws(":", lit(seed), id)), 18, 15), 16, 10)
+      .cast(DoubleType) / 1.152921504606846976e18
+
+  /**
+   * Deterministic stratified sampling: keep a row iff md5-uniform(seed, id)
+   * < rate(stratum). Pure map-side (no shuffle, no state); at 100 TB this
+   * composes with the parquet scan and costs one md5 per row. Strata missing
+   * from `rates` use `defaultRate`.
+   */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double,
+      seed: String = "graft-sample"): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(md5Uniform(seed, col(idCol)) < rate)
+  }
+
+  /** Top-k vocabulary by document frequency-weighted token count: the classic
+    * wordcount shape — explode is map-side, the groupBy gets a partial
+    * (map-side combine) aggregate for free, and only per-token partials cross
+    * the shuffle. Deterministic tie-break on the token string. */
+  def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(k)
+
+  /** Conservative PII patterns (RE2-compatible: no lookaround, so the same
+    * pattern runs identically in Spark, DuckDB, Trino, ...). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\d{3}-\\d{4}"
+
+  /**
+   * PII scrub: count and redact email addresses and phone-like digit groups.
+   * One regex pass per pattern per row, no shuffle. Returns the original
+   * columns with `textCol` replaced by the redacted text plus per-row match
+   * counts (`n_emails`, `n_phones`) for audit/reporting aggregation.
+   */
+  def scrubPii(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails", size(regexp_extract_all(t, lit(EmailRe), lit(0))))
+      .withColumn("n_phones", size(regexp_extract_all(t, lit(PhoneRe), lit(0))))
+      .withColumn(textCol,
+        regexp_replace(regexp_replace(t, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"))
+  }
+
+  /**
+   * Benchmark decontamination: pairs (train doc, eval doc) sharing at least
+   * `minShared` distinct word n-gram shingles. The eval side (benchmarks) is
+   * small by construction, so its exploded shingles broadcast; the train side
+   * is map-side explode + one shuffle on (train_id, eval_id) — the only
+   * scalable shape at 100 TB (an all-pairs Jaccard join is quadratic).
+   * Shingles are distinct per doc ([[Dedup.shinglesFromTokens]]), so the
+   * join-count equals the distinct-shared-shingle count.
+   */
+  def contaminationPairs(train: DataFrame, eval_ : DataFrame, idCol: String,
+      textCol: String, shingleSize: Int = 3, minShared: Long = 2): DataFrame = {
+    val tr = Dedup.shingled(train, idCol, textCol, shingleSize)
+      .select(col("id").as("train_id"), explode(col("sh")).as("s"))
+    val ev = Dedup.shingled(eval_, idCol, textCol, shingleSize)
+      .select(col("id").as("eval_id"), explode(col("sh")).as("s"))
+    tr.join(broadcast(ev), "s")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /**
+   * Connected components over an undirected pair graph (`id_a`, `id_b`):
+   * every vertex gets `cluster_id` = the minimum vertex id in its component.
+   * This turns near-dup PAIRS (MinHash/SimHash/LSH output) into duplicate
+   * CLUSTERS so a pipeline can keep one canonical doc per cluster — pairwise
+   * keep-the-smaller rules drop too much when dups chain (a~b, b~c: keeping
+   * min-per-pair would drop both b and c even if a~c is false).
+   *
+   * Algorithm: iterative min-label propagation — each round every vertex
+   * adopts the minimum label among itself and its neighbors (one join + one
+   * groupBy shuffle per round), until a fixpoint. Rounds = component
+   * diameter, which for dedup graphs is small (dup clusters are dense);
+   * `localCheckpoint` truncates the growing plan so round N+1 doesn't
+   * re-analyze round N's lineage. For adversarially long path graphs swap in
+   * star-contraction (large-star/small-star) — same per-round shape,
+   * O(log n) rounds.
+   */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    val sym = edges
+      .select(col("id_a").cast(LongType).as("src"), col("id_b").cast(LongType).as("dst"))
+      .union(edges.select(col("id_b").cast(LongType).as("src"),
+        col("id_a").cast(LongType).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
+      val updated = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(labels("id"),
+          least(labels("cluster_id"), coalesce(col("nbr_min"), labels("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint(true)
+      val changed = updated.as("u")
+        .join(labels.select(col("id"), col("cluster_id").as("old")), "id")
+        .filter(col("cluster_id") =!= col("old")).limit(1).count()
+      labels = updated
+      converged = changed == 0L
+      iter += 1
+    }
+    sym.unpersist()
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.functions.VectorFunctions
 
 /**
@@ -140,6 +140,57 @@ object PipelineQueries {
       Similarity.ivfSearch(clustered, model, q, k = 10, nprobe = 4,
         (a, b) => VectorFunctions.vec_cosine_dist(a, b))
         .select(col("id").as("vec_id"), round(col("dist"), 6).as("dist"))
+    }),
+
+    // ---- curation ----
+    // deterministic stratified sampling: downsample over-represented 'en',
+    // keep most of the rest. md5-derived uniform => reproducible in any
+    // engine, no RNG/partition-order dependence, pure map-side at 100 TB
+    "sample_stratified" -> ((s, d) =>
+      Curation.stratifiedSample(docs(s, d), "doc_id", "lang",
+        Map("en" -> 0.25), defaultRate = 0.75, seed = "strat42")
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))),
+
+    // top-30 vocabulary (wordcount with map-side combine; tie-break on token)
+    "vocab_topk" -> ((s, d) => Curation.vocabTopK(docs(s, d), "text", 30)),
+
+    // PII scrub: the synthetic docs carry no PII, so plant deterministic
+    // email/phone strings first (the planted-duplicate trick from the LSH
+    // scenario), then count + redact and report the redacted length
+    "pii_scrub" -> ((s, d) => {
+      val injected = docs(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit(" call 555-0142")).otherwise(lit("")))
+          .as("text"))
+      Curation.scrubPii(injected, "text")
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          length(col("text")).as("clean_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // benchmark decontamination: training docs sharing >= 2 distinct
+    // 3-token shingles with the (small, broadcast) eval split
+    "decontam_overlap" -> ((s, d) => {
+      val all = docs(s, d)
+      Curation.contaminationPairs(
+        all.filter(col("doc_id") % 23 =!= 0),
+        all.filter(col("doc_id") % 23 === 0),
+        "doc_id", "text", shingleSize = 3, minShared = 2)
+        .orderBy(col("train_id"), col("eval_id"))
+    }),
+
+    // near-dup PAIRS -> duplicate CLUSTERS: connected components by min-label
+    // propagation; cluster_id = min doc_id in the component (the canonical
+    // survivor a curation pipeline would keep)
+    "dedup_clusters" -> ((s, d) => {
+      val pairs = Dedup.minhashNearDupPairs(docs(s, d), "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      Curation.connectedComponents(pairs.select(col("id_a"), col("id_b")))
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy(col("doc_id"))
     }),
 
     // ---- composed curation pipeline ----
@@ -381,6 +432,62 @@ object PipelineQueries {
         |  CAST(greatest(CAST(floor(octet_length(encode(text)) / 256.0) AS INT) - 1, 0) + 1
         |       AS BIGINT) AS n_frames
         |FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5('strat42:' || CAST(doc_id AS VARCHAR)), 18, 15))::UBIGINT
+        |      / 1152921504606846976.0
+        |      < CASE WHEN lang = 'en' THEN 0.25 ELSE 0.75 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "vocab_topk" ->
+      s"""WITH t AS (SELECT $sqlTokens AS w FROM documents),
+         |tok AS (SELECT unnest(w) AS token FROM t)
+         |SELECT token, count(*) AS cnt FROM tok
+         |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 30""".stripMargin,
+
+    "pii_scrub" ->
+      """WITH inj AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' call 555-0142' ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text, '\d{3}-\d{4}')) AS n_phones,
+        |  length(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\d{3}-\d{4}', '<PHONE>', 'g')) AS clean_len
+        |FROM inj ORDER BY doc_id""".stripMargin,
+
+    "decontam_overlap" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+         |g AS (SELECT doc_id, ${sqlShingles("w")} AS sh FROM t),
+         |tr AS (SELECT doc_id AS train_id, unnest(sh) AS s FROM g WHERE doc_id % 23 <> 0),
+         |ev AS (SELECT doc_id AS eval_id, unnest(sh) AS s FROM g WHERE doc_id % 23 = 0)
+         |SELECT train_id, eval_id, count(*) AS n_shared
+         |FROM tr JOIN ev USING (s) GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY train_id, eval_id""".stripMargin,
+
+    // transitive closure of the exact-Jaccard near-dup pair graph via a
+    // recursive CTE: min reachable id == the Spark side's propagated label
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE
+         |t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+         |g AS (SELECT doc_id, ${sqlShingles("w")} AS sh FROM t),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |      FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM p
+         |      UNION SELECT id_b, id_a FROM p),
+         |reach(v, l) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.dst, reach.l FROM reach JOIN e ON e.src = reach.v)
+         |SELECT v AS doc_id, min(l) AS cluster_id
+         |FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "pipeline_curate" ->
       s"""WITH t AS (SELECT doc_id, text, $sqlTokens AS w FROM documents),

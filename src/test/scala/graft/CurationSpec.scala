@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Curation
+
+/** Curation operators: connected components (pairs -> clusters), deterministic
+  * stratified sampling, PII scrubbing, decontamination. */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def cc(edges: (Long, Long)*): Map[Long, Long] =
+    Curation.connectedComponents(edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("connectedComponents: two components, chain + triangle") {
+    // chain 5-4-3 and triangle 10-11-12 with an extra edge
+    val got = cc((5L, 4L), (4L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+    assert(got == Map(3L -> 3L, 4L -> 3L, 5L -> 3L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("connectedComponents: long path needs diameter rounds, still converges") {
+    // path 0-1-2-...-9: worst case for min-propagation (diameter 9)
+    val got = cc((0L until 9L).map(i => (i, i + 1)): _*)
+    assert(got == (0L to 9L).map(_ -> 0L).toMap)
+  }
+
+  test("connectedComponents: duplicate + reversed edges collapse") {
+    val got = cc((7L, 2L), (2L, 7L), (7L, 2L))
+    assert(got == Map(2L -> 2L, 7L -> 2L))
+  }
+
+  test("stratifiedSample is deterministic and respects per-stratum rates") {
+    val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val s1 = Curation.stratifiedSample(df, "id", "lang", Map("en" -> 0.1), 0.9)
+    val s2 = Curation.stratifiedSample(df, "id", "lang", Map("en" -> 0.1), 0.9)
+    assert(s1.collect().map(_.getLong(0)).sorted
+      sameElements s2.collect().map(_.getLong(0)).sorted)
+    val byLang = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 1000 per stratum; binomial(1000, rate) stays well inside these bounds
+    assert(byLang("en") > 50 && byLang("en") < 200)
+    assert(byLang("de") > 800 && byLang("de") < 1000)
+  }
+
+  test("scrubPii redacts and counts emails and phones") {
+    val df = Seq(
+      (1L, "mail me at a.b+c@ex-ample.org or x@y.io, call 555-0142"),
+      (2L, "no pii here"),
+      (3L, "half@match@ and 12-3456 stay put")).toDF("id", "text")
+    val got = Curation.scrubPii(df, "text").orderBy("id")
+      .select("text", "n_emails", "n_phones")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    assert(got(0) == ("mail me at <EMAIL> or <EMAIL>, call <PHONE>", 2, 1))
+    assert(got(1) == ("no pii here", 0, 0))
+    // "half@match@" has no TLD tail; "12-3456" is not ddd-dddd
+    assert(got(2)._2 == 0 && got(2)._3 == 0)
+  }
+
+  test("contaminationPairs counts distinct shared shingles") {
+    val train = Seq((1L, "a b c d e"), (2L, "x y z w v")).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "a b c d q")).toDF("doc_id", "text")
+    // train 1 shares shingles "a b c" and "b c d" with eval 100; train 2 none
+    val got = Curation.contaminationPairs(train, eval_, "doc_id", "text",
+      shingleSize = 3, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 100L, 2L)))
+  }
+}
