@@ -43,7 +43,9 @@ object Curation {
     * (map-side combine) aggregate for free, and only per-token partials cross
     * the shuffle. Deterministic tie-break on the token string. */
   def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame =
-    df.select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+    df.select(TextAnalysis.tokens(col(textCol)).as("__w"))
+      .select(explode_outer(col("__w")).as("token"))
+      .filter(col("token").isNotNull)
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token")).limit(k)
 
@@ -77,11 +79,29 @@ object Curation {
    */
   def contaminationPairs(train: DataFrame, eval_ : DataFrame, idCol: String,
       textCol: String, shingleSize: Int = 3, minShared: Long = 2): DataFrame = {
-    val tr = Dedup.shingled(train, idCol, textCol, shingleSize)
-      .select(col("id").as("train_id"), explode(col("sh")).as("s"))
-    val ev = Dedup.shingled(eval_, idCol, textCol, shingleSize)
-      .select(col("id").as("eval_id"), explode(col("sh")).as("s"))
-    tr.join(broadcast(ev), "s")
+    // repartition before shingling: tokenize/shingle are interpreted HOFs and
+    // the input is often a handful of parquet files — without this the whole
+    // pass serializes onto one task per file. Join on a 64-bit shingle hash,
+    // not the string: shingles are distinct per doc so counts are preserved
+    // (collisions need ~2^32 shingles per doc pair), and the probe side
+    // compares 8-byte keys instead of ~20-char strings.
+    // explode_outer + isNotNull instead of explode: a plain explode makes
+    // InferFiltersFromGenerate synthesize `size(sh)>0 AND isnotnull(sh)` and
+    // push it below the repartition Exchange, re-inlining the whole staged
+    // shingle pipeline into the (single-task) scan stage — interpreted HOFs
+    // with no CSE re-tokenize per sub-term, turning the filter quadratic.
+    // The outer generate infers nothing, and the null filter sits above the
+    // Generate where it cannot be pushed.
+    val par = train.sparkSession.sparkContext.defaultParallelism
+    val tr = Dedup.shingled(train.repartition(par), idCol, textCol, shingleSize)
+      .select(col("id").as("train_id"), explode_outer(col("sh")).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("train_id"), xxhash64(col("s")).as("h"))
+    val ev = Dedup.shingled(eval_.repartition(par), idCol, textCol, shingleSize)
+      .select(col("id").as("eval_id"), explode_outer(col("sh")).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("eval_id"), xxhash64(col("s")).as("h"))
+    tr.join(broadcast(ev), "h")
       .groupBy(col("train_id"), col("eval_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
