@@ -110,6 +110,8 @@ object TextAnalysis {
     "simhash_md5" -> (es => SimHashMd5(es.head)),
     "minhash_sig" -> (es => MinhashSig(es.head,
       es.lift(1).map(_.eval(null).asInstanceOf[Int]).getOrElse(64))),
+    "shingle_set" -> (es => ShingleSet(es.head,
+      es.lift(1).map(_.eval(null).asInstanceOf[Int]).getOrElse(3))),
   )
 
   def register(spark: SparkSession): Unit =
@@ -129,6 +131,57 @@ object TextAnalysis {
   def simhash64(spark: SparkSession, toks: Column): Column = {
     register(spark); call_function("simhash64", toks)
   }
+}
+
+/**
+ * Distinct word n-gram shingles in one pass: the native twin of
+ * [[Dedup.shinglesFromTokens]] (identical output — first-occurrence order,
+ * space-joined n-grams, whole-document fallback below n tokens). The HOF
+ * formulation (`transform(sequence(...), concat_ws(slice(...)))` +
+ * `array_distinct`) runs interpreted with per-element expression-tree eval —
+ * ~30x slower per document and quadratic when an optimizer rule re-inlines it
+ * (no CSE). This is the map-side inner loop of every text-dedup operator, so
+ * it gets the MinhashSig treatment: plain Scala over UTF8String slices.
+ */
+case class ShingleSet(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "shingle_set"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<STRING>, got ${other.simpleString}")
+  }
+
+  private val space = UTF8String.fromString(" ")
+
+  // concat_ws(" ", ...) semantics: null elements are skipped, not rendered
+  private def join(arr: ArrayData, from: Int, until: Int): UTF8String = {
+    val parts = new scala.collection.mutable.ArrayBuffer[UTF8String](until - from)
+    var i = from
+    while (i < until) {
+      if (!arr.isNullAt(i)) parts += arr.getUTF8String(i)
+      i += 1
+    }
+    UTF8String.concatWs(space, parts.toSeq: _*)
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val t = arr.numElements()
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    if (t >= n) {
+      var i = 0
+      while (i <= t - n) { out.add(join(arr, i, i + n)); i += 1 }
+    } else out.add(join(arr, 0, t))
+    val res = new Array[AnyRef](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { res(j) = it.next(); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(res)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** 64-bit FNV-1a with a final avalanche — deterministic, dependency-free. */

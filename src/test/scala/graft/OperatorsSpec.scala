@@ -19,6 +19,31 @@ class OperatorsSpec extends AnyFunSuite {
     (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
   ).toDF("doc_id", "text")
 
+  test("native shingle_set == HOF shinglesFromTokens on real docs") {
+    TextAnalysis.register(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(200)
+    Seq(1, 2, 3, 5).foreach { n =>
+      val both = docs
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__w"))
+        .select(col("doc_id"),
+          call_function("shingle_set", col("__w"), lit(n)).as("native"),
+          Dedup.shinglesFromTokens(col("__w"), n).as("hof"))
+        .filter(not(col("native") === col("hof")))
+      assert(both.count() == 0, s"shingle_set mismatch at n=$n")
+    }
+    // degenerate inputs: empty text, single token, null-free ordering
+    val edge = Seq((0L, ""), (1L, "  "), (2L, "one"), (3L, "a b")).toDF("doc_id", "text")
+    val rows = edge
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__w"))
+      .select(col("doc_id"),
+        call_function("shingle_set", col("__w"), lit(3)).as("native"),
+        Dedup.shinglesFromTokens(col("__w"), 3).as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[String](1) == r.getSeq[String](2),
+      s"edge mismatch for doc ${r.getLong(0)}"))
+  }
+
   test("simhash: exact dup -> distance 0; near-dup small; unrelated large") {
     TextAnalysis.register(spark)
     val sigs = docsDf.select($"doc_id",
