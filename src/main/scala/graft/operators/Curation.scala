@@ -139,16 +139,17 @@ object Curation {
     while (!converged && iter < maxIter) {
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
+      // carry a per-row changed flag so convergence is a cheap scan of the
+      // checkpointed result instead of an extra join with the previous round
       val updated = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(labels("id"),
           least(labels("cluster_id"), coalesce(col("nbr_min"), labels("cluster_id")))
-            .as("cluster_id"))
+            .as("cluster_id"),
+          (coalesce(col("nbr_min"), labels("cluster_id")) < labels("cluster_id"))
+            .as("changed"))
         .localCheckpoint(true)
-      val changed = updated.as("u")
-        .join(labels.select(col("id"), col("cluster_id").as("old")), "id")
-        .filter(col("cluster_id") =!= col("old")).limit(1).count()
-      labels = updated
-      converged = changed == 0L
+      converged = updated.filter(col("changed")).limit(1).count() == 0L
+      labels = updated.select(col("id"), col("cluster_id"))
       iter += 1
     }
     sym.unpersist()

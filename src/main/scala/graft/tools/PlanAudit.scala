@@ -21,6 +21,9 @@ object PlanAudit {
     // pipeline surface
     "dedup_exact", "token_counts", "dedup_minhash", "dedup_simhash",
     "neardup_embedding_lsh",
+    // curation surface: sampling must stay map-side, decontam must broadcast
+    // the eval side, vocab must keep a partial aggregate below the shuffle
+    "sample_stratified", "decontam_overlap", "vocab_topk", "pii_scrub",
     // ANN surface: routed + distributed paths
     "ann_ivf_routed", "knn_ann_batch")
 
