@@ -104,6 +104,19 @@ object StreamingIngest {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup — the streaming twin of
+    * [[graft.operators.Dedup.exactDedup]]: first-seen row wins per content
+    * hash, duplicate arrivals within the watermark horizon are dropped.
+    * `dropDuplicatesWithinWatermark` keys state by the 128-bit content hash
+    * only (not the full text), and the watermark bounds state size — the
+    * shape that survives unbounded streams; state shards by hash across the
+    * state store like any keyed stream. */
+  def streamingDedup(stream: DataFrame, textCol: String, tsCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    stream.withColumn("content_hash", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   case class SessionEvent(user_id: Long, ts_ms: Long, value: Double,
       ts: java.sql.Timestamp)
   case class SessionState(start: Long, last: Long, nEvents: Long, sumValue: Double)

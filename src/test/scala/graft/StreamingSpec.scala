@@ -73,6 +73,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(after.map(_.getLong(1)).contains(450L))
   }
 
+  test("streaming dedup drops duplicate content within the watermark, first wins") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val out = StreamingIngest.streamingDedup(
+      mem.toDF().toDF("ts", "text"), "text", "ts", "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sdedup").start()
+    mem.addData((t(0), "alpha"), (t(1), "beta"), (t(2), "alpha"))
+    q.processAllAvailable()
+    mem.addData((t(3), "alpha"), (t(4), "gamma"), (t(4), "gamma"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sdedup")
+      .select($"ts", $"text").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)))
+    // one row per distinct content, and it is the FIRST arrival's timestamp
+    assert(rows.toSet == Set((t(0), "alpha"), (t(1), "beta"), (t(4), "gamma")))
+  }
+
   test("windowed event counts over a stream match the batch aggregation") {
     implicit val sqlCtx = spark.sqlContext
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
