@@ -27,7 +27,13 @@ case class DiskannParams(
       * nearest of numShards k-means centroids; queries may then probe only
       * the `nProbe` nearest shards — the scale path that keeps per-query cost
       * O(nProbe) when numShards is in the thousands. */
-    partitioner: String = "hash")
+    partitioner: String = "hash",
+    /** When set (with partitioner="ivf"), centroids are md5-rank-picked rows
+      * ([[graft.operators.Similarity.trainIvfDeterministic]]) instead of
+      * k-means: weaker coarse quantization, but the shard assignment and
+      * probe choice become exactly recomputable by an external SQL engine,
+      * so even PRUNED (approximate) routed results can be hash-verified. */
+    ivfSeed: Option[String] = None)
 
 /**
  * Sharded StreamingDiskANN-style index as Spark jobs (SURVEY.md §3.1 build
@@ -104,9 +110,12 @@ object DiskannIndex {
     }
 
     val ivfModel: graft.operators.Similarity.IvfModel =
-      if (params.partitioner == "ivf")
-        graft.operators.Similarity.trainIvf(trainBase, "vec", numShards,
-          sampleSize = math.min(numShards * 256, 1 << 16))
+      if (params.partitioner == "ivf") params.ivfSeed match {
+        case Some(seed) => graft.operators.Similarity.trainIvfDeterministic(
+          trainBase, "row_id", "vec", numShards, seed)
+        case None => graft.operators.Similarity.trainIvf(trainBase, "vec",
+          numShards, sampleSize = math.min(numShards * 256, 1 << 16))
+      }
       else null
     val sharded = if (ivfModel != null) {
       val mBc = spark.sparkContext.broadcast(ivfModel)

@@ -92,6 +92,27 @@ object Similarity {
         .sortBy(t => (t._2, t._1)).take(nprobe).map(_._1).toArray
   }
 
+  /** Deterministic IVF "training": centroids are the `nCentroids` rows with
+    * the smallest md5-derived rank ([[Curation.md5Uniform]]), no Lloyd
+    * iterations. Coarse-quantization quality is sampling-init grade (use
+    * [[trainIvf]] when recall matters more than reproducibility), but every
+    * step — centroid pick, cluster assignment, probe choice — is exactly
+    * recomputable by any engine with md5(), so IVF-routed results can be
+    * hash-verified by an external SQL oracle. Centroid indices follow the
+    * md5 rank order, making assignments and probe tie-breaks stable too. */
+  def trainIvfDeterministic(df: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, seed: String = "ivf"): IvfModel = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val picked = df
+      .select(col(idCol).cast(LongType).as("id"), col(vecCol).as("v"))
+      .withColumn("u", Curation.md5Uniform(seed, col("id")))
+      .orderBy(col("u"), col("id")).limit(nCentroids)
+      .select(col("v")).as[Array[Float]].collect()
+    require(picked.nonEmpty, "empty input for centroid pick")
+    IvfModel(picked)
+  }
+
   /** Driver-side Lloyd iterations on a bounded sample (the centroid set is
     * tiny and broadcast; the full data is never collected). */
   def trainIvf(df: DataFrame, vecCol: String, nCentroids: Int,

@@ -133,10 +133,14 @@ object AnnQueries {
     // uniform random fixtures routing is deliberately exercised at small
     // nProbe — recall guarantees on *clustered* data are asserted in
     // DiskannIndexSpec; no exact oracle exists by construction (rows-only).
+    // genuinely PRUNED routing even at verify scale (500 rows / 128 -> 4
+    // shards, nProbe=2) with md5-deterministic centroids, so the DuckDB
+    // oracle replays the full pipeline — normalize, centroid pick, shard
+    // argmin, probe choice — and ranks exactly within the probed shards
     "ann_ivf_routed" -> ((s, d) => {
-      val path = ensureIndex(s, d, "cos_ivf", emb(s, d), labeled = false,
+      val path = ensureIndex(s, d, "cos_ivf_det", emb(s, d), labeled = false,
         DiskannParams(metric = "cosine", partitioner = "ivf",
-          shardTargetRows = 256))
+          shardTargetRows = 128, ivfSeed = Some("ivfidx")))
       finish(DiskannIndex.search(s, path, queryDf(s, d, None), k = 11,
         searchListSize = 200, rescore = 150, nProbe = 2), 10,
         excludeSelf = true)
@@ -201,6 +205,46 @@ object AnnQueries {
     "knn_sql_topk" ->
       s"""SELECT vec_id, round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) AS dist
          |FROM embeddings ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+    // full replay of deterministic IVF routing: cosine build-space normalize
+    // (double sum -> sqrt -> per-element REAL-rounded divide, mirroring
+    // VectorKernels.normalize incl. the zero/unit-norm passthrough),
+    // md5-ranked centroid pick with numShards = ceil(n/128), per-row shard
+    // argmin (tie-break on centroid index), nProbe=2 probe choice, exact
+    // cosine rank over RAW vectors within the probed shards only
+    "ann_ivf_routed" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+        |nrm AS (SELECT vec_id, dv, sqrt(list_inner_product(dv, dv)) AS n FROM v),
+        |nv AS (SELECT vec_id, dv,
+        |         CASE WHEN n = 0 OR abs(n - 1) < 1.1920928955078125e-7 THEN dv
+        |              ELSE [CAST(CAST(x / n AS REAL) AS DOUBLE) for x in dv] END AS bv
+        |       FROM nrm),
+        |ranked AS (SELECT vec_id, bv,
+        |    ('0x' || substr(md5('ivfidx:' || CAST(vec_id AS VARCHAR)), 18, 15))::UBIGINT
+        |      / 1152921504606846976.0 AS u FROM nv),
+        |nc AS (SELECT CAST(ceil(count(*) / 128.0) AS BIGINT) AS k FROM embeddings),
+        |cent AS (SELECT rn - 1 AS cid, bv AS cv FROM
+        |          (SELECT row_number() OVER (ORDER BY u, vec_id) AS rn, bv FROM ranked), nc
+        |         WHERE rn <= nc.k),
+        |dists AS (SELECT t.vec_id, c.cid,
+        |    list_inner_product([c.cv[i] - t.bv[i] for i in range(1, 65)],
+        |                       [c.cv[i] - t.bv[i] for i in range(1, 65)]) AS d
+        |  FROM nv t CROSS JOIN cent c),
+        |asg AS (SELECT vec_id, cid AS cluster FROM
+        |         (SELECT vec_id, cid,
+        |            row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |          FROM dists) WHERE rn = 1),
+        |q AS (SELECT bv AS qbv, dv AS qdv FROM nv WHERE vec_id = 0),
+        |probes AS (SELECT cid FROM
+        |  (SELECT c.cid,
+        |     list_inner_product([c.cv[i] - q.qbv[i] for i in range(1, 65)],
+        |                        [c.cv[i] - q.qbv[i] for i in range(1, 65)]) AS d
+        |   FROM cent c CROSS JOIN q ORDER BY d, c.cid LIMIT 2)),
+        |sc AS (SELECT t.vec_id, 1.0 - list_cosine_similarity(t.dv, q.qdv) AS dist
+        |       FROM nv t JOIN asg USING (vec_id) CROSS JOIN q
+        |       WHERE asg.cluster IN (SELECT cid FROM probes) AND t.vec_id <> 0)
+        |SELECT vec_id, round(dist, 6) AS dist
+        |FROM (SELECT vec_id, dist FROM sc ORDER BY dist, vec_id LIMIT 10)""".stripMargin,
+
     "knn_ann_cosine" ->
       s"""SELECT vec_id, round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) AS dist
          |FROM embeddings WHERE vec_id <> 0 ORDER BY dist, vec_id LIMIT 10""".stripMargin,

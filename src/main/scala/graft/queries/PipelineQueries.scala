@@ -132,9 +132,14 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // IVF with deterministic md5-picked centroids: the full pipeline
+    // (centroid pick, assignment argmin, probe choice, in-cluster exact
+    // rank) is recomputed independently by the DuckDB oracle — hash-matched
+    // despite pruned (approximate) routing
     "simsearch_ivf" -> ((s, d) => {
       val e = emb(s, d)
-      val model = Similarity.trainIvf(e, "embedding", nCentroids = 8)
+      val model = Similarity.trainIvfDeterministic(e, "vec_id", "embedding",
+        nCentroids = 8, seed = "ivf42")
       val clustered = Similarity.ivfAssign(e, "vec_id", "embedding", model)
       val q = e.filter(col("vec_id") === 0).head().getAs[scala.collection.mutable.ArraySeq[Float]]("embedding").toArray
       Similarity.ivfSearch(clustered, model, q, k = 10, nprobe = 4,
@@ -400,6 +405,47 @@ object PipelineQueries {
         |                 JOIN v vb ON vb.vec_id = cand.id_b)
         |SELECT id_a, id_b, round(cosine, 6) AS cosine
         |FROM sc WHERE cosine >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+
+    // full IVF replay: md5-ranked centroid pick, per-row argmin assignment
+    // (tie-break on centroid index), nprobe=4 probe choice, exact cosine
+    // rank within probed clusters — identical double arithmetic to the
+    // Scala kernels (sequential sums over float-exact casts)
+    "simsearch_ivf" ->
+      """WITH ranked AS (
+        |  SELECT vec_id, embedding,
+        |    ('0x' || substr(md5('ivf42:' || CAST(vec_id AS VARCHAR)), 18, 15))::UBIGINT
+        |      / 1152921504606846976.0 AS u
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT row_number() OVER (ORDER BY u, vec_id) - 1 AS cid,
+        |         CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM ranked ORDER BY u, vec_id LIMIT 8),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+        |dists AS (
+        |  SELECT v.vec_id, c.cid,
+        |    list_inner_product([c.cv[i] - v.dv[i] for i in range(1, 65)],
+        |                       [c.cv[i] - v.dv[i] for i in range(1, 65)]) AS d
+        |  FROM v CROSS JOIN cent c),
+        |asg AS (
+        |  SELECT vec_id, cid AS cluster FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |    FROM dists) WHERE rn = 1),
+        |q AS (SELECT dv AS qv FROM v WHERE vec_id = 0),
+        |probes AS (
+        |  SELECT cid FROM (
+        |    SELECT c.cid,
+        |      list_inner_product([c.cv[i] - q.qv[i] for i in range(1, 65)],
+        |                         [c.cv[i] - q.qv[i] for i in range(1, 65)]) AS d
+        |    FROM cent c CROSS JOIN q ORDER BY d, c.cid LIMIT 4)),
+        |sc AS (
+        |  SELECT v.vec_id,
+        |    1 - list_inner_product(v.dv, q.qv) /
+        |        sqrt(list_inner_product(v.dv, v.dv) * list_inner_product(q.qv, q.qv)) AS dist
+        |  FROM v JOIN asg USING (vec_id) CROSS JOIN q
+        |  WHERE asg.cluster IN (SELECT cid FROM probes))
+        |SELECT vec_id, round(dist, 6) AS dist
+        |FROM (SELECT vec_id, dist FROM sc ORDER BY dist, vec_id LIMIT 10)""".stripMargin,
 
     "neardup_embedding_exact" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
