@@ -88,6 +88,21 @@ object PipelineQueries {
           round(col("quality_score"), 6).as("quality_score"))
         .orderBy(col("doc_id"))),
 
+    // Gopher-style within-document repetition: 1 - distinct/total bigrams.
+    // Boilerplate and degenerate generated text score high; a curation
+    // pipeline thresholds on it like any other quality column
+    "repetition_ratio" -> ((s, d) => {
+      TextAnalysis.register(s)
+      docs(s, d)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__w"))
+        .select(col("doc_id"),
+          round(when(size(col("__w")) >= 2,
+            lit(1.0) - size(call_function("shingle_set", col("__w"), lit(2)))
+              .cast("double") / (size(col("__w")) - 1))
+            .otherwise(lit(0.0)), 6).as("rep_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     // winnowing fingerprint over md5 gram hashes: every step (normalize,
     // char 8-grams, md5-low-60, window minima, xor combine) is plain SQL,
     // so the fingerprints hash-match an independent DuckDB recomputation
@@ -453,6 +468,15 @@ object PipelineQueries {
         |             CAST(b.embedding AS DOUBLE[])), 6) AS cosine
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |ORDER BY cosine DESC, id_a, id_b LIMIT 20""".stripMargin,
+
+    "repetition_ratio" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents)
+         |SELECT doc_id, round(CASE WHEN len(w) >= 2
+         |  THEN 1.0 - CAST(len(list_distinct(
+         |         [w[i] || ' ' || w[i+1] for i in range(1, len(w))])) AS DOUBLE)
+         |       / (len(w) - 1)
+         |  ELSE 0.0 END, 6) AS rep_ratio
+         |FROM t ORDER BY doc_id""".stripMargin,
 
     // independent recomputation of the md5-gram winnowing fingerprint:
     // normalize, char 8-grams, md5-low-60 per gram, min per 16-gram window
