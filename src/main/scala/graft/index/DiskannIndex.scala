@@ -457,10 +457,14 @@ object DiskannIndex {
         graft.operators.Similarity.IvfModel(centBc.value).nearest(bv, nProbe)
       })
     val hasQLabels = queries.columns.contains("qlabels")
+    // explode_outer: a plain explode would make InferFiltersFromGenerate
+    // synthesize size(probeShards(qvec))>0 and re-invoke the routing UDF
+    // (normalize + full centroid scan) once per conjunct per query row
     val q2 = queries.select(col("qid"), col("qvec"),
       (if (hasQLabels) col("qlabels")
        else lit(null).cast(ArrayType(ShortType))).as("qlabels"),
-      explode(probeShards(col("qvec"))).as("shard"))
+      explode_outer(probeShards(col("qvec"))).as("shard"))
+      .filter(col("shard").isNotNull)
 
     // only shards that received at least one query are read at all (the ids
     // are tiny — numShards ints at most — so this driver hop is free)

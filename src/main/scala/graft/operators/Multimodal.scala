@@ -129,9 +129,13 @@ object Multimodal {
   def sampleFrames(media: DataFrame, frameBytes: Int = 64, stride: Int = 4): DataFrame =
     media.filter(col("modality") === "video")
       .select(col("media_id"),
-        posexplode(transform(
+        // posexplode_outer: the non-outer form makes InferFiltersFromGenerate
+        // duplicate the whole chunking transform into a size()>0 filter,
+        // slicing every payload twice (the chunk array is never empty here)
+        posexplode_outer(transform(
           sequence(lit(0), greatest(
             (length(col("payload")) / (frameBytes * stride)).cast(IntegerType) - 1, lit(0))),
           i => call_function("substring", col("payload"), i * frameBytes * stride + 1, lit(frameBytes)))))
       .select(col("media_id"), col("pos").as("frame_idx"), col("col").as("frame"))
+      .filter(col("frame").isNotNull)
 }
