@@ -157,6 +157,70 @@ object Similarity {
       .withColumn("cluster", assign(col("vec")))
   }
 
+  /** Element-wise sum of vectors quantized to 1/2^20 fixed point: long
+    * accumulation is associative, so the distributed mean it feeds is
+    * byte-identical regardless of partitioning/merge order — the trick that
+    * makes a Lloyd centroid update reproducible (and oracle-checkable)
+    * across engines, where naive float summation is order-dependent. */
+  class QuantizedVecSum(dim: Int) extends Aggregator[Array[Float], Array[Long], Array[Long]] {
+    override def zero: Array[Long] = new Array[Long](dim)
+    override def reduce(b: Array[Long], v: Array[Float]): Array[Long] = {
+      var i = 0
+      while (i < dim) {
+        b(i) += math.floor(v(i).toDouble * 1048576.0 + 0.5).toLong
+        i += 1
+      }
+      b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < dim) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /**
+   * One deterministic Lloyd refinement step over md5-picked centroids,
+   * reported as per-cluster statistics: member count, the refined centroid's
+   * L2 norm, and how far the centroid moved (`shift`). This is the
+   * distributed heart of k-means at 100 TB — assignment is a broadcast-model
+   * map pass, the update is ONE partial-aggregated shuffle of O(k·dim) longs
+   * (no explode: the whole vector sums inside [[QuantizedVecSum]]), and the
+   * per-cluster finishing math runs on k rows.
+   *
+   * Fixed-point accumulation makes the refined centroids exact rationals,
+   * so the entire step (pick → assign → update → norms) is replayable
+   * bit-for-bit by an external SQL oracle — same property the IVF paths use.
+   */
+  def kmeansRefineDeterministic(df: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, seed: String = "km"): DataFrame = {
+    val model = trainIvfDeterministic(df, idCol, vecCol, nCentroids, seed)
+    val dim = model.centroids(0).length
+    val assigned = ivfAssign(df, idCol, vecCol, model)
+    val qsum = udaf(new QuantizedVecSum(dim))
+    val grouped = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"), qsum(col("vec")).as("__qs"))
+    val denom = col("n_members").cast(DoubleType) * lit(1048576.0)
+    val oldC = element_at(typedlit(model.centroids.map(_.toSeq).toSeq),
+      col("cluster") + 1)
+    grouped
+      .withColumn("__c", transform(col("__qs"), q => q.cast(DoubleType) / denom))
+      .withColumn("__normsq",
+        aggregate(col("__c"), lit(0.0), (acc, x) => acc + x * x))
+      .withColumn("__shiftsq",
+        aggregate(zip_with(col("__c"), oldC,
+          (c, o) => (c - o.cast(DoubleType)) * (c - o.cast(DoubleType))),
+          lit(0.0), (acc, x) => acc + x))
+      .select(col("cluster"), col("n_members"),
+        sqrt(col("__normsq")).as("centroid_norm"),
+        sqrt(col("__shiftsq")).as("shift"))
+  }
+
   /** Probe `nprobe` nearest clusters and rank exactly within them. */
   def ivfSearch(clustered: DataFrame, model: IvfModel, query: Array[Float],
       k: Int, nprobe: Int, dist: (Column, Column) => Column): DataFrame = {

@@ -103,6 +103,49 @@ object TextAnalysis {
         ((lit(1.0) - least(col("digit_ratio") * 5.0, lit(1.0))) * 0.1))
   }
 
+  /**
+   * BM25 relevance of every document against a fixed bag of query terms —
+   * the standard retrieval score a curation pipeline uses to pull
+   * topic-relevant training data out of a crawl.
+   *
+   * Shape chosen for 100 TB: per-term tf is a map-side `filter(tokens)`
+   * per row (no explode, no shuffle), the corpus statistics (N, Σdl, per-term
+   * df) are ONE tiny partial-aggregated row broadcast back with a
+   * `crossJoin(broadcast(...))`, and the score itself is plain arithmetic —
+   * the whole plan is two scans with a single O(1)-row exchange between
+   * them. An exploded (doc, term) join would shuffle the full token stream
+   * for a handful of query terms.
+   *
+   * Arithmetic is written in a fixed operation order (per-term scores summed
+   * left-to-right) so an external SQL oracle can reproduce the doubles
+   * bit-for-bit.
+   */
+  def bm25(df: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val base = df.select(col(idCol), tokens(col(textCol)).as("__w"))
+      .select(col(idCol) +:
+        size(col("__w")).cast(LongType).as("__dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("__w"), x => x === lit(t))).cast(LongType).as(s"__tf$i")
+        }: _*)
+    val stats = base.agg(
+      count(lit(1)).as("__n"),
+      sum(col("__dl")).as("__sumdl") +:
+        terms.indices.map(i =>
+          sum((col(s"__tf$i") > 0).cast(LongType)).as(s"__df$i")): _*)
+    val scored = base.crossJoin(broadcast(stats))
+    val avgdl = col("__sumdl").cast(DoubleType) / col("__n")
+    val lenNorm = lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / avgdl)
+    val score = terms.indices.map { i =>
+      val idf = log(lit(1.0) +
+        (col("__n") - col(s"__df$i") + lit(0.5)) / (col(s"__df$i") + lit(0.5)))
+      val tf = col(s"__tf$i").cast(DoubleType)
+      idf * tf * lit(k1 + 1.0) / (tf + lenNorm)
+    }.reduce(_ + _)
+    scored.select(col(idCol), score.as("bm25"))
+  }
+
   private val builders: Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
     "doc_fingerprint" -> (es => DocFingerprint(es.head)),
     "doc_fingerprint_md5" -> (es => DocFingerprintMd5(es.head)),

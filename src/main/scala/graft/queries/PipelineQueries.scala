@@ -257,6 +257,51 @@ object PipelineQueries {
           round(expr("percentile(n_tokens, 0.5)"), 6).as("median_tokens"))
         .orderBy(col("lang"))),
 
+    // ---- retrieval ----
+    // BM25 over a fixed query-term bag ("dup" is rare → high idf): per-term
+    // tf is map-side, corpus stats are one broadcast row, no token shuffle
+    "bm25_search" -> ((s, d) =>
+      TextAnalysis.bm25(docs(s, d), "doc_id", "text",
+        Seq("vector", "query", "dup"))
+        .filter(col("bm25") > 0)
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
+        .select(col("doc_id"), round(col("bm25"), 6).as("bm25"))),
+
+    // ---- clustering ----
+    // one deterministic Lloyd step over md5-picked centroids; fixed-point
+    // centroid means make the whole step hash-matchable by the oracle
+    "kmeans_refine" -> ((s, d) =>
+      Similarity.kmeansRefineDeterministic(emb(s, d), "vec_id", "embedding",
+        nCentroids = 8, seed = "km42")
+        .select(col("cluster").cast("long").as("cluster"), col("n_members"),
+          round(col("centroid_norm"), 6).as("centroid_norm"),
+          round(col("shift"), 6).as("shift"))
+        .orderBy(col("cluster"))),
+
+    // near-dup clusters -> keep the best-quality member per cluster (ties to
+    // the smallest doc_id): the decision step that turns dedup SIGNALS into
+    // the actual survivor set a curation pipeline ships
+    "dedup_keep_best" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id"))
+      val byQuality = w.orderBy(col("q6").desc, col("doc_id"))
+      val pairs = Dedup.minhashNearDupPairs(docs(s, d), "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.8)
+        .select(col("id_a"), col("id_b"))
+      val clusters = Curation.connectedComponents(pairs)
+      val quality = TextAnalysis.quality(docs(s, d), "doc_id", "text")
+        .select(col("doc_id"), round(col("quality_score"), 6).as("q6"))
+      clusters.join(quality, clusters("id") === quality("doc_id"))
+        .select(col("cluster_id"), col("doc_id"), col("q6"))
+        .withColumn("rn", row_number().over(byQuality))
+        .withColumn("n_members", count(lit(1)).over(w))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("keep_id"),
+          col("q6").as("quality_score"), col("n_members"))
+        .orderBy(col("cluster_id"))
+    }),
+
     // ---- multimodal ----
     "multimodal_meta" -> ((s, d) =>
       Multimodal.decodeMeta(Multimodal.mediaFromDocuments(docs(s, d)))
@@ -606,6 +651,116 @@ object PipelineQueries {
          |       round(avg(n_tokens), 6) AS mean_tokens,
          |       round(quantile_cont(n_tokens, 0.5), 6) AS median_tokens
          |FROM l GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    // BM25 replay in the exact operation order of TextAnalysis.bm25:
+    // lenNorm = k1*((1-b) + b*dl/avgdl), score_i = idf*tf*(k1+1)/(tf+lenNorm),
+    // summed left-to-right over the 3 terms
+    "bm25_search" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+         |f AS (SELECT doc_id, len(w) AS dl,
+         |        len(list_filter(w, x -> x = 'vector')) AS tf0,
+         |        len(list_filter(w, x -> x = 'query')) AS tf1,
+         |        len(list_filter(w, x -> x = 'dup')) AS tf2
+         |      FROM t),
+         |st AS (SELECT count(*) AS n, sum(dl) AS sumdl,
+         |         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         |         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         |         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+         |       FROM f),
+         |sc AS (SELECT doc_id,
+         |    ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * CAST(tf0 AS DOUBLE) * (1.2 + 1.0)
+         |      / (CAST(tf0 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n)))
+         |  + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * CAST(tf1 AS DOUBLE) * (1.2 + 1.0)
+         |      / (CAST(tf1 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n)))
+         |  + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * CAST(tf2 AS DOUBLE) * (1.2 + 1.0)
+         |      / (CAST(tf2 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n)))
+         |  AS bm25
+         |  FROM f CROSS JOIN st)
+         |SELECT doc_id, round(bm25, 6) AS bm25 FROM sc WHERE bm25 > 0
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    // full replay of the deterministic Lloyd step: md5-ranked centroid pick,
+    // argmin assignment (tie on centroid index), fixed-point (2^-20) per-dim
+    // sums -> exact rational means, then norm/shift in dim order
+    "kmeans_refine" ->
+      """WITH ranked AS (
+        |  SELECT vec_id, embedding,
+        |    ('0x' || substr(md5('km42:' || CAST(vec_id AS VARCHAR)), 18, 15))::UBIGINT
+        |      / 1152921504606846976.0 AS u
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT row_number() OVER (ORDER BY u, vec_id) - 1 AS cid,
+        |         CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM ranked ORDER BY u, vec_id LIMIT 8),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+        |dists AS (
+        |  SELECT v.vec_id, c.cid,
+        |    list_inner_product([c.cv[i] - v.dv[i] for i in range(1, 65)],
+        |                       [c.cv[i] - v.dv[i] for i in range(1, 65)]) AS d
+        |  FROM v CROSS JOIN cent c),
+        |asg AS (
+        |  SELECT vec_id, cid AS cluster FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |    FROM dists) WHERE rn = 1),
+        |qv AS (SELECT a.cluster, v.vec_id,
+        |         [CAST(floor(v.dv[CAST(i AS INT)] * 1048576.0 + 0.5) AS BIGINT)
+        |          for i in range(1, 65)] AS q
+        |       FROM v JOIN asg a USING (vec_id)),
+        |s AS (SELECT cluster, r.range AS j, sum(q[CAST(r.range AS INT)]) AS sq
+        |      FROM qv CROSS JOIN range(1, 65) r GROUP BY 1, 2),
+        |cl AS (SELECT cluster, list(CAST(sq AS DOUBLE) ORDER BY j) AS sums
+        |       FROM s GROUP BY 1),
+        |n AS (SELECT cluster, count(*) AS n_members FROM asg GROUP BY 1),
+        |fin AS (SELECT n.cluster, n.n_members,
+        |    [sums[CAST(j AS INT)] / (n.n_members * 1048576.0) for j in range(1, 65)] AS c,
+        |    cent.cv AS cv
+        |  FROM n JOIN cl USING (cluster) JOIN cent ON cent.cid = n.cluster)
+        |SELECT CAST(cluster AS BIGINT) AS cluster, n_members,
+        |  round(sqrt(list_inner_product(c, c)), 6) AS centroid_norm,
+        |  round(sqrt(list_inner_product(
+        |    [c[CAST(i AS INT)] - cv[CAST(i AS INT)] for i in range(1, 65)],
+        |    [c[CAST(i AS INT)] - cv[CAST(i AS INT)] for i in range(1, 65)])), 6) AS shift
+        |FROM fin ORDER BY cluster""".stripMargin,
+
+    // clusters via the recursive-CTE transitive closure (as dedup_clusters),
+    // quality via the text_quality chain, then keep the best-quality member
+    // (rounded score, ties to smallest doc_id) per cluster
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE
+         |t AS (SELECT doc_id, text, $sqlTokens AS w FROM documents),
+         |g AS (SELECT doc_id, ${sqlShingles("w")} AS sh FROM t),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |      FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM p
+         |      UNION SELECT id_b, id_a FROM p),
+         |reach(v, l) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.dst, reach.l FROM reach JOIN e ON e.src = reach.v),
+         |cl AS (SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY 1),
+         |h AS (SELECT doc_id, text, w, ${hitsSql("en")} AS h_en FROM t),
+         |q AS (SELECT doc_id,
+         |  len(w) AS n_tokens,
+         |  CASE WHEN len(w) > 0 THEN CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(w) ELSE 0.0 END AS avg_token_len,
+         |  CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS alpha_ratio,
+         |  CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS digit_ratio,
+         |  CASE WHEN len(w) > 0 THEN CAST(h_en AS DOUBLE) / len(w) ELSE 0.0 END AS stopword_ratio
+         |  FROM h),
+         |sc AS (SELECT doc_id,
+         |  round(alpha_ratio * 0.4 + least(stopword_ratio * 5.0, 1.0) * 0.3 +
+         |        (CASE WHEN avg_token_len >= 3 AND avg_token_len <= 10 THEN 1.0 ELSE 0.0 END) * 0.2 +
+         |        (1.0 - least(digit_ratio * 5.0, 1.0)) * 0.1, 6) AS q6
+         |  FROM q),
+         |r AS (SELECT cl.cluster_id, cl.doc_id, sc.q6,
+         |        row_number() OVER (PARTITION BY cl.cluster_id
+         |                           ORDER BY sc.q6 DESC, cl.doc_id) AS rn,
+         |        count(*) OVER (PARTITION BY cl.cluster_id) AS n_members
+         |      FROM cl JOIN sc USING (doc_id))
+         |SELECT cluster_id, doc_id AS keep_id, q6 AS quality_score, n_members
+         |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id AS media_id,

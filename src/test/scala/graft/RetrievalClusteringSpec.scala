@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Curation, Dedup, Similarity, TextAnalysis}
+
+/** BM25 retrieval scoring and the deterministic Lloyd refinement step. */
+class RetrievalClusteringSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "cherry cherry cherry"),
+    (4L, "plum plum plum plum")).toDF("doc_id", "text")
+
+  test("bm25 matches the closed-form score and ranks rare terms higher") {
+    val got = TextAnalysis.bm25(corpus, "doc_id", "text", Seq("apple", "cherry"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // independent hand computation of the same BM25 definition
+    val n = 4.0; val avgdl = (3 + 2 + 3 + 4) / 4.0
+    def idf(df: Double) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def term(tf: Double, dl: Double, df: Double) =
+      if (tf == 0) 0.0
+      else idf(df) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    def score(tfA: Double, tfC: Double, dl: Double) =
+      term(tfA, dl, 1.0) + term(tfC, dl, 2.0)
+
+    assert(math.abs(got(1L) - score(2, 0, 3)) < 1e-12)
+    assert(math.abs(got(2L) - score(0, 1, 2)) < 1e-12)
+    assert(math.abs(got(3L) - score(0, 3, 3)) < 1e-12)
+    assert(got(4L) == 0.0)
+    // "apple" (df=1) outscores "cherry" (df=2) at comparable tf/dl
+    assert(got(1L) > got(3L))
+  }
+
+  test("kmeansRefineDeterministic: partition-order-invariant fixed-point means") {
+    val vecs = (0L until 40L)
+      .map(i => (i, Array(i.toFloat / 7f, 1f - i.toFloat / 11f, 0.25f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val a = Similarity.kmeansRefineDeterministic(
+      df.repartition(1), "vec_id", "embedding", nCentroids = 3, seed = "t1")
+      .orderBy("cluster").collect()
+    val b = Similarity.kmeansRefineDeterministic(
+      df.repartition(7), "vec_id", "embedding", nCentroids = 3, seed = "t1")
+      .orderBy("cluster").collect()
+    // long accumulation is associative: bit-identical under any partitioning
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.map(_.getLong(1)).sum == 40L)
+    assert(a.forall(r => r.getDouble(2) > 0 && r.getDouble(3) >= 0))
+  }
+
+  test("kmeansRefineDeterministic with one centroid equals the global mean") {
+    val vecs = Seq((0L, Array(1.0f, 3.0f)), (1L, Array(2.0f, 5.0f)),
+      (2L, Array(6.0f, 1.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val row = Similarity.kmeansRefineDeterministic(
+      df, "vec_id", "embedding", nCentroids = 1, seed = "g").head()
+    val mean = Array((1.0 + 2.0 + 6.0) / 3.0, (3.0 + 5.0 + 1.0) / 3.0)
+    val norm = math.sqrt(mean(0) * mean(0) + mean(1) * mean(1))
+    assert(row.getLong(1) == 3L)
+    // fixed-point (2^-20) quantization error is far below this tolerance
+    assert(math.abs(row.getDouble(2) - norm) < 1e-5)
+  }
+
+  test("keep-best composition keeps the higher-quality member of a dup pair") {
+    val base = "the cat sat on the mat and then the dog sat too"
+    val docs = Seq(
+      (10L, base),
+      (11L, base + " 9999999999999999999999"), // digits depress quality
+      (12L, "totally unrelated text about volcano geology formations")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      .select(col("id_a"), col("id_b"))
+    val clusters = Curation.connectedComponents(pairs)
+    val quality = TextAnalysis.quality(docs, "doc_id", "text")
+      .select(col("doc_id"), col("quality_score"))
+    val kept = clusters.join(quality, clusters("id") === quality("doc_id"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+          .orderBy(col("quality_score").desc, col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id")).collect()
+    assert(kept.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((10L, 10L)))
+  }
+}
