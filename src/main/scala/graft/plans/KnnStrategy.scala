@@ -291,77 +291,133 @@ case class KnnIndexScanExec(outAttrs: Seq[AttributeReference], spark: SparkSessi
           longMetric("numNodesVisited"), longMetric("numQuantizedCmps"),
           longMetric("numExactCmps"))), nProbe = nProbe).collect()
 
-    // heap fetch (S5): a kk-row IN-filter scan of the source relation, with
+    // heap fetch (S5): a k-row IN-filter scan of the source relation, with
     // the projection pruned to this node's output columns (+ the id)
     val wantCols = outAttrs.map(_.name)
     val fetchCols = if (wantCols.contains(entry.idCol)) wantCols
       else wantCols :+ entry.idCol
     val idIdx = fetchCols.indexOf(entry.idCol)
-    def fetchRanked(hits: Array[org.apache.spark.sql.Row]): Array[InternalRow] = {
-      val rank: Map[Long, Int] = hits.sortBy(r => (r.getDouble(2), r.getLong(1)))
-        .zipWithIndex.map { case (r, i) => r.getLong(1) -> i }.toMap
-      spark.read.parquet(entry.sourcePath)
-        .filter(col(entry.idCol).isin(rank.keys.toSeq.map(Long.box): _*))
-        .select(fetchCols.map(col): _*)
-        .queryExecution.toRdd.map(_.copy()).collect()
-        .sortBy(r => rank.getOrElse(r.getLong(idIdx), Int.MaxValue))
-    }
-    val nOut = wantCols.length
-    def project(rows: Array[InternalRow]): Seq[InternalRow] =
-      rows.map { r =>
-        if (fetchCols.length == nOut) r
-        else InternalRow.fromSeq((0 until nOut).map(i => r.get(i, outAttrs(i).dataType)))
-      }.toSeq
 
-    val emitted: Seq[InternalRow] = residual match {
+    residual match {
       case None =>
+        // exactly k ids: the pushed-down IN point-fetch is the right plan
+        // (PushedFilters: [In(id, ...)]) and k rows on the driver are free
+        def fetchRanked(hits: Array[org.apache.spark.sql.Row]): Array[InternalRow] = {
+          val rank: Map[Long, Int] = hits.sortBy(r => (r.getDouble(2), r.getLong(1)))
+            .zipWithIndex.map { case (r, i) => r.getLong(1) -> i }.toMap
+          spark.read.parquet(entry.sourcePath)
+            .filter(col(entry.idCol).isin(rank.keys.toSeq.map(Long.box): _*))
+            .select(fetchCols.map(col): _*)
+            .queryExecution.toRdd.map(_.copy()).collect()
+            .sortBy(r => rank.getOrElse(r.getLong(idIdx), Int.MaxValue))
+        }
+        val nOut = wantCols.length
         val fetched = fetchRanked(searchK(k)).take(k)
         longMetric("numHeapFetches").add(fetched.length)
-        project(fetched)
+        val emitted: Seq[InternalRow] = fetched.map { r =>
+          if (fetchCols.length == nOut) r
+          else InternalRow.fromSeq((0 until nOut).map(i => r.get(i, outAttrs(i).dataType)))
+        }.toSeq
+        sparkContext.parallelize(emitted, 1)
 
       case Some(cond) =>
-        // over-fetch loop (P4 recheck / "executor keeps pulling"): escalate
-        // k until >= k rows survive the residual predicate, the index is
-        // exhausted, or everything was fetched; all fetched rows are emitted
-        // in distance order — the FilterExec/TakeOrdered above finish it
-        val colIdx = fetchCols.zipWithIndex.toMap
-        val bound = cond.transform {
-          case a: AttributeReference =>
-            BoundReference(colIdx(a.name), a.dataType, a.nullable)
-        }
-        val pred = Predicate.create(bound)
-        pred.initialize(0)
-        val total = DiskannIndex.loadMeta(spark, entry.indexPath).numRows
-        var kk = math.max(k * 4L, 64L).min(Int.MaxValue).toInt
-        var result: Array[InternalRow] = null
-        var done = false
-        while (!done) {
-          val hits = searchK(kk)
-          val fetched = fetchRanked(hits)
-          // position of the k-th survivor in the distance ranking: stopping
-          // is only safe when it sits in the TOP HALF of what we fetched —
-          // ANN ordering is least reliable at the deep end of the frontier,
-          // so a k-th survivor near rank kk forces another escalation round
-          var survivors = 0
-          var posKth = Int.MaxValue
-          var i = 0
-          while (i < fetched.length && survivors < k) {
-            if (pred.eval(fetched(i))) {
-              survivors += 1
-              if (survivors == k) posKth = i
-            }
-            i += 1
-          }
-          if ((survivors >= k && posKth <= kk / 2) ||
-              hits.length < kk || kk >= total) {
-            result = fetched
-            done = true
-          } else kk = (kk * 4L).min(math.max(total, kk.toLong)).min(Int.MaxValue).toInt
-        }
-        longMetric("numHeapFetches").add(result.length)
-        project(result)
+        residualExecute(cond, searchK, wantCols, fetchCols)
     }
-    sparkContext.parallelize(emitted, 1)
+  }
+
+  /**
+   * Distributed residual-recheck scan (P4 / xs_recheck, the "executor keeps
+   * pulling" over-fetch loop of scan.rs:370-405) — rebuilt so nothing
+   * table-sized ever touches the driver:
+   *
+   *  - per round only the ANN hit list reaches the driver: kk (id, dist)
+   *    pairs, kk hard-capped by `graft.knn.residual.maxOverfetch`;
+   *  - the heap fetch of those kk source rows is a BROADCAST JOIN on the id
+   *    (a pushed-down IN point-fetch only while kk is small) — never an
+   *    `isin` over kk boxed literals;
+   *  - the survivor probe is distributed: a codegen'd predicate filters the
+   *    fetched rows executor-side and only the k smallest distance-ranks
+   *    (`takeOrdered(k)`, the classic distributed top-k) return;
+   *  - stopping is safe when the k-th survivor ranks in the TOP HALF of the
+   *    fetch (ANN order is least reliable at the deep frontier end);
+   *  - escalation is CAPPED (`maxRounds` / `maxOverfetch`); past the cap the
+   *    node bails out to the native brute-force shape — the full distributed
+   *    source scan, exactly the seq-scan fallback Postgres takes when the
+   *    index cost gate fails (cost_estimate.rs:6-50). Since the FilterExec +
+   *    TakeOrderedAndProject above this node re-check the predicate and
+   *    re-sort anyway, the bail-out answer is EXACT.
+   */
+  private def residualExecute(cond: Expression,
+      searchK: Int => Array[org.apache.spark.sql.Row],
+      wantCols: Seq[String], fetchCols: Seq[String]): RDD[InternalRow] = {
+    val maxRounds = spark.conf.get("graft.knn.residual.maxRounds", "3").toInt
+    val maxOverfetch = spark.conf.get("graft.knn.residual.maxOverfetch", "65536").toInt
+    val pushdownLimit = spark.conf.get("graft.knn.residual.pushdownLimit", "1024").toInt
+
+    val colIdx = fetchCols.zipWithIndex.toMap
+    val bound = cond.transform {
+      case a: AttributeReference =>
+        BoundReference(colIdx(a.name), a.dataType, a.nullable)
+    }
+    val rankOrd = fetchCols.length
+    val total = DiskannIndex.loadMeta(spark, entry.indexPath).numRows
+    val cap = math.max(k.toLong, math.min(total, maxOverfetch.toLong))
+      .min(Int.MaxValue).toInt
+
+    import spark.implicits._
+    // the kk fetched rows with their distance rank attached, fully distributed
+    def fetchedWithRank(hits: Array[org.apache.spark.sql.Row]): DataFrame = {
+      val pairs = hits.sortBy(r => (r.getDouble(2), r.getLong(1)))
+        .zipWithIndex.map { case (r, i) => (r.getLong(1), i) }
+      val ranks = pairs.toSeq.toDF("__hit_id", "__rank")
+      var src = spark.read.parquet(entry.sourcePath).select(fetchCols.map(col): _*)
+      if (pairs.length <= pushdownLimit)
+        src = src.filter(col(entry.idCol).isin(pairs.map(p => Long.box(p._1)).toSeq: _*))
+      src.join(org.apache.spark.sql.functions.broadcast(ranks),
+          col(entry.idCol) === col("__hit_id"))
+        .select(fetchCols.map(col) :+ col("__rank"): _*)
+    }
+
+    var kk = math.min(cap.toLong, math.max(k * 4L, 64L)).toInt
+    var round = 0
+    var out: RDD[InternalRow] = null
+    var bail = false
+    while (out == null && !bail) {
+      round += 1
+      val hits = searchK(kk)
+      val fetched = fetchedWithRank(hits)
+      val b = bound
+      val ro = rankOrd
+      val survivorRanks = fetched.queryExecution.toRdd
+        .mapPartitionsWithIndex { (pi, it) =>
+          val pred = Predicate.create(b)
+          pred.initialize(pi)
+          it.filter(pred.eval).map(_.getInt(ro))
+        }.takeOrdered(k)
+      val exhausted = hits.length < kk || kk >= total
+      if ((survivorRanks.length >= k && survivorRanks.last <= kk / 2) || exhausted) {
+        longMetric("numHeapFetches").add(hits.length)
+        out = fetched.select(wantCols.map(col): _*).queryExecution.toRdd
+      } else if (round >= maxRounds || kk >= cap) bail = true
+      else kk = math.min(cap.toLong, kk * 4L).toInt
+    }
+    if (bail) {
+      // brute-force bail-out: emit the whole relation (minus rows the index
+      // never contains: null vectors; label-filtered when the index is) and
+      // let FilterExec + TakeOrdered compute the exact answer, distributed
+      var src = spark.read.parquet(entry.sourcePath)
+        .select(wantCols.map(col): _*)
+        .filter(col(entry.vecCol).isNotNull)
+      (filterLabels, entry.labelsCol) match {
+        case (Some(ls), Some(lc)) =>
+          src = src.filter(org.apache.spark.sql.functions.arrays_overlap(
+            col(lc), typedlit(ls).cast(org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.ShortType))))
+        case _ =>
+      }
+      out = src.queryExecution.toRdd
+    }
+    out
   }
 
   override def simpleString(maxFields: Int): String =

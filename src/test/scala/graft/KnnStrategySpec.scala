@@ -115,6 +115,47 @@ class KnnStrategySpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("selective residual at 100k rows stays distributed and bails to exact brute force at the cap") {
+    setup
+    val bigSrc = "/tmp/graft_test_index/resid_big_src"
+    val bigIdx = "/tmp/graft_test_index/resid_big_idx"
+    val n = 100000
+    // deterministic 8-d vectors; ~0.1% of rows satisfy the residual below
+    spark.range(n).selectExpr("id AS vec_id",
+      "transform(sequence(1, 8), d -> CAST(pmod(hash(id, d), 997) / 997.0 AS FLOAT)) AS embedding")
+      .write.mode("overwrite").parquet(bigSrc)
+    DiskannIndex.build(spark.read.parquet(bigSrc), "vec_id", "embedding", None,
+      bigIdx, DiskannParams(metric = "cosine", numNeighbors = 16,
+        searchListSize = 32, storage = "plain", shardTargetRows = 8192))
+    KnnCatalog.register(bigSrc, KnnCatalog.Entry(bigIdx, bigSrc,
+      "vec_id", "embedding", None, "cosine"))
+    // cap the over-fetch well below the survivor horizon: with selectivity
+    // 1/1024 the first (and only) 4096-row round finds ~4 < 10 survivors and
+    // the scan must bail out to the exact distributed brute-force shape —
+    // never an isin over 100k literals, never a 100k-row driver collect
+    spark.conf.set("graft.knn.residual.maxOverfetch", "4096")
+    spark.conf.set("graft.knn.residual.maxRounds", "2")
+    val qv8 = "CAST(array(0.5, 0.1, 0.9, 0.3, 0.7, 0.2, 0.8, 0.4) AS ARRAY<FLOAT>)"
+    try {
+      val q = spark.sql(
+        s"""SELECT vec_id FROM parquet.`$bigSrc` WHERE vec_id % 1024 = 5
+           |ORDER BY vec_cosine_dist(embedding, $qv8) LIMIT 10""".stripMargin)
+      assert(q.queryExecution.executedPlan.toString.contains("recheck"))
+      val got = q.collect().map(_.getLong(0)).toSeq
+      // the bail-out is exact, so the answer must EQUAL brute force
+      val brute = spark.sql(
+        s"""SELECT vec_id, vec_cosine_dist(embedding, $qv8) AS d
+           |FROM parquet.`$bigSrc` WHERE vec_id % 1024 = 5
+           |ORDER BY d, vec_id LIMIT 10""".stripMargin)
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == brute, s"got=$got brute=$brute")
+    } finally {
+      spark.conf.unset("graft.knn.residual.maxOverfetch")
+      spark.conf.unset("graft.knn.residual.maxRounds")
+      KnnCatalog.unregister(bigSrc)
+    }
+  }
+
   test("label gate: one overlap on labelsCol claimed; AND of two or wrong column falls back") {
     setup
     val lblSrc = "/tmp/graft_test_index/strategy_lbl_src"
