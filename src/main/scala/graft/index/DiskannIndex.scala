@@ -64,6 +64,41 @@ object DiskannIndex {
     StructField("labels", ArrayType(ShortType, containsNull = false), nullable = true),
     StructField("neighbors", ArrayType(IntegerType, containsNull = false), nullable = false)))
 
+  /** Build-time option validation — parity with the reference's hard errors
+    * (build.rs:264-292, meta_page.rs:325-337): an invalid configuration must
+    * fail the build up front, never silently produce a different-quality
+    * index. */
+  private[graft] def validateBuildOptions(params: DiskannParams, metric: Metric,
+      hasLabels: Boolean, dimsToIndex: Int): Unit = {
+    require(params.storage == "sbq" || params.storage == "plain",
+      s"unknown storage type '${params.storage}' (expected sbq | plain)")
+    if (metric == Metric.InnerProduct && params.storage == "plain")
+      throw new IllegalArgumentException( // build.rs:264-266
+        "Inner product distance type is not supported with plain storage")
+    if (hasLabels && params.storage == "plain")
+      throw new IllegalArgumentException( // build.rs:285-287
+        "Labeled filtering is not supported with plain storage")
+    if (dimsToIndex <= 0) // build.rs:272-274 (covers the empty-input build)
+      throw new IllegalArgumentException("No dimensions to index")
+    if (dimsToIndex > graft.sources.EmbeddingSources.MaxDims)
+      throw new IllegalArgumentException( // build.rs:276-278
+        s"Too many dimensions to index (max is ${graft.sources.EmbeddingSources.MaxDims})")
+    if (params.storage == "plain" &&
+        dimsToIndex > graft.sources.EmbeddingSources.MaxDimsPlain)
+      throw new IllegalArgumentException( // build.rs:280-284
+        "Too many dimensions to index with plain storage (max is " +
+          s"${graft.sources.EmbeddingSources.MaxDimsPlain}); use storage=sbq instead")
+    params.bitsPerDim.foreach { b =>
+      require(b == 1 || b == 2, s"bitsPerDim must be 1 or 2, got $b")
+      if (b > 1 && dimsToIndex > 930)
+        throw new IllegalArgumentException( // meta_page.rs:325-328
+          "SBQ with more than 1 bit per dimension is not supported for more than 930 dimensions")
+      if (b > 1 && params.storage != "sbq")
+        throw new IllegalArgumentException( // meta_page.rs:329-334
+          "SBQ with more than 1 bit per dimension requires sbq storage")
+    }
+  }
+
   def build(df: DataFrame, idCol: String, vecCol: String, labelsCol: Option[String],
       path: String, params: DiskannParams = DiskannParams()): Unit = {
     val spark = df.sparkSession
@@ -76,6 +111,13 @@ object DiskannIndex {
       labelsCol.map(c => col(c).cast(ArrayType(ShortType)))
         .getOrElse(lit(null).cast(ArrayType(ShortType))).as("labels"))
       .filter(col("vec").isNotNull)
+
+    // validate options against the indexed width: the declared Matryoshka
+    // slice, or (one cheap limit-1 job) the width of the first stored vector
+    val checkedDims = params.numDimsToIndex.getOrElse(
+      base0.select(size(col("vec")).as("d")).head(1).headOption
+        .map(_.getInt(0)).getOrElse(0))
+    validateBuildOptions(params, metric, labelsCol.isDefined, checkedDims)
     // cosine: the graph/quantizer operate on normalized vectors
     // (preprocess_cosine, pg_vector.rs:153-155) but the nodes table stores
     // the RAW vectors — rescoring and SQL-visible distances are computed on
@@ -203,7 +245,27 @@ object DiskannIndex {
       partitioner = partitioner)
   }
 
-  def loadMeta(spark: SparkSession, path: String): IndexMeta = {
+  /**
+   * Resolve the ACTIVE root of an index. Fresh builds use the flat layout
+   * (`path/nodes` + `path/_meta`); compaction installs rebuilt generations as
+   * `path/versions/v%09d` and the highest version wins. A version directory
+   * only ever appears via one atomic `FileSystem.rename` of a fully-written
+   * build (the object-store-safe replacement for the old local-only
+   * backup-and-rename swap), so this listing can never observe a torn index,
+   * and readers that resolved the previous version keep a complete directory
+   * — compaction preserves one prior generation as a grace window.
+   */
+  def resolveRoot(spark: SparkSession, path: String): String = {
+    val vdir = new org.apache.hadoop.fs.Path(path, "versions")
+    val fs = vdir.getFileSystem(spark.sessionState.newHadoopConf())
+    try {
+      val vs = fs.listStatus(vdir).map(_.getPath.getName).filter(_.matches("v\\d{9}"))
+      if (vs.isEmpty) path else s"$path/versions/${vs.max}"
+    } catch { case _: java.io.FileNotFoundException => path }
+  }
+
+  def loadMeta(spark: SparkSession, path0: String): IndexMeta = {
+    val path = resolveRoot(spark, path0)
     import spark.implicits._
     // tolerate metas from earlier format generations (the analog of the
     // reference's V1/V2→V3 meta-page upgrade path, meta_page.rs:296-424):
@@ -322,11 +384,14 @@ object DiskannIndex {
   /** `nProbe` > 0 on an IVF-partitioned index restricts each query to its
     * nProbe nearest shards (per-query cost O(nProbe) instead of
     * O(numShards)); 0 = search every shard (exact same recall as hash). */
-  def search(spark: SparkSession, path: String, queries: DataFrame, k: Int,
+  def search(spark: SparkSession, path0: String, queries: DataFrame, k: Int,
       searchListSize: Int = 100, rescore: Int = 50,
       tombstones: Set[Long] = Set.empty,
       metrics: Option[SearchMetrics] = None,
       nProbe: Int = 0): DataFrame = {
+    // resolve the active generation ONCE: meta and nodes must come from the
+    // same version even if a compaction swap lands mid-query
+    val path = resolveRoot(spark, path0)
     val meta = loadMeta(spark, path)
     val metric = Metric(meta.metric)
     val model =
@@ -428,9 +493,10 @@ object DiskannIndex {
    * per-query top-k merge; bucketing the nodes table by shard would remove
    * the nodes shuffle entirely.
    */
-  def searchDistributed(spark: SparkSession, path: String, queries: DataFrame,
+  def searchDistributed(spark: SparkSession, path0: String, queries: DataFrame,
       k: Int, searchListSize: Int = 100, rescore: Int = 50,
       tombstones: Set[Long] = Set.empty, nProbe: Int = 0): DataFrame = {
+    val path = resolveRoot(spark, path0)
     val meta = loadMeta(spark, path)
     val metric = Metric(meta.metric)
     val model =
@@ -555,6 +621,10 @@ object DiskannIndex {
     }(org.apache.spark.sql.Encoders.row(resultSchema))
 
     main.unionByName(deltaHits)
+      // a row may transiently exist in BOTH the main graph and the delta
+      // (compaction folded the delta in, its file delete not yet visible);
+      // collapse by row_id so the top-k never contains duplicates
+      .groupBy(col("qid"), col("row_id")).agg(min(col("dist")).as("dist"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("dist"), col("row_id"))))
       .filter(col("rnk") <= k)
@@ -567,7 +637,8 @@ object DiskannIndex {
       avgDegree: Double, maxDegree: Int, metric: String, storage: String,
       bitsPerDim: Int)
 
-  def stats(spark: SparkSession, path: String): IndexStats = {
+  def stats(spark: SparkSession, path0: String): IndexStats = {
+    val path = resolveRoot(spark, path0)
     val meta = loadMeta(spark, path)
     val row = spark.read.parquet(s"$path/nodes")
       .agg(count(lit(1)).as("n"), sum(size(col("neighbors"))).as("edges"),
@@ -582,8 +653,9 @@ object DiskannIndex {
 
   /** Debug graph dump in DOT format (V6, graph/mod.rs:535-635 /
     * debugging.rs:12-50): one shard, capped at `maxNodes` nodes. Dev-only. */
-  def toDot(spark: SparkSession, path: String, shard: Int = 0,
+  def toDot(spark: SparkSession, path0: String, shard: Int = 0,
       maxNodes: Int = 200): String = {
+    val path = resolveRoot(spark, path0)
     val rows = spark.read.parquet(s"$path/nodes")
       .filter(col("shard") === shard && col("node") < maxNodes)
       .select(col("node"), col("row_id"), col("neighbors"))
@@ -604,8 +676,9 @@ object DiskannIndex {
     * from each shard's start node over its adjacency, summed across shards.
     * Distributed: each shard's BFS runs inside its own task; only one count
     * per shard crosses the wire. A healthy index returns `numRows`. */
-  def reachableCount(spark: SparkSession, path: String): Long = {
+  def reachableCount(spark: SparkSession, path0: String): Long = {
     import spark.implicits._
+    val path = resolveRoot(spark, path0)
     spark.read.parquet(s"$path/nodes")
       .select(col("shard"), col("node"), col("neighbors"))
       .groupByKey(_.getAs[Int]("shard"))

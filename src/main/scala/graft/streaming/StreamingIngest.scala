@@ -31,13 +31,29 @@ object StreamingIngest {
       .foreachBatch(appendBatchToDelta(indexPath) _)
       .start()
 
+  private def hadoopFs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** The delta's data files right now (Hadoop FS, so HDFS/S3 paths work the
+    * same as local ones). */
+  private def deltaFiles(spark: SparkSession,
+      indexPath: String): Array[org.apache.hadoop.fs.Path] = {
+    val (fs, _) = hadoopFs(spark, indexPath)
+    val d = new org.apache.hadoop.fs.Path(s"$indexPath/delta")
+    try fs.listStatus(d).map(_.getPath)
+      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+    catch { case _: java.io.FileNotFoundException => Array.empty }
+  }
+
   /** Search main graph + current delta (exact over the delta side). */
   def searchFresh(spark: SparkSession, indexPath: String, queries: DataFrame,
       k: Int, searchListSize: Int = 100, rescore: Int = 50,
       tombstones: Set[Long] = Set.empty): DataFrame = {
-    val deltaDir = new java.io.File(s"$indexPath/delta")
-    if (deltaDir.exists()) {
-      val delta = spark.read.parquet(s"$indexPath/delta")
+    val files = deltaFiles(spark, indexPath)
+    if (files.nonEmpty) {
+      val delta = spark.read.parquet(files.map(_.toString).toIndexedSeq: _*)
       DiskannIndex.searchWithDelta(spark, indexPath, queries, delta, k,
         searchListSize, rescore, tombstones)
     } else {
@@ -47,49 +63,103 @@ object StreamingIngest {
   }
 
   /** Fold the delta into the main graph: rebuild from nodes ∪ delta, then
-    * clear the delta. The rebuild is the same 2-job distributed build.
+    * drop the consumed delta files. The rebuild is the same 2-job
+    * distributed build.
     *
     * Build parameters are reconstructed from the index's own `_meta`
     * ([[DiskannIndex.IndexMeta.toParams]]) so the storage type, bits/dim,
     * Matryoshka width, R/L/alpha and partitioner all survive compaction —
     * `tune` lets a caller override individual fields explicitly
-    * (e.g. `_.copy(numNeighbors = 64)`). */
+    * (e.g. `_.copy(numNeighbors = 64)`).
+    *
+    * Concurrency + portability (the `aminsert` advisory-lock analog,
+    * build.rs:487-490, previously a local-only `renameTo` dance):
+    *
+    *  - writers are serialized by an atomically-created lock file
+    *    (`_compact.lock`); a second concurrent compact fails fast with
+    *    [[IllegalStateException]] instead of interleaving installs. A
+    *    crashed writer's stale lock is stolen after
+    *    `graft.compact.lockTimeoutMs` (default 1h).
+    *  - the rebuilt index is written to a hidden temp dir and installed as
+    *    `versions/v%09d` with ONE atomic `FileSystem.rename` — readers
+    *    resolve the active generation by max version name
+    *    ([[DiskannIndex.resolveRoot]]) and can never observe a torn index;
+    *    the previous generation survives as a grace window for in-flight
+    *    readers, older ones are pruned.
+    *  - only the delta files present when compaction STARTED are deleted:
+    *    micro-batch appends that land during the rebuild stay in the delta
+    *    and remain served by [[searchFresh]] until the next compaction.
+    */
   def compact(spark: SparkSession, indexPath: String,
       tune: DiskannParams => DiskannParams = identity): Unit = {
-    val deltaDir = new java.io.File(s"$indexPath/delta")
-    if (!deltaDir.exists()) return
-    val meta = DiskannIndex.loadMeta(spark, indexPath)
-    val existing = spark.read.parquet(s"$indexPath/nodes")
-      .select(col("row_id"), col("vec"), col("labels"))
-    val delta = spark.read.parquet(s"$indexPath/delta")
-      .select(col("row_id"), col("vec"),
-        (if (meta.hasLabels) col("labels") else lit(null)
-          .cast(org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.ShortType))).as("labels"))
-    val all = existing.unionByName(delta).cache()
-    val tmp = s"$indexPath.compacting"
-    DiskannIndex.build(all, "row_id", "vec",
-      if (meta.hasLabels) Some("labels") else None, tmp, tune(meta.toParams))
-    all.unpersist()
-    // swap via backup-then-rename: the old index (including the consumed
-    // delta) moves aside before the new one takes its place, so a crash in
-    // the window leaves a recoverable `.old` instead of no index at all;
-    // the backup is dropped only after the new index is in position
-    val old = new java.io.File(indexPath)
-    val bak = new java.io.File(s"$indexPath.old")
-    def deleteRec(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
-      f.delete()
+    if (deltaFiles(spark, indexPath).isEmpty) return // cheap no-op fast path
+    val (fs, _) = hadoopFs(spark, indexPath)
+    val lock = new org.apache.hadoop.fs.Path(s"$indexPath/_compact.lock")
+    val timeoutMs = spark.conf.get("graft.compact.lockTimeoutMs", "3600000").toLong
+    def tryAcquire(): Boolean =
+      try {
+        val out = fs.create(lock, false) // overwrite=false: atomic create
+        out.writeUTF(java.util.UUID.randomUUID().toString)
+        out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    var acquired = tryAcquire()
+    if (!acquired) {
+      val stale = try {
+        System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime > timeoutMs
+      } catch { case _: java.io.FileNotFoundException => true }
+      if (stale) { fs.delete(lock, false); acquired = tryAcquire() }
     }
-    deleteRec(bak)
-    if (!old.renameTo(bak))
-      throw new java.io.IOException(s"compact: could not move $indexPath aside")
-    if (!new java.io.File(tmp).renameTo(old)) {
-      bak.renameTo(old) // restore
-      throw new java.io.IOException(s"compact: could not install $tmp")
-    }
-    deleteRec(bak)
-    graft.index.GraphSearcher.invalidate(indexPath)
+    if (!acquired)
+      throw new IllegalStateException(
+        s"compact: another writer holds $lock (stolen only after " +
+          s"graft.compact.lockTimeoutMs=${timeoutMs}ms)")
+    try {
+      // snapshot the delta UNDER the lock: a predecessor may have consumed
+      // (and deleted) the files we saw before acquiring it
+      val consumed = deltaFiles(spark, indexPath)
+      if (consumed.isEmpty) return
+      val root = DiskannIndex.resolveRoot(spark, indexPath)
+      val meta = DiskannIndex.loadMeta(spark, root)
+      val existing = spark.read.parquet(s"$root/nodes")
+        .select(col("row_id"), col("vec"), col("labels"))
+      val delta = spark.read.parquet(consumed.map(_.toString).toIndexedSeq: _*)
+        .select(col("row_id"), col("vec"),
+          (if (meta.hasLabels) col("labels") else lit(null)
+            .cast(org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.ShortType))).as("labels"))
+      val all = existing.unionByName(delta).cache()
+
+      val vdir = new org.apache.hadoop.fs.Path(s"$indexPath/versions")
+      fs.mkdirs(vdir)
+      val prior = fs.listStatus(vdir).map(_.getPath.getName)
+        .filter(_.matches("v\\d{9}")).sorted
+      val next = (prior.map(_.substring(1).toInt) :+ 0).max + 1
+      val tmp = new org.apache.hadoop.fs.Path(vdir,
+        s".tmp-${java.util.UUID.randomUUID()}")
+      DiskannIndex.build(all, "row_id", "vec",
+        if (meta.hasLabels) Some("labels") else None, tmp.toString,
+        tune(meta.toParams))
+      all.unpersist()
+      val dst = new org.apache.hadoop.fs.Path(vdir, f"v$next%09d")
+      if (!fs.rename(tmp, dst)) {
+        fs.delete(tmp, true)
+        throw new java.io.IOException(s"compact: could not install $dst")
+      }
+      // drop exactly the consumed delta files; concurrent appends survive
+      consumed.foreach(p => fs.delete(p, false))
+      if (deltaFiles(spark, indexPath).isEmpty)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/delta"), true)
+      // prune: the flat pre-versioning files and all generations older than
+      // the one we just superseded (kept as the in-flight-reader grace)
+      if (prior.nonEmpty) {
+        prior.dropRight(1).foreach(v =>
+          fs.delete(new org.apache.hadoop.fs.Path(vdir, v), true))
+        fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/nodes"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/_meta"), true)
+      }
+      graft.index.GraphSearcher.invalidate(indexPath)
+    } finally fs.delete(lock, false)
   }
 
   /** Streaming windowed aggregation over the events stream (SURVEY.md §2.7 /

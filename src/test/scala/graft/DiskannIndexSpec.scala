@@ -25,6 +25,37 @@ class DiskannIndexSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
   }
 
+  test("build-time option validation rejects the reference's hard-error configs") {
+    val path = "/tmp/graft_test_index/validate_reject"
+    def err(params: DiskannParams, labels: Option[String] = None,
+        df: org.apache.spark.sql.DataFrame = emb, vc: String = "embedding"): String =
+      intercept[IllegalArgumentException] {
+        DiskannIndex.build(df, "vec_id", vc, labels, path, params)
+      }.getMessage
+    // ip + plain storage (build.rs:264-266)
+    assert(err(DiskannParams(metric = "ip", storage = "plain"))
+      .contains("Inner product"))
+    // labeled filtering + plain storage (build.rs:285-287)
+    val lbl = emb.withColumn("labels", array(lit(1.toShort)))
+    assert(err(DiskannParams(metric = "cosine", storage = "plain"),
+      labels = Some("labels"), df = lbl).contains("Labeled filtering"))
+    // dim caps: >16000 always, >2000 for plain (build.rs:192-196,276-284)
+    assert(err(DiskannParams(numDimsToIndex = Some(16001))).contains("Too many dimensions"))
+    assert(err(DiskannParams(storage = "plain", numDimsToIndex = Some(2001)))
+      .contains("plain storage"))
+    // 2-bit SBQ beyond 930 dims (meta_page.rs:325-328)
+    assert(err(DiskannParams(bitsPerDim = Some(2), numDimsToIndex = Some(931)))
+      .contains("more than 1 bit"))
+    // >1 bit/dim requires sbq storage (meta_page.rs:329-334)
+    assert(err(DiskannParams(storage = "plain", bitsPerDim = Some(2)))
+      .contains("requires sbq"))
+    // empty input has no width to index (build.rs:272-274)
+    assert(err(DiskannParams(), df = emb.filter(lit(false)))
+      .contains("No dimensions"))
+    // nothing was written by any rejected build
+    assert(!new java.io.File(path).exists())
+  }
+
   test("multi-shard build: 4 shards, search merges to the exact top-10") {
     val path = "/tmp/graft_test_index/multishard"
     DiskannIndex.build(emb, "vec_id", "embedding", None, path,

@@ -73,6 +73,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(after.map(_.getLong(1)).contains(450L))
   }
 
+  test("compact: single-writer lock, stale-lock steal, atomic versioned install") {
+    val path = "/tmp/graft_test_index/streaming_versions"
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    deleteRec(new java.io.File(path))
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    DiskannIndex.build(e.filter($"vec_id" < 300), "vec_id", "embedding", None,
+      path, DiskannParams(metric = "cosine"))
+    def appendDelta(lo: Int, hi: Int): Unit =
+      e.filter($"vec_id" >= lo && $"vec_id" < hi)
+        .select($"vec_id".as("row_id"), $"embedding".as("vec"))
+        .write.mode("append").parquet(s"$path/delta")
+
+    // a held (fresh) lock blocks a second writer fast, with a clear error
+    appendDelta(300, 400)
+    val lock = new java.io.File(s"$path/_compact.lock")
+    assert(lock.createNewFile())
+    intercept[IllegalStateException] { StreamingIngest.compact(spark, path) }
+    // a stale lock (older than graft.compact.lockTimeoutMs) is stolen
+    assert(lock.setLastModified(System.currentTimeMillis() - 2 * 3600 * 1000L))
+    StreamingIngest.compact(spark, path)
+    assert(!lock.exists(), "lock not released after compact")
+    assert(new java.io.File(s"$path/versions/v000000001").exists())
+    assert(DiskannIndex.loadMeta(spark, path).numRows == 400)
+
+    // two RACING compacts on a fresh delta: the lock serializes them — the
+    // loser either fails fast with IllegalStateException or arrives after
+    // the winner consumed the delta and no-ops; exactly ONE new version is
+    // installed either way and searches never observe a torn index
+    appendDelta(400, 500)
+    @volatile var tErr: Option[Throwable] = None
+    val t = new Thread(() =>
+      try StreamingIngest.compact(spark, path)
+      catch { case x: Throwable => tErr = Some(x) })
+    t.start()
+    val deadline = System.currentTimeMillis() + 30000
+    while (!lock.exists() && t.isAlive && System.currentTimeMillis() < deadline)
+      Thread.sleep(5)
+    val mainErr: Option[Throwable] =
+      try { StreamingIngest.compact(spark, path); None }
+      catch { case x: Throwable => Some(x) }
+    t.join(180000)
+    assert(!t.isAlive, "winner compact did not finish")
+    val errs = Seq(tErr, mainErr).flatten
+    assert(errs.size <= 1 && errs.forall(_.isInstanceOf[IllegalStateException]),
+      s"unexpected racing-compact outcome: $errs")
+    val vs = Option(new java.io.File(s"$path/versions").listFiles()).get
+      .map(_.getName).filter(_.startsWith("v")).sorted.toSeq
+    assert(vs.last == "v000000002" && vs.length <= 2, vs.mkString(","))
+    assert(DiskannIndex.loadMeta(spark, path).numRows == 500)
+    assert(!new java.io.File(s"$path/delta").exists())
+    val queries = e.filter($"vec_id" === 450)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val hits = StreamingIngest.searchFresh(spark, path, queries, k = 5,
+      searchListSize = 200, rescore = 150).collect()
+    assert(hits.map(_.getLong(1)).contains(450L))
+  }
+
   test("streaming dedup drops duplicate content within the watermark, first wins") {
     implicit val sqlCtx = spark.sqlContext
     def t(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
