@@ -40,7 +40,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val results = names.map { name =>
-      name -> math.min(timeOnce(name), timeOnce(name))
+      val t = name -> math.min(timeOnce(name), timeOnce(name))
+      // free operator-internal persists between queries (cache reuse WITHIN
+      // a query's warm-up + 2 timed runs is the steady-state being measured)
+      CacheScope.releaseAll()
+      t
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.4f""" }
       .mkString("{", ",", "}")

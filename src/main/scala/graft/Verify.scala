@@ -30,6 +30,7 @@ object Verify {
         failed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      finally CacheScope.releaseAll() // free operator-internal persists
     }
     println(s"[verify] dumped ${SparkEntry.queries.size - failed}/${SparkEntry.queries.size} queries")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

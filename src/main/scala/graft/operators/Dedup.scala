@@ -86,7 +86,7 @@ object Dedup {
     // once to a table and join against that.
     val base = shingled(df.repartition(par), idCol, textCol, shingleSize)
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.persist)
     val banded0 = base.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         j => xxhash64(j, slice(col("sig"), j * r + 1, lit(r))))))
@@ -138,7 +138,7 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(3)),
         j => call_function("shiftright", col("sig"), j * 15).bitwiseAND(lit(0x7FFFL)))))
       .select(col("id"), col("sig"), col("pos").as("band"), col("col").as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.persist)
     val cand = banded.as("a").join(banded.as("b"),
       col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))

@@ -281,14 +281,19 @@ object Similarity {
           var i = 0
           while (i < va.length) { nsqa += va(i).toDouble * va(i).toDouble; i += 1 }
           var j = pos + 1
-          while (j < n) {
+          // zero-norm guard: cosine with a zero vector is NaN, and NaN ranks
+          // ABOVE every real value in the heap's total ordering — one zero
+          // vector would flood the top-k. Define its similarity as unranked.
+          while (j < n && nsqa > 0.0) {
             val vb = vecs(j)
-            var dot = 0.0
-            i = 0
-            while (i < va.length) { dot += va(i).toDouble * vb(i).toDouble; i += 1 }
-            val cos = 1.0 - (1.0 - dot / math.sqrt(nsqa * nsq(j)))
-            if (heap.size < k) heap.enqueue((cos, ida, ids(j)))
-            else if (cos > heap.head._1) { heap.dequeue(); heap.enqueue((cos, ida, ids(j))) }
+            if (nsq(j) > 0.0) {
+              var dot = 0.0
+              i = 0
+              while (i < va.length) { dot += va(i).toDouble * vb(i).toDouble; i += 1 }
+              val cos = 1.0 - (1.0 - dot / math.sqrt(nsqa * nsq(j)))
+              if (heap.size < k) heap.enqueue((cos, ida, ids(j)))
+              else if (cos > heap.head._1) { heap.dequeue(); heap.enqueue((cos, ida, ids(j))) }
+            }
             j += 1
           }
         }
@@ -340,7 +345,7 @@ object Similarity {
     // nPlanes sign-projections per row are computed once, not per join side
     val base = df.select(col(idCol).cast(LongType).as("id"), col(vecCol).as("vec"))
       .withColumn("bucket", sigBits)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.persist)
     // multi-probe: each row also lands in every 1-bit-flip bucket
     val probed = base.select(col("id"), col("vec"),
       explode(array((col("bucket") +:

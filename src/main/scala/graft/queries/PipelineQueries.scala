@@ -235,7 +235,7 @@ object PipelineQueries {
       // in-session form of a pipeline writing its score table out.
       val scored = TextAnalysis.quality(canonical, "doc_id", "text")
         .select(col("doc_id"), col("lang"), col("quality_score"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CacheScope.persist)
       scored
         .filter(col("quality_score") >= 0.5 && col("lang") === "en")
         .select(col("doc_id"), col("lang"),

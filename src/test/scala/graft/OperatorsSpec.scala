@@ -139,6 +139,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(viaKernel == viaJoin) // exact doubles, not approx — kernel is bit-identical
   }
 
+  test("bruteCosineTopPairs: a zero vector never floods the top-k with NaN") {
+    VectorFunctions.register(spark)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter($"vec_id" < 50).select($"vec_id", $"embedding")
+    val dim = e.head().getAs[scala.collection.mutable.ArraySeq[Float]]("embedding").length
+    val zero = spark.range(1).select(lit(9999L).as("vec_id"),
+      typedlit(Array.fill(dim)(0.0f)).as("embedding"))
+    val top = Similarity.bruteCosineTopPairs(e.unionByName(zero),
+        "vec_id", "embedding", topN = 10)
+      .orderBy($"cos_raw".desc, $"id_a", $"id_b").limit(10).collect()
+    assert(top.nonEmpty)
+    assert(!top.exists(r => r.getDouble(2).isNaN), "NaN cosine leaked into top-k")
+    assert(!top.exists(r => r.getLong(0) == 9999L || r.getLong(1) == 9999L),
+      "zero vector must be unranked, not top-ranked")
+  }
+
   test("topK aggregator knnJoin == window-ranked exact result") {
     VectorFunctions.register(spark)
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
