@@ -99,6 +99,22 @@ object DiskannIndex {
     }
   }
 
+  /** Build phases, mirroring `ambuildphasename` (build.rs:1154-1167). Each
+    * Spark job launched by [[build]] runs inside a job group named
+    * `"<PhasePrefix><phase> [<path>]"`, so progress is observable from any
+    * SparkListener / the Spark UI — the AM progress-reporting analog (G10). */
+  val PhasePrefix = "graft diskann build: "
+  val PhaseTraining = "training quantizer"
+  val PhaseBuilding = "building graph"
+  val PhaseFinalizing = "finalizing graph"
+
+  private def inPhase[T](spark: SparkSession, phase: String, path: String)(f: => T): T = {
+    val sc = spark.sparkContext
+    sc.setJobGroup(s"$PhasePrefix$phase", s"$PhasePrefix$phase [$path]",
+      interruptOnCancel = false)
+    try f finally sc.clearJobGroup()
+  }
+
   def build(df: DataFrame, idCol: String, vecCol: String, labelsCol: Option[String],
       path: String, params: DiskannParams = DiskannParams()): Unit = {
     val spark = df.sparkSession
@@ -115,8 +131,10 @@ object DiskannIndex {
     // validate options against the indexed width: the declared Matryoshka
     // slice, or (one cheap limit-1 job) the width of the first stored vector
     val checkedDims = params.numDimsToIndex.getOrElse(
-      base0.select(size(col("vec")).as("d")).head(1).headOption
-        .map(_.getInt(0)).getOrElse(0))
+      inPhase(spark, PhaseTraining, path) {
+        base0.select(size(col("vec")).as("d")).head(1).headOption
+          .map(_.getInt(0)).getOrElse(0)
+      })
     validateBuildOptions(params, metric, labelsCol.isDefined, checkedDims)
     // cosine: the graph/quantizer operate on normalized vectors
     // (preprocess_cosine, pg_vector.rs:153-155) but the nodes table stores
@@ -133,11 +151,15 @@ object DiskannIndex {
     val base = base0
 
     val useSbq = params.storage == "sbq"
-    val model: SbqModel =
-      if (useSbq) Sbq.train(trainBase, "vec", params.bitsPerDim) else null
+    val model: SbqModel = if (useSbq)
+      inPhase(spark, PhaseTraining, path) { Sbq.train(trainBase, "vec", params.bitsPerDim) }
+    else null
     val modelBc = spark.sparkContext.broadcast(model)
 
-    val n = model match { case null => base.count(); case m => m.count }
+    val n = model match {
+      case null => inPhase(spark, PhaseTraining, path) { base.count() }
+      case m => m.count
+    }
     val numShards = math.max(1, math.ceil(n.toDouble / params.shardTargetRows).toInt)
     val hasLabels = labelsCol.isDefined
     val r = params.numNeighbors
@@ -152,11 +174,13 @@ object DiskannIndex {
     }
 
     val ivfModel: graft.operators.Similarity.IvfModel =
-      if (params.partitioner == "ivf") params.ivfSeed match {
-        case Some(seed) => graft.operators.Similarity.trainIvfDeterministic(
-          trainBase, "row_id", "vec", numShards, seed)
-        case None => graft.operators.Similarity.trainIvf(trainBase, "vec",
-          numShards, sampleSize = math.min(numShards * 256, 1 << 16))
+      if (params.partitioner == "ivf") inPhase(spark, PhaseTraining, path) {
+        params.ivfSeed match {
+          case Some(seed) => graft.operators.Similarity.trainIvfDeterministic(
+            trainBase, "row_id", "vec", numShards, seed)
+          case None => graft.operators.Similarity.trainIvf(trainBase, "vec",
+            numShards, sampleSize = math.min(numShards * 256, 1 << 16))
+        }
       }
       else null
     val sharded = if (ivfModel != null) {
@@ -193,17 +217,24 @@ object DiskannIndex {
           if (metric == Metric.Cosine) sliced.map(graft.functions.VectorKernels.normalize)
           else sliced
         val lbs = if (hasLabels) rows.map(t => Option(t._3).getOrElse(Array.emptyShortArray)).toArray else null
-        val builder = new VamanaBuilder(buildVecs, lbs, metric, r, l, alpha).build()
+        // SBQ build runs in Hamming space over the codes (D8/D9 parity): the
+        // graph must be navigable under the metric the serving traversal
+        // actually uses, not the full-precision one.
+        val shardCodes = if (m != null) buildVecs.map(m.quantize) else null
+        val builder = new VamanaBuilder(buildVecs, lbs, metric, r, l, alpha,
+          shardCodes).build()
         rows.indices.iterator.map { i =>
           Row(shard, i, rows(i)._1, vecs(i),
-            if (m != null) m.quantize(buildVecs(i)) else null,
+            if (shardCodes != null) shardCodes(i) else null,
             if (lbs != null) lbs(i) else null,
             builder.neighborsOf(i))
         }
       }
     }(org.apache.spark.sql.Encoders.row(nodeSchema))
 
-    nodes.write.mode("overwrite").partitionBy("shard").parquet(s"$path/nodes")
+    inPhase(spark, PhaseBuilding, path) {
+      nodes.write.mode("overwrite").partitionBy("shard").parquet(s"$path/nodes")
+    }
 
     // meta sidecar as a 1-row parquet (no JSON dependency, schema-checked).
     // buildId is a fresh epoch per (re)build: executor caches key on it, so a
@@ -211,16 +242,18 @@ object DiskannIndex {
     // driver-to-executor invalidation broadcast needed (the analog of the
     // reference bumping the meta page version).
     import spark.implicits._
-    Seq(IndexMeta(params.metric, params.storage, r, l, alpha, numShards, n,
-      hasLabels,
-      if (model != null) model.bitsPerDim else 0,
-      if (model != null) model.count else 0L,
-      if (model != null) model.mean else Array.emptyDoubleArray,
-      if (model != null) model.m2 else Array.emptyDoubleArray, dimsToIndex,
-      params.partitioner,
-      if (ivfModel != null) ivfModel.centroids else Array.empty[Array[Float]],
-      params.shardTargetRows, java.util.UUID.randomUUID().toString))
-      .toDF().coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+    inPhase(spark, PhaseFinalizing, path) {
+      Seq(IndexMeta(params.metric, params.storage, r, l, alpha, numShards, n,
+        hasLabels,
+        if (model != null) model.bitsPerDim else 0,
+        if (model != null) model.count else 0L,
+        if (model != null) model.mean else Array.emptyDoubleArray,
+        if (model != null) model.m2 else Array.emptyDoubleArray, dimsToIndex,
+        params.partitioner,
+        if (ivfModel != null) ivfModel.centroids else Array.empty[Array[Float]],
+        params.shardTargetRows, java.util.UUID.randomUUID().toString))
+        .toDF().coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+    }
     GraphSearcher.invalidate(path)
   }
 

@@ -85,21 +85,45 @@ final class GraphSearcher(
         reportDist(vectors(i), query)
       }
     val l = math.max(searchListSize, k)
+    // Consume-driven expansion budget: the reference's streaming scan keeps
+    // iterating as the executor pulls results — `consume` pops the nearest
+    // visited node, shrinking the list, so `visit_closest(search_list_size)`
+    // admits more expansions (scan.rs:209-242, graph/mod.rs:153-170). For k
+    // results with a rescore buffer the scan pulls rescore+k-1 candidates, so
+    // total exploration reaches ~L + rescore + k - 1 visited nodes. A one-shot
+    // batch search must use that same budget or it under-explores vs the
+    // reference at identical (L, rescore) parameters.
+    val bound = l + (if (rescore > 0) math.max(rescore, k) + k - 1 else k)
 
     // bounded best-first traversal (greedy_search_iterate, graph/mod.rs:331-385)
-    val visited = new mutable.ArrayBuffer[(Int, Double)](l * 2)
-    val inserted = new java.util.HashSet[Integer](l * 4)
-    val ord = Ordering.by[(Int, Double), Double](_._2).reverse
+    // ordered by (distance, node id): quantized distances are coarse integers,
+    // and the reference's DistanceWithTieBreak total order means exploration
+    // continues THROUGH a tie at the frontier bound rather than stopping on it
+    // (neighbor_with_distance.rs:12-95) — a raw `<` on distance alone stops at
+    // the first tie and measurably loses recall on 1-2 bit codes.
+    val visited = new mutable.ArrayBuffer[(Int, Double)](bound + 16)
+    val inserted = new java.util.HashSet[Integer](bound * 2)
+    @inline def lt(aId: Int, aD: Double, bId: Int, bD: Double): Boolean =
+      aD < bD || (aD == bD && aId < bId)
+    val ord = Ordering.fromLessThan[(Int, Double)]((a, b) => lt(b._1, b._2, a._1, a._2))
     val candidates = mutable.PriorityQueue.empty[(Int, Double)](ord)
     starts.foreach { s =>
       if (inserted.add(s)) candidates.enqueue((s, traversalDist(s)))
     }
-    while (candidates.nonEmpty &&
-        (visited.length < l || candidates.head._2 < visited(l - 1)._2)) {
+    while (candidates.nonEmpty && (visited.length < bound || {
+      val h = candidates.head; val b = visited(bound - 1)
+      lt(h._1, h._2, b._1, b._2)
+    })) {
       val head = candidates.dequeue()
-      var idx = visited.indexWhere(_._2 > head._2)
-      if (idx < 0) idx = visited.length
-      visited.insert(idx, head)
+      // binary-search insert position in the (dist, id)-sorted visited list
+      var lo = 0
+      var hi = visited.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        val v = visited(mid)
+        if (lt(v._1, v._2, head._1, head._2)) lo = mid + 1 else hi = mid
+      }
+      visited.insert(lo, head)
       var e = nbrOff(head._1)
       val end = nbrOff(head._1 + 1)
       while (e < end) {
@@ -117,13 +141,28 @@ final class GraphSearcher(
       }
     }
 
-    // rescore buffer (T2): exact distances for the top candidates
-    val poolSize = if (rescore <= 0) visited.length else math.max(rescore, k)
-    val out = visited.iterator
-      .filter { case (id, _) =>
-        !tombstoned(rowIds(id)) &&
-          (filterLabels == null || LabelSets.overlaps(labels(id), filterLabels))
+    // rescore buffer (T2): exact distances for the top candidates. The
+    // reference's resort is a streaming refill-then-pop (scan.rs:244-305), so
+    // for k results it rescores the first ~rescore+k-1 of the quantized-order
+    // stream, not exactly `rescore`. Quantized distances are coarse integers
+    // (Hamming over <=2-bit codes) with heavy ties; cutting the pool mid-tie
+    // would discard candidates indistinguishable at traversal resolution, so
+    // the cut extends through the boundary tie. Cost stays bounded: the pool
+    // can never exceed the visited list, whose length is ~searchListSize.
+    val eligible = visited.filter { case (id, _) =>
+      !tombstoned(rowIds(id)) &&
+        (filterLabels == null || LabelSets.overlaps(labels(id), filterLabels))
+    }
+    val poolSize =
+      if (rescore <= 0 || eligible.length <= rescore + k - 1) eligible.length
+      else {
+        val base = math.max(rescore + k - 1, k)
+        val cutDist = eligible(base - 1)._2
+        var p = base
+        while (p < eligible.length && eligible(p)._2 == cutDist) p += 1
+        p
       }
+    val out = eligible.iterator
       .take(poolSize)
       .map { case (id, _) =>
         if (stats != null) stats.exactCmps += 1

@@ -91,7 +91,16 @@ final class VamanaBuilder(
     val metric: Metric,
     val numNeighbors: Int,
     val searchListSize: Int,
-    val maxAlpha: Double) {
+    val maxAlpha: Double,
+    /** SBQ codes of the rows (same order as `vectors`). When non-null the
+      * whole build — insert traversal AND prune occlusion — runs on Hamming
+      * distances over these codes, exactly like the reference's SBQ build
+      * (SbqSearchDistanceMeasure / SbqNodeDistanceMeasure, sbq/mod.rs:139-190,
+      * D8/D9): the graph's edges are then consistent with the quantized
+      * metric the serving traversal uses, which measurably improves recall at
+      * reference-default parameters over a full-precision build. null =
+      * full-precision build (plain storage). */
+    val codes: Array[Array[Long]] = null) {
 
   val n: Int = vectors.length
   private val slackLimit: Int = math.ceil(numNeighbors * 1.3).toInt
@@ -108,7 +117,9 @@ final class VamanaBuilder(
   private def labelsOf(i: Int): Array[Short] =
     if (labels == null) Array.emptyShortArray else labels(i)
 
-  @inline private def dist(i: Int, j: Int): Double = metric.dist(vectors(i), vectors(j))
+  @inline private def dist(i: Int, j: Int): Double =
+    if (codes != null) VectorKernels.hamming(codes(i), codes(j)).toDouble
+    else metric.dist(vectors(i), vectors(j))
 
   /** distance==0 tie-break proxy for ip_distance (util/mod.rs:166-171). */
   @inline private def tieBreak(i: Int, j: Int): Int = math.abs(i - j).max(0)
@@ -138,6 +149,12 @@ final class VamanaBuilder(
   /** Greedy best-first search over the current graph (graph/mod.rs:331-385).
     * Returns the visited list (id, dist) — candidate neighbors for pruning. */
   def greedySearch(query: Array[Float], starts: Seq[Int], l: Int,
+      filterLabels: Array[Short], excludeSelf: Int = -1): mutable.ArrayBuffer[(Int, Double)] =
+    greedySearchBy(i => metric.dist(query, vectors(i)), starts, l, filterLabels, excludeSelf)
+
+  /** As [[greedySearch]] but with an arbitrary query-to-node distance — the
+    * build path passes Hamming over SBQ codes when `codes` is set. */
+  def greedySearchBy(qdist: Int => Double, starts: Seq[Int], l: Int,
       filterLabels: Array[Short], excludeSelf: Int = -1): mutable.ArrayBuffer[(Int, Double)] = {
     val visited = new mutable.ArrayBuffer[(Int, Double)](l * 2)
     if (starts.isEmpty) return visited
@@ -145,7 +162,7 @@ final class VamanaBuilder(
     val ord = Ordering.by[(Int, Double), Double](_._2).reverse
     val candidates = mutable.PriorityQueue.empty[(Int, Double)](ord)
     starts.distinct.foreach { s =>
-      if (inserted.add(s)) candidates.enqueue((s, metric.dist(query, vectors(s))))
+      if (inserted.add(s)) candidates.enqueue((s, qdist(s)))
     }
     while (candidates.nonEmpty &&
         (visited.length < l || candidates.head._2 < visited(l - 1)._2)) {
@@ -164,7 +181,7 @@ final class VamanaBuilder(
             LabelSets.overlaps(labelsOf(cand), filterLabels)
           if (keep) {
             inserted.add(cand)
-            candidates.enqueue((cand, metric.dist(query, vectors(cand))))
+            candidates.enqueue((cand, qdist(cand)))
           }
         }
         i += 1
@@ -249,8 +266,8 @@ final class VamanaBuilder(
   private def insertInternal(id: Int, noFilter: Boolean): Unit = {
     val filterLabels = if (noFilter) Array.emptyShortArray else labelsOf(id)
     val starts = startsFor(filterLabels)
-    val visited = greedySearch(vectors(id), starts, searchListSize, filterLabels,
-      excludeSelf = id)
+    val visited = greedySearchBy(j => dist(id, j), starts, searchListSize,
+      filterLabels, excludeSelf = id)
     val chosen = addNeighbors(id, visited.toSeq)
     // back-edges
     chosen.foreach { case (nb, d) => addNeighbors(nb, Seq((id, d))) }

@@ -283,6 +283,34 @@ class DiskannIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("build phases fire in order: training -> building -> finalizing (ambuildphasename, build.rs:1154-1167)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val phases = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new SparkListener {
+      override def onJobStart(jobStart: SparkListenerJobStart): Unit = {
+        val grp = Option(jobStart.properties)
+          .flatMap(p => Option(p.getProperty("spark.jobGroup.id"))).getOrElse("")
+        if (grp.startsWith(DiskannIndex.PhasePrefix))
+          phases.add(grp.stripPrefix(DiskannIndex.PhasePrefix))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      DiskannIndex.build(emb, "vec_id", "embedding", None,
+        "/tmp/graft_test_index/phases", DiskannParams(numNeighbors = 8, searchListSize = 16))
+      // listener events are delivered asynchronously — poll for the last phase
+      val deadline = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < deadline &&
+        !phases.contains(DiskannIndex.PhaseFinalizing)) Thread.sleep(50)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // distinct in arrival order: each phase may span several jobs
+    val seen = phases.toArray(Array.empty[String]).foldLeft(Vector.empty[String]) {
+      (acc, p) => if (acc.lastOption.contains(p)) acc else acc :+ p
+    }
+    assert(seen == Vector(DiskannIndex.PhaseTraining, DiskannIndex.PhaseBuilding,
+      DiskannIndex.PhaseFinalizing), s"phases observed: $seen")
+  }
+
   test("null query vector searches the zero vector (labels/mod.rs:214-216)") {
     import org.apache.spark.sql.types._
     val path = "/tmp/graft_test_index/multishard"

