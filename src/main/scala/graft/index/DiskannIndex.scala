@@ -467,7 +467,6 @@ object DiskannIndex {
       if (probeOf.nonEmpty && probeOf.size == qRows.length)
         probeOf.values.flatten.toSet.toSeq.sorted
       else 0 until meta.numShards
-    val nodesDf = wholeShardScan(spark.read.parquet(s"$path/nodes"), neededShards)
     val resultSchema = StructType(Seq(
       StructField("qid", LongType, nullable = false),
       StructField("row_id", LongType, nullable = false),
@@ -475,20 +474,11 @@ object DiskannIndex {
 
     val buildId = meta.buildId
 
-    val partial = nodesDf.mapPartitions { it =>
-      val rows = it.toArray
-      if (rows.isEmpty) Iterator.empty
-      else rows.groupBy(_.getAs[Int]("shard")).iterator.flatMap { case (shard, shardRows) =>
-        val searcher = GraphSearcher.getOrBuild(s"$path#$shard#$buildId",
-          () => buildShardSearcher(path, shard, shardRows, metric, model,
-            meta.hasLabels, meta.dimsToIndex))
-        val tomb = tombBc.value
-        val probes = probeBc.value
-        qBc.value.iterator
-          .filter { case (qid, _, _) =>
-            probes.get(qid).forall(_.contains(shard))
-          }
-          .flatMap { case (qid, qvec, qlabels) =>
+    def searchShard(searcher: GraphSearcher, shard: Int,
+        qs: Iterator[(Long, Array[Float], Array[Short])],
+        tomb: Set[Long], probes: Map[Long, Array[Int]]): Iterator[Row] =
+      qs.filter { case (qid, _, _) => probes.get(qid).forall(_.contains(shard)) }
+        .flatMap { case (qid, qvec, qlabels) =>
           val st = if (metrics.isDefined) new SearchStats else null
           val hits = searcher.search(qvec, k, searchListSize, rescore, qlabels,
             rid => tomb.contains(rid), report, st)
@@ -499,8 +489,53 @@ object DiskannIndex {
           }
           hits.take(k).map { case (rid, d) => Row(qid, rid, d) }
         }
-      }
-    }(org.apache.spark.sql.Encoders.row(resultSchema))
+
+    // Serving warm path: a shard whose decoded searcher already lives in
+    // THIS JVM's cache is answered directly, with no nodes scan at all — the
+    // analog of a reference backend serving from shared buffers instead of
+    // re-reading index pages. In local mode (and any serving node colocated
+    // with its executor cache) repeat point queries skip Parquet entirely; in
+    // cluster mode the query-issuing driver has an empty cache, every shard
+    // is cold, and the scan path below is unchanged. Gated to small query
+    // batches — large batches belong to searchDistributed anyway.
+    val warmPairs: Seq[(Int, GraphSearcher)] =
+      if (qRows.length <= 128)
+        neededShards.flatMap(sh =>
+          GraphSearcher.peek(s"$path#$sh#$buildId").map(sh -> _))
+      else Seq.empty
+    val warmSet = warmPairs.map(_._1).toSet
+    val coldShards = neededShards.filterNot(warmSet)
+    val warmShards = warmPairs.map(_._1)
+    val warmRows: Seq[Row] = warmPairs.flatMap { case (shard, searcher) =>
+      searchShard(searcher, shard, qRows.iterator, tombstones, probeOf).toSeq
+    }
+
+    val coldPartial: Option[DataFrame] = if (coldShards.isEmpty) None else {
+      val nodesDf = wholeShardScan(spark.read.parquet(s"$path/nodes"), coldShards)
+      Some(nodesDf.mapPartitions { it =>
+        val rows = it.toArray
+        if (rows.isEmpty) Iterator.empty
+        else rows.groupBy(_.getAs[Int]("shard")).iterator.flatMap { case (shard, shardRows) =>
+          val searcher = GraphSearcher.getOrBuild(s"$path#$shard#$buildId",
+            () => buildShardSearcher(path, shard, shardRows, metric, model,
+              meta.hasLabels, meta.dimsToIndex))
+          searchShard(searcher, shard, qBc.value.iterator, tombBc.value, probeBc.value)
+        }
+      }(org.apache.spark.sql.Encoders.row(resultSchema)))
+    }
+
+    val warmPartial: Option[DataFrame] =
+      if (warmShards.isEmpty) None
+      else Some(spark.createDataFrame(
+        java.util.Arrays.asList(warmRows: _*), resultSchema))
+
+    val partial = (warmPartial, coldPartial) match {
+      case (Some(w), Some(c)) => w.unionByName(c)
+      case (Some(w), None) => w
+      case (None, Some(c)) => c
+      case (None, None) =>
+        spark.createDataFrame(java.util.Collections.emptyList[Row](), resultSchema)
+    }
 
     // final top-k merge per query
     partial

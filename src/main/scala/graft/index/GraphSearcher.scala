@@ -224,6 +224,10 @@ object GraphSearcher {
   /** Current number of cached shard graphs in this JVM (ops/test hook). */
   def cachedCount: Int = cache.size()
 
+  /** Cache lookup without building — the serving warm path asks this on the
+    * query-issuing JVM to skip the nodes scan for already-decoded shards. */
+  def peek(key: String): Option[GraphSearcher] = Option(cache.get(key))
+
   /** Best-effort same-JVM eviction of stale builds (frees memory promptly in
     * local mode); correctness across executors comes from buildId keying. */
   def invalidate(prefix: String): Unit = cache.synchronized {

@@ -124,7 +124,15 @@ object Curation {
    * star-contraction (large-star/small-star) — same per-round shape,
    * O(log n) rounds.
    */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 30,
+      algorithm: String = "label"): DataFrame = algorithm match {
+    case "label" => connectedComponentsLabel(edges, maxIter)
+    case "star" => connectedComponentsStar(edges, maxIter)
+    case other => throw new IllegalArgumentException(
+      s"unknown connected-components algorithm '$other' (label | star)")
+  }
+
+  private def connectedComponentsLabel(edges: DataFrame, maxIter: Int): DataFrame = {
     val sym = edges
       .select(col("id_a").cast(LongType).as("src"), col("id_b").cast(LongType).as("dst"))
       .union(edges.select(col("id_b").cast(LongType).as("src"),
@@ -155,5 +163,75 @@ object Curation {
     sym.unpersist()
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     labels
+  }
+
+  /**
+   * Star-contraction connected components (alternating large-star /
+   * small-star, Kiveris et al., "Connected Components in MapReduce and
+   * Beyond"): converges in O(log n) rounds regardless of component diameter,
+   * with the SAME per-round shuffle shape as min-label propagation (one
+   * aggregation + one join). The scale path for adversarial chain-shaped
+   * components; dense dedup clusters converge in a round or two either way,
+   * which is why `label` stays the default.
+   *
+   *  - large-star: symmetrize; per vertex u with m = min(N(u) ∪ {u}), emit
+   *    (v, m) for every neighbor v > u
+   *  - small-star: on smaller-pointing edges, per u with smaller neighbors S
+   *    and m = min(S ∪ {u}), emit (v, m) for v ∈ S ∪ {u}, v ≠ m
+   *
+   * At the fixpoint every component is a star centered on its minimum vertex.
+   */
+  private def connectedComponentsStar(edges: DataFrame, maxIter: Int): DataFrame = {
+    val spark = edges.sparkSession
+    // canonical big->small direction; self-loops dropped
+    var e = edges
+      .select(
+        greatest(col("id_a").cast(LongType), col("id_b").cast(LongType)).as("u"),
+        least(col("id_a").cast(LongType), col("id_b").cast(LongType)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    // vertex universe: output must cover every vertex in the input pair graph
+    val vertices = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+      .distinct().localCheckpoint(true)
+
+    def checksum(df: DataFrame): (Long, Long) = {
+      // xor-fold never overflows (sum would, under ANSI); order-insensitive
+      val r = df.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var prev = checksum(e)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // large-star: m over ALL neighbors (symmetrized) and self
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val afterLarge = sym.filter(col("v") > col("u"))
+        .join(lsMin, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star: edges already point big->small
+      val ssMin = afterLarge.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val afterSmall = afterLarge.join(ssMin, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(ssMin.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      val cur = checksum(afterSmall)
+      converged = cur == prev
+      prev = cur
+      e = afterSmall
+      iter += 1
+    }
+    require(converged, s"connectedComponentsStar did not converge in $maxIter rounds")
+    // fixpoint: e = (node, componentMin) for every non-root node
+    vertices.join(e, vertices("id") === e("u"), "left")
+      .select(col("id"), coalesce(col("v"), col("id")).as("cluster_id"))
   }
 }

@@ -32,6 +32,28 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Map(2L -> 2L, 7L -> 2L))
   }
 
+  test("star-contraction: diameter-63 path converges within 15 rounds (label would need 63)") {
+    // path 0-1-...-63: star-contraction is O(log n) rounds regardless of
+    // diameter, so maxIter=15 forces the claim (the require() throws at 15
+    // rounds without convergence; label propagation needs diameter rounds)
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Curation.connectedComponents(edges, maxIter = 15, algorithm = "star")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 63L).map(_ -> 0L).toMap)
+  }
+
+  test("star-contraction matches label propagation on a mixed random graph") {
+    val rnd = new scala.util.Random(5)
+    // 120 vertices, sparse random edges => several components of varying shape
+    val edges = (0 until 90).map { _ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong)
+    }.filter { case (a, b) => a != b }.toDF("id_a", "id_b")
+    def run(alg: String): Map[Long, Long] =
+      Curation.connectedComponents(edges, maxIter = 40, algorithm = alg)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run("star") == run("label"))
+  }
+
   test("stratifiedSample is deterministic and respects per-stratum rates") {
     val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
       .toDF("id", "lang")
