@@ -213,6 +213,18 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // same clusters via star-contraction (O(log n) rounds, the adversarial-
+    // diameter scale path): cluster_id = component min either way, so the
+    // recursive-CTE oracle verifies BOTH algorithms hash-identically
+    "dedup_clusters_star" -> ((s, d) => {
+      val pairs = Dedup.minhashNearDupPairs(docs(s, d), "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      Curation.connectedComponents(pairs.select(col("id_a"), col("id_b")),
+        algorithm = "star")
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- composed curation pipeline ----
     // the ops compose as ordinary DataFrame stages: quality + language gate,
     // then exact-dedup keeping the canonical (minimum) doc per content hash —
@@ -588,6 +600,25 @@ object PipelineQueries {
     // transitive closure of the exact-Jaccard near-dup pair graph via a
     // recursive CTE: min reachable id == the Spark side's propagated label
     "dedup_clusters" ->
+      s"""WITH RECURSIVE
+         |t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+         |g AS (SELECT doc_id, ${sqlShingles("w")} AS sh FROM t),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |      FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM p
+         |      UNION SELECT id_b, id_a FROM p),
+         |reach(v, l) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.dst, reach.l FROM reach JOIN e ON e.src = reach.v)
+         |SELECT v AS doc_id, min(l) AS cluster_id
+         |FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // star-contraction reaches the identical fixpoint (component min), so
+    // the same transitive-closure oracle applies verbatim
+    "dedup_clusters_star" ->
       s"""WITH RECURSIVE
          |t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
          |g AS (SELECT doc_id, ${sqlShingles("w")} AS sh FROM t),
