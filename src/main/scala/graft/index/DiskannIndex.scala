@@ -629,13 +629,20 @@ object DiskannIndex {
             .take(k).iterator.map { case (rid, d) => (qid, rid, d) }
         }
       }
-    }.toDF("qid", "row_id", "dist")
+    }
 
-    partial
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("dist"), col("row_id"))))
-      .filter(col("rnk") <= k)
-      .drop("rnk")
+    // final per-query top-k as a MERGEABLE bounded aggregation: map-side
+    // combine caps each task's contribution at k rows per query BEFORE the
+    // shuffle, so only ~k rows per query cross the wire instead of the
+    // nProbe×k per-shard candidates a window row_number merge would shuffle
+    // (and there is no sort). Same (dist, row_id) tie-break.
+    val agg = new graft.operators.Similarity.TopKAggregator(k)
+    partial.groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(agg.toColumn.name("topk"))
+      .toDF("qid", "topk")
+      .select(col("qid"), explode(col("topk")).as("hit"))
+      .select(col("qid"), col("hit._1").as("row_id"), col("hit._2").as("dist"))
   }
 
   /**

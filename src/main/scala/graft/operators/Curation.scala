@@ -108,6 +108,88 @@ object Curation {
   }
 
   /**
+   * Token-budget mixture sampling: downsample each stratum (source/domain/
+   * language) so its EXPECTED token count meets a per-stratum budget — the
+   * data-mixing step that turns a raw crawl into a training mixture with
+   * chosen domain proportions. rate(s) = min(1, budget(s) / Σtokens(s)); a
+   * row survives iff md5-uniform(seed, id) < rate(stratum).
+   *
+   * Shape at 100 TB: per-stratum token totals are ONE partial-aggregated
+   * shuffle of O(#strata) rows (strata are domains/languages — small by
+   * definition), broadcast-joined back; the keep decision is then pure
+   * map-side. Nothing is collected to the driver, and the md5-derived
+   * uniform makes the sample reproducible by any engine with md5().
+   */
+  def mixtureSample(df: DataFrame, idCol: String, strataCol: String,
+      tokensCol: Column, budgets: Map[String, Long], defaultBudget: Long,
+      seed: String = "graft-mix"): DataFrame = {
+    // reverse-sorted fold => the when-chain tests keys in sorted order;
+    // deterministic plan for any Map iteration order
+    val budgetCol = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget.toDouble)) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(v.toDouble)).otherwise(acc)
+    }
+    val rates = df.groupBy(col(strataCol))
+      .agg(sum(tokensCol).cast(LongType).as("__sum_tokens"))
+      .select(col(strataCol),
+        least(lit(1.0), budgetCol / col("__sum_tokens").cast(DoubleType)).as("__rate"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(md5Uniform(seed, col(idCol)) < col("__rate"))
+      .drop("__rate")
+  }
+
+  /**
+   * Greedy sequence packing: assign documents to fixed-token-budget training
+   * sequences (the pre-tokenization packing step of an LLM data pipeline).
+   * Documents are hashed into `nBuckets` independent buckets (md5, so the
+   * bucketing is engine-reproducible), ordered by id within a bucket, and
+   * packed first-fit-in-order: a document opens a new sequence iff adding it
+   * would overflow `budget` (a document longer than the budget gets a
+   * sequence of its own). Output: one row per document with its `bucket`,
+   * `n_tokens`, and `seq_id` (sequence ordinal within the bucket).
+   *
+   * Packing is inherently sequential, so the parallelism unit is the bucket:
+   * one shuffle on `bucket`, a partition-local sorted sweep (secondary sort —
+   * state resets on bucket change, nothing is materialized per group), and
+   * `nBuckets` scales with the corpus. Cross-bucket packing loses nothing:
+   * waste is bounded by one underfull sequence per bucket.
+   */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: Column,
+      budget: Long, nBuckets: Int, seed: String = "graft-pack"): DataFrame = {
+    require(budget > 0, "packSequences budget must be positive")
+    require(nBuckets > 0, "packSequences nBuckets must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(
+      col(idCol).cast(LongType).as("doc_id"),
+      (conv(substring(md5(concat_ws(":", lit(seed), col(idCol).cast(LongType))), 18, 15),
+        16, 10).cast(LongType) % nBuckets).as("bucket"),
+      tokensCol.cast(LongType).as("n_tokens"))
+    base
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("doc_id"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        // streaming sweep: a partition holds whole buckets in sorted order,
+        // so per-bucket packing state resets on bucket change
+        var curBucket = -1L
+        var seqId = 0L
+        var running = 0L
+        var seenAny = false
+        it.map { case (docId, bucket, n) =>
+          if (!seenAny || bucket != curBucket) {
+            curBucket = bucket; seqId = 0L; running = n; seenAny = true
+          } else if (running + n > budget) {
+            seqId += 1L; running = n
+          } else {
+            running += n
+          }
+          (docId, bucket, n, seqId)
+        }
+      }
+      .toDF("doc_id", "bucket", "n_tokens", "seq_id")
+  }
+
+  /**
    * Connected components over an undirected pair graph (`id_a`, `id_b`):
    * every vertex gets `cluster_id` = the minimum vertex id in its component.
    * This turns near-dup PAIRS (MinHash/SimHash/LSH output) into duplicate

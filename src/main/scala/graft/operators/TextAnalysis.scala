@@ -104,6 +104,75 @@ object TextAnalysis {
   }
 
   /**
+   * Gopher-style document quality gate (the rule family of Rae et al. 2021,
+   * appendix A1.1, adapted to single-line corpora): per-rule boolean flags
+   * plus their conjunction, from ONE tokenization pass.
+   *
+   * Rules: token count within [minTokens, maxTokens]; mean token length
+   * within [3, 10] chars; at least `minStopwords` DISTINCT stopwords present
+   * (the "contains 2 of a small stop list" rule); at least
+   * `minAlphaWordRatio` of tokens containing an alphabetic character.
+   *
+   * Entirely map-side — at 100 TB this composes with the parquet scan, and a
+   * pipeline filters on `passes` (or re-weights on individual flags) with no
+   * shuffle introduced.
+   */
+  def gopherQuality(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 50, maxTokens: Int = 100000,
+      minStopwords: Int = 2, minAlphaWordRatio: Double = 0.8): DataFrame = {
+    val text = col(textCol)
+    // distinct stopword hits: filter the (tiny, literal) stop list against
+    // the token array — unambiguous "distinct count" on any engine, unlike
+    // intersect builtins whose dedup semantics differ across engines
+    val stopList = stopwords("en")
+    val raw = df.select(col(idCol), text, tokens(text).as("__toks"))
+    val m = raw.select(col(idCol),
+      size(col("__toks")).cast(LongType).as("n_tokens"),
+      length(regexp_replace(text, "\\s", "")).cast(DoubleType).as("__strip"),
+      size(filter(lit(stopList.toArray),
+        s => array_contains(col("__toks"), s))).as("__stop_distinct"),
+      size(filter(col("__toks"), t => t.rlike("[A-Za-z]")))
+        .cast(DoubleType).as("__alpha_words"))
+    val nTok = col("n_tokens")
+    val meanLen = when(nTok > 0, col("__strip") / nTok.cast(DoubleType))
+      .otherwise(lit(0.0))
+    m.select(col(idCol), nTok,
+      (nTok >= minTokens && nTok <= maxTokens).as("word_count_ok"),
+      (meanLen >= 3.0 && meanLen <= 10.0).as("mean_len_ok"),
+      (col("__stop_distinct") >= minStopwords).as("stop_ok"),
+      (nTok > 0 && col("__alpha_words") / nTok.cast(DoubleType) >= minAlphaWordRatio)
+        .as("alpha_ok"))
+      .withColumn("passes",
+        col("word_count_ok") && col("mean_len_ok") && col("stop_ok") && col("alpha_ok"))
+  }
+
+  /**
+   * TF-IDF scores for every (document, token) pair: tf = in-document count,
+   * idf = ln(1 + N/df). The shape at 100 TB: the explode is map-side, the
+   * (doc, token) tf aggregation gets a map-side combine, the document
+   * frequency table is vocabulary-sized (aggregated from tf partials, never
+   * from the raw token stream) and joins back by token — AQE broadcasts it
+   * while it fits — and the corpus size N is ONE broadcast row. The tf table
+   * is persisted across its two consumers (df-counts + final join) via
+   * [[graft.CacheScope]] so tokenization runs once.
+   */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df
+      .select(col(idCol), explode_outer(tokens(col(textCol))).as("token"))
+      .filter(col("token").isNotNull)
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("__tf"))
+      .transform(graft.CacheScope.persist)
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("__df"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    tf.join(dfreq, "token").crossJoin(broadcast(n))
+      .select(col(idCol), col("token"),
+        (col("__tf").cast(DoubleType) *
+          log(lit(1.0) + col("__n").cast(DoubleType) / col("__df").cast(DoubleType)))
+          .as("tfidf"))
+  }
+
+  /**
    * BM25 relevance of every document against a fixed bag of query terms —
    * the standard retrieval score a curation pipeline uses to pull
    * topic-relevant training data out of a crawl.

@@ -269,6 +269,41 @@ object PipelineQueries {
           round(expr("percentile(n_tokens, 0.5)"), 6).as("median_tokens"))
         .orderBy(col("lang"))),
 
+    // Gopher-rule quality gate: per-rule boolean flags + conjunction, one
+    // tokenization pass, entirely map-side
+    "gopher_quality" -> ((s, d) =>
+      TextAnalysis.gopherQuality(docs(s, d), "doc_id", "text",
+        minTokens = 40, maxTokens = 150)
+        .orderBy(col("doc_id"))),
+
+    // TF-IDF: top-50 (doc, token) scores. tf shuffles once with map-side
+    // combine; df is vocabulary-sized and joined back per token; N is one
+    // broadcast row
+    "tfidf_topk" -> ((s, d) =>
+      TextAnalysis.tfIdf(docs(s, d), "doc_id", "text")
+        .orderBy(col("tfidf").desc, col("doc_id"), col("token"))
+        .limit(50)
+        .select(col("doc_id"), col("token"), round(col("tfidf"), 6).as("tfidf"))),
+
+    // greedy first-fit sequence packing into 256-token training sequences,
+    // md5-bucketed 8 ways (the parallelism unit); the DuckDB oracle replays
+    // the sweep with a recursive CTE
+    "pack_sequences" -> ((s, d) =>
+      Curation.packSequences(docs(s, d), "doc_id",
+        TextAnalysis.tokenCount(col("text")), budget = 256, nBuckets = 8,
+        seed = "pack42")
+        .orderBy(col("doc_id"))),
+
+    // token-budget mixture sampling: cap src0 at 3000 expected tokens and
+    // every other source at 800 — per-stratum totals are one tiny aggregate,
+    // the keep decision is map-side md5-uniform (engine-reproducible)
+    "sample_mixture" -> ((s, d) =>
+      Curation.mixtureSample(docs(s, d), "doc_id", "source",
+        TextAnalysis.tokenCount(col("text")),
+        budgets = Map("src0" -> 3000L), defaultBudget = 800L, seed = "mix42")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
+
     // ---- retrieval ----
     // BM25 over a fixed query-term bag ("dup" is rare → high idf): per-term
     // tf is map-side, corpus stats are one broadcast row, no token shuffle
@@ -302,7 +337,12 @@ object PipelineQueries {
         shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.8)
         .select(col("id_a"), col("id_b"))
       val clusters = Curation.connectedComponents(pairs)
-      val quality = TextAnalysis.quality(docs(s, d), "doc_id", "text")
+      // score only cluster MEMBERS (the broadcast semi-join prunes the
+      // corpus scan): quality is consumed solely inside clusters, and dup
+      // clusters are a vanishing fraction of a 100 TB corpus
+      val members = docs(s, d).join(
+        broadcast(clusters.select(col("id").as("doc_id"))), Seq("doc_id"), "left_semi")
+      val quality = TextAnalysis.quality(members, "doc_id", "text")
         .select(col("doc_id"), round(col("quality_score"), 6).as("q6"))
       clusters.join(quality, clusters("id") === quality("doc_id"))
         .select(col("cluster_id"), col("doc_id"), col("q6"))
@@ -682,6 +722,79 @@ object PipelineQueries {
          |       round(avg(n_tokens), 6) AS mean_tokens,
          |       round(quantile_cont(n_tokens, 0.5), 6) AS median_tokens
          |FROM l GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    // Gopher-rule replay: the stopword-distinct count filters the literal
+    // stop list against the token array (same "distinct hits" semantics as
+    // the Spark side, no reliance on engine intersect dedup behavior)
+    "gopher_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, $sqlTokens AS w FROM documents),
+         |m AS (SELECT doc_id,
+         |  len(w) AS n_tokens,
+         |  CASE WHEN len(w) > 0 THEN CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(w) ELSE 0.0 END AS mean_len,
+         |  len(list_filter(['the', 'a', 'of', 'and', 'to', 'in', 'is'],
+         |                  s -> list_contains(w, s))) AS n_stop,
+         |  len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha
+         |  FROM t)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  n_tokens >= 40 AND n_tokens <= 150 AS word_count_ok,
+         |  mean_len >= 3.0 AND mean_len <= 10.0 AS mean_len_ok,
+         |  n_stop >= 2 AS stop_ok,
+         |  n_tokens > 0 AND CAST(n_alpha AS DOUBLE) / n_tokens >= 0.8 AS alpha_ok,
+         |  (n_tokens >= 40 AND n_tokens <= 150)
+         |    AND (mean_len >= 3.0 AND mean_len <= 10.0)
+         |    AND n_stop >= 2
+         |    AND (n_tokens > 0 AND CAST(n_alpha AS DOUBLE) / n_tokens >= 0.8) AS passes
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "tfidf_topk" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+         |tok AS (SELECT doc_id, unnest(w) AS token FROM t),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfreq AS (SELECT token, count(*) AS df_t FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |sc AS (SELECT doc_id, token,
+         |    CAST(tf AS DOUBLE) * ln(1.0 + CAST(n_docs AS DOUBLE) / CAST(df_t AS DOUBLE)) AS tfidf
+         |  FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+         |SELECT doc_id, token, round(tfidf, 6) AS tfidf FROM sc
+         |ORDER BY tfidf DESC, doc_id, token LIMIT 50""".stripMargin,
+
+    // recursive-CTE replay of the greedy first-fit sweep: per md5 bucket,
+    // rows ordered by doc_id, a doc opens a new sequence iff adding it would
+    // overflow the 256-token budget
+    "pack_sequences" ->
+      s"""WITH RECURSIVE
+         |t0 AS (SELECT doc_id, len($sqlTokens) AS n_tokens,
+         |         ('0x' || substr(md5('pack42:' || CAST(doc_id AS VARCHAR)), 18, 15))::UBIGINT % 8 AS bucket
+         |       FROM documents),
+         |t AS (SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+         |        CAST(n_tokens AS BIGINT) AS n_tokens,
+         |        row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+         |      FROM t0),
+         |rec AS (
+         |  SELECT bucket, rn, doc_id, n_tokens,
+         |         CAST(0 AS BIGINT) AS seq_id, n_tokens AS running
+         |  FROM t WHERE rn = 1
+         |  UNION ALL
+         |  SELECT t.bucket, t.rn, t.doc_id, t.n_tokens,
+         |    CASE WHEN rec.running + t.n_tokens > 256 THEN rec.seq_id + 1
+         |         ELSE rec.seq_id END,
+         |    CASE WHEN rec.running + t.n_tokens > 256 THEN t.n_tokens
+         |         ELSE rec.running + t.n_tokens END
+         |  FROM rec JOIN t ON t.bucket = rec.bucket AND t.rn = rec.rn + 1)
+         |SELECT doc_id, bucket, n_tokens, seq_id FROM rec ORDER BY doc_id""".stripMargin,
+
+    // mixture-sampling replay: identical double arithmetic for the rate
+    // (budget / per-source token total) and the md5-uniform keep rule
+    "sample_mixture" ->
+      s"""WITH t AS (SELECT doc_id, source, len($sqlTokens) AS n FROM documents),
+         |s AS (SELECT source, CAST(sum(n) AS DOUBLE) AS st FROM t GROUP BY 1),
+         |r AS (SELECT source,
+         |        least(1.0, (CASE WHEN source = 'src0' THEN 3000.0 ELSE 800.0 END) / st) AS rate
+         |      FROM s)
+         |SELECT t.doc_id, t.source FROM t JOIN r USING (source)
+         |WHERE ('0x' || substr(md5('mix42:' || CAST(doc_id AS VARCHAR)), 18, 15))::UBIGINT
+         |      / 1152921504606846976.0 < rate
+         |ORDER BY doc_id""".stripMargin,
 
     // BM25 replay in the exact operation order of TextAnalysis.bm25:
     // lenNorm = k1*((1-b) + b*dl/avgdl), score_i = idf*tf*(k1+1)/(tf+lenNorm),

@@ -24,6 +24,9 @@ object PlanAudit {
     // curation surface: sampling must stay map-side, decontam must broadcast
     // the eval side, vocab must keep a partial aggregate below the shuffle
     "sample_stratified", "decontam_overlap", "vocab_topk", "pii_scrub",
+    // mixture/packing/quality/tf-idf: gopher must stay map-side, mixture's
+    // rate table and tf-idf's N must broadcast, packing shuffles once
+    "gopher_quality", "sample_mixture", "pack_sequences", "tfidf_topk",
     // ANN surface: routed + distributed paths
     "ann_ivf_routed", "knn_ann_batch")
 

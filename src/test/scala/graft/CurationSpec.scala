@@ -91,4 +91,50 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq == Seq((1L, 100L, 2L)))
   }
+
+  test("packSequences: greedy first-fit sweep matches the hand-computed packing") {
+    // nBuckets=1 puts everything in one sorted sweep with known token counts
+    val df = Seq((1L, 100L), (2L, 100L), (3L, 100L), (4L, 250L), (5L, 300L),
+      (6L, 10L)).toDF("doc_id", "n")
+    val got = Curation.packSequences(df, "doc_id", col("n"),
+      budget = 256, nBuckets = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // 1:100 2:+100=200 3:overflow->seq1 4:overflow->seq2 5:overflow->seq3
+    // (oversized doc gets its own sequence) 6:300+10 overflows->seq4
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L, 5L -> 3L, 6L -> 4L))
+  }
+
+  test("packSequences: every sequence fits the budget unless it is one oversized doc") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val packed = Curation.packSequences(docs, "doc_id",
+      graft.operators.TextAnalysis.tokenCount(col("text")),
+      budget = 256, nBuckets = 4)
+    val bad = packed.groupBy(col("bucket"), col("seq_id"))
+      .agg(sum(col("n_tokens")).as("tot"), count(lit(1)).as("n"))
+      .filter(col("tot") > 256 && col("n") > 1)
+    assert(bad.count() == 0)
+    // no document is lost or duplicated by the repartition+sweep
+    assert(packed.select("doc_id").distinct().count() == docs.count())
+    assert(packed.count() == docs.count())
+  }
+
+  test("mixtureSample: generous budgets keep all rows; tight budgets downsample the stratum") {
+    val df = (0L until 600L).map(i => (i, if (i % 3 == 0) "big" else "small", 10L))
+      .toDF("id", "src", "n")
+    val all = Curation.mixtureSample(df, "id", "src", col("n"),
+      budgets = Map("big" -> 1000000L), defaultBudget = 1000000L)
+    assert(all.count() == 600)
+    // big: 200 rows x 10 tokens = 2000 total; budget 500 => rate 0.25
+    val mixed = Curation.mixtureSample(df, "id", "src", col("n"),
+      budgets = Map("big" -> 500L), defaultBudget = 1000000L, seed = "t1")
+    val byStratum = mixed.groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStratum("small") == 400)
+    // binomial(200, 0.25): mean 50, comfortably within [20, 90]
+    assert(byStratum("big") > 20 && byStratum("big") < 90)
+    // deterministic: the same seed reproduces the identical sample
+    val again = Curation.mixtureSample(df, "id", "src", col("n"),
+      budgets = Map("big" -> 500L), defaultBudget = 1000000L, seed = "t1")
+    assert(mixed.select("id").collect().toSet == again.select("id").collect().toSet)
+  }
 }

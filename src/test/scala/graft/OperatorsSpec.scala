@@ -227,4 +227,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     assert(rows.forall(_.getAs[Array[Byte]]("frame").length <= 64))
   }
+
+  test("gopherQuality: each rule fires on its designed violation") {
+    val fixtures = Seq(
+      // passes every rule: 9 tokens in [3, 100], mean len 34/9 in [3,10],
+      // two distinct stopwords (the, a), all-alpha tokens
+      (0L, "the quick brown foxes jump over a lazy dog"),
+      (1L, "hi"), // too few tokens
+      (2L, "the supercalifragilistic extraordinarily incomprehensibilities " +
+        "of antidisestablishmentarianism metaphysically"), // mean len > 10
+      (3L, "cat dog bird fish goat"), // zero stopwords
+      (4L, "the 111 222 333 444 555 666 777 888 a 999 000"), // < 80% alpha words
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherQuality(fixtures, "doc_id", "text",
+      minTokens = 3, maxTokens = 100)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+        r.getBoolean(5), r.getBoolean(6)))
+    assert(got(0) == (true, true, true, true, true))
+    assert(!got(1)._1 && !got(1)._5) // word count rule
+    assert(!got(2)._2 && !got(2)._5) // mean token length rule
+    assert(!got(3)._3 && !got(3)._5) // stopword rule
+    assert(!got(4)._4 && !got(4)._5) // alpha-word rule
+  }
+
+  test("tfIdf: rare terms outscore common ones; tf scales the score") {
+    val docs = Seq(
+      (0L, "spark spark spark unique"),
+      (1L, "spark common"),
+      (2L, "spark common"),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tfIdf(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    graft.CacheScope.releaseAll()
+    val n = 3.0
+    def idf(df: Int) = math.log(1.0 + n / df)
+    assert(math.abs(got((0L, "unique")) - idf(1)) < 1e-12)
+    assert(math.abs(got((0L, "spark")) - 3.0 * idf(3)) < 1e-12)
+    assert(math.abs(got((1L, "common")) - idf(2)) < 1e-12)
+    // df=1 "unique" beats df=3 "spark" at equal tf
+    assert(got((0L, "unique")) > got((1L, "spark")))
+  }
 }
