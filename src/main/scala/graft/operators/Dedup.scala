@@ -116,6 +116,50 @@ object Dedup {
     size(array_intersect(a, b)).cast(DoubleType) / size(array_union(a, b))
 
   /**
+   * Incremental near-dup: a (small) new batch vs an existing corpus — the
+   * production "is today's crawl already in the corpus" check. Same
+   * shingle→MinHash→banded-bucket pipeline as [[minhashNearDupPairs]], but
+   * candidates come from joining the batch's band table against the corpus's,
+   * so only batch×corpus pairs exist (never corpus×corpus), the batch side
+   * broadcasts, and the corpus cost is ONE map-side signature scan per call —
+   * in production the corpus band table is precomputed and this becomes a
+   * pure broadcast probe of 100 TB with no shuffle at all. Verification is
+   * exact Jaccard on the candidate pairs only.
+   */
+  def minhashNearDupAgainst(corpus: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+    val r = numHashes / bands
+    require(bands * r == numHashes, "bands must divide numHashes")
+    TextAnalysis.register(corpus.sparkSession)
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    def sigTable(df: DataFrame): DataFrame =
+      shingled(df.repartition(par), idCol, textCol, shingleSize)
+        .withColumn("sig", minhashSignature(col("sh"), numHashes))
+        .transform(graft.CacheScope.persist)
+    def banded(base: DataFrame): DataFrame = base.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        j => xxhash64(j, slice(col("sig"), j * r + 1, lit(r))))))
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+    val corpusBase = sigTable(corpus)
+    val batchBase = sigTable(batch)
+    val candidates = banded(corpusBase).as("c")
+      .join(broadcast(banded(batchBase)).as("b"),
+        col("c.band") === col("b.band") && col("c.bucket") === col("b.bucket"))
+      .select(col("b.id").as("batch_id"), col("c.id").as("corpus_id"))
+      .distinct()
+    candidates
+      .join(batchBase.select(col("id"), col("sh")).as("sb"),
+        col("batch_id") === col("sb.id"))
+      .join(corpusBase.select(col("id"), col("sh")).as("sc"),
+        col("corpus_id") === col("sc.id"))
+      .select(col("batch_id"), col("corpus_id"),
+        (size(array_intersect(col("sb.sh"), col("sc.sh"))).cast(DoubleType) /
+          size(array_union(col("sb.sh"), col("sc.sh")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /**
    * SimHash near-dup pairs with Hamming distance <= maxHamming over the
    * 60-bit md5-based signature ([[TextAnalysis.SimHashMd5]] — externally
    * recomputable, so the whole pipeline is oracle-checkable in plain SQL).

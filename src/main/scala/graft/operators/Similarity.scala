@@ -328,6 +328,24 @@ object Similarity {
     }
 
   /**
+   * Deterministic random projection (Johnson–Lindenstrauss sketch) to
+   * `outDim` dimensions: out_j = ⟨v, p_j⟩ over the same md5-derived
+   * hyperplanes as the sign-LSH path (components uniform in [-0.5, 0.5)).
+   * Pure map-side — the planes are plan literals and each output component
+   * is one codegen'd dot product, so at 100 TB this composes with the scan
+   * and cuts downstream ANN/clustering bandwidth dim/outDim-fold. The md5
+   * derivation keeps projected pipelines reproducible by any engine.
+   */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      outDim: Int, seed: Long = 42L): DataFrame = {
+    VectorFunctions.register(df.sparkSession)
+    val ps = planes(dim, outDim, seed)
+    df.select(col(idCol).cast(LongType).as("id"),
+      array(ps.map(p => VectorFunctions.vec_dot(col(vecCol), typedlit(p))): _*)
+        .as("proj"))
+  }
+
+  /**
    * Pairs with cosine similarity >= threshold, found via sign-LSH buckets and
    * verified exactly. Multi-probe (bit-flip) raises recall for borderline
    * pairs; like MinHash-LSH, false positives are impossible.

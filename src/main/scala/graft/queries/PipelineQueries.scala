@@ -58,6 +58,21 @@ object PipelineQueries {
         .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
         .limit(20)),
 
+    // incremental dedup: the doc_id % 23 == 0 slice plays today's crawl
+    // batch, the rest is the standing corpus; only batch x corpus pairs are
+    // generated (broadcast batch bands probe the corpus band table)
+    "dedup_incremental" -> ((s, d) => {
+      val all = docs(s, d)
+      Dedup.minhashNearDupAgainst(
+        all.filter(col("doc_id") % 23 =!= 0),
+        all.filter(col("doc_id") % 23 === 0),
+        "doc_id", "text", shingleSize = 3, numHashes = 64, bands = 16,
+        threshold = 0.8)
+        .select(col("batch_id"), col("corpus_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("batch_id"), col("corpus_id"))
+    }),
+
     // ---- text analysis ----
     "lang_id" -> ((s, d) =>
       docs(s, d)
@@ -161,6 +176,17 @@ object PipelineQueries {
         (a, b) => VectorFunctions.vec_cosine_dist(a, b))
         .select(col("id").as("vec_id"), round(col("dist"), 6).as("dist"))
     }),
+
+    // deterministic JL random projection 64-d -> 16-d (md5 hyperplanes, the
+    // sign-LSH derivation): one row per (vector, output dim) so every
+    // projected component is hash-verified
+    "embed_project" -> ((s, d) =>
+      Similarity.randomProject(emb(s, d), "vec_id", "embedding",
+        dim = 64, outDim = 16)
+        .select(col("id").as("vec_id"), posexplode(col("proj")))
+        .select(col("vec_id"), col("pos").cast("long").as("dim_idx"),
+          round(col("col"), 6).as("value"))
+        .orderBy(col("vec_id"), col("dim_idx"))),
 
     // ---- curation ----
     // deterministic stratified sampling: downsample over-represented 'en',
@@ -627,6 +653,34 @@ object PipelineQueries {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\d{3}-\d{4}', '<PHONE>', 'g')) AS clean_len
         |FROM inj ORDER BY doc_id""".stripMargin,
+
+    // batch x corpus near-dup pairs at exact Jaccard >= 0.8 (the LSH
+    // candidate stage is recall-lossless on this corpus — same 16x4-band
+    // argument as dedup_minhash)
+    "dedup_incremental" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+         |g AS (SELECT doc_id, ${sqlShingles("w")} AS sh FROM t),
+         |b AS (SELECT doc_id, sh FROM g WHERE doc_id % 23 = 0),
+         |c AS (SELECT doc_id, sh FROM g WHERE doc_id % 23 <> 0)
+         |SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+         |       round(CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE) /
+         |             len(list_distinct(list_concat(b.sh, c.sh))), 6) AS jaccard
+         |FROM b JOIN c ON CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE) /
+         |                 len(list_distinct(list_concat(b.sh, c.sh))) >= 0.8
+         |ORDER BY batch_id, corpus_id""".stripMargin,
+
+    // plane replay identical to neardup_embedding_lsh: REAL-cast md5-uniform
+    // components widened to DOUBLE, sequential double inner product
+    "embed_project" ->
+      """WITH pl AS (SELECT CAST(i.range AS INT) AS i,
+        |    [CAST(CAST(('0x' || substr(md5('plane:42:' || CAST(i.range AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 18, 15))::UBIGINT
+        |          / 1152921504606846976.0 - 0.5 AS REAL) AS DOUBLE)
+        |     for j in range(64)] AS p
+        |  FROM range(16) i),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings)
+        |SELECT v.vec_id, CAST(pl.i AS BIGINT) AS dim_idx,
+        |       round(list_inner_product(v.dv, pl.p), 6) AS value
+        |FROM v CROSS JOIN pl ORDER BY vec_id, dim_idx""".stripMargin,
 
     "decontam_overlap" ->
       s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),

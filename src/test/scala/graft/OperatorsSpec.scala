@@ -228,6 +228,72 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Array[Byte]]("frame").length <= 64))
   }
 
+  test("minhashNearDupAgainst: finds only batch x corpus pairs, never corpus x corpus") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"), // corpus-internal dup of 0
+      (2L, "completely different content about spark engines and parquet files"),
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0 and 1
+      (11L, "fresh unrelated material never seen in any corpus document here"),
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashNearDupAgainst(corpus, batch, "doc_id", "text",
+      threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.CacheScope.releaseAll()
+    // 10 matches both copies of its corpus near-dup; 11 matches nothing;
+    // the 0~1 corpus-internal dup pair is never emitted
+    assert(got == Set((10L, 0L), (10L, 1L)))
+  }
+
+  test("randomProject: deterministic, linear, and JL-distance-preserving on average") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(50).select(col("vec_id"), col("embedding"))
+    val p1 = Similarity.randomProject(emb, "vec_id", "embedding", dim = 64, outDim = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val p2 = Similarity.randomProject(emb, "vec_id", "embedding", dim = 64, outDim = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(p1.keySet == p2.keySet)
+    p1.keys.foreach(k => assert(p1(k).sameElements(p2(k))))
+    assert(p1.values.forall(_.length == 16))
+    // JL sanity: projected squared distances correlate with original ones
+    // (rank correlation over pairs of the first 20 vectors is strongly > 0)
+    val vecs = emb.limit(20).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ids = vecs.keys.toSeq.sorted
+    val pairs = for (i <- ids.indices; j <- i + 1 until ids.length)
+      yield (d2(vecs(ids(i)), vecs(ids(j))), d2(p1(ids(i)), p1(ids(j))))
+    val n = pairs.length
+    // Spearman-ish: count concordant vs discordant pairs of pairs (sampled)
+    var conc = 0; var disc = 0
+    for (i <- 0 until n; j <- i + 1 until n) {
+      val s = math.signum(pairs(i)._1 - pairs(j)._1) *
+        math.signum(pairs(i)._2 - pairs(j)._2)
+      if (s > 0) conc += 1 else if (s < 0) disc += 1
+    }
+    // uniform-random 64-d distances CONCENTRATE (all pairs nearly
+    // equidistant), so rank concordance is weak signal by construction —
+    // anything clearly above the 0.5 coin-flip line means order survives;
+    // structured (clustered) embeddings score far higher
+    assert(conc.toDouble / (conc + disc) > 0.6,
+      s"projection destroyed distance ordering: $conc concordant vs $disc")
+    // planted structure is preserved robustly: a 1%-perturbed twin stays
+    // far closer in projection than any unrelated vector
+    val base = vecs(ids.head)
+    val twin = base.zipWithIndex.map { case (x, i) => x + 0.01 * (i % 3 - 1) }
+    val twinDf = Seq((900L, base.map(_.toFloat).toSeq), (901L, twin.map(_.toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val pt = Similarity.randomProject(twinDf, "vec_id", "embedding", 64, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val twinDist = d2(pt(900L), pt(901L))
+    val unrelated = ids.tail.map(k => d2(p1(ids.head), p1(k))).min
+    assert(twinDist < unrelated / 10,
+      s"planted twin not preserved: twin=$twinDist unrelated-min=$unrelated")
+  }
+
   test("gopherQuality: each rule fires on its designed violation") {
     val fixtures = Seq(
       // passes every rule: 9 tokens in [3, 100], mean len 34/9 in [3,10],
