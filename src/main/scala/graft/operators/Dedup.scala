@@ -116,6 +116,42 @@ object Dedup {
     size(array_intersect(a, b)).cast(DoubleType) / size(array_union(a, b))
 
   /**
+   * Duplicated-span statistics — the substring-level dedup signal (the
+   * signal behind suffix-array substring dedup in "Deduplicating Training
+   * Data Makes Language Models Better"-style pipelines, computed at span
+   * granularity): for every document, how many of its distinct
+   * `spanTokens`-token spans also occur in at least one OTHER document.
+   * Pipelines threshold on `dup_span_ratio` to drop boilerplate-heavy
+   * documents or route them to substring-level trimming.
+   *
+   * Shape at 100 TB: spans are generated map-side (one `shingle_set` pass),
+   * hashed to 64 bits, and the only wide op is ONE shuffle of (span_hash)
+   * partials for the distinct-doc count — the same cost class as exact
+   * dedup, not a pairwise comparison.
+   */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 8): DataFrame = {
+    val spans = shingled(df, idCol, textCol, spanTokens)
+      .select(col("id"), explode_outer(col("sh")).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("id"), xxhash64(col("s")).as("h"))
+      .transform(graft.CacheScope.persist)
+    // spans are distinct per doc, so count(*) per hash = distinct docs
+    val shared = spans.groupBy(col("h"))
+      .agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") >= 2)
+      .select(col("h"))
+    spans.join(shared, Seq("h"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_dup_spans"))
+      .join(spans.groupBy(col("id")).agg(count(lit(1)).as("n_spans")),
+        Seq("id"), "right")
+      .select(col("id"), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_span_ratio",
+        round(col("n_dup_spans").cast(DoubleType) / col("n_spans"), 6))
+  }
+
+  /**
    * Incremental near-dup: a (small) new batch vs an existing corpus — the
    * production "is today's crawl already in the corpus" check. Same
    * shingle→MinHash→banded-bucket pipeline as [[minhashNearDupPairs]], but

@@ -58,6 +58,15 @@ object PipelineQueries {
         .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
         .limit(20)),
 
+    // substring-level dedup signal: per doc, the fraction of its distinct
+    // 8-token spans that occur in at least one other document (one shuffle
+    // of span-hash partials — exact-dedup cost class, never pairwise)
+    "dup_spans" -> ((s, d) =>
+      Dedup.dupSpanStats(docs(s, d), "doc_id", "text", spanTokens = 8)
+        .select(col("id").as("doc_id"), col("n_spans"), col("n_dup_spans"),
+          col("dup_span_ratio"))
+        .orderBy(col("doc_id"))),
+
     // incremental dedup: the doc_id % 23 == 0 slice plays today's crawl
     // batch, the rest is the standing corpus; only batch x corpus pairs are
     // generated (broadcast batch bands probe the corpus band table)
@@ -653,6 +662,24 @@ object PipelineQueries {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\d{3}-\d{4}', '<PHONE>', 'g')) AS clean_len
         |FROM inj ORDER BY doc_id""".stripMargin,
+
+    // span replay: distinct 8-token spans per doc (same whole-doc fallback
+    // below 8 tokens as shingle_set), spans shared by >= 2 docs, per-doc
+    // dup-span counts — the oracle joins on span STRINGS where Spark joins
+    // 64-bit hashes (counts agree barring ~2^-32 collisions, as decontam)
+    "dup_spans" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+         |g AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 8
+         |    THEN [array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)]
+         |    ELSE [array_to_string(w, ' ')] END) AS sh FROM t),
+         |e AS (SELECT doc_id, unnest(sh) AS s FROM g),
+         |c AS (SELECT s FROM e GROUP BY s HAVING count(*) >= 2),
+         |d AS (SELECT e.doc_id, count(*) AS n_dup FROM e JOIN c USING (s) GROUP BY 1),
+         |n AS (SELECT doc_id, len(sh) AS n_spans FROM g)
+         |SELECT n.doc_id, CAST(n.n_spans AS BIGINT) AS n_spans,
+         |  CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_spans,
+         |  round(CAST(coalesce(d.n_dup, 0) AS DOUBLE) / n.n_spans, 6) AS dup_span_ratio
+         |FROM n LEFT JOIN d USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // batch x corpus near-dup pairs at exact Jaccard >= 0.8 (the LSH
     // candidate stage is recall-lossless on this corpus — same 16x4-band

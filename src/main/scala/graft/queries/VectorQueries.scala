@@ -65,6 +65,19 @@ object VectorQueries {
         .limit(10)
     }),
 
+    // Range search: every vector within cosine distance 0.72 of the query —
+    // pgvector's `WHERE embedding <=> $q < r` surface. A pure filter plan:
+    // the distance expression evaluates inside the codegen'd scan stage, no
+    // top-k, no shuffle beyond the output sort
+    "knn_range" -> ((s, d) => {
+      VectorFunctions.register(s)
+      withQuery(s, d)
+        .select(col("vec_id"),
+          round(vec_cosine_dist(col("embedding"), col("qvec")), 6).as("dist"))
+        .filter(col("dist") < 0.72)
+        .orderBy(col("dist"), col("vec_id"))
+    }),
+
     // KNN join: top-3 neighbors for each of 5 query vectors. Queries are
     // broadcast; ranking is a window over the (small) per-query candidate
     // stream. At scale the partial top-k would use Similarity.knnJoin's
@@ -107,6 +120,11 @@ object VectorQueries {
     "knn_exact_cosine" ->
       s"""SELECT vec_id, round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) AS dist
          |FROM embeddings WHERE vec_id <> $QID ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+    "knn_range" ->
+      s"""SELECT vec_id, dist FROM (
+         |  SELECT vec_id, round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) AS dist
+         |  FROM embeddings WHERE vec_id <> $QID)
+         |WHERE dist < 0.72 ORDER BY dist, vec_id""".stripMargin,
     "knn_exact_l2" ->
       s"""SELECT vec_id, round(list_distance(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) AS dist
          |FROM embeddings WHERE vec_id <> $QID ORDER BY dist, vec_id LIMIT 10""".stripMargin,

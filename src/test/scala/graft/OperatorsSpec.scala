@@ -228,6 +228,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Array[Byte]]("frame").length <= 64))
   }
 
+  test("dupSpanStats: shared 8-token spans counted, unrelated docs at zero") {
+    val df = Seq(
+      (1L, "one two three four five six seven eight nine"),
+      (2L, "one two three four five six seven eight ten"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpanStats(df, "doc_id", "text", spanTokens = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    graft.CacheScope.releaseAll()
+    // docs 1 and 2 share exactly their first span ("one ... eight"); their
+    // second spans differ in the last token; doc 3 shares nothing
+    assert(got(1L) == ((2L, 1L)))
+    assert(got(2L) == ((2L, 1L)))
+    assert(got(3L) == ((2L, 0L)))
+  }
+
   test("minhashNearDupAgainst: finds only batch x corpus pairs, never corpus x corpus") {
     val corpus = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),
