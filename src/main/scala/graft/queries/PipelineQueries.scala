@@ -290,6 +290,28 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- composed pretraining pipeline v2 ----
+    // gopher gate -> token-budget mixture -> sequence packing, all three of
+    // this round's curation stages composed in one declarative plan: the
+    // gate is map-side, the mixture rates are one tiny broadcast aggregate,
+    // packing is the single bucket shuffle. Tokens are counted ONCE and the
+    // count column rides through every stage.
+    "pipeline_pretrain" -> ((s, d) => {
+      val base = docs(s, d)
+      val gated = TextAnalysis.gopherQuality(base, "doc_id", "text",
+        minTokens = 40, maxTokens = 150)
+        .filter(col("passes")).select(col("doc_id"))
+      val kept = base.join(gated, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      val sampled = Curation.mixtureSample(kept, "doc_id", "source",
+        col("n_tokens"), budgets = Map("src0" -> 2000L), defaultBudget = 600L,
+        seed = "pre42")
+      Curation.packSequences(sampled, "doc_id", col("n_tokens"),
+        budget = 256, nBuckets = 4, seed = "prepack42")
+        .orderBy(col("doc_id"))
+    }),
+
     // per-language corpus statistics with exact percentiles; tokens are
     // materialized ONCE (HOFs are interpreted — no CSE across lang + count)
     "corpus_stats" -> ((s, d) =>
@@ -784,6 +806,47 @@ object PipelineQueries {
          |      FROM sc WHERE quality_score >= 0.5 AND lang = 'en')
          |SELECT doc_id, lang, round(quality_score, 6) AS quality_score
          |FROM f WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // full pipeline replay: gopher rules -> per-source rates on the KEPT
+    // set -> md5-uniform sample -> recursive-CTE packing sweep
+    "pipeline_pretrain" ->
+      s"""WITH RECURSIVE
+         |t AS (SELECT doc_id, source, text, $sqlTokens AS w FROM documents),
+         |q AS (SELECT doc_id, source, len(w) AS n,
+         |  CASE WHEN len(w) > 0 THEN CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(w) ELSE 0.0 END AS mean_len,
+         |  len(list_filter(['the', 'a', 'of', 'and', 'to', 'in', 'is'],
+         |                  s -> list_contains(w, s))) AS n_stop,
+         |  len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha
+         |  FROM t),
+         |kept AS (SELECT doc_id, source, n FROM q
+         |  WHERE n >= 40 AND n <= 150 AND mean_len >= 3.0 AND mean_len <= 10.0
+         |    AND n_stop >= 2 AND n > 0 AND CAST(n_alpha AS DOUBLE) / n >= 0.8),
+         |s AS (SELECT source, CAST(sum(n) AS DOUBLE) AS st FROM kept GROUP BY 1),
+         |r AS (SELECT source,
+         |        least(1.0, (CASE WHEN source = 'src0' THEN 2000.0 ELSE 600.0 END) / st) AS rate
+         |      FROM s),
+         |samp AS (SELECT kept.doc_id, kept.n FROM kept JOIN r USING (source)
+         |  WHERE ('0x' || substr(md5('pre42:' || CAST(doc_id AS VARCHAR)), 18, 15))::UBIGINT
+         |        / 1152921504606846976.0 < rate),
+         |t0 AS (SELECT doc_id, n AS n_tokens,
+         |         ('0x' || substr(md5('prepack42:' || CAST(doc_id AS VARCHAR)), 18, 15))::UBIGINT % 4 AS bucket
+         |       FROM samp),
+         |tb AS (SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+         |         CAST(n_tokens AS BIGINT) AS n_tokens,
+         |         row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+         |       FROM t0),
+         |rec AS (
+         |  SELECT bucket, rn, doc_id, n_tokens,
+         |         CAST(0 AS BIGINT) AS seq_id, n_tokens AS running
+         |  FROM tb WHERE rn = 1
+         |  UNION ALL
+         |  SELECT tb.bucket, tb.rn, tb.doc_id, tb.n_tokens,
+         |    CASE WHEN rec.running + tb.n_tokens > 256 THEN rec.seq_id + 1
+         |         ELSE rec.seq_id END,
+         |    CASE WHEN rec.running + tb.n_tokens > 256 THEN tb.n_tokens
+         |         ELSE rec.running + tb.n_tokens END
+         |  FROM rec JOIN tb ON tb.bucket = rec.bucket AND tb.rn = rec.rn + 1)
+         |SELECT doc_id, bucket, n_tokens, seq_id FROM rec ORDER BY doc_id""".stripMargin,
 
     "corpus_stats" ->
       s"""WITH t AS (SELECT doc_id, text, $sqlTokens AS w FROM documents),
