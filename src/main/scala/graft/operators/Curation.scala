@@ -206,12 +206,63 @@ object Curation {
    * star-contraction (large-star/small-star) — same per-round shape,
    * O(log n) rounds.
    */
+  /**
+   * `driverSolveMaxEdges`: adaptive small-graph fast path. A near-dup pair
+   * graph is usually a vanishing fraction of the corpus (dups are the
+   * exception, not the rule), so `take(N+1)` probes the edge set with a
+   * BOUNDED collect — if every edge fits, a driver union-find produces the
+   * identical (component-min) labeling in one job instead of one
+   * join+groupBy round trip per iteration; otherwise nothing was
+   * materialized beyond the probe and the distributed rounds run untouched.
+   * Pass 0 to force the distributed path (tests do).
+   */
   def connectedComponents(edges: DataFrame, maxIter: Int = 30,
-      algorithm: String = "label"): DataFrame = algorithm match {
-    case "label" => connectedComponentsLabel(edges, maxIter)
-    case "star" => connectedComponentsStar(edges, maxIter)
-    case other => throw new IllegalArgumentException(
-      s"unknown connected-components algorithm '$other' (label | star)")
+      algorithm: String = "label",
+      driverSolveMaxEdges: Int = 100000): DataFrame = {
+    if (driverSolveMaxEdges > 0) {
+      val probe = edges
+        .select(col("id_a").cast(LongType), col("id_b").cast(LongType))
+        .take(driverSolveMaxEdges + 1)
+      if (probe.length <= driverSolveMaxEdges)
+        return driverUnionFind(edges.sparkSession,
+          probe.map(r => (r.getLong(0), r.getLong(1))))
+    }
+    algorithm match {
+      case "label" => connectedComponentsLabel(edges, maxIter)
+      case "star" => connectedComponentsStar(edges, maxIter)
+      case other => throw new IllegalArgumentException(
+        s"unknown connected-components algorithm '$other' (label | star)")
+    }
+  }
+
+  /** Union-find over a collected edge list; output labeling (id -> component
+    * minimum) is identical to the distributed algorithms and independent of
+    * edge order. */
+  private def driverUnionFind(spark: org.apache.spark.sql.SparkSession,
+      edges: Array[(Long, Long)]): DataFrame = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) {
+        val p = parent(x)
+        parent(x) = parent.getOrElse(p, p) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(if (ra < rb) rb else ra) = math.min(ra, rb)
+    }
+    // roots are already component minima because unions always point the
+    // larger root at the smaller one
+    val rows = parent.keys.toArray.sorted.map(v => org.apache.spark.sql.Row(v, find(v)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("cluster_id", LongType, nullable = false))))
   }
 
   private def connectedComponentsLabel(edges: DataFrame, maxIter: Int): DataFrame = {

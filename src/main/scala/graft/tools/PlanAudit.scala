@@ -27,6 +27,9 @@ object PlanAudit {
     // mixture/packing/quality/tf-idf: gopher must stay map-side, mixture's
     // rate table and tf-idf's N must broadcast, packing shuffles once
     "gopher_quality", "sample_mixture", "pack_sequences", "tfidf_topk",
+    // span dedup shuffles hash partials once; the composed pipeline keeps
+    // the gate map-side and the packing bucket shuffle as its only wide op
+    "dup_spans", "pipeline_pretrain",
     // ANN surface: routed + distributed paths
     "ann_ivf_routed", "knn_ann_batch")
 

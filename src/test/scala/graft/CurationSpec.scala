@@ -10,26 +10,44 @@ class CurationSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private def cc(edges: (Long, Long)*): Map[Long, Long] =
-    Curation.connectedComponents(edges.toDF("id_a", "id_b"))
+  // maxDriverEdges = 0 forces the DISTRIBUTED path; default exercises the
+  // adaptive driver union-find fast path — both must agree everywhere
+  private def cc(maxDriverEdges: Int)(edges: (Long, Long)*): Map[Long, Long] =
+    Curation.connectedComponents(edges.toDF("id_a", "id_b"),
+      driverSolveMaxEdges = maxDriverEdges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-  test("connectedComponents: two components, chain + triangle") {
-    // chain 5-4-3 and triangle 10-11-12 with an extra edge
-    val got = cc((5L, 4L), (4L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
-    assert(got == Map(3L -> 3L, 4L -> 3L, 5L -> 3L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  for ((label, mde) <- Seq("driver fast path" -> 100000, "distributed" -> 0)) {
+    test(s"connectedComponents ($label): two components, chain + triangle") {
+      // chain 5-4-3 and triangle 10-11-12 with an extra edge
+      val got = cc(mde)((5L, 4L), (4L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+      assert(got == Map(3L -> 3L, 4L -> 3L, 5L -> 3L,
+        10L -> 10L, 11L -> 10L, 12L -> 10L))
+    }
+
+    test(s"connectedComponents ($label): long path needs diameter rounds, still converges") {
+      // path 0-1-2-...-9: worst case for min-propagation (diameter 9)
+      val got = cc(mde)((0L until 9L).map(i => (i, i + 1)): _*)
+      assert(got == (0L to 9L).map(_ -> 0L).toMap)
+    }
+
+    test(s"connectedComponents ($label): duplicate + reversed edges collapse") {
+      val got = cc(mde)((7L, 2L), (2L, 7L), (7L, 2L))
+      assert(got == Map(2L -> 2L, 7L -> 2L))
+    }
   }
 
-  test("connectedComponents: long path needs diameter rounds, still converges") {
-    // path 0-1-2-...-9: worst case for min-propagation (diameter 9)
-    val got = cc((0L until 9L).map(i => (i, i + 1)): _*)
-    assert(got == (0L to 9L).map(_ -> 0L).toMap)
-  }
-
-  test("connectedComponents: duplicate + reversed edges collapse") {
-    val got = cc((7L, 2L), (2L, 7L), (7L, 2L))
-    assert(got == Map(2L -> 2L, 7L -> 2L))
+  test("driver fast path == distributed on a multi-component random graph") {
+    val rnd = new scala.util.Random(7)
+    // several components with random internal wiring
+    val edges = (0 until 5).flatMap { c =>
+      val ids = (0 until 20).map(i => (c * 100 + i).toLong)
+      (1 until ids.length).map(i => (ids(rnd.nextInt(i)), ids(i)))
+    }
+    val fast = cc(100000)(edges: _*)
+    val dist = cc(0)(edges: _*)
+    assert(fast == dist)
+    assert(fast.values.toSet == Set(0L, 100L, 200L, 300L, 400L))
   }
 
   test("star-contraction: diameter-63 path converges within 15 rounds (label would need 63)") {
@@ -37,7 +55,8 @@ class CurationSpec extends AnyFunSuite {
     // diameter, so maxIter=15 forces the claim (the require() throws at 15
     // rounds without convergence; label propagation needs diameter rounds)
     val edges = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = Curation.connectedComponents(edges, maxIter = 15, algorithm = "star")
+    val got = Curation.connectedComponents(edges, maxIter = 15, algorithm = "star",
+      driverSolveMaxEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == (0L to 63L).map(_ -> 0L).toMap)
   }
@@ -49,7 +68,8 @@ class CurationSpec extends AnyFunSuite {
       (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong)
     }.filter { case (a, b) => a != b }.toDF("id_a", "id_b")
     def run(alg: String): Map[Long, Long] =
-      Curation.connectedComponents(edges, maxIter = 40, algorithm = alg)
+      Curation.connectedComponents(edges, maxIter = 40, algorithm = alg,
+        driverSolveMaxEdges = 0)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(run("star") == run("label"))
   }
