@@ -328,6 +328,27 @@ object Similarity {
     }
 
   /**
+   * Scalar int8 quantization audit: per-vector symmetric scale (max|x|/127),
+   * quantize→dequantize round trip, and the worst-case reconstruction error,
+   * all in one map-side pass — the standard embedding-compression step (4×
+   * bandwidth at serving/storage time) with its quality cost measured as it
+   * runs. Stages are separate selects because higher-order functions are
+   * interpreted with no CSE: the double view and the scale are materialized
+   * once each instead of once per consumer.
+   */
+  def int8QuantStats(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol),
+      transform(col(vecCol), x => x.cast(DoubleType)).as("__v"))
+      .select(col(idCol), col("__v"),
+        (aggregate(col("__v"), lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0)
+          .as("__scale"))
+      .select(col(idCol), col("__scale").as("scale"),
+        when(col("__scale") === 0.0, lit(0.0))
+          .otherwise(aggregate(col("__v"), lit(0.0), (a, x) =>
+            greatest(a, abs(x - round(x / col("__scale")) * col("__scale")))))
+          .as("max_err"))
+
+  /**
    * Deterministic random projection (Johnson–Lindenstrauss sketch) to
    * `outDim` dimensions: out_j = ⟨v, p_j⟩ over the same md5-derived
    * hyperplanes as the sign-LSH path (components uniform in [-0.5, 0.5)).

@@ -119,29 +119,32 @@ object TextAnalysis {
    */
   def gopherQuality(df: DataFrame, idCol: String, textCol: String,
       minTokens: Int = 50, maxTokens: Int = 100000,
-      minStopwords: Int = 2, minAlphaWordRatio: Double = 0.8): DataFrame = {
+      minStopwords: Int = 2, minAlphaWordRatio: Double = 0.8,
+      keep: Seq[String] = Nil): DataFrame = {
     val text = col(textCol)
     // distinct stopword hits: filter the (tiny, literal) stop list against
     // the token array — unambiguous "distinct count" on any engine, unlike
     // intersect builtins whose dedup semantics differ across engines
     val stopList = stopwords("en")
-    val raw = df.select(col(idCol), text, tokens(text).as("__toks"))
-    val m = raw.select(col(idCol),
+    val keepCols = keep.map(col)
+    val raw = df.select(col(idCol) +: text +: tokens(text).as("__toks") +:
+      keepCols: _*)
+    val m = raw.select(col(idCol) +: keepCols ++: Seq(
       size(col("__toks")).cast(LongType).as("n_tokens"),
       length(regexp_replace(text, "\\s", "")).cast(DoubleType).as("__strip"),
       size(filter(lit(stopList.toArray),
         s => array_contains(col("__toks"), s))).as("__stop_distinct"),
       size(filter(col("__toks"), t => t.rlike("[A-Za-z]")))
-        .cast(DoubleType).as("__alpha_words"))
+        .cast(DoubleType).as("__alpha_words")): _*)
     val nTok = col("n_tokens")
     val meanLen = when(nTok > 0, col("__strip") / nTok.cast(DoubleType))
       .otherwise(lit(0.0))
-    m.select(col(idCol), nTok,
+    m.select(col(idCol) +: keepCols ++: Seq(nTok,
       (nTok >= minTokens && nTok <= maxTokens).as("word_count_ok"),
       (meanLen >= 3.0 && meanLen <= 10.0).as("mean_len_ok"),
       (col("__stop_distinct") >= minStopwords).as("stop_ok"),
       (nTok > 0 && col("__alpha_words") / nTok.cast(DoubleType) >= minAlphaWordRatio)
-        .as("alpha_ok"))
+        .as("alpha_ok")): _*)
       .withColumn("passes",
         col("word_count_ok") && col("mean_len_ok") && col("stop_ok") && col("alpha_ok"))
   }

@@ -186,6 +186,14 @@ object PipelineQueries {
         .select(col("id").as("vec_id"), round(col("dist"), 6).as("dist"))
     }),
 
+    // int8 embedding compression audit: symmetric per-vector scale and the
+    // worst reconstruction error of the quantize->dequantize round trip
+    "embed_quant_int8" -> ((s, d) =>
+      Similarity.int8QuantStats(emb(s, d), "vec_id", "embedding")
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          round(col("max_err"), 6).as("max_err"))
+        .orderBy(col("vec_id"))),
+
     // deterministic JL random projection 64-d -> 16-d (md5 hyperplanes, the
     // sign-LSH derivation): one row per (vector, output dim) so every
     // projected component is hash-verified
@@ -298,12 +306,12 @@ object PipelineQueries {
     // count column rides through every stage.
     "pipeline_pretrain" -> ((s, d) => {
       val base = docs(s, d)
-      val gated = TextAnalysis.gopherQuality(base, "doc_id", "text",
-        minTokens = 40, maxTokens = 150)
-        .filter(col("passes")).select(col("doc_id"))
-      val kept = base.join(gated, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), col("source"),
-          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      // the gate carries source + n_tokens through (keep=...), so the whole
+      // pipeline tokenizes once and needs NO join back to the corpus
+      val kept = TextAnalysis.gopherQuality(base, "doc_id", "text",
+        minTokens = 40, maxTokens = 150, keep = Seq("source"))
+        .filter(col("passes"))
+        .select(col("doc_id"), col("source"), col("n_tokens"))
       val sampled = Curation.mixtureSample(kept, "doc_id", "source",
         col("n_tokens"), budgets = Map("src0" -> 2000L), defaultBudget = 600L,
         seed = "pre42")
@@ -717,6 +725,18 @@ object PipelineQueries {
          |FROM b JOIN c ON CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE) /
          |                 len(list_distinct(list_concat(b.sh, c.sh))) >= 0.8
          |ORDER BY batch_id, corpus_id""".stripMargin,
+
+    // int8 replay: double view of the float vector, list_max scale, same
+    // round-half-away-from-zero code rule on both engines
+    "embed_quant_int8" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+        |s AS (SELECT vec_id, dv,
+        |        list_max([abs(x) for x in dv]) / 127.0 AS scale FROM v)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  round(CASE WHEN scale = 0 THEN 0.0
+        |        ELSE list_max([abs(x - round(x / scale) * scale) for x in dv])
+        |        END, 6) AS max_err
+        |FROM s ORDER BY vec_id""".stripMargin,
 
     // plane replay identical to neardup_embedding_lsh: REAL-cast md5-uniform
     // components widened to DOUBLE, sequential double inner product

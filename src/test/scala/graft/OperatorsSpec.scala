@@ -228,6 +228,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Array[Byte]]("frame").length <= 64))
   }
 
+  test("int8QuantStats: scale = max|x|/127, zero vector guarded, error <= scale/2") {
+    val df = Seq((1L, Seq(1.0f, -0.5f, 0.25f)), (2L, Seq(0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.int8QuantStats(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(math.abs(got(1L)._1 - 1.0 / 127) < 1e-12)
+    // symmetric rounding: worst reconstruction error is half a quantization step
+    assert(got(1L)._2 >= 0 && got(1L)._2 <= got(1L)._1 / 2 + 1e-12)
+    assert(got(2L) == ((0.0, 0.0)))
+  }
+
   test("dupSpanStats: shared 8-token spans counted, unrelated docs at zero") {
     val df = Seq(
       (1L, "one two three four five six seven eight nine"),

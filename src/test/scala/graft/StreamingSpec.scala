@@ -153,6 +153,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.toSet == Set((t(0), "alpha"), (t(1), "beta"), (t(4), "gamma")))
   }
 
+  test("streaming incremental dedup: micro-batches checked against the standing corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "completely different content about spark engines and parquet files"),
+    ).toDF("doc_id", "text")
+    val flagged = scala.collection.mutable.Set[Long]()
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val hits = graft.operators.Dedup.minhashNearDupAgainst(corpus, batch,
+          "doc_id", "text", threshold = 0.5)
+          .select("batch_id").distinct().collect().map(_.getLong(0))
+        flagged.synchronized { flagged ++= hits }
+        graft.CacheScope.releaseAll()
+        ()
+      }
+      .start()
+    mem.addData((10L, "the quick brown fox jumps over the lazy cat"),
+      (11L, "entirely novel words nobody wrote before about anything today"))
+    q.processAllAvailable()
+    mem.addData(Seq((12L, "the quick brown fox jumps over the lazy dog")))
+    q.processAllAvailable()
+    q.stop()
+    // 10 is a near-dup of corpus 0, 12 an exact dup; 11 is fresh
+    assert(flagged == Set(10L, 12L))
+  }
+
   test("windowed event counts over a stream match the batch aggregation") {
     implicit val sqlCtx = spark.sqlContext
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
