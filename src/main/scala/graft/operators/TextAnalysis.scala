@@ -176,6 +176,63 @@ object TextAnalysis {
   }
 
   /**
+   * Bigram language-model quality score — the CCNet/KenLM-style LM filter:
+   * each document is scored by its mean add-one-smoothed bigram log
+   * probability, ln((c(w1 w2) + 1) / (c(w1) + V)), under a model counted
+   * from the corpus itself (production pipelines count the model on a
+   * trusted reference corpus once and broadcast it; the shape is the same).
+   * Low scores mark out-of-distribution/garbled text, anomalously high
+   * scores mark boilerplate.
+   *
+   * Shape at 100 TB: the count tables are vocabulary-bounded aggregates of
+   * exploded-bigram partials (map-side combine, c1 derived from c2 — the
+   * token stream is aggregated once), broadcast back to the scoring join.
+   * Per-document terms are summed as FIXED-POINT longs (1e-9 grain), so the
+   * one per-doc shuffle is order-free exact — the mean survives shuffle
+   * nondeterminism and hash-matches an external SQL replay even though
+   * float addition is non-associative.
+   */
+  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val emptyPairs = array().cast(ArrayType(StructType(Seq(
+      StructField("w1", StringType), StructField("w2", StringType)))))
+    val big = df.select(col(idCol), tokens(col(textCol)).as("__w"))
+      .select(col(idCol),
+        when(size(col("__w")) >= 2,
+          transform(sequence(lit(1), size(col("__w")) - 1), i =>
+            struct(element_at(col("__w"), i).as("w1"),
+              element_at(col("__w"), i + 1).as("w2"))))
+          .otherwise(emptyPairs).as("__bg"))
+      .transform(graft.CacheScope.persist)
+    val docBg = big
+      .select(col(idCol), explode_outer(col("__bg")).as("bg"))
+      .filter(col("bg").isNotNull)
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .transform(graft.CacheScope.persist)
+    val c2 = docBg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c2"))
+      .transform(graft.CacheScope.persist)
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("__c2")).as("__c1"))
+    // vocabulary = distinct tokens participating in bigrams (a scalar; the
+    // count table is vocabulary-bounded so this driver hop is one long)
+    val v = c2.select(col("w1").as("w")).union(c2.select(col("w2").as("w")))
+      .distinct().count()
+    val term = log(
+      (col("__c2").cast(DoubleType) + 1.0) /
+        (col("__c1").cast(DoubleType) + lit(v.toDouble)))
+    val perDoc = docBg
+      .join(broadcast(c2), Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .select(col(idCol),
+        floor(term * 1e9 + 0.5).cast(LongType).as("__fp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__fp")).as("__s"))
+    big.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(round(col("__s").cast(DoubleType) / 1e9 / col("n_bigrams"), 6),
+          lit(0.0)).as("avg_logp"))
+  }
+
+  /**
    * BM25 relevance of every document against a fixed bag of query terms —
    * the standard retrieval score a curation pipeline uses to pull
    * topic-relevant training data out of a crawl.

@@ -334,6 +334,12 @@ object PipelineQueries {
           round(expr("percentile(n_tokens, 0.5)"), 6).as("median_tokens"))
         .orderBy(col("lang"))),
 
+    // CCNet-style bigram LM quality score: mean add-one-smoothed bigram log
+    // probability per doc, fixed-point sums for order-free exact means
+    "lm_score" -> ((s, d) =>
+      TextAnalysis.lmScore(docs(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // Gopher-rule quality gate: per-rule boolean flags + conjunction, one
     // tokenization pass, entirely map-side
     "gopher_quality" -> ((s, d) =>
@@ -886,6 +892,23 @@ object PipelineQueries {
          |       round(avg(n_tokens), 6) AS mean_tokens,
          |       round(quantile_cont(n_tokens, 0.5), 6) AS median_tokens
          |FROM l GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    // LM replay: DuckDB's parallel unnest zips the two shifted token slices
+    // into bigrams; same add-one smoothing, same 1e-9 fixed-point sum
+    "lm_score" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+         |bg AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2 FROM t),
+         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+         |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+         |vv AS (SELECT count(*) AS v FROM (SELECT w1 AS w FROM c2 UNION SELECT w2 FROM c2)),
+         |sc AS (SELECT bg.doc_id,
+         |        CAST(floor(ln((CAST(c2.c2 AS DOUBLE) + 1.0) / (CAST(c1.c1 AS DOUBLE) + CAST(v AS DOUBLE)))
+         |             * 1000000000.0 + 0.5) AS BIGINT) AS fp
+         |       FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vv),
+         |agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(fp) AS s FROM sc GROUP BY 1)
+         |SELECT t.doc_id, CAST(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  coalesce(round(CAST(agg.s AS DOUBLE) / 1000000000.0 / agg.n_bigrams, 6), 0.0) AS avg_logp
+         |FROM t LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // Gopher-rule replay: the stopword-distinct count filters the literal
     // stop list against the token array (same "distinct hits" semantics as

@@ -228,6 +228,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Array[Byte]]("frame").length <= 64))
   }
 
+  test("lmScore: hand-computed add-one bigram log probs; bigram-less doc scores 0") {
+    val df = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c")).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    graft.CacheScope.releaseAll()
+    // corpus model: c2(a,b)=3, c2(b,a)=1; c1(a)=3, c1(b)=1; V={a,b}=2
+    val ab = math.log(4.0 / 5.0) // (3+1)/(3+2)
+    val ba = math.log(2.0 / 3.0) // (1+1)/(1+2)
+    assert(got(1L)._1 == 3L)
+    assert(math.abs(got(1L)._2 - (2 * ab + ba) / 3) < 2e-6)
+    assert(got(2L) == ((1L, math.rint(ab * 1e6) / 1e6)) ||
+      math.abs(got(2L)._2 - ab) < 2e-6)
+    assert(got(3L) == ((0L, 0.0)))
+  }
+
   test("int8QuantStats: scale = max|x|/127, zero vector guarded, error <= scale/2") {
     val df = Seq((1L, Seq(1.0f, -0.5f, 0.25f)), (2L, Seq(0f, 0f, 0f)))
       .toDF("vec_id", "embedding")
