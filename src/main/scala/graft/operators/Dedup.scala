@@ -140,13 +140,12 @@ object Dedup {
     val shared = spans.groupBy(col("h"))
       .agg(count(lit(1)).as("__docs"))
       .filter(col("__docs") >= 2)
-      .select(col("h"))
-    spans.join(shared, Seq("h"), "left_semi")
-      .groupBy(col("id")).agg(count(lit(1)).as("n_dup_spans"))
-      .join(spans.groupBy(col("id")).agg(count(lit(1)).as("n_spans")),
-        Seq("id"), "right")
-      .select(col("id"), col("n_spans"),
-        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .select(col("h"), lit(1).as("__dup"))
+    // one conditional aggregation produces both counts (count(__dup) skips
+    // the nulls the left join leaves on unshared spans)
+    spans.join(shared, Seq("h"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"), count(col("__dup")).as("n_dup_spans"))
       .withColumn("dup_span_ratio",
         round(col("n_dup_spans").cast(DoubleType) / col("n_spans"), 6))
   }

@@ -30,6 +30,9 @@ object PlanAudit {
     // span dedup shuffles hash partials once; the composed pipeline keeps
     // the gate map-side and the packing bucket shuffle as its only wide op
     "dup_spans", "pipeline_pretrain",
+    // LM model tables must broadcast to the scoring join; the incremental
+    // dedup must broadcast the batch side; quant/range stay map-side
+    "lm_score", "dedup_incremental", "embed_quant_int8", "knn_range",
     // ANN surface: routed + distributed paths
     "ann_ivf_routed", "knn_ann_batch")
 
