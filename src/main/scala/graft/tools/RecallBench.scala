@@ -76,9 +76,40 @@ object RecallBench {
       ("wide_L800_r600", cosPath, 800, 600, 0),
       ("ivf_nprobe2_L200_r150", ivfPath, 200, 150, 2),
       ("ivf_nprobe4_L400_r300", ivfPath, 400, 300, 4))
-    val results = configs.map { case (name, path, l, r, np) =>
+    val annResults = configs.map { case (name, path, l, r, np) =>
       name -> recallOf(DiskannIndex.search(spark, path, queries, k, l, r, nProbe = np))
     }
+
+    // JL-projection envelope: 64-d -> 16-d randomProject, candidates ranked
+    // by projected-space cosine, with and without an exact full-precision
+    // rescore of a 3x candidate pool (the pipeline shape: 4x less candidate
+    // bandwidth, exactness restored on the short list)
+    import graft.operators.Similarity
+    def toF(c: org.apache.spark.sql.Column) = transform(c, x => x.cast("float"))
+    def jlConfigs(outDim: Int): Seq[(String, Double)] = {
+      val projCorpus = Similarity.randomProject(e, "vec_id", "embedding", 64, outDim)
+        .select(col("id").as("vec_id"), toF(col("proj")).as("pvec"))
+      val projQ = Similarity.randomProject(
+        queries.select(col("qid"), col("qvec").as("embedding")), "qid", "embedding", 64, outDim)
+        .select(col("id").as("qid"), toF(col("proj")).as("pqvec"))
+      val projRanked = projCorpus.crossJoin(broadcast(projQ))
+        .select(col("qid"), col("vec_id"),
+          VectorFunctions.vec_cosine_dist(col("pvec"), col("pqvec")).as("d"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))))
+      val projTop10 = projRanked.filter(col("rnk") <= k).select(col("qid"), col("vec_id"))
+      val rescored = projRanked.filter(col("rnk") <= 3 * k)
+        .select(col("qid"), col("vec_id"))
+        .join(e, "vec_id").join(broadcast(queries), "qid")
+        .select(col("qid"), col("vec_id"),
+          VectorFunctions.vec_cosine_dist(col("embedding"), col("qvec")).as("d"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))))
+        .filter(col("rnk") <= k).select(col("qid"), col("vec_id"))
+      Seq(s"jl${outDim}_top10_norescore" -> recallOf(projTop10),
+        s"jl${outDim}_cand30_rescored" -> recallOf(rescored))
+    }
+    val results = annResults ++ jlConfigs(16) ++ jlConfigs(32)
     val js = results.map { case (n, v) => "\"" + n + f"""\":$v%.4f""" }
       .mkString("{", ",", "}")
     println(f"""{"metric":"recall10","configs":$js,"k":$k,"nq":$nq,"sf":"$sfDir"}""")
