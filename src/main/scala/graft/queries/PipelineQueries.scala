@@ -308,10 +308,14 @@ object PipelineQueries {
       val base = docs(s, d)
       // the gate carries source + n_tokens through (keep=...), so the whole
       // pipeline tokenizes once and needs NO join back to the corpus
+      // persist: mixtureSample reads kept twice (rates aggregate + output
+      // join) and there is no CSE across consumers — without this the whole
+      // gopher chain tokenizes the corpus once per consumer
       val kept = TextAnalysis.gopherQuality(base, "doc_id", "text",
         minTokens = 40, maxTokens = 150, keep = Seq("source"))
         .filter(col("passes"))
         .select(col("doc_id"), col("source"), col("n_tokens"))
+        .transform(graft.CacheScope.persist)
       val sampled = Curation.mixtureSample(kept, "doc_id", "source",
         col("n_tokens"), budgets = Map("src0" -> 2000L), defaultBudget = 600L,
         seed = "pre42")
