@@ -324,6 +324,31 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // per-source curation dashboard: doc/token counts, mean quality (1e-6
+    // fixed-point sums — order-free exact like lm_score), exact-dup rate
+    // from content-hash multiplicities. The monitoring query a production
+    // pipeline materializes after every curation run.
+    "curation_report" -> ((s, d) => {
+      val base = docs(s, d)
+      val q = TextAnalysis.quality(base, "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          floor(col("quality_score") * 1e6 + 0.5).cast("long").as("__qfp"))
+      val hashes = base.select(col("doc_id"), col("source"), md5(col("text")).as("__h"))
+      val counts = hashes.groupBy(col("__h")).agg(count(lit(1)).as("__c"))
+      val flags = hashes.join(counts, "__h")
+        .select(col("doc_id"), col("source"), (col("__c") > 1).cast("long").as("__dup"))
+      flags.join(q, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("__qfp")).as("__sq"),
+          sum(col("__dup")).as("__nd"))
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          round(col("__sq").cast("double") / 1e6 / col("n_docs"), 6).as("avg_quality"),
+          round(col("__nd").cast("double") / col("n_docs"), 6).as("dup_rate"))
+        .orderBy(col("source"))
+    }),
+
     // per-language corpus statistics with exact percentiles; tokens are
     // materialized ONCE (HOFs are interpreted — no CSE across lang + count)
     "corpus_stats" -> ((s, d) =>
@@ -877,6 +902,34 @@ object PipelineQueries {
          |         ELSE rec.running + tb.n_tokens END
          |  FROM rec JOIN tb ON tb.bucket = rec.bucket AND tb.rn = rec.rn + 1)
          |SELECT doc_id, bucket, n_tokens, seq_id FROM rec ORDER BY doc_id""".stripMargin,
+
+    // report replay: the unrounded quality formula (as text_quality, rounded
+    // only inside the 1e-6 fixed-point), md5 multiplicity for dup flags
+    "curation_report" ->
+      s"""WITH t AS (SELECT doc_id, source, text, $sqlTokens AS w FROM documents),
+         |q AS (SELECT doc_id,
+         |  len(w) AS n_tokens,
+         |  CASE WHEN len(w) > 0 THEN CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(w) ELSE 0.0 END AS avg_token_len,
+         |  CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS alpha_ratio,
+         |  CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS digit_ratio,
+         |  CASE WHEN len(w) > 0 THEN CAST(len(list_filter(w, x -> x IN ($enList))) AS DOUBLE) / len(w) ELSE 0.0 END AS stopword_ratio
+         |  FROM t),
+         |fp AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(floor((alpha_ratio * 0.4 + least(stopword_ratio * 5.0, 1.0) * 0.3 +
+         |       (CASE WHEN avg_token_len >= 3 AND avg_token_len <= 10 THEN 1.0 ELSE 0.0 END) * 0.2 +
+         |       (1.0 - least(digit_ratio * 5.0, 1.0)) * 0.1) * 1000000.0 + 0.5) AS BIGINT) AS qfp
+         |  FROM q),
+         |h AS (SELECT doc_id, source, md5(text) AS ch FROM documents),
+         |c AS (SELECT ch, count(*) AS c FROM h GROUP BY 1),
+         |fl AS (SELECT h.doc_id, h.source,
+         |         CASE WHEN c.c > 1 THEN 1 ELSE 0 END AS dup
+         |       FROM h JOIN c USING (ch))
+         |SELECT fl.source, count(*) AS n_docs,
+         |  CAST(sum(fp.n_tokens) AS BIGINT) AS total_tokens,
+         |  round(CAST(sum(fp.qfp) AS DOUBLE) / 1000000.0 / count(*), 6) AS avg_quality,
+         |  round(CAST(sum(fl.dup) AS DOUBLE) / count(*), 6) AS dup_rate
+         |FROM fl JOIN fp USING (doc_id)
+         |GROUP BY 1 ORDER BY source""".stripMargin,
 
     "corpus_stats" ->
       s"""WITH t AS (SELECT doc_id, text, $sqlTokens AS w FROM documents),
