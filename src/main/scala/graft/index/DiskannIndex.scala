@@ -609,27 +609,71 @@ object DiskannIndex {
       .filter(col("shard").isin(neededShards.map(Integer.valueOf): _*))
 
     import spark.implicits._
-    val nodesByShard = nodes.groupByKey(_.getAs[Int]("shard"))
-    val qByShard = q2.groupByKey(_.getAs[Int]("shard"))
-    val partial = nodesByShard.cogroup(qByShard) { (shard, nodeIt, queryIt) =>
-      val qs = queryIt.toArray
-      if (qs.isEmpty) Iterator.empty
-      else {
-        val searcher = GraphSearcher.getOrBuild(s"$path#$shard#$buildId",
-          () => buildShardSearcher(path, shard, nodeIt.toArray, metric, model,
-            hasLabels, dimsToIndex))
-        val tomb = tombBc.value
-        qs.iterator.flatMap { r =>
-          val qid = r.getAs[Long]("qid")
-          val qvec = Option(r.getAs[mutable.Seq[Float]]("qvec")).map(_.toArray).orNull
-          val qlabels = Option(r.getAs[mutable.Seq[Short]]("qlabels"))
-            .map(s => LabelSets.normalize(s.toArray)).orNull
-          searcher.search(qvec, k, searchListSize, rescore, qlabels,
-            rid => tomb.contains(rid), report)
-            .take(k).iterator.map { case (rid, d) => (qid, rid, d) }
-        }
+    def answerShard(shard: Int, nodeRows: () => Array[Row],
+        qs: Array[Row]): Iterator[(Long, Long, Double)] = {
+      val searcher = GraphSearcher.getOrBuild(s"$path#$shard#$buildId",
+        () => buildShardSearcher(path, shard, nodeRows(), metric, model,
+          hasLabels, dimsToIndex))
+      val tomb = tombBc.value
+      qs.iterator.flatMap { r =>
+        val qid = r.getAs[Long]("qid")
+        val qvec = Option(r.getAs[mutable.Seq[Float]]("qvec")).map(_.toArray).orNull
+        val qlabels = Option(r.getAs[mutable.Seq[Short]]("qlabels"))
+          .map(s => LabelSets.normalize(s.toArray)).orNull
+        searcher.search(qvec, k, searchListSize, rescore, qlabels,
+          rid => tomb.contains(rid), report)
+          .take(k).iterator.map { case (rid, d) => (qid, rid, d) }
       }
     }
+    // Co-location WITHOUT shuffling the index: at <=256 probed shards the
+    // whole-shard scan is one coalesced task per shard directory (same
+    // mechanism as the online path), so zipping it against queries hash-
+    // partitioned to the matching partition index moves ONLY the query rows
+    // — the 100 TB nodes table never crosses the wire, and a warm executor
+    // cache means the unconsumed node iterator skips the decode entirely.
+    // Above 256 shards, fall back to the dual-shuffle cogroup.
+    val partial: org.apache.spark.sql.Dataset[(Long, Long, Double)] =
+      if (neededShards.length <= 256) {
+        val nShards = neededShards.length
+        val shardIndex = neededShards.zipWithIndex.toMap
+        // RDD-level union: each branch is pinned to exactly one partition by
+        // coalesce(1).rdd, so partition i IS shard neededShards(i) — a
+        // Catalyst union may repack tiny scans into fewer partitions, which
+        // would break the zip alignment
+        val nodesRdd = spark.sparkContext.union(
+          neededShards.map(s =>
+            nodes.filter(col("shard") === s).coalesce(1).rdd))
+        val byShard = new org.apache.spark.Partitioner {
+          override def numPartitions: Int = nShards
+          override def getPartition(key: Any): Int =
+            shardIndex(key.asInstanceOf[Int])
+        }
+        val qRdd = q2.rdd.map(r => (r.getAs[Int]("shard"), r))
+          .partitionBy(byShard).values
+        val resRdd = nodesRdd.zipPartitions(qRdd) { (nodeIt, qIt) =>
+          val qs = qIt.toArray
+          if (qs.isEmpty) Iterator.empty
+          else {
+            val shard = qs(0).getAs[Int]("shard")
+            answerShard(shard, () => {
+              val arr = nodeIt.toArray
+              // partition alignment is by construction; fail fast if it breaks
+              require(arr.nonEmpty && arr(0).getAs[Int]("shard") == shard,
+                s"nodes partition misaligned with query shard $shard")
+              arr
+            }, qs)
+          }
+        }
+        spark.createDataset(resRdd)
+      } else {
+        val nodesByShard = nodes.groupByKey(_.getAs[Int]("shard"))
+        val qByShard = q2.groupByKey(_.getAs[Int]("shard"))
+        nodesByShard.cogroup(qByShard) { (shard, nodeIt, queryIt) =>
+          val qs = queryIt.toArray
+          if (qs.isEmpty) Iterator.empty
+          else answerShard(shard, () => nodeIt.toArray, qs)
+        }
+      }
 
     // final per-query top-k as a MERGEABLE bounded aggregation: map-side
     // combine caps each task's contribution at k rows per query BEFORE the
