@@ -657,8 +657,10 @@ object DiskannIndex {
             val shard = qs(0).getAs[Int]("shard")
             answerShard(shard, () => {
               val arr = nodeIt.toArray
-              // partition alignment is by construction; fail fast if it breaks
-              require(arr.nonEmpty && arr(0).getAs[Int]("shard") == shard,
+              // partition alignment is by construction; fail fast if it
+              // breaks (an EMPTY shard — e.g. an unused IVF centroid — is
+              // legal and builds an empty searcher, as the cogroup path did)
+              require(arr.isEmpty || arr(0).getAs[Int]("shard") == shard,
                 s"nodes partition misaligned with query shard $shard")
               arr
             }, qs)
