@@ -48,6 +48,17 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col("id")).as("canonical_id"), count(lit(1)).as("cnt"))
 
+  /** Exact dedup on NORMALIZED text (lowercase, trimmed, whitespace
+    * collapsed) — the C4-style pre-LSH stage that catches re-encodings and
+    * spacing variants byte-exact dedup misses, at the identical one-shuffle
+    * cost. */
+  def normalizedDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")).as("norm_hash"),
+      col(idCol).cast(LongType).as("id"))
+      .groupBy(col("norm_hash"))
+      .agg(min(col("id")).as("canonical_id"), count(lit(1)).as("cnt"))
+
   /** MinHash signature: numHashes permutations via the `minhash_sig`
     * expression (one string hash per shingle + cheap per-permutation mixes —
     * the interpreted transform/xxhash64 formulation re-hashed every string

@@ -33,6 +33,12 @@ object PipelineQueries {
     "dedup_exact" -> ((s, d) =>
       Dedup.exactDedup(docs(s, d), "doc_id", "text").orderBy(col("content_hash"))),
 
+    // normalization-tolerant exact dedup (lowercase + whitespace collapse):
+    // the C4-style pre-LSH stage, same one-shuffle shape as dedup_exact
+    "dedup_normalized" -> ((s, d) =>
+      Dedup.normalizedDedup(docs(s, d), "doc_id", "text")
+        .orderBy(col("norm_hash"))),
+
     "dedup_minhash" -> ((s, d) =>
       Dedup.minhashNearDupPairs(docs(s, d), "doc_id", "text",
         shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.8)
@@ -483,6 +489,11 @@ object PipelineQueries {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS cnt
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+
+    "dedup_normalized" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_hash,
+        |       min(doc_id) AS canonical_id, count(*) AS cnt
+        |FROM documents GROUP BY 1 ORDER BY norm_hash""".stripMargin,
 
     // independent recomputation of the md5-simhash pipeline: per-token low-60
     // md5 bits, per-bit majority vote (votes > 0), then ALL pairs at Hamming
