@@ -91,8 +91,11 @@ object StreamingIngest {
     *    and remain served by [[searchFresh]] until the next compaction.
     */
   def compact(spark: SparkSession, indexPath: String,
-      tune: DiskannParams => DiskannParams = identity): Unit = {
-    if (deltaFiles(spark, indexPath).isEmpty) return // cheap no-op fast path
+      tune: DiskannParams => DiskannParams = identity,
+      tombstones: Set[Long] = Set.empty): Unit = {
+    // cheap no-op fast path (a tombstones-only compaction still rebuilds:
+    // it is the VACUUM analog that physically removes deleted rows)
+    if (deltaFiles(spark, indexPath).isEmpty && tombstones.isEmpty) return
     val (fs, _) = hadoopFs(spark, indexPath)
     val lock = new org.apache.hadoop.fs.Path(s"$indexPath/_compact.lock")
     val timeoutMs = spark.conf.get("graft.compact.lockTimeoutMs", "3600000").toLong
@@ -118,17 +121,26 @@ object StreamingIngest {
       // snapshot the delta UNDER the lock: a predecessor may have consumed
       // (and deleted) the files we saw before acquiring it
       val consumed = deltaFiles(spark, indexPath)
-      if (consumed.isEmpty) return
+      if (consumed.isEmpty && tombstones.isEmpty) return
       val root = DiskannIndex.resolveRoot(spark, indexPath)
       val meta = DiskannIndex.loadMeta(spark, root)
       val existing = spark.read.parquet(s"$root/nodes")
         .select(col("row_id"), col("vec"), col("labels"))
-      val delta = spark.read.parquet(consumed.map(_.toString).toIndexedSeq: _*)
+      val delta = if (consumed.isEmpty) existing.limit(0)
+      else spark.read.parquet(consumed.map(_.toString).toIndexedSeq: _*)
         .select(col("row_id"), col("vec"),
           (if (meta.hasLabels) col("labels") else lit(null)
             .cast(org.apache.spark.sql.types.ArrayType(
               org.apache.spark.sql.types.ShortType))).as("labels"))
-      val all = existing.unionByName(delta).cache()
+      // VACUUM analog (vacuum.rs:24-136 folds at rebuild): tombstoned rows
+      // are physically dropped from the new generation, so post-compact
+      // searches need no tombstone set at all
+      val merged = existing.unionByName(delta)
+      val all = (if (tombstones.isEmpty) merged
+        else merged.join(
+          broadcast(spark.createDataset(tombstones.toSeq)(
+            org.apache.spark.sql.Encoders.scalaLong).toDF("row_id")),
+          Seq("row_id"), "left_anti")).cache()
 
       val vdir = new org.apache.hadoop.fs.Path(s"$indexPath/versions")
       fs.mkdirs(vdir)

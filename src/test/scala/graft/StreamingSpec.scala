@@ -153,6 +153,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.toSet == Set((t(0), "alpha"), (t(1), "beta"), (t(4), "gamma")))
   }
 
+  test("compact folds tombstones: deleted rows physically leave the index (VACUUM analog)") {
+    val path = "/tmp/graft_test_index/vacuum"
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    deleteRec(new java.io.File(path))
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    DiskannIndex.build(e, "vec_id", "embedding", None, path,
+      DiskannParams(metric = "cosine"))
+    val dead = (0L until 50L).toSet
+    // tombstones-only compaction (no delta) must still rebuild
+    StreamingIngest.compact(spark, path, tombstones = dead)
+    val root = DiskannIndex.resolveRoot(spark, path)
+    val remaining = spark.read.parquet(s"$root/nodes")
+      .select("row_id").collect().map(_.getLong(0)).toSet
+    assert(remaining.intersect(dead).isEmpty)
+    assert(remaining.size == e.count() - dead.size)
+    // searches with NO tombstone set never see the deleted rows
+    val q = e.filter($"vec_id" === 3).select(
+      lit(3L).as("qid"), $"embedding".as("qvec"))
+    val hits = DiskannIndex.search(spark, path, q, k = 10,
+      searchListSize = 200, rescore = 150)
+      .collect().map(_.getLong(1)).toSet
+    assert(hits.intersect(dead).isEmpty)
+    assert(hits.nonEmpty)
+  }
+
   test("streaming incremental dedup: micro-batches checked against the standing corpus") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq(
