@@ -108,6 +108,38 @@ object Curation {
   }
 
   /**
+   * Contamination by COVERAGE FRACTION — the thresholding real decontam
+   * passes use: a (train, eval) pair is contaminated when the shared
+   * distinct shingles cover at least `minFrac` of the EVAL document's
+   * shingles (absolute counts over-flag long documents and under-flag short
+   * ones). Same broadcast shape as [[contaminationPairs]] plus one tiny
+   * eval-side size table joined back (broadcast — it is eval-row-bounded).
+   */
+  def contaminationByFraction(train: DataFrame, eval_ : DataFrame,
+      idCol: String, textCol: String, shingleSize: Int = 3,
+      minFrac: Double = 0.5): DataFrame = {
+    val par = train.sparkSession.sparkContext.defaultParallelism
+    val evalSh = Dedup.shingled(eval_.repartition(par), idCol, textCol, shingleSize)
+      .transform(graft.CacheScope.persist)
+    val evSizes = evalSh.select(col("id").as("eval_id"),
+      size(col("sh")).cast(LongType).as("__ev_n"))
+    val ev = evalSh.select(col("id").as("eval_id"), explode_outer(col("sh")).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("eval_id"), xxhash64(col("s")).as("h"))
+    val tr = Dedup.shingled(train.repartition(par), idCol, textCol, shingleSize)
+      .select(col("id").as("train_id"), explode_outer(col("sh")).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("train_id"), xxhash64(col("s")).as("h"))
+    tr.join(broadcast(ev), "h")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(evSizes), Seq("eval_id"))
+      .withColumn("frac", round(col("n_shared").cast(DoubleType) / col("__ev_n"), 6))
+      .filter(col("frac") >= minFrac)
+      .select(col("train_id"), col("eval_id"), col("n_shared"), col("frac"))
+  }
+
+  /**
    * Token-budget mixture sampling: downsample each stratum (source/domain/
    * language) so its EXPECTED token count meets a per-stratum budget — the
    * data-mixing step that turns a raw crawl into a training mixture with

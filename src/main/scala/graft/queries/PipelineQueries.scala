@@ -251,6 +251,18 @@ object PipelineQueries {
         .orderBy(col("train_id"), col("eval_id"))
     }),
 
+    // decontamination by coverage fraction: flag (train, eval) pairs whose
+    // shared shingles cover >= 20% of the eval doc (the thresholding real
+    // decontam passes use — absolute counts over-flag long docs)
+    "decontam_frac" -> ((s, d) => {
+      val all = docs(s, d)
+      Curation.contaminationByFraction(
+        all.filter(col("doc_id") % 23 =!= 0),
+        all.filter(col("doc_id") % 23 === 0),
+        "doc_id", "text", shingleSize = 3, minFrac = 0.2)
+        .orderBy(col("train_id"), col("eval_id"))
+    }),
+
     // near-dup PAIRS -> duplicate CLUSTERS: connected components by min-label
     // propagation; cluster_id = min doc_id in the component (the canonical
     // survivor a curation pipeline would keep)
@@ -804,6 +816,22 @@ object PipelineQueries {
          |ev AS (SELECT doc_id AS eval_id, unnest(sh) AS s FROM g WHERE doc_id % 23 = 0)
          |SELECT train_id, eval_id, count(*) AS n_shared
          |FROM tr JOIN ev USING (s) GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY train_id, eval_id""".stripMargin,
+
+    // coverage-fraction replay: shared counts joined with eval shingle-set
+    // sizes; round-then-threshold in the same order as the Spark side
+    "decontam_frac" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+         |g AS (SELECT doc_id, ${sqlShingles("w")} AS sh FROM t),
+         |tr AS (SELECT doc_id AS train_id, unnest(sh) AS s FROM g WHERE doc_id % 23 <> 0),
+         |ev AS (SELECT doc_id AS eval_id, unnest(sh) AS s FROM g WHERE doc_id % 23 = 0),
+         |sz AS (SELECT doc_id AS eval_id, len(sh) AS ev_n FROM g WHERE doc_id % 23 = 0),
+         |j AS (SELECT train_id, eval_id, count(*) AS n_shared
+         |      FROM tr JOIN ev USING (s) GROUP BY 1, 2)
+         |SELECT train_id, eval_id, n_shared,
+         |       round(CAST(n_shared AS DOUBLE) / ev_n, 6) AS frac
+         |FROM j JOIN sz USING (eval_id)
+         |WHERE round(CAST(n_shared AS DOUBLE) / ev_n, 6) >= 0.2
          |ORDER BY train_id, eval_id""".stripMargin,
 
     // transitive closure of the exact-Jaccard near-dup pair graph via a

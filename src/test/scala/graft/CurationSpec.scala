@@ -112,6 +112,21 @@ class CurationSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 100L, 2L)))
   }
 
+  test("contaminationByFraction thresholds on eval-side coverage, not absolute counts") {
+    // eval 100 has 3 shingles; train 1 shares 2 of them (frac 2/3), train 2
+    // shares 1 (frac 1/3), train 3 none
+    val train = Seq(
+      (1L, "a b c d e"), // shingles: abc bcd cde -> shares abc, bcd
+      (2L, "x y a b c"), // shares abc only
+      (3L, "p q r s t")).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "a b c d q")).toDF("doc_id", "text")
+    val got = Curation.contaminationByFraction(train, eval_, "doc_id", "text",
+      shingleSize = 3, minFrac = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    graft.CacheScope.releaseAll()
+    assert(got.toSeq == Seq((1L, 100L, 2L, 0.666667)))
+  }
+
   test("packSequences: greedy first-fit sweep matches the hand-computed packing") {
     // nBuckets=1 puts everything in one sorted sweep with known token counts
     val df = Seq((1L, 100L), (2L, 100L), (3L, 100L), (4L, 250L), (5L, 300L),
