@@ -162,11 +162,14 @@ object Curation {
     }
     val rates = df.groupBy(col(strataCol))
       .agg(sum(tokensCol).cast(LongType).as("__sum_tokens"))
-      .select(col(strataCol),
+      .select(col(strataCol).as("__stratum"),
         least(lit(1.0), budgetCol / col("__sum_tokens").cast(DoubleType)).as("__rate"))
-    df.join(broadcast(rates), Seq(strataCol))
+    // null-safe join: a NULL stratum (merged crawls routinely carry
+    // source=NULL rows) groups and samples at defaultBudget like any other —
+    // an equi-join would silently drop every NULL-stratum row
+    df.join(broadcast(rates), col(strataCol) <=> col("__stratum"))
       .filter(md5Uniform(seed, col(idCol)) < col("__rate"))
-      .drop("__rate")
+      .drop("__rate", "__stratum")
   }
 
   /**
@@ -251,20 +254,28 @@ object Curation {
   def connectedComponents(edges: DataFrame, maxIter: Int = 30,
       algorithm: String = "label",
       driverSolveMaxEdges: Int = 100000): DataFrame = {
-    if (driverSolveMaxEdges > 0) {
-      val probe = edges
-        .select(col("id_a").cast(LongType), col("id_b").cast(LongType))
-        .take(driverSolveMaxEdges + 1)
-      if (probe.length <= driverSolveMaxEdges)
-        return driverUnionFind(edges.sparkSession,
-          probe.map(r => (r.getLong(0), r.getLong(1))))
-    }
-    algorithm match {
-      case "label" => connectedComponentsLabel(edges, maxIter)
-      case "star" => connectedComponentsStar(edges, maxIter)
-      case other => throw new IllegalArgumentException(
-        s"unknown connected-components algorithm '$other' (label | star)")
-    }
+    // persist around the probe: on the large-graph path the probe's partial
+    // take would otherwise evaluate the (often expensive — LSH candidate
+    // join) edge pipeline once more than the distributed rounds already do.
+    // Safe to release in finally: every path below materializes its result
+    // (driver collect / eager localCheckpoint) before returning.
+    val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (driverSolveMaxEdges > 0) {
+        val probe = e
+          .select(col("id_a").cast(LongType), col("id_b").cast(LongType))
+          .take(driverSolveMaxEdges + 1)
+        if (probe.length <= driverSolveMaxEdges)
+          return driverUnionFind(e.sparkSession,
+            probe.map(r => (r.getLong(0), r.getLong(1))))
+      }
+      algorithm match {
+        case "label" => connectedComponentsLabel(e, maxIter)
+        case "star" => connectedComponentsStar(e, maxIter)
+        case other => throw new IllegalArgumentException(
+          s"unknown connected-components algorithm '$other' (label | star)")
+      }
+    } finally e.unpersist()
   }
 
   /** Union-find over a collected edge list; output labeling (id -> component

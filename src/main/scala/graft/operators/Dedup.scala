@@ -53,8 +53,10 @@ object Dedup {
     * spacing variants byte-exact dedup misses, at the identical one-shuffle
     * cost. */
   def normalizedDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    // collapse BEFORE trimming: trim() strips only spaces, so "foo\n" must
+    // first become "foo " for the trim to normalize it to "foo"
     df.select(
-      md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")).as("norm_hash"),
+      md5(trim(regexp_replace(lower(col(textCol)), "\\s+", " "))).as("norm_hash"),
       col(idCol).cast(LongType).as("id"))
       .groupBy(col("norm_hash"))
       .agg(min(col("id")).as("canonical_id"), count(lit(1)).as("cnt"))
@@ -66,6 +68,26 @@ object Dedup {
     * called `TextAnalysis.register`. */
   def minhashSignature(shingleCol: Column, numHashes: Int = 64): Column =
     call_function("minhash_sig", shingleCol, lit(numHashes))
+
+  /** (id, sh, sig) table for a corpus: repartitioned (a handful of parquet
+    * files would otherwise serialize the interpreted shingling into one
+    * task), persisted (it feeds banding AND the verify join-back). */
+  private def signatureTable(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, numHashes: Int): DataFrame =
+    shingled(df.repartition(df.sparkSession.sparkContext.defaultParallelism),
+      idCol, textCol, shingleSize)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .transform(graft.CacheScope.persist)
+
+  /** LSH band table: one (id, band, bucket) row per band, bucket = hash of
+    * that band's signature slice. */
+  private def bandTable(base: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val r = numHashes / bands
+    base.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        j => xxhash64(j, slice(col("sig"), j * r + 1, lit(r))))))
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+  }
 
   /**
    * Near-duplicate pairs with exact-verified word-n-gram Jaccard >= threshold.
@@ -84,24 +106,14 @@ object Dedup {
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8, maxBucketSize: Long = 0): DataFrame = {
-    val r = numHashes / bands
-    require(bands * r == numHashes, "bands must divide numHashes")
+    require(bands * (numHashes / bands) == numHashes, "bands must divide numHashes")
     TextAnalysis.register(df.sparkSession)
-    // repartition first: a single small parquet file otherwise serializes
-    // the whole shingling/minhash pass into one task
-    val par = df.sparkSession.sparkContext.defaultParallelism
     // The signature table feeds three consumers (banding, and both sides of
-    // the verify join-back); without materialization Spark recomputes the
-    // tokenize→shingle→minhash subtree per consumer. Persist is the in-session
-    // form of the production shape — at pipeline scale you'd write signatures
-    // once to a table and join against that.
-    val base = shingled(df.repartition(par), idCol, textCol, shingleSize)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .transform(graft.CacheScope.persist)
-    val banded0 = base.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        j => xxhash64(j, slice(col("sig"), j * r + 1, lit(r))))))
-      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+    // the verify join-back); signatureTable persists it — the in-session
+    // form of the production shape, where signatures are written once to a
+    // table and joined against.
+    val base = signatureTable(df, idCol, textCol, shingleSize, numHashes)
+    val banded0 = bandTable(base, numHashes, bands)
     val banded = if (maxBucketSize <= 0) banded0
     else banded0.withColumn("__n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
@@ -117,8 +129,7 @@ object Dedup {
       .join(sets.as("sa"), col("id_a") === col("sa.id"))
       .join(sets.as("sb"), col("id_b") === col("sb.id"))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sa.sh"), col("sb.sh"))).cast(DoubleType) /
-          size(array_union(col("sa.sh"), col("sb.sh")))).as("jaccard"))
+        jaccard(col("sa.sh"), col("sb.sh")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -175,22 +186,12 @@ object Dedup {
   def minhashNearDupAgainst(corpus: DataFrame, batch: DataFrame, idCol: String,
       textCol: String, shingleSize: Int = 3, numHashes: Int = 64,
       bands: Int = 16, threshold: Double = 0.8): DataFrame = {
-    val r = numHashes / bands
-    require(bands * r == numHashes, "bands must divide numHashes")
+    require(bands * (numHashes / bands) == numHashes, "bands must divide numHashes")
     TextAnalysis.register(corpus.sparkSession)
-    val par = corpus.sparkSession.sparkContext.defaultParallelism
-    def sigTable(df: DataFrame): DataFrame =
-      shingled(df.repartition(par), idCol, textCol, shingleSize)
-        .withColumn("sig", minhashSignature(col("sh"), numHashes))
-        .transform(graft.CacheScope.persist)
-    def banded(base: DataFrame): DataFrame = base.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        j => xxhash64(j, slice(col("sig"), j * r + 1, lit(r))))))
-      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
-    val corpusBase = sigTable(corpus)
-    val batchBase = sigTable(batch)
-    val candidates = banded(corpusBase).as("c")
-      .join(broadcast(banded(batchBase)).as("b"),
+    val corpusBase = signatureTable(corpus, idCol, textCol, shingleSize, numHashes)
+    val batchBase = signatureTable(batch, idCol, textCol, shingleSize, numHashes)
+    val candidates = bandTable(corpusBase, numHashes, bands).as("c")
+      .join(broadcast(bandTable(batchBase, numHashes, bands)).as("b"),
         col("c.band") === col("b.band") && col("c.bucket") === col("b.bucket"))
       .select(col("b.id").as("batch_id"), col("c.id").as("corpus_id"))
       .distinct()
@@ -200,8 +201,7 @@ object Dedup {
       .join(corpusBase.select(col("id"), col("sh")).as("sc"),
         col("corpus_id") === col("sc.id"))
       .select(col("batch_id"), col("corpus_id"),
-        (size(array_intersect(col("sb.sh"), col("sc.sh"))).cast(DoubleType) /
-          size(array_union(col("sb.sh"), col("sc.sh")))).as("jaccard"))
+        jaccard(col("sb.sh"), col("sc.sh")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

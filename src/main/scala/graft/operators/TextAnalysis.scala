@@ -184,9 +184,11 @@ object TextAnalysis {
    * Low scores mark out-of-distribution/garbled text, anomalously high
    * scores mark boilerplate.
    *
-   * Shape at 100 TB: the count tables are vocabulary-bounded aggregates of
+   * Shape at 100 TB: the count tables are type-frequency aggregates of
    * exploded-bigram partials (map-side combine, c1 derived from c2 — the
-   * token stream is aggregated once), broadcast back to the scoring join.
+   * token stream is aggregated once). Type counts grow with the corpus
+   * (Heaps' law), so the scoring joins carry no broadcast hint — AQE
+   * broadcasts the tables while they fit and shuffle-joins beyond that.
    * Per-document terms are summed as FIXED-POINT longs (1e-9 grain), so the
    * one per-doc shuffle is order-free exact — the mean survives shuffle
    * nondeterminism and hash-matches an external SQL replay even though
@@ -211,16 +213,21 @@ object TextAnalysis {
     val c2 = docBg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c2"))
       .transform(graft.CacheScope.persist)
     val c1 = c2.groupBy(col("w1")).agg(sum(col("__c2")).as("__c1"))
-    // vocabulary = distinct tokens participating in bigrams (a scalar; the
-    // count table is vocabulary-bounded so this driver hop is one long)
-    val v = c2.select(col("w1").as("w")).union(c2.select(col("w2").as("w")))
-      .distinct().count()
+    // vocabulary = distinct tokens participating in bigrams, carried as ONE
+    // lazy broadcast row (no eager driver count at construction time)
+    val vDf = c2.select(col("w1").as("w")).union(c2.select(col("w2").as("w")))
+      .distinct().agg(count(lit(1)).as("__v"))
     val term = log(
       (col("__c2").cast(DoubleType) + 1.0) /
-        (col("__c1").cast(DoubleType) + lit(v.toDouble)))
+        (col("__c1").cast(DoubleType) + col("__v").cast(DoubleType)))
+    // the count tables are TYPE-frequency tables and type counts grow with
+    // the corpus (Heaps' law — bigrams especially), so neither join gets a
+    // broadcast hint: AQE broadcasts them while they fit and shuffle-joins
+    // beyond that. Only the scalar V is unconditionally broadcast-safe.
     val perDoc = docBg
-      .join(broadcast(c2), Seq("w1", "w2"))
-      .join(broadcast(c1), Seq("w1"))
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vDf))
       .select(col(idCol),
         floor(term * 1e9 + 0.5).cast(LongType).as("__fp"))
       .groupBy(col(idCol))

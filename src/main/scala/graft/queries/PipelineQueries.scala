@@ -503,7 +503,7 @@ object PipelineQueries {
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
 
     "dedup_normalized" ->
-      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_hash,
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_hash,
         |       min(doc_id) AS canonical_id, count(*) AS cnt
         |FROM documents GROUP BY 1 ORDER BY norm_hash""".stripMargin,
 

@@ -71,6 +71,7 @@ object PlanAudit {
       println(s"[audit] $name pushedFilterScans=$pushed codegenStages=$codegenStages " +
         s"broadcastJoins=$broadcasts shuffles=$shuffles")
       println(formatted)
+      graft.CacheScope.releaseAll() // free operator-internal persists per query
     }
   }
 }

@@ -92,11 +92,14 @@ object RecallBench {
       val projQ = Similarity.randomProject(
         queries.select(col("qid"), col("qvec").as("embedding")), "qid", "embedding", 64, outDim)
         .select(col("id").as("qid"), toF(col("proj")).as("pqvec"))
+      // persisted: the ranked crossJoin (the heaviest stage) feeds BOTH the
+      // direct top-10 and the rescore pool
       val projRanked = projCorpus.crossJoin(broadcast(projQ))
         .select(col("qid"), col("vec_id"),
           VectorFunctions.vec_cosine_dist(col("pvec"), col("pqvec")).as("d"))
         .withColumn("rnk", row_number().over(
           Window.partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))))
+        .transform(graft.CacheScope.persist)
       val projTop10 = projRanked.filter(col("rnk") <= k).select(col("qid"), col("vec_id"))
       val rescored = projRanked.filter(col("rnk") <= 3 * k)
         .select(col("qid"), col("vec_id"))
@@ -106,8 +109,10 @@ object RecallBench {
         .withColumn("rnk", row_number().over(
           Window.partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))))
         .filter(col("rnk") <= k).select(col("qid"), col("vec_id"))
-      Seq(s"jl${outDim}_top10_norescore" -> recallOf(projTop10),
+      val out = Seq(s"jl${outDim}_top10_norescore" -> recallOf(projTop10),
         s"jl${outDim}_cand30_rescored" -> recallOf(rescored))
+      graft.CacheScope.releaseAll()
+      out
     }
     val results = annResults ++ jlConfigs(16) ++ jlConfigs(32)
     val js = results.map { case (n, v) => "\"" + n + f"""\":$v%.4f""" }

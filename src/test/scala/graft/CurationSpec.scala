@@ -172,4 +172,20 @@ class CurationSpec extends AnyFunSuite {
       budgets = Map("big" -> 500L), defaultBudget = 1000000L, seed = "t1")
     assert(mixed.select("id").collect().toSet == again.select("id").collect().toSet)
   }
+
+  test("mixtureSample: NULL strata sample at defaultBudget instead of vanishing") {
+    val df = (0L until 300L)
+      .map(i => (i, if (i % 3 == 0) null else "src", 10L))
+      .toDF("id", "src", "n")
+    // generous default: every NULL-stratum row must survive
+    val all = Curation.mixtureSample(df, "id", "src", col("n"),
+      budgets = Map("src" -> 1000000L), defaultBudget = 1000000L)
+    assert(all.filter(col("src").isNull).count() == 100)
+    // tight default: NULL stratum (100 rows x 10 tokens) at budget 250 =>
+    // rate 0.25, binomial(100, 0.25) within [10, 45]
+    val tight = Curation.mixtureSample(df, "id", "src", col("n"),
+      budgets = Map("src" -> 1000000L), defaultBudget = 250L, seed = "t2")
+    val nNull = tight.filter(col("src").isNull).count()
+    assert(nNull > 10 && nNull < 45, s"null-stratum kept $nNull of 100")
+  }
 }
