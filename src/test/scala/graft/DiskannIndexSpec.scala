@@ -213,6 +213,15 @@ class DiskannIndexSpec extends AnyFunSuite {
     val a = norm(DiskannIndex.search(spark, ivfPath, q2, 5, nProbe = 2).collect())
     val b = norm(DiskannIndex.searchDistributed(spark, ivfPath, q2, 5, nProbe = 2).collect())
     assert(a == b)
+
+    // > 256 shards: the dual-shuffle cogroup FALLBACK (the zip path only
+    // serves <= 256) must agree with the broadcast path too
+    val manyPath = "/tmp/graft_test_index/manyshards"
+    val qm = emb.filter(col("vec_id") === 11)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val viaScan = norm(DiskannIndex.search(spark, manyPath, qm, 10).collect())
+    val viaFallback = norm(DiskannIndex.searchDistributed(spark, manyPath, qm, 10).collect())
+    assert(viaFallback == viaScan)
   }
 
   test("searchDistributed honors label filters like the broadcast path") {
