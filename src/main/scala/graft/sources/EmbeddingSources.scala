@@ -68,4 +68,50 @@ object EmbeddingSources {
       vecCol: String = "vec", labelsCol: Option[String] = None,
       dim: Int = 0): DataFrame =
     canonical(spark.read.parquet(path), idCol, vecCol, labelsCol, dim)
+
+  /** ORC (the other columnar format Spark reads natively). */
+  def readOrc(spark: SparkSession, path: String, idCol: String = "id",
+      vecCol: String = "vec", labelsCol: Option[String] = None,
+      dim: Int = 0): DataFrame =
+    canonical(spark.read.orc(path), idCol, vecCol, labelsCol, dim)
+
+  /** Packed-binary vectors (fvecs / numpy-export style): a BINARY column of
+    * little-endian float32s becomes the canonical ARRAY<FLOAT>. The unpack
+    * is a narrow expression, so the conversion composes with the scan. */
+  def fromPackedFloats(df: DataFrame, idCol: String, binCol: String,
+      labelsCol: Option[String] = None, dim: Int = 0): DataFrame = {
+    df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "unpack_float32_le", es => UnpackFloat32LE(es.head), "built-in")
+    canonical(
+      df.withColumn(binCol, call_function("unpack_float32_le", col(binCol))),
+      idCol, binCol, labelsCol, dim)
+  }
+}
+
+/** Reinterpret a BINARY column as little-endian float32s → ARRAY<FLOAT>
+  * (the layout of fvecs payloads and raw numpy float32 dumps). Rejects
+  * lengths that are not a multiple of 4. */
+case class UnpackFloat32LE(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  override def prettyName: String = "unpack_float32_le"
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects BINARY, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[Array[Byte]]
+    require(bytes.length % 4 == 0,
+      s"$prettyName: ${bytes.length} bytes is not a whole number of float32s")
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val out = new Array[Any](bytes.length / 4)
+    var i = 0
+    while (i < out.length) { out(i) = buf.getFloat(i * 4); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): UnpackFloat32LE = copy(child = c)
 }

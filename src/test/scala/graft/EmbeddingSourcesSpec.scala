@@ -43,6 +43,36 @@ class EmbeddingSourcesSpec extends AnyFunSuite {
       r.getAs[scala.collection.Seq[Short]]("labels").toSeq == Seq(2.toShort, 5.toShort))
   }
 
+  test("orc round-trip and packed little-endian float32 unpack") {
+    val dir = s"/tmp/graft_sources_${System.nanoTime()}"
+    Seq((1L, Seq(0.25f, -2.0f)), (2L, Seq(1.0f, 3.5f)))
+      .toDF("id", "vec").write.orc(s"$dir/orc")
+    val orc = EmbeddingSources.readOrc(spark, s"$dir/orc", dim = 2)
+    assert(orc.count() == 2)
+    assert(orc.orderBy($"id").collect()(0)
+      .getAs[scala.collection.Seq[Float]]("vec").toSeq == Seq(0.25f, -2.0f))
+
+    def pack(fs: Float*): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(fs.length * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      fs.foreach(b.putFloat)
+      b.array()
+    }
+    val bin = Seq((1L, pack(0.5f, -1.25f)), (2L, pack(2.0f, 4.0f)))
+      .toDF("id", "raw")
+    val got = EmbeddingSources.fromPackedFloats(bin, "id", "raw", dim = 2)
+      .orderBy($"id").collect()
+    assert(got(0).getAs[scala.collection.Seq[Float]]("vec").toSeq == Seq(0.5f, -1.25f))
+    assert(got(1).getAs[scala.collection.Seq[Float]]("vec").toSeq == Seq(2.0f, 4.0f))
+    // a 6-byte payload is not a whole number of float32s
+    val bad = Seq((1L, Array[Byte](0, 0, 0, 0, 0, 0))).toDF("id", "raw")
+    val err = intercept[Exception] {
+      EmbeddingSources.fromPackedFloats(bad, "id", "raw").collect()
+    }
+    assert(err.getMessage.contains("float32") ||
+      Option(err.getCause).exists(_.getMessage.contains("float32")))
+  }
+
   test("canonical output feeds the index build directly") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val c = EmbeddingSources.canonical(e, "vec_id", "embedding", None, dim = 64)
