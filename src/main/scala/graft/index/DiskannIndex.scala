@@ -546,6 +546,103 @@ object DiskannIndex {
   }
 
   /**
+   * Shard-aligned, SHUFFLE-FREE nodes RDD: partition i holds exactly shard
+   * `neededShards(i)`, built as an RDD-level union of per-shard
+   * partition-pruned scans. RDD union (unlike a Catalyst union) never
+   * repacks tiny scans into fewer partitions — the zip alignment depends on
+   * that — and its lineage contains NO ShuffleDependency on the nodes side
+   * (asserted by DiskannIndexSpec), which is the property that keeps the
+   * 100 TB index out of every shuffle regardless of shard count.
+   */
+  private[graft] def shardAlignedNodesRdd(spark: SparkSession,
+      nodes: DataFrame,
+      neededShards: Seq[Int]): org.apache.spark.rdd.RDD[Row] =
+    spark.sparkContext.union(
+      neededShards.map(s =>
+        nodes.filter(col("shard") === s).coalesce(1).rdd))
+
+  /** True iff `rdd`'s lineage reaches a shuffle — test/plan-audit hook. */
+  private[graft] def hasShuffle(rdd: org.apache.spark.rdd.RDD[_]): Boolean = {
+    val seen = mutable.Set.empty[Int]
+    def walk(r: org.apache.spark.rdd.RDD[_]): Boolean =
+      seen.add(r.id) && r.dependencies.exists {
+        case _: org.apache.spark.ShuffleDependency[_, _, _] => true
+        case d => walk(d.rdd)
+      }
+    walk(rdd)
+  }
+
+  /**
+   * Driver-side resumable single-query scan over WARM shards — the
+   * `amgettuple` / TSVResponseIterator analog (scan.rs:162-242,370-405) for
+   * the residual-recheck over-fetch loop: each escalation round EXTENDS the
+   * per-shard best-first frontiers instead of re-searching from scratch.
+   *
+   * Opens only when every needed shard's decoded [[GraphSearcher]] is
+   * already in THIS JVM's cache (the serving warm path: always true in
+   * local mode after the first round, and on any serving node colocated
+   * with its executor cache). Cold or cluster-remote shards return None and
+   * the caller keeps the distributed per-round search — correctness is
+   * identical either way (resume is exact; see [[GraphSearcher.ResumableSearch]]),
+   * only the re-paid traversal differs.
+   */
+  final class ResumableScanHandle private[DiskannIndex] (
+      handles: Seq[(GraphSearcher#ResumableSearch, SearchStats)],
+      metrics: Option[SearchMetrics]) {
+    private var reported = (0L, 0L, 0L)
+
+    /** Top-kk merged hits at this budget, as (qid=0, row_id, dist) rows. */
+    def topK(kk: Int, searchListSize: Int, rescore: Int): Array[Row] = {
+      val merged = handles.iterator
+        .flatMap { case (h, _) =>
+          h.advance(kk, math.max(searchListSize, kk), rescore).take(kk) }
+        .toArray
+        .sortBy { case (rid, d) => (d, rid) }
+        .take(kk)
+      metrics.foreach { m =>
+        val now = handles.map(_._2).foldLeft((0L, 0L, 0L)) { case (acc, st) =>
+          (acc._1 + st.nodesVisited, acc._2 + st.quantizedCmps, acc._3 + st.exactCmps)
+        }
+        m.nodesVisited.add(now._1 - reported._1)
+        m.quantizedCmps.add(now._2 - reported._2)
+        m.exactCmps.add(now._3 - reported._3)
+        reported = now
+      }
+      merged.map { case (rid, d) => Row(0L, rid, d) }
+    }
+  }
+
+  def openResumableScan(spark: SparkSession, path0: String,
+      qvec: Array[Float], qlabels: Array[Short],
+      tombstones: Set[Long] = Set.empty,
+      metrics: Option[SearchMetrics] = None,
+      nProbe: Int = 0): Option[ResumableScanHandle] = {
+    val path = resolveRoot(spark, path0)
+    val meta = loadMeta(spark, path)
+    val metric = Metric(meta.metric)
+    val needed: Seq[Int] =
+      if (meta.partitioner == "ivf" && nProbe > 0 && nProbe < meta.numShards &&
+          meta.centroids.nonEmpty) {
+        val ivf = graft.operators.Similarity.IvfModel(meta.centroids)
+        val raw = if (qvec == null) new Array[Float](meta.centroids(0).length) else qvec
+        val sliced = if (meta.dimsToIndex > 0) raw.take(meta.dimsToIndex) else raw
+        val bv = if (metric == Metric.Cosine) VectorKernels.normalize(sliced) else sliced
+        ivf.nearest(bv, nProbe).toSeq.sorted
+      } else 0 until meta.numShards
+    val searchers = needed.map(sh => GraphSearcher.peek(s"$path#$sh#${meta.buildId}"))
+    if (searchers.exists(_.isEmpty)) None
+    else {
+      val report = reportDistFn(metric)
+      val nq = Option(qlabels).map(l => LabelSets.normalize(l.clone())).orNull
+      val handles = searchers.map { s =>
+        val st = new SearchStats
+        (s.get.resumable(qvec, nq, rid => tombstones.contains(rid), report, st), st)
+      }
+      Some(new ResumableScanHandle(handles, metrics))
+    }
+  }
+
+  /**
    * Fully distributed ANN search for LARGE query sets — the offline
    * "find neighbors for every row" workload where the query table itself has
    * millions of rows and collecting/broadcasting it (as [[search]] does for
@@ -625,24 +722,24 @@ object DiskannIndex {
           .take(k).iterator.map { case (rid, d) => (qid, rid, d) }
       }
     }
-    // Co-location WITHOUT shuffling the index: at <=256 probed shards the
-    // whole-shard scan is one coalesced task per shard directory (same
-    // mechanism as the online path), so zipping it against queries hash-
-    // partitioned to the matching partition index moves ONLY the query rows
-    // — the 100 TB nodes table never crosses the wire, and a warm executor
-    // cache means the unconsumed node iterator skips the decode entirely.
-    // Above 256 shards, fall back to the dual-shuffle cogroup.
+    // Co-location WITHOUT shuffling the index: the shard-aligned scan is one
+    // coalesced task per shard directory (same mechanism as the online
+    // path), so zipping it against queries hash-partitioned to the matching
+    // partition index moves ONLY the query rows — the 100 TB nodes table
+    // never crosses the wire, and a warm executor cache means the unconsumed
+    // node iterator skips the decode entirely. The only cost that grows with
+    // shard count is DRIVER planning (one tiny pruned-scan plan per shard,
+    // single-digit ms each — the "bucketed by shard directory" equivalent of
+    // a bucketed-table join, without a metastore); past
+    // `graft.search.zipMaxShards` (default 4096) the dual-shuffle cogroup
+    // caps that driver cost.
+    val zipMaxShards =
+      spark.conf.get("graft.search.zipMaxShards", "4096").toInt
     val partial: org.apache.spark.sql.Dataset[(Long, Long, Double)] =
-      if (neededShards.length <= 256) {
+      if (neededShards.length <= zipMaxShards) {
         val nShards = neededShards.length
         val shardIndex = neededShards.zipWithIndex.toMap
-        // RDD-level union: each branch is pinned to exactly one partition by
-        // coalesce(1).rdd, so partition i IS shard neededShards(i) — a
-        // Catalyst union may repack tiny scans into fewer partitions, which
-        // would break the zip alignment
-        val nodesRdd = spark.sparkContext.union(
-          neededShards.map(s =>
-            nodes.filter(col("shard") === s).coalesce(1).rdd))
+        val nodesRdd = shardAlignedNodesRdd(spark, nodes, neededShards)
         val byShard = new org.apache.spark.Partitioner {
           override def numPartitions: Int = nShards
           override def getPartition(key: Any): Int =
@@ -650,6 +747,17 @@ object DiskannIndex {
         }
         val qRdd = q2.rdd.map(r => (r.getAs[Int]("shard"), r))
           .partitionBy(byShard).values
+        // zip alignment rests on coalesce(1) yielding exactly ONE partition
+        // even for an EMPTY shard directory (unused IVF centroid) — true on
+        // Spark 4.x via CoalesceExec.EmptyRDDWithPartitions. If a Spark
+        // upgrade ever changes that, fail with the invariant's name instead
+        // of zipPartitions' opaque "unequal number of partitions".
+        require(nodesRdd.getNumPartitions == nShards,
+          s"nodes RDD has ${nodesRdd.getNumPartitions} partitions, expected " +
+            s"$nShards (one per probed shard; empty-shard coalesce(1) must " +
+            "still yield one partition)")
+        require(qRdd.getNumPartitions == nShards,
+          s"query RDD has ${qRdd.getNumPartitions} partitions, expected $nShards")
         val resRdd = nodesRdd.zipPartitions(qRdd) { (nodeIt, qIt) =>
           val qs = qIt.toArray
           if (qs.isEmpty) Iterator.empty

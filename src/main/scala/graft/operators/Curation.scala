@@ -134,8 +134,10 @@ object Curation {
       .groupBy(col("train_id"), col("eval_id"))
       .agg(count(lit(1)).as("n_shared"))
       .join(broadcast(evSizes), Seq("eval_id"))
+      // threshold on the TRUE ratio; rounding is presentation-only (the
+      // oracle mirrors this order, so borderline pairs agree too)
+      .filter(col("n_shared").cast(DoubleType) / col("__ev_n") >= minFrac)
       .withColumn("frac", round(col("n_shared").cast(DoubleType) / col("__ev_n"), 6))
-      .filter(col("frac") >= minFrac)
       .select(col("train_id"), col("eval_id"), col("n_shared"), col("frac"))
   }
 
@@ -254,6 +256,11 @@ object Curation {
   def connectedComponents(edges: DataFrame, maxIter: Int = 30,
       algorithm: String = "label",
       driverSolveMaxEdges: Int = 100000): DataFrame = {
+    // validate up front: an unknown algorithm must fail regardless of whether
+    // the small-graph fast path would have made the name moot
+    if (algorithm != "label" && algorithm != "star")
+      throw new IllegalArgumentException(
+        s"unknown connected-components algorithm '$algorithm' (label | star)")
     // persist around the probe: on the large-graph path the probe's partial
     // take would otherwise evaluate the (often expensive — LSH candidate
     // join) edge pipeline once more than the distributed rounds already do.

@@ -123,8 +123,10 @@ object TextAnalysis {
       keep: Seq[String] = Nil): DataFrame = {
     val text = col(textCol)
     // distinct stopword hits: filter the (tiny, literal) stop list against
-    // the token array — unambiguous "distinct count" on any engine, unlike
-    // intersect builtins whose dedup semantics differ across engines
+    // the lowercased token array — case-insensitive per the Gopher rule's
+    // intent ("The dog" contains stopword "the"), and "distinct count"
+    // semantics unambiguous on any engine, unlike intersect builtins whose
+    // dedup behavior differs across engines
     val stopList = stopwords("en")
     val keepCols = keep.map(col)
     val raw = df.select(col(idCol) +: text +: tokens(text).as("__toks") +:
@@ -133,7 +135,8 @@ object TextAnalysis {
       size(col("__toks")).cast(LongType).as("n_tokens"),
       length(regexp_replace(text, "\\s", "")).cast(DoubleType).as("__strip"),
       size(filter(lit(stopList.toArray),
-        s => array_contains(col("__toks"), s))).as("__stop_distinct"),
+        s => array_contains(transform(col("__toks"), t => lower(t)), s)))
+        .as("__stop_distinct"),
       size(filter(col("__toks"), t => t.rlike("[A-Za-z]")))
         .cast(DoubleType).as("__alpha_words")): _*)
     val nTok = col("n_tokens")

@@ -1,0 +1,163 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{StringType, StructType}
+import graft.index.DiskannParams
+
+/**
+ * SQL DDL surface for the index lifecycle — the analog of the reference's
+ * primary UX (`/root/reference/README.md:174-180`):
+ *
+ *   CREATE INDEX [name] ON '<sourcePath>' USING DISKANN (vecCol [opclass])
+ *     [WITH (id_col='vec_id', index_path='...', labels_col='labels',
+ *            num_neighbors=50, search_list_size=100, max_alpha=1.2,
+ *            num_dimensions=..., num_bits_per_dimension=...,
+ *            storage_layout='memory_optimized'|'plain',
+ *            shard_target_rows=..., partitioner='hash'|'ivf')]
+ *   DROP INDEX name [WITH (delete_files=true)]
+ *   DROP INDEX ON '<sourcePath>' [WITH (delete_files=true)]
+ *
+ * The source is either a quoted path or the `parquet.`/path`` form used in
+ * queries; the opclass names mirror pgvector's (`vector_cosine_ops`,
+ * `vector_l2_ops`, `vector_ip_ops` — README.md:188-193) and default to
+ * cosine. `index_path` defaults to `<source>/_graft_index/<name>` — the
+ * leading underscore keeps the index invisible to Spark's own file listing
+ * of the source directory, so queries over the source are unaffected.
+ *
+ * Wired in via [[GraftExtensions]] (`spark.sql.extensions` or
+ * `withExtensions`) — custom syntax requires the parser hook, which only
+ * exists at session build time. Sessions using the lighter [[Graft.enable]]
+ * call [[Graft.createIndex]] from Scala instead; both end in the same
+ * catalog registration and planner rewrite.
+ *
+ * Everything that is NOT a graft DDL statement is delegated verbatim to the
+ * underlying parser, so the extension is invisible to normal SQL.
+ */
+object GraftSqlParser {
+  private val createRe =
+    ("""(?is)^\s*CREATE\s+INDEX(?:\s+(?!ON\b)([\w.\-]+))?\s+ON\s+""" +
+      """(?:parquet\s*\.\s*`([^`]+)`|'([^']+)')\s+USING\s+DISKANN\s*""" +
+      """\(\s*([\w]+)(?:\s+([\w]+))?\s*\)\s*(?:WITH\s*\((.*)\))?\s*;?\s*$""").r
+  private val dropNameRe =
+    """(?is)^\s*DROP\s+INDEX\s+(?!ON\b)([\w.\-]+)\s*(?:WITH\s*\((.*)\))?\s*;?\s*$""".r
+  private val dropOnRe =
+    ("""(?is)^\s*DROP\s+INDEX\s+ON\s+(?:parquet\s*\.\s*`([^`]+)`|'([^']+)')""" +
+      """\s*(?:WITH\s*\((.*)\))?\s*;?\s*$""").r
+  private val optRe = """([\w]+)\s*=\s*(?:'([^']*)'|([^,\s()]+))""".r
+
+  private def parseOpts(s: String): Map[String, String] =
+    if (s == null) Map.empty
+    else optRe.findAllMatchIn(s).map { m =>
+      m.group(1).toLowerCase -> Option(m.group(2)).getOrElse(m.group(3))
+    }.toMap
+
+  private def metricOf(opclass: Option[String], opts: Map[String, String]): String =
+    opts.get("metric").map(_.toLowerCase)
+      .orElse(opclass.map(_.toLowerCase).map {
+        case "vector_cosine_ops" => "cosine"
+        case "vector_l2_ops" => "l2"
+        case "vector_ip_ops" => "ip"
+        case other => throw new IllegalArgumentException(
+          s"unknown operator class '$other' " +
+            "(vector_cosine_ops | vector_l2_ops | vector_ip_ops)")
+      }).getOrElse("cosine")
+
+  /** Some(command) when `sqlText` is graft DDL; None delegates to Spark. */
+  def parseIndexCommand(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case createRe(name, tick, quoted, vecCol, opclass, withOpts) =>
+      val opts = parseOpts(withOpts)
+      val source = Option(tick).getOrElse(quoted)
+      val idxName = Option(name).getOrElse(s"idx_$vecCol")
+      Some(CreateDiskannIndexCommand(idxName, source, vecCol,
+        metricOf(Option(opclass), opts), opts))
+    case dropNameRe(name, withOpts) =>
+      Some(DropDiskannIndexCommand(Left(name),
+        parseOpts(withOpts).get("delete_files").exists(_.toBoolean)))
+    case dropOnRe(tick, quoted, withOpts) =>
+      Some(DropDiskannIndexCommand(Right(Option(tick).getOrElse(quoted)),
+        parseOpts(withOpts).get("delete_files").exists(_.toBoolean)))
+    case _ => None
+  }
+}
+
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlParser.parseIndexCommand(sqlText)
+      .getOrElse(delegate.parsePlan(sqlText))
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+}
+
+/** Driver-side index build + catalog registration (the `ambuild` entry). */
+case class CreateDiskannIndexCommand(name: String, sourcePath: String,
+    vecCol: String, metric: String, opts: Map[String, String])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("index_path", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val idCol = opts.getOrElse("id_col",
+      throw new IllegalArgumentException(
+        "CREATE INDEX ... USING DISKANN requires WITH (id_col='...'): the " +
+          "index stores row ids, and parquet sources have no implicit ctid"))
+    val indexPath = opts.getOrElse("index_path",
+      s"${sourcePath.stripSuffix("/")}/_graft_index/$name")
+    val params = DiskannParams(
+      metric = metric,
+      numNeighbors = opts.get("num_neighbors").map(_.toInt).getOrElse(50),
+      searchListSize = opts.get("search_list_size").map(_.toInt).getOrElse(100),
+      maxAlpha = opts.get("max_alpha").map(_.toDouble).getOrElse(1.2),
+      bitsPerDim = opts.get("num_bits_per_dimension").map(_.toInt),
+      storage = opts.get("storage_layout").map(_.toLowerCase) match {
+        case Some("memory_optimized") | None => "sbq"
+        case Some("plain") => "plain"
+        case Some(other) => throw new IllegalArgumentException(
+          s"unknown storage_layout '$other' (memory_optimized | plain)")
+      },
+      numDimsToIndex = opts.get("num_dimensions").map(_.toInt),
+      shardTargetRows = opts.get("shard_target_rows").map(_.toLong)
+        .getOrElse(1L << 20),
+      partitioner = opts.getOrElse("partitioner", "hash"))
+    val labelsCol = opts.get("labels_col")
+    Graft.createIndex(spark, sourcePath, idCol, vecCol, indexPath,
+      labelsCol, params)
+    KnnCatalog.registerName(name, sourcePath)
+    Seq(Row(indexPath))
+  }
+}
+
+/** Driver-side unregister (+ optional file delete) — the `DROP INDEX` analog. */
+case class DropDiskannIndexCommand(target: Either[String, String],
+    deleteFiles: Boolean) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val sourcePath = target match {
+      case Left(name) => KnnCatalog.lookupName(name).getOrElse(
+        throw new IllegalArgumentException(s"no index named '$name'"))
+      case Right(path) => path
+    }
+    Graft.dropIndex(sourcePath, deleteFiles = deleteFiles)
+    KnnCatalog.unregisterNamesFor(sourcePath)
+    Seq.empty
+  }
+}

@@ -47,7 +47,24 @@ object KnnCatalog {
 
   def unregister(sourcePath: String): Unit = registry.remove(norm(sourcePath))
 
-  def clear(): Unit = registry.clear()
+  def clear(): Unit = { registry.clear(); names.clear() }
+
+  // SQL-surface index names (CREATE INDEX foo ON ... / DROP INDEX foo):
+  // name -> source path, resolved against the path-keyed registry above
+  private val names = TrieMap.empty[String, String]
+
+  def registerName(name: String, sourcePath: String): Unit =
+    names.put(name, norm(sourcePath))
+
+  def lookupName(name: String): Option[String] = names.get(name)
+
+  def unregisterName(name: String): Unit = names.remove(name)
+
+  /** Drop every name bound to `sourcePath` (DROP INDEX ON '<path>'). */
+  def unregisterNamesFor(sourcePath: String): Unit = {
+    val p = norm(sourcePath)
+    names.filterInPlace { case (_, v) => v != p }
+  }
 }
 
 object Graft {
@@ -100,9 +117,28 @@ object Graft {
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(spark => new KnnStrategy(spark))
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
     VectorFunctions.injectInto(ext)
     graft.operators.TextAnalysis.injectInto(ext)
   }
+}
+
+/**
+ * Planner-side row-count cache for the cost gate: one tiny meta read per
+ * index per JVM (re-read after [[GraphSearcher.invalidate]]-style churn is
+ * unnecessary — the gate only needs the order of magnitude, and compaction
+ * changes numRows by the delta size, not the magnitude).
+ */
+object KnnCost {
+  private val rows = TrieMap.empty[String, Long]
+
+  def indexedRows(spark: SparkSession, indexPath: String): Option[Long] =
+    try Some(rows.getOrElseUpdate(indexPath,
+      DiskannIndex.loadMeta(spark, indexPath).numRows))
+    catch { case _: Throwable => None }
+
+  def invalidate(indexPath: String): Unit = rows.remove(indexPath)
+  def clear(): Unit = rows.clear()
 }
 
 class KnnStrategy(spark: SparkSession) extends SparkStrategy {
@@ -191,6 +227,16 @@ class KnnStrategy(spark: SparkSession) extends SparkStrategy {
         case _ => None
       }
       qvec <- evalFloatArray(rhs)
+      // cost gate (the amcostestimate analog, cost_estimate.rs:6-50): the
+      // reference prices the index path at numIndexTuples = tuples/100;
+      // here, once LIMIT k reaches a configurable fraction of the indexed
+      // row count, graph traversal + k point-fetches can't beat the native
+      // scan + TakeOrdered (which reads every row ONCE, distributed), so
+      // fall through to it. Unknown row count (unreadable meta) => no gate.
+      if KnnCost.indexedRows(spark, entry.indexPath).forall { n =>
+        val frac = spark.conf.get("graft.knn.maxKFraction", "0.1").toDouble
+        k < math.max(1L, (n * frac).toLong)
+      }
       // the residual is re-evaluated row-at-a-time inside the scan's
       // over-fetch loop, so it must be deterministic, subquery-free, and
       // bound entirely to the relation's columns — anything else falls
@@ -364,6 +410,31 @@ case class KnnIndexScanExec(outAttrs: Seq[AttributeReference], spark: SparkSessi
     val cap = math.max(k.toLong, math.min(total, maxOverfetch.toLong))
       .min(Int.MaxValue).toInt
 
+    // Resumable escalation (the amgettuple / TSVResponseIterator analog,
+    // scan.rs:162-242): when every needed shard is warm in this JVM, each
+    // round EXTENDS the same best-first frontier, so a 2-round escalation
+    // visits ~bound(kk2) nodes, not bound(kk1)+bound(kk2). A cold index
+    // pays the normal distributed search exactly once (round 1, which also
+    // warms the local cache) and resumes from round 2 on.
+    val searchList = spark.conf.get("graft.knn.searchListSize", "100").toInt
+    val rescoreN = spark.conf.get("graft.knn.rescore", "50").toInt
+    val nProbe = spark.conf.get("graft.knn.nprobe", "0").toInt
+    val sMetrics = Some(DiskannIndex.SearchMetrics(
+      longMetric("numNodesVisited"), longMetric("numQuantizedCmps"),
+      longMetric("numExactCmps")))
+    var resumable: Option[DiskannIndex.ResumableScanHandle] =
+      DiskannIndex.openResumableScan(spark, entry.indexPath, queryVec,
+        filterLabels.orNull, metrics = sMetrics, nProbe = nProbe)
+    def searchRound(kk: Int): Array[org.apache.spark.sql.Row] =
+      resumable match {
+        case Some(h) => h.topK(kk, math.max(searchList, kk), rescoreN)
+        case None =>
+          val hits = searchK(kk)
+          resumable = DiskannIndex.openResumableScan(spark, entry.indexPath,
+            queryVec, filterLabels.orNull, metrics = sMetrics, nProbe = nProbe)
+          hits
+      }
+
     import spark.implicits._
     // the kk fetched rows with their distance rank attached, fully distributed
     def fetchedWithRank(hits: Array[org.apache.spark.sql.Row]): DataFrame = {
@@ -384,7 +455,7 @@ case class KnnIndexScanExec(outAttrs: Seq[AttributeReference], spark: SparkSessi
     var bail = false
     while (out == null && !bail) {
       round += 1
-      val hits = searchK(kk)
+      val hits = searchRound(kk)
       val fetched = fetchedWithRank(hits)
       val b = bound
       val ro = rankOrd

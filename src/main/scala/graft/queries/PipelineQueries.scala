@@ -831,7 +831,7 @@ object PipelineQueries {
          |SELECT train_id, eval_id, n_shared,
          |       round(CAST(n_shared AS DOUBLE) / ev_n, 6) AS frac
          |FROM j JOIN sz USING (eval_id)
-         |WHERE round(CAST(n_shared AS DOUBLE) / ev_n, 6) >= 0.2
+         |WHERE CAST(n_shared AS DOUBLE) / ev_n >= 0.2
          |ORDER BY train_id, eval_id""".stripMargin,
 
     // transitive closure of the exact-Jaccard near-dup pair graph via a
@@ -909,7 +909,7 @@ object PipelineQueries {
          |q AS (SELECT doc_id, source, len(w) AS n,
          |  CASE WHEN len(w) > 0 THEN CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(w) ELSE 0.0 END AS mean_len,
          |  len(list_filter(['the', 'a', 'of', 'and', 'to', 'in', 'is'],
-         |                  s -> list_contains(w, s))) AS n_stop,
+         |                  s -> list_contains(list_transform(w, x -> lower(x)), s))) AS n_stop,
          |  len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha
          |  FROM t),
          |kept AS (SELECT doc_id, source, n FROM q
@@ -1015,7 +1015,7 @@ object PipelineQueries {
          |  len(w) AS n_tokens,
          |  CASE WHEN len(w) > 0 THEN CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(w) ELSE 0.0 END AS mean_len,
          |  len(list_filter(['the', 'a', 'of', 'and', 'to', 'in', 'is'],
-         |                  s -> list_contains(w, s))) AS n_stop,
+         |                  s -> list_contains(list_transform(w, x -> lower(x)), s))) AS n_stop,
          |  len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha
          |  FROM t)
          |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,

@@ -75,11 +75,12 @@ object StreamingIngest {
     * Concurrency + portability (the `aminsert` advisory-lock analog,
     * build.rs:487-490, previously a local-only `renameTo` dance):
     *
-    *  - writers are serialized by an atomically-created lock file
-    *    (`_compact.lock`); a second concurrent compact fails fast with
-    *    [[IllegalStateException]] instead of interleaving installs. A
-    *    crashed writer's stale lock is stolen after
-    *    `graft.compact.lockTimeoutMs` (default 1h).
+    *  - writers are serialized by a LEASE file (`_compact.lock`) carrying
+    *    the owner's UUID and verified by re-read ([[acquireLease]] — safe on
+    *    object stores where exclusive create is not atomic); a losing
+    *    concurrent compact fails fast with [[IllegalStateException]] instead
+    *    of interleaving installs. A crashed writer's stale lock is stolen
+    *    after `graft.compact.lockTimeoutMs` (default 1h).
     *  - the rebuilt index is written to a hidden temp dir and installed as
     *    `versions/v%09d` with ONE atomic `FileSystem.rename` — readers
     *    resolve the active generation by max version name
@@ -90,6 +91,48 @@ object StreamingIngest {
     *    micro-batch appends that land during the rebuild stay in the delta
     *    and remain served by [[searchFresh]] until the next compaction.
     */
+  /**
+   * Lease-style writer lock. On HDFS/local, `create(overwrite=false)` is an
+   * atomic exclusive create and the verify step is redundant (but harmless).
+   * On object stores (S3A) exclusive create is NOT guaranteed — two writers
+   * can both "succeed" — so acquisition is create + RE-READ: the lock file
+   * carries the owner's UUID, and a writer holds the lease only if the
+   * re-read (after `verifyDelayMs`, sized to the store's read-after-write
+   * settle) returns ITS uuid — concurrent writers last-write-wins on
+   * content, so at most one verifies. The final backstop is the versioned
+   * install itself: even if two writers both passed the lease (a delayed
+   * overwrite landing after both verified), their `rename` targets collide
+   * on the same `v%09d` name, the loser's rename fails and throws, and
+   * readers only ever resolve fully-installed generations.
+   *
+   * `exclusiveCreate=false` exists for tests to SIMULATE the S3A behavior
+   * (both creates succeed) on a local filesystem.
+   */
+  private[graft] def acquireLease(fs: org.apache.hadoop.fs.FileSystem,
+      lock: org.apache.hadoop.fs.Path, ownerId: String,
+      exclusiveCreate: Boolean = true, verifyDelayMs: Long = 0L): Boolean = {
+    val created =
+      try {
+        val out = fs.create(lock, !exclusiveCreate)
+        out.writeUTF(ownerId)
+        out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    created && {
+      if (verifyDelayMs > 0) Thread.sleep(verifyDelayMs)
+      holdsLease(fs, lock, ownerId)
+    }
+  }
+
+  /** True iff the lock file currently carries `ownerId`'s uuid. */
+  private[graft] def holdsLease(fs: org.apache.hadoop.fs.FileSystem,
+      lock: org.apache.hadoop.fs.Path, ownerId: String): Boolean =
+    try {
+      val in = fs.open(lock)
+      val id = try in.readUTF() finally in.close()
+      id == ownerId
+    } catch { case _: java.io.IOException => false }
+
   def compact(spark: SparkSession, indexPath: String,
       tune: DiskannParams => DiskannParams = identity,
       tombstones: Set[Long] = Set.empty): Unit = {
@@ -99,13 +142,13 @@ object StreamingIngest {
     val (fs, _) = hadoopFs(spark, indexPath)
     val lock = new org.apache.hadoop.fs.Path(s"$indexPath/_compact.lock")
     val timeoutMs = spark.conf.get("graft.compact.lockTimeoutMs", "3600000").toLong
+    // re-read-after-write settle; 0 is right for HDFS/local (atomic create
+    // makes the verify a formality), set to the store's read-after-write
+    // latency bound on S3A-like stores
+    val verifyDelayMs = spark.conf.get("graft.compact.lockVerifyDelayMs", "0").toLong
+    val ownerId = java.util.UUID.randomUUID().toString
     def tryAcquire(): Boolean =
-      try {
-        val out = fs.create(lock, false) // overwrite=false: atomic create
-        out.writeUTF(java.util.UUID.randomUUID().toString)
-        out.close()
-        true
-      } catch { case _: java.io.IOException => false }
+      acquireLease(fs, lock, ownerId, exclusiveCreate = true, verifyDelayMs)
     var acquired = tryAcquire()
     if (!acquired) {
       val stale = try {
@@ -171,7 +214,11 @@ object StreamingIngest {
         fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/_meta"), true)
       }
       graft.index.GraphSearcher.invalidate(indexPath)
-    } finally fs.delete(lock, false)
+    } finally {
+      // release only a lease we still hold: after a timeout-steal, deleting
+      // unconditionally would break the successor's lock
+      if (holdsLease(fs, lock, ownerId)) fs.delete(lock, false)
+    }
   }
 
   /** Streaming windowed aggregation over the events stream (SURVEY.md §2.7 /

@@ -214,14 +214,29 @@ class DiskannIndexSpec extends AnyFunSuite {
     val b = norm(DiskannIndex.searchDistributed(spark, ivfPath, q2, 5, nProbe = 2).collect())
     assert(a == b)
 
-    // > 256 shards: the dual-shuffle cogroup FALLBACK (the zip path only
-    // serves <= 256) must agree with the broadcast path too
+    // > 256 shards: since round 4 the zip path serves ANY shard count up to
+    // graft.search.zipMaxShards (default 4096) — 500 single-row shards stay
+    // on the shuffle-free nodes scan and must agree with the broadcast path
     val manyPath = "/tmp/graft_test_index/manyshards"
     val qm = emb.filter(col("vec_id") === 11)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val viaScan = norm(DiskannIndex.search(spark, manyPath, qm, 10).collect())
-    val viaFallback = norm(DiskannIndex.searchDistributed(spark, manyPath, qm, 10).collect())
-    assert(viaFallback == viaScan)
+    val viaZip = norm(DiskannIndex.searchDistributed(spark, manyPath, qm, 10).collect())
+    assert(viaZip == viaScan)
+    // the defining property at 100 TB: the nodes side of the distributed
+    // search carries NO shuffle dependency at >256 shards (one aligned
+    // partition per shard directory instead of an Exchange)
+    val nodes500 = spark.read.parquet(s"$manyPath/nodes")
+    val aligned = DiskannIndex.shardAlignedNodesRdd(spark, nodes500, 0 until 500)
+    assert(aligned.getNumPartitions == 500)
+    assert(!DiskannIndex.hasShuffle(aligned),
+      "shard-aligned nodes RDD must not shuffle the index")
+    // the dual-shuffle cogroup FALLBACK (driver-planning cap) stays correct
+    spark.conf.set("graft.search.zipMaxShards", "16")
+    try {
+      val viaCogroup = norm(DiskannIndex.searchDistributed(spark, manyPath, qm, 10).collect())
+      assert(viaCogroup == viaScan)
+    } finally spark.conf.unset("graft.search.zipMaxShards")
   }
 
   test("searchDistributed honors label filters like the broadcast path") {

@@ -156,6 +156,30 @@ class KnnStrategySpec extends AnyFunSuite {
     }
   }
 
+  test("resumable escalation: warm rounds extend the frontier instead of re-searching") {
+    setup
+    graft.index.GraphSearcher.invalidate(idxPath)
+    def runEscalating(): Long = {
+      // fresh plan per run => fresh SQLMetrics; ~2% selectivity forces the
+      // over-fetch loop through at least one escalation round
+      val q = spark.sql(
+        s"""SELECT vec_id FROM parquet.`$srcPath` WHERE vec_id % 50 = 7
+           |ORDER BY vec_cosine_dist(embedding, $qvecSql) LIMIT 5""".stripMargin)
+      assert(q.collect().map(_.getLong(0)).forall(_ % 50 == 7))
+      val scan = q.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case s: graft.plans.KnnIndexScanExec => s }.get
+      scan.metrics("numNodesVisited").value
+    }
+    val cold = runEscalating() // round 1 distributed, later rounds resume
+    val warm = runEscalating() // every round resumes: ~ the FINAL budget only
+    assert(warm > 0, "metric not recorded")
+    assert(warm < cold,
+      s"warm escalation ($warm visits) should beat cold restart-rounds ($cold)")
+    // the resumable path's total is ~the last round's budget; the cold run
+    // re-paid at least one earlier full round on top — require a real gap
+    assert(warm <= 0.8 * cold, s"expected <=0.8x, got $warm vs $cold")
+  }
+
   test("label gate: one overlap on labelsCol claimed; AND of two or wrong column falls back") {
     setup
     val lblSrc = "/tmp/graft_test_index/strategy_lbl_src"
@@ -231,6 +255,52 @@ class KnnStrategySpec extends AnyFunSuite {
     }
   }
 
+  test("SQL DDL lifecycle: CREATE INDEX / query / DROP INDEX with spark.sql only") {
+    import org.apache.spark.sql.SparkSession
+    setup
+    val src = "/tmp/graft_test_index/sql_ddl_src"
+    spark.read.parquet(srcPath).write.mode("overwrite").parquet(src)
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .withExtensions(new graft.plans.GraftExtensions).getOrCreate()
+      // build — pure SQL, pgvector-style opclass picks the metric
+      val created = s2.sql(
+        s"""CREATE INDEX emb_idx ON '$src' USING DISKANN (embedding vector_cosine_ops)
+           |WITH (id_col='vec_id', num_neighbors=32, search_list_size=64)""".stripMargin)
+        .collect()
+      assert(created.length == 1 &&
+        created(0).getString(0) == s"$src/_graft_index/emb_idx")
+      assert(new java.io.File(s"$src/_graft_index/emb_idx/_meta").exists())
+      // the underscore-prefixed index dir is invisible to source scans:
+      // schema and row count are exactly the pre-index ones
+      assert(s2.read.parquet(src).columns.toSet ==
+        spark.read.parquet(srcPath).columns.toSet)
+      assert(s2.read.parquet(src).count() == spark.read.parquet(srcPath).count())
+      // query — index-planned, SQL only (def: a fresh plan per inspection)
+      def q = s2.sql(
+        s"""SELECT vec_id FROM parquet.`$src`
+           |ORDER BY vec_cosine_dist(embedding, $qvecSql) LIMIT 5""".stripMargin)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("KnnIndexScan"), s"expected index plan:\n$plan")
+      assert(q.collect().length == 5)
+      // drop by name — falls back to native, files removed
+      s2.sql("DROP INDEX emb_idx WITH (delete_files=true)")
+      assert(!q.queryExecution.executedPlan.toString.contains("KnnIndexScan"))
+      assert(q.collect().length == 5) // brute force still answers
+      assert(!new java.io.File(s"$src/_graft_index/emb_idx").exists())
+      // unknown name errors; normal SQL still parses through the delegate
+      intercept[IllegalArgumentException](s2.sql("DROP INDEX emb_idx"))
+      assert(s2.sql("SELECT 1 + 1 AS x").head().getInt(0) == 2)
+    } finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
+
   test("createIndex/dropIndex lifecycle: one call to index, fallback on drop") {
     setup
     val src = "/tmp/graft_test_index/lifecycle_src"
@@ -247,6 +317,26 @@ class KnnStrategySpec extends AnyFunSuite {
     assert(!plan.queryExecution.executedPlan.toString.contains("KnnIndexScan"))
     assert(plan.collect().length == 5) // brute force still answers
     assert(!new java.io.File("/tmp/graft_test_index/lifecycle_idx").exists())
+  }
+
+  test("cost gate: k at or above n*maxKFraction falls through to the native plan") {
+    setup
+    val n = spark.read.parquet(srcPath).count()
+    def q(k: Int) = spark.sql(
+      s"""SELECT vec_id FROM parquet.`$srcPath`
+         |ORDER BY vec_cosine_dist(embedding, $qvecSql) LIMIT $k""".stripMargin)
+    val bigK = math.max(1, (n * 0.1).toInt) // == default-gate threshold
+    // k >= n*0.1: native TakeOrdered is strictly better — no index scan
+    val native = q(bigK)
+    assert(!native.queryExecution.executedPlan.toString.contains("KnnIndexScan"),
+      s"k=$bigK over n=$n rows must NOT rewrite (amcostestimate analog)")
+    assert(native.collect().length == bigK) // native plan answers correctly
+    // small k: index-planned as before
+    assert(q(10).queryExecution.executedPlan.toString.contains("KnnIndexScan"))
+    // the gate is configurable: raising the fraction re-admits the rewrite
+    spark.conf.set("graft.knn.maxKFraction", "1.0")
+    try assert(q(bigK).queryExecution.executedPlan.toString.contains("KnnIndexScan"))
+    finally spark.conf.unset("graft.knn.maxKFraction")
   }
 
   test("DataFrame API ORDER BY dist LIMIT also plans through the index") {

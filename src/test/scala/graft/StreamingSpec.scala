@@ -133,6 +133,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(hits.map(_.getLong(1)).contains(450L))
   }
 
+  test("lease lock: S3A-style non-exclusive create — exactly one writer verifies ownership") {
+    // simulate an object store where create(overwrite=false) is NOT atomic:
+    // both writers' creates "succeed" (exclusiveCreate=false forces the
+    // overwrite path on the local FS). Content is last-write-wins, so the
+    // re-read verification admits EXACTLY one owner — the loser fails fast
+    // instead of compacting concurrently. The versioned install's rename
+    // collision remains the documented backstop for a delayed overwrite
+    // landing after both verified.
+    val dir = new java.io.File("/tmp/graft_test_index/lease_lock")
+    dir.mkdirs()
+    val lockPath = new org.apache.hadoop.fs.Path(s"$dir/_compact.lock")
+    val fs = lockPath.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(lockPath, false)
+    val a = "writer-a"; val b = "writer-b"
+    // interleaving: a creates, b overwrites (the S3A hazard), both verify
+    assert(StreamingIngest.acquireLease(fs, lockPath, a, exclusiveCreate = false))
+    val aStillOwns = StreamingIngest.holdsLease(fs, lockPath, a)
+    assert(aStillOwns) // no contention yet
+    assert(StreamingIngest.acquireLease(fs, lockPath, b, exclusiveCreate = false))
+    // after b's overwrite, a's verify fails: one owner, and it is b
+    assert(!StreamingIngest.holdsLease(fs, lockPath, a))
+    assert(StreamingIngest.holdsLease(fs, lockPath, b))
+    val owners = Seq(a, b).filter(StreamingIngest.holdsLease(fs, lockPath, _))
+    assert(owners == Seq(b), s"expected exactly one lease owner, got $owners")
+    // the loser's release must NOT remove the winner's lock (guarded delete)
+    if (StreamingIngest.holdsLease(fs, lockPath, a)) fs.delete(lockPath, false)
+    assert(StreamingIngest.holdsLease(fs, lockPath, b))
+    fs.delete(lockPath, false)
+  }
+
   test("streaming dedup drops duplicate content within the watermark, first wins") {
     implicit val sqlCtx = spark.sqlContext
     def t(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)

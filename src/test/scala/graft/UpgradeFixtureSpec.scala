@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.index.DiskannIndex
+
+/**
+ * Upgrade-compatibility gate (the `upgrade_test.rs:25-337` analog): the
+ * frozen on-disk index at `src/test/resources/fixtures/index_gen4` was
+ * written by the round-4 format generation (see
+ * [[graft.tools.FreezeFixture]]) and is COMMITTED — this spec asserts every
+ * future reader keeps serving it. If the layout must evolve: regenerate a
+ * NEW fixture dir, keep this one, and teach the reader the upgrade (as
+ * `loadMeta` already does for the pre-versioning legacy meta).
+ */
+class UpgradeFixtureSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val fixture = "src/test/resources/fixtures/index_gen4"
+
+  test("frozen gen-4 index: meta fields load with their written values") {
+    val m = DiskannIndex.loadMeta(spark, fixture)
+    assert(m.metric == "cosine" && m.storage == "sbq")
+    assert(m.numNeighbors == 16 && m.searchListSize == 32)
+    assert(m.numRows == 64 && m.numShards == 1 && m.hasLabels)
+    assert(m.bitsPerDim == 2 && m.partitioner == "hash")
+    assert(m.buildId.nonEmpty && m.buildId != "legacy")
+  }
+
+  test("frozen gen-4 index: search answers exactly against the fixture's own vectors") {
+    // the oracle is self-contained: exact brute force over the fixture's
+    // stored raw vectors — no embedded expected lists to go stale
+    val nodes = spark.read.parquet(s"$fixture/nodes")
+      .select($"row_id", $"vec").collect()
+      .map(r => r.getAs[Long]("row_id") ->
+        r.getAs[scala.collection.mutable.Seq[Float]]("vec").toArray).toMap
+    assert(nodes.size == 64)
+    val q = nodes(0L)
+    val brute = nodes.toSeq.map { case (id, v) =>
+      (id, graft.functions.VectorKernels.cosineDist(v, q))
+    }.sortBy { case (id, d) => (d, id) }.take(5)
+    val queries = Seq((0L, q)).toDF("qid", "qvec")
+    // L >= n and rescore >= n make the tiny search exhaustive => exact
+    val got = DiskannIndex.search(spark, fixture, queries, k = 5,
+      searchListSize = 128, rescore = 64)
+      .orderBy($"dist", $"row_id").collect()
+      .map(r => (r.getAs[Long]("row_id"), r.getAs[Double]("dist"))).toSeq
+    assert(got.map(_._1) == brute.map(_._1), s"got=$got brute=$brute")
+    got.zip(brute).foreach { case ((_, gd), (_, bd)) =>
+      assert(math.abs(gd - bd) < 1e-9)
+    }
+  }
+
+  test("frozen gen-4 index: label-filtered search honors the stored label sets") {
+    val nodes = spark.read.parquet(s"$fixture/nodes")
+      .select($"row_id", $"vec").collect()
+      .map(r => r.getAs[Long]("row_id") ->
+        r.getAs[scala.collection.mutable.Seq[Float]]("vec").toArray).toMap
+    val q = nodes(1L)
+    val queries = Seq((1L, q)).toDF("qid", "qvec")
+      .withColumn("qlabels",
+        org.apache.spark.sql.functions.typedlit(Array(2.toShort)))
+    val got = DiskannIndex.search(spark, fixture, queries, k = 10,
+      searchListSize = 128, rescore = 64).collect().map(_.getAs[Long]("row_id"))
+    // fixture labels are [id % 4]: only label-2 rows may come back
+    assert(got.nonEmpty && got.forall(_ % 4 == 2), got.mkString(","))
+  }
+}

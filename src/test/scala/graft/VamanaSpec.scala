@@ -124,6 +124,37 @@ class VamanaSpec extends AnyFunSuite {
     assert(got.map(_._1).distinct.length == 200)
   }
 
+  test("resumable search: advancing equals a fresh search, paying only the delta") {
+    val rnd = new scala.util.Random(11)
+    val vecs = Array.fill(1000)(randVec(rnd, 32, normalized = true))
+    val b = new VamanaBuilder(vecs, null, Metric.Cosine, 32, 100, 1.2).build()
+    val searcher = toSearcher(b, null)
+    val dist = (a: Array[Float], x: Array[Float]) => VectorKernels.cosineDist(a, x)
+    (0 until 5).foreach { qi =>
+      val q = randVec(rnd, 32, normalized = true)
+      // fresh runs at the small and the escalated budget
+      val sSmall = new SearchStats
+      val freshSmall = searcher.search(q, 10, 64, 20, null, _ => false, dist, sSmall)
+      val sBig = new SearchStats
+      val freshBig = searcher.search(q, 40, 256, 80, null, _ => false, dist, sBig)
+      // one resumable, advanced through both budgets
+      val sRes = new SearchStats
+      val r = searcher.resumable(q, null, _ => false, dist, sRes)
+      val r1 = r.advance(10, 64, 20)
+      val visitsAfterR1 = sRes.nodesVisited
+      val r2 = r.advance(40, 256, 80)
+      // EXACT resumability: both rounds byte-identical to fresh searches
+      assert(r1.toSeq == freshSmall.toSeq, s"q$qi round-1 mismatch")
+      assert(r2.toSeq == freshBig.toSeq, s"q$qi round-2 mismatch")
+      // delta accounting: round 1 == fresh small; the TOTAL over both rounds
+      // equals ONE fresh big run — the escalation re-pays nothing
+      assert(visitsAfterR1 == sSmall.nodesVisited)
+      assert(sRes.nodesVisited == sBig.nodesVisited,
+        s"q$qi resumed total ${sRes.nodesVisited} != fresh big ${sBig.nodesVisited}")
+      assert(sRes.nodesVisited < sSmall.nodesVisited + sBig.nodesVisited)
+    }
+  }
+
   private def toSearcher(b: VamanaBuilder, labels: Array[Array[Short]]): GraphSearcher = {
     val n = b.n
     val off = new Array[Int](n + 1)
