@@ -173,6 +173,82 @@ object Dedup {
   }
 
   /**
+   * Chunk-level exact dedup — the C4 paragraph/line-dedup analog. The
+   * corpus here has no newline structure, so a "paragraph" is a
+   * non-overlapping window of `chunkTokens` tokens; with newline-delimited
+   * text, split on newlines instead — the plan shape is identical. A chunk
+   * survives iff it is the globally FIRST occurrence of its content (order
+   * by (doc, position)); the result reports, per document, how much of it
+   * survives chunk dedup — the signal C4 thresholds to strip boilerplate.
+   *
+   * Shape at 100 TB: chunking is map-side; first-occurrence election is ONE
+   * window shuffle on the chunk hash (state per hash = one row), then one
+   * per-doc aggregation. Never pairwise. Skew equals true duplication skew:
+   * a boilerplate chunk repeated 10⁹ times lands in one partition — cap it
+   * by pre-aggregating counts per (hash, doc) if that ever bites.
+   */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = df
+      .select(col(idCol).cast(LongType).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("__w"))
+      .select(col("id"), posexplode_outer(expr(
+        s"""transform(sequence(0, greatest(cast(ceil(size(__w) / $chunkTokens.0d) as int) - 1, 0)),
+           |          i -> slice(__w, i * $chunkTokens + 1, $chunkTokens))""".stripMargin)))
+      .filter(col("col").isNotNull && size(col("col")) > 0)
+      .select(col("id"), col("pos").as("chunk_idx"),
+        size(col("col")).as("__n_toks"),
+        xxhash64(array_join(col("col"), " ")).as("__h"))
+    val w = Window.partitionBy(col("__h")).orderBy(col("id"), col("chunk_idx"))
+    chunks.withColumn("__rn", row_number().over(w))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__rn") === 1, col("__n_toks").cast(LongType))
+          .otherwise(0L)).as("kept_tokens"))
+  }
+
+  /**
+   * Occurrence-weighted duplicated-n-gram coverage — the RefinedWeb-style
+   * "fraction of the document made of n-grams that also appear elsewhere"
+   * quality signal (their rep/dup n-gram filters). Differs from
+   * [[dupSpanStats]] (distinct spans) by counting every OCCURRENCE, so
+   * within-document repetition of cross-document boilerplate weighs in.
+   *
+   * Shape at 100 TB: n-grams generate map-side; per-(doc, gram) counts are
+   * one partial-aggregated shuffle; document frequency comes from a window
+   * over those partials (never the raw token stream); the final per-doc
+   * fraction is one more bounded aggregation. Three shuffles, all on
+   * aggregated rows.
+   */
+  def dupNgramCoverage(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = df
+      .select(col(idCol).cast(LongType).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("__w"))
+      .select(col("id"), explode_outer(expr(
+        s"""CASE WHEN size(__w) >= $n
+           |  THEN transform(sequence(0, size(__w) - $n),
+           |                 i -> array_join(slice(__w, i + 1, $n), ' '))
+           |  ELSE array(array_join(__w, ' ')) END""".stripMargin)).as("g"))
+      .filter(col("g").isNotNull)
+      .select(col("id"), xxhash64(col("g")).as("__h"))
+    val tf = grams.groupBy(col("id"), col("__h"))
+      .agg(count(lit(1)).as("__c"))
+    // tf is unique per (id, hash), so a plain count over the hash partition
+    // IS the document frequency
+    val withDf = tf.withColumn("__df",
+      count(lit(1)).over(Window.partitionBy(col("__h"))))
+    withDf.groupBy(col("id"))
+      .agg(sum(col("__c")).as("n_grams"),
+        sum(when(col("__df") >= 2, col("__c")).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_ngram_frac",
+        round(col("n_dup_grams").cast(DoubleType) / col("n_grams"), 6))
+  }
+
+  /**
    * Incremental near-dup: a (small) new batch vs an existing corpus — the
    * production "is today's crawl already in the corpus" check. Same
    * shingle→MinHash→banded-bucket pipeline as [[minhashNearDupPairs]], but

@@ -303,6 +303,44 @@ object Similarity {
     local.select(col("id_a"), col("id_b"), col("cos_raw"))
   }
 
+  /**
+   * SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+   * Data-efficient learning at web-scale through semantic deduplication"):
+   * cluster the embedding space, compare pairs ONLY within a cluster, and
+   * drop every row whose cosine similarity to a LOWER-id row of the same
+   * cluster exceeds `tau` — the lowest id of each semantic-duplicate group
+   * always survives, and the rule "∃ a < b, same cluster, sim(a,b) > tau ⇒
+   * drop b" is total and order-free, so any engine replays it exactly.
+   *
+   * Shape at 100 TB: assignment is a broadcast-model map pass; the pairwise
+   * stage self-joins each cluster, so cost is Σ_c |c|²·dim — bounded by the
+   * LARGEST cluster, not the corpus. The paper's own scaling lever applies
+   * unchanged: grow `nClusters` with N so |c| ≈ N/k stays constant (k=50000
+   * at their 5B scale). One shuffle on the cluster key for the join, one
+   * anti-join shuffle of dropped ids. Centroids are md5-rank-deterministic
+   * ([[trainIvfDeterministic]]) so the whole pipeline is oracle-checkable;
+   * swap in [[trainIvf]] (Lloyd) when quality matters more than replay.
+   */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int, tau: Double, seed: String = "semdedup"): DataFrame = {
+    val spark = df.sparkSession
+    VectorFunctions.register(spark)
+    val model = trainIvfDeterministic(df, idCol, vecCol, nClusters, seed)
+    val assigned = ivfAssign(df, idCol, vecCol, model)
+      .transform(graft.CacheScope.persist)
+    val a = assigned.select(col("cluster"), col("id").as("id_a"),
+      col("vec").as("__va"))
+    val b = assigned.select(col("cluster"), col("id").as("id_b"),
+      col("vec").as("__vb"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(lit(1.0) - VectorFunctions.vec_cosine_dist(col("__va"), col("__vb"))
+        > tau)
+      .select(col("id_b").as("id")).distinct()
+    assigned.join(dropped, Seq("id"), "left_anti")
+      .select(col("id"), col("cluster"))
+  }
+
   // ---- embedding near-dup ----
 
   private[operators] def md5low60(s: String): Long = {

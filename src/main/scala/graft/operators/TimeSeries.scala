@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Time-series operators Spark lacks natively, built Spark-first.
+ *
+ * The headline is the AS-OF JOIN (point-in-time / attribution join): for
+ * every left row, the single most recent right row with right.ts <= left.ts
+ * on the same key. Engines with native support (DuckDB `ASOF JOIN`, Pandas
+ * `merge_asof`, kdb `aj`) are the semantic spec; a naive Spark translation —
+ * a range join (`l.ts >= r.ts`) + per-left-row max — explodes to
+ * O(|L| × matches) intermediate rows, which at 100 TB of events is the
+ * difference between a working pipeline and an OOM.
+ *
+ * The scalable shape used here is union + ordered carry-forward:
+ * tag both inputs, union them (map-side), and run ONE window per key ordered
+ * by (ts, side): `last(right_payload, ignoreNulls)` carries the latest right
+ * row forward into each left row. Exactly one shuffle (the window partition
+ * by key), per-row O(1) state, no intermediate blow-up, and skew equals key
+ * skew (same as any per-key window — salt upstream if one user dominates).
+ */
+object TimeSeries {
+
+  /**
+   * Backward (inclusive) as-of join: each left row picks the right row with
+   * the greatest `right.tsCol <= left.tsCol` on equal `keys`. Right columns
+   * come back `prefix`-ed; left rows with no prior right row get nulls —
+   * LEFT OUTER semantics, like DuckDB's `ASOF LEFT JOIN`.
+   *
+   * `right` must be unique per (keys, tsCol) — pre-aggregate it otherwise
+   * (ties would make ANY engine's as-of pick arbitrary; requiring the
+   * dedupe keeps this operator a single shuffle and the semantics total).
+   */
+  def asofJoinBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, rightCols: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    require(keys.nonEmpty, "asofJoinBackward: at least one key column")
+    require(rightCols.nonEmpty, "asofJoinBackward: rightCols is empty")
+    val leftCols = left.columns.toSeq
+    require(!rightCols.contains(tsCol),
+      s"asofJoinBackward: list right's '$tsCol' via the prefix, not rightCols")
+
+    val lTagged = left.select(
+      keys.map(col) ++:
+        col(tsCol).as("__ts") +:
+        lit(1).as("__side") +:
+        struct(leftCols.map(col): _*).as("__l") +:
+        lit(null).cast(structTypeOf(right, rightCols :+ tsCol)).as("__r") +: Nil: _*)
+    val rTagged = right.select(
+      keys.map(col) ++:
+        col(tsCol).as("__ts") +:
+        lit(0).as("__side") +:
+        lit(null).cast(structTypeOf(left, leftCols)).as("__l") +:
+        struct((rightCols :+ tsCol).map(col): _*).as("__r") +: Nil: _*)
+
+    // side=0 before side=1 at equal ts => the inclusive (<=) bound
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = lTagged.unionByName(rTagged)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+
+    val outLeft = leftCols.map(c => col(s"__l.$c").as(c))
+    val outRight = rightCols.map(c => col(s"__match.$c").as(s"$prefix$c")) :+
+      col(s"__match.$tsCol").as(s"$prefix$tsCol")
+    carried.select(outLeft ++ outRight: _*)
+  }
+
+  private def structTypeOf(df: DataFrame, cols: Seq[String]) =
+    org.apache.spark.sql.types.StructType(cols.map(c =>
+      org.apache.spark.sql.types.StructField(c, df.schema(c).dataType,
+        nullable = true)))
+}

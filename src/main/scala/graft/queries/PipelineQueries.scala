@@ -45,6 +45,21 @@ object PipelineQueries {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // C4-style chunk ("paragraph") dedup: per doc, how much survives
+    // global first-occurrence dedup of 15-token chunks
+    "dedup_chunks" -> ((s, d) =>
+      Dedup.chunkDedup(docs(s, d), "doc_id", "text", chunkTokens = 15)
+        .select(col("id").as("doc_id"), col("n_chunks"), col("n_kept"),
+          col("kept_tokens"))
+        .orderBy(col("doc_id"))),
+
+    // RefinedWeb-style occurrence-weighted duplicated-5-gram fraction
+    "dup_ngram_coverage" -> ((s, d) =>
+      Dedup.dupNgramCoverage(docs(s, d), "doc_id", "text", n = 5)
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_dup_grams"),
+          col("dup_ngram_frac"))
+        .orderBy(col("doc_id"))),
+
     // md5-based 60-bit simhash: bands are recall-lossless at maxHamming=3
     // (pigeonhole), so the result is exactly "every pair at distance <= 3"
     // and DuckDB can recompute it from md5() alone (hash-matched oracle).
@@ -175,6 +190,26 @@ object PipelineQueries {
         "embedding", dim = 64, threshold = 0.9)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SemDeDup (cluster-scoped semantic dedup): original corpus has no true
+    // near-dups (max pairwise cosine ~0.51), so plant perturbed copies
+    // (vec_id + 100000, the same md5 perturbation as the LSH scenario) and
+    // assert the cluster-scoped drop rule removes them; centroids are
+    // md5-deterministic so the DuckDB oracle replays clustering + pairwise
+    "semantic_dedup" -> ((s, d) => {
+      val base = emb(s, d).select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding"))
+      val perturbed = base
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+        .select(col("vec_id"), transform(col("embedding"),
+          (x, i) => x +
+            (conv(substring(md5(concat_ws(":", col("vec_id"), i)), 18, 15), 16, 10)
+              .cast("long") % 7 - 3).cast("float") * lit(0.01f)).as("embedding"))
+      Similarity.semanticDedup(base.unionByName(perturbed), "vec_id",
+          "embedding", nClusters = 32, tau = 0.9, seed = "sem42")
+        .select(col("id").as("vec_id"), col("cluster").cast("long").as("cluster"))
+        .orderBy(col("vec_id"))
     }),
 
     // IVF with deterministic md5-picked centroids: the full pipeline
@@ -681,6 +716,85 @@ object PipelineQueries {
         |  WHERE asg.cluster IN (SELECT cid FROM probes))
         |SELECT vec_id, round(dist, 6) AS dist
         |FROM (SELECT vec_id, dist FROM sc ORDER BY dist, vec_id LIMIT 10)""".stripMargin,
+
+    // chunk dedup replay: same 15-token windows, first occurrence by
+    // (doc_id, chunk_idx) wins; grouping is by the chunk STRING (the Spark
+    // side groups by its 64-bit hash — collision-free at corpus scale)
+    "dedup_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+         |ch0 AS (SELECT doc_id,
+         |   [{'chunk_idx': CAST(i - 1 AS BIGINT),
+         |      'chunk': array_to_string(w[(i-1)*15+1 : (i-1)*15+15], ' '),
+         |      'n_toks': len(w[(i-1)*15+1 : (i-1)*15+15])}
+         |    for i in range(1, CAST(ceil(len(w) / 15.0) AS INT) + 1)] AS cs
+         |  FROM t),
+         |ch AS (SELECT doc_id, u.chunk_idx AS chunk_idx, u.chunk AS chunk,
+         |              u.n_toks AS n_toks
+         |       FROM (SELECT doc_id, unnest(cs) AS u FROM ch0)
+         |       WHERE u.n_toks > 0),
+         |rk AS (SELECT doc_id, n_toks,
+         |         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+         |       FROM ch)
+         |SELECT doc_id, count(*) AS n_chunks,
+         |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       CAST(sum(CASE WHEN rn = 1 THEN n_toks ELSE 0 END) AS BIGINT) AS kept_tokens
+         |FROM rk GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // occurrence-weighted dup-5-gram fraction; df per gram from the
+    // per-(doc, gram) count table, exactly like the Spark window
+    "dup_ngram_coverage" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+         |gr AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 5
+         |         THEN [array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)]
+         |         ELSE [array_to_string(w, ' ')] END) AS g
+         |       FROM t),
+         |tf AS (SELECT doc_id, g, count(*) AS c FROM gr GROUP BY 1, 2),
+         |wd AS (SELECT doc_id, c, count(*) OVER (PARTITION BY g) AS df FROM tf)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+         |       CAST(sum(CASE WHEN df >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup_grams,
+         |       round(CAST(sum(CASE WHEN df >= 2 THEN c ELSE 0 END) AS DOUBLE)
+         |             / sum(c), 6) AS dup_ngram_frac
+         |FROM wd GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // SemDeDup replay: md5-rank centroids over the planted-union corpus,
+    // argmin assignment, within-cluster pairwise cosine, drop rule
+    // "∃ lower id in cluster with sim > 0.9" — margins are wide (planted
+    // pairs ~0.999, random pairs <= ~0.52) so the filter is fp-robust
+    "semantic_dedup" ->
+      """WITH allv AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id,
+        |    [CAST(embedding[CAST(j AS INT)] +
+        |          CAST(CAST(CAST(('0x' || substr(md5(CAST(vec_id + 100000 AS VARCHAR) || ':' || CAST(j - 1 AS VARCHAR)), 18, 15))::UBIGINT AS BIGINT)
+        |               % 7 - 3 AS REAL) * CAST(0.01 AS REAL) AS REAL) AS REAL)
+        |     for j in range(1, 65)] AS embedding
+        |  FROM embeddings),
+        |ranked AS (SELECT vec_id, embedding,
+        |    ('0x' || substr(md5('sem42:' || CAST(vec_id AS VARCHAR)), 18, 15))::UBIGINT
+        |      / 1152921504606846976.0 AS u
+        |  FROM allv),
+        |cent AS (SELECT row_number() OVER (ORDER BY u, vec_id) - 1 AS cid,
+        |                CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM ranked ORDER BY u, vec_id LIMIT 32),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM allv),
+        |dists AS (SELECT v.vec_id, c.cid,
+        |    list_inner_product([c.cv[i] - v.dv[i] for i in range(1, 65)],
+        |                       [c.cv[i] - v.dv[i] for i in range(1, 65)]) AS d
+        |  FROM v CROSS JOIN cent c),
+        |asg AS (SELECT vec_id, cid AS cluster FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |    FROM dists) WHERE rn = 1),
+        |dropped AS (SELECT DISTINCT b.vec_id
+        |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  JOIN v va ON va.vec_id = a.vec_id
+        |  JOIN v vb ON vb.vec_id = b.vec_id
+        |  WHERE list_inner_product(va.dv, vb.dv) /
+        |        sqrt(list_inner_product(va.dv, va.dv) * list_inner_product(vb.dv, vb.dv)) > 0.9)
+        |SELECT asg.vec_id, CAST(asg.cluster AS BIGINT) AS cluster
+        |FROM asg WHERE asg.vec_id NOT IN (SELECT vec_id FROM dropped)
+        |ORDER BY vec_id""".stripMargin,
 
     "neardup_embedding_exact" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

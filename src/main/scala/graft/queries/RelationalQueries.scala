@@ -98,6 +98,27 @@ object RelationalQueries {
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
         .orderBy(col("hour"), col("event_type"))),
+
+    // AS-OF JOIN (attribution): each purchase picks the latest click at or
+    // before it for the same user — union + ordered carry-forward, ONE
+    // shuffle, no range-join explosion (graft.operators.TimeSeries). Clicks
+    // are pre-deduped per (user, ms) so the as-of choice is total; integer
+    // millisecond timestamps keep both engines bit-identical.
+    "asof_attribution" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
+        expr("ts div 1000000").as("ts_ms"), col("event_type"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts_ms"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts_ms"))
+        .agg(max(col("event_id")).as("click_id"))
+      graft.operators.TimeSeries.asofJoinBackward(purchases, clicks,
+          Seq("user_id"), "ts_ms", Seq("click_id"), prefix = "prior_")
+        .select(col("purchase_id"), col("user_id"), col("ts_ms"),
+          col("prior_click_id"), col("prior_ts_ms"))
+        .orderBy(col("purchase_id"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -144,5 +165,21 @@ object RelationalQueries {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |       count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // DuckDB's native ASOF JOIN is the semantic spec for the Spark
+    // union+carry-forward implementation
+    "asof_attribution" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |             CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS ts_ms, event_type
+        |           FROM events),
+        |c AS (SELECT user_id, ts_ms, max(event_id) AS click_id
+        |      FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts_ms
+        |      FROM e WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, p.user_id, p.ts_ms,
+        |       c.click_id AS prior_click_id, c.ts_ms AS prior_ts_ms
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts_ms >= c.ts_ms
+        |ORDER BY purchase_id""".stripMargin,
   )
 }

@@ -377,4 +377,87 @@ class OperatorsSpec extends AnyFunSuite {
     // df=1 "unique" beats df=3 "spark" at equal tf
     assert(got((0L, "unique")) > got((1L, "spark")))
   }
+
+  test("asofJoinBackward: inclusive bound, latest-prior pick, null before first right") {
+    val purchases = Seq((10L, 1L, 100L), (11L, 1L, 50L), (12L, 2L, 10L))
+      .toDF("purchase_id", "user_id", "ts_ms")
+    val clicks = Seq((1L, 40L, 900L), (1L, 100L, 901L), (1L, 120L, 902L),
+      (2L, 20L, 903L))
+      .toDF("user_id", "ts_ms", "click_id")
+    val got = TimeSeries.asofJoinBackward(purchases, clicks, Seq("user_id"),
+        "ts_ms", Seq("click_id"), prefix = "prior_")
+      .select($"purchase_id", $"prior_click_id", $"prior_ts_ms")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sortBy(_._1).toSeq
+    assert(got == Seq(
+      (10L, 901L, 100L), // equal ts is INCLUSIVE: click at 100 wins over 40
+      (11L, 900L, 40L),  // latest prior, not any prior
+      (12L, -1L, -1L)))  // purchase at 10 precedes user-2's first click at 20
+    // misuse guards
+    intercept[IllegalArgumentException] {
+      TimeSeries.asofJoinBackward(purchases, clicks, Nil, "ts_ms", Seq("click_id"))
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeries.asofJoinBackward(purchases, clicks, Seq("user_id"), "ts_ms",
+        Seq("ts_ms"))
+    }
+  }
+
+  test("chunkDedup: first global occurrence survives, later copies counted out") {
+    val w15 = (1 to 15).map(i => s"tok$i").mkString(" ") // one full chunk
+    val docs = Seq(
+      (0L, w15 + " tail one"),   // chunk0 = w15 (first), chunk1 = "tail one"
+      (1L, w15 + " tail one"),   // both chunks are copies of doc 0's
+      (2L, "tail one")            // copy of doc 0's chunk1? NO — chunking is
+                                  // positional: doc2 chunk0 == "tail one"
+    ).toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(docs, "doc_id", "text", chunkTokens = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, 2L, 2L, 17L), // both chunks first occurrences: 15 + 2 tokens
+      (1L, 2L, 0L, 0L),  // exact positional copies of doc 0's chunks
+      (2L, 1L, 0L, 0L))) // "tail one" already kept as doc 0's chunk 1
+  }
+
+  test("dupNgramCoverage: occurrence weighting counts repeats, unlike distinct spans") {
+    val shared = "alpha beta gamma delta epsilon" // one shared 5-gram
+    val docs = Seq(
+      (0L, shared),                        // 1 gram, shared
+      (1L, s"$shared $shared"),            // repeats the shared gram + bridges
+      (2L, "zeta eta theta iota kappa")    // 1 gram, unique
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupNgramCoverage(docs, "doc_id", "text", n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    // doc1 has 10 tokens -> 6 positional 5-grams, TWO of which are the
+    // shared gram (positions 0 and 5) — occurrence weighting counts both
+    assert(got == Seq((0L, 1L, 1L), (1L, 6L, 2L), (2L, 1L, 0L)))
+  }
+
+  test("semanticDedup: lowest id survives; cross-cluster near-dups are not compared") {
+    // two tight groups + one singleton, 2 clusters: within a cluster the
+    // planted twins collapse to the lowest id
+    def v(base: Array[Float], eps: Float): Array[Float] =
+      base.zipWithIndex.map { case (x, i) => x + (if (i == 0) eps else 0f) }
+    val a = Array(1f, 0f, 0f, 0f)
+    val b = Array(0f, 1f, 0f, 0f)
+    val rows = Seq(
+      (0L, a), (1L, v(a, 0.001f)), (2L, v(a, 0.002f)), // near-dup group
+      (10L, b), (11L, v(b, 0.001f)),                    // second group
+      (20L, Array(0.7f, 0.7f, 0.1f, 0f))                // mid vector, own fate
+    ).toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(rows, "vec_id", "embedding",
+        nClusters = 2, tau = 0.99, seed = "t")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    graft.CacheScope.releaseAll()
+    // survivors: the minimum id of each tau-similar group; 20 is <0.99 to
+    // both axes groups so it always survives
+    assert(kept.contains(0L) && kept.contains(20L))
+    assert(!kept.contains(1L) && !kept.contains(2L))
+    assert(kept.count(Set(10L, 11L)) == 1 ||
+      // 10/11 survive together only if the 2-centroid pick split them
+      (kept.contains(10L) && kept.contains(11L)))
+  }
 }
