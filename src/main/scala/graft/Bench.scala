@@ -30,6 +30,10 @@ object Bench {
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
+    // drop every operator-internal persist the warm-up registered: the FIRST
+    // timed query must run under the same cache conditions as all the others
+    // (its own warm-up + 2 timed runs), not under 70 queries' leftovers
+    CacheScope.releaseAll()
     // best-of-2 timed runs per query: a single sample is hostage to transient
     // host contention (shared VM); the minimum is the standard low-noise
     // estimator of steady-state latency
