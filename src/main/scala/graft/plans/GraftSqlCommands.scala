@@ -115,7 +115,17 @@ case class CreateDiskannIndexCommand(name: String, sourcePath: String,
   override val output: Seq[Attribute] =
     Seq(AttributeReference("index_path", StringType, nullable = false)())
 
+  private val knownOpts = Set("id_col", "index_path", "labels_col", "metric",
+    "num_neighbors", "search_list_size", "max_alpha", "num_bits_per_dimension",
+    "storage_layout", "num_dimensions", "shard_target_rows", "partitioner")
+
   override def run(spark: SparkSession): Seq[Row] = {
+    // fail on typos instead of silently ignoring them — a misspelled
+    // num_neighbors that quietly builds with the default is a debugging trap
+    val unknown = opts.keySet.diff(knownOpts)
+    require(unknown.isEmpty,
+      s"unknown CREATE INDEX option(s) ${unknown.toSeq.sorted.mkString(", ")}; " +
+        s"known: ${knownOpts.toSeq.sorted.mkString(", ")}")
     val idCol = opts.getOrElse("id_col",
       throw new IllegalArgumentException(
         "CREATE INDEX ... USING DISKANN requires WITH (id_col='...'): the " +

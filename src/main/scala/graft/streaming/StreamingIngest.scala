@@ -246,6 +246,33 @@ object StreamingIngest {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /**
+   * Watermarked stream-stream INTERVAL JOIN — the streaming sibling of
+   * [[graft.operators.TimeSeries.asofJoinBackward]]: each left event joins
+   * the right events with the same key inside `[left.ts - lookback,
+   * left.ts]`. LEFT OUTER, so unmatched left events still emit (with
+   * nulls) once the watermark passes their join window — Spark bounds BOTH
+   * sides' state by `watermark + lookback`, which is what makes this safe
+   * on unbounded streams. Stream-stream joins cannot express "latest match
+   * only" in one stage; dedup downstream when as-of semantics are needed.
+   *
+   * Right's key/ts columns come back suffixed `_r` (the key copy is
+   * dropped); every other right column must not collide with a left name.
+   */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, lookback: String, watermark: String): DataFrame = {
+    val rRen = right.withColumnRenamed(keyCol, s"${keyCol}_r")
+      .withColumnRenamed(tsCol, s"${tsCol}_r")
+    val l = left.withWatermark(tsCol, watermark)
+    val r = rRen.withWatermark(s"${tsCol}_r", watermark)
+    l.join(r,
+      col(keyCol) === col(s"${keyCol}_r") &&
+        col(s"${tsCol}_r") >= col(tsCol) - expr(s"INTERVAL $lookback") &&
+        col(s"${tsCol}_r") <= col(tsCol),
+      "leftOuter")
+      .drop(s"${keyCol}_r")
+  }
+
   case class SessionEvent(user_id: Long, ts_ms: Long, value: Double,
       ts: java.sql.Timestamp)
   case class SessionState(start: Long, last: Long, nEvents: Long, sumValue: Double)

@@ -34,7 +34,11 @@ object PlanAudit {
     // dedup must broadcast the batch side; quant/range stay map-side
     "lm_score", "dedup_incremental", "embed_quant_int8", "knn_range",
     // ANN surface: routed + distributed paths
-    "ann_ivf_routed", "knn_ann_batch")
+    "ann_ivf_routed", "knn_ann_batch",
+    // round 4: as-of must be one window shuffle with pushed type filters;
+    // semantic dedup one cluster-key join; chunk/ngram dedup must keep
+    // partial aggregation below their window shuffles
+    "asof_attribution", "semantic_dedup", "dedup_chunks", "dup_ngram_coverage")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

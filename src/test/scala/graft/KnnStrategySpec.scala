@@ -295,6 +295,11 @@ class KnnStrategySpec extends AnyFunSuite {
       // unknown name errors; normal SQL still parses through the delegate
       intercept[IllegalArgumentException](s2.sql("DROP INDEX emb_idx"))
       assert(s2.sql("SELECT 1 + 1 AS x").head().getInt(0) == 2)
+      // option typos fail loudly instead of building with silent defaults
+      val typo = intercept[IllegalArgumentException](s2.sql(
+        s"""CREATE INDEX t2 ON '$src' USING DISKANN (embedding)
+           |WITH (id_col='vec_id', num_neighbours=32)""".stripMargin))
+      assert(typo.getMessage.contains("num_neighbours"))
     } finally {
       SparkSession.setActiveSession(prev)
       SparkSession.setDefaultSession(prev)

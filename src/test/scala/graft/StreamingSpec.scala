@@ -268,6 +268,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == expected)
   }
 
+  test("stream-stream interval join: window matches, outside-window excluded, outer nulls emit") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val purchases = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val joined = StreamingIngest.intervalJoin(
+      purchases.toDF().toDF("user_id", "ts", "purchase_id"),
+      clicks.toDF().toDF("user_id", "ts", "click_id"),
+      "user_id", "ts", lookback = "10 seconds", watermark = "5 seconds")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attrib").start()
+    // user 1: click 8s before purchase (in window) and 20s before (outside);
+    // user 2: purchase with no clicks at all
+    clicks.addData((1L, ts(2000), 900L), (1L, ts(14000), 901L))
+    purchases.addData((1L, ts(22000), 10L), (2L, ts(22000), 11L))
+    q.processAllAvailable()
+    // advance the watermark far enough to close both purchases' windows so
+    // the LEFT OUTER nulls are emitted
+    clicks.addData((9L, ts(60000), 999L))
+    purchases.addData((9L, ts(60000), 99L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("attrib")
+      .select($"purchase_id", $"click_id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .filter(_._1 < 90L).sorted.toSeq
+    // purchase 10 matches only click 901 (14000 in [12000, 22000]; 2000 out);
+    // purchase 11 emits the outer-null row
+    assert(out == Seq((10L, 901L), (11L, -1L)), s"got $out")
+  }
+
   test("sessionize (flatMapGroupsWithState): gap splits sessions, watermark closes idle ones") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Double)]
