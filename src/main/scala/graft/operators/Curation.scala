@@ -175,6 +175,40 @@ object Curation {
   }
 
   /**
+   * Temperature-scaled stratum sampling — the XLM-R / mT5 alpha-sampling
+   * rule for multilingual mixtures: a stratum with natural token share p_s
+   * is drawn with probability ∝ p_s^alpha (alpha < 1 flattens the
+   * distribution toward low-resource strata). Realized as per-row keep
+   * rates rate_s = p_s^(alpha-1) / max_t p_t^(alpha-1): proportional to
+   * the required q_s/p_s rescaling, normalized so the most up-weighted
+   * (smallest) stratum keeps everything and every other stratum
+   * down-samples relative to it. alpha = 1 degenerates to "keep all".
+   *
+   * Shape at 100 TB: identical to [[mixtureSample]] — one O(#strata)
+   * partial-aggregated shuffle for the token totals, rates broadcast back,
+   * keep decision pure map-side md5-uniform. Rates are rounded to 9
+   * decimals so the pow() is engine-replayable (libm last-ulp differences
+   * vanish under the rounding; the md5 uniform has ~18 digits).
+   */
+  def temperatureSample(df: DataFrame, idCol: String, strataCol: String,
+      tokensCol: Column, alpha: Double,
+      seed: String = "graft-temp"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "temperatureSample: alpha in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+    val rates = df.groupBy(col(strataCol))
+      .agg(sum(tokensCol).cast(LongType).as("__toks"))
+      .withColumn("__p",
+        col("__toks").cast(DoubleType) / sum(col("__toks")).over(w).cast(DoubleType))
+      .withColumn("__w", pow(col("__p"), alpha - 1))
+      .withColumn("__rate", round(col("__w") / max(col("__w")).over(w), 9))
+      .select(col(strataCol).as("__stratum"), col("__rate"))
+    df.join(broadcast(rates), col(strataCol) <=> col("__stratum"))
+      .filter(md5Uniform(seed, col(idCol)) < col("__rate"))
+      .drop("__rate", "__stratum")
+  }
+
+  /**
    * Greedy sequence packing: assign documents to fixed-token-budget training
    * sequences (the pre-tokenization packing step of an LLM data pipeline).
    * Documents are hashed into `nBuckets` independent buckets (md5, so the

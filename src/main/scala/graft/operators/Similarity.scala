@@ -221,6 +221,25 @@ object Similarity {
         sqrt(col("__shiftsq")).as("shift"))
   }
 
+  /**
+   * Exact per-group centroids over an embedding column — the "embedding
+   * profile per label/source/cluster" primitive (class prototypes,
+   * per-domain drift monitoring). ONE partial-aggregated shuffle of
+   * O(#groups · dim) longs; [[QuantizedVecSum]]'s fixed-point accumulation
+   * makes the result byte-identical regardless of partitioning (and
+   * SQL-oracle-replayable), where naive float sums are order-dependent.
+   */
+  def groupCentroids(df: DataFrame, groupCol: String, vecCol: String,
+      dim: Int): DataFrame = {
+    val qsum = udaf(new QuantizedVecSum(dim))
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_members"), qsum(col(vecCol)).as("__qs"))
+      .withColumn("centroid", transform(col("__qs"),
+        q => q.cast(DoubleType) /
+          (col("n_members").cast(DoubleType) * lit(1048576.0))))
+      .drop("__qs")
+  }
+
   /** Probe `nprobe` nearest clusters and rank exactly within them. */
   def ivfSearch(clustered: DataFrame, model: IvfModel, query: Array[Float],
       k: Int, nprobe: Int, dist: (Column, Column) => Column): DataFrame = {

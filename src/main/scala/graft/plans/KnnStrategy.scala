@@ -96,17 +96,22 @@ object Graft {
   }
 
   /** `DROP INDEX` analog: unregister (queries fall back to brute force) and
-    * optionally delete the index files. */
+    * optionally delete the index files — via Hadoop FS, so HDFS/S3 index
+    * paths delete the same as local ones. */
   def dropIndex(sourcePath: String, deleteFiles: Boolean = false): Unit = {
     val entry = KnnCatalog.lookup(sourcePath)
     KnnCatalog.unregister(sourcePath)
-    if (deleteFiles) entry.foreach { e =>
-      def rec(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rec))
-        f.delete()
+    entry.foreach { e =>
+      if (deleteFiles) {
+        val p = new org.apache.hadoop.fs.Path(e.indexPath)
+        val conf = org.apache.spark.sql.SparkSession.getActiveSession
+          .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+          .map(_.sessionState.newHadoopConf())
+          .getOrElse(new org.apache.hadoop.conf.Configuration())
+        p.getFileSystem(conf).delete(p, true)
       }
-      rec(new java.io.File(e.indexPath))
       graft.index.GraphSearcher.invalidate(e.indexPath)
+      KnnCost.invalidate(e.indexPath)
     }
   }
 }

@@ -110,6 +110,16 @@ object PipelineQueries {
         .select(col("doc_id"), TextAnalysis.langIdFromTokens(col("w")).as("lang_pred"))
         .orderBy(col("doc_id"))),
 
+    // language-ID confusion matrix vs the stored lang column — the accuracy
+    // report a pipeline watches when tuning the classifier; one map-side
+    // prediction pass + one tiny (lang, pred) aggregation
+    "lang_confusion" -> ((s, d) =>
+      docs(s, d)
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_pred"))),
+
     "token_counts" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"))
@@ -247,6 +257,23 @@ object PipelineQueries {
         .orderBy(col("vec_id"), col("dim_idx"))),
 
     // ---- curation ----
+    // XLM-R/mT5 alpha-sampling over languages: token shares flattened by
+    // p^0.3, rate table one tiny aggregate, keep decision map-side
+    "sample_temperature" -> ((s, d) =>
+      Curation.temperatureSample(
+        docs(s, d).withColumn("__n", TextAnalysis.tokenCount(col("text"))),
+        "doc_id", "lang", col("__n"), alpha = 0.3, seed = "temp42")
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))),
+
+    // exact per-label embedding centroids (class prototypes): fixed-point
+    // mergeable sums => engine-replayable means, one O(#labels·dim) shuffle
+    "embed_centroids" -> ((s, d) =>
+      Similarity.groupCentroids(emb(s, d), "label", "embedding", dim = 64)
+        .select(col("label").cast("long").as("label"), posexplode(col("centroid")))
+        .select(col("label"), col("pos").cast("long").as("dim_idx"),
+          round(col("col"), 6).as("value"))
+        .orderBy(col("label"), col("dim_idx"))),
+
     // deterministic stratified sampling: downsample over-represented 'en',
     // keep most of the rest. md5-derived uniform => reproducible in any
     // engine, no RNG/partition-order dependence, pure map-side at 100 TB
@@ -422,6 +449,24 @@ object PipelineQueries {
       TextAnalysis.lmScore(docs(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // CCNet-style perplexity buckets: per source, rank documents by LM score
+    // and cut head/middle/tail thirds (ntile over the rounded score + id —
+    // deterministic in any engine). The window rides the same per-source
+    // partitioning any engine needs for this; everything upstream is the
+    // lm_score pipeline unchanged.
+    "lm_buckets" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = TextAnalysis.lmScore(docs(s, d), "doc_id", "text")
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("avg_logp").desc, col("doc_id"))
+      scored.join(docs(s, d).select(col("doc_id"), col("source")), Seq("doc_id"))
+        .withColumn("__nt", ntile(3).over(w))
+        .select(col("doc_id"), col("source"),
+          when(col("__nt") === 1, "head").when(col("__nt") === 2, "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-rule quality gate: per-rule boolean flags + conjunction, one
     // tokenization pass, entirely map-side
     "gopher_quality" -> ((s, d) =>
@@ -532,6 +577,20 @@ object PipelineQueries {
     s"len(list_filter(w, x -> x IN ($list)))"
   }
 
+  // shared CTE chain of the bigram-LM replay (lm_score + lm_buckets): ends
+  // at `agg(doc_id, n_bigrams, s)`; `t` carries source for the bucket query
+  private val sqlLmAgg =
+    s"""WITH t AS (SELECT doc_id, source, $sqlTokens AS w FROM documents),
+       |bg AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2 FROM t),
+       |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+       |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+       |vv AS (SELECT count(*) AS v FROM (SELECT w1 AS w FROM c2 UNION SELECT w2 FROM c2)),
+       |sc AS (SELECT bg.doc_id,
+       |        CAST(floor(ln((CAST(c2.c2 AS DOUBLE) + 1.0) / (CAST(c1.c1 AS DOUBLE) + CAST(v AS DOUBLE)))
+       |             * 1000000000.0 + 0.5) AS BIGINT) AS fp
+       |       FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vv),
+       |agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(fp) AS s FROM sc GROUP BY 1)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS cnt
@@ -601,6 +660,51 @@ object PipelineQueries {
     "token_counts" ->
       s"""SELECT doc_id, len($sqlTokens) AS n_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // confusion matrix: the lang_id CASE chain grouped against stored lang
+    "lang_confusion" ->
+      s"""WITH t AS (SELECT doc_id, lang, $sqlTokens AS w FROM documents),
+         |h AS (SELECT doc_id, lang, ${hitsSql("en")} AS h_en, ${hitsSql("es")} AS h_es,
+         |             ${hitsSql("de")} AS h_de, ${hitsSql("fr")} AS h_fr,
+         |             ${hitsSql("zh")} AS h_zh FROM t),
+         |p AS (SELECT lang,
+         |  CASE WHEN h_zh > greatest(0, h_en, h_es, h_de, h_fr) THEN 'zh'
+         |       WHEN h_fr > greatest(0, h_en, h_es, h_de) THEN 'fr'
+         |       WHEN h_de > greatest(0, h_en, h_es) THEN 'de'
+         |       WHEN h_es > greatest(0, h_en) THEN 'es'
+         |       WHEN h_en > 0 THEN 'en'
+         |       ELSE 'und' END AS lang_pred
+         |  FROM h)
+         |SELECT lang, lang_pred, count(*) AS n
+         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // alpha-sampling replay: exact integer token totals, shares flattened by
+    // pow(p, -0.7), rates rounded to 9 decimals (engine-replayable pow),
+    // md5-uniform keep
+    "sample_temperature" ->
+      s"""WITH t AS (SELECT doc_id, lang, len($sqlTokens) AS n FROM documents),
+         |s AS (SELECT lang, CAST(sum(n) AS BIGINT) AS toks FROM t GROUP BY 1),
+         |p AS (SELECT lang, CAST(toks AS DOUBLE) / CAST(sum(toks) OVER () AS DOUBLE) AS p FROM s),
+         |wt AS (SELECT lang, pow(p, 0.3 - 1) AS w FROM p),
+         |r AS (SELECT lang, round(w / max(w) OVER (), 9) AS rate FROM wt)
+         |SELECT t.doc_id, t.lang FROM t JOIN r USING (lang)
+         |WHERE ('0x' || substr(md5('temp42:' || CAST(doc_id AS VARCHAR)), 18, 15))::UBIGINT
+         |      / 1152921504606846976.0 < rate
+         |ORDER BY doc_id""".stripMargin,
+
+    // fixed-point centroid replay (same quantization as kmeans_refine):
+    // floor(v·2^20 + 0.5) longs summed exactly, divided back per dimension
+    "embed_centroids" ->
+      """WITH q AS (SELECT label,
+        |    [CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)
+        |     for i in range(1, 65)] AS qv
+        |  FROM embeddings),
+        |s AS (SELECT label, CAST(r.range AS BIGINT) - 1 AS dim_idx,
+        |        sum(qv[CAST(r.range AS INT)]) AS sq, count(*) AS n
+        |      FROM q CROSS JOIN range(1, 65) r GROUP BY 1, 2)
+        |SELECT CAST(label AS BIGINT) AS label, dim_idx,
+        |       round(CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0), 6) AS value
+        |FROM s ORDER BY label, dim_idx""".stripMargin,
 
     // char-level simulation of the lookaround split: a subword STARTS at a
     // non-space char that is at position 1, after a space, after a
@@ -1106,19 +1210,25 @@ object PipelineQueries {
     // LM replay: DuckDB's parallel unnest zips the two shifted token slices
     // into bigrams; same add-one smoothing, same 1e-9 fixed-point sum
     "lm_score" ->
-      s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
-         |bg AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2 FROM t),
-         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
-         |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
-         |vv AS (SELECT count(*) AS v FROM (SELECT w1 AS w FROM c2 UNION SELECT w2 FROM c2)),
-         |sc AS (SELECT bg.doc_id,
-         |        CAST(floor(ln((CAST(c2.c2 AS DOUBLE) + 1.0) / (CAST(c1.c1 AS DOUBLE) + CAST(v AS DOUBLE)))
-         |             * 1000000000.0 + 0.5) AS BIGINT) AS fp
-         |       FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vv),
-         |agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(fp) AS s FROM sc GROUP BY 1)
+      s"""$sqlLmAgg
          |SELECT t.doc_id, CAST(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
          |  coalesce(round(CAST(agg.s AS DOUBLE) / 1000000000.0 / agg.n_bigrams, 6), 0.0) AS avg_logp
          |FROM t LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // CCNet perplexity buckets: the SAME lm pipeline, then per-source ntile
+    // thirds on (rounded score desc, doc_id) — standard-SQL ntile semantics
+    // match between engines
+    "lm_buckets" ->
+      s"""$sqlLmAgg,
+         |sc2 AS (SELECT t.doc_id, t.source,
+         |          coalesce(round(CAST(agg.s AS DOUBLE) / 1000000000.0 / agg.n_bigrams, 6), 0.0) AS avg_logp
+         |        FROM t LEFT JOIN agg USING (doc_id)),
+         |b AS (SELECT doc_id, source,
+         |        ntile(3) OVER (PARTITION BY source ORDER BY avg_logp DESC, doc_id) AS nt
+         |      FROM sc2)
+         |SELECT doc_id, source,
+         |  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM b ORDER BY doc_id""".stripMargin,
 
     // Gopher-rule replay: the stopword-distinct count filters the literal
     // stop list against the token array (same "distinct hits" semantics as

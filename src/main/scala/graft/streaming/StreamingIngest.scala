@@ -214,6 +214,8 @@ object StreamingIngest {
         fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/_meta"), true)
       }
       graft.index.GraphSearcher.invalidate(indexPath)
+      // the planner's cost-gate row count changed with this generation
+      graft.plans.KnnCost.invalidate(indexPath)
     } finally {
       // release only a lease we still hold: after a timeout-steal, deleting
       // unconditionally would break the successor's lock
