@@ -48,6 +48,11 @@ object GraftSqlParser {
   private val dropOnRe =
     ("""(?is)^\s*DROP\s+INDEX\s+ON\s+(?:parquet\s*\.\s*`([^`]+)`|'([^']+)')""" +
       """\s*(?:WITH\s*\((.*)\))?\s*;?\s*$""").r
+  private val describeRe =
+    ("""(?is)^\s*DESC(?:RIBE)?\s+INDEX\s+""" +
+      """(?:ON\s+(?:parquet\s*\.\s*`([^`]+)`|'([^']+)')|(?!ON\b)([\w.\-]+))\s*;?\s*$""").r
+  private val showRe =
+    """(?is)^\s*SHOW\s+GRAFT\s+INDEXES\s*;?\s*$""".r
   private val optRe = """([\w]+)\s*=\s*(?:'([^']*)'|([^,\s()]+))""".r
 
   private def parseOpts(s: String): Map[String, String] =
@@ -81,6 +86,10 @@ object GraftSqlParser {
     case dropOnRe(tick, quoted, withOpts) =>
       Some(DropDiskannIndexCommand(Right(Option(tick).getOrElse(quoted)),
         parseOpts(withOpts).get("delete_files").exists(_.toBoolean)))
+    case describeRe(tick, quoted, name) =>
+      Some(DescribeDiskannIndexCommand(
+        if (name != null) Left(name) else Right(Option(tick).getOrElse(quoted))))
+    case showRe() => Some(ShowGraftIndexesCommand())
     case _ => None
   }
 }
@@ -154,6 +163,64 @@ case class CreateDiskannIndexCommand(name: String, sourcePath: String,
     KnnCatalog.registerName(name, sourcePath)
     Seq(Row(indexPath))
   }
+}
+
+/** `DESCRIBE INDEX <name | ON '<path>'>` — the V2 index-stats surface
+  * (vacuum.rs:138-157 / `stats`) in DESCRIBE TABLE style (property, value)
+  * rows. */
+case class DescribeDiskannIndexCommand(target: Either[String, String])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("property", StringType, nullable = false)(),
+    AttributeReference("value", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val sourcePath = target match {
+      case Left(name) => KnnCatalog.lookupName(name).getOrElse(
+        throw new IllegalArgumentException(s"no index named '$name'"))
+      case Right(path) => path
+    }
+    val entry = KnnCatalog.lookup(sourcePath).getOrElse(
+      throw new IllegalArgumentException(s"no index registered on '$sourcePath'"))
+    val s = graft.index.DiskannIndex.stats(spark, entry.indexPath)
+    val meta = graft.index.DiskannIndex.loadMeta(spark, entry.indexPath)
+    Seq(
+      "source_path" -> entry.sourcePath,
+      "index_path" -> entry.indexPath,
+      "metric" -> s.metric,
+      "storage" -> s.storage,
+      "bits_per_dim" -> s.bitsPerDim.toString,
+      "num_rows" -> s.numRows.toString,
+      "num_shards" -> s.numShards.toString,
+      "num_edges" -> s.numEdges.toString,
+      "avg_degree" -> f"${s.avgDegree}%.3f",
+      "max_degree" -> s.maxDegree.toString,
+      "num_neighbors" -> meta.numNeighbors.toString,
+      "search_list_size" -> meta.searchListSize.toString,
+      "partitioner" -> meta.partitioner,
+      "build_id" -> meta.buildId,
+      "labels" -> meta.hasLabels.toString,
+      "id_col" -> entry.idCol,
+      "vec_col" -> entry.vecCol,
+      "labels_col" -> entry.labelsCol.getOrElse("")
+    ).map { case (k, v) => Row(k, v) }
+  }
+}
+
+/** `SHOW GRAFT INDEXES` — one row per catalog registration. */
+case class ShowGraftIndexesCommand() extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", StringType, nullable = false)(),
+    AttributeReference("source_path", StringType, nullable = false)(),
+    AttributeReference("index_path", StringType, nullable = false)(),
+    AttributeReference("metric", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    KnnCatalog.listAll().map { case (name, e) =>
+      Row(name, e.sourcePath, e.indexPath, e.metric)
+    }
 }
 
 /** Driver-side unregister (+ optional file delete) — the `DROP INDEX` analog. */

@@ -65,6 +65,19 @@ object KnnCatalog {
     val p = norm(sourcePath)
     names.filterInPlace { case (_, v) => v != p }
   }
+
+  /** (name, entry) pairs for SHOW GRAFT INDEXES — names sorted; registered
+    * entries without a SQL name show as "<unnamed>". */
+  def listAll(): Seq[(String, Entry)] = {
+    val named = names.toSeq.sorted.flatMap { case (n, src) =>
+      registry.get(src).map(n -> _)
+    }
+    val namedSrcs = named.map(_._2.sourcePath).toSet
+    val anonymous = registry.toSeq
+      .filterNot { case (src, _) => namedSrcs.contains(src) }
+      .sortBy(_._1).map { case (_, e) => "<unnamed>" -> e }
+    named ++ anonymous
+  }
 }
 
 object Graft {

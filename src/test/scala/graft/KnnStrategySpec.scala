@@ -287,6 +287,15 @@ class KnnStrategySpec extends AnyFunSuite {
       val plan = q.queryExecution.executedPlan.toString
       assert(plan.contains("KnnIndexScan"), s"expected index plan:\n$plan")
       assert(q.collect().length == 5)
+      // observability, still SQL-only: SHOW lists it, DESCRIBE reports stats
+      val shown = s2.sql("SHOW GRAFT INDEXES").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(shown.contains(("emb_idx", src)), shown.mkString(","))
+      val desc = s2.sql("DESCRIBE INDEX emb_idx").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(desc("metric") == "cosine" && desc("num_shards") == "1")
+      assert(desc("num_rows").toLong == spark.read.parquet(srcPath).count())
+      assert(desc("num_neighbors") == "32" && desc("search_list_size") == "64")
       // drop by name — falls back to native, files removed
       s2.sql("DROP INDEX emb_idx WITH (delete_files=true)")
       assert(!q.queryExecution.executedPlan.toString.contains("KnnIndexScan"))
@@ -300,6 +309,10 @@ class KnnStrategySpec extends AnyFunSuite {
         s"""CREATE INDEX t2 ON '$src' USING DISKANN (embedding)
            |WITH (id_col='vec_id', num_neighbours=32)""".stripMargin))
       assert(typo.getMessage.contains("num_neighbours"))
+      // after drop: SHOW no longer lists it, DESCRIBE errors
+      assert(!s2.sql("SHOW GRAFT INDEXES").collect()
+        .exists(_.getString(1) == src))
+      intercept[IllegalArgumentException](s2.sql("DESCRIBE INDEX emb_idx"))
     } finally {
       SparkSession.setActiveSession(prev)
       SparkSession.setDefaultSession(prev)
