@@ -297,6 +297,22 @@ object DiskannIndex {
     } catch { case _: java.io.FileNotFoundException => path }
   }
 
+  /**
+   * Installed generations of a versioned index, oldest first (empty for a
+   * never-compacted flat index). Each entry is a full index root — pass
+   * `s"$path/versions/$v"` to [[search]]/[[loadMeta]] to TIME-TRAVEL to
+   * that generation: compaction keeps the superseded generation on disk as
+   * the in-flight-reader grace window, so the previous snapshot stays
+   * queryable until the next compaction prunes it.
+   */
+  def listVersions(spark: SparkSession, path: String): Seq[String] = {
+    val vdir = new org.apache.hadoop.fs.Path(path, "versions")
+    val fs = vdir.getFileSystem(spark.sessionState.newHadoopConf())
+    try fs.listStatus(vdir).map(_.getPath.getName)
+      .filter(_.matches("v\\d{9}")).sorted.toSeq
+    catch { case _: java.io.FileNotFoundException => Seq.empty }
+  }
+
   def loadMeta(spark: SparkSession, path0: String): IndexMeta = {
     val path = resolveRoot(spark, path0)
     import spark.implicits._
@@ -315,6 +331,21 @@ object DiskannIndex {
       df = df.withColumn("buildId", lit("legacy"))
     df.as[IndexMeta].head()
   }
+
+  /** IVF probe routing for ONE query vector — the single routing rule
+    * shared by the online batch path and the resumable scan (a drifted copy
+    * would silently probe different shards warm vs cold). None = unrouted:
+    * the query searches every shard. */
+  private def probeShardsFor(meta: IndexMeta, metric: Metric,
+      qvec: Array[Float], nProbe: Int): Option[Array[Int]] =
+    if (meta.partitioner == "ivf" && nProbe > 0 && nProbe < meta.numShards &&
+        meta.centroids.nonEmpty) {
+      val raw =
+        if (qvec == null) new Array[Float](meta.centroids(0).length) else qvec
+      val sliced = if (meta.dimsToIndex > 0) raw.take(meta.dimsToIndex) else raw
+      val bv = if (metric == Metric.Cosine) VectorKernels.normalize(sliced) else sliced
+      Some(graft.operators.Similarity.IvfModel(meta.centroids).nearest(bv, nProbe))
+    } else None
 
   /** SQL-visible distance for projections (§4.3 note 1): true cosine / true
     * L2-with-sqrt / negative inner product. */
@@ -442,18 +473,11 @@ object DiskannIndex {
       (r.getAs[Long]("qid"), qv, ql)
     }
     // IVF routing: per-query probe set computed once on the driver from the
-    // meta centroids (tiny); null = query searches every shard
+    // meta centroids (tiny); absent = query searches every shard
     val probeOf: Map[Long, Array[Int]] =
-      if (meta.partitioner == "ivf" && nProbe > 0 && nProbe < meta.numShards &&
-          meta.centroids.nonEmpty) {
-        val ivf = graft.operators.Similarity.IvfModel(meta.centroids)
-        qRows.map { case (qid, qv, _) =>
-          val raw = if (qv == null) new Array[Float](meta.centroids(0).length) else qv
-          val sliced = if (meta.dimsToIndex > 0) raw.take(meta.dimsToIndex) else raw
-          val bv = if (metric == Metric.Cosine) VectorKernels.normalize(sliced) else sliced
-          qid -> ivf.nearest(bv, nProbe)
-        }.toMap
-      } else Map.empty
+      qRows.flatMap { case (qid, qv, _) =>
+        probeShardsFor(meta, metric, qv, nProbe).map(qid -> _)
+      }.toMap
     val probeBc = spark.sparkContext.broadcast(probeOf)
     val qBc = spark.sparkContext.broadcast(qRows)
     val tombBc = spark.sparkContext.broadcast(tombstones)
@@ -621,14 +645,8 @@ object DiskannIndex {
     val meta = loadMeta(spark, path)
     val metric = Metric(meta.metric)
     val needed: Seq[Int] =
-      if (meta.partitioner == "ivf" && nProbe > 0 && nProbe < meta.numShards &&
-          meta.centroids.nonEmpty) {
-        val ivf = graft.operators.Similarity.IvfModel(meta.centroids)
-        val raw = if (qvec == null) new Array[Float](meta.centroids(0).length) else qvec
-        val sliced = if (meta.dimsToIndex > 0) raw.take(meta.dimsToIndex) else raw
-        val bv = if (metric == Metric.Cosine) VectorKernels.normalize(sliced) else sliced
-        ivf.nearest(bv, nProbe).toSeq.sorted
-      } else 0 until meta.numShards
+      probeShardsFor(meta, metric, qvec, nProbe)
+        .map(_.toSeq.sorted).getOrElse(0 until meta.numShards)
     val searchers = needed.map(sh => GraphSearcher.peek(s"$path#$sh#${meta.buildId}"))
     if (searchers.exists(_.isEmpty)) None
     else {

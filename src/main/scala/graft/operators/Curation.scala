@@ -200,8 +200,15 @@ object Curation {
       .agg(sum(tokensCol).cast(LongType).as("__toks"))
       .withColumn("__p",
         col("__toks").cast(DoubleType) / sum(col("__toks")).over(w).cast(DoubleType))
-      .withColumn("__w", pow(col("__p"), alpha - 1))
-      .withColumn("__rate", round(col("__w") / max(col("__w")).over(w), 9))
+      // zero-token strata: pow(0, alpha-1) is +Infinity, which would poison
+      // max(__w) and zero every healthy stratum's rate. Their rows cost no
+      // tokens, so the alpha-rescaling limit (share -> 0 => maximal
+      // up-weight) says KEEP ALL: rate 1, excluded from the max.
+      .withColumn("__w",
+        when(col("__toks") > 0, pow(col("__p"), alpha - 1)))
+      .withColumn("__rate",
+        when(col("__toks") === 0, lit(1.0))
+          .otherwise(round(col("__w") / max(col("__w")).over(w), 9)))
       .select(col(strataCol).as("__stratum"), col("__rate"))
     df.join(broadcast(rates), col(strataCol) <=> col("__stratum"))
       .filter(md5Uniform(seed, col(idCol)) < col("__rate"))

@@ -131,12 +131,19 @@ object TextAnalysis {
     val keepCols = keep.map(col)
     val raw = df.select(col(idCol) +: text +: tokens(text).as("__toks") +:
       keepCols: _*)
+      // lowered copy as its own projection: the distinct-stopword count
+      // below references it once per stop word, and multiple references to
+      // a non-cheap expression stop CollapseProject from re-inlining the
+      // transform into each probe (HOFs are interpreted, no CSE)
+      .withColumn("__toks_lc", transform(col("__toks"), t => lower(t)))
     val m = raw.select(col(idCol) +: keepCols ++: Seq(
       size(col("__toks")).cast(LongType).as("n_tokens"),
       length(regexp_replace(text, "\\s", "")).cast(DoubleType).as("__strip"),
-      size(filter(lit(stopList.toArray),
-        s => array_contains(transform(col("__toks"), t => lower(t)), s)))
-        .as("__stop_distinct"),
+      // distinct stopwords present = sum of per-stopword membership — plain
+      // codegen'd array_contains scans, no HOF over the stop list
+      stopList.map(sw =>
+        when(array_contains(col("__toks_lc"), sw), 1).otherwise(0))
+        .reduce(_ + _).as("__stop_distinct"),
       size(filter(col("__toks"), t => t.rlike("[A-Za-z]")))
         .cast(DoubleType).as("__alpha_words")): _*)
     val nTok = col("n_tokens")

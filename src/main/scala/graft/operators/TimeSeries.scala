@@ -49,7 +49,13 @@ object TimeSeries {
         lit(1).as("__side") +:
         struct(leftCols.map(col): _*).as("__l") +:
         lit(null).cast(structTypeOf(right, rightCols :+ tsCol)).as("__r") +: Nil: _*)
-    val rTagged = right.select(
+    // a NULL right timestamp can never satisfy right.ts <= left.ts (ASOF
+    // semantics) — without this filter the ascending sort would place it
+    // FIRST and carry a phantom match into every left row of the key.
+    // NULL LEFT timestamps need no special case: they also sort first, so
+    // no (filtered, non-null) right row precedes them and they emit the
+    // outer-null row, same as the SQL spec.
+    val rTagged = right.filter(col(tsCol).isNotNull).select(
       keys.map(col) ++:
         col(tsCol).as("__ts") +:
         lit(0).as("__side") +:

@@ -338,9 +338,15 @@ case class KnnIndexScanExec(outAttrs: Seq[AttributeReference], spark: SparkSessi
     "numHeapFetches" -> SQLMetrics.createMetric(sparkContext, "source rows fetched"))
 
   override def doExecute(): RDD[InternalRow] = {
+    // ONE read of the search parameters for the whole execution: searchK
+    // and the resumable escalation rounds must use identical values or the
+    // warm/cold byte-equality of the escalation breaks
     val searchList = spark.conf.get("graft.knn.searchListSize", "100").toInt
     val rescore = spark.conf.get("graft.knn.rescore", "50").toInt
     val nProbe = spark.conf.get("graft.knn.nprobe", "0").toInt
+    val sMetrics = Some(DiskannIndex.SearchMetrics(
+      longMetric("numNodesVisited"), longMetric("numQuantizedCmps"),
+      longMetric("numExactCmps")))
 
     import spark.implicits._
     var queries = Seq((0L, queryVec)).toDF("qid", "qvec")
@@ -351,9 +357,8 @@ case class KnnIndexScanExec(outAttrs: Seq[AttributeReference], spark: SparkSessi
     }
     def searchK(kk: Int): Array[org.apache.spark.sql.Row] =
       DiskannIndex.search(spark, entry.indexPath, queries, kk,
-        math.max(searchList, kk), rescore, metrics = Some(DiskannIndex.SearchMetrics(
-          longMetric("numNodesVisited"), longMetric("numQuantizedCmps"),
-          longMetric("numExactCmps"))), nProbe = nProbe).collect()
+        math.max(searchList, kk), rescore, metrics = sMetrics,
+        nProbe = nProbe).collect()
 
     // heap fetch (S5): a k-row IN-filter scan of the source relation, with
     // the projection pruned to this node's output columns (+ the id)
@@ -385,7 +390,8 @@ case class KnnIndexScanExec(outAttrs: Seq[AttributeReference], spark: SparkSessi
         sparkContext.parallelize(emitted, 1)
 
       case Some(cond) =>
-        residualExecute(cond, searchK, wantCols, fetchCols)
+        residualExecute(cond, searchK, wantCols, fetchCols,
+          searchList, rescore, nProbe, sMetrics)
     }
   }
 
@@ -413,7 +419,9 @@ case class KnnIndexScanExec(outAttrs: Seq[AttributeReference], spark: SparkSessi
    */
   private def residualExecute(cond: Expression,
       searchK: Int => Array[org.apache.spark.sql.Row],
-      wantCols: Seq[String], fetchCols: Seq[String]): RDD[InternalRow] = {
+      wantCols: Seq[String], fetchCols: Seq[String],
+      searchList: Int, rescoreN: Int, nProbe: Int,
+      sMetrics: Option[DiskannIndex.SearchMetrics]): RDD[InternalRow] = {
     val maxRounds = spark.conf.get("graft.knn.residual.maxRounds", "3").toInt
     val maxOverfetch = spark.conf.get("graft.knn.residual.maxOverfetch", "65536").toInt
     val pushdownLimit = spark.conf.get("graft.knn.residual.pushdownLimit", "1024").toInt
@@ -434,12 +442,6 @@ case class KnnIndexScanExec(outAttrs: Seq[AttributeReference], spark: SparkSessi
     // visits ~bound(kk2) nodes, not bound(kk1)+bound(kk2). A cold index
     // pays the normal distributed search exactly once (round 1, which also
     // warms the local cache) and resumes from round 2 on.
-    val searchList = spark.conf.get("graft.knn.searchListSize", "100").toInt
-    val rescoreN = spark.conf.get("graft.knn.rescore", "50").toInt
-    val nProbe = spark.conf.get("graft.knn.nprobe", "0").toInt
-    val sMetrics = Some(DiskannIndex.SearchMetrics(
-      longMetric("numNodesVisited"), longMetric("numQuantizedCmps"),
-      longMetric("numExactCmps")))
     var resumable: Option[DiskannIndex.ResumableScanHandle] =
       DiskannIndex.openResumableScan(spark, entry.indexPath, queryVec,
         filterLabels.orNull, metrics = sMetrics, nProbe = nProbe)

@@ -115,7 +115,11 @@ object PipelineQueries {
     // prediction pass + one tiny (lang, pred) aggregation
     "lang_confusion" -> ((s, d) =>
       docs(s, d)
-        .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        // two-phase: materialize tokens first — the CASE chain probes the
+        // stop lists ~15 times and an inlined tokenizer would re-run per
+        // probe (HOFs are interpreted, no CSE; same staging as lang_id)
+        .select(col("lang"), TextAnalysis.tokens(col("text")).as("__w"))
+        .select(col("lang"), TextAnalysis.langIdFromTokens(col("__w")).as("lang_pred"))
         .groupBy(col("lang"), col("lang_pred"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("lang_pred"))),
@@ -684,9 +688,10 @@ object PipelineQueries {
     "sample_temperature" ->
       s"""WITH t AS (SELECT doc_id, lang, len($sqlTokens) AS n FROM documents),
          |s AS (SELECT lang, CAST(sum(n) AS BIGINT) AS toks FROM t GROUP BY 1),
-         |p AS (SELECT lang, CAST(toks AS DOUBLE) / CAST(sum(toks) OVER () AS DOUBLE) AS p FROM s),
-         |wt AS (SELECT lang, pow(p, 0.3 - 1) AS w FROM p),
-         |r AS (SELECT lang, round(w / max(w) OVER (), 9) AS rate FROM wt)
+         |p AS (SELECT lang, toks, CAST(toks AS DOUBLE) / CAST(sum(toks) OVER () AS DOUBLE) AS p FROM s),
+         |wt AS (SELECT lang, toks, CASE WHEN toks > 0 THEN pow(p, 0.3 - 1) END AS w FROM p),
+         |r AS (SELECT lang, CASE WHEN toks = 0 THEN 1.0
+         |                        ELSE round(w / max(w) OVER (), 9) END AS rate FROM wt)
          |SELECT t.doc_id, t.lang FROM t JOIN r USING (lang)
          |WHERE ('0x' || substr(md5('temp42:' || CAST(doc_id AS VARCHAR)), 18, 15))::UBIGINT
          |      / 1152921504606846976.0 < rate

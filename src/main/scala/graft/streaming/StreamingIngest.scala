@@ -154,7 +154,13 @@ object StreamingIngest {
       val stale = try {
         System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime > timeoutMs
       } catch { case _: java.io.FileNotFoundException => true }
-      if (stale) { fs.delete(lock, false); acquired = tryAcquire() }
+      // steal by OVERWRITE + re-read, never delete-then-create: with a
+      // delete first, two stealers can interleave (B's delete removes A's
+      // freshly-won lock) and BOTH verify — overwriting keeps the whole
+      // steal a single last-writer-wins race that at most one verifies.
+      if (stale)
+        acquired = acquireLease(fs, lock, ownerId, exclusiveCreate = false,
+          verifyDelayMs)
     }
     if (!acquired)
       throw new IllegalStateException(

@@ -394,6 +394,20 @@ class OperatorsSpec extends AnyFunSuite {
       (10L, 901L, 100L), // equal ts is INCLUSIVE: click at 100 wins over 40
       (11L, 900L, 40L),  // latest prior, not any prior
       (12L, -1L, -1L)))  // purchase at 10 precedes user-2's first click at 20
+    // NULL right ts is never a match (ASOF semantics); NULL left ts emits
+    // the outer-null row
+    val nullClicks = Seq((Some(1L), Option.empty[Long], Some(77L)))
+      .toDF("user_id", "ts_ms", "click_id")
+    val nullSafe = TimeSeries.asofJoinBackward(
+        purchases, nullClicks, Seq("user_id"), "ts_ms", Seq("click_id"))
+      .select($"purchase_id", $"asof_click_id").collect()
+    assert(nullSafe.forall(_.isNullAt(1)), "null-ts click must never match")
+    val nullLeft = TimeSeries.asofJoinBackward(
+        Seq((Some(1L), Option.empty[Long], Some(5L)))
+          .toDF("user_id", "ts_ms", "purchase_id"),
+        clicks, Seq("user_id"), "ts_ms", Seq("click_id"))
+      .select($"purchase_id", $"asof_click_id").collect()
+    assert(nullLeft.length == 1 && nullLeft(0).isNullAt(1))
     // misuse guards
     intercept[IllegalArgumentException] {
       TimeSeries.asofJoinBackward(purchases, clicks, Nil, "ts_ms", Seq("click_id"))
@@ -434,6 +448,27 @@ class OperatorsSpec extends AnyFunSuite {
     // doc1 has 10 tokens -> 6 positional 5-grams, TWO of which are the
     // shared gram (positions 0 and 5) — occurrence weighting counts both
     assert(got == Seq((0L, 1L, 1L), (1L, 6L, 2L), (2L, 1L, 0L)))
+  }
+
+  test("temperatureSample: flattens shares toward small strata; zero-token stratum kept whole") {
+    val rows = (0L until 90L).map(i => (i, "big", 10L)) ++
+      (90L until 100L).map(i => (i, "small", 10L)) ++
+      Seq((100L, "empty", 0L), (101L, "empty", 0L))
+    val df = rows.toDF("id", "stratum", "n_tok")
+    val kept = Curation.temperatureSample(df, "id", "stratum", col("n_tok"),
+        alpha = 0.3, seed = "t")
+      .groupBy($"stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the smallest token stratum is the normalization anchor: keeps ~all;
+    // the big stratum down-samples by (p_big/p_small)^(alpha-1) ~= 0.215
+    assert(kept("small") >= 9, s"small kept ${kept.get("small")}")
+    val bigKept = kept.getOrElse("big", 0L)
+    assert(bigKept > 5 && bigKept < 40, s"big kept $bigKept of 90")
+    // zero-token strata cost nothing: rate 1 (and no Infinity poisoning)
+    assert(kept.getOrElse("empty", 0L) == 2, s"empty kept ${kept.get("empty")}")
+    intercept[IllegalArgumentException] {
+      Curation.temperatureSample(df, "id", "stratum", col("n_tok"), alpha = 0.0)
+    }
   }
 
   test("semanticDedup: lowest id survives; cross-cluster near-dups are not compared") {

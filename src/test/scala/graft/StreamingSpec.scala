@@ -131,6 +131,17 @@ class StreamingSpec extends AnyFunSuite {
     val hits = StreamingIngest.searchFresh(spark, path, queries, k = 5,
       searchListSize = 200, rescore = 150).collect()
     assert(hits.map(_.getLong(1)).contains(450L))
+
+    // time travel: the superseded generation stays queryable (reader grace)
+    // until the next compaction prunes it — a version path IS an index root
+    assert(DiskannIndex.listVersions(spark, path) ==
+      Seq("v000000001", "v000000002"))
+    val oldRoot = s"$path/versions/v000000001"
+    assert(DiskannIndex.loadMeta(spark, oldRoot).numRows == 400)
+    val oldHits = DiskannIndex.search(spark, oldRoot, queries, k = 5,
+      searchListSize = 200, rescore = 150).collect()
+    // rows 400-499 do not exist in the old snapshot
+    assert(oldHits.nonEmpty && oldHits.forall(_.getLong(1) < 400L))
   }
 
   test("lease lock: S3A-style non-exclusive create — exactly one writer verifies ownership") {
