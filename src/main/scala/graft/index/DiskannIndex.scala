@@ -580,10 +580,18 @@ object DiskannIndex {
    */
   private[graft] def shardAlignedNodesRdd(spark: SparkSession,
       nodes: DataFrame,
-      neededShards: Seq[Int]): org.apache.spark.rdd.RDD[Row] =
+      neededShards: Seq[Int]): org.apache.spark.rdd.RDD[Row] = {
+    // each branch pays its own QueryExecution (~20 ms measured — the only
+    // cost that grows with shard count on this path); branches are
+    // independent, so plan them on a parallel collection (Spark planning is
+    // thread-safe per session — concurrent queries do exactly this).
+    // ParSeq.map preserves sequence order, which the zip alignment needs.
+    // ZipPlanCost is the measurement harness.
+    import scala.collection.parallel.CollectionConverters._
     spark.sparkContext.union(
-      neededShards.map(s =>
-        nodes.filter(col("shard") === s).coalesce(1).rdd))
+      neededShards.par
+        .map(s => nodes.filter(col("shard") === s).coalesce(1).rdd).seq)
+  }
 
   /** True iff `rdd`'s lineage reaches a shuffle — test/plan-audit hook. */
   private[graft] def hasShuffle(rdd: org.apache.spark.rdd.RDD[_]): Boolean = {
