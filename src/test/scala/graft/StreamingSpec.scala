@@ -279,6 +279,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == expected)
   }
 
+  test("streaming query serving: micro-batches answered against the live index via foreachBatch") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = "/tmp/graft_test_index/streaming_serve"
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    DiskannIndex.build(e.filter($"vec_id" < 300), "vec_id", "embedding", None,
+      path, DiskannParams(metric = "cosine"))
+    val qs = e.filter($"vec_id" < 6)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = mem.toDF().toDF("qid", "qvec").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the serving pattern: every micro-batch of queries is one
+        // searchFresh call (main graph + any delta), results shipped to
+        // the sink — here a buffer, in production a topic/table
+        StreamingIngest.searchFresh(batch.sparkSession, path, batch, k = 1,
+          searchListSize = 200, rescore = 150)
+          .collect().foreach(r => results.add((r.getLong(0), r.getLong(1))))
+      }
+      .start()
+    mem.addData(qs.take(3).toSeq)
+    q.processAllAvailable()
+    mem.addData(qs.drop(3).toSeq) // second batch: index is served warm
+    q.processAllAvailable()
+    q.stop()
+    // each query's nearest neighbor is itself (distance 0)
+    val got = results.toArray(Array.empty[(Long, Long)]).toSeq.sorted
+    assert(got == (0L until 6L).map(i => (i, i)), s"got $got")
+  }
+
   test("stream-stream interval join: window matches, outside-window excluded, outer nulls emit") {
     implicit val sqlCtx = spark.sqlContext
     def ts(ms: Long) = new java.sql.Timestamp(ms)
