@@ -506,6 +506,57 @@ object PipelineQueries {
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))),
 
+    // did the mixture hit its budgets? per-source achieved tokens vs target
+    // — the report a data-mixing run is judged by. Composes mixtureSample;
+    // one extra tiny aggregation
+    "mixture_report" -> ((s, d) =>
+      Curation.mixtureSample(docs(s, d), "doc_id", "source",
+        TextAnalysis.tokenCount(col("text")),
+        budgets = Map("src0" -> 3000L), defaultBudget = 800L, seed = "mix42")
+        .withColumn("__n", TextAnalysis.tokenCount(col("text")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__n")).cast("long").as("achieved_tokens"))
+        .withColumn("target_tokens",
+          when(col("source") === "src0", 3000L).otherwise(800L))
+        .orderBy(col("source"))),
+
+    // token-count histogram per source (fixed width-20 buckets): the corpus
+    // shape report; one map-side bucket + one small aggregation
+    "doc_len_histogram" -> ((s, d) =>
+      docs(s, d)
+        .select(col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("__n"))
+        .groupBy(col("source"),
+          (floor(col("__n") / 20) * 20).cast("long").as("bucket_lo"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("sum_tokens"))
+        .orderBy(col("source"), col("bucket_lo"))),
+
+    // per-source unigram entropy H = -Σ p ln p (nats): corpus diversity
+    // signal. Same fixed-point discipline as lm_score — each term's ln is
+    // quantized to 1e-9 BEFORE the weighted integer sum, so the result is
+    // order-free and engine-exact. Shuffle cost: one (source, token) count
+    // aggregation (map-side combined), then one tiny per-source sum.
+    "corpus_entropy" -> ((s, d) => {
+      val tok = docs(s, d)
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("t"))
+      val counts = tok.groupBy(col("source"), col("t"))
+        .agg(count(lit(1)).as("c"))
+      val totals = counts.groupBy(col("source"))
+        .agg(sum(col("c")).as("__tot"), count(lit(1)).as("vocab"))
+      counts.join(totals, Seq("source"))
+        .withColumn("__fp",
+          floor(log(col("c").cast("double") / col("__tot").cast("double"))
+            * 1000000000.0 + 0.5).cast("long") * col("c"))
+        .groupBy(col("source"))
+        .agg(first(col("vocab")).as("vocab"), first(col("__tot")).as("n_tokens"),
+          sum(col("__fp")).as("__s"))
+        .select(col("source"), col("vocab"), col("n_tokens").cast("long").as("n_tokens"),
+          round(-col("__s").cast("double") / 1000000000.0 /
+            col("n_tokens").cast("double"), 6).as("entropy"))
+        .orderBy(col("source"))
+    }),
+
     // ---- retrieval ----
     // BM25 over a fixed query-term bag ("dup" is rare → high idf): per-term
     // tf is map-side, corpus stats are one broadcast row, no token shuffle
@@ -1307,6 +1358,41 @@ object PipelineQueries {
          |WHERE ('0x' || substr(md5('mix42:' || CAST(doc_id AS VARCHAR)), 18, 15))::UBIGINT
          |      / 1152921504606846976.0 < rate
          |ORDER BY doc_id""".stripMargin,
+
+    "mixture_report" ->
+      s"""WITH t AS (SELECT doc_id, source, len($sqlTokens) AS n FROM documents),
+         |s AS (SELECT source, CAST(sum(n) AS DOUBLE) AS st FROM t GROUP BY 1),
+         |r AS (SELECT source,
+         |        least(1.0, (CASE WHEN source = 'src0' THEN 3000.0 ELSE 800.0 END) / st) AS rate
+         |      FROM s),
+         |kept AS (SELECT t.doc_id, t.source, t.n FROM t JOIN r USING (source)
+         |  WHERE ('0x' || substr(md5('mix42:' || CAST(doc_id AS VARCHAR)), 18, 15))::UBIGINT
+         |        / 1152921504606846976.0 < rate)
+         |SELECT source, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS achieved_tokens,
+         |       CAST(CASE WHEN source = 'src0' THEN 3000 ELSE 800 END AS BIGINT) AS target_tokens
+         |FROM kept GROUP BY source ORDER BY source""".stripMargin,
+
+    "doc_len_histogram" ->
+      s"""WITH t AS (SELECT source, len($sqlTokens) AS n FROM documents)
+         |SELECT source, CAST(n // 20 * 20 AS BIGINT) AS bucket_lo,
+         |       count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS sum_tokens
+         |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // entropy replay: identical 1e-9 fixed-point of each term's ln BEFORE
+    // the weighted integer sum (order-free), same finishing division
+    "corpus_entropy" ->
+      s"""WITH tok AS (SELECT source, unnest($sqlTokens) AS t FROM documents),
+         |c AS (SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot,
+         |               count(*) AS vocab FROM c GROUP BY 1),
+         |fp AS (SELECT c.source,
+         |         CAST(floor(ln(CAST(c.c AS DOUBLE) / CAST(tot AS DOUBLE))
+         |              * 1000000000.0 + 0.5) AS BIGINT) * c.c AS f
+         |       FROM c JOIN tot USING (source)),
+         |s AS (SELECT source, sum(f) AS s FROM fp GROUP BY 1)
+         |SELECT s.source, tot.vocab, tot.tot AS n_tokens,
+         |       round(-CAST(s.s AS DOUBLE) / 1000000000.0 / CAST(tot.tot AS DOUBLE), 6) AS entropy
+         |FROM s JOIN tot USING (source) ORDER BY source""".stripMargin,
 
     // BM25 replay in the exact operation order of TextAnalysis.bm25:
     // lenNorm = k1*((1-b) + b*dl/avgdl), score_i = idf*tf*(k1+1)/(tf+lenNorm),
