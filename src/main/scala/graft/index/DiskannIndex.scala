@@ -192,9 +192,44 @@ object DiskannIndex {
       .withColumn("shard", pmod(xxhash64(col("row_id")), lit(numShards)).cast(IntegerType))
       .repartition(numShards, col("shard"))
 
-    val nodes = sharded.mapPartitions { it =>
-      // a task may receive >1 shard (hash collisions across shard keys);
-      // group locally and build each shard graph independently.
+    val nodes = buildShardNodes(sharded, metric, modelBc, hasLabels,
+      dimsToIndex, r, l, alpha)
+
+    inPhase(spark, PhaseBuilding, path) {
+      nodes.write.mode("overwrite").partitionBy("shard").parquet(s"$path/nodes")
+    }
+
+    // meta sidecar as a 1-row parquet (no JSON dependency, schema-checked).
+    // buildId is a fresh epoch per (re)build: executor caches key on it, so a
+    // rebuild at the same path naturally misses every executor's cache — no
+    // driver-to-executor invalidation broadcast needed (the analog of the
+    // reference bumping the meta page version).
+    import spark.implicits._
+    inPhase(spark, PhaseFinalizing, path) {
+      Seq(IndexMeta(params.metric, params.storage, r, l, alpha, numShards, n,
+        hasLabels,
+        if (model != null) model.bitsPerDim else 0,
+        if (model != null) model.count else 0L,
+        if (model != null) model.mean else Array.emptyDoubleArray,
+        if (model != null) model.m2 else Array.emptyDoubleArray, dimsToIndex,
+        params.partitioner,
+        if (ivfModel != null) ivfModel.centroids else Array.empty[Array[Float]],
+        params.shardTargetRows, java.util.UUID.randomUUID().toString))
+        .toDF().coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+    }
+    GraphSearcher.invalidate(path)
+  }
+
+  /** Per-shard Vamana graph build over a (row_id, vec, labels, shard)
+    * DataFrame already repartitioned by shard — the compute kernel shared by
+    * [[build]] and the incremental compaction's partial rebuild
+    * ([[rebuildShardsInto]]). A task may receive >1 shard (hash collisions
+    * across shard keys); shards group locally and build independently. */
+  private def buildShardNodes(sharded: DataFrame, metric: Metric,
+      modelBc: org.apache.spark.broadcast.Broadcast[SbqModel],
+      hasLabels: Boolean, dimsToIndex: Int,
+      r: Int, l: Int, alpha: Double): DataFrame =
+    sharded.mapPartitions { it =>
       val byShard = mutable.Map.empty[Int, mutable.ArrayBuffer[(Long, Array[Float], Array[Short])]]
       it.foreach { row =>
         val shard = row.getAs[Int]("shard")
@@ -231,31 +266,6 @@ object DiskannIndex {
         }
       }
     }(org.apache.spark.sql.Encoders.row(nodeSchema))
-
-    inPhase(spark, PhaseBuilding, path) {
-      nodes.write.mode("overwrite").partitionBy("shard").parquet(s"$path/nodes")
-    }
-
-    // meta sidecar as a 1-row parquet (no JSON dependency, schema-checked).
-    // buildId is a fresh epoch per (re)build: executor caches key on it, so a
-    // rebuild at the same path naturally misses every executor's cache — no
-    // driver-to-executor invalidation broadcast needed (the analog of the
-    // reference bumping the meta page version).
-    import spark.implicits._
-    inPhase(spark, PhaseFinalizing, path) {
-      Seq(IndexMeta(params.metric, params.storage, r, l, alpha, numShards, n,
-        hasLabels,
-        if (model != null) model.bitsPerDim else 0,
-        if (model != null) model.count else 0L,
-        if (model != null) model.mean else Array.emptyDoubleArray,
-        if (model != null) model.m2 else Array.emptyDoubleArray, dimsToIndex,
-        params.partitioner,
-        if (ivfModel != null) ivfModel.centroids else Array.empty[Array[Float]],
-        params.shardTargetRows, java.util.UUID.randomUUID().toString))
-        .toDF().coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
-    }
-    GraphSearcher.invalidate(path)
-  }
 
   case class IndexMeta(metric: String, storage: String, numNeighbors: Int,
       searchListSize: Int, maxAlpha: Double, numShards: Int, numRows: Long,
@@ -311,6 +321,109 @@ object DiskannIndex {
     try fs.listStatus(vdir).map(_.getPath.getName)
       .filter(_.matches("v\\d{9}")).sorted.toSeq
     catch { case _: java.io.FileNotFoundException => Seq.empty }
+  }
+
+  /**
+   * Incremental (IVF-partial) compaction rebuild — the LSM-style answer to
+   * "aminsert updates the live graph in place": with an IVF partitioner,
+   * every delta row routes to exactly one centroid's shard, so only shards
+   * that RECEIVE delta rows or LOSE tombstoned rows need graph work.
+   * Writes a complete new index root at `dstPath`:
+   *
+   *  - affected shards rebuild from (surviving existing rows ∪ delta rows)
+   *    using the FROZEN quantizer and centroids from `meta` — retraining
+   *    would silently invalidate the codes and routing of every untouched
+   *    shard;
+   *  - every untouched shard's parquet files are copied byte-for-byte (IO,
+   *    no decode, no O(n·R·L·dim) graph build — at scale the build compute
+   *    dwarfs the copy; a manifest-based layout that reuses files across
+   *    generations without copying is the noted next step);
+   *  - a fresh `_meta` (updated numRows, new buildId) finalizes the root.
+   *
+   * Returns the new row count.
+   */
+  private[graft] def rebuildShardsInto(spark: SparkSession, srcRoot: String,
+      meta: IndexMeta, delta: DataFrame, tombstones: Set[Long],
+      dstPath: String): Long = {
+    import org.apache.spark.sql.functions.broadcast
+    val metric = Metric(meta.metric)
+    val model =
+      if (meta.storage == "sbq")
+        SbqModel(meta.modelCount, meta.modelMean, meta.modelM2, meta.bitsPerDim)
+      else null
+    val modelBc = spark.sparkContext.broadcast(model)
+    val dimsToIndex = meta.dimsToIndex
+    val ivfBc = spark.sparkContext.broadcast(
+      graft.operators.Similarity.IvfModel(meta.centroids))
+    val assign = udf((v: mutable.Seq[Float]) => {
+      val raw = v.toArray
+      val sliced = if (dimsToIndex > 0) raw.take(dimsToIndex) else raw
+      val bv = if (metric == Metric.Cosine) VectorKernels.normalize(sliced) else sliced
+      ivfBc.value.nearest(bv, 1)(0)
+    })
+    val deltaAssigned = delta
+      .filter(col("vec").isNotNull)
+      .select(col("row_id").cast(LongType), col("vec"),
+        col("labels").cast(ArrayType(ShortType)).as("labels"))
+      .withColumn("shard", assign(col("vec")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val existing = spark.read.parquet(s"$srcRoot/nodes")
+      val tombDf = spark.createDataset(tombstones.toSeq)(
+        org.apache.spark.sql.Encoders.scalaLong).toDF("row_id")
+      val deltaShards = deltaAssigned.select("shard").distinct()
+        .collect().map(_.getInt(0)).toSet
+      val tombShards: Set[Int] =
+        if (tombstones.isEmpty) Set.empty
+        else existing.join(broadcast(tombDf), Seq("row_id"))
+          .select("shard").distinct().collect().map(_.getInt(0)).toSet
+      val affected = (deltaShards ++ tombShards).toSeq.sorted
+
+      val fs = new org.apache.hadoop.fs.Path(dstPath)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val deltaCount = deltaAssigned.count()
+      var newRows = meta.numRows + deltaCount
+      if (affected.nonEmpty) {
+        val affectedCol = affected.map(Integer.valueOf)
+        val oldAffected = existing.filter(col("shard").isin(affectedCol: _*))
+          .select(col("row_id"), col("vec"), col("labels"), col("shard"))
+        val oldAffectedCount = oldAffected.count()
+        val survivors =
+          if (tombstones.isEmpty) oldAffected
+          else oldAffected.join(broadcast(tombDf), Seq("row_id"), "left_anti")
+        val survivorCount =
+          if (tombstones.isEmpty) oldAffectedCount else survivors.count()
+        newRows = meta.numRows - oldAffectedCount + survivorCount + deltaCount
+        val rebuildRows = survivors.unionByName(deltaAssigned)
+          .repartition(affected.length, col("shard"))
+        val nodes = buildShardNodes(rebuildRows, metric, modelBc,
+          meta.hasLabels, dimsToIndex, meta.numNeighbors, meta.searchListSize,
+          meta.maxAlpha)
+        inPhase(spark, PhaseBuilding, dstPath) {
+          nodes.write.mode("overwrite").partitionBy("shard")
+            .parquet(s"$dstPath/nodes")
+        }
+      } else fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dstPath/nodes"))
+
+      // untouched shards: raw file copy, preserving part-file names (the
+      // test observable: copied dirs keep their file names, rebuilt shards
+      // get fresh ones)
+      val conf = spark.sessionState.newHadoopConf()
+      (0 until meta.numShards).filterNot(affected.toSet).foreach { s =>
+        val src = new org.apache.hadoop.fs.Path(s"$srcRoot/nodes/shard=$s")
+        if (fs.exists(src))
+          org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+            new org.apache.hadoop.fs.Path(s"$dstPath/nodes/shard=$s"),
+            false, conf)
+      }
+      import spark.implicits._
+      inPhase(spark, PhaseFinalizing, dstPath) {
+        Seq(meta.copy(numRows = newRows,
+          buildId = java.util.UUID.randomUUID().toString))
+          .toDF().coalesce(1).write.mode("overwrite").parquet(s"$dstPath/_meta")
+      }
+      newRows
+    } finally deltaAssigned.unpersist(false)
   }
 
   def loadMeta(spark: SparkSession, path0: String): IndexMeta = {

@@ -181,16 +181,6 @@ object StreamingIngest {
           (if (meta.hasLabels) col("labels") else lit(null)
             .cast(org.apache.spark.sql.types.ArrayType(
               org.apache.spark.sql.types.ShortType))).as("labels"))
-      // VACUUM analog (vacuum.rs:24-136 folds at rebuild): tombstoned rows
-      // are physically dropped from the new generation, so post-compact
-      // searches need no tombstone set at all
-      val merged = existing.unionByName(delta)
-      val all = (if (tombstones.isEmpty) merged
-        else merged.join(
-          broadcast(spark.createDataset(tombstones.toSeq)(
-            org.apache.spark.sql.Encoders.scalaLong).toDF("row_id")),
-          Seq("row_id"), "left_anti")).cache()
-
       val vdir = new org.apache.hadoop.fs.Path(s"$indexPath/versions")
       fs.mkdirs(vdir)
       val prior = fs.listStatus(vdir).map(_.getPath.getName)
@@ -198,10 +188,32 @@ object StreamingIngest {
       val next = (prior.map(_.substring(1).toInt) :+ 0).max + 1
       val tmp = new org.apache.hadoop.fs.Path(vdir,
         s".tmp-${java.util.UUID.randomUUID()}")
-      DiskannIndex.build(all, "row_id", "vec",
-        if (meta.hasLabels) Some("labels") else None, tmp.toString,
-        tune(meta.toParams))
-      all.unpersist()
+      val params = tune(meta.toParams)
+      // INCREMENTAL path (IVF only): delta rows route to exactly one
+      // centroid's shard, so only shards receiving delta or losing
+      // tombstones rebuild; the rest copy raw. Requires unchanged params
+      // (tune = identity) — mixed-parameter shards would be a lie — and is
+      // the default; graft.compact.incremental=false forces full rebuilds.
+      val incremental = meta.partitioner == "ivf" && meta.centroids.nonEmpty &&
+        params == meta.toParams &&
+        spark.conf.get("graft.compact.incremental", "true").toBoolean
+      if (incremental) {
+        DiskannIndex.rebuildShardsInto(spark, root, meta, delta, tombstones,
+          tmp.toString)
+      } else {
+        // VACUUM analog (vacuum.rs:24-136 folds at rebuild): tombstoned rows
+        // are physically dropped from the new generation, so post-compact
+        // searches need no tombstone set at all
+        val merged = existing.unionByName(delta)
+        val all = (if (tombstones.isEmpty) merged
+          else merged.join(
+            broadcast(spark.createDataset(tombstones.toSeq)(
+              org.apache.spark.sql.Encoders.scalaLong).toDF("row_id")),
+            Seq("row_id"), "left_anti")).cache()
+        DiskannIndex.build(all, "row_id", "vec",
+          if (meta.hasLabels) Some("labels") else None, tmp.toString, params)
+        all.unpersist()
+      }
       val dst = new org.apache.hadoop.fs.Path(vdir, f"v$next%09d")
       if (!fs.rename(tmp, dst)) {
         fs.delete(tmp, true)

@@ -144,6 +144,78 @@ class StreamingSpec extends AnyFunSuite {
     assert(oldHits.nonEmpty && oldHits.forall(_.getLong(1) < 400L))
   }
 
+  test("incremental compaction: only delta/tombstone shards rebuild, the rest copy raw") {
+    val path = "/tmp/graft_test_index/incr_compact"
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    deleteRec(new java.io.File(path))
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n0 = e.count()
+    DiskannIndex.build(e, "vec_id", "embedding", None, path,
+      DiskannParams(metric = "cosine", partitioner = "ivf",
+        ivfSeed = Some("ic42"), shardTargetRows = 200))
+    val meta0 = DiskannIndex.loadMeta(spark, path)
+    assert(meta0.numShards >= 3, s"want several shards, got ${meta0.numShards}")
+    def partFiles(root: String): Map[Int, Set[String]] =
+      (0 until meta0.numShards).map { s =>
+        s -> Option(new java.io.File(s"$root/nodes/shard=$s").list())
+          .map(_.filter(_.startsWith("part-")).toSet).getOrElse(Set.empty)
+      }.toMap
+    val gen0 = partFiles(path)
+
+    // delta: exact copies (new ids) of 5 vectors that live in ONE shard —
+    // frozen-centroid assignment routes them back to that same shard
+    val nodes0 = spark.read.parquet(s"$path/nodes")
+    val srcShard = nodes0.select($"shard").head().getInt(0)
+    val deltaRows = nodes0.filter($"shard" === srcShard).limit(5)
+      .select(($"row_id" + 10000).as("row_id"), $"vec")
+    deltaRows.write.mode("append").parquet(s"$path/delta")
+    StreamingIngest.compact(spark, path)
+
+    val root1 = DiskannIndex.resolveRoot(spark, path)
+    assert(root1.endsWith("v000000001"))
+    assert(DiskannIndex.loadMeta(spark, path).numRows == n0 + 5)
+    val gen1 = partFiles(root1)
+    assert(gen1(srcShard) != gen0(srcShard), "delta shard must be rebuilt")
+    (0 until meta0.numShards).filterNot(_ == srcShard).foreach { s =>
+      assert(gen1(s) == gen0(s), s"untouched shard $s must be copied raw")
+    }
+    // the rebuilt shard serves the new rows: an exact-duplicate query must
+    // return BOTH twins at distance ~0
+    val probe = nodes0.filter($"shard" === srcShard).limit(5)
+      .select($"row_id", $"vec").collect()
+    val q = Seq((0L, probe(0).getAs[scala.collection.mutable.Seq[Float]]("vec").toArray))
+      .toDF("qid", "qvec")
+    val hits = DiskannIndex.search(spark, path, q, k = 2,
+      searchListSize = 200, rescore = 150).collect().map(_.getLong(1)).toSet
+    assert(hits == Set(probe(0).getLong(0), probe(0).getLong(0) + 10000), hits)
+
+    // tombstones-only incremental: exactly the victim's shard rebuilds again
+    // (victim row + vector materialized NOW — compaction prunes the flat
+    // pre-versioning files nodes0 lazily points at)
+    val victim = nodes0.filter($"shard" =!= srcShard)
+      .select($"row_id", $"shard", $"vec").head()
+    val vvec = victim.getAs[scala.collection.mutable.Seq[Float]]("vec").toArray
+    StreamingIngest.compact(spark, path, tombstones = Set(victim.getLong(0)))
+    val root2 = DiskannIndex.resolveRoot(spark, path)
+    assert(root2.endsWith("v000000002"))
+    assert(DiskannIndex.loadMeta(spark, path).numRows == n0 + 4)
+    val gen2 = partFiles(root2)
+    assert(gen2(victim.getInt(1)) != gen1(victim.getInt(1)))
+    (0 until meta0.numShards)
+      .filterNot(s => s == victim.getInt(1)).foreach { s =>
+        assert(gen2(s) == gen1(s), s"shard $s untouched by the tombstone")
+      }
+    // the tombstoned row is physically gone (VACUUM): exact search at its
+    // own vector no longer returns it
+    val q2 = Seq((0L, vvec)).toDF("qid", "qvec")
+    val hits2 = DiskannIndex.search(spark, path, q2, k = 5,
+      searchListSize = 200, rescore = 150).collect().map(_.getLong(1)).toSet
+    assert(!hits2.contains(victim.getLong(0)))
+  }
+
   test("lease lock: S3A-style non-exclusive create — exactly one writer verifies ownership") {
     // simulate an object store where create(overwrite=false) is NOT atomic:
     // both writers' creates "succeed" (exclusiveCreate=false forces the
