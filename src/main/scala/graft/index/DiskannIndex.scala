@@ -340,11 +340,16 @@ object DiskannIndex {
    *    generations without copying is the noted next step);
    *  - a fresh `_meta` (updated numRows, new buildId) finalizes the root.
    *
-   * Returns the new row count.
+   * Returns the new row count — or None REFUSING the partial rebuild when
+   * any affected shard would grow past `graft.compact.maxShardGrowth`
+   * (default 2.0) × shardTargetRows: frozen centroids mean a hot-spot
+   * centroid's shard would otherwise grow without bound across
+   * compactions until its in-heap build OOMs; the caller answers a refusal
+   * with the FULL rebuild, which re-trains centroids and re-shards.
    */
   private[graft] def rebuildShardsInto(spark: SparkSession, srcRoot: String,
       meta: IndexMeta, delta: DataFrame, tombstones: Set[Long],
-      dstPath: String): Long = {
+      dstPath: String): Option[Long] = {
     import org.apache.spark.sql.functions.broadcast
     val metric = Metric(meta.metric)
     val model =
@@ -361,39 +366,57 @@ object DiskannIndex {
       val bv = if (metric == Metric.Cosine) VectorKernels.normalize(sliced) else sliced
       ivfBc.value.nearest(bv, 1)(0)
     })
+    val tombDf = spark.createDataset(tombstones.toSeq)(
+      org.apache.spark.sql.Encoders.scalaLong).toDF("row_id")
+    // tombstones apply to the DELTA too: a row appended and then deleted
+    // before compaction must not be resurrected into the new generation
+    // (parity with the full-rebuild path and searchWithDelta)
     val deltaAssigned = delta
       .filter(col("vec").isNotNull)
       .select(col("row_id").cast(LongType), col("vec"),
         col("labels").cast(ArrayType(ShortType)).as("labels"))
+      .transform(d => if (tombstones.isEmpty) d
+        else d.join(broadcast(tombDf), Seq("row_id"), "left_anti"))
       .withColumn("shard", assign(col("vec")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val existing = spark.read.parquet(s"$srcRoot/nodes")
-      val tombDf = spark.createDataset(tombstones.toSeq)(
-        org.apache.spark.sql.Encoders.scalaLong).toDF("row_id")
-      val deltaShards = deltaAssigned.select("shard").distinct()
-        .collect().map(_.getInt(0)).toSet
-      val tombShards: Set[Int] =
-        if (tombstones.isEmpty) Set.empty
-        else existing.join(broadcast(tombDf), Seq("row_id"))
-          .select("shard").distinct().collect().map(_.getInt(0)).toSet
-      val affected = (deltaShards ++ tombShards).toSeq.sorted
+      // ONE small aggregate per input computes everything the bookkeeping
+      // needs: per-shard delta counts, per-shard tombstone hits, per-shard
+      // existing sizes of the affected shards
+      def countsByShard(df: DataFrame): Map[Int, Long] =
+        df.groupBy(col("shard")).agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val deltaByShard = countsByShard(deltaAssigned)
+      val tombByShard: Map[Int, Long] =
+        if (tombstones.isEmpty) Map.empty
+        else countsByShard(existing.join(broadcast(tombDf), Seq("row_id")))
+      val affected = (deltaByShard.keySet ++ tombByShard.keySet).toSeq.sorted
+      val deltaCount = deltaByShard.valuesIterator.sum
+      val tombCount = tombByShard.valuesIterator.sum
+      val newRows = meta.numRows - tombCount + deltaCount
 
       val fs = new org.apache.hadoop.fs.Path(dstPath)
         .getFileSystem(spark.sessionState.newHadoopConf())
-      val deltaCount = deltaAssigned.count()
-      var newRows = meta.numRows + deltaCount
       if (affected.nonEmpty) {
         val affectedCol = affected.map(Integer.valueOf)
+        val oldByShard = countsByShard(
+          existing.filter(col("shard").isin(affectedCol: _*)))
+        // growth gate: refuse before any graph work if a frozen-centroid
+        // hot spot would push a shard past the heap-sizing invariant
+        val growthCap = (spark.conf.get("graft.compact.maxShardGrowth", "2.0")
+          .toDouble * meta.shardTargetRows).toLong
+        val oversized = affected.filter { s =>
+          oldByShard.getOrElse(s, 0L) - tombByShard.getOrElse(s, 0L) +
+            deltaByShard.getOrElse(s, 0L) > growthCap
+        }
+        if (oversized.nonEmpty) return None
+
         val oldAffected = existing.filter(col("shard").isin(affectedCol: _*))
           .select(col("row_id"), col("vec"), col("labels"), col("shard"))
-        val oldAffectedCount = oldAffected.count()
         val survivors =
           if (tombstones.isEmpty) oldAffected
           else oldAffected.join(broadcast(tombDf), Seq("row_id"), "left_anti")
-        val survivorCount =
-          if (tombstones.isEmpty) oldAffectedCount else survivors.count()
-        newRows = meta.numRows - oldAffectedCount + survivorCount + deltaCount
         val rebuildRows = survivors.unionByName(deltaAssigned)
           .repartition(affected.length, col("shard"))
         val nodes = buildShardNodes(rebuildRows, metric, modelBc,
@@ -422,7 +445,7 @@ object DiskannIndex {
           buildId = java.util.UUID.randomUUID().toString))
           .toDF().coalesce(1).write.mode("overwrite").parquet(s"$dstPath/_meta")
       }
-      newRows
+      Some(newRows)
     } finally deltaAssigned.unpersist(false)
   }
 

@@ -549,8 +549,12 @@ object PipelineQueries {
           floor(log(col("c").cast("double") / col("__tot").cast("double"))
             * 1000000000.0 + 0.5).cast("long") * col("c"))
         .groupBy(col("source"))
+        // decimal(38) accumulator: per-row __fp reaches ~2e10 per occurrence,
+        // so a LONG sum overflows near ~5e8 tokens/source — exactly the
+        // corpora this engine targets; DuckDB's oracle sums in HUGEINT
         .agg(first(col("vocab")).as("vocab"), first(col("__tot")).as("n_tokens"),
-          sum(col("__fp")).as("__s"))
+          sum(col("__fp").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .as("__s"))
         .select(col("source"), col("vocab"), col("n_tokens").cast("long").as("n_tokens"),
           round(-col("__s").cast("double") / 1000000000.0 /
             col("n_tokens").cast("double"), 6).as("entropy"))

@@ -197,10 +197,14 @@ object StreamingIngest {
       val incremental = meta.partitioner == "ivf" && meta.centroids.nonEmpty &&
         params == meta.toParams &&
         spark.conf.get("graft.compact.incremental", "true").toBoolean
-      if (incremental) {
+      // rebuildShardsInto may REFUSE (None) when a frozen-centroid hot spot
+      // would overgrow a shard — fall through to the full rebuild, which
+      // re-trains centroids and restores the shard-sizing invariant
+      val partialDone = incremental &&
         DiskannIndex.rebuildShardsInto(spark, root, meta, delta, tombstones,
-          tmp.toString)
-      } else {
+          tmp.toString).isDefined
+      if (!partialDone) {
+        fs.delete(tmp, true) // drop any partial refusal leftovers
         // VACUUM analog (vacuum.rs:24-136 folds at rebuild): tombstoned rows
         // are physically dropped from the new generation, so post-compact
         // searches need no tombstone set at all

@@ -169,7 +169,10 @@ class StreamingSpec extends AnyFunSuite {
     // frozen-centroid assignment routes them back to that same shard
     val nodes0 = spark.read.parquet(s"$path/nodes")
     val srcShard = nodes0.select($"shard").head().getInt(0)
-    val deltaRows = nodes0.filter($"shard" === srcShard).limit(5)
+    // deterministic pick (orderBy before limit): `probe` below re-derives
+    // the SAME rows — a bare limit() can legally return different subsets
+    val deltaRows = nodes0.filter($"shard" === srcShard)
+      .orderBy($"row_id").limit(5)
       .select(($"row_id" + 10000).as("row_id"), $"vec")
     deltaRows.write.mode("append").parquet(s"$path/delta")
     StreamingIngest.compact(spark, path)
@@ -184,7 +187,8 @@ class StreamingSpec extends AnyFunSuite {
     }
     // the rebuilt shard serves the new rows: an exact-duplicate query must
     // return BOTH twins at distance ~0
-    val probe = nodes0.filter($"shard" === srcShard).limit(5)
+    val probe = nodes0.filter($"shard" === srcShard)
+      .orderBy($"row_id").limit(5)
       .select($"row_id", $"vec").collect()
     val q = Seq((0L, probe(0).getAs[scala.collection.mutable.Seq[Float]]("vec").toArray))
       .toDF("qid", "qvec")
@@ -214,6 +218,38 @@ class StreamingSpec extends AnyFunSuite {
     val hits2 = DiskannIndex.search(spark, path, q2, k = 5,
       searchListSize = 200, rescore = 150).collect().map(_.getLong(1)).toSet
     assert(!hits2.contains(victim.getLong(0)))
+
+    // append-then-delete in the SAME compaction: a delta row that is also
+    // tombstoned must NOT be resurrected into the new generation
+    val ghostVec = probe(2).getAs[scala.collection.mutable.Seq[Float]]("vec")
+    val ghostId = probe(2).getLong(0) + 20000
+    Seq((ghostId, ghostVec.toArray)).toDF("row_id", "vec")
+      .write.mode("append").parquet(s"$path/delta")
+    StreamingIngest.compact(spark, path, tombstones = Set(ghostId))
+    assert(DiskannIndex.loadMeta(spark, path).numRows == n0 + 4) // unchanged
+    val q3 = Seq((0L, ghostVec.toArray)).toDF("qid", "qvec")
+    val hits3 = DiskannIndex.search(spark, path, q3, k = 5,
+      searchListSize = 200, rescore = 150).collect().map(_.getLong(1)).toSet
+    assert(!hits3.contains(ghostId), s"deleted-in-delta row resurrected: $hits3")
+
+    // growth gate: with a tiny cap, the partial rebuild REFUSES and compact
+    // falls back to the full rebuild (fresh centroids, invariant restored)
+    Seq((probe(3).getLong(0) + 30000,
+      probe(3).getAs[scala.collection.mutable.Seq[Float]]("vec").toArray))
+      .toDF("row_id", "vec").write.mode("append").parquet(s"$path/delta")
+    spark.conf.set("graft.compact.maxShardGrowth", "0.001")
+    try StreamingIngest.compact(spark, path)
+    finally spark.conf.unset("graft.compact.maxShardGrowth")
+    val metaF = DiskannIndex.loadMeta(spark, path)
+    assert(metaF.numRows == n0 + 5) // +1 new delta row, full rebuild counted it
+    // probe(3)'s vector now has THREE copies: the original, the first
+    // compaction's +10000 twin, and the new +30000 row
+    val hitsF = DiskannIndex.search(spark, path,
+      Seq((0L, probe(3).getAs[scala.collection.mutable.Seq[Float]]("vec").toArray))
+        .toDF("qid", "qvec"), k = 3,
+      searchListSize = 200, rescore = 150).collect().map(_.getLong(1)).toSet
+    assert(hitsF == Set(probe(3).getLong(0), probe(3).getLong(0) + 10000,
+      probe(3).getLong(0) + 30000), hitsF)
   }
 
   test("lease lock: S3A-style non-exclusive create — exactly one writer verifies ownership") {
