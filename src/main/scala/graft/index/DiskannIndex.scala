@@ -200,11 +200,15 @@ object DiskannIndex {
     }
 
     // meta sidecar as a 1-row parquet (no JSON dependency, schema-checked).
-    // buildId is a fresh epoch per (re)build: executor caches key on it, so a
-    // rebuild at the same path naturally misses every executor's cache — no
-    // driver-to-executor invalidation broadcast needed (the analog of the
-    // reference bumping the meta page version).
+    // buildId is a fresh epoch per (re)build and shardBuildIds one epoch PER
+    // SHARD: executor caches key on (index path, shard, shard epoch), so a
+    // rebuild naturally misses every executor's cache for the rebuilt
+    // shards — and incremental compaction, which copies untouched shards
+    // verbatim, KEEPS their epochs, so their warm decoded graphs survive
+    // the generation change (no driver-to-executor invalidation broadcast;
+    // the analog of the reference bumping the meta page version).
     import spark.implicits._
+    val genId = java.util.UUID.randomUUID().toString
     inPhase(spark, PhaseFinalizing, path) {
       Seq(IndexMeta(params.metric, params.storage, r, l, alpha, numShards, n,
         hasLabels,
@@ -214,7 +218,8 @@ object DiskannIndex {
         if (model != null) model.m2 else Array.emptyDoubleArray, dimsToIndex,
         params.partitioner,
         if (ivfModel != null) ivfModel.centroids else Array.empty[Array[Float]],
-        params.shardTargetRows, java.util.UUID.randomUUID().toString))
+        params.shardTargetRows, genId,
+        Array.fill(numShards)(genId)))
         .toDF().coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
     }
     GraphSearcher.invalidate(path)
@@ -272,7 +277,12 @@ object DiskannIndex {
       hasLabels: Boolean, bitsPerDim: Int, modelCount: Long,
       modelMean: Array[Double], modelM2: Array[Double], dimsToIndex: Int,
       partitioner: String, centroids: Array[Array[Float]],
-      shardTargetRows: Long, buildId: String) {
+      shardTargetRows: Long, buildId: String,
+      /** per-shard cache epoch: fresh UUID when a shard's graph is
+        * (re)built, PRESERVED when incremental compaction copies the shard
+        * verbatim — executor caches stay warm across generations for
+        * untouched shards */
+      shardBuildIds: Array[String]) {
     /** The params this index was built with (minus the SBQ auto-default
       * already resolved into bitsPerDim) — compaction/rebuild starts here so
       * storage type, quantization width and graph shape survive. */
@@ -349,7 +359,7 @@ object DiskannIndex {
    */
   private[graft] def rebuildShardsInto(spark: SparkSession, srcRoot: String,
       meta: IndexMeta, delta: DataFrame, tombstones: Set[Long],
-      dstPath: String): Option[Long] = {
+      dstPath: String): Option[(Long, Seq[Int])] = {
     import org.apache.spark.sql.functions.broadcast
     val metric = Metric(meta.metric)
     val model =
@@ -440,12 +450,20 @@ object DiskannIndex {
             false, conf)
       }
       import spark.implicits._
+      // per-shard cache epochs: fresh for rebuilt shards, PRESERVED for
+      // copied ones — executor caches of untouched shards survive the
+      // generation change
+      val freshEpoch = java.util.UUID.randomUUID().toString
+      val affectedSet = affected.toSet
+      val newShardIds = meta.shardBuildIds.zipWithIndex.map { case (old, s) =>
+        if (affectedSet(s)) freshEpoch else old
+      }
       inPhase(spark, PhaseFinalizing, dstPath) {
-        Seq(meta.copy(numRows = newRows,
-          buildId = java.util.UUID.randomUUID().toString))
+        Seq(meta.copy(numRows = newRows, buildId = freshEpoch,
+          shardBuildIds = newShardIds))
           .toDF().coalesce(1).write.mode("overwrite").parquet(s"$dstPath/_meta")
       }
-      Some(newRows)
+      Some((newRows, affected))
     } finally deltaAssigned.unpersist(false)
   }
 
@@ -465,6 +483,9 @@ object DiskannIndex {
       df = df.withColumn("shardTargetRows", lit(1L << 20))
     if (!df.columns.contains("buildId"))
       df = df.withColumn("buildId", lit("legacy"))
+    if (!df.columns.contains("shardBuildIds"))
+      df = df.withColumn("shardBuildIds",
+        array_repeat(col("buildId"), col("numShards")))
     df.as[IndexMeta].head()
   }
 
@@ -632,7 +653,12 @@ object DiskannIndex {
       StructField("row_id", LongType, nullable = false),
       StructField("dist", DoubleType, nullable = false)))
 
-    val buildId = meta.buildId
+    // cache keys use the CALLER's index path + the per-shard epoch: the
+    // resolved generation dir changes on every compaction, but an untouched
+    // shard keeps its epoch, so its decoded graph stays warm across
+    // incremental compactions
+    val shardIds = meta.shardBuildIds
+    val cachePath = path0
 
     def searchShard(searcher: GraphSearcher, shard: Int,
         qs: Iterator[(Long, Array[Float], Array[Short])],
@@ -661,7 +687,7 @@ object DiskannIndex {
     val warmPairs: Seq[(Int, GraphSearcher)] =
       if (qRows.length <= 128)
         neededShards.flatMap(sh =>
-          GraphSearcher.peek(s"$path#$sh#$buildId").map(sh -> _))
+          GraphSearcher.peek(s"$cachePath#$sh#${shardIds(sh)}").map(sh -> _))
       else Seq.empty
     val warmSet = warmPairs.map(_._1).toSet
     val coldShards = neededShards.filterNot(warmSet)
@@ -676,7 +702,8 @@ object DiskannIndex {
         val rows = it.toArray
         if (rows.isEmpty) Iterator.empty
         else rows.groupBy(_.getAs[Int]("shard")).iterator.flatMap { case (shard, shardRows) =>
-          val searcher = GraphSearcher.getOrBuild(s"$path#$shard#$buildId",
+          val searcher = GraphSearcher.getOrBuild(
+            s"$cachePath#$shard#${shardIds(shard)}",
             () => buildShardSearcher(path, shard, shardRows, metric, model,
               meta.hasLabels, meta.dimsToIndex))
           searchShard(searcher, shard, qBc.value.iterator, tombBc.value, probeBc.value)
@@ -791,7 +818,8 @@ object DiskannIndex {
     val needed: Seq[Int] =
       probeShardsFor(meta, metric, qvec, nProbe)
         .map(_.toSeq.sorted).getOrElse(0 until meta.numShards)
-    val searchers = needed.map(sh => GraphSearcher.peek(s"$path#$sh#${meta.buildId}"))
+    val searchers = needed.map(sh =>
+      GraphSearcher.peek(s"$path0#$sh#${meta.shardBuildIds(sh)}"))
     if (searchers.exists(_.isEmpty)) None
     else {
       val report = reportDistFn(metric)
@@ -830,7 +858,8 @@ object DiskannIndex {
       if (meta.storage == "sbq") SbqModel(meta.modelCount, meta.modelMean, meta.modelM2, meta.bitsPerDim)
       else null
     val report = reportDistFn(metric)
-    val buildId = meta.buildId
+    val shardIds = meta.shardBuildIds
+    val cachePath = path0
     val numShards = meta.numShards
     val dimsToIndex = meta.dimsToIndex
     val hasLabels = meta.hasLabels
@@ -870,7 +899,8 @@ object DiskannIndex {
     import spark.implicits._
     def answerShard(shard: Int, nodeRows: () => Array[Row],
         qs: Array[Row]): Iterator[(Long, Long, Double)] = {
-      val searcher = GraphSearcher.getOrBuild(s"$path#$shard#$buildId",
+      val searcher = GraphSearcher.getOrBuild(
+        s"$cachePath#$shard#${shardIds(shard)}",
         () => buildShardSearcher(path, shard, nodeRows(), metric, model,
           hasLabels, dimsToIndex))
       val tomb = tombBc.value

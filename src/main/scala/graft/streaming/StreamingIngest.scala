@@ -200,10 +200,12 @@ object StreamingIngest {
       // rebuildShardsInto may REFUSE (None) when a frozen-centroid hot spot
       // would overgrow a shard — fall through to the full rebuild, which
       // re-trains centroids and restores the shard-sizing invariant
-      val partialDone = incremental &&
-        DiskannIndex.rebuildShardsInto(spark, root, meta, delta, tombstones,
-          tmp.toString).isDefined
-      if (!partialDone) {
+      val partial: Option[(Long, Seq[Int])] =
+        if (incremental)
+          DiskannIndex.rebuildShardsInto(spark, root, meta, delta, tombstones,
+            tmp.toString)
+        else None
+      if (partial.isEmpty) {
         fs.delete(tmp, true) // drop any partial refusal leftovers
         // VACUUM analog (vacuum.rs:24-136 folds at rebuild): tombstoned rows
         // are physically dropped from the new generation, so post-compact
@@ -235,7 +237,15 @@ object StreamingIngest {
         fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/nodes"), true)
         fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/_meta"), true)
       }
-      graft.index.GraphSearcher.invalidate(indexPath)
+      partial match {
+        case Some((_, affectedShards)) =>
+          // targeted eviction: untouched shards keep their (still-valid,
+          // epoch-matched) decoded graphs warm in this JVM too
+          affectedShards.foreach(s =>
+            graft.index.GraphSearcher.invalidate(s"$indexPath#$s#"))
+        case None =>
+          graft.index.GraphSearcher.invalidate(indexPath)
+      }
       // the planner's cost-gate row count changed with this generation
       graft.plans.KnnCost.invalidate(indexPath)
     } finally {

@@ -212,6 +212,18 @@ class StreamingSpec extends AnyFunSuite {
       .filterNot(s => s == victim.getInt(1)).foreach { s =>
         assert(gen2(s) == gen1(s), s"shard $s untouched by the tombstone")
       }
+    // warm-cache continuity: the twin search after compact #1 decoded every
+    // shard into this JVM's cache; compact #2 rebuilt ONLY the victim's
+    // shard, so untouched shards keep their epoch AND their warm searcher,
+    // while the rebuilt shard's new epoch starts cold
+    val meta2 = DiskannIndex.loadMeta(spark, path)
+    assert(graft.index.GraphSearcher.peek(
+      s"$path#$srcShard#${meta2.shardBuildIds(srcShard)}").isDefined,
+      "untouched shard lost its warm searcher across incremental compaction")
+    assert(graft.index.GraphSearcher.peek(
+      s"$path#${victim.getInt(1)}#${meta2.shardBuildIds(victim.getInt(1))}").isEmpty,
+      "rebuilt shard must start cold under its fresh epoch")
+
     // the tombstoned row is physically gone (VACUUM): exact search at its
     // own vector no longer returns it
     val q2 = Seq((0L, vvec)).toDF("qid", "qvec")
