@@ -219,7 +219,7 @@ object DiskannIndex {
         params.partitioner,
         if (ivfModel != null) ivfModel.centroids else Array.empty[Array[Float]],
         params.shardTargetRows, genId,
-        Array.fill(numShards)(genId)))
+        Array.fill(numShards)(genId), Array.fill(numShards)("")))
         .toDF().coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
     }
     GraphSearcher.invalidate(path)
@@ -279,10 +279,18 @@ object DiskannIndex {
       partitioner: String, centroids: Array[Array[Float]],
       shardTargetRows: Long, buildId: String,
       /** per-shard cache epoch: fresh UUID when a shard's graph is
-        * (re)built, PRESERVED when incremental compaction copies the shard
-        * verbatim — executor caches stay warm across generations for
-        * untouched shards */
-      shardBuildIds: Array[String]) {
+        * (re)built, PRESERVED when incremental compaction carries the shard
+        * forward unchanged — executor caches stay warm across generations
+        * for untouched shards */
+      shardBuildIds: Array[String],
+      /** per-shard data MANIFEST (the Iceberg-style metadata-only commit):
+        * where shard s's parquet files physically live. "" = this
+        * generation's own `nodes/shard=s`; "." = the flat (pre-versioning)
+        * index root; "versions/v%09d" = the generation that last REBUILT the
+        * shard, relative to the index path. Incremental compaction installs
+        * a new generation by writing only the rebuilt shards and pointing
+        * the rest here — no copy of the untouched 100 TB ever happens. */
+      shardDirs: Array[String]) {
     /** The params this index was built with (minus the SBQ auto-default
       * already resolved into bitsPerDim) — compaction/rebuild starts here so
       * storage type, quantization width and graph shape survive. */
@@ -331,6 +339,59 @@ object DiskannIndex {
     try fs.listStatus(vdir).map(_.getPath.getName)
       .filter(_.matches("v\\d{9}")).sorted.toSeq
     catch { case _: java.io.FileNotFoundException => Seq.empty }
+  }
+
+  private val GenDirRe = "^(.*)/versions/v\\d{9}$".r
+
+  /** The index path that owns generation root `genRoot` (identity for a
+    * flat, never-compacted index). Manifest entries are relative to THIS, so
+    * resolution works the same whether the caller passed the index path or
+    * time-traveled directly to a `versions/v%09d` dir. */
+  private[graft] def indexRootOf(genRoot: String): String = genRoot match {
+    case GenDirRe(p) => p
+    case _ => genRoot
+  }
+
+  /** `genRoot` as a manifest entry: "." for the flat index root, else the
+    * "versions/v%09d" suffix. */
+  private[graft] def relGenOf(genRoot: String): String = genRoot match {
+    case GenDirRe(_) => genRoot.substring(indexRootOf(genRoot).length + 1)
+    case _ => "."
+  }
+
+  /** Physical generation root holding shard `s`'s data per `meta`'s
+    * manifest, for an index whose ACTIVE root is `root`. */
+  private[graft] def shardGenRoot(root: String, meta: IndexMeta, s: Int): String =
+    meta.shardDirs(s) match {
+      case "" => root
+      case "." => indexRootOf(root)
+      case rel => s"${indexRootOf(root)}/$rel"
+    }
+
+  /**
+   * Manifest-aware nodes scan: the rows of exactly `shards`, with the
+   * `shard` partition column, wherever each shard's files physically live.
+   * One pruned whole-dir scan per distinct REFERENCED generation (almost
+   * always 1–2), unioned — never a file copy, and stale same-numbered shard
+   * dirs in old generations (superseded by a later rebuild) are excluded by
+   * the per-base pruning filter. Falls back to the plain single-dir read
+   * when the manifest references nothing (fresh build / full rebuild).
+   */
+  private[graft] def nodesDf(spark: SparkSession, root: String,
+      meta: IndexMeta, shards: Seq[Int]): DataFrame = {
+    val all = shards == (0 until meta.numShards)
+    if (meta.shardDirs.forall(_.isEmpty)) {
+      val df = spark.read.parquet(s"$root/nodes")
+      if (all) df
+      else df.filter(col("shard").isin(shards.map(Integer.valueOf): _*))
+    } else {
+      shards.groupBy(s => shardGenRoot(root, meta, s)).toSeq.sortBy(_._1)
+        .map { case (base, ss) =>
+          spark.read.parquet(s"$base/nodes")
+            .filter(col("shard").isin(ss.map(Integer.valueOf): _*))
+        }
+        .reduce(_ unionByName _)
+    }
   }
 
   /**
@@ -390,7 +451,7 @@ object DiskannIndex {
       .withColumn("shard", assign(col("vec")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val existing = spark.read.parquet(s"$srcRoot/nodes")
+      val existing = nodesDf(spark, srcRoot, meta, 0 until meta.numShards)
       // ONE small aggregate per input computes everything the bookkeeping
       // needs: per-shard delta counts, per-shard tombstone hits, per-shard
       // existing sizes of the affected shards
@@ -438,37 +499,63 @@ object DiskannIndex {
         }
       } else fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dstPath/nodes"))
 
-      // untouched shards: raw file copy, preserving part-file names (the
-      // test observable: copied dirs keep their file names, rebuilt shards
-      // get fresh ones)
-      val conf = spark.sessionState.newHadoopConf()
-      (0 until meta.numShards).filterNot(affected.toSet).foreach { s =>
-        val src = new org.apache.hadoop.fs.Path(s"$srcRoot/nodes/shard=$s")
-        if (fs.exists(src))
-          org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
-            new org.apache.hadoop.fs.Path(s"$dstPath/nodes/shard=$s"),
-            false, conf)
-      }
+      // Untouched shards: MANIFEST entries, not copies — the new generation
+      // is a metadata-only commit for them (the Iceberg-style layout; the
+      // GC in [[StreamingIngest.compact]] keeps every referenced generation
+      // alive). Entries are chain-free: a shard untouched for many
+      // compactions still points DIRECTLY at the generation that last built
+      // it, never through intermediate manifests.
+      // `graft.compact.manifest=false` is the ops escape hatch: raw file
+      // copies into the new generation (self-contained dirs, old behavior).
+      val affectedSet = affected.toSet
+      val untouched = (0 until meta.numShards).filterNot(affectedSet)
+      val manifestMode =
+        spark.conf.get("graft.compact.manifest", "true").toBoolean
+      val newShardDirs: Array[String] =
+        if (manifestMode)
+          (0 until meta.numShards).map { s =>
+            if (affectedSet(s)) ""
+            else meta.shardDirs(s) match {
+              case "" => relGenOf(srcRoot)
+              case ref => ref
+            }
+          }.toArray
+        else {
+          val conf = spark.sessionState.newHadoopConf()
+          untouched.foreach { s =>
+            val src = new org.apache.hadoop.fs.Path(
+              s"${shardGenRoot(srcRoot, meta, s)}/nodes/shard=$s")
+            if (fs.exists(src))
+              org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+                new org.apache.hadoop.fs.Path(s"$dstPath/nodes/shard=$s"),
+                false, conf)
+          }
+          Array.fill(meta.numShards)("")
+        }
       import spark.implicits._
       // per-shard cache epochs: fresh for rebuilt shards, PRESERVED for
-      // copied ones — executor caches of untouched shards survive the
-      // generation change
+      // carried-forward ones — executor caches of untouched shards survive
+      // the generation change
       val freshEpoch = java.util.UUID.randomUUID().toString
-      val affectedSet = affected.toSet
       val newShardIds = meta.shardBuildIds.zipWithIndex.map { case (old, s) =>
         if (affectedSet(s)) freshEpoch else old
       }
       inPhase(spark, PhaseFinalizing, dstPath) {
         Seq(meta.copy(numRows = newRows, buildId = freshEpoch,
-          shardBuildIds = newShardIds))
+          shardBuildIds = newShardIds, shardDirs = newShardDirs))
           .toDF().coalesce(1).write.mode("overwrite").parquet(s"$dstPath/_meta")
       }
       Some((newRows, affected))
     } finally deltaAssigned.unpersist(false)
   }
 
-  def loadMeta(spark: SparkSession, path0: String): IndexMeta = {
-    val path = resolveRoot(spark, path0)
+  def loadMeta(spark: SparkSession, path0: String): IndexMeta =
+    loadMetaAt(spark, resolveRoot(spark, path0))
+
+  /** [[loadMeta]] for an ALREADY-RESOLVED generation root — the GC needs the
+    * flat root's own meta even when a newer generation is active (plain
+    * loadMeta would re-resolve right past it). */
+  private[graft] def loadMetaAt(spark: SparkSession, path: String): IndexMeta = {
     import spark.implicits._
     // tolerate metas from earlier format generations (the analog of the
     // reference's V1/V2→V3 meta-page upgrade path, meta_page.rs:296-424):
@@ -486,6 +573,10 @@ object DiskannIndex {
     if (!df.columns.contains("shardBuildIds"))
       df = df.withColumn("shardBuildIds",
         array_repeat(col("buildId"), col("numShards")))
+    if (!df.columns.contains("shardDirs"))
+      // pre-manifest generations are self-contained: every shard lives in
+      // the generation's own nodes dir
+      df = df.withColumn("shardDirs", array_repeat(lit(""), col("numShards")))
     df.as[IndexMeta].head()
   }
 
@@ -697,8 +788,9 @@ object DiskannIndex {
     }
 
     val coldPartial: Option[DataFrame] = if (coldShards.isEmpty) None else {
-      val nodesDf = wholeShardScan(spark.read.parquet(s"$path/nodes"), coldShards)
-      Some(nodesDf.mapPartitions { it =>
+      val coldNodes =
+        wholeShardScan(nodesDf(spark, path, meta, coldShards), coldShards)
+      Some(coldNodes.mapPartitions { it =>
         val rows = it.toArray
         if (rows.isEmpty) Iterator.empty
         else rows.groupBy(_.getAs[Int]("shard")).iterator.flatMap { case (shard, shardRows) =>
@@ -893,8 +985,7 @@ object DiskannIndex {
     val neededShards: Seq[Int] =
       if (routed) q2.select("shard").distinct().collect().map(_.getInt(0)).sorted.toSeq
       else 0 until numShards
-    val nodes = spark.read.parquet(s"$path/nodes")
-      .filter(col("shard").isin(neededShards.map(Integer.valueOf): _*))
+    val nodes = nodesDf(spark, path, meta, neededShards)
 
     import spark.implicits._
     def answerShard(shard: Int, nodeRows: () => Array[Row],
@@ -1061,7 +1152,7 @@ object DiskannIndex {
   def stats(spark: SparkSession, path0: String): IndexStats = {
     val path = resolveRoot(spark, path0)
     val meta = loadMeta(spark, path)
-    val row = spark.read.parquet(s"$path/nodes")
+    val row = nodesDf(spark, path, meta, 0 until meta.numShards)
       .agg(count(lit(1)).as("n"), sum(size(col("neighbors"))).as("edges"),
         max(size(col("neighbors"))).as("maxdeg"))
       .head()
@@ -1077,8 +1168,8 @@ object DiskannIndex {
   def toDot(spark: SparkSession, path0: String, shard: Int = 0,
       maxNodes: Int = 200): String = {
     val path = resolveRoot(spark, path0)
-    val rows = spark.read.parquet(s"$path/nodes")
-      .filter(col("shard") === shard && col("node") < maxNodes)
+    val rows = nodesDf(spark, path, loadMetaAt(spark, path), Seq(shard))
+      .filter(col("node") < maxNodes)
       .select(col("node"), col("row_id"), col("neighbors"))
       .collect()
       .sortBy(_.getInt(0))
@@ -1100,7 +1191,8 @@ object DiskannIndex {
   def reachableCount(spark: SparkSession, path0: String): Long = {
     import spark.implicits._
     val path = resolveRoot(spark, path0)
-    spark.read.parquet(s"$path/nodes")
+    val meta = loadMetaAt(spark, path)
+    nodesDf(spark, path, meta, 0 until meta.numShards)
       .select(col("shard"), col("node"), col("neighbors"))
       .groupByKey(_.getAs[Int]("shard"))
       .mapGroups { (_, it) =>

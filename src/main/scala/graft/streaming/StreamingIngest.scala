@@ -173,7 +173,8 @@ object StreamingIngest {
       if (consumed.isEmpty && tombstones.isEmpty) return
       val root = DiskannIndex.resolveRoot(spark, indexPath)
       val meta = DiskannIndex.loadMeta(spark, root)
-      val existing = spark.read.parquet(s"$root/nodes")
+      val existing = DiskannIndex
+        .nodesDf(spark, root, meta, 0 until meta.numShards)
         .select(col("row_id"), col("vec"), col("labels"))
       val delta = if (consumed.isEmpty) existing.limit(0)
       else spark.read.parquet(consumed.map(_.toString).toIndexedSeq: _*)
@@ -229,14 +230,18 @@ object StreamingIngest {
       consumed.foreach(p => fs.delete(p, false))
       if (deltaFiles(spark, indexPath).isEmpty)
         fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/delta"), true)
-      // prune: the flat pre-versioning files and all generations older than
-      // the one we just superseded (kept as the in-flight-reader grace)
-      if (prior.nonEmpty) {
-        prior.dropRight(1).foreach(v =>
-          fs.delete(new org.apache.hadoop.fs.Path(vdir, v), true))
-        fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/nodes"), true)
-        fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/_meta"), true)
-      }
+      // GC. Retained roots: the new generation, plus the one it superseded
+      // (the in-flight-reader grace window — the flat root when this was the
+      // first compaction). With the manifest layout a retained generation's
+      // data may live in OLDER generations, so deletion is per shard dir:
+      // anything some retained manifest references survives, everything
+      // else — stale shard dirs superseded by a later rebuild, and whole
+      // generations nothing points at — goes. Shard-dir granularity is what
+      // keeps a hot-spot workload from accumulating dead rebuilt-shard
+      // copies inside still-referenced old generations.
+      gcGenerations(spark, fs, indexPath, dst.toString,
+        prior.lastOption.map(v => s"$indexPath/versions/$v")
+          .getOrElse(indexPath))
       partial match {
         case Some((_, affectedShards)) =>
           // targeted eviction: untouched shards keep their (still-valid,
@@ -252,6 +257,56 @@ object StreamingIngest {
       // release only a lease we still hold: after a timeout-steal, deleting
       // unconditionally would break the successor's lock
       if (holdsLease(fs, lock, ownerId)) fs.delete(lock, false)
+    }
+  }
+
+  /**
+   * Generation GC for the manifest layout. Keeps `current` and `grace`
+   * whole; everything some retained manifest references survives at
+   * SHARD-DIR granularity; the rest is deleted — unreferenced `shard=s`
+   * subdirs inside still-referenced old generations (a later rebuild
+   * superseded them), and whole generations nothing points at. The flat
+   * pre-versioning root is special-cased: only its `nodes`/`_meta` are
+   * deleted (the delta/lock/versions live under the same path).
+   */
+  private def gcGenerations(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, indexPath: String,
+      current: String, grace: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    def norm(p: String): String = new Path(p).toUri.getPath
+    val retained = Seq(current, grace).distinct
+    val referenced: Set[(String, Int)] = retained.flatMap { g =>
+      // a retained root always has a readable meta (it was just installed,
+      // or was the active root this compaction superseded); tolerate a
+      // missing one anyway — GC must never be the thing that fails compact
+      val m = try Some(DiskannIndex.loadMetaAt(spark, g))
+        catch { case _: Exception => None }
+      m.toSeq.flatMap(meta => (0 until meta.numShards)
+        .map(s => norm(DiskannIndex.shardGenRoot(g, meta, s)) -> s))
+    }.toSet
+    val retainedSet = retained.map(norm).toSet
+    val gens: Seq[String] =
+      (try fs.listStatus(new Path(s"$indexPath/versions"))
+        .map(_.getPath.toString).toSeq
+      catch { case _: java.io.FileNotFoundException => Seq.empty })
+        .filter(_.matches(".*/v\\d{9}$"))
+    (gens :+ indexPath).filterNot(g => retainedSet(norm(g))).foreach { g =>
+      val keep: Set[Int] = referenced.collect {
+        case (root, s) if root == norm(g) => s
+      }
+      if (keep.isEmpty) {
+        if (norm(g) == norm(indexPath)) {
+          fs.delete(new Path(s"$indexPath/nodes"), true)
+          fs.delete(new Path(s"$indexPath/_meta"), true)
+        } else fs.delete(new Path(g), true)
+      } else {
+        try fs.listStatus(new Path(s"$g/nodes")).foreach { st =>
+          val name = st.getPath.getName
+          if (name.startsWith("shard=") &&
+              !keep.contains(name.substring("shard=".length).toInt))
+            fs.delete(st.getPath, true)
+        } catch { case _: java.io.FileNotFoundException => }
+      }
     }
   }
 

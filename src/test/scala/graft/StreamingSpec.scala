@@ -144,7 +144,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(oldHits.nonEmpty && oldHits.forall(_.getLong(1) < 400L))
   }
 
-  test("incremental compaction: only delta/tombstone shards rebuild, the rest copy raw") {
+  test("incremental compaction: only delta/tombstone shards rebuild, the rest carried by manifest") {
     val path = "/tmp/graft_test_index/incr_compact"
     def deleteRec(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
@@ -158,11 +158,19 @@ class StreamingSpec extends AnyFunSuite {
         ivfSeed = Some("ic42"), shardTargetRows = 200))
     val meta0 = DiskannIndex.loadMeta(spark, path)
     assert(meta0.numShards >= 3, s"want several shards, got ${meta0.numShards}")
-    def partFiles(root: String): Map[Int, Set[String]] =
-      (0 until meta0.numShards).map { s =>
-        s -> Option(new java.io.File(s"$root/nodes/shard=$s").list())
+    // shard data located through the generation's MANIFEST — the physical
+    // dir may live in an older generation (or the flat root)
+    def partFiles(root: String): Map[Int, Set[String]] = {
+      val meta = DiskannIndex.loadMetaAt(spark, root)
+      (0 until meta.numShards).map { s =>
+        val base = DiskannIndex.shardGenRoot(root, meta, s)
+        s -> Option(new java.io.File(s"$base/nodes/shard=$s").list())
           .map(_.filter(_.startsWith("part-")).toSet).getOrElse(Set.empty)
       }.toMap
+    }
+    def materialized(root: String): Set[String] =
+      Option(new java.io.File(s"$root/nodes").list())
+        .map(_.filter(_.startsWith("shard=")).toSet).getOrElse(Set.empty)
     val gen0 = partFiles(path)
 
     // delta: exact copies (new ids) of 5 vectors that live in ONE shard —
@@ -183,7 +191,16 @@ class StreamingSpec extends AnyFunSuite {
     val gen1 = partFiles(root1)
     assert(gen1(srcShard) != gen0(srcShard), "delta shard must be rebuilt")
     (0 until meta0.numShards).filterNot(_ == srcShard).foreach { s =>
-      assert(gen1(s) == gen0(s), s"untouched shard $s must be copied raw")
+      assert(gen1(s) == gen0(s), s"untouched shard $s must serve the same files")
+    }
+    // METADATA-ONLY commit: the new generation materializes ONLY the
+    // rebuilt shard; the manifest points everything else at the flat root
+    assert(materialized(root1) == Set(s"shard=$srcShard"),
+      s"only the rebuilt shard belongs in the new generation, got ${materialized(root1)}")
+    val meta1 = DiskannIndex.loadMetaAt(spark, root1)
+    assert(meta1.shardDirs(srcShard) == "")
+    (0 until meta0.numShards).filterNot(_ == srcShard).foreach { s =>
+      assert(meta1.shardDirs(s) == ".", s"shard $s should reference the flat root")
     }
     // the rebuilt shard serves the new rows: an exact-duplicate query must
     // return BOTH twins at distance ~0
@@ -212,6 +229,19 @@ class StreamingSpec extends AnyFunSuite {
       .filterNot(s => s == victim.getInt(1)).foreach { s =>
         assert(gen2(s) == gen1(s), s"shard $s untouched by the tombstone")
       }
+    assert(materialized(root2) == Set(s"shard=${victim.getInt(1)}"))
+    // manifest chains stay FLAT: srcShard (rebuilt in v1, untouched since)
+    // points directly at v1, not through v1's manifest
+    assert(DiskannIndex.loadMetaAt(spark, root2).shardDirs(srcShard) ==
+      "versions/v000000001")
+    // GC at shard-dir granularity: the flat root's srcShard dir is now
+    // referenced by NO retained manifest (v2 points at v1, grace v1 rebuilt
+    // it itself) and must be gone; flat dirs other shards still reference
+    // survive
+    assert(!new java.io.File(s"$path/nodes/shard=$srcShard").exists(),
+      "superseded flat shard dir must be GC'd")
+    assert(new java.io.File(s"$path/nodes/shard=${victim.getInt(1)}").exists(),
+      "flat shard dir still referenced by the grace generation must survive")
     // warm-cache continuity: the twin search after compact #1 decoded every
     // shard into this JVM's cache; compact #2 rebuilt ONLY the victim's
     // shard, so untouched shards keep their epoch AND their warm searcher,
@@ -243,6 +273,14 @@ class StreamingSpec extends AnyFunSuite {
     val hits3 = DiskannIndex.search(spark, path, q3, k = 5,
       searchListSize = 200, rescore = 150).collect().map(_.getLong(1)).toSet
     assert(!hits3.contains(ghostId), s"deleted-in-delta row resurrected: $hits3")
+    // the grace window rolled v1→v2, so the flat victim dir (superseded by
+    // v2's rebuild) is now unreferenced and GC'd, while v1's srcShard dir
+    // survives because grace v2's manifest still points at it
+    assert(!new java.io.File(s"$path/nodes/shard=${victim.getInt(1)}").exists(),
+      "flat victim dir must be GC'd once the grace window rolls past v1")
+    assert(new java.io.File(
+      s"$path/versions/v000000001/nodes/shard=$srcShard").exists(),
+      "v1's srcShard dir is still referenced by grace v2 and must survive")
 
     // growth gate: with a tiny cap, the partial rebuild REFUSES and compact
     // falls back to the full rebuild (fresh centroids, invariant restored)
@@ -262,6 +300,26 @@ class StreamingSpec extends AnyFunSuite {
       searchListSize = 200, rescore = 150).collect().map(_.getLong(1)).toSet
     assert(hitsF == Set(probe(3).getLong(0), probe(3).getLong(0) + 10000,
       probe(3).getLong(0) + 30000), hitsF)
+    // the full rebuild (v4) references nothing older, but grace v3's
+    // manifest still chains back (srcShard→v1, victim→v2), so GC must keep
+    // those shard dirs for in-flight v3 readers
+    assert(new java.io.File(
+      s"$path/versions/v000000001/nodes/shard=$srcShard").exists(),
+      "shard dir referenced by the grace generation's manifest must survive")
+    assert(new java.io.File(
+      s"$path/versions/v000000002/nodes/shard=${victim.getInt(1)}").exists())
+    // one more compaction rolls the grace window onto v4 (self-contained):
+    // v1–v3 are referenced by nothing retained and deleted whole, as are
+    // the flat root's leftovers — steady state is a two-generation footprint
+    Seq((probe(4).getLong(0) + 40000,
+      probe(4).getAs[scala.collection.mutable.Seq[Float]]("vec").toArray))
+      .toDF("row_id", "vec").write.mode("append").parquet(s"$path/delta")
+    StreamingIngest.compact(spark, path)
+    assert(DiskannIndex.listVersions(spark, path) ==
+      Seq("v000000004", "v000000005"))
+    assert(!new java.io.File(s"$path/nodes").exists(),
+      "flat root leftovers must be GC'd once nothing references them")
+    assert(DiskannIndex.loadMeta(spark, path).numRows == n0 + 6)
   }
 
   test("lease lock: S3A-style non-exclusive create — exactly one writer verifies ownership") {
