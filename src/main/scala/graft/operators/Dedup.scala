@@ -137,6 +137,87 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast(DoubleType) / size(array_union(a, b))
 
+  /** Asymmetric containment |A∩B|/|A| — the quote/inclusion signal Jaccard
+    * washes out when sizes differ: a 50-token passage fully quoted inside a
+    * 5,000-token document has containment 1.0 but Jaccard ~0.01. */
+  def containment(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast(DoubleType) / size(a)
+
+  /**
+   * Top pairs by asymmetric n-gram CONTAINMENT (max of both directions),
+   * with LSH-generated candidates and exact verification — the
+   * quote/inclusion-detection ranking. Same cost shape as
+   * [[minhashNearDupPairs]]: banded bucket join, never an all-pairs
+   * product.
+   *
+   * Recall caveat (documented, inherent to MinHash): band collision
+   * probability tracks JACCARD, so a tiny passage quoted inside a huge
+   * document (containment 1.0, Jaccard ~0) is unlikely to surface as a
+   * candidate. The ranking is exact for pairs whose Jaccard clears the
+   * usual LSH recall bound — near-identical and subset-heavy pairs — which
+   * is where this corpus's duplicates live. For guaranteed small-in-large
+   * quote detection at scale, route through [[dupSpanStats]]-style span
+   * hashing instead (shared-span inverted index), which is exact by
+   * construction.
+   */
+  def containmentTopPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      topK: Int = 20, maxBucketSize: Long = 0): DataFrame = {
+    require(bands * (numHashes / bands) == numHashes, "bands must divide numHashes")
+    TextAnalysis.register(df.sparkSession)
+    val base = signatureTable(df, idCol, textCol, shingleSize, numHashes)
+    val banded = bandTable(base, numHashes, bands)
+    val capped = if (maxBucketSize <= 0) banded
+    else banded.withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("__n") <= maxBucketSize).drop("__n")
+    val candidates = capped.as("a")
+      .join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sets = base.select(col("id"), col("sh"))
+    candidates
+      .join(sets.as("sa"), col("id_a") === col("sa.id"))
+      .join(sets.as("sb"), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"),
+        round(containment(col("sa.sh"), col("sb.sh")), 6).as("contain_a_in_b"),
+        round(containment(col("sb.sh"), col("sa.sh")), 6).as("contain_b_in_a"))
+      .withColumn("containment",
+        greatest(col("contain_a_in_b"), col("contain_b_in_a")))
+      .orderBy(col("containment").desc, col("id_a"), col("id_b"))
+      .limit(topK)
+  }
+
+  /**
+   * Cross-source duplication matrix — corpus forensics: for every unordered
+   * pair of sources, how many verified near-duplicate pairs cross it (and
+   * how many stay inside one source). The report a curation team reads to
+   * find which feeds mirror each other before deciding survivor policy.
+   *
+   * Shape at 100 TB: the pair table comes from [[minhashNearDupPairs]]
+   * (banded LSH, never all-pairs); attaching sources is two joins of that
+   * SMALL pair table against the (id → source) projection, then one tiny
+   * (source, source) aggregation. The 100 TB text never moves twice.
+   */
+  def dupSourceMatrix(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, shingleSize: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.8,
+      maxBucketSize: Long = 0): DataFrame = {
+    val pairs = minhashNearDupPairs(df, idCol, textCol, shingleSize,
+      numHashes, bands, threshold, maxBucketSize)
+    val src = df.select(col(idCol).cast(LongType).as("id"),
+      col(sourceCol).as("__src"))
+    pairs
+      .join(src.select(col("id").as("id_a"), col("__src").as("__sa")), Seq("id_a"))
+      .join(src.select(col("id").as("id_b"), col("__src").as("__sb")), Seq("id_b"))
+      .select(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /**
    * Duplicated-span statistics — the substring-level dedup signal (the
    * signal behind suffix-array substring dedup in "Deduplicating Training

@@ -104,6 +104,96 @@ object TextAnalysis {
   }
 
   /**
+   * Fasttext-style LINEAR quality classifier: a logistic model over the
+   * one-pass feature vector, emitting a calibrated keep-probability instead
+   * of [[quality]]'s heuristic composite or [[gopherQuality]]'s hard rules.
+   * The weights here are fixed and interpretable (long documents with
+   * stopword structure and alphabetic tokens score high; digit-heavy,
+   * fragmentary text scores low); a production pipeline swaps them for
+   * trained coefficients — the PLAN is what matters and it is unchanged:
+   * entirely map-side, one tokenization pass, composes with the parquet
+   * scan at 100 TB with no shuffle.
+   */
+  def qualityClassifier(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    val text = col(textCol)
+    val raw = df.select(col(idCol), text, tokens(text).as("__toks"))
+      .withColumn("__toks_lc", transform(col("__toks"), t => lower(t)))
+    val stopList = stopwords("en")
+    val parts = raw.select(col(idCol),
+      size(col("__toks")).cast(DoubleType).as("__n_tok"),
+      length(text).cast(DoubleType).as("__n_char"),
+      length(regexp_replace(text, "\\s", "")).cast(DoubleType).as("__strip"),
+      length(regexp_replace(text, "[^0-9]", "")).cast(DoubleType).as("__digit"),
+      size(filter(col("__toks"), t => t.rlike("[A-Za-z]")))
+        .cast(DoubleType).as("__alpha_words"),
+      stopList.map(sw =>
+        when(array_contains(col("__toks_lc"), sw), 1).otherwise(0))
+        .reduce(_ + _).cast(DoubleType).as("__stop_distinct"))
+    val nTok = col("__n_tok"); val nChar = col("__n_char")
+    // feature vector (all bounded, so no scaling stage needed)
+    val feats = parts.select(col(idCol),
+      log(lit(1.0) + nTok).as("f_len"),
+      col("__stop_distinct").as("f_stop"),
+      when(nTok > 0, col("__alpha_words") / nTok).otherwise(0.0).as("f_alpha"),
+      when(nChar > 0, col("__digit") / nChar).otherwise(0.0).as("f_digit"),
+      when(nTok > 0, col("__strip") / nTok).otherwise(0.0).as("f_mean_len"))
+    val z = lit(-4.0) + col("f_len") * 0.35 + col("f_stop") * 0.45 +
+      col("f_alpha") * 2.0 - col("f_digit") * 3.0 + col("f_mean_len") * 0.15
+    feats.select(col(idCol),
+      round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("quality_prob"))
+      .withColumn("keep", col("quality_prob") >= threshold)
+  }
+
+  /**
+   * Pointwise-mutual-information bigram collocations — the corpus-statistics
+   * view a tokenizer/vocab pipeline reads before merging multi-word units:
+   * pmi(a,b) = ln( p(ab) / (p(a)·p(b)) ) with p(ab) over adjacent bigram
+   * positions and p(·) over unigram positions; `minCount` suppresses the
+   * noise floor (rare co-occurrences have unstable PMI).
+   *
+   * Shape at 100 TB: tokenization once; unigram and bigram counts are two
+   * map-side-combined aggregations of exploded positions; the PMI join
+   * attaches unigram counts to the (minCount-pruned, therefore much
+   * smaller) bigram table — plain AQE joins, NO broadcast hint: vocabulary
+   * grows with corpus size (Heaps' law), the same reasoning as
+   * [[lmScore]]. Totals are one tiny 1-row aggregate cross-joined in, the
+   * [[bm25]] corpus-stats shape.
+   */
+  def pmiBigrams(df: DataFrame, textCol: String, minCount: Long = 5,
+      topK: Int = 30): DataFrame = {
+    val toks = df.select(tokens(col(textCol)).as("__w"))
+      .transform(graft.CacheScope.persist)
+    val uni = toks.select(explode(col("__w")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .transform(graft.CacheScope.persist)
+    val totals = uni.agg(sum(col("c")).cast(DoubleType).as("__nt"))
+      .crossJoin(toks.agg(sum(greatest(size(col("__w")) - 1, lit(0)))
+        .cast(DoubleType).as("__nb")))
+    val bi = toks.filter(size(col("__w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(__w) - 1)," +
+          " i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1)))"))
+        .as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .withColumn("__w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("__w2", split(col("bigram"), " ").getItem(1))
+    bi
+      .join(uni.select(col("tok").as("__w1"), col("c").as("__ca")), Seq("__w1"))
+      .join(uni.select(col("tok").as("__w2"), col("c").as("__cb")), Seq("__w2"))
+      .crossJoin(broadcast(totals))
+      // identical operand order to the oracle SQL: double arithmetic is
+      // left-associative in both engines, so the pre-round value is
+      // bit-identical and ties order the same way
+      .select(col("bigram"), col("n"),
+        round(log(col("n").cast(DoubleType) * col("__nt") * col("__nt") /
+          (col("__nb") * col("__ca") * col("__cb"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(topK)
+  }
+
+  /**
    * Gopher-style document quality gate (the rule family of Rae et al. 2021,
    * appendix A1.1, adapted to single-line corpora): per-rule boolean flags
    * plus their conjunction, from ONE tokenization pass.

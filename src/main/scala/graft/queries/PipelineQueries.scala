@@ -88,6 +88,20 @@ object PipelineQueries {
           col("dup_span_ratio"))
         .orderBy(col("doc_id"))),
 
+    // asymmetric containment ranking (quote/inclusion detection): top-20
+    // pairs by max-direction n-gram containment, LSH candidates + exact
+    // verify — the signal Jaccard washes out when document sizes differ
+    "containment_top" -> ((s, d) =>
+      Dedup.containmentTopPairs(docs(s, d), "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 16, topK = 20)),
+
+    // corpus forensics: which sources mirror each other — near-dup pairs
+    // (verified jaccard >= 0.8) bucketed by unordered source pair
+    "dup_source_matrix" -> ((s, d) =>
+      Dedup.dupSourceMatrix(docs(s, d), "doc_id", "text", "source",
+        threshold = 0.8)
+        .orderBy(col("source_a"), col("source_b"))),
+
     // incremental dedup: the doc_id % 23 == 0 slice plays today's crawl
     // batch, the rest is the standing corpus; only batch x corpus pairs are
     // generated (broadcast batch bands probe the corpus band table)
@@ -146,6 +160,19 @@ object PipelineQueries {
           round(col("stopword_ratio"), 6).as("stopword_ratio"),
           round(col("quality_score"), 6).as("quality_score"))
         .orderBy(col("doc_id"))),
+
+    // fasttext-style linear classifier: logistic keep-probability over the
+    // one-pass feature vector (fixed interpretable weights standing in for
+    // trained coefficients — the map-side plan is what a learned linear
+    // gate runs)
+    "quality_classifier" -> ((s, d) =>
+      TextAnalysis.qualityClassifier(docs(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // PMI bigram collocations: the corpus-statistics ranking a vocab/merge
+    // pipeline reads; unigram+bigram counts, minCount noise floor, top-30
+    "pmi_bigrams" -> ((s, d) =>
+      TextAnalysis.pmiBigrams(docs(s, d), "text", minCount = 5, topK = 30)),
 
     // Gopher-style within-document repetition: 1 - distinct/total bigrams.
     // Boilerplate and degenerate generated text score high; a curation
@@ -701,6 +728,69 @@ object PipelineQueries {
          |             len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
          |FROM g a JOIN g b ON a.doc_id < b.doc_id
          |ORDER BY jaccard DESC, id_a, id_b LIMIT 20""".stripMargin,
+
+    "containment_top" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+         |g AS (SELECT doc_id, ${sqlShingles("w")} AS sh FROM t)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 6) AS contain_a_in_b,
+         |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh), 6) AS contain_b_in_a,
+         |       greatest(round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 6),
+         |                round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh), 6)) AS containment
+         |FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |ORDER BY containment DESC, id_a, id_b LIMIT 20""".stripMargin,
+
+    "dup_source_matrix" ->
+      s"""WITH t AS (SELECT doc_id, source, $sqlTokens AS w FROM documents),
+         |g AS (SELECT doc_id, source, ${sqlShingles("w")} AS sh FROM t),
+         |p AS (SELECT a.source AS sa, b.source AS sb
+         |      FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8)
+         |SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+         |       count(*) AS n_pairs
+         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "quality_classifier" ->
+      s"""WITH t AS (SELECT doc_id, text, $sqlTokens AS w FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(w) AS DOUBLE) AS n_tok,
+         |  CAST(length(text) AS DOUBLE) AS n_char,
+         |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS strip,
+         |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS digits,
+         |  CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) AS alpha_words,
+         |  CAST(len(list_filter(['the', 'a', 'of', 'and', 'to', 'in', 'is'],
+         |       s -> list_contains(list_transform(w, x -> lower(x)), s))) AS DOUBLE) AS stop_distinct
+         |  FROM t),
+         |f AS (SELECT doc_id,
+         |  ln(1.0 + n_tok) AS f_len,
+         |  stop_distinct AS f_stop,
+         |  CASE WHEN n_tok > 0 THEN alpha_words / n_tok ELSE 0.0 END AS f_alpha,
+         |  CASE WHEN n_char > 0 THEN digits / n_char ELSE 0.0 END AS f_digit,
+         |  CASE WHEN n_tok > 0 THEN strip / n_tok ELSE 0.0 END AS f_mean_len
+         |  FROM m)
+         |SELECT doc_id,
+         |  round(1.0 / (1.0 + exp(-(-4.0 + f_len * 0.35 + f_stop * 0.45 +
+         |    f_alpha * 2.0 - f_digit * 3.0 + f_mean_len * 0.15))), 6) AS quality_prob,
+         |  round(1.0 / (1.0 + exp(-(-4.0 + f_len * 0.35 + f_stop * 0.45 +
+         |    f_alpha * 2.0 - f_digit * 3.0 + f_mean_len * 0.15))), 6) >= 0.5 AS keep
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "pmi_bigrams" ->
+      s"""WITH t AS (SELECT $sqlTokens AS w FROM documents),
+         |uni AS (SELECT unnest(w) AS tok FROM t),
+         |uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY 1),
+         |tot AS (SELECT CAST((SELECT count(*) FROM uni) AS DOUBLE) AS nt,
+         |               CAST((SELECT sum(greatest(len(w) - 1, 0)) FROM t) AS DOUBLE) AS nb),
+         |bi AS (SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bigram
+         |       FROM t WHERE len(w) >= 2),
+         |bc AS (SELECT bigram, count(*) AS n FROM bi GROUP BY 1 HAVING count(*) >= 5)
+         |SELECT bigram, n,
+         |  round(ln(CAST(n AS DOUBLE) * nt * nt / (nb * a.c * b.c)), 6) AS pmi
+         |FROM bc, tot, uc a, uc b
+         |WHERE a.tok = string_split(bigram, ' ')[1]
+         |  AND b.tok = string_split(bigram, ' ')[2]
+         |ORDER BY pmi DESC, bigram LIMIT 30""".stripMargin,
 
     "lang_id" ->
       s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),

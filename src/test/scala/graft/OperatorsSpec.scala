@@ -495,4 +495,68 @@ class OperatorsSpec extends AnyFunSuite {
       // 10/11 survive together only if the 2-centroid pick split them
       (kept.contains(10L) && kept.contains(11L)))
   }
+
+  test("containmentTopPairs: strict-subset pair shows directional asymmetry") {
+    // the pair must sit inside the LSH recall envelope (jaccard ~0.8) — a
+    // tiny quote in a huge doc is the operator's DOCUMENTED miss case, so
+    // the fixture extends, rather than buries, the contained text
+    val small = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val big = small + " extraA extraB extraC extraD"
+    val df = Seq((1L, small), (2L, big), (3L, "totally unrelated content here now"))
+      .toDF("doc_id", "text")
+    val top = Dedup.containmentTopPairs(df, "doc_id", "text", topK = 5).collect()
+    graft.CacheScope.releaseAll()
+    val pair = top.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(pair.isDefined, s"subset pair missing from ${top.mkString(";")}")
+    // every 3-shingle of `small` occurs in `big` (prefix containment), but
+    // not vice versa — the asymmetry jaccard cannot express
+    assert(pair.get.getAs[Double]("contain_a_in_b") == 1.0)
+    assert(pair.get.getAs[Double]("contain_b_in_a") < 1.0)
+    assert(pair.get.getAs[Double]("containment") == 1.0)
+  }
+
+  test("qualityClassifier: clean prose outscores digit soup; keep follows threshold") {
+    val prose = "the quick brown fox is a friend of the lazy dog and " * 8
+    val digits = "12345 67890 11111 22222 33333 44444 55555 66666 " * 8
+    val df = Seq((1L, prose), (2L, digits)).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityClassifier(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Double]("quality_prob"), r.getAs[Boolean]("keep"))).toMap
+    assert(out(1L)._1 > out(2L)._1, s"prose must outscore digits: $out")
+    assert(out(1L)._2, "prose passes the default threshold")
+    assert(!out(2L)._2, "digit soup fails the default threshold")
+  }
+
+  test("pmiBigrams: fixed collocation tops loose co-occurrence; formula hand-checked") {
+    // "san francisco" always adjacent; "data" and "lake" co-occur but never
+    // adjacent to each other more than chance
+    val docs = (1 to 10).map(i =>
+      (i.toLong, "san francisco data point lake value data base lake shore"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.pmiBigrams(docs, "text", minCount = 5, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    graft.CacheScope.releaseAll()
+    val sf = out.find(_._1 == "san francisco").get
+    // nt=100 tokens, nb=90 bigram positions, c_ab=10, c_san=c_francisco=10:
+    // pmi = ln(10 * 100 * 100 / (90 * 10 * 10)) = ln(100/9)
+    assert(sf._2 == 10L)
+    assert(math.abs(sf._3 - math.log(100.0 / 9.0)) < 1e-6, sf.toString)
+    // perfectly-predictive pair sits at the top of the ranking
+    assert(out.head._1 == "san francisco" || out.head._3 == sf._3)
+  }
+
+  test("dupSourceMatrix: near-dup pairs land in their unordered source cell") {
+    val t1 = "one two three four five six seven eight nine ten eleven twelve"
+    val df = Seq(
+      (1L, t1, "crawl"), (2L, t1, "wiki"),            // cross-source dup
+      (3L, t1 + " thirteen", "crawl"),                 // near-dup, crawl side
+      (4L, "unrelated words that are completely different from the others", "wiki"))
+      .toDF("doc_id", "text", "source")
+    val m = Dedup.dupSourceMatrix(df, "doc_id", "text", "source", threshold = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    graft.CacheScope.releaseAll()
+    assert(m.getOrElse(("crawl", "wiki"), 0L) >= 1L, m.toString)
+    assert(m.getOrElse(("crawl", "crawl"), 0L) >= 1L, m.toString)
+    assert(!m.keys.exists { case (a, b) => a > b }, "matrix must be unordered-canonical")
+  }
 }
