@@ -142,6 +142,69 @@ object Curation {
   }
 
   /**
+   * Bloom-filter decontamination — the CONSTANT-SIZE approximate
+   * pre-filter in front of [[contaminationPairs]]: the eval suite's
+   * shingles fold into one m-bit Bloom filter (kHashes md5-derived hash
+   * functions), and the train side is scanned map-side against the
+   * broadcast filter — per train doc, how many of its shingles the filter
+   * claims to have seen.
+   *
+   * Why it earns its place next to the exact path: the exact path
+   * broadcasts the eval shingle table, whose size grows with the eval
+   * suite; the Bloom filter is mBits/8 bytes NO MATTER WHAT (1 MiB here
+   * covers benchmarks of any length), membership is O(k) with no join at
+   * all, and the price is a quantified false-positive rate
+   * (≈ (1-e^(-kn/m))^k). The standard web-scale shape: Bloom pre-filter
+   * map-side over 100 TB, exact verification only on the tiny flagged
+   * slice.
+   *
+   * Deterministic by construction — position_j(s) = low-60-bit
+   * md5("j:" ++ s) mod mBits — so an independent engine rebuilds the
+   * filter and replays every verdict exactly, false positives included.
+   */
+  def bloomDecontam(train: DataFrame, eval_ : DataFrame, idCol: String,
+      textCol: String, shingleSize: Int = 3, mBits: Int = 1 << 23,
+      kHashes: Int = 4): DataFrame = {
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
+      "mBits must be a power of two >= 64")
+    require(kHashes >= 1 && kHashes <= 16, "kHashes must be in [1, 16]")
+    val spark = train.sparkSession
+    def pos(j: Int, s: Column): Column =
+      conv(substring(md5(concat(lit(s"$j:"), s)), 18, 15), 16, 10)
+        .cast(LongType) % mBits
+    val par = spark.sparkContext.defaultParallelism
+    // filter build: positions -> 64-bit words via bit_or partials; the whole
+    // filter is mBits/64 longs assembled from ONE tiny collect and shipped
+    // back as ONE broadcast
+    val evPos = Dedup.shingled(eval_.repartition(par), idCol, textCol, shingleSize)
+      .select(explode_outer(col("sh")).as("s")).filter(col("s").isNotNull)
+      .select(explode(array((0 until kHashes).map(j => pos(j, col("s"))): _*)).as("p"))
+    val words = evPos
+      .select(shiftright(col("p"), 6).cast(IntegerType).as("w"),
+        expr("shiftleft(1L, cast(p % 64 as int))").as("b"))
+      .groupBy(col("w")).agg(expr("bit_or(b)").as("bits"))
+      .collect()
+    val filter = new Array[Long](mBits / 64)
+    words.foreach(r => filter(r.getInt(0)) = r.getLong(1))
+    val fBc = spark.sparkContext.broadcast(filter)
+    val bloomHit = udf((ps: scala.collection.mutable.Seq[Long]) => ps.forall(p =>
+      (fBc.value((p >>> 6).toInt) & (1L << (p & 63))) != 0L))
+    // train side: positions are plain SQL md5 expressions (replayable); the
+    // UDF only tests bits against the broadcast words
+    Dedup.shingled(train.repartition(par), idCol, textCol, shingleSize)
+      .select(col("id"), explode_outer(col("sh")).as("s"))
+      .filter(col("s").isNotNull)
+      .withColumn("__ps",
+        array((0 until kHashes).map(j => pos(j, col("s"))): _*))
+      .select(col("id"), bloomHit(col("__ps")).as("__hit"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__hit"), 1L).otherwise(0L)).as("n_bloom_hits"))
+      .withColumn("bloom_frac",
+        round(col("n_bloom_hits").cast(DoubleType) / col("n_shingles"), 6))
+  }
+
+  /**
    * Token-budget mixture sampling: downsample each stratum (source/domain/
    * language) so its EXPECTED token count meets a per-stratum budget — the
    * data-mixing step that turns a raw crawl into a training mixture with

@@ -356,6 +356,21 @@ object PipelineQueries {
         .orderBy(col("train_id"), col("eval_id"))
     }),
 
+    // Bloom-filter decontamination: the eval split folds into ONE 2^20-bit
+    // filter (4 md5 hash functions), the train side tests map-side against
+    // the broadcast — constant memory regardless of eval size; positives
+    // route to the exact decontam path
+    "bloom_decontam" -> ((s, d) => {
+      val all = docs(s, d)
+      Curation.bloomDecontam(
+        all.filter(col("doc_id") % 23 =!= 0),
+        all.filter(col("doc_id") % 23 === 0),
+        "doc_id", "text", shingleSize = 3, mBits = 1 << 20, kHashes = 4)
+        .select(col("id").as("train_id"), col("n_shingles"),
+          col("n_bloom_hits"), col("bloom_frac"))
+        .orderBy(col("train_id"))
+    }),
+
     // near-dup PAIRS -> duplicate CLUSTERS: connected components by min-label
     // propagation; cluster_id = min doc_id in the component (the canonical
     // survivor a curation pipeline would keep)
@@ -1201,6 +1216,24 @@ object PipelineQueries {
          |FROM j JOIN sz USING (eval_id)
          |WHERE CAST(n_shared AS DOUBLE) / ev_n >= 0.2
          |ORDER BY train_id, eval_id""".stripMargin,
+
+    // Bloom replay: the filter's bit array IS the distinct position set, so
+    // membership = "all 4 md5-derived positions present" — false positives
+    // (cross-shingle position collisions) replay exactly too
+    "bloom_decontam" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+         |g AS (SELECT doc_id, ${sqlShingles("w")} AS sh FROM t),
+         |evs AS (SELECT DISTINCT unnest(sh) AS s FROM g WHERE doc_id % 23 = 0),
+         |evpos AS (SELECT DISTINCT unnest([('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || s), 18, 15))::UBIGINT % 1048576 for j in range(0, 4)]) AS p FROM evs),
+         |trs AS (SELECT doc_id AS train_id, unnest(sh) AS s FROM g WHERE doc_id % 23 <> 0),
+         |trp AS (SELECT train_id, s, unnest([('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || s), 18, 15))::UBIGINT % 1048576 for j in range(0, 4)]) AS p FROM trs),
+         |m AS (SELECT train_id, s, count(*) AS nm FROM trp JOIN evpos USING (p) GROUP BY 1, 2),
+         |h AS (SELECT t.train_id, t.s, coalesce(m.nm, 0) = 4 AS hit
+         |      FROM trs t LEFT JOIN m ON t.train_id = m.train_id AND t.s = m.s)
+         |SELECT train_id, count(*) AS n_shingles,
+         |       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+         |       round(CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS bloom_frac
+         |FROM h GROUP BY 1 ORDER BY train_id""".stripMargin,
 
     // transitive closure of the exact-Jaccard near-dup pair graph via a
     // recursive CTE: min reachable id == the Spark side's propagated label

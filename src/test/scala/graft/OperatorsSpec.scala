@@ -545,6 +545,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.head._1 == "san francisco" || out.head._3 == sf._3)
   }
 
+  test("bloomDecontam: no false negatives; saturation shows the FP trade") {
+    val evalDoc = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // identical
+      (2L, "one two three four five six seven eight nine"))  // disjoint
+      .toDF("doc_id", "text")
+    val wide = Curation.bloomDecontam(train, evalDoc, "doc_id", "text",
+        mBits = 1 << 20, kHashes = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getAs[Double]("bloom_frac"))).toMap
+    // Bloom filters never miss a true member: the identical doc is fully hit
+    assert(wide(1L)._3 == 1.0, wide.toString)
+    // at 2^20 bits over ~6 shingles the FP odds are ~0: disjoint doc clean
+    assert(wide(2L)._2 == 0L, wide.toString)
+    // a SATURATED filter flags everything — the documented false-positive
+    // trade, reproducible not random: ~200 shingles x 4 hashes into 64
+    // bits sets every bit (P(bit clear) = e^-12.5), so the disjoint doc
+    // false-positives on all its shingles
+    val bigEval = Seq((200L, (1 to 200).map(i => s"ev$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val tiny = Curation.bloomDecontam(train, bigEval, "doc_id", "text",
+        mBits = 64, kHashes = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(tiny(2L) > 0L, s"64-bit filter should saturate: $tiny")
+  }
+
   test("dupSourceMatrix: near-dup pairs land in their unordered source cell") {
     val t1 = "one two three four five six seven eight nine ten eleven twelve"
     val df = Seq(
