@@ -273,7 +273,11 @@ object StreamingIngest {
       fs: org.apache.hadoop.fs.FileSystem, indexPath: String,
       current: String, grace: String): Unit = {
     import org.apache.hadoop.fs.Path
-    def norm(p: String): String = new Path(p).toUri.getPath
+    // fully qualify before comparing: retained/referenced strings may be
+    // RELATIVE (caller passed a relative index path) while listStatus
+    // returns absolute URIs — a bare-string mismatch here would GC the
+    // just-installed generation (caught by the FreezeManifestFixture run)
+    def norm(p: String): String = fs.makeQualified(new Path(p)).toUri.getPath
     val retained = Seq(current, grace).distinct
     val referenced: Set[(String, Int)] = retained.flatMap { g =>
       // a retained root always has a readable meta (it was just installed,

@@ -51,6 +51,37 @@ class UpgradeFixtureSpec extends AnyFunSuite {
     }
   }
 
+  private val manifestFixture = "src/test/resources/fixtures/index_gen4m"
+
+  test("frozen manifest-era index: cross-generation refs resolve and serve exactly") {
+    // the fixture went through one incremental compaction: its installed
+    // generation materializes only the rebuilt shard and references the
+    // flat root for the rest — the manifest layout, frozen on disk
+    val root = DiskannIndex.resolveRoot(spark, manifestFixture)
+    assert(root.endsWith("versions/v000000001"))
+    val m = DiskannIndex.loadMetaAt(spark, root)
+    assert(m.shardDirs.contains("") && m.shardDirs.contains("."),
+      s"expected mixed manifest refs, got ${m.shardDirs.mkString(",")}")
+    assert(m.numRows == 100) // 96 built + 4 compacted-in delta twins
+    // exact serving oracle: brute force over the manifest-RESOLVED nodes
+    val nodes = DiskannIndex.nodesDf(spark, root, m, 0 until m.numShards)
+      .select($"row_id", $"vec").collect()
+      .map(r => r.getAs[Long]("row_id") ->
+        r.getAs[scala.collection.mutable.Seq[Float]]("vec").toArray).toMap
+    assert(nodes.size == 100)
+    assert(nodes.keySet.count(_ >= 1000L) == 4, "delta twins must be served")
+    val q = nodes(1000L)
+    val brute = nodes.toSeq.map { case (id, v) =>
+      (id, graft.functions.VectorKernels.cosineDist(v, q))
+    }.sortBy { case (id, d) => (d, id) }.take(4)
+    val queries = Seq((0L, q)).toDF("qid", "qvec")
+    val got = DiskannIndex.search(spark, manifestFixture, queries, k = 4,
+      searchListSize = 128, rescore = 128)
+      .orderBy($"dist", $"row_id").collect()
+      .map(r => (r.getAs[Long]("row_id"), r.getAs[Double]("dist"))).toSeq
+    assert(got.map(_._1) == brute.map(_._1), s"got=$got brute=$brute")
+  }
+
   test("frozen gen-4 index: label-filtered search honors the stored label sets") {
     val nodes = spark.read.parquet(s"$fixture/nodes")
       .select($"row_id", $"vec").collect()
