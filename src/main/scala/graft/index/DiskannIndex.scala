@@ -379,6 +379,13 @@ object DiskannIndex {
    */
   private[graft] def nodesDf(spark: SparkSession, root: String,
       meta: IndexMeta, shards: Seq[Int]): DataFrame = {
+    // empty shard list (e.g. an empty query batch routed nowhere): empty
+    // result with the nodes schema — resolve through ALL shards so the
+    // schema read works even when this generation's own nodes dir holds no
+    // files (manifest-era generations materialize only rebuilt shards)
+    if (shards.isEmpty)
+      return nodesDf(spark, root, meta, 0 until meta.numShards)
+        .filter(lit(false))
     val all = shards == (0 until meta.numShards)
     if (meta.shardDirs.forall(_.isEmpty)) {
       val df = spark.read.parquet(s"$root/nodes")

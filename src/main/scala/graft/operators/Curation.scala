@@ -190,8 +190,15 @@ object Curation {
     val bloomHit = udf((ps: scala.collection.mutable.Seq[Long]) => ps.forall(p =>
       (fBc.value((p >>> 6).toInt) & (1L << (p & 63))) != 0L))
     // train side: positions are plain SQL md5 expressions (replayable); the
-    // UDF only tests bits against the broadcast words
-    Dedup.shingled(train.repartition(par), idCol, textCol, shingleSize)
+    // UDF only tests bits against the broadcast words. The repartition
+    // exists ONLY to parallelize interpreted shingling when the input is a
+    // handful of files (the signatureTable rationale) — at corpus scale
+    // there are already more splits than cores, and shuffling the 100 TB
+    // text would negate the operator's whole map-side advantage, so it is
+    // GATED on the incoming partition count.
+    val trainPar =
+      if (train.rdd.getNumPartitions < par) train.repartition(par) else train
+    Dedup.shingled(trainPar, idCol, textCol, shingleSize)
       .select(col("id"), explode_outer(col("sh")).as("s"))
       .filter(col("s").isNotNull)
       .withColumn("__ps",

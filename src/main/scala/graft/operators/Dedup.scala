@@ -113,17 +113,7 @@ object Dedup {
     // form of the production shape, where signatures are written once to a
     // table and joined against.
     val base = signatureTable(df, idCol, textCol, shingleSize, numHashes)
-    val banded0 = bandTable(base, numHashes, bands)
-    val banded = if (maxBucketSize <= 0) banded0
-    else banded0.withColumn("__n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
-      .filter(col("__n") <= maxBucketSize).drop("__n")
-    val candidates = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    val candidates = lshCandidatePairs(base, numHashes, bands, maxBucketSize)
     val sets = base.select(col("id"), col("sh"))
     candidates
       .join(sets.as("sa"), col("id_a") === col("sa.id"))
@@ -131,6 +121,24 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         jaccard(col("sa.sh"), col("sb.sh")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** LSH candidate (id_a < id_b) pairs from a signature table: banding,
+    * optional bucket-width skew cap, banded self-join, distinct — the ONE
+    * candidate generator every LSH-verified pair operator shares. */
+  private def lshCandidatePairs(base: DataFrame, numHashes: Int, bands: Int,
+      maxBucketSize: Long): DataFrame = {
+    val banded0 = bandTable(base, numHashes, bands)
+    val banded = if (maxBucketSize <= 0) banded0
+    else banded0.withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("__n") <= maxBucketSize).drop("__n")
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
   }
 
   /** Exact n-gram Jaccard similarity between two shingle-set columns. */
@@ -166,17 +174,7 @@ object Dedup {
     require(bands * (numHashes / bands) == numHashes, "bands must divide numHashes")
     TextAnalysis.register(df.sparkSession)
     val base = signatureTable(df, idCol, textCol, shingleSize, numHashes)
-    val banded = bandTable(base, numHashes, bands)
-    val capped = if (maxBucketSize <= 0) banded
-    else banded.withColumn("__n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
-      .filter(col("__n") <= maxBucketSize).drop("__n")
-    val candidates = capped.as("a")
-      .join(capped.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    val candidates = lshCandidatePairs(base, numHashes, bands, maxBucketSize)
     val sets = base.select(col("id"), col("sh"))
     candidates
       .join(sets.as("sa"), col("id_a") === col("sa.id"))

@@ -90,7 +90,13 @@ object PipelineQueries {
 
     // asymmetric containment ranking (quote/inclusion detection): top-20
     // pairs by max-direction n-gram containment, LSH candidates + exact
-    // verify — the signal Jaccard washes out when document sizes differ
+    // verify — the signal Jaccard washes out when document sizes differ.
+    // Oracle equivalence rests on the same property as ngram_jaccard_top:
+    // this corpus's top-containment pairs are near-identical docs (jaccard
+    // >= 0.8, LSH recall ~1-1e-7). A corpus with a tiny-quote-in-huge-doc
+    // pair would rank it in the brute oracle but miss it in LSH — the
+    // operator's own documented miss case; route such corpora through
+    // dup_spans (exact by construction)
     "containment_top" -> ((s, d) =>
       Dedup.containmentTopPairs(docs(s, d), "doc_id", "text",
         shingleSize = 3, numHashes = 64, bands = 16, topK = 20)),

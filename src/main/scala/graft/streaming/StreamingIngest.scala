@@ -279,14 +279,18 @@ object StreamingIngest {
     // just-installed generation (caught by the FreezeManifestFixture run)
     def norm(p: String): String = fs.makeQualified(new Path(p)).toUri.getPath
     val retained = Seq(current, grace).distinct
-    val referenced: Set[(String, Int)] = retained.flatMap { g =>
-      // a retained root always has a readable meta (it was just installed,
-      // or was the active root this compaction superseded); tolerate a
-      // missing one anyway — GC must never be the thing that fails compact
-      val m = try Some(DiskannIndex.loadMetaAt(spark, g))
-        catch { case _: Exception => None }
-      m.toSeq.flatMap(meta => (0 until meta.numShards)
-        .map(s => norm(DiskannIndex.shardGenRoot(g, meta, s)) -> s))
+    // a retained root always has a readable meta (it was just installed, or
+    // was the active root this compaction superseded). If a read still
+    // fails (object-store throttling, read-after-rename lag), ABORT the GC
+    // entirely: proceeding with an empty reference set would delete the
+    // very shard dirs that manifest protects — deferred garbage is safe,
+    // deleted data is not. The next compaction retries the GC.
+    val metas: Seq[(String, DiskannIndex.IndexMeta)] =
+      try retained.map(g => g -> DiskannIndex.loadMetaAt(spark, g))
+      catch { case _: Exception => return }
+    val referenced: Set[(String, Int)] = metas.flatMap { case (g, meta) =>
+      (0 until meta.numShards)
+        .map(s => norm(DiskannIndex.shardGenRoot(g, meta, s)) -> s)
     }.toSet
     val retainedSet = retained.map(norm).toSet
     val gens: Seq[String] =

@@ -82,6 +82,15 @@ class UpgradeFixtureSpec extends AnyFunSuite {
     assert(got.map(_._1) == brute.map(_._1), s"got=$got brute=$brute")
   }
 
+  test("frozen manifest-era index: empty query batch returns empty, never crashes") {
+    // regression: nodesDf on a manifest-era index used to empty.reduce when
+    // routing produced zero needed shards
+    val empty = Seq.empty[(Long, Array[Float])].toDF("qid", "qvec")
+    assert(DiskannIndex.searchDistributed(spark, manifestFixture, empty,
+      k = 3, nProbe = 2).count() == 0)
+    assert(DiskannIndex.search(spark, manifestFixture, empty, k = 3).count() == 0)
+  }
+
   test("frozen gen-4 index: label-filtered search honors the stored label sets") {
     val nodes = spark.read.parquet(s"$fixture/nodes")
       .select($"row_id", $"vec").collect()
