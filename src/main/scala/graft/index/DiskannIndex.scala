@@ -1150,6 +1150,84 @@ object DiskannIndex {
       .drop("rnk")
   }
 
+  /**
+   * [[searchDistributed]] + delta freshness — the offline BATCH twin of
+   * [[searchWithDelta]], closing the freshness gap where a large offline
+   * job had to run `compact()` first to see recent appends. The roles flip
+   * versus the online path: there the (small) query batch broadcasts and
+   * the delta is scanned; here the query table is the big side, so the
+   * delta — small versus the index by the compaction contract — collects
+   * once and BROADCASTS, and every query partition scores it map-side with
+   * a bounded per-query top-k heap. No extra shuffle of the query table;
+   * the only added wide op is the final ≤2k-rows-per-query re-merge
+   * through the same mergeable [[graft.operators.Similarity.TopKAggregator]].
+   * A delta too large to broadcast is the signal to compact, not to
+   * distribute this differently.
+   */
+  def searchDistributedFresh(spark: SparkSession, path0: String,
+      queries: DataFrame, delta: DataFrame, k: Int,
+      searchListSize: Int = 100, rescore: Int = 50,
+      tombstones: Set[Long] = Set.empty, nProbe: Int = 0): DataFrame = {
+    val meta = loadMeta(spark, path0)
+    val report = reportDistFn(Metric(meta.metric))
+    val main = searchDistributed(spark, path0, queries, k, searchListSize,
+      rescore, tombstones, nProbe)
+
+    val hasDLabels = delta.columns.contains("labels")
+    val hasQLabels = queries.columns.contains("qlabels")
+    val deltaRows: Array[(Long, Array[Float], Array[Short])] =
+      delta.filter(col("vec").isNotNull).collect().map { r =>
+        (r.getAs[Long]("row_id"), r.getAs[mutable.Seq[Float]]("vec").toArray,
+          if (hasDLabels) Option(r.getAs[mutable.Seq[Short]]("labels"))
+            .map(s => LabelSets.normalize(s.toArray)).getOrElse(Array.emptyShortArray)
+          else null)
+      }.filterNot { case (rid, _, _) => tombstones.contains(rid) }
+    val dBc = spark.sparkContext.broadcast(deltaRows)
+    val resultSchema = StructType(Seq(
+      StructField("qid", LongType, nullable = false),
+      StructField("row_id", LongType, nullable = false),
+      StructField("dist", DoubleType, nullable = false)))
+    val deltaHits = queries.mapPartitions { it =>
+      val d = dBc.value
+      it.flatMap { r =>
+        val qid = r.getAs[Long]("qid")
+        val qv0 = Option(r.getAs[mutable.Seq[Float]]("qvec")).map(_.toArray).orNull
+        val ql = if (hasQLabels) Option(r.getAs[mutable.Seq[Short]]("qlabels"))
+          .map(s => LabelSets.normalize(s.toArray)).orNull else null
+        // bounded per-query heap: only k delta rows leave the partition
+        val heap = mutable.PriorityQueue.empty[(Double, Long)](
+          Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+        d.foreach { case (rid, v, lbs) =>
+          val ok = ql == null || (lbs != null && LabelSets.overlaps(lbs, ql))
+          if (ok) {
+            val qv = if (qv0 == null) new Array[Float](v.length) else qv0
+            val dist = report(v, qv)
+            if (heap.size < k) heap.enqueue((dist, rid))
+            else if (Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+                .lt((dist, rid), heap.head)) {
+              heap.dequeue(); heap.enqueue((dist, rid))
+            }
+          }
+        }
+        heap.iterator.map { case (dist, rid) => Row(qid, rid, dist) }
+      }
+    }(org.apache.spark.sql.Encoders.row(resultSchema))
+
+    import spark.implicits._
+    // collapse transient main∩delta duplicates, then the same bounded
+    // mergeable top-k merge as searchDistributed — no sort, ~k rows/query
+    val agg = new graft.operators.Similarity.TopKAggregator(k)
+    main.unionByName(deltaHits)
+      .groupBy(col("qid"), col("row_id")).agg(min(col("dist")).as("dist"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(agg.toColumn.name("topk"))
+      .toDF("qid", "topk")
+      .select(col("qid"), explode(col("topk")).as("hit"))
+      .select(col("qid"), col("hit._1").as("row_id"), col("hit._2").as("dist"))
+  }
+
   /** Index introspection (V2, vacuum.rs:138-157 page-count analog): size and
     * degree statistics computed with a single distributed aggregation. */
   case class IndexStats(numRows: Long, numShards: Int, numEdges: Long,

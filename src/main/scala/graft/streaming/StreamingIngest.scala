@@ -62,6 +62,24 @@ object StreamingIngest {
     }
   }
 
+  /** Distributed twin of [[searchFresh]] for offline batch query tables:
+    * main-index results come from the shard-aligned zip path, the delta is
+    * broadcast and scored map-side ([[DiskannIndex.searchDistributedFresh]])
+    * — an offline job no longer needs a `compact()` first to see appends. */
+  def searchFreshDistributed(spark: SparkSession, indexPath: String,
+      queries: DataFrame, k: Int, searchListSize: Int = 100,
+      rescore: Int = 50, tombstones: Set[Long] = Set.empty,
+      nProbe: Int = 0): DataFrame = {
+    val files = deltaFiles(spark, indexPath)
+    if (files.nonEmpty)
+      DiskannIndex.searchDistributedFresh(spark, indexPath, queries,
+        spark.read.parquet(files.map(_.toString).toIndexedSeq: _*), k,
+        searchListSize, rescore, tombstones, nProbe)
+    else
+      DiskannIndex.searchDistributed(spark, indexPath, queries, k,
+        searchListSize, rescore, tombstones, nProbe)
+  }
+
   /** Fold the delta into the main graph: rebuild from nodes ∪ delta, then
     * drop the consumed delta files. The rebuild is the same 2-job
     * distributed build.

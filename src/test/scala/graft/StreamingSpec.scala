@@ -322,6 +322,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(DiskannIndex.loadMeta(spark, path).numRows == n0 + 6)
   }
 
+  test("searchFreshDistributed: offline batch path sees the delta without a compact") {
+    val path = "/tmp/graft_test_index/fresh_dist"
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    deleteRec(new java.io.File(path))
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    DiskannIndex.build(e.filter($"vec_id" < 400), "vec_id", "embedding", None,
+      path, DiskannParams(metric = "cosine"))
+    e.filter($"vec_id" >= 400)
+      .select($"vec_id".as("row_id"), $"embedding".as("vec"))
+      .write.mode("append").parquet(s"$path/delta")
+
+    val queries = e.filter($"vec_id".isin(5L, 450L, 499L))
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val got = StreamingIngest.searchFreshDistributed(spark, path, queries,
+      k = 3, searchListSize = 200, rescore = 150).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    // each query's own row comes back — 450/499 live ONLY in the delta
+    assert(got(5L).contains(5L) && got(450L).contains(450L) &&
+      got(499L).contains(499L), got.toString)
+    // parity with the ONLINE fresh path on identical queries
+    val online = StreamingIngest.searchFresh(spark, path, queries, k = 3,
+      searchListSize = 200, rescore = 150).collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 1e9)))
+      .toSet
+    val dist = StreamingIngest.searchFreshDistributed(spark, path, queries,
+      k = 3, searchListSize = 200, rescore = 150).collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 1e9)))
+      .toSet
+    assert(dist == online, s"offline/online fresh mismatch: $dist vs $online")
+    // a tombstoned delta row is excluded
+    val gone = StreamingIngest.searchFreshDistributed(spark, path, queries,
+      k = 3, searchListSize = 200, rescore = 150, tombstones = Set(450L))
+      .collect().map(_.getLong(1)).toSet
+    assert(!gone.contains(450L))
+  }
+
   test("lease lock: S3A-style non-exclusive create — exactly one writer verifies ownership") {
     // simulate an object store where create(overwrite=false) is NOT atomic:
     // both writers' creates "succeed" (exclusiveCreate=false forces the
