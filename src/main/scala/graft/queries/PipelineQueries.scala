@@ -180,6 +180,45 @@ object PipelineQueries {
     "pmi_bigrams" -> ((s, d) =>
       TextAnalysis.pmiBigrams(docs(s, d), "text", minCount = 5, topK = 30)),
 
+    // per-source vocabulary Jaccard — which feeds share a lexicon (the
+    // register/domain cousin of dup_source_matrix's verbatim copying):
+    // distinct (source, token) pairs once, pairwise intersect via ONE
+    // token self-join (blowup bounded by sources-per-token²), sizes joined
+    // back — never a collect of any vocabulary
+    "vocab_overlap" -> ((s, d) => {
+      val st = docs(s, d)
+        .select(col("source"),
+          explode_outer(TextAnalysis.tokens(col("text"))).as("tok"))
+        .filter(col("tok").isNotNull)
+        .distinct()
+        .transform(graft.CacheScope.persist)
+      val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("__n"))
+      st.select(col("source").as("sa"), col("tok").as("tok_a"))
+        .join(st.select(col("source").as("sb"), col("tok").as("tok_b")),
+          col("tok_a") === col("tok_b") && col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("n_common"))
+        .join(sizes.select(col("source").as("sa"), col("__n").as("__na")), "sa")
+        .join(sizes.select(col("source").as("sb"), col("__n").as("__nb")), "sb")
+        .select(col("sa").as("source_a"), col("sb").as("source_b"),
+          col("n_common"),
+          round(col("n_common").cast("double") /
+            (col("__na") + col("__nb") - col("n_common")), 6).as("vocab_jaccard"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    // per-doc keyword extraction: top-3 TF-IDF tokens per document (rounded
+    // BEFORE ranking so the rank order is engine-replayable)
+    "doc_keywords" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token"))
+      TextAnalysis.tfIdf(docs(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("token"), round(col("tfidf"), 6).as("tfidf"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("token"), col("tfidf"))
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
+
     // Gopher-style within-document repetition: 1 - distinct/total bigrams.
     // Boilerplate and degenerate generated text score high; a curation
     // pipeline thresholds on it like any other quality column
@@ -812,6 +851,33 @@ object PipelineQueries {
          |WHERE a.tok = string_split(bigram, ' ')[1]
          |  AND b.tok = string_split(bigram, ' ')[2]
          |ORDER BY pmi DESC, bigram LIMIT 30""".stripMargin,
+
+    "vocab_overlap" ->
+      s"""WITH tok AS (SELECT DISTINCT source, unnest($sqlTokens) AS tok FROM documents),
+         |sz AS (SELECT source, count(*) AS n FROM tok GROUP BY 1),
+         |i AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+         |      FROM tok a JOIN tok b ON a.tok = b.tok AND a.source < b.source
+         |      GROUP BY 1, 2)
+         |SELECT source_a, source_b, n_common,
+         |  round(CAST(n_common AS DOUBLE) / (x.n + y.n - n_common), 6) AS vocab_jaccard
+         |FROM i JOIN sz x ON x.source = i.source_a
+         |       JOIN sz y ON y.source = i.source_b
+         |ORDER BY source_a, source_b""".stripMargin,
+
+    "doc_keywords" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+         |tok AS (SELECT doc_id, unnest(w) AS token FROM t),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfreq AS (SELECT token, count(*) AS df_t FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |r AS (SELECT doc_id, token,
+         |    round(CAST(tf AS DOUBLE) * ln(1.0 + CAST(n_docs AS DOUBLE) / CAST(df_t AS DOUBLE)), 6) AS tfidf
+         |  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+         |k AS (SELECT doc_id, token, tfidf,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rnk
+         |  FROM r)
+         |SELECT doc_id, rnk, token, tfidf FROM k WHERE rnk <= 3
+         |ORDER BY doc_id, rnk""".stripMargin,
 
     "lang_id" ->
       s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
