@@ -103,6 +103,49 @@ object TextAnalysis {
         ((lit(1.0) - least(col("digit_ratio") * 5.0, lit(1.0))) * 0.1))
   }
 
+  /** Buffer for [[TopKeywordsAggregator]]: parallel (token, score) arrays
+    * kept sorted best-first (score DESC, token ASC). */
+  case class TopKwState(toks: Seq[String], scores: Seq[Double])
+
+  /**
+   * Bounded MERGEABLE per-group top-k (token, score) aggregator — the
+   * keyword-extraction twin of [[graft.operators.Similarity.TopKAggregator]]:
+   * map-side combine caps every task's contribution at k pairs per group
+   * BEFORE the shuffle, and no sort ever runs over the full (doc, token)
+   * table — the window-row_number alternative shuffles and sorts every
+   * scored pair. Order: score DESC, token ASC (deterministic, replayable).
+   */
+  class TopKeywordsAggregator(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[(String, Double),
+        TopKwState, Seq[(String, Double)]] {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    private def better(t1: String, s1: Double, t2: String, s2: Double): Boolean =
+      s1 > s2 || (s1 == s2 && t1 < t2)
+    private def insert(st: TopKwState, tok: String, sc: Double): TopKwState = {
+      val n = st.toks.length
+      if (n >= k && !better(tok, sc, st.toks(n - 1), st.scores(n - 1))) return st
+      var pos = 0
+      while (pos < n && better(st.toks(pos), st.scores(pos), tok, sc)) pos += 1
+      val toks = (st.toks.take(pos) :+ tok) ++ st.toks.drop(pos)
+      val scs = (st.scores.take(pos) :+ sc) ++ st.scores.drop(pos)
+      TopKwState(toks.take(k), scs.take(k))
+    }
+    override def zero: TopKwState = TopKwState(Nil, Nil)
+    override def reduce(b: TopKwState, a: (String, Double)): TopKwState =
+      insert(b, a._1, a._2)
+    override def merge(x: TopKwState, y: TopKwState): TopKwState = {
+      var acc = x
+      var i = 0
+      while (i < y.toks.length) { acc = insert(acc, y.toks(i), y.scores(i)); i += 1 }
+      acc
+    }
+    override def finish(s: TopKwState): Seq[(String, Double)] =
+      s.toks.zip(s.scores)
+    override def bufferEncoder: Encoder[TopKwState] = Encoders.product[TopKwState]
+    override def outputEncoder: Encoder[Seq[(String, Double)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
   /**
    * Fasttext-style LINEAR quality classifier: a logistic model over the
    * one-pass feature vector, emitting a calibrated keep-probability instead

@@ -207,15 +207,23 @@ object PipelineQueries {
     }),
 
     // per-doc keyword extraction: top-3 TF-IDF tokens per document (rounded
-    // BEFORE ranking so the rank order is engine-replayable)
+    // BEFORE ranking so the rank order is engine-replayable). Bounded
+    // mergeable aggregation, NOT a window: map-side combine caps each
+    // task's contribution at 3 pairs per doc before the shuffle, no global
+    // sort of the (doc, token) table
     "doc_keywords" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token"))
+      import s.implicits._
+      val agg = new TextAnalysis.TopKeywordsAggregator(3)
       TextAnalysis.tfIdf(docs(s, d), "doc_id", "text")
         .select(col("doc_id"), col("token"), round(col("tfidf"), 6).as("tfidf"))
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 3)
-        .select(col("doc_id"), col("rnk"), col("token"), col("tfidf"))
+        .as[(Long, String, Double)]
+        .groupByKey(_._1)
+        .mapValues(t => (t._2, t._3))
+        .agg(agg.toColumn.name("kw"))
+        .toDF("doc_id", "kw")
+        .select(col("doc_id"), posexplode(col("kw")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col._1").as("token"), col("col._2").as("tfidf"))
         .orderBy(col("doc_id"), col("rnk"))
     }),
 

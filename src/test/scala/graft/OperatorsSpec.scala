@@ -572,6 +572,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(tiny(2L) > 0L, s"64-bit filter should saturate: $tiny")
   }
 
+  test("TopKeywordsAggregator: best-first top-k invariant under arrival order and splits") {
+    val agg = new TextAnalysis.TopKeywordsAggregator(3)
+    val items = Seq(("b", 2.0), ("a", 2.0), ("c", 5.0), ("d", 1.0), ("e", 3.0))
+    val expected = Seq(("c", 5.0), ("e", 3.0), ("a", 2.0)) // tie a<b on token
+    items.permutations.foreach { p =>
+      assert(agg.finish(p.foldLeft(agg.zero)(agg.reduce)) == expected, p.toString)
+    }
+    (0 to items.length).foreach { cut =>
+      val (l, r) = items.splitAt(cut)
+      val m = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.finish(m) == expected, s"cut=$cut")
+    }
+  }
+
   test("dupSourceMatrix: near-dup pairs land in their unordered source cell") {
     val t1 = "one two three four five six seven eight nine ten eleven twelve"
     val df = Seq(
