@@ -1168,11 +1168,11 @@ object DiskannIndex {
       queries: DataFrame, delta: DataFrame, k: Int,
       searchListSize: Int = 100, rescore: Int = 50,
       tombstones: Set[Long] = Set.empty, nProbe: Int = 0): DataFrame = {
-    val meta = loadMeta(spark, path0)
-    val report = reportDistFn(Metric(meta.metric))
-    val main = searchDistributed(spark, path0, queries, k, searchListSize,
-      rescore, tombstones, nProbe)
-
+    // SNAPSHOT the delta BEFORE the main search resolves its generation
+    // (the race-with-compact invariant, see StreamingIngest.searchFresh): a
+    // compact landing after this collect moves these same rows into the
+    // generation the main search then resolves — duplicates collapse below,
+    // nothing is lost. Collecting after resolving can lose rows.
     val hasDLabels = delta.columns.contains("labels")
     val hasQLabels = queries.columns.contains("qlabels")
     val deltaRows: Array[(Long, Array[Float], Array[Short])] =
@@ -1182,6 +1182,11 @@ object DiskannIndex {
             .map(s => LabelSets.normalize(s.toArray)).getOrElse(Array.emptyShortArray)
           else null)
       }.filterNot { case (rid, _, _) => tombstones.contains(rid) }
+
+    val meta = loadMeta(spark, path0)
+    val report = reportDistFn(Metric(meta.metric))
+    val main = searchDistributed(spark, path0, queries, k, searchListSize,
+      rescore, tombstones, nProbe)
     val dBc = spark.sparkContext.broadcast(deltaRows)
     val resultSchema = StructType(Seq(
       StructField("qid", LongType, nullable = false),

@@ -47,13 +47,26 @@ object StreamingIngest {
     catch { case _: java.io.FileNotFoundException => Array.empty }
   }
 
-  /** Search main graph + current delta (exact over the delta side). */
+  /** Search main graph + current delta (exact over the delta side).
+    *
+    * Race-with-compact invariant: the delta is SNAPSHOTTED (persisted and
+    * materialized) BEFORE the main generation is resolved. A compaction
+    * that lands in between moves the delta rows INTO the generation the
+    * later resolve then picks up, and `ignoreMissingFiles` tolerates the
+    * already-consumed delta files — so every row is visible on at least
+    * one side, and the main∪delta row_id collapse removes doubles. The
+    * reverse order (resolve first, read delta lazily) can lose rows: old
+    * generation + deleted delta files. Snapshot persists under
+    * [[graft.CacheScope]] — callers release via `releaseAll()`. */
   def searchFresh(spark: SparkSession, indexPath: String, queries: DataFrame,
       k: Int, searchListSize: Int = 100, rescore: Int = 50,
       tombstones: Set[Long] = Set.empty): DataFrame = {
     val files = deltaFiles(spark, indexPath)
     if (files.nonEmpty) {
-      val delta = spark.read.parquet(files.map(_.toString).toIndexedSeq: _*)
+      val delta = graft.CacheScope.persist(
+        spark.read.option("ignoreMissingFiles", "true")
+          .parquet(files.map(_.toString).toIndexedSeq: _*))
+      delta.count() // materialize the snapshot BEFORE resolving main
       DiskannIndex.searchWithDelta(spark, indexPath, queries, delta, k,
         searchListSize, rescore, tombstones)
     } else {
@@ -72,8 +85,12 @@ object StreamingIngest {
       nProbe: Int = 0): DataFrame = {
     val files = deltaFiles(spark, indexPath)
     if (files.nonEmpty)
+      // same race-with-compact invariant as [[searchFresh]]; here the
+      // snapshot is the eager driver collect inside searchDistributedFresh,
+      // which happens before ITS main search resolves the generation
       DiskannIndex.searchDistributedFresh(spark, indexPath, queries,
-        spark.read.parquet(files.map(_.toString).toIndexedSeq: _*), k,
+        spark.read.option("ignoreMissingFiles", "true")
+          .parquet(files.map(_.toString).toIndexedSeq: _*), k,
         searchListSize, rescore, tombstones, nProbe)
     else
       DiskannIndex.searchDistributed(spark, indexPath, queries, k,
