@@ -237,6 +237,49 @@ object TextAnalysis {
   }
 
   /**
+   * Count-min-sketch heavy-hitter AUDIT over word n-grams: builds the
+   * d×w sketch (md5-derived rows, so deterministic), then reports, for the
+   * exact top-`topK` n-grams, the true count next to the sketch estimate —
+   * the validation view you run before trusting the sketch alone.
+   *
+   * Why a sketch when exact token counts are Heaps-bounded: n-gram (and
+   * URL/key) cardinality is NOT — at 100 TB the exact 5-gram groupBy key
+   * space explodes, while the sketch is d·w counters REGARDLESS of corpus
+   * size, built in ONE aggregation with map-side combine (the partial
+   * sketches merging by + is exactly CMS's linearity). Estimates are
+   * biased high, never low (min over d rows), and this audit quantifies
+   * that error on the heaviest keys. In production the exact side is
+   * replaced by a candidate stream; the sketch side is unchanged.
+   */
+  def cmsNgramEstimates(df: DataFrame, textCol: String, n: Int = 5,
+      width: Int = 1 << 14, depth: Int = 4, topK: Int = 20): DataFrame = {
+    require(width > 0 && depth > 0 && n > 0, "width, depth, n must be positive")
+    val grams = df.select(tokens(col(textCol)).as("__w"))
+      .filter(size(col("__w")) >= n)
+      .select(explode(expr(
+        s"transform(sequence(1, size(__w) - ${n - 1})," +
+          s" i -> array_join(slice(__w, i, $n), ' '))")).as("g"))
+      .transform(graft.CacheScope.persist)
+    def pos(j: Int, g: Column): Column =
+      conv(substring(md5(concat(lit(s"$j:"), g)), 18, 15), 16, 10)
+        .cast(LongType) % width
+    val sketch = grams
+      .select(posexplode(array((0 until depth).map(j => pos(j, col("g"))): _*)))
+      .select(col("pos").as("j"), col("col").as("p"))
+      .groupBy(col("j"), col("p")).agg(count(lit(1)).as("c"))
+    val top = grams.groupBy(col("g")).agg(count(lit(1)).as("n_true"))
+      .orderBy(col("n_true").desc, col("g")).limit(topK)
+    top
+      .select(col("g"), col("n_true"),
+        posexplode(array((0 until depth).map(j => pos(j, col("g"))): _*)))
+      .select(col("g"), col("n_true"), col("pos").as("j"), col("col").as("p"))
+      .join(sketch, Seq("j", "p"))
+      .groupBy(col("g"), col("n_true")).agg(min(col("c")).as("n_cms"))
+      .select(col("g").as("ngram"), col("n_true"), col("n_cms"))
+      .orderBy(col("n_true").desc, col("ngram"))
+  }
+
+  /**
    * Gopher-style document quality gate (the rule family of Rae et al. 2021,
    * appendix A1.1, adapted to single-line corpora): per-rule boolean flags
    * plus their conjunction, from ONE tokenization pass.

@@ -180,6 +180,13 @@ object PipelineQueries {
     "pmi_bigrams" -> ((s, d) =>
       TextAnalysis.pmiBigrams(docs(s, d), "text", minCount = 5, topK = 30)),
 
+    // count-min-sketch audit: exact top-20 5-grams vs their 4x16384-sketch
+    // estimates (biased high, never low) — the bounded-state path for key
+    // spaces that explode past Heaps' law (n-grams, URLs)
+    "cms_heavy_ngrams" -> ((s, d) =>
+      TextAnalysis.cmsNgramEstimates(docs(s, d), "text", n = 5,
+        width = 1 << 14, depth = 4, topK = 20)),
+
     // per-source vocabulary Jaccard — which feeds share a lexicon (the
     // register/domain cousin of dup_source_matrix's verbatim copying):
     // distinct (source, token) pairs once, pairwise intersect via ONE
@@ -859,6 +866,23 @@ object PipelineQueries {
          |WHERE a.tok = string_split(bigram, ' ')[1]
          |  AND b.tok = string_split(bigram, ' ')[2]
          |ORDER BY pmi DESC, bigram LIMIT 30""".stripMargin,
+
+    "cms_heavy_ngrams" ->
+      s"""WITH t AS (SELECT $sqlTokens AS w FROM documents),
+         |g AS (SELECT unnest([array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)]) AS g
+         |      FROM t WHERE len(w) >= 5),
+         |pos AS (SELECT g, j.range AS j,
+         |        ('0x' || substr(md5(CAST(j.range AS VARCHAR) || ':' || g), 18, 15))::UBIGINT % 16384 AS p
+         |        FROM g CROSS JOIN range(4) j),
+         |sk AS (SELECT j, p, count(*) AS c FROM pos GROUP BY 1, 2),
+         |top AS (SELECT g, count(*) AS n_true FROM g GROUP BY 1
+         |        ORDER BY n_true DESC, g LIMIT 20),
+         |cand AS (SELECT g, n_true, j.range AS j,
+         |        ('0x' || substr(md5(CAST(j.range AS VARCHAR) || ':' || g), 18, 15))::UBIGINT % 16384 AS p
+         |        FROM top CROSS JOIN range(4) j)
+         |SELECT c.g AS ngram, c.n_true, min(sk.c) AS n_cms
+         |FROM cand c JOIN sk USING (j, p) GROUP BY 1, 2
+         |ORDER BY n_true DESC, ngram""".stripMargin,
 
     "vocab_overlap" ->
       s"""WITH tok AS (SELECT DISTINCT source, unnest($sqlTokens) AS tok FROM documents),

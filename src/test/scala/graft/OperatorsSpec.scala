@@ -545,6 +545,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.head._1 == "san francisco" || out.head._3 == sf._3)
   }
 
+  test("cmsNgramEstimates: never undercounts; exact when the sketch is collision-free") {
+    val docs = (1 to 5).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog again"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.cmsNgramEstimates(docs, "text", n = 5,
+      width = 1 << 14, depth = 4, topK = 10).collect()
+    graft.CacheScope.releaseAll()
+    assert(out.length == 6) // 10 tokens -> 6 distinct 5-grams, each count 5
+    out.foreach { r =>
+      assert(r.getLong(1) == 5L)
+      // CMS is biased high, never low; at 6 grams x 4 hashes in 2^14
+      // counters there are no collisions, so the estimate is exact
+      assert(r.getLong(2) == r.getLong(1), r.toString)
+    }
+    // a deliberately tiny sketch (width 2) forces collisions: estimates
+    // stay >= truth — the one-sided error CMS guarantees
+    val tiny = TextAnalysis.cmsNgramEstimates(docs, "text", n = 5,
+      width = 2, depth = 2, topK = 10).collect()
+    graft.CacheScope.releaseAll()
+    tiny.foreach(r => assert(r.getLong(2) >= r.getLong(1), r.toString))
+    assert(tiny.exists(r => r.getLong(2) > r.getLong(1)),
+      "width-2 sketch must collide")
+  }
+
   test("bloomDecontam: no false negatives; saturation shows the FP trade") {
     val evalDoc = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
       .toDF("doc_id", "text")
