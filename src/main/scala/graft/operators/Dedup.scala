@@ -189,6 +189,34 @@ object Dedup {
   }
 
   /**
+   * Corpus-order n-gram NOVELTY — the freshness signal a data-mixing
+   * pipeline reads when corpora are ingested in order: per document, the
+   * fraction of its distinct `spanTokens`-token spans whose FIRST corpus
+   * occurrence (minimum doc id) is this document. Late crawl dumps full of
+   * already-seen content score near 0; genuinely new material scores near
+   * 1 — threshold or weight by it when composing mixtures.
+   *
+   * Shape at 100 TB: identical cost class to [[dupSpanStats]] — map-side
+   * span hashing, ONE shuffle of (span_hash → min doc) partials
+   * (min is map-side combined), one per-doc aggregation. Never pairwise.
+   */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 8): DataFrame = {
+    val spans = shingled(df, idCol, textCol, spanTokens)
+      .select(col("id"), explode_outer(col("sh")).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("id"), xxhash64(col("s")).as("h"))
+      .transform(graft.CacheScope.persist)
+    val firstSeen = spans.groupBy(col("h")).agg(min(col("id")).as("__first"))
+    spans.join(firstSeen, Seq("h"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__first") === col("id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast(DoubleType) / col("n_spans"), 6))
+  }
+
+  /**
    * Cross-source duplication matrix — corpus forensics: for every unordered
    * pair of sources, how many verified near-duplicate pairs cross it (and
    * how many stay inside one source). The report a curation team reads to

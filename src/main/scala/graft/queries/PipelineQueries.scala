@@ -416,6 +416,40 @@ object PipelineQueries {
         .orderBy(col("train_id"), col("eval_id"))
     }),
 
+    // corpus-order n-gram novelty: per doc, the fraction of its distinct
+    // 8-token spans FIRST seen (min doc_id) in that doc — the freshness
+    // signal for ingest-ordered mixing; dup_spans cost class, one shuffle
+    "ngram_novelty" -> ((s, d) =>
+      Dedup.ngramNovelty(docs(s, d), "doc_id", "text", spanTokens = 8)
+        .select(col("id").as("doc_id"), col("n_spans"), col("n_novel"),
+          col("novelty"))
+        .orderBy(col("doc_id"))),
+
+    // Zipf/vocab-truncation audit: top-100 tokens with cumulative corpus
+    // coverage — "how much of the corpus do the k most frequent tokens
+    // cover". The running-share window runs over the ALREADY-reduced 100
+    // rows, never the vocabulary
+    "vocab_coverage" -> ((s, d) => {
+      val tok = docs(s, d)
+        .select(explode_outer(TextAnalysis.tokens(col("text"))).as("token"))
+        .filter(col("token").isNotNull)
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .transform(graft.CacheScope.persist)
+      val total = tok.agg(sum(col("cnt")).cast("double").as("__tot"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("token"))
+      tok.orderBy(col("cnt").desc, col("token")).limit(100)
+        .crossJoin(broadcast(total))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .withColumn("cum_share", round(
+          sum(col("cnt")).over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow))
+            .cast("double") / col("__tot"), 6))
+        .select(col("rnk"), col("token"), col("cnt"), col("cum_share"))
+        .orderBy(col("rnk"))
+    }),
+
     // Bloom-filter decontamination: the eval split folds into ONE 2^20-bit
     // filter (4 md5 hash functions), the train side tests map-side against
     // the broadcast — constant memory regardless of eval size; positives
@@ -866,6 +900,30 @@ object PipelineQueries {
          |WHERE a.tok = string_split(bigram, ' ')[1]
          |  AND b.tok = string_split(bigram, ' ')[2]
          |ORDER BY pmi DESC, bigram LIMIT 30""".stripMargin,
+
+    "ngram_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+         |g AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 8
+         |    THEN [array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)]
+         |    ELSE [array_to_string(w, ' ')] END) AS sh FROM t),
+         |e AS (SELECT doc_id, unnest(sh) AS s FROM g),
+         |f AS (SELECT s, min(doc_id) AS first_doc FROM e GROUP BY 1)
+         |SELECT e.doc_id, count(*) AS n_spans,
+         |  CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  round(CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / count(*), 6) AS novelty
+         |FROM e JOIN f USING (s) GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "vocab_coverage" ->
+      s"""WITH t AS (SELECT unnest($sqlTokens) AS token FROM documents),
+         |c AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM c),
+         |top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 100)
+         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rnk,
+         |       token, cnt,
+         |       round(CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
+         |                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) / tot, 6) AS cum_share
+         |FROM top CROSS JOIN tot ORDER BY rnk""".stripMargin,
 
     "cms_heavy_ngrams" ->
       s"""WITH t AS (SELECT $sqlTokens AS w FROM documents),

@@ -545,6 +545,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.head._1 == "san francisco" || out.head._3 == sf._3)
   }
 
+  test("ngramNovelty: first occurrence owns the span; verbatim repeats score zero") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j"), // all spans first seen here
+      (2L, "a b c d e f g h i j"), // exact repeat -> novelty 0
+      (3L, "z y x w v u t s r q") // fresh -> novelty 1
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramNovelty(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("novelty")).toMap
+    graft.CacheScope.releaseAll()
+    assert(out(1L) == 1.0 && out(2L) == 0.0 && out(3L) == 1.0, out.toString)
+  }
+
   test("cmsNgramEstimates: never undercounts; exact when the sketch is collision-free") {
     val docs = (1 to 5).map(i =>
       (i.toLong, "the quick brown fox jumps over the lazy dog again"))
