@@ -97,6 +97,34 @@ object StreamingIngest {
         searchListSize, rescore, tombstones, nProbe)
   }
 
+  /**
+   * Threshold-gated compaction — the AUTOVACUUM analog: fold the delta only
+   * once it has grown past `maxDeltaRows` OR past `maxDeltaFrac` of the
+   * main index's rows, whichever trips first. Safe (and intended) to call
+   * after every micro-batch commit: the check is two metadata reads — a
+   * parquet footer row count over the delta files and the main `_meta` row
+   * — no data scan, no lock unless a compact actually runs. Returns true
+   * iff it compacted. A concurrent writer holding the lease makes compact
+   * throw; that is surfaced, not swallowed, because silently skipping
+   * would let the delta grow without bound behind a stuck lease.
+   */
+  def maybeCompact(spark: SparkSession, indexPath: String,
+      maxDeltaRows: Long = 100000, maxDeltaFrac: Double = 0.1,
+      tune: DiskannParams => DiskannParams = identity): Boolean = {
+    val files = deltaFiles(spark, indexPath)
+    if (files.isEmpty) return false
+    // footer-only count: no column data is read
+    val deltaRows =
+      spark.read.parquet(files.map(_.toString).toIndexedSeq: _*).count()
+    val mainRows =
+      try DiskannIndex.loadMeta(spark, indexPath).numRows
+      catch { case _: Exception => 0L }
+    val due = deltaRows >= maxDeltaRows ||
+      (mainRows > 0 && deltaRows.toDouble / mainRows >= maxDeltaFrac)
+    if (due) compact(spark, indexPath, tune)
+    due
+  }
+
   /** Fold the delta into the main graph: rebuild from nodes ∪ delta, then
     * drop the consumed delta files. The rebuild is the same 2-job
     * distributed build.

@@ -361,6 +361,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(!gone.contains(450L))
   }
 
+  test("maybeCompact: autovacuum thresholds — absolute rows, main fraction, no-op below") {
+    val path = "/tmp/graft_test_index/auto_compact"
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    deleteRec(new java.io.File(path))
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    DiskannIndex.build(e.filter($"vec_id" < 400), "vec_id", "embedding", None,
+      path, DiskannParams(metric = "cosine"))
+    def appendDelta(lo: Int, hi: Int): Unit =
+      e.filter($"vec_id" >= lo && $"vec_id" < hi)
+        .select($"vec_id".as("row_id"), $"embedding".as("vec"))
+        .write.mode("append").parquet(s"$path/delta")
+
+    // empty delta: trivially not due
+    assert(!StreamingIngest.maybeCompact(spark, path))
+    // 50 delta rows vs 400 main: below both 100-row and 20% thresholds
+    appendDelta(400, 450)
+    assert(!StreamingIngest.maybeCompact(spark, path,
+      maxDeltaRows = 100, maxDeltaFrac = 0.2))
+    assert(new java.io.File(s"$path/delta").exists(), "delta must survive a no-op")
+    assert(DiskannIndex.listVersions(spark, path).isEmpty)
+    // fraction trips first: 50/400 = 12.5% >= 10%
+    assert(StreamingIngest.maybeCompact(spark, path,
+      maxDeltaRows = 100, maxDeltaFrac = 0.1))
+    assert(DiskannIndex.loadMeta(spark, path).numRows == 450)
+    assert(DiskannIndex.listVersions(spark, path) == Seq("v000000001"))
+    // absolute row count trips regardless of fraction
+    appendDelta(450, 500)
+    assert(StreamingIngest.maybeCompact(spark, path,
+      maxDeltaRows = 50, maxDeltaFrac = 0.99))
+    assert(DiskannIndex.loadMeta(spark, path).numRows == 500)
+  }
+
   test("lease lock: S3A-style non-exclusive create — exactly one writer verifies ownership") {
     // simulate an object store where create(overwrite=false) is NOT atomic:
     // both writers' creates "succeed" (exclusiveCreate=false forces the
