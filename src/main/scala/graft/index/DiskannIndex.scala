@@ -1175,6 +1175,11 @@ object DiskannIndex {
     // nothing is lost. Collecting after resolving can lose rows.
     val hasDLabels = delta.columns.contains("labels")
     val hasQLabels = queries.columns.contains("qlabels")
+    // sort + dedup by row_id: foreachBatch ingest is at-least-once, so a
+    // retried micro-batch appends the same row twice — without the dedup,
+    // both copies enter the bounded heap and can evict a DISTINCT true
+    // neighbor from the top-k (the online twin collapses by row_id before
+    // ranking and is immune)
     val deltaRows: Array[(Long, Array[Float], Array[Short])] =
       delta.filter(col("vec").isNotNull).collect().map { r =>
         (r.getAs[Long]("row_id"), r.getAs[mutable.Seq[Float]]("vec").toArray,
@@ -1182,6 +1187,7 @@ object DiskannIndex {
             .map(s => LabelSets.normalize(s.toArray)).getOrElse(Array.emptyShortArray)
           else null)
       }.filterNot { case (rid, _, _) => tombstones.contains(rid) }
+        .sortBy(_._1).distinctBy(_._1)
 
     val meta = loadMeta(spark, path0)
     val report = reportDistFn(Metric(meta.metric))
@@ -1194,22 +1200,21 @@ object DiskannIndex {
       StructField("dist", DoubleType, nullable = false)))
     val deltaHits = queries.mapPartitions { it =>
       val d = dBc.value
+      val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
       it.flatMap { r =>
         val qid = r.getAs[Long]("qid")
         val qv0 = Option(r.getAs[mutable.Seq[Float]]("qvec")).map(_.toArray).orNull
         val ql = if (hasQLabels) Option(r.getAs[mutable.Seq[Short]]("qlabels"))
           .map(s => LabelSets.normalize(s.toArray)).orNull else null
         // bounded per-query heap: only k delta rows leave the partition
-        val heap = mutable.PriorityQueue.empty[(Double, Long)](
-          Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+        val heap = mutable.PriorityQueue.empty[(Double, Long)](ord)
         d.foreach { case (rid, v, lbs) =>
           val ok = ql == null || (lbs != null && LabelSets.overlaps(lbs, ql))
           if (ok) {
             val qv = if (qv0 == null) new Array[Float](v.length) else qv0
             val dist = report(v, qv)
             if (heap.size < k) heap.enqueue((dist, rid))
-            else if (Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
-                .lt((dist, rid), heap.head)) {
+            else if (ord.lt((dist, rid), heap.head)) {
               heap.dequeue(); heap.enqueue((dist, rid))
             }
           }

@@ -49,24 +49,27 @@ object StreamingIngest {
 
   /** Search main graph + current delta (exact over the delta side).
     *
-    * Race-with-compact invariant: the delta is SNAPSHOTTED (persisted and
-    * materialized) BEFORE the main generation is resolved. A compaction
-    * that lands in between moves the delta rows INTO the generation the
-    * later resolve then picks up, and `ignoreMissingFiles` tolerates the
-    * already-consumed delta files — so every row is visible on at least
-    * one side, and the main∪delta row_id collapse removes doubles. The
-    * reverse order (resolve first, read delta lazily) can lose rows: old
-    * generation + deleted delta files. Snapshot persists under
-    * [[graft.CacheScope]] — callers release via `releaseAll()`. */
+    * Race-with-compact invariant: the delta is SNAPSHOTTED — eagerly
+    * localCheckpoint'ed, which truncates lineage — BEFORE the main
+    * generation is resolved. A compaction landing in between moves the
+    * delta rows INTO the generation the later resolve then picks up, and
+    * `ignoreMissingFiles` tolerates the already-consumed delta files — so
+    * every row is visible on at least one side, and the main∪delta row_id
+    * collapse removes doubles. The reverse order (resolve first, read
+    * delta lazily) can lose rows: old generation + deleted delta files.
+    * localCheckpoint over persist for two reasons: a lost cached partition
+    * cannot silently recompute-to-empty from deleted files (no lineage ⇒
+    * the query FAILS loud instead of dropping rows), and its blocks are
+    * released by the ContextCleaner when the result is garbage-collected,
+    * so per-micro-batch serving loops accumulate no cache registry. */
   def searchFresh(spark: SparkSession, indexPath: String, queries: DataFrame,
       k: Int, searchListSize: Int = 100, rescore: Int = 50,
       tombstones: Set[Long] = Set.empty): DataFrame = {
     val files = deltaFiles(spark, indexPath)
     if (files.nonEmpty) {
-      val delta = graft.CacheScope.persist(
-        spark.read.option("ignoreMissingFiles", "true")
-          .parquet(files.map(_.toString).toIndexedSeq: _*))
-      delta.count() // materialize the snapshot BEFORE resolving main
+      val delta = spark.read.option("ignoreMissingFiles", "true")
+        .parquet(files.map(_.toString).toIndexedSeq: _*)
+        .localCheckpoint(true) // eager: snapshot BEFORE resolving main
       DiskannIndex.searchWithDelta(spark, indexPath, queries, delta, k,
         searchListSize, rescore, tombstones)
     } else {
@@ -113,9 +116,13 @@ object StreamingIngest {
       tune: DiskannParams => DiskannParams = identity): Boolean = {
     val files = deltaFiles(spark, indexPath)
     if (files.isEmpty) return false
-    // footer-only count: no column data is read
+    // footer-only count, tolerant of a CONCURRENT compact consuming these
+    // files between the listing and the read (the same list-then-read race
+    // the fresh-search paths defend): vanished files count as 0 rows and
+    // the check correctly comes back not-due
     val deltaRows =
-      spark.read.parquet(files.map(_.toString).toIndexedSeq: _*).count()
+      spark.read.option("ignoreMissingFiles", "true")
+        .parquet(files.map(_.toString).toIndexedSeq: _*).count()
     val mainRows =
       try DiskannIndex.loadMeta(spark, indexPath).numRows
       catch { case _: Exception => 0L }

@@ -359,6 +359,17 @@ class StreamingSpec extends AnyFunSuite {
       k = 3, searchListSize = 200, rescore = 150, tombstones = Set(450L))
       .collect().map(_.getLong(1)).toSet
     assert(!gone.contains(450L))
+    // at-least-once ingest: a retried micro-batch duplicates every delta
+    // row — results must be identical (duplicate row_ids must not evict
+    // distinct true neighbors from the bounded heap)
+    e.filter($"vec_id" >= 400)
+      .select($"vec_id".as("row_id"), $"embedding".as("vec"))
+      .write.mode("append").parquet(s"$path/delta")
+    val dup = StreamingIngest.searchFreshDistributed(spark, path, queries,
+      k = 3, searchListSize = 200, rescore = 150).collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 1e9)))
+      .toSet
+    assert(dup == online, s"duplicated delta changed results: $dup vs $online")
   }
 
   test("maybeCompact: autovacuum thresholds — absolute rows, main fraction, no-op below") {
