@@ -23,12 +23,31 @@ object StreamingIngest {
   def appendBatchToDelta(indexPath: String)(batch: DataFrame, batchId: Long): Unit =
     batch.write.mode("append").parquet(s"$indexPath/delta")
 
-  /** Start a streaming query that feeds `stream` into the index delta. */
+  /** Start a streaming query that feeds `stream` into the index delta.
+    *
+    * `autoCompact = true` runs the [[maybeCompact]] threshold check after
+    * every micro-batch commit (the autovacuum analog, thresholds from
+    * `graft.compact.maxDeltaRows` / `graft.compact.maxDeltaFrac`, defaults
+    * 100000 / 0.1): ingest stays append-only and cheap until the delta
+    * earns a fold, then the compact runs INSIDE the batch callback — ONE
+    * writer by construction, no separate scheduler to race with. Compact
+    * latency lands on that one micro-batch; run a dedicated compactor
+    * instead when ingest latency must stay flat. */
   def startDeltaIngest(stream: DataFrame, indexPath: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String,
+      autoCompact: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch(appendBatchToDelta(indexPath) _)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBatchToDelta(indexPath)(batch, batchId)
+        if (autoCompact) {
+          val spark = batch.sparkSession
+          maybeCompact(spark, indexPath,
+            spark.conf.get("graft.compact.maxDeltaRows", "100000").toLong,
+            spark.conf.get("graft.compact.maxDeltaFrac", "0.1").toDouble)
+          ()
+        }
+      }
       .start()
 
   private def hadoopFs(spark: SparkSession, path: String) = {

@@ -407,6 +407,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(DiskannIndex.loadMeta(spark, path).numRows == 500)
   }
 
+  test("startDeltaIngest(autoCompact): threshold folds the delta inside the stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = "/tmp/graft_test_index/auto_ingest"
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    deleteRec(new java.io.File(path))
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    DiskannIndex.build(e.filter($"vec_id" < 400), "vec_id", "embedding", None,
+      path, DiskannParams(metric = "cosine"))
+    val tail = e.filter($"vec_id" >= 400)
+      .collect().map(r => (r.getLong(0),
+        r.getAs[scala.collection.mutable.ArraySeq[Float]](1).toArray))
+
+    spark.conf.set("graft.compact.maxDeltaRows", "60")
+    spark.conf.set("graft.compact.maxDeltaFrac", "0.9") // rows trip first
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamingIngest.startDeltaIngest(mem.toDF().toDF("row_id", "vec"),
+      path, s"/tmp/graft_ckpt_${System.nanoTime()}", autoCompact = true)
+    try {
+      // batch 1: 40 delta rows, below the 60-row threshold -> no compact
+      mem.addData(tail.take(40).toSeq)
+      q.processAllAvailable()
+      assert(DiskannIndex.listVersions(spark, path).isEmpty,
+        "below-threshold batch must not compact")
+      // batch 2: 60 more -> 100 >= 60, the stream folds the delta itself
+      mem.addData(tail.drop(40).toSeq)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.unset("graft.compact.maxDeltaRows")
+      spark.conf.unset("graft.compact.maxDeltaFrac")
+    }
+    assert(DiskannIndex.listVersions(spark, path) == Seq("v000000001"))
+    assert(DiskannIndex.loadMeta(spark, path).numRows == 500)
+    assert(!new java.io.File(s"$path/delta").exists())
+    // compacted rows serve from the main graph
+    val queries = e.filter($"vec_id" === 470)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val hits = DiskannIndex.search(spark, path, queries, k = 3,
+      searchListSize = 200, rescore = 150).collect().map(_.getLong(1))
+    assert(hits.contains(470L))
+  }
+
   test("lease lock: S3A-style non-exclusive create — exactly one writer verifies ownership") {
     // simulate an object store where create(overwrite=false) is NOT atomic:
     // both writers' creates "succeed" (exclusiveCreate=false forces the
