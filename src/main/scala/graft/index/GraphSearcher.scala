@@ -116,6 +116,12 @@ final class GraphSearcher(
     private val inserted = new java.util.HashSet[Integer](512)
     private val candidates = mutable.PriorityQueue.empty[(Int, Double)](ord)
     private var seeded = false
+    // exact distances already computed by earlier advance() rounds: a
+    // resumed escalation re-ranks a mostly-overlapping rescore pool, so
+    // caching makes "only new work is paid" true for the rescore too —
+    // both the recompute and the numExactCmps accounting (the cache is
+    // bounded by the visited list, ~L + rescore + k entries)
+    private val exactCache = mutable.HashMap.empty[Int, Double]
 
     private def seed(): Unit = {
       val starts: Seq[Int] =
@@ -211,8 +217,11 @@ final class GraphSearcher(
       val out = eligible.iterator
         .take(poolSize)
         .map { case (id, _) =>
-          if (stats != null) stats.exactCmps += 1
-          (rowIds(id), reportDist(vectors(id), query))
+          val d = exactCache.getOrElseUpdate(id, {
+            if (stats != null) stats.exactCmps += 1
+            reportDist(vectors(id), query)
+          })
+          (rowIds(id), d)
         }
         .toArray
         .sortBy { case (rid, d) => (d, rid) }

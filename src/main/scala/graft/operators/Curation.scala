@@ -196,8 +196,13 @@ object Curation {
     // there are already more splits than cores, and shuffling the 100 TB
     // text would negate the operator's whole map-side advantage, so it is
     // GATED on the incoming partition count.
+    // partition count from the PHYSICAL PLAN, not train.rdd — .rdd on a
+    // wide plan forces a full RDD conversion (row encoders and all) just to
+    // ask a number the planned tree already knows
+    val trainParts =
+      train.queryExecution.executedPlan.outputPartitioning.numPartitions
     val trainPar =
-      if (train.rdd.getNumPartitions < par) train.repartition(par) else train
+      if (trainParts < par) train.repartition(par) else train
     Dedup.shingled(trainPar, idCol, textCol, shingleSize)
       .select(col("id"), explode_outer(col("sh")).as("s"))
       .filter(col("s").isNotNull)

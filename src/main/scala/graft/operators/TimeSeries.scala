@@ -55,7 +55,14 @@ object TimeSeries {
     // NULL LEFT timestamps need no special case: they also sort first, so
     // no (filtered, non-null) right row precedes them and they emit the
     // outer-null row, same as the SQL spec.
-    val rTagged = right.filter(col(tsCol).isNotNull).select(
+    // NULL-KEY right rows are likewise dropped: the window's partitionBy
+    // groups NULL keys together, but an ASOF equality condition never
+    // matches NULLs (DuckDB spec) — without the filter a NULL-key left row
+    // would pick up a phantom "match" from NULL-key right rows. NULL-key
+    // LEFT rows still emit, with the outer-null payload.
+    val rTagged = right
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _) && col(tsCol).isNotNull)
+      .select(
       keys.map(col) ++:
         col(tsCol).as("__ts") +:
         lit(0).as("__side") +:
