@@ -223,6 +223,9 @@ object DiskannIndex {
         .toDF().coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
     }
     GraphSearcher.invalidate(path)
+    // a full rebuild at the same path changes numRows arbitrarily — the
+    // planner's cost-gate cache must re-read it (compact/drop already do)
+    graft.plans.KnnCost.invalidate(path)
   }
 
   /** Per-shard Vamana graph build over a (row_id, vec, labels, shard)
@@ -449,16 +452,34 @@ object DiskannIndex {
     // tombstones apply to the DELTA too: a row appended and then deleted
     // before compaction must not be resurrected into the new generation
     // (parity with the full-rebuild path and searchWithDelta)
-    val deltaAssigned = delta
+    val deltaAssigned0 = delta
       .filter(col("vec").isNotNull)
       .select(col("row_id").cast(LongType), col("vec"),
         col("labels").cast(ArrayType(ShortType)).as("labels"))
+      // at-least-once ingest: a retried micro-batch appends the same row
+      // twice — collapse by row_id before any counting or graph work
+      // (shuffles only the small delta), or the duplicate bakes into the
+      // graph and can occupy multiple top-k slots
+      .dropDuplicates("row_id")
       .transform(d => if (tombstones.isEmpty) d
         else d.join(broadcast(tombDf), Seq("row_id"), "left_anti"))
       .withColumn("shard", assign(col("vec")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val existing = nodesDf(spark, srcRoot, meta, 0 until meta.numShards)
+      // crash-window re-fold defense: a predecessor that INSTALLED its
+      // generation but crashed before deleting the consumed delta files
+      // leaves rows in BOTH main and delta. Keep the MAIN copy — its shard
+      // then needs no graph work at all — and drop the delta copy. The
+      // probe is a column-pruned (row_id-only) scan of the nodes table
+      // against the broadcast delta ids; localCheckpoint materializes the
+      // (≤ delta-sized) hit list so downstream replays never re-scan.
+      val dupIds = existing.select(col("row_id"))
+        .join(broadcast(deltaAssigned0.select(col("row_id"))), Seq("row_id"))
+        .localCheckpoint(true)
+      val deltaAssigned =
+        if (dupIds.isEmpty) deltaAssigned0
+        else deltaAssigned0.join(broadcast(dupIds), Seq("row_id"), "left_anti")
       // ONE small aggregate per input computes everything the bookkeeping
       // needs: per-shard delta counts, per-shard tombstone hits, per-shard
       // existing sizes of the affected shards
@@ -553,7 +574,63 @@ object DiskannIndex {
           .toDF().coalesce(1).write.mode("overwrite").parquet(s"$dstPath/_meta")
       }
       Some((newRows, affected))
-    } finally deltaAssigned.unpersist(false)
+    } finally deltaAssigned0.unpersist(false)
+  }
+
+  /**
+   * Persistent per-index tombstone registry (V1 / the DELETE-visibility
+   * analog): `deleteRows` durably marks row ids deleted by appending a tiny
+   * parquet file under `$indexPath/tombstones/`; every index-served read
+   * path that honors freshness ([[graft.streaming.StreamingIngest.searchFresh]],
+   * the SQL-planned [[graft.plans.KnnIndexScanExec]]) loads the set and
+   * skips those rows — the reference's scan likewise never emits rows the
+   * visibility map says are dead (scan.rs:229-235). The next compaction
+   * physically folds them (VACUUM) and consumes the files, so the live set
+   * stays bounded by the append-then-compact contract exactly like the
+   * delta.
+   */
+  def deleteRows(spark: SparkSession, indexPath: String,
+      rowIds: Iterable[Long]): Unit = {
+    if (rowIds.isEmpty) return
+    import spark.implicits._
+    rowIds.toSeq.toDF("row_id").coalesce(1)
+      .write.mode("append").parquet(s"$indexPath/tombstones")
+  }
+
+  /** The registry's current data files (Hadoop FS — HDFS/S3 paths work the
+    * same as local ones); empty when no deletes are pending. */
+  private[graft] def tombstoneFiles(spark: SparkSession,
+      indexPath: String): Array[org.apache.hadoop.fs.Path] = {
+    val d = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    try fs.listStatus(d).map(_.getPath)
+      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+    catch { case _: java.io.FileNotFoundException => Array.empty }
+  }
+
+  /** Load the persisted tombstone set. Bounded by the compaction contract
+    * (folded + consumed at every compact), so the driver-side Set is the
+    * same size class as a query batch. Tolerates the list-then-read race
+    * with a concurrent compact consuming the files (re-lists, and a
+    * post-compact empty dir correctly yields the empty set). */
+  def loadTombstones(spark: SparkSession, indexPath: String): Set[Long] = {
+    var attempt = 0
+    var lastErr: Throwable = null
+    while (attempt < 4) {
+      attempt += 1
+      val files = tombstoneFiles(spark, indexPath)
+      if (files.isEmpty) return Set.empty
+      try {
+        return spark.read.option("ignoreMissingFiles", "true")
+          .parquet(files.map(_.toString).toIndexedSeq: _*)
+          .select(col("row_id").cast(LongType))
+          .collect().map(_.getLong(0)).toSet
+      } catch {
+        // plan-time path-not-exist from the race; re-list
+        case e: org.apache.spark.sql.AnalysisException => lastErr = e
+      }
+    }
+    throw lastErr
   }
 
   def loadMeta(spark: SparkSession, path0: String): IndexMeta =
@@ -855,6 +932,22 @@ object DiskannIndex {
         .map(s => nodes.filter(col("shard") === s).coalesce(1).rdd).seq)
   }
 
+  /**
+   * Bucket-aligned generalization of [[shardAlignedNodesRdd]]: partition i
+   * holds ALL rows of the shards in `buckets(i)` via one partition-pruned
+   * coalesced scan per bucket. Same shuffle-free lineage property (asserted
+   * by DiskannIndexSpec past `zipMaxShards`) — this is what lets the zip
+   * path serve ANY shard count with a bounded number of plan branches.
+   */
+  private[graft] def bucketedNodesRdd(spark: SparkSession, nodes: DataFrame,
+      buckets: Seq[Seq[Int]]): org.apache.spark.rdd.RDD[Row] = {
+    import scala.collection.parallel.CollectionConverters._
+    spark.sparkContext.union(
+      buckets.par.map(ss => nodes
+        .filter(col("shard").isin(ss.map(Integer.valueOf): _*))
+        .coalesce(1).rdd).seq)
+  }
+
   /** True iff `rdd`'s lineage reaches a shuffle — test/plan-audit hook. */
   private[graft] def hasShuffle(rdd: org.apache.spark.rdd.RDD[_]): Boolean = {
     val seen = mutable.Set.empty[Int]
@@ -1012,68 +1105,81 @@ object DiskannIndex {
           .take(k).iterator.map { case (rid, d) => (qid, rid, d) }
       }
     }
-    // Co-location WITHOUT shuffling the index: the shard-aligned scan is one
-    // coalesced task per shard directory (same mechanism as the online
-    // path), so zipping it against queries hash-partitioned to the matching
-    // partition index moves ONLY the query rows — the 100 TB nodes table
-    // never crosses the wire, and a warm executor cache means the unconsumed
-    // node iterator skips the decode entirely. The only cost that grows with
-    // shard count is DRIVER planning (one tiny pruned-scan plan per shard,
-    // single-digit ms each — the "bucketed by shard directory" equivalent of
-    // a bucketed-table join, without a metastore); past
-    // `graft.search.zipMaxShards` (default 4096) the dual-shuffle cogroup
-    // caps that driver cost.
+    // Co-location WITHOUT shuffling the index, at ANY shard count: the
+    // shard-aligned scan is one coalesced task per shard BUCKET (same
+    // pruned-scan mechanism as the online path), so zipping it against
+    // queries hash-partitioned to the matching partition index moves ONLY
+    // the query rows — the 100 TB nodes table never crosses the wire, and a
+    // warm executor cache means the unconsumed node iterator skips the
+    // decode entirely. The only cost that grows with shard count is DRIVER
+    // planning (one tiny pruned-scan plan per bucket, single-digit ms each
+    // — the "bucketed by shard directory" equivalent of a bucketed-table
+    // join, without a metastore); past `graft.search.zipMaxShards`
+    // (default 4096) buckets start holding MULTIPLE whole shards, capping
+    // the plan-branch count while keeping the nodes side shuffle-free —
+    // the round-4 cogroup fallback (which shuffled the nodes table past
+    // the cap) is gone.
     val zipMaxShards =
       spark.conf.get("graft.search.zipMaxShards", "4096").toInt
-    val partial: org.apache.spark.sql.Dataset[(Long, Long, Double)] =
-      if (neededShards.length <= zipMaxShards) {
-        val nShards = neededShards.length
-        val shardIndex = neededShards.zipWithIndex.toMap
-        val nodesRdd = shardAlignedNodesRdd(spark, nodes, neededShards)
-        val byShard = new org.apache.spark.Partitioner {
-          override def numPartitions: Int = nShards
-          override def getPartition(key: Any): Int =
-            shardIndex(key.asInstanceOf[Int])
-        }
-        val qRdd = q2.rdd.map(r => (r.getAs[Int]("shard"), r))
-          .partitionBy(byShard).values
-        // zip alignment rests on coalesce(1) yielding exactly ONE partition
-        // even for an EMPTY shard directory (unused IVF centroid) — true on
-        // Spark 4.x via CoalesceExec.EmptyRDDWithPartitions. If a Spark
-        // upgrade ever changes that, fail with the invariant's name instead
-        // of zipPartitions' opaque "unequal number of partitions".
-        require(nodesRdd.getNumPartitions == nShards,
-          s"nodes RDD has ${nodesRdd.getNumPartitions} partitions, expected " +
-            s"$nShards (one per probed shard; empty-shard coalesce(1) must " +
-            "still yield one partition)")
-        require(qRdd.getNumPartitions == nShards,
-          s"query RDD has ${qRdd.getNumPartitions} partitions, expected $nShards")
-        val resRdd = nodesRdd.zipPartitions(qRdd) { (nodeIt, qIt) =>
-          val qs = qIt.toArray
-          if (qs.isEmpty) Iterator.empty
-          else {
-            val shard = qs(0).getAs[Int]("shard")
-            answerShard(shard, () => {
-              val arr = nodeIt.toArray
-              // partition alignment is by construction; fail fast if it
-              // breaks (an EMPTY shard — e.g. an unused IVF centroid — is
-              // legal and builds an empty searcher, as the cogroup path did)
-              require(arr.isEmpty || arr(0).getAs[Int]("shard") == shard,
-                s"nodes partition misaligned with query shard $shard")
-              arr
-            }, qs)
+    val partial: org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+      val bucketSize = math.max(1,
+        math.ceil(neededShards.length.toDouble / zipMaxShards).toInt)
+      val buckets: IndexedSeq[Seq[Int]] =
+        neededShards.grouped(bucketSize).toIndexedSeq
+      val nBuckets = buckets.length
+      val bucketIndex: Map[Int, Int] = buckets.zipWithIndex
+        .flatMap { case (ss, b) => ss.map(_ -> b) }.toMap
+      // one pruned coalesced scan per BUCKET; contiguous shard ranges keep
+      // each branch's directory listing local. bucketSize == 1 is exactly
+      // the round-4 per-shard zip.
+      val nodesRdd =
+        if (bucketSize == 1) shardAlignedNodesRdd(spark, nodes, neededShards)
+        else bucketedNodesRdd(spark, nodes, buckets)
+      val byBucket = new org.apache.spark.Partitioner {
+        override def numPartitions: Int = nBuckets
+        override def getPartition(key: Any): Int =
+          bucketIndex(key.asInstanceOf[Int])
+      }
+      val qRdd = q2.rdd.map(r => (r.getAs[Int]("shard"), r))
+        .partitionBy(byBucket).values
+      // zip alignment rests on coalesce(1) yielding exactly ONE partition
+      // even for an EMPTY shard directory (unused IVF centroid) — true on
+      // Spark 4.x via CoalesceExec.EmptyRDDWithPartitions. If a Spark
+      // upgrade ever changes that, fail with the invariant's name instead
+      // of zipPartitions' opaque "unequal number of partitions".
+      require(nodesRdd.getNumPartitions == nBuckets,
+        s"nodes RDD has ${nodesRdd.getNumPartitions} partitions, expected " +
+          s"$nBuckets (one per shard bucket; empty-shard coalesce(1) must " +
+          "still yield one partition)")
+      require(qRdd.getNumPartitions == nBuckets,
+        s"query RDD has ${qRdd.getNumPartitions} partitions, expected $nBuckets")
+      val bIdxBc = spark.sparkContext.broadcast(bucketIndex)
+      val resRdd = nodesRdd.zipPartitions(qRdd) { (nodeIt, qIt) =>
+        val qs = qIt.toArray
+        if (qs.isEmpty) Iterator.empty
+        else {
+          // materialized on the FIRST cache miss only: a bucket whose every
+          // shard is warm in this JVM never reads its node iterator at all
+          lazy val nodeByShard: Map[Int, Array[Row]] = {
+            val arr = nodeIt.toArray
+            // partition alignment is by construction; fail fast if it
+            // breaks (an EMPTY shard — unused IVF centroid — is legal and
+            // builds an empty searcher)
+            val expected = bIdxBc.value(qs(0).getAs[Int]("shard"))
+            require(arr.isEmpty ||
+              bIdxBc.value(arr(0).getAs[Int]("shard")) == expected,
+              s"nodes partition misaligned with query bucket $expected")
+            arr.groupBy(_.getAs[Int]("shard"))
           }
-        }
-        spark.createDataset(resRdd)
-      } else {
-        val nodesByShard = nodes.groupByKey(_.getAs[Int]("shard"))
-        val qByShard = q2.groupByKey(_.getAs[Int]("shard"))
-        nodesByShard.cogroup(qByShard) { (shard, nodeIt, queryIt) =>
-          val qs = queryIt.toArray
-          if (qs.isEmpty) Iterator.empty
-          else answerShard(shard, () => nodeIt.toArray, qs)
+          qs.groupBy(_.getAs[Int]("shard")).iterator
+            .flatMap { case (shard, shardQs) =>
+              answerShard(shard,
+                () => nodeByShard.getOrElse(shard, Array.empty), shardQs)
+            }
         }
       }
+      spark.createDataset(resRdd)
+    }
 
     // final per-query top-k as a MERGEABLE bounded aggregation: map-side
     // combine caps each task's contribution at k rows per query BEFORE the
@@ -1096,11 +1202,13 @@ object DiskannIndex {
    */
   def searchWithDelta(spark: SparkSession, path: String, queries: DataFrame,
       delta: DataFrame, k: Int, searchListSize: Int = 100, rescore: Int = 50,
-      tombstones: Set[Long] = Set.empty): DataFrame = {
+      tombstones: Set[Long] = Set.empty,
+      metrics: Option[SearchMetrics] = None, nProbe: Int = 0): DataFrame = {
     val meta = loadMeta(spark, path)
     val metric = Metric(meta.metric)
     val report = reportDistFn(metric)
-    val main = search(spark, path, queries, k, searchListSize, rescore, tombstones)
+    val main = search(spark, path, queries, k, searchListSize, rescore,
+      tombstones, metrics, nProbe)
 
     val hasQLabels = queries.columns.contains("qlabels")
     val hasDLabels = delta.columns.contains("labels")

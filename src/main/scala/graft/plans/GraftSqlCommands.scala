@@ -72,6 +72,177 @@ object GraftSqlParser {
             "(vector_cosine_ops | vector_l2_ops | vector_ip_ops)")
       }).getOrElse("cosine")
 
+  /**
+   * pgvector operator syntax (the reference's primary query UX,
+   * `README.md:174-180`): a textual pre-pass rewrites
+   *
+   *   a <=> b  →  vec_cosine_dist(a, b)   (cosine distance)
+   *   a <-> b  →  vec_l2(a, b)            (euclidean distance)
+   *   a <#> b  →  vec_neg_dot(a, b)       (negative inner product)
+   *
+   * before delegation, so the reference's query text runs verbatim AND
+   * lands on the exact expressions [[KnnStrategy]] pattern-matches —
+   * `ORDER BY embedding <=> q LIMIT k` takes the index plan identically to
+   * the function-call spelling.
+   *
+   * `<->` and `<#>` are not valid Spark SQL, so claiming them costs
+   * nothing. `<=>` IS Spark's null-safe equality; in a session that loads
+   * the graft extensions it is claimed as the cosine operator instead
+   * (pgvector compatibility wins; ANSI `IS NOT DISTINCT FROM` still
+   * expresses null-safe equality unambiguously). Setting
+   * `spark.graft.sql.vectorOps=false` turns the whole rewrite off.
+   *
+   * The scan is literal-aware (operators inside '…' strings and `…`
+   * identifiers are untouched) and operands are the adjacent PRIMARY
+   * expressions — qualified/backquoted identifiers, literals, or
+   * call-forms with balanced parentheses (`CAST(array(…) AS ARRAY<FLOAT>)`)
+   * — matching the operator's tight precedence in pgvector. An occurrence
+   * whose operand cannot be recognized is left as-is for the delegate
+   * parser to report.
+   */
+  private val vectorOps =
+    Seq("<=>" -> "vec_cosine_dist", "<->" -> "vec_l2", "<#>" -> "vec_neg_dot")
+
+  private def isIdentChar(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_' || c == '$'
+
+  /** Index of the first operator occurrence outside literals, with its fn. */
+  private def findVectorOp(s: String): Option[(Int, String, String)] = {
+    var i = 0
+    var quote: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '\'' || c == '`' || c == '"') quote = c
+      else vectorOps.find { case (op, _) => s.startsWith(op, i) } match {
+        case Some((op, fn)) => return Some((i, op, fn))
+        case None =>
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** Start index of the primary expression ending just before `end`. */
+  private def leftOperandStart(s: String, end: Int): Option[Int] = {
+    var j = end - 1
+    while (j >= 0 && Character.isWhitespace(s.charAt(j))) j -= 1
+    if (j < 0) return None
+    s.charAt(j) match {
+      case ')' | ']' =>
+        // balanced walk back over the call/bracket form
+        var depth = 0
+        while (j >= 0) {
+          val c = s.charAt(j)
+          if (c == ')' || c == ']') depth += 1
+          else if (c == '(' || c == '[') { depth -= 1; if (depth == 0) {
+            j -= 1
+            // include the (qualified) function name before the parens
+            while (j >= 0 && Character.isWhitespace(s.charAt(j))) j -= 1
+            while (j >= 0 && (isIdentChar(s.charAt(j)) || s.charAt(j) == '.')) j -= 1
+            return Some(j + 1)
+          } }
+          j -= 1
+        }
+        None
+      case '\'' =>
+        var k = j - 1
+        while (k >= 0 && s.charAt(k) != '\'') k -= 1
+        if (k >= 0) Some(k) else None
+      case '`' =>
+        var k = j - 1
+        while (k >= 0 && s.charAt(k) != '`') k -= 1
+        if (k < 0) return None
+        k -= 1
+        // qualified chain before the backquoted segment (t.`col`)
+        while (k >= 0 && (isIdentChar(s.charAt(k)) || s.charAt(k) == '.')) k -= 1
+        Some(k + 1)
+      case c if isIdentChar(c) =>
+        var k = j
+        while (k >= 0 && (isIdentChar(s.charAt(k)) || s.charAt(k) == '.')) k -= 1
+        Some(k + 1)
+      case _ => None
+    }
+  }
+
+  /** End index (exclusive) of the primary expression starting at/after `from`. */
+  private def rightOperandEnd(s: String, from: Int): Option[Int] = {
+    var j = from
+    while (j < s.length && Character.isWhitespace(s.charAt(j))) j += 1
+    if (j >= s.length) return None
+    def balancedForward(start: Int): Option[Int] = {
+      var depth = 0
+      var k = start
+      var quote: Char = 0
+      while (k < s.length) {
+        val c = s.charAt(k)
+        if (quote != 0) { if (c == quote) quote = 0 }
+        else if (c == '\'' || c == '`' || c == '"') quote = c
+        else if (c == '(' || c == '[') depth += 1
+        else if (c == ')' || c == ']') { depth -= 1; if (depth == 0) return Some(k + 1) }
+        k += 1
+      }
+      None
+    }
+    s.charAt(j) match {
+      case '(' | '[' => balancedForward(j)
+      case '\'' =>
+        var k = j + 1
+        while (k < s.length && s.charAt(k) != '\'') k += 1
+        if (k < s.length) Some(k + 1) else None
+      case c if isIdentChar(c) || c == '`' =>
+        var k = j
+        // qualified chain of idents / backquoted segments
+        var advanced = true
+        while (advanced && k < s.length) {
+          advanced = false
+          if (k < s.length && s.charAt(k) == '`') {
+            var m = k + 1
+            while (m < s.length && s.charAt(m) != '`') m += 1
+            if (m >= s.length) return None
+            k = m + 1; advanced = true
+          } else {
+            val start = k
+            while (k < s.length && isIdentChar(s.charAt(k))) k += 1
+            if (k > start) advanced = true
+          }
+          if (k < s.length && s.charAt(k) == '.') { k += 1; advanced = true }
+        }
+        // a call form: optional whitespace then balanced parens
+        var m = k
+        while (m < s.length && Character.isWhitespace(s.charAt(m))) m += 1
+        if (m < s.length && s.charAt(m) == '(') balancedForward(m) else Some(k)
+      case c if Character.isDigit(c) || c == '-' || c == '.' =>
+        var k = j + 1
+        while (k < s.length && (Character.isDigit(s.charAt(k)) ||
+          s.charAt(k) == '.' || s.charAt(k) == 'e' || s.charAt(k) == 'E')) k += 1
+        Some(k)
+      case _ => None
+    }
+  }
+
+  private[graft] def rewriteVectorOps(sql: String): String = {
+    if (!vectorOps.exists { case (op, _) => sql.contains(op) }) return sql
+    var s = sql
+    var guard = 0
+    var done = false
+    while (!done && guard < 64) {
+      guard += 1
+      findVectorOp(s) match {
+        case Some((p, op, fn)) =>
+          (leftOperandStart(s, p), rightOperandEnd(s, p + op.length)) match {
+            case (Some(ls), Some(re)) =>
+              val left = s.substring(ls, p).trim
+              val right = s.substring(p + op.length, re).trim
+              s = s.substring(0, ls) + s"$fn($left, $right)" + s.substring(re)
+            case _ => done = true // unrecognized shape: let the delegate report
+          }
+        case None => done = true
+      }
+    }
+    s
+  }
+
   /** Some(command) when `sqlText` is graft DDL; None delegates to Spark. */
   def parseIndexCommand(sqlText: String): Option[LogicalPlan] = sqlText match {
     case createRe(name, tick, quoted, vecCol, opclass, withOpts) =>
@@ -94,12 +265,19 @@ object GraftSqlParser {
   }
 }
 
-class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
-  override def parsePlan(sqlText: String): LogicalPlan =
-    GraftSqlParser.parseIndexCommand(sqlText)
-      .getOrElse(delegate.parsePlan(sqlText))
+class GraftSqlParser(delegate: ParserInterface,
+    session: Option[SparkSession] = None) extends ParserInterface {
+  private def vectorOpsOn: Boolean =
+    session.orElse(SparkSession.getActiveSession)
+      .forall(_.conf.get("spark.graft.sql.vectorOps", "true").toBoolean)
+  private def pre(sqlText: String): String =
+    if (vectorOpsOn) GraftSqlParser.rewriteVectorOps(sqlText) else sqlText
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    val sql = pre(sqlText)
+    GraftSqlParser.parseIndexCommand(sql).getOrElse(delegate.parsePlan(sql))
+  }
   override def parseExpression(sqlText: String): Expression =
-    delegate.parseExpression(sqlText)
+    delegate.parseExpression(pre(sqlText))
   override def parseTableIdentifier(sqlText: String): TableIdentifier =
     delegate.parseTableIdentifier(sqlText)
   override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =

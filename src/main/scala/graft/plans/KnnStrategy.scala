@@ -135,7 +135,7 @@ object Graft {
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(spark => new KnnStrategy(spark))
-    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    ext.injectParser((s, delegate) => new GraftSqlParser(delegate, Option(s)))
     VectorFunctions.injectInto(ext)
     graft.operators.TextAnalysis.injectInto(ext)
   }
@@ -204,23 +204,29 @@ class KnnStrategy(spark: SparkSession) extends SparkStrategy {
       projList: Option[Seq[NamedExpression]]): Option[SparkPlan] = {
     if (orders.length != 1 || orders.head.direction != Ascending) return None
 
-    // Peel column-pruning Projects (attribute-only) and at most one Filter.
-    // The filter splits into (a) the ONE arrays_overlap(labelsCol, literal)
-    // conjunct the index answers natively (P1 — the reference's amrescan
-    // likewise asserts at most one label key, scan.rs:344) and (b) everything
-    // else, which becomes a RESIDUAL predicate re-checked above the scan with
-    // an over-fetch loop (P4 / xs_recheck: the executor keeps pulling until
+    // Peel at most one Project and at most one Filter below the Sort. The
+    // Project may carry COMPUTED columns — `SELECT id, round(dist_fn(...))
+    // AS dist ... ORDER BY dist_fn(...)` analyzes to exactly that shape
+    // (the computed alias plus the sort column passed through) — as long as
+    // every expression is deterministic and subquery-free; it is re-applied
+    // as a ProjectExec above the scan's k rows. The filter splits into
+    // (a) the ONE arrays_overlap(labelsCol, literal) conjunct the index
+    // answers natively (P1 — the reference's amrescan likewise asserts at
+    // most one label key, scan.rs:344) and (b) everything else, which
+    // becomes a RESIDUAL predicate re-checked above the scan with an
+    // over-fetch loop (P4 / xs_recheck: the executor keeps pulling until
     // LIMIT is satisfied; here the scan escalates k until enough survivors).
     var cur = inner0
-    var projAttrs: Option[Seq[AttributeReference]] = None
+    var innerProj: Option[Seq[NamedExpression]] = None
     var filterConjuncts: Seq[Expression] = Nil
     var sawFilter = false
     var ok = true
     var done = false
     while (ok && !done) cur match {
-      case Project(ps, child) if projAttrs.isEmpty &&
-          ps.forall(_.isInstanceOf[AttributeReference]) =>
-        projAttrs = Some(ps.map(_.asInstanceOf[AttributeReference]))
+      case Project(ps, child) if innerProj.isEmpty &&
+          ps.forall(p => p.deterministic &&
+            !p.exists(_.isInstanceOf[PlanExpression[_]])) =>
+        innerProj = Some(ps)
         cur = child
       case Filter(cond, child) if !sawFilter =>
         def split(e: Expression): Seq[Expression] = e match {
@@ -234,6 +240,12 @@ class KnnStrategy(spark: SparkSession) extends SparkStrategy {
       case _ => ok = false
     }
     if (!ok) return None
+    // attribute-only inner Project = pure column pruning (scan output
+    // narrows, no re-projection); anything computed re-projects above
+    val innerAttrsOnly: Option[Seq[AttributeReference]] =
+      innerProj.filter(_.forall(_.isInstanceOf[AttributeReference]))
+        .map(_.map(_.asInstanceOf[AttributeReference]))
+    val innerComputed = innerProj.isDefined && innerAttrsOnly.isEmpty
 
     for {
       (metric, lhs, rhs) <- metricOf(orders.head.child)
@@ -288,25 +300,39 @@ class KnnStrategy(spark: SparkSession) extends SparkStrategy {
 
       residual match {
         case None =>
-          val outAttrs = projAttrs.getOrElse(lr.output.map(_.asInstanceOf[AttributeReference]))
-          val exec = KnnIndexScanExec(outAttrs, spark, entry, qvec, k, filterLabels,
-            sortExpr = orders.head.child)
+          val scanAttrs: Seq[AttributeReference] =
+            if (innerComputed) {
+              // prune the scan to the columns the re-applied Project reads
+              val refs = AttributeSet(innerProj.get.flatMap(_.references))
+              lr.output.filter(refs.contains)
+                .map(_.asInstanceOf[AttributeReference])
+            } else innerAttrsOnly
+              .getOrElse(lr.output.map(_.asInstanceOf[AttributeReference]))
+          val exec = KnnIndexScanExec(scanAttrs, spark, entry, qvec, k,
+            filterLabels, sortExpr = orders.head.child)
+          val reProjected: SparkPlan =
+            if (innerComputed) ProjectExec(innerProj.get, exec) else exec
           projList match {
-            case Some(pl) => ProjectExec(pl, exec)
-            case None => exec
+            case Some(pl) => ProjectExec(pl, reProjected)
+            case None => reProjected
           }
         case Some(cond) =>
           // over-fetch plan: scan emits ALL fetched columns in distance order
           // (escalating k internally until >= k residual survivors), the
-          // residual FilterExec re-checks exactly, and Spark's own
-          // TakeOrderedAndProject applies the final sort+limit+projection
+          // residual FilterExec re-checks exactly, the computed inner Project
+          // (if any) re-applies, and Spark's own TakeOrderedAndProject
+          // applies the final sort+limit+projection
           val fullAttrs = lr.output.map(_.asInstanceOf[AttributeReference])
           val exec = KnnIndexScanExec(fullAttrs, spark, entry, qvec, k,
             filterLabels, sortExpr = orders.head.child, residual = Some(cond))
-          val projectOut: Seq[NamedExpression] =
-            projList.getOrElse(projAttrs.getOrElse(fullAttrs))
+          val filtered = FilterExec(cond, exec)
+          val above: SparkPlan =
+            if (innerComputed) ProjectExec(innerProj.get, filtered) else filtered
+          val projectOut: Seq[NamedExpression] = projList.getOrElse(
+            if (innerComputed) innerProj.get.map(_.toAttribute)
+            else innerAttrsOnly.getOrElse(fullAttrs))
           org.apache.spark.sql.execution.TakeOrderedAndProjectExec(
-            k, orders, projectOut, FilterExec(cond, exec))
+            k, orders, projectOut, above)
       }
     }
   }
@@ -318,6 +344,18 @@ class KnnStrategy(spark: SparkSession) extends SparkStrategy {
  * fetches those rows from the source relation (the heap-fetch S5 — a
  * k-row pushed-down IN-filter scan, not a full table read) and emits them
  * in exact distance order.
+ *
+ * FRESHNESS (G9/V1 parity with the reference's live index): the scan
+ * routes through [[graft.streaming.StreamingIngest.searchFresh]], so
+ * micro-batch appends in the index's `delta/` are visible immediately —
+ * the reference's `aminsert` writes into the live graph the next
+ * `amgettuple` traverses (build.rs:464-535) — and rows registered in the
+ * persistent tombstone registry ([[DiskannIndex.deleteRows]]) are never
+ * emitted, pre-compact, matching the vacuumed-row skip (scan.rs:229-235).
+ * Contract: the source relation is the heap — delta-appended rows must
+ * exist in it (they are fetched by id), and tombstoned rows may remain in
+ * it (they are masked on every index-served path, including the
+ * brute-force bail-out).
  */
 case class KnnIndexScanExec(outAttrs: Seq[AttributeReference], spark: SparkSession,
     entry: KnnCatalog.Entry, queryVec: Array[Float], k: Int,
@@ -355,9 +393,10 @@ case class KnnIndexScanExec(outAttrs: Seq[AttributeReference], spark: SparkSessi
         typedlit(ls).cast(org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.ShortType)))
     }
+    // the delta-and-tombstone-aware search: appends visible, deletes masked
     def searchK(kk: Int): Array[org.apache.spark.sql.Row] =
-      DiskannIndex.search(spark, entry.indexPath, queries, kk,
-        math.max(searchList, kk), rescore, metrics = sMetrics,
+      graft.streaming.StreamingIngest.searchFresh(spark, entry.indexPath,
+        queries, kk, math.max(searchList, kk), rescore, metrics = sMetrics,
         nProbe = nProbe).collect()
 
     // heap fetch (S5): a k-row IN-filter scan of the source relation, with
@@ -432,7 +471,16 @@ case class KnnIndexScanExec(outAttrs: Seq[AttributeReference], spark: SparkSessi
         BoundReference(colIdx(a.name), a.dataType, a.nullable)
     }
     val rankOrd = fetchCols.length
-    val total = DiskannIndex.loadMeta(spark, entry.indexPath).numRows
+    // freshness state for this execution: pending delta appends force the
+    // per-round delta-merging search (the resumable frontier walks the main
+    // graph only); persisted tombstones feed the traversal's skip predicate
+    val hasDelta =
+      graft.streaming.StreamingIngest.hasDelta(spark, entry.indexPath)
+    val freshTombs = DiskannIndex.loadTombstones(spark, entry.indexPath)
+    val total = DiskannIndex.loadMeta(spark, entry.indexPath).numRows +
+      (if (hasDelta) maxOverfetch.toLong else 0L) // delta size unknown; only
+    // the `kk >= total` exhaustion shortcut cares, and overshooting it just
+    // means one more (correct) escalation round before the cap bails out
     val cap = math.max(k.toLong, math.min(total, maxOverfetch.toLong))
       .min(Int.MaxValue).toInt
 
@@ -441,17 +489,23 @@ case class KnnIndexScanExec(outAttrs: Seq[AttributeReference], spark: SparkSessi
     // round EXTENDS the same best-first frontier, so a 2-round escalation
     // visits ~bound(kk2) nodes, not bound(kk1)+bound(kk2). A cold index
     // pays the normal distributed search exactly once (round 1, which also
-    // warms the local cache) and resumes from round 2 on.
+    // warms the local cache) and resumes from round 2 on. With a pending
+    // delta the resumable path stays off for the whole execution — the
+    // pre-compact window where per-round re-search is the correct price.
     var resumable: Option[DiskannIndex.ResumableScanHandle] =
-      DiskannIndex.openResumableScan(spark, entry.indexPath, queryVec,
-        filterLabels.orNull, metrics = sMetrics, nProbe = nProbe)
+      if (hasDelta) None
+      else DiskannIndex.openResumableScan(spark, entry.indexPath, queryVec,
+        filterLabels.orNull, tombstones = freshTombs, metrics = sMetrics,
+        nProbe = nProbe)
     def searchRound(kk: Int): Array[org.apache.spark.sql.Row] =
       resumable match {
         case Some(h) => h.topK(kk, math.max(searchList, kk), rescoreN)
         case None =>
           val hits = searchK(kk)
-          resumable = DiskannIndex.openResumableScan(spark, entry.indexPath,
-            queryVec, filterLabels.orNull, metrics = sMetrics, nProbe = nProbe)
+          if (!hasDelta)
+            resumable = DiskannIndex.openResumableScan(spark, entry.indexPath,
+              queryVec, filterLabels.orNull, tombstones = freshTombs,
+              metrics = sMetrics, nProbe = nProbe)
           hits
       }
 
@@ -494,11 +548,20 @@ case class KnnIndexScanExec(outAttrs: Seq[AttributeReference], spark: SparkSessi
     }
     if (bail) {
       // brute-force bail-out: emit the whole relation (minus rows the index
-      // never contains: null vectors; label-filtered when the index is) and
-      // let FilterExec + TakeOrdered compute the exact answer, distributed
+      // never contains: null vectors; label-filtered when the index is;
+      // tombstoned rows masked — the heap may still hold them physically,
+      // like un-vacuumed dead tuples) and let FilterExec + TakeOrdered
+      // compute the exact answer, distributed
       var src = spark.read.parquet(entry.sourcePath)
         .select(wantCols.map(col): _*)
         .filter(col(entry.vecCol).isNotNull)
+      if (freshTombs.nonEmpty) {
+        import spark.implicits._
+        src = src.join(
+          org.apache.spark.sql.functions.broadcast(
+            freshTombs.toSeq.toDF("__tomb_id")),
+          col(entry.idCol) === col("__tomb_id"), "left_anti")
+      }
       (filterLabels, entry.labelsCol) match {
         case (Some(ls), Some(lc)) =>
           src = src.filter(org.apache.spark.sql.functions.arrays_overlap(

@@ -168,6 +168,15 @@ object AnnQueries {
         .orderBy(col("qid"), col("dist"), col("vec_id"))
     }),
 
+    // G9+V1 through PURE SQL (round-5 freshness parity): the main graph
+    // covers vec_id < 400, vec_id >= 400 sits un-compacted in the delta,
+    // and every vec_id % 9 == 0 (including the query row 0) is registered
+    // deleted via the persistent tombstone registry. The SQL-planned
+    // KnnIndexScan must surface the appends and mask the deletes with NO
+    // compact in between — the reference's aminsert/vacuum visibility
+    // (build.rs:464-535, scan.rs:229-235).
+    "ann_sql_fresh" -> ((s, d) => sqlFresh(s, d)),
+
     // G9: micro-batch append — main index over vec_id < 400, the rest is an
     // unindexed delta answered exactly and merged into the final top-k.
     "ann_insert_delta" -> ((s, d) => {
@@ -201,7 +210,46 @@ object AnnQueries {
          |ORDER BY vec_cosine_dist(embedding, $qsql) LIMIT 10""".stripMargin)
   }
 
+  /** G9+V1 via the SQL planner: build main on vec_id < 400 once, install
+    * the >= 400 rows as an un-compacted delta and the vec_id % 9 == 0 rows
+    * as persisted tombstones (both guarded for re-runs), then run the same
+    * ORDER BY-distance SQL as [[sqlTopK]] — the index plan must answer with
+    * delta rows visible and deleted rows masked. */
+  def sqlFresh(s: SparkSession, d: String): DataFrame = {
+    val path = buildLock.synchronized {
+      val p = indexPath(d, "cos_fresh")
+      if (!new java.io.File(s"$p/_meta/_SUCCESS").exists())
+        DiskannIndex.build(emb(s, d).filter(col("vec_id") < 400), "vec_id",
+          "embedding", None, p, DiskannParams(metric = "cosine"))
+      if (!new java.io.File(s"$p/delta").exists())
+        emb(s, d).filter(col("vec_id") >= 400)
+          .select(col("vec_id").as("row_id"), col("embedding").as("vec"))
+          .write.mode("append").parquet(s"$p/delta")
+      if (!new java.io.File(s"$p/tombstones").exists())
+        DiskannIndex.deleteRows(s, p, emb(s, d)
+          .filter(col("vec_id") % 9 === 0)
+          .select("vec_id").collect().map(_.getLong(0)).toSeq)
+      p
+    }
+    graft.plans.Graft.enable(s)
+    val src = s"$d/embeddings.parquet"
+    graft.plans.KnnCatalog.register(src, graft.plans.KnnCatalog.Entry(
+      path, src, "vec_id", "embedding", None, "cosine"))
+    s.conf.set("graft.knn.searchListSize", "200")
+    s.conf.set("graft.knn.rescore", "150")
+    val q = emb(s, d).filter(col("vec_id") === 0).head()
+      .getAs[scala.collection.mutable.ArraySeq[Float]]("embedding")
+    val qsql = s"CAST(array(${q.mkString(", ")}) AS ARRAY<FLOAT>)"
+    s.sql(
+      s"""SELECT vec_id, round(vec_cosine_dist(embedding, $qsql), 6) AS dist
+         |FROM parquet.`$src`
+         |ORDER BY vec_cosine_dist(embedding, $qsql) LIMIT 10""".stripMargin)
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "ann_sql_fresh" ->
+      s"""SELECT vec_id, round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) AS dist
+         |FROM embeddings WHERE vec_id % 9 <> 0 ORDER BY dist, vec_id LIMIT 10""".stripMargin,
     "knn_sql_topk" ->
       s"""SELECT vec_id, round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) AS dist
          |FROM embeddings ORDER BY dist, vec_id LIMIT 10""".stripMargin,

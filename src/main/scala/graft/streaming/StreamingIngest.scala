@@ -66,34 +66,82 @@ object StreamingIngest {
     catch { case _: java.io.FileNotFoundException => Array.empty }
   }
 
+  /**
+   * Snapshot the delta as one DataFrame, or None when it is empty.
+   *
+   * List-then-read race defense: `ignoreMissingFiles` only skips files that
+   * vanish DURING execution — Spark's plan-time path resolution
+   * (`DataSource.checkAndGlobPathIfNecessary`) still throws when any
+   * explicitly listed file was already deleted by a concurrent compact
+   * between [[deltaFiles]] and the read. So a plan-time failure RE-LISTS
+   * and retries: the compact that consumed the files either leaves a
+   * smaller (or empty) delta, or the race repeats with fresh files. Files
+   * that persistently list but never resolve (a real corruption, not the
+   * race) surface the last error instead of being silently treated as
+   * empty.
+   *
+   * `eager = true` additionally localCheckpoints the snapshot — lineage
+   * truncation, so a lost partition FAILS loud rather than silently
+   * recomputing-to-empty from deleted files (see [[searchFresh]]).
+   */
+  private def readDeltaSnapshot(spark: SparkSession, indexPath: String,
+      eager: Boolean): Option[DataFrame] = {
+    val maxAttempts = 4
+    var lastErr: Throwable = null
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val files = deltaFiles(spark, indexPath)
+      if (files.isEmpty) return None
+      try {
+        val df = spark.read.option("ignoreMissingFiles", "true")
+          .parquet(files.map(_.toString).toIndexedSeq: _*)
+        return Some(if (eager) df.localCheckpoint(true) else df)
+      } catch {
+        // plan-time path-not-exist from the list-then-read race; re-list
+        case e: org.apache.spark.sql.AnalysisException => lastErr = e
+      }
+    }
+    throw lastErr
+  }
+
+  /** True iff un-compacted micro-batch appends are pending — the signal the
+    * SQL-planned scan uses to route through the delta-merging search. */
+  private[graft] def hasDelta(spark: SparkSession, indexPath: String): Boolean =
+    deltaFiles(spark, indexPath).nonEmpty
+
   /** Search main graph + current delta (exact over the delta side).
     *
     * Race-with-compact invariant: the delta is SNAPSHOTTED — eagerly
     * localCheckpoint'ed, which truncates lineage — BEFORE the main
     * generation is resolved. A compaction landing in between moves the
     * delta rows INTO the generation the later resolve then picks up, and
-    * `ignoreMissingFiles` tolerates the already-consumed delta files — so
-    * every row is visible on at least one side, and the main∪delta row_id
-    * collapse removes doubles. The reverse order (resolve first, read
-    * delta lazily) can lose rows: old generation + deleted delta files.
-    * localCheckpoint over persist for two reasons: a lost cached partition
-    * cannot silently recompute-to-empty from deleted files (no lineage ⇒
-    * the query FAILS loud instead of dropping rows), and its blocks are
-    * released by the ContextCleaner when the result is garbage-collected,
-    * so per-micro-batch serving loops accumulate no cache registry. */
+    * the re-listing snapshot tolerates the already-consumed delta files —
+    * so every row is visible on at least one side, and the main∪delta
+    * row_id collapse removes doubles. The reverse order (resolve first,
+    * read delta lazily) can lose rows: old generation + deleted delta
+    * files. localCheckpoint over persist for two reasons: a lost cached
+    * partition cannot silently recompute-to-empty from deleted files (no
+    * lineage ⇒ the query FAILS loud instead of dropping rows), and its
+    * blocks are released by the ContextCleaner when the result is
+    * garbage-collected, so per-micro-batch serving loops accumulate no
+    * cache registry. */
   def searchFresh(spark: SparkSession, indexPath: String, queries: DataFrame,
       k: Int, searchListSize: Int = 100, rescore: Int = 50,
-      tombstones: Set[Long] = Set.empty): DataFrame = {
-    val files = deltaFiles(spark, indexPath)
-    if (files.nonEmpty) {
-      val delta = spark.read.option("ignoreMissingFiles", "true")
-        .parquet(files.map(_.toString).toIndexedSeq: _*)
-        .localCheckpoint(true) // eager: snapshot BEFORE resolving main
-      DiskannIndex.searchWithDelta(spark, indexPath, queries, delta, k,
-        searchListSize, rescore, tombstones)
-    } else {
-      DiskannIndex.search(spark, indexPath, queries, k, searchListSize,
-        rescore, tombstones)
+      tombstones: Set[Long] = Set.empty,
+      metrics: Option[DiskannIndex.SearchMetrics] = None,
+      nProbe: Int = 0): DataFrame = {
+    // the caller's ad-hoc set plus the durable registry: rows deleted via
+    // [[DiskannIndex.deleteRows]] stay invisible here without the caller
+    // having to thread the set through (scan.rs:229-235 visibility)
+    val tombs = tombstones ++ DiskannIndex.loadTombstones(spark, indexPath)
+    readDeltaSnapshot(spark, indexPath, eager = true) match {
+      case Some(delta) =>
+        DiskannIndex.searchWithDelta(spark, indexPath, queries, delta, k,
+          searchListSize, rescore, tombs, metrics, nProbe)
+      case None =>
+        DiskannIndex.search(spark, indexPath, queries, k, searchListSize,
+          rescore, tombs, metrics, nProbe)
     }
   }
 
@@ -105,18 +153,18 @@ object StreamingIngest {
       queries: DataFrame, k: Int, searchListSize: Int = 100,
       rescore: Int = 50, tombstones: Set[Long] = Set.empty,
       nProbe: Int = 0): DataFrame = {
-    val files = deltaFiles(spark, indexPath)
-    if (files.nonEmpty)
-      // same race-with-compact invariant as [[searchFresh]]; here the
-      // snapshot is the eager driver collect inside searchDistributedFresh,
-      // which happens before ITS main search resolves the generation
-      DiskannIndex.searchDistributedFresh(spark, indexPath, queries,
-        spark.read.option("ignoreMissingFiles", "true")
-          .parquet(files.map(_.toString).toIndexedSeq: _*), k,
-        searchListSize, rescore, tombstones, nProbe)
-    else
-      DiskannIndex.searchDistributed(spark, indexPath, queries, k,
-        searchListSize, rescore, tombstones, nProbe)
+    val tombs = tombstones ++ DiskannIndex.loadTombstones(spark, indexPath)
+    // same race-with-compact invariant as [[searchFresh]]; here the
+    // snapshot is the eager driver collect inside searchDistributedFresh,
+    // which happens before ITS main search resolves the generation
+    readDeltaSnapshot(spark, indexPath, eager = false) match {
+      case Some(delta) =>
+        DiskannIndex.searchDistributedFresh(spark, indexPath, queries, delta,
+          k, searchListSize, rescore, tombs, nProbe)
+      case None =>
+        DiskannIndex.searchDistributed(spark, indexPath, queries, k,
+          searchListSize, rescore, tombs, nProbe)
+    }
   }
 
   /**
@@ -133,15 +181,15 @@ object StreamingIngest {
   def maybeCompact(spark: SparkSession, indexPath: String,
       maxDeltaRows: Long = 100000, maxDeltaFrac: Double = 0.1,
       tune: DiskannParams => DiskannParams = identity): Boolean = {
-    val files = deltaFiles(spark, indexPath)
-    if (files.isEmpty) return false
-    // footer-only count, tolerant of a CONCURRENT compact consuming these
-    // files between the listing and the read (the same list-then-read race
-    // the fresh-search paths defend): vanished files count as 0 rows and
-    // the check correctly comes back not-due
-    val deltaRows =
-      spark.read.option("ignoreMissingFiles", "true")
-        .parquet(files.map(_.toString).toIndexedSeq: _*).count()
+    // footer-only count over a re-listing snapshot: a CONCURRENT compact
+    // consuming files between the listing and the read (the same
+    // list-then-read race the fresh-search paths defend) re-lists and sees
+    // the post-compact (smaller or empty) delta — the check then correctly
+    // comes back not-due
+    val deltaRows = readDeltaSnapshot(spark, indexPath, eager = false) match {
+      case None => return false
+      case Some(df) => df.count()
+    }
     val mainRows =
       try DiskannIndex.loadMeta(spark, indexPath).numRows
       catch { case _: Exception => 0L }
@@ -226,8 +274,10 @@ object StreamingIngest {
       tune: DiskannParams => DiskannParams = identity,
       tombstones: Set[Long] = Set.empty): Unit = {
     // cheap no-op fast path (a tombstones-only compaction still rebuilds:
-    // it is the VACUUM analog that physically removes deleted rows)
-    if (deltaFiles(spark, indexPath).isEmpty && tombstones.isEmpty) return
+    // it is the VACUUM analog that physically removes deleted rows —
+    // explicit OR registered via DiskannIndex.deleteRows)
+    if (deltaFiles(spark, indexPath).isEmpty && tombstones.isEmpty &&
+      DiskannIndex.tombstoneFiles(spark, indexPath).isEmpty) return
     val (fs, _) = hadoopFs(spark, indexPath)
     val lock = new org.apache.hadoop.fs.Path(s"$indexPath/_compact.lock")
     val timeoutMs = spark.conf.get("graft.compact.lockTimeoutMs", "3600000").toLong
@@ -256,10 +306,16 @@ object StreamingIngest {
         s"compact: another writer holds $lock (stolen only after " +
           s"graft.compact.lockTimeoutMs=${timeoutMs}ms)")
     try {
-      // snapshot the delta UNDER the lock: a predecessor may have consumed
-      // (and deleted) the files we saw before acquiring it
+      // snapshot the delta AND the tombstone registry UNDER the lock: a
+      // predecessor may have consumed (and deleted) the files we saw before
+      // acquiring it. The persisted registry folds into this rebuild
+      // (VACUUM) and its consumed files are deleted after the install.
       val consumed = deltaFiles(spark, indexPath)
-      if (consumed.isEmpty && tombstones.isEmpty) return
+      val consumedTombs = DiskannIndex.tombstoneFiles(spark, indexPath)
+      val allTombs = tombstones ++
+        (if (consumedTombs.isEmpty) Set.empty[Long]
+         else DiskannIndex.loadTombstones(spark, indexPath))
+      if (consumed.isEmpty && allTombs.isEmpty) return
       val root = DiskannIndex.resolveRoot(spark, indexPath)
       val meta = DiskannIndex.loadMeta(spark, root)
       val existing = DiskannIndex
@@ -292,18 +348,30 @@ object StreamingIngest {
       // re-trains centroids and restores the shard-sizing invariant
       val partial: Option[(Long, Seq[Int])] =
         if (incremental)
-          DiskannIndex.rebuildShardsInto(spark, root, meta, delta, tombstones,
+          DiskannIndex.rebuildShardsInto(spark, root, meta, delta, allTombs,
             tmp.toString)
         else None
       if (partial.isEmpty) {
         fs.delete(tmp, true) // drop any partial refusal leftovers
         // VACUUM analog (vacuum.rs:24-136 folds at rebuild): tombstoned rows
         // are physically dropped from the new generation, so post-compact
-        // searches need no tombstone set at all
-        val merged = existing.unionByName(delta)
-        val all = (if (tombstones.isEmpty) merged
+        // searches need no tombstone set at all.
+        // Dedup by row_id before folding: foreachBatch ingest is
+        // at-least-once (a retried micro-batch appends the same row twice),
+        // and a crash between a predecessor's install and its delta-file
+        // delete leaves rows in BOTH main and delta. Without this, the
+        // duplicates bake into the graph permanently and can occupy
+        // multiple top-k slots. The delta-internal dedup shuffles only the
+        // (small) delta; the main∩delta collapse is a broadcast anti-join,
+        // so the big nodes table stays map-side.
+        val dedupedDelta = delta.dropDuplicates("row_id")
+        val merged = existing
+          .join(broadcast(dedupedDelta.select(col("row_id"))),
+            Seq("row_id"), "left_anti")
+          .unionByName(dedupedDelta)
+        val all = (if (allTombs.isEmpty) merged
           else merged.join(
-            broadcast(spark.createDataset(tombstones.toSeq)(
+            broadcast(spark.createDataset(allTombs.toSeq)(
               org.apache.spark.sql.Encoders.scalaLong).toDF("row_id")),
             Seq("row_id"), "left_anti")).cache()
         DiskannIndex.build(all, "row_id", "vec",
@@ -319,6 +387,12 @@ object StreamingIngest {
       consumed.foreach(p => fs.delete(p, false))
       if (deltaFiles(spark, indexPath).isEmpty)
         fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/delta"), true)
+      // same for the tombstone registry: only files folded into THIS
+      // generation are consumed; deleteRows landing during the rebuild
+      // survive and keep masking until the next compact
+      consumedTombs.foreach(p => fs.delete(p, false))
+      if (DiskannIndex.tombstoneFiles(spark, indexPath).isEmpty)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/tombstones"), true)
       // GC. Retained roots: the new generation, plus the one it superseded
       // (the in-flight-reader grace window — the flat root when this was the
       // first compaction). With the manifest layout a retained generation's

@@ -231,11 +231,18 @@ class DiskannIndexSpec extends AnyFunSuite {
     assert(aligned.getNumPartitions == 500)
     assert(!DiskannIndex.hasShuffle(aligned),
       "shard-aligned nodes RDD must not shuffle the index")
-    // the dual-shuffle cogroup FALLBACK (driver-planning cap) stays correct
+    // past zipMaxShards, buckets hold MULTIPLE whole shards (round 5
+    // replaced the dual-shuffle cogroup fallback) — results must agree AND
+    // the bucketed nodes RDD must still be shuffle-free
     spark.conf.set("graft.search.zipMaxShards", "16")
     try {
-      val viaCogroup = norm(DiskannIndex.searchDistributed(spark, manyPath, qm, 10).collect())
-      assert(viaCogroup == viaScan)
+      val viaBucketed = norm(DiskannIndex.searchDistributed(spark, manyPath, qm, 10).collect())
+      assert(viaBucketed == viaScan)
+      val buckets = (0 until 500).grouped(32).toIndexedSeq
+      val bucketed = DiskannIndex.bucketedNodesRdd(spark, nodes500, buckets)
+      assert(bucketed.getNumPartitions == buckets.length)
+      assert(!DiskannIndex.hasShuffle(bucketed),
+        "bucketed nodes RDD must not shuffle the index past zipMaxShards")
     } finally spark.conf.unset("graft.search.zipMaxShards")
   }
 

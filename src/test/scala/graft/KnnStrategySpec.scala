@@ -357,6 +357,155 @@ class KnnStrategySpec extends AnyFunSuite {
     finally spark.conf.unset("graft.knn.maxKFraction")
   }
 
+  test("SQL scan sees delta appends and masks registry tombstones pre-compact") {
+    // the heap: embeddings + one synthetic exact duplicate of the query
+    // vector (vec_id 9000) that reaches the index ONLY through the delta
+    val freshSrc = "/tmp/graft_test_index/strategy_fresh_src"
+    val freshIdx = "/tmp/graft_test_index/strategy_fresh_idx"
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    deleteRec(new java.io.File(freshIdx))
+    val e = spark.read.parquet(srcPath)
+    e.select($"vec_id", $"embedding")
+      .unionByName(e.filter($"vec_id" === 0)
+        .select(lit(9000L).as("vec_id"), $"embedding"))
+      .write.mode("overwrite").parquet(freshSrc)
+    // main graph covers vec_id < 450 only; the rest is un-compacted delta
+    DiskannIndex.build(spark.read.parquet(freshSrc).filter($"vec_id" < 450),
+      "vec_id", "embedding", None, freshIdx, DiskannParams(metric = "cosine"))
+    spark.read.parquet(freshSrc).filter($"vec_id" >= 450)
+      .select($"vec_id".as("row_id"), $"embedding".as("vec"))
+      .write.mode("append").parquet(s"$freshIdx/delta")
+    Graft.enable(spark)
+    KnnCatalog.register(freshSrc, KnnCatalog.Entry(freshIdx, freshSrc,
+      "vec_id", "embedding", None, "cosine"))
+    try {
+      def top(k: Int): Seq[Long] = {
+        val df = spark.sql(
+          s"""SELECT vec_id FROM parquet.`$freshSrc`
+             |ORDER BY vec_cosine_dist(embedding, $qvecSql) LIMIT $k""".stripMargin)
+        assert(df.queryExecution.executedPlan.toString.contains("KnnIndexScan"))
+        df.collect().map(_.getLong(0)).toSeq
+      }
+      // delta visibility: the twin sits at distance 0 like the query row
+      // itself — pure SQL must return both, with NO compact having run
+      assert(top(2).toSet == Set(0L, 9000L), s"delta row invisible: ${top(2)}")
+      // register a delete of the original; the SQL answer changes
+      // immediately (scan.rs:229-235 visibility), still no compact
+      DiskannIndex.deleteRows(spark, freshIdx, Seq(0L))
+      val after = top(2)
+      assert(after.contains(9000L) && !after.contains(0L),
+        s"tombstoned row served (or delta row lost): $after")
+      // the residual-recheck path honors the same visibility
+      val resid = spark.sql(
+        s"""SELECT vec_id FROM parquet.`$freshSrc` WHERE vec_id % 2 = 0
+           |ORDER BY vec_cosine_dist(embedding, $qvecSql) LIMIT 5""".stripMargin)
+      assert(resid.queryExecution.executedPlan.toString.contains("recheck"))
+      val rGot = resid.collect().map(_.getLong(0)).toSeq
+      val rBrute = spark.read.parquet(freshSrc)
+        .filter($"vec_id" % 2 === 0 && $"vec_id" =!= 0L)
+        .crossJoin(broadcast(e.filter($"vec_id" === 0)
+          .select($"embedding".as("q"))))
+        .select($"vec_id", vec_cosine_dist($"embedding", $"q").as("d"))
+        .orderBy($"d", $"vec_id").limit(5).collect().map(_.getLong(0)).toSeq
+      assert(rGot == rBrute, s"got=$rGot brute=$rBrute")
+      assert(rGot.contains(9000L), "delta row must flow through the recheck path")
+      // compaction folds both: delta and tombstone dirs are consumed and
+      // the same answers now come from the main graph alone
+      graft.streaming.StreamingIngest.compact(spark, freshIdx)
+      assert(!new java.io.File(s"$freshIdx/delta").exists())
+      assert(!new java.io.File(s"$freshIdx/tombstones").exists())
+      val folded = top(2)
+      assert(folded.contains(9000L) && !folded.contains(0L), s"$folded")
+    } finally KnnCatalog.unregister(freshSrc)
+  }
+
+  test("computed SELECT projection (round of the distance) still index-plans") {
+    setup
+    // the exact shape Verify's SQL queries use: the analyzer puts a COMPUTED
+    // Project (round(...) AS dist + the embedding passthrough) BELOW the
+    // Sort — the planner must peel it and re-apply it above the scan
+    val df = spark.sql(
+      s"""SELECT vec_id, round(vec_cosine_dist(embedding, $qvecSql), 6) AS dist
+         |FROM parquet.`$srcPath`
+         |ORDER BY vec_cosine_dist(embedding, $qvecSql) LIMIT 10""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("KnnIndexScan"), s"expected index plan:\n$plan")
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = spark.read.parquet(srcPath)
+      .crossJoin(broadcast(spark.read.parquet(srcPath).filter($"vec_id" === 0)
+        .select($"embedding".as("q"))))
+      .select($"vec_id", vec_cosine_dist($"embedding", $"q").as("raw"))
+      .orderBy($"raw", $"vec_id").limit(10)
+      .select($"vec_id", round($"raw", 6).as("dist"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == brute, s"got=$got brute=$brute")
+    // same with a residual WHERE: computed projection + recheck compose
+    val resid = spark.sql(
+      s"""SELECT vec_id, round(vec_cosine_dist(embedding, $qvecSql), 6) AS dist
+         |FROM parquet.`$srcPath` WHERE vec_id > 100
+         |ORDER BY vec_cosine_dist(embedding, $qvecSql) LIMIT 5""".stripMargin)
+    val rPlan = resid.queryExecution.executedPlan.toString
+    assert(rPlan.contains("KnnIndexScan") && rPlan.contains("recheck"),
+      s"plan:\n$rPlan")
+    val rGot = resid.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val rBrute = spark.read.parquet(srcPath).filter($"vec_id" > 100)
+      .crossJoin(broadcast(spark.read.parquet(srcPath).filter($"vec_id" === 0)
+        .select($"embedding".as("q"))))
+      .select($"vec_id", vec_cosine_dist($"embedding", $"q").as("raw"))
+      .orderBy($"raw", $"vec_id").limit(5)
+      .select($"vec_id", round($"raw", 6).as("dist"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rGot == rBrute, s"got=$rGot brute=$rBrute")
+  }
+
+  test("pgvector operators <=> <-> <#> run verbatim through the extensions parser") {
+    import org.apache.spark.sql.SparkSession
+    setup
+    // unit level: operand recognition
+    assert(graft.plans.GraftSqlParser.rewriteVectorOps("a <-> b") ==
+      "vec_l2(a, b)")
+    assert(graft.plans.GraftSqlParser.rewriteVectorOps(
+      "SELECT t.embedding <=> CAST(array(1, 2) AS ARRAY<FLOAT>) AS d FROM t") ==
+      "SELECT vec_cosine_dist(t.embedding, CAST(array(1, 2) AS ARRAY<FLOAT>)) AS d FROM t")
+    assert(graft.plans.GraftSqlParser.rewriteVectorOps(
+      "SELECT '<->' AS s, a <#> b FROM t") ==
+      "SELECT '<->' AS s, vec_neg_dot(a, b) FROM t")
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .withExtensions(new graft.plans.GraftExtensions).getOrCreate()
+      // the reference's README query text, verbatim operator: index-planned
+      val q = s2.sql(
+        s"""SELECT vec_id FROM parquet.`$srcPath`
+           |ORDER BY embedding <=> $qvecSql LIMIT 5""".stripMargin)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("KnnIndexScan"), s"expected index plan:\n$plan")
+      val viaFn = s2.sql(
+        s"""SELECT vec_id FROM parquet.`$srcPath`
+           |ORDER BY vec_cosine_dist(embedding, $qvecSql) LIMIT 5""".stripMargin)
+        .collect().map(_.getLong(0)).toSeq
+      assert(q.collect().map(_.getLong(0)).toSeq == viaFn)
+      // <-> and <#> compute the right distances
+      val d = s2.sql(
+        "SELECT CAST(array(1.0, 2.0) AS ARRAY<FLOAT>) <-> CAST(array(1.0, 0.0) AS ARRAY<FLOAT>) AS l2, " +
+        "CAST(array(1.0, 0.0) AS ARRAY<FLOAT>) <#> CAST(array(2.0, 0.0) AS ARRAY<FLOAT>) AS nd").head()
+      assert(math.abs(d.getDouble(0) - 2.0) < 1e-6 && math.abs(d.getDouble(1) + 2.0) < 1e-6)
+      // off switch restores Spark's null-safe equality semantics for <=>
+      s2.conf.set("spark.graft.sql.vectorOps", "false")
+      try assert(s2.sql("SELECT 1 <=> 1 AS eq").head().getBoolean(0))
+      finally s2.conf.unset("spark.graft.sql.vectorOps")
+    } finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
+
   test("DataFrame API ORDER BY dist LIMIT also plans through the index") {
     setup
     val e = spark.read.parquet(srcPath)

@@ -650,6 +650,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Seq((10L, 901L), (11L, -1L)), s"got $out")
   }
 
+  test("compact dedups at-least-once retries and crash-window re-folds (both rebuild paths)") {
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // the delta: rows 440-499 appended TWICE (an at-least-once micro-batch
+    // retry), of which 440-449 are ALSO already in the main graph (the
+    // crash window: a predecessor installed its generation but died before
+    // deleting the consumed delta files)
+    def batch(): org.apache.spark.sql.DataFrame = e.filter($"vec_id" >= 440)
+      .select($"vec_id".as("row_id"), $"embedding".as("vec"))
+
+    // FULL-rebuild path (hash partitioner)
+    val path = "/tmp/graft_test_index/compact_dedup_full"
+    deleteRec(new java.io.File(path))
+    DiskannIndex.build(e.filter($"vec_id" < 450), "vec_id", "embedding", None,
+      path, DiskannParams(metric = "cosine"))
+    StreamingIngest.appendBatchToDelta(path)(batch(), 0L)
+    StreamingIngest.appendBatchToDelta(path)(batch(), 1L) // the retry
+    StreamingIngest.compact(spark, path)
+    assert(DiskannIndex.loadMeta(spark, path).numRows == 500)
+    val root = DiskannIndex.resolveRoot(spark, path)
+    val nodes = spark.read.parquet(s"$root/nodes")
+    assert(nodes.count() == 500 &&
+      nodes.select($"row_id").distinct().count() == 500,
+      "full rebuild baked duplicate row_ids into the graph")
+
+    // INCREMENTAL (IVF manifest) path — same invariant, partial rebuild
+    val pathI = "/tmp/graft_test_index/compact_dedup_incr"
+    deleteRec(new java.io.File(pathI))
+    DiskannIndex.build(e.filter($"vec_id" < 450), "vec_id", "embedding", None,
+      pathI, DiskannParams(metric = "cosine", partitioner = "ivf",
+        ivfSeed = Some("cd42"), shardTargetRows = 200))
+    StreamingIngest.appendBatchToDelta(pathI)(batch(), 0L)
+    StreamingIngest.appendBatchToDelta(pathI)(batch(), 1L)
+    StreamingIngest.compact(spark, pathI)
+    val metaI = DiskannIndex.loadMeta(spark, pathI)
+    assert(metaI.numRows == 500, s"incremental numRows=${metaI.numRows}")
+    val rootI = DiskannIndex.resolveRoot(spark, pathI)
+    val nodesI = DiskannIndex.nodesDf(spark, rootI,
+      DiskannIndex.loadMetaAt(spark, rootI), 0 until metaI.numShards)
+    assert(nodesI.count() == 500 &&
+      nodesI.select($"row_id").distinct().count() == 500,
+      "incremental rebuild baked duplicate row_ids into the graph")
+  }
+
   test("sessionize (flatMapGroupsWithState): gap splits sessions, watermark closes idle ones") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Double)]
