@@ -8,12 +8,105 @@ import org.apache.spark.sql.types._
  * Multimodal column plumbing: image/audio/video as opaque BINARY payloads
  * with typed metadata, processed batch-at-a-time inside `mapPartitions`.
  *
- * The decode step is a clearly-marked deterministic STUB (no media libraries
- * ship in this environment); everything around it — schema, partition-level
- * batching, the decode→meta and decode→feature signatures, the explode-based
- * frame sampling — is the real Spark plumbing a production decoder would
- * drop into (swap `stubDecode` for an actual codec call).
+ * The decode step is PLUGGABLE ([[MediaDecoder]]): [[StubDecoder]] is the
+ * deterministic oracle-checkable default (no third-party media libraries
+ * ship in this environment), [[ImageIODecoder]] is a real implementation
+ * over the JDK's own `javax.imageio` (PNG/JPEG/GIF/BMP) — actual container
+ * header parsing and actual raster scaling. Everything around the decoder —
+ * schema, partition-level batching, the decode→meta and decode→feature
+ * signatures, the explode-based frame sampling — is identical for both.
  */
+
+/** Pluggable decode SPI. Implementations MUST be serializable: instances
+  * ride to executors inside the `mapPartitions` closures. Stateless
+  * objects are the natural shape; a codec needing native handles should
+  * lazy-init them per JVM (transient lazy val). */
+trait MediaDecoder extends Serializable {
+  /** Parse one payload's container: (format, width, height, durationMs). */
+  def decodeMeta(modality: String, payload: Array[Byte]): (String, Int, Int, Long)
+
+  /** Scale an image payload to (targetW, targetH), returning the re-encoded
+    * bytes. Only called for `modality == "image"` rows. */
+  def resize(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte]
+}
+
+/** Deterministic pseudo-decoder — the sandbox/oracle default: metadata from
+  * payload size alone, resize = strided byte downsample to a byte budget of
+  * targetW*targetH/4. Fixed formulas keep every result DuckDB-replayable. */
+object StubDecoder extends MediaDecoder {
+  override def decodeMeta(modality: String, payload: Array[Byte]): (String, Int, Int, Long) = {
+    val n = payload.length.toLong
+    modality match {
+      case "image" => ("png", (n % 640).toInt + 32, (n % 480).toInt + 32, 0L)
+      case "audio" => ("wav", 0, 0, n * 8)
+      case _ => ("mp4", (n % 1280).toInt + 64, (n % 720).toInt + 64, n * 40)
+    }
+  }
+
+  override def resize(p: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    val budget = targetW * targetH / 4
+    if (p.length <= budget) p
+    else {
+      val stride = math.ceil(p.length.toDouble / budget).toInt
+      val n = math.ceil(p.length.toDouble / stride).toInt
+      val b = new Array[Byte](n)
+      var i = 0
+      while (i < n) { b(i) = p(i * stride); i += 1 }
+      b
+    }
+  }
+}
+
+/** REAL image decoding on the JDK's own codecs (`javax.imageio`: PNG, JPEG,
+  * GIF, BMP — no external dependency): `decodeMeta` reads width/height/
+  * format from the actual container headers WITHOUT decoding the raster
+  * (ImageReader.getWidth/getHeight are header reads), `resize` decodes,
+  * scales through a Graphics2D raster op, and re-encodes as PNG. Payloads
+  * no JDK reader recognizes (and non-image modalities — the JDK ships no
+  * audio/video codecs) fall back to [[StubDecoder]], so a mixed corpus
+  * still flows. */
+object ImageIODecoder extends MediaDecoder {
+  // executors are headless JVMs; the AWT raster classes only need this flag
+  try System.setProperty("java.awt.headless", "true")
+  catch { case _: SecurityException => }
+
+  override def decodeMeta(modality: String, payload: Array[Byte]): (String, Int, Int, Long) =
+    if (modality != "image") StubDecoder.decodeMeta(modality, payload)
+    else {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (readers == null || !readers.hasNext)
+          StubDecoder.decodeMeta(modality, payload)
+        else {
+          val r = readers.next()
+          r.setInput(iis)
+          try (r.getFormatName.toLowerCase, r.getWidth(0), r.getHeight(0), 0L)
+          finally r.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    }
+
+  override def resize(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    if (img == null) StubDecoder.resize(payload, targetW, targetH)
+    else {
+      val out = new java.awt.image.BufferedImage(targetW, targetH,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, targetW, targetH, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+  }
+}
+
 object Multimodal {
 
   val mediaSchema: StructType = StructType(Seq(
@@ -39,28 +132,22 @@ object Multimodal {
         (pmod(col("doc_id"), lit(3)) + 1).cast(IntegerType)).as("modality"),
       encode(col("text"), "UTF-8").as("payload"))
 
-  /**
-   * STUB decode: deterministic pseudo-metadata from payload size alone (a
-   * real implementation would parse the container/codec headers here). The
-   * formulas are fixed so results are oracle-checkable.
-   */
-  private[operators] def stubDecode(modality: String, payload: Array[Byte]): (String, Int, Int, Long) = {
-    val n = payload.length.toLong
-    modality match {
-      case "image" => ("png", (n % 640).toInt + 32, (n % 480).toInt + 32, 0L)
-      case "audio" => ("wav", 0, 0, n * 8)
-      case _ => ("mp4", (n % 1280).toInt + 64, (n % 720).toInt + 64, n * 40)
-    }
-  }
+  /** Kept for source compatibility: the stub formulas now live in
+    * [[StubDecoder]]. */
+  private[operators] def stubDecode(modality: String, payload: Array[Byte]): (String, Int, Int, Long) =
+    StubDecoder.decodeMeta(modality, payload)
 
-  /** Batch decode pass: one partition = one batch, zero shuffles. */
-  def decodeMeta(media: DataFrame): DataFrame = {
+  /** Batch decode pass: one partition = one batch, zero shuffles. The
+    * decoder ships inside the closure — pass [[ImageIODecoder]] for real
+    * PNG/JPEG header parsing where codecs exist; the default keeps the
+    * oracle-replayable stub. */
+  def decodeMeta(media: DataFrame, decoder: MediaDecoder = StubDecoder): DataFrame = {
     media.mapPartitions { it =>
       it.map { r =>
         val id = r.getAs[Long]("media_id")
         val modality = r.getAs[String]("modality")
         val payload = r.getAs[Array[Byte]]("payload")
-        val (fmt, w, h, dur) = stubDecode(modality, payload)
+        val (fmt, w, h, dur) = decoder.decodeMeta(modality, payload)
         Row(id, modality, fmt, w, h, payload.length.toLong, dur)
       }
     }(org.apache.spark.sql.Encoders.row(metaSchema))
@@ -90,15 +177,15 @@ object Multimodal {
   }
 
   /**
-   * STUB resize for image payloads: deterministic byte downsampling to a
-   * byte budget of targetW*targetH/4 (every `stride`-th byte, stride chosen
-   * so the output fits the budget) — a real implementation decodes, scales,
-   * and re-encodes here. Partition-local batch pass, no shuffle; output
-   * schema (media_id, width, height, n_bytes, payload) is what a decoder
-   * would produce.
+   * Resize pass for image payloads through the pluggable decoder:
+   * [[StubDecoder]] (default) does a deterministic strided byte downsample
+   * to a targetW*targetH/4 byte budget (oracle-replayable),
+   * [[ImageIODecoder]] does a real decode→scale→re-encode. Partition-local
+   * batch pass, no shuffle; output schema (media_id, width, height,
+   * n_bytes, payload) is decoder-independent.
    */
-  def resizeImages(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
-    val budget = targetW * targetH / 4
+  def resizeImages(media: DataFrame, targetW: Int, targetH: Int,
+      decoder: MediaDecoder = StubDecoder): DataFrame = {
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("width", IntegerType, nullable = false),
@@ -108,17 +195,7 @@ object Multimodal {
     media.filter(col("modality") === "image").mapPartitions { it =>
       it.map { r =>
         val id = r.getAs[Long]("media_id")
-        val p = r.getAs[Array[Byte]]("payload")
-        val out =
-          if (p.length <= budget) p
-          else {
-            val stride = math.ceil(p.length.toDouble / budget).toInt
-            val n = math.ceil(p.length.toDouble / stride).toInt
-            val b = new Array[Byte](n)
-            var i = 0
-            while (i < n) { b(i) = p(i * stride); i += 1 }
-            b
-          }
+        val out = decoder.resize(r.getAs[Array[Byte]]("payload"), targetW, targetH)
         Row(id, targetW, targetH, out.length.toLong, out)
       }
     }(org.apache.spark.sql.Encoders.row(schema))

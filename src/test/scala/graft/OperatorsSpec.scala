@@ -220,6 +220,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hits.length == 5)
   }
 
+  test("ImageIODecoder: real PNG/JPEG headers parsed, real raster resize; stub fallback for the rest") {
+    // craft real images with the JDK encoder: a 20x10 PNG and a 16x12 JPEG
+    def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, (x * 41 + y * 17) % 0xffffff)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val png = encode("png", 20, 10)
+    val jpg = encode("jpg", 16, 12)
+    val media = spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row(1L, "image", png),
+        org.apache.spark.sql.Row(2L, "image", jpg),
+        org.apache.spark.sql.Row(3L, "audio", "not an image".getBytes),
+        org.apache.spark.sql.Row(4L, "image", "junk bytes".getBytes)),
+      Multimodal.mediaSchema)
+    val meta = Multimodal.decodeMeta(media, ImageIODecoder)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(2), r.getInt(3), r.getInt(4)))).toMap
+    // REAL container headers, not the size-derived stub formulas
+    assert(meta(1L) == (("png", 20, 10)), s"png meta ${meta(1L)}")
+    assert(meta(2L) == (("jpeg", 16, 12)), s"jpeg meta ${meta(2L)}")
+    // non-image and unrecognized payloads take the stub fallback
+    assert(meta(3L)._1 == "wav")
+    assert(meta(4L) == ((StubDecoder.decodeMeta("image", "junk bytes".getBytes)
+      ._1, StubDecoder.decodeMeta("image", "junk bytes".getBytes)._2,
+      StubDecoder.decodeMeta("image", "junk bytes".getBytes)._3)))
+    // real resize: output is a decodable PNG with the target raster
+    val resized = Multimodal.resizeImages(media, 8, 4, ImageIODecoder)
+      .filter($"media_id" === 1L).head()
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized.getAs[Array[Byte]]("payload")))
+    assert(back != null && back.getWidth == 8 && back.getHeight == 4)
+    // the stub path is untouched: same bytes as before the SPI existed
+    val stubOut = Multimodal.resizeImages(media, 8, 4)
+      .filter($"media_id" === 1L).head().getAs[Array[Byte]]("payload")
+    assert(stubOut.sameElements(StubDecoder.resize(png, 8, 4)))
+  }
+
   test("frame sampling yields ceil-ish frame counts and binary frames") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(30)
     val frames = Multimodal.sampleFrames(Multimodal.mediaFromDocuments(docs))
@@ -408,6 +451,18 @@ class OperatorsSpec extends AnyFunSuite {
         clicks, Seq("user_id"), "ts_ms", Seq("click_id"))
       .select($"purchase_id", $"asof_click_id").collect()
     assert(nullLeft.length == 1 && nullLeft(0).isNullAt(1))
+    // NULL-KEY right rows are never a match either (equality never matches
+    // NULLs): a NULL-key left row must NOT pick up a NULL-key right row
+    // just because the window groups NULL keys into one partition
+    val nullKeyLeft = Seq((Option.empty[Long], Some(100L), Some(5L)))
+      .toDF("user_id", "ts_ms", "purchase_id")
+    val nullKeyRight = Seq((Option.empty[Long], Some(40L), Some(88L)))
+      .toDF("user_id", "ts_ms", "click_id")
+    val nullKey = TimeSeries.asofJoinBackward(
+        nullKeyLeft, nullKeyRight, Seq("user_id"), "ts_ms", Seq("click_id"))
+      .select($"purchase_id", $"asof_click_id").collect()
+    assert(nullKey.length == 1 && nullKey(0).isNullAt(1),
+      "NULL-key right row must never match a NULL-key left row")
     // misuse guards
     intercept[IllegalArgumentException] {
       TimeSeries.asofJoinBackward(purchases, clicks, Nil, "ts_ms", Seq("click_id"))
