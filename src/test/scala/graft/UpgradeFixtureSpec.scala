@@ -51,6 +51,67 @@ class UpgradeFixtureSpec extends AnyFunSuite {
     }
   }
 
+  private val legacyFixture = "src/test/resources/fixtures/index_gen3flat"
+
+  test("frozen pre-manifest (round-3 era) meta: legacy defaults fill and search serves exactly") {
+    val m = DiskannIndex.loadMeta(spark, legacyFixture)
+    // every field that era's writer never wrote must fill with its implied
+    // default — this is the committed proof the fills stay wired
+    assert(m.partitioner == "hash" && m.centroids.isEmpty)
+    assert(m.buildId == "legacy" && m.shardBuildIds.forall(_ == "legacy"))
+    assert(m.shardDirs.forall(_ == ""), "legacy generations are self-contained")
+    assert(m.numRows == 48 && m.hasLabels && m.storage == "sbq")
+    // exact serving oracle, same shape as the gen-4 test
+    val nodes = spark.read.parquet(s"$legacyFixture/nodes")
+      .select($"row_id", $"vec").collect()
+      .map(r => r.getAs[Long]("row_id") ->
+        r.getAs[scala.collection.mutable.Seq[Float]]("vec").toArray).toMap
+    assert(nodes.size == 48)
+    val q = nodes(0L)
+    val brute = nodes.toSeq.map { case (id, v) =>
+      (id, graft.functions.VectorKernels.cosineDist(v, q))
+    }.sortBy { case (id, d) => (d, id) }.take(5)
+    val queries = Seq((0L, q)).toDF("qid", "qvec")
+    val got = DiskannIndex.search(spark, legacyFixture, queries, k = 5,
+      searchListSize = 128, rescore = 64)
+      .orderBy($"dist", $"row_id").collect()
+      .map(r => (r.getAs[Long]("row_id"), r.getAs[Double]("dist"))).toSeq
+    assert(got.map(_._1) == brute.map(_._1), s"got=$got brute=$brute")
+  }
+
+  test("pre-manifest fixture upgrades in place: compact installs a current-generation root") {
+    // work on a COPY — the committed fixture must stay frozen
+    val tmp = "/tmp/graft_test_index/legacy_upgrade"
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    deleteRec(new java.io.File(tmp))
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(legacyFixture),
+      fs, new org.apache.hadoop.fs.Path(tmp), false, conf)
+    // delta twin of row 0, then compact: the flat legacy root upgrades to
+    // the versioned layout (params reconstructed from the filled meta)
+    val v0 = spark.read.parquet(s"$tmp/nodes").filter($"row_id" === 0L)
+      .select($"row_id", $"vec", $"labels").head()
+    Seq((5000L, v0.getAs[scala.collection.mutable.Seq[Float]]("vec").toArray,
+      v0.getAs[scala.collection.mutable.Seq[Short]]("labels").toArray))
+      .toDF("row_id", "vec", "labels")
+      .write.mode("append").parquet(s"$tmp/delta")
+    graft.streaming.StreamingIngest.compact(spark, tmp)
+    val root = DiskannIndex.resolveRoot(spark, tmp)
+    assert(root.endsWith("versions/v000000001"), root)
+    val m = DiskannIndex.loadMeta(spark, tmp)
+    assert(m.numRows == 49 && m.buildId != "legacy")
+    val q = v0.getAs[scala.collection.mutable.Seq[Float]]("vec").toArray
+    val hits = DiskannIndex.search(spark, tmp,
+      Seq((0L, q)).toDF("qid", "qvec"), k = 2,
+      searchListSize = 128, rescore = 64).collect().map(_.getLong(1)).toSet
+    assert(hits == Set(0L, 5000L), s"twin not served post-upgrade: $hits")
+  }
+
   private val manifestFixture = "src/test/resources/fixtures/index_gen4m"
 
   test("frozen manifest-era index: cross-generation refs resolve and serve exactly") {
