@@ -24,6 +24,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // CALIBRATION SENTINEL: a constant tiny job — sum over a fixed range,
+    // pure CPU + scheduler, no IO, no graft code — timed at the start,
+    // middle, and end of the timed section. Its cost is a property of the
+    // HOST, not of this round's code, so a contended bench window (the
+    // round-3 and round-4 phantom "regressions") is self-evident from the
+    // artifact: all ~0.1 s ⇒ trust the absolute times; any sample several×
+    // that ⇒ the suite overlapped host contention and the artifact carries
+    // its own discount evidence (rule spelled out in SCALING.md §"bench
+    // calibration sentinel").
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(1L << 22).selectExpr("sum(id)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // JIT/codegen warm-up of the sentinel itself, untimed
+
     val names = SparkEntry.queries.keys.toSeq.sorted
     // warm-up pass: not timed
     names.foreach { name =>
@@ -43,17 +59,23 @@ object Bench {
       catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = names.map { name =>
+    val calib = scala.collection.mutable.ArrayBuffer[Double]()
+    def timed(batch: Seq[String]): Seq[(String, Double)] = batch.map { name =>
       val t = name -> math.min(timeOnce(name), timeOnce(name))
       // free operator-internal persists between queries (cache reuse WITHIN
       // a query's warm-up + 2 timed runs is the steady-state being measured)
       CacheScope.releaseAll()
       t
     }
+    val (firstHalf, secondHalf) = names.splitAt(names.length / 2)
+    calib += calibrate()
+    val results = timed(firstHalf) ++ { calib += calibrate(); timed(secondHalf) }
+    calib += calibrate()
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.4f""" }
       .mkString("{", ",", "}")
+    val cs = calib.map(v => f"$v%.4f").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","calib":$cs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

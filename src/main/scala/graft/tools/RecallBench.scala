@@ -39,6 +39,8 @@ object RecallBench {
       path
     }
     val cosPath = ensure("cos", DiskannParams(metric = "cosine"))
+    val l2Path = ensure("l2", DiskannParams(metric = "l2"))
+    val ipPath = ensure("ip", DiskannParams(metric = "ip"))
     val plainPath = ensure("plain", DiskannParams(metric = "cosine", storage = "plain"))
     val ivfPath = ensure("ivf", DiskannParams(metric = "cosine",
       partitioner = "ivf", shardTargetRows =
@@ -49,35 +51,49 @@ object RecallBench {
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val nq = queries.count()
 
-    // exact ground truth: brute-force per-query top-k
-    val exact = e.crossJoin(broadcast(queries))
-      .select(col("qid"), col("vec_id"),
-        VectorFunctions.vec_cosine_dist(col("embedding"), col("qvec")).as("d"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))))
-      .filter(col("rnk") <= k)
-      .select(col("qid"), col("vec_id"))
-      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // exact ground truth per metric: brute-force per-query top-k
+    def exactFor(dist: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+        => org.apache.spark.sql.Column): Map[Long, Set[Long]] =
+      e.crossJoin(broadcast(queries))
+        .select(col("qid"), col("vec_id"),
+          dist(col("embedding"), col("qvec")).as("d"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))))
+        .filter(col("rnk") <= k)
+        .select(col("qid"), col("vec_id"))
+        .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exactByMetric: Map[String, Map[Long, Set[Long]]] = Map(
+      "cosine" -> exactFor(VectorFunctions.vec_cosine_dist),
+      "l2" -> exactFor(VectorFunctions.vec_l2sq),
+      "ip" -> exactFor(VectorFunctions.vec_neg_dot))
+    val exact = exactByMetric("cosine")
 
-    def recallOf(res: DataFrame): Double = {
+    def recallVs(truthMap: Map[Long, Set[Long]])(res: DataFrame): Double = {
       val got = res.collect().groupBy(_.getLong(0))
         .view.mapValues(_.map(_.getLong(1)).toSet).toMap
-      val rs = exact.map { case (qid, truth) =>
+      val rs = truthMap.map { case (qid, truth) =>
         got.get(qid).map(g => g.intersect(truth).size.toDouble / k).getOrElse(0.0)
       }
       rs.sum / rs.size
     }
+    def recallOf(res: DataFrame): Double = recallVs(exact)(res)
 
+    // reference query GUC defaults (L=100, rescore=50) tracked PER METRIC
+    // each round (VERDICT r4 #4), plus the widened settings the bench
+    // queries use and IVF routing
     val configs = Seq(
-      ("guc_defaults_L100_r50", cosPath, 100, 50, 0),
-      ("plain_L100_r50", plainPath, 100, 50, 0),
-      ("widened_L200_r150", cosPath, 200, 150, 0),
-      ("wide_L400_r300", cosPath, 400, 300, 0),
-      ("wide_L800_r600", cosPath, 800, 600, 0),
-      ("ivf_nprobe2_L200_r150", ivfPath, 200, 150, 2),
-      ("ivf_nprobe4_L400_r300", ivfPath, 400, 300, 4))
-    val annResults = configs.map { case (name, path, l, r, np) =>
-      name -> recallOf(DiskannIndex.search(spark, path, queries, k, l, r, nProbe = np))
+      ("guc_defaults_L100_r50", cosPath, "cosine", 100, 50, 0),
+      ("guc_defaults_l2_L100_r50", l2Path, "l2", 100, 50, 0),
+      ("guc_defaults_ip_L100_r50", ipPath, "ip", 100, 50, 0),
+      ("plain_L100_r50", plainPath, "cosine", 100, 50, 0),
+      ("widened_L200_r150", cosPath, "cosine", 200, 150, 0),
+      ("wide_L400_r300", cosPath, "cosine", 400, 300, 0),
+      ("wide_L800_r600", cosPath, "cosine", 800, 600, 0),
+      ("ivf_nprobe2_L200_r150", ivfPath, "cosine", 200, 150, 2),
+      ("ivf_nprobe4_L400_r300", ivfPath, "cosine", 400, 300, 4))
+    val annResults = configs.map { case (name, path, m, l, r, np) =>
+      name -> recallVs(exactByMetric(m))(
+        DiskannIndex.search(spark, path, queries, k, l, r, nProbe = np))
     }
 
     // JL-projection envelope: 64-d -> 16-d randomProject, candidates ranked
