@@ -75,7 +75,32 @@ object Bench {
       .mkString("{", ",", "}")
     val cs = calib.map(v => f"$v%.4f").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","calib":$cs,"queries":$qs,"sf":"$sfDir"}""")
+    val fullLine =
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","calib":$cs,"queries":$qs,"sf":"$sfDir"}"""
+    // Full per-query map: one line for humans reading stdout, and a file for
+    // the per-query round-over-round comparison. The file matters because the
+    // harness that archives this run keeps only a bounded tail of stdout
+    // (~2000 chars) and parses the last JSON line it finds there — with 90+
+    // queries the full line outgrew that window (rounds 4-5 archived
+    // `parsed: null`), so the full map must live somewhere unbounded.
+    println(fullLine)
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    // Compact line printed LAST so it sits inside the archived tail: totals +
+    // calibration + a fixed headline subset. Bounded by construction — the
+    // subset is a fixed list, so this line's length does not grow with the
+    // query count.
+    val headline = Seq("q1_agg", "join_region_revenue", "knn_sql_topk",
+      "knn_ann_cosine", "knn_ann_l2_plain", "knn_ann_labeled", "knn_ann_batch",
+      "knn_exact_cosine", "sbq_hamming_topk", "simsearch_ivf", "dedup_exact",
+      "dedup_minhash", "semantic_dedup", "bloom_decontam", "cms_heavy_ngrams",
+      "doc_keywords", "bm25_search", "embed_project", "pipeline_pretrain",
+      "tfidf_topk")
+    val rm = results.toMap
+    val hq = headline.filter(rm.contains)
+      .map(k => "\"" + k + f"""\":${rm(k)}%.4f""").mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","calib":$cs,"nq":${results.length},"queries":$hq,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -164,6 +164,30 @@ case class VectorCosineDistance(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/**
+ * L1 (taxicab) distance — pgvector's `<+>` operator (vector_l1_ops, pgvector
+ * ≥0.7). Same widen-to-double accumulation as the other kernels so DuckDB's
+ * `abs(CAST(a AS DOUBLE[])[i] - ...)` oracle agrees bit-wise.
+ */
+case class VectorL1(left: Expression, right: Expression)
+    extends BinaryFloatVectorExpression {
+  override def prettyName: String = "vec_l1"
+  override protected def evalVectors(a: ArrayData, b: ArrayData): Double = {
+    var acc = 0.0; var i = 0; val n = a.numElements()
+    while (i < n) {
+      acc += math.abs(a.getFloat(i).toDouble - b.getFloat(i).toDouble); i += 1
+    }
+    acc
+  }
+  override protected def loopCode(a: String, b: String, n: String, res: String): String =
+    s"""double $res = 0.0;
+       |for (int i = 0; i < $n; i++) {
+       |  $res += java.lang.Math.abs(((double) $a.getFloat(i)) - ((double) $b.getFloat(i)));
+       |}""".stripMargin
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** L2 norm of a single vector. */
 case class VectorNorm(child: Expression) extends UnaryExpression {
   override def prettyName: String = "vec_norm"
@@ -245,6 +269,91 @@ case class HammingDistance(left: Expression, right: Expression)
          |  $res += java.lang.Long.bitCount($a.getLong(i) ^ $b.getLong(i));
          |}
          |${ev.value} = $res;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/**
+ * Sign-threshold binary quantization — pgvector's `binary_quantize(vector)`
+ * (pgvector ≥0.7): bit i is set iff v[i] > 0. Output is bit-PACKED
+ * ARRAY<BIGINT> (dim i → word i/64, bit i%64, same layout as the SBQ codes
+ * [[HammingDistance]] consumes), not pgvector's textual `bit(n)` — the packed
+ * form is what a columnar engine wants: 64× smaller than the float vector and
+ * directly comparable with [[HammingDistance]] / [[JaccardDistance]].
+ */
+case class BinaryQuantize(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "binary_quantize"
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.floatVec(prettyName, child.dataType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val words = new Array[Long]((n + 63) >> 6)
+    var i = 0
+    while (i < n) {
+      if (a.getFloat(i) > 0f) words(i >> 6) |= 1L << (i & 63)
+      i += 1
+    }
+    new GenericArrayData(words)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val words = ctx.freshName("words")
+      s"""
+         |final int $n = $a.numElements();
+         |final long[] $words = new long[($n + 63) >> 6];
+         |for (int i = 0; i < $n; i++) {
+         |  if ($a.getFloat(i) > 0f) $words[i >> 6] |= 1L << (i & 63);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($words);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/**
+ * Jaccard distance between bit-packed ARRAY<BIGINT> codes — pgvector's `<%>`
+ * (bit_jaccard_ops, pgvector ≥0.7): 1 - popcount(a&b)/popcount(a|b). Both
+ * all-zero (union = 0, where pgvector's float math yields NaN) is defined as
+ * distance 0.0 here — two empty sets are identical, and a total value keeps
+ * ORDER BY deterministic across engines.
+ */
+case class JaccardDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "jaccard_dist"
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.longVec(prettyName, left.dataType, right.dataType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    var inter = 0L; var union = 0L; var i = 0; val n = a.numElements()
+    while (i < n) {
+      val x = a.getLong(i); val y = b.getLong(i)
+      inter += java.lang.Long.bitCount(x & y)
+      union += java.lang.Long.bitCount(x | y)
+      i += 1
+    }
+    if (union == 0L) 0.0 else 1.0 - inter.toDouble / union.toDouble
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val res = ctx.freshName("acc")
+      s"""
+         |long ${res}_inter = 0L; long ${res}_union = 0L;
+         |final int ${res}_n = $a.numElements();
+         |for (int i = 0; i < ${res}_n; i++) {
+         |  long x = $a.getLong(i); long y = $b.getLong(i);
+         |  ${res}_inter += java.lang.Long.bitCount(x & y);
+         |  ${res}_union += java.lang.Long.bitCount(x | y);
+         |}
+         |${ev.value} = ${res}_union == 0L
+         |  ? 0.0 : 1.0 - ((double) ${res}_inter) / ((double) ${res}_union);
        """.stripMargin
     })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =

@@ -15,12 +15,33 @@ object RelationalQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table stores TIMESTAMP(NANOS) which Spark has no native type
-    * for: read nanos as long, convert to a microsecond timestamp column. */
+  /** The events table's `ts` physical type has changed across test-data
+    * generations: TIMESTAMP(NANOS) (no native Spark type — read as long via
+    * the legacy conf) and TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ under
+    * parquet NTZ inference). Normalize both to one session-local TIMESTAMP
+    * column; sessions run UTC, so the instant agrees with DuckDB's naive
+    * reading of the same file. */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
+
+  /** Epoch-millisecond view of `ts`, tolerant of the same two generations.
+    * Integral arithmetic only: nanos exceed double's 53-bit mantissa, so
+    * float division could land one ms off on boundary values. */
+  private def eventsMs(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = t(spark, dir, "events")
+    val tsMs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
+      case _ => expr("unix_micros(cast(ts as timestamp)) div 1000")
+    }
+    raw.withColumn("ts_ms", tsMs)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -70,13 +91,7 @@ object RelationalQueries {
     // math so the oracle compare is exact.
     "sessions_batch" -> ((s, d) => {
       val gapMs = 30L * 60 * 1000
-      val ev = {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        // integral div: nanos exceed double's 53-bit mantissa, so float
-        // division could land one ms off on boundary values
-        t(s, d, "events").select(col("user_id"),
-          expr("ts div 1000000").as("ts_ms"), col("value"))
-      }
+      val ev = eventsMs(s, d).select(col("user_id"), col("ts_ms"), col("value"))
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
       ev.withColumn("new_sess",
           when(col("ts_ms") - lag(col("ts_ms"), 1).over(w) <= gapMs, 0).otherwise(1))
@@ -105,9 +120,8 @@ object RelationalQueries {
     // are pre-deduped per (user, ms) so the as-of choice is total; integer
     // millisecond timestamps keep both engines bit-identical.
     "asof_attribution" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
-        expr("ts div 1000000").as("ts_ms"), col("event_type"))
+      val ev = eventsMs(s, d).select(col("event_id"), col("user_id"),
+        col("ts_ms"), col("event_type"))
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id"), col("ts_ms"))
       val clicks = ev.filter(col("event_type") === "click")
