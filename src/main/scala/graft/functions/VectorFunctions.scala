@@ -22,6 +22,9 @@ object VectorFunctions {
     "vec_norm" -> (es => VectorNorm(es(0))),
     "vec_normalize" -> (es => VectorNormalize(es(0))),
     "hamming_dist" -> (es => HammingDistance(es(0), es(1))),
+    "vec_l1" -> (es => VectorL1(es(0), es(1))),
+    "binary_quantize" -> (es => BinaryQuantize(es(0))),
+    "jaccard_dist" -> (es => JaccardDistance(es(0), es(1))),
   )
 
   /** Idempotent; call once per session before using the Column helpers. */
@@ -49,6 +52,9 @@ object VectorFunctions {
   def vec_norm(c: Column): Column = call_function("vec_norm", c)
   def vec_normalize(c: Column): Column = call_function("vec_normalize", c)
   def hamming_dist(l: Column, r: Column): Column = call_function("hamming_dist", l, r)
+  def vec_l1(l: Column, r: Column): Column = call_function("vec_l1", l, r)
+  def binary_quantize(c: Column): Column = call_function("binary_quantize", c)
+  def jaccard_dist(l: Column, r: Column): Column = call_function("jaccard_dist", l, r)
 }
 
 /**

@@ -456,4 +456,45 @@ object Similarity {
       (lit(1.0) - VectorFunctions.vec_cosine_dist(col("va"), col("vb"))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /**
+   * SPLADE-style sparse retrieval over dense embeddings: activations above
+   * `threshold` become the sparse representation, laid out as POSTING LISTS
+   * — one (id, dim, val) row per active dimension — and scoring is a join
+   * on `dim` + a sum of products, exactly an inverted index expressed
+   * relationally.
+   *
+   * Plan shape at 100 TB: sparsification is a map-side generator
+   * (`posexplode` + filter — no shuffle); the query's active dims broadcast
+   * (a query touches ≤dims entries); the only shuffle is the final
+   * per-candidate `groupBy(id)` over rows that SHARED an active dimension
+   * with the query — the posting-list intersection, not the corpus. A
+   * persisted posting table partitioned by `dim` turns repeated queries
+   * into partition-pruned scans of just the query's dims.
+   *
+   * Returns (id, score) — top-k by descending sparse dot product, ties on
+   * id. Products are widened to double before summing. `roundDecimals`
+   * rounds the score BEFORE ordering (ties then break on id), making the
+   * selected set exactly replayable on another engine — the same
+   * determinism rule the distance queries use.
+   */
+  def sparseDotTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryVec: Array[Float], threshold: Double, k: Int,
+      roundDecimals: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val postings = df
+      .select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("dim", "val")))
+      .filter(col("val") > threshold)
+    val qact = queryVec.zipWithIndex.collect {
+      case (v, i) if v > threshold => (i, v.toDouble)
+    }.toSeq
+    val qdf = spark.createDataFrame(qact.map(p => (p._1, p._2)))
+      .toDF("dim", "qval")
+    val raw = sum(col("val").cast("double") * col("qval"))
+    postings.join(broadcast(qdf), "dim")
+      .groupBy(col("id"))
+      .agg(roundDecimals.fold(raw)(d => round(raw, d)).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
 }

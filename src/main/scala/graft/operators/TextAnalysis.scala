@@ -496,6 +496,35 @@ object TextAnalysis {
   def simhash64(spark: SparkSession, toks: Column): Column = {
     register(spark); call_function("simhash64", toks)
   }
+
+  /**
+   * Sliding-window character chunking — the RAG / retrieval-ingestion
+   * splitter: fixed-size windows every `stride` characters (overlap =
+   * chunkSize - stride). Output one row per chunk with offsets and content
+   * hash; callers feed the chunks to embedding/BM25 indexing or dedup.
+   *
+   * Plan shape: `sequence` + `posexplode` are codegen'd generators over each
+   * row — entirely map-side, no shuffle, composes with parquet pushdown. At
+   * 100 TB the chunk count is (docBytes/stride)× rows, produced streaming
+   * per input partition, never materialized per-doc on the driver.
+   *
+   * Empty text yields one empty chunk (start 0), so every document survives
+   * into the chunk table — a left-join-safe invariant for provenance.
+   */
+  def slidingChunks(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 200, stride: Int = 150): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be > 0")
+    df.select(col(idCol).as("id"), col(textCol).as("__text"),
+        posexplode(sequence(lit(0L),
+          greatest(length(col(textCol)).cast(LongType), lit(1L)) - 1L,
+          lit(stride.toLong))).as(Seq("chunk_ix", "chunk_start")))
+      .select(col("id"), col("chunk_ix"),
+        col("chunk_start"),
+        col("__text").substr(col("chunk_start").cast(IntegerType) + 1,
+          lit(chunkSize)).as("chunk_text"))
+      .withColumn("chunk_len", length(col("chunk_text")))
+      .withColumn("chunk_md5", md5(col("chunk_text")))
+  }
 }
 
 /**

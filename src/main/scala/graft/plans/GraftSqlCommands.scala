@@ -101,7 +101,10 @@ object GraftSqlParser {
    * parser to report.
    */
   private val vectorOps =
-    Seq("<=>" -> "vec_cosine_dist", "<->" -> "vec_l2", "<#>" -> "vec_neg_dot")
+    Seq("<=>" -> "vec_cosine_dist", "<->" -> "vec_l2", "<#>" -> "vec_neg_dot",
+      // pgvector ≥0.7 additions: L1 distance and the bit-vector operators
+      // (hamming / jaccard over packed codes, e.g. binary_quantize output)
+      "<+>" -> "vec_l1", "<~>" -> "hamming_dist", "<%>" -> "jaccard_dist")
 
   private def isIdentChar(c: Char): Boolean =
     Character.isLetterOrDigit(c) || c == '_' || c == '$'

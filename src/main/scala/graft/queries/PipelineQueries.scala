@@ -45,6 +45,17 @@ object PipelineQueries {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // RAG-ingestion sliding-window chunking: 200-char windows every 150
+    // chars (50-char overlap), map-side generators only — the stage that
+    // feeds embedding/BM25 indexing. Chunk text itself stays out of the
+    // result (hash + offsets only) so the verified surface is compact.
+    "chunk_sliding" -> ((s, d) =>
+      TextAnalysis.slidingChunks(docs(s, d), "doc_id", "text",
+          chunkSize = 200, stride = 150)
+        .select(col("id").as("doc_id"), col("chunk_ix"), col("chunk_start"),
+          col("chunk_len").cast("long").as("chunk_len"), col("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_start"))),
+
     // C4-style chunk ("paragraph") dedup: per doc, how much survives
     // global first-occurrence dedup of 15-token chunks
     "dedup_chunks" -> ((s, d) =>
@@ -1147,6 +1158,21 @@ object PipelineQueries {
         |  WHERE asg.cluster IN (SELECT cid FROM probes))
         |SELECT vec_id, round(dist, 6) AS dist
         |FROM (SELECT vec_id, dist FROM sc ORDER BY dist, vec_id LIMIT 10)""".stripMargin,
+
+    // sliding-chunk replay: same 200/150 char windows; chunk_ix falls out of
+    // the fixed stride (start // 150). substring + md5 are char/UTF-8-byte
+    // identical across engines.
+    "chunk_sliding" ->
+      """WITH starts AS (
+        |  SELECT doc_id, text,
+        |         unnest(range(0, CAST(greatest(length(text), 1) AS BIGINT), 150)) AS chunk_start
+        |  FROM documents),
+        |c AS (SELECT doc_id, CAST(chunk_start // 150 AS INT) AS chunk_ix, chunk_start,
+        |             substring(text, CAST(chunk_start AS INT) + 1, 200) AS chunk_text
+        |      FROM starts)
+        |SELECT doc_id, chunk_ix, chunk_start,
+        |       length(chunk_text) AS chunk_len, md5(chunk_text) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_start""".stripMargin,
 
     // chunk dedup replay: same 15-token windows, first occurrence by
     // (doc_id, chunk_idx) wins; grouping is by the chunk STRING (the Spark

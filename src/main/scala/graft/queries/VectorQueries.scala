@@ -52,6 +52,56 @@ object VectorQueries {
     "knn_exact_l2" -> ((s, d) => topK(s, d, "dist", vec_l2)),
     "knn_exact_l2sq" -> ((s, d) => topK(s, d, "dist", vec_l2sq)),
     "knn_exact_ip" -> ((s, d) => topK(s, d, "dist", vec_neg_dot)),
+    // pgvector `<+>` (vector_l1_ops): same TakeOrderedAndProject plan
+    "knn_exact_l1" -> ((s, d) => topK(s, d, "dist", vec_l1)),
+
+    // pgvector ≥0.7 binary-quantized search: sign-quantize the corpus AND
+    // the query to packed ARRAY<BIGINT> codes (64× smaller than the floats),
+    // rank by Jaccard distance over the bit sets — the cheap first stage of
+    // a quantize→rescore pipeline. Everything stays in whole-stage codegen;
+    // top-k is the native partial-per-partition TakeOrderedAndProject.
+    "binary_jaccard_topk" -> ((s, d) => {
+      VectorFunctions.register(s)
+      withQuery(s, d)
+        .select(col("vec_id"),
+          round(jaccard_dist(binary_quantize(col("embedding")),
+            binary_quantize(col("qvec"))), 6).as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(20)
+    }),
+
+    // SPLADE-style sparse retrieval: activations > 0.15 become posting
+    // lists (map-side posexplode, no shuffle), scoring is a broadcast join
+    // on the query's active dims + one groupBy over rows sharing a dim —
+    // the inverted-index plan, relationally (Similarity.sparseDotTopK).
+    "sparse_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      val qvec = e.filter(col("vec_id") === QID)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      graft.operators.Similarity.sparseDotTopK(
+          e.filter(col("vec_id") =!= QID), "vec_id", "embedding",
+          qvec, threshold = 0.15, k = 10, roundDecimals = Some(6))
+        .select(col("id").as("vec_id"), col("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+    }),
+
+    // Recall@10 audit of the binary-quantized stage against exact cosine —
+    // the evaluation harness a quantize→rescore pipeline runs continuously.
+    // One row: |approx∩exact| / k.
+    "ann_recall_audit" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val exact = topK(s, d, "dist", vec_cosine_dist).select(col("vec_id"))
+      val approx = withQuery(s, d)
+        .select(col("vec_id"),
+          round(jaccard_dist(binary_quantize(col("embedding")),
+            binary_quantize(col("qvec"))), 6).as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"))
+      exact.join(approx, "vec_id")
+        .agg(lit(10).as("k"), count(lit(1)).as("n_common"),
+          round(count(lit(1)) / 10.0, 6).as("recall"))
+    }),
 
     // Label-filtered exact KNN: the engine's label model is ARRAY<SHORT> with
     // `arrays_overlap` semantics (P1); the test table carries a scalar label,
@@ -134,6 +184,43 @@ object VectorQueries {
     "knn_exact_ip" ->
       s"""SELECT vec_id, round(-list_dot_product(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) AS dist
          |FROM embeddings WHERE vec_id <> $QID ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+    "knn_exact_l1" ->
+      s"""SELECT vec_id, round(list_sum(list_transform(range(1, len(embedding)+1),
+         |    i -> abs(CAST(embedding[i] AS DOUBLE) - q.qv[i]))), 6) AS dist
+         |FROM embeddings, (SELECT $oracleQvec AS qv) q
+         |WHERE vec_id <> $QID ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+    // membership (x > 0) is computed from the float arrays on the oracle
+    // side — bit-for-bit the same sets the packed codes encode
+    "binary_jaccard_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QID)
+         |SELECT vec_id,
+         |  round(1.0 - coalesce(CAST(list_sum(list_transform(range(1, len(embedding)+1),
+         |      i -> CASE WHEN embedding[i] > 0 AND q.qv[i] > 0 THEN 1 ELSE 0 END)) AS DOUBLE)
+         |    / nullif(list_sum(list_transform(range(1, len(embedding)+1),
+         |      i -> CASE WHEN embedding[i] > 0 OR q.qv[i] > 0 THEN 1 ELSE 0 END)), 0), 1.0), 6) AS dist
+         |FROM embeddings, q WHERE vec_id <> $QID ORDER BY dist, vec_id LIMIT 20""".stripMargin,
+    // inverted-index replay: active dims (> 0.15) joined on dimension index
+    "sparse_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QID),
+         |p AS (SELECT vec_id, embedding, unnest(range(1, len(embedding)+1)) AS i
+         |      FROM embeddings WHERE vec_id <> $QID)
+         |SELECT vec_id, round(sum(CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), 6) AS score
+         |FROM p, q WHERE embedding[i] > 0.15 AND qv[i] > 0.15
+         |GROUP BY vec_id ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+    "ann_recall_audit" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QID),
+         |ex AS (SELECT vec_id FROM (
+         |    SELECT vec_id, round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) AS dist
+         |    FROM embeddings WHERE vec_id <> $QID ORDER BY dist, vec_id LIMIT 10)),
+         |ap AS (SELECT vec_id FROM (
+         |    SELECT vec_id,
+         |      round(1.0 - coalesce(CAST(list_sum(list_transform(range(1, len(embedding)+1),
+         |          i -> CASE WHEN embedding[i] > 0 AND q.qv[i] > 0 THEN 1 ELSE 0 END)) AS DOUBLE)
+         |        / nullif(list_sum(list_transform(range(1, len(embedding)+1),
+         |          i -> CASE WHEN embedding[i] > 0 OR q.qv[i] > 0 THEN 1 ELSE 0 END)), 0), 1.0), 6) AS dist
+         |    FROM embeddings, q WHERE vec_id <> $QID ORDER BY dist, vec_id LIMIT 10))
+         |SELECT 10 AS k, count(*) AS n_common, round(count(*) / 10.0, 6) AS recall
+         |FROM ex JOIN ap USING (vec_id)""".stripMargin,
     "knn_labeled" ->
       s"""SELECT vec_id, round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) AS dist
          |FROM embeddings WHERE vec_id <> $QID AND label IN (1, 3) ORDER BY dist, vec_id LIMIT 10""".stripMargin,

@@ -473,6 +473,14 @@ class KnnStrategySpec extends AnyFunSuite {
     assert(graft.plans.GraftSqlParser.rewriteVectorOps(
       "SELECT '<->' AS s, a <#> b FROM t") ==
       "SELECT '<->' AS s, vec_neg_dot(a, b) FROM t")
+    // pgvector ≥0.7 operators: L1 and the bit-vector pair
+    assert(graft.plans.GraftSqlParser.rewriteVectorOps("a <+> b") ==
+      "vec_l1(a, b)")
+    assert(graft.plans.GraftSqlParser.rewriteVectorOps("a <~> b") ==
+      "hamming_dist(a, b)")
+    assert(graft.plans.GraftSqlParser.rewriteVectorOps(
+      "binary_quantize(a) <%> binary_quantize(b)") ==
+      "jaccard_dist(binary_quantize(a), binary_quantize(b))")
     val prev = spark
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()

@@ -692,4 +692,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(m.getOrElse(("crawl", "crawl"), 0L) >= 1L, m.toString)
     assert(!m.keys.exists { case (a, b) => a > b }, "matrix must be unordered-canonical")
   }
+
+  test("slidingChunks: coverage, overlap, and the empty-doc invariant") {
+    import spark.implicits._
+    val df = Seq((1L, "a" * 350), (2L, ""), (3L, "xyz")).toDF("doc_id", "text")
+    val ch = graft.operators.TextAnalysis
+      .slidingChunks(df, "doc_id", "text", chunkSize = 200, stride = 150)
+      .collect().groupBy(_.getAs[Long]("id"))
+    // 350 chars → starts 0,150,300; lengths 200,200,50
+    val d1 = ch(1L).sortBy(_.getAs[Long]("chunk_start"))
+    assert(d1.map(_.getAs[Long]("chunk_start")).toSeq == Seq(0L, 150L, 300L))
+    assert(d1.map(_.getAs[Int]("chunk_len")).toSeq == Seq(200, 200, 50))
+    assert(d1.map(_.getAs[Int]("chunk_ix")).toSeq == Seq(0, 1, 2))
+    // every doc survives: empty text yields exactly one empty chunk
+    assert(ch(2L).length == 1 && ch(2L)(0).getAs[Int]("chunk_len") == 0)
+    // short doc: one chunk, full text
+    assert(ch(3L).length == 1 && ch(3L)(0).getAs[String]("chunk_text") == "xyz")
+  }
 }

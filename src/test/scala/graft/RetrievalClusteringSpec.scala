@@ -65,6 +65,28 @@ class RetrievalClusteringSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(2) - norm) < 1e-5)
   }
 
+  test("sparseDotTopK equals brute-force thresholded dot; no-overlap rows absent") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(0.5f, 0.0f, 0.3f, 0.0f)),
+      (2L, Array(0.0f, 0.9f, 0.0f, 0.0f)),   // shares no active dim with q
+      (3L, Array(0.4f, 0.0f, 0.0f, 0.6f)),
+      (4L, Array(0.1f, 0.1f, 0.1f, 0.1f)))   // all below threshold
+    val q = Array(0.8f, 0.0f, 0.2f, 0.7f)
+    val got = graft.operators.Similarity
+      .sparseDotTopK(vecs.toDF("id", "vec"), "id", "vec", q,
+        threshold = 0.15, k = 10, roundDecimals = Some(6))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // active q dims: 0 (0.8), 2 (0.2), 3 (0.7). doc1: 0.5*0.8 + 0.3*0.2;
+    // doc3: 0.4*0.8 + 0.6*0.7; doc2/doc4 share no active dims → absent
+    def d(x: Float, y: Float) = x.toDouble * y.toDouble
+    val exp1 = BigDecimal(d(0.5f, 0.8f) + d(0.3f, 0.2f))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp3 = BigDecimal(d(0.4f, 0.8f) + d(0.6f, 0.7f))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq((3L, exp3), (1L, exp1)))
+  }
+
   test("keep-best composition keeps the higher-quality member of a dup pair") {
     val base = "the cat sat on the mat and then the dog sat too"
     val docs = Seq(

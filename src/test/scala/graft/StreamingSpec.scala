@@ -561,9 +561,14 @@ class StreamingSpec extends AnyFunSuite {
   test("windowed event counts over a stream match the batch aggregation") {
     implicit val sqlCtx = spark.sqlContext
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(($"ts" / 1000).cast("long")))
-      .select($"ts", $"event_type", $"value")
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    // ts physical type differs across test-data generations: nanos-as-long
+    // vs TIMESTAMP(MICROS) — normalize either to a session-tz timestamp
+    val batch = (raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(($"ts" / 1000).cast("long")))
+      case _ => raw.withColumn("ts", $"ts".cast("timestamp"))
+    }).select($"ts", $"event_type", $"value")
     val rows = batch.collect().map(r =>
       (r.getTimestamp(0), r.getString(1), r.getDouble(2)))
 

@@ -82,6 +82,38 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(r == 8 + 4)
   }
 
+  test("vec_l1 is the taxicab distance (pgvector <+>)") {
+    assert(one(vec_l1($"a", $"b")) == 9.0)
+    assert(one(vec_l1($"b", $"a")) == 9.0)
+  }
+
+  test("binary_quantize packs sign bits (pgvector binary_quantize)") {
+    // dims 0..66: positive exactly at 0, 2, 64 → word0 bits {0,2}, word1 bit 0
+    val v = Array.tabulate(67)(i => if (i == 0 || i == 2 || i == 64) 1f
+      else if (i == 1) 0f else -1f)
+    val r = Seq(Tuple1(v)).toDF("a").select(binary_quantize($"a"))
+      .collect()(0).getSeq[Long](0)
+    assert(r == Seq(5L, 1L))
+    // 0f is NOT positive (pgvector: v[i] > 0)
+    val z = Seq(Tuple1(Array(0f, -0f, 1f))).toDF("a")
+      .select(binary_quantize($"a")).collect()(0).getSeq[Long](0)
+    assert(z == Seq(4L))
+  }
+
+  test("jaccard_dist on packed codes; empty-union defined as 0") {
+    // a = {0,1}, b = {1,2} → inter 1, union 3
+    val r = Seq((Array(3L), Array(6L)))
+      .toDF("a", "b").select(jaccard_dist($"a", $"b")).collect()(0).getDouble(0)
+    assert(math.abs(r - (1.0 - 1.0 / 3.0)) < 1e-15)
+    val e = Seq((Array(0L), Array(0L)))
+      .toDF("a", "b").select(jaccard_dist($"a", $"b")).collect()(0).getDouble(0)
+    assert(e == 0.0)
+    // identical non-empty codes → distance 0
+    val s = Seq((Array(7L), Array(7L)))
+      .toDF("a", "b").select(jaccard_dist($"a", $"b")).collect()(0).getDouble(0)
+    assert(s == 0.0)
+  }
+
   test("kernels agree with expressions") {
     assert(VectorKernels.dot(a, b) == 32.0)
     assert(VectorKernels.l2sq(a, b) == 27.0)
