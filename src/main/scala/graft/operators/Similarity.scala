@@ -497,4 +497,39 @@ object Similarity {
       .orderBy(col("score").desc, col("id"))
       .limit(k)
   }
+
+  /**
+   * Materialize the posting lists of [[sparseDotTopK]] as a parquet table
+   * PARTITIONED BY dimension — the persisted inverted index. A later
+   * [[sparseSearchIndexed]] reads only the partitions of the query's
+   * active dims (Catalyst partition pruning — the scan never touches the
+   * other ~dims partitions), so repeated queries cost |active dims| pruned
+   * scans instead of a corpus pass. One shuffle-free write: partitionBy
+   * splits files per input task.
+   */
+  def buildPostingIndex(df: DataFrame, idCol: String, vecCol: String,
+      path: String, threshold: Double): Unit =
+    df.select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("dim", "val")))
+      .filter(col("val") > threshold)
+      .write.mode("overwrite").partitionBy("dim").parquet(path)
+
+  /** Top-k sparse dot product against a [[buildPostingIndex]] table.
+    * Same semantics as [[sparseDotTopK]] at the same threshold. */
+  def sparseSearchIndexed(spark: SparkSession, path: String,
+      queryVec: Array[Float], threshold: Double, k: Int,
+      roundDecimals: Option[Int] = None): DataFrame = {
+    val qact = queryVec.zipWithIndex.collect {
+      case (v, i) if v > threshold => (i, v.toDouble)
+    }.toSeq
+    val qdf = spark.createDataFrame(qact).toDF("dim", "qval")
+    val raw = sum(col("val").cast("double") * col("qval"))
+    spark.read.parquet(path)
+      // partition-column filter → pruned at planning, not at runtime
+      .filter(col("dim").isin(qact.map(p => Integer.valueOf(p._1)): _*))
+      .join(broadcast(qdf), "dim")
+      .groupBy(col("id"))
+      .agg(roundDecimals.fold(raw)(d => round(raw, d)).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
 }

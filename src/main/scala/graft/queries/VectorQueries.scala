@@ -47,6 +47,11 @@ object VectorQueries {
 
   private def oracleQvec = s"(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = $QID)"
 
+  /** Deterministic per-sf posting-index location (built once, reused). */
+  private def postingsPath(dir: String): String =
+    s"/tmp/graft_index/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/postings15"
+  private val postingsLock = new Object
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_exact_cosine" -> ((s, d) => topK(s, d, "dist", vec_cosine_dist)),
     "knn_exact_l2" -> ((s, d) => topK(s, d, "dist", vec_l2)),
@@ -81,6 +86,28 @@ object VectorQueries {
       graft.operators.Similarity.sparseDotTopK(
           e.filter(col("vec_id") =!= QID), "vec_id", "embedding",
           qvec, threshold = 0.15, k = 10, roundDecimals = Some(6))
+        .select(col("id").as("vec_id"), col("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+    }),
+
+    // Same retrieval served from the MATERIALIZED posting index: the scan
+    // reads only the query's active-dim partitions (Catalyst partition
+    // pruning, plan-asserted in RetrievalClusteringSpec) — the repeated-
+    // query access path at corpus scale.
+    "sparse_topk_indexed" -> ((s, d) => {
+      val e = emb(s, d)
+      val qvec = e.filter(col("vec_id") === QID)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val path = postingsPath(d)
+      postingsLock.synchronized {
+        if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+          graft.operators.Similarity.buildPostingIndex(
+            e.filter(col("vec_id") =!= QID), "vec_id", "embedding",
+            path, threshold = 0.15)
+        }
+      }
+      graft.operators.Similarity.sparseSearchIndexed(
+          s, path, qvec, threshold = 0.15, k = 10, roundDecimals = Some(6))
         .select(col("id").as("vec_id"), col("score"))
         .orderBy(col("score").desc, col("vec_id"))
     }),
@@ -201,6 +228,13 @@ object VectorQueries {
          |FROM embeddings, q WHERE vec_id <> $QID ORDER BY dist, vec_id LIMIT 20""".stripMargin,
     // inverted-index replay: active dims (> 0.15) joined on dimension index
     "sparse_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QID),
+         |p AS (SELECT vec_id, embedding, unnest(range(1, len(embedding)+1)) AS i
+         |      FROM embeddings WHERE vec_id <> $QID)
+         |SELECT vec_id, round(sum(CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), 6) AS score
+         |FROM p, q WHERE embedding[i] > 0.15 AND qv[i] > 0.15
+         |GROUP BY vec_id ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+    "sparse_topk_indexed" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QID),
          |p AS (SELECT vec_id, embedding, unnest(range(1, len(embedding)+1)) AS i
          |      FROM embeddings WHERE vec_id <> $QID)

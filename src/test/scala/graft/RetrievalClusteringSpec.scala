@@ -87,6 +87,35 @@ class RetrievalClusteringSpec extends AnyFunSuite {
     assert(got == Seq((3L, exp3), (1L, exp1)))
   }
 
+  test("posting index: partition-pruned scan, same results as direct sparse top-k") {
+    import spark.implicits._
+    val path = "/tmp/graft_test_index/postings"
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0).toArray
+    val corpus = e.filter($"vec_id" =!= 0)
+    graft.operators.Similarity.buildPostingIndex(
+      corpus, "vec_id", "embedding", path, threshold = 0.15)
+    val viaIndex = graft.operators.Similarity.sparseSearchIndexed(
+      spark, path, q, threshold = 0.15, k = 10, roundDecimals = Some(6))
+    // the scan must read ONLY the active dims' partitions
+    // sparkPlan, not executedPlan: AQE wraps the executed tree in
+    // AdaptiveSparkPlanExec whose children are invisible to collect
+    val scans = viaIndex.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+      "posting scan lost its partition filter")
+    val nActive = q.count(_ > 0.15f)
+    assert(scans.map(_.selectedPartitions.partitionCount).sum == nActive,
+      s"expected $nActive pruned partitions")
+    val direct = graft.operators.Similarity.sparseDotTopK(
+      corpus, "vec_id", "embedding", q, threshold = 0.15, k = 10,
+      roundDecimals = Some(6))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = viaIndex.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == direct)
+  }
+
   test("keep-best composition keeps the higher-quality member of a dup pair") {
     val base = "the cat sat on the mat and then the dog sat too"
     val docs = Seq(
