@@ -25,7 +25,67 @@ object VectorFunctions {
     "vec_l1" -> (es => VectorL1(es(0), es(1))),
     "binary_quantize" -> (es => BinaryQuantize(es(0))),
     "jaccard_dist" -> (es => JaccardDistance(es(0), es(1))),
+    // pgvector SQL-function aliases, so the reference's function-call
+    // spellings run verbatim: vector_dims/vector_norm/l2_normalize/
+    // subvector (all 1-based, like pgvector) map onto the same expressions
+    "vector_dims" ->
+      (es => org.apache.spark.sql.catalyst.expressions.Size(es(0))),
+    "vector_norm" -> (es => VectorNorm(es(0))),
+    "l2_normalize" -> (es => VectorNormalize(es(0))),
+    "subvector" ->
+      (es => org.apache.spark.sql.catalyst.expressions.Slice(es(0), es(1), es(2))),
   )
+
+  /**
+   * pgvector's `sum(vector)` / `avg(vector)` SQL aggregates. Accumulation is
+   * FIXED-POINT (×2^20 per element, same scheme as
+   * `Similarity.QuantizedVecSum`): long addition is associative-commutative,
+   * so the result is byte-identical regardless of partitioning and merge
+   * order — a float sum would be order-dependent and unverifiable against
+   * another engine. Dimension is inferred from the first vector; mixed
+   * dimensions in one group throw (pgvector errors likewise).
+   */
+  private class VecFixedSum(avg: Boolean)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        scala.collection.Seq[Float], (Array[Long], Long), scala.collection.Seq[Double]] {
+    override def zero: (Array[Long], Long) = (Array.empty[Long], 0L)
+    override def reduce(b: (Array[Long], Long),
+        v: scala.collection.Seq[Float]): (Array[Long], Long) = {
+      if (v == null) b
+      else {
+        val buf = if (b._1.isEmpty) new Array[Long](v.length) else b._1
+        require(buf.length == v.length,
+          s"vec_sum/vec_avg: dimension mismatch ${buf.length} vs ${v.length}")
+        var i = 0
+        while (i < buf.length) {
+          buf(i) += math.floor(v(i).toDouble * 1048576.0 + 0.5).toLong; i += 1
+        }
+        (buf, b._2 + 1)
+      }
+    }
+    override def merge(a: (Array[Long], Long),
+        b: (Array[Long], Long)): (Array[Long], Long) = {
+      if (a._1.isEmpty) b
+      else if (b._1.isEmpty) a
+      else {
+        require(a._1.length == b._1.length,
+          s"vec_sum/vec_avg: dimension mismatch ${a._1.length} vs ${b._1.length}")
+        var i = 0
+        while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
+        (a._1, a._2 + b._2)
+      }
+    }
+    override def finish(r: (Array[Long], Long)): scala.collection.Seq[Double] =
+      if (r._2 == 0L) null
+      else {
+        val div = if (avg) 1048576.0 * r._2 else 1048576.0
+        r._1.toSeq.map(_ / div)
+      }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[(Array[Long], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Long], Long)]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[scala.collection.Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[scala.collection.Seq[Double]]()
+  }
 
   /** Idempotent; call once per session before using the Column helpers. */
   def register(spark: SparkSession): Unit = {
@@ -33,6 +93,12 @@ object VectorFunctions {
     builders.foreach { case (name, b) =>
       reg.createOrReplaceTempFunction(name, b, "built-in")
     }
+    // aggregates go through the UDF registry (Aggregator-backed; cannot be
+    // expressed as a pure Expression builder)
+    spark.udf.register("vec_sum",
+      org.apache.spark.sql.functions.udaf(new VecFixedSum(avg = false)))
+    spark.udf.register("vec_avg",
+      org.apache.spark.sql.functions.udaf(new VecFixedSum(avg = true)))
   }
 
   /** Builder-time registration via `SparkSessionExtensions.injectFunction`,

@@ -45,6 +45,29 @@ object PipelineQueries {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // per-source length percentiles (exact linear-interpolated — Spark's
+    // `percentile` and DuckDB's `quantile_cont` share the definition): the
+    // corpus-profiling pass a curation run starts from. One shuffle.
+    "doc_len_percentiles" -> ((s, d) =>
+      docs(s, d).groupBy(col("source"))
+        .agg(
+          round(expr("percentile(n_chars, 0.25)"), 4).as("p25"),
+          round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
+          round(expr("percentile(n_chars, 0.75)"), 4).as("p75"),
+          round(expr("percentile(n_chars, 0.9)"), 4).as("p90"))
+        .orderBy(col("source"))),
+
+    // ROLLUP(source, lang) — subtotal rows materialize in ONE aggregation
+    // pass (Catalyst Expand), not one query per level; NULL markers
+    // coalesced so cross-engine ordering is total
+    "corpus_rollup" -> ((s, d) =>
+      docs(s, d).rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .select(coalesce(col("source"), lit("ALL")).as("source"),
+          coalesce(col("lang"), lit("ALL")).as("lang"),
+          col("n_docs"), col("total_chars"))
+        .orderBy(col("source"), col("lang"))),
+
     // RAG-ingestion sliding-window chunking: 200-char windows every 150
     // chars (50-char overlap), map-side generators only — the stage that
     // feeds embedding/BM25 indexing. Chunk text itself stays out of the
@@ -375,6 +398,19 @@ object PipelineQueries {
         .select(col("label"), col("pos").cast("long").as("dim_idx"),
           round(col("col"), 6).as("value"))
         .orderBy(col("label"), col("dim_idx"))),
+
+    // same prototypes through the SQL surface: pgvector's avg(vector)
+    // aggregate as the registered vec_avg UDAF (fixed-point buffer — long
+    // adds commute, so the result is partitioning-independent and
+    // engine-replayable); flattened for the oracle compare
+    "vec_avg_by_label" -> ((s, d) => {
+      VectorFunctions.register(s)
+      emb(s, d).groupBy(col("label"))
+        .agg(expr("vec_avg(embedding)").as("c"))
+        .select(col("label"), posexplode(col("c")).as(Seq("dim", "v")))
+        .select(col("label"), col("dim"), round(col("v"), 6).as("avg_val"))
+        .orderBy(col("label"), col("dim"))
+    }),
 
     // deterministic stratified sampling: downsample over-represented 'en',
     // keep most of the rest. md5-derived uniform => reproducible in any
@@ -1044,6 +1080,14 @@ object PipelineQueries {
         |       round(CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0), 6) AS value
         |FROM s ORDER BY label, dim_idx""".stripMargin,
 
+    "vec_avg_by_label" ->
+      """WITH f AS (SELECT label, unnest(range(1, len(embedding)+1)) AS i, embedding
+        |           FROM embeddings)
+        |SELECT label, CAST(i - 1 AS INT) AS dim,
+        |  round(CAST(sum(CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |        / 1048576.0 / count(*), 6) AS avg_val
+        |FROM f GROUP BY label, i ORDER BY label, dim""".stripMargin,
+
     // char-level simulation of the lookaround split: a subword STARTS at a
     // non-space char that is at position 1, after a space, after a
     // lower→upper/digit boundary, or is itself punctuation (non-\w)
@@ -1158,6 +1202,19 @@ object PipelineQueries {
         |  WHERE asg.cluster IN (SELECT cid FROM probes))
         |SELECT vec_id, round(dist, 6) AS dist
         |FROM (SELECT vec_id, dist FROM sc ORDER BY dist, vec_id LIMIT 10)""".stripMargin,
+
+    "doc_len_percentiles" ->
+      """SELECT source,
+        |  round(quantile_cont(n_chars, 0.25), 4) AS p25,
+        |  round(quantile_cont(n_chars, 0.5), 4) AS p50,
+        |  round(quantile_cont(n_chars, 0.75), 4) AS p75,
+        |  round(quantile_cont(n_chars, 0.9), 4) AS p90
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "corpus_rollup" ->
+      """SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang,
+        |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY ROLLUP(source, lang) ORDER BY 1, 2""".stripMargin,
 
     // sliding-chunk replay: same 200/150 char windows; chunk_ix falls out of
     // the fixed stride (start // 150). substring + md5 are char/UTF-8-byte

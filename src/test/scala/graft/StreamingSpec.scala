@@ -558,6 +558,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(flagged == Set(10L, 12L))
   }
 
+  test("sliding chunks run unchanged on a stream (stateless generators)") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq((1L, "abcdefghijklmno"), (2L, ""), (3L, "xyz"))
+    val mem = MemoryStream[(Long, String)]
+    val chunks = graft.operators.TextAnalysis.slidingChunks(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      chunkSize = 10, stride = 7)
+    val q = chunks.writeStream.outputMode("append")
+      .format("memory").queryName("chunks_stream").start()
+    mem.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("chunks_stream")
+      .select($"id", $"chunk_start", $"chunk_md5").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val batch = graft.operators.TextAnalysis.slidingChunks(
+        docs.toDF("doc_id", "text"), "doc_id", "text",
+        chunkSize = 10, stride = 7)
+      .select($"id", $"chunk_start", $"chunk_md5").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("windowed event counts over a stream match the batch aggregation") {
     implicit val sqlCtx = spark.sqlContext
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -131,6 +131,35 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(n == 500)
   }
 
+  test("pgvector SQL aliases: vector_dims, vector_norm, l2_normalize, subvector") {
+    val r = spark.sql(
+      """SELECT vector_dims(v) AS d, round(vector_norm(v), 6) AS n,
+        |       l2_normalize(v) AS u, subvector(v, 2, 2) AS s
+        |FROM (SELECT CAST(array(3.0, 0.0, 4.0) AS ARRAY<FLOAT>) AS v)""".stripMargin).head()
+    assert(r.getInt(0) == 3)
+    assert(r.getDouble(1) == 5.0)
+    assert(math.abs(VectorKernels.norm(r.getSeq[Float](2).toArray) - 1.0) < 1e-6)
+    assert(r.getSeq[Float](3) == Seq(0f, 4f))
+  }
+
+  test("vec_sum / vec_avg aggregates: fixed-point, order-independent") {
+    val df = Seq((1, Array(1.0f, 2.0f)), (1, Array(3.0f, 4.0f)),
+      (2, Array(0.5f, -0.5f))).toDF("g", "v")
+    df.createOrReplaceTempView("vecs_t")
+    val rows = spark.sql(
+      """SELECT g, vec_sum(v) AS s, vec_avg(v) AS a FROM vecs_t
+        |GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(rows(0).getSeq[Double](1) == Seq(4.0, 6.0))
+    assert(rows(0).getSeq[Double](2) == Seq(2.0, 3.0))
+    assert(rows(1).getSeq[Double](1) == Seq(0.5, -0.5))
+    // repartitioned input produces the identical result (long adds commute)
+    val r2 = spark.sql("SELECT vec_sum(v) AS s FROM vecs_t WHERE g = 1")
+    val r3 = df.filter($"g" === 1).repartition(3)
+    r3.createOrReplaceTempView("vecs_t3")
+    assert(r2.head().getSeq[Double](0) ==
+      spark.sql("SELECT vec_sum(v) AS s FROM vecs_t3").head().getSeq[Double](0))
+  }
+
   test("SQL registration works") {
     spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .createOrReplaceTempView("emb_t")
