@@ -600,13 +600,28 @@ object DiskannIndex {
   /** The registry's current data files (Hadoop FS — HDFS/S3 paths work the
     * same as local ones); empty when no deletes are pending. */
   private[graft] def tombstoneFiles(spark: SparkSession,
-      indexPath: String): Array[org.apache.hadoop.fs.Path] = {
+      indexPath: String): Array[org.apache.hadoop.fs.FileStatus] = {
     val d = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
     val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
-    try fs.listStatus(d).map(_.getPath)
-      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+    try fs.listStatus(d)
+      .filter(s => !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
     catch { case _: java.io.FileNotFoundException => Array.empty }
   }
+
+  /** Fingerprint-keyed cache for [[loadTombstones]]: the LISTING runs on
+    * every call (that is the freshness contract — a new delete must be
+    * visible to the next scan), but the parquet read + collect job is paid
+    * only when the listed (path, length, modtime) fingerprint changed.
+    * Steady serving between deletes: one metadata listing per query, zero
+    * Spark jobs. */
+  private val tombstoneCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Set[Long])]()
+
+  private def tombstoneFingerprint(
+      files: Array[org.apache.hadoop.fs.FileStatus]): String =
+    files.map(s => s"${s.getPath}#${s.getLen}#${s.getModificationTime}")
+      .sorted.mkString("|")
 
   /** Load the persisted tombstone set. Bounded by the compaction contract
     * (folded + consumed at every compact), so the driver-side Set is the
@@ -619,12 +634,17 @@ object DiskannIndex {
     while (attempt < 4) {
       attempt += 1
       val files = tombstoneFiles(spark, indexPath)
-      if (files.isEmpty) return Set.empty
+      if (files.isEmpty) { tombstoneCache.remove(indexPath); return Set.empty }
+      val fp = tombstoneFingerprint(files)
+      val cached = tombstoneCache.get(indexPath)
+      if (cached != null && cached._1 == fp) return cached._2
       try {
-        return spark.read.option("ignoreMissingFiles", "true")
-          .parquet(files.map(_.toString).toIndexedSeq: _*)
+        val set = spark.read.option("ignoreMissingFiles", "true")
+          .parquet(files.map(_.getPath.toString).toIndexedSeq: _*)
           .select(col("row_id").cast(LongType))
           .collect().map(_.getLong(0)).toSet
+        tombstoneCache.put(indexPath, (fp, set))
+        return set
       } catch {
         // plan-time path-not-exist from the race; re-list
         case e: org.apache.spark.sql.AnalysisException => lastErr = e

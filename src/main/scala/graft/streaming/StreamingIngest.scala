@@ -390,7 +390,7 @@ object StreamingIngest {
       // same for the tombstone registry: only files folded into THIS
       // generation are consumed; deleteRows landing during the rebuild
       // survive and keep masking until the next compact
-      consumedTombs.foreach(p => fs.delete(p, false))
+      consumedTombs.foreach(s => fs.delete(s.getPath, false))
       if (DiskannIndex.tombstoneFiles(spark, indexPath).isEmpty)
         fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/tombstones"), true)
       // GC. Retained roots: the new generation, plus the one it superseded
