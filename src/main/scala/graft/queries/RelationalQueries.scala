@@ -114,6 +114,18 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
         .orderBy(col("hour"), col("event_type"))),
 
+    // semi-structured props: JSON extraction inside the scan stage
+    // (get_json_object is codegen'd) — the metadata-parsing pass every
+    // event pipeline runs; one shuffle for the group-by
+    "events_json_stats" -> ((s, d) => {
+      val k = get_json_object(col("props"), "$.k").cast("int")
+      t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(avg(k), 6).as("avg_k"),
+          min(k).as("min_k"), max(k).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
     // AS-OF JOIN (attribution): each purchase picks the latest click at or
     // before it for the same user — union + ordered carry-forward, ONE
     // shuffle, no range-join explosion (graft.operators.TimeSeries). Clicks
@@ -179,6 +191,13 @@ object RelationalQueries {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |       count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_json_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // DuckDB's native ASOF JOIN is the semantic spec for the Spark
     // union+carry-forward implementation

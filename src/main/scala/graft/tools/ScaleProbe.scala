@@ -1,0 +1,163 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/**
+ * Empirical scaling probe: times the scale-risky operators on ×1, ×10 and
+ * ×100 replicas of the sf0.1 documents/embeddings tables and prints the
+ * measured scaling exponents. The point is to turn "would this plan hold at
+ * 100×?" into data: a near-1.0 exponent on the ×10→×100 leg means the
+ * operator's cost is linear in corpus size with the fixed driver/JIT
+ * overhead amortized away.
+ *
+ * Replicas are PERTURBED so the probe measures capacity, not degenerate
+ * duplicate structure: each document replica's tokens are re-ordered by
+ * md5(token, replica) — same token multiset, disjoint shingle sets, so
+ * MinHash-LSH sees a realistic (mostly non-duplicate) corpus instead of an
+ * every-doc-has-99-twins pathology; each embedding replica gets a
+ * deterministic per-element hash offset. Probe tables are materialized once
+ * under /tmp/graft_scaleprobe and reused.
+ */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factors = Seq(1, 10, 100)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val root = "/tmp/graft_scaleprobe"
+
+    def docsPath(f: Int) = s"$root/docs_x$f"
+    def embPath(f: Int) = s"$root/emb_x$f"
+
+    def ensureDocs(f: Int): Unit = {
+      if (new java.io.File(s"${docsPath(f)}/_SUCCESS").exists()) return
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      val reps = (0 until f).map { i =>
+        if (i == 0) base
+        else base
+          .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10_000_000L))
+          // per-replica deterministic token re-order: same multiset,
+          // different shingles → replicas are NOT near-dups of each other
+          .withColumn("text", array_join(
+            transform(
+              array_sort(transform(TextAnalysis.tokens(col("text")),
+                t => struct(md5(concat(t, lit(i.toString))).as("k"), t.as("t")))),
+              s => s.getField("t")),
+            " "))
+      }
+      reps.reduce(_ unionAll _).repartition(32)
+        .write.mode("overwrite").parquet(docsPath(f))
+    }
+
+    def ensureEmb(f: Int): Unit = {
+      if (new java.io.File(s"${embPath(f)}/_SUCCESS").exists()) return
+      val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val reps = (0 until f).map { i =>
+        if (i == 0) base
+        else base
+          .withColumn("vec_id", col("vec_id") + lit(i.toLong * 10_000_000L))
+          .withColumn("embedding", transform(col("embedding"),
+            (x, j) => (x + (pmod(xxhash64(col("vec_id"), j, lit(i)), lit(1000L))
+              .cast("double") - 500.0) / 50000.0).cast("float")))
+      }
+      reps.reduce(_ unionAll _).repartition(32)
+        .write.mode("overwrite").parquet(embPath(f))
+    }
+
+    def time(body: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = body
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    // one JSON map per op: factor -> (sec, result rows) — result rows make
+    // output-size growth visible next to time growth
+    val ops: Seq[(String, Int => Long)] = Seq(
+      "dedup_exact" -> { f =>
+        Dedup.exactDedup(spark.read.parquet(docsPath(f)), "doc_id", "text").count()
+      },
+      // Both LSH geometries, with the bucket cap (the cap is the PRODUCTION
+      // configuration at corpus scale — the uncapped probe run spilled
+      // >25 GB in one sort-merge join at ×100 before dying). r = rows/band
+      // sets the S-curve: r=4 (64 hashes/16 bands) admits the corpus's
+      // templated mid-similarity background (P(band collision) = j^4 ≈ 2.6%
+      // at j=0.4), so candidates grow ~quadratically until capped; r=8
+      // (128/16) suppresses it (j^8 ≈ 0.07%) for the same true-pair recall.
+      // Numbers + analysis in SCALING.md §"Measured scaling probe".
+      "dedup_minhash_r4" -> { f =>
+        Dedup.minhashNearDupPairs(spark.read.parquet(docsPath(f)), "doc_id",
+          "text", shingleSize = 3, numHashes = 64, bands = 16,
+          threshold = 0.8, maxBucketSize = 200).count()
+      },
+      "dedup_minhash_r8" -> { f =>
+        Dedup.minhashNearDupPairs(spark.read.parquet(docsPath(f)), "doc_id",
+          "text", shingleSize = 3, numHashes = 128, bands = 16,
+          threshold = 0.8, maxBucketSize = 200).count()
+      },
+      "chunk_sliding" -> { f =>
+        TextAnalysis.slidingChunks(spark.read.parquet(docsPath(f)), "doc_id",
+          "text", 200, 150).count()
+      },
+      "gopher_quality" -> { f =>
+        TextAnalysis.gopherQuality(spark.read.parquet(docsPath(f)), "doc_id",
+          "text").filter(col("passes")).count()
+      },
+      "cms_heavy_ngrams" -> { f =>
+        TextAnalysis.cmsNgramEstimates(spark.read.parquet(docsPath(f)), "text")
+          .count()
+      },
+      "sparse_topk" -> { f =>
+        val e = spark.read.parquet(embPath(f))
+        val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+          .head().getSeq[Float](0).toArray
+        Similarity.sparseDotTopK(e.filter(col("vec_id") =!= 0), "vec_id",
+          "embedding", q, 0.15, 10).count()
+      },
+      "knn_exact_cosine" -> { f =>
+        val e = spark.read.parquet(embPath(f))
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qvec"))
+        graft.functions.VectorFunctions.register(spark)
+        e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            graft.functions.VectorFunctions
+              .vec_cosine_dist(col("embedding"), col("qvec")).as("d"))
+          .orderBy(col("d"), col("vec_id")).limit(10).count()
+      })
+
+    factors.foreach { f => ensureDocs(f); ensureEmb(f) }
+    // warm-up at ×1 (JIT, file listing)
+    ops.foreach { case (_, body) => try body(1) catch { case _: Throwable => () } }
+
+    val results = ops.map { case (name, body) =>
+      val perF = factors.map { f =>
+        val (sec, rows) = time(body(f))
+        // progress line per measurement so a failed run still shows where
+        Console.err.println(f"[scaleprobe] $name x$f: $sec%.2fs rows=$rows")
+        f -> (sec, rows)
+      }
+      (name, perF)
+    }
+    val parts = results.map { case (name, perF) =>
+      val m = perF.map { case (f, (sec, rows)) =>
+        f"""\"x$f\":{\"sec\":$sec%.3f,\"rows\":$rows}"""
+      }.mkString(",")
+      // scaling exponent on the amortized leg: log10(t100/t10)
+      val t10 = perF.find(_._1 == 10).map(_._2._1).getOrElse(Double.NaN)
+      val t100 = perF.find(_._1 == 100).map(_._2._1).getOrElse(Double.NaN)
+      val expo = math.log10(t100 / t10)
+      f"""\"$name\":{$m,\"exp10_100\":$expo%.3f}"""
+    }
+    println(s"""{"metric":"scaleprobe","sf":"$sfDir","ops":{${parts.mkString(",")}}}""")
+    spark.stop()
+  }
+}
