@@ -134,6 +134,39 @@ object ScaleProbe {
           .orderBy(col("d"), col("vec_id")).limit(10).count()
       })
 
+    // --ann: the DiskANN headline path — index build + distributed batch
+    // search at growing corpus size, CONSTANT shard size (100k rows/shard,
+    // the designed scale-out: shards multiply, per-shard build cost stays
+    // fixed, builds run in parallel across the executor pool)
+    if (args.contains("--ann")) {
+      import graft.index.{DiskannIndex, DiskannParams}
+      val annFactors = Seq(10, 100)
+      annFactors.foreach(ensureEmb)
+      val parts = annFactors.map { f =>
+        val idx = s"$root/idx_x$f"
+        val e = spark.read.parquet(embPath(f))
+        val queries = e.filter(col("vec_id") < 64)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val (buildSec, _) = time {
+          if (!new java.io.File(s"$idx/_meta/_SUCCESS").exists())
+            DiskannIndex.build(e, "vec_id", "embedding", None, idx,
+              DiskannParams(metric = "cosine", partitioner = "ivf",
+                shardTargetRows = 40_000L))
+          spark.read.parquet(embPath(f)).count()
+        }
+        val (searchSec, nRes) = time {
+          DiskannIndex.searchDistributed(spark, idx, queries, k = 10,
+            searchListSize = 100, rescore = 50, nProbe = 4).count()
+        }
+        Console.err.println(
+          f"[scaleprobe] ann x$f: build=$buildSec%.1fs search64q=$searchSec%.2fs res=$nRes")
+        f"""\"x$f\":{\"build_sec\":$buildSec%.1f,\"search64q_sec\":$searchSec%.2f}"""
+      }
+      println(s"""{"metric":"scaleprobe_ann","ops":{${parts.mkString(",")}}}""")
+      spark.stop()
+      return
+    }
+
     factors.foreach { f => ensureDocs(f); ensureEmb(f) }
     // warm-up at ×1 (JIT, file listing)
     ops.foreach { case (_, body) => try body(1) catch { case _: Throwable => () } }
