@@ -86,7 +86,12 @@ object Bench {
     println(fullLine)
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (fullLine + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    catch { case e: Throwable =>
+      // cwd-relative by the driver contract (sbt runs from the repo root);
+      // if that ever changes, say so instead of silently dropping the file
+      Console.err.println(s"[bench] could not write BENCH_DETAIL.json in " +
+        s"${System.getProperty("user.dir")}: $e")
+    }
     // Compact line printed LAST so it sits inside the archived tail: totals +
     // calibration + a fixed headline subset. Bounded by construction — the
     // subset is a fixed list, so this line's length does not grow with the

@@ -255,7 +255,12 @@ case class HammingDistance(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-    var acc = 0L; var i = 0; val n = a.numElements()
+    val n = a.numElements()
+    // unsafe array getters do NOT bounds-check — a silent OOB read, not an
+    // error, without this (pgvector errors on dimension mismatch likewise)
+    require(n == b.numElements(),
+      s"$prettyName: code length mismatch $n vs ${b.numElements()}")
+    var acc = 0L; var i = 0
     while (i < n) { acc += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i)); i += 1 }
     acc
   }
@@ -265,6 +270,9 @@ case class HammingDistance(left: Expression, right: Expression)
       s"""
          |long $res = 0L;
          |final int ${res}_n = $a.numElements();
+         |if (${res}_n != $b.numElements()) {
+         |  throw new IllegalArgumentException("$prettyName: code length mismatch");
+         |}
          |for (int i = 0; i < ${res}_n; i++) {
          |  $res += java.lang.Long.bitCount($a.getLong(i) ^ $b.getLong(i));
          |}
@@ -332,7 +340,12 @@ case class JaccardDistance(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-    var inter = 0L; var union = 0L; var i = 0; val n = a.numElements()
+    val n = a.numElements()
+    // unsafe array getters do NOT bounds-check — a silent OOB read, not an
+    // error, without this (pgvector errors on dimension mismatch likewise)
+    require(n == b.numElements(),
+      s"$prettyName: code length mismatch $n vs ${b.numElements()}")
+    var inter = 0L; var union = 0L; var i = 0
     while (i < n) {
       val x = a.getLong(i); val y = b.getLong(i)
       inter += java.lang.Long.bitCount(x & y)
@@ -347,6 +360,9 @@ case class JaccardDistance(left: Expression, right: Expression)
       s"""
          |long ${res}_inter = 0L; long ${res}_union = 0L;
          |final int ${res}_n = $a.numElements();
+         |if (${res}_n != $b.numElements()) {
+         |  throw new IllegalArgumentException("$prettyName: code length mismatch");
+         |}
          |for (int i = 0; i < ${res}_n; i++) {
          |  long x = $a.getLong(i); long y = $b.getLong(i);
          |  ${res}_inter += java.lang.Long.bitCount(x & y);

@@ -80,8 +80,9 @@ object Dedup {
       .transform(graft.CacheScope.persist)
 
   /** LSH band table: one (id, band, bucket) row per band, bucket = hash of
-    * that band's signature slice. */
-  private def bandTable(base: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    * that band's signature slice. private[graft]: MinhashPhases times these
+    * stages individually, against THIS code, not a copy. */
+  private[graft] def bandTable(base: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val r = numHashes / bands
     base.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -126,13 +127,9 @@ object Dedup {
   /** LSH candidate (id_a < id_b) pairs from a signature table: banding,
     * optional bucket-width skew cap, banded self-join, distinct — the ONE
     * candidate generator every LSH-verified pair operator shares. */
-  private def lshCandidatePairs(base: DataFrame, numHashes: Int, bands: Int,
+  private[graft] def lshCandidatePairs(base: DataFrame, numHashes: Int, bands: Int,
       maxBucketSize: Long): DataFrame = {
-    val banded0 = bandTable(base, numHashes, bands)
-    val banded = if (maxBucketSize <= 0) banded0
-    else banded0.withColumn("__n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
-      .filter(col("__n") <= maxBucketSize).drop("__n")
+    val banded = cappedBands(bandTable(base, numHashes, bands), maxBucketSize)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -140,6 +137,13 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
   }
+
+  /** The bucket-width skew cap of [[lshCandidatePairs]], as its own stage. */
+  private[graft] def cappedBands(banded: DataFrame, maxBucketSize: Long): DataFrame =
+    if (maxBucketSize <= 0) banded
+    else banded.withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("__n") <= maxBucketSize).drop("__n")
 
   /** Exact n-gram Jaccard similarity between two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column =

@@ -26,7 +26,9 @@ object RelationalQueries {
     val raw = t(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        // integral div: 2026-epoch nanos need 61 bits, beyond double's
+        // 53-bit mantissa — float division can land one µs low
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
     }
   }
@@ -119,7 +121,10 @@ object RelationalQueries {
     // event pipeline runs; one shuffle for the group-by
     "events_json_stats" -> ((s, d) => {
       val k = get_json_object(col("props"), "$.k").cast("int")
-      t(s, d, "events")
+      // events() (not a bare read): parquet schema conversion fails on the
+      // TIMESTAMP(NANOS) generation without the legacy conf, even though
+      // this query never selects ts
+      events(s, d)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), round(avg(k), 6).as("avg_k"),
           min(k).as("min_k"), max(k).as("max_k"))

@@ -47,9 +47,22 @@ object VectorQueries {
 
   private def oracleQvec = s"(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = $QID)"
 
-  /** Deterministic per-sf posting-index location (built once, reused). */
-  private def postingsPath(dir: String): String =
-    s"/tmp/graft_index/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/postings15"
+  /** Deterministic per-sf posting-index location, FINGERPRINTED on the
+    * source table's file listing (name#len#mtime): a regenerated
+    * embeddings.parquet lands on a fresh path instead of silently serving
+    * the stale index (the failure mode the events table hit this round). */
+  private def postingsPath(spark: SparkSession, dir: String): String = {
+    val src = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = src.getFileSystem(spark.sessionState.newHadoopConf())
+    val listing =
+      try fs.listStatus(src)
+        .map(s => s"${s.getPath.getName}#${s.getLen}#${s.getModificationTime}")
+        .sorted.mkString("|")
+      catch { case _: java.io.FileNotFoundException => "missing" }
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(listing.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"/tmp/graft_index/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/postings15_$fp"
+  }
   private val postingsLock = new Object
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -67,10 +80,15 @@ object VectorQueries {
     // top-k is the native partial-per-partition TakeOrderedAndProject.
     "binary_jaccard_topk" -> ((s, d) => {
       VectorFunctions.register(s)
-      withQuery(s, d)
+      // quantize the query ONCE in the 1-row broadcast side — not per
+      // corpus row on the other side of the cross join
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") === QID)
+        .select(binary_quantize(col("embedding")).as("qcode"))
+      e.filter(col("vec_id") =!= QID).crossJoin(broadcast(q))
         .select(col("vec_id"),
           round(jaccard_dist(binary_quantize(col("embedding")),
-            binary_quantize(col("qvec"))), 6).as("dist"))
+            col("qcode")), 6).as("dist"))
         .orderBy(col("dist"), col("vec_id"))
         .limit(20)
     }),
@@ -98,7 +116,7 @@ object VectorQueries {
       val e = emb(s, d)
       val qvec = e.filter(col("vec_id") === QID)
         .select(col("embedding")).head().getSeq[Float](0).toArray
-      val path = postingsPath(d)
+      val path = postingsPath(s, d)
       postingsLock.synchronized {
         if (!new java.io.File(s"$path/_SUCCESS").exists()) {
           graft.operators.Similarity.buildPostingIndex(
@@ -118,10 +136,13 @@ object VectorQueries {
     "ann_recall_audit" -> ((s, d) => {
       VectorFunctions.register(s)
       val exact = topK(s, d, "dist", vec_cosine_dist).select(col("vec_id"))
-      val approx = withQuery(s, d)
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") === QID)
+        .select(binary_quantize(col("embedding")).as("qcode"))
+      val approx = e.filter(col("vec_id") =!= QID).crossJoin(broadcast(q))
         .select(col("vec_id"),
           round(jaccard_dist(binary_quantize(col("embedding")),
-            binary_quantize(col("qvec"))), 6).as("dist"))
+            col("qcode")), 6).as("dist"))
         .orderBy(col("dist"), col("vec_id"))
         .limit(10)
         .select(col("vec_id"))

@@ -33,14 +33,11 @@ object MinhashPhases {
       .withColumn("sig", Dedup.minhashSignature(col("sh"), numHashes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     t("signatures")(base.count())
-    val r = numHashes / nBands
-    val banded0 = base.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(nBands - 1)),
-        j => xxhash64(j, slice(col("sig"), j * r + 1, lit(r))))))
-      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
-    val banded = banded0.withColumn("__n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
-      .filter(col("__n") <= 200).drop("__n")
+    // the production operator's own stages (private[graft]) — timed against
+    // THIS code, not a copy that could drift
+    val maxBucketSize = 200L
+    val banded = Dedup.cappedBands(
+      Dedup.bandTable(base, numHashes, nBands), maxBucketSize)
     t("band+cap")(banded.count())
     // bucket-width histogram AFTER the cap: where do the candidate pairs
     // actually come from?
@@ -49,12 +46,7 @@ object MinhashPhases {
         sum(col("w") * (col("w") - 1) / 2).as("pairs"))
       .orderBy(col("pairs").desc).limit(12).collect()
       .foreach(r => println(s"[phase] width=${r.get(0)} buckets=${r.get(1)} pairs=${r.get(2)}"))
-    val candidates = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    val candidates = Dedup.lshCandidatePairs(base, numHashes, nBands, maxBucketSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     t("candidates")(candidates.count())
     val sets = base.select(col("id"), col("sh"))

@@ -135,9 +135,10 @@ object ScaleProbe {
       })
 
     // --ann: the DiskANN headline path — index build + distributed batch
-    // search at growing corpus size, CONSTANT shard size (100k rows/shard,
-    // the designed scale-out: shards multiply, per-shard build cost stays
-    // fixed, builds run in parallel across the executor pool)
+    // search at growing corpus size, CONSTANT shard size (40k rows/shard:
+    // ×10 = 2 shards, ×100 = 20 — the designed scale-out: shards multiply,
+    // per-shard build cost stays fixed, builds run in parallel across the
+    // executor pool)
     if (args.contains("--ann")) {
       import graft.index.{DiskannIndex, DiskannParams}
       val annFactors = Seq(10, 100)
@@ -147,13 +148,18 @@ object ScaleProbe {
         val e = spark.read.parquet(embPath(f))
         val queries = e.filter(col("vec_id") < 64)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        // time the build ALONE (a warm rerun with the index on disk would
+        // otherwise report the cost of whatever else sat in the block)
+        val fresh = !new java.io.File(s"$idx/_meta/_SUCCESS").exists()
         val (buildSec, _) = time {
-          if (!new java.io.File(s"$idx/_meta/_SUCCESS").exists())
+          if (fresh)
             DiskannIndex.build(e, "vec_id", "embedding", None, idx,
               DiskannParams(metric = "cosine", partitioner = "ivf",
                 shardTargetRows = 40_000L))
-          spark.read.parquet(embPath(f)).count()
+          0L
         }
+        if (!fresh) Console.err.println(
+          s"[scaleprobe] ann x$f: index already on disk — build_sec is NOT a build measurement")
         val (searchSec, nRes) = time {
           DiskannIndex.searchDistributed(spark, idx, queries, k = 10,
             searchListSize = 100, rescore = 50, nProbe = 4).count()

@@ -114,6 +114,21 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(s == 0.0)
   }
 
+  test("packed-code ops reject length mismatches (no silent OOB read)") {
+    val ex = intercept[Exception] {
+      Seq((Array(1L, 2L), Array(1L)))
+        .toDF("a", "b").select(jaccard_dist($"a", $"b")).collect()
+    }
+    assert(ex.getMessage.contains("length mismatch") ||
+      Option(ex.getCause).exists(_.getMessage.contains("length mismatch")))
+    val eh = intercept[Exception] {
+      Seq((Array(1L, 2L), Array(1L)))
+        .toDF("a", "b").select(hamming_dist($"a", $"b")).collect()
+    }
+    assert(eh.getMessage.contains("length mismatch") ||
+      Option(eh.getCause).exists(_.getMessage.contains("length mismatch")))
+  }
+
   test("kernels agree with expressions") {
     assert(VectorKernels.dot(a, b) == 32.0)
     assert(VectorKernels.l2sq(a, b) == 27.0)
