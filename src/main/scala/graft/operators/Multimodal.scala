@@ -107,6 +107,38 @@ object ImageIODecoder extends MediaDecoder {
   }
 }
 
+/** REAL audio container parsing on the JDK's own `javax.sound.sampled`
+  * (WAV/AIFF/AU ship with the JVM — no external dependency): `decodeMeta`
+  * for audio reads the actual header — format name, channel count (reported
+  * in the `width` slot), bits per sample (`height` slot), and duration from
+  * frameLength/frameRate. Image rows delegate to [[ImageIODecoder]]; video
+  * (no JDK codec) and unrecognized payloads fall back to [[StubDecoder]],
+  * so a mixed corpus still flows through one decoder. */
+object JavaSoundDecoder extends MediaDecoder {
+  override def decodeMeta(modality: String, payload: Array[Byte]): (String, Int, Int, Long) =
+    if (modality != "audio") ImageIODecoder.decodeMeta(modality, payload)
+    else {
+      try {
+        val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(payload))
+        val f = aff.getFormat
+        val durationMs =
+          if (aff.getFrameLength > 0 && f.getFrameRate > 0)
+            (aff.getFrameLength * 1000L / f.getFrameRate.toLong)
+          else 0L
+        (aff.getType.toString.toLowerCase, f.getChannels, f.getSampleSizeInBits,
+          durationMs)
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException |
+             _: java.io.IOException =>
+          StubDecoder.decodeMeta(modality, payload)
+      }
+    }
+
+  override def resize(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] =
+    ImageIODecoder.resize(payload, targetW, targetH)
+}
+
 object Multimodal {
 
   val mediaSchema: StructType = StructType(Seq(

@@ -263,6 +263,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(stubOut.sameElements(StubDecoder.resize(png, 8, 4)))
   }
 
+  test("JavaSoundDecoder: real WAV header parsed; image/junk delegate correctly") {
+    // craft a real 16-bit mono 8kHz WAV (exactly 0.5s) with the JDK encoder
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val nFrames = 4000
+    val pcm = new Array[Byte](nFrames * 2)
+    (0 until nFrames).foreach { i =>
+      val v = (math.sin(i * 0.05) * 1000).toInt
+      pcm(2 * i) = (v & 0xff).toByte; pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    // real header: type=wave, channels in width slot, bits in height slot,
+    // 4000 frames at 8kHz = exactly 500 ms
+    assert(JavaSoundDecoder.decodeMeta("audio", wav) == (("wave", 1, 16, 500L)))
+    // unrecognized audio payloads take the stub fallback
+    assert(JavaSoundDecoder.decodeMeta("audio", "junk".getBytes) ==
+      StubDecoder.decodeMeta("audio", "junk".getBytes))
+    // image rows delegate to the ImageIO path
+    val img = new java.awt.image.BufferedImage(6, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val ibos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", ibos)
+    assert(JavaSoundDecoder.decodeMeta("image", ibos.toByteArray) ==
+      (("png", 6, 4, 0L)))
+  }
+
   test("frame sampling yields ceil-ish frame counts and binary frames") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(30)
     val frames = Multimodal.sampleFrames(Multimodal.mediaFromDocuments(docs))
