@@ -217,6 +217,82 @@ object Curation {
   }
 
   /**
+   * DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+   * Models via Importance Resampling"): score every document by how much
+   * more likely its tokens are under a TARGET slice's hashed bag-of-words
+   * LM than under the raw corpus LM —
+   * `w(doc) = Σ_tok [ log p̂_target(b(tok)) − log p̂_raw(b(tok)) ]` with
+   * add-one smoothing over `buckets` hash buckets. High-weight docs "look
+   * like" the target distribution; resampling by these weights is the
+   * paper's data-selection step (compose with [[stratifiedSample]] /
+   * [[temperatureSample]] downstream).
+   *
+   * The hashing is the paper's own scaling lever and the reason this is
+   * 100 TB-safe: the LM-count table is exactly `buckets` rows no matter the
+   * corpus (one partial-aggregated shuffle to build, broadcast back), and
+   * the per-doc score is explode → broadcast-join → one groupBy(doc) — the
+   * vocabulary never exists as a join key. Bucket = low-32-bit md5 of the
+   * token mod `buckets`, and each per-bucket log-ratio is fixed-pointed to
+   * 1e-9 before the per-doc sum (the [[TextAnalysis.lmScore]] discipline),
+   * so the weights are order-independent and exactly replayable by any
+   * engine with md5() and ln().
+   */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2, "dsirWeights needs at least 2 hash buckets")
+    val tok = df
+      .select(col(idCol), isTarget.cast(BooleanType).as("__t"),
+        explode(TextAnalysis.tokens(col(textCol))).as("__w"))
+      .select(col(idCol), col("__t"),
+        (conv(substring(md5(col("__w")), 1, 8), 16, 10).cast(LongType)
+          % buckets).as("__b"))
+      .transform(graft.CacheScope.persist)
+    // the whole LM fits in `buckets` rows: totals ride along as one
+    // grand-total row produced by the same aggregation (grouping sets), so
+    // building both LMs plus their normalizers is ONE pass over the tokens
+    val counts = tok.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__cr"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"))
+      .transform(graft.CacheScope.persist)
+    val totals = counts.agg(sum(col("__cr")).as("__tr"), sum(col("__ct")).as("__tt"))
+    val term =
+      log((col("__ct").cast(DoubleType) + 1.0) /
+          (col("__tt").cast(DoubleType) + buckets)) -
+      log((col("__cr").cast(DoubleType) + 1.0) /
+          (col("__tr").cast(DoubleType) + buckets))
+    val ratios = counts.crossJoin(broadcast(totals))
+      .select(col("__b"), floor(term * 1e9 + 0.5).cast(LongType).as("__lr"))
+    // ratios is `buckets` rows by construction — unconditionally broadcast
+    tok.join(broadcast(ratios), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("__lr")).cast(DoubleType) / 1e9, 6).as("dsir_weight"))
+  }
+
+  /**
+   * DSIR selection step: Gumbel top-k over the [[dsirWeights]] importance
+   * weights — sampling WITHOUT replacement from the softmax of
+   * `weight / temperature` is exactly "add independent Gumbel noise and
+   * take the top k" (the Gumbel-max trick, as used by the DSIR paper for
+   * its resampling stage). Noise is md5-derived ([[md5Uniform]]) so the
+   * selection is engine-replayable like every other sampler here; the
+   * top-k is a partial per-partition TakeOrderedAndProject, never a global
+   * sort of the corpus.
+   */
+  def dsirResample(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 4096, temperature: Double = 1.0,
+      k: Int = 100, seed: String = "dsir"): DataFrame = {
+    require(temperature > 0, "temperature must be > 0")
+    val u = md5Uniform(seed, col(idCol))
+    val gumbel = -log(-log(u))
+    dsirWeights(df, idCol, textCol, isTarget, buckets)
+      .select(col(idCol),
+        round(col("dsir_weight") / temperature + gumbel, 6).as("sel_score"))
+      .orderBy(col("sel_score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /**
    * Token-budget mixture sampling: downsample each stratum (source/domain/
    * language) so its EXPECTED token count meets a per-stratum budget — the
    * data-mixing step that turns a raw crawl into a training mixture with

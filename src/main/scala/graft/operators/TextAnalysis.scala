@@ -477,6 +477,8 @@ object TextAnalysis {
       es.lift(1).map(_.eval(null).asInstanceOf[Int]).getOrElse(64))),
     "shingle_set" -> (es => ShingleSet(es.head,
       es.lift(1).map(_.eval(null).asInstanceOf[Int]).getOrElse(3))),
+    "ngram_rep_stats" -> (es => NgramRepStats(es.head,
+      es.lift(1).map(_.eval(null).asInstanceOf[Int]).getOrElse(2))),
   )
 
   def register(spark: SparkSession): Unit =
@@ -525,6 +527,123 @@ object TextAnalysis {
       .withColumn("chunk_len", length(col("chunk_text")))
       .withColumn("chunk_md5", md5(col("chunk_text")))
   }
+
+  /**
+   * Gopher repetition filters (Rae et al. 2021 §A1.1) over word n-grams:
+   * per document, the fraction of characters covered by the single most
+   * frequent `topN`-gram (occurrences × gram chars / total chars) and the
+   * fraction covered by duplicated `dupN`-grams (each duplicated gram's
+   * chars counted once per occurrence — can exceed 1 on degenerate text,
+   * which is exactly the signal a threshold gate wants). The document text
+   * here has no line structure (the corpus is single-line), so the
+   * line/paragraph variants of the Gopher suite reduce to these n-gram
+   * forms.
+   *
+   * Both stats come from one map-side [[NgramRepStats]] call per n — no
+   * explode, no shuffle; the plan is scan → project, the same cost class as
+   * the other per-doc quality signals at 100 TB.
+   */
+  def gopherRepetition(df: DataFrame, idCol: String, textCol: String,
+      topN: Int = 2, dupN: Int = 5): DataFrame = {
+    val frac = (num: Column, tot: Column) =>
+      when(tot > 0, round(num.cast(DoubleType) / tot.cast(DoubleType), 6))
+        .otherwise(lit(0.0))
+    register(df.sparkSession)
+    df.select(col(idCol), tokens(col(textCol)).as("__w"))
+      .select(col(idCol),
+        call_function("ngram_rep_stats", col("__w"), lit(topN)).as("__t"),
+        call_function("ngram_rep_stats", col("__w"), lit(dupN)).as("__d"))
+      .select(col(idCol),
+        frac(col("__t.top_cnt") * col("__t.top_chars"), col("__t.total_chars"))
+          .as(s"top${topN}gram_char_frac"),
+        frac(col("__d.dup_chars"), col("__d.total_chars"))
+          .as(s"dup${dupN}gram_char_frac"))
+  }
+}
+
+/**
+ * Per-document word n-gram repetition statistics — the Gopher repetition
+ * signals (Rae et al. 2021, "Scaling Language Models" §A1.1) re-expressed
+ * over the whitespace token stream: the occurrence count and character
+ * length of the most frequent n-gram (ties broken to the lexicographically
+ * smallest gram so every engine elects the same one), the characters covered
+ * by n-grams occurring at least twice (counted once per occurrence — a
+ * deliberate, documented simplification of Gopher's overlap-deduplicated
+ * span accounting), and the total character length of the space-joined
+ * tokens.
+ *
+ * Runs map-side per row: the per-document n-gram count map lives only for
+ * the row being evaluated, so — unlike explode + groupBy(doc, gram) — no
+ * shuffle, no per-gram rows on the wire, and document-length skew stays
+ * inside one task. At 100 TB this composes with the parquet scan exactly
+ * like the other per-doc quality signals.
+ *
+ * Output struct: (top_cnt, top_chars, dup_chars, total_chars), all LONG.
+ * Fewer than n tokens ⇒ zero grams ⇒ (0, 0, 0, total_chars).
+ */
+case class NgramRepStats(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "ngram_rep_stats needs n >= 1")
+  override def prettyName: String = "ngram_rep_stats"
+  override def dataType: DataType = StructType(Seq(
+    StructField("top_cnt", LongType, nullable = false),
+    StructField("top_chars", LongType, nullable = false),
+    StructField("dup_chars", LongType, nullable = false),
+    StructField("total_chars", LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<STRING>, got ${other.simpleString}")
+  }
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val t = arr.numElements()
+    // total chars of the space-joined token stream (the normalization both
+    // engines share); numChars so multi-byte text agrees with SQL length()
+    var total = 0L
+    var i = 0
+    while (i < t) {
+      if (!arr.isNullAt(i)) total += arr.getUTF8String(i).numChars()
+      i += 1
+    }
+    if (t > 1) total += t - 1
+    var topCnt = 0L
+    var topGram: UTF8String = null
+    var dupChars = 0L
+    if (t >= n) {
+      val counts = new java.util.HashMap[UTF8String, Long]()
+      i = 0
+      while (i <= t - n) {
+        val parts = new scala.collection.mutable.ArrayBuffer[UTF8String](n)
+        var j = i
+        while (j < i + n) {
+          if (!arr.isNullAt(j)) parts += arr.getUTF8String(j)
+          j += 1
+        }
+        val g = UTF8String.concatWs(space, parts.toSeq: _*)
+        counts.merge(g, 1L, (a, b) => a + b)
+        i += 1
+      }
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val cnt = e.getValue
+        if (cnt > topCnt || (cnt == topCnt && (topGram == null ||
+            e.getKey.compareTo(topGram) < 0))) {
+          topCnt = cnt; topGram = e.getKey
+        }
+        if (cnt >= 2) dupChars += cnt * e.getKey.numChars()
+      }
+    }
+    val topChars = if (topGram == null) 0L else topGram.numChars().toLong
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](topCnt, topChars, dupChars, total))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /**

@@ -283,6 +283,28 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher repetition suite (top-2-gram char fraction + duplicated-5-gram
+    // char fraction) — map-side per-doc via the ngram_rep_stats expression:
+    // no explode, no shuffle; see TextAnalysis.gopherRepetition
+    "gopher_repetition" -> ((s, d) =>
+      TextAnalysis.gopherRepetition(docs(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // DSIR importance weights: target = English slice vs the raw corpus,
+    // hashed (4096-bucket) unigram LMs — the bucket-count table is constant
+    // size regardless of corpus, the paper's own scaling lever
+    "dsir_weights" -> ((s, d) =>
+      Curation.dsirWeights(docs(s, d), "doc_id", "text",
+          col("lang") === "en", buckets = 4096)
+        .orderBy(col("doc_id"))),
+
+    // DSIR selection: Gumbel top-100 over the importance weights (md5-derived
+    // noise, engine-replayable) — the resampling stage that turns weights
+    // into a selected subset
+    "dsir_resample" -> ((s, d) =>
+      Curation.dsirResample(docs(s, d), "doc_id", "text",
+        col("lang") === "en", buckets = 4096, temperature = 1.0, k = 100)),
+
     // winnowing fingerprint over md5 gram hashes: every step (normalize,
     // char 8-grams, md5-low-60, window minima, xor combine) is plain SQL,
     // so the fingerprints hash-match an independent DuckDB recomputation
@@ -754,6 +776,38 @@ object PipelineQueries {
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(20)
         .select(col("doc_id"), round(col("bm25"), 6).as("bm25"))),
+
+    // Hybrid retrieval with reciprocal-rank fusion: fuse the BM25 top-50 and
+    // the vector top-50 (same fixed query as knn_exact_cosine) by
+    // RRF(d) = Σ 1/(60+rank_i), the standard hybrid-search combiner. Both
+    // candidate sets arrive via TakeOrderedAndProject (partial per-partition
+    // top-k), so the row_number windows — global-sort by nature — only ever
+    // see 50 rows; at 100 TB the scan-side cost is the two retrievals, not
+    // the fusion. Ranks are over ROUNDED scores (ties to id), the same
+    // engine-determinism discipline as the knn_exact_* queries.
+    "hybrid_rrf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      VectorFunctions.register(s)
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      val vtop = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id").as("id"),
+          round(call_function("vec_cosine_dist", col("embedding"), col("qvec")), 6)
+            .as("vdist"))
+        .orderBy(col("vdist"), col("id")).limit(50)
+        .withColumn("rv", row_number().over(Window.orderBy(col("vdist"), col("id"))))
+      val btop = TextAnalysis.bm25(docs(s, d), "doc_id", "text",
+          Seq("vector", "query", "dup"))
+        .select(col("doc_id").as("id"), round(col("bm25"), 6).as("bscore"))
+        .filter(col("bscore") > 0)
+        .orderBy(col("bscore").desc, col("id")).limit(50)
+        .withColumn("rb", row_number().over(Window.orderBy(col("bscore").desc, col("id"))))
+      vtop.join(btop, Seq("id"), "full_outer")
+        .select(col("id"),
+          round(coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0)) +
+                coalesce(lit(1.0) / (lit(60) + col("rb")), lit(0.0)), 6).as("rrf"))
+        .orderBy(col("rrf").desc, col("id")).limit(20)
+    }),
 
     // ---- clustering ----
     // one deterministic Lloyd step over md5-picked centroids; fixed-point
@@ -1326,6 +1380,64 @@ object PipelineQueries {
          |  ELSE 0.0 END, 6) AS rep_ratio
          |FROM t ORDER BY doc_id""".stripMargin,
 
+    "gopher_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+         |L AS (SELECT doc_id, length(array_to_string(w, ' ')) AS tot FROM t),
+         |g2 AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+         |    THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+         |    ELSE [] END) AS g FROM t),
+         |c2 AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY doc_id, g),
+         |top2 AS (SELECT doc_id, cnt, length(g) AS glen FROM c2
+         |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g) = 1),
+         |g5 AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 5
+         |    THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+         |          for i in range(1, len(w) - 3)]
+         |    ELSE [] END) AS g FROM t),
+         |c5 AS (SELECT doc_id, g, count(*) AS cnt FROM g5 GROUP BY doc_id, g),
+         |d5 AS (SELECT doc_id, sum(cnt * length(g)) AS dchars FROM c5
+         |  WHERE cnt >= 2 GROUP BY doc_id)
+         |SELECT L.doc_id,
+         |  round(CASE WHEN tot > 0 THEN coalesce(top2.cnt * top2.glen, 0) / CAST(tot AS DOUBLE) ELSE 0.0 END, 6) AS top2gram_char_frac,
+         |  round(CASE WHEN tot > 0 THEN coalesce(d5.dchars, 0) / CAST(tot AS DOUBLE) ELSE 0.0 END, 6) AS dup5gram_char_frac
+         |FROM L LEFT JOIN top2 ON L.doc_id = top2.doc_id
+         |  LEFT JOIN d5 ON L.doc_id = d5.doc_id
+         |ORDER BY L.doc_id""".stripMargin,
+
+    "dsir_weights" ->
+      s"""WITH t AS (SELECT doc_id, lang = 'en' AS is_t, $sqlTokens AS w FROM documents),
+         |tok AS (SELECT doc_id, is_t,
+         |    CAST(('0x' || substr(md5(x), 1, 8))::UBIGINT % 4096 AS BIGINT) AS b
+         |  FROM t, unnest(w) AS u(x)),
+         |c AS (SELECT b, count(*) AS cr,
+         |    sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct FROM tok GROUP BY b),
+         |tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM c),
+         |lr AS (SELECT b, CAST(floor((ln((ct + 1.0) / (tt + 4096))
+         |                           - ln((cr + 1.0) / (tr + 4096))) * 1e9 + 0.5) AS BIGINT) AS lr
+         |  FROM c CROSS JOIN tot)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  round(sum(lr) / 1e9, 6) AS dsir_weight
+         |FROM tok JOIN lr USING (b) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dsir_resample" ->
+      s"""WITH t AS (SELECT doc_id, lang = 'en' AS is_t, $sqlTokens AS w FROM documents),
+         |tok AS (SELECT doc_id, is_t,
+         |    CAST(('0x' || substr(md5(x), 1, 8))::UBIGINT % 4096 AS BIGINT) AS b
+         |  FROM t, unnest(w) AS u(x)),
+         |c AS (SELECT b, count(*) AS cr,
+         |    sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct FROM tok GROUP BY b),
+         |tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM c),
+         |lr AS (SELECT b, CAST(floor((ln((ct + 1.0) / (tt + 4096))
+         |                           - ln((cr + 1.0) / (tr + 4096))) * 1e9 + 0.5) AS BIGINT) AS lr
+         |  FROM c CROSS JOIN tot),
+         |dw AS (SELECT doc_id, round(sum(lr) / 1e9, 6) AS dw
+         |  FROM tok JOIN lr USING (b) GROUP BY doc_id),
+         |g AS (SELECT doc_id, dw,
+         |    ('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 18, 15))::UBIGINT
+         |      / 1152921504606846976.0 AS u
+         |  FROM dw)
+         |SELECT doc_id, round(dw / 1.0 + (-ln(-ln(u))), 6) AS sel_score
+         |FROM g ORDER BY sel_score DESC, doc_id LIMIT 100""".stripMargin,
+
     // independent recomputation of the md5-gram winnowing fingerprint:
     // normalize, char 8-grams, md5-low-60 per gram, min per 16-gram window
     // (stepping 16), xor of the minima
@@ -1792,6 +1904,42 @@ object PipelineQueries {
          |  FROM f CROSS JOIN st)
          |SELECT doc_id, round(bm25, 6) AS bm25 FROM sc WHERE bm25 > 0
          |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    // hybrid retrieval: the bm25 CTEs verbatim + the exact-cosine top-50,
+    // ranks over ROUNDED scores, RRF sum in the Spark side's operand order
+    "hybrid_rrf" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+         |f AS (SELECT doc_id, len(w) AS dl,
+         |        len(list_filter(w, x -> x = 'vector')) AS tf0,
+         |        len(list_filter(w, x -> x = 'query')) AS tf1,
+         |        len(list_filter(w, x -> x = 'dup')) AS tf2
+         |      FROM t),
+         |st AS (SELECT count(*) AS n, sum(dl) AS sumdl,
+         |         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         |         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         |         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+         |       FROM f),
+         |sc AS (SELECT doc_id,
+         |    ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * CAST(tf0 AS DOUBLE) * (1.2 + 1.0)
+         |      / (CAST(tf0 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n)))
+         |  + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * CAST(tf1 AS DOUBLE) * (1.2 + 1.0)
+         |      / (CAST(tf1 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n)))
+         |  + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * CAST(tf2 AS DOUBLE) * (1.2 + 1.0)
+         |      / (CAST(tf2 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n)))
+         |  AS bm25
+         |  FROM f CROSS JOIN st),
+         |btop AS (SELECT doc_id AS id, round(bm25, 6) AS bscore FROM sc
+         |  WHERE round(bm25, 6) > 0 ORDER BY bscore DESC, id LIMIT 50),
+         |br AS (SELECT id, row_number() OVER (ORDER BY bscore DESC, id) AS rb FROM btop),
+         |vtop AS (SELECT vec_id AS id,
+         |    round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+         |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS vdist
+         |  FROM embeddings WHERE vec_id <> 0 ORDER BY vdist, id LIMIT 50),
+         |vr AS (SELECT id, row_number() OVER (ORDER BY vdist, id) AS rv FROM vtop)
+         |SELECT coalesce(vr.id, br.id) AS id,
+         |  round(coalesce(1.0 / (60 + rv), 0) + coalesce(1.0 / (60 + rb), 0), 6) AS rrf
+         |FROM vr FULL OUTER JOIN br ON vr.id = br.id
+         |ORDER BY rrf DESC, id LIMIT 20""".stripMargin,
 
     // full replay of the deterministic Lloyd step: md5-ranked centroid pick,
     // argmin assignment (tie on centroid index), fixed-point (2^-20) per-dim

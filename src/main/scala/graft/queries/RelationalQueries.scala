@@ -150,6 +150,52 @@ object RelationalQueries {
           col("prior_click_id"), col("prior_ts_ms"))
         .orderBy(col("purchase_id"))
     }),
+
+    // ordered funnel: users who did view -> click -> purchase with strictly
+    // increasing timestamps. Three per-user min-aggregations chained by
+    // joins — each intermediate is one row per qualifying user (bounded by
+    // the user count, not the event count), so every join is
+    // AQE-broadcastable when users are few and degrades to a user_id
+    // shuffle join when they are not. No window over the raw events.
+    "funnel_steps" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id")).filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("step"), col("n_users"))
+        .unionAll(c.agg(count(lit(1)).as("n_users"))
+          .select(lit("2_click").as("step"), col("n_users")))
+        .unionAll(p.agg(count(lit(1)).as("n_users"))
+          .select(lit("3_purchase").as("step"), col("n_users")))
+        .orderBy(col("step"))
+    }),
+
+    // retention cohorts: first-seen day per user, then distinct active
+    // users per (cohort_day, day_offset) for the first week. Two shuffles
+    // (per-user min, then the cohort group-by) — the per-user table joins
+    // back AQE-broadcast-or-shuffle exactly like funnel_steps.
+    "retention_cohorts" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      ev.join(first, Seq("user_id"))
+        .select(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"),
+          col("user_id"))
+        .filter(col("day_offset") <= 7)
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        // midnight TIMESTAMP, not DATE: parquet DATE and DuckDB DATE land as
+        // different dtypes in the driver's pandas compare
+        .select(col("cohort_day").cast("timestamp").as("cohort_day"),
+          col("day_offset"), col("n_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -219,5 +265,27 @@ object RelationalQueries {
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts_ms >= c.ts_ms
         |ORDER BY purchase_id""".stripMargin,
+
+    "funnel_steps" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1)
+        |SELECT '1_view' AS step, count(*) AS n_users FROM v
+        |UNION ALL SELECT '2_click', count(*) FROM c
+        |UNION ALL SELECT '3_purchase', count(*) FROM p
+        |ORDER BY step""".stripMargin,
+
+    "retention_cohorts" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
+        |SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day,
+        |       date_diff('day', cohort_day, day) AS day_offset,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM ev JOIN f USING (user_id)
+        |WHERE date_diff('day', cohort_day, day) <= 7
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

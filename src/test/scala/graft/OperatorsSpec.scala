@@ -739,4 +739,101 @@ class OperatorsSpec extends AnyFunSuite {
     // short doc: one chunk, full text
     assert(ch(3L).length == 1 && ch(3L)(0).getAs[String]("chunk_text") == "xyz")
   }
+
+  test("gopherRepetition: hand-computed fractions, ties, and edge cases") {
+    val fixtures = Seq(
+      // tokens [a b a b a c], joined "a b a b a c" = 11 chars.
+      // 2-grams: "a b"x2, "b a"x2, "a c"x1 -> top tie resolves to the
+      // lexicographically smallest "a b" (cnt 2, 3 chars) -> 6/11.
+      // 5-grams: both unique -> dup fraction 0.
+      (0L, "a b a b a c"),
+      (1L, ""), // no tokens -> all zero
+      (2L, "hello"), // 1 token < n -> fractions 0, total = 5
+      // degenerate repetition: "x x x x x x" -> top 2-gram "x x" cnt 5,
+      // len 3 -> 15/11; dup 5-grams: "x x x x x" cnt 2 len 9 -> 18/11 > 1
+      (3L, "x x x x x x"),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRepetition(fixtures, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+    assert(got(0) == ((math.rint(6.0 / 11 * 1e6) / 1e6, 0.0)))
+    assert(got(1) == ((0.0, 0.0)))
+    assert(got(2) == ((0.0, 0.0)))
+    assert(got(3) == ((math.rint(15.0 / 11 * 1e6) / 1e6,
+      math.rint(18.0 / 11 * 1e6) / 1e6)))
+  }
+
+  test("dsirWeights: target-like docs score positive, off-target negative, " +
+      "and one weight replays exactly") {
+    val corpus = Seq(
+      (0L, "en", "apple apple banana"),
+      (1L, "en", "apple banana"),
+      (2L, "xx", "zebra zebra yak"),
+      (3L, "xx", "zebra yak"),
+    ).toDF("doc_id", "lang", "text")
+    val B = 4096
+    val got = Curation.dsirWeights(corpus, "doc_id", "text",
+        col("lang") === "en", buckets = B)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._2).toSeq == Seq(3L, 2L, 3L, 2L)) // n_tokens
+    assert(got(0)._3 > 0 && got(1)._3 > 0, "target-slice docs must score > 0")
+    assert(got(2)._3 < 0 && got(3)._3 < 0, "off-target docs must score < 0")
+    assert(got(0)._3 > got(1)._3, "more target-typical tokens -> higher weight")
+    // exact replay of doc 0 via the same md5-bucket + fixed-point formula
+    def bucket(w: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % B
+    }
+    val cr = Map(bucket("apple") -> 3L, bucket("banana") -> 2L,
+      bucket("zebra") -> 3L, bucket("yak") -> 2L)
+      .groupMapReduce(_._1)(_._2)(_ + _) // fold md5-bucket collisions, if any
+    val ct = Map(bucket("apple") -> 3L, bucket("banana") -> 2L)
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    val (tr, tt) = (10.0, 5.0)
+    def lr(b: Long): Long = math.floor((
+      math.log((ct.getOrElse(b, 0L) + 1.0) / (tt + B)) -
+      math.log((cr.getOrElse(b, 0L) + 1.0) / (tr + B))) * 1e9 + 0.5).toLong
+    val expected0 = math.rint(
+      (2 * lr(bucket("apple")) + lr(bucket("banana"))) / 1e9 * 1e6) / 1e6
+    assert(got(0)._3 == expected0, s"doc0 weight ${got(0)._3} != $expected0")
+  }
+
+  test("dsirResample: Gumbel top-k is deterministic and favors high weights") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sel = Curation.dsirResample(corpus, "doc_id", "text",
+      col("lang") === "en", k = 20)
+    val a = sel.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val b = sel.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(a.toSeq == b.toSeq, "selection must be deterministic")
+    assert(a.length == 20 && a.map(_._1).distinct.length == 20)
+    assert(a.map(_._2).toSeq == a.map(_._2).sortBy(-_).toSeq, "sorted desc")
+    // at temperature -> 0 the softmax sharpens to argmax: the Gumbel noise
+    // becomes negligible next to weight/T and the selection must equal the
+    // noiseless top-k by weight
+    val w = Curation.dsirWeights(corpus, "doc_id", "text", col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val cold = Curation.dsirResample(corpus, "doc_id", "text",
+      col("lang") === "en", temperature = 1e-6, k = 20)
+      .collect().map(_.getLong(0)).toSet
+    // compare weight MULTISETS, not ids: exact-dup docs share a weight, and
+    // at a boundary tie the Gumbel residue may pick either twin
+    val coldW = cold.toSeq.map(w).sorted
+    val top20W = w.values.toSeq.sortBy(-_).take(20).sorted
+    assert(coldW == top20W, s"cold selection weights $coldW != top-20 $top20W")
+  }
+
+  test("hybrid_rrf: deterministic, bounded, and consistent with its parts") {
+    val d = "/root/testdata/sf0.001"
+    val run = graft.queries.PipelineQueries.queries("hybrid_rrf")
+    val a = run(spark, d).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val b = run(spark, d).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(a.toSeq == b.toSeq, "hybrid_rrf must be deterministic")
+    assert(a.length == 20 && a.map(_._1).distinct.length == 20)
+    // descending by score, and every score inside the RRF envelope
+    assert(a.map(_._2).toSeq == a.map(_._2).sortBy(-_).toSeq)
+    val maxRrf = math.rint((1.0 / 61 + 1.0 / 61) * 1e6) / 1e6
+    assert(a.forall(x => x._2 > 0 && x._2 <= maxRrf))
+  }
 }
