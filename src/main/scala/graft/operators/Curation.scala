@@ -293,6 +293,53 @@ object Curation {
   }
 
   /**
+   * Per-stratum adaptive quality gate (the FineWeb/RefinedWeb move): keep a
+   * document iff its quality score clears its OWN stratum's `pctl`-quantile
+   * — the cutoff adapts to each feed's score distribution instead of one
+   * global constant that over-prunes clean feeds and under-prunes noisy
+   * ones. Thresholds are ONE tiny aggregation (strata are sources/domains —
+   * small by definition) broadcast back; the keep decision is map-side.
+   * Score and threshold are both 6-decimal-rounded before the comparison so
+   * the gate's verdicts replay exactly in any engine with the same quantile
+   * definition (linear interpolation — Spark `percentile` == DuckDB
+   * `quantile_cont`).
+   */
+  def adaptiveQualityGate(df: DataFrame, strataCol: String, scoreCol: String,
+      pctl: Double = 0.25): DataFrame = {
+    require(pctl > 0 && pctl < 1, "pctl must be in (0, 1)")
+    val th = df.groupBy(col(strataCol))
+      .agg(round(expr(s"percentile($scoreCol, $pctl)"), 6).as("threshold"))
+    df.join(broadcast(th), Seq(strataCol))
+      .filter(round(col(scoreCol), 6) > col("threshold"))
+  }
+
+  /**
+   * Epoch-factor resampling: replicate or thin each stratum to a target
+   * epoch count — epochs(s) = 2.5 keeps ⌊2.5⌋ = 2 copies of every row plus
+   * a third with probability 0.5; epochs(s) = 0.5 keeps the row at all with
+   * probability 0.5. This is the multi-epoch upsampling step of a training
+   * mixture (high-quality sources repeat, bulk crawl thins) expressed as
+   * one map-side generator: `explode(sequence(...))` per row, no shuffle,
+   * no state. The fractional keep uses [[md5Uniform]], so the exact copy
+   * multiset is engine-replayable.
+   */
+  def epochUpsample(df: DataFrame, idCol: String, strataCol: String,
+      epochs: Map[String, Double], defaultEpochs: Double = 1.0,
+      seed: String = "epochs"): DataFrame = {
+    require((epochs.values ++ Seq(defaultEpochs)).forall(_ >= 0),
+      "epoch factors must be >= 0")
+    val e = epochs.foldLeft(lit(defaultEpochs)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    val n = floor(e).cast(LongType) +
+      when(md5Uniform(seed, col(idCol)) < e - floor(e), 1L).otherwise(0L)
+    df.withColumn("__n", n)
+      .filter(col("__n") > 0)
+      .withColumn("copy_ix", explode(sequence(lit(0L), col("__n") - 1)))
+      .drop("__n")
+  }
+
+  /**
    * Token-budget mixture sampling: downsample each stratum (source/domain/
    * language) so its EXPECTED token count meets a per-stratum budget — the
    * data-mixing step that turns a raw crawl into a training mixture with

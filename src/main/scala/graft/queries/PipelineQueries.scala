@@ -298,6 +298,32 @@ object PipelineQueries {
           col("lang") === "en", buckets = 4096)
         .orderBy(col("doc_id"))),
 
+    // per-source adaptive quality gate: each source keeps only docs above
+    // its OWN 25th-percentile quality score — threshold table is one tiny
+    // broadcast aggregation, verdicts map-side (Curation.adaptiveQualityGate)
+    "quality_adaptive" -> ((s, d) => {
+      val scored = docs(s, d).select(col("doc_id"), col("source"))
+        .join(TextAnalysis.quality(docs(s, d), "doc_id", "text")
+          .select(col("doc_id"), round(col("quality_score"), 6).as("qs")),
+          Seq("doc_id"))
+      val kept = Curation.adaptiveQualityGate(scored, "source", "qs", pctl = 0.25)
+      kept.groupBy(col("source"))
+        .agg(max(col("threshold")).as("threshold"), count(lit(1)).as("n_kept"))
+        .join(scored.groupBy(col("source")).agg(count(lit(1)).as("n_total")),
+          Seq("source"))
+        .select(col("source"), col("threshold"), col("n_total"), col("n_kept"))
+        .orderBy(col("source"))
+    }),
+
+    // epoch-factor resampling: src0 runs 2.5 epochs, src1 half an epoch,
+    // src2 is dropped, everything else exactly once — one map-side generator
+    // per row, md5-replayable fractional keeps (Curation.epochUpsample)
+    "sample_epochs" -> ((s, d) =>
+      Curation.epochUpsample(docs(s, d), "doc_id", "source",
+          Map("src0" -> 2.5, "src1" -> 0.5, "src2" -> 0.0), defaultEpochs = 1.0)
+        .select(col("doc_id"), col("copy_ix"))
+        .orderBy(col("doc_id"), col("copy_ix"))),
+
     // DSIR selection: Gumbel top-100 over the importance weights (md5-derived
     // noise, engine-replayable) — the resampling stage that turns weights
     // into a selected subset
@@ -1417,6 +1443,40 @@ object PipelineQueries {
          |SELECT doc_id, count(*) AS n_tokens,
          |  round(sum(lr) / 1e9, 6) AS dsir_weight
          |FROM tok JOIN lr USING (b) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "quality_adaptive" ->
+      s"""WITH t AS (SELECT doc_id, source, text, $sqlTokens AS w FROM documents),
+         |q AS (SELECT doc_id, source,
+         |  CASE WHEN len(w) > 0 THEN CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(w) ELSE 0.0 END AS avg_token_len,
+         |  CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS alpha_ratio,
+         |  CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS digit_ratio,
+         |  CASE WHEN len(w) > 0 THEN CAST(len(list_filter(w, x -> x IN ($enList))) AS DOUBLE) / len(w) ELSE 0.0 END AS stopword_ratio
+         |  FROM t),
+         |s AS (SELECT doc_id, source,
+         |  round(alpha_ratio * 0.4 + least(stopword_ratio * 5.0, 1.0) * 0.3 +
+         |        (CASE WHEN avg_token_len >= 3 AND avg_token_len <= 10 THEN 1.0 ELSE 0.0 END) * 0.2 +
+         |        (1.0 - least(digit_ratio * 5.0, 1.0)) * 0.1, 6) AS qs
+         |  FROM q),
+         |th AS (SELECT source, round(quantile_cont(qs, 0.25), 6) AS threshold
+         |  FROM s GROUP BY source),
+         |k AS (SELECT s.source, count(*) AS n_kept FROM s JOIN th USING (source)
+         |  WHERE qs > threshold GROUP BY s.source),
+         |tot AS (SELECT source, count(*) AS n_total FROM s GROUP BY source)
+         |SELECT source, threshold, n_total, n_kept
+         |FROM th JOIN k USING (source) JOIN tot USING (source)
+         |ORDER BY source""".stripMargin,
+
+    "sample_epochs" ->
+      """WITH p AS (SELECT doc_id,
+        |    CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.5
+        |                WHEN 'src2' THEN 0.0 ELSE 1.0 END AS e
+        |  FROM documents),
+        |n AS (SELECT doc_id, CAST(floor(e) AS BIGINT) +
+        |    CASE WHEN ('0x' || substr(md5('epochs:' || CAST(doc_id AS VARCHAR)), 18, 15))::UBIGINT
+        |              / 1152921504606846976.0 < e - floor(e) THEN 1 ELSE 0 END AS n
+        |  FROM p)
+        |SELECT doc_id, unnest(range(n)) AS copy_ix FROM n WHERE n > 0
+        |ORDER BY doc_id, copy_ix""".stripMargin,
 
     "dsir_resample" ->
       s"""WITH t AS (SELECT doc_id, lang = 'en' AS is_t, $sqlTokens AS w FROM documents),

@@ -38,7 +38,12 @@ object PlanAudit {
     // round 4: as-of must be one window shuffle with pushed type filters;
     // semantic dedup one cluster-key join; chunk/ngram dedup must keep
     // partial aggregation below their window shuffles
-    "asof_attribution", "semantic_dedup", "dedup_chunks", "dup_ngram_coverage")
+    "asof_attribution", "semantic_dedup", "dedup_chunks", "dup_ngram_coverage",
+    // round 6: repetition + DSIR must stay map-side below one bounded
+    // aggregation; RRF's windows must sit above TakeOrderedAndProject;
+    // funnel/retention joins must be AQE-broadcast or user_id-shuffle only
+    "gopher_repetition", "dsir_weights", "dsir_resample", "hybrid_rrf",
+    "funnel_steps", "retention_cohorts")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -188,4 +188,45 @@ class CurationSpec extends AnyFunSuite {
     val nNull = tight.filter(col("src").isNull).count()
     assert(nNull > 10 && nNull < 45, s"null-stratum kept $nNull of 100")
   }
+
+  test("epochUpsample: whole epochs replicate exactly, zero drops, fraction replays md5") {
+    val df = (0L until 100L).map(i => (i, if (i < 25) "a" else if (i < 50) "b"
+      else if (i < 75) "c" else "d")).toDF("id", "src")
+    val out = Curation.epochUpsample(df, "id", "src",
+      Map("a" -> 3.0, "b" -> 0.0, "c" -> 0.5), defaultEpochs = 1.0, seed = "t3")
+      .groupBy(col("src"), col("id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.count(_._1._1 == "a") == 25 && out.filter(_._1._1 == "a").values.forall(_ == 3L))
+    assert(!out.keys.exists(_._1 == "b"), "0-epoch stratum must vanish")
+    assert(out.count(_._1._1 == "d") == 25 && out.filter(_._1._1 == "d").values.forall(_ == 1L))
+    // fractional keeps replay the md5Uniform rule row by row
+    def u(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"t3:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(17, 32), 16) / 1.152921504606846976e18
+    }
+    (50L until 75L).foreach { id =>
+      val expect = if (u(id) < 0.5) Some(1L) else None
+      assert(out.get(("c", id)) == expect, s"fractional keep mismatch for id=$id")
+    }
+    // copy_ix enumerates 0..n-1
+    val ix = Curation.epochUpsample(df, "id", "src", Map("a" -> 3.0),
+        defaultEpochs = 0.0, seed = "t3")
+      .filter(col("id") === 0).select(col("copy_ix")).collect().map(_.getLong(0)).sorted
+    assert(ix.toSeq == Seq(0L, 1L, 2L))
+  }
+
+  test("adaptiveQualityGate: per-stratum cutoffs differ and gate at each stratum's quantile") {
+    // stratum A scores 1..20, stratum B scores 101..120: a global cutoff
+    // would pass all of B; the adaptive gate prunes the bottom quarter OF EACH
+    val df = ((1 to 20).map(i => ("A", i * 1.0)) ++
+      (1 to 20).map(i => ("B", 100 + i * 1.0))).toDF("src", "score")
+    val kept = Curation.adaptiveQualityGate(df, "src", "score", pctl = 0.25)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val (ka, kb) = (kept.filter(_._1 == "A"), kept.filter(_._1 == "B"))
+    // 25th percentile of 1..20 (linear interp) = 5.75 -> keeps 6..20
+    assert(ka.map(_._2).sorted.toSeq == (6 to 20).map(_.toDouble))
+    assert(kb.map(_._2).sorted.toSeq == (106 to 120).map(_.toDouble))
+    assert(ka.forall(_._3 == 5.75) && kb.forall(_._3 == 105.75))
+  }
 }
