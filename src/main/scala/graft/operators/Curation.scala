@@ -162,23 +162,36 @@ object Curation {
    * md5("j:" ++ s) mod mBits — so an independent engine rebuilds the
    * filter and replays every verdict exactly, false positives included.
    */
-  def bloomDecontam(train: DataFrame, eval_ : DataFrame, idCol: String,
-      textCol: String, shingleSize: Int = 3, mBits: Int = 1 << 23,
-      kHashes: Int = 4): DataFrame = {
+  /** SQL form of the Bloom position rule: low-60-bit md5("j:" ++ shingle)
+    * mod mBits. [[bloomPosJvm]] is the byte-identical JVM twin (tested
+    * equal) for row-local membership checks where the SQL form can't reach
+    * (streaming gates). */
+  private def bloomPosSql(j: Int, s: Column, mBits: Int): Column =
+    conv(substring(md5(concat(lit(s"$j:"), s)), 18, 15), 16, 10)
+      .cast(LongType) % mBits
+
+  private[graft] def bloomPosJvm(j: Int, s: String, mBits: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j:$s".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(17, 32), 16) % mBits
+  }
+
+  /** Build the decontamination Bloom filter (mBits/64 longs) from the eval
+    * suite — the broadcastable artifact behind [[bloomDecontam]] and the
+    * streaming curation gate. Positions -> 64-bit words via bit_or
+    * partials; the whole filter arrives on the driver as ONE bounded
+    * collect (1 MiB at the default mBits). */
+  def bloomFilterWords(eval_ : DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, mBits: Int = 1 << 23,
+      kHashes: Int = 4): Array[Long] = {
     require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
       "mBits must be a power of two >= 64")
     require(kHashes >= 1 && kHashes <= 16, "kHashes must be in [1, 16]")
-    val spark = train.sparkSession
-    def pos(j: Int, s: Column): Column =
-      conv(substring(md5(concat(lit(s"$j:"), s)), 18, 15), 16, 10)
-        .cast(LongType) % mBits
-    val par = spark.sparkContext.defaultParallelism
-    // filter build: positions -> 64-bit words via bit_or partials; the whole
-    // filter is mBits/64 longs assembled from ONE tiny collect and shipped
-    // back as ONE broadcast
+    val par = eval_.sparkSession.sparkContext.defaultParallelism
     val evPos = Dedup.shingled(eval_.repartition(par), idCol, textCol, shingleSize)
       .select(explode_outer(col("sh")).as("s")).filter(col("s").isNotNull)
-      .select(explode(array((0 until kHashes).map(j => pos(j, col("s"))): _*)).as("p"))
+      .select(explode(array((0 until kHashes).map(j =>
+        bloomPosSql(j, col("s"), mBits)): _*)).as("p"))
     val words = evPos
       .select(shiftright(col("p"), 6).cast(IntegerType).as("w"),
         expr("shiftleft(1L, cast(p % 64 as int))").as("b"))
@@ -186,7 +199,35 @@ object Curation {
       .collect()
     val filter = new Array[Long](mBits / 64)
     words.foreach(r => filter(r.getInt(0)) = r.getLong(1))
-    val fBc = spark.sparkContext.broadcast(filter)
+    filter
+  }
+
+  /** Row-local Bloom verdict: the fraction of a row's shingles the
+    * broadcast filter claims to have seen — [[bloomDecontam]]'s signal as a
+    * STATELESS column function (no join, no aggregation), which is what a
+    * streaming pipeline can host. Membership uses [[bloomPosJvm]], the
+    * byte-identical JVM twin of the SQL position rule (pinned by test), so
+    * batch and streaming verdicts agree exactly. */
+  def bloomHitFrac(filter: org.apache.spark.broadcast.Broadcast[Array[Long]],
+      mBits: Int = 1 << 23, kHashes: Int = 4)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((shs: scala.collection.mutable.Seq[String]) =>
+      if (shs == null || shs.isEmpty) 0.0
+      else shs.count { s =>
+        (0 until kHashes).forall { j =>
+          val p = bloomPosJvm(j, s, mBits)
+          (filter.value((p >>> 6).toInt) & (1L << (p & 63))) != 0L
+        }
+      }.toDouble / shs.size)
+
+  def bloomDecontam(train: DataFrame, eval_ : DataFrame, idCol: String,
+      textCol: String, shingleSize: Int = 3, mBits: Int = 1 << 23,
+      kHashes: Int = 4): DataFrame = {
+    val spark = train.sparkSession
+    def pos(j: Int, s: Column): Column = bloomPosSql(j, s, mBits)
+    val par = spark.sparkContext.defaultParallelism
+    val fBc = spark.sparkContext.broadcast(
+      bloomFilterWords(eval_, idCol, textCol, shingleSize, mBits, kHashes))
     val bloomHit = udf((ps: scala.collection.mutable.Seq[Long]) => ps.forall(p =>
       (fBc.value((p >>> 6).toInt) & (1L << (p & 63))) != 0L))
     // train side: positions are plain SQL md5 expressions (replayable); the

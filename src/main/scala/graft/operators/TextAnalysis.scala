@@ -96,11 +96,37 @@ object TextAnalysis {
       when(nChar > 0, col("__punct") / nChar).otherwise(0.0).as("punct_ratio"),
       when(nTok > 0, col("__stop") / nTok).otherwise(0.0).as("stopword_ratio"))
     ratios.withColumn("quality_score",
-      (col("alpha_ratio") * 0.4) +
-        (least(col("stopword_ratio") * lit(5.0), lit(1.0)) * 0.3) +
-        (when(col("avg_token_len") >= 3 && col("avg_token_len") <= 10, 1.0)
-          .otherwise(0.0) * 0.2) +
-        ((lit(1.0) - least(col("digit_ratio") * 5.0, lit(1.0))) * 0.1))
+      combineQuality(col("alpha_ratio"), col("stopword_ratio"),
+        col("avg_token_len"), col("digit_ratio")))
+  }
+
+  /** The quality-score combiner shared by [[quality]] and [[qualityScore]]
+    * — one definition so the batch (oracle-locked) and streaming forms
+    * cannot drift apart. */
+  private def combineQuality(alphaRatio: Column, stopRatio: Column,
+      avgTokenLen: Column, digitRatio: Column): Column =
+    (alphaRatio * 0.4) +
+      (least(stopRatio * lit(5.0), lit(1.0)) * 0.3) +
+      (when(avgTokenLen >= 3 && avgTokenLen <= 10, 1.0).otherwise(0.0) * 0.2) +
+      ((lit(1.0) - least(digitRatio * 5.0, lit(1.0))) * 0.1)
+
+  /** [[quality]]'s score as ONE stateless column expression — for pipelines
+    * that must keep their other columns (e.g. the streaming curation gate,
+    * where a select-only transform would drop ts/text). Identical formula
+    * via [[combineQuality]]. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast(DoubleType)
+    val nChar = length(text).cast(DoubleType)
+    val strip = length(regexp_replace(text, "\\s", "")).cast(DoubleType)
+    val alpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast(DoubleType)
+    val digit = length(regexp_replace(text, "[^0-9]", "")).cast(DoubleType)
+    val stop = stopwordHits(toks, stopwords("en")).cast(DoubleType)
+    combineQuality(
+      when(nChar > 0, alpha / nChar).otherwise(0.0),
+      when(nTok > 0, stop / nTok).otherwise(0.0),
+      when(nTok > 0, strip / nTok).otherwise(0.0),
+      when(nChar > 0, digit / nChar).otherwise(0.0))
   }
 
   /** Buffer for [[TopKeywordsAggregator]]: parallel (token, score) arrays

@@ -506,6 +506,49 @@ object StreamingIngest {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Bloom leg of [[streamingCurationGate]]: the pre-built filter words
+    * (from [[graft.operators.Curation.bloomFilterWords]]) plus its
+    * geometry and the kill threshold. */
+  case class BloomGate(
+      words: org.apache.spark.broadcast.Broadcast[Array[Long]],
+      mBits: Int = 1 << 23, kHashes: Int = 4, shingleSize: Int = 3,
+      maxHitFrac: Double = 0.5)
+
+  /**
+   * Streaming curation gate — the online front door of a training-data
+   * pipeline, composing the batch operators' verdicts in ONE streaming
+   * query: (1) quality gate on [[graft.operators.TextAnalysis.qualityScore]]
+   * (stateless, map-side); (2) optional Bloom decontamination against a
+   * pre-built broadcast filter ([[graft.operators.Curation.bloomHitFrac]] —
+   * stateless, same verdicts as the batch bloomDecontam by the shared
+   * position rule); (3) watermarked exact dedup ([[streamingDedup]] —
+   * first-seen wins, state keyed by content hash only).
+   *
+   * The stateless gates run BEFORE the dedup so the state store only ever
+   * keys documents that survive curation — at production rates the state
+   * footprint tracks the CLEAN stream, not the raw one. Emits the input
+   * columns plus `quality_score` (and `bloom_frac` when gated).
+   */
+  def streamingCurationGate(stream: DataFrame, textCol: String, tsCol: String,
+      minQuality: Double = 0.5, bloom: Option[BloomGate] = None,
+      watermark: String = "1 hour"): DataFrame = {
+    graft.operators.TextAnalysis.register(stream.sparkSession)
+    val q = stream
+      .withColumn("quality_score",
+        graft.operators.TextAnalysis.qualityScore(col(textCol)))
+      .filter(col("quality_score") >= minQuality)
+    val gated = bloom match {
+      case Some(g) =>
+        val sh = call_function("shingle_set",
+          graft.operators.TextAnalysis.tokens(col(textCol)), lit(g.shingleSize))
+        q.withColumn("bloom_frac",
+            graft.operators.Curation.bloomHitFrac(g.words, g.mBits, g.kHashes)(sh))
+          .filter(col("bloom_frac") <= g.maxHitFrac)
+      case None => q
+    }
+    streamingDedup(gated, textCol, tsCol, watermark)
+  }
+
   /**
    * Watermarked stream-stream INTERVAL JOIN — the streaming sibling of
    * [[graft.operators.TimeSeries.asofJoinBackward]]: each left event joins

@@ -216,6 +216,27 @@ class CurationSpec extends AnyFunSuite {
     assert(ix.toSeq == Seq(0L, 1L, 2L))
   }
 
+  test("bloomHitFrac (JVM rule) replays bloomDecontam's (SQL rule) verdicts exactly") {
+    graft.operators.TextAnalysis.register(spark)
+    val eval_ = Seq((0L, "alpha beta gamma delta epsilon zeta")).toDF("id", "text")
+    val train = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"), // fully contained
+      (1L, "totally different words appear here now"), // disjoint
+      (2L, "alpha beta gamma unrelated tail words")) // partial overlap
+      .toDF("id", "text")
+    val mBits = 1 << 16
+    val sql = Curation.bloomDecontam(train, eval_, "id", "text", mBits = mBits)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val words = spark.sparkContext.broadcast(
+      Curation.bloomFilterWords(eval_, "id", "text", mBits = mBits))
+    val jvm = train.select(col("id"),
+        Curation.bloomHitFrac(words, mBits)(call_function("shingle_set",
+          graft.operators.TextAnalysis.tokens(col("text")), lit(3))).as("f"))
+      .collect().map(r => r.getLong(0) -> math.rint(r.getDouble(1) * 1e6) / 1e6).toMap
+    assert(sql == jvm, s"SQL verdicts $sql != JVM verdicts $jvm")
+    assert(jvm(0L) == 1.0 && jvm(1L) < 1.0)
+  }
+
   test("adaptiveQualityGate: per-stratum cutoffs differ and gate at each stratum's quantile") {
     // stratum A scores 1..20, stratum B scores 101..120: a global cutoff
     // would pass all of B; the adaptive gate prunes the bottom quarter OF EACH

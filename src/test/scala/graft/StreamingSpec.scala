@@ -502,6 +502,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.toSet == Set((t(0), "alpha"), (t(1), "beta"), (t(4), "gamma")))
   }
 
+  test("streaming curation gate: quality + bloom + dedup compose in one query") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val evalText = "the quick brown fox jumps over the lazy dog"
+    val words = spark.sparkContext.broadcast(
+      graft.operators.Curation.bloomFilterWords(
+        Seq((0L, evalText)).toDF("id", "text"), "id", "text", mBits = 1 << 16))
+    val good = "the quick red panda naps under a warm tree today"
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val out = StreamingIngest.streamingCurationGate(
+      mem.toDF().toDF("ts", "text"), "text", "ts", minQuality = 0.5,
+      bloom = Some(StreamingIngest.BloomGate(words, mBits = 1 << 16)),
+      watermark = "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sgate").start()
+    mem.addData(
+      (t(0), good), // survives
+      (t(1), "111 222 333 444 555"), // quality-gated (digits, no stopwords)
+      (t(2), evalText), // bloom-gated (contaminated)
+      (t(3), good)) // dedup-gated (duplicate content)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sgate").collect()
+    assert(rows.length == 1, s"expected 1 survivor, got ${rows.length}")
+    val r = rows.head
+    assert(r.getAs[java.sql.Timestamp]("ts") == t(0), "first arrival must win")
+    assert(r.getAs[String]("text") == good)
+    assert(r.getAs[Double]("quality_score") >= 0.5)
+    assert(r.getAs[Double]("bloom_frac") < 0.5)
+  }
+
   test("compact folds tombstones: deleted rows physically leave the index (VACUUM analog)") {
     val path = "/tmp/graft_test_index/vacuum"
     def deleteRec(f: java.io.File): Unit = {
