@@ -22,6 +22,24 @@ import graft.functions.{VectorFunctions, VectorKernels}
  */
 object Similarity {
 
+  /**
+   * Reciprocal-rank fusion — the standard hybrid-search combiner
+   * (Cormack et al. 2009): each candidate list contributes 1/(k + rank),
+   * absent candidates contribute 0. Inputs are two already-ranked candidate
+   * tables `(id, rank)` — both bounded (top-n of their retrievals), so the
+   * full-outer join and final sort are over ≤ 2n rows no matter the corpus
+   * size; at 100 TB the cost lives in the retrievals, not the fusion.
+   * Rank columns must be named `ra`/`rb`.
+   */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int = 60,
+      topK: Int = 20): DataFrame =
+    a.join(b, Seq("id"), "full_outer")
+      .select(col("id"),
+        round(coalesce(lit(1.0) / (lit(k) + col("ra")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(k) + col("rb")), lit(0.0)), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(topK)
+
   case class TopKState(ids: Array[Long], dists: Array[Double])
 
   /** Bounded top-k by (dist, id): mergeable, so Spark runs it as a 2-phase

@@ -494,6 +494,21 @@ object TextAnalysis {
     scored.select(col(idCol), score.as("bm25"))
   }
 
+  /** [[bm25]] top-n as a ranked candidate list `(id, bscore, rb)` for
+    * [[Similarity.rrfFuse]]: scores rounded before ranking (the
+    * engine-determinism discipline), candidates via TakeOrderedAndProject,
+    * so the rank window only ever sees n rows. */
+  def bm25TopRanked(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], n: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    bm25(df, idCol, textCol, terms)
+      .select(col(idCol).as("id"), round(col("bm25"), 6).as("bscore"))
+      .filter(col("bscore") > 0)
+      .orderBy(col("bscore").desc, col("id")).limit(n)
+      .withColumn("rb",
+        row_number().over(Window.orderBy(col("bscore").desc, col("id"))))
+  }
+
   private val builders: Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
     "doc_fingerprint" -> (es => DocFingerprint(es.head)),
     "doc_fingerprint_md5" -> (es => DocFingerprintMd5(es.head)),

@@ -64,6 +64,24 @@ object AnnQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_sql_topk" -> ((s, d) => sqlTopK(s, d)),
+    // hybrid retrieval through the INDEX: BM25 top-50 fused (RRF) with the
+    // graph-search top-50 instead of the brute-force scan — the RAG serving
+    // shape. At sf0.01 the widened search is exhaustive, so the result
+    // hash-matches the same exact oracle as the brute-force hybrid_rrf;
+    // at scale only the index traversal cost changes, never the fusion.
+    "hybrid_rrf_ann" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val path = ensureIndex(s, d, "cos", emb(s, d), labeled = false)
+      val vtop = finish(DiskannIndex.search(s, path, queryDf(s, d, None),
+          k = 51, searchListSize = 600, rescore = 600), 50, excludeSelf = true)
+        .select(col("vec_id").as("id"), col("dist").as("vdist"))
+        .withColumn("ra",
+          row_number().over(Window.orderBy(col("vdist"), col("id"))))
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      graft.operators.Similarity.rrfFuse(vtop,
+        graft.operators.TextAnalysis.bm25TopRanked(docs, "doc_id", "text",
+          Seq("vector", "query", "dup"), n = 50))
+    }),
     // T1/S2/S3: ORDER BY embedding <=> q LIMIT k through the graph index
     "knn_ann_cosine" -> ((s, d) => {
       val path = ensureIndex(s, d, "cos", emb(s, d), labeled = false)
@@ -247,6 +265,9 @@ object AnnQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // same exact-retrieval oracle as the brute-force hybrid (the index path
+    // is exhaustive at verification scale) — shared, not copied
+    "hybrid_rrf_ann" -> PipelineQueries.oracleSql("hybrid_rrf"),
     "ann_sql_fresh" ->
       s"""SELECT vec_id, round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) AS dist
          |FROM embeddings WHERE vec_id % 9 <> 0 ORDER BY dist, vec_id LIMIT 10""".stripMargin,

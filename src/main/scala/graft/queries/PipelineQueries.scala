@@ -821,18 +821,10 @@ object PipelineQueries {
           round(call_function("vec_cosine_dist", col("embedding"), col("qvec")), 6)
             .as("vdist"))
         .orderBy(col("vdist"), col("id")).limit(50)
-        .withColumn("rv", row_number().over(Window.orderBy(col("vdist"), col("id"))))
-      val btop = TextAnalysis.bm25(docs(s, d), "doc_id", "text",
-          Seq("vector", "query", "dup"))
-        .select(col("doc_id").as("id"), round(col("bm25"), 6).as("bscore"))
-        .filter(col("bscore") > 0)
-        .orderBy(col("bscore").desc, col("id")).limit(50)
-        .withColumn("rb", row_number().over(Window.orderBy(col("bscore").desc, col("id"))))
-      vtop.join(btop, Seq("id"), "full_outer")
-        .select(col("id"),
-          round(coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0)) +
-                coalesce(lit(1.0) / (lit(60) + col("rb")), lit(0.0)), 6).as("rrf"))
-        .orderBy(col("rrf").desc, col("id")).limit(20)
+        .withColumn("ra", row_number().over(Window.orderBy(col("vdist"), col("id"))))
+      Similarity.rrfFuse(vtop,
+        TextAnalysis.bm25TopRanked(docs(s, d), "doc_id", "text",
+          Seq("vector", "query", "dup"), n = 50))
     }),
 
     // ---- clustering ----
