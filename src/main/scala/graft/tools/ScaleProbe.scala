@@ -132,6 +132,20 @@ object ScaleProbe {
             graft.functions.VectorFunctions
               .vec_cosine_dist(col("embedding"), col("qvec")).as("d"))
           .orderBy(col("d"), col("vec_id")).limit(10).count()
+      },
+      // round 6: per-doc n-gram counting is map-side (expect ~1.0) and the
+      // DSIR LM table is constant-size (buckets) regardless of corpus —
+      // the per-doc scoring join is the only part that grows
+      // the data-dependent filters exist to defeat column pruning: a bare
+      // count() lets Catalyst drop the projection and time only the scan
+      "gopher_repetition" -> { f =>
+        TextAnalysis.gopherRepetition(spark.read.parquet(docsPath(f)),
+          "doc_id", "text").filter(col("dup5gram_char_frac") >= 0).count()
+      },
+      "dsir_weights" -> { f =>
+        graft.operators.Curation.dsirWeights(spark.read.parquet(docsPath(f)),
+          "doc_id", "text", col("lang") === "en")
+          .filter(col("dsir_weight").isNotNull).count()
       })
 
     // --ann: the DiskANN headline path — index build + distributed batch
@@ -173,11 +187,17 @@ object ScaleProbe {
       return
     }
 
+    // --only=a,b restricts the probe to named ops (re-probing one operator
+    // shouldn't cost a full multi-minute sweep)
+    val only = args.collectFirst { case s if s.startsWith("--only=") =>
+      s.stripPrefix("--only=").split(",").toSet }
+    val opsRun = only.map(sel => ops.filter(t => sel(t._1))).getOrElse(ops)
+
     factors.foreach { f => ensureDocs(f); ensureEmb(f) }
     // warm-up at ×1 (JIT, file listing)
-    ops.foreach { case (_, body) => try body(1) catch { case _: Throwable => () } }
+    opsRun.foreach { case (_, body) => try body(1) catch { case _: Throwable => () } }
 
-    val results = ops.map { case (name, body) =>
+    val results = opsRun.map { case (name, body) =>
       val perF = factors.map { f =>
         val (sec, rows) = time(body(f))
         // progress line per measurement so a failed run still shows where
