@@ -284,6 +284,74 @@ object Dedup {
   }
 
   /**
+   * Duplicated-span REMOVAL — the step that actually rewrites documents
+   * (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+   * Better": remove all but one occurrence of duplicated substrings).
+   * Every `spanTokens`-token window is an occurrence; a window content
+   * seen ≥2 times in the corpus (any doc, including re-occurrence within
+   * one doc) is duplicated, its globally FIRST occurrence (by (doc, pos))
+   * survives, and the token positions of every other occurrence are
+   * removed. Fixed-length windows are the Spark-friendly banding of the
+   * original's maximal-repeat suffix-array spans; overlapping duplicated
+   * windows merge naturally because removal is per-position (so the kept
+   * first occurrence may still lose tokens to a DIFFERENT span's removal —
+   * the original has the same property at span boundaries).
+   *
+   * Output per document: `n_tokens`, `n_removed` (positions removed), and
+   * `cleaned_md5` — md5 of the space-joined surviving tokens, the
+   * provenance stamp a rewrite stage emits so downstream stages can verify
+   * they read the deduplicated generation.
+   *
+   * Shape at 100 TB: span occurrences generate map-side; the duplicate
+   * election is ONE window shuffle on the span hash (state per hash = one
+   * row); covered positions aggregate per doc in one more shuffle; the
+   * final rewrite is a map-side HOF filter. Never pairwise, never a
+   * driver-side structure. The per-token `array_contains` over the doc's
+   * covered set is O(tokens × covered) per doc — fine at document scale;
+   * switch to a sorted-array binary search expression if docs reach
+   * millions of tokens.
+   */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).cast(LongType).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("__w"))
+      .transform(graft.CacheScope.persist)
+    // every span occurrence with its 0-based start position — map-side
+    val spans = toks
+      .select(col("id"), posexplode_outer(expr(
+        s"""CASE WHEN size(__w) >= $spanTokens
+           |  THEN transform(sequence(0, size(__w) - $spanTokens),
+           |                 i -> array_join(slice(__w, i + 1, $spanTokens), ' '))
+           |  ELSE array() END""".stripMargin)))
+      .filter(col("col").isNotNull)
+      .select(col("id"), col("pos").cast(LongType).as("p0"),
+        xxhash64(col("col")).as("__h"))
+    // duplicate election: first occurrence per content survives, the rest
+    // mark their token ranges for removal
+    val w = Window.partitionBy(col("__h")).orderBy(col("id"), col("p0"))
+    val removable = spans
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__h"))))
+      .filter(col("__n") >= 2 && col("__rn") >= 2)
+    val covered = removable
+      .select(col("id"),
+        explode(sequence(col("p0"), col("p0") + (spanTokens - 1))).as("p"))
+      .groupBy(col("id")).agg(collect_set(col("p")).as("__cov"))
+    toks.join(covered, Seq("id"), "left")
+      .select(col("id"),
+        size(col("__w")).cast(LongType).as("n_tokens"),
+        coalesce(size(col("__cov")), lit(0)).cast(LongType).as("n_removed"),
+        md5(array_join(expr(
+          s"""CASE WHEN __cov IS NULL THEN __w
+             |  ELSE transform(
+             |    filter(sequence(0, size(__w) - 1),
+             |           i -> NOT array_contains(__cov, CAST(i AS BIGINT))),
+             |    i -> element_at(__w, CAST(i AS INT) + 1))
+             |  END""".stripMargin), " ")).as("cleaned_md5"))
+  }
+
+  /**
    * Chunk-level exact dedup — the C4 paragraph/line-dedup analog. The
    * corpus here has no newline structure, so a "paragraph" is a
    * non-overlapping window of `chunkTokens` tokens; with newline-delimited

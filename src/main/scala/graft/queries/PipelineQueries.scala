@@ -283,6 +283,17 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the rewrite step of substring dedup (Lee et al.): first occurrence of
+    // each duplicated 8-token span survives, every other occurrence's
+    // positions are removed; emits the cleaned-text hash as the provenance
+    // stamp. One hash-window shuffle + one per-doc aggregation, never
+    // pairwise (Dedup.removeDupSpans)
+    "dedup_span_removal" -> ((s, d) =>
+      Dedup.removeDupSpans(docs(s, d), "doc_id", "text", spanTokens = 8)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_removed"),
+          col("cleaned_md5"))
+        .orderBy(col("doc_id"))),
+
     // Gopher repetition suite (top-2-gram char fraction + duplicated-5-gram
     // char fraction) — map-side per-doc via the ngram_rep_stats expression:
     // no explode, no shuffle; see TextAnalysis.gopherRepetition
@@ -1397,6 +1408,31 @@ object PipelineQueries {
          |       / (len(w) - 1)
          |  ELSE 0.0 END, 6) AS rep_ratio
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    // full replay: span occurrences by position, first-occurrence election
+    // per span content (the oracle keys on the gram STRING where Spark uses
+    // xxhash64 — identical verdicts absent a 64-bit collision), per-doc
+    // covered-position sets, then the same positional rewrite
+    "dedup_span_removal" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+         |sp AS (SELECT doc_id, CAST(p0 AS BIGINT) AS p0,
+         |         array_to_string(w[CAST(p0 AS INT) + 1 : CAST(p0 AS INT) + 8], ' ') AS g
+         |       FROM (SELECT doc_id, w, unnest(range(len(w) - 7)) AS p0 FROM t)),
+         |rn AS (SELECT doc_id, p0, g,
+         |        row_number() OVER (PARTITION BY g ORDER BY doc_id, p0) AS rn,
+         |        count(*) OVER (PARTITION BY g) AS n
+         |       FROM sp),
+         |cov AS (SELECT DISTINCT doc_id, p0 + o.range AS p
+         |        FROM rn CROSS JOIN range(8) o
+         |        WHERE n >= 2 AND rn >= 2),
+         |covl AS (SELECT doc_id, list(p) AS cov FROM cov GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(len(cov), 0) AS BIGINT) AS n_removed,
+         |  md5(coalesce(array_to_string(
+         |    CASE WHEN cov IS NULL THEN w
+         |    ELSE [w[CAST(i AS INT) + 1] for i in range(len(w)) if NOT list_contains(cov, i)]
+         |    END, ' '), '')) AS cleaned_md5
+         |FROM t LEFT JOIN covl USING (doc_id) ORDER BY t.doc_id""".stripMargin,
 
     "gopher_repetition" ->
       s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),

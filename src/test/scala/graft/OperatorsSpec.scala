@@ -800,6 +800,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(0)._3 == expected0, s"doc0 weight ${got(0)._3} != $expected0")
   }
 
+  test("removeDupSpans: first occurrence survives, later copies lose their tokens") {
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val a = "x1 x2 x3 x4 x5 x6 x7 x8 tailA"
+    val b = "x1 x2 x3 x4 x5 x6 x7 x8 tailB" // shares A's 8-token prefix span
+    val c = "too short for any span" // < 8 tokens: untouched
+    val dToks = (1 to 8).map(i => s"y$i")
+    val dDoc = (dToks ++ dToks).mkString(" ") // within-doc repeat
+    val docs = Seq((0L, a), (1L, b), (2L, c), (3L, dDoc)).toDF("doc_id", "text")
+    val got = Dedup.removeDupSpans(docs, "doc_id", "text", spanTokens = 8)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // A: the shared span's FIRST occurrence — nothing removed
+    assert(got(0) == ((0L, 9L, 0L, md5(a))))
+    // B: second occurrence — loses positions 0..7, keeps the tail
+    assert(got(1) == ((1L, 9L, 8L, md5("tailB"))))
+    // C: no spans at all
+    assert(got(2) == ((2L, 5L, 0L, md5(c))))
+    // D: the repeat at p0=8 is removed, the p0=0 original survives
+    assert(got(3) == ((3L, 16L, 8L, md5(dToks.mkString(" ")))))
+  }
+
   test("dsirResample: Gumbel top-k is deterministic and favors high weights") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val sel = Curation.dsirResample(corpus, "doc_id", "text",
