@@ -192,6 +192,24 @@ object PipelineQueries {
         TextAnalysis.subwordCount(col("text")).as("n_subwords"))
         .orderBy(col("doc_id"))),
 
+    // tokenizer fertility per language: subwords emitted per whitespace
+    // word and chars per subword — the multilingual-tokenizer budget signal
+    // (a high-fertility language pays more sequence length per word). Pure
+    // map-side ratios into one tiny per-lang aggregation
+    "tokenizer_fertility" -> ((s, d) =>
+      docs(s, d).select(col("lang"),
+          TextAnalysis.subwordCount(col("text")).cast("long").as("__sw"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("__w"),
+          length(regexp_replace(col("text"), "\\s", "")).cast("long").as("__c"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__sw")).as("n_subwords"), sum(col("__w")).as("n_words"),
+          round(sum(col("__sw")).cast("double") / sum(col("__w")), 6)
+            .as("fertility"),
+          round(sum(col("__c")).cast("double") / sum(col("__sw")), 6)
+            .as("chars_per_subword"))
+        .orderBy(col("lang"))),
+
     "text_quality" -> ((s, d) =>
       TextAnalysis.quality(docs(s, d), "doc_id", "text")
         .select(col("doc_id"), col("n_tokens"),
@@ -1192,6 +1210,24 @@ object PipelineQueries {
         |       ELSE CAST(ceil(octet_length(encode(text)) /
         |            ceil(octet_length(encode(text)) / 768.0)) AS BIGINT) END AS BIGINT) AS n_bytes
         |FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""".stripMargin,
+
+    "tokenizer_fertility" ->
+      s"""WITH t AS (SELECT doc_id, lang, trim(text) AS s, $sqlTokens AS w FROM documents),
+         |p AS (SELECT lang,
+         |  len([1 for i in range(1, length(s) + 1)
+         |    if NOT regexp_matches(substr(s, CAST(i AS INT), 1), '\\s')
+         |       AND (i = 1 OR regexp_matches(substr(s, CAST(i AS INT) - 1, 1), '\\s')
+         |            OR (regexp_matches(substr(s, CAST(i AS INT) - 1, 1), '[a-z]')
+         |                AND regexp_matches(substr(s, CAST(i AS INT), 1), '[A-Z0-9]'))
+         |            OR regexp_matches(substr(s, CAST(i AS INT), 1), '[^A-Za-z0-9_\\s]'))]) AS sw,
+         |  len(w) AS nw,
+         |  length(regexp_replace(s, '\\s', '', 'g')) AS nc
+         |  FROM t)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(sw) AS BIGINT) AS n_subwords, CAST(sum(nw) AS BIGINT) AS n_words,
+         |  round(CAST(sum(sw) AS DOUBLE) / sum(nw), 6) AS fertility,
+         |  round(CAST(sum(nc) AS DOUBLE) / sum(sw), 6) AS chars_per_subword
+         |FROM p GROUP BY lang ORDER BY lang""".stripMargin,
 
     "text_quality" ->
       s"""WITH t AS (SELECT doc_id, text, $sqlTokens AS w FROM documents),

@@ -43,7 +43,8 @@ object PlanAudit {
     // aggregation; RRF's windows must sit above TakeOrderedAndProject;
     // funnel/retention joins must be AQE-broadcast or user_id-shuffle only
     "gopher_repetition", "dsir_weights", "dsir_resample", "hybrid_rrf",
-    "funnel_steps", "retention_cohorts")
+    "funnel_steps", "retention_cohorts", "dedup_span_removal",
+    "quality_adaptive", "sample_epochs", "tokenizer_fertility")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
