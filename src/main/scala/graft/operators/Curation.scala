@@ -38,6 +38,27 @@ object Curation {
     df.filter(md5Uniform(seed, col(idCol)) < rate)
   }
 
+  /**
+   * Deterministic train/val/test split: assign each row to the first split
+   * whose cumulative weight exceeds md5-uniform(seed, id). Pure map-side (no
+   * shuffle, no state), stable under reruns and backfills — a late-arriving
+   * row lands in the same split it always would have, and any engine with
+   * md5() reproduces the assignment exactly (the auditability property eval
+   * holdouts need: the test set is a pure function of ids, not of a
+   * partitioning-dependent RNG).
+   */
+  def hashSplit(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
+      seed: String = "graft-split"): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1: $splits")
+    val u = md5Uniform(seed, col(idCol))
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val assigned = splits.zip(cum).init.foldRight(lit(splits.last._1): Column) {
+      case (((name, _), c), acc) => when(u < lit(c), lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", assigned)
+  }
+
   /** Top-k vocabulary by document frequency-weighted token count: the classic
     * wordcount shape — explode is map-side, the groupBy gets a partial
     * (map-side combine) aggregate for free, and only per-token partials cross

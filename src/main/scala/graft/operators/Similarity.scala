@@ -550,4 +550,196 @@ object Similarity {
       .orderBy(col("score").desc, col("id"))
       .limit(k)
   }
+
+  // ---- late-interaction (multi-vector) retrieval ----
+
+  /**
+   * ColBERT-style MaxSim late-interaction scoring: a document is a BAG of
+   * vectors (one per token/chunk), a query is a small bag;
+   * score(doc) = Σ_q max_{v∈doc} cos_sim(q, v).
+   *
+   * `corpus` is `(doc, vec)`, `queries` is `(q_ix, qvec)` — the query bag is
+   * tiny by construction and broadcasts, so similarity stays map-side over
+   * ONE corpus pass; the per-(doc, q_ix) max is a partial-combined shuffle on
+   * the doc key, and the final per-doc sum moves only m rows per doc.
+   * Similarities are rounded to 6 decimals before the max and the sum runs in
+   * DECIMAL(20,6) — exact and commutative, so the score is byte-identical
+   * under any partitioning (and SQL-oracle-replayable).
+   */
+  def maxsimTopK(corpus: DataFrame, queries: DataFrame, topK: Int): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    corpus.crossJoin(broadcast(queries))
+      // sim = 1 − round(dist, 6): subtracting the ROUNDED distance keeps the
+      // double op identical in any engine that rounds the same distance
+      // (1 − dist unrounded can differ by an ulp from an engine's own sim)
+      .select(col("doc"), col("q_ix"),
+        (lit(1.0) - round(VectorFunctions.vec_cosine_dist(col("vec"), col("qvec")), 6))
+          .as("sim"))
+      .groupBy(col("doc"), col("q_ix"))
+      .agg(max(col("sim")).as("msim"))
+      .groupBy(col("doc"))
+      .agg(sum(col("msim").cast(DecimalType(20, 6))).as("__s"))
+      .select(col("doc"), col("__s").cast(DoubleType).as("maxsim"))
+      .orderBy(col("maxsim").desc, col("doc"))
+      .limit(topK)
+  }
+
+  /**
+   * k-NN majority-vote label prediction — the eval / auto-labeling op a
+   * labeled embedding table supports directly. Each query takes the majority
+   * label of its k exact nearest corpus rows; ties break deterministically on
+   * (closest-neighbor rank, then label). Neighbors come from [[knnJoin]]
+   * (partial top-k aggregation: only k rows per partition per query cross the
+   * shuffle); the vote itself aggregates k rows per query, and the rank-1
+   * window runs over ≤ k label groups per query — bounded however large the
+   * corpus is.
+   *
+   * `corpus` is `(id, vec, label)`, `queries` is `(qid, qvec)`.
+   */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, k: Int,
+      dist: (Column, Column) => Column): DataFrame = {
+    val nn = knnJoin(corpus.select(col("id"), col("vec")), queries, k, dist)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+      .orderBy(col("votes").desc, col("best_rnk"), col("label"))
+    nn.join(corpus.select(col("id"), col("label")), "id")
+      .groupBy(col("qid"), col("label"))
+      .agg(count(lit(1)).as("votes"), min(col("rnk")).as("best_rnk"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("qid"), col("label").as("predicted"), col("votes"))
+  }
+
+  /** Mergeable fixed-point second-moment accumulator over the leading `dims`
+    * dimensions: buffer = [n, Σxᵢ (×2²⁰), Σxᵢxⱼ (×2³⁰, i ≤ j row-major)].
+    * Long adds commute, so the sums are byte-identical under any
+    * partitioning and replayable by any engine with floor() — the same trick
+    * as [[QuantizedVecSum]], extended to the Gram matrix. O(dims²) state per
+    * partition, ZERO per-row shuffle rows; the explode-to-pairs alternative
+    * would shuffle dims²/2 rows per vector. */
+  class CovSumAggregator(dims: Int) extends Aggregator[Array[Float], Array[Long], Array[Long]] {
+    private val nPairs = dims * (dims + 1) / 2
+    override def zero: Array[Long] = new Array[Long](1 + dims + nPairs)
+    override def reduce(b: Array[Long], v: Array[Float]): Array[Long] = {
+      b(0) += 1L
+      var i = 0
+      var p = 1 + dims
+      while (i < dims) {
+        val xi = v(i).toDouble
+        b(1 + i) += math.floor(xi * 1048576.0 + 0.5).toLong
+        var j = i
+        while (j < dims) {
+          b(p) += math.floor(xi * v(j).toDouble * 1073741824.0 + 0.5).toLong
+          p += 1
+          j += 1
+        }
+        i += 1
+      }
+      b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /**
+   * Covariance/correlation audit over the leading `dims` dimensions — the
+   * PCA/whitening pre-pass (is the embedding space axis-correlated? which
+   * dims carry variance?). ONE map-side-combined aggregation producing a
+   * single O(dims²) row ([[CovSumAggregator]]); the driver expands it to
+   * (i ≤ j) pairs — a bounded collect of one row, the same class as the IVF
+   * centroid collect. cov(i,j) = E[xᵢxⱼ] − E[xᵢ]E[xⱼ] from the fixed-point
+   * sums (quantization ~1e-6, identical in any engine).
+   */
+  def covarianceAudit(df: DataFrame, vecCol: String, dims: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = udaf(new CovSumAggregator(dims))
+    val s = df.select(agg(col(vecCol)).as("s")).head().getSeq[Long](0).toArray
+    val n = s(0).toDouble
+    def mean(i: Int): Double = s(1 + i) / 1048576.0 / n
+    def exy(p: Int): Double = s(1 + dims + p) / 1073741824.0 / n
+    val rows = for {
+      i <- 0 until dims
+      j <- i until dims
+    } yield {
+      val p = i * dims - i * (i - 1) / 2 + (j - i)
+      (i.toLong, j.toLong, exy(p) - mean(i) * mean(j))
+    }
+    val varOf = rows.collect { case (i, j, c) if i == j => i -> c }.toMap
+    spark.createDataset(rows.map { case (i, j, c) =>
+      val denom = math.sqrt(varOf(i) * varOf(j))
+      (i, j, BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        if (denom > 0) BigDecimal(c / denom).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        else 0.0)
+    }).toDF("dim_i", "dim_j", "cov", "corr")
+  }
+
+  /**
+   * Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein 1998) — the
+   * standard diversified-retrieval post-pass: greedily pick
+   * argmax λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s), tie-break on id.
+   *
+   * `candidates` is `(qid, id, rel, vec)`, the bounded top-n of a retrieval —
+   * so the quadratic term is n² per query, never corpus-sized. The pairwise
+   * sim table is built relationally (per-qid self-join of a bounded list,
+   * 6-decimal rounded so the greedy trace is engine-exact) and the greedy
+   * selection runs per query inside ONE mapGroups — all queries re-rank in
+   * parallel, no driver loop.
+   */
+  def mmrRerank(candidates: DataFrame, selectK: Int,
+      lambda: Double = 0.7): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val a = candidates.select(col("qid"), col("id").as("ia"),
+      col("rel").as("rel_a"), col("vec").as("va"))
+    val b = candidates.select(col("qid"), col("id").as("ib"), col("vec").as("vb"))
+    val sims = a.join(b, Seq("qid")).filter(col("ia") =!= col("ib"))
+      // 1 − round(dist, 6), not round(1 − dist, 6): see maxsimTopK
+      .select(col("qid"), col("ia"), col("ib"), col("rel_a"),
+        (lit(1.0) - round(VectorFunctions.vec_cosine_dist(col("va"), col("vb")), 6))
+          .as("sim"))
+      .as[(Long, Long, Long, Double, Double)]
+    sims.groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val rel = scala.collection.mutable.LongMap.empty[Double]
+        val sim = scala.collection.mutable.HashMap.empty[(Long, Long), Double]
+        it.foreach { case (_, ia, ib, relA, s) =>
+          rel(ia) = relA
+          sim((ia, ib)) = s
+        }
+        val remaining = scala.collection.mutable.SortedSet.empty[Long] ++ rel.keys
+        val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+        var rank = 1
+        while (rank <= selectK && remaining.nonEmpty) {
+          var bestId = -1L
+          var bestScore = Double.NegativeInfinity
+          remaining.foreach { c =>
+            // max over picked, 0.0 only when nothing is picked yet (a
+            // negative max must NOT clamp to 0 — it matches SQL's
+            // coalesce(max(..), 0.0), which is NULL only over zero rows)
+            val maxSim =
+              if (picked.isEmpty) 0.0
+              else picked.iterator.map(s => sim.getOrElse((c, s), 0.0)).max
+            val score = lambda * rel(c) - (1.0 - lambda) * maxSim
+            // strict > with ascending-id iteration == (score DESC, id ASC)
+            if (score > bestScore) { bestScore = score; bestId = c }
+          }
+          remaining.remove(bestId)
+          picked += bestId
+          out += ((qid, rank.toLong, bestId, rel(bestId)))
+          rank += 1
+        }
+        out.iterator
+      }
+      .toDF("qid", "rnk", "id", "rel")
+  }
 }

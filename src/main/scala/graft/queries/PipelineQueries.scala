@@ -476,6 +476,72 @@ object PipelineQueries {
           round(col("col"), 6).as("value"))
         .orderBy(col("label"), col("dim_idx"))),
 
+    // covariance/correlation audit of the leading 8 embedding dims — the
+    // PCA/whitening pre-pass, ONE map-side-combined O(dims²)-state
+    // aggregation (fixed-point sums => engine-replayable), driver expands
+    // the single result row to (i ≤ j) pairs
+    "embed_covariance" -> ((s, d) =>
+      Similarity.covarianceAudit(emb(s, d), "embedding", dims = 8)
+        .orderBy(col("dim_i"), col("dim_j"))),
+
+    // ColBERT-style MaxSim late-interaction retrieval: pseudo-docs of 8
+    // chunk vectors each (vec_id div 8), a 4-vector query bag; score(doc) =
+    // Σ_q max_chunk cos_sim — query bag broadcasts, sims map-side, the max
+    // shuffles once on doc, the sum runs in exact DECIMAL(20,6)
+    "maxsim_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.maxsimTopK(
+        e.filter(col("vec_id") >= 8)
+          .select(floor(col("vec_id") / 8).cast("long").as("doc"),
+            col("embedding").as("vec")),
+        e.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("q_ix"), col("embedding").as("qvec")),
+        topK = 10)
+    }),
+
+    // k-NN majority-vote classification (the eval / auto-labeling op):
+    // every 100th vector is a held-out query; predicted label = majority of
+    // its 10 exact-cosine neighbors, ties broken by closest-neighbor rank
+    // then label. Neighbors via the partial top-k aggregator (k rows per
+    // partition per query cross the shuffle; no window over the corpus)
+    "knn_label_vote" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.knnClassify(
+        e.filter(col("vec_id") % 100 =!= 0)
+          .select(col("vec_id").as("id"), col("embedding").as("vec"),
+            col("label")),
+        e.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        k = 10,
+        (a, b) => round(VectorFunctions.vec_cosine_dist(a, b), 6))
+        .join(e.select(col("vec_id").as("qid"),
+          col("label").as("true_label")), Seq("qid"))
+        .select(col("qid"), col("predicted").cast("long").as("predicted"),
+          col("votes"), col("true_label").cast("long").as("true_label"),
+          (col("predicted") === col("true_label")).as("correct"))
+        .orderBy(col("qid"))
+    }),
+
+    // MMR-diversified retrieval (Carbonell & Goldstein): top-15 cosine
+    // candidates for query vec 0, greedily re-ranked to 10 by
+    // λ·rel − (1−λ)·max-sim-to-selected at λ=0.7 — the quadratic term is
+    // 15² per query, candidates for all queries re-rank in parallel
+    "mmr_diversify" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      val cand = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id").as("id"), col("embedding").as("vec"),
+          round(VectorFunctions.vec_cosine_dist(col("embedding"), col("qvec")), 6)
+            .as("dist"))
+        .orderBy(col("dist"), col("id")).limit(15)
+        .select(lit(0L).as("qid"), col("id"),
+          (lit(1.0) - col("dist")).as("rel"), col("vec"))
+      Similarity.mmrRerank(cand, selectK = 10, lambda = 0.7)
+        .select(col("rnk"), col("id"), round(col("rel"), 6).as("rel"))
+        .orderBy(col("rnk"))
+    }),
+
     // same prototypes through the SQL surface: pgvector's avg(vector)
     // aggregate as the registered vec_avg UDAF (fixed-point buffer — long
     // adds commute, so the result is partitioning-independent and
@@ -496,6 +562,16 @@ object PipelineQueries {
       Curation.stratifiedSample(docs(s, d), "doc_id", "lang",
         Map("en" -> 0.25), defaultRate = 0.75, seed = "strat42")
         .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))),
+
+    // deterministic 90/5/5 train/val/test split audit: assignment is
+    // md5-uniform (map-side, stable under reruns/backfills, replayable by
+    // any engine with md5); the audit is one tiny source×split aggregation
+    "split_assign" -> ((s, d) =>
+      Curation.hashSplit(docs(s, d), "doc_id",
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), seed = "split42")
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("source"), col("split"))),
 
     // top-30 vocabulary (wordcount with map-side combine; tie-break on token)
     "vocab_topk" -> ((s, d) => Curation.vocabTopK(docs(s, d), "text", 30)),
@@ -1181,6 +1257,87 @@ object PipelineQueries {
         |       round(CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0), 6) AS value
         |FROM s ORDER BY label, dim_idx""".stripMargin,
 
+    // fixed-point second moments replayed in SQL: same floor(x·2^20 + .5) /
+    // floor(x·y·2^30 + .5) quantization, same division order, so every
+    // double op is identical to the Scala aggregator's
+    "embed_covariance" ->
+      """WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |p AS (SELECT i.range AS i, j.range AS j
+        |      FROM range(0, 8) i, range(0, 8) j WHERE i.range <= j.range),
+        |s AS (SELECT p.i, p.j, count(*) AS n,
+        |    sum(CAST(floor(e[CAST(p.i + 1 AS INT)] * 1048576.0 + 0.5) AS BIGINT)) AS sx,
+        |    sum(CAST(floor(e[CAST(p.j + 1 AS INT)] * 1048576.0 + 0.5) AS BIGINT)) AS sy,
+        |    sum(CAST(floor(e[CAST(p.i + 1 AS INT)] * e[CAST(p.j + 1 AS INT)] * 1073741824.0 + 0.5) AS BIGINT)) AS sxy
+        |  FROM v, p GROUP BY p.i, p.j),
+        |c AS (SELECT i, j,
+        |    CAST(sxy AS DOUBLE) / 1073741824.0 / n
+        |      - (CAST(sx AS DOUBLE) / 1048576.0 / n) * (CAST(sy AS DOUBLE) / 1048576.0 / n) AS cov
+        |  FROM s),
+        |d AS (SELECT i AS k, cov AS var FROM c WHERE i = j)
+        |SELECT CAST(c.i AS BIGINT) AS dim_i, CAST(c.j AS BIGINT) AS dim_j,
+        |  round(c.cov, 6) AS cov,
+        |  CASE WHEN sqrt(di.var * dj.var) > 0
+        |       THEN round(c.cov / sqrt(di.var * dj.var), 6) ELSE 0.0 END AS corr
+        |FROM c JOIN d di ON di.k = c.i JOIN d dj ON dj.k = c.j
+        |ORDER BY dim_i, dim_j""".stripMargin,
+
+    // sim = 1 − round(dist, 6) mirrors the Spark side exactly; the per-doc
+    // sum runs in DECIMAL(20,6) in both engines (exact, order-independent)
+    "maxsim_topk" ->
+      """WITH q AS (SELECT vec_id AS q_ix, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 4),
+        |c AS (SELECT vec_id // 8 AS doc, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings WHERE vec_id >= 8),
+        |m AS (SELECT c.doc, q.q_ix,
+        |    max(1.0 - round(1.0 - list_cosine_similarity(c.v, q.qv), 6)) AS msim
+        |  FROM c, q GROUP BY c.doc, q.q_ix)
+        |SELECT CAST(doc AS BIGINT) AS doc,
+        |  CAST(sum(CAST(msim AS DECIMAL(20,6))) AS DOUBLE) AS maxsim
+        |FROM m GROUP BY doc ORDER BY maxsim DESC, doc LIMIT 10""".stripMargin,
+
+    "knn_label_vote" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id % 100 = 0),
+        |c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v, label
+        |      FROM embeddings WHERE vec_id % 100 <> 0),
+        |d AS (SELECT q.qid, c.id, c.label,
+        |    round(1.0 - list_cosine_similarity(c.v, q.qv), 6) AS dist FROM c, q),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rnk FROM d),
+        |v AS (SELECT qid, label, count(*) AS votes, min(rnk) AS best_rnk
+        |      FROM r WHERE rnk <= 10 GROUP BY qid, label),
+        |p AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY votes DESC, best_rnk, label) AS rn FROM v)
+        |SELECT p.qid, CAST(p.label AS BIGINT) AS predicted, votes,
+        |  CAST(t.label AS BIGINT) AS true_label, p.label = t.label AS correct
+        |FROM p JOIN embeddings t ON t.vec_id = p.qid
+        |WHERE rn = 1 ORDER BY qid""".stripMargin,
+
+    // the greedy MMR trace as a recursive CTE; (1.0 - 0.7), never a 0.3
+    // literal — IEEE 1.0-0.7 ≠ 0.3, and the Scala kernel computes 1−λ
+    "mmr_diversify" ->
+      """WITH RECURSIVE
+        |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+        |cand AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+        |    round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT v FROM qv)), 6) AS dist
+        |  FROM embeddings WHERE vec_id <> 0 ORDER BY dist, id LIMIT 15),
+        |rels AS (SELECT id, 1.0 - dist AS rel FROM cand),
+        |sims AS (SELECT a.id AS ia, b.id AS ib,
+        |    1.0 - round(1.0 - list_cosine_similarity(a.v, b.v), 6) AS sim
+        |  FROM cand a JOIN cand b ON a.id <> b.id),
+        |sel AS (
+        |  SELECT 0 AS step, CAST([] AS BIGINT[]) AS picked
+        |  UNION ALL
+        |  SELECT step + 1, list_append(picked, (
+        |      SELECT r.id FROM rels r WHERE NOT list_contains(sel.picked, r.id)
+        |      ORDER BY 0.7 * r.rel - (1.0 - 0.7) * coalesce((SELECT max(s.sim) FROM sims s
+        |          WHERE s.ia = r.id AND list_contains(sel.picked, s.ib)), 0.0) DESC, r.id
+        |      LIMIT 1))
+        |  FROM sel WHERE step < 10)
+        |SELECT CAST(u.range AS BIGINT) AS rnk, picked[CAST(u.range AS INT)] AS id,
+        |  round((SELECT rel FROM rels WHERE id = picked[CAST(u.range AS INT)]), 6) AS rel
+        |FROM (SELECT picked FROM sel WHERE step = 10) t, range(1, 11) u
+        |ORDER BY rnk""".stripMargin,
+
     "vec_avg_by_label" ->
       """WITH f AS (SELECT label, unnest(range(1, len(embedding)+1)) AS i, embedding
         |           FROM embeddings)
@@ -1593,6 +1750,19 @@ object PipelineQueries {
         |      / 1152921504606846976.0
         |      < CASE WHEN lang = 'en' THEN 0.25 ELSE 0.75 END
         |ORDER BY doc_id""".stripMargin,
+
+    // thresholds are the running double sums (0.9, 0.9 + 0.05), matching the
+    // Scala scanLeft — an 0.95 literal is a DIFFERENT double than 0.9 + 0.05
+    "split_assign" ->
+      """WITH u AS (SELECT source, n_chars,
+        |    ('0x' || substr(md5('split42:' || CAST(doc_id AS VARCHAR)), 18, 15))::UBIGINT
+        |      / 1152921504606846976.0 AS r
+        |  FROM documents)
+        |SELECT source,
+        |  CASE WHEN r < 0.9 THEN 'train'
+        |       WHEN r < 0.9 + 0.05 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM u GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
 
     "vocab_topk" ->
       s"""WITH t AS (SELECT $sqlTokens AS w FROM documents),

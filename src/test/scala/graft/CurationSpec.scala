@@ -250,4 +250,28 @@ class CurationSpec extends AnyFunSuite {
     assert(kb.map(_._2).sorted.toSeq == (106 to 120).map(_.toDouble))
     assert(ka.forall(_._3 == 5.75) && kb.forall(_._3 == 105.75))
   }
+
+  test("hashSplit: ~weights fractions, total partition, and backfill stability") {
+    import spark.implicits._
+    val ids = (0L until 2000L).toDF("id")
+    val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val assigned = Curation.hashSplit(ids, "id", splits, seed = "t")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every row lands in exactly one split; fractions near the weights
+    assert(assigned.size == 2000)
+    val frac = assigned.values.groupBy(identity).view.mapValues(_.size / 2000.0)
+    assert(math.abs(frac("train") - 0.9) < 0.03)
+    assert(math.abs(frac("val") - 0.05) < 0.02)
+    assert(math.abs(frac("test") - 0.05) < 0.02)
+    // backfill stability: a subset of ids gets the SAME assignments — the
+    // split is a pure function of (seed, id), not of the batch contents
+    val subset = Curation.hashSplit(
+      ids.filter(col("id") % 3 === 0), "id", splits, seed = "t")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(subset.forall { case (id, s) => assigned(id) == s })
+    // weights that don't sum to 1 are rejected
+    intercept[IllegalArgumentException] {
+      Curation.hashSplit(ids, "id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
 }

@@ -137,4 +137,68 @@ class RetrievalClusteringSpec extends AnyFunSuite {
       .select(col("cluster_id"), col("doc_id")).collect()
     assert(kept.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((10L, 10L)))
   }
+
+  test("maxsimTopK: per-query max over the doc bag, then sum; hand-checked") {
+    val e1 = Array(1f, 0f, 0f); val e2 = Array(0f, 1f, 0f)
+    val e3 = Array(0f, 0f, 1f)
+    val mix = Array(math.sqrt(0.5).toFloat, 0f, math.sqrt(0.5).toFloat) // (e1+e3)/√2
+    val corpus = Seq((0L, e1), (0L, e2), (1L, e3), (1L, mix)).toDF("doc", "vec")
+    val queries = Seq((0, e1), (1, e3)).toDF("q_ix", "qvec")
+    val got = Similarity.maxsimTopK(corpus, queries, topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    // doc0: max(1, 0) + max(0, 0) = 1.0
+    // doc1: max(0, √.5) + max(1, √.5) = 1.707107
+    assert(got.head == (1L -> 1.707107))
+    assert(got(1) == (0L -> 1.0))
+  }
+
+  test("knnClassify: majority vote wins; vote ties break on closest rank") {
+    // corpus on a line: 3 label-0 points near x=0, 2 label-1 near x=10;
+    // query at x=1 with k=5 sees all -> label 0 by 3-2 majority
+    def v(x: Double) = Array(x.toFloat, 1f)
+    val corpus = Seq(
+      (1L, v(0.0), 0), (2L, v(0.4), 0), (3L, v(0.8), 0),
+      (4L, v(10.0), 1), (5L, v(10.5), 1)).toDF("id", "vec", "label")
+    val queries = Seq((100L, v(1.0))).toDF("qid", "qvec")
+    val dist = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      round(graft.functions.VectorFunctions.vec_cosine_dist(a, b), 6)
+    val got = Similarity.knnClassify(corpus, queries, k = 5, dist).collect()
+    assert(got.length == 1)
+    assert(got.head.getInt(1) == 0 && got.head.getLong(2) == 3L)
+
+    // 2-2 tie at k=4: the label holding the single closest neighbor wins
+    val tied = Similarity.knnClassify(
+      corpus.filter(col("id") =!= 3L), queries, k = 4, dist).collect()
+    assert(tied.head.getInt(1) == 0 && tied.head.getLong(2) == 2L)
+  }
+
+  test("covarianceAudit: known covariance recovered; partition-order-invariant") {
+    // perfectly correlated pair of dims: cov = var = 1.25, corr = 1
+    val vs = Seq(0f, 1f, 2f, 3f).map(x => Tuple1(Array(x, x)))
+    val df = vs.toDF("embedding")
+    val got = Similarity.covarianceAudit(df, "embedding", dims = 2)
+      .orderBy(col("dim_i"), col("dim_j")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((0L, 0L, 1.25, 1.0), (0L, 1L, 1.25, 1.0),
+      (1L, 1L, 1.25, 1.0)))
+    // fixed-point sums commute: any partitioning gives byte-identical output
+    val rep = Similarity.covarianceAudit(df.repartition(7), "embedding", dims = 2)
+      .orderBy(col("dim_i"), col("dim_j")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rep.toSeq == got.toSeq)
+  }
+
+  test("mmrRerank: a near-duplicate of the top pick is deferred behind a diverse candidate") {
+    val a = Array(1f, 0f, 0f)
+    val b = Array(0.9998f, 0.02f, 0f) // near-dup of a
+    val c = Array(0f, 1f, 0f)         // orthogonal
+    val cand = Seq(
+      (0L, 1L, 0.99, a), (0L, 2L, 0.98, b), (0L, 3L, 0.90, c))
+      .toDF("qid", "id", "rel", "vec")
+    val got = Similarity.mmrRerank(cand, selectK = 3, lambda = 0.7)
+      .orderBy(col("rnk")).collect().map(_.getLong(2))
+    // rank1 = highest rel (1); rank2: b scores .7*.98-.3*sim(a,b)≈.386,
+    // c scores .7*.9-.3*0=.63 -> the diverse c jumps ahead of the near-dup
+    assert(got.toSeq == Seq(1L, 3L, 2L))
+  }
 }
