@@ -609,6 +609,57 @@ object Similarity {
       .select(col("qid"), col("label").as("predicted"), col("votes"))
   }
 
+  /**
+   * Hard-negative mining for contrastive/embedding training: for each query
+   * `(qid, qvec, qlabel)`, the k nearest corpus rows whose label DIFFERS —
+   * the negatives that sit closest to the decision boundary, which is what a
+   * triplet/InfoNCE sampler wants. Same cost shape as [[knnJoin]]: queries
+   * broadcast, the label-mismatch filter runs map-side BEFORE the partial
+   * top-k aggregation, so only k rows per partition per query shuffle.
+   */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      dist: (Column, Column) => Column): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("label") =!= col("qlabel"))
+      .select(col("qid"), col("id"), dist(col("vec"), col("qvec")).as("dist"))
+      .as[(Long, Long, Double)]
+    val agg = new TopKAggregator(k)
+    scored.groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(agg.toColumn.name("topk"))
+      .toDF("qid", "topk")
+      .select(col("qid"), posexplode(col("topk")))
+      .select(col("qid"), col("col._1").as("id"), col("col._2").as("dist"),
+        (col("pos") + 1).as("rnk"))
+  }
+
+  /**
+   * Embedding drift monitor: cosine distance between each group's centroid
+   * in two cohorts (e.g. last week's corpus vs this week's, model v1 vs v2).
+   * Centroids come from [[groupCentroids]] (fixed-point sums → exact,
+   * engine-replayable means, one O(#groups·dim) shuffle per cohort); the
+   * final join + cosine runs over #groups rows. The dot/norm fold is written
+   * as explicit sequential `aggregate` ops so any engine replays the same
+   * double sequence.
+   */
+  def centroidShift(old: DataFrame, neu: DataFrame, groupCol: String,
+      vecCol: String, dim: Int): DataFrame = {
+    def cents(df: DataFrame, suffix: String): DataFrame =
+      groupCentroids(df, groupCol, vecCol, dim)
+        .select(col(groupCol), col("n_members").as(s"n_$suffix"),
+          col("centroid").as(s"c_$suffix"))
+    def dot(a: String, b: String): Column =
+      aggregate(zip_with(col(a), col(b), (x, y) => x * y), lit(0.0), _ + _)
+    cents(old, "old").join(cents(neu, "new"), Seq(groupCol))
+      .select(col(groupCol), col("n_old"), col("n_new"),
+        round(lit(1.0) - dot("c_old", "c_new") /
+          sqrt(dot("c_old", "c_old") * dot("c_new", "c_new")), 6)
+          .as("centroid_cos_dist"))
+  }
+
   /** Mergeable fixed-point second-moment accumulator over the leading `dims`
     * dimensions: buffer = [n, Σxᵢ (×2²⁰), Σxᵢxⱼ (×2³⁰, i ≤ j row-major)].
     * Long adds commute, so the sums are byte-identical under any

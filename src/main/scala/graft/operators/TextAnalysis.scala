@@ -509,6 +509,40 @@ object TextAnalysis {
         row_number().over(Window.orderBy(col("bscore").desc, col("id"))))
   }
 
+  /**
+   * Heaps'-law vocabulary-growth audit: cumulative distinct vocabulary vs
+   * cumulative token count at corpus-order checkpoints (every `bucketDocs`
+   * docs by id). V(T) ≈ k·T^β is the vocab/tokenizer-sizing signal — a
+   * corpus whose curve keeps climbing steeply still adds new surface forms
+   * (more morphology/noise), one that flattens is saturating. Cost: token
+   * counts are map-side; the vocabulary side is a first-occurrence election
+   * (min doc id per token — ONE shuffle, exact-dedup cost class, never a
+   * distinct-per-prefix recount); the cumulative window runs over
+   * CHECKPOINTS (corpus/bucketDocs rows), not docs — pick bucketDocs so that
+   * stays in the thousands at full scale.
+   */
+  def heapsLaw(df: DataFrame, idCol: String, textCol: String,
+      bucketDocs: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docToks = df
+      .select(floor(col(idCol) / bucketDocs).cast("long").as("bucket"),
+        tokenCount(col(textCol)).cast("long").as("__n"))
+      .groupBy(col("bucket")).agg(sum(col("__n")).as("new_tokens"))
+    val newVocab = df
+      .select(col(idCol).as("__id"), explode_outer(tokens(col(textCol))).as("tok"))
+      .filter(col("tok").isNotNull)
+      .groupBy(col("tok")).agg(min(col("__id")).as("first_id"))
+      .select(floor(col("first_id") / bucketDocs).cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_vocab"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docToks.join(newVocab, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("new_tokens", "new_vocab"))
+      .select(col("bucket"), sum(col("new_tokens")).over(w).as("cum_tokens"),
+        sum(col("new_vocab")).over(w).as("cum_vocab"))
+      .orderBy(col("bucket"))
+  }
+
   private val builders: Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
     "doc_fingerprint" -> (es => DocFingerprint(es.head)),
     "doc_fingerprint_md5" -> (es => DocFingerprintMd5(es.head)),

@@ -542,6 +542,43 @@ object PipelineQueries {
         .orderBy(col("rnk"))
     }),
 
+    // hard-negative mining for contrastive training: per held-out query,
+    // the 5 nearest corpus vectors with a DIFFERENT label (the negatives a
+    // triplet/InfoNCE sampler wants); label filter is map-side before the
+    // partial top-k aggregation
+    "hard_negatives" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.hardNegatives(
+        e.filter(col("vec_id") % 100 =!= 0)
+          .select(col("vec_id").as("id"), col("embedding").as("vec"),
+            col("label")),
+        e.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+            col("label").as("qlabel")),
+        k = 5,
+        (a, b) => round(VectorFunctions.vec_cosine_dist(a, b), 6))
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // embedding drift monitor: per-label centroid cosine distance between
+    // the even- and odd-id cohorts (stand-ins for week-over-week corpora or
+    // model v1/v2); fixed-point centroid sums => engine-replayable
+    "centroid_shift" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.centroidShift(
+        e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 =!= 0),
+        "label", "embedding", dim = 64)
+        .select(col("label").cast("long").as("label"), col("n_old"),
+          col("n_new"), col("centroid_cos_dist"))
+        .orderBy(col("label"))
+    }),
+
+    // Heaps'-law vocabulary growth at 50-doc checkpoints: cumulative tokens
+    // vs cumulative distinct vocab — first-occurrence election in one
+    // shuffle, cumulative window over checkpoints only
+    "heaps_law" -> ((s, d) =>
+      TextAnalysis.heapsLaw(docs(s, d), "doc_id", "text", bucketDocs = 50)),
+
     // same prototypes through the SQL surface: pgvector's avg(vector)
     // aggregate as the registered vec_avg UDAF (fixed-point buffer — long
     // adds commute, so the result is partitioning-independent and
@@ -1337,6 +1374,55 @@ object PipelineQueries {
         |  round((SELECT rel FROM rels WHERE id = picked[CAST(u.range AS INT)]), 6) AS rel
         |FROM (SELECT picked FROM sel WHERE step = 10) t, range(1, 11) u
         |ORDER BY rnk""".stripMargin,
+
+    "hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
+        |           FROM embeddings WHERE vec_id % 100 = 0),
+        |c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v, label
+        |      FROM embeddings WHERE vec_id % 100 <> 0),
+        |d AS (SELECT q.qid, c.id,
+        |    round(1.0 - list_cosine_similarity(c.v, q.qv), 6) AS dist
+        |  FROM c, q WHERE c.label <> q.qlabel),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rnk FROM d)
+        |SELECT qid, id, dist, rnk FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    // centroids replayed with the same floor(x·2^20 + .5) fixed point; the
+    // dot/norm folds are ordered list_reduce (0.0 + p1 == p1, so the left
+    // fold matches Spark's aggregate() double-for-double)
+    "centroid_shift" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT label, vec_id % 2 = 0 AS old, d.range AS dim,
+        |    CAST(floor(v[CAST(d.range + 1 AS INT)] * 1048576.0 + 0.5) AS BIGINT) AS qv
+        |  FROM e CROSS JOIN range(0, 64) d),
+        |s AS (SELECT label, old, dim, sum(qv) AS sq, count(*) AS n
+        |      FROM q GROUP BY 1, 2, 3),
+        |c AS (SELECT label, old,
+        |    list(CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) ORDER BY dim) AS cent,
+        |    max(n) AS n_members
+        |  FROM s GROUP BY 1, 2),
+        |p AS (SELECT co.label, co.n_members AS n_old, cn.n_members AS n_new,
+        |        co.cent AS a, cn.cent AS b
+        |      FROM c co JOIN c cn ON co.label = cn.label AND co.old AND NOT cn.old)
+        |SELECT CAST(label AS BIGINT) AS label, n_old, n_new,
+        |  round(1.0 - list_reduce([a[i] * b[i] for i in range(1, 65)], (x, y) -> x + y) /
+        |    sqrt(list_reduce([a[i] * a[i] for i in range(1, 65)], (x, y) -> x + y) *
+        |         list_reduce([b[i] * b[i] for i in range(1, 65)], (x, y) -> x + y)), 6)
+        |    AS centroid_cos_dist
+        |FROM p ORDER BY label""".stripMargin,
+
+    "heaps_law" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+         |dt AS (SELECT doc_id // 50 AS bucket, sum(len(w)) AS nt FROM t GROUP BY 1),
+         |fx AS (SELECT tok, min(doc_id) AS first_id
+         |       FROM (SELECT doc_id, unnest(w) AS tok FROM t) GROUP BY tok),
+         |nv AS (SELECT first_id // 50 AS bucket, count(*) AS nvv FROM fx GROUP BY 1),
+         |j AS (SELECT coalesce(dt.bucket, nv.bucket) AS bucket,
+         |        coalesce(nt, 0) AS nt, coalesce(nvv, 0) AS nvv
+         |      FROM dt FULL OUTER JOIN nv ON dt.bucket = nv.bucket)
+         |SELECT bucket,
+         |  CAST(sum(nt) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+         |  CAST(sum(nvv) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+         |FROM j ORDER BY bucket""".stripMargin,
 
     "vec_avg_by_label" ->
       """WITH f AS (SELECT label, unnest(range(1, len(embedding)+1)) AS i, embedding

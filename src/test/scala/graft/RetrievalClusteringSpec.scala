@@ -188,6 +188,42 @@ class RetrievalClusteringSpec extends AnyFunSuite {
     assert(rep.toSeq == got.toSeq)
   }
 
+  test("hardNegatives: nearest same-label rows are excluded, k nearest others kept") {
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val corpus = Seq(
+      (1L, v(1, 0.01), 0),  // same label as query — nearest, must be excluded
+      (2L, v(1, 0.2), 1),
+      (3L, v(1, 0.5), 1),
+      (4L, v(0, 1), 2)).toDF("id", "vec", "label")
+    val queries = Seq((9L, v(1, 0.0), 0)).toDF("qid", "qvec", "qlabel")
+    val dist = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      round(graft.functions.VectorFunctions.vec_cosine_dist(a, b), 6)
+    val got = Similarity.hardNegatives(corpus, queries, k = 2, dist)
+      .orderBy(col("rnk")).collect().map(_.getLong(1))
+    assert(got.toSeq == Seq(2L, 3L)) // 1 filtered by label, 4 beyond k
+  }
+
+  test("centroidShift: identical cohorts -> 0, orthogonal centroids -> 1") {
+    val old = Seq((0, Array(1f, 0f)), (0, Array(1f, 0f)),
+      (1, Array(0f, 2f))).toDF("label", "embedding")
+    val neu = Seq((0, Array(1f, 0f)), (1, Array(3f, 0f)))
+      .toDF("label", "embedding")
+    val got = Similarity.centroidShift(old, neu, "label", "embedding", dim = 2)
+      .orderBy(col("label")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((0, 2L, 1L, 0.0), (1, 1L, 1L, 1.0)))
+  }
+
+  test("heapsLaw: cumulative tokens and first-occurrence vocab per checkpoint") {
+    val docs = Seq(
+      (0L, "a b a"), (1L, "b c"),     // bucket 0: 5 toks, vocab {a,b,c}
+      (2L, "c d"), (3L, "d e e")      // bucket 1: +5 toks, vocab +{d,e}
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.heapsLaw(docs, "doc_id", "text", bucketDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 5L, 3L), (1L, 10L, 5L)))
+  }
+
   test("mmrRerank: a near-duplicate of the top pick is deferred behind a diverse candidate") {
     val a = Array(1f, 0f, 0f)
     val b = Array(0.9998f, 0.02f, 0f) // near-dup of a
