@@ -660,6 +660,40 @@ object Similarity {
           .as("centroid_cos_dist"))
   }
 
+  /**
+   * Hubness audit — the classic high-dimensional embedding-space diagnostic
+   * (Radovanović et al. 2010): the in-degree distribution of the k-NN graph.
+   * A healthy space has a tight distribution; a hubby one (a few points in
+   * everyone's top-k, many in nobody's) degrades retrieval and clustering.
+   * `queries` is a deterministic SAMPLE of the corpus (in-degrees scale by
+   * the sample rate) so the probe stays linear-in-corpus: broadcast sample ×
+   * one corpus pass, partial top-k aggregation, then an in-degree count and
+   * a histogram over ≤ sample·k edge rows. Zero-in-degree vectors are
+   * counted via one broadcast-joinable left join against the tiny in-degree
+   * table. Returns `(in_degree, n_vectors)`.
+   */
+  def hubnessAudit(corpus: DataFrame, queries: DataFrame, k: Int,
+      dist: (Column, Column) => Column): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("id") =!= col("qid")) // a point is not its own neighbor
+      .select(col("qid"), col("id"), dist(col("vec"), col("qvec")).as("dist"))
+      .as[(Long, Long, Double)]
+    val agg = new TopKAggregator(k)
+    val indeg = scored.groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(agg.toColumn.name("topk"))
+      .toDF("qid", "topk")
+      .select(explode(col("topk")).as("e"))
+      .select(col("e._1").as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("in_degree"))
+    corpus.select(col("id")).join(indeg, Seq("id"), "left")
+      .na.fill(0L, Seq("in_degree"))
+      .groupBy(col("in_degree")).agg(count(lit(1)).as("n_vectors"))
+  }
+
   /** Mergeable fixed-point second-moment accumulator over the leading `dims`
     * dimensions: buffer = [n, Σxᵢ (×2²⁰), Σxᵢxⱼ (×2³⁰, i ≤ j row-major)].
     * Long adds commute, so the sums are byte-identical under any

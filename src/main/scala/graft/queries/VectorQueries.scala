@@ -130,6 +130,69 @@ object VectorQueries {
         .orderBy(col("score").desc, col("vec_id"))
     }),
 
+    // Full retrieval-eval suite over an 8-query set: recall@10, MRR@10 and
+    // binary-relevance nDCG@10 of the binary-quantized ranking against the
+    // exact-cosine ranking (= graded ground truth). DCG folds its 1/log2
+    // terms in rank order (array_sort + sequential aggregate) so the double
+    // sum is engine-identical; a query with no overlap reports zeros.
+    // The per-query rankings here use rank windows over the 8-query
+    // candidate stream (bounded: the eval query set is small by
+    // construction); a corpus-scale eval would swap in the partial top-k
+    // aggregator exactly as knn_join_topk's Scaladoc describes.
+    "retrieval_metrics" -> ((s, d) => {
+      VectorFunctions.register(s)
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, d)
+      val qs = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          binary_quantize(col("embedding")).as("qcode"))
+      val scored = e.filter(col("vec_id") >= 8).crossJoin(broadcast(qs))
+      val exact = scored
+        .select(col("qid"), col("vec_id"),
+          round(vec_cosine_dist(col("embedding"), col("qvec")), 6).as("dist"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))))
+        .filter(col("rnk") <= 10).select(col("qid"), col("vec_id"))
+      val sys = scored
+        .select(col("qid"), col("vec_id"),
+          round(jaccard_dist(binary_quantize(col("embedding")), col("qcode")), 6)
+            .as("dist"))
+        .withColumn("srnk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))))
+        .filter(col("srnk") <= 10)
+        .select(col("qid"), col("vec_id"), col("srnk"))
+      val dcgOf = (ranks: org.apache.spark.sql.Column) => aggregate(
+        transform(ranks, r => lit(1.0) / log2(r + lit(1))), lit(0.0), _ + _)
+      val idcg = dcgOf(sequence(lit(1), lit(10)))
+      val g = exact.join(sys, Seq("qid", "vec_id"))
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_common"), min(col("srnk")).as("first_rel"),
+          dcgOf(array_sort(collect_list(col("srnk")))).as("dcg"))
+      qs.select(col("qid")).join(g, Seq("qid"), "left")
+        .select(col("qid"),
+          round(coalesce(col("n_common"), lit(0L)) / 10.0, 6).as("recall"),
+          round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), 6).as("mrr"),
+          round(coalesce(col("dcg"), lit(0.0)) / idcg, 6).as("ndcg"))
+        .orderBy(col("qid"))
+    }),
+
+    // Hubness audit (Radovanović et al.): in-degree histogram of the k=5
+    // NN graph over a deterministic 10%-of-ids query sample — the
+    // high-dimensional health check (a few in-everyone's-top-k hubs =>
+    // degraded retrieval). Broadcast sample × one corpus pass, partial
+    // top-k aggregation; zero-degree count via a broadcastable left join.
+    "hubness_audit" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val e = emb(s, d)
+      graft.operators.Similarity.hubnessAudit(
+        e.select(col("vec_id").as("id"), col("embedding").as("vec")),
+        e.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        k = 5,
+        (a, b) => round(vec_cosine_dist(a, b), 6))
+        .orderBy(col("in_degree"))
+    }),
+
     // Recall@10 audit of the binary-quantized stage against exact cosine —
     // the evaluation harness a quantize→rescore pipeline runs continuously.
     // One row: |approx∩exact| / k.
@@ -262,6 +325,56 @@ object VectorQueries {
          |SELECT vec_id, round(sum(CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), 6) AS score
          |FROM p, q WHERE embedding[i] > 0.15 AND qv[i] > 0.15
          |GROUP BY vec_id ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+    // DCG folds replayed as ordered list comprehensions + list_reduce
+    // (0.0 + t1 == t1, so the left fold matches Spark's aggregate())
+    "retrieval_metrics" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings WHERE vec_id >= 8),
+        |ex AS (SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rnk
+        |    FROM (SELECT q.qid, c.vec_id,
+        |            round(1.0 - list_cosine_similarity(c.v, q.qv), 6) AS dist FROM c, q))
+        |  WHERE rnk <= 10),
+        |sy AS (SELECT qid, vec_id, srnk FROM (
+        |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS srnk
+        |    FROM (SELECT q.qid, c.vec_id,
+        |        round(1.0 - coalesce(CAST(list_sum(list_transform(range(1, len(c.embedding)+1),
+        |            i -> CASE WHEN c.embedding[i] > 0 AND q.qe[i] > 0 THEN 1 ELSE 0 END)) AS DOUBLE)
+        |          / nullif(list_sum(list_transform(range(1, len(c.embedding)+1),
+        |            i -> CASE WHEN c.embedding[i] > 0 OR q.qe[i] > 0 THEN 1 ELSE 0 END)), 0), 1.0), 6) AS dist
+        |      FROM c, q))
+        |  WHERE srnk <= 10),
+        |m AS (SELECT ex.qid, sy.srnk FROM ex JOIN sy ON ex.qid = sy.qid AND ex.vec_id = sy.vec_id),
+        |g AS (SELECT qid, count(*) AS n_common, min(srnk) AS first_rel,
+        |        list(srnk ORDER BY srnk) AS rl
+        |      FROM m GROUP BY qid),
+        |g2 AS (SELECT qid, n_common, first_rel,
+        |        list_reduce([1.0 / log2(CAST(x + 1 AS DOUBLE)) for x in rl], (a, b) -> a + b) AS dcg
+        |      FROM g),
+        |i AS (SELECT list_reduce([1.0 / log2(CAST(x + 1 AS DOUBLE)) for x in range(1, 11)], (a, b) -> a + b) AS idcg)
+        |SELECT q.qid,
+        |  round(coalesce(n_common, 0) / 10.0, 6) AS recall,
+        |  round(coalesce(1.0 / first_rel, 0.0), 6) AS mrr,
+        |  round(coalesce(dcg, 0.0) / (SELECT idcg FROM i), 6) AS ndcg
+        |FROM (SELECT DISTINCT qid FROM q) q LEFT JOIN g2 USING (qid)
+        |ORDER BY qid""".stripMargin,
+
+    "hubness_audit" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id % 10 = 0),
+        |c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |r AS (SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rnk
+        |      FROM (SELECT q.qid, c.id,
+        |              round(1.0 - list_cosine_similarity(c.v, q.qv), 6) AS dist
+        |            FROM c, q WHERE c.id <> q.qid)),
+        |ind AS (SELECT id, count(*) AS in_degree FROM r WHERE rnk <= 5 GROUP BY id),
+        |alln AS (SELECT c.id, coalesce(in_degree, 0) AS in_degree
+        |         FROM c LEFT JOIN ind USING (id))
+        |SELECT in_degree, count(*) AS n_vectors FROM alln
+        |GROUP BY in_degree ORDER BY in_degree""".stripMargin,
+
     "ann_recall_audit" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QID),
          |ex AS (SELECT vec_id FROM (

@@ -44,7 +44,13 @@ object PlanAudit {
     // funnel/retention joins must be AQE-broadcast or user_id-shuffle only
     "gopher_repetition", "dsir_weights", "dsir_resample", "hybrid_rrf",
     "funnel_steps", "retention_cohorts", "dedup_span_removal",
-    "quality_adaptive", "sample_epochs", "tokenizer_fertility")
+    "quality_adaptive", "sample_epochs", "tokenizer_fertility",
+    // round 6 (cont.): maxsim's query bag and knn-vote/hard-neg queries
+    // must broadcast below partial top-k aggregations; split/covariance
+    // stay map-side into one bounded aggregation; heaps' window must run
+    // over checkpoint buckets, not docs
+    "maxsim_topk", "knn_label_vote", "hard_negatives", "split_assign",
+    "embed_covariance", "centroid_shift", "heaps_law", "mmr_diversify")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

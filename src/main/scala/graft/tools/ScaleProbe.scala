@@ -146,6 +146,39 @@ object ScaleProbe {
         graft.operators.Curation.dsirWeights(spark.read.parquet(docsPath(f)),
           "doc_id", "text", col("lang") === "en")
           .filter(col("dsir_weight").isNotNull).count()
+      },
+      // round 6 (cont.): fixed query bags — the probe grows the CORPUS side
+      // only, so a linear exponent means linear-in-corpus, not linear×queries
+      "maxsim_topk" -> { f =>
+        val e = spark.read.parquet(embPath(f))
+        Similarity.maxsimTopK(
+          e.filter(col("vec_id") >= 8)
+            .select(floor(col("vec_id") / 8).cast("long").as("doc"),
+              col("embedding").as("vec")),
+          e.filter(col("vec_id") < 4)
+            .select(col("vec_id").as("q_ix"), col("embedding").as("qvec")),
+          topK = 10).count()
+      },
+      "hard_negatives" -> { f =>
+        val e = spark.read.parquet(embPath(f))
+        Similarity.hardNegatives(
+          e.filter(col("vec_id") >= 64)
+            .select(col("vec_id").as("id"), col("embedding").as("vec"),
+              col("label")),
+          e.filter(col("vec_id") < 64)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+              col("label").as("qlabel")),
+          k = 5,
+          (a, b) => graft.functions.VectorFunctions.vec_cosine_dist(a, b))
+          .count()
+      },
+      "heaps_law" -> { f =>
+        TextAnalysis.heapsLaw(spark.read.parquet(docsPath(f)), "doc_id",
+          "text", bucketDocs = 50).filter(col("cum_vocab") >= 0).count()
+      },
+      "embed_covariance" -> { f =>
+        Similarity.covarianceAudit(spark.read.parquet(embPath(f)),
+          "embedding", dims = 8).filter(col("cov").isNotNull).count()
       })
 
     // --ann: the DiskANN headline path — index build + distributed batch

@@ -224,6 +224,25 @@ class RetrievalClusteringSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((0L, 5L, 3L), (1L, 10L, 5L)))
   }
 
+  test("hubnessAudit: in-degree histogram counts zero-degree vectors; mass = queries*k") {
+    def ang(deg: Double) = {
+      val r = math.toRadians(deg); Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    // 1->2, 2->1 (tie 1 vs 3 breaks on id), 3->2, 4->3
+    val pts = Seq((1L, ang(0)), (2L, ang(1)), (3L, ang(2)), (4L, ang(90)))
+    val corpus = pts.toDF("id", "vec")
+    val queries = pts.toDF("qid", "qvec")
+    val dist = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      round(graft.functions.VectorFunctions.vec_cosine_dist(a, b), 6)
+    val got = Similarity.hubnessAudit(corpus, queries, k = 1, dist)
+      .orderBy(col("in_degree")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.toSeq == Seq(0L -> 1L, 1L -> 2L, 2L -> 1L))
+    // histogram covers every vector; total edge mass = #queries * k
+    assert(got.map(_._2).sum == 4)
+    assert(got.map(p => p._1 * p._2).sum == 4)
+  }
+
   test("mmrRerank: a near-duplicate of the top pick is deferred behind a diverse candidate") {
     val a = Array(1f, 0f, 0f)
     val b = Array(0.9998f, 0.02f, 0f) // near-dup of a
