@@ -101,7 +101,8 @@ object Bench {
       "knn_exact_cosine", "sbq_hamming_topk", "simsearch_ivf", "dedup_exact",
       "dedup_minhash", "semantic_dedup", "bloom_decontam", "cms_heavy_ngrams",
       "doc_keywords", "bm25_search", "embed_project", "pipeline_pretrain",
-      "tfidf_topk", "dsir_weights", "dedup_span_removal", "hybrid_rrf_ann")
+      "tfidf_topk", "dsir_weights", "dedup_span_removal", "hybrid_rrf_ann",
+      "maxsim_topk", "hard_negatives", "retrieval_metrics", "hubness_audit")
     val rm = results.toMap
     val hq = headline.filter(rm.contains)
       .map(k => "\"" + k + f"""\":${rm(k)}%.4f""").mkString("{", ",", "}")

@@ -618,12 +618,20 @@ object Similarity {
    * top-k aggregation, so only k rows per partition per query shuffle.
    */
   def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
-      dist: (Column, Column) => Column): DataFrame = {
+      dist: (Column, Column) => Column): DataFrame =
+    labelFilteredTopK(corpus, queries, k, dist, sameLabel = false)
+
+  /** Shared kernel of [[hardNegatives]]/[[contrastiveTriplets]]: per-query
+    * top-k over the corpus rows whose label matches (or differs from) the
+    * query's — filter map-side below the partial top-k aggregation. */
+  private def labelFilteredTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      dist: (Column, Column) => Column, sameLabel: Boolean): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     VectorFunctions.register(spark)
     val scored = corpus.crossJoin(broadcast(queries))
-      .filter(col("label") =!= col("qlabel"))
+      .filter(if (sameLabel) col("label") === col("qlabel")
+              else col("label") =!= col("qlabel"))
       .select(col("qid"), col("id"), dist(col("vec"), col("qvec")).as("dist"))
       .as[(Long, Long, Double)]
     val agg = new TopKAggregator(k)
@@ -634,6 +642,24 @@ object Similarity {
       .select(col("qid"), posexplode(col("topk")))
       .select(col("qid"), col("col._1").as("id"), col("col._2").as("dist"),
         (col("pos") + 1).as("rnk"))
+  }
+
+  /**
+   * Contrastive-training triplet mining — the (anchor, positive, hard
+   * negative) generator an embedding-training pipeline feeds to a
+   * triplet/InfoNCE loss: per anchor, the nearest SAME-label corpus row is
+   * the positive and the `kNeg` nearest DIFFERENT-label rows are the hard
+   * negatives. Both sides run the [[labelFilteredTopK]] kernel (broadcast
+   * anchors, map-side label filter, partial top-k aggregation), and the
+   * final positive×negative join is per-anchor bounded (1 × kNeg rows).
+   */
+  def contrastiveTriplets(corpus: DataFrame, queries: DataFrame, kNeg: Int,
+      dist: (Column, Column) => Column): DataFrame = {
+    val pos = labelFilteredTopK(corpus, queries, 1, dist, sameLabel = true)
+      .select(col("qid"), col("id").as("pos_id"))
+    val neg = labelFilteredTopK(corpus, queries, kNeg, dist, sameLabel = false)
+      .select(col("qid"), col("id").as("neg_id"), col("rnk").as("neg_rnk"))
+    pos.join(neg, Seq("qid"))
   }
 
   /**

@@ -560,6 +560,24 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // contrastive triplet mining: per anchor (every 100th vector), nearest
+    // same-label positive + 2 nearest different-label hard negatives — the
+    // (a, p, n) training-pair generator, both sides through the shared
+    // broadcast-anchor partial-top-k kernel
+    "contrastive_triplets" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.contrastiveTriplets(
+        e.filter(col("vec_id") % 100 =!= 0)
+          .select(col("vec_id").as("id"), col("embedding").as("vec"),
+            col("label")),
+        e.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+            col("label").as("qlabel")),
+        kNeg = 2,
+        (a, b) => round(VectorFunctions.vec_cosine_dist(a, b), 6))
+        .orderBy(col("qid"), col("neg_rnk"))
+    }),
+
     // embedding drift monitor: per-label centroid cosine distance between
     // the even- and odd-id cohorts (stand-ins for week-over-week corpora or
     // model v1/v2); fixed-point centroid sums => engine-replayable
@@ -1385,6 +1403,23 @@ object PipelineQueries {
         |  FROM c, q WHERE c.label <> q.qlabel),
         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rnk FROM d)
         |SELECT qid, id, dist, rnk FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    "contrastive_triplets" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
+        |           FROM embeddings WHERE vec_id % 100 = 0),
+        |c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v, label
+        |      FROM embeddings WHERE vec_id % 100 <> 0),
+        |d AS (SELECT q.qid, c.id, c.label = q.qlabel AS same,
+        |    round(1.0 - list_cosine_similarity(c.v, q.qv), 6) AS dist
+        |  FROM c, q),
+        |p AS (SELECT qid, id AS pos_id FROM (
+        |    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS r
+        |    FROM d WHERE same) WHERE r = 1),
+        |n AS (SELECT qid, id AS neg_id, r AS neg_rnk FROM (
+        |    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS r
+        |    FROM d WHERE NOT same) WHERE r <= 2)
+        |SELECT p.qid AS qid, pos_id, neg_id, neg_rnk
+        |FROM p JOIN n ON p.qid = n.qid ORDER BY p.qid, neg_rnk""".stripMargin,
 
     // centroids replayed with the same floor(x·2^20 + .5) fixed point; the
     // dot/norm folds are ordered list_reduce (0.0 + p1 == p1, so the left

@@ -550,6 +550,45 @@ object StreamingIngest {
   }
 
   /**
+   * Streaming embedding-drift monitor — the online sibling of
+   * [[graft.operators.Similarity.centroidShift]]: per-(window, group)
+   * centroids accumulated with the fixed-point mergeable vector sum (long
+   * adds commute, so incremental state updates are order-independent),
+   * compared against a broadcast REFERENCE centroid table. Emits one row per
+   * (window, group): member count + cosine distance to the reference;
+   * alerting is a downstream `centroid_cos_dist > threshold` filter, and a
+   * group absent from the reference reports NaN. State is O(groups × dim)
+   * longs per open window, bounded by the watermark.
+   */
+  def streamingDriftMonitor(stream: DataFrame, groupCol: String,
+      vecCol: String, tsCol: String, reference: Map[Int, Array[Double]],
+      dim: Int, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val spark = stream.sparkSession
+    val qsum = udaf(new graft.operators.Similarity.QuantizedVecSum(dim))
+    val ref = spark.sparkContext.broadcast(reference)
+    val cosDist = udf { (g: Int, qs: Seq[Long], n: Long) =>
+      ref.value.get(g).map { r =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < r.length) {
+          val c = qs(i).toDouble / (n.toDouble * 1048576.0)
+          dot += c * r(i); na += c * c; nb += r(i) * r(i)
+          i += 1
+        }
+        if (na > 0 && nb > 0) 1.0 - dot / math.sqrt(na * nb) else Double.NaN
+      }.getOrElse(Double.NaN)
+    }
+    stream.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_), col(groupCol))
+      .agg(count(lit(1)).as("n_members"), qsum(col(vecCol)).as("__qs"))
+      .select(col("window.start").as("window_start"), col(groupCol),
+        col("n_members"),
+        round(cosDist(col(groupCol), col("__qs"), col("n_members")), 6)
+          .as("centroid_cos_dist"))
+  }
+
+  /**
    * Watermarked stream-stream INTERVAL JOIN — the streaming sibling of
    * [[graft.operators.TimeSeries.asofJoinBackward]]: each left event joins
    * the right events with the same key inside `[left.ts - lookback,

@@ -203,6 +203,20 @@ class RetrievalClusteringSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(2L, 3L)) // 1 filtered by label, 4 beyond k
   }
 
+  test("contrastiveTriplets: nearest same-label positive joined with hard negatives") {
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val corpus = Seq(
+      (1L, v(1, 0.01), 0), (2L, v(1, 0.2), 1),
+      (3L, v(1, 0.5), 1), (4L, v(0, 1), 2)).toDF("id", "vec", "label")
+    val queries = Seq((9L, v(1, 0.0), 0)).toDF("qid", "qvec", "qlabel")
+    val dist = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      round(graft.functions.VectorFunctions.vec_cosine_dist(a, b), 6)
+    val got = Similarity.contrastiveTriplets(corpus, queries, kNeg = 2, dist)
+      .orderBy(col("neg_rnk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.toSeq == Seq((9L, 1L, 2L, 1), (9L, 1L, 3L, 2)))
+  }
+
   test("centroidShift: identical cohorts -> 0, orthogonal centroids -> 1") {
     val old = Seq((0, Array(1f, 0f)), (0, Array(1f, 0f)),
       (1, Array(0f, 2f))).toDF("label", "embedding")

@@ -646,6 +646,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == expected)
   }
 
+  test("streaming drift monitor: windowed centroids vs reference, NaN for unknown groups") {
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:10:00")
+    val mem = MemoryStream[(java.sql.Timestamp, Int, Array[Float])]
+    val ref = Map(0 -> Array(1.0, 0.0), 1 -> Array(1.0, 0.0))
+    val out = StreamingIngest.streamingDriftMonitor(
+      mem.toDF().toDF("ts", "label", "vec"), "label", "vec", "ts", ref, dim = 2)
+    mem.addData(Seq(
+      (t0, 0, Array(2f, 0f)), (t0, 0, Array(4f, 0f)), // centroid (3,0): dist 0
+      (t0, 1, Array(0f, 5f)),                         // orthogonal: dist 1
+      (t0, 2, Array(1f, 1f))))                        // no reference: NaN
+    val q = out.writeStream.outputMode("complete")
+      .format("memory").queryName("drift").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("drift")
+      .select($"label", $"n_members", $"centroid_cos_dist")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got(0) == ((0, 2L, 0.0)))
+    assert(got(1) == ((1, 1L, 1.0)))
+    assert(got(2)._1 == 2 && got(2)._3.isNaN)
+  }
+
   test("streaming query serving: micro-batches answered against the live index via foreachBatch") {
     implicit val sqlCtx = spark.sqlContext
     val path = "/tmp/graft_test_index/streaming_serve"
