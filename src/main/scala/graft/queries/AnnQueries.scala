@@ -82,6 +82,33 @@ object AnnQueries {
         graft.operators.TextAnalysis.bm25TopRanked(docs, "doc_id", "text",
           Seq("vector", "query", "dup"), n = 50))
     }),
+    // late-interaction retrieval through the INDEX: each query-bag vector
+    // retrieves candidates via graph search, candidate DOCS are re-scored
+    // with the exact MaxSim kernel over ALL their vectors (a doc in the
+    // candidate set gets its true score), and at verification scale the
+    // widened search is exhaustive — so the result hash-matches the same
+    // exact oracle as the brute-force maxsim_topk. The production shape:
+    // ANN prunes the corpus to candidates, exact scoring is candidate-sized.
+    "maxsim_topk_ann" -> ((s, d) => {
+      val path = ensureIndex(s, d, "cos", emb(s, d), labeled = false)
+      val e = emb(s, d)
+      val qs = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val candDocs = DiskannIndex.searchDistributed(s, path, qs, k = 200,
+          searchListSize = 600, rescore = 600)
+        .filter(col("row_id") >= 8)
+        .select(floor(col("row_id") / 8).cast("long").as("doc"))
+        .distinct()
+      val corpus = e.filter(col("vec_id") >= 8)
+        .select(floor(col("vec_id") / 8).cast("long").as("doc"),
+          col("embedding").as("vec"))
+        .join(candDocs, Seq("doc")) // candidate semi-join (AQE-broadcast)
+      graft.operators.Similarity.maxsimTopK(corpus,
+        e.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("q_ix"), col("embedding").as("qvec")),
+        topK = 10)
+    }),
+
     // T1/S2/S3: ORDER BY embedding <=> q LIMIT k through the graph index
     "knn_ann_cosine" -> ((s, d) => {
       val path = ensureIndex(s, d, "cos", emb(s, d), labeled = false)
@@ -268,6 +295,7 @@ object AnnQueries {
     // same exact-retrieval oracle as the brute-force hybrid (the index path
     // is exhaustive at verification scale) — shared, not copied
     "hybrid_rrf_ann" -> PipelineQueries.oracleSql("hybrid_rrf"),
+    "maxsim_topk_ann" -> PipelineQueries.oracleSql("maxsim_topk"),
     "ann_sql_fresh" ->
       s"""SELECT vec_id, round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) AS dist
          |FROM embeddings WHERE vec_id % 9 <> 0 ORDER BY dist, vec_id LIMIT 10""".stripMargin,

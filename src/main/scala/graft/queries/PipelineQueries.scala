@@ -631,6 +631,34 @@ object PipelineQueries {
     // top-30 vocabulary (wordcount with map-side combine; tie-break on token)
     "vocab_topk" -> ((s, d) => Curation.vocabTopK(docs(s, d), "text", 30)),
 
+    // Zipf's-law fit over the top-30 vocabulary: OLS slope of ln(count) vs
+    // ln(rank) — the rank-frequency exponent (natural text ≈ 1). Wordcount
+    // with map-side combine, TakeOrdered top-30, then ordered folds over
+    // the 30-element list so every double sum is engine-identical
+    "zipf_fit" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = docs(s, d)
+        .select(explode_outer(TextAnalysis.tokens(col("text"))).as("tok"))
+        .filter(col("tok").isNotNull)
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(30)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("cnt").desc, col("tok"))))
+      val agged = counts.agg(count(lit(1)).as("n"),
+        array_sort(collect_list(struct(col("rnk").as("r"), col("cnt").as("c"))))
+          .as("a"))
+      def fold(term: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        aggregate(col("a"), lit(0.0), (acc, e) => acc + term(e))
+      val nd = col("n").cast("double")
+      val sx = fold(e => log(e.getField("r")))
+      val sy = fold(e => log(e.getField("c")))
+      val sxy = fold(e => log(e.getField("r")) * log(e.getField("c")))
+      val sxx = fold(e => log(e.getField("r")) * log(e.getField("r")))
+      agged.select(col("n").as("n_tokens"),
+        round(-((sxy - sx * sy / nd) / (sxx - sx * sx / nd)), 6)
+          .as("zipf_exponent"))
+    }),
+
     // PII scrub: the synthetic docs carry no PII, so plant deterministic
     // email/phone strings first (the planted-duplicate trick from the LSH
     // scenario), then count + redact and report the redacted length
@@ -1871,6 +1899,24 @@ object PipelineQueries {
         |      / 1152921504606846976.0
         |      < CASE WHEN lang = 'en' THEN 0.25 ELSE 0.75 END
         |ORDER BY doc_id""".stripMargin,
+
+    // ln-folds replayed as ordered comprehensions; rank i is its own index,
+    // so x-terms regenerate from range(1, n+1)
+    "zipf_fit" ->
+      s"""WITH t AS (SELECT unnest($sqlTokens) AS tok FROM documents),
+         |w AS (SELECT tok, count(*) AS cnt FROM t WHERE tok IS NOT NULL
+         |      GROUP BY tok ORDER BY cnt DESC, tok LIMIT 30),
+         |r AS (SELECT row_number() OVER (ORDER BY cnt DESC, tok) AS rnk, cnt FROM w),
+         |l AS (SELECT count(*) AS n, list(cnt ORDER BY rnk) AS cl FROM r),
+         |s AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+         |  list_reduce([ln(CAST(i AS DOUBLE)) for i in range(1, n + 1)], (x, y) -> x + y) AS sx,
+         |  list_reduce([ln(CAST(cl[CAST(i AS INT)] AS DOUBLE)) for i in range(1, n + 1)], (x, y) -> x + y) AS sy,
+         |  list_reduce([ln(CAST(i AS DOUBLE)) * ln(CAST(cl[CAST(i AS INT)] AS DOUBLE)) for i in range(1, n + 1)], (x, y) -> x + y) AS sxy,
+         |  list_reduce([ln(CAST(i AS DOUBLE)) * ln(CAST(i AS DOUBLE)) for i in range(1, n + 1)], (x, y) -> x + y) AS sxx
+         |  FROM l)
+         |SELECT CAST(n AS BIGINT) AS n_tokens,
+         |  round(-((sxy - sx * sy / nd) / (sxx - sx * sx / nd)), 6) AS zipf_exponent
+         |FROM s""".stripMargin,
 
     // thresholds are the running double sums (0.9, 0.9 + 0.05), matching the
     // Scala scanLeft — an 0.95 literal is a DIFFERENT double than 0.9 + 0.05

@@ -116,6 +116,27 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
         .orderBy(col("hour"), col("event_type"))),
 
+    // hourly-volume anomaly detection: per event_type, z-score of each
+    // hour's count against the type's own hourly distribution; mean/var
+    // come from exact integer sums (Σn, Σn²), so the z arithmetic is
+    // engine-replayable, and the per-type stats table is one broadcastable
+    // row per type. Flags |z| >= 2 — the ops-monitoring pass over a feed.
+    "events_anomaly" -> ((s, d) => {
+      val hourly = events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val stats = hourly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("h"), sum(col("n")).as("sn"),
+          sum(col("n") * col("n")).as("sn2"))
+      hourly.join(broadcast(stats), Seq("event_type"))
+        .select(col("event_type"), col("hour"), col("n"),
+          round((col("n") - col("sn").cast("double") / col("h")) /
+            sqrt((col("sn2").cast("double") - col("sn").cast("double") * col("sn") / col("h"))
+              / (col("h") - 1)), 6).as("z"))
+        .filter(abs(col("z")) >= lit(2.0))
+        .orderBy(col("event_type"), col("hour"))
+    }),
+
     // semi-structured props: JSON extraction inside the scan stage
     // (get_json_object is codegen'd) — the metadata-parsing pass every
     // event pipeline runs; one shuffle for the group-by
@@ -242,6 +263,19 @@ object RelationalQueries {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |       count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_anomaly" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, count(*) AS h, sum(n) AS sn, sum(n * n) AS sn2
+        |      FROM h GROUP BY 1),
+        |z AS (SELECT h.event_type, h.hour, h.n,
+        |        round((h.n - CAST(sn AS DOUBLE) / s.h) /
+        |          sqrt((CAST(sn2 AS DOUBLE) - CAST(sn AS DOUBLE) * sn / s.h)
+        |            / (s.h - 1)), 6) AS z
+        |      FROM h JOIN s USING (event_type))
+        |SELECT event_type, hour, n, z FROM z WHERE abs(z) >= 2.0
+        |ORDER BY event_type, hour""".stripMargin,
 
     "events_json_stats" ->
       """SELECT event_type, count(*) AS n,
