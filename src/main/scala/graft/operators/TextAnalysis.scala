@@ -543,6 +543,78 @@ object TextAnalysis {
       .orderBy(col("bucket"))
   }
 
+  /**
+   * BPE merge training in the shape real tokenizer trainers use (HF
+   * tokenizers, SentencePiece): the CORPUS-scale work is one wordcount —
+   * map-side-combined shuffle to the bounded word-frequency table — and the
+   * merge loop then iterates on that table alone. Heaps' law keeps the table
+   * vocabulary-sized (millions at 100 TB, vs the corpus's trillions of
+   * tokens), and `maxVocab` bounds the driver collect explicitly; training
+   * never re-touches the corpus. Words are char symbols + a `</w>`
+   * end-marker; each round merges the most frequent adjacent pair
+   * (ties: lexicographic on (left, right)) into one symbol. Returns
+   * `(rank, left, right, pair_count)` — the merges file a tokenizer ships.
+   */
+  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int,
+      maxVocab: Int = 100000): Seq[(Int, String, String, Long)] = {
+    val wordFreq = df
+      .select(explode_outer(tokens(col(textCol))).as("tok"))
+      .filter(col("tok").isNotNull)
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var words: Array[(Array[String], Long)] = wordFreq.map { case (w, c) =>
+      (w.map(_.toString).toArray :+ "</w>", c)
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var round = 1
+    while (round <= nMerges) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          pairCounts(k) = pairCounts.getOrElse(k, 0L) + c
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) return merges.toSeq
+      val ((l, r), cnt) = pairCounts.minBy { case ((a, b), c) => (-c, a, b) }
+      merges += ((round, l, r, cnt))
+      val merged = l + r
+      words = words.map { case (syms, c) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+            out += merged; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        (out.toArray, c)
+      }
+      round += 1
+    }
+    merges.toSeq
+  }
+
+  /** Apply learned [[bpeTrain]] merges to one word (greedy, merge-rank
+    * order — the standard BPE segmenter). Exposed for fertility
+    * measurement with a TRAINED tokenizer instead of the regex stand-in. */
+  def bpeSegment(word: String, merges: Seq[(String, String)]): Seq[String] = {
+    var syms = word.map(_.toString).toVector :+ "</w>"
+    merges.foreach { case (l, r) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.toVector
+    }
+    syms
+  }
+
   private val builders: Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
     "doc_fingerprint" -> (es => DocFingerprint(es.head)),
     "doc_fingerprint_md5" -> (es => DocFingerprintMd5(es.head)),

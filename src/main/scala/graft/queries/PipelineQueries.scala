@@ -631,6 +631,20 @@ object PipelineQueries {
     // top-30 vocabulary (wordcount with map-side combine; tie-break on token)
     "vocab_topk" -> ((s, d) => Curation.vocabTopK(docs(s, d), "text", 30)),
 
+    // BPE merge training (the tokenizer-training op): corpus-scale work is
+    // ONE wordcount to the bounded word-frequency table; the merge loop
+    // iterates on that table alone (TextAnalysis.bpeTrain). The oracle
+    // replays the full 10-round merge loop as a recursive CTE over the
+    // same word table — tokenizer training verified end-to-end in SQL
+    "bpe_merges" -> ((s, d) => {
+      import s.implicits._
+      val merges = TextAnalysis.bpeTrain(docs(s, d), "text", nMerges = 10)
+      s.createDataset(merges).toDF("rank", "left", "right", "pair_count")
+        .select(col("rank").cast("long").as("rank"), col("left"),
+          col("right"), col("pair_count"))
+        .orderBy(col("rank"))
+    }),
+
     // Zipf's-law fit over the top-30 vocabulary: OLS slope of ln(count) vs
     // ln(rank) — the rank-frequency exponent (natural text ≈ 1). Wordcount
     // with map-side combine, TakeOrdered top-30, then ordered folds over
@@ -1899,6 +1913,39 @@ object PipelineQueries {
         |      / 1152921504606846976.0
         |      < CASE WHEN lang = 'en' THEN 0.25 ELSE 0.75 END
         |ORDER BY doc_id""".stripMargin,
+
+    // the merge loop replayed as a recursive CTE: word state = '~'-joined
+    // symbol strings (no corpus char collides with '~'), one merge round =
+    // argmax pair via unnested adjacent-pair counting (chr(1)-separated so
+    // multi-char symbols split back losslessly) + a leftmost-non-overlap
+    // replace — the same greedy pass as the Scala merge loop
+    "bpe_merges" ->
+      s"""WITH RECURSIVE
+         |toks AS (SELECT unnest($sqlTokens) AS tok FROM documents),
+         |wf AS (SELECT tok, count(*) AS cnt FROM toks WHERE tok IS NOT NULL
+         |       GROUP BY tok ORDER BY cnt DESC, tok LIMIT 100000),
+         |init AS (SELECT list(struct_pack(
+         |    s := '~' || array_to_string([substr(tok, CAST(i AS INT), 1) for i in range(1, length(tok)+1)], '~') || '~</w>~',
+         |    c := cnt) ORDER BY cnt DESC, tok) AS words FROM wf),
+         |sel AS (
+         |  SELECT 0 AS step, CAST(NULL AS VARCHAR) AS l, CAST(NULL AS VARCHAR) AS r,
+         |         CAST(NULL AS BIGINT) AS cnt, (SELECT words FROM init) AS words
+         |  UNION ALL
+         |  SELECT step + 1, b.l, b.r, b.cnt,
+         |         [struct_pack(s := replace(w.s, '~' || b.l || '~' || b.r || '~', '~' || b.l || b.r || '~'), c := w.c) for w in words]
+         |  FROM sel, LATERAL (
+         |    SELECT split_part(p, chr(1), 1) AS l, split_part(p, chr(1), 2) AS r, cnt FROM (
+         |      SELECT u.p AS p, sum(t.w.c) AS cnt
+         |      FROM unnest(sel.words) AS t(w),
+         |           LATERAL (SELECT unnest(pl) AS p FROM (SELECT
+         |             [sl[CAST(i AS INT)] || chr(1) || sl[CAST(i+1 AS INT)]
+         |              for i in range(1, len(sl))] AS pl
+         |             FROM (SELECT list_filter(string_split(t.w.s, '~'), x -> x <> '') AS sl))) u
+         |      GROUP BY u.p)
+         |    ORDER BY cnt DESC, l, r LIMIT 1) b
+         |  WHERE step < 10)
+         |SELECT CAST(step AS BIGINT) AS rank, l AS left, r AS right, cnt AS pair_count
+         |FROM sel WHERE step >= 1 ORDER BY rank""".stripMargin,
 
     // ln-folds replayed as ordered comprehensions; rank i is its own index,
     // so x-terms regenerate from range(1, n+1)

@@ -858,4 +858,22 @@ class OperatorsSpec extends AnyFunSuite {
     val maxRrf = math.rint((1.0 / 61 + 1.0 / 61) * 1e6) / 1e6
     assert(a.forall(x => x._2 > 0 && x._2 <= maxRrf))
   }
+
+  test("bpeTrain: merge sequence, counts, and tie-break match the hand-derived run") {
+    val docs = Seq((1L, "aaab aaab aaab ab")).toDF("doc_id", "text")
+    // word table: (aaab, 3), (ab, 1)
+    // round 1: (a,a)=6 wins over (a,b)=4, (b,</w>)=4
+    // round 2: (a,b)=4 ties (b,</w>)=4 -> lexicographic left wins
+    // round 3: (ab,</w>)=4
+    val merges = TextAnalysis.bpeTrain(docs, "text", nMerges = 3)
+    assert(merges == Seq((1, "a", "a", 6L), (2, "a", "b", 4L),
+      (3, "ab", "</w>", 4L)))
+    // the learned merges segment greedily in rank order
+    val pairs = merges.map(m => (m._2, m._3))
+    assert(TextAnalysis.bpeSegment("aaab", pairs) == Seq("aa", "ab</w>"))
+    assert(TextAnalysis.bpeSegment("ab", pairs) == Seq("ab</w>"))
+    // asking for more merges than pairs exist terminates early
+    val all = TextAnalysis.bpeTrain(docs, "text", nMerges = 100)
+    assert(all.size < 100 && all.take(3) == merges)
+  }
 }
