@@ -645,6 +645,34 @@ object PipelineQueries {
         .orderBy(col("rank"))
     }),
 
+    // fertility measured with the TRAINED tokenizer (closing the
+    // train→apply→measure loop): the 10-merge BPE model segments the
+    // bounded vocabulary driver-side, the per-word subword counts broadcast
+    // back as a tiny table, and the corpus-scale pass is explode + one
+    // broadcast join + a per-lang aggregation
+    "bpe_fertility" -> ((s, d) => {
+      import s.implicits._
+      val dd = docs(s, d)
+      val merges = TextAnalysis.bpeTrain(dd, "text", nMerges = 10)
+        .map(m => (m._2, m._3))
+      val vocab = dd
+        .select(explode_outer(TextAnalysis.tokens(col("text"))).as("tok"))
+        .filter(col("tok").isNotNull).distinct()
+        .collect().map(_.getString(0))
+      val segCounts = s.createDataset(
+        vocab.toSeq.map(w => (w, TextAnalysis.bpeSegment(w, merges).length.toLong)))
+        .toDF("tok", "n_sub")
+      dd.select(col("lang"),
+          explode_outer(TextAnalysis.tokens(col("text"))).as("tok"))
+        .filter(col("tok").isNotNull)
+        .join(broadcast(segCounts), Seq("tok"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"),
+          round(sum(col("n_sub")).cast("double") / count(lit(1)), 6)
+            .as("fertility"))
+        .orderBy(col("lang"))
+    }),
+
     // Zipf's-law fit over the top-30 vocabulary: OLS slope of ln(count) vs
     // ln(rank) — the rank-frequency exponent (natural text ≈ 1). Wordcount
     // with map-side combine, TakeOrdered top-30, then ordered folds over
@@ -1946,6 +1974,43 @@ object PipelineQueries {
          |  WHERE step < 10)
          |SELECT CAST(step AS BIGINT) AS rank, l AS left, r AS right, cnt AS pair_count
          |FROM sel WHERE step >= 1 ORDER BY rank""".stripMargin,
+
+    // the final recursive-CTE state (step 10) IS each word's segmentation:
+    // n_sub = its segment count, the token string reconstructs by joining
+    // segments and stripping the end marker
+    "bpe_fertility" ->
+      s"""WITH RECURSIVE
+         |toks AS (SELECT unnest($sqlTokens) AS tok FROM documents),
+         |wf AS (SELECT tok, count(*) AS cnt FROM toks WHERE tok IS NOT NULL
+         |       GROUP BY tok ORDER BY cnt DESC, tok LIMIT 100000),
+         |init AS (SELECT list(struct_pack(
+         |    s := '~' || array_to_string([substr(tok, CAST(i AS INT), 1) for i in range(1, length(tok)+1)], '~') || '~</w>~',
+         |    c := cnt) ORDER BY cnt DESC, tok) AS words FROM wf),
+         |sel AS (
+         |  SELECT 0 AS step, (SELECT words FROM init) AS words
+         |  UNION ALL
+         |  SELECT step + 1,
+         |         [struct_pack(s := replace(w.s, '~' || b.l || '~' || b.r || '~', '~' || b.l || b.r || '~'), c := w.c) for w in words]
+         |  FROM sel, LATERAL (
+         |    SELECT split_part(p, chr(1), 1) AS l, split_part(p, chr(1), 2) AS r FROM (
+         |      SELECT u.p AS p, sum(t.w.c) AS cnt
+         |      FROM unnest(sel.words) AS t(w),
+         |           LATERAL (SELECT unnest(pl) AS p FROM (SELECT
+         |             [sl[CAST(i AS INT)] || chr(1) || sl[CAST(i+1 AS INT)]
+         |              for i in range(1, len(sl))] AS pl
+         |             FROM (SELECT list_filter(string_split(t.w.s, '~'), x -> x <> '') AS sl))) u
+         |      GROUP BY u.p)
+         |    ORDER BY cnt DESC, l, r LIMIT 1) b
+         |  WHERE step < 10),
+         |seg AS (SELECT replace(array_to_string(sl, ''), '</w>', '') AS tok,
+         |               CAST(len(sl) AS BIGINT) AS n_sub
+         |        FROM (SELECT list_filter(string_split(t.w.s, '~'), x -> x <> '') AS sl
+         |              FROM (SELECT words FROM sel WHERE step = 10) f, unnest(f.words) AS t(w))),
+         |dt AS (SELECT lang, unnest($sqlTokens) AS tok FROM documents)
+         |SELECT lang, count(*) AS n_words, CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+         |  round(CAST(sum(n_sub) AS DOUBLE) / count(*), 6) AS fertility
+         |FROM dt JOIN seg USING (tok)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // ln-folds replayed as ordered comprehensions; rank i is its own index,
     // so x-terms regenerate from range(1, n+1)
