@@ -673,6 +673,81 @@ object PipelineQueries {
         .orderBy(col("lang"))
     }),
 
+    // hashing-trick featurization (the classical-model featurizer): token →
+    // md5 bucket mod 1024, per-doc nnz + L2 norm of the hashed-count
+    // vector. Counts are integers, so Σc² is exact and the norm is
+    // engine-replayable; two partial-combined shuffles, no vocabulary state
+    "feature_hash" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          explode_outer(TextAnalysis.tokens(col("text"))).as("tok"))
+        .filter(col("tok").isNotNull)
+        .select(col("doc_id"),
+          (conv(substring(md5(col("tok")), 18, 15), 16, 10).cast("long") % 1024)
+            .as("bucket"))
+        .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nnz"), sum(col("c") * col("c")).as("__sq"))
+        .select(col("doc_id"), col("nnz"),
+          round(sqrt(col("__sq")), 6).as("l2_norm"))
+        .orderBy(col("doc_id"))),
+
+    // per-dimension robust stats (median + MAD — the robust-scaler prep
+    // that complements embed_covariance): exact interpolated percentiles,
+    // two passes with the tiny per-dim median table broadcast back
+    "embed_dim_mad" -> ((s, d) => {
+      val base = emb(s, d)
+        .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("dim"), col("v").cast("double").as("v"))
+      val med = base.groupBy(col("dim"))
+        .agg(expr("percentile(v, 0.5)").as("med"))
+      base.join(broadcast(med), Seq("dim"))
+        .select(col("dim"), col("med"), abs(col("v") - col("med")).as("dev"))
+        .groupBy(col("dim"))
+        .agg(round(max(col("med")), 6).as("median"),
+          round(expr("percentile(dev, 0.5)"), 6).as("mad"))
+        .select(col("dim").cast("long").as("dim"), col("median"), col("mad"))
+        .orderBy(col("dim"))
+    }),
+
+    // per-source KL divergence from the corpus unigram distribution over
+    // the top-50 corpus vocabulary (add-one smoothed) — which feeds drift/
+    // mixture decisions; the vocab table is bounded and broadcast, counts
+    // are exact integers, and the KL fold runs in vocab-rank order so the
+    // double sum is engine-identical
+    "source_kl" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = docs(s, d)
+        .select(col("source"),
+          explode_outer(TextAnalysis.tokens(col("text"))).as("tok"))
+        .filter(col("tok").isNotNull)
+        .transform(graft.CacheScope.persist)
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cc"))
+        .orderBy(col("cc").desc, col("tok")).limit(50)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("cc").desc, col("tok"))))
+      val sc = toks.join(broadcast(vocab), Seq("tok"))
+        .groupBy(col("source"), col("rnk"), col("cc"))
+        .agg(count(lit(1)).as("c"))
+      // every source × every vocab rank (missing counts = 0)
+      val grid = toks.select(col("source")).distinct()
+        .crossJoin(broadcast(vocab.select(col("rnk"), col("cc"))))
+        .join(sc, Seq("source", "rnk", "cc"), "left")
+        .na.fill(0L, Seq("c"))
+      val agged = grid.groupBy(col("source"))
+        .agg(sum(col("c")).as("ns"), sum(col("cc")).as("nc"),
+          array_sort(collect_list(struct(col("rnk").as("r"),
+            col("c").as("c"), col("cc").as("q")))).as("a"))
+      val kl = aggregate(col("a"), lit(0.0), (acc, e) => {
+        val p = (e.getField("c") + lit(1L)).cast("double") / (col("ns") + lit(50L))
+        val q = (e.getField("q") + lit(1L)).cast("double") / (col("nc") + lit(50L))
+        acc + p * log(p / q)
+      })
+      agged.select(col("source"), col("ns").as("n_tokens"),
+          round(kl, 6).as("kl_divergence"))
+        .orderBy(col("source"))
+    }),
+
     // Zipf's-law fit over the top-30 vocabulary: OLS slope of ln(count) vs
     // ln(rank) — the rank-frequency exponent (natural text ≈ 1). Wordcount
     // with map-side combine, TakeOrdered top-30, then ordered folds over
@@ -2011,6 +2086,50 @@ object PipelineQueries {
          |  round(CAST(sum(n_sub) AS DOUBLE) / count(*), 6) AS fertility
          |FROM dt JOIN seg USING (tok)
          |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "feature_hash" ->
+      s"""WITH t AS (SELECT doc_id, unnest($sqlTokens) AS tok FROM documents),
+         |b AS (SELECT doc_id,
+         |        CAST(('0x' || substr(md5(tok), 18, 15))::UBIGINT % 1024 AS BIGINT) AS bucket
+         |      FROM t WHERE tok IS NOT NULL),
+         |c AS (SELECT doc_id, bucket, count(*) AS c FROM b GROUP BY 1, 2)
+         |SELECT doc_id, count(*) AS nnz,
+         |  round(sqrt(CAST(sum(c * c) AS DOUBLE)), 6) AS l2_norm
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // exact interpolated percentiles: Spark `percentile` and DuckDB
+    // `quantile_cont` share the lower + (higher−lower)·frac definition
+    "embed_dim_mad" ->
+      """WITH f0 AS (SELECT unnest(range(1, len(embedding)+1)) AS i, embedding FROM embeddings),
+        |f AS (SELECT CAST(i - 1 AS BIGINT) AS dim,
+        |             CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v FROM f0),
+        |m AS (SELECT dim, quantile_cont(v, 0.5) AS med FROM f GROUP BY dim),
+        |d AS (SELECT f.dim, m.med, abs(f.v - m.med) AS dev FROM f JOIN m USING (dim))
+        |SELECT dim, round(max(med), 6) AS median,
+        |  round(quantile_cont(dev, 0.5), 6) AS mad
+        |FROM d GROUP BY dim ORDER BY dim""".stripMargin,
+
+    // the KL fold replayed as an ordered comprehension over the rank-sorted
+    // vocab list; smoothing and divisions keep the Spark expression shape
+    "source_kl" ->
+      s"""WITH t AS (SELECT source, unnest($sqlTokens) AS tok FROM documents),
+         |tt AS (SELECT source, tok FROM t WHERE tok IS NOT NULL),
+         |v AS (SELECT tok, cc, row_number() OVER (ORDER BY cc DESC, tok) AS rnk FROM (
+         |      SELECT tok, count(*) AS cc FROM tt GROUP BY tok ORDER BY cc DESC, tok LIMIT 50)),
+         |sc AS (SELECT tt.source, v.rnk, v.cc, count(*) AS c
+         |       FROM tt JOIN v USING (tok) GROUP BY 1, 2, 3),
+         |grid AS (SELECT s.source, v.rnk, v.cc, coalesce(sc.c, 0) AS c
+         |         FROM (SELECT DISTINCT source FROM tt) s CROSS JOIN v
+         |         LEFT JOIN sc ON sc.source = s.source AND sc.rnk = v.rnk),
+         |g AS (SELECT source, sum(c) AS ns, sum(cc) AS nc,
+         |        list(struct_pack(r := rnk, c := c, q := cc) ORDER BY rnk) AS a
+         |      FROM grid GROUP BY source)
+         |SELECT source, CAST(ns AS BIGINT) AS n_tokens,
+         |  round(list_reduce(
+         |    [CAST(e.c + 1 AS DOUBLE) / (ns + 50) *
+         |     ln((CAST(e.c + 1 AS DOUBLE) / (ns + 50)) / (CAST(e.q + 1 AS DOUBLE) / (nc + 50)))
+         |     for e in a], (x, y) -> x + y), 6) AS kl_divergence
+         |FROM g ORDER BY source""".stripMargin,
 
     // ln-folds replayed as ordered comprehensions; rank i is its own index,
     // so x-terms regenerate from range(1, n+1)
