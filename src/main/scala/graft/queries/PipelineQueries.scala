@@ -673,6 +673,30 @@ object PipelineQueries {
         .orderBy(col("lang"))
     }),
 
+    // embedding QA / mislabel detection: each vector's cosine distance to
+    // its OWN label centroid, flagged past the label's p90 — centroids are
+    // fixed-point exact and broadcast, the per-row distance is an ordered
+    // fold (engine-replayable), the threshold table is one row per label
+    "embed_outliers" -> ((s, d) => {
+      val e = emb(s, d)
+      val cents = Similarity.groupCentroids(e, "label", "embedding", dim = 64)
+        .select(col("label"), col("centroid"))
+      def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+      val v = col("embedding").cast("array<double>")
+      val dists = e.join(broadcast(cents), Seq("label"))
+        .select(col("label").cast("long").as("label"), col("vec_id"),
+          round(lit(1.0) - dot(v, col("centroid")) /
+            sqrt(dot(v, v) * dot(col("centroid"), col("centroid"))), 6)
+            .as("dist"))
+      val thr = dists.groupBy(col("label"))
+        .agg(round(expr("percentile(dist, 0.9)"), 6).as("p90"))
+      dists.join(broadcast(thr), Seq("label"))
+        .filter(col("dist") > col("p90"))
+        .select(col("label"), col("vec_id"), col("dist"), col("p90"))
+        .orderBy(col("label"), col("vec_id"))
+    }),
+
     // hashing-trick featurization (the classical-model featurizer): token →
     // md5 bucket mod 1024, per-doc nnz + L2 norm of the hashed-count
     // vector. Counts are integers, so Σc² is exact and the norm is
@@ -2086,6 +2110,30 @@ object PipelineQueries {
          |  round(CAST(sum(n_sub) AS DOUBLE) / count(*), 6) AS fertility
          |FROM dt JOIN seg USING (tok)
          |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // centroid arrays rebuilt with the fixed-point rule, per-row distance
+    // via ordered list folds mirroring the Spark aggregate() expression
+    "embed_outliers" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT label, d.range AS dim,
+        |    CAST(floor(v[CAST(d.range + 1 AS INT)] * 1048576.0 + 0.5) AS BIGINT) AS qv
+        |  FROM e CROSS JOIN range(0, 64) d),
+        |s AS (SELECT label, dim, sum(qv) AS sq, count(*) AS n FROM q GROUP BY 1, 2),
+        |c AS (SELECT label,
+        |    list(CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) ORDER BY dim) AS cent
+        |  FROM s GROUP BY 1),
+        |d AS (SELECT CAST(e.label AS BIGINT) AS label, e.vec_id,
+        |    round(1.0 -
+        |      list_reduce([v[i] * cent[i] for i in range(1, 65)], (x, y) -> x + y) /
+        |      sqrt(list_reduce([v[i] * v[i] for i in range(1, 65)], (x, y) -> x + y) *
+        |           list_reduce([cent[i] * cent[i] for i in range(1, 65)], (x, y) -> x + y)), 6)
+        |      AS dist
+        |  FROM e JOIN c USING (label)),
+        |t AS (SELECT label, round(quantile_cont(dist, 0.9), 6) AS p90
+        |      FROM d GROUP BY label)
+        |SELECT d.label, d.vec_id, d.dist, t.p90
+        |FROM d JOIN t USING (label) WHERE dist > p90
+        |ORDER BY label, vec_id""".stripMargin,
 
     "feature_hash" ->
       s"""WITH t AS (SELECT doc_id, unnest($sqlTokens) AS tok FROM documents),
