@@ -697,6 +697,51 @@ object PipelineQueries {
         .orderBy(col("label"), col("vec_id"))
     }),
 
+    // incremental-snapshot bookkeeping: diff two corpus snapshots by
+    // content hash (added/removed/changed/unchanged) — one full-outer join
+    // on the id, hashes map-side; the audit every periodic re-crawl /
+    // re-ingest pipeline runs before reprocessing. Snapshot B is derived
+    // deterministically (deletions %7, edits %5, additions %11) since the
+    // fixture ships one snapshot.
+    "corpus_diff" -> ((s, d) => {
+      val base = docs(s, d)
+      val a = base.select(col("doc_id"), md5(col("text")).as("h_old"))
+      val b = base.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("h_new"))
+      val adds = base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), md5(col("text")).as("h_new"))
+      a.join(b.unionByName(adds), Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("h_old").isNull, "added")
+            .when(col("h_new").isNull, "removed")
+            .when(col("h_old") === col("h_new"), "unchanged")
+            .otherwise("changed").as("status"))
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+        .orderBy(col("status"))
+    }),
+
+    // per-doc character-level Shannon entropy (bits) — the compression-
+    // adjacent quality signal (binary junk and repeated boilerplate sit at
+    // the extremes); per-doc counts then an ordered fold, both bounded by
+    // the doc's alphabet
+    "char_entropy" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .filter(length(col("ch")) > 0)
+        .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n"),
+          array_sort(collect_list(struct(col("ch").as("ch"), col("c").as("c"))))
+            .as("a"))
+        .select(col("doc_id"),
+          round((-aggregate(col("a"), lit(0.0), (acc, e) =>
+              acc + (e.getField("c").cast("double") / col("n")) *
+                log(e.getField("c").cast("double") / col("n")))) /
+            log(lit(2.0)), 6).as("entropy_bits"))
+        .orderBy(col("doc_id"))),
+
     // hashing-trick featurization (the classical-model featurizer): token →
     // md5 bucket mod 1024, per-doc nnz + L2 norm of the hashed-count
     // vector. Counts are integers, so Σc² is exact and the norm is
@@ -2134,6 +2179,36 @@ object PipelineQueries {
         |SELECT d.label, d.vec_id, d.dist, t.p90
         |FROM d JOIN t USING (label) WHERE dist > p90
         |ORDER BY label, vec_id""".stripMargin,
+
+    "corpus_diff" ->
+      """WITH a AS (SELECT doc_id, md5(text) AS h_old FROM documents),
+        |b AS (SELECT doc_id,
+        |        md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS h_new
+        |      FROM documents WHERE doc_id % 7 <> 0
+        |      UNION ALL
+        |      SELECT doc_id + 10000 AS doc_id, md5(text) AS h_new
+        |      FROM documents WHERE doc_id % 11 = 0),
+        |j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, h_old, h_new
+        |      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT CASE WHEN h_old IS NULL THEN 'added'
+        |            WHEN h_new IS NULL THEN 'removed'
+        |            WHEN h_old = h_new THEN 'unchanged'
+        |            ELSE 'changed' END AS status,
+        |       count(*) AS n
+        |FROM j GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "char_entropy" ->
+      """WITH ch AS (SELECT doc_id,
+        |    unnest([substr(text, CAST(i AS INT), 1) for i in range(1, length(text)+1)]) AS ch
+        |  FROM documents),
+        |c AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+        |g AS (SELECT doc_id, sum(c) AS n,
+        |        list(struct_pack(ch := ch, c := c) ORDER BY ch) AS a
+        |      FROM c GROUP BY doc_id)
+        |SELECT doc_id,
+        |  round((-(list_reduce([(CAST(e.c AS DOUBLE) / n) * ln(CAST(e.c AS DOUBLE) / n)
+        |                        for e in a], (x, y) -> x + y))) / ln(2.0), 6) AS entropy_bits
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "feature_hash" ->
       s"""WITH t AS (SELECT doc_id, unnest($sqlTokens) AS tok FROM documents),

@@ -50,7 +50,13 @@ object PlanAudit {
     // stay map-side into one bounded aggregation; heaps' window must run
     // over checkpoint buckets, not docs
     "maxsim_topk", "knn_label_vote", "hard_negatives", "split_assign",
-    "embed_covariance", "centroid_shift", "heaps_law", "mmr_diversify")
+    "embed_covariance", "centroid_shift", "heaps_law", "mmr_diversify",
+    // round 6 (cont. 2): the distribution suite must keep its vocab/
+    // threshold tables broadcast and its folds bounded; anomaly stats join
+    // one row per type; contrastive/retrieval kernels as above
+    "feature_hash", "source_kl", "zipf_fit", "embed_dim_mad",
+    "embed_outliers", "events_anomaly", "contrastive_triplets",
+    "retrieval_metrics", "hubness_audit", "bpe_fertility")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
