@@ -597,9 +597,15 @@ object TextAnalysis {
     merges.toSeq
   }
 
-  /** Apply learned [[bpeTrain]] merges to one word (greedy, merge-rank
-    * order — the standard BPE segmenter). Exposed for fertility
-    * measurement with a TRAINED tokenizer instead of the regex stand-in. */
+  /** Apply learned [[bpeTrain]] merges to one word: ONE greedy
+    * leftmost-non-overlap pass per merge, in merge-rank order — exactly the
+    * transformation training applied, so a trained word's segmentation
+    * replays its final training state byte-for-byte (what the recursive-CTE
+    * oracle checks). Note this is the training-trace rule, not the
+    * iterate-until-fixpoint variant some tokenizers use at inference: on a
+    * word OUTSIDE the training vocabulary, a later merge can recreate an
+    * earlier merge's pattern, which a fixpoint segmenter would re-collapse
+    * and this one (like the trainer) does not. */
   def bpeSegment(word: String, merges: Seq[(String, String)]): Seq[String] = {
     var syms = word.map(_.toString).toVector :+ "</w>"
     merges.foreach { case (l, r) =>
