@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional extra args: restrict to these query names (local iteration;
+    // the driver always passes exactly two args and dumps everything)
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -23,7 +26,9 @@ object Verify {
     deleteRec(new java.io.File(outDir))
     new java.io.File(outDir).mkdirs()
     var failed = 0
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val selected = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -32,7 +37,7 @@ object Verify {
       }
       finally CacheScope.releaseAll() // free operator-internal persists
     }
-    println(s"[verify] dumped ${SparkEntry.queries.size - failed}/${SparkEntry.queries.size} queries")
+    println(s"[verify] dumped ${selected.size - failed}/${selected.size} queries")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

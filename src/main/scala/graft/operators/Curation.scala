@@ -59,6 +59,30 @@ object Curation {
     df.withColumn("split", assigned)
   }
 
+  /**
+   * Deterministic training-shard plan: every row lands in shard
+   * `md5_low60(seed:id) mod nShards`, and the result is the per-shard
+   * manifest (row count + payload size) a shard-writing job would feed to
+   * `df.write.partitionBy`/bucketed output. md5 assignment means (a) the
+   * plan is a pure function of ids — backfills and reruns route a row to
+   * the same shard, so shards can be rewritten independently — and (b) any
+   * engine replays it. Sizes concentrate tightly around mean/nShards
+   * (binomial), so shards are balanced without a sort or a greedy packer.
+   * One map-side md5 per row plus one combined aggregation — no skew, no
+   * driver state.
+   */
+  def shardPlan(df: DataFrame, idCol: String, weightCol: Column,
+      nShards: Int, seed: String = "graft-shard"): DataFrame = {
+    require(nShards > 0, s"shardPlan: nShards must be positive: $nShards")
+    val bucket = pmod(
+      conv(substring(md5(concat_ws(":", lit(seed), col(idCol))), 18, 15),
+        16, 10).cast(LongType),
+      lit(nShards.toLong))
+    df.select(bucket.as("shard"), weightCol.cast(LongType).as("__w"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__w")).as("total_weight"))
+  }
+
   /** Top-k vocabulary by document frequency-weighted token count: the classic
     * wordcount shape — explode is map-side, the groupBy gets a partial
     * (map-side combine) aggregate for free, and only per-token partials cross

@@ -83,6 +83,37 @@ object TimeSeries {
     carried.select(outLeft ++ outRight: _*)
   }
 
+  /**
+   * Exponentially time-decayed engagement score per key: for each key,
+   *
+   *   score = sum_i value_i * exp(-lambda * age_days_i)
+   *
+   * with age measured back from the corpus' max timestamp (a deterministic
+   * reference — no wall-clock, so reruns and the oracle agree byte-for-byte).
+   * This is the standard recency-weighted user/doc scoring used for
+   * freshness-aware sampling and ranking-feature generation.
+   *
+   * Shape at 100 TB: the reference timestamp is ONE global max (map-side
+   * partials, a broadcastable 1-row result); the decay weight is computed
+   * map-side per row; the per-key score is one map-side-combined aggregation
+   * — the wordcount cost class. Per-row contributions are quantized to
+   * fixed-point longs (floor(x * 2^20 + 0.5)) before the sum so the result
+   * is partition-order independent and engine-replayable.
+   */
+  def timeDecayScores(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, lambdaPerDay: Double = 0.1): DataFrame = {
+    val ref = events.agg(max(unix_micros(col(tsCol))).as("__ref_us"))
+    val ageDays = (col("__ref_us") - unix_micros(col(tsCol))) / 8.64e10
+    val q = floor(col(valueCol) * exp(lit(-lambdaPerDay) * ageDays) *
+      1048576.0 + 0.5).cast("long")
+    events.crossJoin(broadcast(ref))
+      .select(col(keyCol), q.as("__q"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("__q")).cast("double") / 1048576.0, 6)
+          .as("decayed_score"))
+  }
+
   private def structTypeOf(df: DataFrame, cols: Seq[String]) =
     org.apache.spark.sql.types.StructType(cols.map(c =>
       org.apache.spark.sql.types.StructField(c, df.schema(c).dataType,

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, GraphOps, Multimodal, Similarity, TextAnalysis}
 import graft.functions.VectorFunctions
 
 /**
@@ -1238,6 +1238,48 @@ object PipelineQueries {
         .select(col("cluster_id"), col("doc_id").as("keep_id"),
           col("q6").as("quality_score"), col("n_members"))
         .orderBy(col("cluster_id"))
+    }),
+
+    // ---- graph / shard planning ----
+    // PageRank centrality over the exact 5-NN cosine graph (every vector's
+    // 5 nearest others, directed): the curation-side "authority" signal and
+    // the hubness complement. Edges come from the partial-top-k kNN join
+    // (k=6 including self, self dropped — at 100 TB the ANN index supplies
+    // the same edge list); 3 fixed iterations, each ONE join + ONE combined
+    // aggregation, contributions fixed-point quantized so the ranks are
+    // partition-order independent and the oracle replays all 3 iterations.
+    "graph_pagerank" -> ((s, d) => {
+      val edges = Similarity.knnGraph(emb(s, d), "vec_id", "embedding", k = 5)
+        .select(col("src"), col("dst"))
+      GraphOps.pageRank(edges, nIter = 3, damping = 0.85)
+        .select(col("id").as("vec_id"), round(col("r"), 9).as("pagerank"))
+        .orderBy(col("pagerank").desc, col("vec_id"))
+        .limit(25)
+    }),
+
+    // deterministic shard manifest for training-data export: md5-bucketed
+    // shard assignment (pure function of doc_id — backfill-stable, engine-
+    // replayable) + per-shard row/char totals; one md5 per row, one
+    // combined aggregation
+    "shard_plan" -> ((s, d) =>
+      Curation.shardPlan(docs(s, d), "doc_id", col("n_chars"), nShards = 16,
+          seed = "shard42")
+        .orderBy(col("shard"))),
+
+    // per-source quantile normalization of the quality score: percent_rank
+    // within source makes scores comparable across sources with different
+    // score distributions (the mixing-weight prerequisite). One window
+    // shuffle on source; ranks, not raw scores, cross sources.
+    "quality_quantile_norm" -> ((s, d) => {
+      val q = TextAnalysis.quality(docs(s, d), "doc_id", "text")
+        .select(col("doc_id"), round(col("quality_score"), 6).as("__q"))
+        .join(docs(s, d).select(col("doc_id"), col("source")), Seq("doc_id"))
+      q.withColumn("q_pct",
+          round(percent_rank().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("source"))
+            .orderBy(col("__q"), col("doc_id"))), 6))
+        .select(col("doc_id"), col("source"), col("q_pct"))
+        .orderBy(col("doc_id"))
     }),
 
     // ---- multimodal ----
@@ -2852,5 +2894,84 @@ object PipelineQueries {
         |       WHEN 1 THEN octet_length(encode(text)) * 8
         |       ELSE octet_length(encode(text)) * 40 END AS duration_ms
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // full replay of the PageRank pipeline: exact 5-NN cosine edges (per
+    // src the 5 smallest (round(dist,6), dst) over all OTHERS — the
+    // knnGraph kernel's exact definition), then all 3 iterations re-run in
+    // a recursive CTE carrying the rank list as state; per-edge
+    // contributions quantized with the same floor(x*2^40+0.5) rule so the
+    // long sums agree regardless of order
+    "graph_pagerank" ->
+      """WITH RECURSIVE
+        |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pairs AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    round(1.0 -
+        |      list_reduce([a.v[i] * b.v[i] for i in range(1, 65)], (x, y) -> x + y) /
+        |      sqrt(list_reduce([a.v[i] * a.v[i] for i in range(1, 65)], (x, y) -> x + y) *
+        |           list_reduce([b.v[i] * b.v[i] for i in range(1, 65)], (x, y) -> x + y)), 6)
+        |      AS dist
+        |  FROM ev a CROSS JOIN ev b WHERE a.vec_id <> b.vec_id),
+        |edges AS (SELECT src, dst FROM (
+        |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rnk
+        |    FROM pairs) WHERE rnk <= 5),
+        |-- subquery union, NOT a top-level CTE UNION: under WITH RECURSIVE
+        |-- DuckDB gives every top-level CTE set-op recursive (no-dedup)
+        |-- semantics, which silently duplicated shared node ids
+        |nodes AS (SELECT DISTINCT id FROM
+        |    (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |pr AS (
+        |  SELECT 0 AS iter,
+        |    (SELECT list(struct_pack(id := id, r := 1.0 / (SELECT n FROM nn)) ORDER BY id)
+        |     FROM nodes) AS ranks
+        |  UNION ALL
+        |  SELECT iter + 1, nl.ranks
+        |  FROM pr, LATERAL (
+        |    SELECT list(struct_pack(id := nd.id,
+        |        r := (1.0 - 0.85) / nn.n
+        |          + 0.85 * (CAST(coalesce(agg.s, 0) AS DOUBLE) / 1099511627776.0)
+        |          + 0.85 * (CAST(dang.dq AS DOUBLE) / 1099511627776.0) / nn.n)
+        |      ORDER BY nd.id) AS ranks
+        |    FROM nodes nd CROSS JOIN nn
+        |    LEFT JOIN (
+        |      SELECT e.dst AS id,
+        |        sum(CAST(floor(t.w.r * 1099511627776.0 / dg.outdeg + 0.5) AS BIGINT)) AS s
+        |      FROM unnest(pr.ranks) AS t(w)
+        |      JOIN edges e ON e.src = t.w.id
+        |      JOIN deg dg ON dg.src = e.src
+        |      GROUP BY e.dst) agg ON agg.id = nd.id
+        |    CROSS JOIN (
+        |      SELECT coalesce(sum(CAST(floor(t.w.r * 1099511627776.0 + 0.5) AS BIGINT)), 0) AS dq
+        |      FROM unnest(pr.ranks) AS t(w)
+        |      WHERE t.w.id NOT IN (SELECT src FROM deg)) dang) nl
+        |  WHERE iter < 3)
+        |SELECT CAST(t.w.id AS BIGINT) AS vec_id, round(t.w.r, 9) AS pagerank
+        |FROM (SELECT ranks FROM pr WHERE iter = 3) f, unnest(f.ranks) AS t(w)
+        |ORDER BY pagerank DESC, vec_id LIMIT 25""".stripMargin,
+
+    "shard_plan" ->
+      """SELECT CAST(('0x' || substr(md5('shard42:' || CAST(doc_id AS VARCHAR)), 18, 15))::UBIGINT
+        |            % 16 AS BIGINT) AS shard,
+        |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_weight
+        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "quality_quantile_norm" ->
+      s"""WITH t AS (SELECT doc_id, source, text, $sqlTokens AS w FROM documents),
+         |q AS (SELECT doc_id, source,
+         |  len(w) AS n_tokens,
+         |  CASE WHEN len(w) > 0 THEN CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(w) ELSE 0.0 END AS avg_token_len,
+         |  CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS alpha_ratio,
+         |  CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS digit_ratio,
+         |  CASE WHEN len(w) > 0 THEN CAST(len(list_filter(w, x -> x IN ($enList))) AS DOUBLE) / len(w) ELSE 0.0 END AS stopword_ratio
+         |  FROM t),
+         |sc AS (SELECT doc_id, source,
+         |  round(alpha_ratio * 0.4 + least(stopword_ratio * 5.0, 1.0) * 0.3 +
+         |        (CASE WHEN avg_token_len >= 3 AND avg_token_len <= 10 THEN 1.0 ELSE 0.0 END) * 0.2 +
+         |        (1.0 - least(digit_ratio * 5.0, 1.0)) * 0.1, 6) AS q6
+         |  FROM q)
+         |SELECT doc_id, source,
+         |  round(percent_rank() OVER (PARTITION BY source ORDER BY q6, doc_id), 6) AS q_pct
+         |FROM sc ORDER BY doc_id""".stripMargin,
   )
 }

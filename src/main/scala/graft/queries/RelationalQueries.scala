@@ -217,6 +217,16 @@ object RelationalQueries {
           col("day_offset"), col("n_users"))
         .orderBy(col("cohort_day"), col("day_offset"))
     }),
+
+    // recency-weighted engagement: per-user sum of value·exp(-0.1·age_days),
+    // aged back from the corpus max timestamp (deterministic, no wall
+    // clock). One global max + one combined aggregation; contributions are
+    // fixed-point quantized so the sum is partition-order independent.
+    "time_decay_score" -> ((s, d) =>
+      graft.operators.TimeSeries.timeDecayScores(events(s, d), "user_id",
+          "ts", "value", lambdaPerDay = 0.1)
+        .orderBy(col("decayed_score").desc, col("user_id"))
+        .limit(50)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -321,5 +331,17 @@ object RelationalQueries {
         |FROM ev JOIN f USING (user_id)
         |WHERE date_diff('day', cohort_day, day) <= 7
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // same fixed-point quantization rule (floor(x*2^20+0.5) per row, long
+    // sum) so the aggregation is order-independent in both engines
+    "time_decay_score" ->
+      """WITH r AS (SELECT max(epoch_us(ts)) AS ref_us FROM events),
+        |q AS (SELECT user_id,
+        |    CAST(floor(value * exp(-0.1 * ((r.ref_us - epoch_us(ts)) / 86400000000.0))
+        |         * 1048576.0 + 0.5) AS BIGINT) AS qv
+        |  FROM events CROSS JOIN r)
+        |SELECT user_id, count(*) AS n_events,
+        |       round(CAST(sum(qv) AS DOUBLE) / 1048576.0, 6) AS decayed_score
+        |FROM q GROUP BY 1 ORDER BY decayed_score DESC, user_id LIMIT 50""".stripMargin,
   )
 }

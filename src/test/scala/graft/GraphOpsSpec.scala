@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Curation, GraphOps, TimeSeries}
+
+/** PageRank (link analysis), time-decayed scoring, and shard planning. */
+class GraphOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ranksOf(maxDriverEdges: Int)(edges: (Long, Long)*): Map[Long, Double] = {
+    val out = GraphOps.pageRank(edges.toDF("src", "dst"), nIter = 10,
+      driverSolveMaxEdges = maxDriverEdges)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    CacheScope.releaseAll()
+    out
+  }
+  private def ranksOf(edges: (Long, Long)*): Map[Long, Double] =
+    ranksOf(1000000)(edges: _*)
+
+  test("pageRank: driver fast path == distributed, bit-identical") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2).distinct
+    assert(ranksOf(1000000)(edges: _*) == ranksOf(0)(edges: _*))
+  }
+
+  test("pageRank: rank mass sums to ~1 and sinks absorb rank") {
+    // star into 0: 1,2,3 -> 0; 0 has no out-edges (dangling)
+    val r = ranksOf((1L, 0L), (2L, 0L), (3L, 0L))
+    assert(math.abs(r.values.sum - 1.0) < 1e-6)
+    assert(r(0L) > r(1L) && r(1L) == r(2L) && r(2L) == r(3L))
+  }
+
+  test("pageRank: symmetric cycle is uniform") {
+    val r = ranksOf((0L, 1L), (1L, 2L), (2L, 0L))
+    r.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-6))
+  }
+
+  test("pageRank: more in-links => higher rank; deterministic across reruns") {
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (0L, 1L), (2L, 1L),
+      (3L, 2L), (0L, 3L))
+    val a = ranksOf(edges: _*)
+    val b = ranksOf(edges: _*)
+    assert(a == b) // fixed-point sums: bit-identical, not just close
+    assert(a(0L) > a(3L))
+  }
+
+  test("timeDecayScores: hand-computed decay, zero-age row undecayed") {
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-11 00:00:00"), 2.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-11 00:00:00"), 5.0)
+    ).toDF("user_id", "ts", "value")
+    val got = TimeSeries.timeDecayScores(df, "user_id", "ts", "value",
+      lambdaPerDay = 0.1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // user 1: 2.0 (age 0) + 1.0 * exp(-1.0); user 2: 5.0 (age 0, the ref)
+    val exp1 = math.floor(2.0 * 1048576.0 + 0.5) +
+      math.floor(1.0 * math.exp(-0.1 * 10.0) * 1048576.0 + 0.5)
+    assert(got(1L)._1 == 2L)
+    assert(math.abs(got(1L)._2 -
+      BigDecimal(exp1 / 1048576.0).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble) < 1e-9)
+    assert(got(2L) == ((1L, 5.0)))
+  }
+
+  test("shardPlan: shards partition the corpus; assignment is id-stable") {
+    val df = (0L until 1000L).map(i => (i, 10L)).toDF("doc_id", "w")
+    val plan = Curation.shardPlan(df, "doc_id", col("w"), nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(plan.map(_._2).sum == 1000L)
+    assert(plan.map(_._3).sum == 10000L)
+    assert(plan.map(_._1).toSet.subsetOf((0L until 8L).toSet))
+    // balance: md5 buckets of 1000 rows over 8 shards stay within ~4 sigma
+    assert(plan.map(_._2).max < 200L && plan.map(_._2).min > 60L)
+    // a subset routes identically (backfill stability)
+    val sub = Curation.shardPlan(df.filter(col("doc_id") < 100), "doc_id",
+      col("w"), nShards = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sub.values.sum == 100L)
+  }
+}
