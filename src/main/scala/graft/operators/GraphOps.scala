@@ -104,6 +104,61 @@ object GraphOps {
     ranks
   }
 
+  /**
+   * Semi-supervised label propagation over a directed edge list: seeded
+   * nodes keep their label forever; every other node takes, per round, the
+   * MAJORITY label among its out-neighbors' current labels (unlabeled
+   * neighbors don't vote; ties break toward the smallest label; a node
+   * with no labeled neighbor stays unlabeled). `nIter` fixed rounds — the
+   * auto-labeling pass that turns a small seed set plus a kNN graph
+   * ([[Similarity.knnGraph]] or the ANN index's out-edges at scale) into
+   * corpus-wide weak labels.
+   *
+   * Shape at 100 TB: each round is ONE join (labels onto the edge list's
+   * dst key) + ONE aggregation (votes per (src, label)) + the
+   * deterministic arg-max — the PageRank cost class, no pairwise work.
+   * The vote arg-max uses max(struct(cnt, -label)) instead of a window
+   * sort, so only per-(src,label) partials cross the shuffle.
+   *
+   * Everything is integer counts — exactly replayable by any SQL engine.
+   * Returns (id, label, src_kind) with label NULL when never reached and
+   * src_kind 'seed'/'propagated'/'unlabeled'.
+   */
+  def labelPropagate(edges: DataFrame, seeds: DataFrame, nIter: Int = 2): DataFrame = {
+    require(nIter >= 1 && nIter <= 20,
+      s"labelPropagate: nIter out of range: $nIter")
+    val e = graft.CacheScope.persist(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")))
+    val nodes = graft.CacheScope.persist(
+      e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct())
+    val seed = graft.CacheScope.persist(
+      seeds.select(col("id").cast("long").as("id"),
+        col("label").cast("long").as("__seed")))
+
+    var labels = nodes.join(seed, Seq("id"), "left")
+      .select(col("id"), col("__seed").as("label"))
+    for (_ <- 1 to nIter) {
+      labels = labels.localCheckpoint(true) // lineage doubles per round
+      val votes = e
+        .join(labels.select(col("id").as("dst"), col("label").as("__nl")), "dst")
+        .filter(col("__nl").isNotNull)
+        .groupBy(col("src"), col("__nl")).agg(count(lit(1)).as("__c"))
+        .groupBy(col("src"))
+        .agg(max(struct(col("__c"), (-col("__nl")).as("__neg"))).as("__best"))
+        .select(col("src").as("id"), (-col("__best.__neg")).as("__vote"))
+      labels = nodes.join(seed, Seq("id"), "left")
+        .join(votes, Seq("id"), "left")
+        .select(col("id"), coalesce(col("__seed"), col("__vote")).as("label"))
+    }
+    labels.join(seed, Seq("id"), "left")
+      .select(col("id"), col("label"),
+        when(col("__seed").isNotNull, "seed")
+          .when(col("label").isNotNull, "propagated")
+          .otherwise("unlabeled").as("src_kind"))
+  }
+
   /** The same fixed-point iteration in one driver loop — every double op in
     * the same order as the distributed expressions, so results are
     * bit-identical, not just close. */

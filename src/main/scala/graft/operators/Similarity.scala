@@ -866,6 +866,62 @@ object Similarity {
   }
 
   /**
+   * Top principal component by power iteration — the PCA pass embedding QA
+   * ends with (which single direction carries the most variance, and how
+   * much: anisotropy / "rogue dimension" detection in embedding spaces).
+   *
+   * Shape at 100 TB: the DATA pass is the same ONE O(dims²)-state
+   * map-side-combined aggregation as [[covarianceAudit]]
+   * ([[CovSumAggregator]] fixed-point sums — exact, partitioning-free);
+   * the power iteration itself is dims² work on the driver's single
+   * aggregated row, independent of corpus size. v₀ = e₀ and a fixed
+   * iteration count keep the whole computation a pure function of the
+   * data — the oracle replays the matvec/normalize loop from the same
+   * integer sums with the same ordered folds.
+   */
+  def pcaTopComponent(df: DataFrame, vecCol: String, dims: Int,
+      nIter: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = udaf(new CovSumAggregator(dims))
+    val s = df.select(agg(col(vecCol)).as("s")).head().getSeq[Long](0).toArray
+    val n = s(0).toDouble
+    def mean(i: Int): Double = s(1 + i) / 1048576.0 / n
+    def exy(p: Int): Double = s(1 + dims + p) / 1073741824.0 / n
+    val m = Array.ofDim[Double](dims, dims)
+    for (i <- 0 until dims; j <- i until dims) {
+      val p = i * dims - i * (i - 1) / 2 + (j - i)
+      val c = exy(p) - mean(i) * mean(j)
+      m(i)(j) = c
+      m(j)(i) = c
+    }
+    val v = Array.tabulate(dims)(i => if (i == 0) 1.0 else 0.0)
+    var eig = 0.0
+    for (_ <- 1 to nIter) {
+      val w = new Array[Double](dims)
+      var i = 0
+      while (i < dims) {
+        var acc = 0.0
+        var j = 0
+        while (j < dims) { acc += m(i)(j) * v(j); j += 1 }
+        w(i) = acc
+        i += 1
+      }
+      var nsq = 0.0
+      i = 0
+      while (i < dims) { nsq += w(i) * w(i); i += 1 }
+      eig = math.sqrt(nsq)
+      i = 0
+      while (i < dims) { v(i) = w(i) / eig; i += 1 }
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    spark.createDataset(v.toSeq.zipWithIndex.map { case (x, i) =>
+      (i.toLong, r6(x), r6(eig))
+    }).toDF("dim", "loading", "eigval")
+  }
+
+  /**
    * Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein 1998) — the
    * standard diversified-retrieval post-pass: greedily pick
    * argmax λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s), tie-break on id.

@@ -1257,6 +1257,30 @@ object PipelineQueries {
         .limit(25)
     }),
 
+    // semi-supervised label propagation: every 10th vector keeps its true
+    // label as a seed; two rounds of majority vote over the same 5-NN
+    // graph spread labels to the rest (the weak-labeling pass). Each round
+    // is one join + one counting aggregation; the arg-max is
+    // max(struct(cnt, -label)) so no window sort touches the vote table.
+    "label_propagation" -> ((s, d) => {
+      val e = emb(s, d)
+      val edges = Similarity.knnGraph(e, "vec_id", "embedding", k = 5)
+        .select(col("src"), col("dst"))
+      val seeds = e.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("id"), col("label"))
+      GraphOps.labelPropagate(edges, seeds, nIter = 2)
+        .select(col("id").as("vec_id"), col("label"), col("src_kind"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // top principal component by power iteration (anisotropy / rogue-dim
+    // check): data pass = ONE O(dims²)-state fixed-point aggregation (the
+    // embed_covariance kernel); the 64×64 power loop runs on the driver's
+    // single aggregated row and the oracle replays it fold-for-fold
+    "pca_top_component" -> ((s, d) =>
+      Similarity.pcaTopComponent(emb(s, d), "embedding", dims = 64, nIter = 4)
+        .orderBy(col("dim"))),
+
     // deterministic shard manifest for training-data export: md5-bucketed
     // shard assignment (pure function of doc_id — backfill-stable, engine-
     // replayable) + per-shard row/char totals; one md5 per row, one
@@ -2949,6 +2973,100 @@ object PipelineQueries {
         |SELECT CAST(t.w.id AS BIGINT) AS vec_id, round(t.w.r, 9) AS pagerank
         |FROM (SELECT ranks FROM pr WHERE iter = 3) f, unnest(f.ranks) AS t(w)
         |ORDER BY pagerank DESC, vec_id LIMIT 25""".stripMargin,
+
+    // the two vote rounds unrolled; arg-max replayed as row_number over
+    // (votes DESC, label) — identical to max(struct(cnt, -label))
+    "label_propagation" ->
+      """WITH
+        |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pairs AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    round(1.0 -
+        |      list_reduce([a.v[i] * b.v[i] for i in range(1, 65)], (x, y) -> x + y) /
+        |      sqrt(list_reduce([a.v[i] * a.v[i] for i in range(1, 65)], (x, y) -> x + y) *
+        |           list_reduce([b.v[i] * b.v[i] for i in range(1, 65)], (x, y) -> x + y)), 6)
+        |      AS dist
+        |  FROM ev a CROSS JOIN ev b WHERE a.vec_id <> b.vec_id),
+        |edges AS (SELECT src, dst FROM (
+        |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rnk
+        |    FROM pairs) WHERE rnk <= 5),
+        |nodes AS (SELECT DISTINCT id FROM
+        |    (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+        |seed AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS seed
+        |         FROM embeddings WHERE vec_id % 10 = 0),
+        |l0 AS (SELECT n.id, s.seed AS label FROM nodes n LEFT JOIN seed s USING (id)),
+        |v1 AS (SELECT e.src, l.label AS nl, count(*) AS c
+        |       FROM edges e JOIN l0 l ON l.id = e.dst
+        |       WHERE l.label IS NOT NULL GROUP BY 1, 2),
+        |b1 AS (SELECT src AS id, nl AS vote FROM (
+        |         SELECT src, nl, row_number() OVER (PARTITION BY src ORDER BY c DESC, nl) AS rn
+        |         FROM v1) WHERE rn = 1),
+        |l1 AS (SELECT n.id, coalesce(s.seed, b.vote) AS label
+        |       FROM nodes n LEFT JOIN seed s USING (id) LEFT JOIN b1 b USING (id)),
+        |v2 AS (SELECT e.src, l.label AS nl, count(*) AS c
+        |       FROM edges e JOIN l1 l ON l.id = e.dst
+        |       WHERE l.label IS NOT NULL GROUP BY 1, 2),
+        |b2 AS (SELECT src AS id, nl AS vote FROM (
+        |         SELECT src, nl, row_number() OVER (PARTITION BY src ORDER BY c DESC, nl) AS rn
+        |         FROM v2) WHERE rn = 1),
+        |l2 AS (SELECT n.id, coalesce(s.seed, b.vote) AS label
+        |       FROM nodes n LEFT JOIN seed s USING (id) LEFT JOIN b2 b USING (id))
+        |SELECT l2.id AS vec_id, l2.label,
+        |  CASE WHEN s.seed IS NOT NULL THEN 'seed'
+        |       WHEN l2.label IS NOT NULL THEN 'propagated'
+        |       ELSE 'unlabeled' END AS src_kind
+        |FROM l2 LEFT JOIN seed s USING (id) ORDER BY vec_id""".stripMargin,
+
+    // covariance from the same fixed-point sums as embed_covariance, then
+    // the 4 power iterations replayed in a recursive CTE: matvec and norm
+    // are ordered list_reduce folds — the exact arithmetic sequence of the
+    // driver loop, so loadings agree to the last bit before rounding
+    "pca_top_component" ->
+      """WITH RECURSIVE
+        |v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |p AS (SELECT i.range AS i, j.range AS j
+        |      FROM range(0, 64) i, range(0, 64) j WHERE i.range <= j.range),
+        |s AS (SELECT p.i, p.j, count(*) AS n,
+        |    sum(CAST(floor(e[CAST(p.i + 1 AS INT)] * 1048576.0 + 0.5) AS BIGINT)) AS sx,
+        |    sum(CAST(floor(e[CAST(p.j + 1 AS INT)] * 1048576.0 + 0.5) AS BIGINT)) AS sy,
+        |    sum(CAST(floor(e[CAST(p.i + 1 AS INT)] * e[CAST(p.j + 1 AS INT)] * 1073741824.0 + 0.5) AS BIGINT)) AS sxy
+        |  FROM v, p GROUP BY p.i, p.j),
+        |c AS (SELECT i, j,
+        |    CAST(sxy AS DOUBLE) / 1073741824.0 / n
+        |      - (CAST(sx AS DOUBLE) / 1048576.0 / n) * (CAST(sy AS DOUBLE) / 1048576.0 / n) AS cov
+        |  FROM s),
+        |cm AS (SELECT * FROM (
+        |    SELECT i, j, cov FROM c
+        |    UNION ALL
+        |    SELECT j AS i, i AS j, cov FROM c WHERE i <> j)),
+        |pw AS (
+        |  -- anchor types become the recursion's types: without the DOUBLE
+        |  -- casts the 1.0/0.0 literals make vv a DECIMAL(2,1)[] and every
+        |  -- iteration silently rounds to one decimal place
+        |  SELECT 0 AS iter,
+        |    CAST([CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END for i in range(1, 65)] AS DOUBLE[]) AS vv,
+        |    CAST(0.0 AS DOUBLE) AS ev
+        |  UNION ALL
+        |  SELECT iter + 1, [y.w[CAST(i AS INT)] / x.nrm for i in range(1, 65)], x.nrm
+        |  FROM pw,
+        |    -- the recursive reference (pw.vv) may only cross ONE lateral
+        |    -- boundary and not inside a list comprehension — index the
+        |    -- vector with range() and fold with ORDER BY instead
+        |    LATERAL (SELECT list(s ORDER BY i) AS w FROM (
+        |        SELECT cm.i, list_reduce(list(cm.cov * u.v ORDER BY cm.j), (a, b) -> a + b) AS s
+        |        FROM cm JOIN (SELECT pw.vv[CAST(g.range + 1 AS INT)] AS v, g.range AS j
+        |                      FROM range(0, 64) g) u
+        |          ON u.j = cm.j
+        |        GROUP BY cm.i)) y,
+        |    LATERAL (SELECT sqrt(list_reduce(
+        |        list(y.w[CAST(g.range + 1 AS INT)] * y.w[CAST(g.range + 1 AS INT)] ORDER BY g.range),
+        |        (a, b) -> a + b)) AS nrm
+        |      FROM range(0, 64) g) x
+        |  WHERE iter < 4)
+        |SELECT CAST(g.range AS BIGINT) AS dim,
+        |  round(f.vv[CAST(g.range + 1 AS INT)], 6) AS loading,
+        |  round(f.ev, 6) AS eigval
+        |FROM (SELECT vv, ev FROM pw WHERE iter = 4) f CROSS JOIN range(0, 64) g
+        |ORDER BY dim""".stripMargin,
 
     "shard_plan" ->
       """SELECT CAST(('0x' || substr(md5('shard42:' || CAST(doc_id AS VARCHAR)), 18, 15))::UBIGINT

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Curation, GraphOps, TimeSeries}
+import graft.operators.{Curation, GraphOps, Similarity, TimeSeries}
 
 /** PageRank (link analysis), time-decayed scoring, and shard planning. */
 class GraphOpsSpec extends AnyFunSuite {
@@ -45,6 +45,41 @@ class GraphOpsSpec extends AnyFunSuite {
     val b = ranksOf(edges: _*)
     assert(a == b) // fixed-point sums: bit-identical, not just close
     assert(a(0L) > a(3L))
+  }
+
+  test("labelPropagate: seeds win, majority spreads, ties pick smallest label") {
+    // 1,2,3 seeded; 4 points at {1,2,3} (3-way tie -> label of node 1);
+    // 5 points at {1,2} (tie -> smaller); 6 points only at unlabeled 7
+    val edges = Seq((4L, 1L), (4L, 2L), (4L, 3L), (5L, 1L), (5L, 2L),
+      (6L, 7L), (7L, 1L))
+    val seeds = Seq((1L, 10L), (2L, 20L), (3L, 30L),
+      (4L, 99L)) // 4 is ALSO seeded: seed must override its votes
+    val got = GraphOps.labelPropagate(edges.toDF("src", "dst"),
+      seeds.toDF("id", "label"), nIter = 2)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2))).toMap
+    CacheScope.releaseAll()
+    assert(got(1L) == ((10L, "seed")))
+    assert(got(4L) == ((99L, "seed")))
+    assert(got(5L) == ((10L, "propagated"))) // tie 10 vs 20 -> smallest
+    // 7 reaches 10 in round 1; 6 reaches it via 7 in round 2
+    assert(got(7L) == ((10L, "propagated")))
+    assert(got(6L) == ((10L, "propagated")))
+  }
+
+  test("pcaTopComponent: recovers the dominant axis") {
+    val rows = Seq.tabulate(40) { i =>
+      val big = (if (i % 2 == 0) 1.0f else -1.0f) * (1.0f + i % 3)
+      val small = (if (i % 4 < 2) 1.0f else -1.0f) * 0.05f
+      Tuple1(Array(big, small))
+    }
+    val got = Similarity.pcaTopComponent(rows.toDF("embedding"), "embedding",
+      dims = 2, nIter = 8)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(math.abs(math.abs(got(0L)._1) - 1.0) < 1e-3) // axis 0 dominates
+    assert(math.abs(got(1L)._1) < 0.1)
+    assert(got(0L)._2 > 1.0) // eigenvalue ~ variance of the big axis
   }
 
   test("timeDecayScores: hand-computed decay, zero-age row undecayed") {
