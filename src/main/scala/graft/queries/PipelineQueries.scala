@@ -1273,6 +1273,30 @@ object PipelineQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // cluster topic labeling: IVF-assign every embedding to one of 8
+    // md5-deterministic centroids, join the cluster id onto the parallel
+    // documents row, and take each cluster's top-5 tokens by count — the
+    // "what is this cluster about" browse pass. Assignment is a broadcast-
+    // model map pass; the wordcount is one combined aggregation; only the
+    // tiny (cluster, token) count table hits the rank window.
+    "cluster_topics" -> ((s, d) => {
+      val e = emb(s, d)
+      val model = Similarity.trainIvfDeterministic(e, "vec_id", "embedding",
+        nCentroids = 8, seed = "topics42")
+      val toks = docs(s, d).select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      Similarity.ivfAssign(e, "vec_id", "embedding", model)
+        .select(col("id").as("doc_id"), col("cluster").cast("long").as("cluster"))
+        .join(toks, "doc_id")
+        .groupBy(col("cluster"), col("token")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+            .orderBy(col("cnt").desc, col("token"))).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("cluster"), col("rnk"), col("token"), col("cnt"))
+        .orderBy(col("cluster"), col("rnk"))
+    }),
+
     // top principal component by power iteration (anisotropy / rogue-dim
     // check): data pass = ONE O(dims²)-state fixed-point aggregation (the
     // embed_covariance kernel); the 64×64 power loop runs on the driver's
@@ -3015,6 +3039,35 @@ object PipelineQueries {
         |       WHEN l2.label IS NOT NULL THEN 'propagated'
         |       ELSE 'unlabeled' END AS src_kind
         |FROM l2 LEFT JOIN seed s USING (id) ORDER BY vec_id""".stripMargin,
+
+    // md5-rank centroid pick + min-L2 assignment replayed exactly as in
+    // the semantic_dedup / simsearch_ivf oracles, then a plain wordcount
+    // and per-cluster rank
+    "cluster_topics" ->
+      s"""WITH ranked AS (SELECT vec_id, embedding,
+         |    ('0x' || substr(md5('topics42:' || CAST(vec_id AS VARCHAR)), 18, 15))::UBIGINT
+         |      / 1152921504606846976.0 AS u
+         |  FROM embeddings),
+         |cent AS (SELECT row_number() OVER (ORDER BY u, vec_id) - 1 AS cid,
+         |                CAST(embedding AS DOUBLE[]) AS cv
+         |  FROM ranked ORDER BY u, vec_id LIMIT 8),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+         |dists AS (SELECT v.vec_id, c.cid,
+         |    list_inner_product([c.cv[i] - v.dv[i] for i in range(1, 65)],
+         |                       [c.cv[i] - v.dv[i] for i in range(1, 65)]) AS d
+         |  FROM v CROSS JOIN cent c),
+         |asg AS (SELECT vec_id, cid AS cluster FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |    FROM dists) WHERE rn = 1),
+         |tok AS (SELECT doc_id, unnest($sqlTokens) AS token FROM documents),
+         |cnts AS (SELECT a.cluster, t.token, count(*) AS cnt
+         |  FROM asg a JOIN tok t ON t.doc_id = a.vec_id GROUP BY 1, 2)
+         |SELECT CAST(cluster AS BIGINT) AS cluster, rnk, token, cnt
+         |FROM (SELECT cluster, token, cnt,
+         |        row_number() OVER (PARTITION BY cluster ORDER BY cnt DESC, token) AS rnk
+         |      FROM cnts)
+         |WHERE rnk <= 5 ORDER BY cluster, rnk""".stripMargin,
 
     // covariance from the same fixed-point sums as embed_covariance, then
     // the 4 power iterations replayed in a recursive CTE: matvec and norm

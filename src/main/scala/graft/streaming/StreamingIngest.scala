@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.index.{DiskannIndex, DiskannParams}
 
@@ -492,6 +492,65 @@ object StreamingIngest {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
+
+  /** One alert from [[streamingRateAnomaly]]: a finalized window whose
+    * count deviates from the type's own history. */
+  case class RateAlert(windowStart: java.sql.Timestamp, eventType: String,
+      n: Long, mean: Double, z: Double)
+
+  /**
+   * Streaming rate-anomaly monitor — the online sibling of the batch
+   * `events_anomaly` query: watermarked per-(window, event_type) counts
+   * stream in APPEND mode into foreachBatch, where each FINALIZED window is
+   * z-scored against the type's history of previously completed windows
+   * (exact sums h, Σn, Σn² — the same arithmetic as the batch query) and
+   * then folded into that history. Append + watermark guarantee every
+   * window reaches the callback exactly once, after it can no longer
+   * change, so history only ever contains closed windows and the alert
+   * stream needs no retraction story.
+   *
+   * A perfectly flat history (variance 0) alerts on ANY deviation with
+   * z = +Inf — a monitor that goes silent because history was too clean
+   * would miss the first real spike. The per-batch collect is bounded by
+   * construction: one row per (window, type) that closed this batch, not
+   * per event. State is O(types) doubles on the driver; persist/restore it
+   * alongside the checkpoint if the monitor must survive restarts.
+   */
+  def streamingRateAnomaly(stream: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours", zThreshold: Double = 2.0,
+      minWindows: Int = 3)(
+      onAlert: Seq[RateAlert] => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    // event_type -> [h, sum n, sum n^2] over completed windows
+    val stats = new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
+    val counts = stream.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"))
+    counts.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val rows = batch.collect()
+        val alerts = scala.collection.mutable.ArrayBuffer[RateAlert]()
+        rows.sortBy(r => (r.getTimestamp(0).getTime, r.getString(1))).foreach { r =>
+          val (ws, et, n) = (r.getTimestamp(0), r.getString(1), r.getLong(2))
+          val s = stats.computeIfAbsent(et, _ => Array(0.0, 0.0, 0.0))
+          val h = s(0)
+          if (h >= minWindows) {
+            val mean = s(1) / h
+            val variance = (s(2) - s(1) * s(1) / h) / (h - 1)
+            if (variance > 0) {
+              val z = (n - mean) / math.sqrt(variance)
+              if (math.abs(z) >= zThreshold) alerts += RateAlert(ws, et, n, mean, z)
+            } else if (n.toDouble != mean) {
+              alerts += RateAlert(ws, et, n, mean, Double.PositiveInfinity)
+            }
+          }
+          s(0) += 1; s(1) += n.toDouble; s(2) += n.toDouble * n
+        }
+        if (alerts.nonEmpty) onAlert(alerts.toSeq)
+      }
+      .start()
+  }
 
   /** Streaming exact dedup — the streaming twin of
     * [[graft.operators.Dedup.exactDedup]]: first-seen row wins per content

@@ -802,4 +802,35 @@ class StreamingSpec extends AnyFunSuite {
       StreamingIngest.SessionOut(1L, 1000L, 3000L, 2L, 3.0),
       StreamingIngest.SessionOut(2L, 1000L, 1000L, 1L, 5.0)))
   }
+
+  test("streaming rate anomaly: spike hour alerts, normal jitter does not") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    def hour(h: Int, sec: Int) =
+      java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:00:${sec % 60}%02d")
+    // hours 0..5 with counts 9,10,11,9,10,11 (mean 10, var 0.8), hour 6 spikes to 100
+    val counts = Seq(9, 10, 11, 9, 10, 11, 100)
+    val rows = counts.zipWithIndex.flatMap { case (c, h) =>
+      (0 until c).map(i => (hour(h, i), "a"))
+    }
+    val alerts = scala.collection.mutable.ArrayBuffer[StreamingIngest.RateAlert]()
+    val q = StreamingIngest.streamingRateAnomaly(
+      mem.toDF().toDF("ts", "event_type"), zThreshold = 2.0, minWindows = 3) {
+      batch => alerts.synchronized { alerts ++= batch }
+    }
+    mem.addData(rows)
+    q.processAllAvailable()
+    // sentinel advances the watermark past hour 6 + 2h so it finalizes
+    mem.addData((hour(9, 0), "a"))
+    q.processAllAvailable()
+    mem.addData((hour(11, 0), "a"))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = alerts.synchronized(alerts.toSeq)
+    assert(got.map(_.windowStart) == Seq(hour(6, 0)))
+    val a = got.head
+    assert(a.eventType == "a" && a.n == 100L && math.abs(a.mean - 10.0) < 1e-9)
+    assert(a.z > 50.0) // (100-10)/sqrt(0.8)
+  }
 }
