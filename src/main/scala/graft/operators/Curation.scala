@@ -71,16 +71,51 @@ object Curation {
    * One map-side md5 per row plus one combined aggregation — no skew, no
    * driver state.
    */
-  def shardPlan(df: DataFrame, idCol: String, weightCol: Column,
-      nShards: Int, seed: String = "graft-shard"): DataFrame = {
-    require(nShards > 0, s"shardPlan: nShards must be positive: $nShards")
-    val bucket = pmod(
+  /** The md5 shard route shared by [[shardPlan]] and [[writeShards]] — one
+    * definition so the plan and the writer cannot disagree. */
+  def shardBucket(idCol: String, nShards: Int, seed: String): Column =
+    pmod(
       conv(substring(md5(concat_ws(":", lit(seed), col(idCol))), 18, 15),
         16, 10).cast(LongType),
       lit(nShards.toLong))
-    df.select(bucket.as("shard"), weightCol.cast(LongType).as("__w"))
+
+  def shardPlan(df: DataFrame, idCol: String, weightCol: Column,
+      nShards: Int, seed: String = "graft-shard"): DataFrame = {
+    require(nShards > 0, s"shardPlan: nShards must be positive: $nShards")
+    df.select(shardBucket(idCol, nShards, seed).as("shard"),
+        weightCol.cast(LongType).as("__w"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__w")).as("total_weight"))
+  }
+
+  /**
+   * Training-shard EXPORT — [[shardPlan]]'s writer: routes every row to its
+   * md5 shard and writes `shard=K/` parquet partitions plus a
+   * `_manifest.json` recording per-shard row counts (counted from the
+   * FILES just written, so the manifest describes what is actually on
+   * disk). Because the route is a pure function of ids, a backfill rewrite
+   * of one shard touches only that shard's directory, and any engine can
+   * verify the routing. Returns the per-shard manifest rows.
+   */
+  def writeShards(df: DataFrame, path: String, idCol: String, nShards: Int,
+      seed: String = "graft-shard"): DataFrame = {
+    require(nShards > 0, s"writeShards: nShards must be positive: $nShards")
+    val spark = df.sparkSession
+    df.withColumn("shard", shardBucket(idCol, nShards, seed))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    val manifest = spark.read.parquet(path)
+      .groupBy(col("shard").cast(LongType).as("shard"))
+      .agg(count(lit(1)).as("n_rows"))
+    val entries = manifest.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val json = entries
+      .map { case (s, n) => s"""{"shard": $s, "n_rows": $n}""" }
+      .mkString("[", ", ", "]")
+    val p = new org.apache.hadoop.fs.Path(path, "_manifest.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    manifest
   }
 
   /** Top-k vocabulary by document frequency-weighted token count: the classic

@@ -124,6 +124,40 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /**
+   * Estimator-calibration audit for MinHash: for every verified near-dup
+   * pair (exact Jaccard >= threshold via the production LSH path), the
+   * EXACT Jaccard next to the ESTIMATE a `numPerms`-permutation MinHash
+   * signature would give (fraction of agreeing components — the unbiased
+   * estimator the sketch literature analyzes). The audit answers "how many
+   * permutations does OUR corpus need": est−exact spread vs the
+   * 1/sqrt(numPerms) bound, measured on real pairs instead of assumed.
+   *
+   * Permutation hashes are md5-derived (low-60 bits of md5(i:shingle)), so
+   * any engine replays the estimate bit-for-bit; the production signature
+   * path keeps its faster FNV mixing ([[MinhashSig]]) — this audit is the
+   * calibration harness, not the hot path. Cost: numPerms md5 per shingle
+   * on the audited docs, one map-side pass + the pair joins.
+   */
+  def minhashEstimateAudit(df: DataFrame, idCol: String, textCol: String,
+      numPerms: Int = 16, threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashNearDupPairs(df, idCol, textCol, threshold = threshold)
+    val sig = shingled(df, idCol, textCol).select(col("id"),
+      transform(sequence(lit(0), lit(numPerms - 1)), i =>
+        array_min(transform(col("sh"), s =>
+          conv(substring(md5(concat(i.cast(StringType), lit(":"), s)), 18, 15),
+            16, 10).cast(LongType)))).as("sg"))
+    pairs
+      .join(sig.select(col("id").as("id_a"), col("sg").as("__sa")), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("sg").as("__sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 6).as("jaccard"),
+        round(aggregate(zip_with(col("__sa"), col("__sb"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).cast(DoubleType) / numPerms, 6)
+          .as("est_jaccard"))
+  }
+
   /** LSH candidate (id_a < id_b) pairs from a signature table: banding,
     * optional bucket-width skew cap, banded self-join, distinct — the ONE
     * candidate generator every LSH-verified pair operator shares. */

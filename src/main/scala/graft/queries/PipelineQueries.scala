@@ -113,6 +113,15 @@ object PipelineQueries {
         .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
         .limit(20)),
 
+    // MinHash estimator calibration: exact Jaccard vs the 16-permutation
+    // signature estimate on every verified near-dup pair — "how many
+    // permutations does this corpus need", measured not assumed. The md5
+    // permutation hashes make the estimate engine-replayable.
+    "minhash_est_audit" -> ((s, d) =>
+      Dedup.minhashEstimateAudit(docs(s, d), "doc_id", "text",
+          numPerms = 16, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // substring-level dedup signal: per doc, the fraction of its distinct
     // 8-token spans that occur in at least one other document (one shuffle
     // of span-hash partials — exact-dedup cost class, never pairwise)
@@ -3039,6 +3048,28 @@ object PipelineQueries {
         |       WHEN l2.label IS NOT NULL THEN 'propagated'
         |       ELSE 'unlabeled' END AS src_kind
         |FROM l2 LEFT JOIN seed s USING (id) ORDER BY vec_id""".stripMargin,
+
+    // exact-jaccard pair set as in dedup_minhash (LSH recall ~1 at 0.8);
+    // the estimate recomputed from the same md5(i:shingle) rule
+    "minhash_est_audit" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+         |g AS (SELECT doc_id, ${sqlShingles("w")} AS sh FROM t),
+         |sig AS (SELECT doc_id,
+         |    [list_min([CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s), 18, 15))::UBIGINT AS BIGINT)
+         |      for s in sh]) for i in range(0, 16)] AS sg
+         |  FROM g),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |        round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |              len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+         |      FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8)
+         |SELECT p.id_a, p.id_b, p.jaccard,
+         |  round(CAST(len(list_filter(range(1, 17),
+         |      i -> sa.sg[CAST(i AS INT)] = sb.sg[CAST(i AS INT)])) AS DOUBLE) / 16, 6)
+         |    AS est_jaccard
+         |FROM p JOIN sig sa ON sa.doc_id = p.id_a JOIN sig sb ON sb.doc_id = p.id_b
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // md5-rank centroid pick + min-L2 assignment replayed exactly as in
     // the semantic_dedup / simsearch_ivf oracles, then a plain wordcount

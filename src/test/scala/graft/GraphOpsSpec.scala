@@ -101,6 +101,24 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got(2L) == ((1L, 5.0)))
   }
 
+  test("writeShards: round-trips, routes like shardPlan, manifest matches disk") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val df = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val manifest = Curation.writeShards(df, dir, "doc_id", nShards = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 200L)
+    // the written shard column equals the plan's routing for every row
+    val mismatch = back.withColumn("expect",
+        Curation.shardBucket("doc_id", 4, "graft-shard"))
+      .filter(col("shard").cast("long") =!= col("expect")).count()
+    assert(mismatch == 0L)
+    assert(manifest.values.sum == 200L && manifest.keySet.subsetOf(Set(0L, 1L, 2L, 3L)))
+    val mf = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_manifest.json")), "UTF-8")
+    assert(mf.contains("\"shard\": 0") && mf.contains("n_rows"))
+  }
+
   test("shardPlan: shards partition the corpus; assignment is id-stable") {
     val df = (0L until 1000L).map(i => (i, 10L)).toDF("doc_id", "w")
     val plan = Curation.shardPlan(df, "doc_id", col("w"), nShards = 8)
