@@ -179,6 +179,22 @@ object ScaleProbe {
       "embed_covariance" -> { f =>
         Similarity.covarianceAudit(spark.read.parquet(embPath(f)),
           "embedding", dims = 8).filter(col("cov").isNotNull).count()
+      },
+      // round 6 (cont. 2): the DISTRIBUTED PageRank path (driver fast path
+      // forced off) on a synthetic 5-out-regular graph that grows with f —
+      // 3 iterations of join + combined aggregation; the kNN-graph edge
+      // GENERATION is probed separately by the ANN path (broadcast-bounded
+      // exact kernel at small n, index out-edges at scale)
+      "pagerank_distributed" -> { f =>
+        val n = 20000L * f
+        val edges = spark.range(n).select(col("id").as("src"),
+            explode(sequence(lit(0), lit(4))).as("j"))
+          .select(col("src"),
+            pmod(xxhash64(col("src"), col("j")), lit(n)).as("dst"))
+        val out = graft.operators.GraphOps.pageRank(edges, nIter = 3,
+          driverSolveMaxEdges = 0).filter(col("r") >= 0).count()
+        graft.CacheScope.releaseAll()
+        out
       })
 
     // --ann: the DiskANN headline path — index build + distributed batch
