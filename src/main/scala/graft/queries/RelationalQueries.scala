@@ -227,6 +227,44 @@ object RelationalQueries {
           "ts", "value", lambdaPerDay = 0.1)
         .orderBy(col("decayed_score").desc, col("user_id"))
         .limit(50)),
+
+    // TPC-H Q3 shape (unshipped-orders revenue): segment-filtered customers
+    // broadcast into orders, date filters pushed to both parquet scans,
+    // one shuffle for the per-order aggregation, TakeOrdered for the top-10
+    "q3_shipping" -> ((s, d) => {
+      val cut = lit("1998-06-01").cast("timestamp")
+      val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val o = t(s, d, "orders").filter(col("o_orderdate") < cut)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val l = t(s, d, "lineitem").filter(col("l_shipdate") > cut)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"))
+        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // per-user event-sequence transition matrix (the Markov view of the
+    // funnel): one lag window per user, then a tiny (from, to) count table;
+    // transition probabilities from exact integer counts
+    "event_transitions" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("event_type"),
+        col("ts"), col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      ev.withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("p", round(col("cnt").cast("double") /
+          sum(col("cnt")).over(Window.partitionBy(col("from_type"))), 6))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -343,5 +381,26 @@ object RelationalQueries {
         |SELECT user_id, count(*) AS n_events,
         |       round(CAST(sum(qv) AS DOUBLE) / 1048576.0, 6) AS decayed_score
         |FROM q GROUP BY 1 ORDER BY decayed_score DESC, user_id LIMIT 50""".stripMargin,
+
+    "q3_shipping" ->
+      """SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |       o_orderdate
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+
+    "event_transitions" ->
+      """WITH o AS (SELECT user_id, event_type, ts, event_id,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT event_type AS from_type, to_type, count(*) AS cnt
+        |      FROM o WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, cnt,
+        |  round(CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY from_type), 6) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
   )
 }
