@@ -1356,6 +1356,25 @@ object PipelineQueries {
       Multimodal.resizeImages(Multimodal.mediaFromDocuments(docs(s, d)), 64, 48)
         .select(col("media_id"), col("width"), col("height"), col("n_bytes"))
         .orderBy(col("media_id"))),
+
+    // cross-media duplicate-FRAME detection (the video near-dup primitive:
+    // repeated intros/outros/stock footage): hash every sampled frame, one
+    // occurrence-count shuffle on the 128-bit frame hash, per-media dup
+    // fraction — exact-dedup cost class on the frame stream, never
+    // pairwise. Frames are byte slices (stub sampler), so the oracle
+    // replays them with character substrings (fixture is pure ASCII:
+    // byte offsets == char offsets, same property multimodal_meta uses).
+    "multimodal_frame_dedup" -> ((s, d) => {
+      val frames = Multimodal
+        .sampleFrames(Multimodal.mediaFromDocuments(docs(s, d)))
+        .select(col("media_id"), md5(col("frame")).as("fh"))
+      val counts = frames.groupBy(col("fh")).agg(count(lit(1)).as("n_occ"))
+      frames.join(counts, "fh")
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_frames"))
+        .orderBy(col("media_id"))
+    }),
   )
 
   private val enList = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
@@ -3006,6 +3025,18 @@ object PipelineQueries {
         |SELECT CAST(t.w.id AS BIGINT) AS vec_id, round(t.w.r, 9) AS pagerank
         |FROM (SELECT ranks FROM pr WHERE iter = 3) f, unnest(f.ranks) AS t(w)
         |ORDER BY pagerank DESC, vec_id LIMIT 25""".stripMargin,
+
+    "multimodal_frame_dedup" ->
+      """WITH vid AS (SELECT doc_id AS media_id, text FROM documents
+        |            WHERE doc_id % 3 = 2),
+        |fr AS (SELECT media_id, unnest(
+        |    [md5(substring(text, CAST(i AS INT) * 256 + 1, 64))
+        |     for i in range(0, greatest(CAST(floor(length(text) / 256.0) AS INT) - 1, 0) + 1)]) AS fh
+        |  FROM vid),
+        |cnt AS (SELECT fh, count(*) AS n_occ FROM fr GROUP BY 1)
+        |SELECT media_id, count(*) AS n_frames,
+        |  CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_frames
+        |FROM fr JOIN cnt USING (fh) GROUP BY 1 ORDER BY media_id""".stripMargin,
 
     // the two vote rounds unrolled; arg-max replayed as row_number over
     // (votes DESC, label) — identical to max(struct(cnt, -label))
