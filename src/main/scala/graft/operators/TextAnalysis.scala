@@ -388,6 +388,51 @@ object TextAnalysis {
   }
 
   /**
+   * Winnowing-fingerprint PLAGIARISM pairs (Schleimer et al. 2003, the
+   * MOSS scheme): per doc, the distinct block-minimum fingerprints of its
+   * md5 char-8-gram hashes (the same normalize→gram→hash→window-min chain
+   * as `doc_fingerprint_md5`, kept as the SET instead of xor-folded), then
+   * pairs ranked by how many fingerprints they share. The top pairs are
+   * the copy/quote suspects Jaccard washes out.
+   *
+   * Shape at 100 TB: fingerprints are map-side per doc; the pair stage is
+   * a posting-list self-join on the fingerprint value — same cost law as
+   * LSH bucket joins, quadratic in posting width, so `maxPosting` drops
+   * fingerprints shared by more than that many docs (boilerplate minima —
+   * the standard MOSS "too common to mean anything" rule; measured here:
+   * one hot fingerprint reached width 3846 at sf0.1 = 7M pairs on its
+   * own). One count shuffle for widths + one join on the fingerprint.
+   */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+      maxPosting: Long = 100, topN: Int = 20): DataFrame = {
+    val staged = df.select(col(idCol).as("id"),
+      trim(regexp_replace(lower(col(textCol)), "\\s+", " ")).as("__s"))
+    val mins = staged
+      .withColumn("__grams",
+        when(length(col("__s")) < 8, array(col("__s")))
+          .otherwise(expr(
+            "transform(sequence(1, length(__s) - 7), i -> substring(__s, i, 8))")))
+      .withColumn("__hs", expr(
+        "transform(__grams, x -> cast(conv(substring(md5(x), 18, 15), 16, 10) as bigint))"))
+      .withColumn("__mins", expr(
+        "array_distinct(transform(sequence(1, size(__hs), 16), st -> array_min(slice(__hs, st, 16))))"))
+      .select(col("id"), explode(col("__mins")).as("fp"))
+    val capped = mins
+      .withColumn("__w", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .filter(col("__w") <= maxPosting)
+      .select(col("id"), col("fp"))
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id"), col("b.id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("n_shared"))
+      .orderBy(col("n_shared").desc, col("id_a"), col("id_b"))
+      .limit(topN)
+  }
+
+  /**
    * Bigram language-model quality score — the CCNet/KenLM-style LM filter:
    * each document is scored by its mean add-one-smoothed bigram log
    * probability, ln((c(w1 w2) + 1) / (c(w1) + V)), under a model counted

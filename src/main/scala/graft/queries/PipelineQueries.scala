@@ -379,6 +379,14 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // MOSS-style plagiarism suspects: top-20 pairs by shared winnowing
+    // fingerprints (the block-min SET behind doc_fingerprints); postings
+    // wider than 100 docs are dropped as boilerplate — the measured hot
+    // fingerprint would alone contribute 7M pairs at sf0.1
+    "winnow_pairs" -> ((s, d) =>
+      TextAnalysis.winnowPairs(docs(s, d), "doc_id", "text",
+        maxPosting = 100, topN = 20)),
+
     // ---- embedding near-dup / similarity ----
     // exact brute-force all-pairs top-20: broadcast-corpus primitive kernel
     // (Similarity.bruteCosineTopPairs) emitting raw doubles bit-identical to
@@ -2188,6 +2196,26 @@ object PipelineQueries {
          |     for st in range(1, len(hs) + 1, 16)] AS mins FROM h)
          |SELECT doc_id, CAST(list_reduce(mins, (a, b) -> xor(a, b)) AS BIGINT) AS fp
          |FROM m ORDER BY doc_id""".stripMargin,
+
+    // same normalize->8-gram->md5-low60->block-min chain as
+    // doc_fingerprints, kept as the distinct SET; posting cap mirrored
+    "winnow_pairs" ->
+      s"""WITH norm AS (SELECT doc_id,
+         |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s FROM documents),
+         |g AS (SELECT doc_id, CASE WHEN length(s) < 8 THEN [s]
+         |    ELSE [substr(s, CAST(i AS INT), 8) for i in range(1, length(s) - 6)] END AS grams
+         |  FROM norm),
+         |h AS (SELECT doc_id,
+         |    [CAST(('0x' || substr(md5(x), 18, 15))::UBIGINT AS BIGINT) for x in grams] AS hs FROM g),
+         |m AS (SELECT doc_id,
+         |    list_distinct([list_min(hs[CAST(st AS INT):CAST(st AS INT) + 15])
+         |     for st in range(1, len(hs) + 1, 16)]) AS mins FROM h),
+         |e AS (SELECT doc_id, unnest(mins) AS fp FROM m),
+         |wd AS (SELECT fp FROM e GROUP BY fp HAVING count(*) <= 100),
+         |ec AS (SELECT e.doc_id, e.fp FROM e JOIN wd USING (fp))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+         |FROM ec a JOIN ec b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY n_shared DESC, id_a, id_b LIMIT 20""".stripMargin,
 
     // the stub frame sampler emits max(floor(bytes/256)-1, 0)+1 frames per
     // video payload (frameBytes=64 x stride=4) — closed form over byte length
