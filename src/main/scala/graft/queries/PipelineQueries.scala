@@ -1290,6 +1290,27 @@ object PipelineQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // winsorization audit: per-dim p01/p99 clip thresholds (exact linear-
+    // interpolated percentiles — Spark `percentile` and DuckDB
+    // `quantile_cont` share the definition, as doc_len_percentiles
+    // establishes) plus how many values each clip would touch — the
+    // embedding-QA pass before int8 quantization. Explode is map-side;
+    // both aggregations group on the bounded dim key.
+    "embed_winsorize" -> ((s, d) => {
+      val ex = emb(s, d)
+        .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("dim").cast("long").as("dim"), col("v").cast("double").as("v"))
+      val st = ex.groupBy(col("dim"))
+        .agg(expr("percentile(v, 0.01)").as("__p01"),
+          expr("percentile(v, 0.99)").as("__p99"))
+      ex.join(st, "dim").groupBy(col("dim"))
+        .agg(round(max(col("__p01")), 6).as("p01"),
+          round(max(col("__p99")), 6).as("p99"),
+          sum(when(col("v") < col("__p01"), 1L).otherwise(0L)).as("n_below"),
+          sum(when(col("v") > col("__p99"), 1L).otherwise(0L)).as("n_above"))
+        .orderBy(col("dim"))
+    }),
+
     // cluster topic labeling: IVF-assign every embedding to one of 8
     // md5-deterministic centroids, join the cluster id onto the parallel
     // documents row, and take each cluster's top-5 tokens by count — the
@@ -3129,6 +3150,19 @@ object PipelineQueries {
          |    AS est_jaccard
          |FROM p JOIN sig sa ON sa.doc_id = p.id_a JOIN sig sb ON sb.doc_id = p.id_b
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "embed_winsorize" ->
+      """WITH ex AS (SELECT d.range AS dim,
+        |    CAST(embedding[CAST(d.range + 1 AS INT)] AS DOUBLE) AS v
+        |  FROM embeddings CROSS JOIN range(0, 64) d),
+        |st AS (SELECT dim, quantile_cont(v, 0.01) AS p01,
+        |               quantile_cont(v, 0.99) AS p99
+        |       FROM ex GROUP BY 1)
+        |SELECT CAST(ex.dim AS BIGINT) AS dim,
+        |  round(max(st.p01), 6) AS p01, round(max(st.p99), 6) AS p99,
+        |  CAST(sum(CASE WHEN ex.v < st.p01 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+        |  CAST(sum(CASE WHEN ex.v > st.p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+        |FROM ex JOIN st USING (dim) GROUP BY ex.dim ORDER BY dim""".stripMargin,
 
     // md5-rank centroid pick + min-L2 assignment replayed exactly as in
     // the semantic_dedup / simsearch_ivf oracles, then a plain wordcount
