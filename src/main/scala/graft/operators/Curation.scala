@@ -14,13 +14,20 @@ import org.apache.spark.sql.types._
  */
 object Curation {
 
+  /** Low 60 bits of md5 as a non-negative BIGINT — THE engine-replay hash
+    * idiom of this library (DuckDB: `('0x' || substr(md5(x), 18, 15))
+    * ::UBIGINT`). One definition so the (18, 15) hex window can never
+    * drift between operators and their oracles. */
+  def md5Low60(c: Column): Column =
+    conv(substring(md5(c), 18, 15), 16, 10).cast(LongType)
+
   /** Uniform [0,1) derived from md5 of `seed:id` (low 60 bits / 2^60).
     * Deterministic and engine-independent — any SQL engine with md5() can
     * recompute the exact same sample, which makes sampled pipelines
     * reproducible and auditable (no engine RNG, no partition-order
     * dependence). */
   def md5Uniform(seed: String, id: Column): Column =
-    conv(substring(md5(concat_ws(":", lit(seed), id)), 18, 15), 16, 10)
+    md5Low60(concat_ws(":", lit(seed), id))
       .cast(DoubleType) / 1.152921504606846976e18
 
   /**
@@ -59,6 +66,11 @@ object Curation {
     df.withColumn("split", assigned)
   }
 
+  /** The md5 shard route shared by [[shardPlan]] and [[writeShards]] — one
+    * definition so the plan and the writer cannot disagree. */
+  def shardBucket(idCol: String, nShards: Int, seed: String): Column =
+    pmod(md5Low60(concat_ws(":", lit(seed), col(idCol))), lit(nShards.toLong))
+
   /**
    * Deterministic training-shard plan: every row lands in shard
    * `md5_low60(seed:id) mod nShards`, and the result is the per-shard
@@ -71,14 +83,6 @@ object Curation {
    * One map-side md5 per row plus one combined aggregation — no skew, no
    * driver state.
    */
-  /** The md5 shard route shared by [[shardPlan]] and [[writeShards]] — one
-    * definition so the plan and the writer cannot disagree. */
-  def shardBucket(idCol: String, nShards: Int, seed: String): Column =
-    pmod(
-      conv(substring(md5(concat_ws(":", lit(seed), col(idCol))), 18, 15),
-        16, 10).cast(LongType),
-      lit(nShards.toLong))
-
   def shardPlan(df: DataFrame, idCol: String, weightCol: Column,
       nShards: Int, seed: String = "graft-shard"): DataFrame = {
     require(nShards > 0, s"shardPlan: nShards must be positive: $nShards")

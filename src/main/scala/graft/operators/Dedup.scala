@@ -141,12 +141,22 @@ object Dedup {
    */
   def minhashEstimateAudit(df: DataFrame, idCol: String, textCol: String,
       numPerms: Int = 16, threshold: Double = 0.8): DataFrame = {
-    val pairs = minhashNearDupPairs(df, idCol, textCol, threshold = threshold)
-    val sig = shingled(df, idCol, textCol).select(col("id"),
-      transform(sequence(lit(0), lit(numPerms - 1)), i =>
-        array_min(transform(col("sh"), s =>
-          conv(substring(md5(concat(i.cast(StringType), lit(":"), s)), 18, 15),
-            16, 10).cast(LongType)))).as("sg"))
+    val pairs = graft.CacheScope.persist(
+      minhashNearDupPairs(df, idCol, textCol, threshold = threshold))
+    // the md5 signatures are the expensive part (numPerms md5 per
+    // shingle): semi-join to the docs that actually appear in a verified
+    // pair so the cost scales with the AUDITED pairs, not the corpus, and
+    // persist — the sig subtree feeds both join sides
+    val pairIds = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+    val sig = graft.CacheScope.persist(
+      shingled(df, idCol, textCol)
+        .join(pairIds, Seq("id"), "left_semi")
+        .select(col("id"),
+          transform(sequence(lit(0), lit(numPerms - 1)), i =>
+            array_min(transform(col("sh"), s =>
+              Curation.md5Low60(concat(i.cast(StringType), lit(":"), s)))))
+            .as("sg")))
     pairs
       .join(sig.select(col("id").as("id_a"), col("sg").as("__sa")), "id_a")
       .join(sig.select(col("id").as("id_b"), col("sg").as("__sb")), "id_b")

@@ -45,26 +45,27 @@ object GraphOps {
   def pageRank(edges: DataFrame, nIter: Int = 3,
       damping: Double = 0.85, driverSolveMaxEdges: Int = 1000000): DataFrame = {
     require(nIter >= 1 && nIter <= 50, s"pageRank: nIter out of range: $nIter")
-    // adaptive fast path (the connectedComponents precedent): a kNN graph
-    // of a broadcast-sized corpus is a few thousand edges — the iterative
-    // DataFrame loop's per-stage overhead dwarfs the arithmetic. Bounded
-    // probe: collect at most N+1 edges; past the bound, run distributed.
-    // Both paths compute the IDENTICAL fixed-point arithmetic (asserted
-    // equal in GraphOpsSpec), so the choice is invisible to results.
-    if (driverSolveMaxEdges > 0) {
-      val probe = edges.select(col("src").cast("long"), col("dst").cast("long"))
-        .limit(driverSolveMaxEdges + 1).collect()
-      if (probe.length <= driverSolveMaxEdges)
-        return driverPageRank(edges.sparkSession,
-          probe.map(r => (r.getLong(0), r.getLong(1))), nIter, damping)
-    }
     // ranks feed three consumers per iteration (contributions, dangling
     // mass, next iteration) — without persists the edge subtree would
     // recompute exponentially in nIter. CacheScope so Verify/Bench release
-    // the blocks after the consuming action.
+    // the blocks after the consuming action. Persisted BEFORE the fast-
+    // path probe so the probe's materialization is reused either way.
     val e = graft.CacheScope.persist(
       edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst")))
+    // adaptive fast path (the connectedComponents precedent): a kNN graph
+    // of a broadcast-sized corpus is a few thousand edges — the iterative
+    // DataFrame loop's per-stage overhead dwarfs the arithmetic. Bounded
+    // probe: a count capped at N+1 decides (only a count crosses to the
+    // driver); the full collect happens only once the graph is known
+    // small, and reads the just-persisted blocks. Both paths compute the
+    // IDENTICAL fixed-point arithmetic (asserted equal in GraphOpsSpec),
+    // so the choice is invisible to results.
+    if (driverSolveMaxEdges > 0 &&
+        e.limit(driverSolveMaxEdges + 1).count() <= driverSolveMaxEdges) {
+      return driverPageRank(e.sparkSession,
+        e.collect().map(r => (r.getLong(0), r.getLong(1))), nIter, damping)
+    }
     val nodes = graft.CacheScope.persist(
       e.select(col("src").as("id"))
         .union(e.select(col("dst").as("id"))).distinct())

@@ -412,8 +412,7 @@ object TextAnalysis {
         when(length(col("__s")) < 8, array(col("__s")))
           .otherwise(expr(
             "transform(sequence(1, length(__s) - 7), i -> substring(__s, i, 8))")))
-      .withColumn("__hs", expr(
-        "transform(__grams, x -> cast(conv(substring(md5(x), 18, 15), 16, 10) as bigint))"))
+      .withColumn("__hs", transform(col("__grams"), x => Curation.md5Low60(x)))
       .withColumn("__mins", expr(
         "array_distinct(transform(sequence(1, size(__hs), 16), st -> array_min(slice(__hs, st, 16))))"))
       .select(col("id"), explode(col("__mins")).as("fp"))

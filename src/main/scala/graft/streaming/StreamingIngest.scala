@@ -515,6 +515,12 @@ object StreamingIngest {
    * construction: one row per (window, type) that closed this batch, not
    * per event. State is O(types) doubles on the driver; persist/restore it
    * alongside the checkpoint if the monitor must survive restarts.
+   *
+   * foreachBatch is at-least-once (same reason the delta-ingest sink
+   * dedups by row_id): a crash between processing and commit replays the
+   * batch on recovery, which would double-fold every window of that batch
+   * into the history and re-fire its alerts — the batchId guard makes the
+   * fold idempotent per batch.
    */
   def streamingRateAnomaly(stream: DataFrame, window_ : String = "1 hour",
       watermark: String = "2 hours", zThreshold: Double = 2.0,
@@ -522,13 +528,17 @@ object StreamingIngest {
       onAlert: Seq[RateAlert] => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     // event_type -> [h, sum n, sum n^2] over completed windows
     val stats = new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
+    val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
     val counts = stream.withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"))
     counts.writeStream.outputMode("append")
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (batchId <= lastBatch.get()) ()
+        else {
+        lastBatch.set(batchId)
         val rows = batch.collect()
         val alerts = scala.collection.mutable.ArrayBuffer[RateAlert]()
         rows.sortBy(r => (r.getTimestamp(0).getTime, r.getString(1))).foreach { r =>
@@ -548,6 +558,7 @@ object StreamingIngest {
           s(0) += 1; s(1) += n.toDouble; s(2) += n.toDouble * n
         }
         if (alerts.nonEmpty) onAlert(alerts.toSeq)
+        }
       }
       .start()
   }
