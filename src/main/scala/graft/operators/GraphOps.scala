@@ -125,12 +125,24 @@ object GraphOps {
    * Returns (id, label, src_kind) with label NULL when never reached and
    * src_kind 'seed'/'propagated'/'unlabeled'.
    */
-  def labelPropagate(edges: DataFrame, seeds: DataFrame, nIter: Int = 2): DataFrame = {
+  def labelPropagate(edges: DataFrame, seeds: DataFrame, nIter: Int = 2,
+      driverSolveMaxEdges: Int = 1000000): DataFrame = {
     require(nIter >= 1 && nIter <= 20,
       s"labelPropagate: nIter out of range: $nIter")
     val e = graft.CacheScope.persist(
       edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst")))
+    // adaptive fast path, same probe discipline as pageRank: pure integer
+    // majority logic, so driver and distributed agree exactly (asserted in
+    // GraphOpsSpec). Seeds are bounded by construction (a seed SET).
+    if (driverSolveMaxEdges > 0 &&
+        e.limit(driverSolveMaxEdges + 1).count() <= driverSolveMaxEdges) {
+      return driverLabelPropagate(e.sparkSession,
+        e.collect().map(r => (r.getLong(0), r.getLong(1))),
+        seeds.select(col("id").cast("long"), col("label").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))),
+        nIter)
+    }
     val nodes = graft.CacheScope.persist(
       e.select(col("src").as("id"))
         .union(e.select(col("dst").as("id"))).distinct())
@@ -158,6 +170,48 @@ object GraphOps {
         when(col("__seed").isNotNull, "seed")
           .when(col("label").isNotNull, "propagated")
           .otherwise("unlabeled").as("src_kind"))
+  }
+
+  /** The same majority-vote rounds in one driver loop — pure integer
+    * logic, so exactly the distributed result (seeds win; per round the
+    * arg-max over (votes, -label); unlabeled neighbors don't vote). */
+  private def driverLabelPropagate(spark: org.apache.spark.sql.SparkSession,
+      edges: Array[(Long, Long)], seeds: Array[(Long, Long)],
+      nIter: Int): DataFrame = {
+    import spark.implicits._
+    val ids = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val idx = ids.zipWithIndex.toMap
+    val seedMap = seeds.toMap
+    // out-adjacency as index arrays
+    val srcI = edges.map(t => idx(t._1))
+    val dstI = edges.map(t => idx(t._2))
+    var labels: Array[Option[Long]] =
+      ids.map(id => seedMap.get(id))
+    for (_ <- 1 to nIter) {
+      val votes = Array.fill(ids.length)(
+        scala.collection.mutable.Map.empty[Long, Long])
+      var k = 0
+      while (k < edges.length) {
+        labels(dstI(k)).foreach { l =>
+          val m = votes(srcI(k))
+          m.update(l, m.getOrElse(l, 0L) + 1L)
+        }
+        k += 1
+      }
+      labels = Array.tabulate(ids.length) { i =>
+        seedMap.get(ids(i)).orElse {
+          if (votes(i).isEmpty) None
+          else Some(votes(i).toSeq.maxBy { case (l, c) => (c, -l) }._1)
+        }
+      }
+    }
+    ids.zip(labels).toSeq.map { case (id, l) =>
+      val kind =
+        if (seedMap.contains(id)) "seed"
+        else if (l.isDefined) "propagated"
+        else "unlabeled"
+      (id, l, kind)
+    }.toDF("id", "label", "src_kind")
   }
 
   /** The same fixed-point iteration in one driver loop — every double op in

@@ -47,24 +47,42 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(a(0L) > a(3L))
   }
 
-  test("labelPropagate: seeds win, majority spreads, ties pick smallest label") {
-    // 1,2,3 seeded; 4 points at {1,2,3} (3-way tie -> label of node 1);
-    // 5 points at {1,2} (tie -> smaller); 6 points only at unlabeled 7
-    val edges = Seq((4L, 1L), (4L, 2L), (4L, 3L), (5L, 1L), (5L, 2L),
-      (6L, 7L), (7L, 1L))
-    val seeds = Seq((1L, 10L), (2L, 20L), (3L, 30L),
-      (4L, 99L)) // 4 is ALSO seeded: seed must override its votes
-    val got = GraphOps.labelPropagate(edges.toDF("src", "dst"),
-      seeds.toDF("id", "label"), nIter = 2)
-      .collect().map(r => r.getLong(0) ->
-        (if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2))).toMap
-    CacheScope.releaseAll()
-    assert(got(1L) == ((10L, "seed")))
-    assert(got(4L) == ((99L, "seed")))
-    assert(got(5L) == ((10L, "propagated"))) // tie 10 vs 20 -> smallest
-    // 7 reaches 10 in round 1; 6 reaches it via 7 in round 2
-    assert(got(7L) == ((10L, "propagated")))
-    assert(got(6L) == ((10L, "propagated")))
+  for ((pathName, mde) <- Seq("driver fast path" -> 1000000, "distributed" -> 0)) {
+    test(s"labelPropagate ($pathName): seeds win, majority spreads, ties pick smallest label") {
+      // 1,2,3 seeded; 4 points at {1,2,3} (3-way tie -> label of node 1);
+      // 5 points at {1,2} (tie -> smaller); 6 points only at unlabeled 7
+      val edges = Seq((4L, 1L), (4L, 2L), (4L, 3L), (5L, 1L), (5L, 2L),
+        (6L, 7L), (7L, 1L))
+      val seeds = Seq((1L, 10L), (2L, 20L), (3L, 30L),
+        (4L, 99L)) // 4 is ALSO seeded: seed must override its votes
+      val got = GraphOps.labelPropagate(edges.toDF("src", "dst"),
+        seeds.toDF("id", "label"), nIter = 2, driverSolveMaxEdges = mde)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2))).toMap
+      CacheScope.releaseAll()
+      assert(got(1L) == ((10L, "seed")))
+      assert(got(4L) == ((99L, "seed")))
+      assert(got(5L) == ((10L, "propagated"))) // tie 10 vs 20 -> smallest
+      // 7 reaches 10 in round 1; 6 reaches it via 7 in round 2
+      assert(got(7L) == ((10L, "propagated")))
+      assert(got(6L) == ((10L, "propagated")))
+    }
+  }
+
+  test("labelPropagate: driver fast path == distributed on a random graph") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(400)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val seeds = (0L until 60L by 7L).map(i => (i, (i % 4) + 100L))
+    def run(mde: Int) = {
+      val out = GraphOps.labelPropagate(edges.toDF("src", "dst"),
+        seeds.toDF("id", "label"), nIter = 3, driverSolveMaxEdges = mde)
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2))).toSet
+      CacheScope.releaseAll()
+      out
+    }
+    assert(run(1000000) == run(0))
   }
 
   test("pcaTopComponent: recovers the dominant axis") {
