@@ -496,6 +496,61 @@ object TextAnalysis {
   }
 
   /**
+   * Cross-source bigram-LM matrix — the domain-shift measurement: each
+   * source's token stream scored under every OTHER source's add-one
+   * bigram model (the [[lmScore]] smoothing, per source). Off-diagonal
+   * cross-entropy minus the diagonal is the classic "how far is source t
+   * from source s" signal that drives mixture weighting and transfer
+   * decisions (the CCNet / DSIR framing at source granularity).
+   *
+   * Shape at 100 TB: the count tables are per-source TYPE-frequency
+   * aggregates (map-side-combined — the corpus token stream is read
+   * once); the matrix stage joins the eval-side type table against each
+   * model's type table, so cost is Σ_s types(s) × |sources| — bounded by
+   * type counts (Heaps' law), never by corpus tokens. Per-type log terms
+   * are quantized to 1e-9-grain longs and weighted by occurrence count,
+   * so the per-(model, eval) sums commute and replay exactly.
+   */
+  def crossSourceLmMatrix(df: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val bg = df.select(col(sourceCol).as("src"), tokens(col(textCol)).as("__w"))
+      .filter(size(col("__w")) >= 2)
+      .select(col("src"), explode(
+        transform(sequence(lit(1), size(col("__w")) - 1), i =>
+          struct(element_at(col("__w"), i).as("w1"),
+            element_at(col("__w"), i + 1).as("w2")))).as("bg"))
+      .select(col("src"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = graft.CacheScope.persist(
+      bg.groupBy(col("src"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cnt")))
+    val c1 = c2.groupBy(col("src"), col("w1")).agg(sum(col("cnt")).as("c1"))
+    val vv = c2.select(col("src"), col("w1").as("w"))
+      .union(c2.select(col("src"), col("w2").as("w"))).distinct()
+      .groupBy(col("src")).agg(count(lit(1)).as("v"))
+    val sources = c2.select(col("src").as("model_source")).distinct()
+    val term = log(
+      (coalesce(col("__cm"), lit(0L)).cast(DoubleType) + 1.0) /
+        (coalesce(col("__c1m"), lit(0L)).cast(DoubleType) +
+          col("__vm").cast(DoubleType)))
+    c2.select(col("src").as("eval_source"), col("w1"), col("w2"),
+        col("cnt").as("__ce"))
+      .crossJoin(broadcast(sources))
+      .join(c2.select(col("src").as("model_source"), col("w1"), col("w2"),
+        col("cnt").as("__cm")), Seq("model_source", "w1", "w2"), "left")
+      .join(c1.select(col("src").as("model_source"), col("w1"),
+        col("c1").as("__c1m")), Seq("model_source", "w1"), "left")
+      .join(broadcast(vv.select(col("src").as("model_source"),
+        col("v").as("__vm"))), Seq("model_source"))
+      .select(col("model_source"), col("eval_source"), col("__ce"),
+        (floor(term * 1e9 + 0.5).cast(LongType) * col("__ce")).as("__fp"))
+      .groupBy(col("model_source"), col("eval_source"))
+      .agg(sum(col("__ce")).as("n_bigrams"),
+        round((-(sum(col("__fp")).cast(DoubleType) / 1e9)) /
+          sum(col("__ce")), 6).as("cross_entropy"))
+      .orderBy(col("model_source"), col("eval_source"))
+  }
+
+  /**
    * BM25 relevance of every document against a fixed bag of query terms —
    * the standard retrieval score a curation pipeline uses to pull
    * topic-relevant training data out of a crawl.

@@ -113,6 +113,13 @@ object PipelineQueries {
         .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
         .limit(20)),
 
+    // cross-source domain shift: every source's bigram stream scored under
+    // every source's add-one bigram LM — off-diagonal minus diagonal is
+    // the transfer/mixture-weighting distance. Count tables are per-source
+    // type aggregates; the matrix joins types, never corpus tokens.
+    "source_lm_matrix" -> ((s, d) =>
+      TextAnalysis.crossSourceLmMatrix(docs(s, d), "text", "source")),
+
     // MinHash estimator calibration: exact Jaccard vs the 16-permutation
     // signature estimate on every verified near-dup pair — "how many
     // permutations does this corpus need", measured not assumed. The md5
@@ -3128,6 +3135,31 @@ object PipelineQueries {
         |       WHEN l2.label IS NOT NULL THEN 'propagated'
         |       ELSE 'unlabeled' END AS src_kind
         |FROM l2 LEFT JOIN seed s USING (id) ORDER BY vec_id""".stripMargin,
+
+    // same bigram/smoothing construction as the lm_score oracle, swapped
+    // to per-source counts; 1e-9 fixed-point terms weighted by occurrence
+    "source_lm_matrix" ->
+      s"""WITH t AS (SELECT source, $sqlTokens AS w FROM documents),
+         |bg AS (SELECT source, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+         |       FROM t WHERE len(w) >= 2),
+         |c2 AS (SELECT source, w1, w2, count(*) AS cnt FROM bg GROUP BY 1, 2, 3),
+         |c1 AS (SELECT source, w1, sum(cnt) AS c1 FROM c2 GROUP BY 1, 2),
+         |vv AS (SELECT source, count(*) AS v FROM (
+         |         SELECT source, w1 AS w FROM c2 UNION SELECT source, w2 FROM c2)
+         |       GROUP BY source),
+         |sources AS (SELECT DISTINCT source AS model_source FROM c2),
+         |sc AS (SELECT m.model_source, e.source AS eval_source, e.cnt AS ce,
+         |    CAST(floor(ln((CAST(coalesce(c2m.cnt, 0) AS DOUBLE) + 1.0) /
+         |         (CAST(coalesce(c1m.c1, 0) AS DOUBLE) + CAST(vv.v AS DOUBLE)))
+         |         * 1000000000.0 + 0.5) AS BIGINT) * e.cnt AS fp
+         |  FROM c2 e CROSS JOIN sources m
+         |  LEFT JOIN c2 c2m ON c2m.source = m.model_source
+         |    AND c2m.w1 = e.w1 AND c2m.w2 = e.w2
+         |  LEFT JOIN c1 c1m ON c1m.source = m.model_source AND c1m.w1 = e.w1
+         |  JOIN vv ON vv.source = m.model_source)
+         |SELECT model_source, eval_source, CAST(sum(ce) AS BIGINT) AS n_bigrams,
+         |  round(-(CAST(sum(fp) AS DOUBLE) / 1000000000.0) / sum(ce), 6) AS cross_entropy
+         |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // exact-jaccard pair set as in dedup_minhash (LSH recall ~1 at 0.8);
     // the estimate recomputed from the same md5(i:shingle) rule
