@@ -659,6 +659,31 @@ object StreamingIngest {
   }
 
   /**
+   * Streaming TOPIC-TREND monitor: route each arriving embedding to its
+   * IVF cluster (broadcast model — the same [[graft.operators.Similarity
+   * .ivfAssign]] assignment rule, one map-side pass) and count per
+   * (window, cluster) under a watermark. The online view of "which topics
+   * are growing" that pairs with the batch `cluster_topics` labeling;
+   * alerting composes downstream exactly like [[streamingRateAnomaly]]
+   * (cluster id is just another event type). State is O(open windows ×
+   * clusters) counters, bounded by the watermark.
+   */
+  def streamingClusterTrend(stream: DataFrame, vecCol: String, tsCol: String,
+      model: graft.operators.Similarity.IvfModel,
+      window_ : String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val bc = stream.sparkSession.sparkContext.broadcast(model)
+    val assign = udf { (v: Seq[Float]) =>
+      bc.value.nearest(v.toArray, 1).head
+    }
+    stream
+      .withColumn("cluster", assign(col(vecCol)))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_), col("cluster"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("cluster"), col("n"))
+  }
+
+  /**
    * Watermarked stream-stream INTERVAL JOIN — the streaming sibling of
    * [[graft.operators.TimeSeries.asofJoinBackward]]: each left event joins
    * the right events with the same key inside `[left.ts - lookback,

@@ -803,6 +803,30 @@ class StreamingSpec extends AnyFunSuite {
       StreamingIngest.SessionOut(2L, 1000L, 1000L, 1L, 5.0)))
   }
 
+  test("streaming cluster trend: broadcast-model assignment, windowed counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:10:00")
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 01:10:00")
+    val model = graft.operators.Similarity.IvfModel(
+      Array(Array(1f, 0f), Array(0f, 1f)))
+    val mem = MemoryStream[(java.sql.Timestamp, Array[Float])]
+    val out = StreamingIngest.streamingClusterTrend(
+      mem.toDF().toDF("ts", "vec"), "vec", "ts", model)
+    val q = out.writeStream.outputMode("complete")
+      .format("memory").queryName("trend").start()
+    mem.addData(
+      (t0, Array(5f, 1f)), (t0, Array(3f, 0f)), // hour 0, cluster 0
+      (t0, Array(0f, 9f)),                      // hour 0, cluster 1
+      (t1, Array(0f, 2f)))                      // hour 1, cluster 1
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("trend")
+      .collect().map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2))).toSet
+    val h0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val h1 = java.sql.Timestamp.valueOf("2026-01-01 01:00:00")
+    assert(got == Set((h0, 0, 2L), (h0, 1, 1L), (h1, 1, 1L)))
+  }
+
   test("streaming rate anomaly: spike hour alerts, normal jitter does not") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String)]
