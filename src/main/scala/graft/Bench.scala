@@ -102,7 +102,9 @@ object Bench {
       "dedup_minhash", "semantic_dedup", "bloom_decontam", "cms_heavy_ngrams",
       "doc_keywords", "bm25_search", "embed_project", "pipeline_pretrain",
       "tfidf_topk", "dsir_weights", "dedup_span_removal", "hybrid_rrf_ann",
-      "maxsim_topk", "hard_negatives", "retrieval_metrics", "hubness_audit")
+      "maxsim_topk", "hard_negatives", "retrieval_metrics", "hubness_audit",
+      "graph_pagerank", "label_propagation", "source_lm_matrix",
+      "winnow_pairs", "shard_plan")
     val rm = results.toMap
     val hq = headline.filter(rm.contains)
       .map(k => "\"" + k + f"""\":${rm(k)}%.4f""").mkString("{", ",", "}")

@@ -56,7 +56,17 @@ object PlanAudit {
     // one row per type; contrastive/retrieval kernels as above
     "feature_hash", "source_kl", "zipf_fit", "embed_dim_mad",
     "embed_outliers", "events_anomaly", "contrastive_triplets",
-    "retrieval_metrics", "hubness_audit", "bpe_fertility")
+    "retrieval_metrics", "hubness_audit", "bpe_fertility",
+    // round 6 (third pass): q3's customer side must broadcast under pushed
+    // date filters; shard/time-decay stay one combined aggregation;
+    // transitions one lag window + tiny count table; winnow posting join
+    // and frame-hash count must keep partial aggregation below their
+    // shuffles; the LM matrix joins type tables with a broadcast source
+    // list; quantile-norm ranks only within source partitions
+    "q3_shipping", "event_transitions", "shard_plan", "time_decay_score",
+    "quality_quantile_norm", "winnow_pairs", "multimodal_frame_dedup",
+    "source_lm_matrix", "embed_winsorize", "cluster_topics",
+    "minhash_est_audit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
