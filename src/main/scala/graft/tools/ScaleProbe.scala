@@ -180,6 +180,17 @@ object ScaleProbe {
         Similarity.covarianceAudit(spark.read.parquet(embPath(f)),
           "embedding", dims = 8).filter(col("cov").isNotNull).count()
       },
+      // round 6 (cont. 2): winnow pair-join cost is governed by the
+      // posting cap (quadratic per posting, ≤100 wide); the LM matrix
+      // grows with per-source TYPE counts (Heaps-sublinear), not tokens
+      "winnow_pairs" -> { f =>
+        TextAnalysis.winnowPairs(spark.read.parquet(docsPath(f)), "doc_id",
+          "text", maxPosting = 100, topN = 20).count()
+      },
+      "source_lm_matrix" -> { f =>
+        TextAnalysis.crossSourceLmMatrix(spark.read.parquet(docsPath(f)),
+          "text", "source").filter(col("cross_entropy").isNotNull).count()
+      },
       // round 6 (cont. 2): the DISTRIBUTED PageRank path (driver fast path
       // forced off) on a synthetic 5-out-regular graph that grows with f —
       // 3 iterations of join + combined aggregation; the kNN-graph edge

@@ -876,4 +876,52 @@ class OperatorsSpec extends AnyFunSuite {
     val all = TextAnalysis.bpeTrain(docs, "text", nMerges = 100)
     assert(all.size < 100 && all.take(3) == merges)
   }
+
+  test("winnowPairs: duplicate docs top the ranking; short docs don't crash") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different words about completely unrelated subject here"),
+      (4L, "ab"), // shorter than one 8-gram: single-gram fallback
+      (5L, "xy")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.winnowPairs(docs, "doc_id", "text",
+        maxPosting = 100, topN = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    CacheScope.releaseAll()
+    assert(got.head._1 == 1L && got.head._2 == 2L) // identical docs win
+    assert(got.head._3 >= 1L)
+    // the two short docs share no fingerprint with anything
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L || p._1 == 5L || p._2 == 5L))
+  }
+
+  test("winnowPairs: posting cap drops boilerplate fingerprints") {
+    // 30 docs all containing one shared sentence: with the cap below 30
+    // the shared fingerprints are dropped and no pairs survive
+    val shared = "every document repeats this exact boilerplate sentence verbatim"
+    val docs = (1L to 30L).map(i => (i, shared)).toDF("doc_id", "text")
+    val capped = TextAnalysis.winnowPairs(docs, "doc_id", "text",
+      maxPosting = 10, topN = 50).count()
+    CacheScope.releaseAll()
+    val uncapped = TextAnalysis.winnowPairs(docs, "doc_id", "text",
+      maxPosting = 1000, topN = 1000).count()
+    CacheScope.releaseAll()
+    assert(capped == 0L && uncapped == 30L * 29L / 2)
+  }
+
+  test("crossSourceLmMatrix: self-entropy lowest; unseen-heavy pair highest") {
+    val docs = Seq(
+      (1L, "a", "cats chase mice and cats chase birds"),
+      (2L, "a", "cats chase mice often"),
+      (3L, "b", "dogs fetch balls and dogs fetch sticks"),
+      (4L, "b", "dogs fetch balls always")
+    ).toDF("doc_id", "source", "text")
+    val m = TextAnalysis.crossSourceLmMatrix(docs, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3))
+      .toMap
+    assert(m.size == 4)
+    // each source is better explained by its own model
+    assert(m(("a", "a")) < m(("b", "a")))
+    assert(m(("b", "b")) < m(("a", "b")))
+  }
 }
