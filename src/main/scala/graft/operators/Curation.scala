@@ -122,6 +122,26 @@ object Curation {
     manifest
   }
 
+  /**
+   * Deterministic EXACT-k per-stratum sample: the k rows of each stratum
+   * with the smallest md5(seed:id) — "give me exactly 1000 docs per
+   * language for the eval set", as a pure function of ids (backfill-
+   * stable, engine-replayable), where the rate-based
+   * [[stratifiedSample]] can only hit k in expectation. One rank window
+   * per stratum; only strata partitions are sorted, never the corpus
+   * globally. For corpus-scale strata swap the window for the bounded
+   * mergeable top-k aggregator (the doc_keywords shape) — same result,
+   * no per-stratum sort.
+   */
+  def exactKPerStratum(df: DataFrame, idCol: String, strataCol: String,
+      k: Int, seed: String = "graft-exactk"): DataFrame = {
+    require(k > 0, s"exactKPerStratum: k must be positive: $k")
+    df.withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(strataCol))
+          .orderBy(md5(concat_ws(":", lit(seed), col(idCol))), col(idCol))))
+      .filter(col("__r") <= k).drop("__r")
+  }
+
   /** Top-k vocabulary by document frequency-weighted token count: the classic
     * wordcount shape — explode is map-side, the groupBy gets a partial
     * (map-side combine) aggregate for free, and only per-token partials cross

@@ -634,6 +634,14 @@ object PipelineQueries {
         .orderBy(col("label"), col("dim"))
     }),
 
+    // exact-k eval-set sampling: exactly 10 docs per source, the k
+    // smallest md5(seed:id) — deterministic, backfill-stable, replayable
+    "sample_exact_k" -> ((s, d) =>
+      Curation.exactKPerStratum(docs(s, d), "doc_id", "source", k = 10,
+          seed = "exk42")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("source"), col("doc_id"))),
+
     // deterministic stratified sampling: downsample over-represented 'en',
     // keep most of the rest. md5-derived uniform => reproducible in any
     // engine, no RNG/partition-order dependence, pure map-side at 100 TB
@@ -2252,6 +2260,14 @@ object PipelineQueries {
         |  CAST(greatest(CAST(floor(octet_length(encode(text)) / 256.0) AS INT) - 1, 0) + 1
         |       AS BIGINT) AS n_frames
         |FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id""".stripMargin,
+
+    "sample_exact_k" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('exk42:' || CAST(doc_id AS VARCHAR)), doc_id) AS r
+        |  FROM documents) WHERE r <= 10
+        |ORDER BY source, doc_id""".stripMargin,
 
     "sample_stratified" ->
       """SELECT doc_id, lang FROM documents

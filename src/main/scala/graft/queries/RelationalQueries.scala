@@ -249,6 +249,32 @@ object RelationalQueries {
         .limit(10)
     }),
 
+    // per-type hourly volume trend: OLS slope of count over hour index,
+    // from ALL-INTEGER sums (h, Σx, Σy, Σxy, Σx² with x = hours since the
+    // type's first hour — bounded, so every product stays far from long
+    // overflow) — exact in any engine, one tiny per-type table. The
+    // "which event types are growing" detector next to events_anomaly.
+    "events_trend" -> ((s, d) => {
+      val hourly = events(s, d)
+        .groupBy(col("event_type"),
+          // `div`, not `/`: Spark's `/` on longs is double division
+          expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("h"))
+        .agg(count(lit(1)).as("n"))
+      val base = hourly.groupBy(col("event_type")).agg(min(col("h")).as("h0"))
+      hourly.join(base, "event_type")
+        .select(col("event_type"), (col("h") - col("h0")).as("x"), col("n"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"), sum(col("x")).as("__sx"),
+          sum(col("n")).as("__sy"), sum(col("x") * col("n")).as("__sxy"),
+          sum(col("x") * col("x")).as("__sx2"))
+        .select(col("event_type"), col("n_hours"),
+          round((col("n_hours") * col("__sxy") - col("__sx") * col("__sy"))
+            .cast("double") /
+            (col("n_hours") * col("__sx2") - col("__sx") * col("__sx"))
+              .cast("double"), 6).as("slope_per_hour"))
+        .orderBy(col("event_type"))
+    }),
+
     // per-user event-sequence transition matrix (the Markov view of the
     // funnel): one lag window per user, then a tiny (from, to) count table;
     // transition probabilities from exact integer counts
@@ -392,6 +418,22 @@ object RelationalQueries {
         |  AND l_shipdate > TIMESTAMP '1998-06-01'
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+
+    "events_trend" ->
+      """WITH hr AS (SELECT event_type,
+        |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS h, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(h) AS h0 FROM hr GROUP BY 1),
+        |x AS (SELECT hr.event_type, hr.h - b.h0 AS x, hr.n
+        |      FROM hr JOIN b USING (event_type)),
+        |s AS (SELECT event_type, count(*) AS n_hours,
+        |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(n) AS BIGINT) AS sy,
+        |        CAST(sum(x * n) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sx2
+        |      FROM x GROUP BY 1)
+        |SELECT event_type, n_hours,
+        |  round(CAST(n_hours * sxy - sx * sy AS DOUBLE) /
+        |        CAST(n_hours * sx2 - sx * sx AS DOUBLE), 6) AS slope_per_hour
+        |FROM s ORDER BY event_type""".stripMargin,
 
     "event_transitions" ->
       """WITH o AS (SELECT user_id, event_type, ts, event_id,
