@@ -132,6 +132,15 @@ object GraphOps {
     val e = graft.CacheScope.persist(
       edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst")))
+    // normalize seeds ONCE for both paths: null labels can't seed, and a
+    // duplicated seed id resolves to its smallest label — otherwise the
+    // distributed left-join would multiply rows while the driver map kept
+    // an arbitrary winner, and the answer would flip with the edge count
+    val seedNorm = graft.CacheScope.persist(
+      seeds.select(col("id").cast("long").as("id"),
+          col("label").cast("long").as("__seed"))
+        .filter(col("__seed").isNotNull)
+        .groupBy(col("id")).agg(min(col("__seed")).as("__seed")))
     // adaptive fast path, same probe discipline as pageRank: pure integer
     // majority logic, so driver and distributed agree exactly (asserted in
     // GraphOpsSpec). Seeds are bounded by construction (a seed SET).
@@ -139,16 +148,13 @@ object GraphOps {
         e.limit(driverSolveMaxEdges + 1).count() <= driverSolveMaxEdges) {
       return driverLabelPropagate(e.sparkSession,
         e.collect().map(r => (r.getLong(0), r.getLong(1))),
-        seeds.select(col("id").cast("long"), col("label").cast("long"))
-          .collect().map(r => (r.getLong(0), r.getLong(1))),
+        seedNorm.collect().map(r => (r.getLong(0), r.getLong(1))),
         nIter)
     }
     val nodes = graft.CacheScope.persist(
       e.select(col("src").as("id"))
         .union(e.select(col("dst").as("id"))).distinct())
-    val seed = graft.CacheScope.persist(
-      seeds.select(col("id").cast("long").as("id"),
-        col("label").cast("long").as("__seed")))
+    val seed = seedNorm
 
     var labels = nodes.join(seed, Seq("id"), "left")
       .select(col("id"), col("__seed").as("label"))

@@ -166,11 +166,22 @@ object Similarity {
     IvfModel(centroids)
   }
 
+  /** THE cluster-assignment column — broadcast model + nearest(_, 1) —
+    * shared by [[ivfAssign]] and the streaming cluster-trend monitor so
+    * batch labels and streaming counts can never use different rules.
+    * Null vectors assign cluster NULL instead of killing the job. */
+  def ivfAssignUdf(spark: SparkSession,
+      model: IvfModel): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val bc = spark.sparkContext.broadcast(model)
+    udf((v: Array[Float]) =>
+      if (v == null) null.asInstanceOf[Integer]
+      else Integer.valueOf(bc.value.nearest(v, 1)(0)))
+  }
+
   /** Assign each row its nearest centroid (the clustering pass; write the
     * result partitioned by `cluster` for pruned probes). */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String, model: IvfModel): DataFrame = {
-    val bc = df.sparkSession.sparkContext.broadcast(model)
-    val assign = udf((v: Array[Float]) => bc.value.nearest(v, 1)(0))
+    val assign = ivfAssignUdf(df.sparkSession, model)
     df.select(col(idCol).cast(LongType).as("id"), col(vecCol).as("vec"))
       .withColumn("cluster", assign(col("vec")))
   }

@@ -421,11 +421,13 @@ object TextAnalysis {
           .as("__grams"))
       .select(col("id"), posexplode_outer(col("__grams")).as(Seq("pos", "gram")))
       .filter(col("gram").isNotNull)
-    val mins = grams
+    // persisted: mins feeds the width count AND the capped join input —
+    // unpersisted, the whole gram/md5/min subtree would run twice
+    val mins = graft.CacheScope.persist(grams
       .select(col("id"), (col("pos") / 16).cast("int").as("__blk"),
         Curation.md5Low60(col("gram")).as("__h"))
       .groupBy(col("id"), col("__blk")).agg(min(col("__h")).as("fp"))
-      .select(col("id"), col("fp")).distinct()
+      .select(col("id"), col("fp")).distinct())
     val widths = mins.groupBy(col("fp")).agg(count(lit(1)).as("__w"))
     val capped = graft.CacheScope.persist(
       mins.join(widths.filter(col("__w") <= maxPosting), "fp")
@@ -551,7 +553,13 @@ object TextAnalysis {
       .join(broadcast(vv.select(col("src").as("model_source"),
         col("v").as("__vm"))), Seq("model_source"))
       .select(col("model_source"), col("eval_source"), col("__ce"),
-        (floor(term * 1e9 + 0.5).cast(LongType) * col("__ce")).as("__fp"))
+        // DECIMAL(38,0) accumulator (the corpus_entropy precedent): the
+        // per-pair sum is weighted by the eval source's total bigram
+        // OCCURRENCES — at ~1e10 per occurrence a long wraps around 1e9
+        // bigram tokens, far below design scale, while DuckDB's
+        // sum(BIGINT) promotes to HUGEINT and stays exact
+        (floor(term * 1e9 + 0.5).cast(LongType) * col("__ce"))
+          .cast(DecimalType(38, 0)).as("__fp"))
       .groupBy(col("model_source"), col("eval_source"))
       .agg(sum(col("__ce")).as("n_bigrams"),
         round((-(sum(col("__fp")).cast(DoubleType) / 1e9)) /

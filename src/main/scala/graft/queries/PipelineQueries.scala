@@ -1312,9 +1312,10 @@ object PipelineQueries {
     // embedding-QA pass before int8 quantization. Explode is map-side;
     // both aggregations group on the bounded dim key.
     "embed_winsorize" -> ((s, d) => {
-      val ex = emb(s, d)
+      // persisted: ex feeds the percentile aggregation AND the join back
+      val ex = graft.CacheScope.persist(emb(s, d)
         .select(posexplode(col("embedding")).as(Seq("dim", "v")))
-        .select(col("dim").cast("long").as("dim"), col("v").cast("double").as("v"))
+        .select(col("dim").cast("long").as("dim"), col("v").cast("double").as("v")))
       val st = ex.groupBy(col("dim"))
         .agg(expr("percentile(v, 0.01)").as("__p01"),
           expr("percentile(v, 0.99)").as("__p99"))
@@ -1409,9 +1410,10 @@ object PipelineQueries {
     // replays them with character substrings (fixture is pure ASCII:
     // byte offsets == char offsets, same property multimodal_meta uses).
     "multimodal_frame_dedup" -> ((s, d) => {
-      val frames = Multimodal
+      // persisted: frames feeds the occurrence count AND the join back
+      val frames = graft.CacheScope.persist(Multimodal
         .sampleFrames(Multimodal.mediaFromDocuments(docs(s, d)))
-        .select(col("media_id"), md5(col("frame")).as("fh"))
+        .select(col("media_id"), md5(col("frame")).as("fh")))
       val counts = frames.groupBy(col("fh")).agg(count(lit(1)).as("n_occ"))
       frames.join(counts, "fh")
         .groupBy(col("media_id"))

@@ -268,10 +268,13 @@ object RelationalQueries {
           sum(col("n")).as("__sy"), sum(col("x") * col("n")).as("__sxy"),
           sum(col("x") * col("x")).as("__sx2"))
         .select(col("event_type"), col("n_hours"),
-          round((col("n_hours") * col("__sxy") - col("__sx") * col("__sy"))
-            .cast("double") /
-            (col("n_hours") * col("__sx2") - col("__sx") * col("__sx"))
-              .cast("double"), 6).as("slope_per_hour"))
+          // a single-hour type has zero x-variance: slope is undefined —
+          // NULL, not a 0/0 NaN (NaN != NaN breaks any equality compare)
+          when(col("n_hours") * col("__sx2") - col("__sx") * col("__sx") =!= 0L,
+            round((col("n_hours") * col("__sxy") - col("__sx") * col("__sy"))
+              .cast("double") /
+              (col("n_hours") * col("__sx2") - col("__sx") * col("__sx"))
+                .cast("double"), 6)).as("slope_per_hour"))
         .orderBy(col("event_type"))
     }),
 
@@ -431,8 +434,10 @@ object RelationalQueries {
         |        CAST(sum(x * n) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sx2
         |      FROM x GROUP BY 1)
         |SELECT event_type, n_hours,
-        |  round(CAST(n_hours * sxy - sx * sy AS DOUBLE) /
-        |        CAST(n_hours * sx2 - sx * sx AS DOUBLE), 6) AS slope_per_hour
+        |  CASE WHEN n_hours * sx2 - sx * sx <> 0
+        |       THEN round(CAST(n_hours * sxy - sx * sy AS DOUBLE) /
+        |                  CAST(n_hours * sx2 - sx * sx AS DOUBLE), 6)
+        |       END AS slope_per_hour
         |FROM s ORDER BY event_type""".stripMargin,
 
     "event_transitions" ->

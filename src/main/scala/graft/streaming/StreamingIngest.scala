@@ -498,6 +498,17 @@ object StreamingIngest {
   case class RateAlert(windowStart: java.sql.Timestamp, eventType: String,
       n: Long, mean: Double, z: Double)
 
+  /** The monitor's driver-side state: per-type (h, Σn, Σn²) over completed
+    * windows plus the last folded batchId. Hold one instance per monitor;
+    * to survive restarts, snapshot it after each onAlert (it is tiny —
+    * O(types) doubles) and pass the restored instance back in — then the
+    * batchId guard makes the recovery replay of the last uncommitted
+    * batch a no-op instead of a double fold. */
+  class RateAnomalyState extends Serializable {
+    val stats = new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
+    val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
+  }
+
   /**
    * Streaming rate-anomaly monitor — the online sibling of the batch
    * `events_anomaly` query: watermarked per-(window, event_type) counts
@@ -517,18 +528,21 @@ object StreamingIngest {
    * alongside the checkpoint if the monitor must survive restarts.
    *
    * foreachBatch is at-least-once (same reason the delta-ingest sink
-   * dedups by row_id): a crash between processing and commit replays the
-   * batch on recovery, which would double-fold every window of that batch
-   * into the history and re-fire its alerts — the batchId guard makes the
-   * fold idempotent per batch.
+   * dedups by row_id): a restart from `checkpointLocation` replays the
+   * last uncommitted batch, which would double-fold its windows into the
+   * history and re-fire its alerts. The batchId guard closes that hole
+   * WHEN the caller restores the same [[RateAnomalyState]] it snapshotted
+   * before the crash — a fresh state has nothing to protect (and nothing
+   * to corrupt: its history restarts empty). Without a checkpoint each
+   * run's batchIds start at 0 and never repeat, so the guard is inert.
    */
   def streamingRateAnomaly(stream: DataFrame, window_ : String = "1 hour",
       watermark: String = "2 hours", zThreshold: Double = 2.0,
-      minWindows: Int = 3)(
+      minWindows: Int = 3, state: RateAnomalyState = new RateAnomalyState,
+      checkpointLocation: Option[String] = None)(
       onAlert: Seq[RateAlert] => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
-    // event_type -> [h, sum n, sum n^2] over completed windows
-    val stats = new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
-    val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val stats = state.stats
+    val lastBatch = state.lastBatch
     val counts = stream.withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -560,6 +574,7 @@ object StreamingIngest {
         if (alerts.nonEmpty) onAlert(alerts.toSeq)
         }
       }
+      .options(checkpointLocation.map("checkpointLocation" -> _).toMap)
       .start()
   }
 
@@ -671,10 +686,10 @@ object StreamingIngest {
   def streamingClusterTrend(stream: DataFrame, vecCol: String, tsCol: String,
       model: graft.operators.Similarity.IvfModel,
       window_ : String = "1 hour", watermark: String = "2 hours"): DataFrame = {
-    val bc = stream.sparkSession.sparkContext.broadcast(model)
-    val assign = udf { (v: Seq[Float]) =>
-      bc.value.nearest(v.toArray, 1).head
-    }
+    // the ONE assignment rule, shared with the batch ivfAssign by
+    // construction (null vectors -> null cluster, not a dead query)
+    val assign =
+      graft.operators.Similarity.ivfAssignUdf(stream.sparkSession, model)
     stream
       .withColumn("cluster", assign(col(vecCol)))
       .withWatermark(tsCol, watermark)

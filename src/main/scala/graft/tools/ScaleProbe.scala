@@ -184,12 +184,16 @@ object ScaleProbe {
       // posting cap (quadratic per posting, ≤100 wide); the LM matrix
       // grows with per-source TYPE counts (Heaps-sublinear), not tokens
       "winnow_pairs" -> { f =>
-        TextAnalysis.winnowPairs(spark.read.parquet(docsPath(f)), "doc_id",
-          "text", maxPosting = 100, topN = 20).count()
+        val n = TextAnalysis.winnowPairs(spark.read.parquet(docsPath(f)),
+          "doc_id", "text", maxPosting = 100, topN = 20).count()
+        graft.CacheScope.releaseAll() // drop capped-posting blocks per factor
+        n
       },
       "source_lm_matrix" -> { f =>
-        TextAnalysis.crossSourceLmMatrix(spark.read.parquet(docsPath(f)),
+        val n = TextAnalysis.crossSourceLmMatrix(spark.read.parquet(docsPath(f)),
           "text", "source").filter(col("cross_entropy").isNotNull).count()
+        graft.CacheScope.releaseAll() // drop the per-source count-table blocks
+        n
       },
       // round 6 (cont. 2): the DISTRIBUTED PageRank path (driver fast path
       // forced off) on a synthetic 5-out-regular graph that grows with f —
