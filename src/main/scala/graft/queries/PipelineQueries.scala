@@ -1305,6 +1305,53 @@ object PipelineQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // clustering-eval purity: per IVF cluster, member count, majority
+    // label, purity fraction, and distinct-label count — integer counts +
+    // one division, argmax via max(struct(cnt, -label)), no window
+    "cluster_purity" -> ((s, d) => {
+      val e = emb(s, d)
+      val model = Similarity.trainIvfDeterministic(e, "vec_id", "embedding",
+        nCentroids = 8, seed = "topics42")
+      Similarity.ivfAssign(e, "vec_id", "embedding", model)
+        .join(e.select(col("vec_id").as("id"), col("label")), "id")
+        .groupBy(col("cluster").cast("long").as("cluster"),
+          col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("cluster"))
+        .agg(sum(col("__c")).as("n_members"),
+          max(struct(col("__c"), (-col("label")).as("__neg"))).as("__best"),
+          countDistinct(col("label")).as("n_labels"))
+        .select(col("cluster"), col("n_members"),
+          (-col("__best.__neg")).as("majority_label"),
+          round(col("__best.__c").cast("double") / col("n_members"), 6)
+            .as("purity"),
+          col("n_labels"))
+        .orderBy(col("cluster"))
+    }),
+
+    // train/test LEAKAGE detector: verified near-dup pairs (exact jaccard
+    // >= 0.8 through the LSH path) whose members landed in different
+    // md5-hash splits — the contamination a random split always creates
+    // and a near-dup-aware split must avoid. Pair table is small; two
+    // broadcast-able split joins.
+    "split_leakage" -> ((s, d) => {
+      val pairs = Dedup.minhashNearDupPairs(docs(s, d), "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.8)
+        .select(col("id_a"), col("id_b"))
+      val splits = Curation.hashSplit(docs(s, d), "doc_id",
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), seed = "split42")
+        .select(col("doc_id"), col("split"))
+      pairs
+        .join(splits.select(col("doc_id").as("id_a"), col("split").as("__sa")),
+          "id_a")
+        .join(splits.select(col("doc_id").as("id_b"), col("split").as("__sb")),
+          "id_b")
+        .groupBy(least(col("__sa"), col("__sb")).as("split_lo"),
+          greatest(col("__sa"), col("__sb")).as("split_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("split_lo"), col("split_hi"))
+    }),
+
     // winsorization audit: per-dim p01/p99 clip thresholds (exact linear-
     // interpolated percentiles — Spark `percentile` and DuckDB
     // `quantile_cont` share the definition, as doc_len_percentiles
@@ -3200,6 +3247,60 @@ object PipelineQueries {
          |    AS est_jaccard
          |FROM p JOIN sig sa ON sa.doc_id = p.id_a JOIN sig sb ON sb.doc_id = p.id_b
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // same topics42/8-centroid assignment replay as cluster_topics
+    "cluster_purity" ->
+      """WITH ranked AS (SELECT vec_id, embedding,
+        |    ('0x' || substr(md5('topics42:' || CAST(vec_id AS VARCHAR)), 18, 15))::UBIGINT
+        |      / 1152921504606846976.0 AS u
+        |  FROM embeddings),
+        |cent AS (SELECT row_number() OVER (ORDER BY u, vec_id) - 1 AS cid,
+        |                CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM ranked ORDER BY u, vec_id LIMIT 8),
+        |v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+        |dists AS (SELECT v.vec_id, v.label, c.cid,
+        |    list_inner_product([c.cv[i] - v.dv[i] for i in range(1, 65)],
+        |                       [c.cv[i] - v.dv[i] for i in range(1, 65)]) AS d
+        |  FROM v CROSS JOIN cent c),
+        |asg AS (SELECT vec_id, label, cid AS cluster FROM (
+        |    SELECT vec_id, label, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |    FROM dists) WHERE rn = 1),
+        |lc AS (SELECT cluster, CAST(label AS BIGINT) AS label, count(*) AS c
+        |       FROM asg GROUP BY 1, 2),
+        |tot AS (SELECT cluster, sum(c) AS n_members, count(*) AS n_labels
+        |        FROM lc GROUP BY 1),
+        |best AS (SELECT cluster, label AS majority_label, c FROM (
+        |    SELECT cluster, label, c,
+        |      row_number() OVER (PARTITION BY cluster ORDER BY c DESC, label) AS rn
+        |    FROM lc) WHERE rn = 1)
+        |SELECT CAST(t.cluster AS BIGINT) AS cluster,
+        |  CAST(t.n_members AS BIGINT) AS n_members, b.majority_label,
+        |  round(CAST(b.c AS DOUBLE) / t.n_members, 6) AS purity,
+        |  CAST(t.n_labels AS BIGINT) AS n_labels
+        |FROM tot t JOIN best b USING (cluster) ORDER BY cluster""".stripMargin,
+
+    // pair set as in dedup_minhash; split rule as in split_assign
+    "split_leakage" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+         |g AS (SELECT doc_id, ${sqlShingles("w")} AS sh FROM t),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |      FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+         |u AS (SELECT doc_id,
+         |    ('0x' || substr(md5('split42:' || CAST(doc_id AS VARCHAR)), 18, 15))::UBIGINT
+         |      / 1152921504606846976.0 AS r
+         |  FROM documents),
+         |sp AS (SELECT doc_id,
+         |    CASE WHEN r < 0.9 THEN 'train'
+         |         WHEN r < 0.9 + 0.05 THEN 'val' ELSE 'test' END AS split
+         |  FROM u)
+         |SELECT least(sa.split, sb.split) AS split_lo,
+         |       greatest(sa.split, sb.split) AS split_hi,
+         |       count(*) AS n_pairs
+         |FROM p JOIN sp sa ON sa.doc_id = p.id_a JOIN sp sb ON sb.doc_id = p.id_b
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "embed_winsorize" ->
       """WITH ex AS (SELECT d.range AS dim,
