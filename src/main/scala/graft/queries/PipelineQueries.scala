@@ -1352,6 +1352,29 @@ object PipelineQueries {
         .orderBy(col("split_lo"), col("split_hi"))
     }),
 
+    // the FIX for split_leakage: split by near-dup CLUSTER representative
+    // (min doc_id of the component; singletons key on themselves), so
+    // every near-dup pair lands in ONE split by construction — the
+    // leakage-zero property is asserted in OperatorsSpec. Output: per
+    // split, docs + distinct groups routed there.
+    "split_nodup" -> ((s, d) => {
+      val pairs = Dedup.minhashNearDupPairs(docs(s, d), "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      val clusters = Curation.connectedComponents(
+        pairs.select(col("id_a"), col("id_b")))
+        .select(col("id").as("doc_id"), col("cluster_id"))
+      val keyed = docs(s, d).select(col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("rep"))
+      Curation.hashSplit(keyed, "rep",
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), seed = "split42")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("rep")).as("n_groups"))
+        .orderBy(col("split"))
+    }),
+
     // winsorization audit: per-dim p01/p99 clip thresholds (exact linear-
     // interpolated percentiles — Spark `percentile` and DuckDB
     // `quantile_cont` share the definition, as doc_len_percentiles
@@ -3279,6 +3302,34 @@ object PipelineQueries {
         |  round(CAST(b.c AS DOUBLE) / t.n_members, 6) AS purity,
         |  CAST(t.n_labels AS BIGINT) AS n_labels
         |FROM tot t JOIN best b USING (cluster) ORDER BY cluster""".stripMargin,
+
+    // transitive closure as in dedup_clusters, then the split42 rule on
+    // the component representative
+    "split_nodup" ->
+      s"""WITH RECURSIVE
+         |t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+         |g AS (SELECT doc_id, ${sqlShingles("w")} AS sh FROM t),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |      FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM p
+         |      UNION SELECT id_b, id_a FROM p),
+         |reach(v, l) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.dst, reach.l FROM reach JOIN e ON e.src = reach.v),
+         |cl AS (SELECT v AS doc_id, min(l) AS rep FROM reach GROUP BY 1),
+         |k AS (SELECT d.doc_id, coalesce(cl.rep, d.doc_id) AS rep
+         |      FROM documents d LEFT JOIN cl USING (doc_id)),
+         |u AS (SELECT rep,
+         |    ('0x' || substr(md5('split42:' || CAST(rep AS VARCHAR)), 18, 15))::UBIGINT
+         |      / 1152921504606846976.0 AS r
+         |  FROM k)
+         |SELECT CASE WHEN r < 0.9 THEN 'train'
+         |            WHEN r < 0.9 + 0.05 THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n_docs, count(DISTINCT rep) AS n_groups
+         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // pair set as in dedup_minhash; split rule as in split_assign
     "split_leakage" ->

@@ -909,6 +909,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(capped == 0L && uncapped == 30L * 29L / 2)
   }
 
+  test("cluster-keyed split: zero near-dup leakage by construction") {
+    // three duplicate families + singletons; random split WOULD leak
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta",
+      "one two three four five six seven eight nine",
+      "red orange yellow green blue indigo violet colors")
+    val docs = (0L until 30L).map(i => (i, texts((i % 3).toInt)))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      .select(col("id_a"), col("id_b"))
+    val clusters = Curation.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    val keyed = docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("rep"))
+    val split = Curation.hashSplit(keyed, "rep",
+      Seq("train" -> 0.6, "val" -> 0.2, "test" -> 0.2), seed = "nodup")
+      .select(col("doc_id"), col("split"))
+    val crossing = pairs
+      .join(split.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
+      .join(split.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
+      .filter(col("sa") =!= col("sb")).count()
+    CacheScope.releaseAll()
+    assert(crossing == 0L)
+  }
+
   test("crossSourceLmMatrix: self-entropy lowest; unseen-heavy pair highest") {
     val docs = Seq(
       (1L, "a", "cats chase mice and cats chase birds"),
