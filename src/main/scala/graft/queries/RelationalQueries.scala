@@ -278,6 +278,43 @@ object RelationalQueries {
         .orderBy(col("event_type"))
     }),
 
+    // hour-of-day seasonality profile per type: integer counts + exact
+    // share-of-type division — the baseline the anomaly/trend monitors
+    // normalize against
+    "events_seasonality" -> ((s, d) => {
+      val c = events(s, d)
+        .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hour_of_day"))
+        .agg(count(lit(1)).as("n"))
+      c.withColumn("share", round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("event_type"))), 6))
+        .orderBy(col("event_type"), col("hour_of_day"))
+    }),
+
+    // RFM (recency/frequency/monetary) segmentation: per-user aggregates
+    // off one events pass, quintile scores via ntile ordered with a
+    // user_id tie-break so both engines bucket identically. The global
+    // ntile sorts the USER table (bounded, not the event stream); at
+    // extreme user counts swap for percent_rank-derived buckets.
+    "user_rfm" -> ((s, d) => {
+      val ev = events(s, d)
+      val ref = ev.agg(max(unix_micros(col("ts"))).as("__ref"))
+      val per = ev.groupBy(col("user_id"))
+        .agg(max(unix_micros(col("ts"))).as("__last"),
+          count(lit(1)).as("frequency"),
+          round(sum(col("value")), 4).as("monetary"))
+      per.crossJoin(broadcast(ref))
+        .select(col("user_id"),
+          round((col("__ref") - col("__last")) / 8.64e10, 6).as("recency_days"),
+          col("frequency"), col("monetary"))
+        .withColumn("r_score", ntile(5).over(
+          Window.orderBy(col("recency_days"), col("user_id"))).cast("long"))
+        .withColumn("f_score", ntile(5).over(
+          Window.orderBy(col("frequency").desc, col("user_id"))).cast("long"))
+        .withColumn("m_score", ntile(5).over(
+          Window.orderBy(col("monetary").desc, col("user_id"))).cast("long"))
+        .orderBy(col("user_id"))
+    }),
+
     // per-user event-sequence transition matrix (the Markov view of the
     // funnel): one lag window per user, then a tiny (from, to) count table;
     // transition probabilities from exact integer counts
@@ -439,6 +476,27 @@ object RelationalQueries {
         |                  CAST(n_hours * sx2 - sx * sx AS DOUBLE), 6)
         |       END AS slope_per_hour
         |FROM s ORDER BY event_type""".stripMargin,
+
+    "events_seasonality" ->
+      """WITH c AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour_of_day,
+        |             count(*) AS n
+        |           FROM events GROUP BY 1, 2)
+        |SELECT event_type, hour_of_day, n,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY event_type), 6) AS share
+        |FROM c ORDER BY event_type, hour_of_day""".stripMargin,
+
+    "user_rfm" ->
+      """WITH r AS (SELECT max(epoch_us(ts)) AS ref FROM events),
+        |per AS (SELECT user_id, max(epoch_us(ts)) AS last_us,
+        |          count(*) AS frequency, round(sum(value), 4) AS monetary
+        |        FROM events GROUP BY 1)
+        |SELECT user_id,
+        |  round((r.ref - last_us) / 86400000000.0, 6) AS recency_days,
+        |  frequency, monetary,
+        |  CAST(ntile(5) OVER (ORDER BY round((r.ref - last_us) / 86400000000.0, 6), user_id) AS BIGINT) AS r_score,
+        |  CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS BIGINT) AS f_score,
+        |  CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS m_score
+        |FROM per CROSS JOIN r ORDER BY user_id""".stripMargin,
 
     "event_transitions" ->
       """WITH o AS (SELECT user_id, event_type, ts, event_id,
