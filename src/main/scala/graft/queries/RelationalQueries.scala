@@ -278,6 +278,31 @@ object RelationalQueries {
         .orderBy(col("event_type"))
     }),
 
+    // brand revenue rollup (completes the part-table surface): part is a
+    // classic broadcast dim; one shuffle for the brand aggregation
+    "brand_revenue" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("p_brand"))),
+
+    // revenue by supplier nation (completes the supplier-table surface):
+    // two broadcast dims chained, one shuffle for the nation aggregation
+    "supplier_nation_revenue" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"),
+          countDistinct(col("s_suppkey")).as("n_suppliers"))
+        .orderBy(col("n_name"))),
+
     // hour-of-day seasonality profile per type: integer counts + exact
     // share-of-type division — the baseline the anomaly/trend monitors
     // normalize against
@@ -476,6 +501,19 @@ object RelationalQueries {
         |                  CAST(n_hours * sx2 - sx * sx AS DOUBLE), 6)
         |       END AS slope_per_hour
         |FROM s ORDER BY event_type""".stripMargin,
+
+    "brand_revenue" ->
+      """SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "supplier_nation_revenue" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |       count(DISTINCT s_suppkey) AS n_suppliers
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_seasonality" ->
       """WITH c AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour_of_day,
