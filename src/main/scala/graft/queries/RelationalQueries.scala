@@ -278,6 +278,21 @@ object RelationalQueries {
         .orderBy(col("event_type"))
     }),
 
+    // TPC-H Q4 shape — LEFT SEMI join with a correlated condition (the
+    // EXISTS flavor): orders counted by priority when ANY lineitem
+    // shipped more than 60 days after the order date. The semi join
+    // carries no lineitem columns past the probe, so only order rows
+    // reach the aggregation.
+    "order_priority_late" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(t(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))),
+
     // brand revenue rollup (completes the part-table surface): part is a
     // classic broadcast dim; one shuffle for the brand aggregation
     "brand_revenue" -> ((s, d) =>
@@ -501,6 +516,14 @@ object RelationalQueries {
         |                  CAST(n_hours * sx2 - sx * sx AS DOUBLE), 6)
         |       END AS slope_per_hour
         |FROM s ORDER BY event_type""".stripMargin,
+
+    "order_priority_late" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "brand_revenue" ->
       """SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
