@@ -293,6 +293,19 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_orders"))
         .orderBy(col("o_orderpriority"))),
 
+    // the LEFT ANTI flavor (NOT EXISTS): customers with no order since
+    // 2000, by segment — the churn audit; the date filter pushes into the
+    // orders scan BEFORE the anti probe
+    "customers_inactive" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders")
+            .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal")), 4).as("total_acctbal"))
+        .orderBy(col("c_mktsegment"))),
+
     // brand revenue rollup (completes the part-table surface): part is a
     // classic broadcast dim; one shuffle for the brand aggregation
     "brand_revenue" -> ((s, d) =>
@@ -516,6 +529,15 @@ object RelationalQueries {
         |                  CAST(n_hours * sx2 - sx * sx AS DOUBLE), 6)
         |       END AS slope_per_hour
         |FROM s ORDER BY event_type""".stripMargin,
+
+    "customers_inactive" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        |       round(sum(c_acctbal), 4) AS total_acctbal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "order_priority_late" ->
       """SELECT o_orderpriority, count(*) AS n_orders
