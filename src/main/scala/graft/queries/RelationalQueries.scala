@@ -331,6 +331,31 @@ object RelationalQueries {
           countDistinct(col("s_suppkey")).as("n_suppliers"))
         .orderBy(col("n_name"))),
 
+    // month-over-month order growth: one month aggregation + a lag window
+    // over the tiny month table; growth from exact integer counts
+    "orders_monthly_growth" -> ((s, d) => {
+      val m = t(s, d, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_orders"))
+      m.withColumn("__prev",
+          lag(col("n_orders"), 1).over(Window.orderBy(col("month"))))
+        .select(col("month"), col("n_orders"),
+          round((col("n_orders") - col("__prev")).cast("double") /
+            col("__prev"), 6).as("mom_growth"))
+        .orderBy(col("month"))
+    }),
+
+    // per-type event-value percentiles (the exact shared-definition
+    // percentile, as doc_len_percentiles): the latency/size-distribution
+    // profile pass
+    "events_value_percentiles" -> ((s, d) =>
+      events(s, d).groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"),
+          round(expr("percentile(value, 0.99)"), 6).as("p99"),
+          round(max(col("value")), 6).as("max_value"))
+        .orderBy(col("event_type"))),
+
     // hour-of-day seasonality profile per type: integer counts + exact
     // share-of-type division — the baseline the anomaly/trend monitors
     // normalize against
@@ -559,6 +584,23 @@ object RelationalQueries {
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "orders_monthly_growth" ->
+      """WITH m AS (SELECT date_trunc('month', o_orderdate) AS month,
+        |             count(*) AS n_orders
+        |           FROM orders GROUP BY 1)
+        |SELECT month, n_orders,
+        |  round(CAST(n_orders - lag(n_orders) OVER (ORDER BY month) AS DOUBLE) /
+        |        lag(n_orders) OVER (ORDER BY month), 6) AS mom_growth
+        |FROM m ORDER BY month""".stripMargin,
+
+    "events_value_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  round(quantile_cont(value, 0.99), 6) AS p99,
+        |  round(max(value), 6) AS max_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_seasonality" ->
       """WITH c AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour_of_day,
