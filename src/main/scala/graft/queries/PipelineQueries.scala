@@ -1289,6 +1289,24 @@ object PipelineQueries {
         .limit(25)
     }),
 
+    // cross-domain composition: PageRank authority over the embedding
+    // graph × the text quality score on the parallel documents row — the
+    // "importance-weighted quality" ranking a curation pass would sample
+    // by. Reuses both verified pipelines end-to-end.
+    "authority_curate" -> ((s, d) => {
+      val edges = Similarity.knnGraph(emb(s, d), "vec_id", "embedding", k = 5)
+        .select(col("src"), col("dst"))
+      val pr = GraphOps.pageRank(edges, nIter = 3, damping = 0.85)
+        .select(col("id").as("doc_id"), round(col("r"), 9).as("pagerank"))
+      val q = TextAnalysis.quality(docs(s, d), "doc_id", "text")
+        .select(col("doc_id"), round(col("quality_score"), 6).as("quality"))
+      pr.join(q, "doc_id")
+        .select(col("doc_id"), col("pagerank"), col("quality"),
+          round(col("pagerank") * col("quality"), 9).as("weighted_score"))
+        .orderBy(col("weighted_score").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // semi-supervised label propagation: every 10th vector keeps its true
     // label as a seed; two rounds of majority vote over the same 5-NN
     // graph spread labels to the rest (the weak-labeling pass). Each round
@@ -3181,6 +3199,69 @@ object PipelineQueries {
         |SELECT media_id, count(*) AS n_frames,
         |  CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_frames
         |FROM fr JOIN cnt USING (fh) GROUP BY 1 ORDER BY media_id""".stripMargin,
+
+    // the graph_pagerank recursion (kept to ALL ranks) joined against the
+    // text_quality score chain — both replay pipelines composed verbatim
+    "authority_curate" ->
+      s"""WITH RECURSIVE
+         |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |pairs AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+         |    round(1.0 -
+         |      list_reduce([a.v[i] * b.v[i] for i in range(1, 65)], (x, y) -> x + y) /
+         |      sqrt(list_reduce([a.v[i] * a.v[i] for i in range(1, 65)], (x, y) -> x + y) *
+         |           list_reduce([b.v[i] * b.v[i] for i in range(1, 65)], (x, y) -> x + y)), 6)
+         |      AS dist
+         |  FROM ev a CROSS JOIN ev b WHERE a.vec_id <> b.vec_id),
+         |edges AS (SELECT src, dst FROM (
+         |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rnk
+         |    FROM pairs) WHERE rnk <= 5),
+         |nodes AS (SELECT DISTINCT id FROM
+         |    (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+         |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         |pr AS (
+         |  SELECT 0 AS iter,
+         |    (SELECT list(struct_pack(id := id, r := 1.0 / (SELECT n FROM nn)) ORDER BY id)
+         |     FROM nodes) AS ranks
+         |  UNION ALL
+         |  SELECT iter + 1, nl.ranks
+         |  FROM pr, LATERAL (
+         |    SELECT list(struct_pack(id := nd.id,
+         |        r := (1.0 - 0.85) / nn.n
+         |          + 0.85 * (CAST(coalesce(agg.s, 0) AS DOUBLE) / 1099511627776.0)
+         |          + 0.85 * (CAST(dang.dq AS DOUBLE) / 1099511627776.0) / nn.n)
+         |      ORDER BY nd.id) AS ranks
+         |    FROM nodes nd CROSS JOIN nn
+         |    LEFT JOIN (
+         |      SELECT e.dst AS id,
+         |        sum(CAST(floor(t.w.r * 1099511627776.0 / dg.outdeg + 0.5) AS BIGINT)) AS s
+         |      FROM unnest(pr.ranks) AS t(w)
+         |      JOIN edges e ON e.src = t.w.id
+         |      JOIN deg dg ON dg.src = e.src
+         |      GROUP BY e.dst) agg ON agg.id = nd.id
+         |    CROSS JOIN (
+         |      SELECT coalesce(sum(CAST(floor(t.w.r * 1099511627776.0 + 0.5) AS BIGINT)), 0) AS dq
+         |      FROM unnest(pr.ranks) AS t(w)
+         |      WHERE t.w.id NOT IN (SELECT src FROM deg)) dang) nl
+         |  WHERE iter < 3),
+         |prf AS (SELECT CAST(t.w.id AS BIGINT) AS doc_id, round(t.w.r, 9) AS pagerank
+         |        FROM (SELECT ranks FROM pr WHERE iter = 3) f, unnest(f.ranks) AS t(w)),
+         |tt AS (SELECT doc_id, text, $sqlTokens AS w FROM documents),
+         |qq AS (SELECT doc_id,
+         |  CASE WHEN len(w) > 0 THEN CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(w) ELSE 0.0 END AS avg_token_len,
+         |  CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS alpha_ratio,
+         |  CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS digit_ratio,
+         |  CASE WHEN len(w) > 0 THEN CAST(len(list_filter(w, x -> x IN ($enList))) AS DOUBLE) / len(w) ELSE 0.0 END AS stopword_ratio
+         |  FROM tt),
+         |sc AS (SELECT doc_id,
+         |  round(alpha_ratio * 0.4 + least(stopword_ratio * 5.0, 1.0) * 0.3 +
+         |        (CASE WHEN avg_token_len >= 3 AND avg_token_len <= 10 THEN 1.0 ELSE 0.0 END) * 0.2 +
+         |        (1.0 - least(digit_ratio * 5.0, 1.0)) * 0.1, 6) AS quality
+         |  FROM qq)
+         |SELECT p.doc_id, p.pagerank, s.quality,
+         |  round(p.pagerank * s.quality, 9) AS weighted_score
+         |FROM prf p JOIN sc s USING (doc_id)
+         |ORDER BY weighted_score DESC, doc_id LIMIT 20""".stripMargin,
 
     // the two vote rounds unrolled; arg-max replayed as row_number over
     // (votes DESC, label) — identical to max(struct(cnt, -label))
