@@ -1432,4 +1432,35 @@ object DiskannIndex {
       }
       .reduce(_ + _)
   }
+
+  /**
+   * The built Vamana graph as a row-id edge list `(src: long, dst: long)` —
+   * "the graph IS the index" (reference: the neighbor lists of
+   * graph/mod.rs:212-266 are the whole data structure). This is the 100 TB
+   * input for the link-analysis operators ([[graft.operators.GraphOps]]):
+   * instead of materializing a kNN graph with a quadratic join, reuse the
+   * out-edges the index build already paid for.
+   *
+   * Shape: one explode + one equi-join on `(shard, node)` to translate
+   * neighbor positions back to row ids — both sides are partition-pruned
+   * scans of the same nodes table, no driver state, no broadcast of
+   * anything corpus-sized. Edges are within-shard by construction (each
+   * shard is an independent sub-graph), so the join never crosses shards.
+   *
+   * Reflects the COMPACTED graph: delta-appended rows (G9) have no
+   * neighbor lists until compaction folds them in, and tombstoned rows
+   * still carry their structural edges (they route traversal; callers
+   * curating on rank should anti-join their own tombstone set).
+   */
+  def edges(spark: SparkSession, path0: String): DataFrame = {
+    val path = resolveRoot(spark, path0)
+    val meta = loadMetaAt(spark, path)
+    val nodes = nodesDf(spark, path, meta, 0 until meta.numShards)
+    val dstIds = nodes.select(col("shard"), col("node"),
+      col("row_id").as("dst"))
+    nodes.select(col("shard"), col("row_id").as("src"),
+        explode(col("neighbors")).as("node"))
+      .join(dstIds, Seq("shard", "node"))
+      .select(col("src"), col("dst"))
+  }
 }

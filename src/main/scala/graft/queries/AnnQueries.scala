@@ -232,7 +232,58 @@ object AnnQueries {
       finish(DiskannIndex.searchWithDelta(s, path, queryDf(s, d, None), delta,
         k = 11, searchListSize = 200, rescore = 150), 10, excludeSelf = true)
     }),
+
+    // The graph IS the index (reference: the neighbor lists of
+    // graph/mod.rs:212-266 are the whole structure): link analysis over the
+    // Vamana out-edges the build already paid for — the 100 TB path for
+    // GraphOps, replacing the broadcast-bounded Similarity.knnGraph with a
+    // partition-pruned scan of the nodes table. Edge export is one explode
+    // + one within-shard join; PageRank then runs its standard
+    // one-join-one-agg iterations. The oracle replays the IDENTICAL edge
+    // list from the dumped parquet (the Vamana build is deterministic but
+    // not SQL-expressible), verifying the distributed kernel end-to-end on
+    // an index-shaped (directed, pruned, variable-degree) graph.
+    "graph_pagerank_index" -> ((s, d) => {
+      val edges = indexEdges(s, d)
+      graft.operators.GraphOps.pageRank(edges, nIter = 3, damping = 0.85)
+        .select(col("id").as("vec_id"), round(col("r"), 9).as("pagerank"))
+        .orderBy(col("pagerank").desc, col("vec_id"))
+        .limit(25)
+    }),
+
+    // weak-labeling over the index graph: same seeds and vote rounds as
+    // label_propagation, edges from the built Vamana graph instead of the
+    // materialized kNN join — the at-scale shape of the auto-labeling pass.
+    "label_propagation_index" -> ((s, d) => {
+      val edges = indexEdges(s, d)
+      val seeds = emb(s, d).filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("id"), col("label"))
+      graft.operators.GraphOps.labelPropagate(edges, seeds, nIter = 2)
+        .select(col("id").as("vec_id"), col("label"), col("src_kind"))
+        .orderBy(col("vec_id"))
+    }),
   )
+
+  /** Export the "cos" index's Vamana out-edges, dumping them to a
+    * corpus-size-keyed parquet so the DuckDB oracle can replay link
+    * analysis over the IDENTICAL graph. The `n_corpus` column + size-keyed
+    * dir let one static oracle glob pick the dump matching its own corpus,
+    * so concurrent dumps at other scale factors never collide. */
+  private def indexEdges(s: SparkSession, d: String): DataFrame = {
+    val path = ensureIndex(s, d, "cos", emb(s, d), labeled = false)
+    val edges = DiskannIndex.edges(s, path)
+    val n = emb(s, d).count()
+    edges.withColumn("n_corpus", lit(n))
+      .write.mode("overwrite").parquet(s"/tmp/graft_edges/cos_n$n")
+    edges
+  }
+
+  /** `edges(src, dst)` CTE over the [[indexEdges]] dump, scale-selected by
+    * corpus row count (see indexEdges). */
+  private val sqlIndexEdges =
+    """edges AS (SELECT src, dst
+      |  FROM read_parquet('/tmp/graft_edges/cos_n*/*.parquet')
+      |  WHERE n_corpus = (SELECT count(*) FROM embeddings))""".stripMargin
 
   private def oracleQvec = "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)"
 
@@ -373,5 +424,16 @@ object AnnQueries {
         |        row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn FROM d)
         |SELECT qid, vec_id, dist FROM r WHERE rn <= 5
         |ORDER BY qid, dist, vec_id""".stripMargin,
+
+    // shared PageRank / label-prop kernels (ONE definition each, in
+    // PipelineQueries) over the dumped index edge list
+    "graph_pagerank_index" ->
+      s"""WITH RECURSIVE
+         |${PipelineQueries.sqlPageRank(sqlIndexEdges)}
+         |SELECT CAST(t.w.id AS BIGINT) AS vec_id, round(t.w.r, 9) AS pagerank
+         |FROM (SELECT ranks FROM pr WHERE iter = 3) f, unnest(f.ranks) AS t(w)
+         |ORDER BY pagerank DESC, vec_id LIMIT 25""".stripMargin,
+    "label_propagation_index" ->
+      PipelineQueries.sqlLabelPropQuery(sqlIndexEdges),
   )
 }

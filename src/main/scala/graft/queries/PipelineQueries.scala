@@ -28,6 +28,99 @@ object PipelineQueries {
        |  THEN [$w[i] || ' ' || $w[i+1] || ' ' || $w[i+2] for i in range(1, len($w) - 1)]
        |  ELSE [array_to_string($w, ' ')] END)""".stripMargin
 
+  // DuckDB replay of Similarity.knnGraph's exact 5-NN cosine edge list: per
+  // src the 5 smallest (round(dist,6), dst) over all OTHERS — the knnGraph
+  // kernel's exact definition. Ends in an `edges(src, dst)` CTE.
+  private[queries] val sqlKnnEdges =
+    """ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |pairs AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+      |    round(1.0 -
+      |      list_reduce([a.v[i] * b.v[i] for i in range(1, 65)], (x, y) -> x + y) /
+      |      sqrt(list_reduce([a.v[i] * a.v[i] for i in range(1, 65)], (x, y) -> x + y) *
+      |           list_reduce([b.v[i] * b.v[i] for i in range(1, 65)], (x, y) -> x + y)), 6)
+      |      AS dist
+      |  FROM ev a CROSS JOIN ev b WHERE a.vec_id <> b.vec_id),
+      |edges AS (SELECT src, dst FROM (
+      |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rnk
+      |    FROM pairs) WHERE rnk <= 5)""".stripMargin
+
+  // ONE definition of the fixed-point PageRank recursion (GraphOps.pageRank's
+  // exact arithmetic: floor(x*2^40+0.5) quantized contributions, dangling
+  // mass redistributed uniformly) over whatever `edges(src, dst)` CTE chain
+  // `edgesCtes` supplies. Shared by graph_pagerank / authority_curate /
+  // graph_pagerank_index so the kernel cannot drift between oracles. The
+  // caller's query must start `WITH RECURSIVE` and read the final rank list
+  // from `pr WHERE iter = <nIter>`.
+  private[queries] def sqlPageRank(edgesCtes: String, nIter: Int = 3): String =
+    s"""$edgesCtes,
+       |-- subquery union, NOT a top-level CTE UNION: under WITH RECURSIVE
+       |-- DuckDB gives every top-level CTE set-op recursive (no-dedup)
+       |-- semantics, which silently duplicated shared node ids
+       |nodes AS (SELECT DISTINCT id FROM
+       |    (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+       |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |pr AS (
+       |  SELECT 0 AS iter,
+       |    (SELECT list(struct_pack(id := id, r := 1.0 / (SELECT n FROM nn)) ORDER BY id)
+       |     FROM nodes) AS ranks
+       |  UNION ALL
+       |  SELECT iter + 1, nl.ranks
+       |  FROM pr, LATERAL (
+       |    SELECT list(struct_pack(id := nd.id,
+       |        r := (1.0 - 0.85) / nn.n
+       |          + 0.85 * (CAST(coalesce(agg.s, 0) AS DOUBLE) / 1099511627776.0)
+       |          + 0.85 * (CAST(dang.dq AS DOUBLE) / 1099511627776.0) / nn.n)
+       |      ORDER BY nd.id) AS ranks
+       |    FROM nodes nd CROSS JOIN nn
+       |    LEFT JOIN (
+       |      SELECT e.dst AS id,
+       |        sum(CAST(floor(t.w.r * 1099511627776.0 / dg.outdeg + 0.5) AS BIGINT)) AS s
+       |      FROM unnest(pr.ranks) AS t(w)
+       |      JOIN edges e ON e.src = t.w.id
+       |      JOIN deg dg ON dg.src = e.src
+       |      GROUP BY e.dst) agg ON agg.id = nd.id
+       |    CROSS JOIN (
+       |      SELECT coalesce(sum(CAST(floor(t.w.r * 1099511627776.0 + 0.5) AS BIGINT)), 0) AS dq
+       |      FROM unnest(pr.ranks) AS t(w)
+       |      WHERE t.w.id NOT IN (SELECT src FROM deg)) dang) nl
+       |  WHERE iter < $nIter)""".stripMargin
+
+  // ONE definition of the 2-round majority-vote label propagation replay
+  // (GraphOps.labelPropagate's exact semantics: seeds immutable, majority
+  // over out-neighbors, ties to smallest label) over whatever
+  // `edges(src, dst)` CTE chain is supplied — a COMPLETE query, shared by
+  // label_propagation / label_propagation_index.
+  private[queries] def sqlLabelPropQuery(edgesCtes: String): String =
+    s"""WITH
+       |$edgesCtes,
+       |nodes AS (SELECT DISTINCT id FROM
+       |    (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+       |seed AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS seed
+       |         FROM embeddings WHERE vec_id % 10 = 0),
+       |l0 AS (SELECT n.id, s.seed AS label FROM nodes n LEFT JOIN seed s USING (id)),
+       |v1 AS (SELECT e.src, l.label AS nl, count(*) AS c
+       |       FROM edges e JOIN l0 l ON l.id = e.dst
+       |       WHERE l.label IS NOT NULL GROUP BY 1, 2),
+       |b1 AS (SELECT src AS id, nl AS vote FROM (
+       |         SELECT src, nl, row_number() OVER (PARTITION BY src ORDER BY c DESC, nl) AS rn
+       |         FROM v1) WHERE rn = 1),
+       |l1 AS (SELECT n.id, coalesce(s.seed, b.vote) AS label
+       |       FROM nodes n LEFT JOIN seed s USING (id) LEFT JOIN b1 b USING (id)),
+       |v2 AS (SELECT e.src, l.label AS nl, count(*) AS c
+       |       FROM edges e JOIN l1 l ON l.id = e.dst
+       |       WHERE l.label IS NOT NULL GROUP BY 1, 2),
+       |b2 AS (SELECT src AS id, nl AS vote FROM (
+       |         SELECT src, nl, row_number() OVER (PARTITION BY src ORDER BY c DESC, nl) AS rn
+       |         FROM v2) WHERE rn = 1),
+       |l2 AS (SELECT n.id, coalesce(s.seed, b.vote) AS label
+       |       FROM nodes n LEFT JOIN seed s USING (id) LEFT JOIN b2 b USING (id))
+       |SELECT l2.id AS vec_id, l2.label,
+       |  CASE WHEN s.seed IS NOT NULL THEN 'seed'
+       |       WHEN l2.label IS NOT NULL THEN 'propagated'
+       |       ELSE 'unlabeled' END AS src_kind
+       |FROM l2 LEFT JOIN seed s USING (id) ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- dedup ----
     "dedup_exact" -> ((s, d) =>
@@ -3140,53 +3233,11 @@ object PipelineQueries {
     // contributions quantized with the same floor(x*2^40+0.5) rule so the
     // long sums agree regardless of order
     "graph_pagerank" ->
-      """WITH RECURSIVE
-        |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |pairs AS (SELECT a.vec_id AS src, b.vec_id AS dst,
-        |    round(1.0 -
-        |      list_reduce([a.v[i] * b.v[i] for i in range(1, 65)], (x, y) -> x + y) /
-        |      sqrt(list_reduce([a.v[i] * a.v[i] for i in range(1, 65)], (x, y) -> x + y) *
-        |           list_reduce([b.v[i] * b.v[i] for i in range(1, 65)], (x, y) -> x + y)), 6)
-        |      AS dist
-        |  FROM ev a CROSS JOIN ev b WHERE a.vec_id <> b.vec_id),
-        |edges AS (SELECT src, dst FROM (
-        |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rnk
-        |    FROM pairs) WHERE rnk <= 5),
-        |-- subquery union, NOT a top-level CTE UNION: under WITH RECURSIVE
-        |-- DuckDB gives every top-level CTE set-op recursive (no-dedup)
-        |-- semantics, which silently duplicated shared node ids
-        |nodes AS (SELECT DISTINCT id FROM
-        |    (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
-        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
-        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-        |pr AS (
-        |  SELECT 0 AS iter,
-        |    (SELECT list(struct_pack(id := id, r := 1.0 / (SELECT n FROM nn)) ORDER BY id)
-        |     FROM nodes) AS ranks
-        |  UNION ALL
-        |  SELECT iter + 1, nl.ranks
-        |  FROM pr, LATERAL (
-        |    SELECT list(struct_pack(id := nd.id,
-        |        r := (1.0 - 0.85) / nn.n
-        |          + 0.85 * (CAST(coalesce(agg.s, 0) AS DOUBLE) / 1099511627776.0)
-        |          + 0.85 * (CAST(dang.dq AS DOUBLE) / 1099511627776.0) / nn.n)
-        |      ORDER BY nd.id) AS ranks
-        |    FROM nodes nd CROSS JOIN nn
-        |    LEFT JOIN (
-        |      SELECT e.dst AS id,
-        |        sum(CAST(floor(t.w.r * 1099511627776.0 / dg.outdeg + 0.5) AS BIGINT)) AS s
-        |      FROM unnest(pr.ranks) AS t(w)
-        |      JOIN edges e ON e.src = t.w.id
-        |      JOIN deg dg ON dg.src = e.src
-        |      GROUP BY e.dst) agg ON agg.id = nd.id
-        |    CROSS JOIN (
-        |      SELECT coalesce(sum(CAST(floor(t.w.r * 1099511627776.0 + 0.5) AS BIGINT)), 0) AS dq
-        |      FROM unnest(pr.ranks) AS t(w)
-        |      WHERE t.w.id NOT IN (SELECT src FROM deg)) dang) nl
-        |  WHERE iter < 3)
-        |SELECT CAST(t.w.id AS BIGINT) AS vec_id, round(t.w.r, 9) AS pagerank
-        |FROM (SELECT ranks FROM pr WHERE iter = 3) f, unnest(f.ranks) AS t(w)
-        |ORDER BY pagerank DESC, vec_id LIMIT 25""".stripMargin,
+      s"""WITH RECURSIVE
+         |${sqlPageRank(sqlKnnEdges)}
+         |SELECT CAST(t.w.id AS BIGINT) AS vec_id, round(t.w.r, 9) AS pagerank
+         |FROM (SELECT ranks FROM pr WHERE iter = 3) f, unnest(f.ranks) AS t(w)
+         |ORDER BY pagerank DESC, vec_id LIMIT 25""".stripMargin,
 
     "multimodal_frame_dedup" ->
       """WITH vid AS (SELECT doc_id AS media_id, text FROM documents
@@ -3204,46 +3255,7 @@ object PipelineQueries {
     // text_quality score chain — both replay pipelines composed verbatim
     "authority_curate" ->
       s"""WITH RECURSIVE
-         |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |pairs AS (SELECT a.vec_id AS src, b.vec_id AS dst,
-         |    round(1.0 -
-         |      list_reduce([a.v[i] * b.v[i] for i in range(1, 65)], (x, y) -> x + y) /
-         |      sqrt(list_reduce([a.v[i] * a.v[i] for i in range(1, 65)], (x, y) -> x + y) *
-         |           list_reduce([b.v[i] * b.v[i] for i in range(1, 65)], (x, y) -> x + y)), 6)
-         |      AS dist
-         |  FROM ev a CROSS JOIN ev b WHERE a.vec_id <> b.vec_id),
-         |edges AS (SELECT src, dst FROM (
-         |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rnk
-         |    FROM pairs) WHERE rnk <= 5),
-         |nodes AS (SELECT DISTINCT id FROM
-         |    (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
-         |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
-         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-         |pr AS (
-         |  SELECT 0 AS iter,
-         |    (SELECT list(struct_pack(id := id, r := 1.0 / (SELECT n FROM nn)) ORDER BY id)
-         |     FROM nodes) AS ranks
-         |  UNION ALL
-         |  SELECT iter + 1, nl.ranks
-         |  FROM pr, LATERAL (
-         |    SELECT list(struct_pack(id := nd.id,
-         |        r := (1.0 - 0.85) / nn.n
-         |          + 0.85 * (CAST(coalesce(agg.s, 0) AS DOUBLE) / 1099511627776.0)
-         |          + 0.85 * (CAST(dang.dq AS DOUBLE) / 1099511627776.0) / nn.n)
-         |      ORDER BY nd.id) AS ranks
-         |    FROM nodes nd CROSS JOIN nn
-         |    LEFT JOIN (
-         |      SELECT e.dst AS id,
-         |        sum(CAST(floor(t.w.r * 1099511627776.0 / dg.outdeg + 0.5) AS BIGINT)) AS s
-         |      FROM unnest(pr.ranks) AS t(w)
-         |      JOIN edges e ON e.src = t.w.id
-         |      JOIN deg dg ON dg.src = e.src
-         |      GROUP BY e.dst) agg ON agg.id = nd.id
-         |    CROSS JOIN (
-         |      SELECT coalesce(sum(CAST(floor(t.w.r * 1099511627776.0 + 0.5) AS BIGINT)), 0) AS dq
-         |      FROM unnest(pr.ranks) AS t(w)
-         |      WHERE t.w.id NOT IN (SELECT src FROM deg)) dang) nl
-         |  WHERE iter < 3),
+         |${sqlPageRank(sqlKnnEdges)},
          |prf AS (SELECT CAST(t.w.id AS BIGINT) AS doc_id, round(t.w.r, 9) AS pagerank
          |        FROM (SELECT ranks FROM pr WHERE iter = 3) f, unnest(f.ranks) AS t(w)),
          |tt AS (SELECT doc_id, text, $sqlTokens AS w FROM documents),
@@ -3265,45 +3277,7 @@ object PipelineQueries {
 
     // the two vote rounds unrolled; arg-max replayed as row_number over
     // (votes DESC, label) — identical to max(struct(cnt, -label))
-    "label_propagation" ->
-      """WITH
-        |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |pairs AS (SELECT a.vec_id AS src, b.vec_id AS dst,
-        |    round(1.0 -
-        |      list_reduce([a.v[i] * b.v[i] for i in range(1, 65)], (x, y) -> x + y) /
-        |      sqrt(list_reduce([a.v[i] * a.v[i] for i in range(1, 65)], (x, y) -> x + y) *
-        |           list_reduce([b.v[i] * b.v[i] for i in range(1, 65)], (x, y) -> x + y)), 6)
-        |      AS dist
-        |  FROM ev a CROSS JOIN ev b WHERE a.vec_id <> b.vec_id),
-        |edges AS (SELECT src, dst FROM (
-        |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rnk
-        |    FROM pairs) WHERE rnk <= 5),
-        |nodes AS (SELECT DISTINCT id FROM
-        |    (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
-        |seed AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS seed
-        |         FROM embeddings WHERE vec_id % 10 = 0),
-        |l0 AS (SELECT n.id, s.seed AS label FROM nodes n LEFT JOIN seed s USING (id)),
-        |v1 AS (SELECT e.src, l.label AS nl, count(*) AS c
-        |       FROM edges e JOIN l0 l ON l.id = e.dst
-        |       WHERE l.label IS NOT NULL GROUP BY 1, 2),
-        |b1 AS (SELECT src AS id, nl AS vote FROM (
-        |         SELECT src, nl, row_number() OVER (PARTITION BY src ORDER BY c DESC, nl) AS rn
-        |         FROM v1) WHERE rn = 1),
-        |l1 AS (SELECT n.id, coalesce(s.seed, b.vote) AS label
-        |       FROM nodes n LEFT JOIN seed s USING (id) LEFT JOIN b1 b USING (id)),
-        |v2 AS (SELECT e.src, l.label AS nl, count(*) AS c
-        |       FROM edges e JOIN l1 l ON l.id = e.dst
-        |       WHERE l.label IS NOT NULL GROUP BY 1, 2),
-        |b2 AS (SELECT src AS id, nl AS vote FROM (
-        |         SELECT src, nl, row_number() OVER (PARTITION BY src ORDER BY c DESC, nl) AS rn
-        |         FROM v2) WHERE rn = 1),
-        |l2 AS (SELECT n.id, coalesce(s.seed, b.vote) AS label
-        |       FROM nodes n LEFT JOIN seed s USING (id) LEFT JOIN b2 b USING (id))
-        |SELECT l2.id AS vec_id, l2.label,
-        |  CASE WHEN s.seed IS NOT NULL THEN 'seed'
-        |       WHEN l2.label IS NOT NULL THEN 'propagated'
-        |       ELSE 'unlabeled' END AS src_kind
-        |FROM l2 LEFT JOIN seed s USING (id) ORDER BY vec_id""".stripMargin,
+    "label_propagation" -> sqlLabelPropQuery(sqlKnnEdges),
 
     // same bigram/smoothing construction as the lm_score oracle, swapped
     // to per-source counts; 1e-9 fixed-point terms weighted by occurrence

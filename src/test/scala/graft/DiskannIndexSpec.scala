@@ -107,6 +107,30 @@ class DiskannIndexSpec extends AnyFunSuite {
     assert(dot.startsWith("digraph") && dot.contains("->"))
   }
 
+  test("edges: out-edge export matches the nodes table and feeds distributed PageRank") {
+    val path = "/tmp/graft_test_index/multishard"
+    val edges = DiskannIndex.edges(spark, path)
+    val st = DiskannIndex.stats(spark, path)
+    // exactly one edge per neighbor-list slot, endpoints are real row ids,
+    // and every row has out-edges (the graph is the index)
+    assert(edges.count() == st.numEdges)
+    val ids = emb.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val endpoints = edges.select(col("src")).union(edges.select(col("dst")))
+      .distinct().collect().map(_.getLong(0))
+    assert(endpoints.forall(ids))
+    assert(edges.select(col("src")).distinct().count() == st.numRows)
+    // link analysis over index edges: distributed kernel == driver fast
+    // path, bit-identical (same gate as GraphOpsSpec, on a REAL index graph)
+    def ranks(mde: Int) = {
+      val out = graft.operators.GraphOps.pageRank(edges, nIter = 3,
+        driverSolveMaxEdges = mde)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      CacheScope.releaseAll()
+      out
+    }
+    assert(ranks(1000000) == ranks(0))
+  }
+
   test("IVF partitioner: nProbe routing preserves recall on clustered data") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.Row
