@@ -370,9 +370,17 @@ object Similarity {
    * SQL engine replays with rank() OVER (ORDER BY round(dist, 6), id).
    */
   def knnGraph(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, decimals: Int = 6): DataFrame = {
+      k: Int, decimals: Int = 6, maxBroadcastRows: Int = 2000000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // bounded probe BEFORE the collect (the driverSolveMaxEdges discipline
+    // of GraphOps): only a capped count crosses to the driver; an oversized
+    // corpus fails with a pointer at the scale path instead of an OOM
+    val probe = df.limit(maxBroadcastRows + 1).count()
+    require(probe <= maxBroadcastRows,
+      s"knnGraph: corpus exceeds $maxBroadcastRows rows — the exact " +
+        "broadcast kernel is for broadcast-sized corpora; at scale use " +
+        "DiskannIndex.edges (the Vamana graph's out-edges) as the edge list")
     val corpus = df.select(col(idCol).cast(LongType), col(vecCol))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     val ids = corpus.map(_._1)
@@ -922,6 +930,16 @@ object Similarity {
       i = 0
       while (i < dims) { nsq += w(i) * w(i); i += 1 }
       eig = math.sqrt(nsq)
+      // degenerate input (rank-deficient covariance with the iterate in its
+      // null space, e.g. an all-identical corpus): normalizing by eig = 0
+      // would emit NaN loadings — report the zero eigenvalue with zero
+      // loadings instead and stop iterating
+      if (eig == 0.0) {
+        java.util.Arrays.fill(v, 0.0)
+        return spark.createDataset(v.toSeq.zipWithIndex.map { case (x, i2) =>
+          (i2.toLong, x, 0.0)
+        }).toDF("dim", "loading", "eigval")
+      }
       i = 0
       while (i < dims) { v(i) = w(i) / eig; i += 1 }
     }

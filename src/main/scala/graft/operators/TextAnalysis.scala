@@ -555,11 +555,13 @@ object TextAnalysis {
       .select(col("model_source"), col("eval_source"), col("__ce"),
         // DECIMAL(38,0) accumulator (the corpus_entropy precedent): the
         // per-pair sum is weighted by the eval source's total bigram
-        // OCCURRENCES — at ~1e10 per occurrence a long wraps around 1e9
-        // bigram tokens, far below design scale, while DuckDB's
-        // sum(BIGINT) promotes to HUGEINT and stays exact
-        (floor(term * 1e9 + 0.5).cast(LongType) * col("__ce"))
-          .cast(DecimalType(38, 0)).as("__fp"))
+        // OCCURRENCES. BOTH the multiply and the sum must be decimal — the
+        // quantized term is ~1e10, so a Long×Long product wraps once a
+        // single bigram type has ~5e8+ occurrences in one source (real at
+        // design scale); casting each factor to DECIMAL(38,0) first keeps
+        // the product exact, mirroring the oracle's HUGEINT multiply
+        (floor(term * 1e9 + 0.5).cast(DecimalType(38, 0)) *
+          col("__ce").cast(DecimalType(38, 0))).as("__fp"))
       .groupBy(col("model_source"), col("eval_source"))
       .agg(sum(col("__ce")).as("n_bigrams"),
         round((-(sum(col("__fp")).cast(DoubleType) / 1e9)) /
@@ -621,6 +623,7 @@ object TextAnalysis {
       .select(col(idCol).as("id"), round(col("bm25"), 6).as("bscore"))
       .filter(col("bscore") > 0)
       .orderBy(col("bscore").desc, col("id")).limit(n)
+      // global window is BOUNDED: runs over the post-limit(n) rows only
       .withColumn("rb",
         row_number().over(Window.orderBy(col("bscore").desc, col("id"))))
   }
@@ -650,6 +653,8 @@ object TextAnalysis {
       .groupBy(col("tok")).agg(min(col("__id")).as("first_id"))
       .select(floor(col("first_id") / bucketDocs).cast("long").as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("new_vocab"))
+    // global window is BOUNDED: one row per CHECKPOINT (corpus/bucketDocs),
+    // thousands at full scale by bucketDocs choice — never per doc/token
     val w = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docToks.join(newVocab, Seq("bucket"), "full_outer")
@@ -735,6 +740,32 @@ object TextAnalysis {
       syms = out.toVector
     }
     syms
+  }
+
+  /**
+   * Per-language BPE fertility (subwords emitted per word) measured with an
+   * already-[[bpeTrain]]ed merge list — the measure leg of the
+   * train→apply→measure loop. The trained model (nMerges rules) is the ONLY
+   * driver-side state, shipped to executors inside the UDF closure;
+   * segmentation runs executor-side per token occurrence, so NO vocabulary
+   * is ever collected or materialized — the corpus-scale plan is explode +
+   * one map-side-combined aggregation at any corpus size. (A per-type
+   * pre-aggregation would cut segmenter invocations to the Heaps-law type
+   * count, but costs an extra token-keyed shuffle; per-occurrence
+   * segmentation of short words is cheaper than that shuffle.)
+   */
+  def bpeFertility(df: DataFrame, textCol: String, langCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val nSub = udf((w: String) => bpeSegment(w, merges).length.toLong)
+    df.select(col(langCol).as("lang"),
+        explode_outer(tokens(col(textCol))).as("tok"))
+      .filter(col("tok").isNotNull)
+      .select(col("lang"), nSub(col("tok")).as("n_sub"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"),
+        round(sum(col("n_sub")).cast("double") / count(lit(1)), 6)
+          .as("fertility"))
+      .orderBy(col("lang"))
   }
 
   private val builders: Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(

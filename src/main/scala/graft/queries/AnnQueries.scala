@@ -75,6 +75,7 @@ object AnnQueries {
       val vtop = finish(DiskannIndex.search(s, path, queryDf(s, d, None),
           k = 51, searchListSize = 600, rescore = 600), 50, excludeSelf = true)
         .select(col("vec_id").as("id"), col("dist").as("vdist"))
+        // global window is BOUNDED: the 50-row post-finish top list only
         .withColumn("ra",
           row_number().over(Window.orderBy(col("vdist"), col("id"))))
       val docs = s.read.parquet(s"$d/documents.parquet")

@@ -361,6 +361,11 @@ object PipelineQueries {
         .distinct()
         .transform(graft.CacheScope.persist)
       val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("__n"))
+      // token-keyed self-join emits ≤ nSources²/2 rows per shared token —
+      // fine at any corpus size with tens of sources; with THOUSANDS of
+      // sources swap to collect_set(source) per token + within-row pair
+      // expansion, which caps the blow-up at the same bound without the
+      // join
       st.select(col("source").as("sa"), col("tok").as("tok_a"))
         .join(st.select(col("source").as("sb"), col("tok").as("tok_b")),
           col("tok_a") === col("tok_b") && col("sa") < col("sb"))
@@ -771,31 +776,14 @@ object PipelineQueries {
     }),
 
     // fertility measured with the TRAINED tokenizer (closing the
-    // train→apply→measure loop): the 10-merge BPE model segments the
-    // bounded vocabulary driver-side, the per-word subword counts broadcast
-    // back as a tiny table, and the corpus-scale pass is explode + one
-    // broadcast join + a per-lang aggregation
+    // train→apply→measure loop): the 10-merge BPE model is the only
+    // driver-side state — segmentation runs executor-side per occurrence
+    // (TextAnalysis.bpeFertility), so no vocabulary collect at any scale
     "bpe_fertility" -> ((s, d) => {
-      import s.implicits._
       val dd = docs(s, d)
       val merges = TextAnalysis.bpeTrain(dd, "text", nMerges = 10)
         .map(m => (m._2, m._3))
-      val vocab = dd
-        .select(explode_outer(TextAnalysis.tokens(col("text"))).as("tok"))
-        .filter(col("tok").isNotNull).distinct()
-        .collect().map(_.getString(0))
-      val segCounts = s.createDataset(
-        vocab.toSeq.map(w => (w, TextAnalysis.bpeSegment(w, merges).length.toLong)))
-        .toDF("tok", "n_sub")
-      dd.select(col("lang"),
-          explode_outer(TextAnalysis.tokens(col("text"))).as("tok"))
-        .filter(col("tok").isNotNull)
-        .join(broadcast(segCounts), Seq("tok"))
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"),
-          round(sum(col("n_sub")).cast("double") / count(lit(1)), 6)
-            .as("fertility"))
-        .orderBy(col("lang"))
+      TextAnalysis.bpeFertility(dd, "text", "lang", merges)
     }),
 
     // embedding QA / mislabel detection: each vector's cosine distance to
@@ -918,6 +906,7 @@ object PipelineQueries {
         .transform(graft.CacheScope.persist)
       val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cc"))
         .orderBy(col("cc").desc, col("tok")).limit(50)
+        // global window is BOUNDED: the post-limit(50) vocab rows only
         .withColumn("rnk", row_number().over(
           Window.orderBy(col("cc").desc, col("tok"))))
       val sc = toks.join(broadcast(vocab), Seq("tok"))
@@ -953,6 +942,7 @@ object PipelineQueries {
         .filter(col("tok").isNotNull)
         .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("tok")).limit(30)
+        // global window is BOUNDED: the post-limit(30) vocab rows only
         .withColumn("rnk", row_number().over(
           Window.orderBy(col("cnt").desc, col("tok"))))
       val agged = counts.agg(count(lit(1)).as("n"),
@@ -1320,6 +1310,7 @@ object PipelineQueries {
           round(call_function("vec_cosine_dist", col("embedding"), col("qvec")), 6)
             .as("vdist"))
         .orderBy(col("vdist"), col("id")).limit(50)
+        // global window is BOUNDED: the 50-row post-limit top list only
         .withColumn("ra", row_number().over(Window.orderBy(col("vdist"), col("id"))))
       Similarity.rrfFuse(vtop,
         TextAnalysis.bm25TopRanked(docs(s, d), "doc_id", "text",
@@ -3294,7 +3285,7 @@ object PipelineQueries {
          |sc AS (SELECT m.model_source, e.source AS eval_source, e.cnt AS ce,
          |    CAST(floor(ln((CAST(coalesce(c2m.cnt, 0) AS DOUBLE) + 1.0) /
          |         (CAST(coalesce(c1m.c1, 0) AS DOUBLE) + CAST(vv.v AS DOUBLE)))
-         |         * 1000000000.0 + 0.5) AS BIGINT) * e.cnt AS fp
+         |         * 1000000000.0 + 0.5) AS HUGEINT) * e.cnt AS fp
          |  FROM c2 e CROSS JOIN sources m
          |  LEFT JOIN c2 c2m ON c2m.source = m.model_source
          |    AND c2m.w1 = e.w1 AND c2m.w2 = e.w2

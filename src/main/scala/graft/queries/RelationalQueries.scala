@@ -81,6 +81,9 @@ object RelationalQueries {
       val agg = events(s, d)
         .groupBy(col("user_id"))
         .agg(round(sum(col("value")), 4).as("total_value"), count(lit(1)).as("n_events"))
+      // global window is SAFE here: the rnk <= 10 filter is rank-like, so
+      // InferWindowGroupLimit inserts a per-partition partial top-10 before
+      // the single-partition sort — only ~10·nPartitions rows cross
       agg.withColumn("rnk",
         row_number().over(Window.orderBy(col("total_value").desc, col("user_id"))))
         .filter(col("rnk") <= 10)
@@ -337,6 +340,7 @@ object RelationalQueries {
       val m = t(s, d, "orders")
         .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
         .agg(count(lit(1)).as("n_orders"))
+      // global window is BOUNDED: one row per calendar month
       m.withColumn("__prev",
           lag(col("n_orders"), 1).over(Window.orderBy(col("month"))))
         .select(col("month"), col("n_orders"),
@@ -369,10 +373,13 @@ object RelationalQueries {
     }),
 
     // RFM (recency/frequency/monetary) segmentation: per-user aggregates
-    // off one events pass, quintile scores via ntile ordered with a
-    // user_id tie-break so both engines bucket identically. The global
-    // ntile sorts the USER table (bounded, not the event stream); at
-    // extreme user counts swap for percent_rank-derived buckets.
+    // off one events pass, then quintile scores by VALUE against exact
+    // percentile thresholds — ONE tiny aggregate (12 doubles) broadcast
+    // into a map-side bucket assignment. No global rank window at any user
+    // count (a ntile/percent_rank over the user table is a single-partition
+    // sort of every user — the scale-killer this shape avoids); ties share
+    // a bucket by construction. At extreme user counts swap `percentile`
+    // for `percentile_approx` — only the threshold aggregate changes.
     "user_rfm" -> ((s, d) => {
       val ev = events(s, d)
       val ref = ev.agg(max(unix_micros(col("ts"))).as("__ref"))
@@ -380,16 +387,32 @@ object RelationalQueries {
         .agg(max(unix_micros(col("ts"))).as("__last"),
           count(lit(1)).as("frequency"),
           round(sum(col("value")), 4).as("monetary"))
-      per.crossJoin(broadcast(ref))
+        .crossJoin(broadcast(ref))
         .select(col("user_id"),
           round((col("__ref") - col("__last")) / 8.64e10, 6).as("recency_days"),
           col("frequency"), col("monetary"))
-        .withColumn("r_score", ntile(5).over(
-          Window.orderBy(col("recency_days"), col("user_id"))).cast("long"))
-        .withColumn("f_score", ntile(5).over(
-          Window.orderBy(col("frequency").desc, col("user_id"))).cast("long"))
-        .withColumn("m_score", ntile(5).over(
-          Window.orderBy(col("monetary").desc, col("user_id"))).cast("long"))
+      val thrCols =
+        for (q <- Seq(20, 40, 60, 80); c <- Seq("recency_days", "frequency", "monetary"))
+          yield round(expr(s"percentile($c, 0.$q)"), 6).as(s"__${c.head}$q")
+      val thr = per.agg(thrCols.head, thrCols.tail: _*)
+      // score 1 = best quintile: most recent (smallest recency), highest
+      // frequency/monetary — same orientation as the former ntile ordering
+      def asc(c: String, p: String) = lit(1) +
+        (col(c) > col(s"__$p" + 20)).cast("int") +
+        (col(c) > col(s"__$p" + 40)).cast("int") +
+        (col(c) > col(s"__$p" + 60)).cast("int") +
+        (col(c) > col(s"__$p" + 80)).cast("int")
+      def desc(c: String, p: String) = lit(1) +
+        (col(c) < col(s"__$p" + 80)).cast("int") +
+        (col(c) < col(s"__$p" + 60)).cast("int") +
+        (col(c) < col(s"__$p" + 40)).cast("int") +
+        (col(c) < col(s"__$p" + 20)).cast("int")
+      per.crossJoin(broadcast(thr))
+        .select(col("user_id"), col("recency_days"), col("frequency"),
+          col("monetary"),
+          asc("recency_days", "r").cast("long").as("r_score"),
+          desc("frequency", "f").cast("long").as("f_score"),
+          desc("monetary", "m").cast("long").as("m_score"))
         .orderBy(col("user_id"))
     }),
 
@@ -610,18 +633,36 @@ object RelationalQueries {
         |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY event_type), 6) AS share
         |FROM c ORDER BY event_type, hour_of_day""".stripMargin,
 
+    // quintile-by-threshold replay: DuckDB's quantile_cont shares Spark
+    // percentile's lower + (higher−lower)·frac definition, thresholds
+    // rounded to 6 in both engines before the comparisons
     "user_rfm" ->
       """WITH r AS (SELECT max(epoch_us(ts)) AS ref FROM events),
-        |per AS (SELECT user_id, max(epoch_us(ts)) AS last_us,
+        |per AS (SELECT user_id,
+        |          round((r.ref - max(epoch_us(ts))) / 86400000000.0, 6) AS recency_days,
         |          count(*) AS frequency, round(sum(value), 4) AS monetary
-        |        FROM events GROUP BY 1)
-        |SELECT user_id,
-        |  round((r.ref - last_us) / 86400000000.0, 6) AS recency_days,
-        |  frequency, monetary,
-        |  CAST(ntile(5) OVER (ORDER BY round((r.ref - last_us) / 86400000000.0, 6), user_id) AS BIGINT) AS r_score,
-        |  CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS BIGINT) AS f_score,
-        |  CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS m_score
-        |FROM per CROSS JOIN r ORDER BY user_id""".stripMargin,
+        |        FROM events CROSS JOIN r GROUP BY user_id, r.ref),
+        |th AS (SELECT
+        |  round(quantile_cont(recency_days, 0.2), 6) AS r20,
+        |  round(quantile_cont(recency_days, 0.4), 6) AS r40,
+        |  round(quantile_cont(recency_days, 0.6), 6) AS r60,
+        |  round(quantile_cont(recency_days, 0.8), 6) AS r80,
+        |  round(quantile_cont(frequency, 0.2), 6) AS f20,
+        |  round(quantile_cont(frequency, 0.4), 6) AS f40,
+        |  round(quantile_cont(frequency, 0.6), 6) AS f60,
+        |  round(quantile_cont(frequency, 0.8), 6) AS f80,
+        |  round(quantile_cont(monetary, 0.2), 6) AS m20,
+        |  round(quantile_cont(monetary, 0.4), 6) AS m40,
+        |  round(quantile_cont(monetary, 0.6), 6) AS m60,
+        |  round(quantile_cont(monetary, 0.8), 6) AS m80 FROM per)
+        |SELECT user_id, recency_days, frequency, monetary,
+        |  CAST(1 + CAST(recency_days > r20 AS INT) + CAST(recency_days > r40 AS INT)
+        |         + CAST(recency_days > r60 AS INT) + CAST(recency_days > r80 AS INT) AS BIGINT) AS r_score,
+        |  CAST(1 + CAST(frequency < f80 AS INT) + CAST(frequency < f60 AS INT)
+        |         + CAST(frequency < f40 AS INT) + CAST(frequency < f20 AS INT) AS BIGINT) AS f_score,
+        |  CAST(1 + CAST(monetary < m80 AS INT) + CAST(monetary < m60 AS INT)
+        |         + CAST(monetary < m40 AS INT) + CAST(monetary < m20 AS INT) AS BIGINT) AS m_score
+        |FROM per CROSS JOIN th ORDER BY user_id""".stripMargin,
 
     "event_transitions" ->
       """WITH o AS (SELECT user_id, event_type, ts, event_id,

@@ -552,7 +552,6 @@ object StreamingIngest {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         if (batchId <= lastBatch.get()) ()
         else {
-        lastBatch.set(batchId)
         val rows = batch.collect()
         val alerts = scala.collection.mutable.ArrayBuffer[RateAlert]()
         rows.sortBy(r => (r.getTimestamp(0).getTime, r.getString(1))).foreach { r =>
@@ -572,6 +571,13 @@ object StreamingIngest {
           s(0) += 1; s(1) += n.toDouble; s(2) += n.toDouble * n
         }
         if (alerts.nonEmpty) onAlert(alerts.toSeq)
+        // mark consumed ONLY after the fold and onAlert complete: if the
+        // batch fails mid-processing and the query restarts with the same
+        // LIVE state object (not one restored from a snapshot), the replay
+        // must re-process it — setting the guard up front would silently
+        // drop the batch's windows and alerts. The snapshot-after-onAlert
+        // discipline stays consistent in every failure window.
+        lastBatch.set(batchId)
         }
       }
       .options(checkpointLocation.map("checkpointLocation" -> _).toMap)

@@ -42,9 +42,15 @@ object RecallBench {
     val l2Path = ensure("l2", DiskannParams(metric = "l2"))
     val ipPath = ensure("ip", DiskannParams(metric = "ip"))
     val plainPath = ensure("plain", DiskannParams(metric = "cosine", storage = "plain"))
+    // two IVF trainers, measured side by side: ivfSeed=None -> Lloyd
+    // k-means (trainIvf), ivfSeed set -> md5-deterministic centroid pick
+    // (trainIvfDeterministic, the oracle-replayable weaker quantizer)
     val ivfPath = ensure("ivf", DiskannParams(metric = "cosine",
       partitioner = "ivf", shardTargetRows =
         math.max(1L, e.count() / 8)))
+    val ivfDetPath = ensure("ivf_det", DiskannParams(metric = "cosine",
+      partitioner = "ivf", shardTargetRows =
+        math.max(1L, e.count() / 8), ivfSeed = Some("recall")))
 
     val k = 10
     val queries = e.filter(col("vec_id") % 97 === 0)
@@ -89,8 +95,10 @@ object RecallBench {
       ("widened_L200_r150", cosPath, "cosine", 200, 150, 0),
       ("wide_L400_r300", cosPath, "cosine", 400, 300, 0),
       ("wide_L800_r600", cosPath, "cosine", 800, 600, 0),
-      ("ivf_nprobe2_L200_r150", ivfPath, "cosine", 200, 150, 2),
-      ("ivf_nprobe4_L400_r300", ivfPath, "cosine", 400, 300, 4))
+      ("ivf_lloyd_nprobe2_L200_r150", ivfPath, "cosine", 200, 150, 2),
+      ("ivf_lloyd_nprobe4_L400_r300", ivfPath, "cosine", 400, 300, 4),
+      ("ivf_det_nprobe2_L200_r150", ivfDetPath, "cosine", 200, 150, 2),
+      ("ivf_det_nprobe4_L400_r300", ivfDetPath, "cosine", 400, 300, 4))
     val annResults = configs.map { case (name, path, m, l, r, np) =>
       name -> recallVs(exactByMetric(m))(
         DiskannIndex.search(spark, path, queries, k, l, r, nProbe = np))

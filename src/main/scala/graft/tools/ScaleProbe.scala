@@ -242,9 +242,19 @@ object ScaleProbe {
           DiskannIndex.searchDistributed(spark, idx, queries, k = 10,
             searchListSize = 100, rescore = 50, nProbe = 4).count()
         }
+        // the 100 TB graph-analytics path end-to-end: export the Vamana
+        // out-edges (explode + within-shard join, no broadcast) and run the
+        // DISTRIBUTED PageRank (driver fast path forced off) over them
+        val (prSec, nNodes) = time {
+          val out = graft.operators.GraphOps.pageRank(
+            DiskannIndex.edges(spark, idx), nIter = 3,
+            driverSolveMaxEdges = 0).filter(col("r") >= 0).count()
+          graft.CacheScope.releaseAll()
+          out
+        }
         Console.err.println(
-          f"[scaleprobe] ann x$f: build=$buildSec%.1fs search64q=$searchSec%.2fs res=$nRes")
-        f"""\"x$f\":{\"build_sec\":$buildSec%.1f,\"search64q_sec\":$searchSec%.2f}"""
+          f"[scaleprobe] ann x$f: build=$buildSec%.1fs search64q=$searchSec%.2fs res=$nRes edges_pagerank=$prSec%.1fs nodes=$nNodes")
+        f"""\"x$f\":{\"build_sec\":$buildSec%.1f,\"search64q_sec\":$searchSec%.2f,\"edges_pagerank_sec\":$prSec%.1f}"""
       }
       println(s"""{"metric":"scaleprobe_ann","ops":{${parts.mkString(",")}}}""")
       spark.stop()

@@ -877,6 +877,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(all.size < 100 && all.take(3) == merges)
   }
 
+  test("bpeFertility: executor-side segmentation, hand-computed counts, collect-free plan") {
+    val docs = Seq(
+      (1L, "en", "aaab aaab aaab ab"),
+      (2L, "de", "aaab zz")).toDF("doc_id", "lang", "text")
+    val merges = TextAnalysis.bpeTrain(docs, "text", nMerges = 3)
+      .map(m => (m._2, m._3))
+    val fert = TextAnalysis.bpeFertility(docs, "text", "lang", merges)
+    // the trained merges live in the UDF closure, the vocabulary is never
+    // collected/materialized: the plan's only leaf is the input relation
+    // (the old shape had a second LocalRelation carrying the whole vocab)
+    assert(fert.queryExecution.optimizedPlan.collectLeaves().size == 1)
+    val got = fert.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // en: aaab -> [aa, ab</w>] (2) x3, ab -> [ab</w>] (1) => 4 words, 7 subs
+    // de: aaab -> 2, zz -> [z, z, </w>] (3) => 2 words, 5 subs
+    assert(got == Seq(("de", 2L, 5L), ("en", 4L, 7L)))
+  }
+
   test("winnowPairs: duplicate docs top the ranking; short docs don't crash") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
