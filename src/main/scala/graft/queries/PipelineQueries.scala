@@ -121,6 +121,32 @@ object PipelineQueries {
        |       ELSE 'unlabeled' END AS src_kind
        |FROM l2 LEFT JOIN seed s USING (id) ORDER BY vec_id""".stripMargin
 
+  // ONE definition of the authority-curation replay — the PageRank
+  // recursion (kept to ALL ranks) joined against the text_quality score
+  // chain — a COMPLETE query over whatever `edges(src, dst)` CTE chain is
+  // supplied, shared by authority_curate / authority_curate_index.
+  private[queries] def sqlAuthorityCurateQuery(edgesCtes: String): String =
+    s"""WITH RECURSIVE
+       |${sqlPageRank(edgesCtes)},
+       |prf AS (SELECT CAST(t.w.id AS BIGINT) AS doc_id, round(t.w.r, 9) AS pagerank
+       |        FROM (SELECT ranks FROM pr WHERE iter = 3) f, unnest(f.ranks) AS t(w)),
+       |tt AS (SELECT doc_id, text, $sqlTokens AS w FROM documents),
+       |qq AS (SELECT doc_id,
+       |  CASE WHEN len(w) > 0 THEN CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(w) ELSE 0.0 END AS avg_token_len,
+       |  CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS alpha_ratio,
+       |  CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS digit_ratio,
+       |  CASE WHEN len(w) > 0 THEN CAST(len(list_filter(w, x -> x IN ($enList))) AS DOUBLE) / len(w) ELSE 0.0 END AS stopword_ratio
+       |  FROM tt),
+       |sc AS (SELECT doc_id,
+       |  round(alpha_ratio * 0.4 + least(stopword_ratio * 5.0, 1.0) * 0.3 +
+       |        (CASE WHEN avg_token_len >= 3 AND avg_token_len <= 10 THEN 1.0 ELSE 0.0 END) * 0.2 +
+       |        (1.0 - least(digit_ratio * 5.0, 1.0)) * 0.1, 6) AS quality
+       |  FROM qq)
+       |SELECT p.doc_id, p.pagerank, s.quality,
+       |  round(p.pagerank * s.quality, 9) AS weighted_score
+       |FROM prf p JOIN sc s USING (doc_id)
+       |ORDER BY weighted_score DESC, doc_id LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- dedup ----
     "dedup_exact" -> ((s, d) =>
@@ -1360,10 +1386,12 @@ object PipelineQueries {
     // PageRank centrality over the exact 5-NN cosine graph (every vector's
     // 5 nearest others, directed): the curation-side "authority" signal and
     // the hubness complement. Edges come from the partial-top-k kNN join
-    // (k=6 including self, self dropped — at 100 TB the ANN index supplies
-    // the same edge list); 3 fixed iterations, each ONE join + ONE combined
-    // aggregation, contributions fixed-point quantized so the ranks are
-    // partition-order independent and the oracle replays all 3 iterations.
+    // (k=6 including self, self dropped); at 100 TB the ANN index supplies
+    // the edge list instead — that path is RUNNING CODE, see
+    // graph_pagerank_index (DiskannIndex.edges) in AnnQueries. 3 fixed
+    // iterations, each ONE join + ONE combined aggregation, contributions
+    // fixed-point quantized so the ranks are partition-order independent
+    // and the oracle replays all 3 iterations.
     "graph_pagerank" -> ((s, d) => {
       val edges = Similarity.knnGraph(emb(s, d), "vec_id", "embedding", k = 5)
         .select(col("src"), col("dst"))
@@ -3244,27 +3272,7 @@ object PipelineQueries {
 
     // the graph_pagerank recursion (kept to ALL ranks) joined against the
     // text_quality score chain — both replay pipelines composed verbatim
-    "authority_curate" ->
-      s"""WITH RECURSIVE
-         |${sqlPageRank(sqlKnnEdges)},
-         |prf AS (SELECT CAST(t.w.id AS BIGINT) AS doc_id, round(t.w.r, 9) AS pagerank
-         |        FROM (SELECT ranks FROM pr WHERE iter = 3) f, unnest(f.ranks) AS t(w)),
-         |tt AS (SELECT doc_id, text, $sqlTokens AS w FROM documents),
-         |qq AS (SELECT doc_id,
-         |  CASE WHEN len(w) > 0 THEN CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(w) ELSE 0.0 END AS avg_token_len,
-         |  CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS alpha_ratio,
-         |  CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS digit_ratio,
-         |  CASE WHEN len(w) > 0 THEN CAST(len(list_filter(w, x -> x IN ($enList))) AS DOUBLE) / len(w) ELSE 0.0 END AS stopword_ratio
-         |  FROM tt),
-         |sc AS (SELECT doc_id,
-         |  round(alpha_ratio * 0.4 + least(stopword_ratio * 5.0, 1.0) * 0.3 +
-         |        (CASE WHEN avg_token_len >= 3 AND avg_token_len <= 10 THEN 1.0 ELSE 0.0 END) * 0.2 +
-         |        (1.0 - least(digit_ratio * 5.0, 1.0)) * 0.1, 6) AS quality
-         |  FROM qq)
-         |SELECT p.doc_id, p.pagerank, s.quality,
-         |  round(p.pagerank * s.quality, 9) AS weighted_score
-         |FROM prf p JOIN sc s USING (doc_id)
-         |ORDER BY weighted_score DESC, doc_id LIMIT 20""".stripMargin,
+    "authority_curate" -> sqlAuthorityCurateQuery(sqlKnnEdges),
 
     // the two vote rounds unrolled; arg-max replayed as row_number over
     // (votes DESC, label) — identical to max(struct(cnt, -label))
