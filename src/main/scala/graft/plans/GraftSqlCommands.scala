@@ -53,6 +53,10 @@ object GraftSqlParser {
       """(?:ON\s+(?:parquet\s*\.\s*`([^`]+)`|'([^']+)')|(?!ON\b)([\w.\-]+))\s*;?\s*$""").r
   private val showRe =
     """(?is)^\s*SHOW\s+GRAFT\s+INDEXES\s*;?\s*$""".r
+  private val edgesRe =
+    ("""(?is)^\s*REGISTER\s+INDEX\s+EDGES\s+""" +
+      """(?:ON\s+(?:parquet\s*\.\s*`([^`]+)`|'([^']+)')|(?!ON\b)([\w.\-]+))""" +
+      """\s+AS\s+([\w]+)\s*;?\s*$""").r
   private val optRe = """([\w]+)\s*=\s*(?:'([^']*)'|([^,\s()]+))""".r
 
   private def parseOpts(s: String): Map[String, String] =
@@ -264,6 +268,10 @@ object GraftSqlParser {
       Some(DescribeDiskannIndexCommand(
         if (name != null) Left(name) else Right(Option(tick).getOrElse(quoted))))
     case showRe() => Some(ShowGraftIndexesCommand())
+    case edgesRe(tick, quoted, name, view) =>
+      Some(RegisterIndexEdgesCommand(
+        if (name != null) Left(name) else Right(Option(tick).getOrElse(quoted)),
+        view))
     case _ => None
   }
 }
@@ -386,6 +394,30 @@ case class DescribeDiskannIndexCommand(target: Either[String, String])
       "vec_col" -> entry.vecCol,
       "labels_col" -> entry.labelsCol.getOrElse("")
     ).map { case (k, v) => Row(k, v) }
+  }
+}
+
+/** `REGISTER INDEX EDGES <name | ON '<path>'> AS <view>` — binds the built
+  * Vamana graph's `(src, dst)` row-id edge list ([[graft.index.DiskannIndex.edges]],
+  * "the graph IS the index": graph/mod.rs:212-266) as a LAZY temp view.
+  * Nothing is computed or collected at registration; downstream SQL
+  * (PageRank-style joins, degree audits, reachability) runs fully
+  * distributed off the partition-pruned nodes scan — the SQL door to the
+  * graph-analytics path. */
+case class RegisterIndexEdgesCommand(target: Either[String, String],
+    view: String) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val sourcePath = target match {
+      case Left(name) => KnnCatalog.lookupName(name).getOrElse(
+        throw new IllegalArgumentException(s"no index named '$name'"))
+      case Right(path) => path
+    }
+    val entry = KnnCatalog.lookup(sourcePath).getOrElse(
+      throw new IllegalArgumentException(s"no index registered on '$sourcePath'"))
+    graft.index.DiskannIndex.edges(spark, entry.indexPath)
+      .createOrReplaceTempView(view)
+    Seq.empty
   }
 }
 

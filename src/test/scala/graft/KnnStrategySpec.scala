@@ -50,6 +50,40 @@ class KnnStrategySpec extends AnyFunSuite {
     assert(got.head == 0L) // the query vector itself, distance 0
   }
 
+  test("REGISTER INDEX EDGES binds the Vamana graph as a lazy distributed view") {
+    import org.apache.spark.sql.SparkSession
+    setup
+    val src = "/tmp/graft_test_index/sql_edges_src"
+    spark.read.parquet(srcPath).write.mode("overwrite").parquet(src)
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // the DDL goes through GraftSqlParser, which installs with the
+      // session extensions (same setup as the DDL-lifecycle test)
+      val s2 = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .withExtensions(new graft.plans.GraftExtensions).getOrCreate()
+      s2.sql(
+        s"""CREATE INDEX edge_idx ON '$src' USING DISKANN (embedding vector_cosine_ops)
+           |WITH (id_col='vec_id')""".stripMargin).collect()
+      s2.sql("REGISTER INDEX EDGES edge_idx AS g_edges")
+      val st = DiskannIndex.stats(s2, s"$src/_graft_index/edge_idx")
+      // one edge per neighbor slot, and a degree audit over the view
+      // agrees with the index's own stats — all through plain SQL
+      assert(s2.sql("SELECT count(*) FROM g_edges").head().getLong(0)
+        == st.numEdges)
+      val maxOut = s2.sql(
+        "SELECT max(c) FROM (SELECT src, count(*) AS c FROM g_edges GROUP BY src)")
+        .head().getLong(0)
+      assert(maxOut == st.maxDegree)
+      s2.sql("DROP INDEX edge_idx WITH (delete_files=true)")
+    } finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
+
   test("unregistered relation falls back to native TakeOrdered") {
     setup
     val sql =
