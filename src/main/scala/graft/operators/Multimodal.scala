@@ -10,11 +10,15 @@ import org.apache.spark.sql.types._
  *
  * The decode step is PLUGGABLE ([[MediaDecoder]]): [[StubDecoder]] is the
  * deterministic oracle-checkable default (no third-party media libraries
- * ship in this environment), [[ImageIODecoder]] is a real implementation
- * over the JDK's own `javax.imageio` (PNG/JPEG/GIF/BMP) — actual container
- * header parsing and actual raster scaling. Everything around the decoder —
- * schema, partition-level batching, the decode→meta and decode→feature
- * signatures, the explode-based frame sampling — is identical for both.
+ * ship in this environment); every modality also has a REAL header parser
+ * on a stock JVM — [[ImageIODecoder]] (`javax.imageio`: PNG/JPEG/GIF/BMP,
+ * actual container parsing and raster scaling), [[JavaSoundDecoder]]
+ * (`javax.sound.sampled`: WAV/AIFF/AU headers), and [[Mp4Decoder]]
+ * (byte-level ISO-BMFF box walking: ftyp brand, mvhd duration, tkhd
+ * dimensions — no codec needed for the metadata pass). Everything around
+ * the decoder — schema, partition-level batching, the decode→meta and
+ * decode→feature signatures, the explode-based frame sampling — is
+ * identical for all implementations.
  */
 
 /** Pluggable decode SPI. Implementations MUST be serializable: instances
@@ -134,6 +138,88 @@ object JavaSoundDecoder extends MediaDecoder {
           StubDecoder.decodeMeta(modality, payload)
       }
     }
+
+  override def resize(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] =
+    ImageIODecoder.resize(payload, targetW, targetH)
+}
+
+/** REAL video container parsing for MP4/ISO-BMFF — pure byte-level box
+  * walking, no codec needed (the JDK ships none): `decodeMeta` for video
+  * reads the actual `ftyp` major brand (format), `moov/mvhd`
+  * timescale+duration (duration_ms) and the largest `trak/tkhd`
+  * width×height (16.16 fixed point), handling both v0 and v1 box layouts.
+  * The raster itself is never decoded — exactly the metadata pass a 100 TB
+  * ingest runs. Audio delegates to [[JavaSoundDecoder]], images to
+  * [[ImageIODecoder]]; non-BMFF payloads fall back to [[StubDecoder]].
+  * With this, every modality has a REAL header parser on a stock JVM. */
+object Mp4Decoder extends MediaDecoder {
+  private def u32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def u64(b: Array[Byte], o: Int): Long =
+    (u32(b, o) << 32) | u32(b, o + 4)
+
+  /** (boxType, payloadStart, payloadEnd) for each box in [from, to). */
+  private def boxes(b: Array[Byte], from: Int, to: Int): Seq[(String, Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+    var p = from
+    while (p + 8 <= to) {
+      val size0 = u32(b, p)
+      val tpe = new String(b, p + 4, 4, "ISO-8859-1")
+      val (payloadStart, boxEnd) =
+        if (size0 == 1L && p + 16 <= to) (p + 16, p + u64(b, p + 8))
+        else if (size0 == 0L) (p + 8, to.toLong) // box extends to EOF
+        else (p + 8, p + size0)
+      if (boxEnd < payloadStart || boxEnd > to) return out.toSeq // malformed
+      out += ((tpe, payloadStart, boxEnd.toInt))
+      p = boxEnd.toInt
+    }
+    out.toSeq
+  }
+
+  /** None when the payload is not ISO-BMFF (no leading ftyp box). */
+  private[operators] def parseMp4(b: Array[Byte]): Option[(String, Int, Int, Long)] = {
+    val top = boxes(b, 0, b.length)
+    if (!top.headOption.exists(_._1 == "ftyp")) return None
+    val (_, fs, fe) = top.head
+    val brand = if (fe - fs >= 4) new String(b, fs, 4, "ISO-8859-1").trim else "mp4"
+    var durationMs = 0L
+    var w = 0
+    var h = 0
+    top.find(_._1 == "moov").foreach { case (_, ms, me) =>
+      boxes(b, ms, me).foreach {
+        case ("mvhd", ps, pe) if pe - ps >= 4 =>
+          val v = b(ps) & 0xff
+          if (v == 1 && pe - ps >= 32) {
+            val timescale = u32(b, ps + 20)
+            if (timescale > 0) durationMs = u64(b, ps + 24) * 1000L / timescale
+          } else if (v == 0 && pe - ps >= 20) {
+            val timescale = u32(b, ps + 12)
+            if (timescale > 0) durationMs = u32(b, ps + 16) * 1000L / timescale
+          }
+        case ("trak", ts, te) =>
+          boxes(b, ts, te).foreach {
+            case ("tkhd", ps, pe) if pe - ps >= 4 =>
+              val v = b(ps) & 0xff
+              // v1's three u64 times/duration add 12 bytes before the matrix
+              val (wo, ho) = if (v == 1) (88, 92) else (76, 80)
+              if (pe - ps >= ho + 4) {
+                // 16.16 fixed point; a sound trak reports 0×0 — keep the max
+                val tw = (u32(b, ps + wo) >> 16).toInt
+                val th = (u32(b, ps + ho) >> 16).toInt
+                if (tw * th > w * h) { w = tw; h = th }
+              }
+            case _ => ()
+          }
+        case _ => ()
+      }
+    }
+    Some((brand, w, h, durationMs))
+  }
+
+  override def decodeMeta(modality: String, payload: Array[Byte]): (String, Int, Int, Long) =
+    if (modality != "video") JavaSoundDecoder.decodeMeta(modality, payload)
+    else parseMp4(payload).getOrElse(StubDecoder.decodeMeta(modality, payload))
 
   override def resize(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] =
     ImageIODecoder.resize(payload, targetW, targetH)

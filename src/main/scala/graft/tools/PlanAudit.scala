@@ -66,7 +66,14 @@ object PlanAudit {
     "q3_shipping", "event_transitions", "shard_plan", "time_decay_score",
     "quality_quantile_norm", "winnow_pairs", "multimodal_frame_dedup",
     "source_lm_matrix", "embed_winsorize", "cluster_topics",
-    "minhash_est_audit")
+    "minhash_est_audit",
+    // round 7: index-graph surface — edge export must be one explode + one
+    // within-shard join (nothing corpus-sized broadcast); distributed
+    // PageRank/label-prop cost one join + one combined aggregation per
+    // round; user_rfm must bucket map-side below ONE tiny broadcast
+    // threshold aggregate (no global rank window)
+    "graph_pagerank_index", "label_propagation_index",
+    "authority_curate_index", "index_in_degree", "user_rfm")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

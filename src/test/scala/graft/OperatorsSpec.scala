@@ -293,6 +293,45 @@ class OperatorsSpec extends AnyFunSuite {
       (("png", 6, 4, 0L)))
   }
 
+  test("Mp4Decoder: real ISO-BMFF boxes parsed; v1 layout; junk/audio delegate") {
+    // hand-assemble a minimal valid MP4: ftyp(isom) + moov(mvhd v0
+    // timescale=1000 duration=5000; trak(tkhd v0 640x360 as 16.16 fixed))
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ tpe.getBytes("ISO-8859-1") ++ payload
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(0) ++ "isomavc1".getBytes)
+    val mvhdV0 = box("mvhd", be32(0) ++ // version 0 + flags
+      be32(0) ++ be32(0) ++ // ctime, mtime
+      be32(1000) ++ be32(5000) ++ // timescale, duration -> 5000 ms
+      new Array[Byte](80))
+    val tkhdV0 = box("tkhd", be32(0) ++
+      be32(0) ++ be32(0) ++ be32(1) ++ be32(0) ++ be32(5000) ++ // through duration
+      new Array[Byte](8) ++ new Array[Byte](8) ++ // reserved, layer/alt/vol/res
+      new Array[Byte](36) ++ // matrix
+      be32(640L << 16) ++ be32(360L << 16))
+    val mp4 = ftyp ++ box("moov", mvhdV0 ++ box("trak", tkhdV0))
+    assert(Mp4Decoder.decodeMeta("video", mp4) == (("isom", 640, 360, 5000L)))
+    // v1 mvhd/tkhd layout (64-bit times): timescale at +20, duration u64 at
+    // +24; tkhd width/height at +84/+88
+    val mvhdV1 = box("mvhd", Array[Byte](1, 0, 0, 0) ++
+      new Array[Byte](16) ++ // ctime, mtime (u64 each)
+      be32(600) ++ be32(0) ++ be32(1200) ++ // timescale, duration u64 -> 2000 ms
+      new Array[Byte](80))
+    val tkhdV1 = box("tkhd", Array[Byte](1, 0, 0, 0) ++
+      new Array[Byte](84) ++ // through matrix (v1 times add 12 bytes vs v0)
+      be32(1280L << 16) ++ be32(720L << 16))
+    val mp4v1 = ftyp ++ box("moov", mvhdV1 ++ box("trak", tkhdV1))
+    assert(Mp4Decoder.decodeMeta("video", mp4v1) == (("isom", 1280, 720, 2000L)))
+    // non-BMFF video payloads take the stub fallback; audio delegates to
+    // the JavaSound chain (stub here: not a WAV)
+    assert(Mp4Decoder.decodeMeta("video", "junk".getBytes) ==
+      StubDecoder.decodeMeta("video", "junk".getBytes))
+    assert(Mp4Decoder.decodeMeta("audio", "junk".getBytes) ==
+      StubDecoder.decodeMeta("audio", "junk".getBytes))
+  }
+
   test("frame sampling yields ceil-ish frame counts and binary frames") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(30)
     val frames = Multimodal.sampleFrames(Multimodal.mediaFromDocuments(docs))
