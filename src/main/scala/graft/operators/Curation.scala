@@ -122,25 +122,92 @@ object Curation {
     manifest
   }
 
+  /** Buffer of [[MinKByHashAgg]]: the ≤k smallest (hash, id) pairs seen so
+    * far, kept sorted ascending by (hash, then id). */
+  case class MinKState(hs: Array[String], ids: Array[Long])
+
+  /** Bounded mergeable min-k-by-hash aggregator: keeps the k rows with the
+    * smallest (md5-hash, id) pair per group in O(k) memory. This is the
+    * corpus-scale replacement for a per-stratum rank window — a stratum that
+    * is 80% of a 100 TB corpus would otherwise sort billions of rows in one
+    * partition, while here map-side partials each hold ≤k entries and only
+    * nPartitions×k tiny buffers cross the shuffle. Ordering matches the rank
+    * window exactly: ascending hex hash (fixed-length, so lexicographic ==
+    * numeric), ties broken by id. */
+  class MinKByHashAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (String, Long), MinKState, Seq[Long]] {
+    private def lt(h1: String, i1: Long, h2: String, i2: Long): Boolean = {
+      val c = h1.compareTo(h2); c < 0 || (c == 0 && i1 < i2)
+    }
+    private def insert(s: MinKState, h: String, id: Long): MinKState = {
+      val n = s.hs.length
+      if (n == k && !lt(h, id, s.hs(n - 1), s.ids(n - 1))) return s
+      var p = 0
+      while (p < n && lt(s.hs(p), s.ids(p), h, id)) p += 1
+      if (p < n && s.hs(p) == h && s.ids(p) == id) return s // dedupe
+      val m = math.min(n + 1, k)
+      val hs = new Array[String](m); val ids = new Array[Long](m)
+      System.arraycopy(s.hs, 0, hs, 0, p); System.arraycopy(s.ids, 0, ids, 0, p)
+      hs(p) = h; ids(p) = id
+      System.arraycopy(s.hs, p, hs, p + 1, m - p - 1)
+      System.arraycopy(s.ids, p, ids, p + 1, m - p - 1)
+      MinKState(hs, ids)
+    }
+    override def zero: MinKState =
+      MinKState(Array.empty[String], Array.emptyLongArray)
+    override def reduce(b: MinKState, a: (String, Long)): MinKState =
+      insert(b, a._1, a._2)
+    override def merge(x: MinKState, y: MinKState): MinKState = {
+      var s = x; var i = 0
+      while (i < y.hs.length) { s = insert(s, y.hs(i), y.ids(i)); i += 1 }
+      s
+    }
+    override def finish(s: MinKState): Seq[Long] = s.ids.toSeq
+    override def bufferEncoder: org.apache.spark.sql.Encoder[MinKState] =
+      org.apache.spark.sql.Encoders.product[MinKState]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
   /**
    * Deterministic EXACT-k per-stratum sample: the k rows of each stratum
    * with the smallest md5(seed:id) — "give me exactly 1000 docs per
    * language for the eval set", as a pure function of ids (backfill-
    * stable, engine-replayable), where the rate-based
-   * [[stratifiedSample]] can only hit k in expectation. One rank window
-   * per stratum; only strata partitions are sorted, never the corpus
-   * globally. For corpus-scale strata swap the window for the bounded
-   * mergeable top-k aggregator (the doc_keywords shape) — same result,
-   * no per-stratum sort.
+   * [[stratifiedSample]] can only hit k in expectation. Corpus-scale plan:
+   * the bounded mergeable [[MinKByHashAgg]] picks each stratum's k ids with
+   * map-side partial aggregation (no per-stratum sort, O(k) state), and the
+   * ≤ nStrata×k winner ids broadcast into a map-side left-semi join against
+   * the corpus. `idCol` must be integral and globally unique (it is the
+   * sample's identity). Bit-identical to the rank-window formulation — the
+   * windowed variant is kept package-private for the equality test.
    */
   def exactKPerStratum(df: DataFrame, idCol: String, strataCol: String,
       k: Int, seed: String = "graft-exactk"): DataFrame = {
     require(k > 0, s"exactKPerStratum: k must be positive: $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(col(strataCol).cast(StringType).as("_1"),
+        md5(concat_ws(":", lit(seed), col(idCol))).as("_2"),
+        col(idCol).cast(LongType).as("_3"))
+      .as[(String, String, Long)]
+    val agg = new MinKByHashAgg(k)
+    val picked = keyed.groupByKey(_._1).mapValues(t => (t._2, t._3))
+      .agg(agg.toColumn.name("ids")).toDF("__s", "__ids")
+      .select(explode(col("__ids")).as("__pick"))
+    df.join(broadcast(picked), col(idCol).cast(LongType) === col("__pick"),
+      "left_semi")
+  }
+
+  /** Rank-window formulation of [[exactKPerStratum]] — correct but sorts
+    * each stratum's partition; kept only as the equality-test witness. */
+  private[graft] def exactKPerStratumWindowed(df: DataFrame, idCol: String,
+      strataCol: String, k: Int, seed: String = "graft-exactk"): DataFrame =
     df.withColumn("__r", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col(strataCol))
           .orderBy(md5(concat_ws(":", lit(seed), col(idCol))), col(idCol))))
       .filter(col("__r") <= k).drop("__r")
-  }
 
   /** Top-k vocabulary by document frequency-weighted token count: the classic
     * wordcount shape — explode is map-side, the groupBy gets a partial

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Curation, Dedup, GraphOps, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, GraphOps, Multimodal, Similarity, Sketches, TextAnalysis}
 import graft.functions.VectorFunctions
 
 /**
@@ -402,6 +402,40 @@ object PipelineQueries {
           col("n_common"),
           round(col("n_common").cast("double") /
             (col("__na") + col("__nb") - col("n_common")), 6).as("vocab_jaccard"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    // KMV distinct-vocabulary sketch, audited against the exact count: the
+    // 100 TB shape of per-source lexicon statistics — O(k)-state mergeable
+    // aggregator, map-side partials, ONE tiny shuffle, no distinct() of the
+    // vocabulary. The exact side here is the sf-scale audit harness (like
+    // minhash_est_audit); at corpus scale only the sketch side runs. The
+    // md5-low-60 hash makes the sketch — and so the ESTIMATE — replayable
+    // bit-for-bit by the DuckDB oracle, which engine-native HLL cannot be.
+    "kmv_vocab_distinct" -> ((s, d) => {
+      val hashed = docs(s, d)
+        .select(col("source"),
+          explode_outer(TextAnalysis.tokens(col("text"))).as("tok"))
+        .filter(col("tok").isNotNull)
+        .select(col("source"), Curation.md5Low60(col("tok")).as("h"))
+      Sketches.kmvDistinctAudit(hashed, "source", "h", k = 256)
+        .orderBy(col("source"))
+    }),
+
+    // pairwise source vocabulary overlap from KMV sketches — vocab_overlap
+    // without the token self-join: after ONE corpus scan the work is
+    // nPairs×2k sketch rows, independent of vocabulary size (the union
+    // sketch's rank window runs over ≤2k rows per pair, never over data)
+    "kmv_vocab_overlap" -> ((s, d) => {
+      val hashed = docs(s, d)
+        .select(col("source"),
+          explode_outer(TextAnalysis.tokens(col("text"))).as("tok"))
+        .filter(col("tok").isNotNull)
+        .select(col("source"), Curation.md5Low60(col("tok")).as("h"))
+      val sk = Sketches.kmvSketches(hashed, "source", "h", k = 256)
+      Sketches.kmvOverlap(sk, "source", k = 256)
+        .select(col("ga").as("source_a"), col("gb").as("source_b"),
+          col("jac_est"), col("union_est"), col("inter_est"))
         .orderBy(col("source_a"), col("source_b"))
     }),
 
@@ -1810,6 +1844,56 @@ object PipelineQueries {
          |FROM i JOIN sz x ON x.source = i.source_a
          |       JOIN sz y ON y.source = i.source_b
          |ORDER BY source_a, source_b""".stripMargin,
+
+    "kmv_vocab_distinct" ->
+      s"""WITH tok AS (SELECT DISTINCT source, unnest($sqlTokens) AS tok FROM documents),
+         |h AS (SELECT DISTINCT source,
+         |        ('0x' || substr(md5(tok), 18, 15))::UBIGINT AS h FROM tok),
+         |r AS (SELECT source, h,
+         |        row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h),
+         |sk AS (SELECT source, count(*) AS n_sk,
+         |         max(CASE WHEN rn = 256 THEN h END) AS hk
+         |       FROM r WHERE rn <= 256 GROUP BY 1),
+         |ex AS (SELECT source, count(*) AS n_exact FROM h GROUP BY 1),
+         |est AS (SELECT ex.source, n_exact,
+         |    round(CASE WHEN n_sk < 256 THEN CAST(n_sk AS DOUBLE)
+         |          ELSE 255.0 * 1.152921504606846976e18 / CAST(hk AS DOUBLE)
+         |          END, 3) AS n_est
+         |  FROM ex JOIN sk USING (source))
+         |SELECT source, n_exact, n_est,
+         |  round(abs(n_est - n_exact) / n_exact, 4) AS rel_err
+         |FROM est ORDER BY source""".stripMargin,
+
+    "kmv_vocab_overlap" ->
+      s"""WITH tok AS (SELECT DISTINCT source, unnest($sqlTokens) AS tok FROM documents),
+         |hh AS (SELECT DISTINCT source,
+         |        ('0x' || substr(md5(tok), 18, 15))::UBIGINT AS h FROM tok),
+         |r AS (SELECT source, h,
+         |        row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM hh),
+         |sk AS (SELECT source, h FROM r WHERE rn <= 256),
+         |srcs AS (SELECT DISTINCT source FROM sk),
+         |pairs AS (SELECT a.source AS ga, b.source AS gb
+         |          FROM srcs a JOIN srcs b ON a.source < b.source),
+         |pe AS (SELECT ga, gb, h,
+         |         max(CASE WHEN source = ga THEN 1 ELSE 0 END) AS in_a,
+         |         max(CASE WHEN source = gb THEN 1 ELSE 0 END) AS in_b
+         |       FROM pairs JOIN sk ON source = ga OR source = gb
+         |       GROUP BY 1, 2, 3),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+         |       FROM pe),
+         |ag AS (SELECT ga, gb, count(*) AS n_kept,
+         |         sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS n_both,
+         |         max(CASE WHEN rn = 256 THEN h END) AS hk
+         |       FROM rk WHERE rn <= 256 GROUP BY 1, 2),
+         |est AS (SELECT ga AS source_a, gb AS source_b,
+         |    round(CAST(n_both AS DOUBLE) / n_kept, 6) AS jac_est,
+         |    round(CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+         |          ELSE 255.0 * 1.152921504606846976e18 / CAST(hk AS DOUBLE)
+         |          END, 3) AS union_est
+         |  FROM ag)
+         |SELECT source_a, source_b, jac_est, union_est,
+         |  round(jac_est * union_est, 3) AS inter_est
+         |FROM est ORDER BY source_a, source_b""".stripMargin,
 
     "doc_keywords" ->
       s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),

@@ -140,6 +140,36 @@ object RelationalQueries {
         .orderBy(col("event_type"), col("hour"))
     }),
 
+    // calendar gap-fill + trailing smoothing (the time-series resample every
+    // feed-health dashboard needs): daily counts per type, re-gridded onto
+    // the full min..max calendar (sequence+explode == generate_series) so
+    // silent ingestion gaps surface as explicit zero rows, then a 7-day
+    // trailing average. Aggregate-first: the grid and the window are over
+    // nTypes × nDays rows (thousands at any corpus scale), never over events;
+    // the per-type window partition is BOUNDED by calendar length.
+    "events_gapfill" -> ((s, d) => {
+      val ev = events(s, d)
+      val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val cal = ev.agg(min(to_date(col("ts"))).as("d0"),
+          max(to_date(col("ts"))).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"),
+          expr("interval 1 day"))).as("day"))
+      val grid = cal.crossJoin(ev.select(col("event_type")).distinct())
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-6, 0)
+      grid.join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n_events"))
+        .withColumn("avg_7d", round(avg(col("n_events")).over(w), 6))
+        .withColumn("is_gap", (col("n_events") === 0).cast("long"))
+        // midnight TIMESTAMP, not DATE: dtype parity in the pandas compare
+        .select(col("event_type"), col("day").cast("timestamp").as("day"),
+          col("n_events"), col("avg_7d"), col("is_gap"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // semi-structured props: JSON extraction inside the scan stage
     // (get_json_object is codegen'd) — the metadata-parsing pass every
     // event pipeline runs; one shuffle for the group-by
@@ -491,6 +521,24 @@ object RelationalQueries {
         |      FROM h JOIN s USING (event_type))
         |SELECT event_type, hour, n, z FROM z WHERE abs(z) >= 2.0
         |ORDER BY event_type, hour""".stripMargin,
+
+    "events_gapfill" ->
+      """WITH b AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+        |           FROM events),
+        |cal AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        |        FROM b),
+        |ty AS (SELECT DISTINCT event_type FROM events),
+        |daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |          FROM events GROUP BY 1, 2),
+        |g AS (SELECT ty.event_type, cal.day, coalesce(daily.n, 0) AS n_events
+        |      FROM cal CROSS JOIN ty
+        |      LEFT JOIN daily ON daily.event_type = ty.event_type
+        |                     AND daily.day = cal.day)
+        |SELECT event_type, CAST(day AS TIMESTAMP) AS day, n_events,
+        |  round(avg(n_events) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS avg_7d,
+        |  CAST(CASE WHEN n_events = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+        |FROM g ORDER BY event_type, day""".stripMargin,
 
     "events_json_stats" ->
       """SELECT event_type, count(*) AS n,

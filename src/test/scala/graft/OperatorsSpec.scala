@@ -1008,4 +1008,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(m(("a", "a")) < m(("b", "a")))
     assert(m(("b", "b")) < m(("a", "b")))
   }
+
+  test("exactKPerStratum: aggregator path == rank-window path, exact k") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    Seq(1, 7, 100000).foreach { k =>
+      val agg = Curation.exactKPerStratum(docs, "doc_id", "source", k, "t7")
+        .select(col("doc_id"), col("source"))
+      val win = Curation.exactKPerStratumWindowed(docs, "doc_id", "source",
+          k, "t7").select(col("doc_id"), col("source"))
+      assert(agg.exceptAll(win).count() == 0 && win.exceptAll(agg).count() == 0,
+        s"path mismatch at k=$k")
+      // exactly min(k, |stratum|) rows per stratum
+      val sizes = agg.groupBy(col("source")).count()
+        .join(docs.groupBy(col("source")).count()
+          .withColumnRenamed("count", "total"), "source")
+        .collect()
+      sizes.foreach(r => assert(
+        r.getLong(1) == math.min(k.toLong, r.getLong(2)),
+        s"wrong stratum size at k=$k: ${r}"))
+    }
+    // plan shape: no Sort over the corpus in the aggregator path (the
+    // window path's defining cost); the semi join must be broadcast
+    val plan = Curation.exactKPerStratum(docs, "doc_id", "source", 5, "t7")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      s"expected broadcast semi join:\n$plan")
+  }
 }
