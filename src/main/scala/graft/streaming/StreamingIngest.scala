@@ -705,6 +705,31 @@ object StreamingIngest {
   }
 
   /**
+   * Streaming DISTINCT-CARDINALITY monitor: estimated distinct `idCol`
+   * per (window, group) — "unique users per hour per event type" — via the
+   * mergeable KMV aggregator ([[graft.operators.Sketches.KmvAgg]]) over the
+   * library's md5-low-60 hash. The exact version would hold every id seen
+   * per open window in state; here state is O(open windows × groups × k)
+   * longs, bounded by the watermark, and EXACT below k distincts (the
+   * sketch is exhaustive until it saturates). The same aggregator serves
+   * the batch `kmv_vocab_distinct` query — one sketch definition for both
+   * planes, so a streaming estimate can be audited offline by replaying
+   * the batch query over the same data.
+   */
+  def streamingDistinctMonitor(stream: DataFrame, groupCol: String,
+      idCol: String, tsCol: String, k: Int = 256,
+      window_ : String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val kmv = udaf(new graft.operators.Sketches.KmvAgg(k))
+    stream.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_), col(groupCol))
+      .agg(kmv(graft.operators.Curation.md5Low60(
+        col(idCol).cast(org.apache.spark.sql.types.StringType))).as("__sk"))
+      .select(col("window.start").as("window_start"), col(groupCol),
+        round(graft.operators.Sketches.kmvEstimate(col("__sk"), k), 3)
+          .as("n_distinct_est"))
+  }
+
+  /**
    * Watermarked stream-stream INTERVAL JOIN — the streaming sibling of
    * [[graft.operators.TimeSeries.asofJoinBackward]]: each left event joins
    * the right events with the same key inside `[left.ts - lookback,

@@ -646,6 +646,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == expected)
   }
 
+  test("streaming distinct monitor: exact below k, bounded error above k") {
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val batch = (raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(($"ts" / 1000).cast("long")))
+      case _ => raw.withColumn("ts", $"ts".cast("timestamp"))
+    }).select($"ts", $"event_type", $"user_id")
+    val rows = batch.collect().map(r =>
+      (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    val exact = batch
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(countDistinct($"user_id").as("n")).collect()
+      .map(r => (r.getStruct(0).getTimestamp(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    def run(k: Int, name: String): Map[(java.sql.Timestamp, String), Double] = {
+      val mem = MemoryStream[(java.sql.Timestamp, String, Long)]
+      val out = StreamingIngest.streamingDistinctMonitor(
+        mem.toDF().toDF("ts", "event_type", "user_id"),
+        "event_type", "user_id", "ts", k = k)
+      mem.addData(rows.toSeq)
+      val q = out.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      q.processAllAvailable(); q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getDouble(2)).toMap
+    }
+    // big k: every (window, type) cardinality is below k -> sketch is
+    // exhaustive, estimates are EXACTLY the distinct counts
+    val big = run(1 << 20, "distinct_big_k")
+    assert(big.keySet == exact.keySet)
+    big.foreach { case (key, est) =>
+      assert(est == exact(key).toDouble, s"$key: $est != ${exact(key)}") }
+    // small k: saturated sketches must estimate within the KMV error
+    // envelope (se ~ 1/sqrt(k-2); 5 sigma on the md5-fixed determinstic
+    // fixture is a stable, not flaky, bound)
+    val k2 = 32
+    val small = run(k2, "distinct_small_k")
+    val tol = 5.0 / math.sqrt(k2 - 2.0)
+    small.foreach { case (key, est) =>
+      val ex = exact(key).toDouble
+      assert(math.abs(est - ex) <= math.max(tol * ex, 1.0),
+        s"$key: est $est vs exact $ex beyond ${tol * 100}%")
+    }
+  }
+
   test("streaming drift monitor: windowed centroids vs reference, NaN for unknown groups") {
     implicit val sqlCtx = spark.sqlContext
     val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:10:00")
