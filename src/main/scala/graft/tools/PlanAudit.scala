@@ -73,7 +73,14 @@ object PlanAudit {
     // round; user_rfm must bucket map-side below ONE tiny broadcast
     // threshold aggregate (no global rank window)
     "graph_pagerank_index", "label_propagation_index",
-    "authority_curate_index", "index_in_degree", "user_rfm")
+    "authority_curate_index", "index_in_degree", "user_rfm",
+    // round 7 (cont.): KMV sketches must be ONE partial-aggregated shuffle
+    // over the token scan (no distinct, no vocabulary-sized join); the
+    // overlap post-processing and gap-fill grid/window are bounded
+    // (sketch-sized / calendar-sized); exact-k must be a bounded aggregate
+    // + broadcast semi-join, not a per-stratum sort
+    "kmv_vocab_distinct", "kmv_vocab_overlap", "events_gapfill",
+    "sample_exact_k")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

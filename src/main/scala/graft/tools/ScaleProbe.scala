@@ -200,6 +200,26 @@ object ScaleProbe {
       // 3 iterations of join + combined aggregation; the kNN-graph edge
       // GENERATION is probed separately by the ANN path (broadcast-bounded
       // exact kernel at small n, index out-edges at scale)
+      // round 7: KMV sketch end-to-end (hash → per-source sketch → pairwise
+      // overlap). Expect ~1.0: one scan + one O(k)-partial shuffle; the
+      // overlap stage is sketch-sized (nPairs×2k) regardless of corpus.
+      "kmv_vocab_sketch" -> { f =>
+        val hashed = spark.read.parquet(docsPath(f))
+          .select(col("source"),
+            explode_outer(TextAnalysis.tokens(col("text"))).as("tok"))
+          .filter(col("tok").isNotNull)
+          .select(col("source"),
+            graft.operators.Curation.md5Low60(col("tok")).as("h"))
+        val sk = graft.operators.Sketches.kmvSketches(hashed, "source", "h", 256)
+        graft.operators.Sketches.kmvOverlap(sk, "source", 256).count()
+      },
+      // round 7: exact-k sampling on the aggregator path — the per-stratum
+      // sort this replaced would grow superlinearly in the largest stratum
+      "exact_k_per_stratum" -> { f =>
+        graft.operators.Curation.exactKPerStratum(
+          spark.read.parquet(docsPath(f)), "doc_id", "source", 1000,
+          "probe7").count()
+      },
       "pagerank_distributed" -> { f =>
         val n = 20000L * f
         val edges = spark.range(n).select(col("id").as("src"),
