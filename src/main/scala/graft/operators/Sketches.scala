@@ -90,6 +90,14 @@ object Sketches {
       .toDF(groupCol, "sketch")
   }
 
+  /** Column-level merge of two stored KMV sketch columns: the k smallest
+    * of the union — all codegen'd built-ins, so sketches persisted per
+    * shard/day/source merge in later jobs WITHOUT rescanning data (union
+    * across days = one merge of two k-row arrays per group). Identical to
+    * what [[KmvAgg.merge]] would produce over the combined input. */
+  def kmvMergeCols(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_distinct(concat(a, b))), 1, k)
+
   /** Distinct-count estimate from a KMV sketch column: exact when the
     * sketch is exhaustive (|set| < k), else (k-1)·2^60/h_k. */
   def kmvEstimate(sketch: Column, k: Int): Column =

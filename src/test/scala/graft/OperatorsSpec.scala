@@ -1009,6 +1009,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(m(("b", "b")) < m(("a", "b")))
   }
 
+  test("kmvMergeCols: merging stored per-half sketches == sketching the union") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def hashed(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      docs.filter(f(col("doc_id")))
+        .select(col("source"),
+          explode_outer(TextAnalysis.tokens(col("text"))).as("tok"))
+        .filter(col("tok").isNotNull)
+        .select(col("source"), Curation.md5Low60(col("tok")).as("h"))
+    val k = 64
+    val even = Sketches.kmvSketches(hashed(_ % 2 === 0), "source", "h", k)
+      .withColumnRenamed("sketch", "sa")
+    val odd = Sketches.kmvSketches(hashed(_ % 2 === 1), "source", "h", k)
+      .withColumnRenamed("sketch", "sb")
+    val merged = even.join(odd, "source")
+      .select(col("source"),
+        Sketches.kmvMergeCols(col("sa"), col("sb"), k).as("sketch"))
+    val whole = Sketches.kmvSketches(hashed(_ => lit(true)), "source", "h", k)
+    val mism = merged.join(whole.withColumnRenamed("sketch", "expected"), "source")
+      .filter(not(col("sketch") === col("expected"))).count()
+    assert(mism == 0)
+  }
+
   test("exactKPerStratum: aggregator path == rank-window path, exact k") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     Seq(1, 7, 100000).foreach { k =>
