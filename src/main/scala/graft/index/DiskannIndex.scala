@@ -659,7 +659,36 @@ object DiskannIndex {
   /** [[loadMeta]] for an ALREADY-RESOLVED generation root — the GC needs the
     * flat root's own meta even when a newer generation is active (plain
     * loadMeta would re-resolve right past it). */
+  /** Per-JVM meta cache keyed by the `_meta` directory's listing
+    * fingerprint (names + sizes + mtimes): a generation's meta is
+    * immutable under the versioned-install protocol, but the FLAT root's
+    * `_meta` can be rewritten by the legacy in-place upgrade, so the
+    * fingerprint — one cheap LIST, no Spark job — is the invalidation
+    * rule (the tombstone registry's discipline). Without it every search
+    * call pays a full parquet-read job for a KB of metadata, which
+    * DOMINATES warm single-query serving latency (~100 ms of the ~140 ms
+    * measured before this cache). */
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, IndexMeta)]()
+
+  private def metaFingerprint(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_meta")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(p).map(s =>
+        s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString("|")
+  }
+
   private[graft] def loadMetaAt(spark: SparkSession, path: String): IndexMeta = {
+    val fp = metaFingerprint(spark, path)
+    val hit = metaCache.get(path)
+    if (hit != null && hit._1 == fp) return hit._2
+    val meta = readMetaAt(spark, path)
+    metaCache.put(path, (fp, meta))
+    meta
+  }
+
+  private def readMetaAt(spark: SparkSession, path: String): IndexMeta = {
     import spark.implicits._
     // tolerate metas from earlier format generations (the analog of the
     // reference's V1/V2→V3 meta-page upgrade path, meta_page.rs:296-424):
@@ -905,6 +934,23 @@ object DiskannIndex {
           searchShard(searcher, shard, qBc.value.iterator, tombBc.value, probeBc.value)
         }
       }(org.apache.spark.sql.Encoders.row(resultSchema)))
+    }
+
+    // All-warm serving fast path: every probed shard answered from this
+    // JVM's decoded searchers, so the per-query top-k merge is over ≤
+    // nShards×k DRIVER-LOCAL rows — do it here and return a LocalRelation.
+    // Routing it through the window merge below would spend a full Spark
+    // job + shuffle on rows already in hand (measured: single-query p50
+    // ~190 ms through the window vs low-ms driver-side; the reference
+    // analog is answering from shared buffers without planning a scan).
+    // Same ordering rule as the window ((dist, row_id) ascending), so the
+    // result content is bit-identical.
+    if (coldShards.isEmpty) {
+      val topk = warmRows.groupBy(_.getLong(0)).iterator.flatMap {
+        case (_, rs) => rs.sortBy(r => (r.getDouble(2), r.getLong(1))).take(k)
+      }.toSeq
+      return spark.createDataFrame(
+        java.util.Arrays.asList(topk: _*), resultSchema)
     }
 
     val warmPartial: Option[DataFrame] =

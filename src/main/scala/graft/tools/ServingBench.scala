@@ -85,11 +85,37 @@ object ServingBench {
         (a, b) => VectorFunctions.vec_cosine_dist(a, b)).count()
     }
 
+    // single-query latency through the warm serving path (p50/p95 — the
+    // reference's headline axis is p95): 64 sequential one-query searches,
+    // IVF-routed, warm searcher caches. In local mode this exercises the
+    // warm-cache direct path (no per-query scan job once the shard's
+    // GraphSearcher is decoded in this JVM) — the serving-node-colocated
+    // configuration.
+    import spark.implicits._
+    val qrows = queries.limit(64).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    qrows.take(4).foreach { case (qid, v) => // warm: decode + codegen
+      DiskannIndex.search(spark, path, Seq((qid, v)).toDF("qid", "qvec"),
+        k = 10, searchListSize = 100, rescore = 50, nProbe = 4).count()
+    }
+    val lats = qrows.map { case (qid, v) =>
+      val one = Seq((qid, v)).toDF("qid", "qvec")
+      val t0 = System.nanoTime()
+      DiskannIndex.search(spark, path, one, k = 10,
+        searchListSize = 100, rescore = 50, nProbe = 4).count()
+      (System.nanoTime() - t0) / 1e6
+    }.sorted
+    val p50 = lats(lats.length / 2)
+    val p95 = lats(math.min(lats.length - 1, (lats.length * 95) / 100))
+    Console.err.println(f"[servingbench] single-query latency ms: " +
+      f"p50=$p50%.1f p95=$p95%.1f min=${lats.head}%.1f max=${lats.last}%.1f")
+
     def qps(sec: Double): Double = nq / sec
     println(f"""{"metric":"servingbench","sf":"$sfDir","n_rows":$nRows,"nq":$nq,"k":10,""" +
       f""""ann_qps_best":${qps(annBest)}%.1f,"ann_qps_mean":${qps(annMean)}%.1f,""" +
       f""""ivf4_qps_best":${qps(ivfBest)}%.1f,"ivf4_qps_mean":${qps(ivfMean)}%.1f,""" +
-      f""""brute_qps_best":${qps(bfBest)}%.1f,"speedup_best":${bfBest / annBest}%.2f}""")
+      f""""brute_qps_best":${qps(bfBest)}%.1f,"speedup_best":${bfBest / annBest}%.2f,""" +
+      f""""single_query_p50_ms":$p50%.1f,"single_query_p95_ms":$p95%.1f}""")
     spark.stop()
   }
 }

@@ -95,6 +95,24 @@ class DiskannIndexSpec extends AnyFunSuite {
     assert(out.length == 5 && out.map(_.getLong(1)).contains(7L))
   }
 
+  test("all-warm serving fast path returns exactly the cold-path rows") {
+    val path = "/tmp/graft_test_index/multishard"
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def rows() = DiskannIndex.search(spark, path, queries, k = 7,
+        searchListSize = 100, rescore = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    graft.index.GraphSearcher.invalidate(path)
+    val cold = rows() // scan path: builds + caches every shard searcher
+    val warm = rows() // all shards warm => driver-local merge, no window job
+    assert(warm == cold)
+    // and the warm plan must be a LocalRelation (no window/shuffle merge)
+    val plan = DiskannIndex.search(spark, path, queries, k = 7,
+      searchListSize = 100, rescore = 50).queryExecution.optimizedPlan.toString
+    assert(plan.contains("LocalRelation") && !plan.contains("Window"),
+      s"expected driver-local all-warm merge:\n$plan")
+  }
+
   test("stats / reachableCount / toDot introspection (V2, V6)") {
     val path = "/tmp/graft_test_index/multishard"
     val st = DiskannIndex.stats(spark, path)
