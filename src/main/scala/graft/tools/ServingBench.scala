@@ -101,8 +101,13 @@ object ServingBench {
     val lats = qrows.map { case (qid, v) =>
       val one = Seq((qid, v)).toDF("qid", "qvec")
       val t0 = System.nanoTime()
-      DiskannIndex.search(spark, path, one, k = 10,
-        searchListSize = 100, rescore = 50, nProbe = 4).count()
+      // collect(), not count(): the all-warm result is a LocalRelation,
+      // which executeCollect() serves driver-side with no job at all —
+      // exactly what a serving caller does with a k-row answer (a count()
+      // would plan an Aggregate and pay a 1-task job for nothing)
+      val n = DiskannIndex.search(spark, path, one, k = 10,
+        searchListSize = 100, rescore = 50, nProbe = 4).collect().length
+      require(n > 0)
       (System.nanoTime() - t0) / 1e6
     }.sorted
     val p50 = lats(lats.length / 2)
