@@ -834,15 +834,6 @@ object DiskannIndex {
       tombstones: Set[Long] = Set.empty,
       metrics: Option[SearchMetrics] = None,
       nProbe: Int = 0): DataFrame = {
-    // resolve the active generation ONCE: meta and nodes must come from the
-    // same version even if a compaction swap lands mid-query
-    val path = resolveRoot(spark, path0)
-    val meta = loadMeta(spark, path)
-    val metric = Metric(meta.metric)
-    val model =
-      if (meta.storage == "sbq") SbqModel(meta.modelCount, meta.modelMean, meta.modelM2, meta.bitsPerDim)
-      else null
-
     val hasQLabels = queries.columns.contains("qlabels")
     val qRows: Array[(Long, Array[Float], Array[Short])] = queries.collect().map { r =>
       // null query vector => zero-vector search (labels/mod.rs:214-216)
@@ -853,6 +844,45 @@ object DiskannIndex {
       } else null
       (r.getAs[Long]("qid"), qv, ql)
     }
+    searchRows(spark, path0, qRows, k, searchListSize, rescore, tombstones,
+      metrics, nProbe)
+  }
+
+  /**
+   * Low-latency POINT query — the reference's primary operation (one
+   * `ORDER BY embedding <=> q LIMIT k` per client call) as a driver API:
+   * returns the k (row_id, dist) pairs directly. When every probed shard's
+   * searcher is warm in this JVM, the entire call is driver-side — no
+   * Spark job, no DataFrame round-trip — which is what makes ms-scale
+   * serving possible from a long-lived session (ServingBench measures it;
+   * cold shards fall back to the scan path transparently).
+   */
+  def searchPoint(spark: SparkSession, path0: String, qvec: Array[Float],
+      k: Int, searchListSize: Int = 100, rescore: Int = 50, nProbe: Int = 0,
+      qlabels: Array[Short] = null,
+      tombstones: Set[Long] = Set.empty): Seq[(Long, Double)] = {
+    val ql = Option(qlabels).map(LabelSets.normalize).orNull
+    searchRows(spark, path0, Array((0L, qvec, ql)), k, searchListSize,
+      rescore, tombstones, None, nProbe)
+      .collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+      .sortBy { case (rid, d) => (d, rid) }.toSeq
+  }
+
+  /** [[search]] after query collection — the shared kernel for the
+    * DataFrame path and [[searchPoint]]. */
+  private[graft] def searchRows(spark: SparkSession, path0: String,
+      qRows: Array[(Long, Array[Float], Array[Short])], k: Int,
+      searchListSize: Int, rescore: Int, tombstones: Set[Long],
+      metrics: Option[SearchMetrics], nProbe: Int): DataFrame = {
+    // resolve the active generation ONCE: meta and nodes must come from the
+    // same version even if a compaction swap lands mid-query
+    val path = resolveRoot(spark, path0)
+    val meta = loadMeta(spark, path)
+    val metric = Metric(meta.metric)
+    val model =
+      if (meta.storage == "sbq") SbqModel(meta.modelCount, meta.modelMean, meta.modelM2, meta.bitsPerDim)
+      else null
     // IVF routing: per-query probe set computed once on the driver from the
     // meta centroids (tiny); absent = query searches every shard
     val probeOf: Map[Long, Array[Int]] =

@@ -115,12 +115,27 @@ object ServingBench {
     Console.err.println(f"[servingbench] single-query latency ms: " +
       f"p50=$p50%.1f p95=$p95%.1f min=${lats.head}%.1f max=${lats.last}%.1f")
 
+    // the point API (no DataFrame round-trip at all): the serving call a
+    // reference client's per-query SQL maps to
+    val plats = qrows.map { case (_, v) =>
+      val t0 = System.nanoTime()
+      val hits = DiskannIndex.searchPoint(spark, path, v, k = 10,
+        searchListSize = 100, rescore = 50, nProbe = 4)
+      require(hits.nonEmpty)
+      (System.nanoTime() - t0) / 1e6
+    }.sorted
+    val pp50 = plats(plats.length / 2)
+    val pp95 = plats(math.min(plats.length - 1, (plats.length * 95) / 100))
+    Console.err.println(f"[servingbench] point-API latency ms: " +
+      f"p50=$pp50%.1f p95=$pp95%.1f min=${plats.head}%.1f max=${plats.last}%.1f")
+
     def qps(sec: Double): Double = nq / sec
     println(f"""{"metric":"servingbench","sf":"$sfDir","n_rows":$nRows,"nq":$nq,"k":10,""" +
       f""""ann_qps_best":${qps(annBest)}%.1f,"ann_qps_mean":${qps(annMean)}%.1f,""" +
       f""""ivf4_qps_best":${qps(ivfBest)}%.1f,"ivf4_qps_mean":${qps(ivfMean)}%.1f,""" +
       f""""brute_qps_best":${qps(bfBest)}%.1f,"speedup_best":${bfBest / annBest}%.2f,""" +
-      f""""single_query_p50_ms":$p50%.1f,"single_query_p95_ms":$p95%.1f}""")
+      f""""single_query_p50_ms":$p50%.1f,"single_query_p95_ms":$p95%.1f,""" +
+      f""""point_p50_ms":$pp50%.1f,"point_p95_ms":$pp95%.1f}""")
     spark.stop()
   }
 }

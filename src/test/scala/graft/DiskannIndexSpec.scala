@@ -113,6 +113,21 @@ class DiskannIndexSpec extends AnyFunSuite {
       s"expected driver-local all-warm merge:\n$plan")
   }
 
+  test("searchPoint == the DataFrame path, sorted (dist, row_id)") {
+    val path = "/tmp/graft_test_index/multishard"
+    val q = emb.filter(col("vec_id") === 11)
+    val qvec = q.select(col("embedding")).head().getSeq[Float](0).toArray
+    val viaDf = DiskannIndex.search(spark, path,
+        q.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        k = 9, searchListSize = 100, rescore = 50).collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+      .sortBy { case (rid, d) => (d, rid) }.toSeq
+    val viaPoint = DiskannIndex.searchPoint(spark, path, qvec, k = 9,
+      searchListSize = 100, rescore = 50)
+    assert(viaPoint == viaDf)
+    assert(viaPoint.head._1 == 11L) // self comes back first at dist ~0
+  }
+
   test("stats / reachableCount / toDot introspection (V2, V6)") {
     val path = "/tmp/graft_test_index/multishard"
     val st = DiskannIndex.stats(spark, path)
