@@ -668,8 +668,16 @@ object DiskannIndex {
     * call pays a full parquet-read job for a KB of metadata, which
     * DOMINATES warm single-query serving latency (~100 ms of the ~140 ms
     * measured before this cache). */
-  private val metaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, IndexMeta)]()
+  /** Bounded LRU: compaction creates a NEW generation dir per swap, so an
+    * unbounded path-keyed map would retain one IndexMeta (incl. IVF
+    * centroids) per dead generation for the life of the JVM. 64 live
+    * (index, generation) pairs is far above any serving set. */
+  private val metaCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, (String, IndexMeta)](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (String, IndexMeta)]): Boolean =
+        size() > 64
+    })
 
   private def metaFingerprint(spark: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$path/_meta")

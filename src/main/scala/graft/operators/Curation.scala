@@ -186,6 +186,12 @@ object Curation {
   def exactKPerStratum(df: DataFrame, idCol: String, strataCol: String,
       k: Int, seed: String = "graft-exactk"): DataFrame = {
     require(k > 0, s"exactKPerStratum: k must be positive: $k")
+    // fail fast on the integral-id precondition: cast(string-ish id) would
+    // yield null ids, an all-null pick list, and a silently EMPTY sample
+    val idType = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"exactKPerStratum: idCol '$idCol' must be integral (got $idType); " +
+        "hash string ids to a BIGINT surrogate first (md5Low60)")
     val spark = df.sparkSession
     import spark.implicits._
     val keyed = df.select(col(strataCol).cast(StringType).as("_1"),

@@ -373,16 +373,18 @@ object Similarity {
       k: Int, decimals: Int = 6, maxBroadcastRows: Int = 2000000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // bounded probe BEFORE the collect (the driverSolveMaxEdges discipline
-    // of GraphOps): only a capped count crosses to the driver; an oversized
-    // corpus fails with a pointer at the scale path instead of an OOM
-    val probe = df.limit(maxBroadcastRows + 1).count()
-    require(probe <= maxBroadcastRows,
+    // bounded guard IN the collect (the driverSolveMaxEdges discipline of
+    // GraphOps): the limit caps what can reach the driver, and one extra
+    // row past the bound proves oversize — same OOM bound as a separate
+    // count probe, without a second pass over the corpus
+    val corpus0 = df.select(col(idCol).cast(LongType), col(vecCol))
+      .limit(maxBroadcastRows + 1)
+      .as[(Long, Array[Float])].collect()
+    require(corpus0.length <= maxBroadcastRows,
       s"knnGraph: corpus exceeds $maxBroadcastRows rows — the exact " +
         "broadcast kernel is for broadcast-sized corpora; at scale use " +
         "DiskannIndex.edges (the Vamana graph's out-edges) as the edge list")
-    val corpus = df.select(col(idCol).cast(LongType), col(vecCol))
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val corpus = corpus0.sortBy(_._1)
     val ids = corpus.map(_._1)
     val vecs = corpus.map(_._2)
     val nsq = vecs.map { v =>

@@ -404,6 +404,57 @@ case class DescribeDiskannIndexCommand(target: Either[String, String])
   * (PageRank-style joins, degree audits, reachability) runs fully
   * distributed off the partition-pruned nodes scan — the SQL door to the
   * graph-analytics path. */
+/**
+ * Registry of `REGISTER INDEX EDGES` temp views, keyed by index path. A
+ * temp view binds the logical plan — and so the GENERATION — current at
+ * registration; without re-registration a compaction swap would leave the
+ * view serving the superseded graph until GC breaks it outright. Compact
+ * calls [[EdgeViews.refresh]] right after the swap (next to its
+ * KnnCost/GraphSearcher invalidations), so any view registered in this
+ * JVM re-binds to the active generation. A compaction run by a DIFFERENT
+ * JVM can't reach this session's views — there the view is a consistent
+ * snapshot under the GC grace window until the next same-JVM compact or
+ * an explicit re-REGISTER (temp views are session-scoped, so this is the
+ * same freshness contract the session's other temp views have).
+ */
+object EdgeViews {
+  private val regs = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentHashMap[
+      String, java.lang.ref.WeakReference[SparkSession]]]()
+
+  def register(spark: SparkSession, indexPath: String, view: String): Unit = {
+    graft.index.DiskannIndex.edges(spark, indexPath)
+      .createOrReplaceTempView(view)
+    regs.computeIfAbsent(indexPath,
+        _ => new java.util.concurrent.ConcurrentHashMap())
+      .put(view, new java.lang.ref.WeakReference(spark))
+  }
+
+  /** Re-bind every live registered view of `indexPath` to the generation
+    * active NOW. Views whose session was collected (or whose re-bind
+    * fails, e.g. the index was deleted) are dropped from the registry. */
+  def refresh(indexPath: String): Unit = {
+    val m = regs.get(indexPath)
+    if (m == null) return
+    m.forEach { (view, ref) =>
+      val s = ref.get()
+      if (s == null) m.remove(view)
+      else try graft.index.DiskannIndex.edges(s, indexPath)
+        .createOrReplaceTempView(view)
+      catch { case _: Exception => m.remove(view) }
+    }
+  }
+
+  /** Drop the registered views of `indexPath` (DROP INDEX path). */
+  def unregister(indexPath: String): Unit = {
+    val m = regs.remove(indexPath)
+    if (m == null) return
+    m.forEach { (view, ref) =>
+      Option(ref.get()).foreach(_.catalog.dropTempView(view))
+    }
+  }
+}
+
 case class RegisterIndexEdgesCommand(target: Either[String, String],
     view: String) extends LeafRunnableCommand {
 
@@ -415,8 +466,7 @@ case class RegisterIndexEdgesCommand(target: Either[String, String],
     }
     val entry = KnnCatalog.lookup(sourcePath).getOrElse(
       throw new IllegalArgumentException(s"no index registered on '$sourcePath'"))
-    graft.index.DiskannIndex.edges(spark, entry.indexPath)
-      .createOrReplaceTempView(view)
+    EdgeViews.register(spark, entry.indexPath, view)
     Seq.empty
   }
 }
@@ -446,8 +496,10 @@ case class DropDiskannIndexCommand(target: Either[String, String],
         throw new IllegalArgumentException(s"no index named '$name'"))
       case Right(path) => path
     }
+    val entry = KnnCatalog.lookup(sourcePath)
     Graft.dropIndex(sourcePath, deleteFiles = deleteFiles)
     KnnCatalog.unregisterNamesFor(sourcePath)
+    entry.foreach(e => EdgeViews.unregister(e.indexPath))
     Seq.empty
   }
 }

@@ -305,22 +305,29 @@ object AnnQueries {
   private def indexEdges(s: SparkSession, d: String): DataFrame = {
     val path = ensureIndex(s, d, "cos", emb(s, d), labeled = false)
     val edges = DiskannIndex.edges(s, path)
-    val n = emb(s, d).count()
+    // the dump is keyed by (row count, Σvec_id) — row count alone would let
+    // a same-sized DIFFERENT corpus clobber the dir while the memo below
+    // still skips the rewrite, and the static oracle glob (which can only
+    // select on embeddings-table content) would replay the wrong graph
+    val Array(n, sumIds) = emb(s, d)
+      .agg(count(lit(1)), sum(col("vec_id"))).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
     // dump once per (sf, corpus) per JVM: four queries × (warm-up + timed
     // runs) would otherwise rewrite the identical deterministic dump each
     // call; a fresh JVM (each Verify run) always rewrites
-    if (edgeDumps.add(s"$d|$n"))
-      edges.withColumn("n_corpus", lit(n))
-        .write.mode("overwrite").parquet(s"/tmp/graft_edges/cos_n$n")
+    if (edgeDumps.add(s"$d|$n|$sumIds"))
+      edges.withColumn("n_corpus", lit(n)).withColumn("sum_ids", lit(sumIds))
+        .write.mode("overwrite").parquet(s"/tmp/graft_edges/cos_n${n}_s$sumIds")
     edges
   }
 
-  /** `edges(src, dst)` CTE over the [[indexEdges]] dump, scale-selected by
-    * corpus row count (see indexEdges). */
+  /** `edges(src, dst)` CTE over the [[indexEdges]] dump, selected by the
+    * same (row count, Σvec_id) corpus key the dump is written under. */
   private val sqlIndexEdges =
     """edges AS (SELECT src, dst
-      |  FROM read_parquet('/tmp/graft_edges/cos_n*/*.parquet')
-      |  WHERE n_corpus = (SELECT count(*) FROM embeddings))""".stripMargin
+      |  FROM read_parquet('/tmp/graft_edges/cos_n*/*.parquet', union_by_name=true)
+      |  WHERE n_corpus = (SELECT count(*) FROM embeddings)
+      |    AND sum_ids = (SELECT sum(vec_id) FROM embeddings))""".stripMargin
 
   private def oracleQvec = "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)"
 

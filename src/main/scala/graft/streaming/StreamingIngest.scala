@@ -416,6 +416,9 @@ object StreamingIngest {
       }
       // the planner's cost-gate row count changed with this generation
       graft.plans.KnnCost.invalidate(indexPath)
+      // registered edge views re-bind to the new generation (same-JVM
+      // freshness; see EdgeViews' cross-JVM snapshot contract)
+      graft.plans.EdgeViews.refresh(indexPath)
     } finally {
       // release only a lease we still hold: after a timeout-steal, deleting
       // unconditionally would break the successor's lock
@@ -554,9 +557,19 @@ object StreamingIngest {
         else {
         val rows = batch.collect()
         val alerts = scala.collection.mutable.ArrayBuffer[RateAlert]()
+        // fold into a SHADOW copy of the per-type sums: the live state must
+        // not observe a half-processed batch. If collect, the fold, or
+        // onAlert throws, live stats and the batchId guard are untouched,
+        // so the replay re-processes the batch cleanly; committing the
+        // shadow AND the guard together below leaves no window where a
+        // replay against the same live state could double-fold (the
+        // set-first ordering dropped failed batches; fold-first-set-later
+        // alone would double-fold them).
+        val shadow = new java.util.HashMap[String, Array[Double]]()
+        stats.forEach((k, v) => shadow.put(k, v.clone()))
         rows.sortBy(r => (r.getTimestamp(0).getTime, r.getString(1))).foreach { r =>
           val (ws, et, n) = (r.getTimestamp(0), r.getString(1), r.getLong(2))
-          val s = stats.computeIfAbsent(et, _ => Array(0.0, 0.0, 0.0))
+          val s = shadow.computeIfAbsent(et, _ => Array(0.0, 0.0, 0.0))
           val h = s(0)
           if (h >= minWindows) {
             val mean = s(1) / h
@@ -571,12 +584,9 @@ object StreamingIngest {
           s(0) += 1; s(1) += n.toDouble; s(2) += n.toDouble * n
         }
         if (alerts.nonEmpty) onAlert(alerts.toSeq)
-        // mark consumed ONLY after the fold and onAlert complete: if the
-        // batch fails mid-processing and the query restarts with the same
-        // LIVE state object (not one restored from a snapshot), the replay
-        // must re-process it — setting the guard up front would silently
-        // drop the batch's windows and alerts. The snapshot-after-onAlert
-        // discipline stays consistent in every failure window.
+        // commit: install the folded sums and mark the batch consumed in
+        // one step (adjacent driver-side writes, nothing fallible between)
+        shadow.forEach((k, v) => stats.put(k, v))
         lastBatch.set(batchId)
         }
       }

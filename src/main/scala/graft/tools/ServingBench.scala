@@ -51,7 +51,10 @@ object ServingBench {
     val queries = e.filter(col("vec_id") < nq)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       .cache()
-    queries.count()
+    // QPS divides by the ACTUAL batch size: sparse/offset vec_ids would
+    // otherwise silently inflate every reported rate
+    val nqActual = queries.count()
+    require(nqActual > 0, s"no query rows with vec_id < $nq in $embPath")
 
     def timeReps(label: String)(body: => Long): (Double, Double) = {
       body // warm (untimed): caches, codegen, file listings
@@ -129,8 +132,8 @@ object ServingBench {
     Console.err.println(f"[servingbench] point-API latency ms: " +
       f"p50=$pp50%.1f p95=$pp95%.1f min=${plats.head}%.1f max=${plats.last}%.1f")
 
-    def qps(sec: Double): Double = nq / sec
-    println(f"""{"metric":"servingbench","sf":"$sfDir","n_rows":$nRows,"nq":$nq,"k":10,""" +
+    def qps(sec: Double): Double = nqActual / sec
+    println(f"""{"metric":"servingbench","sf":"$sfDir","n_rows":$nRows,"nq":$nqActual,"k":10,""" +
       f""""ann_qps_best":${qps(annBest)}%.1f,"ann_qps_mean":${qps(annMean)}%.1f,""" +
       f""""ivf4_qps_best":${qps(ivfBest)}%.1f,"ivf4_qps_mean":${qps(ivfMean)}%.1f,""" +
       f""""brute_qps_best":${qps(bfBest)}%.1f,"speedup_best":${bfBest / annBest}%.2f,""" +

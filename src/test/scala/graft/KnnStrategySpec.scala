@@ -77,6 +77,26 @@ class KnnStrategySpec extends AnyFunSuite {
         "SELECT max(c) FROM (SELECT src, count(*) AS c FROM g_edges GROUP BY src)")
         .head().getLong(0)
       assert(maxOut == st.maxDegree)
+      // freshness across compaction: a delta-appended row has no edges
+      // until compact folds it in; after compact the registered view must
+      // serve the NEW generation's graph without re-registration (a view
+      // pinned to the registration-time generation would miss the row —
+      // and break entirely once GC collects that generation)
+      val idxPath = s"$src/_graft_index/edge_idx"
+      val dim = s2.read.parquet(src).selectExpr("size(embedding)")
+        .head().getInt(0)
+      val newId = 999999L
+      locally {
+        import s2.implicits._
+        val batch = Seq((newId, Array.fill(dim)(0.5f))).toDF("row_id", "vec")
+        graft.streaming.StreamingIngest.appendBatchToDelta(idxPath)(batch, 0L)
+      }
+      assert(s2.sql(s"SELECT count(*) FROM g_edges WHERE src = $newId")
+        .head().getLong(0) == 0L) // delta rows have no edges pre-compact
+      graft.streaming.StreamingIngest.compact(s2, idxPath)
+      assert(s2.sql(s"SELECT count(*) FROM g_edges WHERE src = $newId")
+        .head().getLong(0) > 0L,
+        "registered edges view must serve the post-compaction generation")
       s2.sql("DROP INDEX edge_idx WITH (delete_files=true)")
     } finally {
       SparkSession.setActiveSession(prev)
