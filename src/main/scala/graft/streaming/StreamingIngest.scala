@@ -145,6 +145,41 @@ object StreamingIngest {
     }
   }
 
+  /**
+   * Freshness-aware twin of [[DiskannIndex.searchPoint]]: sees
+   * delta-appended rows and masks tombstoned ones, like [[searchFresh]].
+   * With no delta pending (the steady state between appends and right
+   * after a compact) it degrades to the warm driver-side fast path plus
+   * two FS listings (delta probe + tombstone registry); with a delta it
+   * pays the [[searchFresh]] DataFrame path — the delta must be scored,
+   * which is a job regardless. The pair (searchPoint for raw speed,
+   * searchPointFresh for read-your-writes) mirrors the reference's scan
+   * visibility semantics (scan.rs:229-235) at the point-query API.
+   */
+  def searchPointFresh(spark: SparkSession, indexPath: String,
+      qvec: Array[Float], k: Int, searchListSize: Int = 100,
+      rescore: Int = 50, nProbe: Int = 0, qlabels: Array[Short] = null,
+      tombstones: Set[Long] = Set.empty): Seq[(Long, Double)] = {
+    val tombs = tombstones ++ DiskannIndex.loadTombstones(spark, indexPath)
+    if (!hasDelta(spark, indexPath))
+      DiskannIndex.searchPoint(spark, indexPath, qvec, k, searchListSize,
+        rescore, nProbe, qlabels, tombs)
+    else {
+      import spark.implicits._
+      val base = Seq((0L, qvec)).toDF("qid", "qvec")
+      val q = if (qlabels == null) base
+        else base.withColumn("qlabels",
+          lit(graft.index.LabelSets.normalize(qlabels)).cast(
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.ShortType)))
+      searchFresh(spark, indexPath, q, k, searchListSize, rescore, tombs,
+          None, nProbe)
+        .collect()
+        .map(r => (r.getLong(1), r.getDouble(2)))
+        .sortBy { case (rid, d) => (d, rid) }.toSeq
+    }
+  }
+
   /** Distributed twin of [[searchFresh]] for offline batch query tables:
     * main-index results come from the shard-aligned zip path, the delta is
     * broadcast and scored map-side ([[DiskannIndex.searchDistributedFresh]])

@@ -646,6 +646,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == expected)
   }
 
+  test("searchPointFresh: read-your-writes at the point API, fast path when compacted") {
+    val path = "/tmp/graft_test_index/point_fresh"
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    deleteRec(new java.io.File(path))
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    DiskannIndex.build(e.filter($"vec_id" < 400), "vec_id", "embedding", None,
+      path, DiskannParams(metric = "cosine"))
+    val v450 = e.filter($"vec_id" === 450).select($"embedding")
+      .head().getSeq[Float](0).toArray
+    // not yet appended: neither API sees row 450
+    assert(!StreamingIngest.searchPointFresh(spark, path, v450, k = 5,
+      searchListSize = 200, rescore = 150).exists(_._1 == 450L))
+    StreamingIngest.appendBatchToDelta(path)(
+      Seq((450L, v450)).toDF("row_id", "vec"), 0L)
+    // fresh point API sees the delta row at distance ~0; raw does not
+    val fresh = StreamingIngest.searchPointFresh(spark, path, v450, k = 5,
+      searchListSize = 200, rescore = 150)
+    assert(fresh.head._1 == 450L && fresh.head._2 < 1e-6)
+    assert(!DiskannIndex.searchPoint(spark, path, v450, k = 5,
+      searchListSize = 200, rescore = 150).exists(_._1 == 450L))
+    // tombstones mask through the fresh point path too
+    DiskannIndex.deleteRows(spark, path, Seq(450L))
+    assert(!StreamingIngest.searchPointFresh(spark, path, v450, k = 5,
+      searchListSize = 200, rescore = 150).exists(_._1 == 450L))
+    // after compact (row physically removed) the no-delta fast path serves
+    StreamingIngest.compact(spark, path)
+    val post = StreamingIngest.searchPointFresh(spark, path, v450, k = 5,
+      searchListSize = 200, rescore = 150)
+    assert(post.nonEmpty && !post.exists(_._1 == 450L))
+  }
+
   test("streaming distinct monitor: exact below k, bounded error above k") {
     implicit val sqlCtx = spark.sqlContext
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
