@@ -213,6 +213,26 @@ object ScaleProbe {
         val sk = graft.operators.Sketches.kmvSketches(hashed, "source", "h", 256)
         graft.operators.Sketches.kmvOverlap(sk, "source", 256).count()
       },
+      // round 7: the COMPOSED pretrain pipeline end-to-end (gopher gate →
+      // budgeted mixture sample → sequence packing) — the plan a real run
+      // executes, not an isolated operator. Gate+sample are map-side over
+      // one tokenize; packing's bucket shuffle is the only wide op.
+      "pipeline_pretrain" -> { f =>
+        val base = spark.read.parquet(docsPath(f))
+        val kept = TextAnalysis.gopherQuality(base, "doc_id", "text",
+          minTokens = 40, maxTokens = 150, keep = Seq("source"))
+          .filter(col("passes"))
+          .select(col("doc_id"), col("source"), col("n_tokens"))
+          .transform(graft.CacheScope.persist)
+        val sampled = graft.operators.Curation.mixtureSample(kept, "doc_id",
+          "source", col("n_tokens"), budgets = Map("src0" -> 2000L * f),
+          defaultBudget = 600L * f, seed = "pre42")
+        val n = graft.operators.Curation.packSequences(sampled, "doc_id",
+          col("n_tokens"), budget = 256, nBuckets = 4 * f, seed = "prepack42")
+          .count()
+        graft.CacheScope.releaseAll()
+        n
+      },
       // round 7: exact-k sampling on the aggregator path — the per-stratum
       // sort this replaced would grow superlinearly in the largest stratum
       "exact_k_per_stratum" -> { f =>
