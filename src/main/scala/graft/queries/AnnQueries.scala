@@ -293,6 +293,27 @@ object AnnQueries {
         .groupBy(col("in_deg")).agg(count(lit(1)).as("n_nodes"))
         .orderBy(col("in_deg"))
     }),
+
+    // near-dup candidates FROM THE GRAPH: the Vamana out-edges ARE a
+    // curated candidate-pair set (RobustPrune keeps each node's closest
+    // diverse neighbors), so embedding near-dup mining at scale is "rescore
+    // the edge list exactly" — candidate volume is nodes×R by construction,
+    // no LSH tuning, no pairwise blow-up, and the build cost was already
+    // paid. Output: the 20 tightest pairs (exact cosine, src < dst).
+    "neardup_index_pairs" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = emb(s, d)
+      indexEdges(s, d).filter(col("src") < col("dst"))
+        .join(e.select(col("vec_id").as("src"), col("embedding").as("__va")),
+          "src")
+        .join(e.select(col("vec_id").as("dst"), col("embedding").as("__vb")),
+          "dst")
+        .select(col("src"), col("dst"),
+          round(call_function("vec_cosine_dist", col("__va"), col("__vb")), 6)
+            .as("dist"))
+        .orderBy(col("dist"), col("src"), col("dst"))
+        .limit(20)
+    }),
   )
 
   /** Export the "cos" index's Vamana out-edges, dumping them to a
@@ -486,5 +507,13 @@ object AnnQueries {
          |deg AS (SELECT dst, count(*) AS in_deg FROM edges GROUP BY dst)
          |SELECT in_deg, count(*) AS n_nodes FROM deg
          |GROUP BY in_deg ORDER BY in_deg""".stripMargin,
+    "neardup_index_pairs" ->
+      s"""WITH $sqlIndexEdges,
+         |p AS (SELECT src, dst FROM edges WHERE src < dst),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings)
+         |SELECT p.src, p.dst,
+         |  round(1.0 - list_cosine_similarity(a.dv, b.dv), 6) AS dist
+         |FROM p JOIN v a ON a.vec_id = p.src JOIN v b ON b.vec_id = p.dst
+         |ORDER BY dist, src, dst LIMIT 20""".stripMargin,
   )
 }
