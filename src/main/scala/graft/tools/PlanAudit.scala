@@ -80,7 +80,11 @@ object PlanAudit {
     // (sketch-sized / calendar-sized); exact-k must be a bounded aggregate
     // + broadcast semi-join, not a per-stratum sort
     "kmv_vocab_distinct", "kmv_vocab_overlap", "events_gapfill",
-    "sample_exact_k")
+    "sample_exact_k",
+    // round 7 (cont. 2): edge-list rescoring joins bounded candidate pairs
+    // (nodes×R) against the embeddings table — partial top-20 above, no
+    // pairwise blow-up
+    "neardup_index_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

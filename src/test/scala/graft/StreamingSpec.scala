@@ -646,6 +646,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == expected)
   }
 
+  test("in-flight reader survives one compaction (grace window), not two") {
+    val path = "/tmp/graft_test_index/grace"
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    deleteRec(new java.io.File(path))
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    DiskannIndex.build(e.filter($"vec_id" < 300), "vec_id", "embedding", None,
+      path, DiskannParams(metric = "cosine"))
+    def compactOnce(id: Long): Unit = {
+      val v = e.filter($"vec_id" === 300 + id).select($"embedding")
+        .head().getSeq[Float](0).toArray
+      StreamingIngest.appendBatchToDelta(path)(
+        Seq((300L + id, v)).toDF("row_id", "vec"), id)
+      StreamingIngest.compact(spark, path)
+    }
+    // an in-flight reader: plan bound to the CURRENT generation's files
+    // (exactly what searchRows does at resolve time), not yet executed
+    val gen0 = DiskannIndex.resolveRoot(spark, path)
+    val meta0 = DiskannIndex.loadMeta(spark, gen0)
+    val inFlight = spark.read.parquet(s"$gen0/nodes")
+    compactOnce(0L) // swap + GC; gen0 survives as the grace root
+    assert(inFlight.count() == meta0.numRows,
+      "a reader that resolved before the swap must finish off the grace generation")
+    // a second compaction pushes gen0 out of the grace window: the stale
+    // plan now fails LOUD (files gone) rather than silently serving a
+    // pre-delete graph — the documented boundary of snapshot freshness
+    compactOnce(1L)
+    val survived = try { inFlight.count(); true }
+      catch { case _: Exception => false }
+    assert(!survived,
+      "two generations back must be collected — grace is one swap deep")
+  }
+
   test("searchPointFresh: read-your-writes at the point API, fast path when compacted") {
     val path = "/tmp/graft_test_index/point_fresh"
     def deleteRec(f: java.io.File): Unit = {
