@@ -539,4 +539,42 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /**
+   * Blocked fuzzy record linkage (catalog / entity resolution): find pairs
+   * of DISTINCT values of `nameCol` within edit distance `maxDist`, joining
+   * only within blocks produced by `blockKey` — never all-pairs.
+   *
+   * Plan shape, scale-first:
+   *  1. distinct names with a canonical representative id: ONE shuffle on
+   *     the name (map-side combined — duplicate rows collapse before the
+   *     exchange), output bounded by the DISTINCT name count, not rows;
+   *  2. within-block self-join on the block key: pair volume is
+   *     sum(|block|²), bounded by the caller's block design (a too-coarse
+   *     key is visible as one skewed join key — AQE splits it, and the fix
+   *     is a finer key such as (prefix, length bucket), not more memory);
+   *  3. the codegen'd banded-DP `levenshtein(l, r, threshold)` built-in:
+   *     O(maxDist·len) per pair instead of O(len²), returning -1 early when
+   *     the distance exceeds the bound, so the filter is one integer
+   *     comparison and no pair carries quadratic DP cost.
+   *
+   * Ids are min-per-name, so output is deterministic under any input
+   * partitioning; `id_a < id_b` keeps each pair once.
+   */
+  def fuzzyLinkage(df: DataFrame, idCol: String, nameCol: String,
+      blockKey: Column => Column, maxDist: Int): DataFrame = {
+    val names = df
+      .groupBy(col(nameCol).as("name"))
+      .agg(min(col(idCol).cast(LongType)).as("rep_id"))
+      .withColumn("blk", blockKey(col("name")))
+      .transform(graft.CacheScope.persist) // both join sides read it
+    val a = names.select(col("blk"), col("name").as("name_a"), col("rep_id").as("id_a"))
+    val b = names.select(col("blk"), col("name").as("name_b"), col("rep_id").as("id_b"))
+    a.join(b, Seq("blk"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b"), maxDist).cast(LongType))
+      .where(col("dist") >= 0) // threshold variant returns -1 when exceeded
+      .select(col("name_a"), col("name_b"), col("dist"), col("id_a"), col("id_b"))
+  }
 }

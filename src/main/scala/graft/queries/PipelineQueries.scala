@@ -1301,6 +1301,37 @@ object PipelineQueries {
           when(col("source") === "src0", 3000L).otherwise(800L))
         .orderBy(col("source"))),
 
+    // greedy token-budget allocation across sources ("which sources fill a
+    // fixed training budget, best quality first"): per-source totals come
+    // off ONE corpus pass (map-side combined groupBy), then ordering and
+    // the cumulative fill are windows over nSources rows ONLY — the corpus
+    // never meets a global window, so the plan is budget-report-sized at
+    // any corpus size. The allocation a data-mixing run is planned from.
+    "source_budget_fill" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 10000L
+      val per = docs(s, d)
+        .select(col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("__n"),
+          TextAnalysis.qualityScore(col("text")).as("__q"))
+        .groupBy(col("source"))
+        .agg(sum(col("__n")).as("total_tokens"),
+          round(avg(col("__q")), 6).as("mean_quality"))
+      // bounded: nSources rows (the per-source aggregate), not the corpus
+      val w = Window.orderBy(col("mean_quality").desc, col("source"))
+      per
+        .withColumn("fill_order", row_number().over(w).cast("long"))
+        .withColumn("__cum_before", coalesce(
+          sum(col("total_tokens"))
+            .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("allocated_tokens",
+          greatest(lit(0L), least(col("total_tokens"),
+            lit(budget) - col("__cum_before"))))
+        .select(col("source"), col("mean_quality"), col("total_tokens"),
+          col("fill_order"), col("allocated_tokens"))
+        .orderBy(col("fill_order"))
+    }),
+
     // token-count histogram per source (fixed width-20 buckets): the corpus
     // shape report; one map-side bucket + one small aggregation
     "doc_len_histogram" -> ((s, d) =>
@@ -3146,6 +3177,34 @@ object PipelineQueries {
          |SELECT source, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS achieved_tokens,
          |       CAST(CASE WHEN source = 'src0' THEN 3000 ELSE 800 END AS BIGINT) AS target_tokens
          |FROM kept GROUP BY source ORDER BY source""".stripMargin,
+
+    // replays the per-doc quality formula (text_quality's q CTE), then the
+    // greedy fill: windows run over the nSources-row aggregate only
+    "source_budget_fill" ->
+      s"""WITH t AS (SELECT source, text, $sqlTokens AS w FROM documents),
+         |q AS (SELECT source, len(w) AS n,
+         |  CASE WHEN len(w) > 0 THEN CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(w) ELSE 0.0 END AS avg_token_len,
+         |  CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS alpha_ratio,
+         |  CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS digit_ratio,
+         |  CASE WHEN len(w) > 0 THEN CAST(len(list_filter(w, x -> x IN ($enList))) AS DOUBLE) / len(w) ELSE 0.0 END AS stopword_ratio
+         |  FROM t),
+         |sc AS (SELECT source, n,
+         |  alpha_ratio * 0.4 + least(stopword_ratio * 5.0, 1.0) * 0.3 +
+         |  (CASE WHEN avg_token_len >= 3 AND avg_token_len <= 10 THEN 1.0 ELSE 0.0 END) * 0.2 +
+         |  (1.0 - least(digit_ratio * 5.0, 1.0)) * 0.1 AS qs
+         |  FROM q),
+         |per AS (SELECT source, CAST(sum(n) AS BIGINT) AS total_tokens,
+         |               round(avg(qs), 6) AS mean_quality
+         |        FROM sc GROUP BY 1),
+         |o AS (SELECT source, mean_quality, total_tokens,
+         |        row_number() OVER (ORDER BY mean_quality DESC, source) AS fill_order,
+         |        coalesce(sum(total_tokens) OVER (ORDER BY mean_quality DESC, source
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |      FROM per)
+         |SELECT source, mean_quality, total_tokens,
+         |       CAST(fill_order AS BIGINT) AS fill_order,
+         |       CAST(greatest(0, least(total_tokens, 10000 - cum_before)) AS BIGINT) AS allocated_tokens
+         |FROM o ORDER BY fill_order""".stripMargin,
 
     "doc_len_histogram" ->
       s"""WITH t AS (SELECT source, len($sqlTokens) AS n FROM documents)

@@ -462,9 +462,29 @@ object RelationalQueries {
           sum(col("cnt")).over(Window.partitionBy(col("from_type"))), 6))
         .orderBy(col("from_type"), col("to_type"))
     }),
+
+    // blocked fuzzy record linkage over the part catalog (entity
+    // resolution): distinct names → first-token block → within-block
+    // self-join → banded-DP thresholded levenshtein. Pair volume is
+    // sum(|block|²) over DISTINCT names, never all-pairs over rows; see
+    // Dedup.fuzzyLinkage for the 100 TB plan notes
+    "fuzzy_match_parts" -> ((s, d) =>
+      graft.operators.Dedup.fuzzyLinkage(t(s, d, "part"), "p_partkey", "p_name",
+        name => split(name, " ").getItem(0), maxDist = 3)
+        .orderBy(col("name_a"), col("name_b"))),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "fuzzy_match_parts" ->
+      """WITH names AS (SELECT p_name AS name, min(p_partkey) AS rep_id
+        |               FROM part GROUP BY 1),
+        |b AS (SELECT name, rep_id, split_part(name, ' ', 1) AS blk FROM names)
+        |SELECT a.name AS name_a, c.name AS name_b,
+        |       levenshtein(a.name, c.name) AS dist,
+        |       a.rep_id AS id_a, c.rep_id AS id_b
+        |FROM b a JOIN b c ON a.blk = c.blk AND a.rep_id < c.rep_id
+        |WHERE levenshtein(a.name, c.name) <= 3
+        |ORDER BY 1, 2""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,

@@ -180,6 +180,38 @@ object StreamingIngest {
     }
   }
 
+  /**
+   * Streaming top-k ENRICHMENT: answer a stream of query vectors against
+   * the current index state — main graph, pending delta appends, masked
+   * tombstones — one micro-batch at a time, handing each batch's enriched
+   * `(qid, row_id, dist)` rows to `sink` with the batch id.
+   *
+   * foreachBatch rather than a stream-stream join, deliberately: the index
+   * side is not a stream — it is shared mutable state whose visibility
+   * semantics (read-your-writes after [[appendBatchToDelta]], deletes
+   * masked) are exactly [[searchFresh]]'s, and a join could not consult it
+   * per event anyway. Per batch the cost is one index probe per query (the
+   * searcher collects the micro-batch's queries to the driver — batch-
+   * sized by the trigger, never corpus-sized). No state crosses batches;
+   * re-delivered batches re-search the CURRENT index, so exactly-once is
+   * the sink's contract — `batchId` is passed through for idempotent
+   * sinks, same discipline as the monitors above.
+   */
+  def streamingKnnEnrich(queries: DataFrame, indexPath: String,
+      checkpoint: String, k: Int, searchListSize: Int = 100,
+      rescore: Int = 50, nProbe: Int = 0)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          sink(searchFresh(spark, indexPath, batch, k, searchListSize,
+            rescore, nProbe = nProbe), batchId)
+        }
+      }
+      .start()
+
   /** Distributed twin of [[searchFresh]] for offline batch query tables:
     * main-index results come from the shard-aligned zip path, the delta is
     * broadcast and scored map-side ([[DiskannIndex.searchDistributedFresh]])

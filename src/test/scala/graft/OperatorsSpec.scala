@@ -1056,4 +1056,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
       s"expected broadcast semi join:\n$plan")
   }
+
+  test("fuzzyLinkage: blocked pairs == brute force within block; threshold DP exact") {
+    val cat = Seq(
+      (10L, "acme widget"), (11L, "acme widgit"),   // dist 1, same block
+      (12L, "acme gadget"),                          // dist 3 from widget? verify by brute force
+      (20L, "zeta widget"),                          // near "acme widget" but DIFFERENT block: must not pair
+      (30L, "acme widget"),                          // exact dup: collapses, rep id = 10
+      (40L, "bolt"), (41L, "bolts"),                 // dist 1
+    ).toDF("id", "name")
+    val out = Dedup.fuzzyLinkage(cat, "id", "name",
+      n => split(n, " ").getItem(0), maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // brute force over distinct names within the same first token
+    val names = cat.collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).map { case (n, rs) => (rs.map(_._1).min, n) }.toSeq
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expect = (for {
+      (ia, na) <- names; (ib, nb) <- names
+      if ia < ib && na.split(" ")(0) == nb.split(" ")(0) && lev(na, nb) <= 2
+    } yield (na, nb, lev(na, nb).toLong, ia, ib)).toSet
+    assert(out == expect, s"got $out\nexpected $expect")
+    // the cross-block near pair is really excluded (blocking is doing work)
+    assert(!out.exists(p => p._1.startsWith("zeta") || p._2.startsWith("zeta")))
+    // exact dups collapse to one representative before pairing
+    assert(out.forall(p => p._4 != 30L && p._5 != 30L))
+  }
 }

@@ -973,4 +973,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(a.eventType == "a" && a.n == 100L && math.abs(a.mean - 10.0) < 1e-9)
     assert(a.z > 50.0) // (100-10)/sqrt(0.8)
   }
+
+  test("streamingKnnEnrich: per-batch top-k == searchFresh, sees mid-stream appends") {
+    val path = "/tmp/graft_test_index/stream_enrich"
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    deleteRec(new java.io.File(path))
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    DiskannIndex.build(e.filter($"vec_id" < 400), "vec_id", "embedding", None,
+      path, DiskannParams(metric = "cosine"))
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Float])]
+    val results = scala.collection.mutable.Map[Long, Array[(Long, Long, Double)]]()
+    val q = StreamingIngest.streamingKnnEnrich(
+      mem.toDF().toDF("qid", "qvec"), path,
+      s"/tmp/graft_ckpt_${System.nanoTime()}", k = 5,
+      searchListSize = 200, rescore = 150) { (df, batchId) =>
+      results.synchronized {
+        results(batchId) = df.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      }
+    }
+    def vec(id: Long): Array[Float] = e.filter($"vec_id" === id)
+      .collect().head.getAs[scala.collection.mutable.ArraySeq[Float]](1).toArray
+
+    mem.addData((7L, vec(7)))
+    q.processAllAvailable()
+    // batch 0: the query's own indexed vector must top the list, and the
+    // batch result must equal a direct searchFresh of the same query
+    val b0 = results.synchronized(results(0L))
+    assert(b0.length == 5 && b0.head._1 == 7L)
+    assert(b0.minBy(_._3)._2 == 7L)
+    val direct = StreamingIngest.searchFresh(spark, path,
+      e.filter($"vec_id" === 7).select($"vec_id".as("qid"), $"embedding".as("qvec")),
+      k = 5, searchListSize = 200, rescore = 150).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(b0.sortBy(x => (x._3, x._2)).toSeq == direct.sortBy(x => (x._3, x._2)).toSeq)
+
+    // append an out-of-index vector to the delta mid-stream: the NEXT batch
+    // must see it (read-your-writes through the enrichment path)
+    val novel = vec(450)
+    Seq((450L, novel)).toDF("row_id", "vec")
+      .write.mode("append").parquet(s"$path/delta")
+    mem.addData((450L, novel))
+    q.processAllAvailable()
+    q.stop()
+    val b1 = results.synchronized(results(1L))
+    assert(b1.exists(r => r._2 == 450L && r._3 < 1e-6),
+      s"delta row invisible to the enrichment batch: ${b1.mkString(",")}")
+  }
 }
