@@ -21,6 +21,16 @@ import graft.index.DiskannParams
  *            shard_target_rows=..., partitioner='hash'|'ivf')]
  *   DROP INDEX name [WITH (delete_files=true)]
  *   DROP INDEX ON '<sourcePath>' [WITH (delete_files=true)]
+ *   DELETE FROM INDEX <name | ON '<path>'> WHERE ROW_ID IN (id, ...)
+ *   VACUUM INDEX <name | ON '<path>'> [WITH (incremental=false)]
+ *   REINDEX [INDEX] <name | ON '<path>'> [WITH (num_neighbors=..., ...)]
+ *
+ * The last three complete the reference's index lifecycle in SQL: DELETE
+ * registers durable tombstones (the heap DELETE whose visibility the scan
+ * honors, scan.rs:229-235), VACUUM folds pending delta appends and
+ * tombstones into a new generation (vacuum.rs:24-136), and REINDEX forces
+ * a full rebuild — optionally under NEW build parameters — even on a
+ * quiescent index.
  *
  * The source is either a quoted path or the `parquet.`/path`` form used in
  * queries; the opclass names mirror pgvector's (`vector_cosine_ops`,
@@ -57,6 +67,18 @@ object GraftSqlParser {
     ("""(?is)^\s*REGISTER\s+INDEX\s+EDGES\s+""" +
       """(?:ON\s+(?:parquet\s*\.\s*`([^`]+)`|'([^']+)')|(?!ON\b)([\w.\-]+))""" +
       """\s+AS\s+([\w]+)\s*;?\s*$""").r
+  private val vacuumRe =
+    ("""(?is)^\s*VACUUM\s+INDEX\s+""" +
+      """(?:ON\s+(?:parquet\s*\.\s*`([^`]+)`|'([^']+)')|(?!ON\b)([\w.\-]+))""" +
+      """\s*(?:WITH\s*\((.*)\))?\s*;?\s*$""").r
+  private val reindexRe =
+    ("""(?is)^\s*REINDEX\s+(?:INDEX\s+)?""" +
+      """(?:ON\s+(?:parquet\s*\.\s*`([^`]+)`|'([^']+)')|(?!ON\b)([\w.\-]+))""" +
+      """\s*(?:WITH\s*\((.*)\))?\s*;?\s*$""").r
+  private val deleteRe =
+    ("""(?is)^\s*DELETE\s+FROM\s+INDEX\s+""" +
+      """(?:ON\s+(?:parquet\s*\.\s*`([^`]+)`|'([^']+)')|(?!ON\b)([\w.\-]+))""" +
+      """\s+WHERE\s+ROW_ID\s+IN\s*\(\s*(\d+(?:\s*,\s*\d+)*)\s*\)\s*;?\s*$""").r
   private val optRe = """([\w]+)\s*=\s*(?:'([^']*)'|([^,\s()]+))""".r
 
   private def parseOpts(s: String): Map[String, String] =
@@ -272,7 +294,30 @@ object GraftSqlParser {
       Some(RegisterIndexEdgesCommand(
         if (name != null) Left(name) else Right(Option(tick).getOrElse(quoted)),
         view))
+    case vacuumRe(tick, quoted, name, withOpts) =>
+      Some(VacuumDiskannIndexCommand(
+        if (name != null) Left(name) else Right(Option(tick).getOrElse(quoted)),
+        parseOpts(withOpts)))
+    case reindexRe(tick, quoted, name, withOpts) =>
+      Some(ReindexDiskannIndexCommand(
+        if (name != null) Left(name) else Right(Option(tick).getOrElse(quoted)),
+        parseOpts(withOpts)))
+    case deleteRe(tick, quoted, name, ids) =>
+      Some(DeleteFromDiskannIndexCommand(
+        if (name != null) Left(name) else Right(Option(tick).getOrElse(quoted)),
+        ids.split(",").map(_.trim.toLong).toSeq))
     case _ => None
+  }
+
+  /** Resolve a `<name | ON '<path>'>` DDL target to its catalog entry. */
+  private[plans] def resolveEntry(target: Either[String, String]): KnnCatalog.Entry = {
+    val sourcePath = target match {
+      case Left(name) => KnnCatalog.lookupName(name).getOrElse(
+        throw new IllegalArgumentException(s"no index named '$name'"))
+      case Right(path) => path
+    }
+    KnnCatalog.lookup(sourcePath).getOrElse(
+      throw new IllegalArgumentException(s"no index registered on '$sourcePath'"))
   }
 }
 
@@ -484,6 +529,126 @@ case class ShowGraftIndexesCommand() extends LeafRunnableCommand {
     KnnCatalog.listAll().map { case (name, e) =>
       Row(name, e.sourcePath, e.indexPath, e.metric)
     }
+}
+
+/**
+ * `DELETE FROM INDEX <name | ON '<path>'> WHERE ROW_ID IN (...)` — durably
+ * registers tombstones ([[graft.index.DiskannIndex.deleteRows]]). Every
+ * freshness-honoring read path (the SQL-planned scan, `searchFresh`) masks
+ * the ids immediately; the next VACUUM folds them physically. Row ids are
+ * literal longs by design: the command writes a driver-side registry entry,
+ * so an unbounded subquery source would be the wrong shape — bulk deletes
+ * go through `deleteRows(df.collect...)`-free Scala paths instead.
+ */
+case class DeleteFromDiskannIndexCommand(target: Either[String, String],
+    rowIds: Seq[Long]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("deleted", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val entry = GraftSqlParser.resolveEntry(target)
+    graft.index.DiskannIndex.deleteRows(spark, entry.indexPath, rowIds)
+    Seq(Row(rowIds.length.toString))
+  }
+}
+
+/**
+ * `VACUUM INDEX <name | ON '<path>'> [WITH (incremental=false)]` — the
+ * reference's VACUUM analog (vacuum.rs:24-136): folds pending delta appends
+ * and registered tombstones into a newly installed generation and consumes
+ * them. A no-op (reported as vacuumed=false) when there is nothing to fold.
+ * `incremental=false` forces a full rebuild instead of the IVF partial
+ * path for this one run, without touching the session conf.
+ */
+case class VacuumDiskannIndexCommand(target: Either[String, String],
+    opts: Map[String, String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("property", StringType, nullable = false)(),
+    AttributeReference("value", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val unknown = opts.keySet.diff(Set("incremental"))
+    require(unknown.isEmpty,
+      s"unknown VACUUM INDEX option(s) ${unknown.toSeq.sorted.mkString(", ")}; " +
+        "known: incremental")
+    val entry = GraftSqlParser.resolveEntry(target)
+    val ip = entry.indexPath
+    val deltaBefore = graft.streaming.StreamingIngest.deltaFiles(spark, ip).length
+    val tombsBefore = graft.index.DiskannIndex.loadTombstones(spark, ip).size
+    val rootBefore = graft.index.DiskannIndex.resolveRoot(spark, ip)
+    val prev = spark.conf.getOption("graft.compact.incremental")
+    opts.get("incremental").foreach(v =>
+      spark.conf.set("graft.compact.incremental", v.toBoolean.toString))
+    try graft.streaming.StreamingIngest.compact(spark, ip)
+    finally if (opts.contains("incremental")) prev match {
+      case Some(v) => spark.conf.set("graft.compact.incremental", v)
+      case None => spark.conf.unset("graft.compact.incremental")
+    }
+    val rootAfter = graft.index.DiskannIndex.resolveRoot(spark, ip)
+    Seq(
+      "vacuumed" -> (rootBefore != rootAfter).toString,
+      "delta_files_folded" -> deltaBefore.toString,
+      "tombstones_folded" -> tombsBefore.toString,
+      "generation_before" -> rootBefore,
+      "generation_after" -> rootAfter
+    ).map { case (k, v) => Row(k, v) }
+  }
+}
+
+/**
+ * `REINDEX [INDEX] <name | ON '<path>'> [WITH (...)]` — force a FULL
+ * rebuild into a new generation even when nothing is pending: re-trains
+ * quantizer and centroids, restores the shard-sizing invariant after heavy
+ * churn, and — with options — rebuilds under NEW build parameters (the
+ * `WITH` grammar and option names match CREATE INDEX). Pending delta and
+ * tombstones fold in, exactly as VACUUM.
+ */
+case class ReindexDiskannIndexCommand(target: Either[String, String],
+    opts: Map[String, String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("property", StringType, nullable = false)(),
+    AttributeReference("value", StringType, nullable = false)())
+
+  private val knownOpts = Set("num_neighbors", "search_list_size", "max_alpha",
+    "num_bits_per_dimension", "storage_layout", "num_dimensions",
+    "shard_target_rows", "partitioner")
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val unknown = opts.keySet.diff(knownOpts)
+    require(unknown.isEmpty,
+      s"unknown REINDEX option(s) ${unknown.toSeq.sorted.mkString(", ")}; " +
+        s"known: ${knownOpts.toSeq.sorted.mkString(", ")}")
+    val entry = GraftSqlParser.resolveEntry(target)
+    val ip = entry.indexPath
+    val rootBefore = graft.index.DiskannIndex.resolveRoot(spark, ip)
+    val tune: DiskannParams => DiskannParams = p0 => {
+      var p = p0
+      opts.get("num_neighbors").foreach(v => p = p.copy(numNeighbors = v.toInt))
+      opts.get("search_list_size").foreach(v => p = p.copy(searchListSize = v.toInt))
+      opts.get("max_alpha").foreach(v => p = p.copy(maxAlpha = v.toDouble))
+      opts.get("num_bits_per_dimension").foreach(v => p = p.copy(bitsPerDim = Some(v.toInt)))
+      opts.get("num_dimensions").foreach(v => p = p.copy(numDimsToIndex = Some(v.toInt)))
+      opts.get("shard_target_rows").foreach(v => p = p.copy(shardTargetRows = v.toLong))
+      opts.get("partitioner").foreach(v => p = p.copy(partitioner = v))
+      opts.get("storage_layout").map(_.toLowerCase).foreach {
+        case "memory_optimized" => p = p.copy(storage = "sbq")
+        case "plain" => p = p.copy(storage = "plain")
+        case other => throw new IllegalArgumentException(
+          s"unknown storage_layout '$other' (memory_optimized | plain)")
+      }
+      p
+    }
+    graft.streaming.StreamingIngest.compact(spark, ip, tune, force = true)
+    val rootAfter = graft.index.DiskannIndex.resolveRoot(spark, ip)
+    Seq(
+      "index_path" -> ip,
+      "generation_before" -> rootBefore,
+      "generation_after" -> rootAfter
+    ).map { case (k, v) => Row(k, v) }
+  }
 }
 
 /** Driver-side unregister (+ optional file delete) — the `DROP INDEX` analog. */

@@ -57,7 +57,7 @@ object StreamingIngest {
 
   /** The delta's data files right now (Hadoop FS, so HDFS/S3 paths work the
     * same as local ones). */
-  private def deltaFiles(spark: SparkSession,
+  private[graft] def deltaFiles(spark: SparkSession,
       indexPath: String): Array[org.apache.hadoop.fs.Path] = {
     val (fs, _) = hadoopFs(spark, indexPath)
     val d = new org.apache.hadoop.fs.Path(s"$indexPath/delta")
@@ -339,11 +339,13 @@ object StreamingIngest {
 
   def compact(spark: SparkSession, indexPath: String,
       tune: DiskannParams => DiskannParams = identity,
-      tombstones: Set[Long] = Set.empty): Unit = {
+      tombstones: Set[Long] = Set.empty, force: Boolean = false): Unit = {
     // cheap no-op fast path (a tombstones-only compaction still rebuilds:
     // it is the VACUUM analog that physically removes deleted rows —
-    // explicit OR registered via DiskannIndex.deleteRows)
-    if (deltaFiles(spark, indexPath).isEmpty && tombstones.isEmpty &&
+    // explicit OR registered via DiskannIndex.deleteRows). `force` skips
+    // it: REINDEX rebuilds even a quiescent index (new params, or a user
+    // restoring the shard-sizing invariant after heavy churn).
+    if (!force && deltaFiles(spark, indexPath).isEmpty && tombstones.isEmpty &&
       DiskannIndex.tombstoneFiles(spark, indexPath).isEmpty) return
     val (fs, _) = hadoopFs(spark, indexPath)
     val lock = new org.apache.hadoop.fs.Path(s"$indexPath/_compact.lock")
@@ -382,7 +384,7 @@ object StreamingIngest {
       val allTombs = tombstones ++
         (if (consumedTombs.isEmpty) Set.empty[Long]
          else DiskannIndex.loadTombstones(spark, indexPath))
-      if (consumed.isEmpty && allTombs.isEmpty) return
+      if (!force && consumed.isEmpty && allTombs.isEmpty) return
       val root = DiskannIndex.resolveRoot(spark, indexPath)
       val meta = DiskannIndex.loadMeta(spark, root)
       val existing = DiskannIndex
@@ -407,7 +409,11 @@ object StreamingIngest {
       // tombstones rebuild; the rest copy raw. Requires unchanged params
       // (tune = identity) — mixed-parameter shards would be a lie — and is
       // the default; graft.compact.incremental=false forces full rebuilds.
-      val incremental = meta.partitioner == "ivf" && meta.centroids.nonEmpty &&
+      // `force` (REINDEX) always rebuilds in full: a forced pass exists to
+      // re-train centroids / restore shard sizing, which the carry-forward
+      // incremental path by design does not do
+      val incremental = !force &&
+        meta.partitioner == "ivf" && meta.centroids.nonEmpty &&
         params == meta.toParams &&
         spark.conf.get("graft.compact.incremental", "true").toBoolean
       // rebuildShardsInto may REFUSE (None) when a frozen-centroid hot spot

@@ -578,4 +578,95 @@ class KnnStrategySpec extends AnyFunSuite {
     assert(plan.contains("KnnIndexScan"), s"plan was:\n$plan")
     assert(df.collect().length == 7)
   }
+
+  test("SQL maintenance lifecycle: DELETE FROM INDEX / VACUUM / REINDEX") {
+    import org.apache.spark.sql.SparkSession
+    setup
+    val src = "/tmp/graft_test_index/sql_maint_src"
+    spark.read.parquet(srcPath).filter($"vec_id" < 400)
+      .write.mode("overwrite").parquet(src)
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .withExtensions(new graft.plans.GraftExtensions).getOrCreate()
+      s2.sql(
+        s"""CREATE INDEX m_idx ON '$src' USING DISKANN (embedding vector_cosine_ops)
+           |WITH (id_col='vec_id')""".stripMargin).collect()
+      val ip = s"$src/_graft_index/m_idx"
+      s2.conf.set("graft.knn.searchListSize", "200")
+      s2.conf.set("graft.knn.rescore", "150")
+      // a live insert: the row lands in the heap table AND the index delta
+      // (the reference's INSERT inserts the heap row, then aminsert)
+      spark.read.parquet(srcPath).filter($"vec_id" === 450)
+        .write.mode("append").parquet(src)
+      graft.streaming.StreamingIngest.appendBatchToDelta(ip)(
+        spark.read.parquet(srcPath)
+          .filter($"vec_id" === 450).selectExpr("vec_id AS row_id",
+            "embedding AS vec"), 0L)
+      // ...and a SQL DELETE durably tombstones two indexed rows
+      val del = s2.sql("DELETE FROM INDEX m_idx WHERE ROW_ID IN (0, 1)").collect()
+      assert(del.length == 1 && del(0).getString(0) == "2")
+      val q450 = spark.read.parquet(srcPath).filter($"vec_id" === 450)
+        .head().getAs[scala.collection.mutable.ArraySeq[Float]]("embedding")
+      val qsql = s"CAST(array(${q450.mkString(", ")}) AS ARRAY<FLOAT>)"
+      def top10: Seq[Long] = s2.sql(
+        s"""SELECT vec_id FROM parquet.`$src`
+           |ORDER BY vec_cosine_dist(embedding, $qsql) LIMIT 10""".stripMargin)
+        .collect().map(_.getLong(0)).toSeq
+      // pre-vacuum: the scan already sees the delta row and masks deletes
+      val pre = top10
+      assert(pre.head == 450L, s"delta row must top its own query: $pre")
+      assert(!pre.contains(0L) && !pre.contains(1L), s"tombstones leaked: $pre")
+      // VACUUM folds both into a new generation and consumes the registries
+      val vac = s2.sql("VACUUM INDEX m_idx").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(vac("vacuumed") == "true", vac.toString)
+      assert(vac("delta_files_folded").toInt >= 1)
+      assert(vac("tombstones_folded") == "2")
+      assert(vac("generation_before") != vac("generation_after"))
+      assert(!new java.io.File(s"$ip/delta").exists())
+      assert(!new java.io.File(s"$ip/tombstones").exists())
+      // identical answers from the compacted generation
+      val post = top10
+      assert(post == pre, s"vacuum changed results: $pre -> $post")
+      val desc = s2.sql("DESCRIBE INDEX m_idx").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      // 400 built - 2 deleted + 1 inserted
+      assert(desc("num_rows") == "399", desc("num_rows"))
+      // idempotent: nothing pending, no new generation
+      val vac2 = s2.sql("VACUUM INDEX m_idx").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(vac2("vacuumed") == "false")
+      assert(vac2("generation_before") == vac2("generation_after"))
+      // REINDEX forces a rebuild even when quiescent — under new params
+      val ri = s2.sql("REINDEX INDEX m_idx WITH (num_neighbors=24)").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(ri("generation_before") != ri("generation_after"))
+      val desc2 = s2.sql("DESCRIBE INDEX m_idx").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(desc2("num_neighbors") == "24" && desc2("num_rows") == "399")
+      // still index-planned and still the same top-k after the rebuild
+      val q2 = s2.sql(
+        s"""SELECT vec_id FROM parquet.`$src`
+           |ORDER BY vec_cosine_dist(embedding, $qsql) LIMIT 10""".stripMargin)
+      assert(q2.queryExecution.executedPlan.toString.contains("KnnIndexScan"))
+      assert(q2.collect().map(_.getLong(0)).toSeq == pre)
+      // typos and unknown targets fail loudly
+      val typo = intercept[IllegalArgumentException](
+        s2.sql("REINDEX m_idx WITH (numneighbors=2)"))
+      assert(typo.getMessage.contains("numneighbors"))
+      intercept[IllegalArgumentException](s2.sql("VACUUM INDEX nope"))
+      intercept[IllegalArgumentException](
+        s2.sql("DELETE FROM INDEX nope WHERE ROW_ID IN (1)"))
+      // plain-SQL VACUUM/DELETE still reach the delegate parser untouched
+      assert(s2.sql("SELECT 2 + 2 AS x").head().getInt(0) == 4)
+      s2.sql("DROP INDEX m_idx WITH (delete_files=true)")
+    } finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
 }
