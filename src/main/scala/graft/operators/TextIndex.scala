@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/**
+ * A STORED inverted text index — the text-retrieval twin of the ANN index's
+ * "build once, serve many" lifecycle (SURVEY.md §2.1 S6/G9): BM25 serving at
+ * corpus scale should read a prebuilt artifact pruned to the query's terms,
+ * not re-tokenize 100 TB per query the way [[TextAnalysis.bm25]] (the
+ * one-shot scoring pass) necessarily does.
+ *
+ * Layout under `path/` (all parquet, all Hadoop-FS paths):
+ *
+ *   postings/    batch=<b>/tb=<t>/…   (term, id, tf, dl)  one row per
+ *                (doc, term) pair, doc length denormalized onto the row so
+ *                scoring never joins a doc-lengths table
+ *   termstats/   batch=<b>/tb=<t>/…   (term, df)          per-batch document
+ *                frequency — query-time `sum(df)` folds batches
+ *   corpusstats/ batch=<b>/…          (n, sumdl)          per-batch corpus
+ *                totals — query-time `sum` folds batches (rows = #batches)
+ *
+ * `tb` is the TERM BUCKET: `md5_low60(term) mod nBuckets` — the same
+ * engine-independent md5 route every other stored artifact uses
+ * ([[Curation.shardBucket]], the ANN index's IVF assignment), so any engine
+ * can compute which bucket holds a term. A query for `q` terms prunes the
+ * scan to ≤q of the nBuckets partitions at PLANNING time (Catalyst partition
+ * pruning — asserted in TextIndexSpec), so repeated queries cost a few
+ * pruned column-pruned scans instead of a corpus pass. Direct
+ * `partitionBy(term)` would mint one directory per vocabulary type
+ * (billions at corpus scale — a filesystem DoS); bucketing keeps the
+ * directory count fixed while preserving pruning.
+ *
+ * Incremental appends mirror the ANN delta contract: an appended batch must
+ * carry NEW doc ids (per-batch `df`/`n`/`sumdl` rows sum correctly only when
+ * no doc spans batches — same row-identity rule as
+ * [[graft.streaming.StreamingIngest.appendBatchToDelta]]). Batches
+ * accumulate files; when batch count grows large, fold generations exactly
+ * as the ANN index's compact does (rebuild into a fresh path, swap a
+ * root pointer) — the query-time cost of un-compacted batches is extra
+ * files in the SAME pruned buckets, never extra partitions scanned.
+ *
+ * Reference: this is the relational re-expression of a text search index's
+ * postings + collection statistics; scoring matches [[TextAnalysis.bm25]]'s
+ * formula with one deliberate difference — per-term scores are rounded to 6
+ * decimals and summed in DECIMAL(20,6) (the [[Similarity.maxsimTopK]]
+ * discipline), because posting rows reach the per-doc sum in shuffle order,
+ * not the fixed left-to-right term order the one-shot scorer guarantees.
+ * Decimal addition is exact and commutative, so the indexed score is
+ * byte-identical under any partitioning and SQL-oracle-replayable.
+ */
+object TextIndex {
+
+  /** `md5_low60(term) mod nBuckets` — engine-independent term routing. */
+  def termBucket(term: Column, nBuckets: Int): Column =
+    pmod(Curation.md5Low60(term), lit(nBuckets.toLong))
+
+  /** Driver-side replica of [[termBucket]], for planning-time pruning:
+    * the query needs LITERAL bucket values so Catalyst can prune the scan
+    * before execution, not a runtime filter. One definition pair kept
+    * adjacent so they cannot drift. */
+  def termBucketOf(term: String, nBuckets: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(term.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(17, 32), 16) % nBuckets.toLong
+  }
+
+  /** Build the index from scratch (overwrites `path`) as batch 0. */
+  def buildTextIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String, nBuckets: Int = 64): Unit =
+    writeBatch(df, idCol, textCol, path, nBuckets, batchId = 0L,
+      mode = SaveMode.Overwrite)
+
+  /** Append a batch of NEW docs (ids must not already be indexed). */
+  def appendTextIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String, batchId: Long, nBuckets: Int = 64): Unit = {
+    require(batchId > 0L, "append batches start at 1 (0 is the build)")
+    writeBatch(df, idCol, textCol, path, nBuckets, batchId, SaveMode.Append)
+  }
+
+  private def writeBatch(df: DataFrame, idCol: String, textCol: String,
+      path: String, nBuckets: Int, batchId: Long, mode: SaveMode): Unit = {
+    val spark = df.sparkSession
+    val toks = df.select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("__w"))
+      .select(col("id"), col("__w"),
+        size(col("__w")).cast(LongType).as("dl"))
+    // one shuffle (term,id): per-doc term frequencies, dl carried along
+    toks.select(col("id"), col("dl"), explode(col("__w")).as("term"))
+      .groupBy(col("term"), col("id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("term"), col("id"), col("tf"), col("dl"),
+        lit(batchId).as("batch"), termBucket(col("term"), nBuckets).as("tb"))
+      .write.mode(mode).partitionBy("batch", "tb")
+      .parquet(s"$path/postings")
+    // df derives from the postings JUST WRITTEN (read back the new batch's
+    // term column only — column-pruned and batch-pruned) rather than
+    // re-tokenizing the input: the expensive pass runs once per batch
+    spark.read.parquet(s"$path/postings")
+      .filter(col("batch") === batchId)
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .select(col("term"), col("df"), lit(batchId).as("batch"),
+        termBucket(col("term"), nBuckets).as("tb"))
+      .write.mode(mode).partitionBy("batch", "tb")
+      .parquet(s"$path/termstats")
+    toks.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+      .select(col("n"), col("sumdl"), lit(batchId).as("batch"))
+      .write.mode(mode).partitionBy("batch")
+      .parquet(s"$path/corpusstats")
+  }
+
+  /**
+   * BM25 top-n against the stored index. Same formula and operation order
+   * as [[TextAnalysis.bm25]]; per-term scores rounded to 6 decimals then
+   * summed in DECIMAL(20,6) (see object doc for why). The postings and
+   * termstats scans are pruned to the query terms' buckets at planning
+   * time; corpus stats fold from #batches rows. Docs containing none of the
+   * terms never enter the plan (vs the one-shot scorer's `> 0` filter —
+   * identical result sets, since idf > 0 always and tf > 0 on every
+   * posting row).
+   */
+  def bm25SearchIndexed(spark: SparkSession, path: String, terms: Seq[String],
+      nBuckets: Int = 64, k1: Double = 1.2, b: Double = 0.75,
+      n: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "bm25SearchIndexed needs at least one query term")
+    val bks = terms.map(termBucketOf(_, nBuckets)).distinct
+      .map(java.lang.Long.valueOf)
+    val st = spark.read.parquet(s"$path/corpusstats")
+      .agg(sum(col("n")).as("__n"), sum(col("sumdl")).as("__sumdl"))
+    val tstats = spark.read.parquet(s"$path/termstats")
+      .filter(col("tb").isin(bks: _*) && col("term").isin(terms: _*))
+      .groupBy(col("term")).agg(sum(col("df")).as("__df"))
+    val post = spark.read.parquet(s"$path/postings")
+      .filter(col("tb").isin(bks: _*) && col("term").isin(terms: _*))
+    val avgdl = col("__sumdl").cast(DoubleType) / col("__n")
+    val lenNorm = lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl)
+    val idf = log(lit(1.0) +
+      (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
+    val termScore = round(idf * col("tf").cast(DoubleType) * lit(k1 + 1.0) /
+      (col("tf").cast(DoubleType) + lenNorm), 6)
+    post.join(broadcast(tstats), "term").crossJoin(broadcast(st))
+      .select(col("id"), termScore.cast(DecimalType(20, 6)).as("__ts"))
+      .groupBy(col("id")).agg(sum(col("__ts")).as("__s"))
+      .select(col("id"), col("__s").cast(DoubleType).as("bm25"))
+      .filter(col("bm25") > 0)
+      .orderBy(col("bm25").desc, col("id"))
+      .limit(n)
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Curation, Dedup, GraphOps, Multimodal, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Curation, Dedup, GraphOps, Multimodal, Similarity, Sketches, TextAnalysis, TextIndex}
 import graft.functions.VectorFunctions
 
 /**
@@ -18,6 +18,24 @@ object PipelineQueries {
     spark.read.parquet(s"$dir/documents.parquet")
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Deterministic per-sf text-index location, fingerprinted on the source
+    * table's file listing — same staleness defense as
+    * VectorQueries.postingsPath (a regenerated documents.parquet lands on a
+    * fresh path instead of silently serving the stale index). */
+  private def textIndexPath(spark: SparkSession, dir: String): String = {
+    val src = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = src.getFileSystem(spark.sessionState.newHadoopConf())
+    val listing =
+      try fs.listStatus(src)
+        .map(s => s"${s.getPath.getName}#${s.getLen}#${s.getModificationTime}")
+        .sorted.mkString("|")
+      catch { case _: java.io.FileNotFoundException => "missing" }
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(listing.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"/tmp/graft_index/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/textidx_$fp"
+  }
+  private val textIndexLock = new Object
 
   // DuckDB equivalents of TextAnalysis.tokens / Dedup.shingles — kept in one
   // place so the Spark and oracle definitions cannot drift apart.
@@ -1382,6 +1400,23 @@ object PipelineQueries {
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(20)
         .select(col("doc_id"), round(col("bm25"), 6).as("bm25"))),
+
+    // The SAME retrieval served from the STORED inverted index
+    // (TextIndex): postings/termstats scans pruned to the query terms'
+    // md5 buckets at planning time (plan-asserted in TextIndexSpec), corpus
+    // stats folded from per-batch rows — the repeated-query access path at
+    // corpus scale. Scores differ from bm25_search only in the summation
+    // discipline (per-term round + decimal sum; see TextIndex Scaladoc).
+    "bm25_indexed" -> ((s, d) => {
+      val path = textIndexPath(s, d)
+      textIndexLock.synchronized {
+        if (!new java.io.File(s"$path/corpusstats/_SUCCESS").exists()) {
+          TextIndex.buildTextIndex(docs(s, d), "doc_id", "text", path)
+        }
+      }
+      TextIndex.bm25SearchIndexed(s, path, Seq("vector", "query", "dup"))
+        .select(col("id").as("doc_id"), col("bm25"))
+    }),
 
     // Hybrid retrieval with reciprocal-rank fusion: fuse the BM25 top-50 and
     // the vector top-50 (same fixed query as knn_exact_cosine) by
@@ -3253,6 +3288,34 @@ object PipelineQueries {
          |  AS bm25
          |  FROM f CROSS JOIN st)
          |SELECT doc_id, round(bm25, 6) AS bm25 FROM sc WHERE bm25 > 0
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    // indexed replay: identical formula, but per-term scores are rounded to
+    // 6 decimals and summed as DECIMAL(20,6) (TextIndex's shuffle-order-proof
+    // summation; a tf=0 term scores exactly 0, so summing all three mirrors
+    // the posting-rows-only sum)
+    "bm25_indexed" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+         |f AS (SELECT doc_id, len(w) AS dl,
+         |        len(list_filter(w, x -> x = 'vector')) AS tf0,
+         |        len(list_filter(w, x -> x = 'query')) AS tf1,
+         |        len(list_filter(w, x -> x = 'dup')) AS tf2
+         |      FROM t),
+         |st AS (SELECT count(*) AS n, sum(dl) AS sumdl,
+         |         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         |         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         |         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+         |       FROM f),
+         |sc AS (SELECT doc_id,
+         |    CAST(round(ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * CAST(tf0 AS DOUBLE) * (1.2 + 1.0)
+         |      / (CAST(tf0 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n))), 6) AS DECIMAL(20,6))
+         |  + CAST(round(ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * CAST(tf1 AS DOUBLE) * (1.2 + 1.0)
+         |      / (CAST(tf1 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n))), 6) AS DECIMAL(20,6))
+         |  + CAST(round(ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * CAST(tf2 AS DOUBLE) * (1.2 + 1.0)
+         |      / (CAST(tf2 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n))), 6) AS DECIMAL(20,6))
+         |  AS bm25d
+         |  FROM f CROSS JOIN st)
+         |SELECT doc_id, CAST(bm25d AS DOUBLE) AS bm25 FROM sc WHERE bm25d > 0
          |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
 
     // hybrid retrieval: the bm25 CTEs verbatim + the exact-cosine top-50,

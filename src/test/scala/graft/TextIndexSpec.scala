@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{TextAnalysis, TextIndex}
+
+/** The stored inverted text index: pruned serving, append folding,
+  * bucket-route agreement between the Column and driver definitions. */
+class TextIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val terms = Seq("vector", "query", "dup")
+
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+
+  /** Independent expected result: per-term scores via the VERIFIED one-shot
+    * scorer run one term at a time, rounded to 6 decimals and summed as
+    * BigDecimal — exactly the index's summation contract. */
+  private def expected(corpus: org.apache.spark.sql.DataFrame,
+      n: Int): Seq[(Long, Double)] = {
+    val perTerm = terms.map { t =>
+      TextAnalysis.bm25(corpus, "doc_id", "text", Seq(t))
+        .collect().map(r => r.getLong(0) -> BigDecimal(r.getDouble(1))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)).toMap
+    }
+    perTerm.flatMap(_.toSeq).groupBy(_._1)
+      .map { case (id, xs) => id -> xs.map(_._2).sum }
+      .filter(_._2 > 0)
+      .map { case (id, s) => (id, s.toDouble) }
+      .toSeq.sortBy { case (id, s) => (-s, id) }
+      .take(n)
+  }
+
+  test("termBucketOf (driver) == termBucket (Column) on real vocabulary") {
+    val nB = 64
+    val sample = docs.select(explode(TextAnalysis.tokens($"text")).as("t"))
+      .distinct().limit(500)
+      .withColumn("tb", TextIndex.termBucket($"t", nB))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(sample.nonEmpty)
+    sample.foreach { case (t, tb) =>
+      assert(TextIndex.termBucketOf(t, nB) == tb, s"route drift for '$t'")
+    }
+  }
+
+  test("indexed BM25: pruned scan, scores match the one-shot scorer") {
+    val path = "/tmp/graft_test_index/textidx_full"
+    TextIndex.buildTextIndex(docs, "doc_id", "text", path)
+    val res = TextIndex.bm25SearchIndexed(spark, path, terms, n = 20)
+    // postings + termstats scans must carry partition filters and read at
+    // most |distinct buckets| partitions per batch each
+    val scans = res.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    val pruned = scans.filter(_.partitionFilters.nonEmpty)
+    assert(pruned.size >= 2, s"expected pruned postings+termstats scans, " +
+      s"got ${pruned.size} of ${scans.size}")
+    val nBk = terms.map(TextIndex.termBucketOf(_, 64)).distinct.size
+    pruned.foreach(s =>
+      assert(s.selectedPartitions.partitionCount <= nBk,
+        s"read ${s.selectedPartitions.partitionCount} partitions, " +
+          s"query touches only $nBk buckets"))
+    val got = res.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expected(docs, 20))
+  }
+
+  test("append folds: build(half) + append(half) == build(all)") {
+    val ids = docs.select(min($"doc_id"), max($"doc_id")).head()
+    val mid = (ids.getLong(0) + ids.getLong(1)) / 2
+    val path = "/tmp/graft_test_index/textidx_inc"
+    TextIndex.buildTextIndex(docs.filter($"doc_id" <= mid),
+      "doc_id", "text", path)
+    TextIndex.appendTextIndex(docs.filter($"doc_id" > mid),
+      "doc_id", "text", path, batchId = 1L)
+    val inc = TextIndex.bm25SearchIndexed(spark, path, terms, n = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(inc == expected(docs, 20),
+      "incremental index diverged from the full rebuild")
+    // corpus stats really are per-batch rows, folded at query time
+    assert(spark.read.parquet(s"$path/corpusstats").count() == 2)
+  }
+
+  test("empty docs count toward N and sumdl (dl = 0)") {
+    val corpus = Seq((1L, "dup dup vector"), (2L, "   "), (3L, "query"),
+      (4L, "")).toDF("doc_id", "text")
+    val path = "/tmp/graft_test_index/textidx_empty"
+    TextIndex.buildTextIndex(corpus, "doc_id", "text", path)
+    val st = spark.read.parquet(s"$path/corpusstats")
+      .agg(sum($"n"), sum($"sumdl")).head()
+    assert(st.getLong(0) == 4L, "empty docs must count in N")
+    assert(st.getLong(1) == 4L)
+    val got = TextIndex.bm25SearchIndexed(spark, path, terms, n = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expected(corpus, 10))
+  }
+}
