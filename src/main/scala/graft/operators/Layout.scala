@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/**
+ * Data LAYOUT for multi-dimensional scan pruning: Z-order (Morton)
+ * clustering plus an explicit per-file zone map — the two halves of the
+ * "skip 99% of 100 TB" story for range predicates on more than one column.
+ *
+ * Why this exists: a single `sortWithinPartitions(x)` makes parquet
+ * row-group stats selective on `x` and useless on `y`. Interleaving the
+ * bits of (x, y) into one Morton key and range-partition-sorting by it
+ * gives every file a TIGHT bounding box in BOTH dimensions, so any engine
+ * consulting min/max stats — parquet row-group pushdown, or the explicit
+ * [[zonemap]] below — skips all files whose box misses the predicate.
+ * This is the layout device behind Delta/Iceberg `OPTIMIZE ZORDER BY`,
+ * re-expressed Spark-first: one stats aggregate (broadcast), a pure
+ * bit-arithmetic key (codegen'd, engine-replayable — no UDF), one range
+ * shuffle, sorted files.
+ *
+ * The zone map is the file-level analog of the ANN index's shard manifest:
+ * `(file, min/max per column)` — O(#files) rows, collected to the driver
+ * (bounded: file count, not row count) and turned into an explicit file
+ * list, because vanilla Spark prunes parquet at ROW-GROUP level only;
+ * file-level pruning needs a manifest, and this is that manifest.
+ *
+ * Quantization maps each column onto a 2^bits lattice between its global
+ * min and max: `clamp(floor((x - min) / (max - min) * 2^bits))`. All
+ * arithmetic is fixed-order double math + integer bit ops, so an external
+ * SQL oracle replays the key bit-for-bit (verified by the `zorder_key`
+ * CORRECTNESS entry).
+ */
+object Layout {
+
+  /** Lattice cell of `c` on `2^bits` cells between mn and mx (clamped;
+    * a constant column lands every row in cell 0). */
+  def quantize(c: Column, mn: Column, mx: Column, bits: Int): Column = {
+    val cells = lit((1L << bits).toDouble)
+    val u = (c.cast(DoubleType) - mn) / (mx - mn)
+    when(mx === mn, lit(0L))
+      .otherwise(least(greatest(floor(u * cells), lit(0.0)),
+        cells - lit(1.0)).cast(LongType))
+  }
+
+  /** Morton interleave of the low `bits` bits of each cell: bit `b` of
+    * dimension `i` lands at position `b * n + i`. Pure long bit ops —
+    * whole-stage-codegen'd, no UDF. */
+  def interleaveBits(cells: Seq[Column], bits: Int): Column = {
+    require(cells.nonEmpty && cells.size * bits <= 62,
+      s"${cells.size} dims x $bits bits must fit a signed long")
+    cells.zipWithIndex.flatMap { case (c, i) =>
+      (0 until bits).map { b =>
+        shiftleft(shiftright(c, b).bitwiseAND(lit(1L)), b * cells.size + i)
+      }
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /**
+   * Append a `zkey` Morton key over `cols`. Global min/max come from ONE
+   * partial-aggregated row broadcast back — the only exchange; the key
+   * itself is map-side arithmetic.
+   */
+  def zorderKey(df: DataFrame, cols: Seq[String], bits: Int = 16): DataFrame = {
+    val stats = df.agg(
+      min(col(cols.head)).cast(DoubleType).as(s"__mn0"),
+      (max(col(cols.head)).cast(DoubleType).as(s"__mx0") +:
+        cols.tail.zipWithIndex.flatMap { case (c, i) =>
+          Seq(min(col(c)).cast(DoubleType).as(s"__mn${i + 1}"),
+            max(col(c)).cast(DoubleType).as(s"__mx${i + 1}"))
+        }): _*)
+    val withStats = df.crossJoin(broadcast(stats))
+    val cells = cols.zipWithIndex.map { case (c, i) =>
+      quantize(col(c), col(s"__mn$i"), col(s"__mx$i"), bits)
+    }
+    withStats.withColumn("zkey", interleaveBits(cells, bits))
+      .drop(cols.indices.flatMap(i => Seq(s"__mn$i", s"__mx$i")): _*)
+  }
+
+  /**
+   * Rewrite `df` at `path` clustered by the Morton key over `cols`:
+   * range-partition on zkey into `nFiles` output tasks, sort within each,
+   * drop the key (it is derivable). Every output file then covers a tight
+   * box in all `cols` — that locality, not the key itself, is the product.
+   * One shuffle; at 100 TB run it per ingest partition (day/source) like
+   * any OPTIMIZE job, not over the whole table at once.
+   */
+  def zorderWrite(df: DataFrame, cols: Seq[String], path: String,
+      nFiles: Int, bits: Int = 16): Unit =
+    zorderKey(df, cols, bits)
+      .repartitionByRange(nFiles, col("zkey"))
+      .sortWithinPartitions(col("zkey"))
+      .drop("zkey")
+      .write.mode("overwrite").parquet(path)
+
+  /** Per-file zone map of `cols` at `path`: `(file, min_c, max_c, ...)`.
+    * O(#files) result rows — the manifest an engine prunes with. */
+  def zonemap(spark: SparkSession, path: String, cols: Seq[String]): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(cols.head)).as(s"min_${cols.head}"),
+        (max(col(cols.head)).as(s"max_${cols.head}") +:
+          cols.tail.flatMap(c =>
+            Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))): _*)
+
+  /**
+   * Read only the files whose zone-map box intersects every `(col, lo, hi)`
+   * range, with the residual row filter applied on top (files overlap box
+   * edges). The manifest collect is bounded by FILE count; at 100 TB
+   * persist [[zonemap]]'s output once per layout rewrite and read it back
+   * here instead of recomputing — the pruning logic is unchanged.
+   */
+  def prunedRead(spark: SparkSession, path: String,
+      ranges: Seq[(String, Double, Double)],
+      precomputedZonemap: Option[DataFrame] = None): DataFrame = {
+    val zm = precomputedZonemap.getOrElse(
+      zonemap(spark, path, ranges.map(_._1)))
+    val keep = ranges.map { case (c, lo, hi) =>
+      col(s"max_$c").cast(DoubleType) >= lo &&
+        col(s"min_$c").cast(DoubleType) <= hi
+    }.reduce(_ && _)
+    val files = zm.filter(keep).select(col("file"))
+      .collect().map(_.getString(0))
+    val residual = ranges.map { case (c, lo, hi) =>
+      col(c).cast(DoubleType) >= lo && col(c).cast(DoubleType) <= hi
+    }.reduce(_ && _)
+    if (files.isEmpty) spark.read.parquet(path).filter(residual).limit(0)
+    else spark.read.parquet(files: _*).filter(residual)
+  }
+}

@@ -111,6 +111,20 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // Z-order (Morton) layout key over (user_id, value) — the clustering
+    // key an OPTIMIZE-style rewrite sorts 100 TB by so that file/row-group
+    // min-max stats prune 2-D range predicates (Layout.zorderWrite /
+    // prunedRead; locality + pruning asserted in LayoutSpec). Stats are one
+    // broadcast row; the key itself is codegen'd bit arithmetic, replayed
+    // bit-for-bit by the oracle.
+    "zorder_key" -> ((s, d) =>
+      graft.operators.Layout.zorderKey(
+          events(s, d).select(col("event_id"), col("user_id"), col("value")),
+          Seq("user_id", "value"), bits = 8)
+        .select(col("event_id"), col("zkey"))
+        .orderBy(col("zkey"), col("event_id"))
+        .limit(200)),
+
     // time-bucketed streaming-style aggregation (batch form; the streaming
     // variant lives in graft.streaming)
     "events_hourly" -> ((s, d) =>
@@ -523,6 +537,24 @@ object RelationalQueries {
         |       count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM g GROUP BY user_id, sess_id
         |ORDER BY user_id, session_start""".stripMargin,
+
+    // Morton replay: same quantization op order (u * 256 inside floor,
+    // clamp to [0, 255]), then the 16 interleave terms generated from the
+    // one bit-placement rule Layout.interleaveBits uses (bit b of dim i →
+    // position b*2+i)
+    "zorder_key" -> {
+      val terms = (for { b <- 0 until 8; i <- 0 until 2 } yield
+        s"(((q$i >> $b) & 1) << ${b * 2 + i})").mkString(" | ")
+      s"""WITH st AS (SELECT CAST(min(user_id) AS DOUBLE) AS mn0,
+         |              CAST(max(user_id) AS DOUBLE) AS mx0,
+         |              min(value) AS mn1, max(value) AS mx1 FROM events),
+         |q AS (SELECT event_id,
+         |    CAST(least(greatest(floor((CAST(user_id AS DOUBLE) - mn0) / (mx0 - mn0) * 256.0), 0.0), 255.0) AS BIGINT) AS q0,
+         |    CAST(least(greatest(floor((value - mn1) / (mx1 - mn1) * 256.0), 0.0), 255.0) AS BIGINT) AS q1
+         |  FROM events CROSS JOIN st)
+         |SELECT event_id, $terms AS zkey FROM q
+         |ORDER BY zkey, event_id LIMIT 200""".stripMargin
+    },
 
     "events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
