@@ -24,6 +24,7 @@ import graft.index.DiskannParams
  *   DELETE FROM INDEX <name | ON '<path>'> WHERE ROW_ID IN (id, ...)
  *   VACUUM INDEX <name | ON '<path>'> [WITH (incremental=false)]
  *   REINDEX [INDEX] <name | ON '<path>'> [WITH (num_neighbors=..., ...)]
+ *   SHOW INDEX HISTORY <name | ON '<path>'>
  *
  * The last three complete the reference's index lifecycle in SQL: DELETE
  * registers durable tombstones (the heap DELETE whose visibility the scan
@@ -75,6 +76,9 @@ object GraftSqlParser {
     ("""(?is)^\s*REINDEX\s+(?:INDEX\s+)?""" +
       """(?:ON\s+(?:parquet\s*\.\s*`([^`]+)`|'([^']+)')|(?!ON\b)([\w.\-]+))""" +
       """\s*(?:WITH\s*\((.*)\))?\s*;?\s*$""").r
+  private val historyRe =
+    ("""(?is)^\s*SHOW\s+INDEX\s+HISTORY\s+""" +
+      """(?:ON\s+(?:parquet\s*\.\s*`([^`]+)`|'([^']+)')|(?!ON\b)([\w.\-]+))\s*;?\s*$""").r
   private val deleteRe =
     ("""(?is)^\s*DELETE\s+FROM\s+INDEX\s+""" +
       """(?:ON\s+(?:parquet\s*\.\s*`([^`]+)`|'([^']+)')|(?!ON\b)([\w.\-]+))""" +
@@ -302,6 +306,9 @@ object GraftSqlParser {
       Some(ReindexDiskannIndexCommand(
         if (name != null) Left(name) else Right(Option(tick).getOrElse(quoted)),
         parseOpts(withOpts)))
+    case historyRe(tick, quoted, name) =>
+      Some(ShowIndexHistoryCommand(
+        if (name != null) Left(name) else Right(Option(tick).getOrElse(quoted))))
     case deleteRe(tick, quoted, name, ids) =>
       Some(DeleteFromDiskannIndexCommand(
         if (name != null) Left(name) else Right(Option(tick).getOrElse(quoted)),
@@ -648,6 +655,46 @@ case class ReindexDiskannIndexCommand(target: Either[String, String],
       "generation_before" -> rootBefore,
       "generation_after" -> rootAfter
     ).map { case (k, v) => Row(k, v) }
+  }
+}
+
+/**
+ * `SHOW INDEX HISTORY <name | ON '<path>'>` — the installed generations of
+ * a versioned index, oldest first, one row each: compaction keeps the
+ * superseded generation on disk as the in-flight-reader grace window
+ * ([[graft.index.DiskannIndex.listVersions]]), so the previous snapshot
+ * stays queryable (time travel: pass `root` to the Scala search API) until
+ * the next compaction prunes it. A never-compacted flat index reports its
+ * single implicit generation. `num_rows` is each generation's LIVE row
+ * count — the audit trail of what every VACUUM/REINDEX folded.
+ */
+case class ShowIndexHistoryCommand(target: Either[String, String])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("generation", StringType, nullable = false)(),
+    AttributeReference("root", StringType, nullable = false)(),
+    AttributeReference("is_current", StringType, nullable = false)(),
+    AttributeReference("num_rows", StringType, nullable = false)(),
+    AttributeReference("modified", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val entry = GraftSqlParser.resolveEntry(target)
+    val ip = entry.indexPath
+    val versions = graft.index.DiskannIndex.listVersions(spark, ip)
+    val roots =
+      if (versions.isEmpty) Seq("flat" -> ip)
+      else versions.map(v => v -> s"$ip/versions/$v")
+    val current = graft.index.DiskannIndex.resolveRoot(spark, ip)
+    val fmt = java.time.format.DateTimeFormatter.ISO_INSTANT
+    roots.map { case (gen, root) =>
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val mtime = fmt.format(
+        java.time.Instant.ofEpochMilli(fs.getFileStatus(p).getModificationTime))
+      val n = graft.index.DiskannIndex.stats(spark, root).numRows
+      Row(gen, root, (root == current).toString, n.toString, mtime)
+    }
   }
 }
 

@@ -654,6 +654,20 @@ class KnnStrategySpec extends AnyFunSuite {
            |ORDER BY vec_cosine_dist(embedding, $qsql) LIMIT 10""".stripMargin)
       assert(q2.queryExecution.executedPlan.toString.contains("KnnIndexScan"))
       assert(q2.collect().map(_.getLong(0)).toSeq == pre)
+      // SHOW INDEX HISTORY: the REINDEX left its predecessor as the grace
+      // window; exactly one generation is current and it holds 399 rows
+      val hist = s2.sql("SHOW INDEX HISTORY m_idx").collect()
+      assert(hist.length >= 2, s"expected grace-window history, got:\n" +
+        hist.mkString("\n"))
+      val curRows = hist.filter(_.getString(2) == "true")
+      assert(curRows.length == 1)
+      assert(curRows(0).getString(3) == "399")
+      assert(curRows(0).getString(1) == ri("generation_after"))
+      // ...and the superseded generation is still a queryable snapshot
+      // (time travel): searching it directly answers from the OLD graph
+      val prevRoot = hist.filter(_.getString(2) == "false").last.getString(1)
+      assert(graft.index.DiskannIndex
+        .stats(s2, prevRoot).numRows == 399L)
       // typos and unknown targets fail loudly
       val typo = intercept[IllegalArgumentException](
         s2.sql("REINDEX m_idx WITH (numneighbors=2)"))
