@@ -240,6 +240,41 @@ object ScaleProbe {
           spark.read.parquet(docsPath(f)), "doc_id", "source", 1000,
           "probe7").count()
       },
+      // round 7 (cont. 2): the stored text index. Build should track the
+      // corpus (~1.0 — one tokenize+shuffle per batch); SERVING should grow
+      // only with the query terms' posting lists (df growth ≈ linear in
+      // corpus for common terms, but the scan stays pruned to ≤3 of 64
+      // buckets — the probe verifies serving cost stays a small fraction
+      // of a corpus pass). Ops run in declaration order, so the build leg
+      // materializes each factor's artifact before the search leg times it.
+      "text_index_build" -> { f =>
+        val p = s"$root/textidx_x$f"
+        graft.operators.TextIndex.buildTextIndex(
+          spark.read.parquet(docsPath(f)), "doc_id", "text", p)
+        spark.read.parquet(s"$p/corpusstats")
+          .agg(sum(col("n"))).head().getLong(0)
+      },
+      "text_index_search" -> { f =>
+        graft.operators.TextIndex.bm25SearchIndexed(spark,
+          s"$root/textidx_x$f", Seq("vector", "query", "dup"), n = 20).count()
+      },
+      // round 7 (cont. 2): Z-order rewrite is one range shuffle (expect
+      // ~1.0 with files scaled to hold per-file size constant); the pruned
+      // read touches ~box-fraction of rows via the file manifest, so its
+      // absolute time should stay a small fraction of the write's
+      "zorder_write" -> { f =>
+        val n = 100_000L * f
+        val df = spark.range(n).select(col("id"),
+          pmod(xxhash64(col("id"), lit(1)), lit(1000L)).cast("double").as("a"),
+          pmod(xxhash64(col("id"), lit(2)), lit(1000L)).cast("double").as("b"))
+        graft.operators.Layout.zorderWrite(df, Seq("a", "b"),
+          s"$root/zorder_x$f", nFiles = 16 * f)
+        n
+      },
+      "zonemap_pruned_read" -> { f =>
+        graft.operators.Layout.prunedRead(spark, s"$root/zorder_x$f",
+          Seq(("a", 100.0, 200.0), ("b", 100.0, 200.0))).count()
+      },
       "pagerank_distributed" -> { f =>
         val n = 20000L * f
         val edges = spark.range(n).select(col("id").as("src"),
