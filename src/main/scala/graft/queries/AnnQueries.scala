@@ -83,6 +83,30 @@ object AnnQueries {
         graft.operators.TextAnalysis.bm25TopRanked(docs, "doc_id", "text",
           Seq("vector", "query", "dup"), n = 50))
     }),
+    // Hybrid retrieval with BOTH legs served from STORED artifacts — the
+    // full production shape: vector candidates through the DiskANN graph,
+    // text candidates through the inverted text index's pruned postings
+    // (TextIndex), fused with the same RRF combiner. Only the text scores'
+    // summation discipline differs from hybrid_rrf_ann (per-term round +
+    // decimal sum — see TextIndex), so this entry carries its own oracle.
+    "hybrid_rrf_stored" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val path = ensureIndex(s, d, "cos", emb(s, d), labeled = false)
+      val vtop = finish(DiskannIndex.search(s, path, queryDf(s, d, None),
+          k = 51, searchListSize = 600, rescore = 600), 50, excludeSelf = true)
+        .select(col("vec_id").as("id"), col("dist").as("vdist"))
+        // global window is BOUNDED: the 50-row post-finish top list only
+        .withColumn("ra",
+          row_number().over(Window.orderBy(col("vdist"), col("id"))))
+      val tpath = PipelineQueries.ensureTextIndex(s, d)
+      val btop = graft.operators.TextIndex.bm25SearchIndexed(s, tpath,
+          Seq("vector", "query", "dup"), n = 50)
+        .select(col("id"), col("bm25").as("bscore"))
+        // BOUNDED for the same reason: 50 rows post-limit
+        .withColumn("rb",
+          row_number().over(Window.orderBy(col("bscore").desc, col("id"))))
+      graft.operators.Similarity.rrfFuse(vtop, btop)
+    }),
     // late-interaction retrieval through the INDEX: each query-bag vector
     // retrieves candidates via graph search, candidate DOCS are re-scored
     // with the exact MaxSim kernel over ALL their vectors (a doc in the

@@ -37,6 +37,57 @@ object PipelineQueries {
   }
   private val textIndexLock = new Object
 
+  /** Oracle for hybrid_rrf_stored (query lives in AnnQueries, SQL here so
+    * it can share `sqlTokens`): the bm25_indexed decimal-sum CTEs feed the
+    * text leg, the exact-cosine top-50 feeds the vector leg (the widened
+    * graph search is exhaustive at verification scale), fused with the
+    * standard RRF combiner in the Spark side's operand order. */
+  private[queries] lazy val sqlHybridStoredOracle: String =
+    s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+       |f AS (SELECT doc_id, len(w) AS dl,
+       |        len(list_filter(w, x -> x = 'vector')) AS tf0,
+       |        len(list_filter(w, x -> x = 'query')) AS tf1,
+       |        len(list_filter(w, x -> x = 'dup')) AS tf2
+       |      FROM t),
+       |st AS (SELECT count(*) AS n, sum(dl) AS sumdl,
+       |         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+       |         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+       |         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+       |       FROM f),
+       |sc AS (SELECT doc_id,
+       |    CAST(round(ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * CAST(tf0 AS DOUBLE) * (1.2 + 1.0)
+       |      / (CAST(tf0 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n))), 6) AS DECIMAL(20,6))
+       |  + CAST(round(ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * CAST(tf1 AS DOUBLE) * (1.2 + 1.0)
+       |      / (CAST(tf1 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n))), 6) AS DECIMAL(20,6))
+       |  + CAST(round(ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * CAST(tf2 AS DOUBLE) * (1.2 + 1.0)
+       |      / (CAST(tf2 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n))), 6) AS DECIMAL(20,6))
+       |  AS bm25d
+       |  FROM f CROSS JOIN st),
+       |btop AS (SELECT doc_id AS id, CAST(bm25d AS DOUBLE) AS bscore FROM sc
+       |  WHERE bm25d > 0 ORDER BY bscore DESC, id LIMIT 50),
+       |br AS (SELECT id, row_number() OVER (ORDER BY bscore DESC, id) AS rb FROM btop),
+       |vtop AS (SELECT vec_id AS id,
+       |    round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+       |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS vdist
+       |  FROM embeddings WHERE vec_id <> 0 ORDER BY vdist, id LIMIT 50),
+       |vr AS (SELECT id, row_number() OVER (ORDER BY vdist, id) AS rv FROM vtop)
+       |SELECT coalesce(vr.id, br.id) AS id,
+       |  round(coalesce(1.0 / (60 + rv), 0) + coalesce(1.0 / (60 + rb), 0), 6) AS rrf
+       |FROM vr FULL OUTER JOIN br ON vr.id = br.id
+       |ORDER BY rrf DESC, id LIMIT 20""".stripMargin
+
+  /** Build-once handle to the per-sf stored text index (shared by
+    * bm25_indexed here and hybrid_rrf_stored in AnnQueries). */
+  private[queries] def ensureTextIndex(s: SparkSession, d: String): String = {
+    val path = textIndexPath(s, d)
+    textIndexLock.synchronized {
+      if (!new java.io.File(s"$path/corpusstats/_SUCCESS").exists()) {
+        TextIndex.buildTextIndex(docs(s, d), "doc_id", "text", path)
+      }
+    }
+    path
+  }
+
   // DuckDB equivalents of TextAnalysis.tokens / Dedup.shingles — kept in one
   // place so the Spark and oracle definitions cannot drift apart.
   private val sqlTokens =
@@ -1407,16 +1458,10 @@ object PipelineQueries {
     // stats folded from per-batch rows — the repeated-query access path at
     // corpus scale. Scores differ from bm25_search only in the summation
     // discipline (per-term round + decimal sum; see TextIndex Scaladoc).
-    "bm25_indexed" -> ((s, d) => {
-      val path = textIndexPath(s, d)
-      textIndexLock.synchronized {
-        if (!new java.io.File(s"$path/corpusstats/_SUCCESS").exists()) {
-          TextIndex.buildTextIndex(docs(s, d), "doc_id", "text", path)
-        }
-      }
-      TextIndex.bm25SearchIndexed(s, path, Seq("vector", "query", "dup"))
-        .select(col("id").as("doc_id"), col("bm25"))
-    }),
+    "bm25_indexed" -> ((s, d) =>
+      TextIndex.bm25SearchIndexed(s, ensureTextIndex(s, d),
+          Seq("vector", "query", "dup"))
+        .select(col("id").as("doc_id"), col("bm25"))),
 
     // Hybrid retrieval with reciprocal-rank fusion: fuse the BM25 top-50 and
     // the vector top-50 (same fixed query as knn_exact_cosine) by
@@ -3317,6 +3362,8 @@ object PipelineQueries {
          |  FROM f CROSS JOIN st)
          |SELECT doc_id, CAST(bm25d AS DOUBLE) AS bm25 FROM sc WHERE bm25d > 0
          |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    "hybrid_rrf_stored" -> sqlHybridStoredOracle,
 
     // hybrid retrieval: the bm25 CTEs verbatim + the exact-cosine top-50,
     // ranks over ROUNDED scores, RRF sum in the Spark side's operand order
