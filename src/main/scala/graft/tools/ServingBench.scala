@@ -26,7 +26,72 @@ import graft.index.{DiskannIndex, DiskannParams}
  *   sbt 'runMain graft.tools.ServingBench x100 /tmp/graft_scaleprobe/emb_x100'
  */
 object ServingBench {
+
+  /** `--text [docsParquet]`: BM25 serving through the STORED text index
+    * ([[graft.operators.TextIndex]]) vs the one-shot corpus scorer, same
+    * caller-shaped measurement as the ANN legs (collect, not count).
+    * Query bags rotate over the corpus's top-df terms so the pruned
+    * buckets differ per query — no single-partition cache flattery. */
+  private def runText(spark: SparkSession, docsParquet: String): Unit = {
+    import graft.operators.{TextAnalysis, TextIndex}
+    val docs = spark.read.parquet(docsParquet).cache()
+    val nDocs = docs.count()
+    val tag = docsParquet.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"/tmp/graft_servingbench/text_$tag"
+    if (!new java.io.File(s"$path/corpusstats/_SUCCESS").exists())
+      TextIndex.buildTextIndex(docs, "doc_id", "text", path)
+    // 96 highest-df terms → 32 rotating 3-term bags (deterministic)
+    val top = spark.read.parquet(s"$path/termstats")
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .orderBy(col("df").desc, col("term")).limit(96)
+      .collect().map(_.getString(0))
+    val bags = top.grouped(3).toSeq
+    bags.take(4).foreach(b => // warm: file listings, codegen
+      TextIndex.bm25SearchIndexed(spark, path, b.toSeq, n = 20).collect())
+    val lats = bags.map { b =>
+      val t0 = System.nanoTime()
+      val n = TextIndex.bm25SearchIndexed(spark, path, b.toSeq, n = 20)
+        .collect().length
+      require(n > 0, s"empty result for bag ${b.mkString(",")}")
+      (System.nanoTime() - t0) / 1e6
+    }.sorted
+    val p50 = lats(lats.length / 2)
+    val p95 = lats(math.min(lats.length - 1, (lats.length * 95) / 100))
+    // the no-index cost: one-shot scorer = full tokenize pass per query
+    val blats = bags.take(8).map { b =>
+      val t0 = System.nanoTime()
+      TextAnalysis.bm25(docs, "doc_id", "text", b.toSeq)
+        .filter(col("bm25") > 0)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(20).collect()
+      (System.nanoTime() - t0) / 1e6
+    }.sorted
+    val bp50 = blats(blats.length / 2)
+    Console.err.println(f"[servingbench] text index ms: p50=$p50%.1f " +
+      f"p95=$p95%.1f; one-shot p50=$bp50%.1f (vocab=${top.length} terms)")
+    // n_terms matters for reading the number: the synthetic corpus has a
+    // ~31-word vocabulary, so EVERY posting list is corpus-sized — the
+    // inverted index's worst case (a Zipfian corpus's selective terms have
+    // short pruned postings and serve near-constant). The speedup here is
+    // pure tokenize-avoidance + columnar postings; treat it as the FLOOR.
+    println(f"""{"metric":"servingbench_text","docs":"$docsParquet",""" +
+      f""""n_docs":$nDocs,"n_terms":${top.length},"nq":${bags.length},""" +
+      f""""indexed_p50_ms":$p50%.1f,"indexed_p95_ms":$p95%.1f,""" +
+      f""""oneshot_p50_ms":$bp50%.1f,"speedup_p50":${bp50 / p50}%.2f}""")
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.contains("--text")) {
+      val rest = args.filterNot(_ == "--text")
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = SparkSession.builder().master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      runText(spark, rest.headOption
+        .getOrElse("/tmp/graft_scaleprobe/docs_x100"))
+      spark.stop()
+      return
+    }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val nq = sys.env.getOrElse("SPARK_GRAFT_NQ", "512").toInt
