@@ -66,32 +66,53 @@ object TextIndex {
     java.lang.Long.parseLong(hex.substring(17, 32), 16) % nBuckets.toLong
   }
 
-  /** Build the index from scratch (overwrites `path`) as batch 0. */
+  /** Build the index from scratch (overwrites `path`) as batch 0.
+    * `positions = true` stores each term's token offsets on the posting
+    * row (the positional index that [[phraseSearchIndexed]] needs) — the
+    * standard positional-postings cost: O(token count) ints instead of
+    * O(type count) rows, so leave it off when only BM25 serving matters.
+    * BM25 never reads the column either way (parquet column pruning). */
   def buildTextIndex(df: DataFrame, idCol: String, textCol: String,
-      path: String, nBuckets: Int = 64): Unit =
+      path: String, nBuckets: Int = 64, positions: Boolean = false): Unit =
     writeBatch(df, idCol, textCol, path, nBuckets, batchId = 0L,
-      mode = SaveMode.Overwrite)
+      mode = SaveMode.Overwrite, positions = positions)
 
-  /** Append a batch of NEW docs (ids must not already be indexed). */
+  /** Append a batch of NEW docs (ids must not already be indexed).
+    * Positions on/off follows the existing index's schema — a mixed index
+    * would silently break phrase search on the appended slice. */
   def appendTextIndex(df: DataFrame, idCol: String, textCol: String,
       path: String, batchId: Long, nBuckets: Int = 64): Unit = {
     require(batchId > 0L, "append batches start at 1 (0 is the build)")
-    writeBatch(df, idCol, textCol, path, nBuckets, batchId, SaveMode.Append)
+    val positions = df.sparkSession.read.parquet(s"$path/postings")
+      .columns.contains("pos")
+    writeBatch(df, idCol, textCol, path, nBuckets, batchId, SaveMode.Append,
+      positions)
   }
 
   private def writeBatch(df: DataFrame, idCol: String, textCol: String,
-      path: String, nBuckets: Int, batchId: Long, mode: SaveMode): Unit = {
+      path: String, nBuckets: Int, batchId: Long, mode: SaveMode,
+      positions: Boolean): Unit = {
     val spark = df.sparkSession
     val toks = df.select(col(idCol).as("id"),
         TextAnalysis.tokens(col(textCol)).as("__w"))
       .select(col("id"), col("__w"),
         size(col("__w")).cast(LongType).as("dl"))
-    // one shuffle (term,id): per-doc term frequencies, dl carried along
-    toks.select(col("id"), col("dl"), explode(col("__w")).as("term"))
-      .groupBy(col("term"), col("id"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
-      .select(col("term"), col("id"), col("tf"), col("dl"),
-        lit(batchId).as("batch"), termBucket(col("term"), nBuckets).as("tb"))
+    // one shuffle (term,id): per-doc term frequencies, dl carried along;
+    // positions sorted so the array is deterministic under any partitioning
+    val exploded =
+      if (positions)
+        toks.select(col("id"), col("dl"),
+            posexplode(col("__w")).as(Seq("p", "term")))
+          .groupBy(col("term"), col("id"), col("dl"))
+          .agg(count(lit(1)).as("tf"),
+            sort_array(collect_list(col("p"))).as("pos"))
+      else
+        toks.select(col("id"), col("dl"), explode(col("__w")).as("term"))
+          .groupBy(col("term"), col("id"), col("dl"))
+          .agg(count(lit(1)).as("tf"))
+    exploded
+      .withColumn("batch", lit(batchId))
+      .withColumn("tb", termBucket(col("term"), nBuckets))
       .write.mode(mode).partitionBy("batch", "tb")
       .parquet(s"$path/postings")
     // df derives from the postings JUST WRITTEN (read back the new batch's
@@ -145,6 +166,46 @@ object TextIndex {
       .select(col("id"), col("__s").cast(DoubleType).as("bm25"))
       .filter(col("bm25") > 0)
       .orderBy(col("bm25").desc, col("id"))
+      .limit(n)
+  }
+
+  /**
+   * Exact-phrase search against a positional index (`positions = true` at
+   * build): docs where `phrase`'s terms appear at consecutive token
+   * offsets, with the occurrence count. Returns `(id, n_occurrences)`,
+   * most occurrences first, ties on id.
+   *
+   * Plan shape: each phrase slot reads the SAME bucket-pruned posting scan
+   * filtered to its term, and the slots meet in an |phrase|-way equi-join
+   * on doc id — the classic posting-list intersection, sized by the
+   * phrase's rarest term (AQE broadcasts the small sides), never by the
+   * corpus. Adjacency is then a per-row array check: position p of slot 0
+   * survives iff slot i's array contains p+i for every i — `filter` +
+   * `array_contains` over the row's own arrays, no further shuffle.
+   */
+  def phraseSearchIndexed(spark: SparkSession, path: String,
+      phrase: Seq[String], nBuckets: Int = 64, n: Int = 20): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearchIndexed needs a non-empty phrase")
+    val post = spark.read.parquet(s"$path/postings")
+    require(post.columns.contains("pos"),
+      s"index at $path was built without positions=true; phrase search " +
+        "needs positional postings")
+    val bks = phrase.map(termBucketOf(_, nBuckets)).distinct
+      .map(java.lang.Long.valueOf)
+    val pruned = post
+      .filter(col("tb").isin(bks: _*) && col("term").isin(phrase.distinct: _*))
+    val slots = phrase.zipWithIndex.map { case (t, i) =>
+      pruned.filter(col("term") === t)
+        .select(col("id"), col("pos").as(s"__p$i"))
+    }
+    val joined = slots.reduce((a, b) => a.join(b, "id"))
+    val occ = size(filter(col("__p0"), p =>
+      (1 until phrase.length)
+        .map(i => array_contains(col(s"__p$i"), p + i))
+        .reduceOption(_ && _).getOrElse(lit(true))))
+    joined.select(col("id"), occ.cast(LongType).as("n_occurrences"))
+      .filter(col("n_occurrences") > 0)
+      .orderBy(col("n_occurrences").desc, col("id"))
       .limit(n)
   }
 }

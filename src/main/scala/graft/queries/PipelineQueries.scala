@@ -33,7 +33,9 @@ object PipelineQueries {
       catch { case _: java.io.FileNotFoundException => "missing" }
     val fp = java.security.MessageDigest.getInstance("MD5")
       .digest(listing.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    s"/tmp/graft_index/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/textidx_$fp"
+    // "textidx2": build params are part of the cache key (round 7 added
+    // positions=true — a stale positionless artifact must not be served)
+    s"/tmp/graft_index/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/textidx2_$fp"
   }
   private val textIndexLock = new Object
 
@@ -82,7 +84,10 @@ object PipelineQueries {
     val path = textIndexPath(s, d)
     textIndexLock.synchronized {
       if (!new java.io.File(s"$path/corpusstats/_SUCCESS").exists()) {
-        TextIndex.buildTextIndex(docs(s, d), "doc_id", "text", path)
+        // positional build: one artifact serves both BM25 (never reads the
+        // pos column) and phrase_search
+        TextIndex.buildTextIndex(docs(s, d), "doc_id", "text", path,
+          positions = true)
       }
     }
     path
@@ -1462,6 +1467,15 @@ object PipelineQueries {
       TextIndex.bm25SearchIndexed(s, ensureTextIndex(s, d),
           Seq("vector", "query", "dup"))
         .select(col("id").as("doc_id"), col("bm25"))),
+
+    // Exact-phrase search through the positional postings: an
+    // |phrase|-way pruned posting intersection on doc id + a per-row
+    // adjacency check over the position arrays — sized by the phrase's
+    // rarest term, never the corpus.
+    "phrase_search" -> ((s, d) =>
+      TextIndex.phraseSearchIndexed(s, ensureTextIndex(s, d),
+          Seq("table", "hash"), n = 30)
+        .select(col("id").as("doc_id"), col("n_occurrences"))),
 
     // Hybrid retrieval with reciprocal-rank fusion: fuse the BM25 top-50 and
     // the vector top-50 (same fixed query as knn_exact_cosine) by
@@ -3364,6 +3378,18 @@ object PipelineQueries {
          |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
 
     "hybrid_rrf_stored" -> sqlHybridStoredOracle,
+
+    // phrase replay straight off the token lists: count offsets i where
+    // both phrase words match consecutively (1-based list indexing)
+    "phrase_search" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+         |c AS (SELECT doc_id,
+         |        CASE WHEN len(w) < 2 THEN 0
+         |             ELSE len(list_filter(range(1, len(w)),
+         |               i -> w[i] = 'table' AND w[i+1] = 'hash')) END AS n_occurrences
+         |      FROM t)
+         |SELECT doc_id, n_occurrences FROM c WHERE n_occurrences > 0
+         |ORDER BY n_occurrences DESC, doc_id LIMIT 30""".stripMargin,
 
     // hybrid retrieval: the bm25 CTEs verbatim + the exact-cosine top-50,
     // ranks over ROUNDED scores, RRF sum in the Spark side's operand order

@@ -82,6 +82,51 @@ class TextIndexSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$path/corpusstats").count() == 2)
   }
 
+  test("phrase search: adjacency, occurrence counts, repeated terms") {
+    val corpus = Seq(
+      (1L, "big data big data big"), // "big data" x2, "data big" x2
+      (2L, "data big"),
+      (3L, "big big big"),           // "big big" x2 (overlapping)
+      (4L, "data data"),
+      (5L, "")).toDF("doc_id", "text")
+    val path = "/tmp/graft_test_index/textidx_phrase"
+    TextIndex.buildTextIndex(corpus, "doc_id", "text", path,
+      positions = true)
+    def search(p: String*): Seq[(Long, Long)] =
+      TextIndex.phraseSearchIndexed(spark, path, p, n = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(search("big", "data") == Seq((1L, 2L)))
+    assert(search("data", "big") == Seq((1L, 2L), (2L, 1L)))
+    // doc 1 alternates big/data — no ADJACENT big pair there
+    assert(search("big", "big") == Seq((3L, 2L)))
+    assert(search("big", "data", "big") == Seq((1L, 2L)))
+    assert(search("data", "data") == Seq((4L, 1L)))
+    // 3-occurrence tie between docs 1 and 3 breaks on id
+    assert(search("big") == Seq((1L, 3L), (3L, 3L), (2L, 1L)))
+    assert(search("missing", "data").isEmpty)
+    // a positionless index refuses instead of answering wrong
+    val flat = "/tmp/graft_test_index/textidx_noflat"
+    TextIndex.buildTextIndex(corpus, "doc_id", "text", flat)
+    val e = intercept[IllegalArgumentException](
+      TextIndex.phraseSearchIndexed(spark, flat, Seq("big", "data")))
+    assert(e.getMessage.contains("positions"))
+  }
+
+  test("phrase search on real docs matches a token-list recompute") {
+    val path = "/tmp/graft_test_index/textidx_phrase_real"
+    TextIndex.buildTextIndex(docs, "doc_id", "text", path, positions = true)
+    val got = TextIndex.phraseSearchIndexed(spark, path,
+        Seq("table", "hash"), n = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expect = docs.select($"doc_id", $"text").collect().map { r =>
+      val w = r.getString(1).trim.split("\\s+").filter(_.nonEmpty)
+      r.getLong(0) -> w.sliding(2).count(s =>
+        s.length == 2 && s(0) == "table" && s(1) == "hash").toLong
+    }.filter(_._2 > 0).sortBy { case (id, c) => (-c, id) }.toSeq
+    assert(got == expect.take(1000))
+    assert(got.nonEmpty, "fixture should contain the phrase")
+  }
+
   test("empty docs count toward N and sumdl (dl = 0)") {
     val corpus = Seq((1L, "dup dup vector"), (2L, "   "), (3L, "query"),
       (4L, "")).toDF("doc_id", "text")
