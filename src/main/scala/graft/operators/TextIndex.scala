@@ -56,6 +56,13 @@ object TextIndex {
   def termBucket(term: Column, nBuckets: Int): Column =
     pmod(Curation.md5Low60(term), lit(nBuckets.toLong))
 
+  /** Generation root of the index — the SAME `versions/v%09d`, highest-
+    * wins, atomic-rename convention the ANN index uses
+    * ([[graft.index.DiskannIndex.resolveRoot]]), reused verbatim so both
+    * stored artifacts share one lifecycle story (and one set of tools). */
+  def resolveRoot(spark: SparkSession, path: String): String =
+    graft.index.DiskannIndex.resolveRoot(spark, path)
+
   /** Driver-side replica of [[termBucket]], for planning-time pruning:
     * the query needs LITERAL bucket values so Catalyst can prune the scan
     * before execution, not a runtime filter. One definition pair kept
@@ -73,9 +80,23 @@ object TextIndex {
     * O(type count) rows, so leave it off when only BM25 serving matters.
     * BM25 never reads the column either way (parquet column pruning). */
   def buildTextIndex(df: DataFrame, idCol: String, textCol: String,
-      path: String, nBuckets: Int = 64, positions: Boolean = false): Unit =
+      path: String, nBuckets: Int = 64, positions: Boolean = false): Unit = {
     writeBatch(df, idCol, textCol, path, nBuckets, batchId = 0L,
       mode = SaveMode.Overwrite, positions = positions)
+    // build-time constants (bucket count, positions) — one tiny parquet at
+    // the INDEX path (not the generation root: they never change per-gen)
+    val spark = df.sparkSession
+    spark.createDataFrame(Seq((nBuckets, positions)))
+      .toDF("n_buckets", "positions")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/idxmeta")
+  }
+
+  case class TextIndexMeta(nBuckets: Int, positions: Boolean)
+
+  def readMeta(spark: SparkSession, path: String): TextIndexMeta = {
+    val r = spark.read.parquet(s"$path/idxmeta").head()
+    TextIndexMeta(r.getAs[Int]("n_buckets"), r.getAs[Boolean]("positions"))
+  }
 
   /** Append a batch of NEW docs (ids must not already be indexed).
     * Positions on/off follows the existing index's schema — a mixed index
@@ -83,10 +104,21 @@ object TextIndex {
   def appendTextIndex(df: DataFrame, idCol: String, textCol: String,
       path: String, batchId: Long, nBuckets: Int = 64): Unit = {
     require(batchId > 0L, "append batches start at 1 (0 is the build)")
-    val positions = df.sparkSession.read.parquet(s"$path/postings")
+    val root = resolveRoot(df.sparkSession, path)
+    val positions = df.sparkSession.read.parquet(s"$root/postings")
       .columns.contains("pos")
-    writeBatch(df, idCol, textCol, path, nBuckets, batchId, SaveMode.Append,
+    writeBatch(df, idCol, textCol, root, nBuckets, batchId, SaveMode.Append,
       positions)
+  }
+
+  /** Smallest batch id strictly above every batch in the current
+    * generation (compaction folds everything into batch 0, so this resets
+    * to 1 after a fold). One tiny corpusstats read. */
+  def nextBatchId(spark: SparkSession, path: String): Long = {
+    val root = resolveRoot(spark, path)
+    // batch is a PARTITION column — inferred as int on read, hence the cast
+    spark.read.parquet(s"$root/corpusstats")
+      .agg(max(col("batch")).cast(LongType)).head().getLong(0) + 1L
   }
 
   private def writeBatch(df: DataFrame, idCol: String, textCol: String,
@@ -145,14 +177,15 @@ object TextIndex {
       nBuckets: Int = 64, k1: Double = 1.2, b: Double = 0.75,
       n: Int = 20): DataFrame = {
     require(terms.nonEmpty, "bm25SearchIndexed needs at least one query term")
+    val root = resolveRoot(spark, path)
     val bks = terms.map(termBucketOf(_, nBuckets)).distinct
       .map(java.lang.Long.valueOf)
-    val st = spark.read.parquet(s"$path/corpusstats")
+    val st = spark.read.parquet(s"$root/corpusstats")
       .agg(sum(col("n")).as("__n"), sum(col("sumdl")).as("__sumdl"))
-    val tstats = spark.read.parquet(s"$path/termstats")
+    val tstats = spark.read.parquet(s"$root/termstats")
       .filter(col("tb").isin(bks: _*) && col("term").isin(terms: _*))
       .groupBy(col("term")).agg(sum(col("df")).as("__df"))
-    val post = spark.read.parquet(s"$path/postings")
+    val post = spark.read.parquet(s"$root/postings")
       .filter(col("tb").isin(bks: _*) && col("term").isin(terms: _*))
     val avgdl = col("__sumdl").cast(DoubleType) / col("__n")
     val lenNorm = lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl)
@@ -186,7 +219,8 @@ object TextIndex {
   def phraseSearchIndexed(spark: SparkSession, path: String,
       phrase: Seq[String], nBuckets: Int = 64, n: Int = 20): DataFrame = {
     require(phrase.nonEmpty, "phraseSearchIndexed needs a non-empty phrase")
-    val post = spark.read.parquet(s"$path/postings")
+    val root = resolveRoot(spark, path)
+    val post = spark.read.parquet(s"$root/postings")
     require(post.columns.contains("pos"),
       s"index at $path was built without positions=true; phrase search " +
         "needs positional postings")
@@ -208,4 +242,113 @@ object TextIndex {
       .orderBy(col("n_occurrences").desc, col("id"))
       .limit(n)
   }
+
+  /**
+   * Fold every batch of the current generation into a single batch-0
+   * generation, installed under `path/versions/v%09d` by one atomic rename
+   * (the ANN compactor's install discipline). Returns false (no-op) when
+   * only one batch exists. Query-time cost of un-compacted batches is
+   * extra FILES in the same pruned buckets, so compaction is a file-count
+   * (open/list overhead) lever, not a correctness one; run it when batch
+   * count grows large, like any small-files job.
+   *
+   * Postings rows are copied verbatim (positions preserved); term df and
+   * corpus totals fold by SUM — exact under the append contract (a doc id
+   * appears in exactly one batch). Generations older than the immediate
+   * predecessor are pruned; the predecessor stays as the in-flight-reader
+   * grace window, exactly like the ANN index.
+   */
+  def compactTextIndex(spark: SparkSession, path: String): Boolean = {
+    val root = resolveRoot(spark, path)
+    val nBatches = spark.read.parquet(s"$root/corpusstats").count()
+    if (nBatches <= 1L) return false
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val next = graft.index.DiskannIndex.listVersions(spark, path)
+      .lastOption.map(_.stripPrefix("v").toInt + 1).getOrElse(1)
+    val vName = f"v$next%09d"
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/_compact_tmp_$vName")
+    fs.delete(tmp, true)
+    // the bucket count is a build-time constant recorded in idxmeta —
+    // re-deriving tb from the term through the SAME definition (rather
+    // than trusting directory names) keeps one route definition
+    val nB = readMeta(spark, path).nBuckets
+    spark.read.parquet(s"$root/postings")
+      .drop("batch", "tb")
+      .withColumn("batch", lit(0L))
+      .withColumn("tb", termBucket(col("term"), nB))
+      .write.mode(SaveMode.Overwrite).partitionBy("batch", "tb")
+      .parquet(s"$tmp/postings")
+    spark.read.parquet(s"$root/termstats")
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .withColumn("batch", lit(0L))
+      .withColumn("tb", termBucket(col("term"), nB))
+      .write.mode(SaveMode.Overwrite).partitionBy("batch", "tb")
+      .parquet(s"$tmp/termstats")
+    spark.read.parquet(s"$root/corpusstats")
+      .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl"))
+      .withColumn("batch", lit(0L))
+      .write.mode(SaveMode.Overwrite).partitionBy("batch")
+      .parquet(s"$tmp/corpusstats")
+    val vdir = new org.apache.hadoop.fs.Path(s"$path/versions")
+    fs.mkdirs(vdir)
+    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(vdir, vName)),
+      s"failed to install generation $vName")
+    // prune everything older than the grace-window predecessor (= the root
+    // we just superseded); the flat root's data dirs count once versioned
+    val keep = Set(s"$path/versions/$vName", root)
+    graft.index.DiskannIndex.listVersions(spark, path)
+      .map(v => s"$path/versions/$v")
+      .filterNot(keep)
+      .foreach(g => fs.delete(new org.apache.hadoop.fs.Path(g), true))
+    if (!keep(path)) {
+      Seq("postings", "termstats", "corpusstats").foreach { d =>
+        val flat = new org.apache.hadoop.fs.Path(s"$path/$d")
+        if (fs.exists(flat) && root != path) fs.delete(flat, true)
+      }
+    }
+    true
+  }
+
+  /**
+   * Replay-safe foreachBatch sink: appends a micro-batch as physical batch
+   * `STREAM_BATCH_BASE + streamBatchId`. foreachBatch is at-least-once, so
+   * a marker commits AFTER the append; on replay, a marked batch is
+   * skipped and an UNMARKED partial (crash between append and marker) is
+   * deleted and rewritten — the same idempotence discipline as the ANN
+   * monitors' batchId guard. Manual [[appendTextIndex]] ids must stay
+   * below the base.
+   */
+  val STREAM_BATCH_BASE: Long = 1L << 20
+
+  def appendBatchIdempotent(idCol: String, textCol: String, path: String,
+      nBuckets: Int = 64)(batch: DataFrame, streamBatchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val root = resolveRoot(spark, path)
+    val phys = STREAM_BATCH_BASE + streamBatchId
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    val marker = new org.apache.hadoop.fs.Path(s"$root/_stream/b$phys")
+    if (fs.exists(marker)) return // fully committed on a previous attempt
+    Seq("postings", "termstats", "corpusstats").foreach { d =>
+      // torn previous attempt: remove its partition dirs before rewriting
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/$d/batch=$phys"), true)
+    }
+    appendTextIndex(batch, idCol, textCol, path, phys, nBuckets)
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
+  }
+
+  /** Start a streaming query feeding `stream` (idCol, textCol columns)
+    * into the index — the text twin of
+    * [[graft.streaming.StreamingIngest.startDeltaIngest]]. */
+  def startTextIngest(stream: DataFrame, idCol: String, textCol: String,
+      path: String, checkpoint: String,
+      nBuckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBatchIdempotent(idCol, textCol, path, nBuckets)(batch, batchId)
+      }
+      .start()
 }

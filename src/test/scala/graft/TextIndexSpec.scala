@@ -127,6 +127,95 @@ class TextIndexSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture should contain the phrase")
   }
 
+  test("compaction folds batches into one installed generation") {
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    val path = "/tmp/graft_test_index/textidx_compact"
+    deleteRec(new java.io.File(path))
+    val ids = docs.select(min($"doc_id"), max($"doc_id")).head()
+    val mid = (ids.getLong(0) + ids.getLong(1)) / 2
+    TextIndex.buildTextIndex(docs.filter($"doc_id" <= mid),
+      "doc_id", "text", path, positions = true)
+    TextIndex.appendTextIndex(docs.filter($"doc_id" > mid),
+      "doc_id", "text", path, batchId = TextIndex.nextBatchId(spark, path))
+    val before = TextIndex.bm25SearchIndexed(spark, path, terms, n = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val pBefore = TextIndex.phraseSearchIndexed(spark, path,
+        Seq("table", "hash"), n = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    assert(TextIndex.compactTextIndex(spark, path))
+    val root = TextIndex.resolveRoot(spark, path)
+    assert(root.contains("/versions/v"), s"not versioned: $root")
+    // one folded batch, flat data dirs pruned only when out of grace
+    assert(spark.read.parquet(s"$root/corpusstats").count() == 1)
+    val after = TextIndex.bm25SearchIndexed(spark, path, terms, n = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after == before, "compaction changed BM25 results")
+    val pAfter = TextIndex.phraseSearchIndexed(spark, path,
+        Seq("table", "hash"), n = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pAfter == pBefore, "compaction lost positions")
+    // idempotent: single batch → no-op
+    assert(!TextIndex.compactTextIndex(spark, path))
+    // append AFTER compaction lands in the new generation and folds in
+    assert(TextIndex.nextBatchId(spark, path) == 1L)
+    TextIndex.appendTextIndex(
+      Seq((999999L, "table hash table hash")).toDF("doc_id", "text"),
+      "doc_id", "text", path, batchId = 1L)
+    val p2 = TextIndex.phraseSearchIndexed(spark, path,
+      Seq("table", "hash"), n = 5).collect()
+    assert(p2.head.getLong(0) == 999999L && p2.head.getLong(1) == 2L)
+    // second compaction installs v2 and prunes v1's predecessor state
+    assert(TextIndex.compactTextIndex(spark, path))
+    assert(TextIndex.resolveRoot(spark, path).endsWith("v000000002"))
+    // grace window: exactly the current + predecessor generations remain
+    assert(graft.index.DiskannIndex.listVersions(spark, path)
+      == Seq("v000000001", "v000000002"))
+    // flat root's data dirs were pruned once out of the grace window
+    assert(!new java.io.File(s"$path/postings").exists())
+  }
+
+  test("streaming ingest: replay-safe appends, results match a full build") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val path = "/tmp/graft_test_index/textidx_stream"
+    val ckpt = s"$path.ckpt"
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    deleteRec(new java.io.File(path)); deleteRec(new java.io.File(ckpt))
+    val ids = docs.select(min($"doc_id"), max($"doc_id")).head()
+    val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+    val third = (hi - lo) / 3
+    TextIndex.buildTextIndex(docs.filter($"doc_id" <= lo + third),
+      "doc_id", "text", path, positions = true)
+    val rows = docs.filter($"doc_id" > lo + third)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val (b1, b2) = rows.partition(_._1 <= lo + 2 * third)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = TextIndex.startTextIngest(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", path, ckpt)
+    mem.addData(b1.toSeq: _*); q.processAllAvailable()
+    mem.addData(b2.toSeq: _*); q.processAllAvailable()
+    q.stop()
+    val got = TextIndex.bm25SearchIndexed(spark, path, terms, n = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expected(docs, 20),
+      "streamed index diverged from the full corpus")
+    // manual replay of an already-committed stream batch is a no-op
+    val statsBefore = spark.read
+      .parquet(s"${TextIndex.resolveRoot(spark, path)}/corpusstats").count()
+    TextIndex.appendBatchIdempotent("doc_id", "text", path)(
+      b2.toSeq.toDF("doc_id", "text"), 1L)
+    val statsAfter = spark.read
+      .parquet(s"${TextIndex.resolveRoot(spark, path)}/corpusstats").count()
+    assert(statsAfter == statsBefore, "replayed batch was double-applied")
+  }
+
   test("empty docs count toward N and sumdl (dl = 0)") {
     val corpus = Seq((1L, "dup dup vector"), (2L, "   "), (3L, "query"),
       (4L, "")).toDF("doc_id", "text")
