@@ -244,6 +244,65 @@ object TextIndex {
   }
 
   /**
+   * Batched BM25: many queries against the index in ONE pass over the
+   * union of their terms' posting lists — the fleet-serving shape (the
+   * text analog of the ANN side's `searchDistributed`). `queries` is
+   * `(qid: Long, terms: array<string>)`; the batch's distinct terms are
+   * collected to the driver (bounded by batch size × terms per query, a
+   * legitimate bounded collect) so the posting scan still prunes to their
+   * md5 buckets at planning time, then the batch broadcasts back and the
+   * per-(qid, doc) score folds in one shuffle. The per-query top-n runs as
+   * a rank window PARTITIONED by qid over that query's candidate rows —
+   * bounded by its terms' posting lists, never the corpus (swap in the
+   * bounded top-k aggregator, as knn_join_topk documents, if a stop-word
+   * query's candidate set outgrows a partition).
+   *
+   * Duplicate terms within one query's array count once (matching
+   * [[bm25SearchIndexed]], whose term list is a set by construction).
+   * Returns `(qid, id, bm25)`, per query ordered best-first, `n` rows max
+   * per qid; same decimal summation discipline as the single-query path,
+   * so results are byte-identical to per-query calls.
+   */
+  def bm25SearchIndexedBatch(spark: SparkSession, path: String,
+      queries: DataFrame, nBuckets: Int = 64, k1: Double = 1.2,
+      b: Double = 0.75, n: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val root = resolveRoot(spark, path)
+    val qt = queries
+      .select(col("qid"), explode(col("terms")).as("term")).distinct()
+    val allTerms = qt.select(col("term")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    require(allTerms.nonEmpty, "bm25SearchIndexedBatch: no query terms")
+    val bks = allTerms.map(termBucketOf(_, nBuckets)).distinct
+      .map(java.lang.Long.valueOf)
+    val st = spark.read.parquet(s"$root/corpusstats")
+      .agg(sum(col("n")).as("__n"), sum(col("sumdl")).as("__sumdl"))
+    val tstats = spark.read.parquet(s"$root/termstats")
+      .filter(col("tb").isin(bks: _*) && col("term").isin(allTerms: _*))
+      .groupBy(col("term")).agg(sum(col("df")).as("__df"))
+    val post = spark.read.parquet(s"$root/postings")
+      .filter(col("tb").isin(bks: _*) && col("term").isin(allTerms: _*))
+    val avgdl = col("__sumdl").cast(DoubleType) / col("__n")
+    val lenNorm = lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl)
+    val idf = log(lit(1.0) +
+      (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
+    val termScore = round(idf * col("tf").cast(DoubleType) * lit(k1 + 1.0) /
+      (col("tf").cast(DoubleType) + lenNorm), 6)
+    post.join(broadcast(qt), "term")
+      .join(broadcast(tstats), "term").crossJoin(broadcast(st))
+      .select(col("qid"), col("id"),
+        termScore.cast(DecimalType(20, 6)).as("__ts"))
+      .groupBy(col("qid"), col("id")).agg(sum(col("__ts")).as("__s"))
+      .select(col("qid"), col("id"), col("__s").cast(DoubleType).as("bm25"))
+      .filter(col("bm25") > 0)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("bm25").desc, col("id"))))
+      .filter(col("__rn") <= n).drop("__rn")
+      .orderBy(col("qid"), col("bm25").desc, col("id"))
+  }
+
+  /**
    * Fold every batch of the current generation into a single batch-0
    * generation, installed under `path/versions/v%09d` by one atomic rename
    * (the ANN compactor's install discipline). Returns false (no-op) when

@@ -39,6 +39,40 @@ object PipelineQueries {
   }
   private val textIndexLock = new Object
 
+  /** One query's TextIndex-discipline BM25 replay (per-term round + decimal
+    * sum) as a self-contained subquery, for arbitrary term-bag arity —
+    * generated, so the bm25_batch oracle cannot drift from the kernel. */
+  private def sqlBm25DecimalSub(qid: Long, terms: Seq[String],
+      limit: Int): String = {
+    val tfs = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(w, x -> x = '$t')) AS tf$i" }.mkString(",\n        ")
+    val dfs = terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
+      .mkString(",\n         ")
+    val scores = terms.indices.map { i =>
+      s"""CAST(round(ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * CAST(tf$i AS DOUBLE) * (1.2 + 1.0)
+         |      / (CAST(tf$i AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n))), 6) AS DECIMAL(20,6))"""
+        .stripMargin
+    }.mkString("\n  + ")
+    s"""(WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+       |f AS (SELECT doc_id, len(w) AS dl,
+       |        $tfs
+       |      FROM t),
+       |st AS (SELECT count(*) AS n, sum(dl) AS sumdl,
+       |         $dfs
+       |       FROM f),
+       |sc AS (SELECT doc_id, $scores AS bm25d FROM f CROSS JOIN st)
+       |SELECT $qid AS qid, doc_id AS id, CAST(bm25d AS DOUBLE) AS bm25
+       |FROM sc WHERE bm25d > 0 ORDER BY bm25 DESC, doc_id LIMIT $limit)"""
+      .stripMargin
+  }
+
+  /** The fixed query batch bm25_batch serves (Spark) and replays (oracle). */
+  private[queries] val bm25BatchQueries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("vector", "query", "dup"),
+    1L -> Seq("table", "hash", "join"),
+    2L -> Seq("big", "data"))
+
   /** Oracle for hybrid_rrf_stored (query lives in AnnQueries, SQL here so
     * it can share `sqlTokens`): the bm25_indexed decimal-sum CTEs feed the
     * text leg, the exact-cosine top-50 feeds the vector leg (the widened
@@ -1467,6 +1501,15 @@ object PipelineQueries {
       TextIndex.bm25SearchIndexed(s, ensureTextIndex(s, d),
           Seq("vector", "query", "dup"))
         .select(col("id").as("doc_id"), col("bm25"))),
+
+    // Batched multi-query BM25 through the index in ONE pass over the
+    // union of the batch's posting lists (fleet serving; the per-query
+    // top-n window partitions by qid over candidate rows only).
+    "bm25_batch" -> ((s, d) => {
+      val qdf = s.createDataFrame(bm25BatchQueries).toDF("qid", "terms")
+      TextIndex.bm25SearchIndexedBatch(s, ensureTextIndex(s, d), qdf, n = 10)
+        .select(col("qid"), col("id"), col("bm25"))
+    }),
 
     // Exact-phrase search through the positional postings: an
     // |phrase|-way pruned posting intersection on doc id + a per-row
@@ -3378,6 +3421,17 @@ object PipelineQueries {
          |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
 
     "hybrid_rrf_stored" -> sqlHybridStoredOracle,
+
+    // per-query replays of the same decimal kernel, unioned; outer order
+    // matches the Spark side's (qid, best-first, id)
+    "bm25_batch" -> {
+      val subs = bm25BatchQueries
+        .map { case (q, ts) => sqlBm25DecimalSub(q, ts, 10) }
+        .mkString("\nUNION ALL\n")
+      s"""SELECT qid, id, bm25 FROM (
+         |$subs
+         |) ORDER BY qid, bm25 DESC, id""".stripMargin
+    },
 
     // phrase replay straight off the token lists: count offsets i where
     // both phrase words match consecutively (1-based list indexing)

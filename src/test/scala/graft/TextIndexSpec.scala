@@ -127,6 +127,31 @@ class TextIndexSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture should contain the phrase")
   }
 
+  test("batched BM25 == per-query calls, byte-identical") {
+    val path = "/tmp/graft_test_index/textidx_full"
+    TextIndex.buildTextIndex(docs, "doc_id", "text", path)
+    val bags = Seq(0L -> Seq("vector", "query", "dup"),
+      1L -> Seq("table", "hash", "join"), 2L -> Seq("big", "data"))
+    val qdf = spark.createDataFrame(bags).toDF("qid", "terms")
+    val batch = TextIndex.bm25SearchIndexedBatch(spark, path, qdf, n = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val single = bags.flatMap { case (q, ts) =>
+      TextIndex.bm25SearchIndexed(spark, path, ts, n = 10)
+        .collect().map(r => (q, r.getLong(0), r.getDouble(1)))
+    }
+    assert(batch == single)
+    // duplicate terms in one bag count once (set semantics, like the
+    // single-query API's term list)
+    val dup = TextIndex.bm25SearchIndexedBatch(spark, path,
+        spark.createDataFrame(Seq(7L -> Seq("big", "big", "data")))
+          .toDF("qid", "terms"), n = 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val ref = TextIndex.bm25SearchIndexed(spark, path, Seq("big", "data"),
+        n = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(dup == ref)
+  }
+
   test("compaction folds batches into one installed generation") {
     def deleteRec(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
