@@ -104,6 +104,22 @@ object Layout {
           cols.tail.flatMap(c =>
             Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))): _*)
 
+  /** Materialize [[zonemap]] beside the data (`<path>_zonemap`) — pay the
+    * stats pass once per layout rewrite; [[prunedRead]] then plans from the
+    * manifest without touching the data files at all. Stored adjacent, not
+    * inside `path`: a manifest inside the directory would join every
+    * subsequent `spark.read.parquet(path)` as data. */
+  def writeZonemap(spark: SparkSession, path: String,
+      cols: Seq[String]): Unit =
+    zonemap(spark, path, cols).coalesce(1)
+      .write.mode("overwrite").parquet(s"${path.stripSuffix("/")}_zonemap")
+
+  /** [[prunedRead]] driven by the stored manifest. */
+  def prunedReadStored(spark: SparkSession, path: String,
+      ranges: Seq[(String, Double, Double)]): DataFrame =
+    prunedRead(spark, path, ranges, Some(
+      spark.read.parquet(s"${path.stripSuffix("/")}_zonemap")))
+
   /**
    * Read only the files whose zone-map box intersects every `(col, lo, hi)`
    * range, with the residual row filter applied on top (files overlap box

@@ -74,6 +74,17 @@ class LayoutSpec extends AnyFunSuite {
     assert(gotL == expect)
   }
 
+  test("stored zonemap: prunedReadStored plans off the manifest") {
+    val zpath = "/tmp/graft_test_index/layout_z"
+    Layout.writeZonemap(spark, zpath, Seq("a", "b"))
+    val ranges = Seq(("a", 20.0, 40.0), ("b", 20.0, 40.0))
+    val stored = Layout.prunedReadStored(spark, zpath, ranges)
+      .select($"id").collect().map(_.getLong(0)).sorted.toSeq
+    val live = Layout.prunedRead(spark, zpath, ranges)
+      .select($"id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(stored == live && stored.nonEmpty)
+  }
+
   test("prunedRead: disjoint box returns empty, not an error") {
     val zpath = "/tmp/graft_test_index/layout_z"
     val out = Layout.prunedRead(spark, zpath,
