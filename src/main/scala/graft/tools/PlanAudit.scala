@@ -84,7 +84,15 @@ object PlanAudit {
     // round 7 (cont. 2): edge-list rescoring joins bounded candidate pairs
     // (nodes×R) against the embeddings table — partial top-20 above, no
     // pairwise blow-up
-    "neardup_index_pairs")
+    "neardup_index_pairs",
+    // round 7 (cont. 3): the text-index serving scans must carry PARTITION
+    // filters (bucket pruning) with the stats side broadcast; the batch
+    // variant adds one broadcast of the (qid, term) pairs and its rank
+    // window must partition by qid; phrase search joins pruned posting
+    // lists on id (broadcast/AQE), adjacency stays in the row; zorder_key
+    // is one broadcast stats row + pure map-side bit arithmetic
+    "bm25_indexed", "bm25_batch", "phrase_search", "hybrid_rrf_stored",
+    "zorder_key")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
