@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Data-quality gate for pipeline tables — the profile/expectation harness
+ * (Deequ-class) a 100 TB ingest runs BEFORE letting a batch into training:
+ * per-column profiles and declarative expectations, each computed in ONE
+ * partial-aggregated pass over the table (no per-column jobs, no shuffle
+ * beyond the single global aggregate row), so the gate costs one scan no
+ * matter how many checks it carries.
+ *
+ * Everything is exact integer/double arithmetic over one aggregate row —
+ * engine-replayable, so profiles and verdicts hash-match an external SQL
+ * oracle (the audit trail can be recomputed anywhere). `approxDistinct`
+ * (HLL) is the scale lever for cardinality when exactness isn't required;
+ * the exact variant is the default because a distinct count that feeds a
+ * GATE decision should not wobble with sketch error unless the caller
+ * opts in.
+ */
+object DataQuality {
+
+  /**
+   * Per-column profile of `cols`: row count, null count/fraction, distinct
+   * count, and for numeric columns min/max/mean (null for non-numeric).
+   * One row per column, ordered by column name.
+   *
+   * Cost: ONE aggregation pass. Distinct counts are exact
+   * (`count_distinct` — one expand per column inside the same aggregate;
+   * Spark plans multiple distinct aggregates via a single Expand +
+   * partial aggregation, not one job per column). At extreme cardinality
+   * set `approxDistinct = true` to swap in HLL (`approx_count_distinct`,
+   * default rsd 5%) — constant state per column, no expand.
+   */
+  def profile(df: DataFrame, cols: Seq[String],
+      approxDistinct: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val schema = df.schema
+    def isNum(c: String) = schema(c).dataType match {
+      case _: NumericType => true
+      case _ => false
+    }
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"__n_$c"),
+        count(when(col(c).isNull, lit(1))).as(s"__nulls_$c"),
+        (if (approxDistinct) approx_count_distinct(col(c))
+         else count_distinct(col(c))).as(s"__dist_$c") // nulls excluded, SQL semantics
+      ) ++ (if (isNum(c)) Seq(
+        min(col(c)).cast(DoubleType).as(s"__min_$c"),
+        max(col(c)).cast(DoubleType).as(s"__max_$c"),
+        avg(col(c).cast(DoubleType)).as(s"__avg_$c"))
+      else Seq.empty)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val perCol = cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        col(s"__n_$c").as("n_rows"),
+        col(s"__nulls_$c").as("n_nulls"),
+        // empty-table guard: ANSI mode makes 0/0 an ERROR, not a NaN
+        when(col(s"__n_$c") === 0, lit(0.0))
+          .otherwise(round(col(s"__nulls_$c").cast(DoubleType) /
+            col(s"__n_$c"), 6)).as("null_frac"),
+        col(s"__dist_$c").as("n_distinct"),
+        (if (isNum(c)) col(s"__min_$c") else lit(null).cast(DoubleType)).as("min"),
+        (if (isNum(c)) col(s"__max_$c") else lit(null).cast(DoubleType)).as("max"),
+        (if (isNum(c)) round(col(s"__avg_$c"), 6)
+         else lit(null).cast(DoubleType)).as("mean"))
+    }
+    row.select(explode(array(perCol: _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("column"))
+  }
+
+  /** A declarative expectation: `name`, a boolean verdict over the single
+    * aggregate row, and the observed value it judged (both as Columns over
+    * that row, so arbitrarily many expectations still cost one pass). */
+  case class Expectation(name: String, observed: Column, passed: Column)
+
+  // ---- expectation constructors (all judge the ONE aggregate row) ----
+
+  /** Row count within [lo, hi]. */
+  def expectRowCountBetween(lo: Long, hi: Long): Expectation = {
+    val n = count(lit(1))
+    Expectation(s"row_count_between_${lo}_$hi",
+      n.cast(DoubleType), n >= lo && n <= hi)
+  }
+
+  /** Null fraction of `c` at most `maxFrac` (empty table: 0, passes). */
+  def expectMaxNullFrac(c: String, maxFrac: Double): Expectation = {
+    val n = count(lit(1))
+    val frac = when(n === 0, lit(0.0))
+      .otherwise(round(count(when(col(c).isNull, lit(1)))
+        .cast(DoubleType) / n, 6))
+    Expectation(s"null_frac_${c}_le_$maxFrac", frac, frac <= maxFrac)
+  }
+
+  /** `c` is unique (a key): distinct non-null count + nulls == rows. */
+  def expectUnique(c: String): Expectation = {
+    val dist = count_distinct(col(c)) +
+      count(when(col(c).isNull, lit(1)))
+    Expectation(s"unique_$c", dist.cast(DoubleType), dist === count(lit(1)))
+  }
+
+  /** Numeric `c` within [lo, hi] on every non-null row. */
+  def expectValuesBetween(c: String, lo: Double, hi: Double): Expectation = {
+    val bad = count(when(col(c) < lo || col(c) > hi, lit(1)))
+    Expectation(s"values_${c}_in_${lo}_$hi", bad.cast(DoubleType), bad === 0)
+  }
+
+  /** At least `minFrac` of non-null values of `c` in `accepted`. */
+  def expectAcceptedValues(c: String, accepted: Seq[String],
+      minFrac: Double): Expectation = {
+    val nonNull = count(when(col(c).isNotNull, lit(1)))
+    val ok = count(when(col(c).isin(accepted.map(x => x: Any): _*), lit(1)))
+    val frac = round(ok.cast(DoubleType) /
+      when(nonNull === 0, lit(1L)).otherwise(nonNull), 6)
+    Expectation(s"accepted_${c}_ge_$minFrac", frac, frac >= minFrac)
+  }
+
+  /**
+   * Evaluate expectations in one pass: `(check, observed, passed)` — one
+   * row per expectation, declaration order preserved via an explicit
+   * ordinal (never partition order).
+   */
+  def runExpectations(df: DataFrame, checks: Seq[Expectation]): DataFrame = {
+    require(checks.nonEmpty, "runExpectations needs at least one check")
+    val aggs = checks.zipWithIndex.flatMap { case (e, i) =>
+      Seq(e.observed.as(s"__obs_$i"), e.passed.as(s"__ok_$i"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val perCheck = checks.zipWithIndex.map { case (e, i) =>
+      struct(lit(i).as("ordinal"), lit(e.name).as("check"),
+        round(col(s"__obs_$i"), 6).as("observed"),
+        col(s"__ok_$i").as("passed"))
+    }
+    row.select(explode(array(perCheck: _*)).as("c"))
+      .select(col("c.*"))
+      .orderBy(col("ordinal"))
+      .drop("ordinal")
+  }
+}

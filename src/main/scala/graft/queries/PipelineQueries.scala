@@ -1502,6 +1502,29 @@ object PipelineQueries {
           Seq("vector", "query", "dup"))
         .select(col("id").as("doc_id"), col("bm25"))),
 
+    // ---- data-quality gate (Deequ-class, one pass each) ----
+    // Per-column profile: ONE partial-aggregated pass no matter how many
+    // columns; exact distincts (single Expand), numeric min/max/mean.
+    "data_profile" -> ((s, d) =>
+      graft.operators.DataQuality.profile(docs(s, d),
+        Seq("doc_id", "lang", "n_chars", "source"))),
+
+    // Declarative expectations, one aggregate row for all checks; includes
+    // two deliberately failing checks so verdicts are demonstrably not
+    // vacuous (n_chars tops out above 500; en alone is under 90%).
+    "dq_expectations" -> ((s, d) => {
+      import graft.operators.DataQuality._
+      runExpectations(docs(s, d), Seq(
+        expectRowCountBetween(1L, 10000000L),
+        expectMaxNullFrac("text", 0.0),
+        expectUnique("doc_id"),
+        expectAcceptedValues("lang", Seq("en", "de", "fr", "es"), 0.5),
+        expectAcceptedValues("lang", Seq("en"), 0.9),
+        expectValuesBetween("n_chars", 0.0, 500.0)))
+        // hash gate wants a deterministic row order; check names are unique
+        .orderBy(col("check"))
+    }),
+
     // Batched multi-query BM25 through the index in ONE pass over the
     // union of the batch's posting lists (fleet serving; the per-query
     // top-n window partitions by qid over candidate rows only).
@@ -3421,6 +3444,73 @@ object PipelineQueries {
          |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
 
     "hybrid_rrf_stored" -> sqlHybridStoredOracle,
+
+    // per-column aggregate replay; "column" quoted (DuckDB keyword)
+    "data_profile" ->
+      """SELECT 'doc_id' AS "column", count(*) AS n_rows,
+        |       count(CASE WHEN doc_id IS NULL THEN 1 END) AS n_nulls,
+        |       round(CAST(count(CASE WHEN doc_id IS NULL THEN 1 END) AS DOUBLE) / count(*), 6) AS null_frac,
+        |       count(DISTINCT doc_id) AS n_distinct,
+        |       CAST(min(doc_id) AS DOUBLE) AS min, CAST(max(doc_id) AS DOUBLE) AS max,
+        |       round(avg(CAST(doc_id AS DOUBLE)), 6) AS mean
+        |FROM documents
+        |UNION ALL
+        |SELECT 'lang', count(*),
+        |       count(CASE WHEN lang IS NULL THEN 1 END),
+        |       round(CAST(count(CASE WHEN lang IS NULL THEN 1 END) AS DOUBLE) / count(*), 6),
+        |       count(DISTINCT lang),
+        |       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', count(*),
+        |       count(CASE WHEN n_chars IS NULL THEN 1 END),
+        |       round(CAST(count(CASE WHEN n_chars IS NULL THEN 1 END) AS DOUBLE) / count(*), 6),
+        |       count(DISTINCT n_chars),
+        |       CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE),
+        |       round(avg(CAST(n_chars AS DOUBLE)), 6)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'source', count(*),
+        |       count(CASE WHEN source IS NULL THEN 1 END),
+        |       round(CAST(count(CASE WHEN source IS NULL THEN 1 END) AS DOUBLE) / count(*), 6),
+        |       count(DISTINCT source),
+        |       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        |FROM documents
+        |ORDER BY "column"""".stripMargin,
+
+    // one aggregate row judged by every check; declaration order kept
+    "dq_expectations" ->
+      """WITH a AS (SELECT count(*) AS n,
+        |    count(CASE WHEN text IS NULL THEN 1 END) AS text_nulls,
+        |    count(DISTINCT doc_id) AS id_dist,
+        |    count(CASE WHEN doc_id IS NULL THEN 1 END) AS id_nulls,
+        |    count(CASE WHEN lang IS NOT NULL THEN 1 END) AS lang_nn,
+        |    count(CASE WHEN lang IN ('en','de','fr','es') THEN 1 END) AS lang_ok4,
+        |    count(CASE WHEN lang IN ('en') THEN 1 END) AS lang_ok1,
+        |    count(CASE WHEN n_chars < 0 OR n_chars > 500 THEN 1 END) AS chars_bad
+        |  FROM documents)
+        |SELECT 'row_count_between_1_10000000' AS "check",
+        |       round(CAST(n AS DOUBLE), 6) AS observed,
+        |       n >= 1 AND n <= 10000000 AS passed FROM a
+        |UNION ALL
+        |SELECT 'null_frac_text_le_0.0',
+        |       round(round(CAST(text_nulls AS DOUBLE) / n, 6), 6),
+        |       round(CAST(text_nulls AS DOUBLE) / n, 6) <= 0.0 FROM a
+        |UNION ALL
+        |SELECT 'unique_doc_id', round(CAST(id_dist + id_nulls AS DOUBLE), 6),
+        |       id_dist + id_nulls = n FROM a
+        |UNION ALL
+        |SELECT 'accepted_lang_ge_0.5',
+        |       round(CAST(lang_ok4 AS DOUBLE) / (CASE WHEN lang_nn = 0 THEN 1 ELSE lang_nn END), 6),
+        |       round(CAST(lang_ok4 AS DOUBLE) / (CASE WHEN lang_nn = 0 THEN 1 ELSE lang_nn END), 6) >= 0.5 FROM a
+        |UNION ALL
+        |SELECT 'accepted_lang_ge_0.9',
+        |       round(CAST(lang_ok1 AS DOUBLE) / (CASE WHEN lang_nn = 0 THEN 1 ELSE lang_nn END), 6),
+        |       round(CAST(lang_ok1 AS DOUBLE) / (CASE WHEN lang_nn = 0 THEN 1 ELSE lang_nn END), 6) >= 0.9 FROM a
+        |UNION ALL
+        |SELECT 'values_n_chars_in_0.0_500.0', round(CAST(chars_bad AS DOUBLE), 6),
+        |       chars_bad = 0 FROM a
+        |ORDER BY "check"""".stripMargin,
 
     // per-query replays of the same decimal kernel, unioned; outer order
     // matches the Spark side's (qid, best-first, id)
