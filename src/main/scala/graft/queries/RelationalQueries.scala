@@ -111,6 +111,26 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // The skew-proof salted join, verified by RESULT IDENTITY: revenue by
+    // order priority through SkewJoin.saltedJoin(nSalts=8) must equal the
+    // plain-join oracle byte-for-byte (each fact row carries exactly one
+    // md5 salt; the dim side replicates 8x — the planned fix when one hot
+    // key would otherwise pin a reducer; see SkewJoinSpec for the spread)
+    "salted_join" -> ((s, d) => {
+      val fact = t(s, d, "lineitem")
+        .withColumn("__rid",
+          concat_ws("#", col("l_orderkey"), col("l_linenumber")))
+        .withColumnRenamed("l_orderkey", "okey")
+      val dim = t(s, d, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+      graft.operators.SkewJoin.saltedJoin(fact, dim, "okey", "__rid", 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Z-order (Morton) layout key over (user_id, value) — the clustering
     // key an OPTIMIZE-style rewrite sorts 100 TB by so that file/row-group
     // min-max stats prune 2-D range predicates (Layout.zorderWrite /
@@ -537,6 +557,14 @@ object RelationalQueries {
         |       count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM g GROUP BY user_id, sess_id
         |ORDER BY user_id, session_start""".stripMargin,
+
+    // the salted join must be INVISIBLE in the result: plain join replay
+    "salted_join" ->
+      """SELECT o_orderpriority,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Morton replay: same quantization op order (u * 256 inside floor,
     // clamp to [0, 255]), then the 16 interleave terms generated from the
