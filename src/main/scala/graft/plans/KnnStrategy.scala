@@ -138,6 +138,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectParser((s, delegate) => new GraftSqlParser(delegate, Option(s)))
     VectorFunctions.injectInto(ext)
     graft.operators.TextAnalysis.injectInto(ext)
+    TextIndexTvf.injectInto(ext)
   }
 }
 

@@ -241,6 +241,48 @@ class TextIndexSpec extends AnyFunSuite {
     assert(statsAfter == statsBefore, "replayed batch was double-applied")
   }
 
+  test("SQL TVFs: graft_bm25 / graft_phrase compose into queries") {
+    import org.apache.spark.sql.SparkSession
+    val path = "/tmp/graft_test_index/textidx_tvf"
+    TextIndex.buildTextIndex(docs, "doc_id", "text", path, positions = true)
+    val expectBm = TextIndex.bm25SearchIndexed(spark, path, terms, n = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val expectPh = TextIndex.phraseSearchIndexed(spark, path,
+        Seq("table", "hash"), n = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val prev = spark
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .withExtensions(new graft.plans.GraftExtensions).getOrCreate()
+      val viaSql = s2.sql(
+        s"SELECT * FROM graft_bm25('$path', '${terms.mkString(" ")}')")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(viaSql == expectBm)
+      val viaPhrase = s2.sql(
+        s"SELECT * FROM graft_phrase('$path', 'table hash', 10)")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(viaPhrase == expectPh)
+      // a TVF is a plan fragment, not a collected result: joining back to
+      // the corpus composes in ONE query
+      val joined = s2.sql(
+        s"""SELECT b.id, d.lang FROM graft_bm25('$path', 'dup', 5) b
+           |JOIN parquet.`/root/testdata/sf0.001/documents.parquet` d
+           |  ON b.id = d.doc_id ORDER BY b.bm25 DESC, b.id""".stripMargin)
+        .collect()
+      assert(joined.length == 5 && joined.forall(!_.isNullAt(1)))
+      // non-literal args fail with the pruning explanation
+      val e = intercept[Exception](
+        s2.sql(s"SELECT * FROM graft_bm25('$path', concat('a', 'b'))")
+          .collect())
+      assert(e.getMessage.contains("literal"))
+    } finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
+
   test("empty docs count toward N and sumdl (dl = 0)") {
     val corpus = Seq((1L, "dup dup vector"), (2L, "   "), (3L, "query"),
       (4L, "")).toDF("doc_id", "text")
