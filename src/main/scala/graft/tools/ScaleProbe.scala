@@ -258,6 +258,16 @@ object ScaleProbe {
         graft.operators.TextIndex.bm25SearchIndexed(spark,
           s"$root/textidx_x$f", Seq("vector", "query", "dup"), n = 20).count()
       },
+      // the batch path amortizes ONE pass over 8 queries' posting lists;
+      // per-query cost should undercut 8 single-query calls
+      "text_index_batch8" -> { f =>
+        val bags = (0 until 8).map(i => (i.toLong,
+          Seq("vector", "query", "dup", "table", "hash", "join", "big",
+            "data").drop(i % 5).take(3)))
+        graft.operators.TextIndex.bm25SearchIndexedBatch(spark,
+          s"$root/textidx_x$f",
+          spark.createDataFrame(bags).toDF("qid", "terms"), n = 20).count()
+      },
       // round 7 (cont. 2): Z-order rewrite is one range shuffle (expect
       // ~1.0 with files scaled to hold per-file size constant); the pruned
       // read touches ~box-fraction of rows via the file manifest, so its
