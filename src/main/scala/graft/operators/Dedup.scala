@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -498,6 +498,88 @@ object Dedup {
       .join(batchBase.select(col("id"), col("sh")).as("sb"),
         col("batch_id") === col("sb.id"))
       .join(corpusBase.select(col("id"), col("sh")).as("sc"),
+        col("corpus_id") === col("sc.id"))
+      .select(col("batch_id"), col("corpus_id"),
+        jaccard(col("sb.sh"), col("sc.sh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /**
+   * STORED near-dup index — [[minhashNearDupAgainst]]'s "in production the
+   * corpus band table is precomputed" claim as running code, and the third
+   * stored artifact next to the ANN and text indexes. Layout under `path/`:
+   *
+   *   bands/      batch=<b>/…  (band, bucket, id)   the LSH probe table
+   *   signatures/ batch=<b>/…  (id, sh)             shingle sets for the
+   *                            exact-verify join (the honest cost: same
+   *                            order as the corpus text itself)
+   *   idxmeta/                 (shingle_size, num_hashes, bands)
+   *
+   * A daily-crawl check then costs: shingle+sign the BATCH (small),
+   * broadcast its band table against the stored bands — one map-side probe
+   * of the corpus-scale table, no corpus shuffle, no corpus re-shingling —
+   * and exact-verify only the candidates against the stored shingle sets.
+   * Appends follow the new-doc-ids batch contract shared with the other
+   * stored artifacts (verify today's crawl, then append it as tomorrow's
+   * corpus increment).
+   */
+  def buildDedupIndex(corpus: DataFrame, idCol: String, textCol: String,
+      path: String, shingleSize: Int = 3, numHashes: Int = 64,
+      bands: Int = 16): Unit = {
+    require(bands * (numHashes / bands) == numHashes,
+      "bands must divide numHashes")
+    writeDedupBatch(corpus, idCol, textCol, path, shingleSize, numHashes,
+      bands, batchId = 0L, mode = SaveMode.Overwrite)
+    corpus.sparkSession.createDataFrame(Seq((shingleSize, numHashes, bands)))
+      .toDF("shingle_size", "num_hashes", "bands")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/idxmeta")
+  }
+
+  /** Append NEW docs (typically the batch just verified). */
+  def appendDedupIndex(batch: DataFrame, path: String, idCol: String,
+      textCol: String, batchId: Long): Unit = {
+    require(batchId > 0L, "append batches start at 1 (0 is the build)")
+    val m = batch.sparkSession.read.parquet(s"$path/idxmeta").head()
+    writeDedupBatch(batch, idCol, textCol, path,
+      m.getAs[Int]("shingle_size"), m.getAs[Int]("num_hashes"),
+      m.getAs[Int]("bands"), batchId, SaveMode.Append)
+  }
+
+  private def writeDedupBatch(df: DataFrame, idCol: String, textCol: String,
+      path: String, shingleSize: Int, numHashes: Int, bands: Int,
+      batchId: Long, mode: SaveMode): Unit = {
+    TextAnalysis.register(df.sparkSession)
+    val base = signatureTable(df, idCol, textCol, shingleSize, numHashes)
+    bandTable(base, numHashes, bands)
+      .withColumn("batch", lit(batchId))
+      .write.mode(mode).partitionBy("batch").parquet(s"$path/bands")
+    base.select(col("id"), col("sh"))
+      .withColumn("batch", lit(batchId))
+      .write.mode(mode).partitionBy("batch").parquet(s"$path/signatures")
+  }
+
+  /** [[minhashNearDupAgainst]] served from the stored index: identical
+    * output (batch_id, corpus_id, jaccard ≥ threshold), but the corpus
+    * side is never re-shingled — the batch's band table broadcasts against
+    * the stored bands, and only candidates join the stored shingle sets. */
+  def nearDupAgainstDedupIndex(spark: SparkSession, path: String,
+      batch: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8): DataFrame = {
+    TextAnalysis.register(spark)
+    val m = spark.read.parquet(s"$path/idxmeta").head()
+    val (shingleSize, numHashes, nBands) = (m.getAs[Int]("shingle_size"),
+      m.getAs[Int]("num_hashes"), m.getAs[Int]("bands"))
+    val batchBase = signatureTable(batch, idCol, textCol, shingleSize,
+      numHashes)
+    val candidates = spark.read.parquet(s"$path/bands").as("c")
+      .join(broadcast(bandTable(batchBase, numHashes, nBands)).as("b"),
+        col("c.band") === col("b.band") && col("c.bucket") === col("b.bucket"))
+      .select(col("b.id").as("batch_id"), col("c.id").as("corpus_id"))
+      .distinct()
+    candidates
+      .join(broadcast(batchBase.select(col("id"), col("sh")).as("sb")),
+        col("batch_id") === col("sb.id"))
+      .join(spark.read.parquet(s"$path/signatures").as("sc"),
         col("corpus_id") === col("sc.id"))
       .select(col("batch_id"), col("corpus_id"),
         jaccard(col("sb.sh"), col("sc.sh")).as("jaccard"))

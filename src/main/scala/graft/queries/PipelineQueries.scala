@@ -112,6 +112,20 @@ object PipelineQueries {
        |FROM vr FULL OUTER JOIN br ON vr.id = br.id
        |ORDER BY rrf DESC, id LIMIT 20""".stripMargin
 
+  /** Build-once handle to the per-sf stored dedup index over the standing
+    * corpus (the doc_id % 23 != 0 slice — dedup_incremental's split). */
+  private[queries] def ensureDedupIndex(s: SparkSession, d: String): String = {
+    val path = textIndexPath(s, d).replace("/textidx2_", "/dedupidx_")
+    textIndexLock.synchronized {
+      if (!new java.io.File(s"$path/idxmeta/_SUCCESS").exists()) {
+        Dedup.buildDedupIndex(docs(s, d).filter(col("doc_id") % 23 =!= 0),
+          "doc_id", "text", path)
+        graft.CacheScope.releaseAll() // drop the build's signature persist
+      }
+    }
+    path
+  }
+
   /** Build-once handle to the per-sf stored text index (shared by
     * bm25_indexed here and hybrid_rrf_stored in AnnQueries). */
   private[queries] def ensureTextIndex(s: SparkSession, d: String): String = {
@@ -395,6 +409,20 @@ object PipelineQueries {
         all.filter(col("doc_id") % 23 === 0),
         "doc_id", "text", shingleSize = 3, numHashes = 64, bands = 16,
         threshold = 0.8)
+        .select(col("batch_id"), col("corpus_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("batch_id"), col("corpus_id"))
+    }),
+
+    // The same check served from the STORED dedup index: the corpus's band
+    // and shingle tables are prebuilt (ensureDedupIndex), so the call
+    // re-shingles only the batch — identical output to dedup_incremental
+    // (same oracle), corpus never rescanned as text.
+    "dedup_incremental_index" -> ((s, d) => {
+      val all = docs(s, d)
+      Dedup.nearDupAgainstDedupIndex(s, ensureDedupIndex(s, d),
+          all.filter(col("doc_id") % 23 === 0), "doc_id", "text",
+          threshold = 0.8)
         .select(col("batch_id"), col("corpus_id"),
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("batch_id"), col("corpus_id"))
@@ -2995,6 +3023,20 @@ object PipelineQueries {
     // candidate stage is recall-lossless on this corpus — same 16x4-band
     // argument as dedup_minhash)
     "dedup_incremental" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+         |g AS (SELECT doc_id, ${sqlShingles("w")} AS sh FROM t),
+         |b AS (SELECT doc_id, sh FROM g WHERE doc_id % 23 = 0),
+         |c AS (SELECT doc_id, sh FROM g WHERE doc_id % 23 <> 0)
+         |SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+         |       round(CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE) /
+         |             len(list_distinct(list_concat(b.sh, c.sh))), 6) AS jaccard
+         |FROM b JOIN c ON CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE) /
+         |                 len(list_distinct(list_concat(b.sh, c.sh))) >= 0.8
+         |ORDER BY batch_id, corpus_id""".stripMargin,
+
+    // identical output contract to dedup_incremental — the stored index
+    // must be invisible in the result
+    "dedup_incremental_index" ->
       s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
          |g AS (SELECT doc_id, ${sqlShingles("w")} AS sh FROM t),
          |b AS (SELECT doc_id, sh FROM g WHERE doc_id % 23 = 0),

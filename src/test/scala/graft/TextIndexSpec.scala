@@ -283,6 +283,43 @@ class TextIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("stored dedup index: probe == recompute, append extends the corpus") {
+    import graft.operators.Dedup
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    val path = "/tmp/graft_test_index/dedupidx"
+    deleteRec(new java.io.File(path))
+    val mkDoc = (i: Long, twist: String) =>
+      (i, s"alpha beta gamma delta epsilon zeta eta theta $twist run $i")
+    val corpus = ((1L to 40L).map(i => mkDoc(i, s"unique$i")) :+
+      (100L, "alpha beta gamma delta epsilon zeta eta theta shared run 7"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (200L, "alpha beta gamma delta epsilon zeta eta theta shared run 7"),
+      (201L, "totally different words nothing in common here at all okay"))
+      .toDF("doc_id", "text")
+    Dedup.buildDedupIndex(corpus, "doc_id", "text", path)
+    graft.CacheScope.releaseAll()
+    def probe(b: org.apache.spark.sql.DataFrame) =
+      Dedup.nearDupAgainstDedupIndex(spark, path, b, "doc_id", "text", 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val viaIndex = probe(batch)
+    val direct = Dedup.minhashNearDupAgainst(corpus, batch, "doc_id", "text",
+        threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(viaIndex == direct && viaIndex == Seq((200L, 100L)))
+    // verified batch appended → next batch dedups against it too
+    Dedup.appendDedupIndex(batch, path, "doc_id", "text", batchId = 1L)
+    graft.CacheScope.releaseAll()
+    val batch2 = Seq(
+      (300L, "totally different words nothing in common here at all okay"))
+      .toDF("doc_id", "text")
+    assert(probe(batch2) == Seq((300L, 201L)),
+      "appended batch must be part of the standing corpus")
+  }
+
   test("empty docs count toward N and sumdl (dl = 0)") {
     val corpus = Seq((1L, "dup dup vector"), (2L, "   "), (3L, "query"),
       (4L, "")).toDF("doc_id", "text")
