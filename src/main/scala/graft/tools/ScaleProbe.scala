@@ -285,6 +285,28 @@ object ScaleProbe {
         graft.operators.Layout.prunedRead(spark, s"$root/zorder_x$f",
           Seq(("a", 100.0, 200.0), ("b", 100.0, 200.0))).count()
       },
+      // round 7 (cont. 3): the STORED dedup index. Build = the corpus
+      // shingle+sign pass, paid once; the PROBE re-shingles only a fixed
+      // 64-doc batch and broadcasts its bands against the stored table —
+      // its cost should track the stored bands SCAN (linear bytes, tiny
+      // constant), not corpus shingling (compare: dedup_minhash_r8 pays
+      // 34.6s at x100; the probe should stay in single digits)
+      "dedup_index_build" -> { f =>
+        val p = s"$root/dedupidx_x$f"
+        graft.operators.Dedup.buildDedupIndex(
+          spark.read.parquet(docsPath(f)), "doc_id", "text", p,
+          numHashes = 128, bands = 16)
+        graft.CacheScope.releaseAll()
+        spark.read.parquet(s"$p/bands").count()
+      },
+      "dedup_index_probe" -> { f =>
+        val batch = spark.read.parquet(docsPath(1)).limit(64)
+          .withColumn("doc_id", col("doc_id") + 900000000L)
+        val n = graft.operators.Dedup.nearDupAgainstDedupIndex(spark,
+          s"$root/dedupidx_x$f", batch, "doc_id", "text", 0.8).count()
+        graft.CacheScope.releaseAll()
+        n
+      },
       "pagerank_distributed" -> { f =>
         val n = 20000L * f
         val edges = spark.range(n).select(col("id").as("src"),
