@@ -893,4 +893,44 @@ object StreamingIngest {
           }
       }
   }
+
+  /** One micro-batch's data-quality verdicts (see [[startQualityMonitor]]). */
+  case class QualityViolation(batchId: Long, check: String,
+      observed: Double, nRows: Long)
+
+  /**
+   * Streaming data-quality gate: every micro-batch is judged by the SAME
+   * one-pass [[graft.operators.DataQuality]] expectations the batch gate
+   * uses — schema drift, null spikes, out-of-range values surface at
+   * ingest time, per batch, not after a day's corpus is poisoned.
+   *
+   * Failing checks go to `onViolation` (route to paging / a quarantine
+   * topic); the batch itself is NOT blocked — a quality gate that silently
+   * drops data is worse than one that alerts, so quarantining is the
+   * caller's explicit move. The expectation aggregate is one pass over the
+   * micro-batch and the verdict collect is |checks| rows; an empty batch
+   * is skipped (no vacuous verdicts). foreachBatch is at-least-once: a
+   * replayed batch re-alerts (alerting is idempotent-enough by nature);
+   * nothing here holds state, so there is no double-fold hazard.
+   */
+  def startQualityMonitor(stream: DataFrame,
+      checks: Seq[graft.operators.DataQuality.Expectation],
+      checkpointLocation: Option[String] = None)(
+      onViolation: Seq[QualityViolation] => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(checks.nonEmpty, "startQualityMonitor needs at least one check")
+    stream.writeStream
+      .options(checkpointLocation.map("checkpointLocation" -> _).toMap)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val n = batch.count()
+        if (n > 0) {
+          val verdicts = graft.operators.DataQuality
+            .runExpectations(batch, checks).collect()
+          val bad = verdicts.filterNot(_.getBoolean(2)).map(r =>
+            QualityViolation(batchId, r.getString(0), r.getDouble(1), n))
+          if (bad.nonEmpty) onViolation(bad.toSeq)
+        }
+      }
+      .start()
+  }
 }

@@ -974,6 +974,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(a.z > 50.0) // (100-10)/sqrt(0.8)
   }
 
+  test("streaming quality monitor: bad batches alert, clean batches don't") {
+    import graft.operators.DataQuality._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double)]
+    val violations =
+      scala.collection.mutable.ArrayBuffer[StreamingIngest.QualityViolation]()
+    val q = StreamingIngest.startQualityMonitor(
+      mem.toDF().toDF("id", "lang", "v"),
+      Seq(expectMaxNullFrac("lang", 0.0),
+        expectValuesBetween("v", 0.0, 100.0),
+        expectUnique("id"))) {
+      bad => violations.synchronized { violations ++= bad }
+    }
+    // clean batch: no alerts
+    mem.addData((1L, "en", 10.0), (2L, "de", 20.0))
+    q.processAllAvailable()
+    assert(violations.synchronized(violations.isEmpty))
+    // dirty batch: out-of-range value + duplicate id, still no null langs
+    mem.addData((3L, "en", 500.0), (3L, "fr", 50.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = violations.synchronized(violations.toSeq)
+    assert(got.map(_.check).sorted ==
+      Seq("unique_id", "values_v_in_0.0_100.0"))
+    assert(got.forall(_.nRows == 2))
+    assert(got.find(_.check.startsWith("values")).get.observed == 1.0)
+  }
+
   test("streamingKnnEnrich: per-batch top-k == searchFresh, sees mid-stream appends") {
     val path = "/tmp/graft_test_index/stream_enrich"
     def deleteRec(f: java.io.File): Unit = {
