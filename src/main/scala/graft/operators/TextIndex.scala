@@ -98,16 +98,40 @@ object TextIndex {
     TextIndexMeta(r.getAs[Int]("n_buckets"), r.getAs[Boolean]("positions"))
   }
 
+  /** The bucket count every read/append path MUST use: the recorded
+    * build-time constant. `passed = 0` (the API default) means "from
+    * idxmeta"; a nonzero override exists only for pre-idxmeta artifacts
+    * and is validated against idxmeta when one exists — a silent mismatch
+    * would prune the WRONG buckets and drop results, the worst failure
+    * mode an index can have. */
+  private def effectiveBuckets(spark: SparkSession, path: String,
+      passed: Int): Int = {
+    val recorded =
+      try Some(readMeta(spark, path).nBuckets)
+      catch { case _: Exception => None }
+    (passed, recorded) match {
+      case (0, Some(m)) => m
+      case (0, None) => 64
+      case (p, Some(m)) =>
+        require(p == m, s"nBuckets=$p contradicts the index's recorded " +
+          s"bucket count $m at $path/idxmeta")
+        p
+      case (p, None) => p
+    }
+  }
+
   /** Append a batch of NEW docs (ids must not already be indexed).
     * Positions on/off follows the existing index's schema — a mixed index
     * would silently break phrase search on the appended slice. */
   def appendTextIndex(df: DataFrame, idCol: String, textCol: String,
-      path: String, batchId: Long, nBuckets: Int = 64): Unit = {
+      path: String, batchId: Long, nBuckets: Int = 0): Unit = {
     require(batchId > 0L, "append batches start at 1 (0 is the build)")
-    val root = resolveRoot(df.sparkSession, path)
-    val positions = df.sparkSession.read.parquet(s"$root/postings")
+    val spark = df.sparkSession
+    val root = resolveRoot(spark, path)
+    val nB = effectiveBuckets(spark, path, nBuckets)
+    val positions = spark.read.parquet(s"$root/postings")
       .columns.contains("pos")
-    writeBatch(df, idCol, textCol, root, nBuckets, batchId, SaveMode.Append,
+    writeBatch(df, idCol, textCol, root, nB, batchId, SaveMode.Append,
       positions)
   }
 
@@ -174,11 +198,12 @@ object TextIndex {
    * posting row).
    */
   def bm25SearchIndexed(spark: SparkSession, path: String, terms: Seq[String],
-      nBuckets: Int = 64, k1: Double = 1.2, b: Double = 0.75,
+      nBuckets: Int = 0, k1: Double = 1.2, b: Double = 0.75,
       n: Int = 20): DataFrame = {
     require(terms.nonEmpty, "bm25SearchIndexed needs at least one query term")
     val root = resolveRoot(spark, path)
-    val bks = terms.map(termBucketOf(_, nBuckets)).distinct
+    val nB = effectiveBuckets(spark, path, nBuckets)
+    val bks = terms.map(termBucketOf(_, nB)).distinct
       .map(java.lang.Long.valueOf)
     val st = spark.read.parquet(s"$root/corpusstats")
       .agg(sum(col("n")).as("__n"), sum(col("sumdl")).as("__sumdl"))
@@ -217,14 +242,15 @@ object TextIndex {
    * `array_contains` over the row's own arrays, no further shuffle.
    */
   def phraseSearchIndexed(spark: SparkSession, path: String,
-      phrase: Seq[String], nBuckets: Int = 64, n: Int = 20): DataFrame = {
+      phrase: Seq[String], nBuckets: Int = 0, n: Int = 20): DataFrame = {
     require(phrase.nonEmpty, "phraseSearchIndexed needs a non-empty phrase")
     val root = resolveRoot(spark, path)
+    val nB = effectiveBuckets(spark, path, nBuckets)
     val post = spark.read.parquet(s"$root/postings")
     require(post.columns.contains("pos"),
       s"index at $path was built without positions=true; phrase search " +
         "needs positional postings")
-    val bks = phrase.map(termBucketOf(_, nBuckets)).distinct
+    val bks = phrase.map(termBucketOf(_, nB)).distinct
       .map(java.lang.Long.valueOf)
     val pruned = post
       .filter(col("tb").isin(bks: _*) && col("term").isin(phrase.distinct: _*))
@@ -264,16 +290,17 @@ object TextIndex {
    * so results are byte-identical to per-query calls.
    */
   def bm25SearchIndexedBatch(spark: SparkSession, path: String,
-      queries: DataFrame, nBuckets: Int = 64, k1: Double = 1.2,
+      queries: DataFrame, nBuckets: Int = 0, k1: Double = 1.2,
       b: Double = 0.75, n: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val root = resolveRoot(spark, path)
+    val nB = effectiveBuckets(spark, path, nBuckets)
     val qt = queries
       .select(col("qid"), explode(col("terms")).as("term")).distinct()
     val allTerms = qt.select(col("term")).distinct()
       .collect().map(_.getString(0)).toSeq
     require(allTerms.nonEmpty, "bm25SearchIndexedBatch: no query terms")
-    val bks = allTerms.map(termBucketOf(_, nBuckets)).distinct
+    val bks = allTerms.map(termBucketOf(_, nB)).distinct
       .map(java.lang.Long.valueOf)
     val st = spark.read.parquet(s"$root/corpusstats")
       .agg(sum(col("n")).as("__n"), sum(col("sumdl")).as("__sumdl"))
@@ -381,7 +408,7 @@ object TextIndex {
   val STREAM_BATCH_BASE: Long = 1L << 20
 
   def appendBatchIdempotent(idCol: String, textCol: String, path: String,
-      nBuckets: Int = 64)(batch: DataFrame, streamBatchId: Long): Unit = {
+      nBuckets: Int = 0)(batch: DataFrame, streamBatchId: Long): Unit = {
     val spark = batch.sparkSession
     val root = resolveRoot(spark, path)
     val phys = STREAM_BATCH_BASE + streamBatchId
@@ -403,7 +430,7 @@ object TextIndex {
     * [[graft.streaming.StreamingIngest.startDeltaIngest]]. */
   def startTextIngest(stream: DataFrame, idCol: String, textCol: String,
       path: String, checkpoint: String,
-      nBuckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
+      nBuckets: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -82,6 +82,19 @@ class TextIndexSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$path/corpusstats").count() == 2)
   }
 
+  test("bucket count is idxmeta-authoritative, contradiction rejected") {
+    val path = "/tmp/graft_test_index/textidx_b8"
+    TextIndex.buildTextIndex(docs, "doc_id", "text", path, nBuckets = 8)
+    // default-arg search must consult idxmeta (8), not assume 64 — a wrong
+    // bucket count would silently prune the wrong dirs and drop results
+    val got = TextIndex.bm25SearchIndexed(spark, path, terms, n = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expected(docs, 20))
+    val e = intercept[IllegalArgumentException](
+      TextIndex.bm25SearchIndexed(spark, path, terms, nBuckets = 64))
+    assert(e.getMessage.contains("recorded bucket count 8"))
+  }
+
   test("phrase search: adjacency, occurrence counts, repeated terms") {
     val corpus = Seq(
       (1L, "big data big data big"), // "big data" x2, "data big" x2
