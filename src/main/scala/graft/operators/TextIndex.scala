@@ -396,6 +396,31 @@ object TextIndex {
     true
   }
 
+  /** DESCRIBE-style stats: one (property, value) row each for docs,
+    * total tokens, vocabulary size, posting rows, batches, buckets,
+    * positions flag, and the current generation root. Costs one pruned
+    * scan of each stats table plus a postings count. */
+  def textIndexStats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val root = resolveRoot(spark, path)
+    val meta = readMeta(spark, path)
+    val cs = spark.read.parquet(s"$root/corpusstats")
+      .agg(sum(col("n")), sum(col("sumdl")), count(lit(1))).head()
+    val vocab = spark.read.parquet(s"$root/termstats")
+      .select(col("term")).distinct().count()
+    val postings = spark.read.parquet(s"$root/postings").count()
+    Seq(
+      "generation_root" -> root,
+      "num_docs" -> cs.getLong(0).toString,
+      "num_tokens" -> cs.getLong(1).toString,
+      "vocabulary_size" -> vocab.toString,
+      "posting_rows" -> postings.toString,
+      "num_batches" -> cs.getLong(2).toString,
+      "num_buckets" -> meta.nBuckets.toString,
+      "positions" -> meta.positions.toString
+    ).toDF("property", "value")
+  }
+
   /**
    * Replay-safe foreachBatch sink: appends a micro-batch as physical batch
    * `STREAM_BATCH_BASE + streamBatchId`. foreachBatch is at-least-once, so

@@ -59,6 +59,16 @@ object TextIndexTvf {
           .queryExecution.logical: LogicalPlan
       }))
     ext.injectTableFunction((
+      FunctionIdentifier("graft_text_stats"),
+      new ExpressionInfo("graft.operators.TextIndex", "graft_text_stats"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "graft_text_stats(indexPath)")
+        graft.operators.TextIndex
+          .textIndexStats(SparkSession.active,
+            strLit(args(0), "graft_text_stats", "indexPath"))
+          .queryExecution.logical: LogicalPlan
+      }))
+    ext.injectTableFunction((
       FunctionIdentifier("graft_phrase"),
       new ExpressionInfo("graft.operators.TextIndex", "graft_phrase"),
       (args: Seq[Expression]) => {

@@ -290,6 +290,13 @@ class TextIndexSpec extends AnyFunSuite {
         s2.sql(s"SELECT * FROM graft_bm25('$path', concat('a', 'b'))")
           .collect())
       assert(e.getMessage.contains("literal"))
+      // DESCRIBE-style stats through SQL
+      val st = s2.sql(s"SELECT * FROM graft_text_stats('$path')").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(st("num_docs").toLong == docs.count())
+      assert(st("positions") == "true" && st("num_buckets") == "64")
+      assert(st("vocabulary_size").toLong > 0 &&
+        st("posting_rows").toLong >= st("vocabulary_size").toLong)
     } finally {
       SparkSession.setActiveSession(prev)
       SparkSession.setDefaultSession(prev)
