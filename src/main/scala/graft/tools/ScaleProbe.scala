@@ -368,6 +368,51 @@ object ScaleProbe {
       return
     }
 
+    // --skew: does the salted join still matter under AQE? Three fair legs
+    // over the same 90%-hot-key join (broadcast disabled in all three —
+    // salting's premise is a dim too big to broadcast): plain+AQE-skew-
+    // splitter, plain without it, salted without it. Honest outcome either
+    // way: if AQE alone flattens the skew, that's the documented answer.
+    if (args.contains("--skew")) {
+      val n = 10_000_000L
+      val fact = spark.range(n).select(
+        when(pmod(col("id"), lit(10)) < 9, 0L)
+          .otherwise(pmod(xxhash64(col("id")), lit(100000L))).as("k"),
+        col("id").as("rid"),
+        (col("id") % 97).cast("double").as("v"))
+      val dim = spark.range(100000).select(col("id").as("k"),
+        md5(col("id").cast("string")).as("name"))
+      def leg(label: String, aqeSkew: Boolean)(
+          join: => org.apache.spark.sql.DataFrame): Double = {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled",
+          aqeSkew.toString)
+        val t0 = System.nanoTime()
+        // consume both sides' columns so neither scan is pruned away
+        val r = join.agg(sum(col("v") + length(col("name")))).head()
+        val sec = (System.nanoTime() - t0) / 1e9
+        Console.err.println(f"[scaleprobe] skew/$label: $sec%.2fs " +
+          s"(checksum ${r.getDouble(0)})")
+        sec
+      }
+      // two passes; report the second (the first pays JIT/codegen warmup
+      // and would bias whichever leg runs first)
+      def battery(): (Double, Double, Double) = (
+        leg("plain_aqe_skewjoin", aqeSkew = true)(fact.join(dim, "k")),
+        leg("plain_no_skewjoin", aqeSkew = false)(fact.join(dim, "k")),
+        leg("salted32_no_skewjoin", aqeSkew = false)(
+          graft.operators.SkewJoin.saltedJoin(fact, dim, "k", "rid", 32)))
+      battery()
+      val (plainAqe, plainRaw, salted) = battery()
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      println(f"""{"metric":"scaleprobe_skew","rows":$n,""" +
+        f""""plain_aqe_sec":$plainAqe%.2f,"plain_raw_sec":$plainRaw%.2f,""" +
+        f""""salted32_sec":$salted%.2f}""")
+      spark.stop()
+      return
+    }
+
     // --only=a,b restricts the probe to named ops (re-probing one operator
     // shouldn't cost a full multi-minute sweep)
     val only = args.collectFirst { case s if s.startsWith("--only=") =>
