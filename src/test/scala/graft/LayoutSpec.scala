@@ -20,6 +20,21 @@ class LayoutSpec extends AnyFunSuite {
       (0.0, 1.0) -> 2L, (1.0, 1.0) -> 3L))
   }
 
+  test("Morton key generalizes to 3 dims: 2x2x2 lattice enumerates 0..7") {
+    val df = (for { x <- 0 to 1; y <- 0 to 1; z <- 0 to 1 }
+      yield (x.toDouble, y.toDouble, z.toDouble)).toDF("x", "y", "z")
+    val got = Layout.zorderKey(df, Seq("x", "y", "z"), bits = 1)
+      .select($"x", $"y", $"z", $"zkey").collect()
+      .map(r => r.getLong(3) ->
+        (r.getDouble(0), r.getDouble(1), r.getDouble(2))).toMap
+    // bit i of the key is dimension i's bit: zkey = x + 2y + 4z
+    (for { x <- 0 to 1; y <- 0 to 1; z <- 0 to 1 } yield (x, y, z)).foreach {
+      case (x, y, z) =>
+        assert(got((x + 2 * y + 4 * z).toLong) ==
+          ((x.toDouble, y.toDouble, z.toDouble)))
+    }
+  }
+
   test("Morton key: constant column degenerates to cell 0, no NaN") {
     val df = Seq((5.0, 1.0), (5.0, 2.0)).toDF("x", "y")
     val got = Layout.zorderKey(df, Seq("x", "y"), bits = 4)
