@@ -126,6 +126,23 @@ object PipelineQueries {
     path
   }
 
+  /** Build-once handle to the per-sf CHUNK-grained text index (the RAG
+    * unit: sliding 200-char windows, stride 150 — the verified
+    * chunk_sliding kernel feeding the verified TextIndex build). */
+  private[queries] def ensureChunkIndex(s: SparkSession, d: String): String = {
+    val path = textIndexPath(s, d).replace("/textidx2_", "/chunkidx_")
+    textIndexLock.synchronized {
+      if (!new java.io.File(s"$path/corpusstats/_SUCCESS").exists()) {
+        val chunks = TextAnalysis.slidingChunks(docs(s, d), "doc_id", "text",
+            chunkSize = 200, stride = 150)
+          .select((col("id") * lit(100000L) + col("chunk_ix")).as("chunk_id"),
+            col("chunk_text"))
+        TextIndex.buildTextIndex(chunks, "chunk_id", "chunk_text", path)
+      }
+    }
+    path
+  }
+
   /** Build-once handle to the per-sf stored text index (shared by
     * bm25_indexed here and hybrid_rrf_stored in AnnQueries). */
   private[queries] def ensureTextIndex(s: SparkSession, d: String): String = {
@@ -1561,6 +1578,16 @@ object PipelineQueries {
       TextIndex.bm25SearchIndexedBatch(s, ensureTextIndex(s, d), qdf, n = 10)
         .select(col("qid"), col("id"), col("bm25"))
     }),
+
+    // Retrieval at the RAG unit: BM25 over SLIDING CHUNKS served from a
+    // stored chunk-grained text index (chunk_id = doc_id*100000 + chunk_ix,
+    // both sides). Passages rank, not whole documents — what a context
+    // assembler actually consumes; corpus stats (N, avgdl, df) are the
+    // CHUNK table's own.
+    "bm25_chunks" -> ((s, d) =>
+      TextIndex.bm25SearchIndexed(s, ensureChunkIndex(s, d),
+          Seq("vector", "query", "dup"))
+        .select(col("id").as("chunk_id"), col("bm25"))),
 
     // Exact-phrase search through the positional postings: an
     // |phrase|-way pruned posting intersection on doc id + a per-row
@@ -3564,6 +3591,40 @@ object PipelineQueries {
          |$subs
          |) ORDER BY qid, bm25 DESC, id""".stripMargin
     },
+
+    // chunking replayed exactly as chunk_sliding's oracle, then the
+    // decimal BM25 kernel over the chunk table (chunk_text renamed to
+    // `text` so the shared token definition applies verbatim)
+    "bm25_chunks" ->
+      s"""WITH starts AS (
+         |  SELECT doc_id, text AS full_text,
+         |         unnest(range(0, CAST(greatest(length(text), 1) AS BIGINT), 150)) AS chunk_start
+         |  FROM documents),
+         |ch AS (SELECT doc_id * 100000 + CAST(chunk_start // 150 AS BIGINT) AS chunk_id,
+         |              substring(full_text, CAST(chunk_start AS INT) + 1, 200) AS text
+         |       FROM starts),
+         |t AS (SELECT chunk_id, $sqlTokens AS w FROM ch),
+         |f AS (SELECT chunk_id, len(w) AS dl,
+         |        len(list_filter(w, x -> x = 'vector')) AS tf0,
+         |        len(list_filter(w, x -> x = 'query')) AS tf1,
+         |        len(list_filter(w, x -> x = 'dup')) AS tf2
+         |      FROM t),
+         |st AS (SELECT count(*) AS n, sum(dl) AS sumdl,
+         |         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         |         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         |         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+         |       FROM f),
+         |sc AS (SELECT chunk_id,
+         |    CAST(round(ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * CAST(tf0 AS DOUBLE) * (1.2 + 1.0)
+         |      / (CAST(tf0 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n))), 6) AS DECIMAL(20,6))
+         |  + CAST(round(ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * CAST(tf1 AS DOUBLE) * (1.2 + 1.0)
+         |      / (CAST(tf1 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n))), 6) AS DECIMAL(20,6))
+         |  + CAST(round(ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * CAST(tf2 AS DOUBLE) * (1.2 + 1.0)
+         |      / (CAST(tf2 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n))), 6) AS DECIMAL(20,6))
+         |  AS bm25d
+         |  FROM f CROSS JOIN st)
+         |SELECT chunk_id, CAST(bm25d AS DOUBLE) AS bm25 FROM sc WHERE bm25d > 0
+         |ORDER BY bm25 DESC, chunk_id LIMIT 20""".stripMargin,
 
     // phrase replay straight off the token lists: count offsets i where
     // both phrase words match consecutively (1-based list indexing)
