@@ -92,7 +92,13 @@ object PlanAudit {
     // lists on id (broadcast/AQE), adjacency stays in the row; zorder_key
     // is one broadcast stats row + pure map-side bit arithmetic
     "bm25_indexed", "bm25_batch", "phrase_search", "hybrid_rrf_stored",
-    "zorder_key")
+    "zorder_key",
+    // round 7 (cont. 4): chunk retrieval keeps the pruned-posting shape
+    // over the chunk table; the dedup-index probe broadcasts only batch
+    // bands; the quality pair must be ONE aggregate pass each; the salted
+    // join's keys must include the salt column
+    "bm25_chunks", "dedup_incremental_index", "data_profile",
+    "dq_expectations", "salted_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
