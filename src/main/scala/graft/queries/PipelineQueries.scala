@@ -148,7 +148,10 @@ object PipelineQueries {
   private[queries] def ensureTextIndex(s: SparkSession, d: String): String = {
     val path = textIndexPath(s, d)
     textIndexLock.synchronized {
-      if (!new java.io.File(s"$path/corpusstats/_SUCCESS").exists()) {
+      // idxmeta checked too: an artifact cached before the meta file
+      // existed must rebuild, not serve a layout the readers half-know
+      if (!new java.io.File(s"$path/corpusstats/_SUCCESS").exists() ||
+          !new java.io.File(s"$path/idxmeta/_SUCCESS").exists()) {
         // positional build: one artifact serves both BM25 (never reads the
         // pos column) and phrase_search
         TextIndex.buildTextIndex(docs(s, d), "doc_id", "text", path,
@@ -1577,6 +1580,18 @@ object PipelineQueries {
       val qdf = s.createDataFrame(bm25BatchQueries).toDF("qid", "terms")
       TextIndex.bm25SearchIndexedBatch(s, ensureTextIndex(s, d), qdf, n = 10)
         .select(col("qid"), col("id"), col("bm25"))
+    }),
+
+    // Artifact integrity: the stored text index's own totals must equal a
+    // first-principles recompute from the corpus (docs, tokens, vocabulary,
+    // posting rows) — the oracle never reads the artifact, so a build bug
+    // that dropped or duplicated postings would hash-mismatch here.
+    "text_index_stats" -> ((s, d) => {
+      val replayable = Set("num_docs", "num_tokens", "vocabulary_size",
+        "posting_rows")
+      TextIndex.textIndexStats(s, ensureTextIndex(s, d))
+        .filter(col("property").isin(replayable.toSeq: _*))
+        .orderBy(col("property"))
     }),
 
     // Retrieval at the RAG unit: BM25 over SLIDING CHUNKS served from a
@@ -3591,6 +3606,22 @@ object PipelineQueries {
          |$subs
          |) ORDER BY qid, bm25 DESC, id""".stripMargin
     },
+
+    // first-principles recompute of the artifact's totals; string values
+    // because the Spark side's DESCRIBE-style output is (property, value)
+    "text_index_stats" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+         |p AS (SELECT doc_id, unnest(w) AS term FROM t),
+         |m AS (SELECT
+         |    (SELECT count(*) FROM t) AS num_docs,
+         |    (SELECT coalesce(sum(len(w)), 0) FROM t) AS num_tokens,
+         |    (SELECT count(DISTINCT term) FROM p) AS vocabulary_size,
+         |    (SELECT count(*) FROM (SELECT DISTINCT doc_id, term FROM p)) AS posting_rows)
+         |SELECT 'num_docs' AS property, CAST(num_docs AS VARCHAR) AS value FROM m
+         |UNION ALL SELECT 'num_tokens', CAST(num_tokens AS VARCHAR) FROM m
+         |UNION ALL SELECT 'posting_rows', CAST(posting_rows AS VARCHAR) FROM m
+         |UNION ALL SELECT 'vocabulary_size', CAST(vocabulary_size AS VARCHAR) FROM m
+         |ORDER BY property""".stripMargin,
 
     // chunking replayed exactly as chunk_sliding's oracle, then the
     // decimal BM25 kernel over the chunk table (chunk_text renamed to
