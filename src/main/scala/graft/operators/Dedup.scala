@@ -513,7 +513,16 @@ object Dedup {
    *   signatures/ batch=<b>/…  (id, sh)             shingle sets for the
    *                            exact-verify join (the honest cost: same
    *                            order as the corpus text itself)
-   *   idxmeta/                 (shingle_size, num_hashes, bands)
+   *   idxmeta/                 (shingle_size, num_hashes, bands) — at the
+   *                            INDEX path (build-time constants, never
+   *                            change per generation)
+   *   tombstones/              (row_id) deleted corpus doc ids — the SAME
+   *                            registry as the ANN/text indexes
+   *                            ([[graft.index.DiskannIndex.deleteRows]]);
+   *                            probes mask them, compaction folds them
+   *   versions/v%09d/          compacted generations (bands + signatures),
+   *                            highest-wins atomic-rename install — the
+   *                            shared lifecycle convention
    *
    * A daily-crawl check then costs: shingle+sign the BATCH (small),
    * broadcast its band table against the stored bands — one map-side probe
@@ -521,7 +530,8 @@ object Dedup {
    * and exact-verify only the candidates against the stored shingle sets.
    * Appends follow the new-doc-ids batch contract shared with the other
    * stored artifacts (verify today's crawl, then append it as tomorrow's
-   * corpus increment).
+   * corpus increment); append and compact writers serialize through the
+   * shared [[graft.index.WriterLock]] lease, reads stay lock-free.
    */
   def buildDedupIndex(corpus: DataFrame, idCol: String, textCol: String,
       path: String, shingleSize: Int = 3, numHashes: Int = 64,
@@ -535,14 +545,20 @@ object Dedup {
       .write.mode(SaveMode.Overwrite).parquet(s"$path/idxmeta")
   }
 
-  /** Append NEW docs (typically the batch just verified). */
+  /** Append NEW docs (typically the batch just verified) under the writer
+    * lease — the generation root is resolved under it, so a concurrent
+    * compaction cannot swap the root mid-write and lose the batch. */
   def appendDedupIndex(batch: DataFrame, path: String, idCol: String,
       textCol: String, batchId: Long): Unit = {
     require(batchId > 0L, "append batches start at 1 (0 is the build)")
-    val m = batch.sparkSession.read.parquet(s"$path/idxmeta").head()
-    writeDedupBatch(batch, idCol, textCol, path,
-      m.getAs[Int]("shingle_size"), m.getAs[Int]("num_hashes"),
-      m.getAs[Int]("bands"), batchId, SaveMode.Append)
+    val spark = batch.sparkSession
+    val m = spark.read.parquet(s"$path/idxmeta").head()
+    graft.index.WriterLock.withLease(spark, path) {
+      writeDedupBatch(batch, idCol, textCol,
+        graft.index.DiskannIndex.resolveRoot(spark, path),
+        m.getAs[Int]("shingle_size"), m.getAs[Int]("num_hashes"),
+        m.getAs[Int]("bands"), batchId, SaveMode.Append)
+    }
   }
 
   private def writeDedupBatch(df: DataFrame, idCol: String, textCol: String,
@@ -558,10 +574,37 @@ object Dedup {
       .write.mode(mode).partitionBy("batch").parquet(s"$path/signatures")
   }
 
+  /**
+   * Durably mark corpus doc ids deleted (takedowns/opt-outs): probes stop
+   * emitting them as candidates immediately, [[compactDedupIndex]]
+   * physically drops their band and signature rows and consumes the
+   * registry — the ANN index's tombstone-then-VACUUM contract
+   * (`vacuum.rs:24-136`) applied to the dedup artifact. Registry layout is
+   * byte-compatible, so SQL `DELETE FROM INDEX` works here too.
+   */
+  def deleteFromDedupIndex(spark: SparkSession, path: String,
+      docIds: Iterable[Long]): Unit =
+    graft.index.DiskannIndex.deleteRows(spark, path, docIds)
+
+  /** Anti-join against the tombstone registry (bounded by the compact
+    * contract → broadcast-sized). */
+  private def maskDedupDeleted(spark: SparkSession, path: String,
+      df: DataFrame, idCol: String): DataFrame = {
+    val dead = graft.index.DiskannIndex.loadTombstones(spark, path)
+    if (dead.isEmpty) df
+    else {
+      import spark.implicits._
+      df.join(broadcast(dead.toSeq.toDF("__dead_id")),
+        df(idCol) === col("__dead_id"), "left_anti")
+    }
+  }
+
   /** [[minhashNearDupAgainst]] served from the stored index: identical
     * output (batch_id, corpus_id, jaccard ≥ threshold), but the corpus
     * side is never re-shingled — the batch's band table broadcasts against
-    * the stored bands, and only candidates join the stored shingle sets. */
+    * the stored bands, and only candidates join the stored shingle sets.
+    * Tombstoned corpus docs are masked BEFORE the candidate join, so a
+    * taken-down doc stops generating candidates the moment it is deleted. */
   def nearDupAgainstDedupIndex(spark: SparkSession, path: String,
       batch: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8): DataFrame = {
@@ -569,9 +612,11 @@ object Dedup {
     val m = spark.read.parquet(s"$path/idxmeta").head()
     val (shingleSize, numHashes, nBands) = (m.getAs[Int]("shingle_size"),
       m.getAs[Int]("num_hashes"), m.getAs[Int]("bands"))
+    val root = graft.index.DiskannIndex.resolveRoot(spark, path)
     val batchBase = signatureTable(batch, idCol, textCol, shingleSize,
       numHashes)
-    val candidates = spark.read.parquet(s"$path/bands").as("c")
+    val candidates = maskDedupDeleted(spark, path,
+        spark.read.parquet(s"$root/bands"), "id").as("c")
       .join(broadcast(bandTable(batchBase, numHashes, nBands)).as("b"),
         col("c.band") === col("b.band") && col("c.bucket") === col("b.bucket"))
       .select(col("b.id").as("batch_id"), col("c.id").as("corpus_id"))
@@ -579,12 +624,67 @@ object Dedup {
     candidates
       .join(broadcast(batchBase.select(col("id"), col("sh")).as("sb")),
         col("batch_id") === col("sb.id"))
-      .join(spark.read.parquet(s"$path/signatures").as("sc"),
+      .join(spark.read.parquet(s"$root/signatures").as("sc"),
         col("corpus_id") === col("sc.id"))
       .select(col("batch_id"), col("corpus_id"),
         jaccard(col("sb.sh"), col("sc.sh")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /**
+   * Fold every batch into a single batch-0 generation under
+   * `path/versions/v%09d` (atomic rename, highest-wins — the shared
+   * install discipline), dropping tombstoned ids from both tables and
+   * consuming the snapshotted registry files; generations older than the
+   * immediate predecessor are pruned, the predecessor stays as the
+   * in-flight-reader grace window. Returns false when there is nothing to
+   * fold (single batch, no tombstones). Runs under the writer lease.
+   */
+  def compactDedupIndex(spark: SparkSession, path: String): Boolean =
+    graft.index.WriterLock.withLease(spark, path) {
+      import graft.index.DiskannIndex
+      val root = DiskannIndex.resolveRoot(spark, path)
+      val nBatches = spark.read.parquet(s"$root/bands")
+        .select(col("batch")).distinct().count()
+      val consumedTombs = DiskannIndex.tombstoneFiles(spark, path)
+      val dead =
+        if (consumedTombs.isEmpty) Set.empty[Long]
+        else DiskannIndex.loadTombstones(spark, path)
+      if (nBatches <= 1L && dead.isEmpty) false
+      else {
+        val conf = spark.sessionState.newHadoopConf()
+        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+        val next = DiskannIndex.listVersions(spark, path)
+          .lastOption.map(_.stripPrefix("v").toInt + 1).getOrElse(1)
+        val vName = f"v$next%09d"
+        val tmp = new org.apache.hadoop.fs.Path(s"$path/_compact_tmp_$vName")
+        fs.delete(tmp, true)
+        Seq("bands", "signatures").foreach { d =>
+          maskDedupDeleted(spark, path,
+              spark.read.parquet(s"$root/$d"), "id")
+            .drop("batch").withColumn("batch", lit(0L))
+            .write.mode(SaveMode.Overwrite).partitionBy("batch")
+            .parquet(s"$tmp/$d")
+        }
+        val vdir = new org.apache.hadoop.fs.Path(s"$path/versions")
+        fs.mkdirs(vdir)
+        require(fs.rename(tmp, new org.apache.hadoop.fs.Path(vdir, vName)),
+          s"failed to install generation $vName")
+        consumedTombs.foreach(s => fs.delete(s.getPath, false))
+        val keep = Set(s"$path/versions/$vName", root)
+        DiskannIndex.listVersions(spark, path)
+          .map(v => s"$path/versions/$v")
+          .filterNot(keep)
+          .foreach(g => fs.delete(new org.apache.hadoop.fs.Path(g), true))
+        if (!keep(path)) {
+          Seq("bands", "signatures").foreach { d =>
+            val flat = new org.apache.hadoop.fs.Path(s"$path/$d")
+            if (fs.exists(flat) && root != path) fs.delete(flat, true)
+          }
+        }
+        true
+      }
+    }
 
   /**
    * SimHash near-dup pairs with Hamming distance <= maxHamming over the

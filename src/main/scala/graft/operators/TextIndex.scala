@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import graft.index.{DiskannIndex, WriterLock}
 
 /**
  * A STORED inverted text index — the text-retrieval twin of the ANN index's
@@ -20,6 +21,15 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
  *                frequency — query-time `sum(df)` folds batches
  *   corpusstats/ batch=<b>/…          (n, sumdl)          per-batch corpus
  *                totals — query-time `sum` folds batches (rows = #batches)
+ *   tombstones/                       (row_id)            deleted doc ids —
+ *                the SAME registry layout/machinery as the ANN index's
+ *                ([[graft.index.DiskannIndex.deleteRows]]), so `DELETE FROM
+ *                INDEX … WHERE ROW_ID IN` works against a text index path
+ *                unchanged. Serve paths mask them; compaction folds them.
+ *   _stream/                          b<batchId> commit markers for the
+ *                streaming sink — at the INDEX path, not the generation
+ *                root, so a compaction between append and checkpoint commit
+ *                cannot orphan a marker and cause a duplicating replay.
  *
  * `tb` is the TERM BUCKET: `md5_low60(term) mod nBuckets` — the same
  * engine-independent md5 route every other stored artifact uses
@@ -41,6 +51,12 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
  * root pointer) — the query-time cost of un-compacted batches is extra
  * files in the SAME pruned buckets, never extra partitions scanned.
  *
+ * Writers (append, compact) are serialized by the shared
+ * [[graft.index.WriterLock]] lease — an append can never land in a
+ * generation root that a concurrent compaction is folding (it would vanish
+ * at the version swap), and two compactors cannot race one version number.
+ * Reads stay lock-free: installed generations are immutable.
+ *
  * Reference: this is the relational re-expression of a text search index's
  * postings + collection statistics; scoring matches [[TextAnalysis.bm25]]'s
  * formula with one deliberate difference — per-term scores are rounded to 6
@@ -61,7 +77,7 @@ object TextIndex {
     * ([[graft.index.DiskannIndex.resolveRoot]]), reused verbatim so both
     * stored artifacts share one lifecycle story (and one set of tools). */
   def resolveRoot(spark: SparkSession, path: String): String =
-    graft.index.DiskannIndex.resolveRoot(spark, path)
+    DiskannIndex.resolveRoot(spark, path)
 
   /** Driver-side replica of [[termBucket]], for planning-time pruning:
     * the query needs LITERAL bucket values so Catalyst can prune the scan
@@ -103,12 +119,20 @@ object TextIndex {
     * idxmeta"; a nonzero override exists only for pre-idxmeta artifacts
     * and is validated against idxmeta when one exists — a silent mismatch
     * would prune the WRONG buckets and drop results, the worst failure
-    * mode an index can have. */
+    * mode an index can have. Only a MISSING idxmeta falls back; any other
+    * read failure (corruption, permissions, transient IO) PROPAGATES — a
+    * default guessed past a broken meta would prune wrong buckets and
+    * silently drop results. */
   private def effectiveBuckets(spark: SparkSession, path: String,
       passed: Int): Int = {
     val recorded =
       try Some(readMeta(spark, path).nBuckets)
-      catch { case _: Exception => None }
+      catch {
+        // plan-time missing path only; everything else is a real failure
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" => None
+        case _: java.io.FileNotFoundException => None
+      }
     (passed, recorded) match {
       case (0, Some(m)) => m
       case (0, None) => 64
@@ -120,11 +144,20 @@ object TextIndex {
     }
   }
 
-  /** Append a batch of NEW docs (ids must not already be indexed).
-    * Positions on/off follows the existing index's schema — a mixed index
-    * would silently break phrase search on the appended slice. */
+  /** Append a batch of NEW docs (ids must not already be indexed) under the
+    * writer lease. Positions on/off follows the existing index's schema — a
+    * mixed index would silently break phrase search on the appended slice. */
   def appendTextIndex(df: DataFrame, idCol: String, textCol: String,
-      path: String, batchId: Long, nBuckets: Int = 0): Unit = {
+      path: String, batchId: Long, nBuckets: Int = 0): Unit =
+    WriterLock.withLease(df.sparkSession, path) {
+      appendLocked(df, idCol, textCol, path, batchId, nBuckets)
+    }
+
+  /** The append body; caller MUST hold the writer lease (the generation
+    * root is resolved here, under the lease, so a concurrent compaction
+    * cannot swap it mid-write). */
+  private def appendLocked(df: DataFrame, idCol: String, textCol: String,
+      path: String, batchId: Long, nBuckets: Int): Unit = {
     require(batchId > 0L, "append batches start at 1 (0 is the build)")
     val spark = df.sparkSession
     val root = resolveRoot(spark, path)
@@ -166,9 +199,17 @@ object TextIndex {
         toks.select(col("id"), col("dl"), explode(col("__w")).as("term"))
           .groupBy(col("term"), col("id"), col("dl"))
           .agg(count(lit(1)).as("tf"))
+    // range-repartition on (tb, term) before the partitionBy write: each
+    // output task then covers a CONTIGUOUS bucket range (≤2 buckets at the
+    // boundaries), so files per batch is ≈ nTasks + nBuckets — without it
+    // every post-shuffle task can open a file in all nBuckets dirs
+    // (nTasks×nBuckets small files per batch, the exact foot-gun
+    // BucketedTables.scala documents). Range (not hash) also lands terms
+    // sorted within each file, tightening parquet min/max stats on `term`.
     exploded
       .withColumn("batch", lit(batchId))
       .withColumn("tb", termBucket(col("term"), nBuckets))
+      .repartitionByRange(col("tb"), col("term"))
       .write.mode(mode).partitionBy("batch", "tb")
       .parquet(s"$path/postings")
     // df derives from the postings JUST WRITTEN (read back the new batch's
@@ -179,12 +220,50 @@ object TextIndex {
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
       .select(col("term"), col("df"), lit(batchId).as("batch"),
         termBucket(col("term"), nBuckets).as("tb"))
+      .repartitionByRange(col("tb"), col("term"))
       .write.mode(mode).partitionBy("batch", "tb")
       .parquet(s"$path/termstats")
     toks.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
       .select(col("n"), col("sumdl"), lit(batchId).as("batch"))
       .write.mode(mode).partitionBy("batch")
       .parquet(s"$path/corpusstats")
+  }
+
+  // ---- deletes (the V1/VACUUM analog for the text artifact) ----
+
+  /**
+   * Durably mark doc ids deleted: serve paths ([[bm25SearchIndexed]],
+   * [[bm25SearchIndexedBatch]], [[phraseSearchIndexed]] and the TVFs built
+   * on them) mask the ids immediately; the next [[compactTextIndex]]
+   * physically folds them out (VACUUM) and consumes the registry — the
+   * reference's tombstone-then-vacuum contract (`vacuum.rs:24-136`) applied
+   * to the text artifact. The registry is byte-compatible with the ANN
+   * index's, so SQL `DELETE FROM INDEX ON parquet.`…`` works on a text
+   * index path unchanged.
+   *
+   * Until the fold, surviving docs keep their pre-delete scores (corpus
+   * stats still count the deleted docs) — the same staleness window the
+   * ANN index's masked-but-not-vacuumed rows have. One caveat the artifact
+   * cannot avoid: a deleted doc with ZERO tokens has no posting rows to
+   * recover `dl` from, so it keeps contributing +1 to N until a full
+   * rebuild; token-bearing docs fold out exactly.
+   */
+  def deleteDocs(spark: SparkSession, path: String,
+      docIds: Iterable[Long]): Unit =
+    DiskannIndex.deleteRows(spark, path, docIds)
+
+  /** Anti-join `df` against the tombstone registry on `idCol`. The
+    * tombstone set is bounded by the compact contract (folded+consumed at
+    * every compaction), so the broadcast is query-batch-sized. */
+  private def maskDeleted(spark: SparkSession, path: String,
+      df: DataFrame, idCol: String): DataFrame = {
+    val dead = DiskannIndex.loadTombstones(spark, path)
+    if (dead.isEmpty) df
+    else {
+      import spark.implicits._
+      df.join(broadcast(dead.toSeq.toDF("__dead_id")),
+        df(idCol) === col("__dead_id"), "left_anti")
+    }
   }
 
   /**
@@ -195,7 +274,7 @@ object TextIndex {
    * time; corpus stats fold from #batches rows. Docs containing none of the
    * terms never enter the plan (vs the one-shot scorer's `> 0` filter —
    * identical result sets, since idf > 0 always and tf > 0 on every
-   * posting row).
+   * posting row). Tombstoned docs are masked before scoring.
    */
   def bm25SearchIndexed(spark: SparkSession, path: String, terms: Seq[String],
       nBuckets: Int = 0, k1: Double = 1.2, b: Double = 0.75,
@@ -210,8 +289,10 @@ object TextIndex {
     val tstats = spark.read.parquet(s"$root/termstats")
       .filter(col("tb").isin(bks: _*) && col("term").isin(terms: _*))
       .groupBy(col("term")).agg(sum(col("df")).as("__df"))
-    val post = spark.read.parquet(s"$root/postings")
-      .filter(col("tb").isin(bks: _*) && col("term").isin(terms: _*))
+    val post = maskDeleted(spark, path,
+      spark.read.parquet(s"$root/postings")
+        .filter(col("tb").isin(bks: _*) && col("term").isin(terms: _*)),
+      "id")
     val avgdl = col("__sumdl").cast(DoubleType) / col("__n")
     val lenNorm = lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl)
     val idf = log(lit(1.0) +
@@ -240,6 +321,13 @@ object TextIndex {
    * corpus. Adjacency is then a per-row array check: position p of slot 0
    * survives iff slot i's array contains p+i for every i — `filter` +
    * `array_contains` over the row's own arrays, no further shuffle.
+   *
+   * Guard: when `spark.graft.text.phrase.maxDfFrac` is set below 1.0, a
+   * phrase whose RAREST term appears in more than that fraction of docs is
+   * refused — an all-stop-word phrase would otherwise join corpus-sized
+   * posting lists (the plan is sized by the rarest term; the guard makes
+   * that failure mode explicit instead of slow). Costs one pruned termstats
+   * read when enabled; free at the default 1.0.
    */
   def phraseSearchIndexed(spark: SparkSession, path: String,
       phrase: Seq[String], nBuckets: Int = 0, n: Int = 20): DataFrame = {
@@ -252,8 +340,29 @@ object TextIndex {
         "needs positional postings")
     val bks = phrase.map(termBucketOf(_, nB)).distinct
       .map(java.lang.Long.valueOf)
-    val pruned = post
-      .filter(col("tb").isin(bks: _*) && col("term").isin(phrase.distinct: _*))
+    val maxDfFrac =
+      spark.conf.get("spark.graft.text.phrase.maxDfFrac", "1.0").toDouble
+    if (maxDfFrac < 1.0) {
+      val nDocs = spark.read.parquet(s"$root/corpusstats")
+        .agg(sum(col("n"))).head().getLong(0)
+      val dfs = spark.read.parquet(s"$root/termstats")
+        .filter(col("tb").isin(bks: _*) &&
+          col("term").isin(phrase.distinct: _*))
+        .groupBy(col("term")).agg(sum(col("df")).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val (rarestTerm, rarestDf) =
+        phrase.distinct.map(t => t -> dfs.getOrElse(t, 0L)).minBy(_._2)
+      if (nDocs > 0 && rarestDf.toDouble / nDocs > maxDfFrac)
+        throw new IllegalArgumentException(
+          s"phrase refused: its rarest term '$rarestTerm' appears in " +
+            s"$rarestDf of $nDocs docs (> spark.graft.text.phrase." +
+            s"maxDfFrac=$maxDfFrac); the posting intersection would be " +
+            "corpus-sized — raise the knob to allow it")
+    }
+    val pruned = maskDeleted(spark, path,
+      post.filter(col("tb").isin(bks: _*) &&
+        col("term").isin(phrase.distinct: _*)),
+      "id")
     val slots = phrase.zipWithIndex.map { case (t, i) =>
       pruned.filter(col("term") === t)
         .select(col("id"), col("pos").as(s"__p$i"))
@@ -277,11 +386,11 @@ object TextIndex {
    * collected to the driver (bounded by batch size × terms per query, a
    * legitimate bounded collect) so the posting scan still prunes to their
    * md5 buckets at planning time, then the batch broadcasts back and the
-   * per-(qid, doc) score folds in one shuffle. The per-query top-n runs as
-   * a rank window PARTITIONED by qid over that query's candidate rows —
-   * bounded by its terms' posting lists, never the corpus (swap in the
-   * bounded top-k aggregator, as knn_join_topk documents, if a stop-word
-   * query's candidate set outgrows a partition).
+   * per-(qid, doc) score folds in one shuffle. The per-query top-n is a
+   * BOUNDED top-k aggregator ([[Similarity.TopKAggregator]] on (-bm25, id))
+   * — O(n) state per qid with map-side combine, so even a stop-word query
+   * whose candidate set is corpus-sized never materializes a corpus-sized
+   * sort partition (the rank-window shape this replaced would).
    *
    * Duplicate terms within one query's array count once (matching
    * [[bm25SearchIndexed]], whose term list is a set by construction).
@@ -292,7 +401,6 @@ object TextIndex {
   def bm25SearchIndexedBatch(spark: SparkSession, path: String,
       queries: DataFrame, nBuckets: Int = 0, k1: Double = 1.2,
       b: Double = 0.75, n: Int = 20): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val root = resolveRoot(spark, path)
     val nB = effectiveBuckets(spark, path, nBuckets)
     val qt = queries
@@ -307,99 +415,150 @@ object TextIndex {
     val tstats = spark.read.parquet(s"$root/termstats")
       .filter(col("tb").isin(bks: _*) && col("term").isin(allTerms: _*))
       .groupBy(col("term")).agg(sum(col("df")).as("__df"))
-    val post = spark.read.parquet(s"$root/postings")
-      .filter(col("tb").isin(bks: _*) && col("term").isin(allTerms: _*))
+    val post = maskDeleted(spark, path,
+      spark.read.parquet(s"$root/postings")
+        .filter(col("tb").isin(bks: _*) && col("term").isin(allTerms: _*)),
+      "id")
     val avgdl = col("__sumdl").cast(DoubleType) / col("__n")
     val lenNorm = lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl)
     val idf = log(lit(1.0) +
       (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
     val termScore = round(idf * col("tf").cast(DoubleType) * lit(k1 + 1.0) /
       (col("tf").cast(DoubleType) + lenNorm), 6)
-    post.join(broadcast(qt), "term")
+    val scored = post.join(broadcast(qt), "term")
       .join(broadcast(tstats), "term").crossJoin(broadcast(st))
       .select(col("qid"), col("id"),
         termScore.cast(DecimalType(20, 6)).as("__ts"))
       .groupBy(col("qid"), col("id")).agg(sum(col("__ts")).as("__s"))
       .select(col("qid"), col("id"), col("__s").cast(DoubleType).as("bm25"))
       .filter(col("bm25") > 0)
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("qid"))
-          .orderBy(col("bm25").desc, col("id"))))
-      .filter(col("__rn") <= n).drop("__rn")
+    // bounded per-qid top-n: smallest-k by (-bm25, id) == (bm25 desc, id),
+    // exactly the rank window's tie-break; negation is exact in IEEE754 so
+    // results stay byte-identical to per-query calls
+    import spark.implicits._
+    val agg = new Similarity.TopKAggregator(n)
+    scored.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, -t._3))
+      .agg(agg.toColumn.name("topk"))
+      .toDF("qid", "topk")
+      .select(col("qid"), explode(col("topk")).as("e"))
+      .select(col("qid"), col("e._1").as("id"), (-col("e._2")).as("bm25"))
       .orderBy(col("qid"), col("bm25").desc, col("id"))
   }
 
   /**
    * Fold every batch of the current generation into a single batch-0
    * generation, installed under `path/versions/v%09d` by one atomic rename
-   * (the ANN compactor's install discipline). Returns false (no-op) when
-   * only one batch exists. Query-time cost of un-compacted batches is
-   * extra FILES in the same pruned buckets, so compaction is a file-count
-   * (open/list overhead) lever, not a correctness one; run it when batch
-   * count grows large, like any small-files job.
+   * (the ANN compactor's install discipline), under the shared
+   * [[graft.index.WriterLock]] lease. Returns false (no-op) when only one
+   * batch exists AND no tombstones are pending. Query-time cost of
+   * un-compacted batches is extra FILES in the same pruned buckets, so
+   * compaction is a file-count (open/list overhead) lever — plus the
+   * VACUUM: pending tombstones snapshot under the lease, fold out of the
+   * rewritten postings/termstats/corpusstats, and their registry files are
+   * consumed after the install, exactly like the ANN compactor
+   * (`vacuum.rs:24-136` semantics).
    *
-   * Postings rows are copied verbatim (positions preserved); term df and
-   * corpus totals fold by SUM — exact under the append contract (a doc id
-   * appears in exactly one batch). Generations older than the immediate
-   * predecessor are pruned; the predecessor stays as the in-flight-reader
-   * grace window, exactly like the ANN index.
+   * Postings rows are copied verbatim (positions preserved); term df
+   * recomputes from the surviving postings and corpus totals fold by
+   * subtraction of the folded docs' own (count, Σdl) — exact under the
+   * append contract (a doc id appears in exactly one batch; see
+   * [[deleteDocs]] for the zero-token caveat). Generations older than the
+   * immediate predecessor are pruned; the predecessor stays as the
+   * in-flight-reader grace window, exactly like the ANN index.
    */
-  def compactTextIndex(spark: SparkSession, path: String): Boolean = {
-    val root = resolveRoot(spark, path)
-    val nBatches = spark.read.parquet(s"$root/corpusstats").count()
-    if (nBatches <= 1L) return false
-    val conf = spark.sessionState.newHadoopConf()
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-    val next = graft.index.DiskannIndex.listVersions(spark, path)
-      .lastOption.map(_.stripPrefix("v").toInt + 1).getOrElse(1)
-    val vName = f"v$next%09d"
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/_compact_tmp_$vName")
-    fs.delete(tmp, true)
-    // the bucket count is a build-time constant recorded in idxmeta —
-    // re-deriving tb from the term through the SAME definition (rather
-    // than trusting directory names) keeps one route definition
-    val nB = readMeta(spark, path).nBuckets
-    spark.read.parquet(s"$root/postings")
-      .drop("batch", "tb")
-      .withColumn("batch", lit(0L))
-      .withColumn("tb", termBucket(col("term"), nB))
-      .write.mode(SaveMode.Overwrite).partitionBy("batch", "tb")
-      .parquet(s"$tmp/postings")
-    spark.read.parquet(s"$root/termstats")
-      .groupBy(col("term")).agg(sum(col("df")).as("df"))
-      .withColumn("batch", lit(0L))
-      .withColumn("tb", termBucket(col("term"), nB))
-      .write.mode(SaveMode.Overwrite).partitionBy("batch", "tb")
-      .parquet(s"$tmp/termstats")
-    spark.read.parquet(s"$root/corpusstats")
-      .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl"))
-      .withColumn("batch", lit(0L))
-      .write.mode(SaveMode.Overwrite).partitionBy("batch")
-      .parquet(s"$tmp/corpusstats")
-    val vdir = new org.apache.hadoop.fs.Path(s"$path/versions")
-    fs.mkdirs(vdir)
-    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(vdir, vName)),
-      s"failed to install generation $vName")
-    // prune everything older than the grace-window predecessor (= the root
-    // we just superseded); the flat root's data dirs count once versioned
-    val keep = Set(s"$path/versions/$vName", root)
-    graft.index.DiskannIndex.listVersions(spark, path)
-      .map(v => s"$path/versions/$v")
-      .filterNot(keep)
-      .foreach(g => fs.delete(new org.apache.hadoop.fs.Path(g), true))
-    if (!keep(path)) {
-      Seq("postings", "termstats", "corpusstats").foreach { d =>
-        val flat = new org.apache.hadoop.fs.Path(s"$path/$d")
-        if (fs.exists(flat) && root != path) fs.delete(flat, true)
+  def compactTextIndex(spark: SparkSession, path: String): Boolean =
+    WriterLock.withLease(spark, path) {
+      val root = resolveRoot(spark, path)
+      val nBatches = spark.read.parquet(s"$root/corpusstats").count()
+      // tombstones snapshot UNDER the lease: files arriving after this are
+      // left for the next compaction, never half-consumed
+      val consumedTombs = DiskannIndex.tombstoneFiles(spark, path)
+      val dead =
+        if (consumedTombs.isEmpty) Set.empty[Long]
+        else DiskannIndex.loadTombstones(spark, path)
+      if (nBatches <= 1L && dead.isEmpty) false
+      else {
+        val conf = spark.sessionState.newHadoopConf()
+        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+        val next = DiskannIndex.listVersions(spark, path)
+          .lastOption.map(_.stripPrefix("v").toInt + 1).getOrElse(1)
+        val vName = f"v$next%09d"
+        val tmp = new org.apache.hadoop.fs.Path(s"$path/_compact_tmp_$vName")
+        fs.delete(tmp, true)
+        // the bucket count is a build-time constant recorded in idxmeta —
+        // re-deriving tb from the term through the SAME definition (rather
+        // than trusting directory names) keeps one route definition
+        val nB = readMeta(spark, path).nBuckets
+        val live = maskDeleted(spark, path,
+          spark.read.parquet(s"$root/postings"), "id")
+        live
+          .drop("batch", "tb")
+          .withColumn("batch", lit(0L))
+          .withColumn("tb", termBucket(col("term"), nB))
+          .repartitionByRange(col("tb"), col("term"))
+          .write.mode(SaveMode.Overwrite).partitionBy("batch", "tb")
+          .parquet(s"$tmp/postings")
+        // df recomputed from the postings JUST INSTALLED (batch-0 only, so
+        // the read is the folded artifact itself) — dead docs fall out
+        spark.read.parquet(s"$tmp/postings")
+          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+          .withColumn("batch", lit(0L))
+          .withColumn("tb", termBucket(col("term"), nB))
+          .repartitionByRange(col("tb"), col("term"))
+          .write.mode(SaveMode.Overwrite).partitionBy("batch", "tb")
+          .parquet(s"$tmp/termstats")
+        // corpus totals: old SUM minus the folded docs' own (count, Σdl) —
+        // derived from the pre-fold postings (one row per dead doc via
+        // distinct (id, dl); dl is constant per doc by construction)
+        val deadPresent =
+          if (dead.isEmpty) (0L, 0L)
+          else {
+            import spark.implicits._
+            val r = spark.read.parquet(s"$root/postings")
+              .select(col("id"), col("dl"))
+              .join(broadcast(dead.toSeq.toDF("__dead_id")),
+                col("id") === col("__dead_id"))
+              .select(col("id"), col("dl")).distinct()
+              .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+            (r.getLong(0), r.getLong(1))
+          }
+        spark.read.parquet(s"$root/corpusstats")
+          .agg((sum(col("n")) - lit(deadPresent._1)).as("n"),
+            (sum(col("sumdl")) - lit(deadPresent._2)).as("sumdl"))
+          .withColumn("batch", lit(0L))
+          .write.mode(SaveMode.Overwrite).partitionBy("batch")
+          .parquet(s"$tmp/corpusstats")
+        val vdir = new org.apache.hadoop.fs.Path(s"$path/versions")
+        fs.mkdirs(vdir)
+        require(fs.rename(tmp, new org.apache.hadoop.fs.Path(vdir, vName)),
+          s"failed to install generation $vName")
+        // the snapshotted tombstones are folded into this generation —
+        // consume them (files that arrived mid-fold stay pending)
+        consumedTombs.foreach(s => fs.delete(s.getPath, false))
+        // prune everything older than the grace-window predecessor (= the
+        // root we just superseded); flat root's data dirs count once
+        // versioned
+        val keep = Set(s"$path/versions/$vName", root)
+        DiskannIndex.listVersions(spark, path)
+          .map(v => s"$path/versions/$v")
+          .filterNot(keep)
+          .foreach(g => fs.delete(new org.apache.hadoop.fs.Path(g), true))
+        if (!keep(path)) {
+          Seq("postings", "termstats", "corpusstats").foreach { d =>
+            val flat = new org.apache.hadoop.fs.Path(s"$path/$d")
+            if (fs.exists(flat) && root != path) fs.delete(flat, true)
+          }
+        }
+        true
       }
     }
-    true
-  }
 
   /** DESCRIBE-style stats: one (property, value) row each for docs,
     * total tokens, vocabulary size, posting rows, batches, buckets,
-    * positions flag, and the current generation root. Costs one pruned
-    * scan of each stats table plus a postings count. */
+    * positions flag, pending tombstones, and the current generation root.
+    * Costs one pruned scan of each stats table plus a postings count. */
   def textIndexStats(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val root = resolveRoot(spark, path)
@@ -409,6 +568,7 @@ object TextIndex {
     val vocab = spark.read.parquet(s"$root/termstats")
       .select(col("term")).distinct().count()
     val postings = spark.read.parquet(s"$root/postings").count()
+    val pendingDeletes = DiskannIndex.loadTombstones(spark, path).size
     Seq(
       "generation_root" -> root,
       "num_docs" -> cs.getLong(0).toString,
@@ -417,7 +577,8 @@ object TextIndex {
       "posting_rows" -> postings.toString,
       "num_batches" -> cs.getLong(2).toString,
       "num_buckets" -> meta.nBuckets.toString,
-      "positions" -> meta.positions.toString
+      "positions" -> meta.positions.toString,
+      "pending_tombstones" -> pendingDeletes.toString
     ).toDF("property", "value")
   }
 
@@ -429,25 +590,41 @@ object TextIndex {
    * deleted and rewritten — the same idempotence discipline as the ANN
    * monitors' batchId guard. Manual [[appendTextIndex]] ids must stay
    * below the base.
+   *
+   * Markers live at the INDEX path (`$path/_stream/b<id>`), NOT the
+   * generation root: a compaction that installs a new generation between a
+   * completed append and the checkpoint commit must not orphan the marker
+   * (a replay finding no marker would re-append the batch, duplicating doc
+   * ids and corrupting the summed stats). The whole check-append-mark
+   * sequence runs under the writer lease, so a compaction can never fold a
+   * committed-but-unmarked batch out from under the replay protocol.
+   * Markers are tiny and survive compactions by design; they can be
+   * cleared whenever the streaming checkpoint they protect is.
    */
   val STREAM_BATCH_BASE: Long = 1L << 20
 
   def appendBatchIdempotent(idCol: String, textCol: String, path: String,
       nBuckets: Int = 0)(batch: DataFrame, streamBatchId: Long): Unit = {
     val spark = batch.sparkSession
-    val root = resolveRoot(spark, path)
     val phys = STREAM_BATCH_BASE + streamBatchId
     val conf = spark.sessionState.newHadoopConf()
-    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
-    val marker = new org.apache.hadoop.fs.Path(s"$root/_stream/b$phys")
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_stream/b$phys")
     if (fs.exists(marker)) return // fully committed on a previous attempt
-    Seq("postings", "termstats", "corpusstats").foreach { d =>
-      // torn previous attempt: remove its partition dirs before rewriting
-      fs.delete(new org.apache.hadoop.fs.Path(s"$root/$d/batch=$phys"), true)
+    WriterLock.withLease(spark, path) {
+      // re-check under the lease (another writer may have committed it)
+      if (!fs.exists(marker)) {
+        val root = resolveRoot(spark, path)
+        Seq("postings", "termstats", "corpusstats").foreach { d =>
+          // torn previous attempt: remove its partition dirs before rewrite
+          fs.delete(
+            new org.apache.hadoop.fs.Path(s"$root/$d/batch=$phys"), true)
+        }
+        appendLocked(batch, idCol, textCol, path, phys, nBuckets)
+        fs.mkdirs(marker.getParent)
+        fs.create(marker, true).close()
+      }
     }
-    appendTextIndex(batch, idCol, textCol, path, phys, nBuckets)
-    fs.mkdirs(marker.getParent)
-    fs.create(marker, true).close()
   }
 
   /** Start a streaming query feeding `stream` (idCol, textCol columns)

@@ -340,6 +340,199 @@ class TextIndexSpec extends AnyFunSuite {
       "appended batch must be part of the standing corpus")
   }
 
+  test("delete lifecycle: tombstone masks serving, VACUUM folds exactly") {
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    val path = "/tmp/graft_test_index/textidx_del"
+    deleteRec(new java.io.File(path))
+    TextIndex.buildTextIndex(docs, "doc_id", "text", path, positions = true)
+    val full = TextIndex.bm25SearchIndexed(spark, path, terms, n = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val dead = full.take(2).map(_._1) // delete the top-2 hits
+    TextIndex.deleteDocs(spark, path, dead)
+    // serve-time mask: dead ids gone, survivors keep PRE-delete scores
+    // (corpus stats still count the deleted docs until the fold)
+    val masked = TextIndex.bm25SearchIndexed(spark, path, terms, n = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // ranks 21-22 get promoted into the top-20; the surviving prefix keeps
+    // its PRE-delete scores exactly
+    assert(masked.length == 20 && masked.map(_._1).intersect(dead).isEmpty)
+    assert(masked.take(18) == full.filterNot(t => dead.contains(t._1)),
+      "mask must drop dead ids and leave surviving scores untouched")
+    val pMasked = TextIndex.phraseSearchIndexed(spark, path,
+        Seq("table", "hash"), n = 30)
+      .collect().map(_.getLong(0))
+    assert(pMasked.intersect(dead).isEmpty)
+    val bMasked = TextIndex.bm25SearchIndexedBatch(spark, path,
+        spark.createDataFrame(Seq(0L -> terms)).toDF("qid", "terms"), n = 20)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(bMasked == masked, "batch path must mask identically")
+    // VACUUM: compaction folds the tombstones out physically
+    assert(TextIndex.compactTextIndex(spark, path))
+    assert(TextIndex.resolveRoot(spark, path).contains("/versions/v"))
+    val root = TextIndex.resolveRoot(spark, path)
+    assert(spark.read.parquet(s"$root/postings")
+      .filter(col("id").isin(dead.map(Long.box): _*)).count() == 0,
+      "folded postings must not contain deleted docs")
+    // registry consumed; stats equal a first-principles recompute over the
+    // SURVIVING corpus (every testdata doc has tokens, so the fold is exact)
+    assert(graft.index.DiskannIndex.loadTombstones(spark, path).isEmpty)
+    val survivors = docs.filter(!$"doc_id".isin(dead.map(Long.box): _*))
+    val st = spark.read.parquet(s"$root/corpusstats")
+      .agg(sum($"n"), sum($"sumdl")).head()
+    val expSt = survivors
+      .select(size(TextAnalysis.tokens($"text")).cast("long").as("dl"))
+      .agg(count(lit(1)), sum($"dl")).head()
+    assert(st.getLong(0) == expSt.getLong(0) &&
+      st.getLong(1) == expSt.getLong(1),
+      s"VACUUM stats drifted: got $st want $expSt")
+    // post-VACUUM serving == a fresh build over the survivors
+    val after = TextIndex.bm25SearchIndexed(spark, path, terms, n = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after == expected(survivors, 20))
+  }
+
+  test("posting writes stay ≈nBuckets files per batch, not nTasks×nBuckets") {
+    val path = "/tmp/graft_test_index/textidx_fanout"
+    TextIndex.buildTextIndex(docs, "doc_id", "text", path)
+    def batchFiles(table: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$path/$table/batch=0"))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    // range-partitioned on (tb, term): each task covers ≤2 buckets, so the
+    // bound is nTasks + nBuckets; without the repartition the same write
+    // can open 32×64 = 2048 files
+    val bound = spark.conf.get("spark.sql.shuffle.partitions").toInt + 64
+    assert(batchFiles("postings") <= bound,
+      s"postings fan-out: ${batchFiles("postings")} files > $bound")
+    assert(batchFiles("termstats") <= bound,
+      s"termstats fan-out: ${batchFiles("termstats")} files > $bound")
+  }
+
+  test("batched BM25 plans a bounded top-k aggregation, not a rank window") {
+    val path = "/tmp/graft_test_index/textidx_full"
+    TextIndex.buildTextIndex(docs, "doc_id", "text", path)
+    val qdf = spark.createDataFrame(Seq(0L -> terms)).toDF("qid", "terms")
+    val plan = TextIndex.bm25SearchIndexedBatch(spark, path, qdf, n = 10)
+      .queryExecution.executedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty,
+      "stop-word queries must never grow a corpus-sized window partition")
+  }
+
+  test("phrase max-df guard refuses corpus-wide phrases, names the knob") {
+    val corpus = (1L to 20L).map(i => (i, s"the common word$i"))
+      .toDF("doc_id", "text")
+    val path = "/tmp/graft_test_index/textidx_guard"
+    TextIndex.buildTextIndex(corpus, "doc_id", "text", path,
+      positions = true)
+    spark.conf.set("spark.graft.text.phrase.maxDfFrac", "0.5")
+    try {
+      // 'the' and 'common' appear in ALL docs — rarest df frac 1.0 > 0.5
+      val e = intercept[IllegalArgumentException](
+        TextIndex.phraseSearchIndexed(spark, path, Seq("the", "common")))
+      assert(e.getMessage.contains("maxDfFrac"))
+      // a selective phrase passes: rarest term 'word7' has df 1/20
+      assert(TextIndex.phraseSearchIndexed(spark, path,
+        Seq("common", "word7")).collect().map(_.getLong(0)).toSeq == Seq(7L))
+    } finally spark.conf.unset("spark.graft.text.phrase.maxDfFrac")
+    // default (knob unset = 1.0): the same stop-word phrase is allowed
+    assert(TextIndex.phraseSearchIndexed(spark, path, Seq("the", "common"))
+      .count() == 20L)
+  }
+
+  test("corrupt idxmeta propagates instead of silently pruning wrong buckets") {
+    val path = "/tmp/graft_test_index/textidx_corrupt"
+    TextIndex.buildTextIndex(docs, "doc_id", "text", path, nBuckets = 8)
+    // truncate the meta to garbage: a transient/corrupt read must FAIL the
+    // query, not fall back to nBuckets=64 and silently drop results
+    val metaDir = new java.io.File(s"$path/idxmeta")
+    metaDir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      val w = new java.io.FileOutputStream(f)
+      w.write("not parquet".getBytes); w.close()
+    }
+    intercept[Exception] {
+      TextIndex.bm25SearchIndexed(spark, path, terms).collect()
+    }
+  }
+
+  test("dedup index delete lifecycle: mask, VACUUM, generations") {
+    import graft.operators.Dedup
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    val path = "/tmp/graft_test_index/dedupidx_del"
+    deleteRec(new java.io.File(path))
+    val mk = (i: Long, twist: String) =>
+      (i, s"alpha beta gamma delta epsilon zeta eta theta $twist run $i")
+    val corpus = ((1L to 30L).map(i => mk(i, s"unique$i")) :+
+      (100L, "alpha beta gamma delta epsilon zeta eta theta shared run 7"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (200L, "alpha beta gamma delta epsilon zeta eta theta shared run 7"))
+      .toDF("doc_id", "text")
+    Dedup.buildDedupIndex(corpus, "doc_id", "text", path)
+    graft.CacheScope.releaseAll()
+    def probe() = Dedup.nearDupAgainstDedupIndex(spark, path, batch,
+        "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(probe() == Seq((200L, 100L)))
+    // takedown of doc 100: probes must stop surfacing it immediately
+    Dedup.deleteFromDedupIndex(spark, path, Seq(100L))
+    assert(probe().isEmpty, "tombstoned corpus doc still probed")
+    // VACUUM folds it out physically and consumes the registry
+    assert(Dedup.compactDedupIndex(spark, path))
+    val root = graft.index.DiskannIndex.resolveRoot(spark, path)
+    assert(root.contains("/versions/v"))
+    assert(spark.read.parquet(s"$root/signatures")
+      .filter($"id" === 100L).count() == 0)
+    assert(spark.read.parquet(s"$root/bands")
+      .filter($"id" === 100L).count() == 0)
+    assert(graft.index.DiskannIndex.loadTombstones(spark, path).isEmpty)
+    assert(probe().isEmpty)
+    // single batch + no tombstones → compaction is a no-op
+    assert(!Dedup.compactDedupIndex(spark, path))
+    // append post-VACUUM lands in the new generation and is probed
+    Dedup.appendDedupIndex(batch, path, "doc_id", "text", batchId = 1L)
+    graft.CacheScope.releaseAll()
+    val batch2 = Seq(
+      (300L, "alpha beta gamma delta epsilon zeta eta theta shared run 7"))
+      .toDF("doc_id", "text")
+    assert(Dedup.nearDupAgainstDedupIndex(spark, path, batch2,
+        "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((300L, 200L)))
+  }
+
+  test("writer lease: a held lock makes append/compact fail fast") {
+    val path = "/tmp/graft_test_index/textidx_lease"
+    TextIndex.buildTextIndex(docs.limit(10), "doc_id", "text", path)
+    val lock = new org.apache.hadoop.fs.Path(s"$path/_compact.lock")
+    val fs = lock.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(lock, true)
+    out.writeUTF("someone-else"); out.close()
+    try {
+      val e = intercept[IllegalStateException](
+        TextIndex.appendTextIndex(docs.limit(1), "doc_id", "text", path,
+          batchId = 1L))
+      assert(e.getMessage.contains("lockTimeoutMs"))
+      intercept[IllegalStateException](
+        TextIndex.compactTextIndex(spark, path))
+    } finally fs.delete(lock, false)
+    // released → append proceeds
+    TextIndex.appendTextIndex(
+      Seq((999L, "post lease append")).toDF("doc_id", "text"),
+      "doc_id", "text", path, batchId = 1L)
+    assert(TextIndex.nextBatchId(spark, path) == 2L)
+  }
+
   test("empty docs count toward N and sumdl (dl = 0)") {
     val corpus = Seq((1L, "dup dup vector"), (2L, "   "), (3L, "query"),
       (4L, "")).toDF("doc_id", "text")
