@@ -126,6 +126,61 @@ object PipelineQueries {
     path
   }
 
+  /** Build-once handle to a text index with a PENDING delete set (doc_id %
+    * 7 == 3 tombstoned, never compacted) — the serve-time-mask fixture for
+    * bm25_after_delete: corpus stats still count the deleted docs, their
+    * rows are masked. */
+  private[queries] def ensureTextDelIndex(s: SparkSession, d: String): String = {
+    val path = textIndexPath(s, d).replace("/textidx2_", "/textdelidx_")
+    textIndexLock.synchronized {
+      if (!new java.io.File(s"$path/corpusstats/_SUCCESS").exists())
+        TextIndex.buildTextIndex(docs(s, d), "doc_id", "text", path)
+      if (graft.index.DiskannIndex.loadTombstones(s, path).isEmpty)
+        TextIndex.deleteDocs(s, path, docs(s, d)
+          .filter(col("doc_id") % 7 === 3)
+          .select(col("doc_id")).collect().map(_.getLong(0)))
+    }
+    path
+  }
+
+  /** Build-once handle to a text index whose delete set has been VACUUMed
+    * (tombstone → compact): the folded artifact serves REDUCED corpus stats
+    * — the bm25_after_vacuum fixture. */
+  private[queries] def ensureTextVacIndex(s: SparkSession, d: String): String = {
+    val path = textIndexPath(s, d).replace("/textidx2_", "/textvacidx_")
+    textIndexLock.synchronized {
+      if (!new java.io.File(s"$path/versions").exists()) {
+        if (!new java.io.File(s"$path/corpusstats/_SUCCESS").exists())
+          TextIndex.buildTextIndex(docs(s, d), "doc_id", "text", path)
+        if (graft.index.DiskannIndex.loadTombstones(s, path).isEmpty)
+          TextIndex.deleteDocs(s, path, docs(s, d)
+            .filter(col("doc_id") % 7 === 3)
+            .select(col("doc_id")).collect().map(_.getLong(0)))
+        TextIndex.compactTextIndex(s, path)
+      }
+    }
+    path
+  }
+
+  /** Build-once handle to a dedup index with a PENDING delete set: the
+    * standing corpus (doc_id % 23 != 0) minus takedowns (doc_id % 5 == 1,
+    * tombstoned, never compacted) — probes must mask them. */
+  private[queries] def ensureDedupDelIndex(s: SparkSession, d: String): String = {
+    val path = textIndexPath(s, d).replace("/textidx2_", "/dedupdelidx_")
+    textIndexLock.synchronized {
+      if (!new java.io.File(s"$path/idxmeta/_SUCCESS").exists()) {
+        Dedup.buildDedupIndex(docs(s, d).filter(col("doc_id") % 23 =!= 0),
+          "doc_id", "text", path)
+        graft.CacheScope.releaseAll()
+      }
+      if (graft.index.DiskannIndex.loadTombstones(s, path).isEmpty)
+        Dedup.deleteFromDedupIndex(s, path, docs(s, d)
+          .filter(col("doc_id") % 23 =!= 0 && col("doc_id") % 5 === 1)
+          .select(col("doc_id")).collect().map(_.getLong(0)))
+    }
+    path
+  }
+
   /** Build-once handle to the per-sf CHUNK-grained text index (the RAG
     * unit: sliding 200-char windows, stride 150 — the verified
     * chunk_sliding kernel feeding the verified TextIndex build). */
@@ -1549,6 +1604,41 @@ object PipelineQueries {
       TextIndex.bm25SearchIndexed(s, ensureTextIndex(s, d),
           Seq("vector", "query", "dup"))
         .select(col("id").as("doc_id"), col("bm25"))),
+
+    // Serving after DELETE, before VACUUM: tombstoned docs (doc_id % 7 == 3)
+    // are masked out of the candidates, surviving docs keep their PRE-delete
+    // scores (corpus stats still count the deleted docs until compaction) —
+    // the ANN index's masked-rows semantics on the text artifact. The oracle
+    // replays exactly that: full-corpus stats, deleted ids filtered.
+    "bm25_after_delete" -> ((s, d) =>
+      TextIndex.bm25SearchIndexed(s, ensureTextDelIndex(s, d),
+          Seq("vector", "query", "dup"))
+        .select(col("id").as("doc_id"), col("bm25"))),
+
+    // Serving after the VACUUM folded the tombstones: stats recomputed over
+    // the surviving corpus, so scores CHANGE (idf/avgdl shift) — the oracle
+    // replays the whole formula over `documents WHERE doc_id % 7 <> 3`.
+    "bm25_after_vacuum" -> ((s, d) =>
+      TextIndex.bm25SearchIndexed(s, ensureTextVacIndex(s, d),
+          Seq("vector", "query", "dup"))
+        .select(col("id").as("doc_id"), col("bm25"))),
+
+    // Dedup probe after corpus takedowns (doc_id % 5 == 1 tombstoned):
+    // deleted corpus docs stop generating candidates immediately. The probe
+    // batch is a SLICE OF THE INDEXED CORPUS itself (doc_id % 23 == 1), so
+    // every live probe doc self-matches at jaccard 1.0 and every tombstoned
+    // one visibly loses its self-pair — the oracle replays the exact-Jaccard
+    // join minus the deleted ids (5 self-pairs masked at sf0.01, plus a
+    // genuine near-dup pair that survives).
+    "dedup_index_after_delete" -> ((s, d) => {
+      val all = docs(s, d)
+      Dedup.nearDupAgainstDedupIndex(s, ensureDedupDelIndex(s, d),
+          all.filter(col("doc_id") % 23 === 1), "doc_id", "text",
+          threshold = 0.8)
+        .select(col("batch_id"), col("corpus_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("batch_id"), col("corpus_id"))
+    }),
 
     // ---- data-quality gate (Deequ-class, one pass each) ----
     // Per-column profile: ONE partial-aggregated pass no matter how many
@@ -3090,6 +3180,22 @@ object PipelineQueries {
          |                 len(list_distinct(list_concat(b.sh, c.sh))) >= 0.8
          |ORDER BY batch_id, corpus_id""".stripMargin,
 
+    // takedown replay: the same exact-Jaccard contract minus the
+    // tombstoned corpus ids — a deleted doc generating a candidate (even
+    // its own self-pair) would hash-mismatch here
+    "dedup_index_after_delete" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+         |g AS (SELECT doc_id, ${sqlShingles("w")} AS sh FROM t),
+         |b AS (SELECT doc_id, sh FROM g WHERE doc_id % 23 = 1),
+         |c AS (SELECT doc_id, sh FROM g
+         |      WHERE doc_id % 23 <> 0 AND doc_id % 5 <> 1)
+         |SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+         |       round(CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE) /
+         |             len(list_distinct(list_concat(b.sh, c.sh))), 6) AS jaccard
+         |FROM b JOIN c ON CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE) /
+         |                 len(list_distinct(list_concat(b.sh, c.sh))) >= 0.8
+         |ORDER BY batch_id, corpus_id""".stripMargin,
+
     // int8 replay: double view of the float vector, list_max scale, same
     // round-half-away-from-zero code rule on both engines
     "embed_quant_int8" ->
@@ -3505,6 +3611,60 @@ object PipelineQueries {
     // the posting-rows-only sum)
     "bm25_indexed" ->
       s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+         |f AS (SELECT doc_id, len(w) AS dl,
+         |        len(list_filter(w, x -> x = 'vector')) AS tf0,
+         |        len(list_filter(w, x -> x = 'query')) AS tf1,
+         |        len(list_filter(w, x -> x = 'dup')) AS tf2
+         |      FROM t),
+         |st AS (SELECT count(*) AS n, sum(dl) AS sumdl,
+         |         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         |         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         |         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+         |       FROM f),
+         |sc AS (SELECT doc_id,
+         |    CAST(round(ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * CAST(tf0 AS DOUBLE) * (1.2 + 1.0)
+         |      / (CAST(tf0 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n))), 6) AS DECIMAL(20,6))
+         |  + CAST(round(ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * CAST(tf1 AS DOUBLE) * (1.2 + 1.0)
+         |      / (CAST(tf1 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n))), 6) AS DECIMAL(20,6))
+         |  + CAST(round(ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * CAST(tf2 AS DOUBLE) * (1.2 + 1.0)
+         |      / (CAST(tf2 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n))), 6) AS DECIMAL(20,6))
+         |  AS bm25d
+         |  FROM f CROSS JOIN st)
+         |SELECT doc_id, CAST(bm25d AS DOUBLE) AS bm25 FROM sc WHERE bm25d > 0
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    // masked-serve replay: FULL-corpus stats (the index has not folded the
+    // tombstones yet), deleted ids dropped from the candidate set only
+    "bm25_after_delete" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+         |f AS (SELECT doc_id, len(w) AS dl,
+         |        len(list_filter(w, x -> x = 'vector')) AS tf0,
+         |        len(list_filter(w, x -> x = 'query')) AS tf1,
+         |        len(list_filter(w, x -> x = 'dup')) AS tf2
+         |      FROM t),
+         |st AS (SELECT count(*) AS n, sum(dl) AS sumdl,
+         |         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         |         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         |         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+         |       FROM f),
+         |sc AS (SELECT doc_id,
+         |    CAST(round(ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * CAST(tf0 AS DOUBLE) * (1.2 + 1.0)
+         |      / (CAST(tf0 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n))), 6) AS DECIMAL(20,6))
+         |  + CAST(round(ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * CAST(tf1 AS DOUBLE) * (1.2 + 1.0)
+         |      / (CAST(tf1 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n))), 6) AS DECIMAL(20,6))
+         |  + CAST(round(ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * CAST(tf2 AS DOUBLE) * (1.2 + 1.0)
+         |      / (CAST(tf2 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n))), 6) AS DECIMAL(20,6))
+         |  AS bm25d
+         |  FROM f CROSS JOIN st)
+         |SELECT doc_id, CAST(bm25d AS DOUBLE) AS bm25 FROM sc
+         |WHERE bm25d > 0 AND doc_id % 7 <> 3
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    // post-VACUUM replay: the whole formula over the SURVIVING corpus —
+    // the fold physically removed the deleted docs from stats and postings
+    "bm25_after_vacuum" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents
+         |           WHERE doc_id % 7 <> 3),
          |f AS (SELECT doc_id, len(w) AS dl,
          |        len(list_filter(w, x -> x = 'vector')) AS tf0,
          |        len(list_filter(w, x -> x = 'query')) AS tf1,
