@@ -37,6 +37,94 @@ object FreezeFixture {
 }
 
 /**
+ * Freezes the TEXT-INDEX fixture (`textidx_gen8`): the stored inverted
+ * index's on-disk format (md5 term buckets, per-batch postings/termstats/
+ * corpusstats, idxmeta build constants, positional postings) written by the
+ * round-8 generation — the regression net the ANN fixtures already provide
+ * (`upgrade_test.rs:25-337` discipline) extended to the second stored
+ * artifact. The deterministic corpus is frozen INSIDE the fixture as
+ * `_corpus` so the spec's oracle recomputes expected scores from first
+ * principles rather than embedding result lists that go stale.
+ *
+ * Shape choices are deliberate: non-default nBuckets=8 (a reader that
+ * ignores idxmeta and assumes 64 prunes the wrong buckets and FAILS the
+ * spec), two batches (query-time batch folding must keep working), one
+ * PENDING tombstone (the serve-time mask must keep reading the frozen
+ * registry format).
+ */
+object FreezeTextFixture {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse(
+      "src/test/resources/fixtures/textidx_gen8")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // deterministic text: murmur3-picked words from a fixed list — no RNG
+    // state, byte-stable under regeneration within one format generation
+    val corpus = spark.range(24).selectExpr(
+      "id AS doc_id",
+      """concat_ws(' ', transform(sequence(1, 5 + CAST(pmod(id, 7) AS INT)),
+        |  j -> element_at(array('alpha','beta','gamma','delta','epsilon',
+        |    'zeta','eta','theta','iota','kappa','lambda','mu'),
+        |    CAST(pmod(hash(id, j), 12) AS INT) + 1))) AS text""".stripMargin)
+    corpus.coalesce(1).write.mode("overwrite").parquet(s"$out/_corpus")
+    val frozen = spark.read.parquet(s"$out/_corpus")
+    graft.operators.TextIndex.buildTextIndex(
+      frozen.filter("doc_id < 16"), "doc_id", "text", out,
+      nBuckets = 8, positions = true)
+    graft.operators.TextIndex.appendTextIndex(
+      frozen.filter("doc_id >= 16"), "doc_id", "text", out, batchId = 1L)
+    // one pending tombstone: doc 3 is deleted but NOT compacted away
+    graft.operators.TextIndex.deleteDocs(spark, out, Seq(3L))
+    println(s"frozen: $out")
+    println(graft.operators.TextIndex.readMeta(spark, out))
+    spark.stop()
+  }
+}
+
+/**
+ * Freezes the DEDUP-INDEX fixture (`dedupidx_gen8`): the stored LSH
+ * artifact's format (per-batch bands + signatures, idxmeta constants,
+ * tombstone registry) with its probe batch frozen alongside as `_batch`,
+ * so the spec's oracle is the verified direct recompute
+ * ([[graft.operators.Dedup.minhashNearDupAgainst]]) over the frozen text.
+ * One corpus doc is tombstoned pending — future readers must keep masking
+ * the frozen registry.
+ */
+object FreezeDedupFixture {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse(
+      "src/test/resources/fixtures/dedupidx_gen8")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val mk = (i: Long, twist: String) =>
+      (i, s"alpha beta gamma delta epsilon zeta eta theta $twist run $i")
+    val corpus = ((1L to 20L).map(i => mk(i, s"unique$i")) ++ Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta shared run 7"),
+      (101L, "alpha beta gamma delta epsilon zeta eta theta gone run 9")))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (200L, "alpha beta gamma delta epsilon zeta eta theta shared run 7"),
+      (201L, "alpha beta gamma delta epsilon zeta eta theta gone run 9"))
+      .toDF("doc_id", "text")
+    corpus.coalesce(1).write.mode("overwrite").parquet(s"$out/_corpus")
+    batch.coalesce(1).write.mode("overwrite").parquet(s"$out/_batch")
+    graft.operators.Dedup.buildDedupIndex(
+      spark.read.parquet(s"$out/_corpus"), "doc_id", "text", out)
+    // pending takedown: 101 must stop matching 201 at probe time
+    graft.operators.Dedup.deleteFromDedupIndex(spark, out, Seq(101L))
+    println(s"frozen: $out")
+    spark.stop()
+  }
+}
+
+/**
  * Freezes the PRE-MANIFEST flat-layout fixture (`index_gen3flat`): the
  * on-disk shape a round-3-era writer produced — a flat root (nodes +
  * `_meta`, no `versions/`) whose meta parquet carries ONLY the columns that

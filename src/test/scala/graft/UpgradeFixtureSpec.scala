@@ -152,6 +152,66 @@ class UpgradeFixtureSpec extends AnyFunSuite {
     assert(DiskannIndex.search(spark, manifestFixture, empty, k = 3).count() == 0)
   }
 
+  private val textFixture = "src/test/resources/fixtures/textidx_gen8"
+
+  test("frozen text index: meta, batch folding, mask, and scores all serve") {
+    import graft.operators.{TextAnalysis, TextIndex}
+    val m = TextIndex.readMeta(spark, textFixture)
+    assert(m.nBuckets == 8 && m.positions,
+      "frozen build constants must load with their written values")
+    // self-contained oracle: the verified one-shot scorer over the frozen
+    // corpus, per-term round + BigDecimal sum (the index's summation
+    // contract), doc 3's pending tombstone masked — no embedded lists
+    val corpus = spark.read.parquet(s"$textFixture/_corpus")
+    val terms = Seq("alpha", "beta", "gamma")
+    val perTerm = terms.map { t =>
+      TextAnalysis.bm25(corpus, "doc_id", "text", Seq(t))
+        .collect().map(r => r.getLong(0) -> BigDecimal(r.getDouble(1))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)).toMap
+    }
+    val expect = perTerm.flatMap(_.toSeq).groupBy(_._1)
+      .map { case (id, xs) => id -> xs.map(_._2).sum }
+      .filter { case (id, s) => s > 0 && id != 3L }
+      .map { case (id, s) => (id, s.toDouble) }
+      .toSeq.sortBy { case (id, s) => (-s, id) }.take(10)
+    val got = TextIndex.bm25SearchIndexed(spark, textFixture, terms, n = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expect, s"frozen index drifted: got=$got want=$expect")
+    assert(got.nonEmpty && !got.exists(_._1 == 3L),
+      "the frozen pending tombstone must keep masking doc 3")
+    // positional postings from the frozen layout still answer phrases
+    val ph = TextIndex.phraseSearchIndexed(spark, textFixture,
+      Seq("alpha", "beta"), n = 24).collect().map(_.getLong(0)).toSet
+    val expPh = corpus.collect().filter { r =>
+      val w = r.getString(1).split(" ")
+      w.sliding(2).exists(s => s.length == 2 && s(0) == "alpha" && s(1) == "beta")
+    }.map(_.getLong(0)).toSet - 3L
+    assert(ph == expPh)
+    // both frozen batches fold at query time
+    assert(spark.read.parquet(s"$textFixture/corpusstats").count() == 2)
+  }
+
+  private val dedupFixture = "src/test/resources/fixtures/dedupidx_gen8"
+
+  test("frozen dedup index: probe equals direct recompute, tombstone masks") {
+    import graft.operators.Dedup
+    val corpus = spark.read.parquet(s"$dedupFixture/_corpus")
+    val batch = spark.read.parquet(s"$dedupFixture/_batch")
+    val got = Dedup.nearDupAgainstDedupIndex(spark, dedupFixture, batch,
+        "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    // oracle: the verified direct path over the frozen text, minus the
+    // frozen pending takedown (doc 101)
+    val direct = Dedup.minhashNearDupAgainst(corpus, batch, "doc_id", "text",
+        threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filterNot(_._2 == 101L).toSeq.sorted
+    graft.CacheScope.releaseAll()
+    assert(got == direct, s"frozen dedup index drifted: $got vs $direct")
+    assert(got == Seq((200L, 100L)),
+      "200 must still match 100; 201's twin 101 is tombstoned")
+  }
+
   test("frozen gen-4 index: label-filtered search honors the stored label sets") {
     val nodes = spark.read.parquet(s"$fixture/nodes")
       .select($"row_id", $"vec").collect()
