@@ -142,4 +142,29 @@ object DataQuality {
       .orderBy(col("ordinal"))
       .drop("ordinal")
   }
+
+  /** One verdict of [[runExpectationsWithCount]]. */
+  case class Verdict(check: String, observed: Double, passed: Boolean)
+
+  /**
+   * [[runExpectations]] plus the row count, in ONE action over ONE
+   * aggregate row — for callers (the streaming quality monitor) that need
+   * both and must not scan the batch twice. Verdicts carry the same
+   * 6-decimal observed rounding as the DataFrame variant; on an empty
+   * input (`n == 0`) the verdict list is empty — no vacuous judgments.
+   */
+  def runExpectationsWithCount(df: DataFrame,
+      checks: Seq[Expectation]): (Long, Seq[Verdict]) = {
+    require(checks.nonEmpty, "runExpectationsWithCount needs checks")
+    val aggs = checks.zipWithIndex.flatMap { case (e, i) =>
+      Seq(round(e.observed, 6).as(s"__obs_$i"), e.passed.as(s"__ok_$i"))
+    } :+ count(lit(1)).as("__n")
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getAs[Long]("__n")
+    if (n == 0) (0L, Seq.empty)
+    else (n, checks.zipWithIndex.map { case (e, i) =>
+      Verdict(e.name, row.getAs[Double](s"__obs_$i"),
+        row.getAs[Boolean](s"__ok_$i"))
+    })
+  }
 }

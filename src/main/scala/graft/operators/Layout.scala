@@ -120,6 +120,62 @@ object Layout {
     prunedRead(spark, path, ranges, Some(
       spark.read.parquet(s"${path.stripSuffix("/")}_zonemap")))
 
+  /** Data files currently under `path` (recursive, Hadoop-FS; hidden and
+    * commit-marker files excluded) — O(#files) driver metadata, the same
+    * bound the manifest itself carries. */
+  private def listDataFiles(spark: SparkSession,
+      path: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return Set.empty
+    val it = fs.listFiles(p, true)
+    val out = Set.newBuilder[String]
+    while (it.hasNext) {
+      val s = it.next()
+      val name = s.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith("."))
+        out += s.getPath.toString
+    }
+    out.result()
+  }
+
+  /**
+   * Append `df` to an existing z-ordered table as a NEW clustered slice
+   * and refresh ONLY the appended files' manifest rows — the incremental
+   * OPTIMIZE-per-ingest-partition path [[zorderWrite]]'s doc prescribes
+   * (a daily ingest must not rewrite yesterday's 100 TB, nor rescan it to
+   * rebuild the manifest).
+   *
+   * The slice is clustered against its OWN min/max lattice (the Morton key
+   * is derivable scratch space, never stored, so per-slice quantization is
+   * free to differ — what matters is that each new FILE covers a tight box
+   * in every dimension, which per-slice stats give). The manifest gains
+   * one row per appended file, computed by scanning ONLY the new files —
+   * identified as the post-append minus pre-append listing, O(#files)
+   * driver metadata. Appends are assumed single-writer per table (the
+   * ingest-job contract); the stats pass never touches pre-existing data.
+   */
+  def zorderAppend(df: DataFrame, cols: Seq[String], path: String,
+      nFiles: Int, bits: Int = 16): Unit = {
+    val spark = df.sparkSession
+    val before = listDataFiles(spark, path)
+    zorderKey(df, cols, bits)
+      .repartitionByRange(nFiles, col("zkey"))
+      .sortWithinPartitions(col("zkey"))
+      .drop("zkey")
+      .write.mode("append").parquet(path)
+    val fresh = (listDataFiles(spark, path) -- before).toSeq.sorted
+    if (fresh.nonEmpty)
+      spark.read.parquet(fresh: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(min(col(cols.head)).as(s"min_${cols.head}"),
+          (max(col(cols.head)).as(s"max_${cols.head}") +:
+            cols.tail.flatMap(c =>
+              Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))): _*)
+        .coalesce(1)
+        .write.mode("append").parquet(s"${path.stripSuffix("/")}_zonemap")
+  }
+
   /**
    * Read only the files whose zone-map box intersects every `(col, lo, hi)`
    * range, with the residual row filter applied on top (files overlap box

@@ -254,6 +254,15 @@ object GraftSqlParser {
     }
   }
 
+  /** `<=>` is the ONE claimed operator with a prior Spark meaning
+    * (null-safe equality), so its first rewrite in a JVM warns once —
+    * loudly enough that a session which meant null-safe equality finds out
+    * why its comparison became a cosine distance, cheap enough not to spam
+    * serving loops. The other five operators are not valid Spark SQL, so
+    * claiming them is semantically free and silent. */
+  private val cosineClaimWarned =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
   private[graft] def rewriteVectorOps(sql: String): String = {
     if (!vectorOps.exists { case (op, _) => sql.contains(op) }) return sql
     var s = sql
@@ -267,6 +276,13 @@ object GraftSqlParser {
             case (Some(ls), Some(re)) =>
               val left = s.substring(ls, p).trim
               val right = s.substring(p + op.length, re).trim
+              if (op == "<=>" && cosineClaimWarned.compareAndSet(false, true))
+                org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                  "graft rewrote `a <=> b` to vec_cosine_dist(a, b) " +
+                    "(pgvector operator syntax). Spark's null-safe equality " +
+                    "must be spelled `IS NOT DISTINCT FROM` in " +
+                    "extension-enabled sessions; set " +
+                    "spark.graft.sql.vectorOps=false to reclaim <=>.")
               s = s.substring(0, ls) + s"$fn($left, $right)" + s.substring(re)
             case _ => done = true // unrecognized shape: let the delegate report
           }

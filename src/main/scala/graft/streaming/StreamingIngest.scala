@@ -907,11 +907,14 @@ object StreamingIngest {
    * Failing checks go to `onViolation` (route to paging / a quarantine
    * topic); the batch itself is NOT blocked — a quality gate that silently
    * drops data is worse than one that alerts, so quarantining is the
-   * caller's explicit move. The expectation aggregate is one pass over the
-   * micro-batch and the verdict collect is |checks| rows; an empty batch
-   * is skipped (no vacuous verdicts). foreachBatch is at-least-once: a
-   * replayed batch re-alerts (alerting is idempotent-enough by nature);
-   * nothing here holds state, so there is no double-fold hazard.
+   * caller's explicit move. The row count folds into the SAME single
+   * aggregate as the expectations
+   * ([[graft.operators.DataQuality.runExpectationsWithCount]]), so each
+   * micro-batch is scanned exactly once — re-reading the source per batch
+   * would double the gate's cost at ingest rates. An empty batch yields no
+   * vacuous verdicts. foreachBatch is at-least-once: a replayed batch
+   * re-alerts (alerting is idempotent-enough by nature); nothing here
+   * holds state, so there is no double-fold hazard.
    */
   def startQualityMonitor(stream: DataFrame,
       checks: Seq[graft.operators.DataQuality.Expectation],
@@ -922,14 +925,11 @@ object StreamingIngest {
     stream.writeStream
       .options(checkpointLocation.map("checkpointLocation" -> _).toMap)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val n = batch.count()
-        if (n > 0) {
-          val verdicts = graft.operators.DataQuality
-            .runExpectations(batch, checks).collect()
-          val bad = verdicts.filterNot(_.getBoolean(2)).map(r =>
-            QualityViolation(batchId, r.getString(0), r.getDouble(1), n))
-          if (bad.nonEmpty) onViolation(bad.toSeq)
-        }
+        val (n, verdicts) = graft.operators.DataQuality
+          .runExpectationsWithCount(batch, checks)
+        val bad = verdicts.filterNot(_.passed).map(v =>
+          QualityViolation(batchId, v.check, v.observed, n))
+        if (bad.nonEmpty) onViolation(bad)
       }
       .start()
   }

@@ -100,6 +100,47 @@ class LayoutSpec extends AnyFunSuite {
     assert(stored == live && stored.nonEmpty)
   }
 
+  test("zorderAppend: new slice clusters, manifest refreshes incrementally") {
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    val zpath = "/tmp/graft_test_index/layout_inc"
+    deleteRec(new java.io.File(zpath))
+    deleteRec(new java.io.File(s"${zpath}_zonemap"))
+    // day 0: a grid over [0,200)²; day 1 ingest: a DISJOINT band a∈[300,400)
+    val day0 = spark.range(40000)
+      .select($"id", ($"id" % 200).cast("double").as("a"),
+        ($"id" / 200 % 200).cast("double").as("b"))
+    val day1 = spark.range(40000, 50000)
+      .select($"id", (($"id" % 100) + 300).cast("double").as("a"),
+        ($"id" / 100 % 100).cast("double").as("b"))
+    Layout.zorderWrite(day0, Seq("a", "b"), zpath, nFiles = 16)
+    Layout.writeZonemap(spark, zpath, Seq("a", "b"))
+    val rowsBefore = spark.read
+      .parquet(s"${zpath}_zonemap").count()
+    Layout.zorderAppend(day1, Seq("a", "b"), zpath, nFiles = 4)
+    val zm = spark.read.parquet(s"${zpath}_zonemap")
+    // manifest gained EXACTLY the appended files' rows (old rows untouched)
+    assert(zm.count() == rowsBefore + 4,
+      s"manifest rows: ${zm.count()} != $rowsBefore + 4")
+    // pruned reads stay correct across old+new files, both directions
+    val all = day0.unionAll(day1)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id").collect().map(_.getLong(0)).sorted.toSeq
+    val oldBox = Seq(("a", 20.0, 40.0), ("b", 20.0, 40.0))
+    assert(ids(Layout.prunedReadStored(spark, zpath, oldBox)) ==
+      ids(all.filter($"a".between(20, 40) && $"b".between(20, 40))))
+    val newBox = Seq(("a", 310.0, 330.0), ("b", 20.0, 40.0))
+    assert(ids(Layout.prunedReadStored(spark, zpath, newBox)) ==
+      ids(all.filter($"a".between(310, 330) && $"b".between(20, 40))))
+    // a box confined to the new slice's value range must not open ANY of
+    // day 0's files — the whole point of refreshing the manifest
+    val kept = zm.filter($"max_a" >= 310.0 && $"min_a" <= 330.0 &&
+      $"max_b" >= 20.0 && $"min_b" <= 40.0).count()
+    assert(kept <= 4, s"day-0 files leaked into a day-1-only box: $kept")
+  }
+
   test("prunedRead: disjoint box returns empty, not an error") {
     val zpath = "/tmp/graft_test_index/layout_z"
     val out = Layout.prunedRead(spark, zpath,
