@@ -877,6 +877,143 @@ object DiskannIndex {
       .sortBy { case (rid, d) => (d, rid) }.toSeq
   }
 
+  /** Memoized serving RDD per index path: one partition per shard over the
+    * current generation, reused across [[servePointBatch]] calls so steady
+    * serving pays ZERO per-call planning (the ~20 ms/branch QueryExecution
+    * cost of building the shard-aligned union — ZipPlanCost's measurement —
+    * is paid once per generation, not per query). Fingerprint = generation
+    * root + per-shard epochs + Spark application id, so a compaction or a
+    * session restart invalidates naturally. Bounded LRU like [[metaCache]]. */
+  private val servingRddCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, (String, org.apache.spark.rdd.RDD[Row])](
+      8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (String, org.apache.spark.rdd.RDD[Row])]): Boolean =
+        size() > 16
+    })
+
+  private def servingNodesRdd(spark: SparkSession, path0: String,
+      root: String, meta: IndexMeta): org.apache.spark.rdd.RDD[Row] = {
+    val fp = root + "#" + meta.shardBuildIds.mkString(",") + "#" +
+      spark.sparkContext.applicationId
+    val hit = servingRddCache.get(path0)
+    if (hit != null && hit._1 == fp) hit._2
+    else {
+      val all = 0 until meta.numShards
+      val rdd = shardAlignedNodesRdd(spark, nodesDf(spark, root, meta, all), all)
+      servingRddCache.put(path0, (fp, rdd))
+      rdd
+    }
+  }
+
+  /**
+   * CLUSTER-MODE serving: answer a small query batch from EXECUTOR-resident
+   * warm searchers — the path that does not exist through [[searchPoint]]
+   * when the driver is not colocated with the executor cache (SCALING.md's
+   * documented cluster-mode fallback was the full scan path; this closes
+   * it). The reference serves from wherever the backend process holds its
+   * shared buffers; on Spark, that place is the executor JVM, so the
+   * serving pool lives there.
+   *
+   * How it stays cheap:
+   *  - ONE task per shard over a MEMOIZED shard-aligned RDD (partition i ==
+   *    shard i, the [[shardAlignedNodesRdd]] contract) — no per-call
+   *    planning, no shuffle anywhere in the lineage;
+   *  - each task checks the executor-local [[GraphSearcher]] cache FIRST
+   *    and serves without touching its input iterator when warm — the
+   *    parquet scan underneath is LAZY, so a warm task reads zero bytes
+   *    (asserted via task input metrics in DiskannIndexSpec). Only a cold
+   *    (first-visit) task consumes the scan and decodes the shard, after
+   *    which that executor holds the shard for the life of its LRU slot;
+   *  - IVF routing skips unprobed shards BEFORE the cache probe, so a
+   *    routed query batch schedules numShards no-op tasks but reads and
+   *    searches only its probe set;
+   *  - the per-query top-k merge runs driver-side over ≤ shards×k×|batch|
+   *    collected rows — the same bounded merge [[searchPoint]]'s all-warm
+   *    path does.
+   *
+   * Scheduling affinity is best-effort (Spark places tasks by scan
+   * locality, not by cache residency): a task landing on a cache-cold
+   * executor pays one scan+decode and warms THAT executor — at steady
+   * state each frequently-probed shard converges to one decoded replica
+   * per executor that serves it, bounded by the cache's LRU. Deletes are
+   * honored: the persisted tombstone registry is loaded (fingerprint-
+   * cached) and masked on every call, like the SQL scan path.
+   *
+   * Returns (qid, row_id, dist) rows, per query ordered by (dist, row_id),
+   * ties broken exactly like every other search path.
+   */
+  def servePointBatch(spark: SparkSession, path0: String,
+      queries: Seq[(Long, Array[Float], Array[Short])], k: Int,
+      searchListSize: Int = 100, rescore: Int = 50, nProbe: Int = 0,
+      tombstones: Set[Long] = Set.empty): Seq[(Long, Long, Double)] = {
+    if (queries.isEmpty) return Seq.empty
+    val path = resolveRoot(spark, path0)
+    val meta = loadMeta(spark, path)
+    val metric = Metric(meta.metric)
+    val model =
+      if (meta.storage == "sbq")
+        SbqModel(meta.modelCount, meta.modelMean, meta.modelM2, meta.bitsPerDim)
+      else null
+    val qRows = queries.map { case (qid, qv, ql) =>
+      (qid, qv, Option(ql).map(LabelSets.normalize).orNull)
+    }.toArray
+    val probeOf: Map[Long, Array[Int]] =
+      qRows.flatMap { case (qid, qv, _) =>
+        probeShardsFor(meta, metric, qv, nProbe).map(qid -> _)
+      }.toMap
+    val probedShards: Set[Int] =
+      if (probeOf.nonEmpty && probeOf.size == qRows.length)
+        probeOf.values.flatten.toSet
+      else (0 until meta.numShards).toSet
+    val tomb = tombstones ++ loadTombstones(spark, path0)
+    val report = reportDistFn(metric)
+    val rdd = servingNodesRdd(spark, path0, path, meta)
+    val sc = spark.sparkContext
+    val qBc = sc.broadcast(qRows)
+    val probeBc = sc.broadcast(probeOf)
+    val probedBc = sc.broadcast(probedShards)
+    val tombBc = sc.broadcast(tomb)
+    val shardIds = meta.shardBuildIds
+    val cachePath = path0
+    val hasLabels = meta.hasLabels
+    val dims = meta.dimsToIndex
+    val served = rdd.mapPartitionsWithIndex { (shard, it) =>
+      if (!probedBc.value.contains(shard)) Iterator.empty
+      else {
+        val key = s"$cachePath#$shard#${shardIds(shard)}"
+        // peek BEFORE touching the iterator: a warm hit must not consume
+        // (= read) the underlying lazy parquet scan at all
+        val searcher = GraphSearcher.peek(key).getOrElse {
+          val rows = it.toArray
+          if (rows.isEmpty) null
+          else GraphSearcher.getOrBuild(key,
+            () => buildShardSearcher(path, shard, rows, metric, model,
+              hasLabels, dims))
+        }
+        if (searcher == null) Iterator.empty
+        else qBc.value.iterator
+          .filter { case (qid, _, _) =>
+            probeBc.value.get(qid).forall(_.contains(shard)) }
+          .flatMap { case (qid, qv, ql) =>
+            searcher.search(qv, k, searchListSize, rescore, ql,
+              rid => tombBc.value.contains(rid), report, null)
+              .take(k).map { case (rid, d) => (qid, rid, d) }
+          }
+      }
+    }
+    // submit ONLY the probed partitions (partition id == shard id by the
+    // aligned-RDD contract): a routed single query schedules nProbe tasks,
+    // not numShards — the scheduling overhead that otherwise dominates
+    // point latency at high shard counts
+    val partial = sc.runJob(served,
+      (it: Iterator[(Long, Long, Double)]) => it.toArray,
+      probedShards.toSeq.sorted).flatten
+    partial.groupBy(_._1).iterator.flatMap { case (_, hits) =>
+      hits.sortBy(h => (h._3, h._2)).take(k)
+    }.toSeq.sortBy(h => (h._1, h._3, h._2))
+  }
+
   /** [[search]] after query collection — the shared kernel for the
     * DataFrame path and [[searchPoint]]. */
   private[graft] def searchRows(spark: SparkSession, path0: String,

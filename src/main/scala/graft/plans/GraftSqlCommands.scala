@@ -342,6 +342,26 @@ object GraftSqlParser {
     KnnCatalog.lookup(sourcePath).getOrElse(
       throw new IllegalArgumentException(s"no index registered on '$sourcePath'"))
   }
+
+  /** Which stored artifact lives at a bare path: "ann", "text", or "dedup"
+    * — all three share the tombstone registry and the versioned-generation
+    * lifecycle, so DELETE FROM INDEX / VACUUM INDEX work `ON '<path>'`
+    * without a catalog registration (the path IS the artifact). None when
+    * nothing index-shaped is there, so a typo'd path errors instead of
+    * silently growing a tombstone dir. */
+  private[plans] def artifactKindAt(spark: SparkSession,
+      path: String): Option[String] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val root = graft.index.DiskannIndex.resolveRoot(spark, path)
+    def has(d: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$root/$d")) ||
+        fs.exists(new org.apache.hadoop.fs.Path(s"$path/$d"))
+    if (has("_meta") || has("nodes")) Some("ann")
+    else if (has("corpusstats")) Some("text")
+    else if (has("bands")) Some("dedup")
+    else None
+  }
 }
 
 class GraftSqlParser(delegate: ParserInterface,
@@ -570,8 +590,16 @@ case class DeleteFromDiskannIndexCommand(target: Either[String, String],
     Seq(AttributeReference("deleted", StringType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val entry = GraftSqlParser.resolveEntry(target)
-    graft.index.DiskannIndex.deleteRows(spark, entry.indexPath, rowIds)
+    // `ON '<path>'` without a catalog registration: the path itself is a
+    // stored artifact (ANN, text, or dedup — one shared tombstone registry)
+    val indexPath = target match {
+      case Right(p) if KnnCatalog.lookup(p).isEmpty =>
+        require(GraftSqlParser.artifactKindAt(spark, p).isDefined,
+          s"no index registered on '$p' and no stored artifact found there")
+        p
+      case t => GraftSqlParser.resolveEntry(t).indexPath
+    }
+    graft.index.DiskannIndex.deleteRows(spark, indexPath, rowIds)
     Seq(Row(rowIds.length.toString))
   }
 }
@@ -596,6 +624,33 @@ case class VacuumDiskannIndexCommand(target: Either[String, String],
     require(unknown.isEmpty,
       s"unknown VACUUM INDEX option(s) ${unknown.toSeq.sorted.mkString(", ")}; " +
         "known: incremental")
+    // `ON '<path>'` on an unregistered TEXT or DEDUP artifact routes to
+    // that artifact's own compactor — same tombstone-fold + generation-
+    // install semantics, one SQL lifecycle for all three stored artifacts
+    target match {
+      case Right(p) if KnnCatalog.lookup(p).isEmpty =>
+        GraftSqlParser.artifactKindAt(spark, p) match {
+          case Some("text") | Some("dedup") =>
+            val kind = GraftSqlParser.artifactKindAt(spark, p).get
+            val tombsBefore =
+              graft.index.DiskannIndex.loadTombstones(spark, p).size
+            val rootBefore = graft.index.DiskannIndex.resolveRoot(spark, p)
+            val did =
+              if (kind == "text")
+                graft.operators.TextIndex.compactTextIndex(spark, p)
+              else graft.operators.Dedup.compactDedupIndex(spark, p)
+            val rootAfter = graft.index.DiskannIndex.resolveRoot(spark, p)
+            return Seq(
+              "vacuumed" -> did.toString,
+              "delta_files_folded" -> "0",
+              "tombstones_folded" -> tombsBefore.toString,
+              "generation_before" -> rootBefore,
+              "generation_after" -> rootAfter
+            ).map { case (k, v) => Row(k, v) }
+          case _ => // ANN (or registered) falls through to the entry path
+        }
+      case _ =>
+    }
     val entry = GraftSqlParser.resolveEntry(target)
     val ip = entry.indexPath
     val deltaBefore = graft.streaming.StreamingIngest.deltaFiles(spark, ip).length

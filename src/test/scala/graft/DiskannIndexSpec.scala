@@ -410,4 +410,63 @@ class DiskannIndexSpec extends AnyFunSuite {
     val out = DiskannIndex.search(spark, path, queries, k = 5).collect()
     assert(out.length == 5) // zero-vector search still returns k rows
   }
+
+  test("servePointBatch: executor pool == search path; warm tasks read zero bytes") {
+    val path = "/tmp/graft_test_index/servepool"
+    DiskannIndex.build(emb, "vec_id", "embedding", None, path,
+      DiskannParams(metric = "cosine", shardTargetRows = 128))
+    val qrows = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray,
+        null: Array[Short])).toSeq
+    val viaDf = {
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      DiskannIndex.search(spark, path, queries, k = 7,
+          searchListSize = 100, rescore = 50).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq.sortBy(h => (h._1, h._3, h._2))
+    }
+    graft.index.GraphSearcher.invalidate(path)
+    val cold = DiskannIndex.servePointBatch(spark, path, qrows, k = 7,
+      searchListSize = 100, rescore = 50)
+    assert(cold == viaDf, "executor-resident pool diverged from search()")
+    // warm pass: same rows, and the per-shard tasks must not consume the
+    // lazy scan — total input bytes of the serve job is zero
+    val bytes = new java.util.concurrent.atomic.AtomicLong
+    val jobsEnded = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        bytes.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+      override def onJobEnd(
+          e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        jobsEnded.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val warm = DiskannIndex.servePointBatch(spark, path, qrows, k = 7,
+        searchListSize = 100, rescore = 50)
+      assert(warm == cold)
+      // task-end events for a job are delivered before its job-end event;
+      // poll until the serve job's events drained
+      val deadline = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < deadline && jobsEnded.get() < 1)
+        Thread.sleep(20)
+      assert(jobsEnded.get() >= 1, "serve job events never arrived")
+      assert(bytes.get() == 0L,
+        s"warm serve read ${bytes.get()} bytes; the scan must stay unconsumed")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // deletes are honored at the serving layer: tombstone the top hit
+    val victim = cold.head._2
+    DiskannIndex.deleteRows(spark, path, Seq(victim))
+    try {
+      val masked = DiskannIndex.servePointBatch(spark, path, qrows, k = 7,
+        searchListSize = 100, rescore = 50)
+      assert(!masked.exists(_._2 == victim), "tombstoned row still served")
+    } finally {
+      val t = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+      t.getFileSystem(spark.sessionState.newHadoopConf()).delete(t, true)
+    }
+  }
 }

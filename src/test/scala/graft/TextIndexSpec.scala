@@ -297,6 +297,30 @@ class TextIndexSpec extends AnyFunSuite {
       assert(st("positions") == "true" && st("num_buckets") == "64")
       assert(st("vocabulary_size").toLong > 0 &&
         st("posting_rows").toLong >= st("vocabulary_size").toLong)
+      // the SHARED SQL lifecycle: DELETE FROM INDEX / VACUUM INDEX work on
+      // a bare text-index path (no catalog registration) — one tombstone
+      // registry and one generation story across all three artifacts
+      val top2 = expectBm.take(2).map(_._1)
+      s2.sql(s"DELETE FROM INDEX ON '$path' WHERE ROW_ID IN " +
+        s"(${top2.mkString(", ")})").collect()
+      val afterDel = s2.sql(
+        s"SELECT * FROM graft_bm25('$path', '${terms.mkString(" ")}')")
+        .collect().map(_.getLong(0)).toSeq
+      assert(afterDel.intersect(top2).isEmpty,
+        "SQL-deleted docs still served by graft_bm25")
+      val vac = s2.sql(s"VACUUM INDEX ON '$path'").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(vac("vacuumed") == "true" && vac("tombstones_folded") == "2")
+      assert(graft.index.DiskannIndex.loadTombstones(s2, path).isEmpty)
+      val afterVac = s2.sql(
+        s"SELECT * FROM graft_bm25('$path', '${terms.mkString(" ")}')")
+        .collect().map(_.getLong(0)).toSeq
+      assert(afterVac.intersect(top2).isEmpty && afterVac.nonEmpty)
+      // a typo'd path errors instead of minting a tombstone dir
+      val e2 = intercept[Exception](s2.sql(
+        "DELETE FROM INDEX ON '/tmp/graft_test_index/nope' " +
+          "WHERE ROW_ID IN (1)").collect())
+      assert(e2.getMessage.contains("no stored artifact"))
     } finally {
       SparkSession.setActiveSession(prev)
       SparkSession.setDefaultSession(prev)
