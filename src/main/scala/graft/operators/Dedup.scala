@@ -538,6 +538,12 @@ object Dedup {
       bands: Int = 16): Unit = {
     require(bands * (numHashes / bands) == numHashes,
       "bands must divide numHashes")
+    // a rebuild REPLACES the artifact (see TextIndex.buildTextIndex): old
+    // generations, tombstones and stream markers must not survive it
+    val fs0 = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(corpus.sparkSession.sessionState.newHadoopConf())
+    Seq("versions", "tombstones", "_stream").foreach(d =>
+      fs0.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true))
     writeDedupBatch(corpus, idCol, textCol, path, shingleSize, numHashes,
       bands, batchId = 0L, mode = SaveMode.Overwrite)
     corpus.sparkSession.createDataFrame(Seq((shingleSize, numHashes, bands)))
@@ -685,6 +691,65 @@ object Dedup {
         true
       }
     }
+
+  /** Smallest batch id above every batch in the current generation (resets
+    * to 1 after a compaction folds to batch 0). One tiny pruned read. */
+  def nextDedupBatchId(spark: SparkSession, path: String): Long = {
+    val root = graft.index.DiskannIndex.resolveRoot(spark, path)
+    spark.read.parquet(s"$root/bands")
+      .agg(max(col("batch")).cast(LongType)).head().getLong(0) + 1L
+  }
+
+  /** Stream-batch id base for [[appendDedupBatchIdempotent]]; manual
+    * [[appendDedupIndex]] ids must stay below it (the TextIndex contract). */
+  val STREAM_BATCH_BASE: Long = 1L << 20
+
+  /**
+   * Replay-safe foreachBatch sink for the dedup index — the daily-crawl
+   * ingest as a stream: each micro-batch is verified territory (the caller
+   * dedups it first if desired) appended as physical batch
+   * `STREAM_BATCH_BASE + streamBatchId`. Same idempotence discipline as
+   * [[TextIndex.appendBatchIdempotent]]: markers live at the INDEX path
+   * (`$path/_stream/`) so a compaction cannot orphan them, the whole
+   * check-append-mark sequence runs under the shared writer lease, and a
+   * torn previous attempt's partition dirs are deleted before the rewrite.
+   */
+  def appendDedupBatchIdempotent(idCol: String, textCol: String,
+      path: String)(batch: DataFrame, streamBatchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val phys = STREAM_BATCH_BASE + streamBatchId
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_stream/b$phys")
+    if (fs.exists(marker)) return // fully committed on a previous attempt
+    val m = spark.read.parquet(s"$path/idxmeta").head()
+    graft.index.WriterLock.withLease(spark, path) {
+      if (!fs.exists(marker)) {
+        val root = graft.index.DiskannIndex.resolveRoot(spark, path)
+        Seq("bands", "signatures").foreach { d =>
+          fs.delete(
+            new org.apache.hadoop.fs.Path(s"$root/$d/batch=$phys"), true)
+        }
+        writeDedupBatch(batch, idCol, textCol, root,
+          m.getAs[Int]("shingle_size"), m.getAs[Int]("num_hashes"),
+          m.getAs[Int]("bands"), phys, SaveMode.Append)
+        fs.mkdirs(marker.getParent)
+        fs.create(marker, true).close()
+      }
+    }
+  }
+
+  /** Streaming ingest into the dedup index — the crawl-side twin of
+    * [[TextIndex.startTextIngest]]. */
+  def startDedupIngest(stream: DataFrame, idCol: String, textCol: String,
+      path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendDedupBatchIdempotent(idCol, textCol, path)(batch, batchId)
+      }
+      .start()
 
   /**
    * SimHash near-dup pairs with Hamming distance <= maxHamming over the

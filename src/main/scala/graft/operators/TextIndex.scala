@@ -97,6 +97,13 @@ object TextIndex {
     * BM25 never reads the column either way (parquet column pruning). */
   def buildTextIndex(df: DataFrame, idCol: String, textCol: String,
       path: String, nBuckets: Int = 64, positions: Boolean = false): Unit = {
+    // a rebuild REPLACES the artifact: stale generations (which win root
+    // resolution over the flat dirs), pending tombstones and stream
+    // markers from a previous life must not survive into the new one
+    val fs0 = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    Seq("versions", "tombstones", "_stream").foreach(d =>
+      fs0.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true))
     writeBatch(df, idCol, textCol, path, nBuckets, batchId = 0L,
       mode = SaveMode.Overwrite, positions = positions)
     // build-time constants (bucket count, positions) — one tiny parquet at
@@ -375,6 +382,53 @@ object TextIndex {
     joined.select(col("id"), occ.cast(LongType).as("n_occurrences"))
       .filter(col("n_occurrences") > 0)
       .orderBy(col("n_occurrences").desc, col("id"))
+      .limit(n)
+  }
+
+  /**
+   * Proximity search: docs where ALL of `terms` co-occur within ±`slop`
+   * tokens of an anchor occurrence of the FIRST term, with the anchor
+   * count. Generalizes [[phraseSearchIndexed]] (a phrase is slop-0 with
+   * ordered offsets); the retrieval shape is identical — a bucket-pruned
+   * |terms|-way posting intersection on doc id sized by the rarest term,
+   * then a per-row array check over the positional arrays (`filter` +
+   * `exists`, no further shuffle). Returns `(id, n_anchors)`, most anchors
+   * first, ties on id. The anchor-count semantic (number of positions p of
+   * terms.head such that every other term has an occurrence q with
+   * |q − p| ≤ slop) is deliberately simple enough that an external SQL
+   * engine replays it exactly from the raw token lists — the
+   * `proximity_search` CORRECTNESS entry does.
+   */
+  def proximitySearchIndexed(spark: SparkSession, path: String,
+      terms: Seq[String], slop: Int, nBuckets: Int = 0,
+      n: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "proximitySearchIndexed needs at least one term")
+    require(slop >= 0, "slop must be >= 0")
+    val root = resolveRoot(spark, path)
+    val nB = effectiveBuckets(spark, path, nBuckets)
+    val post = spark.read.parquet(s"$root/postings")
+    require(post.columns.contains("pos"),
+      s"index at $path was built without positions=true; proximity search " +
+        "needs positional postings")
+    val bks = terms.map(termBucketOf(_, nB)).distinct
+      .map(java.lang.Long.valueOf)
+    val pruned = maskDeleted(spark, path,
+      post.filter(col("tb").isin(bks: _*) &&
+        col("term").isin(terms.distinct: _*)),
+      "id")
+    val slots = terms.zipWithIndex.map { case (t, i) =>
+      pruned.filter(col("term") === t)
+        .select(col("id"), col("pos").as(s"__p$i"))
+    }
+    val joined = slots.reduce((a, b) => a.join(b, "id"))
+    val anchors = size(filter(col("__p0"), p =>
+      (1 until terms.length)
+        .map(i => exists(col(s"__p$i"),
+          q => abs(q - p) <= lit(slop)))
+        .reduceOption(_ && _).getOrElse(lit(true))))
+    joined.select(col("id"), anchors.cast(LongType).as("n_anchors"))
+      .filter(col("n_anchors") > 0)
+      .orderBy(col("n_anchors").desc, col("id"))
       .limit(n)
   }
 

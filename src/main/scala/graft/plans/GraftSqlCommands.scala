@@ -458,6 +458,29 @@ case class DescribeDiskannIndexCommand(target: Either[String, String])
         throw new IllegalArgumentException(s"no index named '$name'"))
       case Right(path) => path
     }
+    // bare TEXT/DEDUP artifact paths describe through their own stats —
+    // the same one-SQL-surface rule as DELETE/VACUUM
+    if (target.isRight && KnnCatalog.lookup(sourcePath).isEmpty)
+      GraftSqlParser.artifactKindAt(spark, sourcePath) match {
+        case Some("text") =>
+          return graft.operators.TextIndex.textIndexStats(spark, sourcePath)
+            .collect().toSeq
+        case Some("dedup") =>
+          val m = spark.read.parquet(s"$sourcePath/idxmeta").head()
+          val root = graft.index.DiskannIndex.resolveRoot(spark, sourcePath)
+          val nDocs = spark.read.parquet(s"$root/signatures").count()
+          val tombs =
+            graft.index.DiskannIndex.loadTombstones(spark, sourcePath).size
+          return Seq(
+            "generation_root" -> root,
+            "num_docs" -> nDocs.toString,
+            "shingle_size" -> m.getAs[Int]("shingle_size").toString,
+            "num_hashes" -> m.getAs[Int]("num_hashes").toString,
+            "bands" -> m.getAs[Int]("bands").toString,
+            "pending_tombstones" -> tombs.toString
+          ).map { case (k, v) => Row(k, v) }
+        case _ =>
+      }
     val entry = KnnCatalog.lookup(sourcePath).getOrElse(
       throw new IllegalArgumentException(s"no index registered on '$sourcePath'"))
     val s = graft.index.DiskannIndex.stats(spark, entry.indexPath)
@@ -750,8 +773,24 @@ case class ShowIndexHistoryCommand(target: Either[String, String])
     AttributeReference("modified", StringType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val entry = GraftSqlParser.resolveEntry(target)
-    val ip = entry.indexPath
+    // bare text/dedup artifact paths share the same generation convention,
+    // so their audit/time-travel listing works identically; only the row
+    // count is artifact-specific
+    val (ip, kind) = target match {
+      case Right(p) if KnnCatalog.lookup(p).isEmpty =>
+        val k = GraftSqlParser.artifactKindAt(spark, p).getOrElse(
+          throw new IllegalArgumentException(
+            s"no index registered on '$p' and no stored artifact found there"))
+        (p, k)
+      case t => (GraftSqlParser.resolveEntry(t).indexPath, "ann")
+    }
+    def rowsAt(root: String): Long = kind match {
+      case "text" => spark.read.parquet(s"$root/corpusstats")
+        .agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("n"))).head().getLong(0)
+      case "dedup" => spark.read.parquet(s"$root/signatures").count()
+      case _ => graft.index.DiskannIndex.stats(spark, root).numRows
+    }
     val versions = graft.index.DiskannIndex.listVersions(spark, ip)
     val roots =
       if (versions.isEmpty) Seq("flat" -> ip)
@@ -763,8 +802,7 @@ case class ShowIndexHistoryCommand(target: Either[String, String])
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
       val mtime = fmt.format(
         java.time.Instant.ofEpochMilli(fs.getFileStatus(p).getModificationTime))
-      val n = graft.index.DiskannIndex.stats(spark, root).numRows
-      Row(gen, root, (root == current).toString, n.toString, mtime)
+      Row(gen, root, (root == current).toString, rowsAt(root).toString, mtime)
     }
   }
 }

@@ -1703,6 +1703,15 @@ object PipelineQueries {
           Seq("table", "hash"), n = 30)
         .select(col("id").as("doc_id"), col("n_occurrences"))),
 
+    // Proximity retrieval through the same positional postings: docs where
+    // all three terms co-occur within ±4 tokens of a 'table' anchor, anchor
+    // count as the score — the unordered-window generalization of
+    // phrase_search, same pruned |terms|-way intersection plan.
+    "proximity_search" -> ((s, d) =>
+      TextIndex.proximitySearchIndexed(s, ensureTextIndex(s, d),
+          Seq("table", "join", "hash"), slop = 4, n = 30)
+        .select(col("id").as("doc_id"), col("n_anchors"))),
+
     // Hybrid retrieval with reciprocal-rank fusion: fuse the BM25 top-50 and
     // the vector top-50 (same fixed query as knn_exact_cosine) by
     // RRF(d) = Σ 1/(60+rank_i), the standard hybrid-search combiner. Both
@@ -3828,6 +3837,24 @@ object PipelineQueries {
          |      FROM t)
          |SELECT doc_id, n_occurrences FROM c WHERE n_occurrences > 0
          |ORDER BY n_occurrences DESC, doc_id LIMIT 30""".stripMargin,
+
+    // proximity replay from raw token lists: per-term 1-based position
+    // lists, anchor = 'table' position with a 'join' AND a 'hash' within ±4
+    "proximity_search" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+         |p AS (SELECT doc_id,
+         |        [i for i in range(1, len(w)+1) if w[i] = 'table'] AS p0,
+         |        [i for i in range(1, len(w)+1) if w[i] = 'join'] AS p1,
+         |        [i for i in range(1, len(w)+1) if w[i] = 'hash'] AS p2
+         |      FROM t),
+         |c AS (SELECT doc_id,
+         |        len(list_filter(p0, p ->
+         |          len(list_filter(p1, q -> abs(q - p) <= 4)) > 0
+         |          AND len(list_filter(p2, q -> abs(q - p) <= 4)) > 0))
+         |          AS n_anchors
+         |      FROM p)
+         |SELECT doc_id, n_anchors FROM c WHERE n_anchors > 0
+         |ORDER BY n_anchors DESC, doc_id LIMIT 30""".stripMargin,
 
     // hybrid retrieval: the bm25 CTEs verbatim + the exact-cosine top-50,
     // ranks over ROUNDED scores, RRF sum in the Spark side's operand order

@@ -125,6 +125,35 @@ class TextIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("positions"))
   }
 
+  test("proximity search: anchor-window semantics, unordered within slop") {
+    val corpus = Seq(
+      (1L, "table join hash"),          // both within 2 of table@0 → 1
+      (2L, "table x x join hash"),      // join@3 > slop 2 from table@0 → 0
+      (3L, "join table hash"),          // unordered: join BEFORE anchor → 1
+      (4L, "table join hash table"),    // both anchors qualify → 2
+      (5L, "table alone"))              // missing terms → dropped by join
+      .toDF("doc_id", "text")
+    val path = "/tmp/graft_test_index/textidx_prox"
+    TextIndex.buildTextIndex(corpus, "doc_id", "text", path,
+      positions = true)
+    val got = TextIndex.proximitySearchIndexed(spark, path,
+        Seq("table", "join", "hash"), slop = 2, n = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((4L, 2L), (1L, 1L), (3L, 1L)))
+    // wider slop admits doc 2
+    val wide = TextIndex.proximitySearchIndexed(spark, path,
+        Seq("table", "join", "hash"), slop = 4, n = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(wide == Seq((4L, 2L), (1L, 1L), (2L, 1L), (3L, 1L)))
+    // a positionless index refuses instead of answering wrong
+    val flat = "/tmp/graft_test_index/textidx_prox_flat"
+    TextIndex.buildTextIndex(corpus, "doc_id", "text", flat)
+    val e = intercept[IllegalArgumentException](
+      TextIndex.proximitySearchIndexed(spark, flat,
+        Seq("table", "join"), slop = 2))
+    assert(e.getMessage.contains("positions"))
+  }
+
   test("phrase search on real docs matches a token-list recompute") {
     val path = "/tmp/graft_test_index/textidx_phrase_real"
     TextIndex.buildTextIndex(docs, "doc_id", "text", path, positions = true)
@@ -533,6 +562,48 @@ class TextIndexSpec extends AnyFunSuite {
     assert(Dedup.nearDupAgainstDedupIndex(spark, path, batch2,
         "doc_id", "text", 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((300L, 200L)))
+  }
+
+  test("dedup index streaming ingest: replay-safe, probes see streamed docs") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    val path = "/tmp/graft_test_index/dedupidx_stream"
+    val ckpt = s"$path.ckpt"
+    deleteRec(new java.io.File(path)); deleteRec(new java.io.File(ckpt))
+    val corpus = (1L to 20L).map(i =>
+      (i, s"alpha beta gamma delta epsilon zeta eta theta unique$i run $i"))
+      .toDF("doc_id", "text")
+    Dedup.buildDedupIndex(corpus, "doc_id", "text", path)
+    graft.CacheScope.releaseAll()
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = Dedup.startDedupIngest(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", path, ckpt)
+    mem.addData((100L,
+      "alpha beta gamma delta epsilon zeta eta theta streamed run 9"))
+    q.processAllAvailable(); q.stop()
+    // the streamed doc is now standing corpus: its twin probes against it
+    val twin = Seq((200L,
+      "alpha beta gamma delta epsilon zeta eta theta streamed run 9"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.nearDupAgainstDedupIndex(spark, path, twin,
+        "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    graft.CacheScope.releaseAll()
+    assert(hits == Seq((200L, 100L)),
+      s"streamed doc not probed: $hits")
+    // manual replay of the committed stream batch is a no-op
+    val root = graft.index.DiskannIndex.resolveRoot(spark, path)
+    val before = spark.read.parquet(s"$root/bands").count()
+    Dedup.appendDedupBatchIdempotent("doc_id", "text", path)(
+      Seq((100L, "whatever")).toDF("doc_id", "text"), 0L)
+    assert(spark.read.parquet(s"$root/bands").count() == before,
+      "replayed stream batch was double-applied")
+    graft.CacheScope.releaseAll()
   }
 
   test("writer lease: a held lock makes append/compact fail fast") {
