@@ -738,7 +738,7 @@ object DiskannIndex {
 
   /** SQL-visible distance for projections (§4.3 note 1): true cosine / true
     * L2-with-sqrt / negative inner product. */
-  private def reportDistFn(metric: Metric): (Array[Float], Array[Float]) => Double =
+  private[graft] def reportDistFn(metric: Metric): (Array[Float], Array[Float]) => Double =
     metric match {
       case Metric.L2 => (a, b) => math.sqrt(VectorKernels.l2sq(a, b))
       case Metric.Cosine => (a, b) => VectorKernels.cosineDist(a, b)

@@ -14,6 +14,7 @@ import org.apache.spark.sql.types.{IntegerType, StringType}
  *   SELECT * FROM graft_bm25('/path/to/index', 'vector query dup')
  *   SELECT * FROM graft_bm25('/path/to/index', 'vector query dup', 50)
  *   SELECT * FROM graft_phrase('/path/to/index', 'big data', 10)
+ *   SELECT * FROM graft_near('/path/to/index', 'table join hash', 4, 30)
  *
  * Each call plans the SAME DataFrame the Scala API builds (bucket-pruned
  * posting scans, broadcast stats, decimal scoring) and splices its logical
@@ -80,6 +81,22 @@ object TextIndexTvf {
                 else 20
         graft.operators.TextIndex
           .phraseSearchIndexed(SparkSession.active, path, phrase, n = n)
+          .queryExecution.logical: LogicalPlan
+      }))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_near"),
+      new ExpressionInfo("graft.operators.TextIndex", "graft_near"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3 || args.size == 4,
+          "graft_near(indexPath, 'terms ...', slop[, topN])")
+        val path = strLit(args(0), "graft_near", "indexPath")
+        val terms = words(strLit(args(1), "graft_near", "terms"))
+        val slop = intLit(args(2), "graft_near", "slop")
+        val n = if (args.size == 4) intLit(args(3), "graft_near", "topN")
+                else 20
+        graft.operators.TextIndex
+          .proximitySearchIndexed(SparkSession.active, path, terms,
+            slop = slop, n = n)
           .queryExecution.logical: LogicalPlan
       }))
   }

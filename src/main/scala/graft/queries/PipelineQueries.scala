@@ -1694,6 +1694,34 @@ object PipelineQueries {
           Seq("vector", "query", "dup"))
         .select(col("id").as("chunk_id"), col("bm25"))),
 
+    // Context assembly at the RAG unit: the chunk-index top-20 greedily
+    // packed under a 300-token budget in score order — what actually goes
+    // into the prompt. The pack window runs over the 20-row top list only
+    // (bounded by construction); chunk text joins back broadcast-sized.
+    // At 100 TB the chunk text would come from the stored chunk table; the
+    // recompute here keeps the oracle self-contained.
+    "rag_context_pack" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val top = TextIndex.bm25SearchIndexed(s, ensureChunkIndex(s, d),
+          Seq("vector", "query", "dup"), n = 20)
+        .select(col("id").as("chunk_id"), col("bm25"))
+      val chunks = TextAnalysis.slidingChunks(docs(s, d), "doc_id", "text",
+          chunkSize = 200, stride = 150)
+        .select((col("id") * lit(100000L) + col("chunk_ix")).as("chunk_id"),
+          col("chunk_text"))
+      top.join(chunks, "chunk_id")
+        .withColumn("n_tokens",
+          size(TextAnalysis.tokens(col("chunk_text"))).cast("long"))
+        // bounded global window: the 20-row post-limit top list only
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(
+          Window.orderBy(col("bm25").desc, col("chunk_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("cum_tokens") <= 300)
+        .select(col("chunk_id"), col("bm25"), col("n_tokens"),
+          col("cum_tokens"))
+        .orderBy(col("bm25").desc, col("chunk_id"))
+    }),
+
     // Exact-phrase search through the positional postings: an
     // |phrase|-way pruned posting intersection on doc id + a per-row
     // adjacency check over the position arrays — sized by the phrase's
@@ -3825,6 +3853,48 @@ object PipelineQueries {
          |  FROM f CROSS JOIN st)
          |SELECT chunk_id, CAST(bm25d AS DOUBLE) AS bm25 FROM sc WHERE bm25d > 0
          |ORDER BY bm25 DESC, chunk_id LIMIT 20""".stripMargin,
+
+    // context-pack replay: the bm25_chunks kernel verbatim, top-20, token
+    // counts from the SAME chunk token lists, running sum in (score desc,
+    // chunk_id) order, kept while the cumulative budget holds
+    "rag_context_pack" ->
+      s"""WITH starts AS (
+         |  SELECT doc_id, text AS full_text,
+         |         unnest(range(0, CAST(greatest(length(text), 1) AS BIGINT), 150)) AS chunk_start
+         |  FROM documents),
+         |ch AS (SELECT doc_id * 100000 + CAST(chunk_start // 150 AS BIGINT) AS chunk_id,
+         |              substring(full_text, CAST(chunk_start AS INT) + 1, 200) AS text
+         |       FROM starts),
+         |t AS (SELECT chunk_id, $sqlTokens AS w FROM ch),
+         |f AS (SELECT chunk_id, len(w) AS dl,
+         |        len(list_filter(w, x -> x = 'vector')) AS tf0,
+         |        len(list_filter(w, x -> x = 'query')) AS tf1,
+         |        len(list_filter(w, x -> x = 'dup')) AS tf2
+         |      FROM t),
+         |st AS (SELECT count(*) AS n, sum(dl) AS sumdl,
+         |         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         |         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         |         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+         |       FROM f),
+         |sc AS (SELECT chunk_id,
+         |    CAST(round(ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * CAST(tf0 AS DOUBLE) * (1.2 + 1.0)
+         |      / (CAST(tf0 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n))), 6) AS DECIMAL(20,6))
+         |  + CAST(round(ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * CAST(tf1 AS DOUBLE) * (1.2 + 1.0)
+         |      / (CAST(tf1 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n))), 6) AS DECIMAL(20,6))
+         |  + CAST(round(ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * CAST(tf2 AS DOUBLE) * (1.2 + 1.0)
+         |      / (CAST(tf2 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n))), 6) AS DECIMAL(20,6))
+         |  AS bm25d
+         |  FROM f CROSS JOIN st),
+         |top AS (SELECT chunk_id, CAST(bm25d AS DOUBLE) AS bm25 FROM sc
+         |        WHERE bm25d > 0 ORDER BY bm25 DESC, chunk_id LIMIT 20),
+         |sel AS (SELECT top.chunk_id, top.bm25,
+         |          CAST(len(t.w) AS BIGINT) AS n_tokens,
+         |          sum(CAST(len(t.w) AS BIGINT)) OVER (
+         |            ORDER BY top.bm25 DESC, top.chunk_id
+         |            ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         |        FROM top JOIN t USING (chunk_id))
+         |SELECT chunk_id, bm25, n_tokens, cum_tokens FROM sel
+         |WHERE cum_tokens <= 300 ORDER BY bm25 DESC, chunk_id""".stripMargin,
 
     // phrase replay straight off the token lists: count offsets i where
     // both phrase words match consecutively (1-based list indexing)

@@ -216,6 +216,86 @@ object StreamingIngest {
     * main-index results come from the shard-aligned zip path, the delta is
     * broadcast and scored map-side ([[DiskannIndex.searchDistributedFresh]])
     * — an offline job no longer needs a `compact()` first to see appends. */
+  /**
+   * Freshness-aware twin of [[DiskannIndex.servePointBatch]] — read-your-
+   * writes for the EXECUTOR-resident serving pool, i.e. the cluster-mode
+   * serving node's fresh path ([[searchPointFresh]]'s driver-warm fast path
+   * does not exist there). The pool answers from the compacted
+   * generations; pending delta rows are brute-force scored against the
+   * batch in one pass over the delta files (bounded by the compaction
+   * contract) and merged driver-side under the same (dist, row_id) rule,
+   * so results are identical to a post-compaction pool query. The durable
+   * tombstone registry folds in automatically, like every fresh path.
+   */
+  def servePointBatchFresh(spark: SparkSession, indexPath: String,
+      queries: Seq[(Long, Array[Float], Array[Short])], k: Int,
+      searchListSize: Int = 100, rescore: Int = 50, nProbe: Int = 0,
+      tombstones: Set[Long] = Set.empty): Seq[(Long, Long, Double)] = {
+    val tombs = tombstones ++ DiskannIndex.loadTombstones(spark, indexPath)
+    val pool = DiskannIndex.servePointBatch(spark, indexPath, queries, k,
+      searchListSize, rescore, nProbe, tombs)
+    readDeltaSnapshot(spark, indexPath, eager = false) match {
+      case None => pool
+      case Some(delta) =>
+        val meta = DiskannIndex.loadMeta(spark, indexPath)
+        val report = DiskannIndex.reportDistFn(
+          graft.index.Metric(meta.metric))
+        val hasDLabels = delta.columns.contains("labels")
+        val qArr = queries.map { case (qid, qv, ql) =>
+          (qid, qv, Option(ql).map(graft.index.LabelSets.normalize).orNull)
+        }.toArray
+        val qBc = spark.sparkContext.broadcast(qArr)
+        val tombBc = spark.sparkContext.broadcast(tombs)
+        // distributed brute force with a PER-PARTITION bounded top-k per
+        // query: the collect is ≤ partitions × |batch| × k rows no matter
+        // how large the pending delta grows — never the delta itself
+        val deltaHits = delta.select(col("row_id"), col("vec"),
+            (if (hasDLabels) col("labels")
+             else lit(null).cast(org.apache.spark.sql.types.ArrayType(
+               org.apache.spark.sql.types.ShortType))).as("labels"))
+          .rdd.mapPartitions { it =>
+            val best = new java.util.HashMap[
+              Long, scala.collection.mutable.ArrayBuffer[(Long, Double)]]()
+            it.foreach { r =>
+              val rid = r.getAs[Long]("row_id")
+              if (!tombBc.value.contains(rid)) {
+                val v = r.getAs[scala.collection.mutable.Seq[Float]]("vec")
+                  .toArray
+                val lbs =
+                  Option(r.getAs[scala.collection.mutable.Seq[Short]]("labels"))
+                    .map(s => graft.index.LabelSets.normalize(s.toArray))
+                    .orNull
+                qBc.value.foreach { case (qid, qv0, ql) =>
+                  val qv =
+                    if (qv0 == null) new Array[Float](v.length) else qv0
+                  val ok = ql == null ||
+                    (lbs != null && graft.index.LabelSets.overlaps(lbs, ql))
+                  if (ok) {
+                    val d = report(v, qv)
+                    val buf = best.computeIfAbsent(qid,
+                      _ => scala.collection.mutable.ArrayBuffer.empty)
+                    buf += ((rid, d))
+                    if (buf.length > 4 * k) {
+                      val kept = buf.sortBy { case (i, dd) => (dd, i) }.take(k)
+                      buf.clear(); buf ++= kept
+                    }
+                  }
+                }
+              }
+            }
+            val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+            best.forEach { (qid, buf) =>
+              buf.sortBy { case (i, dd) => (dd, i) }.take(k)
+                .foreach { case (rid, d) => out += ((qid, rid, d)) }
+            }
+            out.iterator
+          }.collect()
+        (pool ++ deltaHits).groupBy(_._1).iterator.flatMap { case (_, hits) =>
+          hits.sortBy(h => (h._3, h._2)).take(k)
+        }.toSeq.sortBy(h => (h._1, h._3, h._2))
+    }
+  }
+
   def searchFreshDistributed(spark: SparkSession, indexPath: String,
       queries: DataFrame, k: Int, searchListSize: Int = 100,
       rescore: Int = 50, tombstones: Set[Long] = Set.empty,

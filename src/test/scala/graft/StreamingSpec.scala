@@ -715,6 +715,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(post.nonEmpty && !post.exists(_._1 == 450L))
   }
 
+  test("servePointBatchFresh: executor pool + delta merge, read-your-writes") {
+    val path = "/tmp/graft_test_index/pool_fresh"
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    deleteRec(new java.io.File(path))
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    DiskannIndex.build(e.filter($"vec_id" < 400), "vec_id", "embedding", None,
+      path, DiskannParams(metric = "cosine"))
+    val v450 = e.filter($"vec_id" === 450).select($"embedding")
+      .head().getSeq[Float](0).toArray
+    val q = Seq((0L, v450, null: Array[Short]))
+    // not yet appended: the fresh pool does not see row 450
+    assert(!StreamingIngest.servePointBatchFresh(spark, path, q, k = 5,
+      searchListSize = 200, rescore = 150).exists(_._2 == 450L))
+    StreamingIngest.appendBatchToDelta(path)(
+      Seq((450L, v450)).toDF("row_id", "vec"), 0L)
+    // delta row surfaces at distance ~0; the raw pool does not see it
+    val fresh = StreamingIngest.servePointBatchFresh(spark, path, q, k = 5,
+      searchListSize = 200, rescore = 150)
+    assert(fresh.head._2 == 450L && fresh.head._3 < 1e-6)
+    assert(!DiskannIndex.servePointBatch(spark, path, q, k = 5,
+      searchListSize = 200, rescore = 150).exists(_._2 == 450L))
+    // equality with the verified searchPointFresh kernel on the same state
+    val viaPoint = StreamingIngest.searchPointFresh(spark, path, v450, k = 5,
+      searchListSize = 200, rescore = 150)
+    assert(fresh.map(h => (h._2, h._3)) == viaPoint)
+    // tombstones mask through the fresh pool too
+    DiskannIndex.deleteRows(spark, path, Seq(450L))
+    assert(!StreamingIngest.servePointBatchFresh(spark, path, q, k = 5,
+      searchListSize = 200, rescore = 150).exists(_._2 == 450L))
+    // post-compact the fold is physical and the pool serves it directly
+    StreamingIngest.compact(spark, path)
+    val post = StreamingIngest.servePointBatchFresh(spark, path, q, k = 5,
+      searchListSize = 200, rescore = 150)
+    assert(post.nonEmpty && !post.exists(_._2 == 450L))
+  }
+
   test("streaming distinct monitor: exact below k, bounded error above k") {
     implicit val sqlCtx = spark.sqlContext
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -306,6 +306,13 @@ class TextIndexSpec extends AnyFunSuite {
         s"SELECT * FROM graft_phrase('$path', 'table hash', 10)")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       assert(viaPhrase == expectPh)
+      val expectNear = TextIndex.proximitySearchIndexed(spark, path,
+          Seq("table", "join", "hash"), slop = 4, n = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val viaNear = s2.sql(
+        s"SELECT * FROM graft_near('$path', 'table join hash', 4, 10)")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(viaNear == expectNear && viaNear.nonEmpty)
       // a TVF is a plan fragment, not a collected result: joining back to
       // the corpus composes in ONE query
       val joined = s2.sql(
