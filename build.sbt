@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Panama Vector API (JEP 414, incubating in JDK 17) for the SIMD distance
+// kernels (PanamaKernels.java) — compile-time module for javac, runtime
+// module for the forked JVMs. Callers degrade gracefully when absent.
+Compile / javacOptions ++= Seq("--add-modules", "jdk.incubator.vector")
 // forked run output goes straight to stdout (no "[info] " log prefix) so the
 // one-line JSON contracts of graft.Bench / graft.Verify stay machine-parseable
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
@@ -27,6 +31,7 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  "--add-modules=jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",

@@ -120,6 +120,19 @@ object DiskannIndex {
     val spark = df.sparkSession
     val metric = Metric(params.metric)
 
+    // a rebuild REPLACES the artifact (the TextIndex/Dedup builder rule):
+    // stale `versions/` generations WIN root resolution over the flat
+    // nodes/_meta this build writes, so leaving them would serve the OLD
+    // index after a "successful" rebuild; stale tombstones/delta from the
+    // previous life must not leak into the new one either. Compaction is
+    // unaffected — it builds into a fresh tmp dir that has none of these.
+    {
+      val p0 = new org.apache.hadoop.fs.Path(path)
+      val fs0 = p0.getFileSystem(spark.sessionState.newHadoopConf())
+      Seq("versions", "tombstones", "delta").foreach(d =>
+        fs0.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true))
+    }
+
     // NULL vectors are never indexed (build.rs:493-498)
     val base0 = df.select(
       col(idCol).cast(LongType).as("row_id"),
@@ -198,6 +211,16 @@ object DiskannIndex {
     inPhase(spark, PhaseBuilding, path) {
       nodes.write.mode("overwrite").partitionBy("shard").parquet(s"$path/nodes")
     }
+
+    // per-label node counts (the reference's contsel selectivity input,
+    // mod.rs:243-256): one tiny (label, cnt) parquet per generation. Readers
+    // treat it as OPTIONAL (older generations lack it), so this is an
+    // additive layout change — the residual over-fetch loop uses it to
+    // bound a labeled query's reachable population.
+    if (hasLabels)
+      base.select(explode(col("labels")).as("label"))
+        .groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/labelstats")
 
     // meta sidecar as a 1-row parquet (no JSON dependency, schema-checked).
     // buildId is a fresh epoch per (re)build and shardBuildIds one epoch PER
@@ -655,6 +678,33 @@ object DiskannIndex {
 
   def loadMeta(spark: SparkSession, path0: String): IndexMeta =
     loadMetaAt(spark, resolveRoot(spark, path0))
+
+  /** Per-label node counts recorded at build (`labelstats`) — None for
+    * generations built before the table existed (incremental-compact
+    * carry-forwards included): callers must treat the stats as an OPTIONAL
+    * optimization input, never a correctness dependency. Cached per
+    * generation root — the table is immutable once installed. */
+  private val labelCountsCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Option[Map[Short, Long]]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Option[Map[Short, Long]]]): Boolean =
+        size() > 64
+    })
+
+  def labelCounts(spark: SparkSession,
+      path0: String): Option[Map[Short, Long]] = {
+    val root = resolveRoot(spark, path0)
+    val hit = labelCountsCache.get(root)
+    if (hit != null) return hit
+    val p = new org.apache.hadoop.fs.Path(s"$root/labelstats")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out =
+      if (!fs.exists(p)) None
+      else Some(spark.read.parquet(p.toString)
+        .collect().map(r => r.getShort(0) -> r.getLong(1)).toMap)
+    labelCountsCache.put(root, out)
+    out
+  }
 
   /** [[loadMeta]] for an ALREADY-RESOLVED generation root — the GC needs the
     * flat root's own meta even when a newer generation is active (plain

@@ -32,10 +32,43 @@ object WriterLock {
   /** Run `f` while holding `path`'s writer lease; release on exit (only if
     * still held — a timeout steal by another writer must not have ITS fresh
     * lease deleted by us). */
-  def withLease[T](spark: SparkSession, path: String)(f: => T): T = {
-    import graft.streaming.StreamingIngest.{acquireLease, holdsLease}
+  def withLease[T](spark: SparkSession, path: String)(f: => T): T =
+    withLeaseVerified(spark, path)(_ => f)
+
+  /**
+   * Like [[withLease]], but hands `f` a RE-VERIFY thunk to call immediately
+   * before each irreversible step (a table write, the version-install
+   * rename): it re-reads the lock file and throws [[IllegalStateException]]
+   * if the lease is no longer ours. This closes the stale-steal race — two
+   * writers that both observe a 1h-stale lock can interleave
+   * overwrite+re-read and BOTH believe they won (the overwrite steal is not
+   * atomic); the loser's re-verify at its install point aborts it before it
+   * can swap a generation or write into one being folded. The steal path
+   * additionally waits a jittered settle (min 50–250 ms even when
+   * `lockVerifyDelayMs` is 0) so two same-instant stealers are unlikely to
+   * interleave write/verify symmetrically in the first place.
+   */
+  def withLeaseVerified[T](spark: SparkSession, path: String)(
+      f: (() => Unit) => T): T = {
+    import graft.streaming.StreamingIngest.{acquireLease, holdsLease, jvmLeases}
     val lock = new org.apache.hadoop.fs.Path(s"$path/_compact.lock")
     val fs = lock.getFileSystem(spark.sessionState.newHadoopConf())
+    // same-process writers serialize on the JVM gate FIRST: the file
+    // lease's create-exclusive is not atomic on local FS / object stores,
+    // so two threads of one JVM could otherwise both verify (see
+    // StreamingIngest.jvmLeases). Fail fast like any other contention.
+    if (!jvmLeases.add(lock.toString))
+      throw new IllegalStateException(
+        s"another writer in this process holds $lock; retry the " +
+          "append/compact once it completes")
+    try withJvmGateHeld(spark, path, lock, fs)(f)
+    finally jvmLeases.remove(lock.toString)
+  }
+
+  private def withJvmGateHeld[T](spark: SparkSession, path: String,
+      lock: org.apache.hadoop.fs.Path, fs: org.apache.hadoop.fs.FileSystem)(
+      f: (() => Unit) => T): T = {
+    import graft.streaming.StreamingIngest.{acquireLease, holdsLease}
     val timeoutMs =
       spark.conf.get("graft.compact.lockTimeoutMs", "3600000").toLong
     val verifyDelayMs =
@@ -49,17 +82,27 @@ object WriterLock {
           fs.getFileStatus(lock).getModificationTime > timeoutMs
       } catch { case _: java.io.FileNotFoundException => true }
       // steal by OVERWRITE + re-read, never delete-then-create (two
-      // stealers interleaving a delete could both verify)
-      if (stale)
+      // stealers interleaving a delete could both verify); the steal
+      // verify always waits — a zero-delay overwrite+re-read gives two
+      // concurrent stealers a symmetric window to both pass
+      if (stale) {
+        val stealDelay = math.max(verifyDelayMs,
+          50L + scala.util.Random.nextInt(200))
         acquired = acquireLease(fs, lock, ownerId, exclusiveCreate = false,
-          verifyDelayMs)
+          stealDelay)
+      }
     }
     if (!acquired)
       throw new IllegalStateException(
         s"another writer holds $lock (stolen only after " +
           s"graft.compact.lockTimeoutMs=${timeoutMs}ms); retry the " +
           "append/compact once it completes")
-    try f
+    val verify: () => Unit = () =>
+      if (!holdsLease(fs, lock, ownerId))
+        throw new IllegalStateException(
+          s"writer lease on $lock lost (stolen as stale by another " +
+            "writer); aborting before the irreversible step")
+    try f(verify)
     finally if (holdsLease(fs, lock, ownerId)) fs.delete(lock, false)
   }
 }

@@ -560,8 +560,15 @@ object Dedup {
     val spark = batch.sparkSession
     val m = spark.read.parquet(s"$path/idxmeta").head()
     graft.index.WriterLock.withLease(spark, path) {
-      writeDedupBatch(batch, idCol, textCol,
-        graft.index.DiskannIndex.resolveRoot(spark, path),
+      val root = graft.index.DiskannIndex.resolveRoot(spark, path)
+      // retry safety: scrub this batch id's partition dirs first (see
+      // TextIndex.appendLocked — append is REPLACE-by-batch-id)
+      val fsA = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      Seq("bands", "signatures").foreach(d =>
+        fsA.delete(
+          new org.apache.hadoop.fs.Path(s"$root/$d/batch=$batchId"), true))
+      writeDedupBatch(batch, idCol, textCol, root,
         m.getAs[Int]("shingle_size"), m.getAs[Int]("num_hashes"),
         m.getAs[Int]("bands"), batchId, SaveMode.Append)
     }
@@ -647,17 +654,35 @@ object Dedup {
    * fold (single batch, no tombstones). Runs under the writer lease.
    */
   def compactDedupIndex(spark: SparkSession, path: String): Boolean =
-    graft.index.WriterLock.withLease(spark, path) {
+    graft.index.WriterLock.withLeaseVerified(spark, path) { verify =>
       import graft.index.DiskannIndex
       val root = DiskannIndex.resolveRoot(spark, path)
-      val nBatches = spark.read.parquet(s"$root/bands")
-        .select(col("batch")).distinct().count()
-      val consumedTombs = DiskannIndex.tombstoneFiles(spark, path)
+      val batchIds = spark.read.parquet(s"$root/bands")
+        .select(col("batch").cast(LongType)).distinct()
+        .collect().map(_.getLong(0))
+      // Same replay-protocol guard as compactTextIndex: an unmarked stream
+      // batch (committed tables, missing _stream marker — a crashed
+      // appender whose stale lease we may have just stolen) is carried
+      // through the fold VERBATIM so the checkpoint replay still finds its
+      // batch=<id> dirs to delete-and-rewrite; folding it would make the
+      // replay re-append and duplicate ids.
+      val conf0 = spark.sessionState.newHadoopConf()
+      val fs0 = new org.apache.hadoop.fs.Path(path).getFileSystem(conf0)
+      val unmarked = batchIds.filter(b => b >= STREAM_BATCH_BASE &&
+        !fs0.exists(new org.apache.hadoop.fs.Path(s"$path/_stream/b$b")))
+        .toSet
+      val nFoldable = batchIds.length - unmarked.size
+      val consumedTombs =
+        if (unmarked.isEmpty) DiskannIndex.tombstoneFiles(spark, path)
+        else Array.empty[org.apache.hadoop.fs.FileStatus]
       val dead =
         if (consumedTombs.isEmpty) Set.empty[Long]
         else DiskannIndex.loadTombstones(spark, path)
-      if (nBatches <= 1L && dead.isEmpty) false
+      if (nFoldable <= 1L && dead.isEmpty) false
       else {
+        def isUnmarked(c: org.apache.spark.sql.Column) =
+          if (unmarked.isEmpty) lit(false)
+          else c.cast(LongType).isin(unmarked.toSeq: _*)
         val conf = spark.sessionState.newHadoopConf()
         val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
         val next = DiskannIndex.listVersions(spark, path)
@@ -666,14 +691,22 @@ object Dedup {
         val tmp = new org.apache.hadoop.fs.Path(s"$path/_compact_tmp_$vName")
         fs.delete(tmp, true)
         Seq("bands", "signatures").foreach { d =>
+          val all = spark.read.parquet(s"$root/$d")
           maskDedupDeleted(spark, path,
-              spark.read.parquet(s"$root/$d"), "id")
+              all.filter(!isUnmarked(col("batch"))), "id")
             .drop("batch").withColumn("batch", lit(0L))
             .write.mode(SaveMode.Overwrite).partitionBy("batch")
             .parquet(s"$tmp/$d")
+          if (unmarked.nonEmpty)
+            all.filter(isUnmarked(col("batch")))
+              .write.mode(SaveMode.Append).partitionBy("batch")
+              .parquet(s"$tmp/$d")
         }
         val vdir = new org.apache.hadoop.fs.Path(s"$path/versions")
         fs.mkdirs(vdir)
+        // last-moment lease re-check before the irreversible generation
+        // swap (see WriterLock.withLeaseVerified)
+        verify()
         require(fs.rename(tmp, new org.apache.hadoop.fs.Path(vdir, vName)),
           s"failed to install generation $vName")
         consumedTombs.foreach(s => fs.delete(s.getPath, false))
@@ -723,7 +756,7 @@ object Dedup {
     val marker = new org.apache.hadoop.fs.Path(s"$path/_stream/b$phys")
     if (fs.exists(marker)) return // fully committed on a previous attempt
     val m = spark.read.parquet(s"$path/idxmeta").head()
-    graft.index.WriterLock.withLease(spark, path) {
+    graft.index.WriterLock.withLeaseVerified(spark, path) { verify =>
       if (!fs.exists(marker)) {
         val root = graft.index.DiskannIndex.resolveRoot(spark, path)
         Seq("bands", "signatures").foreach { d =>
@@ -733,6 +766,10 @@ object Dedup {
         writeDedupBatch(batch, idCol, textCol, root,
           m.getAs[Int]("shingle_size"), m.getAs[Int]("num_hashes"),
           m.getAs[Int]("bands"), phys, SaveMode.Append)
+        // re-verify before the marker commit (same rationale as
+        // TextIndex.appendBatchIdempotent — fail the micro-batch so the
+        // checkpoint replays against the unmarked-batch carry-through)
+        verify()
         fs.mkdirs(marker.getParent)
         fs.create(marker, true).close()
       }

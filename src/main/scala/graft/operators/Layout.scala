@@ -114,11 +114,31 @@ object Layout {
     zonemap(spark, path, cols).coalesce(1)
       .write.mode("overwrite").parquet(s"${path.stripSuffix("/")}_zonemap")
 
-  /** [[prunedRead]] driven by the stored manifest. */
+  /** [[prunedRead]] driven by the stored manifest — with a CRASH-SAFETY NET:
+    * any data file present on disk but absent from the manifest (a writer
+    * died between its data append and its manifest append) is read
+    * UNPRUNED and unioned in, instead of being silently omitted forever.
+    * The orphan check is an O(#files) driver listing diff, the same bound
+    * the manifest collect already carries; in the steady state the orphan
+    * set is empty and the plan is identical to before. */
   def prunedReadStored(spark: SparkSession, path: String,
-      ranges: Seq[(String, Double, Double)]): DataFrame =
-    prunedRead(spark, path, ranges, Some(
-      spark.read.parquet(s"${path.stripSuffix("/")}_zonemap")))
+      ranges: Seq[(String, Double, Double)]): DataFrame = {
+    val zm = spark.read.parquet(s"${path.stripSuffix("/")}_zonemap")
+    val manifested = zm.select(col("file")).collect().map(_.getString(0)).toSet
+    // input_file_name() URIs and listing URIs must compare equal — both are
+    // fully-qualified Hadoop paths on the same FS, but normalize defensively
+    def norm(f: String) = f.stripPrefix("file:").replaceFirst("^/+", "/")
+    val orphans = listDataFiles(spark, path)
+      .filterNot(f => manifested.exists(m => norm(m) == norm(f))).toSeq.sorted
+    val pruned = prunedRead(spark, path, ranges, Some(zm))
+    if (orphans.isEmpty) pruned
+    else {
+      val residual = ranges.map { case (c, lo, hi) =>
+        col(c).cast(DoubleType) >= lo && col(c).cast(DoubleType) <= hi
+      }.reduce(_ && _)
+      pruned.unionByName(spark.read.parquet(orphans: _*).filter(residual))
+    }
+  }
 
   /** Data files currently under `path` (recursive, Hadoop-FS; hidden and
     * commit-marker files excluded) — O(#files) driver metadata, the same
@@ -156,24 +176,85 @@ object Layout {
    * ingest-job contract); the stats pass never touches pre-existing data.
    */
   def zorderAppend(df: DataFrame, cols: Seq[String], path: String,
-      nFiles: Int, bits: Int = 16): Unit = {
+      nFiles: Int, bits: Int = 16, sliceId: Option[String] = None): Unit = {
     val spark = df.sparkSession
-    val before = listDataFiles(spark, path)
-    zorderKey(df, cols, bits)
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path.stripSuffix("/"))
+    val fs = root.getFileSystem(conf)
+    val clustered = zorderKey(df, cols, bits)
       .repartitionByRange(nFiles, col("zkey"))
       .sortWithinPartitions(col("zkey"))
       .drop("zkey")
-      .write.mode("append").parquet(path)
-    val fresh = (listDataFiles(spark, path) -- before).toSeq.sorted
-    if (fresh.nonEmpty)
-      spark.read.parquet(fresh: _*)
+    def manifestRows(files: Seq[String]) =
+      spark.read.parquet(files: _*)
         .groupBy(input_file_name().as("file"))
         .agg(min(col(cols.head)).as(s"min_${cols.head}"),
           (max(col(cols.head)).as(s"max_${cols.head}") +:
             cols.tail.flatMap(c =>
               Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))): _*)
         .coalesce(1)
-        .write.mode("append").parquet(s"${path.stripSuffix("/")}_zonemap")
+    val zmPath = s"${path.stripSuffix("/")}_zonemap"
+    sliceId match {
+      case None =>
+        // legacy non-idempotent path: two writes; a crash between them
+        // leaves orphan files that prunedReadStored's safety net still reads
+        val before = listDataFiles(spark, path)
+        clustered.write.mode("append").parquet(path)
+        val fresh = (listDataFiles(spark, path) -- before).toSeq.sorted
+        if (fresh.nonEmpty)
+          manifestRows(fresh).write.mode("append").parquet(zmPath)
+      case Some(id) =>
+        // RECOVERABLE protocol (the streaming-_stream-marker discipline):
+        // 1. done-marker exists → the whole slice committed before: no-op.
+        // 2. scrub leftovers of a previous crashed attempt — the staging
+        //    dir AND any already-installed `slice_<id>_` files (their name
+        //    carries the id, so a half-done install is fully reversible).
+        // 3. write to _staging_<id> (underscore ⇒ invisible to readers),
+        //    rename each file in as `slice_<id>_<name>`, append the
+        //    manifest rows, THEN create the marker. A crash at any point
+        //    re-runs from step 2 without duplication; a crash after the
+        //    manifest append but before the marker only re-installs
+        //    IDENTICAL manifest rows after scrubbing... which would double
+        //    them — so the manifest rows for this id are also scrubbed by
+        //    rewriting the zonemap without them before re-append.
+        require(id.matches("[A-Za-z0-9_-]+"), s"unsafe sliceId: $id")
+        val marker = new org.apache.hadoop.fs.Path(root, s"_slice_$id")
+        if (fs.exists(marker)) return
+        val staging = new org.apache.hadoop.fs.Path(root, s"_staging_$id")
+        if (fs.exists(staging)) fs.delete(staging, true)
+        val prefix = s"slice_${id}_"
+        val leftovers = listDataFiles(spark, path)
+          .filter(f => new org.apache.hadoop.fs.Path(f).getName
+            .startsWith(prefix))
+        if (leftovers.nonEmpty) {
+          leftovers.foreach(f =>
+            fs.delete(new org.apache.hadoop.fs.Path(f), false))
+          // scrub any manifest rows a crashed attempt already appended —
+          // the manifest is O(#files) rows by construction, so a driver
+          // collect + rewrite is bounded and avoids overwrite-from-self
+          if (fs.exists(new org.apache.hadoop.fs.Path(zmPath))) {
+            val zm = spark.read.parquet(zmPath)
+            val kept = zm.filter(!col("file").contains(prefix)).collect()
+            spark.createDataFrame(
+                spark.sparkContext.parallelize(kept.toSeq, 1), zm.schema)
+              .write.mode("overwrite").parquet(zmPath)
+          }
+        }
+        clustered.write.mode("overwrite").parquet(staging.toString)
+        val staged = listDataFiles(spark, staging.toString)
+        val installed = staged.toSeq.sorted.map { f =>
+          val src = new org.apache.hadoop.fs.Path(f)
+          val dst = new org.apache.hadoop.fs.Path(root,
+            prefix + src.getName)
+          if (!fs.rename(src, dst))
+            sys.error(s"zorderAppend: rename $src -> $dst failed")
+          dst.toString
+        }
+        fs.delete(staging, true)
+        if (installed.nonEmpty)
+          manifestRows(installed).write.mode("append").parquet(zmPath)
+        fs.create(marker, true).close()
+    }
   }
 
   /**

@@ -168,6 +168,17 @@ object TextIndex {
     require(batchId > 0L, "append batches start at 1 (0 is the build)")
     val spark = df.sparkSession
     val root = resolveRoot(spark, path)
+    // append REPLACES this batch id: scrubbing any partition dirs a torn
+    // previous attempt left makes a failed append safely retryable (the
+    // same delete-then-rewrite the stream replay protocol uses) — without
+    // it, a retry after a partial failure doubles the committed tables'
+    // rows. Batch ids are unique per generation by contract, so in the
+    // non-failure case there is nothing to scrub.
+    val fsA = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Seq("postings", "termstats", "corpusstats").foreach(d =>
+      fsA.delete(
+        new org.apache.hadoop.fs.Path(s"$root/$d/batch=$batchId"), true))
     val nB = effectiveBuckets(spark, path, nBuckets)
     val positions = spark.read.parquet(s"$root/postings")
       .columns.contains("pos")
@@ -523,17 +534,43 @@ object TextIndex {
    * in-flight-reader grace window, exactly like the ANN index.
    */
   def compactTextIndex(spark: SparkSession, path: String): Boolean =
-    WriterLock.withLease(spark, path) {
+    WriterLock.withLeaseVerified(spark, path) { verify =>
       val root = resolveRoot(spark, path)
-      val nBatches = spark.read.parquet(s"$root/corpusstats").count()
+      val batchIds = spark.read.parquet(s"$root/corpusstats")
+        .select(col("batch").cast(LongType)).collect().map(_.getLong(0))
+      // REPLAY-PROTOCOL GUARD: a stream batch (id >= STREAM_BATCH_BASE)
+      // whose _stream marker is ABSENT is a committed-but-unmarked append —
+      // the writer died between its table writes and its marker, and the
+      // checkpoint replay WILL re-run it (delete batch=<id> dirs, rewrite,
+      // mark). Folding such a batch into batch 0 would strand the replay
+      // with nothing to delete and a re-append would duplicate doc ids
+      // (double df / corpus sums). So unmarked stream batches are carried
+      // through the fold VERBATIM under their own batch ids; everything
+      // else folds to batch 0 as before. Normally the lease serializes
+      // append and compact, so this only triggers after a stale-lease steal
+      // from a crashed appender — exactly the case the replay handles.
+      val conf0 = spark.sessionState.newHadoopConf()
+      val fs0 = new org.apache.hadoop.fs.Path(path).getFileSystem(conf0)
+      val unmarked = batchIds.filter(b => b >= STREAM_BATCH_BASE &&
+        !fs0.exists(new org.apache.hadoop.fs.Path(s"$path/_stream/b$b")))
+        .toSet
+      val nFoldable = batchIds.length - unmarked.size
       // tombstones snapshot UNDER the lease: files arriving after this are
-      // left for the next compaction, never half-consumed
-      val consumedTombs = DiskannIndex.tombstoneFiles(spark, path)
+      // left for the next compaction, never half-consumed. When unmarked
+      // batches exist, tombstones stay PENDING too (their dead ids may live
+      // in a batch we are not allowed to rewrite) — read-time masking keeps
+      // covering them, and the next clean compaction folds + consumes.
+      val consumedTombs =
+        if (unmarked.isEmpty) DiskannIndex.tombstoneFiles(spark, path)
+        else Array.empty[org.apache.hadoop.fs.FileStatus]
       val dead =
         if (consumedTombs.isEmpty) Set.empty[Long]
         else DiskannIndex.loadTombstones(spark, path)
-      if (nBatches <= 1L && dead.isEmpty) false
+      if (nFoldable <= 1L && dead.isEmpty) false
       else {
+        def isUnmarked(c: org.apache.spark.sql.Column) =
+          if (unmarked.isEmpty) lit(false)
+          else c.cast(LongType).isin(unmarked.toSeq: _*)
         val conf = spark.sessionState.newHadoopConf()
         val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
         val next = DiskannIndex.listVersions(spark, path)
@@ -545,8 +582,9 @@ object TextIndex {
         // re-deriving tb from the term through the SAME definition (rather
         // than trusting directory names) keeps one route definition
         val nB = readMeta(spark, path).nBuckets
+        val allPostings = spark.read.parquet(s"$root/postings")
         val live = maskDeleted(spark, path,
-          spark.read.parquet(s"$root/postings"), "id")
+          allPostings.filter(!isUnmarked(col("batch"))), "id")
         live
           .drop("batch", "tb")
           .withColumn("batch", lit(0L))
@@ -554,15 +592,28 @@ object TextIndex {
           .repartitionByRange(col("tb"), col("term"))
           .write.mode(SaveMode.Overwrite).partitionBy("batch", "tb")
           .parquet(s"$tmp/postings")
-        // df recomputed from the postings JUST INSTALLED (batch-0 only, so
-        // the read is the folded artifact itself) — dead docs fall out
+        // unmarked stream batches ride along VERBATIM (raw, unmasked — the
+        // pending tombstones keep masking them at read time, and the replay
+        // must find byte-equivalent state to delete-and-rewrite)
+        if (unmarked.nonEmpty)
+          allPostings.filter(isUnmarked(col("batch")))
+            .write.mode(SaveMode.Append).partitionBy("batch", "tb")
+            .parquet(s"$tmp/postings")
+        // df recomputed from the FOLDED postings just installed (batch-0
+        // pruned read of the artifact itself) — dead docs fall out
         spark.read.parquet(s"$tmp/postings")
+          .filter(col("batch") === 0L)
           .groupBy(col("term")).agg(count(lit(1)).as("df"))
           .withColumn("batch", lit(0L))
           .withColumn("tb", termBucket(col("term"), nB))
           .repartitionByRange(col("tb"), col("term"))
           .write.mode(SaveMode.Overwrite).partitionBy("batch", "tb")
           .parquet(s"$tmp/termstats")
+        if (unmarked.nonEmpty)
+          spark.read.parquet(s"$root/termstats")
+            .filter(isUnmarked(col("batch")))
+            .write.mode(SaveMode.Append).partitionBy("batch", "tb")
+            .parquet(s"$tmp/termstats")
         // corpus totals: old SUM minus the folded docs' own (count, Σdl) —
         // derived from the pre-fold postings (one row per dead doc via
         // distinct (id, dl); dl is constant per doc by construction)
@@ -570,7 +621,9 @@ object TextIndex {
           if (dead.isEmpty) (0L, 0L)
           else {
             import spark.implicits._
-            val r = spark.read.parquet(s"$root/postings")
+            // unmarked batches are excluded: their rows are carried
+            // verbatim, so their corpusstats rows must stay exact too
+            val r = allPostings.filter(!isUnmarked(col("batch")))
               .select(col("id"), col("dl"))
               .join(broadcast(dead.toSeq.toDF("__dead_id")),
                 col("id") === col("__dead_id"))
@@ -578,14 +631,23 @@ object TextIndex {
               .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
             (r.getLong(0), r.getLong(1))
           }
-        spark.read.parquet(s"$root/corpusstats")
+        val allCs = spark.read.parquet(s"$root/corpusstats")
+        allCs.filter(!isUnmarked(col("batch")))
           .agg((sum(col("n")) - lit(deadPresent._1)).as("n"),
             (sum(col("sumdl")) - lit(deadPresent._2)).as("sumdl"))
           .withColumn("batch", lit(0L))
           .write.mode(SaveMode.Overwrite).partitionBy("batch")
           .parquet(s"$tmp/corpusstats")
+        if (unmarked.nonEmpty)
+          allCs.filter(isUnmarked(col("batch")))
+            .write.mode(SaveMode.Append).partitionBy("batch")
+            .parquet(s"$tmp/corpusstats")
         val vdir = new org.apache.hadoop.fs.Path(s"$path/versions")
         fs.mkdirs(vdir)
+        // last-moment lease re-check: if another writer stole our lease as
+        // stale mid-fold, abort HERE — before the generation swap — so we
+        // can never install over (or under) its work
+        verify()
         require(fs.rename(tmp, new org.apache.hadoop.fs.Path(vdir, vName)),
           s"failed to install generation $vName")
         // the snapshotted tombstones are folded into this generation —
@@ -665,7 +727,7 @@ object TextIndex {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     val marker = new org.apache.hadoop.fs.Path(s"$path/_stream/b$phys")
     if (fs.exists(marker)) return // fully committed on a previous attempt
-    WriterLock.withLease(spark, path) {
+    WriterLock.withLeaseVerified(spark, path) { verify =>
       // re-check under the lease (another writer may have committed it)
       if (!fs.exists(marker)) {
         val root = resolveRoot(spark, path)
@@ -675,6 +737,12 @@ object TextIndex {
             new org.apache.hadoop.fs.Path(s"$root/$d/batch=$phys"), true)
         }
         appendLocked(batch, idCol, textCol, path, phys, nBuckets)
+        // re-verify before the marker commit: if our lease was stolen as
+        // stale mid-append, a compaction may be folding the generation we
+        // just wrote into — fail the micro-batch so the checkpoint replays
+        // it (the unmarked-batch carry-through in compactTextIndex keeps
+        // the replay's delete-and-rewrite sound either way)
+        verify()
         fs.mkdirs(marker.getParent)
         fs.create(marker, true).close()
       }

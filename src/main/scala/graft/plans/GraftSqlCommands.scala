@@ -479,6 +479,30 @@ case class DescribeDiskannIndexCommand(target: Either[String, String])
             "bands" -> m.getAs[Int]("bands").toString,
             "pending_tombstones" -> tombs.toString
           ).map { case (k, v) => Row(k, v) }
+        case Some("ann") =>
+          // bare unregistered ANN artifact: the stats/meta surface needs
+          // only the path — keep DESCRIBE symmetric with DELETE/VACUUM
+          val s = graft.index.DiskannIndex.stats(spark, sourcePath)
+          val meta = graft.index.DiskannIndex.loadMeta(spark, sourcePath)
+          val tombs =
+            graft.index.DiskannIndex.loadTombstones(spark, sourcePath).size
+          return Seq(
+            "index_path" -> sourcePath,
+            "metric" -> s.metric,
+            "storage" -> s.storage,
+            "bits_per_dim" -> s.bitsPerDim.toString,
+            "num_rows" -> s.numRows.toString,
+            "num_shards" -> s.numShards.toString,
+            "num_edges" -> s.numEdges.toString,
+            "avg_degree" -> f"${s.avgDegree}%.3f",
+            "max_degree" -> s.maxDegree.toString,
+            "num_neighbors" -> meta.numNeighbors.toString,
+            "search_list_size" -> meta.searchListSize.toString,
+            "partitioner" -> meta.partitioner,
+            "build_id" -> meta.buildId,
+            "labels" -> meta.hasLabels.toString,
+            "pending_tombstones" -> tombs.toString
+          ).map { case (k, v) => Row(k, v) }
         case _ =>
       }
     val entry = KnnCatalog.lookup(sourcePath).getOrElse(
@@ -670,7 +694,32 @@ case class VacuumDiskannIndexCommand(target: Either[String, String],
               "generation_before" -> rootBefore,
               "generation_after" -> rootAfter
             ).map { case (k, v) => Row(k, v) }
-          case _ => // ANN (or registered) falls through to the entry path
+          case Some("ann") =>
+            // bare unregistered ANN artifact: same one-SQL-surface rule —
+            // DELETE FROM INDEX ON '<path>' can mint tombstones here, so
+            // VACUUM must be able to fold them without a registration
+            val deltaBefore =
+              graft.streaming.StreamingIngest.deltaFiles(spark, p).length
+            val tombsBefore =
+              graft.index.DiskannIndex.loadTombstones(spark, p).size
+            val rootBefore = graft.index.DiskannIndex.resolveRoot(spark, p)
+            val prev = spark.conf.getOption("graft.compact.incremental")
+            opts.get("incremental").foreach(v =>
+              spark.conf.set("graft.compact.incremental", v.toBoolean.toString))
+            try graft.streaming.StreamingIngest.compact(spark, p)
+            finally if (opts.contains("incremental")) prev match {
+              case Some(v) => spark.conf.set("graft.compact.incremental", v)
+              case None => spark.conf.unset("graft.compact.incremental")
+            }
+            val rootAfter = graft.index.DiskannIndex.resolveRoot(spark, p)
+            return Seq(
+              "vacuumed" -> (rootBefore != rootAfter).toString,
+              "delta_files_folded" -> deltaBefore.toString,
+              "tombstones_folded" -> tombsBefore.toString,
+              "generation_before" -> rootBefore,
+              "generation_after" -> rootAfter
+            ).map { case (k, v) => Row(k, v) }
+          case _ => // registered or unknown falls through to the entry path
         }
       case _ =>
     }

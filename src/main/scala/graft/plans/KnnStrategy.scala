@@ -374,7 +374,9 @@ case class KnnIndexScanExec(outAttrs: Seq[AttributeReference], spark: SparkSessi
     "numNodesVisited" -> SQLMetrics.createMetric(sparkContext, "graph nodes visited"),
     "numQuantizedCmps" -> SQLMetrics.createMetric(sparkContext, "quantized distance comparisons"),
     "numExactCmps" -> SQLMetrics.createMetric(sparkContext, "exact distance comparisons"),
-    "numHeapFetches" -> SQLMetrics.createMetric(sparkContext, "source rows fetched"))
+    "numHeapFetches" -> SQLMetrics.createMetric(sparkContext, "source rows fetched"),
+    "numEscalationRounds" -> SQLMetrics.createMetric(sparkContext,
+      "residual over-fetch rounds"))
 
   override def doExecute(): RDD[InternalRow] = {
     // ONE read of the search parameters for the whole execution: searchK
@@ -478,7 +480,20 @@ case class KnnIndexScanExec(outAttrs: Seq[AttributeReference], spark: SparkSessi
     val hasDelta =
       graft.streaming.StreamingIngest.hasDelta(spark, entry.indexPath)
     val freshTombs = DiskannIndex.loadTombstones(spark, entry.indexPath)
-    val total = DiskannIndex.loadMeta(spark, entry.indexPath).numRows +
+    // LABEL-SELECTIVITY-AWARE exhaustion bound (the reference's contsel
+    // hook, mod.rs:243-256, re-expressed): a labeled traversal can never
+    // return more nodes than carry one of the query labels, so the stored
+    // per-label counts (labelstats, written at build) bound `total` — a
+    // selective label exhausts in round 1 instead of escalating through
+    // the ladder just to discover the population was tiny. Σ counts is an
+    // upper bound on the union population, so the shortcut is never unsafe.
+    val labelPop: Option[Long] = filterLabels.flatMap(ls =>
+      DiskannIndex.labelCounts(spark, entry.indexPath).map { m =>
+        ls.map(l => m.getOrElse(l, 0L)).sum
+      })
+    val total = math.min(
+      labelPop.getOrElse(Long.MaxValue),
+      DiskannIndex.loadMeta(spark, entry.indexPath).numRows) +
       (if (hasDelta) maxOverfetch.toLong else 0L) // delta size unknown; only
     // the `kk >= total` exhaustion shortcut cares, and overshooting it just
     // means one more (correct) escalation round before the cap bails out
@@ -530,6 +545,7 @@ case class KnnIndexScanExec(outAttrs: Seq[AttributeReference], spark: SparkSessi
     var bail = false
     while (out == null && !bail) {
       round += 1
+      longMetric("numEscalationRounds").add(1)
       val hits = searchRound(kk)
       val fetched = fetchedWithRank(hits)
       val b = bound
@@ -545,7 +561,20 @@ case class KnnIndexScanExec(outAttrs: Seq[AttributeReference], spark: SparkSessi
         longMetric("numHeapFetches").add(hits.length)
         out = fetched.select(wantCols.map(col): _*).queryExecution.toRdd
       } else if (round >= maxRounds || kk >= cap) bail = true
-      else kk = math.min(cap.toLong, kk * 4L).toInt
+      else {
+        // SELECTIVITY-AWARE escalation (contsel, adaptively observed): this
+        // round measured the residual's survival rate among hits.length
+        // ANN-ordered rows — size the next round to land the k-th survivor
+        // in the safe top half directly (kk' ≈ 4k/s, the 2× top-half margin
+        // on 2k/s) instead of blindly ×4-laddering toward it one round at a
+        // time. Clamped to [kk*4 … cap]: never slower than the ladder, and
+        // a zero-survivor round (no rate to learn from) falls back to it.
+        val sel = survivorRanks.length.toDouble / math.max(hits.length, 1)
+        val want =
+          if (survivorRanks.isEmpty) cap.toLong
+          else math.ceil(4.0 * k / sel).toLong
+        kk = math.min(cap.toLong, math.max(kk * 4L, want)).toInt
+      }
     }
     if (bail) {
       // brute-force bail-out: emit the whole relation (minus rows the index

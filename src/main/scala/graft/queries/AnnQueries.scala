@@ -134,6 +134,27 @@ object AnnQueries {
         topK = 10)
     }),
 
+    // The >256-shard cogroup path of searchDistributed — at 100 TB an index
+    // is thousands of shards, where the union-of-pruned-scans plan stops
+    // composing and the cogroup fallback takes over (DiskannIndex:823-832).
+    // shardTargetRows=1 forces ~500 single-row shards at sf0.01, and a
+    // delta twin of the QUERY VECTOR (row 9000) checks freshness through
+    // the distributed path: the oracle pins it at rank 1 (dist 0), so a
+    // lost delta or a shard dropped by the cogroup merge hash-mismatches.
+    "knn_ann_many_shards" -> ((s, d) => {
+      val path = ensureIndex(s, d, "cos_shard1", emb(s, d), labeled = false,
+        DiskannParams(metric = "cosine", shardTargetRows = 1))
+      // one-time delta (guarded; re-appends would collapse by row_id anyway
+      // under the at-least-once contract)
+      if (!graft.streaming.StreamingIngest.hasDelta(s, path))
+        graft.streaming.StreamingIngest.appendBatchToDelta(path)(
+          emb(s, d).filter(col("vec_id") === 0)
+            .selectExpr("vec_id + 9000 AS row_id", "embedding AS vec"), 0L)
+      finish(graft.streaming.StreamingIngest.searchFreshDistributed(s, path,
+        queryDf(s, d, None), k = 11, searchListSize = 600, rescore = 600),
+        10, excludeSelf = true)
+    }),
+
     // T1/S2/S3: ORDER BY embedding <=> q LIMIT k through the graph index
     "knn_ann_cosine" -> ((s, d) => {
       val path = ensureIndex(s, d, "cos", emb(s, d), labeled = false)
@@ -485,6 +506,15 @@ object AnnQueries {
     "knn_ann_cosine" ->
       s"""SELECT vec_id, round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) AS dist
          |FROM embeddings WHERE vec_id <> 0 ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+    // union replays the delta twin of the query vector (row 9000, dist 0):
+    // the fresh distributed path must surface it at rank 1
+    "knn_ann_many_shards" ->
+      s"""WITH uni AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 9000 AS vec_id, embedding FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) AS dist
+         |FROM uni WHERE vec_id <> 0 ORDER BY dist, vec_id LIMIT 10""".stripMargin,
     "knn_ann_labeled" ->
       s"""SELECT vec_id, round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) AS dist
          |FROM embeddings WHERE vec_id <> 0 AND label IN (1, 3) ORDER BY dist, vec_id LIMIT 10""".stripMargin,

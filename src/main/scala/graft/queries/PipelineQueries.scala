@@ -185,18 +185,33 @@ object PipelineQueries {
     * unit: sliding 200-char windows, stride 150 — the verified
     * chunk_sliding kernel feeding the verified TextIndex build). */
   private[queries] def ensureChunkIndex(s: SparkSession, d: String): String = {
-    val path = textIndexPath(s, d).replace("/textidx2_", "/chunkidx_")
+    // Cache key bakes in the CHUNKING PARAMS + index layout generation, the
+    // same discipline as textidx2_: a mid-round change to the chunk
+    // definition (size/stride/id scheme) or the TextIndex layout lands on a
+    // fresh path instead of silently serving a stale artifact to the
+    // correctness gate (the round-8 rag_context_pack red row was this
+    // staleness class — the fp covered only the SOURCE listing).
+    val path = textIndexPath(s, d).replace("/textidx2_",
+      s"/chunkidx_v2_cs${ChunkSize}_st${ChunkStride}_")
     textIndexLock.synchronized {
-      if (!new java.io.File(s"$path/corpusstats/_SUCCESS").exists()) {
-        val chunks = TextAnalysis.slidingChunks(docs(s, d), "doc_id", "text",
-            chunkSize = 200, stride = 150)
-          .select((col("id") * lit(100000L) + col("chunk_ix")).as("chunk_id"),
-            col("chunk_text"))
-        TextIndex.buildTextIndex(chunks, "chunk_id", "chunk_text", path)
+      if (!new java.io.File(s"$path/corpusstats/_SUCCESS").exists() ||
+          !new java.io.File(s"$path/idxmeta/_SUCCESS").exists()) {
+        TextIndex.buildTextIndex(ragChunks(s, d), "chunk_id", "chunk_text",
+          path)
       }
     }
     path
   }
+
+  // The RAG chunking unit — ONE definition feeds both the stored chunk
+  // index build and the rag_context_pack text join, so they cannot drift.
+  private[queries] val ChunkSize = 200
+  private[queries] val ChunkStride = 150
+  private[queries] def ragChunks(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.slidingChunks(docs(s, d), "doc_id", "text",
+        chunkSize = ChunkSize, stride = ChunkStride)
+      .select((col("id") * lit(100000L) + col("chunk_ix")).as("chunk_id"),
+        col("chunk_text"))
 
   /** Build-once handle to the per-sf stored text index (shared by
     * bm25_indexed here and hybrid_rrf_stored in AnnQueries). */
@@ -1705,10 +1720,7 @@ object PipelineQueries {
       val top = TextIndex.bm25SearchIndexed(s, ensureChunkIndex(s, d),
           Seq("vector", "query", "dup"), n = 20)
         .select(col("id").as("chunk_id"), col("bm25"))
-      val chunks = TextAnalysis.slidingChunks(docs(s, d), "doc_id", "text",
-          chunkSize = 200, stride = 150)
-        .select((col("id") * lit(100000L) + col("chunk_ix")).as("chunk_id"),
-          col("chunk_text"))
+      val chunks = ragChunks(s, d)
       top.join(chunks, "chunk_id")
         .withColumn("n_tokens",
           size(TextAnalysis.tokens(col("chunk_text"))).cast("long"))
@@ -3889,9 +3901,9 @@ object PipelineQueries {
          |        WHERE bm25d > 0 ORDER BY bm25 DESC, chunk_id LIMIT 20),
          |sel AS (SELECT top.chunk_id, top.bm25,
          |          CAST(len(t.w) AS BIGINT) AS n_tokens,
-         |          sum(CAST(len(t.w) AS BIGINT)) OVER (
+         |          CAST(sum(CAST(len(t.w) AS BIGINT)) OVER (
          |            ORDER BY top.bm25 DESC, top.chunk_id
-         |            ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
          |        FROM top JOIN t USING (chunk_id))
          |SELECT chunk_id, bm25, n_tokens, cum_tokens FROM sel
          |WHERE cum_tokens <= 300 ORDER BY bm25 DESC, chunk_id""".stripMargin,

@@ -20,8 +20,35 @@ object StreamingIngest {
 
   /** foreachBatch sink: append each micro-batch's (row_id, vec [, labels])
     * rows to the index delta directory. */
-  def appendBatchToDelta(indexPath: String)(batch: DataFrame, batchId: Long): Unit =
-    batch.write.mode("append").parquet(s"$indexPath/delta")
+  def appendBatchToDelta(indexPath: String)(batch: DataFrame, batchId: Long): Unit = {
+    // CONCURRENT-WRITER-SAFE append: two jobs appending to the same path
+    // share the committer's `_temporary/0` staging dir, and one job's
+    // commit-time cleanup deletes the other's in-flight task files (the
+    // classic Spark concurrent-append hazard — single-writer-only). Delta
+    // appends must tolerate multiple simultaneous ingest threads (the
+    // reference's concurrent-inserts contract, test_concurrent_inserts.py),
+    // so each batch writes to its OWN staging dir and installs by per-file
+    // rename. A crash mid-install leaves a partial batch visible; the
+    // foreachBatch replay re-appends it in full — duplicate row_ids, which
+    // BOTH serving (main∪delta row_id collapse) and compaction
+    // (dropDuplicates("row_id")) already fold, per the at-least-once
+    // ingest contract.
+    val spark = batch.sparkSession
+    val (fs, _) = hadoopFs(spark, indexPath)
+    val uid = java.util.UUID.randomUUID().toString
+    val staging = new org.apache.hadoop.fs.Path(s"$indexPath/_deltatmp_$uid")
+    batch.write.mode("overwrite").parquet(staging.toString)
+    val dst = new org.apache.hadoop.fs.Path(s"$indexPath/delta")
+    fs.mkdirs(dst)
+    fs.listStatus(staging).foreach { s =>
+      val name = s.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith("."))
+        if (!fs.rename(s.getPath,
+            new org.apache.hadoop.fs.Path(dst, s"b${uid}_$name")))
+          sys.error(s"delta install: rename ${s.getPath} failed")
+    }
+    fs.delete(staging, true)
+  }
 
   /** Start a streaming query that feeds `stream` into the index delta.
     *
@@ -392,6 +419,16 @@ object StreamingIngest {
    * `exclusiveCreate=false` exists for tests to SIMULATE the S3A behavior
    * (both creates succeed) on a local filesystem.
    */
+  /** JVM-local gate UNDER the file lease: `fs.create(overwrite=false)` is
+    * exists-then-create on RawLocalFileSystem (and non-atomic on most
+    * object stores), so two threads of ONE process can interleave
+    * write+re-read and both verify — the in-process version of the
+    * stale-steal race. Same-process writers serialize here for free; the
+    * file lease continues to arbitrate across processes. Entries are lock
+    * PATHS, held only while the file lease is held. */
+  private[graft] val jvmLeases: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private[graft] def acquireLease(fs: org.apache.hadoop.fs.FileSystem,
       lock: org.apache.hadoop.fs.Path, ownerId: String,
       exclusiveCreate: Boolean = true, verifyDelayMs: Long = 0L): Boolean = {
@@ -435,6 +472,22 @@ object StreamingIngest {
     // latency bound on S3A-like stores
     val verifyDelayMs = spark.conf.get("graft.compact.lockVerifyDelayMs", "0").toLong
     val ownerId = java.util.UUID.randomUUID().toString
+    // same-process writers serialize on the JVM gate first (create-
+    // exclusive is not atomic on local FS / object stores; see jvmLeases)
+    if (!jvmLeases.add(lock.toString))
+      throw new IllegalStateException(
+        s"compact: another writer in this process holds $lock; retry once " +
+          "it completes")
+    try compactLeased(spark, indexPath, tune, tombstones, force, fs, lock,
+      timeoutMs, verifyDelayMs, ownerId)
+    finally jvmLeases.remove(lock.toString)
+  }
+
+  private def compactLeased(spark: SparkSession, indexPath: String,
+      tune: DiskannParams => DiskannParams, tombstones: Set[Long],
+      force: Boolean, fs: org.apache.hadoop.fs.FileSystem,
+      lock: org.apache.hadoop.fs.Path, timeoutMs: Long, verifyDelayMs: Long,
+      ownerId: String): Unit = {
     def tryAcquire(): Boolean =
       acquireLease(fs, lock, ownerId, exclusiveCreate = true, verifyDelayMs)
     var acquired = tryAcquire()
@@ -446,9 +499,12 @@ object StreamingIngest {
       // delete first, two stealers can interleave (B's delete removes A's
       // freshly-won lock) and BOTH verify — overwriting keeps the whole
       // steal a single last-writer-wins race that at most one verifies.
+      // the steal verify always waits a jittered settle: a zero-delay
+      // overwrite+re-read gives two same-instant stealers a symmetric
+      // window to both pass (WriterLock.withLeaseVerified discipline)
       if (stale)
         acquired = acquireLease(fs, lock, ownerId, exclusiveCreate = false,
-          verifyDelayMs)
+          math.max(verifyDelayMs, 50L + scala.util.Random.nextInt(200)))
     }
     if (!acquired)
       throw new IllegalStateException(
@@ -532,6 +588,15 @@ object StreamingIngest {
         all.unpersist()
       }
       val dst = new org.apache.hadoop.fs.Path(vdir, f"v$next%09d")
+      // last-moment lease re-check before the irreversible generation swap:
+      // if another writer stole our lease as stale mid-rebuild, abort here
+      // rather than install over its work (see WriterLock.withLeaseVerified)
+      if (!holdsLease(fs, lock, ownerId)) {
+        fs.delete(tmp, true)
+        throw new IllegalStateException(
+          s"compact: writer lease on $lock lost mid-rebuild (stolen as " +
+            "stale); aborting before the generation swap")
+      }
       if (!fs.rename(tmp, dst)) {
         fs.delete(tmp, true)
         throw new java.io.IOException(s"compact: could not install $dst")

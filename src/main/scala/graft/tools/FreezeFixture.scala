@@ -211,3 +211,129 @@ object FreezeManifestFixture {
     spark.stop()
   }
 }
+
+/**
+ * Freezes the COMPACTED text-index fixture (`textidx_gen9c`): the round-9
+ * lifecycle state the gen-8 flat fixture cannot cover — a versioned
+ * generation installed by [[graft.operators.TextIndex.compactTextIndex]]
+ * (tombstone FOLDED, batches folded to 0), PLUS a marked streaming batch
+ * appended after the fold and one tombstone left PENDING. Future readers
+ * must keep resolving the versions/ root, folding the post-compact stream
+ * batch at query time, masking the pending registry, and honoring the
+ * _stream marker protocol (a re-compaction run today must fold the marked
+ * batch and consume the pending tombstone without touching the marker's
+ * replay guarantees).
+ */
+object FreezeTextFixtureV9 {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse(
+      "src/test/resources/fixtures/textidx_gen9c")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // deterministic corpus incl. the stream slice (ids 50-54) so the spec's
+    // oracle recomputes expected scores from the frozen text alone
+    val corpus = spark.range(29).selectExpr(
+      "CASE WHEN id < 24 THEN id ELSE id + 26 END AS doc_id",
+      """concat_ws(' ', transform(sequence(1, 5 + CAST(pmod(id, 7) AS INT)),
+        |  j -> element_at(array('alpha','beta','gamma','delta','epsilon',
+        |    'zeta','eta','theta','iota','kappa','lambda','mu'),
+        |    CAST(pmod(hash(id, j), 12) AS INT) + 1))) AS text""".stripMargin)
+    corpus.coalesce(1).write.mode("overwrite").parquet(s"$out/_corpus")
+    val frozen = spark.read.parquet(s"$out/_corpus")
+    graft.operators.TextIndex.buildTextIndex(
+      frozen.filter("doc_id < 16"), "doc_id", "text", out,
+      nBuckets = 8, positions = true)
+    graft.operators.TextIndex.appendTextIndex(
+      frozen.filter("doc_id >= 16 AND doc_id < 24"), "doc_id", "text", out,
+      batchId = 1L)
+    // tombstone doc 3, then COMPACT: the frozen artifact's generation is a
+    // versions/ install with the delete physically folded
+    graft.operators.TextIndex.deleteDocs(spark, out, Seq(3L))
+    require(graft.operators.TextIndex.compactTextIndex(spark, out))
+    // post-compact: one MARKED stream batch + one PENDING tombstone
+    graft.operators.TextIndex.appendBatchIdempotent("doc_id", "text", out)(
+      frozen.filter("doc_id >= 50"), 0L)
+    graft.operators.TextIndex.deleteDocs(spark, out, Seq(5L))
+    println(s"frozen: $out -> " +
+      graft.operators.TextIndex.resolveRoot(spark, out))
+    spark.stop()
+  }
+}
+
+/**
+ * Freezes the COMPACTED dedup-index fixture (`dedupidx_gen9c`): versioned
+ * generation with the takedown folded, plus a marked post-compact stream
+ * batch and a fresh pending tombstone — the same round-9 lifecycle closure
+ * as [[FreezeTextFixtureV9]] for the third stored artifact.
+ */
+object FreezeDedupFixtureV9 {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse(
+      "src/test/resources/fixtures/dedupidx_gen9c")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val mk = (i: Long, twist: String) =>
+      (i, s"alpha beta gamma delta epsilon zeta eta theta $twist run $i")
+    val corpus = ((1L to 20L).map(i => mk(i, s"unique$i")) ++ Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta shared run 7"),
+      (101L, "alpha beta gamma delta epsilon zeta eta theta gone run 9"),
+      // stream slice appended AFTER the compaction, marked:
+      (150L, "alpha beta gamma delta epsilon zeta eta theta late run 4")))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (200L, "alpha beta gamma delta epsilon zeta eta theta shared run 7"),
+      (201L, "alpha beta gamma delta epsilon zeta eta theta gone run 9"),
+      (202L, "alpha beta gamma delta epsilon zeta eta theta late run 4"))
+      .toDF("doc_id", "text")
+    corpus.coalesce(1).write.mode("overwrite").parquet(s"$out/_corpus")
+    batch.coalesce(1).write.mode("overwrite").parquet(s"$out/_batch")
+    val frozen = spark.read.parquet(s"$out/_corpus")
+    graft.operators.Dedup.buildDedupIndex(
+      frozen.filter("doc_id <= 101"), "doc_id", "text", out)
+    // takedown 101, FOLD it (the frozen artifact serves from versions/)
+    graft.operators.Dedup.deleteFromDedupIndex(spark, out, Seq(101L))
+    require(graft.operators.Dedup.compactDedupIndex(spark, out))
+    // post-compact marked stream batch (doc 150) + pending takedown (7)
+    graft.operators.Dedup.appendDedupBatchIdempotent("doc_id", "text", out)(
+      frozen.filter("doc_id = 150"), 0L)
+    graft.operators.Dedup.deleteFromDedupIndex(spark, out, Seq(7L))
+    println(s"frozen: $out -> " +
+      graft.index.DiskannIndex.resolveRoot(spark, out))
+    spark.stop()
+  }
+}
+
+/**
+ * Freezes the LABELSTATS-era ANN fixture (`index_gen9l`): a labeled build
+ * from the generation that records per-label node counts (`labelstats`,
+ * the contsel selectivity input). Future readers must keep loading the
+ * counts AND keep serving indexes built before the table existed (the
+ * gen-4 fixture covers the absent case).
+ */
+object FreezeLabelstatsFixture {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse(
+      "src/test/resources/fixtures/index_gen9l")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val src = spark.range(64).selectExpr(
+      "id AS row_id",
+      "transform(sequence(1, 8), d -> CAST(pmod(hash(id, d), 997) / 997.0 AS FLOAT)) AS vec",
+      "array(CAST(pmod(id, 4) AS SHORT)) AS labels")
+    DiskannIndex.build(src, "row_id", "vec", Some("labels"), out,
+      DiskannParams(metric = "cosine", numNeighbors = 16, searchListSize = 32))
+    println(s"frozen: $out labelCounts=" +
+      DiskannIndex.labelCounts(spark, out))
+    spark.stop()
+  }
+}

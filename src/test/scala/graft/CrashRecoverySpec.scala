@@ -1,0 +1,255 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Layout, TextAnalysis, TextIndex}
+
+/**
+ * Crash-window recovery for the stored artifacts: the failure modes are a
+ * writer dying BETWEEN the non-atomic steps of an append — data files
+ * committed but manifest/marker missing — and a compaction later running
+ * over that half-state. Each test simulates the crash by constructing the
+ * exact on-disk state the dead writer leaves and asserts the recovery
+ * contract: nothing silently lost, nothing duplicated on replay.
+ */
+class CrashRecoverySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+  private val terms = Seq("vector", "query", "dup")
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete()
+  }
+
+  private def fsOf(path: String) = new org.apache.hadoop.fs.Path(path)
+    .getFileSystem(spark.sessionState.newHadoopConf())
+
+  // ---------------------------------------------------------------- text
+
+  test("text compaction carries an unmarked stream batch; replay never duplicates") {
+    val path = "/tmp/graft_test_index/crash_text"
+    deleteRec(new java.io.File(path))
+    val ids = docs.select(min($"doc_id"), max($"doc_id")).head()
+    val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+    val third = (hi - lo) / 3
+    val part1 = docs.filter($"doc_id" <= lo + third)
+    val part2 = docs.filter($"doc_id" > lo + third && $"doc_id" <= lo + 2 * third)
+    val part3 = docs.filter($"doc_id" > lo + 2 * third)
+      .select($"doc_id", $"text")
+
+    TextIndex.buildTextIndex(part1, "doc_id", "text", path)
+    TextIndex.appendTextIndex(part2, "doc_id", "text", path, batchId = 1L)
+    // stream batch 0 commits its tables AND its marker…
+    TextIndex.appendBatchIdempotent("doc_id", "text", path)(
+      part3.toDF("doc_id", "text"), 0L)
+    // …then we simulate the crash window by deleting the marker: the exact
+    // state a writer leaves when it dies after the table writes commit but
+    // before the marker create (the checkpoint WILL replay this batch)
+    val phys = TextIndex.STREAM_BATCH_BASE + 0L
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_stream/b$phys")
+    assert(fsOf(path).delete(marker, false))
+
+    // compaction must fold batches 0+1 but CARRY the unmarked stream batch
+    // verbatim — folding it would leave the replay nothing to clean and a
+    // re-append would double every doc
+    assert(TextIndex.compactTextIndex(spark, path))
+    val root = TextIndex.resolveRoot(spark, path)
+    val batches = spark.read.parquet(s"$root/corpusstats")
+      .select($"batch".cast("long")).collect().map(_.getLong(0)).toSet
+    assert(batches == Set(0L, phys),
+      s"expected fold-to-0 plus carried stream batch, got $batches")
+
+    // the replay finds its batch dirs, delete-and-rewrites, marks — and the
+    // final index equals a clean one-shot build of the whole corpus
+    TextIndex.appendBatchIdempotent("doc_id", "text", path)(
+      part3.toDF("doc_id", "text"), 0L)
+    assert(fsOf(path).exists(marker), "replay did not restore the marker")
+    val nDocs = spark.read.parquet(s"$root/corpusstats")
+      .agg(sum($"n")).head().getLong(0)
+    assert(nDocs == docs.count(), s"doc count $nDocs after replay")
+    val fullPath = "/tmp/graft_test_index/crash_text_full"
+    TextIndex.buildTextIndex(docs, "doc_id", "text", fullPath)
+    val got = TextIndex.bm25SearchIndexed(spark, path, terms, n = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = TextIndex.bm25SearchIndexed(spark, fullPath, terms, n = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want, "recovered index diverged from a clean build")
+
+    // a marked-everything compaction then folds the carried batch normally
+    assert(TextIndex.compactTextIndex(spark, path))
+    val after = spark.read.parquet(
+        s"${TextIndex.resolveRoot(spark, path)}/corpusstats")
+      .select($"batch".cast("long")).collect().map(_.getLong(0)).toSet
+    assert(after == Set(0L))
+  }
+
+  // --------------------------------------------------------------- dedup
+
+  test("dedup compaction carries an unmarked stream batch; replay never duplicates") {
+    val path = "/tmp/graft_test_index/crash_dedup"
+    deleteRec(new java.io.File(path))
+    val ids = docs.select(min($"doc_id"), max($"doc_id")).head()
+    val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+    val half = (hi - lo) / 2
+    val part1 = docs.filter($"doc_id" <= lo + half)
+    val part2 = docs.filter($"doc_id" > lo + half).select($"doc_id", $"text")
+
+    Dedup.buildDedupIndex(part1, "doc_id", "text", path)
+    Dedup.appendDedupBatchIdempotent("doc_id", "text", path)(
+      part2.toDF("doc_id", "text"), 0L)
+    val phys = Dedup.STREAM_BATCH_BASE + 0L
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_stream/b$phys")
+    assert(fsOf(path).delete(marker, false))
+    // register a tombstone too: with an unmarked batch present the
+    // compaction must LEAVE it pending, not half-consume it
+    val victim = part1.select($"doc_id").head().getLong(0)
+    graft.index.DiskannIndex.deleteRows(spark, path, Set(victim))
+
+    // only ONE foldable batch, and the unmarked batch blocks tombstone
+    // consumption — so this compaction is correctly a NO-OP (false): it
+    // must neither fold the unmarked batch nor half-consume the registry
+    assert(!Dedup.compactDedupIndex(spark, path),
+      "compaction folded state it was required to leave for the replay")
+    val root = graft.index.DiskannIndex.resolveRoot(spark, path)
+    val batches = spark.read.parquet(s"$root/signatures")
+      .select($"batch".cast("long")).distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(batches == Set(0L, phys), s"got $batches")
+    assert(graft.index.DiskannIndex.loadTombstones(spark, path).nonEmpty,
+      "tombstones consumed while an unmarked batch was pending")
+
+    // replay: delete-and-rewrite the carried batch, mark it
+    Dedup.appendDedupBatchIdempotent("doc_id", "text", path)(
+      part2.toDF("doc_id", "text"), 0L)
+    assert(fsOf(path).exists(marker))
+    val sigs = spark.read.parquet(s"$root/signatures").select($"id")
+    assert(sigs.count() == sigs.distinct().count(), "duplicated ids after replay")
+    assert(sigs.distinct().count() == docs.count())
+
+    // now fully marked: the next compaction folds everything AND consumes
+    // the tombstone
+    assert(Dedup.compactDedupIndex(spark, path))
+    val root2 = graft.index.DiskannIndex.resolveRoot(spark, path)
+    val finalIds = spark.read.parquet(s"$root2/signatures")
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(!finalIds.contains(victim), "tombstoned id survived the fold")
+    assert(finalIds.size == docs.count().toInt - 1)
+    assert(graft.index.DiskannIndex.loadTombstones(spark, path).isEmpty)
+  }
+
+  // -------------------------------------------------------------- layout
+
+  test("prunedReadStored reads data files missing from the manifest (orphan safety net)") {
+    val base = "/tmp/graft_test_index/crash_layout"
+    deleteRec(new java.io.File(base))
+    val zpath = s"$base/table"
+    val df = spark.range(1000).select($"id",
+      ($"id" % 97).cast("double").as("a"), ($"id" % 31).cast("double").as("b"))
+    Layout.zorderWrite(df, Seq("a", "b"), zpath, nFiles = 4)
+    Layout.writeZonemap(spark, zpath, Seq("a", "b"))
+    // simulate a crashed zorderAppend: data files land, manifest write dies
+    val extra = spark.range(1000, 1200).select($"id",
+      ($"id" % 97).cast("double").as("a"), ($"id" % 31).cast("double").as("b"))
+    extra.write.mode("append").parquet(zpath)
+    val ranges = Seq(("a", 0.0, 200.0), ("b", 0.0, 200.0)) // match-all box
+    val got = Layout.prunedReadStored(spark, zpath, ranges)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(got.size == 1200,
+      s"orphaned slice silently pruned out: ${got.size} of 1200 rows")
+    // and a SELECTIVE box still prunes while keeping orphans filtered right
+    val sel = Layout.prunedReadStored(spark, zpath, Seq(("a", 5.0, 5.0)))
+      .select($"id").collect().map(_.getLong(0)).toSet
+    val want = (0L until 1200L).filter(i => i % 97 == 5).toSet
+    assert(sel == want)
+  }
+
+  test("zorderAppend with sliceId is idempotent and crash-recoverable") {
+    val base = "/tmp/graft_test_index/crash_layout_slice"
+    deleteRec(new java.io.File(base))
+    val zpath = s"$base/table"
+    val df = spark.range(500).select($"id",
+      ($"id" % 53).cast("double").as("a"), ($"id" % 17).cast("double").as("b"))
+    Layout.zorderWrite(df, Seq("a", "b"), zpath, nFiles = 2)
+    Layout.writeZonemap(spark, zpath, Seq("a", "b"))
+    val slice = spark.range(500, 700).select($"id",
+      ($"id" % 53).cast("double").as("a"), ($"id" % 17).cast("double").as("b"))
+    Layout.zorderAppend(slice, Seq("a", "b"), zpath, nFiles = 2,
+      sliceId = Some("day1"))
+    val ranges = Seq(("a", 0.0, 100.0), ("b", 0.0, 100.0))
+    def readAll() = Layout.prunedReadStored(spark, zpath, ranges)
+      .select($"id").collect().map(_.getLong(0)).toSeq
+    val once = readAll()
+    assert(once.length == 700 && once.toSet.size == 700)
+
+    // same sliceId again: done-marker makes it a pure no-op
+    Layout.zorderAppend(slice, Seq("a", "b"), zpath, nFiles = 2,
+      sliceId = Some("day1"))
+    assert(readAll().length == 700, "re-run duplicated the slice")
+
+    // crash AFTER install+manifest but BEFORE the done-marker: the re-run
+    // must scrub the half-committed slice (files AND manifest rows) and
+    // redo it exactly once
+    val fs = fsOf(zpath)
+    assert(fs.delete(
+      new org.apache.hadoop.fs.Path(s"$zpath/_slice_day1"), false))
+    Layout.zorderAppend(slice, Seq("a", "b"), zpath, nFiles = 2,
+      sliceId = Some("day1"))
+    val after = readAll()
+    assert(after.length == 700 && after.toSet.size == 700,
+      s"crash replay duplicated rows: ${after.length}")
+    val zm = spark.read.parquet(s"${zpath}_zonemap")
+    assert(zm.count() == zm.select($"file").distinct().count())
+  }
+
+  // ---------------------------------------------------- rag chunk replay
+
+  test("rag_context_pack replays bit-identically against a freshly built chunk index") {
+    // kill any cached chunk index for this sf so the query path exercises a
+    // FRESH build (the round-8 red row was a stale-artifact hazard)
+    val dir = new java.io.File("/tmp/graft_index")
+    if (dir.isDirectory)
+      dir.listFiles().filter(_.isDirectory).foreach(d =>
+        Option(d.listFiles()).foreach(_.filter(_.getName.startsWith("chunkidx"))
+          .foreach(deleteRec)))
+    val q = SparkEntry.queries("rag_context_pack")(spark,
+      "/root/testdata/sf0.001")
+    val got = q.collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSeq
+
+    // independent replay: chunk the corpus, score each term through the
+    // VERIFIED one-shot scorer, round+sum as BigDecimal (the index's
+    // summation contract), top-20, greedy 300-token pack — no TextIndex
+    // code in the loop
+    val chunks = TextAnalysis.slidingChunks(docs, "doc_id", "text",
+        chunkSize = 200, stride = 150)
+      .select(($"id" * 100000L + $"chunk_ix").as("chunk_id"), $"chunk_text")
+      .cache()
+    val perTerm = terms.map { t =>
+      TextAnalysis.bm25(chunks, "chunk_id", "chunk_text", Seq(t))
+        .collect().map(r => r.getLong(0) -> BigDecimal(r.getDouble(1))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)).toMap
+    }
+    val top = perTerm.flatMap(_.toSeq).groupBy(_._1)
+      .map { case (id, xs) => id -> xs.map(_._2).sum }
+      .filter(_._2 > 0)
+      .toSeq.sortBy { case (id, s) => (-s, id) }
+      .take(20)
+    val nTok = chunks.filter($"chunk_id".isin(top.map(_._1): _*))
+      .select($"chunk_id",
+        size(TextAnalysis.tokens($"chunk_text")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    chunks.unpersist()
+    var cum = 0L
+    val want = top.flatMap { case (id, s) =>
+      cum += nTok(id)
+      if (cum <= 300L) Some((id, s.toDouble, nTok(id), cum)) else None
+    }
+    assert(got == want,
+      s"rag_context_pack diverged from the independent replay\n" +
+        s"got : $got\nwant: $want")
+  }
+}

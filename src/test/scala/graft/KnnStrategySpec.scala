@@ -275,6 +275,63 @@ class KnnStrategySpec extends AnyFunSuite {
     assert(wc.length == 5 && wc.forall(_ % 5 == 1))
   }
 
+  test("selectivity-aware escalation: round 2 is sized from the observed survival rate") {
+    setup
+    // ~1/50 survival with k=5: the blind x4 ladder needs 3 rounds
+    // (64 -> 256 -> cap); the adaptive sizing measures ~2% survival in
+    // round 1 and jumps straight to the cap — 2 rounds
+    val q = spark.sql(
+      s"""SELECT vec_id FROM parquet.`$srcPath` WHERE vec_id % 50 = 7
+         |ORDER BY vec_cosine_dist(embedding, $qvecSql) LIMIT 5""".stripMargin)
+    val got = q.collect().map(_.getLong(0)).toSeq
+    assert(got.length == 5 && got.forall(_ % 50 == 7))
+    val scan = q.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case k: graft.plans.KnnIndexScanExec => k }
+    assert(scan.isDefined, "expected a KnnIndexScan with residual recheck")
+    val rounds = scan.get.metrics("numEscalationRounds").value
+    assert(rounds <= 2, s"adaptive sizing should need <=2 rounds, took $rounds")
+  }
+
+  test("label-selectivity bound (labelstats): a selective label exhausts in one round") {
+    setup
+    val lblSrc = "/tmp/graft_test_index/strategy_sel_src"
+    val lblIdx = "/tmp/graft_test_index/strategy_sel_idx"
+    // rare label 99 on exactly 64 rows — equal to the default first-round
+    // over-fetch, the case the blind loop cannot tell from "more to fetch"
+    // (round 1 returns exactly kk hits) and burns a second round on
+    spark.read.parquet(srcPath)
+      .withColumn("labels",
+        when($"vec_id" < 64, array(lit(99).cast("short")))
+          .otherwise(array(($"vec_id" % 4).cast("short"))))
+      .write.mode("overwrite").parquet(lblSrc)
+    DiskannIndex.build(spark.read.parquet(lblSrc), "vec_id", "embedding",
+      Some("labels"), lblIdx, DiskannParams(metric = "cosine"))
+    KnnCatalog.register(lblSrc, KnnCatalog.Entry(lblIdx, lblSrc,
+      "vec_id", "embedding", Some("labels"), "cosine"))
+    try {
+      // labelstats recorded at build: label 99 -> 64 nodes
+      val counts = DiskannIndex.labelCounts(spark, lblIdx)
+      assert(counts.exists(_.get(99.toShort).contains(64L)),
+        s"labelstats missing or wrong: $counts")
+      // label pushed to traversal; residual keeps only 4 of the 64
+      // (0,16,32,48) — fewer than k, so without the population bound the
+      // loop would escalate. With it, round 1 kk == population ⇒ exhausted.
+      val q = spark.sql(
+        s"""SELECT vec_id FROM parquet.`$lblSrc`
+           |WHERE arrays_overlap(labels, CAST(array(99) AS ARRAY<SHORT>))
+           |  AND vec_id % 16 = 0
+           |ORDER BY vec_cosine_dist(embedding, $qvecSql) LIMIT 5""".stripMargin)
+      val got = q.collect().map(_.getLong(0)).toSeq.sorted
+      assert(got == Seq(0L, 16L, 32L, 48L), s"got $got")
+      val scan = q.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case k: graft.plans.KnnIndexScanExec => k }
+      assert(scan.isDefined)
+      val rounds = scan.get.metrics("numEscalationRounds").value
+      assert(rounds == 1,
+        s"population-bounded scan should exhaust in round 1, took $rounds")
+    } finally KnnCatalog.unregister(lblSrc)
+  }
+
   test("KnnIndexScan reports scan telemetry via SQLMetrics (V5)") {
     setup
     val df = spark.sql(
@@ -678,6 +735,42 @@ class KnnStrategySpec extends AnyFunSuite {
       // plain-SQL VACUUM/DELETE still reach the delegate parser untouched
       assert(s2.sql("SELECT 2 + 2 AS x").head().getInt(0) == 4)
       s2.sql("DROP INDEX m_idx WITH (delete_files=true)")
+    } finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
+
+  test("bare unregistered ANN path: DELETE / VACUUM / DESCRIBE all route (SQL symmetry)") {
+    import org.apache.spark.sql.SparkSession
+    setup
+    // an index artifact with NO catalog registration — the path IS the
+    // artifact, and all three lifecycle verbs must agree on that (DELETE
+    // minting tombstones SQL then can't VACUUM would be asymmetric)
+    val bare = "/tmp/graft_test_index/bare_ann"
+    DiskannIndex.build(spark.read.parquet(srcPath), "vec_id", "embedding",
+      None, bare, DiskannParams(metric = "cosine"))
+    val prev = spark
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .withExtensions(new graft.plans.GraftExtensions).getOrCreate()
+      val desc = s2.sql(s"DESCRIBE INDEX ON '$bare'").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(desc("num_rows") == "500" && desc("metric") == "cosine", desc)
+      assert(desc("pending_tombstones") == "0")
+      s2.sql(s"DELETE FROM INDEX ON '$bare' WHERE ROW_ID IN (3, 4)").collect()
+      val desc2 = s2.sql(s"DESCRIBE INDEX ON '$bare'").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(desc2("pending_tombstones") == "2", desc2)
+      val vac = s2.sql(s"VACUUM INDEX ON '$bare'").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(vac("vacuumed") == "true" && vac("tombstones_folded") == "2", vac)
+      val desc3 = s2.sql(s"DESCRIBE INDEX ON '$bare'").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(desc3("num_rows") == "498" && desc3("pending_tombstones") == "0",
+        desc3)
     } finally {
       SparkSession.setActiveSession(prev)
       SparkSession.setDefaultSession(prev)

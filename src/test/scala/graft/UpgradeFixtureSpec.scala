@@ -212,6 +212,132 @@ class UpgradeFixtureSpec extends AnyFunSuite {
       "200 must still match 100; 201's twin 101 is tombstoned")
   }
 
+  private val textFixture9 = "src/test/resources/fixtures/textidx_gen9c"
+
+  test("frozen COMPACTED text index (gen9): versions root, folded delete, marked stream batch, pending mask") {
+    import graft.operators.{TextAnalysis, TextIndex}
+    // the artifact serves from an installed generation, not the flat root
+    val root = TextIndex.resolveRoot(spark, textFixture9)
+    assert(root.contains("/versions/v"), s"expected versioned root, got $root")
+    // batch layout: folded batch 0 + the marked post-compact stream batch
+    val batches = spark.read.parquet(s"$root/corpusstats")
+      .select($"batch".cast("long")).collect().map(_.getLong(0)).toSet
+    assert(batches == Set(0L, TextIndex.STREAM_BATCH_BASE),
+      s"frozen batch layout drifted: $batches")
+    val fs = new org.apache.hadoop.fs.Path(textFixture9)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$textFixture9/_stream/b${TextIndex.STREAM_BATCH_BASE}")),
+      "frozen stream marker missing")
+    // oracle from the frozen corpus: doc 3 folded away, doc 5 pending-masked
+    val corpus = spark.read.parquet(s"$textFixture9/_corpus")
+    val terms = Seq("alpha", "beta", "gamma")
+    val perTerm = terms.map { t =>
+      TextAnalysis.bm25(corpus.filter($"doc_id" =!= 3L), "doc_id", "text",
+          Seq(t))
+        .collect().map(r => r.getLong(0) -> BigDecimal(r.getDouble(1))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)).toMap
+    }
+    val expect = perTerm.flatMap(_.toSeq).groupBy(_._1)
+      .map { case (id, xs) => id -> xs.map(_._2).sum }
+      .filter { case (id, s) => s > 0 && id != 5L }
+      .map { case (id, s) => (id, s.toDouble) }
+      .toSeq.sortBy { case (id, s) => (-s, id) }.take(10)
+    val got = TextIndex.bm25SearchIndexed(spark, textFixture9, terms, n = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expect, s"frozen compacted index drifted: $got vs $expect")
+    // lifecycle-forward: a compaction run by TODAY's code on a COPY folds
+    // the marked stream batch + pending tombstone without corruption
+    val copy = "/tmp/graft_test_index/upgrade_text9"
+    def copyRec(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) {
+        dst.mkdirs()
+        Option(src.listFiles()).foreach(_.foreach(f =>
+          copyRec(f, new java.io.File(dst, f.getName))))
+      } else java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    deleteRec(new java.io.File(copy))
+    copyRec(new java.io.File(textFixture9), new java.io.File(copy))
+    assert(TextIndex.compactTextIndex(spark, copy))
+    val root2 = TextIndex.resolveRoot(spark, copy)
+    assert(spark.read.parquet(s"$root2/corpusstats")
+      .select($"batch".cast("long")).collect().map(_.getLong(0)).toSet ==
+      Set(0L))
+    assert(graft.index.DiskannIndex.loadTombstones(spark, copy).isEmpty,
+      "pending tombstone not consumed by the fold")
+    // post-fold scores shift BY DESIGN: the VACUUM physically removes doc 5,
+    // so N/df/sumdl shrink (un-vacuumed dead tuples count toward stats,
+    // folded ones don't — the Postgres analogy holds end-to-end). Oracle
+    // recomputes over the corpus minus BOTH folded docs.
+    val perTerm2 = terms.map { t =>
+      TextAnalysis.bm25(
+          corpus.filter($"doc_id" =!= 3L && $"doc_id" =!= 5L),
+          "doc_id", "text", Seq(t))
+        .collect().map(r => r.getLong(0) -> BigDecimal(r.getDouble(1))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)).toMap
+    }
+    val expect2 = perTerm2.flatMap(_.toSeq).groupBy(_._1)
+      .map { case (id, xs) => id -> xs.map(_._2).sum }
+      .filter(_._2 > 0)
+      .map { case (id, s) => (id, s.toDouble) }
+      .toSeq.sortBy { case (id, s) => (-s, id) }.take(10)
+    val got2 = TextIndex.bm25SearchIndexed(spark, copy, terms, n = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got2 == expect2, "post-fold serving diverged from the clean oracle")
+  }
+
+  private val dedupFixture9 = "src/test/resources/fixtures/dedupidx_gen9c"
+
+  test("frozen COMPACTED dedup index (gen9): folded takedown, marked stream batch, pending mask") {
+    import graft.operators.Dedup
+    val root = graft.index.DiskannIndex.resolveRoot(spark, dedupFixture9)
+    assert(root.contains("/versions/v"), s"expected versioned root, got $root")
+    val corpus = spark.read.parquet(s"$dedupFixture9/_corpus")
+    val batch = spark.read.parquet(s"$dedupFixture9/_batch")
+    val got = Dedup.nearDupAgainstDedupIndex(spark, dedupFixture9, batch,
+        "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    // oracle: direct recompute over the frozen corpus, minus the FOLDED
+    // takedown (101 — physically gone) and the PENDING one (7 — masked)
+    val direct = Dedup.minhashNearDupAgainst(corpus, batch, "doc_id", "text",
+        threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filterNot(p => p._2 == 101L || p._2 == 7L).toSeq.sorted
+    graft.CacheScope.releaseAll()
+    assert(got == direct, s"frozen dedup gen9 drifted: $got vs $direct")
+    assert(got.contains((200L, 100L)) && got.contains((202L, 150L)),
+      s"expected the folded-gen and stream-batch matches, got $got")
+    assert(!got.exists(_._2 == 101L), "folded takedown resurrected")
+  }
+
+  private val labelFixture = "src/test/resources/fixtures/index_gen9l"
+
+  test("frozen labelstats fixture (gen9): counts load; pre-labelstats fixtures still serve") {
+    val counts = DiskannIndex.labelCounts(spark, labelFixture)
+    assert(counts.contains(
+      Map(0.toShort -> 16L, 1.toShort -> 16L, 2.toShort -> 16L,
+        3.toShort -> 16L)), s"frozen labelstats drifted: $counts")
+    // absent-case regression: the gen-4 fixture predates labelstats and
+    // must keep loading as None (an optional input, never a read error)
+    assert(DiskannIndex.labelCounts(spark, fixture).isEmpty)
+    // and label-filtered serving over the frozen artifact still works
+    val nodes = spark.read.parquet(s"$labelFixture/nodes")
+      .select($"row_id", $"vec").collect()
+      .map(r => r.getAs[Long]("row_id") ->
+        r.getAs[scala.collection.mutable.Seq[Float]]("vec").toArray).toMap
+    val queries = Seq((1L, nodes(1L))).toDF("qid", "qvec")
+      .withColumn("qlabels",
+        org.apache.spark.sql.functions.typedlit(Array(1.toShort)))
+    val got = DiskannIndex.search(spark, labelFixture, queries, k = 8,
+      searchListSize = 128, rescore = 64).collect().map(_.getAs[Long]("row_id"))
+    assert(got.nonEmpty && got.forall(_ % 4 == 1), got.mkString(","))
+  }
+
   test("frozen gen-4 index: label-filtered search honors the stored label sets") {
     val nodes = spark.read.parquet(s"$fixture/nodes")
       .select($"row_id", $"vec").collect()
