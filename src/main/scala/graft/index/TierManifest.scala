@@ -1,0 +1,83 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Tier manifest shared by the batched stored artifacts (text index, dedup
+ * index): a generation is either SELF-CONTAINED (all data in its own
+ * dirs — what build and the full fold produce) or a TIER generation,
+ * whose local dirs hold only the folded append tier (batch=1) plus newer
+ * appends while a 1-row `tiermeta` parquet references the self-contained
+ * BASE generation supplying the immutable `batch=0`. The batched twin of
+ * the ANN index's shardDirs manifest (generations referencing
+ * predecessors' dirs), and what makes compaction O(appended data) instead
+ * of O(corpus): a daily fold at 100 TB must not rewrite the base.
+ *
+ * The reference is stored RELATIVE to the index path ("" = the flat root,
+ * "versions/v000000001" = an installed generation) so a relocated
+ * artifact keeps resolving. Chain depth is 1 by construction — a tier
+ * fold over a tier generation copies the SAME base reference and folds
+ * only local dirs.
+ */
+object TierManifest {
+
+  private[graft] def indexPathOfRoot(root: String): String =
+    root.replaceAll("/versions/v\\d{9}$", "")
+
+  private val tierBaseCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Option[String]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Option[String]]): Boolean =
+        size() > 64
+    })
+
+  /** The self-contained base generation a TIER generation references;
+    * None for self-contained generations. Cached per root (immutable once
+    * installed). */
+  def tierBase(spark: SparkSession, root: String): Option[String] = {
+    val hit = tierBaseCache.get(root)
+    if (hit != null) return hit
+    val p = new org.apache.hadoop.fs.Path(s"$root/tiermeta")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out =
+      if (!fs.exists(p)) None
+      else {
+        val rel = spark.read.parquet(p.toString).head().getString(0)
+        val idx = indexPathOfRoot(root)
+        Some(if (rel.isEmpty) idx else s"$idx/$rel")
+      }
+    tierBaseCache.put(root, out)
+    out
+  }
+
+  /** One logical table of the generation at `root`: the local dir, plus —
+    * for tier generations — the base generation's immutable `batch=0`
+    * (basePath option keeps the partition column; only batch 0 is read
+    * from the base BY CONSTRUCTION, its later batches having been folded
+    * into this generation's tier). Every serve/stats/fold path reads
+    * through here so tiering is invisible above this line. */
+  def tableDfAt(spark: SparkSession, root: String,
+      table: String): DataFrame =
+    tierBase(spark, root) match {
+      case Some(base) =>
+        spark.read.option("basePath", s"$base/$table")
+          .parquet(s"$base/$table/batch=0")
+          .unionByName(spark.read.parquet(s"$root/$table"))
+      case None => spark.read.parquet(s"$root/$table")
+    }
+
+  /** Write the 1-row base reference into a generation under construction
+    * (`tmp`), relative to the index path. */
+  def writeTiermeta(spark: SparkSession, tmp: String, root: String,
+      base: String): Unit = {
+    val rel = base.stripPrefix(indexPathOfRoot(root)).stripPrefix("/")
+    spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(rel)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("base",
+            org.apache.spark.sql.types.StringType, nullable = false))))
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$tmp/tiermeta")
+  }
+}

@@ -629,7 +629,7 @@ object Dedup {
     val batchBase = signatureTable(batch, idCol, textCol, shingleSize,
       numHashes)
     val candidates = maskDedupDeleted(spark, path,
-        spark.read.parquet(s"$root/bands"), "id").as("c")
+        graft.index.TierManifest.tableDfAt(spark, root, "bands"), "id").as("c")
       .join(broadcast(bandTable(batchBase, numHashes, nBands)).as("b"),
         col("c.band") === col("b.band") && col("c.bucket") === col("b.bucket"))
       .select(col("b.id").as("batch_id"), col("c.id").as("corpus_id"))
@@ -637,7 +637,7 @@ object Dedup {
     candidates
       .join(broadcast(batchBase.select(col("id"), col("sh")).as("sb")),
         col("batch_id") === col("sb.id"))
-      .join(spark.read.parquet(s"$root/signatures").as("sc"),
+      .join(graft.index.TierManifest.tableDfAt(spark, root, "signatures").as("sc"),
         col("corpus_id") === col("sc.id"))
       .select(col("batch_id"), col("corpus_id"),
         jaccard(col("sb.sh"), col("sc.sh")).as("jaccard"))
@@ -653,11 +653,17 @@ object Dedup {
    * in-flight-reader grace window. Returns false when there is nothing to
    * fold (single batch, no tombstones). Runs under the writer lease.
    */
-  def compactDedupIndex(spark: SparkSession, path: String): Boolean =
+  /** `tiered = true`: the O(appended-data) fold — local append batches
+    * collapse into one tier batch and the base generation is REFERENCED
+    * (tiermeta), never rewritten; degrades to the full fold when
+    * tombstones are pending. See [[graft.index.TierManifest]] and
+    * [[TextIndex.compactTextIndex]] (same design, same semantics). */
+  def compactDedupIndex(spark: SparkSession, path: String,
+      tiered: Boolean = false): Boolean =
     graft.index.WriterLock.withLeaseVerified(spark, path) { verify =>
       import graft.index.DiskannIndex
       val root = DiskannIndex.resolveRoot(spark, path)
-      val batchIds = spark.read.parquet(s"$root/bands")
+      val batchIds = graft.index.TierManifest.tableDfAt(spark, root, "bands")
         .select(col("batch").cast(LongType)).distinct()
         .collect().map(_.getLong(0))
       // Same replay-protocol guard as compactTextIndex: an unmarked stream
@@ -678,30 +684,19 @@ object Dedup {
       val dead =
         if (consumedTombs.isEmpty) Set.empty[Long]
         else DiskannIndex.loadTombstones(spark, path)
-      if (nFoldable <= 1L && dead.isEmpty) false
-      else {
-        def isUnmarked(c: org.apache.spark.sql.Column) =
-          if (unmarked.isEmpty) lit(false)
-          else c.cast(LongType).isin(unmarked.toSeq: _*)
-        val conf = spark.sessionState.newHadoopConf()
-        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      def isUnmarked(c: org.apache.spark.sql.Column) =
+        if (unmarked.isEmpty) lit(false)
+        else c.cast(LongType).isin(unmarked.toSeq: _*)
+      val conf = spark.sessionState.newHadoopConf()
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      def installGen(write: org.apache.hadoop.fs.Path => Unit,
+          alsoKeep: Set[String]): Unit = {
         val next = DiskannIndex.listVersions(spark, path)
           .lastOption.map(_.stripPrefix("v").toInt + 1).getOrElse(1)
         val vName = f"v$next%09d"
         val tmp = new org.apache.hadoop.fs.Path(s"$path/_compact_tmp_$vName")
         fs.delete(tmp, true)
-        Seq("bands", "signatures").foreach { d =>
-          val all = spark.read.parquet(s"$root/$d")
-          maskDedupDeleted(spark, path,
-              all.filter(!isUnmarked(col("batch"))), "id")
-            .drop("batch").withColumn("batch", lit(0L))
-            .write.mode(SaveMode.Overwrite).partitionBy("batch")
-            .parquet(s"$tmp/$d")
-          if (unmarked.nonEmpty)
-            all.filter(isUnmarked(col("batch")))
-              .write.mode(SaveMode.Append).partitionBy("batch")
-              .parquet(s"$tmp/$d")
-        }
+        write(tmp)
         val vdir = new org.apache.hadoop.fs.Path(s"$path/versions")
         fs.mkdirs(vdir)
         // last-moment lease re-check before the irreversible generation
@@ -709,8 +704,9 @@ object Dedup {
         verify()
         require(fs.rename(tmp, new org.apache.hadoop.fs.Path(vdir, vName)),
           s"failed to install generation $vName")
-        consumedTombs.foreach(s => fs.delete(s.getPath, false))
-        val keep = Set(s"$path/versions/$vName", root)
+        val keep = Set(s"$path/versions/$vName", root) ++ alsoKeep ++
+          graft.index.TierManifest.tierBase(spark, root) ++
+          graft.index.TierManifest.tierBase(spark, s"$path/versions/$vName")
         DiskannIndex.listVersions(spark, path)
           .map(v => s"$path/versions/$v")
           .filterNot(keep)
@@ -721,6 +717,58 @@ object Dedup {
             if (fs.exists(flat) && root != path) fs.delete(flat, true)
           }
         }
+      }
+
+      // TIER FOLD: collapse local append batches, reference the base
+      // (pending tombstones force the full fold — VACUUM must rewrite)
+      if (tiered && dead.isEmpty &&
+          DiskannIndex.tombstoneFiles(spark, path).isEmpty) {
+        val baseOpt = graft.index.TierManifest.tierBase(spark, root)
+        val base = baseOpt.getOrElse(root)
+        val localBatches = spark.read.parquet(s"$root/bands")
+          .select(col("batch").cast(LongType)).distinct()
+          .collect().map(_.getLong(0))
+        val foldable = localBatches.filterNot(unmarked)
+          .filterNot(b => baseOpt.isEmpty && b == 0L)
+        if (foldable.length < 2) return false
+        def isFoldable(c: org.apache.spark.sql.Column) =
+          c.cast(LongType).isin(foldable.toSeq.map(Long.box): _*)
+        installGen(tmp => {
+          Seq("bands", "signatures").foreach { d =>
+            val local = spark.read.parquet(s"$root/$d")
+            local.filter(isFoldable(col("batch")))
+              .drop("batch").withColumn("batch", lit(1L))
+              .write.mode(SaveMode.Overwrite).partitionBy("batch")
+              .parquet(s"$tmp/$d")
+            if (unmarked.nonEmpty)
+              local.filter(isUnmarked(col("batch")))
+                .write.mode(SaveMode.Append).partitionBy("batch")
+                .parquet(s"$tmp/$d")
+          }
+          graft.index.TierManifest.writeTiermeta(spark, tmp.toString, root,
+            base)
+        }, alsoKeep = Set(base))
+        return true
+      }
+
+      if (nFoldable <= 1L && dead.isEmpty &&
+          graft.index.TierManifest.tierBase(spark, root).isEmpty) false
+      else {
+        installGen(tmp => {
+          Seq("bands", "signatures").foreach { d =>
+            val all = graft.index.TierManifest.tableDfAt(spark, root, d)
+            maskDedupDeleted(spark, path,
+                all.filter(!isUnmarked(col("batch"))), "id")
+              .drop("batch").withColumn("batch", lit(0L))
+              .write.mode(SaveMode.Overwrite).partitionBy("batch")
+              .parquet(s"$tmp/$d")
+            if (unmarked.nonEmpty)
+              all.filter(isUnmarked(col("batch")))
+                .write.mode(SaveMode.Append).partitionBy("batch")
+                .parquet(s"$tmp/$d")
+          }
+        }, alsoKeep = Set.empty)
+        consumedTombs.foreach(s => fs.delete(s.getPath, false))
         true
       }
     }
@@ -729,7 +777,7 @@ object Dedup {
     * to 1 after a compaction folds to batch 0). One tiny pruned read. */
   def nextDedupBatchId(spark: SparkSession, path: String): Long = {
     val root = graft.index.DiskannIndex.resolveRoot(spark, path)
-    spark.read.parquet(s"$root/bands")
+    graft.index.TierManifest.tableDfAt(spark, root, "bands")
       .agg(max(col("batch")).cast(LongType)).head().getLong(0) + 1L
   }
 
@@ -777,14 +825,26 @@ object Dedup {
   }
 
   /** Streaming ingest into the dedup index — the crawl-side twin of
-    * [[TextIndex.startTextIngest]]. */
+    * [[TextIndex.startTextIngest]]. `autoCompact = true` runs the TIERED
+    * fold when the local batch count exceeds
+    * `graft.compact.dedupMaxBatches` (default 64) — O(appended data),
+    * base referenced, ingest latency bounded by the tier size. */
   def startDedupIngest(stream: DataFrame, idCol: String, textCol: String,
-      path: String, checkpoint: String)
+      path: String, checkpoint: String, autoCompact: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         appendDedupBatchIdempotent(idCol, textCol, path)(batch, batchId)
+        if (autoCompact) {
+          val spark = batch.sparkSession
+          val maxB =
+            spark.conf.get("graft.compact.dedupMaxBatches", "64").toInt
+          val root = graft.index.DiskannIndex.resolveRoot(spark, path)
+          val local = spark.read.parquet(s"$root/bands")
+            .select(col("batch")).distinct().count()
+          if (local > maxB) { compactDedupIndex(spark, path, tiered = true); () }
+        }
       }
       .start()
 

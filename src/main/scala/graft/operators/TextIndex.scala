@@ -46,10 +46,14 @@ import graft.index.{DiskannIndex, WriterLock}
  * carry NEW doc ids (per-batch `df`/`n`/`sumdl` rows sum correctly only when
  * no doc spans batches — same row-identity rule as
  * [[graft.streaming.StreamingIngest.appendBatchToDelta]]). Batches
- * accumulate files; when batch count grows large, fold generations exactly
- * as the ANN index's compact does (rebuild into a fresh path, swap a
- * root pointer) — the query-time cost of un-compacted batches is extra
- * files in the SAME pruned buckets, never extra partitions scanned.
+ * accumulate files; the query-time cost of un-compacted batches is extra
+ * files in the SAME pruned buckets, never extra partitions scanned. Two
+ * folds exist: the FULL fold (self-contained generation, the VACUUM that
+ * physically drops tombstoned docs) and the TIERED fold
+ * (`compactTextIndex(…, tiered = true)`) — LSM-style, O(appended data):
+ * local batches collapse into one tier batch while the immutable base
+ * generation is only REFERENCED through [[graft.index.TierManifest]],
+ * which is what a daily fold at 100 TB must do (never rewrite the base).
  *
  * Writers (append, compact) are serialized by the shared
  * [[graft.index.WriterLock]] lease — an append can never land in a
@@ -71,6 +75,16 @@ object TextIndex {
   /** `md5_low60(term) mod nBuckets` — engine-independent term routing. */
   def termBucket(term: Column, nBuckets: Int): Column =
     pmod(Curation.md5Low60(term), lit(nBuckets.toLong))
+
+  // Tier-manifest plumbing (LSM-style compaction) is shared with the dedup
+  // index — see [[graft.index.TierManifest]] for the design notes.
+  private[graft] def tierBase(spark: SparkSession,
+      root: String): Option[String] =
+    graft.index.TierManifest.tierBase(spark, root)
+
+  private[graft] def tableDfAt(spark: SparkSession, root: String,
+      table: String): DataFrame =
+    graft.index.TierManifest.tableDfAt(spark, root, table)
 
   /** Generation root of the index — the SAME `versions/v%09d`, highest-
     * wins, atomic-rename convention the ANN index uses
@@ -180,7 +194,7 @@ object TextIndex {
       fsA.delete(
         new org.apache.hadoop.fs.Path(s"$root/$d/batch=$batchId"), true))
     val nB = effectiveBuckets(spark, path, nBuckets)
-    val positions = spark.read.parquet(s"$root/postings")
+    val positions = tableDfAt(spark, root, "postings")
       .columns.contains("pos")
     writeBatch(df, idCol, textCol, root, nB, batchId, SaveMode.Append,
       positions)
@@ -192,7 +206,7 @@ object TextIndex {
   def nextBatchId(spark: SparkSession, path: String): Long = {
     val root = resolveRoot(spark, path)
     // batch is a PARTITION column — inferred as int on read, hence the cast
-    spark.read.parquet(s"$root/corpusstats")
+    tableDfAt(spark, root, "corpusstats")
       .agg(max(col("batch")).cast(LongType)).head().getLong(0) + 1L
   }
 
@@ -302,13 +316,13 @@ object TextIndex {
     val nB = effectiveBuckets(spark, path, nBuckets)
     val bks = terms.map(termBucketOf(_, nB)).distinct
       .map(java.lang.Long.valueOf)
-    val st = spark.read.parquet(s"$root/corpusstats")
+    val st = tableDfAt(spark, root, "corpusstats")
       .agg(sum(col("n")).as("__n"), sum(col("sumdl")).as("__sumdl"))
-    val tstats = spark.read.parquet(s"$root/termstats")
+    val tstats = tableDfAt(spark, root, "termstats")
       .filter(col("tb").isin(bks: _*) && col("term").isin(terms: _*))
       .groupBy(col("term")).agg(sum(col("df")).as("__df"))
     val post = maskDeleted(spark, path,
-      spark.read.parquet(s"$root/postings")
+      tableDfAt(spark, root, "postings")
         .filter(col("tb").isin(bks: _*) && col("term").isin(terms: _*)),
       "id")
     val avgdl = col("__sumdl").cast(DoubleType) / col("__n")
@@ -352,7 +366,7 @@ object TextIndex {
     require(phrase.nonEmpty, "phraseSearchIndexed needs a non-empty phrase")
     val root = resolveRoot(spark, path)
     val nB = effectiveBuckets(spark, path, nBuckets)
-    val post = spark.read.parquet(s"$root/postings")
+    val post = tableDfAt(spark, root, "postings")
     require(post.columns.contains("pos"),
       s"index at $path was built without positions=true; phrase search " +
         "needs positional postings")
@@ -361,9 +375,9 @@ object TextIndex {
     val maxDfFrac =
       spark.conf.get("spark.graft.text.phrase.maxDfFrac", "1.0").toDouble
     if (maxDfFrac < 1.0) {
-      val nDocs = spark.read.parquet(s"$root/corpusstats")
+      val nDocs = tableDfAt(spark, root, "corpusstats")
         .agg(sum(col("n"))).head().getLong(0)
-      val dfs = spark.read.parquet(s"$root/termstats")
+      val dfs = tableDfAt(spark, root, "termstats")
         .filter(col("tb").isin(bks: _*) &&
           col("term").isin(phrase.distinct: _*))
         .groupBy(col("term")).agg(sum(col("df")).as("df"))
@@ -417,7 +431,7 @@ object TextIndex {
     require(slop >= 0, "slop must be >= 0")
     val root = resolveRoot(spark, path)
     val nB = effectiveBuckets(spark, path, nBuckets)
-    val post = spark.read.parquet(s"$root/postings")
+    val post = tableDfAt(spark, root, "postings")
     require(post.columns.contains("pos"),
       s"index at $path was built without positions=true; proximity search " +
         "needs positional postings")
@@ -475,13 +489,13 @@ object TextIndex {
     require(allTerms.nonEmpty, "bm25SearchIndexedBatch: no query terms")
     val bks = allTerms.map(termBucketOf(_, nB)).distinct
       .map(java.lang.Long.valueOf)
-    val st = spark.read.parquet(s"$root/corpusstats")
+    val st = tableDfAt(spark, root, "corpusstats")
       .agg(sum(col("n")).as("__n"), sum(col("sumdl")).as("__sumdl"))
-    val tstats = spark.read.parquet(s"$root/termstats")
+    val tstats = tableDfAt(spark, root, "termstats")
       .filter(col("tb").isin(bks: _*) && col("term").isin(allTerms: _*))
       .groupBy(col("term")).agg(sum(col("df")).as("__df"))
     val post = maskDeleted(spark, path,
-      spark.read.parquet(s"$root/postings")
+      tableDfAt(spark, root, "postings")
         .filter(col("tb").isin(bks: _*) && col("term").isin(allTerms: _*)),
       "id")
     val avgdl = col("__sumdl").cast(DoubleType) / col("__n")
@@ -533,10 +547,19 @@ object TextIndex {
    * immediate predecessor are pruned; the predecessor stays as the
    * in-flight-reader grace window, exactly like the ANN index.
    */
-  def compactTextIndex(spark: SparkSession, path: String): Boolean =
+  /**
+   * `tiered = true` requests the O(appended-data) fold: local append
+   * batches collapse into one tier batch and the immutable base generation
+   * is REFERENCED (tiermeta), never rewritten — run this per ingest window
+   * at scale. It degrades to the full fold automatically when tombstones
+   * are pending (VACUUM must rewrite the base to drop dead rows). The
+   * default full fold produces a self-contained generation.
+   */
+  def compactTextIndex(spark: SparkSession, path: String,
+      tiered: Boolean = false): Boolean =
     WriterLock.withLeaseVerified(spark, path) { verify =>
       val root = resolveRoot(spark, path)
-      val batchIds = spark.read.parquet(s"$root/corpusstats")
+      val batchIds = tableDfAt(spark, root, "corpusstats")
         .select(col("batch").cast(LongType)).collect().map(_.getLong(0))
       // REPLAY-PROTOCOL GUARD: a stream batch (id >= STREAM_BATCH_BASE)
       // whose _stream marker is ABSENT is a committed-but-unmarked append —
@@ -566,82 +589,19 @@ object TextIndex {
       val dead =
         if (consumedTombs.isEmpty) Set.empty[Long]
         else DiskannIndex.loadTombstones(spark, path)
-      if (nFoldable <= 1L && dead.isEmpty) false
-      else {
-        def isUnmarked(c: org.apache.spark.sql.Column) =
-          if (unmarked.isEmpty) lit(false)
-          else c.cast(LongType).isin(unmarked.toSeq: _*)
-        val conf = spark.sessionState.newHadoopConf()
-        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      def isUnmarked(c: org.apache.spark.sql.Column) =
+        if (unmarked.isEmpty) lit(false)
+        else c.cast(LongType).isin(unmarked.toSeq: _*)
+      val conf = spark.sessionState.newHadoopConf()
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      def installGen(write: org.apache.hadoop.fs.Path => Unit,
+          alsoKeep: Set[String]): Unit = {
         val next = DiskannIndex.listVersions(spark, path)
           .lastOption.map(_.stripPrefix("v").toInt + 1).getOrElse(1)
         val vName = f"v$next%09d"
         val tmp = new org.apache.hadoop.fs.Path(s"$path/_compact_tmp_$vName")
         fs.delete(tmp, true)
-        // the bucket count is a build-time constant recorded in idxmeta —
-        // re-deriving tb from the term through the SAME definition (rather
-        // than trusting directory names) keeps one route definition
-        val nB = readMeta(spark, path).nBuckets
-        val allPostings = spark.read.parquet(s"$root/postings")
-        val live = maskDeleted(spark, path,
-          allPostings.filter(!isUnmarked(col("batch"))), "id")
-        live
-          .drop("batch", "tb")
-          .withColumn("batch", lit(0L))
-          .withColumn("tb", termBucket(col("term"), nB))
-          .repartitionByRange(col("tb"), col("term"))
-          .write.mode(SaveMode.Overwrite).partitionBy("batch", "tb")
-          .parquet(s"$tmp/postings")
-        // unmarked stream batches ride along VERBATIM (raw, unmasked — the
-        // pending tombstones keep masking them at read time, and the replay
-        // must find byte-equivalent state to delete-and-rewrite)
-        if (unmarked.nonEmpty)
-          allPostings.filter(isUnmarked(col("batch")))
-            .write.mode(SaveMode.Append).partitionBy("batch", "tb")
-            .parquet(s"$tmp/postings")
-        // df recomputed from the FOLDED postings just installed (batch-0
-        // pruned read of the artifact itself) — dead docs fall out
-        spark.read.parquet(s"$tmp/postings")
-          .filter(col("batch") === 0L)
-          .groupBy(col("term")).agg(count(lit(1)).as("df"))
-          .withColumn("batch", lit(0L))
-          .withColumn("tb", termBucket(col("term"), nB))
-          .repartitionByRange(col("tb"), col("term"))
-          .write.mode(SaveMode.Overwrite).partitionBy("batch", "tb")
-          .parquet(s"$tmp/termstats")
-        if (unmarked.nonEmpty)
-          spark.read.parquet(s"$root/termstats")
-            .filter(isUnmarked(col("batch")))
-            .write.mode(SaveMode.Append).partitionBy("batch", "tb")
-            .parquet(s"$tmp/termstats")
-        // corpus totals: old SUM minus the folded docs' own (count, Σdl) —
-        // derived from the pre-fold postings (one row per dead doc via
-        // distinct (id, dl); dl is constant per doc by construction)
-        val deadPresent =
-          if (dead.isEmpty) (0L, 0L)
-          else {
-            import spark.implicits._
-            // unmarked batches are excluded: their rows are carried
-            // verbatim, so their corpusstats rows must stay exact too
-            val r = allPostings.filter(!isUnmarked(col("batch")))
-              .select(col("id"), col("dl"))
-              .join(broadcast(dead.toSeq.toDF("__dead_id")),
-                col("id") === col("__dead_id"))
-              .select(col("id"), col("dl")).distinct()
-              .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
-            (r.getLong(0), r.getLong(1))
-          }
-        val allCs = spark.read.parquet(s"$root/corpusstats")
-        allCs.filter(!isUnmarked(col("batch")))
-          .agg((sum(col("n")) - lit(deadPresent._1)).as("n"),
-            (sum(col("sumdl")) - lit(deadPresent._2)).as("sumdl"))
-          .withColumn("batch", lit(0L))
-          .write.mode(SaveMode.Overwrite).partitionBy("batch")
-          .parquet(s"$tmp/corpusstats")
-        if (unmarked.nonEmpty)
-          allCs.filter(isUnmarked(col("batch")))
-            .write.mode(SaveMode.Append).partitionBy("batch")
-            .parquet(s"$tmp/corpusstats")
+        write(tmp)
         val vdir = new org.apache.hadoop.fs.Path(s"$path/versions")
         fs.mkdirs(vdir)
         // last-moment lease re-check: if another writer stole our lease as
@@ -650,13 +610,13 @@ object TextIndex {
         verify()
         require(fs.rename(tmp, new org.apache.hadoop.fs.Path(vdir, vName)),
           s"failed to install generation $vName")
-        // the snapshotted tombstones are folded into this generation —
-        // consume them (files that arrived mid-fold stay pending)
-        consumedTombs.foreach(s => fs.delete(s.getPath, false))
-        // prune everything older than the grace-window predecessor (= the
-        // root we just superseded); flat root's data dirs count once
-        // versioned
-        val keep = Set(s"$path/versions/$vName", root)
+        // prune everything except the new generation, the grace-window
+        // predecessor (root), and any BASE generation either of them
+        // references through tiermeta — deleting a referenced base would
+        // break the generation that points at it
+        val keep = Set(s"$path/versions/$vName", root) ++ alsoKeep ++
+          tierBase(spark, root) ++
+          tierBase(spark, s"$path/versions/$vName")
         DiskannIndex.listVersions(spark, path)
           .map(v => s"$path/versions/$v")
           .filterNot(keep)
@@ -667,6 +627,137 @@ object TextIndex {
             if (fs.exists(flat) && root != path) fs.delete(flat, true)
           }
         }
+      }
+
+      // ---- TIER FOLD: collapse local append batches, reference the base.
+      // Pending tombstones force the full fold below (VACUUM must rewrite
+      // the base to physically drop dead rows).
+      if (tiered && dead.isEmpty &&
+          DiskannIndex.tombstoneFiles(spark, path).isEmpty) {
+        val base = tierBase(spark, root).getOrElse(root)
+        val localBatches = spark.read.parquet(s"$root/corpusstats")
+          .select(col("batch").cast(LongType)).collect().map(_.getLong(0))
+        val foldable = localBatches.filterNot(unmarked)
+          .filterNot(b => tierBase(spark, root).isEmpty && b == 0L)
+        if (foldable.length < 2) return false
+        val nB = readMeta(spark, path).nBuckets
+        def isFoldable(c: org.apache.spark.sql.Column) =
+          c.cast(LongType).isin(foldable.toSeq.map(Long.box): _*)
+        installGen(tmp => {
+          val localPost = spark.read.parquet(s"$root/postings")
+          localPost.filter(isFoldable(col("batch")))
+            .drop("batch", "tb")
+            .withColumn("batch", lit(1L))
+            .withColumn("tb", termBucket(col("term"), nB))
+            .repartitionByRange(col("tb"), col("term"))
+            .write.mode(SaveMode.Overwrite).partitionBy("batch", "tb")
+            .parquet(s"$tmp/postings")
+          if (unmarked.nonEmpty)
+            localPost.filter(isUnmarked(col("batch")))
+              .write.mode(SaveMode.Append).partitionBy("batch", "tb")
+              .parquet(s"$tmp/postings")
+          spark.read.parquet(s"$tmp/postings")
+            .filter(col("batch") === 1L)
+            .groupBy(col("term")).agg(count(lit(1)).as("df"))
+            .withColumn("batch", lit(1L))
+            .withColumn("tb", termBucket(col("term"), nB))
+            .repartitionByRange(col("tb"), col("term"))
+            .write.mode(SaveMode.Overwrite).partitionBy("batch", "tb")
+            .parquet(s"$tmp/termstats")
+          val localTs = spark.read.parquet(s"$root/termstats")
+          if (unmarked.nonEmpty)
+            localTs.filter(isUnmarked(col("batch")))
+              .write.mode(SaveMode.Append).partitionBy("batch", "tb")
+              .parquet(s"$tmp/termstats")
+          val localCs = spark.read.parquet(s"$root/corpusstats")
+          localCs.filter(isFoldable(col("batch")))
+            .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl"))
+            .withColumn("batch", lit(1L))
+            .write.mode(SaveMode.Overwrite).partitionBy("batch")
+            .parquet(s"$tmp/corpusstats")
+          if (unmarked.nonEmpty)
+            localCs.filter(isUnmarked(col("batch")))
+              .write.mode(SaveMode.Append).partitionBy("batch")
+              .parquet(s"$tmp/corpusstats")
+          // the base reference, relative to the index path (relocatable)
+          graft.index.TierManifest.writeTiermeta(spark, tmp.toString, root,
+            base)
+        }, alsoKeep = Set(base))
+        return true
+      }
+
+      if (nFoldable <= 1L && dead.isEmpty && tierBase(spark, root).isEmpty)
+        false
+      else {
+        // the bucket count is a build-time constant recorded in idxmeta —
+        // re-deriving tb from the term through the SAME definition (rather
+        // than trusting directory names) keeps one route definition
+        val nB = readMeta(spark, path).nBuckets
+        installGen(tmp => {
+          val allPostings = tableDfAt(spark, root, "postings")
+          val live = maskDeleted(spark, path,
+            allPostings.filter(!isUnmarked(col("batch"))), "id")
+          live
+            .drop("batch", "tb")
+            .withColumn("batch", lit(0L))
+            .withColumn("tb", termBucket(col("term"), nB))
+            .repartitionByRange(col("tb"), col("term"))
+            .write.mode(SaveMode.Overwrite).partitionBy("batch", "tb")
+            .parquet(s"$tmp/postings")
+          // unmarked stream batches ride along VERBATIM (raw, unmasked —
+          // the pending tombstones keep masking them at read time, and the
+          // replay must find byte-equivalent state to delete-and-rewrite)
+          if (unmarked.nonEmpty)
+            allPostings.filter(isUnmarked(col("batch")))
+              .write.mode(SaveMode.Append).partitionBy("batch", "tb")
+              .parquet(s"$tmp/postings")
+          // df recomputed from the FOLDED postings just installed (batch-0
+          // pruned read of the artifact itself) — dead docs fall out
+          spark.read.parquet(s"$tmp/postings")
+            .filter(col("batch") === 0L)
+            .groupBy(col("term")).agg(count(lit(1)).as("df"))
+            .withColumn("batch", lit(0L))
+            .withColumn("tb", termBucket(col("term"), nB))
+            .repartitionByRange(col("tb"), col("term"))
+            .write.mode(SaveMode.Overwrite).partitionBy("batch", "tb")
+            .parquet(s"$tmp/termstats")
+          if (unmarked.nonEmpty)
+            tableDfAt(spark, root, "termstats")
+              .filter(isUnmarked(col("batch")))
+              .write.mode(SaveMode.Append).partitionBy("batch", "tb")
+              .parquet(s"$tmp/termstats")
+          // corpus totals: old SUM minus the folded docs' own (count, Σdl)
+          // — derived from the pre-fold postings (one row per dead doc via
+          // distinct (id, dl); dl is constant per doc by construction)
+          val deadPresent =
+            if (dead.isEmpty) (0L, 0L)
+            else {
+              import spark.implicits._
+              // unmarked batches are excluded: their rows are carried
+              // verbatim, so their corpusstats rows must stay exact too
+              val r = allPostings.filter(!isUnmarked(col("batch")))
+                .select(col("id"), col("dl"))
+                .join(broadcast(dead.toSeq.toDF("__dead_id")),
+                  col("id") === col("__dead_id"))
+                .select(col("id"), col("dl")).distinct()
+                .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+              (r.getLong(0), r.getLong(1))
+            }
+          val allCs = tableDfAt(spark, root, "corpusstats")
+          allCs.filter(!isUnmarked(col("batch")))
+            .agg((sum(col("n")) - lit(deadPresent._1)).as("n"),
+              (sum(col("sumdl")) - lit(deadPresent._2)).as("sumdl"))
+            .withColumn("batch", lit(0L))
+            .write.mode(SaveMode.Overwrite).partitionBy("batch")
+            .parquet(s"$tmp/corpusstats")
+          if (unmarked.nonEmpty)
+            allCs.filter(isUnmarked(col("batch")))
+              .write.mode(SaveMode.Append).partitionBy("batch")
+              .parquet(s"$tmp/corpusstats")
+        }, alsoKeep = Set.empty)
+        // the snapshotted tombstones are folded into this generation —
+        // consume them (files that arrived mid-fold stay pending)
+        consumedTombs.foreach(s => fs.delete(s.getPath, false))
         true
       }
     }
@@ -679,11 +770,11 @@ object TextIndex {
     import spark.implicits._
     val root = resolveRoot(spark, path)
     val meta = readMeta(spark, path)
-    val cs = spark.read.parquet(s"$root/corpusstats")
+    val cs = tableDfAt(spark, root, "corpusstats")
       .agg(sum(col("n")), sum(col("sumdl")), count(lit(1))).head()
-    val vocab = spark.read.parquet(s"$root/termstats")
+    val vocab = tableDfAt(spark, root, "termstats")
       .select(col("term")).distinct().count()
-    val postings = spark.read.parquet(s"$root/postings").count()
+    val postings = tableDfAt(spark, root, "postings").count()
     val pendingDeletes = DiskannIndex.loadTombstones(spark, path).size
     Seq(
       "generation_root" -> root,
@@ -751,14 +842,29 @@ object TextIndex {
 
   /** Start a streaming query feeding `stream` (idCol, textCol columns)
     * into the index — the text twin of
-    * [[graft.streaming.StreamingIngest.startDeltaIngest]]. */
+    * [[graft.streaming.StreamingIngest.startDeltaIngest]].
+    *
+    * `autoCompact = true` is the autovacuum analog: after each committed
+    * micro-batch, if the generation's LOCAL batch count exceeds
+    * `graft.compact.textMaxBatches` (default 64), run a TIERED fold —
+    * O(appended data), the base is referenced, so ingest latency stays
+    * bounded by the tier size, never the corpus. Runs inside the batch
+    * callback: one writer by construction, nothing to race. */
   def startTextIngest(stream: DataFrame, idCol: String, textCol: String,
-      path: String, checkpoint: String,
-      nBuckets: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+      path: String, checkpoint: String, nBuckets: Int = 0,
+      autoCompact: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         appendBatchIdempotent(idCol, textCol, path, nBuckets)(batch, batchId)
+        if (autoCompact) {
+          val spark = batch.sparkSession
+          val maxB =
+            spark.conf.get("graft.compact.textMaxBatches", "64").toInt
+          val local = spark.read
+            .parquet(s"${resolveRoot(spark, path)}/corpusstats").count()
+          if (local > maxB) { compactTextIndex(spark, path, tiered = true); () }
+        }
       }
       .start()
 }

@@ -468,7 +468,8 @@ case class DescribeDiskannIndexCommand(target: Either[String, String])
         case Some("dedup") =>
           val m = spark.read.parquet(s"$sourcePath/idxmeta").head()
           val root = graft.index.DiskannIndex.resolveRoot(spark, sourcePath)
-          val nDocs = spark.read.parquet(s"$root/signatures").count()
+          val nDocs = graft.index.TierManifest
+            .tableDfAt(spark, root, "signatures").count()
           val tombs =
             graft.index.DiskannIndex.loadTombstones(spark, sourcePath).size
           return Seq(
@@ -667,10 +668,10 @@ case class VacuumDiskannIndexCommand(target: Either[String, String],
     AttributeReference("value", StringType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val unknown = opts.keySet.diff(Set("incremental"))
+    val unknown = opts.keySet.diff(Set("incremental", "tier"))
     require(unknown.isEmpty,
       s"unknown VACUUM INDEX option(s) ${unknown.toSeq.sorted.mkString(", ")}; " +
-        "known: incremental")
+        "known: incremental, tier")
     // `ON '<path>'` on an unregistered TEXT or DEDUP artifact routes to
     // that artifact's own compactor — same tombstone-fold + generation-
     // install semantics, one SQL lifecycle for all three stored artifacts
@@ -682,10 +683,14 @@ case class VacuumDiskannIndexCommand(target: Either[String, String],
             val tombsBefore =
               graft.index.DiskannIndex.loadTombstones(spark, p).size
             val rootBefore = graft.index.DiskannIndex.resolveRoot(spark, p)
+            // `tier=true` requests the O(appended-data) LSM-style fold
+            // (base generation referenced, not rewritten); it degrades to
+            // the full VACUUM fold automatically when tombstones pend
+            val tiered = opts.get("tier").exists(_.toBoolean)
             val did =
               if (kind == "text")
-                graft.operators.TextIndex.compactTextIndex(spark, p)
-              else graft.operators.Dedup.compactDedupIndex(spark, p)
+                graft.operators.TextIndex.compactTextIndex(spark, p, tiered)
+              else graft.operators.Dedup.compactDedupIndex(spark, p, tiered)
             val rootAfter = graft.index.DiskannIndex.resolveRoot(spark, p)
             return Seq(
               "vacuumed" -> did.toString,

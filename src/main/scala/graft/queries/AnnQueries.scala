@@ -142,7 +142,12 @@ object AnnQueries {
     // the distributed path: the oracle pins it at rank 1 (dist 0), so a
     // lost delta or a shard dropped by the cogroup merge hash-mismatches.
     "knn_ann_many_shards" -> ((s, d) => {
-      val path = ensureIndex(s, d, "cos_shard1", emb(s, d), labeled = false,
+      // fixed 500-row slice at every sf: 500 single-row shards exercise the
+      // >256 path without the plan growing with the sf (at sf0.1 a 2000-
+      // branch union costs ~100 s of pure driver planning — the exact
+      // failure mode the bucketed path below exists to avoid)
+      val path = ensureIndex(s, d, "cos_shard1s",
+        emb(s, d).filter(col("vec_id") < 500), labeled = false,
         DiskannParams(metric = "cosine", shardTargetRows = 1))
       // one-time delta (guarded; re-appends would collapse by row_id anyway
       // under the at-least-once contract)
@@ -150,9 +155,18 @@ object AnnQueries {
         graft.streaming.StreamingIngest.appendBatchToDelta(path)(
           emb(s, d).filter(col("vec_id") === 0)
             .selectExpr("vec_id + 9000 AS row_id", "embedding AS vec"), 0L)
-      finish(graft.streaming.StreamingIngest.searchFreshDistributed(s, path,
-        queryDf(s, d, None), k = 11, searchListSize = 600, rescore = 600),
-        10, excludeSelf = true)
+      // zipMaxShards=64 ⇒ buckets hold ~8 whole shards each: the bucketed
+      // multi-shard-per-task scan (the thousands-of-shards production
+      // shape) is what this query pins under the oracle
+      val prev = s.conf.getOption("graft.search.zipMaxShards")
+      s.conf.set("graft.search.zipMaxShards", "64")
+      try finish(graft.streaming.StreamingIngest.searchFreshDistributed(s,
+        path, queryDf(s, d, None), k = 11, searchListSize = 600,
+        rescore = 600), 10, excludeSelf = true)
+      finally prev match {
+        case Some(v) => s.conf.set("graft.search.zipMaxShards", v)
+        case None => s.conf.unset("graft.search.zipMaxShards")
+      }
     }),
 
     // T1/S2/S3: ORDER BY embedding <=> q LIMIT k through the graph index
@@ -510,7 +524,7 @@ object AnnQueries {
     // the fresh distributed path must surface it at rank 1
     "knn_ann_many_shards" ->
       s"""WITH uni AS (
-         |  SELECT vec_id, embedding FROM embeddings
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500
          |  UNION ALL
          |  SELECT vec_id + 9000 AS vec_id, embedding FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) AS dist

@@ -162,6 +162,28 @@ object PipelineQueries {
     path
   }
 
+  /** Build-once handle to a TIER-FOLDED text index over the full corpus:
+    * base build (60%), two appends (20% each), then the LSM-style tiered
+    * compaction — the generation REFERENCES the base through tiermeta and
+    * holds only the folded tier locally. Serving must equal a full build. */
+  private[queries] def ensureTextTierIndex(s: SparkSession, d: String): String = {
+    val path = textIndexPath(s, d).replace("/textidx2_", "/texttieridx_")
+    textIndexLock.synchronized {
+      if (!new java.io.File(s"$path/versions").exists()) {
+        if (!new java.io.File(s"$path/corpusstats/_SUCCESS").exists())
+          TextIndex.buildTextIndex(docs(s, d).filter(col("doc_id") % 5 < 3),
+            "doc_id", "text", path)
+        TextIndex.appendTextIndex(docs(s, d).filter(col("doc_id") % 5 === 3),
+          "doc_id", "text", path, batchId = 1L)
+        TextIndex.appendTextIndex(docs(s, d).filter(col("doc_id") % 5 === 4),
+          "doc_id", "text", path, batchId = 2L)
+        require(TextIndex.compactTextIndex(s, path, tiered = true),
+          "tier fold unexpectedly a no-op")
+      }
+    }
+    path
+  }
+
   /** Build-once handle to a dedup index with a PENDING delete set: the
     * standing corpus (doc_id % 23 != 0) minus takedowns (doc_id % 5 == 1,
     * tombstoned, never compacted) — probes must mask them. */
@@ -230,6 +252,33 @@ object PipelineQueries {
     }
     path
   }
+
+  /** Full-corpus indexed-BM25 replay (TextIndex summation discipline):
+    * shared by bm25_indexed and bm25_tier_fold — the tier fold must be
+    * semantically invisible, so both serve the same oracle. */
+  private lazy val sqlBm25IndexedFullCorpus: String =
+    s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+       |f AS (SELECT doc_id, len(w) AS dl,
+       |        len(list_filter(w, x -> x = 'vector')) AS tf0,
+       |        len(list_filter(w, x -> x = 'query')) AS tf1,
+       |        len(list_filter(w, x -> x = 'dup')) AS tf2
+       |      FROM t),
+       |st AS (SELECT count(*) AS n, sum(dl) AS sumdl,
+       |         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+       |         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+       |         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+       |       FROM f),
+       |sc AS (SELECT doc_id,
+       |    CAST(round(ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * CAST(tf0 AS DOUBLE) * (1.2 + 1.0)
+       |      / (CAST(tf0 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n))), 6) AS DECIMAL(20,6))
+       |  + CAST(round(ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * CAST(tf1 AS DOUBLE) * (1.2 + 1.0)
+       |      / (CAST(tf1 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n))), 6) AS DECIMAL(20,6))
+       |  + CAST(round(ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * CAST(tf2 AS DOUBLE) * (1.2 + 1.0)
+       |      / (CAST(tf2 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n))), 6) AS DECIMAL(20,6))
+       |  AS bm25d
+       |  FROM f CROSS JOIN st)
+       |SELECT doc_id, CAST(bm25d AS DOUBLE) AS bm25 FROM sc WHERE bm25d > 0
+       |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
 
   // DuckDB equivalents of TextAnalysis.tokens / Dedup.shingles — kept in one
   // place so the Spark and oracle definitions cannot drift apart.
@@ -1617,6 +1666,16 @@ object PipelineQueries {
     // discipline (per-term round + decimal sum; see TextIndex Scaladoc).
     "bm25_indexed" -> ((s, d) =>
       TextIndex.bm25SearchIndexed(s, ensureTextIndex(s, d),
+          Seq("vector", "query", "dup"))
+        .select(col("id").as("doc_id"), col("bm25"))),
+
+    // The SAME retrieval after an LSM-style TIER FOLD (base 60% + two
+    // appended batches collapsed into one tier, base generation only
+    // REFERENCED through tiermeta — compaction cost O(appended data)):
+    // tiering is a storage-layout decision, so the scores must be
+    // BYTE-IDENTICAL to bm25_indexed over the same full corpus.
+    "bm25_tier_fold" -> ((s, d) =>
+      TextIndex.bm25SearchIndexed(s, ensureTextTierIndex(s, d),
           Seq("vector", "query", "dup"))
         .select(col("id").as("doc_id"), col("bm25"))),
 
@@ -3658,29 +3717,11 @@ object PipelineQueries {
     // 6 decimals and summed as DECIMAL(20,6) (TextIndex's shuffle-order-proof
     // summation; a tf=0 term scores exactly 0, so summing all three mirrors
     // the posting-rows-only sum)
-    "bm25_indexed" ->
-      s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
-         |f AS (SELECT doc_id, len(w) AS dl,
-         |        len(list_filter(w, x -> x = 'vector')) AS tf0,
-         |        len(list_filter(w, x -> x = 'query')) AS tf1,
-         |        len(list_filter(w, x -> x = 'dup')) AS tf2
-         |      FROM t),
-         |st AS (SELECT count(*) AS n, sum(dl) AS sumdl,
-         |         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
-         |         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
-         |         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
-         |       FROM f),
-         |sc AS (SELECT doc_id,
-         |    CAST(round(ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * CAST(tf0 AS DOUBLE) * (1.2 + 1.0)
-         |      / (CAST(tf0 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n))), 6) AS DECIMAL(20,6))
-         |  + CAST(round(ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * CAST(tf1 AS DOUBLE) * (1.2 + 1.0)
-         |      / (CAST(tf1 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n))), 6) AS DECIMAL(20,6))
-         |  + CAST(round(ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * CAST(tf2 AS DOUBLE) * (1.2 + 1.0)
-         |      / (CAST(tf2 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n))), 6) AS DECIMAL(20,6))
-         |  AS bm25d
-         |  FROM f CROSS JOIN st)
-         |SELECT doc_id, CAST(bm25d AS DOUBLE) AS bm25 FROM sc WHERE bm25d > 0
-         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "bm25_indexed" -> sqlBm25IndexedFullCorpus,
+    // same oracle on purpose: a tier fold must serve the IDENTICAL result
+    // a full build over the same corpus would — tiering is a storage-layout
+    // decision, never a semantic one
+    "bm25_tier_fold" -> sqlBm25IndexedFullCorpus,
 
     // masked-serve replay: FULL-corpus stats (the index has not folded the
     // tombstones yet), deleted ids dropped from the candidate set only

@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Measured evidence for the tiered-compaction claim: the TIER fold's cost
+ * must stay ~FLAT as the base corpus grows (it folds only the appended
+ * batches and references the base), while the FULL fold grows linearly
+ * with the corpus (it rewrites everything). Replicates the sf0.01
+ * documents table ×{1,4,16}, appends the SAME two fixed batches at every
+ * scale, and times both folds. Prints one JSON line; numbers land in
+ * SCALING.md next to the ScaleProbe results.
+ *
+ *   sbt 'runMain graft.tools.TierProbe'
+ */
+object TierProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.TextIndex
+
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val nDocs = docs.count()
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+
+    // two fixed 200-doc append batches, identical at every scale — the
+    // "daily ingest" whose fold cost we are isolating
+    val batchA = docs.limit(200)
+      .select(($"doc_id" + 10000000L).as("doc_id"), $"text")
+    val batchB = docs.limit(200)
+      .select(($"doc_id" + 20000000L).as("doc_id"), $"text")
+
+    val rows = Seq(1, 16, 64).map { mult =>
+      val path = s"/tmp/graft_tierprobe/text_x$mult"
+      deleteRec(new java.io.File(path))
+      // base corpus ×mult (replicated ids stay unique per replica)
+      val base = (0 until mult).map(r =>
+        docs.select(($"doc_id" + lit(r.toLong * 1000000L)).as("doc_id"),
+          $"text")).reduce(_ unionByName _)
+      TextIndex.buildTextIndex(base, "doc_id", "text", path)
+      TextIndex.appendTextIndex(batchA, "doc_id", "text", path, 1L)
+      TextIndex.appendTextIndex(batchB, "doc_id", "text", path, 2L)
+      def time(body: => Unit): Double = {
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      val tTier = time(require(
+        TextIndex.compactTextIndex(spark, path, tiered = true)))
+      // fresh appends so the FULL fold has the same pending tier to fold
+      TextIndex.appendTextIndex(
+        batchA.select(($"doc_id" + 1L).as("doc_id"), $"text"),
+        "doc_id", "text", path, 3L)
+      val tFull = time(require(TextIndex.compactTextIndex(spark, path)))
+      // sanity: serving equals expectations (non-empty, tier docs visible)
+      val top = TextIndex.bm25SearchIndexed(spark, path,
+        Seq("vector", "query", "dup"), n = 5).count()
+      require(top == 5, s"serving broke at x$mult")
+      (mult, nDocs * mult, tTier, tFull)
+    }
+    val js = rows.map { case (m, n, tt, tf) =>
+      f"""{"mult":$m,"base_docs":$n,"tier_fold_s":$tt%.2f,"full_fold_s":$tf%.2f}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"tierprobe","sf":"$sfDir","points":$js}""")
+    spark.stop()
+  }
+}
