@@ -1290,6 +1290,49 @@ object DiskannIndex {
     }
   }
 
+  /**
+   * Distance-threshold scan — the `WHERE embedding <=> q < r` shape
+   * (pgvector 0.8's iterative index scans; pgvectorscale serves it through
+   * the same streaming top-k machinery, scan.rs:162-242): pull from the
+   * resumable frontier in escalating top-k rounds until the deepest exact
+   * distance exceeds `radius`, then keep every hit within it. Same
+   * approximation contract as top-k (greedy traversal may miss outliers;
+   * exhaustive at widened L), exact under the verification parameters.
+   * Warm shards resume one frontier across rounds; a cold index pays one
+   * full search on round 1 (which warms it) and resumes from round 2 —
+   * the residualExecute escalation discipline. `maxResults` bounds the
+   * driver-side result (a radius covering the whole corpus is a scan, not
+   * a point lookup — callers wanting that should read the table).
+   */
+  def rangeSearch(spark: SparkSession, path0: String, qvec: Array[Float],
+      radius: Double, searchListSize: Int = 100, rescore: Int = 50,
+      qlabels: Array[Short] = null, tombstones: Set[Long] = Set.empty,
+      nProbe: Int = 0, maxResults: Int = 65536): Seq[(Long, Double)] = {
+    var resumable = openResumableScan(spark, path0, qvec, qlabels,
+      tombstones, nProbe = nProbe)
+    def round(kk: Int): Seq[(Long, Double)] = resumable match {
+      case Some(h) =>
+        h.topK(kk, math.max(searchListSize, kk), rescore)
+          .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      case None =>
+        val hits = searchPoint(spark, path0, qvec, kk,
+          math.max(searchListSize, kk), rescore, nProbe, qlabels, tombstones)
+        resumable = openResumableScan(spark, path0, qvec, qlabels,
+          tombstones, nProbe = nProbe)
+        hits
+    }
+    var kk = 64
+    var out: Seq[(Long, Double)] = null
+    while (out == null) {
+      val hits = round(kk)
+      val exhausted = hits.length < kk || kk >= maxResults
+      if (exhausted || hits.last._2 > radius)
+        out = hits.filter(_._2 <= radius)
+      else kk = math.min(maxResults, kk * 4)
+    }
+    out
+  }
+
   def openResumableScan(spark: SparkSession, path0: String,
       qvec: Array[Float], qlabels: Array[Short],
       tombstones: Set[Long] = Set.empty,

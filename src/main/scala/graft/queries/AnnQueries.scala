@@ -169,6 +169,28 @@ object AnnQueries {
       }
     }),
 
+    // Distance-threshold retrieval (`WHERE embedding <=> q < r` — the
+    // pgvector iterative-scan shape) through the SAME graph index: the
+    // resumable frontier escalates top-k rounds until the deepest exact
+    // distance clears the radius, so cost scales with the RESULT size, not
+    // a guessed k. No LIMIT — the radius is the bound. Widened params make
+    // it exhaustive at sf0.01, so it hash-matches the exact oracle; the
+    // scan filters on the ROUNDED distance (engine determinism), with the
+    // raw radius nudged up so raw-vs-rounded boundary rows can't differ.
+    "knn_range_cosine" -> ((s, d) => {
+      import s.implicits._
+      val path = ensureIndex(s, d, "cos", emb(s, d), labeled = false)
+      val q = emb(s, d).filter(col("vec_id") === 0)
+        .head().getAs[scala.collection.mutable.ArraySeq[Float]]("embedding")
+      DiskannIndex.rangeSearch(s, path, q.toArray, radius = 0.8000005,
+          searchListSize = 600, rescore = 600)
+        .toDF("vec_id", "dist")
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+        .filter(col("dist") <= 0.8)
+        .orderBy(col("dist"), col("vec_id"))
+    }),
+
     // T1/S2/S3: ORDER BY embedding <=> q LIMIT k through the graph index
     "knn_ann_cosine" -> ((s, d) => {
       val path = ensureIndex(s, d, "cos", emb(s, d), labeled = false)
@@ -520,6 +542,12 @@ object AnnQueries {
     "knn_ann_cosine" ->
       s"""SELECT vec_id, round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) AS dist
          |FROM embeddings WHERE vec_id <> 0 ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+    // radius scan: EVERY row within rounded distance 0.8, no LIMIT
+    "knn_range_cosine" ->
+      s"""SELECT vec_id, round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) AS dist
+         |FROM embeddings WHERE vec_id <> 0
+         |  AND round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) <= 0.8
+         |ORDER BY dist, vec_id""".stripMargin,
     // union replays the delta twin of the query vector (row 9000, dist 0):
     // the fresh distributed path must surface it at rank 1
     "knn_ann_many_shards" ->

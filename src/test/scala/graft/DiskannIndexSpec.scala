@@ -56,6 +56,38 @@ class DiskannIndexSpec extends AnyFunSuite {
     assert(!new java.io.File(path).exists())
   }
 
+  test("rangeSearch: radius scan equals the exact distance filter, cold and warm") {
+    val path = "/tmp/graft_test_index/range_scan"
+    DiskannIndex.build(emb, "vec_id", "embedding", None, path,
+      DiskannParams(metric = "cosine"))
+    graft.index.GraphSearcher.invalidate(path)
+    val q = emb.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.mutable.ArraySeq[Float]]("embedding")
+      .toArray
+    // exact ground truth: every row within the radius
+    val exact = exactTop(0L, 500, excludeSelf = false)
+    def expectWithin(r: Double) = exact.filter(_._2 <= r).sortBy(x => (x._2, x._1))
+    // cold (escalates via searchPoint round 1, resumes after)
+    val mid = expectWithin(0.8)
+    val gotCold = DiskannIndex.rangeSearch(spark, path, q, 0.8,
+      searchListSize = 600, rescore = 600).sortBy(x => (x._2, x._1))
+    assert(gotCold.map(_._1) == mid.map(_._1), s"cold range scan diverged")
+    assert(mid.nonEmpty && mid.length < exact.length,
+      "fixture radius should be selective but non-empty")
+    // warm (resumable frontier drives every round)
+    val gotWarm = DiskannIndex.rangeSearch(spark, path, q, 0.8,
+      searchListSize = 600, rescore = 600).sortBy(x => (x._2, x._1))
+    assert(gotWarm == gotCold, "warm scan must equal the cold scan")
+    // radius past the whole corpus: exhaustion returns every row
+    val all = DiskannIndex.rangeSearch(spark, path, q, Double.MaxValue,
+      searchListSize = 600, rescore = 600)
+    assert(all.length == exact.length, s"exhaustive scan got ${all.length}")
+    // tiny radius: only the query row itself (dist 0)
+    val self = DiskannIndex.rangeSearch(spark, path, q, 1e-9,
+      searchListSize = 600, rescore = 600)
+    assert(self.map(_._1) == Seq(0L))
+  }
+
   test("multi-shard build: 4 shards, search merges to the exact top-10") {
     val path = "/tmp/graft_test_index/multishard"
     DiskannIndex.build(emb, "vec_id", "embedding", None, path,

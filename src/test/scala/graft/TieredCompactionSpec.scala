@@ -155,6 +155,42 @@ class TieredCompactionSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("streaming autoCompact: ingest tier-folds itself, serving stays exact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val path = "/tmp/graft_test_index/tier_text_stream"
+    val ckpt = s"$path.ckpt"
+    deleteRec(new java.io.File(path)); deleteRec(new java.io.File(ckpt))
+    val ids = docs.select(min($"doc_id"), max($"doc_id")).head()
+    val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+    val half = (hi - lo) / 2
+    TextIndex.buildTextIndex(docs.filter($"doc_id" <= lo + half),
+      "doc_id", "text", path)
+    val rows = docs.filter($"doc_id" > lo + half)
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+    // threshold 3: the 4th micro-batch's commit (local batches = 4 > 3)
+    // triggers the tier fold inside the batch callback
+    spark.conf.set("graft.compact.textMaxBatches", "3")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = TextIndex.startTextIngest(mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", path, ckpt, autoCompact = true)
+    try {
+      rows.grouped(math.max(rows.length / 5, 1)).foreach { g =>
+        mem.addData(g.toSeq: _*); q.processAllAvailable()
+      }
+    } finally { q.stop(); spark.conf.unset("graft.compact.textMaxBatches") }
+    val root = TextIndex.resolveRoot(spark, path)
+    assert(TextIndex.tierBase(spark, root).isDefined,
+      "autoCompact never tier-folded despite exceeding the batch threshold")
+    // every streamed doc present exactly once, scores equal a clean build
+    val nDocs = graft.index.TierManifest.tableDfAt(spark, root, "corpusstats")
+      .agg(sum($"n")).head().getLong(0)
+    assert(nDocs == docs.count(), s"docs lost/duplicated: $nDocs")
+    val got = TextIndex.bm25SearchIndexed(spark, path, terms, n = 15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == bm25Expected(docs, Set.empty, 15))
+  }
+
   test("dedup tier fold: base referenced, probe identical, VACUUM collapses") {
     val path = "/tmp/graft_test_index/tier_dedup"
     deleteRec(new java.io.File(path))
