@@ -155,6 +155,71 @@ class TieredCompactionSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("tiered serving keeps planning-time bucket pruning on BOTH tier and base scans") {
+    val path = "/tmp/graft_test_index/tier_text_prune"
+    deleteRec(new java.io.File(path))
+    val ids = docs.select(min($"doc_id"), max($"doc_id")).head()
+    val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+    val half = (hi - lo) / 2
+    TextIndex.buildTextIndex(docs.filter($"doc_id" <= lo + half),
+      "doc_id", "text", path)
+    TextIndex.appendTextIndex(
+      docs.filter($"doc_id" > lo + half && $"doc_id" <= lo + half + 30),
+      "doc_id", "text", path, 1L)
+    TextIndex.appendTextIndex(docs.filter($"doc_id" > lo + half + 30),
+      "doc_id", "text", path, 2L)
+    assert(TextIndex.compactTextIndex(spark, path, tiered = true))
+    val res = TextIndex.bm25SearchIndexed(spark, path, terms, n = 10)
+    val scans = res.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    // postings + termstats, each a union of (base, tier) => 4 pruned scans
+    val pruned = scans.filter(_.partitionFilters.nonEmpty)
+    assert(pruned.size >= 4,
+      s"expected >=4 pruned scans across the tier union, got ${pruned.size}")
+    val nBk = terms.map(TextIndex.termBucketOf(_, 64)).distinct.size
+    pruned.foreach(s =>
+      assert(s.selectedPartitions.partitionCount <= nBk,
+        s"scan read ${s.selectedPartitions.partitionCount} partitions, " +
+          s"query touches only $nBk buckets"))
+  }
+
+  test("SQL: VACUUM INDEX WITH (tier=true) tier-folds a bare text path") {
+    import org.apache.spark.sql.SparkSession
+    val path = "/tmp/graft_test_index/tier_text_sql"
+    deleteRec(new java.io.File(path))
+    val ids = docs.select(min($"doc_id"), max($"doc_id")).head()
+    val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+    val half = (hi - lo) / 2
+    TextIndex.buildTextIndex(docs.filter($"doc_id" <= lo + half),
+      "doc_id", "text", path)
+    TextIndex.appendTextIndex(
+      docs.filter($"doc_id" > lo + half && $"doc_id" <= lo + half + 30),
+      "doc_id", "text", path, 1L)
+    TextIndex.appendTextIndex(docs.filter($"doc_id" > lo + half + 30),
+      "doc_id", "text", path, 2L)
+    val prev = spark
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .withExtensions(new graft.plans.GraftExtensions).getOrCreate()
+      val vac = s2.sql(s"VACUUM INDEX ON '$path' WITH (tier=true)").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(vac("vacuumed") == "true", vac.toString)
+      val root = TextIndex.resolveRoot(s2, path)
+      assert(TextIndex.tierBase(s2, root).contains(path),
+        "SQL tier vacuum did not install a tier generation")
+      // unknown option still fails loudly
+      val e = intercept[Exception](
+        s2.sql(s"VACUUM INDEX ON '$path' WITH (tiered=true)").collect())
+      assert(e.getMessage.contains("tier"))
+    } finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
+
   test("streaming autoCompact: ingest tier-folds itself, serving stays exact") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val path = "/tmp/graft_test_index/tier_text_stream"
