@@ -126,6 +126,35 @@ object PipelineQueries {
     path
   }
 
+  /** Build-once handle to a TIER-FOLDED dedup index over the same standing
+    * corpus as [[ensureDedupIndex]] (doc_id % 23 != 0): base build (evens),
+    * two appended batches (odd halves), then the LSM-style tier fold —
+    * probes must see the union view exactly. */
+  private[queries] def ensureDedupTierIndex(s: SparkSession, d: String): String = {
+    val path = textIndexPath(s, d).replace("/textidx2_", "/deduptieridx_")
+    textIndexLock.synchronized {
+      if (!new java.io.File(s"$path/versions").exists()) {
+        val corpus = docs(s, d).filter(col("doc_id") % 23 =!= 0)
+        if (!new java.io.File(s"$path/idxmeta/_SUCCESS").exists()) {
+          Dedup.buildDedupIndex(corpus.filter(col("doc_id") % 2 === 0),
+            "doc_id", "text", path)
+          graft.CacheScope.releaseAll()
+        }
+        Dedup.appendDedupIndex(
+          corpus.filter(col("doc_id") % 2 === 1 && col("doc_id") % 3 === 0),
+          path, "doc_id", "text", 1L)
+        graft.CacheScope.releaseAll()
+        Dedup.appendDedupIndex(
+          corpus.filter(col("doc_id") % 2 === 1 && col("doc_id") % 3 =!= 0),
+          path, "doc_id", "text", 2L)
+        graft.CacheScope.releaseAll()
+        require(Dedup.compactDedupIndex(s, path, tiered = true),
+          "dedup tier fold unexpectedly a no-op")
+      }
+    }
+    path
+  }
+
   /** Build-once handle to a text index with a PENDING delete set (doc_id %
     * 7 == 3 tombstoned, never compacted) — the serve-time-mask fixture for
     * bm25_after_delete: corpus stats still count the deleted docs, their
@@ -279,6 +308,21 @@ object PipelineQueries {
        |  FROM f CROSS JOIN st)
        |SELECT doc_id, CAST(bm25d AS DOUBLE) AS bm25 FROM sc WHERE bm25d > 0
        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+
+  /** Exact-Jaccard probe replay (batch %23==0 vs standing corpus %23!=0):
+    * shared by dedup_incremental_index and dedup_tier_probe — the tier
+    * fold must be semantically invisible. */
+  private lazy val sqlDedupProbeOracle: String =
+    s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+       |g AS (SELECT doc_id, ${sqlShingles("w")} AS sh FROM t),
+       |b AS (SELECT doc_id, sh FROM g WHERE doc_id % 23 = 0),
+       |c AS (SELECT doc_id, sh FROM g WHERE doc_id % 23 <> 0)
+       |SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+       |       round(CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE) /
+       |             len(list_distinct(list_concat(b.sh, c.sh))), 6) AS jaccard
+       |FROM b JOIN c ON CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE) /
+       |                 len(list_distinct(list_concat(b.sh, c.sh))) >= 0.8
+       |ORDER BY batch_id, corpus_id""".stripMargin
 
   // DuckDB equivalents of TextAnalysis.tokens / Dedup.shingles — kept in one
   // place so the Spark and oracle definitions cannot drift apart.
@@ -560,6 +604,20 @@ object PipelineQueries {
     "dedup_incremental_index" -> ((s, d) => {
       val all = docs(s, d)
       Dedup.nearDupAgainstDedupIndex(s, ensureDedupIndex(s, d),
+          all.filter(col("doc_id") % 23 === 0), "doc_id", "text",
+          threshold = 0.8)
+        .select(col("batch_id"), col("corpus_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("batch_id"), col("corpus_id"))
+    }),
+
+    // The SAME probe against a TIER-FOLDED dedup index (base + two appended
+    // batches collapsed into a tier referencing the base): tiering is a
+    // storage-layout decision, so the pairs must be identical — shared
+    // oracle with dedup_incremental_index by construction.
+    "dedup_tier_probe" -> ((s, d) => {
+      val all = docs(s, d)
+      Dedup.nearDupAgainstDedupIndex(s, ensureDedupTierIndex(s, d),
           all.filter(col("doc_id") % 23 === 0), "doc_id", "text",
           threshold = 0.8)
         .select(col("batch_id"), col("corpus_id"),
@@ -3276,17 +3334,11 @@ object PipelineQueries {
 
     // identical output contract to dedup_incremental — the stored index
     // must be invisible in the result
-    "dedup_incremental_index" ->
-      s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
-         |g AS (SELECT doc_id, ${sqlShingles("w")} AS sh FROM t),
-         |b AS (SELECT doc_id, sh FROM g WHERE doc_id % 23 = 0),
-         |c AS (SELECT doc_id, sh FROM g WHERE doc_id % 23 <> 0)
-         |SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
-         |       round(CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE) /
-         |             len(list_distinct(list_concat(b.sh, c.sh))), 6) AS jaccard
-         |FROM b JOIN c ON CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE) /
-         |                 len(list_distinct(list_concat(b.sh, c.sh))) >= 0.8
-         |ORDER BY batch_id, corpus_id""".stripMargin,
+    "dedup_incremental_index" -> sqlDedupProbeOracle,
+    // identical oracle ON PURPOSE: the tier fold is storage layout, not
+    // semantics — any divergence (lost batch, double-folded row, broken
+    // union view) hash-mismatches here
+    "dedup_tier_probe" -> sqlDedupProbeOracle,
 
     // takedown replay: the same exact-Jaccard contract minus the
     // tombstoned corpus ids — a deleted doc generating a candidate (even
