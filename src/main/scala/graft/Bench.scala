@@ -81,10 +81,17 @@ object Bench {
     val prev: Map[String, Double] = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("BENCH_DETAIL.json")), "UTF-8")
-      val body = txt.drop(txt.indexOf("\"queries\":{") + 11)
-        .takeWhile(_ != '}')
-      "\"([A-Za-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(body)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      // only a SAME-SF detail file is a valid reference: comparing against
+      // a smaller sf would flag most of the suite as >4x "outliers" and
+      // re-run it wholesale
+      val prevSf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
+      if (!prevSf.contains(sfDir)) Map.empty
+      else {
+        val body = txt.drop(txt.indexOf("\"queries\":{") + 11)
+          .takeWhile(_ != '}')
+        "\"([A-Za-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
     } catch { case _: Throwable => Map.empty }
     val reran = scala.collection.mutable.ArrayBuffer[String]()
     val results = firstPass.map { case (name, t) =>

@@ -116,22 +116,32 @@ object DiskannIndex {
   }
 
   def build(df: DataFrame, idCol: String, vecCol: String, labelsCol: Option[String],
-      path: String, params: DiskannParams = DiskannParams()): Unit = {
+      path: String, params: DiskannParams = DiskannParams()): Unit =
+    // the whole build holds the path's writer lease: an in-place rebuild
+    // racing a concurrent append/compact on the same artifact would
+    // otherwise interleave the scrub below with their generation installs
+    // (build from compact targets a fresh tmp dir — its lease is trivially
+    // uncontended, no deadlock with the compact's own lock)
+    try WriterLock.withLease(spark = df.sparkSession, path = path) {
+      buildLeased(df, idCol, vecCol, labelsCol, path, params)
+    } catch {
+      case e: Throwable =>
+        // a rejected/failed FIRST build must not leave an empty artifact
+        // dir behind (the lease file's parent-mkdir creates it) — "nothing
+        // was written" stays literally true for validation rejections
+        try {
+          val p = new org.apache.hadoop.fs.Path(path)
+          val fs = p.getFileSystem(
+            df.sparkSession.sessionState.newHadoopConf())
+          if (fs.exists(p) && fs.listStatus(p).isEmpty) fs.delete(p, false)
+        } catch { case _: Throwable => () }
+        throw e
+    }
+
+  private def buildLeased(df: DataFrame, idCol: String, vecCol: String,
+      labelsCol: Option[String], path: String, params: DiskannParams): Unit = {
     val spark = df.sparkSession
     val metric = Metric(params.metric)
-
-    // a rebuild REPLACES the artifact (the TextIndex/Dedup builder rule):
-    // stale `versions/` generations WIN root resolution over the flat
-    // nodes/_meta this build writes, so leaving them would serve the OLD
-    // index after a "successful" rebuild; stale tombstones/delta from the
-    // previous life must not leak into the new one either. Compaction is
-    // unaffected — it builds into a fresh tmp dir that has none of these.
-    {
-      val p0 = new org.apache.hadoop.fs.Path(path)
-      val fs0 = p0.getFileSystem(spark.sessionState.newHadoopConf())
-      Seq("versions", "tombstones", "delta").foreach(d =>
-        fs0.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true))
-    }
 
     // NULL vectors are never indexed (build.rs:493-498)
     val base0 = df.select(
@@ -149,6 +159,40 @@ object DiskannIndex {
           .map(_.getInt(0)).getOrElse(0)
       })
     validateBuildOptions(params, metric, labelsCol.isDefined, checkedDims)
+
+    // a rebuild REPLACES the artifact (the TextIndex/Dedup builder rule):
+    // stale `versions/` generations WIN root resolution over the flat
+    // nodes/_meta this build writes, so leaving them would serve the OLD
+    // index after a "successful" rebuild; stale tombstones/delta from the
+    // previous life must not leak into the new one either. Compaction is
+    // unaffected — it builds into a fresh tmp dir that has none of these.
+    //
+    // The scrub ORDER is the crash contract: an in-place rebuild is
+    // deliberately NOT atomic (CREATE INDEX semantics — a failed CREATE
+    // leaves no index; atomic replacement is what REINDEX/compact's
+    // tmp+install path is for), so a mid-rebuild crash must fail LOUD, not
+    // serve stale state. Deleting versions/ and then the flat `_meta`
+    // FIRST makes every reader's loadMeta throw until the new `_meta`
+    // lands at the very end of the build — the failure mode is "no index
+    // here", never "old index serving without its tombstones" (silent
+    // resurrection of deleted rows). The scrub itself runs only when any
+    // of the stale state exists, so plain first builds skip the extra IO.
+    {
+      val p0 = new org.apache.hadoop.fs.Path(path)
+      val fs0 = p0.getFileSystem(spark.sessionState.newHadoopConf())
+      val stale = Seq("versions", "tombstones", "delta", "_meta")
+        .map(d => new org.apache.hadoop.fs.Path(s"$path/$d"))
+        .filter(fs0.exists)
+      stale.foreach(d => fs0.delete(d, true))
+      // version numbering restarts; cached per-root state (tier manifests,
+      // label counts) keyed on recreated root strings must not survive
+      TierManifest.invalidateUnder(path)
+      labelCountsCache.synchronized {
+        val it = labelCountsCache.keySet().iterator()
+        while (it.hasNext) if (it.next().startsWith(path)) it.remove()
+      }
+    }
+
     // cosine: the graph/quantizer operate on normalized vectors
     // (preprocess_cosine, pg_vector.rs:153-155) but the nodes table stores
     // the RAW vectors — rescoring and SQL-visible distances are computed on

@@ -31,6 +31,17 @@ object TierManifest {
         size() > 64
     })
 
+  /** Drop every cached entry under `path` — REQUIRED after an in-place
+    * rebuild: `build*Index` deletes `versions/`, version numbering restarts
+    * at v000000001, and the recreated root STRING can equal a cached one
+    * while meaning a different artifact. A stale None would silently drop
+    * the base corpus from every union read; a stale Some could point GC at
+    * the wrong retained set. */
+  def invalidateUnder(path: String): Unit = tierBaseCache.synchronized {
+    val it = tierBaseCache.keySet().iterator()
+    while (it.hasNext) if (it.next().startsWith(path)) it.remove()
+  }
+
   /** The self-contained base generation a TIER generation references;
     * None for self-contained generations. Cached per root (immutable once
     * installed). */

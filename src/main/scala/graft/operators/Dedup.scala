@@ -544,6 +544,8 @@ object Dedup {
       .getFileSystem(corpus.sparkSession.sessionState.newHadoopConf())
     Seq("versions", "tombstones", "_stream").foreach(d =>
       fs0.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true))
+    // recreated root strings can collide with cached tier-manifest entries
+    graft.index.TierManifest.invalidateUnder(path)
     writeDedupBatch(corpus, idCol, textCol, path, shingleSize, numHashes,
       bands, batchId = 0L, mode = SaveMode.Overwrite)
     corpus.sparkSession.createDataFrame(Seq((shingleSize, numHashes, bands)))

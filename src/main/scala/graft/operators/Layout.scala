@@ -123,21 +123,39 @@ object Layout {
     * set is empty and the plan is identical to before. */
   def prunedReadStored(spark: SparkSession, path: String,
       ranges: Seq[(String, Double, Double)]): DataFrame = {
-    val zm = spark.read.parquet(s"${path.stripSuffix("/")}_zonemap")
-    val manifested = zm.select(col("file")).collect().map(_.getString(0)).toSet
+    val residual = ranges.map { case (c, lo, hi) =>
+      col(c).cast(DoubleType) >= lo && col(c).cast(DoubleType) <= hi
+    }.reduce(_ && _)
+    val zmPath = s"${path.stripSuffix("/")}_zonemap"
+    val zmFs = new org.apache.hadoop.fs.Path(zmPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // manifest entirely missing (a crashed manifest rewrite's worst case):
+    // degrade to the unpruned scan instead of failing every reader — the
+    // next writeZonemap restores pruning
+    if (!zmFs.exists(new org.apache.hadoop.fs.Path(zmPath)))
+      return spark.read.parquet(path).filter(residual)
+    val zm =
+      try spark.read.parquet(zmPath)
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        // a torn manifest rewrite (dir exists, no readable footers) must
+        // degrade to the unpruned scan, not fail every reader; results are
+        // exact either way — only pruning is lost until the next rewrite
+        Console.err.println(s"[layout] zonemap at $zmPath unreadable " +
+          s"($e); serving unpruned until it is rewritten")
+        return spark.read.parquet(path).filter(residual)
+      }
     // input_file_name() URIs and listing URIs must compare equal — both are
     // fully-qualified Hadoop paths on the same FS, but normalize defensively
+    // (and normalize the manifest ONCE into a set: the orphan check must
+    // stay O(#files), it runs on every pruned read)
     def norm(f: String) = f.stripPrefix("file:").replaceFirst("^/+", "/")
+    val manifested = zm.select(col("file")).collect()
+      .map(r => norm(r.getString(0))).toSet
     val orphans = listDataFiles(spark, path)
-      .filterNot(f => manifested.exists(m => norm(m) == norm(f))).toSeq.sorted
+      .filterNot(f => manifested(norm(f))).toSeq.sorted
     val pruned = prunedRead(spark, path, ranges, Some(zm))
     if (orphans.isEmpty) pruned
-    else {
-      val residual = ranges.map { case (c, lo, hi) =>
-        col(c).cast(DoubleType) >= lo && col(c).cast(DoubleType) <= hi
-      }.reduce(_ && _)
-      pruned.unionByName(spark.read.parquet(orphans: _*).filter(residual))
-    }
+    else pruned.unionByName(spark.read.parquet(orphans: _*).filter(residual))
   }
 
   /** Data files currently under `path` (recursive, Hadoop-FS; hidden and

@@ -118,6 +118,9 @@ object TextIndex {
       .getFileSystem(df.sparkSession.sessionState.newHadoopConf())
     Seq("versions", "tombstones", "_stream").foreach(d =>
       fs0.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true))
+    // version numbering restarts after the versions/ delete, so recreated
+    // root strings can collide with cached tier-manifest entries
+    graft.index.TierManifest.invalidateUnder(path)
     writeBatch(df, idCol, textCol, path, nBuckets, batchId = 0L,
       mode = SaveMode.Overwrite, positions = positions)
     // build-time constants (bucket count, positions) — one tiny parquet at
@@ -695,8 +698,21 @@ object TextIndex {
         val nB = readMeta(spark, path).nBuckets
         installGen(tmp => {
           val allPostings = tableDfAt(spark, root, "postings")
-          val live = maskDeleted(spark, path,
-            allPostings.filter(!isUnmarked(col("batch"))), "id")
+          // fold out ONLY the snapshotted-and-consumed tombstones (`dead`),
+          // never the live registry: when unmarked stream batches force the
+          // registry to stay PENDING, a registry-driven mask here would
+          // physically drop the rows while deadPresent (keyed on `dead`)
+          // subtracts nothing — corpusstats would over-count those docs
+          // forever once the next clean fold consumes the registry against
+          // already-missing postings
+          val foldSrc = allPostings.filter(!isUnmarked(col("batch")))
+          val live =
+            if (dead.isEmpty) foldSrc
+            else {
+              import spark.implicits._
+              foldSrc.join(broadcast(dead.toSeq.toDF("__dead_id")),
+                foldSrc("id") === col("__dead_id"), "left_anti")
+            }
           live
             .drop("batch", "tb")
             .withColumn("batch", lit(0L))

@@ -570,8 +570,11 @@ case class KnnIndexScanExec(outAttrs: Seq[AttributeReference], spark: SparkSessi
         // time. Clamped to [kk*4 … cap]: never slower than the ladder, and
         // a zero-survivor round (no rate to learn from) falls back to it.
         val sel = survivorRanks.length.toDouble / math.max(hits.length, 1)
+        // zero survivors = no rate to learn from: take the plain ×4 ladder
+        // step (jumping to cap on an unlucky first round would trade one
+        // saved round for a worst-case-sized traversal + fetch)
         val want =
-          if (survivorRanks.isEmpty) cap.toLong
+          if (survivorRanks.isEmpty) 0L
           else math.ceil(4.0 * k / sel).toLong
         kk = math.min(cap.toLong, math.max(kk * 4L, want)).toInt
       }

@@ -34,7 +34,20 @@ object StreamingIngest {
     // (dropDuplicates("row_id")) already fold, per the at-least-once
     // ingest contract.
     val spark = batch.sparkSession
-    val (fs, _) = hadoopFs(spark, indexPath)
+    val (fs, root) = hadoopFs(spark, indexPath)
+    // scrub staging dirs a DEAD writer abandoned: replays mint a fresh
+    // random uid, so nothing else ever reclaims them. Age-gated by the
+    // lease timeout — a live writer finishes its staging write in seconds,
+    // anything older than the stale-lease horizon is orphaned by the same
+    // argument that lets the lease itself be stolen.
+    val staleMs =
+      spark.conf.get("graft.compact.lockTimeoutMs", "3600000").toLong
+    try fs.listStatus(root)
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("_deltatmp_") &&
+        System.currentTimeMillis() - s.getModificationTime > staleMs)
+      .foreach(s => fs.delete(s.getPath, true))
+    catch { case _: java.io.FileNotFoundException => () }
     val uid = java.util.UUID.randomUUID().toString
     val staging = new org.apache.hadoop.fs.Path(s"$indexPath/_deltatmp_$uid")
     batch.write.mode("overwrite").parquet(staging.toString)

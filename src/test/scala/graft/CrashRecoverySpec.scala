@@ -87,6 +87,56 @@ class CrashRecoverySpec extends AnyFunSuite {
     assert(after == Set(0L))
   }
 
+  test("fold with unmarked batch + pending tombstones keeps stats exact through the eventual VACUUM") {
+    // the failure this pins down: a fold that runs while tombstones are
+    // FORCED pending (unmarked stream batch present) must NOT physically
+    // drop the tombstoned postings — if it did, the eventual clean VACUUM
+    // would find nothing to subtract and corpusstats would over-count the
+    // deleted docs forever (wrong idf/avgdl in every later BM25 score)
+    val path = "/tmp/graft_test_index/crash_text_stats"
+    deleteRec(new java.io.File(path))
+    val ids = docs.select(min($"doc_id"), max($"doc_id")).head()
+    val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+    val third = (hi - lo) / 3
+    val part1 = docs.filter($"doc_id" <= lo + third)
+    val part2 = docs.filter($"doc_id" > lo + third && $"doc_id" <= lo + 2 * third)
+    val part3 = docs.filter($"doc_id" > lo + 2 * third)
+      .select($"doc_id", $"text")
+    TextIndex.buildTextIndex(part1, "doc_id", "text", path)
+    TextIndex.appendTextIndex(part2, "doc_id", "text", path, batchId = 1L)
+    TextIndex.appendBatchIdempotent("doc_id", "text", path)(
+      part3.toDF("doc_id", "text"), 0L)
+    val phys = TextIndex.STREAM_BATCH_BASE + 0L
+    assert(fsOf(path).delete(
+      new org.apache.hadoop.fs.Path(s"$path/_stream/b$phys"), false))
+    val victim = part1.select($"doc_id").head().getLong(0)
+    TextIndex.deleteDocs(spark, path, Seq(victim))
+    // fold (batches 0+1 -> 0, stream batch carried, tombstone PENDING)
+    assert(TextIndex.compactTextIndex(spark, path))
+    assert(graft.index.DiskannIndex.loadTombstones(spark, path).nonEmpty,
+      "tombstone must stay pending while the unmarked batch exists")
+    // victim is read-masked but its stats still count (pre-VACUUM contract)
+    val served = TextIndex.bm25SearchIndexed(spark, path, terms, n = 20)
+      .collect().map(_.getLong(0))
+    assert(!served.contains(victim))
+    // replay the stream batch (restores its marker), then the clean VACUUM
+    TextIndex.appendBatchIdempotent("doc_id", "text", path)(
+      part3.toDF("doc_id", "text"), 0L)
+    assert(TextIndex.compactTextIndex(spark, path))
+    assert(graft.index.DiskannIndex.loadTombstones(spark, path).isEmpty)
+    // post-VACUUM serving must equal a clean build over corpus-minus-victim
+    // — over-counted stats (the bug) would shift every idf/avgdl here
+    val cleanPath = "/tmp/graft_test_index/crash_text_stats_clean"
+    TextIndex.buildTextIndex(docs.filter($"doc_id" =!= victim),
+      "doc_id", "text", cleanPath)
+    val got = TextIndex.bm25SearchIndexed(spark, path, terms, n = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = TextIndex.bm25SearchIndexed(spark, cleanPath, terms, n = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want,
+      "stats drifted: the pending-tombstone fold corrupted corpus totals")
+  }
+
   // --------------------------------------------------------------- dedup
 
   test("dedup compaction carries an unmarked stream batch; replay never duplicates") {
