@@ -180,7 +180,7 @@ object DiskannIndex {
     {
       val p0 = new org.apache.hadoop.fs.Path(path)
       val fs0 = p0.getFileSystem(spark.sessionState.newHadoopConf())
-      val stale = Seq("versions", "tombstones", "delta", "_meta")
+      val stale = Seq("versions", "tombstones", "delta", "_meta", "labelstats")
         .map(d => new org.apache.hadoop.fs.Path(s"$path/$d"))
         .filter(fs0.exists)
       stale.foreach(d => fs0.delete(d, true))
@@ -260,9 +260,14 @@ object DiskannIndex {
     // mod.rs:243-256): one tiny (label, cnt) parquet per generation. Readers
     // treat it as OPTIONAL (older generations lack it), so this is an
     // additive layout change — the residual over-fetch loop uses it to
-    // bound a labeled query's reachable population.
+    // bound a labeled query's reachable population. Counted from the nodes
+    // table JUST WRITTEN (a labels-column-pruned scan of local parquet),
+    // never by re-evaluating `base` — the caller's lineage can be an
+    // arbitrary corpus-sized pipeline (compact passes a join+union over
+    // everything), and re-running it for a count would double build IO.
     if (hasLabels)
-      base.select(explode(col("labels")).as("label"))
+      spark.read.parquet(s"$path/nodes")
+        .select(explode(col("labels")).as("label"))
         .groupBy(col("label")).agg(count(lit(1)).as("cnt"))
         .coalesce(1).write.mode("overwrite").parquet(s"$path/labelstats")
 
@@ -728,25 +733,34 @@ object DiskannIndex {
     * carry-forwards included): callers must treat the stats as an OPTIONAL
     * optimization input, never a correctness dependency. Cached per
     * generation root — the table is immutable once installed. */
+  // (fingerprint, counts) per root — fingerprint-validated like metaCache:
+  // an in-place rebuild in ANOTHER process can recreate the same root
+  // string with different data, and the consumer uses these counts as a
+  // hard exhaustion bound (stale-small counts would truncate results)
   private val labelCountsCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[String, Option[Map[Short, Long]]](16, 0.75f, true) {
+    new java.util.LinkedHashMap[String, (String, Option[Map[Short, Long]])](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Option[Map[Short, Long]]]): Boolean =
+          e: java.util.Map.Entry[String, (String, Option[Map[Short, Long]])]): Boolean =
         size() > 64
     })
 
   def labelCounts(spark: SparkSession,
       path0: String): Option[Map[Short, Long]] = {
     val root = resolveRoot(spark, path0)
-    val hit = labelCountsCache.get(root)
-    if (hit != null) return hit
     val p = new org.apache.hadoop.fs.Path(s"$root/labelstats")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val fp =
+      try fs.listStatus(p)
+        .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+        .sorted.mkString("|")
+      catch { case _: java.io.FileNotFoundException => "absent" }
+    val hit = labelCountsCache.get(root)
+    if (hit != null && hit._1 == fp) return hit._2
     val out =
-      if (!fs.exists(p)) None
+      if (fp == "absent") None
       else Some(spark.read.parquet(p.toString)
         .collect().map(r => r.getShort(0) -> r.getLong(1)).toMap)
-    labelCountsCache.put(root, out)
+    labelCountsCache.put(root, (fp, out))
     out
   }
 
@@ -1365,13 +1379,13 @@ object DiskannIndex {
           tombstones, nProbe = nProbe)
         hits
     }
-    var kk = 64
+    var kk = math.max(1, math.min(64, maxResults))
     var out: Seq[(Long, Double)] = null
     while (out == null) {
       val hits = round(kk)
       val exhausted = hits.length < kk || kk >= maxResults
       if (exhausted || hits.last._2 > radius)
-        out = hits.filter(_._2 <= radius)
+        out = hits.filter(_._2 <= radius).take(maxResults)
       else kk = math.min(maxResults, kk * 4)
     }
     out

@@ -21,15 +21,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  */
 object TierManifest {
 
+  // one definition of the "strip /versions/v%09d" rule for the whole
+  // package — DiskannIndex.indexRootOf owns it
   private[graft] def indexPathOfRoot(root: String): String =
-    root.replaceAll("/versions/v\\d{9}$", "")
+    DiskannIndex.indexRootOf(root)
 
+  // (fingerprint, base) per root — the metaCache discipline: a root STRING
+  // can be recreated with different content by an in-place rebuild in
+  // ANOTHER process (version numbering restarts after the versions/ scrub),
+  // so every hit revalidates against the tiermeta dir's listing fingerprint
+  // (names+sizes+mtimes; one cheap LIST, no Spark job).
   private val tierBaseCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[String, Option[String]](16, 0.75f, true) {
+    new java.util.LinkedHashMap[String, (String, Option[String])](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Option[String]]): Boolean =
+          e: java.util.Map.Entry[String, (String, Option[String])]): Boolean =
         size() > 64
     })
+
+  private def tiermetaFingerprint(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String =
+    try fs.listStatus(p)
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString("|")
+    catch { case _: java.io.FileNotFoundException => "absent" }
 
   /** Drop every cached entry under `path` — REQUIRED after an in-place
     * rebuild: `build*Index` deletes `versions/`, version numbering restarts
@@ -46,18 +60,19 @@ object TierManifest {
     * None for self-contained generations. Cached per root (immutable once
     * installed). */
   def tierBase(spark: SparkSession, root: String): Option[String] = {
-    val hit = tierBaseCache.get(root)
-    if (hit != null) return hit
     val p = new org.apache.hadoop.fs.Path(s"$root/tiermeta")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val fp = tiermetaFingerprint(fs, p)
+    val hit = tierBaseCache.get(root)
+    if (hit != null && hit._1 == fp) return hit._2
     val out =
-      if (!fs.exists(p)) None
+      if (fp == "absent") None
       else {
         val rel = spark.read.parquet(p.toString).head().getString(0)
         val idx = indexPathOfRoot(root)
         Some(if (rel.isEmpty) idx else s"$idx/$rel")
       }
-    tierBaseCache.put(root, out)
+    tierBaseCache.put(root, (fp, out))
     out
   }
 

@@ -57,12 +57,15 @@ object WriterLock {
     // lease's create-exclusive is not atomic on local FS / object stores,
     // so two threads of one JVM could otherwise both verify (see
     // StreamingIngest.jvmLeases). Fail fast like any other contention.
-    if (!jvmLeases.add(lock.toString))
+    // Key on the FULLY QUALIFIED path — two spellings of one artifact
+    // ("idx" vs "/work/idx" vs "file:/work/idx") must gate as one.
+    val gateKey = fs.makeQualified(lock).toUri.toString
+    if (!jvmLeases.add(gateKey))
       throw new IllegalStateException(
         s"another writer in this process holds $lock; retry the " +
           "append/compact once it completes")
     try withJvmGateHeld(spark, path, lock, fs)(f)
-    finally jvmLeases.remove(lock.toString)
+    finally jvmLeases.remove(gateKey)
   }
 
   private def withJvmGateHeld[T](spark: SparkSession, path: String,

@@ -36,19 +36,26 @@ object StreamingIngest {
     val spark = batch.sparkSession
     val (fs, root) = hadoopFs(spark, indexPath)
     // scrub staging dirs a DEAD writer abandoned: replays mint a fresh
-    // random uid, so nothing else ever reclaims them. Age-gated by the
-    // lease timeout — a live writer finishes its staging write in seconds,
-    // anything older than the stale-lease horizon is orphaned by the same
-    // argument that lets the lease itself be stolen.
+    // random uid, so nothing else ever reclaims them. Age-gated against a
+    // CREATION timestamp embedded in the dir NAME — dir modification time
+    // is 0 on S3A listings and frozen on HDFS while tasks write under
+    // _temporary/, so mtime gating would let one live writer scrub
+    // another's in-flight staging. Anything older than the stale-lease
+    // horizon is orphaned by the same argument that lets the lease be
+    // stolen (a live staging write finishes in seconds, not an hour).
     val staleMs =
       spark.conf.get("graft.compact.lockTimeoutMs", "3600000").toLong
+    val bornRe = "_deltatmp_(\\d+)_.*".r
     try fs.listStatus(root)
-      .filter(s => s.isDirectory &&
-        s.getPath.getName.startsWith("_deltatmp_") &&
-        System.currentTimeMillis() - s.getModificationTime > staleMs)
+      .filter(s => s.isDirectory && (s.getPath.getName match {
+        case bornRe(ts) =>
+          System.currentTimeMillis() - ts.toLong > staleMs
+        case n => n.startsWith("_deltatmp_") // legacy unstamped: dead layout
+      }))
       .foreach(s => fs.delete(s.getPath, true))
     catch { case _: java.io.FileNotFoundException => () }
-    val uid = java.util.UUID.randomUUID().toString
+    val uid =
+      s"${System.currentTimeMillis()}_${java.util.UUID.randomUUID()}"
     val staging = new org.apache.hadoop.fs.Path(s"$indexPath/_deltatmp_$uid")
     batch.write.mode("overwrite").parquet(staging.toString)
     val dst = new org.apache.hadoop.fs.Path(s"$indexPath/delta")
@@ -477,53 +484,20 @@ object StreamingIngest {
     // restoring the shard-sizing invariant after heavy churn).
     if (!force && deltaFiles(spark, indexPath).isEmpty && tombstones.isEmpty &&
       DiskannIndex.tombstoneFiles(spark, indexPath).isEmpty) return
-    val (fs, _) = hadoopFs(spark, indexPath)
-    val lock = new org.apache.hadoop.fs.Path(s"$indexPath/_compact.lock")
-    val timeoutMs = spark.conf.get("graft.compact.lockTimeoutMs", "3600000").toLong
-    // re-read-after-write settle; 0 is right for HDFS/local (atomic create
-    // makes the verify a formality), set to the store's read-after-write
-    // latency bound on S3A-like stores
-    val verifyDelayMs = spark.conf.get("graft.compact.lockVerifyDelayMs", "0").toLong
-    val ownerId = java.util.UUID.randomUUID().toString
-    // same-process writers serialize on the JVM gate first (create-
-    // exclusive is not atomic on local FS / object stores; see jvmLeases)
-    if (!jvmLeases.add(lock.toString))
-      throw new IllegalStateException(
-        s"compact: another writer in this process holds $lock; retry once " +
-          "it completes")
-    try compactLeased(spark, indexPath, tune, tombstones, force, fs, lock,
-      timeoutMs, verifyDelayMs, ownerId)
-    finally jvmLeases.remove(lock.toString)
+    // ONE lease protocol for every writer: acquisition, JVM gate,
+    // stale-steal jitter and the pre-install re-verify all live in
+    // WriterLock.withLeaseVerified — compact used to carry a line-for-line
+    // inline copy, which meant every lease fix had to land twice
+    graft.index.WriterLock.withLeaseVerified(spark, indexPath) { verify =>
+      compactLeased(spark, indexPath, tune, tombstones, force, verify)
+    }
   }
 
   private def compactLeased(spark: SparkSession, indexPath: String,
       tune: DiskannParams => DiskannParams, tombstones: Set[Long],
-      force: Boolean, fs: org.apache.hadoop.fs.FileSystem,
-      lock: org.apache.hadoop.fs.Path, timeoutMs: Long, verifyDelayMs: Long,
-      ownerId: String): Unit = {
-    def tryAcquire(): Boolean =
-      acquireLease(fs, lock, ownerId, exclusiveCreate = true, verifyDelayMs)
-    var acquired = tryAcquire()
-    if (!acquired) {
-      val stale = try {
-        System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime > timeoutMs
-      } catch { case _: java.io.FileNotFoundException => true }
-      // steal by OVERWRITE + re-read, never delete-then-create: with a
-      // delete first, two stealers can interleave (B's delete removes A's
-      // freshly-won lock) and BOTH verify — overwriting keeps the whole
-      // steal a single last-writer-wins race that at most one verifies.
-      // the steal verify always waits a jittered settle: a zero-delay
-      // overwrite+re-read gives two same-instant stealers a symmetric
-      // window to both pass (WriterLock.withLeaseVerified discipline)
-      if (stale)
-        acquired = acquireLease(fs, lock, ownerId, exclusiveCreate = false,
-          math.max(verifyDelayMs, 50L + scala.util.Random.nextInt(200)))
-    }
-    if (!acquired)
-      throw new IllegalStateException(
-        s"compact: another writer holds $lock (stolen only after " +
-          s"graft.compact.lockTimeoutMs=${timeoutMs}ms)")
-    try {
+      force: Boolean, verifyLease: () => Unit): Unit = {
+    val (fs, _) = hadoopFs(spark, indexPath)
+    locally {
       // snapshot the delta AND the tombstone registry UNDER the lock: a
       // predecessor may have consumed (and deleted) the files we saw before
       // acquiring it. The persisted registry folds into this rebuild
@@ -604,26 +578,21 @@ object StreamingIngest {
       // last-moment lease re-check before the irreversible generation swap:
       // if another writer stole our lease as stale mid-rebuild, abort here
       // rather than install over its work (see WriterLock.withLeaseVerified)
-      if (!holdsLease(fs, lock, ownerId)) {
-        fs.delete(tmp, true)
-        throw new IllegalStateException(
-          s"compact: writer lease on $lock lost mid-rebuild (stolen as " +
-            "stale); aborting before the generation swap")
-      }
+      try verifyLease()
+      catch { case e: IllegalStateException => fs.delete(tmp, true); throw e }
       if (!fs.rename(tmp, dst)) {
         fs.delete(tmp, true)
         throw new java.io.IOException(s"compact: could not install $dst")
       }
-      // drop exactly the consumed delta files; concurrent appends survive
+      // drop exactly the consumed delta files; concurrent appends survive.
+      // NEVER recursively delete the delta/tombstones DIRS, even when the
+      // post-consume listing says empty: appendBatchToDelta and deleteRows
+      // are lock-free by design, so a file can land between that listing
+      // and a dir delete — a recursive delete would destroy a committed
+      // batch the checkpoint will never replay (silent data loss) or
+      // resurrect a durable delete. Empty dirs cost one FS entry.
       consumed.foreach(p => fs.delete(p, false))
-      if (deltaFiles(spark, indexPath).isEmpty)
-        fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/delta"), true)
-      // same for the tombstone registry: only files folded into THIS
-      // generation are consumed; deleteRows landing during the rebuild
-      // survive and keep masking until the next compact
       consumedTombs.foreach(s => fs.delete(s.getPath, false))
-      if (DiskannIndex.tombstoneFiles(spark, indexPath).isEmpty)
-        fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/tombstones"), true)
       // GC. Retained roots: the new generation, plus the one it superseded
       // (the in-flight-reader grace window — the flat root when this was the
       // first compaction). With the manifest layout a retained generation's
@@ -650,10 +619,6 @@ object StreamingIngest {
       // registered edge views re-bind to the new generation (same-JVM
       // freshness; see EdgeViews' cross-JVM snapshot contract)
       graft.plans.EdgeViews.refresh(indexPath)
-    } finally {
-      // release only a lease we still hold: after a timeout-steal, deleting
-      // unconditionally would break the successor's lock
-      if (holdsLease(fs, lock, ownerId)) fs.delete(lock, false)
     }
   }
 
@@ -703,6 +668,9 @@ object StreamingIngest {
         if (norm(g) == norm(indexPath)) {
           fs.delete(new Path(s"$indexPath/nodes"), true)
           fs.delete(new Path(s"$indexPath/_meta"), true)
+          // per-generation sidecars go with the generation's data — a
+          // stale labelstats surviving here would later be read as current
+          fs.delete(new Path(s"$indexPath/labelstats"), true)
         } else fs.delete(new Path(g), true)
       } else {
         try fs.listStatus(new Path(s"$g/nodes")).foreach { st =>

@@ -10,6 +10,15 @@ import graft.functions.VectorFunctions._
   * planned as KnnIndexScan; everything else falls back to the native plan. */
 class KnnStrategySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
+
+  /** Post-compact invariant: consumed registry/delta FILES are gone; the
+    * DIR may remain (never recursively deleted — lock-free writers could
+    * land a file between a listing and a dir delete). */
+  private def dirEmpty(p: String): Boolean = {
+    val f = new java.io.File(p)
+    !f.exists() || Option(f.listFiles()).forall(_.forall(c =>
+      c.getName.startsWith("_") || c.getName.startsWith(".")))
+  }
   import spark.implicits._
 
   private val srcPath = "/root/testdata/sf0.001/embeddings.parquet"
@@ -526,8 +535,7 @@ class KnnStrategySpec extends AnyFunSuite {
       // compaction folds both: delta and tombstone dirs are consumed and
       // the same answers now come from the main graph alone
       graft.streaming.StreamingIngest.compact(spark, freshIdx)
-      assert(!new java.io.File(s"$freshIdx/delta").exists())
-      assert(!new java.io.File(s"$freshIdx/tombstones").exists())
+      assert(dirEmpty(s"$freshIdx/delta") && dirEmpty(s"$freshIdx/tombstones"))
       val folded = top(2)
       assert(folded.contains(9000L) && !folded.contains(0L), s"$folded")
     } finally KnnCatalog.unregister(freshSrc)
@@ -684,8 +692,7 @@ class KnnStrategySpec extends AnyFunSuite {
       assert(vac("delta_files_folded").toInt >= 1)
       assert(vac("tombstones_folded") == "2")
       assert(vac("generation_before") != vac("generation_after"))
-      assert(!new java.io.File(s"$ip/delta").exists())
-      assert(!new java.io.File(s"$ip/tombstones").exists())
+      assert(dirEmpty(s"$ip/delta") && dirEmpty(s"$ip/tombstones"))
       // identical answers from the compacted generation
       val post = top10
       assert(post == pre, s"vacuum changed results: $pre -> $post")

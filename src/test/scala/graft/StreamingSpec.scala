@@ -9,6 +9,15 @@ import graft.streaming.StreamingIngest
 
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
+
+  /** Post-compact invariant: consumed registry/delta FILES are gone; the
+    * DIR may remain (never recursively deleted — lock-free writers could
+    * land a file between a listing and a dir delete). */
+  private def dirEmpty(p: String): Boolean = {
+    val f = new java.io.File(p)
+    !f.exists() || Option(f.listFiles()).forall(_.forall(c =>
+      c.getName.startsWith("_") || c.getName.startsWith(".")))
+  }
   import spark.implicits._
 
   test("delta ingest: streamed vectors become searchable, compaction folds them in") {
@@ -60,7 +69,7 @@ class StreamingSpec extends AnyFunSuite {
     // original build params (metric/storage/R/L read back from _meta)
     val before = DiskannIndex.loadMeta(spark, path)
     StreamingIngest.compact(spark, path)
-    assert(!new java.io.File(s"$path/delta").exists())
+    assert(dirEmpty(s"$path/delta"))
     val meta = DiskannIndex.loadMeta(spark, path)
     assert(meta.numRows == 500)
     assert(meta.metric == before.metric && meta.storage == before.storage &&
@@ -125,7 +134,7 @@ class StreamingSpec extends AnyFunSuite {
       .map(_.getName).filter(_.startsWith("v")).sorted.toSeq
     assert(vs.last == "v000000002" && vs.length <= 2, vs.mkString(","))
     assert(DiskannIndex.loadMeta(spark, path).numRows == 500)
-    assert(!new java.io.File(s"$path/delta").exists())
+    assert(dirEmpty(s"$path/delta"))
     val queries = e.filter($"vec_id" === 450)
       .select($"vec_id".as("qid"), $"embedding".as("qvec"))
     val hits = StreamingIngest.searchFresh(spark, path, queries, k = 5,
@@ -443,7 +452,7 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(DiskannIndex.listVersions(spark, path) == Seq("v000000001"))
     assert(DiskannIndex.loadMeta(spark, path).numRows == 500)
-    assert(!new java.io.File(s"$path/delta").exists())
+    assert(dirEmpty(s"$path/delta"))
     // compacted rows serve from the main graph
     val queries = e.filter($"vec_id" === 470)
       .select($"vec_id".as("qid"), $"embedding".as("qvec"))
