@@ -144,11 +144,14 @@ object Layout {
           s"($e); serving unpruned until it is rewritten")
         return spark.read.parquet(path).filter(residual)
       }
-    // input_file_name() URIs and listing URIs must compare equal — both are
-    // fully-qualified Hadoop paths on the same FS, but normalize defensively
-    // (and normalize the manifest ONCE into a set: the orphan check must
-    // stay O(#files), it runs on every pruned read)
-    def norm(f: String) = f.stripPrefix("file:").replaceFirst("^/+", "/")
+    // input_file_name() URIs (percent-ESCAPED) and listing URIs (unescaped
+    // Hadoop paths) must compare equal: go through Path -> URI -> decoded
+    // path on both sides — a table dir containing a space or '%' would
+    // otherwise misclassify every manifested file as an orphan and serve
+    // each row twice. Normalize the manifest ONCE into a set: the orphan
+    // check must stay O(#files), it runs on every pruned read.
+    def norm(f: String) =
+      new org.apache.hadoop.fs.Path(f).toUri.getPath
     val manifested = zm.select(col("file")).collect()
       .map(r => norm(r.getString(0))).toSet
     val orphans = listDataFiles(spark, path)
@@ -166,12 +169,20 @@ object Layout {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) return Set.empty
+    val rootUri = fs.makeQualified(p).toUri.getPath.stripSuffix("/")
     val it = fs.listFiles(p, true)
     val out = Set.newBuilder[String]
     while (it.hasNext) {
       val s = it.next()
-      val name = s.getPath.getName
-      if (!name.startsWith("_") && !name.startsWith("."))
+      // hidden-ness is a property of EVERY path component under the root,
+      // not just the leaf: a recursive listing descends into _staging_<id>
+      // and _temporary dirs whose inner part files have plain names —
+      // classifying those as data would surface uncommitted writes
+      // (explicit leaf paths bypass Spark's own hidden-path filter)
+      val rel = s.getPath.toUri.getPath.stripPrefix(rootUri)
+        .stripPrefix("/")
+      if (!rel.split('/').exists(c =>
+          c.startsWith("_") || c.startsWith(".")))
         out += s.getPath.toString
     }
     out.result()

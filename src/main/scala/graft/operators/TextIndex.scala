@@ -835,14 +835,10 @@ object TextIndex {
     val marker = new org.apache.hadoop.fs.Path(s"$path/_stream/b$phys")
     if (fs.exists(marker)) return // fully committed on a previous attempt
     WriterLock.withLeaseVerified(spark, path) { verify =>
-      // re-check under the lease (another writer may have committed it)
+      // re-check under the lease (another writer may have committed it).
+      // Torn previous attempts need no scrub here: appendLocked is
+      // replace-by-batch-id and deletes this batch's partition dirs itself.
       if (!fs.exists(marker)) {
-        val root = resolveRoot(spark, path)
-        Seq("postings", "termstats", "corpusstats").foreach { d =>
-          // torn previous attempt: remove its partition dirs before rewrite
-          fs.delete(
-            new org.apache.hadoop.fs.Path(s"$root/$d/batch=$phys"), true)
-        }
         appendLocked(batch, idCol, textCol, path, phys, nBuckets)
         // re-verify before the marker commit: if our lease was stolen as
         // stale mid-append, a compaction may be folding the generation we

@@ -672,14 +672,20 @@ case class VacuumDiskannIndexCommand(target: Either[String, String],
     require(unknown.isEmpty,
       s"unknown VACUUM INDEX option(s) ${unknown.toSeq.sorted.mkString(", ")}; " +
         "known: incremental, tier")
+    // `tier` is the text/dedup LSM fold; silently ignoring it on an ANN
+    // target would let a user believe they ran the cheap fold — fail loud
+    // and name the ANN analog (the IVF incremental path) instead
+    def rejectTierForAnn(): Unit =
+      require(!opts.get("tier").exists(_.toBoolean),
+        "tier=true applies to text/dedup indexes (the LSM tier fold); ANN " +
+          "indexes compact incrementally by default — use incremental=true/false")
     // `ON '<path>'` on an unregistered TEXT or DEDUP artifact routes to
     // that artifact's own compactor — same tombstone-fold + generation-
     // install semantics, one SQL lifecycle for all three stored artifacts
     target match {
       case Right(p) if KnnCatalog.lookup(p).isEmpty =>
         GraftSqlParser.artifactKindAt(spark, p) match {
-          case Some("text") | Some("dedup") =>
-            val kind = GraftSqlParser.artifactKindAt(spark, p).get
+          case Some(kind @ ("text" | "dedup")) =>
             val tombsBefore =
               graft.index.DiskannIndex.loadTombstones(spark, p).size
             val rootBefore = graft.index.DiskannIndex.resolveRoot(spark, p)
@@ -703,6 +709,7 @@ case class VacuumDiskannIndexCommand(target: Either[String, String],
             // bare unregistered ANN artifact: same one-SQL-surface rule —
             // DELETE FROM INDEX ON '<path>' can mint tombstones here, so
             // VACUUM must be able to fold them without a registration
+            rejectTierForAnn()
             val deltaBefore =
               graft.streaming.StreamingIngest.deltaFiles(spark, p).length
             val tombsBefore =
@@ -728,6 +735,7 @@ case class VacuumDiskannIndexCommand(target: Either[String, String],
         }
       case _ =>
     }
+    rejectTierForAnn() // the registered fall-through is always ANN
     val entry = GraftSqlParser.resolveEntry(target)
     val ip = entry.indexPath
     val deltaBefore = graft.streaming.StreamingIngest.deltaFiles(spark, ip).length
@@ -838,11 +846,15 @@ case class ShowIndexHistoryCommand(target: Either[String, String])
         (p, k)
       case t => (GraftSqlParser.resolveEntry(t).indexPath, "ann")
     }
+    // through TierManifest: a tier-folded generation holds only the append
+    // tier locally and would otherwise report a fraction of its live rows
     def rowsAt(root: String): Long = kind match {
-      case "text" => spark.read.parquet(s"$root/corpusstats")
+      case "text" => graft.index.TierManifest
+        .tableDfAt(spark, root, "corpusstats")
         .agg(org.apache.spark.sql.functions.sum(
           org.apache.spark.sql.functions.col("n"))).head().getLong(0)
-      case "dedup" => spark.read.parquet(s"$root/signatures").count()
+      case "dedup" => graft.index.TierManifest
+        .tableDfAt(spark, root, "signatures").count()
       case _ => graft.index.DiskannIndex.stats(spark, root).numRows
     }
     val versions = graft.index.DiskannIndex.listVersions(spark, ip)
