@@ -1368,25 +1368,46 @@ object DiskannIndex {
       nProbe: Int = 0, maxResults: Int = 65536): Seq[(Long, Double)] = {
     var resumable = openResumableScan(spark, path0, qvec, qlabels,
       tombstones, nProbe = nProbe)
-    def round(kk: Int): Seq[(Long, Double)] = resumable match {
+    def round(kk: Int, l: Int): Seq[(Long, Double)] = resumable match {
       case Some(h) =>
-        h.topK(kk, math.max(searchListSize, kk), rescore)
+        h.topK(kk, math.max(l, kk), math.max(rescore, l))
           .map(r => (r.getLong(1), r.getDouble(2))).toSeq
       case None =>
         val hits = searchPoint(spark, path0, qvec, kk,
-          math.max(searchListSize, kk), rescore, nProbe, qlabels, tombstones)
+          math.max(l, kk), math.max(rescore, l), nProbe, qlabels, tombstones)
         resumable = openResumableScan(spark, path0, qvec, qlabels,
           tombstones, nProbe = nProbe)
         hits
     }
+    // EXHAUSTIVENESS is owned here, not by caller-tuned parameters: the
+    // greedy traversal at a given search-list size L can clear the radius
+    // (deepest returned distance > radius) while un-returned in-radius rows
+    // sit beyond its frontier — a top-k result hides that behind k, a range
+    // result cannot. So the escalation widens L TOGETHER with kk and only
+    // stops once the in-radius ID SET is UNCHANGED across a 4x widening
+    // (or the maxResults cap is hit — the documented truncation bound for
+    // radii that cover the corpus). L quadruples per round, so the confirm
+    // round re-pays little: the resumable frontier extends instead of
+    // re-searching, and a stable set is typically confirmed in one extra
+    // round at 4x the L that found it.
     var kk = math.max(1, math.min(64, maxResults))
+    var l = math.max(searchListSize, kk)
+    var prevInRadius: Option[Set[Long]] = None
     var out: Seq[(Long, Double)] = null
     while (out == null) {
-      val hits = round(kk)
-      val exhausted = hits.length < kk || kk >= maxResults
-      if (exhausted || hits.last._2 > radius)
-        out = hits.filter(_._2 <= radius).take(maxResults)
-      else kk = math.min(maxResults, kk * 4)
+      val hits = round(kk, l)
+      val inRadius = hits.filter(_._2 <= radius)
+      val cleared = hits.length < kk || hits.lastOption.forall(_._2 > radius)
+      if (kk >= maxResults)
+        out = inRadius.take(maxResults)
+      else if (cleared && prevInRadius.contains(inRadius.map(_._1).toSet))
+        out = inRadius.take(maxResults)
+      else {
+        prevInRadius =
+          if (cleared) Some(inRadius.map(_._1).toSet) else None
+        kk = math.min(maxResults, kk * 4)
+        l = math.max(l * 4, kk)
+      }
     }
     out
   }

@@ -732,7 +732,11 @@ object Dedup {
           .collect().map(_.getLong(0))
         val foldable = localBatches.filterNot(unmarked)
           .filterNot(b => baseOpt.isEmpty && b == 0L)
-        if (foldable.length < 2) return false
+        // expression form, no non-local returns: a `return` from this
+        // lambda rides on NonLocalReturnControl, which any future
+        // catch-Throwable in the lease plumbing would swallow
+        if (foldable.length < 2) false
+        else {
         def isFoldable(c: org.apache.spark.sql.Column) =
           c.cast(LongType).isin(foldable.toSeq.map(Long.box): _*)
         installGen(tmp => {
@@ -750,10 +754,10 @@ object Dedup {
           graft.index.TierManifest.writeTiermeta(spark, tmp.toString, root,
             base)
         }, alsoKeep = Set(base))
-        return true
+        true
+        }
       }
-
-      if (nFoldable <= 1L && dead.isEmpty &&
+      else if (nFoldable <= 1L && dead.isEmpty &&
           graft.index.TierManifest.tierBase(spark, root).isEmpty) false
       else {
         installGen(tmp => {

@@ -247,11 +247,19 @@ object Layout {
         //    them — so the manifest rows for this id are also scrubbed by
         //    rewriting the zonemap without them before re-append.
         require(id.matches("[A-Za-z0-9_-]+"), s"unsafe sliceId: $id")
+        // File names carry the id, and ids may contain the `_` delimiter —
+        // a raw `slice_<id>_` prefix would make slice `a`'s crash scrub
+        // match (and DELETE) slice `a_b`'s committed files. Encode `_` as
+        // `.` (outside the id charset, so the map is injective) — the tag
+        // then contains no `_`, which makes `slice_<tag>_` prefixes
+        // mutually non-nesting: the first `_` after "slice_" always ends
+        // the tag, so distinct ids can never prefix-match each other.
+        val tag = id.replace('_', '.')
         val marker = new org.apache.hadoop.fs.Path(root, s"_slice_$id")
         if (fs.exists(marker)) return
         val staging = new org.apache.hadoop.fs.Path(root, s"_staging_$id")
         if (fs.exists(staging)) fs.delete(staging, true)
-        val prefix = s"slice_${id}_"
+        val prefix = s"slice_${tag}_"
         val leftovers = listDataFiles(spark, path)
           .filter(f => new org.apache.hadoop.fs.Path(f).getName
             .startsWith(prefix))
@@ -263,7 +271,11 @@ object Layout {
           // collect + rewrite is bounded and avoids overwrite-from-self
           if (fs.exists(new org.apache.hadoop.fs.Path(zmPath))) {
             val zm = spark.read.parquet(zmPath)
-            val kept = zm.filter(!col("file").contains(prefix)).collect()
+            // match the file BASENAME against the exact slice prefix — a
+            // substring contains() could hit the prefix anywhere in the
+            // path (e.g. a parent dir name) and scrub an innocent row
+            val base = element_at(split(col("file"), "/"), -1)
+            val kept = zm.filter(!base.startsWith(prefix)).collect()
             spark.createDataFrame(
                 spark.sparkContext.parallelize(kept.toSeq, 1), zm.schema)
               .write.mode("overwrite").parquet(zmPath)

@@ -634,7 +634,10 @@ object TextIndex {
 
       // ---- TIER FOLD: collapse local append batches, reference the base.
       // Pending tombstones force the full fold below (VACUUM must rewrite
-      // the base to physically drop dead rows).
+      // the base to physically drop dead rows). Structured as an expression
+      // (no non-local returns): a `return` from this lambda rides on
+      // NonLocalReturnControl, which any future catch-Throwable inside the
+      // lease plumbing would swallow and corrupt the Boolean result.
       if (tiered && dead.isEmpty &&
           DiskannIndex.tombstoneFiles(spark, path).isEmpty) {
         val base = tierBase(spark, root).getOrElse(root)
@@ -642,7 +645,8 @@ object TextIndex {
           .select(col("batch").cast(LongType)).collect().map(_.getLong(0))
         val foldable = localBatches.filterNot(unmarked)
           .filterNot(b => tierBase(spark, root).isEmpty && b == 0L)
-        if (foldable.length < 2) return false
+        if (foldable.length < 2) false
+        else {
         val nB = readMeta(spark, path).nBuckets
         def isFoldable(c: org.apache.spark.sql.Column) =
           c.cast(LongType).isin(foldable.toSeq.map(Long.box): _*)
@@ -686,10 +690,10 @@ object TextIndex {
           graft.index.TierManifest.writeTiermeta(spark, tmp.toString, root,
             base)
         }, alsoKeep = Set(base))
-        return true
+        true
+        }
       }
-
-      if (nFoldable <= 1L && dead.isEmpty && tierBase(spark, root).isEmpty)
+      else if (nFoldable <= 1L && dead.isEmpty && tierBase(spark, root).isEmpty)
         false
       else {
         // the bucket count is a build-time constant recorded in idxmeta —

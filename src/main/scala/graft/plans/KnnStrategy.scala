@@ -491,12 +491,17 @@ case class KnnIndexScanExec(outAttrs: Seq[AttributeReference], spark: SparkSessi
       DiskannIndex.labelCounts(spark, entry.indexPath).map { m =>
         ls.map(l => m.getOrElse(l, 0L)).sum
       })
+    // the delta term is its EXACT row count from parquet footers (O(#files)
+    // driver metadata) — added OUTSIDE the label min because labelstats only
+    // cover the built graph, and a delta row with a matching label is
+    // returnable too. Over-count (tombstoned rows) is safe; the snapshot
+    // races are covered in deltaRowCount's doc.
     val total = math.min(
       labelPop.getOrElse(Long.MaxValue),
       DiskannIndex.loadMeta(spark, entry.indexPath).numRows) +
-      (if (hasDelta) maxOverfetch.toLong else 0L) // delta size unknown; only
-    // the `kk >= total` exhaustion shortcut cares, and overshooting it just
-    // means one more (correct) escalation round before the cap bails out
+      (if (hasDelta)
+        graft.streaming.StreamingIngest.deltaRowCount(spark, entry.indexPath)
+      else 0L)
     val cap = math.max(k.toLong, math.min(total, maxOverfetch.toLong))
       .min(Int.MaxValue).toInt
 

@@ -182,11 +182,11 @@ object AnnQueries {
       val path = ensureIndex(s, d, "cos", emb(s, d), labeled = false)
       val q = emb(s, d).filter(col("vec_id") === 0)
         .head().getAs[scala.collection.mutable.ArraySeq[Float]]("embedding")
-      // L=2048 keeps the traversal exhaustive at the sf0.1 spot-check scale
-      // too (2000 vectors), not just the sf0.01 gate — a RANGE result has
-      // no k to hide behind, every in-radius row must surface
-      DiskannIndex.rangeSearch(s, path, q.toArray, radius = 0.8000005,
-          searchListSize = 2048, rescore = 2048)
+      // DEFAULT search params: exhaustiveness is the ALGORITHM's contract
+      // now — rangeSearch widens L with kk until the in-radius set
+      // stabilizes across a 4x widening, so no query-site L tuning is
+      // needed at any sf (a RANGE result has no k to hide behind)
+      DiskannIndex.rangeSearch(s, path, q.toArray, radius = 0.8000005)
         .toDF("vec_id", "dist")
         .filter(col("vec_id") =!= 0)
         .select(col("vec_id"), round(col("dist"), 6).as("dist"))

@@ -43,6 +43,14 @@ object StreamingIngest {
     // another's in-flight staging. Anything older than the stale-lease
     // horizon is orphaned by the same argument that lets the lease be
     // stolen (a live staging write finishes in seconds, not an hour).
+    // CLOCK-SKEW CONTRACT (shared with the lease-steal horizon): the
+    // embedded timestamp is the CREATING writer's clock, the comparison
+    // below uses the SCRUBBING writer's — cross-host skew greater than
+    // lockTimeoutMs could classify a live peer's staging as stale. The
+    // failure is loud, not silent (the victim's rename into delta/ fails
+    // and the micro-batch replays under the at-least-once contract), but
+    // deployments with unsynchronized clocks should raise
+    // graft.compact.lockTimeoutMs well above their worst-case skew.
     val staleMs =
       spark.conf.get("graft.compact.lockTimeoutMs", "3600000").toLong
     val bornRe = "_deltatmp_(\\d+)_.*".r
@@ -156,6 +164,26 @@ object StreamingIngest {
     * SQL-planned scan uses to route through the delta-merging search. */
   private[graft] def hasDelta(spark: SparkSession, indexPath: String): Boolean =
     deltaFiles(spark, indexPath).nonEmpty
+
+  /** Pending-delta row count from parquet FOOTERS only — O(#files) driver
+    * metadata, no data scan: bounds the residual scan's over-fetch
+    * exhaustion cap (KnnStrategy) so a small delta exhausts in round 1
+    * instead of escalating through the ladder just to discover the delta
+    * was tiny. Snapshot semantics match the search's: a file consumed by a
+    * concurrent compact mid-count contributes 0, and its rows re-appear in
+    * the GENERATION row count the same caller reads (the compact moved
+    * them into main); appends landing after the count are invisible to
+    * this query's snapshot anyway. */
+  private[graft] def deltaRowCount(spark: SparkSession, indexPath: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    deltaFiles(spark, indexPath).map { p =>
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      } catch { case _: java.io.IOException => 0L }
+    }.sum
+  }
 
   /** Search main graph + current delta (exact over the delta side).
     *

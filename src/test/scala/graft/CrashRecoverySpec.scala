@@ -255,6 +255,43 @@ class CrashRecoverySpec extends AnyFunSuite {
     assert(zm.count() == zm.select($"file").distinct().count())
   }
 
+  test("zorderAppend slice recovery never scrubs a sibling whose id shares a prefix (a vs a_b)") {
+    val base = "/tmp/graft_test_index/crash_layout_slice_prefix"
+    deleteRec(new java.io.File(base))
+    val zpath = s"$base/table"
+    val df = spark.range(300).select($"id",
+      ($"id" % 53).cast("double").as("a"), ($"id" % 17).cast("double").as("b"))
+    Layout.zorderWrite(df, Seq("a", "b"), zpath, nFiles = 2)
+    Layout.writeZonemap(spark, zpath, Seq("a", "b"))
+    // slice "a_b" commits fully first
+    val sliceAB = spark.range(300, 500).select($"id",
+      ($"id" % 53).cast("double").as("a"), ($"id" % 17).cast("double").as("b"))
+    Layout.zorderAppend(sliceAB, Seq("a", "b"), zpath, nFiles = 2,
+      sliceId = Some("a_b"))
+    // then slice "a" runs (a fresh run IS the leftover-scrub path: it must
+    // not classify slice_a_b's committed files as its own crashed leftovers)
+    val sliceA = spark.range(500, 700).select($"id",
+      ($"id" % 53).cast("double").as("a"), ($"id" % 17).cast("double").as("b"))
+    Layout.zorderAppend(sliceA, Seq("a", "b"), zpath, nFiles = 2,
+      sliceId = Some("a"))
+    val ranges = Seq(("a", 0.0, 100.0), ("b", 0.0, 100.0))
+    def readAll() = Layout.prunedReadStored(spark, zpath, ranges)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(readAll() == (0L until 700L).toSet,
+      "slice 'a' install scrubbed sibling slice 'a_b' data")
+    // crash-replay of "a" (marker lost): scrub+redo must still only touch
+    // slice "a"'s own files and manifest rows
+    val fs = fsOf(zpath)
+    assert(fs.delete(
+      new org.apache.hadoop.fs.Path(s"$zpath/_slice_a"), false))
+    Layout.zorderAppend(sliceA, Seq("a", "b"), zpath, nFiles = 2,
+      sliceId = Some("a"))
+    assert(readAll() == (0L until 700L).toSet,
+      "crash replay of slice 'a' lost or duplicated sibling rows")
+    val zm = spark.read.parquet(s"${zpath}_zonemap")
+    assert(zm.count() == zm.select($"file").distinct().count())
+  }
+
   // ---------------------------------------------------- rag chunk replay
 
   test("rag_context_pack replays bit-identically against a freshly built chunk index") {

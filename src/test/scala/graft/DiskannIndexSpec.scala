@@ -69,22 +69,22 @@ class DiskannIndexSpec extends AnyFunSuite {
     def expectWithin(r: Double) = exact.filter(_._2 <= r).sortBy(x => (x._2, x._1))
     // cold (escalates via searchPoint round 1, resumes after)
     val mid = expectWithin(0.8)
-    val gotCold = DiskannIndex.rangeSearch(spark, path, q, 0.8,
-      searchListSize = 600, rescore = 600).sortBy(x => (x._2, x._1))
+    // DEFAULT params everywhere: exhaustiveness is rangeSearch's own
+    // contract (L widens with kk until the in-radius set stabilizes)
+    val gotCold = DiskannIndex.rangeSearch(spark, path, q, 0.8)
+      .sortBy(x => (x._2, x._1))
     assert(gotCold.map(_._1) == mid.map(_._1), s"cold range scan diverged")
     assert(mid.nonEmpty && mid.length < exact.length,
       "fixture radius should be selective but non-empty")
     // warm (resumable frontier drives every round)
-    val gotWarm = DiskannIndex.rangeSearch(spark, path, q, 0.8,
-      searchListSize = 600, rescore = 600).sortBy(x => (x._2, x._1))
+    val gotWarm = DiskannIndex.rangeSearch(spark, path, q, 0.8)
+      .sortBy(x => (x._2, x._1))
     assert(gotWarm == gotCold, "warm scan must equal the cold scan")
     // radius past the whole corpus: exhaustion returns every row
-    val all = DiskannIndex.rangeSearch(spark, path, q, Double.MaxValue,
-      searchListSize = 600, rescore = 600)
+    val all = DiskannIndex.rangeSearch(spark, path, q, Double.MaxValue)
     assert(all.length == exact.length, s"exhaustive scan got ${all.length}")
     // tiny radius: only the query row itself (dist 0)
-    val self = DiskannIndex.rangeSearch(spark, path, q, 1e-9,
-      searchListSize = 600, rescore = 600)
+    val self = DiskannIndex.rangeSearch(spark, path, q, 1e-9)
     assert(self.map(_._1) == Seq(0L))
   }
 

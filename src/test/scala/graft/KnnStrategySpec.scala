@@ -341,6 +341,48 @@ class KnnStrategySpec extends AnyFunSuite {
     } finally KnnCatalog.unregister(lblSrc)
   }
 
+  test("delta-size bound: a small index + small delta exhausts in round 1") {
+    // 60 rows in the main graph + 4 pending delta rows = 64 returnable
+    // rows, exactly the default first-round over-fetch. With the delta
+    // counted from parquet footers, round 1 kk == total ⇒ exhausted; with
+    // the old "delta size unknown ⇒ +maxOverfetch" term the loop burned
+    // every escalation round and bailed to brute force.
+    val dSrc = "/tmp/graft_test_index/strategy_delta_bound_src"
+    val dIdx = "/tmp/graft_test_index/strategy_delta_bound_idx"
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    deleteRec(new java.io.File(dIdx))
+    val e = spark.read.parquet(srcPath).filter($"vec_id" < 64)
+    e.write.mode("overwrite").parquet(dSrc)
+    DiskannIndex.build(spark.read.parquet(dSrc).filter($"vec_id" < 60),
+      "vec_id", "embedding", None, dIdx, DiskannParams(metric = "cosine"))
+    spark.read.parquet(dSrc).filter($"vec_id" >= 60)
+      .select($"vec_id".as("row_id"), $"embedding".as("vec"))
+      .write.mode("append").parquet(s"$dIdx/delta")
+    Graft.enable(spark)
+    KnnCatalog.register(dSrc, KnnCatalog.Entry(dIdx, dSrc,
+      "vec_id", "embedding", None, "cosine"))
+    try {
+      assert(graft.streaming.StreamingIngest.deltaRowCount(spark, dIdx) == 4L)
+      // only 4 survivors (1,17,33,49) < k=5: without the exhaustion
+      // shortcut the loop must escalate/bail; with it, round 1 is terminal
+      // (k=5 stays under the cost gate's n*maxKFraction = 6 on 60 rows)
+      val q = spark.sql(
+        s"""SELECT vec_id FROM parquet.`$dSrc` WHERE vec_id % 16 = 1
+           |ORDER BY vec_cosine_dist(embedding, $qvecSql) LIMIT 5""".stripMargin)
+      val got = q.collect().map(_.getLong(0)).toSeq.sorted
+      assert(got == Seq(1L, 17L, 33L, 49L), s"got $got")
+      val scan = q.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case k: graft.plans.KnnIndexScanExec => k }
+      assert(scan.isDefined, "expected a KnnIndexScan with residual recheck")
+      val rounds = scan.get.metrics("numEscalationRounds").value
+      assert(rounds == 1,
+        s"delta-bounded scan should exhaust in round 1, took $rounds")
+    } finally KnnCatalog.unregister(dSrc)
+  }
+
   test("KnnIndexScan reports scan telemetry via SQLMetrics (V5)") {
     setup
     val df = spark.sql(
