@@ -67,6 +67,117 @@ class ConcurrencySpec extends AnyFunSuite {
     }
   }
 
+  // -------------------------------------------- stale-lease steal protocol
+  // The same-JVM gate (StreamingIngest.jvmLeases) serializes in-process
+  // writers BEFORE the file lease is contended, so these tests exercise the
+  // cross-process steal machinery directly — acquireLease / holdsLease with
+  // distinct ownerIds on one lock file, the reference's multi-process
+  // concurrent-writer shape (tests/test_concurrent_inserts.py:20-195).
+
+  private def lockFsFor(path: String) = {
+    val lock = new org.apache.hadoop.fs.Path(s"$path/_compact.lock")
+    (lock.getFileSystem(spark.sessionState.newHadoopConf()), lock)
+  }
+
+  test("stale-lease steal: two owners racing an overwrite-steal leave exactly one holder") {
+    val base = "/tmp/graft_test_index/conc_lease_race"
+    deleteRec(new java.io.File(base))
+    new java.io.File(base).mkdirs()
+    val (fs, lock) = lockFsFor(base)
+    // a crashed writer's stale lease is already on disk
+    assert(StreamingIngest.acquireLease(fs, lock, "dead-writer"))
+    var roundsWithHolder = 0
+    for (round <- 1 to 20) {
+      // both stealers overwrite (exclusiveCreate=false simulates the object
+      // store where create is never exclusive) from a common start line
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val resA = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val resB = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val ts = Seq(
+        inThread(s"stealA$round") { gate.await()
+          resA.set(StreamingIngest.acquireLease(fs, lock, "owner-A",
+            exclusiveCreate = false, verifyDelayMs = 5L)) },
+        inThread(s"stealB$round") { gate.await()
+          resB.set(StreamingIngest.acquireLease(fs, lock, "owner-B",
+            exclusiveCreate = false, verifyDelayMs = 5L)) })
+      gate.countDown()
+      joinAll(ts)
+      // acquireLease alone may let BOTH believe they won (interleaved
+      // write/re-read — exactly the non-atomic steal hazard): the contract
+      // is that the PRE-INSTALL re-verify disambiguates. The safety
+      // invariant is AT MOST ONE holder at that point — zero holders is
+      // legal too (interleaved overwrites can tear the local-FS read, e.g.
+      // a checksum sidecar from the loser's write; both writers then abort
+      // at their verify and retry, which is safe), but never two.
+      val aHolds = StreamingIngest.holdsLease(fs, lock, "owner-A")
+      val bHolds = StreamingIngest.holdsLease(fs, lock, "owner-B")
+      assert(!(aHolds && bHolds),
+        s"round $round: two writers both hold the lease at verify time")
+      if (aHolds || bHolds) roundsWithHolder += 1
+      // a sole verified acquirer must still be the holder — its steal was
+      // uncontested at re-read time and nothing overwrote it since
+      if (resA.get() && !resB.get())
+        assert(aHolds, s"round $round: sole verified acquirer A lost the lease")
+      if (resB.get() && !resA.get())
+        assert(bHolds, s"round $round: sole verified acquirer B lost the lease")
+      // reset to the stale state for the next round
+      fs.delete(lock, false)
+      assert(StreamingIngest.acquireLease(fs, lock, "dead-writer"))
+    }
+    // liveness sanity: the steal is not perpetually futile
+    assert(roundsWithHolder > 0, "no round ever produced a lease holder")
+  }
+
+  test("withLeaseVerified: a writer whose lease is stolen mid-fold aborts at verify and never deletes the thief's lease") {
+    val base = "/tmp/graft_test_index/conc_lease_verify"
+    deleteRec(new java.io.File(base))
+    new java.io.File(base).mkdirs()
+    val (fs, lock) = lockFsFor(base)
+    val reachedVerify = new java.util.concurrent.CountDownLatch(1)
+    val stolen = new java.util.concurrent.CountDownLatch(1)
+    val aborted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val ts = Seq(inThread("victim") {
+      try graft.index.WriterLock.withLeaseVerified(spark, base) { verify =>
+        reachedVerify.countDown()
+        // wait until the "other process" has overwritten our lease
+        assert(stolen.await(60, java.util.concurrent.TimeUnit.SECONDS))
+        verify() // must throw: the irreversible step may not proceed
+        fail("verify() passed after the lease was stolen")
+      } catch {
+        case _: IllegalStateException => aborted.set(true)
+      }
+    })
+    assert(reachedVerify.await(60, java.util.concurrent.TimeUnit.SECONDS))
+    // another PROCESS (simulated: direct file overwrite, invisible to this
+    // JVM's gate) steals the lease as stale and re-verifies it
+    assert(StreamingIngest.acquireLease(fs, lock, "thief",
+      exclusiveCreate = false))
+    stolen.countDown()
+    joinAll(ts)
+    assert(aborted.get(), "victim must abort with IllegalStateException")
+    // the victim's exit path must NOT delete the thief's fresh lease
+    assert(StreamingIngest.holdsLease(fs, lock, "thief"),
+      "loser's cleanup deleted the thief's lease")
+  }
+
+  test("withLeaseVerified: a stale lock past lockTimeoutMs is stolen and the writer proceeds") {
+    val base = "/tmp/graft_test_index/conc_lease_stale"
+    deleteRec(new java.io.File(base))
+    new java.io.File(base).mkdirs()
+    val (fs, lock) = lockFsFor(base)
+    assert(StreamingIngest.acquireLease(fs, lock, "crashed-writer"))
+    // backdate the lock beyond the steal horizon
+    val old = System.currentTimeMillis() - 7200_000L
+    fs.setTimes(lock, old, old)
+    var ran = false
+    graft.index.WriterLock.withLeaseVerified(spark, base) { verify =>
+      verify() // we are the thief and the only writer: verify passes
+      ran = true
+    }
+    assert(ran, "stale lock must be stolen, not block the writer")
+    assert(!fs.exists(lock), "winner must release the lease on exit")
+  }
+
   test("ANN index: racing delta appends / deletes / compactions / searches lose nothing") {
     val path = "/tmp/graft_test_index/conc_ann"
     deleteRec(new java.io.File(path))
