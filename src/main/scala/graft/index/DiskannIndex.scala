@@ -477,20 +477,25 @@ object DiskannIndex {
   }
 
   /**
-   * Incremental (IVF-partial) compaction rebuild — the LSM-style answer to
-   * "aminsert updates the live graph in place": with an IVF partitioner,
-   * every delta row routes to exactly one centroid's shard, so only shards
-   * that RECEIVE delta rows or LOSE tombstoned rows need graph work.
-   * Writes a complete new index root at `dstPath`:
+   * Incremental compaction — the LSM-style answer to "aminsert updates the
+   * live graph in place": every delta row routes to exactly one shard
+   * (nearest frozen centroid for ivf, pmod(xxhash64(row_id)) for hash), so
+   * only shards that RECEIVE delta rows or LOSE tombstoned rows get graph
+   * work. Writes a complete new index root at `dstPath`:
    *
-   *  - affected shards rebuild from (surviving existing rows ∪ delta rows)
-   *    using the FROZEN quantizer and centroids from `meta` — retraining
-   *    would silently invalidate the codes and routing of every untouched
-   *    shard;
-   *  - every untouched shard's parquet files are copied byte-for-byte (IO,
-   *    no decode, no O(n·R·L·dim) graph build — at scale the build compute
-   *    dwarfs the copy; a manifest-based layout that reuses files across
-   *    generations without copying is the noted next step);
+   *  - DELTA-ONLY shards take the LIVE-INSERT fold ([[insertFoldNodes]]):
+   *    the frozen shard graph is seeded verbatim and only the appended rows
+   *    are inserted (the reference's aminsert / Graph::insert,
+   *    build.rs:464-557, per shard) — O(inserted · search) graph work,
+   *    never O(shard);
+   *  - shards losing TOMBSTONED rows rebuild from (surviving ∪ delta) rows
+   *    (removal shifts node indices, invalidating stored edges) — always
+   *    with the FROZEN quantizer and centroids from `meta`, since
+   *    retraining would silently invalidate the codes and routing of every
+   *    untouched shard;
+   *  - every untouched shard is carried as a MANIFEST reference (shardDirs)
+   *    with its cache epoch preserved — a metadata-only commit, no copy of
+   *    the untouched corpus;
    *  - a fresh `_meta` (updated numRows, new buildId) finalizes the root.
    *
    * Returns the new row count — or None REFUSING the partial rebuild when
@@ -511,14 +516,21 @@ object DiskannIndex {
       else null
     val modelBc = spark.sparkContext.broadcast(model)
     val dimsToIndex = meta.dimsToIndex
-    val ivfBc = spark.sparkContext.broadcast(
-      graft.operators.Similarity.IvfModel(meta.centroids))
-    val assign = udf((v: mutable.Seq[Float]) => {
-      val raw = v.toArray
-      val sliced = if (dimsToIndex > 0) raw.take(dimsToIndex) else raw
-      val bv = if (metric == Metric.Cosine) VectorKernels.normalize(sliced) else sliced
-      ivfBc.value.nearest(bv, 1)(0)
-    })
+    // delta rows route to exactly one shard by the SAME rule the build
+    // used: nearest frozen centroid (ivf) or pmod(xxhash64(row_id)) (hash)
+    val routeCol: org.apache.spark.sql.Column =
+      if (meta.partitioner == "ivf") {
+        val ivfBc = spark.sparkContext.broadcast(
+          graft.operators.Similarity.IvfModel(meta.centroids))
+        val assign = udf((v: mutable.Seq[Float]) => {
+          val raw = v.toArray
+          val sliced = if (dimsToIndex > 0) raw.take(dimsToIndex) else raw
+          val bv = if (metric == Metric.Cosine) VectorKernels.normalize(sliced) else sliced
+          ivfBc.value.nearest(bv, 1)(0)
+        })
+        assign(col("vec"))
+      } else
+        pmod(xxhash64(col("row_id")), lit(meta.numShards)).cast(IntegerType)
     val tombDf = spark.createDataset(tombstones.toSeq)(
       org.apache.spark.sql.Encoders.scalaLong).toDF("row_id")
     // tombstones apply to the DELTA too: a row appended and then deleted
@@ -535,7 +547,7 @@ object DiskannIndex {
       .dropDuplicates("row_id")
       .transform(d => if (tombstones.isEmpty) d
         else d.join(broadcast(tombDf), Seq("row_id"), "left_anti"))
-      .withColumn("shard", assign(col("vec")))
+      .withColumn("shard", routeCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val existing = nodesDf(spark, srcRoot, meta, 0 until meta.numShards)
@@ -583,16 +595,44 @@ object DiskannIndex {
         }
         if (oversized.nonEmpty) return None
 
-        val oldAffected = existing.filter(col("shard").isin(affectedCol: _*))
-          .select(col("row_id"), col("vec"), col("labels"), col("shard"))
-        val survivors =
-          if (tombstones.isEmpty) oldAffected
-          else oldAffected.join(broadcast(tombDf), Seq("row_id"), "left_anti")
-        val rebuildRows = survivors.unionByName(deltaAssigned)
-          .repartition(affected.length, col("shard"))
-        val nodes = buildShardNodes(rebuildRows, metric, modelBc,
-          meta.hasLabels, dimsToIndex, meta.numNeighbors, meta.searchListSize,
-          meta.maxAlpha)
+        // LIVE-INSERT fold (the reference's aminsert / Graph::insert,
+        // build.rs:464-557, applied per routed shard): a shard that only
+        // RECEIVES delta rows keeps its frozen graph and has the new rows
+        // inserted into it — O(inserted · search) graph work instead of an
+        // O(shard) rebuild. A shard LOSING tombstoned rows must rebuild
+        // (removal shifts the node indices its edges point at).
+        val insertFoldOn =
+          spark.conf.get("graft.compact.insertFold", "true").toBoolean
+        val insertShards =
+          if (insertFoldOn)
+            affected.filter(s => tombByShard.getOrElse(s, 0L) == 0L &&
+              deltaByShard.getOrElse(s, 0L) > 0L)
+          else Seq.empty[Int]
+        val insertSet = insertShards.toSet
+        val rebuildShards = affected.filterNot(insertSet)
+
+        val rebuiltNodes: Option[DataFrame] =
+          if (rebuildShards.isEmpty) None
+          else {
+            val rCol = rebuildShards.map(Integer.valueOf)
+            val oldAffected = existing.filter(col("shard").isin(rCol: _*))
+              .select(col("row_id"), col("vec"), col("labels"), col("shard"))
+            val survivors =
+              if (tombstones.isEmpty) oldAffected
+              else oldAffected.join(broadcast(tombDf), Seq("row_id"), "left_anti")
+            val rebuildRows = survivors
+              .unionByName(deltaAssigned.filter(col("shard").isin(rCol: _*)))
+              .repartition(rebuildShards.length, col("shard"))
+            Some(buildShardNodes(rebuildRows, metric, modelBc,
+              meta.hasLabels, dimsToIndex, meta.numNeighbors,
+              meta.searchListSize, meta.maxAlpha))
+          }
+        val foldedNodes: Option[DataFrame] =
+          if (insertShards.isEmpty) None
+          else Some(insertFoldNodes(spark, srcRoot, meta, insertShards,
+            deltaAssigned, metric, modelBc))
+        val nodes = (rebuiltNodes.toSeq ++ foldedNodes.toSeq)
+          .reduce(_ unionByName _)
         inPhase(spark, PhaseBuilding, dstPath) {
           nodes.write.mode("overwrite").partitionBy("shard")
             .parquet(s"$dstPath/nodes")
@@ -647,6 +687,98 @@ object DiskannIndex {
       }
       Some((newRows, affected))
     } finally deltaAssigned0.unpersist(false)
+  }
+
+  /**
+   * Per-shard LIVE-INSERT fold: each task receives one shard's FROZEN node
+   * rows plus the delta rows routed to it, seeds a [[VamanaBuilder]] with
+   * the stored adjacency ([[VamanaBuilder.seedFrozen]]) and inserts only
+   * the new rows through the normal build-insert path — the reference's
+   * `aminsert` semantics (build.rs:464-557) re-expressed per shard. Old
+   * nodes keep their indices (appended rows take the next ones), so stored
+   * edges stay valid and only lists a back-edge actually touches are
+   * rewritten with fresh distances. Graph work is O(inserted · search);
+   * the shard is re-written (IO) but never re-BUILT (compute).
+   */
+  private def insertFoldNodes(spark: SparkSession, srcRoot: String,
+      meta: IndexMeta, shards: Seq[Int], deltaAssigned: DataFrame,
+      metric: Metric,
+      modelBc: org.apache.spark.broadcast.Broadcast[SbqModel]): DataFrame = {
+    val dimsToIndex = meta.dimsToIndex
+    val hasLabels = meta.hasLabels
+    val r = meta.numNeighbors
+    val l = meta.searchListSize
+    val alpha = meta.maxAlpha
+    val sCol = shards.map(Integer.valueOf)
+    val oldRowsDf = nodesDf(spark, srcRoot, meta, shards)
+      .select(col("shard"), col("node"), col("row_id"), col("vec"),
+        col("code"), col("labels").cast(ArrayType(ShortType)).as("labels"),
+        col("neighbors"))
+    // appended rows carry node = -1 until the task assigns the next indices
+    val freshRowsDf = deltaAssigned.filter(col("shard").isin(sCol: _*))
+      .select(col("shard"), lit(-1).as("node"), col("row_id"), col("vec"),
+        lit(null).cast(ArrayType(LongType)).as("code"),
+        col("labels").cast(ArrayType(ShortType)).as("labels"),
+        lit(null).cast(ArrayType(IntegerType)).as("neighbors"))
+    oldRowsDf.unionByName(freshRowsDf)
+      .repartition(shards.length, col("shard"))
+      .mapPartitions { it =>
+        val m = modelBc.value
+        val byShard = mutable.Map.empty[Int, mutable.ArrayBuffer[Row]]
+        it.foreach { row =>
+          byShard.getOrElseUpdate(row.getAs[Int]("shard"),
+            new mutable.ArrayBuffer) += row
+        }
+        byShard.iterator.flatMap { case (shard, rows) =>
+          val (oldRows, newRows0) = rows.partition(_.getAs[Int]("node") >= 0)
+          val sortedOld = oldRows.sortBy(_.getAs[Int]("node")).toArray
+          // deterministic append order: ascending row_id, like the build
+          val sortedNew = newRows0.sortBy(_.getAs[Long]("row_id")).toArray
+          val nOld = sortedOld.length
+          val nAll = nOld + sortedNew.length
+          val rowIds = new Array[Long](nAll)
+          val rawVecs = new Array[Array[Float]](nAll)
+          val codes = if (m != null) new Array[Array[Long]](nAll) else null
+          val lbs = if (hasLabels) new Array[Array[Short]](nAll) else null
+          val adj = new Array[Array[Int]](nOld)
+          def buildSpace(v: Array[Float]): Array[Float] = {
+            val sliced = if (dimsToIndex > 0) v.take(dimsToIndex) else v
+            if (metric == Metric.Cosine)
+              graft.functions.VectorKernels.normalize(sliced)
+            else sliced
+          }
+          val buildVecs = new Array[Array[Float]](nAll)
+          var i = 0
+          while (i < nAll) {
+            val row = if (i < nOld) sortedOld(i) else sortedNew(i - nOld)
+            require(i >= nOld || row.getAs[Int]("node") == i,
+              s"insert fold: shard $shard arrived with non-contiguous nodes")
+            rowIds(i) = row.getAs[Long]("row_id")
+            rawVecs(i) = row.getAs[mutable.Seq[Float]]("vec").toArray
+            buildVecs(i) = buildSpace(rawVecs(i))
+            if (codes != null)
+              codes(i) =
+                if (i < nOld) row.getAs[mutable.Seq[Long]]("code").toArray
+                else m.quantize(buildVecs(i))
+            if (lbs != null)
+              lbs(i) = Option(row.getAs[mutable.Seq[Short]]("labels"))
+                .map(s => LabelSets.normalize(s.toArray))
+                .getOrElse(Array.emptyShortArray)
+            if (i < nOld)
+              adj(i) = row.getAs[mutable.Seq[Int]]("neighbors").toArray
+            i += 1
+          }
+          val builder = new VamanaBuilder(buildVecs, lbs, metric, r, l,
+            alpha, codes)
+          builder.seedFrozen(adj).buildAppended()
+          (0 until nAll).iterator.map { j =>
+            Row(shard, j, rowIds(j), rawVecs(j),
+              if (codes != null) codes(j) else null,
+              if (lbs != null) lbs(j) else null,
+              builder.neighborsOf(j))
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(nodeSchema))
   }
 
   /**

@@ -236,6 +236,15 @@ final class VamanaBuilder(
       additions: Seq[(Int, Double)]): mutable.ArrayBuffer[(Int, Double)] = {
     val cur = nbr(nodeId)
     val curD = nbrDist(nodeId)
+    // a seedFrozen graph's stored edges carry no distances (NaN sentinel):
+    // materialize them the first time this node's list is touched — only
+    // back-edge targets and pruned nodes ever pay, untouched base nodes
+    // never do
+    var m = 0
+    while (m < curD.length) {
+      if (curD(m).isNaN) curD(m) = dist(nodeId, cur(m))
+      m += 1
+    }
     val seen = new java.util.HashSet[Integer](cur.length + additions.length + 1)
     val merged = new mutable.ArrayBuffer[(Int, Double)](cur.length + additions.length)
     var i = 0
@@ -286,21 +295,70 @@ final class VamanaBuilder(
   def build(): VamanaBuilder = {
     var i = 0
     while (i < n) { insert(i); i += 1 }
-    // finalize (finalize_index_build, build.rs:905-960): node records hold
-    // exactly R neighbor slots — prune any list still inside the 1.3× build
-    // slack back down to numNeighbors before the graph is frozen.
-    i = 0
+    finalizePrune()
+    this
+  }
+
+  /** finalize (finalize_index_build, build.rs:905-960): node records hold
+    * exactly R neighbor slots — prune any list still inside the 1.3× build
+    * slack back down to numNeighbors before the graph is frozen. */
+  private def finalizePrune(): Unit = {
+    var i = 0
     while (i < n) {
       if (nbr(i).length > numNeighbors) {
         val merged = new mutable.ArrayBuffer[(Int, Double)](nbr(i).length)
         var j = 0
-        while (j < nbr(i).length) { merged += ((nbr(i)(j), nbrDist(i)(j))); j += 1 }
+        while (j < nbr(i).length) {
+          val d = if (nbrDist(i)(j).isNaN) dist(i, nbr(i)(j)) else nbrDist(i)(j)
+          merged += ((nbr(i)(j), d))
+          j += 1
+        }
         val fin = pruneNeighbors(i, labelsOf(i), merged)
         nbr(i).clear(); nbrDist(i).clear()
         fin.foreach { case (id, d) => nbr(i) += id; nbrDist(i) += d }
       }
       i += 1
     }
+  }
+
+  private var preBuilt: Int = 0
+
+  /**
+   * Pre-seed indices [0, adj.length) with a FROZEN shard graph's stored
+   * adjacency — the live-insert fold then adds only the appended rows
+   * through the normal [[insert]] path, the reference's `aminsert` /
+   * `Graph::insert` semantics (build.rs:464-557: create node, greedy search
+   * for candidates, RobustPrune, back-edges) applied to the shard the row
+   * routes to, instead of rebuilding the whole shard graph. Stored edges
+   * carry no distances; they materialize lazily on first touch (see
+   * [[addNeighbors]]), so fold cost is O(inserted · search) + O(touched
+   * lists), never O(shard). Start-node election replays the stored insert
+   * order — node 0 default, first carrier of each label — exactly what
+   * [[GraphSearcher]] recomputes at decode time, so the resumed build and
+   * the serving traversal agree on starts.
+   */
+  def seedFrozen(adj: Array[Array[Int]]): VamanaBuilder = {
+    require(preBuilt == 0 && defaultStart < 0,
+      "seedFrozen must run on a fresh builder")
+    require(adj.length <= n, s"seed ${adj.length} > capacity $n")
+    var i = 0
+    while (i < adj.length) {
+      val a = adj(i)
+      var j = 0
+      while (j < a.length) { nbr(i) += a(j); nbrDist(i) += Double.NaN; j += 1 }
+      updateStartNodes(i)
+      i += 1
+    }
+    preBuilt = adj.length
+    this
+  }
+
+  /** Insert every node [[seedFrozen]] did not cover, then re-apply the
+    * finalize prune — the resumed-build analog of [[build]]. */
+  def buildAppended(): VamanaBuilder = {
+    var i = preBuilt
+    while (i < n) { insert(i); i += 1 }
+    finalizePrune()
     this
   }
 

@@ -198,7 +198,108 @@ class KnnStrategy(spark: SparkSession) extends SparkStrategy {
       planKnn(k, orders, inner, None).toSeq
     case Limit(IntegerLiteral(k), Project(projList, Sort(orders, true, inner, _))) =>
       planKnn(k, orders, inner, Some(projList)).toSeq
+    // the RADIUS shape (pgvector's iterative index scans): WHERE
+    // <dist>(col, lit) <= r with NO LIMIT. Sort/aggregates above plan
+    // natively over this node through planLater, but a Project must be
+    // matched HERE — FileSourceStrategy otherwise claims the whole
+    // Project+Filter+Relation unit and the bare Filter is never offered.
+    case Filter(cond, rel: LogicalRelation) =>
+      planRange(cond, rel, None).toSeq
+    case Project(ps, Filter(cond, rel: LogicalRelation))
+        if ps.forall(p => p.deterministic &&
+          !p.exists(_.isInstanceOf[PlanExpression[_]])) =>
+      planRange(cond, rel, Some(ps)).toSeq
     case _ => Nil
+  }
+
+  /**
+   * Plan `Filter(... AND dist(vecCol, qlit) <= r AND ..., relation)` as a
+   * radius index scan ([[KnnRangeScanExec]], backed by
+   * [[DiskannIndex.rangeSearch]]'s escalate-until-stable contract) with the
+   * ENTIRE original predicate re-checked by a FilterExec above — the scan is
+   * a superset generator (its radius gets a hair of slack for the float
+   * boundary), so correctness never rests on the traversal, only
+   * completeness does, and that is rangeSearch's own contract. Falls back to
+   * the native scan when: no single distance-threshold conjunct, unknown
+   * relation/metric/column, a pending DELTA (its rows are not in the graph
+   * and the radius path has no delta merge), or residual conjuncts that
+   * cannot be re-evaluated (non-deterministic / subqueries).
+   */
+  private def planRange(cond: Expression, rel: LogicalRelation,
+      projList: Option[Seq[NamedExpression]]): Option[SparkPlan] = {
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case other => Seq(other)
+    }
+    val conjuncts = split(cond)
+    def evalDouble(e: Expression): Option[Double] =
+      if (!e.foldable) None
+      else e.eval(InternalRow.empty) match {
+        case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+        case n: java.lang.Number => Some(n.doubleValue())
+        case _ => None
+      }
+    // the single `dist <= r` conjunct (either operand order; strict `<` is
+    // served by the same <= superset). VectorL2Sq thresholds translate to
+    // the scan's TRUE-L2 report distance via sqrt.
+    val thresholds = conjuncts.flatMap { c =>
+      val unwrapped = c match {
+        case LessThanOrEqual(de, r) if r.foldable => Some((de, r))
+        case LessThan(de, r) if r.foldable => Some((de, r))
+        case GreaterThanOrEqual(r, de) if r.foldable => Some((de, r))
+        case GreaterThan(r, de) if r.foldable => Some((de, r))
+        case _ => None
+      }
+      for {
+        (de, rl) <- unwrapped
+        (metric, lhs, rhs) <- metricOf(de)
+        r <- evalDouble(rl)
+      } yield (c, de, metric, lhs, rhs, r)
+    }
+    thresholds match {
+      case Seq((_, de, metric, lhs, rhs, r)) =>
+        for {
+          (lr, path) <- relationPath(rel)
+          entry <- KnnCatalog.lookup(path)
+          if entry.metric == metric
+          _ <- lhs match {
+            case a: AttributeReference if a.name == entry.vecCol => Some(a)
+            case _ => None
+          }
+          qvec <- evalFloatArray(rhs)
+          if !graft.streaming.StreamingIngest.hasDelta(spark, entry.indexPath)
+          if conjuncts.forall(c => c.deterministic &&
+            c.references.subsetOf(rel.outputSet) &&
+            !c.exists(_.isInstanceOf[PlanExpression[_]]))
+        } yield {
+          val reportRadius = de match {
+            case _: VectorL2Sq => if (r < 0) r else math.sqrt(r)
+            case _ => r
+          }
+          // slack for the float boundary: the recheck above is exact, the
+          // scan only needs to be a superset
+          val scanRadius = reportRadius + 1e-9 * (1.0 + math.abs(reportRadius))
+          val overlapInfo = conjuncts.collect {
+            case ArraysOverlap(a: AttributeReference, rhs2) =>
+              evalShortArray(rhs2).map(ls => (a, ls))
+            case ArraysOverlap(rhs2, a: AttributeReference) =>
+              evalShortArray(rhs2).map(ls => (a, ls))
+          }.flatten
+          val filterLabels = overlapInfo match {
+            case Seq((a, ls)) if entry.labelsCol.contains(a.name) => Some(ls)
+            case _ => None
+          }
+          val fullAttrs = lr.output.map(_.asInstanceOf[AttributeReference])
+          val scan = KnnRangeScanExec(fullAttrs, spark, entry, qvec,
+            scanRadius, filterLabels, rangeExpr = de)
+          val filtered = FilterExec(cond, scan)
+          projList match {
+            case Some(ps) => ProjectExec(ps, filtered)
+            case None => filtered
+          }
+        }
+      case _ => None
+    }
   }
 
   private def planKnn(k: Int, orders: Seq[SortOrder], inner0: LogicalPlan,
@@ -616,4 +717,87 @@ case class KnnIndexScanExec(outAttrs: Seq[AttributeReference], spark: SparkSessi
     s"KnnIndexScan k=$k metric=${entry.metric} index=${entry.indexPath}" +
       filterLabels.map(l => s" labels=[${l.mkString(",")}]").getOrElse("") +
       residual.map(r => s" recheck=${r.sql}").getOrElse("")
+}
+
+/**
+ * Physical RADIUS scan (the pgvector iterative-index-scan shape,
+ * `WHERE dist(col, q) <= r` with no LIMIT): [[DiskannIndex.rangeSearch]]
+ * finds every indexed row within `radius` (its own escalate-L-until-stable
+ * exhaustiveness contract), those rows are heap-fetched from the source
+ * relation, and the FilterExec the strategy plans ABOVE this node re-checks
+ * the ORIGINAL predicate exactly — this node only has to produce a superset
+ * of the matching rows, never to decide them.
+ *
+ * Freshness: persisted tombstones are masked inside the traversal (they
+ * cannot be re-checked above — the heap may still hold the rows
+ * physically); a pending delta makes the strategy fall back to the native
+ * scan entirely. nProbe routing is deliberately NOT honored here: a radius
+ * answer must see every shard, probing a subset would silently truncate it.
+ *
+ * Scale bail-out: a radius that matches `graft.knn.range.maxResults` rows
+ * (default 65536) is a scan wearing a point-lookup costume — emit the
+ * whole relation (minus rows the index can never serve) and let the
+ * recheck + upper operators compute the exact answer distributed, the same
+ * seq-scan fallback the over-fetch path takes past its cap.
+ */
+case class KnnRangeScanExec(outAttrs: Seq[AttributeReference],
+    spark: SparkSession, entry: KnnCatalog.Entry, queryVec: Array[Float],
+    radius: Double, filterLabels: Option[Array[Short]], rangeExpr: Expression)
+    extends LeafExecNode {
+
+  import org.apache.spark.sql.execution.metric.SQLMetrics
+
+  override def output: Seq[Attribute] = outAttrs
+
+  override lazy val metrics = Map(
+    "numRangeHits" -> SQLMetrics.createMetric(sparkContext,
+      "rows within radius (index)"),
+    "numHeapFetches" -> SQLMetrics.createMetric(sparkContext,
+      "source rows fetched"))
+
+  override def doExecute(): RDD[InternalRow] = {
+    val searchList = spark.conf.get("graft.knn.searchListSize", "100").toInt
+    val rescore = spark.conf.get("graft.knn.rescore", "50").toInt
+    val maxResults =
+      spark.conf.get("graft.knn.range.maxResults", "65536").toInt
+    val pushdownLimit =
+      spark.conf.get("graft.knn.residual.pushdownLimit", "1024").toInt
+    val tombs = DiskannIndex.loadTombstones(spark, entry.indexPath)
+    val hits = DiskannIndex.rangeSearch(spark, entry.indexPath, queryVec,
+      radius, searchList, rescore, filterLabels.orNull, tombs,
+      nProbe = 0, maxResults = maxResults)
+    longMetric("numRangeHits").add(hits.length)
+    val wantCols = outAttrs.map(_.name)
+    import spark.implicits._
+    if (hits.length >= maxResults) {
+      // possible truncation: exact distributed bail-out (recheck above)
+      var src = spark.read.parquet(entry.sourcePath)
+        .select(wantCols.map(col): _*)
+        .filter(col(entry.vecCol).isNotNull)
+      if (tombs.nonEmpty)
+        src = src.join(
+          org.apache.spark.sql.functions.broadcast(
+            tombs.toSeq.toDF("__tomb_id")),
+          col(entry.idCol) === col("__tomb_id"), "left_anti")
+      src.queryExecution.toRdd
+    } else {
+      longMetric("numHeapFetches").add(hits.length)
+      val ids = hits.map(_._1)
+      var src = spark.read.parquet(entry.sourcePath)
+        .select(wantCols.map(col): _*)
+      // pushed-down IN point-fetch while the hit list is small; past that,
+      // a broadcast semi-join on the id (never an isin over 65k literals)
+      if (ids.length <= pushdownLimit)
+        src = src.filter(col(entry.idCol).isin(ids.map(Long.box): _*))
+      src.join(
+          org.apache.spark.sql.functions.broadcast(ids.toDF("__hit_id")),
+          col(entry.idCol) === col("__hit_id"), "left_semi")
+        .queryExecution.toRdd
+    }
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"KnnRangeScan radius=$radius metric=${entry.metric} " +
+      s"index=${entry.indexPath}" +
+      filterLabels.map(l => s" labels=[${l.mkString(",")}]").getOrElse("")
 }

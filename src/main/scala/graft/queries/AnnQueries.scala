@@ -194,6 +194,12 @@ object AnnQueries {
         .orderBy(col("dist"), col("vec_id"))
     }),
 
+    // the SAME radius shape through plain SQL: the planner rewrites
+    // `WHERE vec_cosine_dist(col, q) <= r` (no LIMIT) onto the graph
+    // index's rangeSearch (KnnRangeScanExec) with the full predicate
+    // re-checked above — asserted index-planned in KnnStrategySpec
+    "knn_range_sql" -> ((s, d) => sqlRange(s, d)),
+
     // T1/S2/S3: ORDER BY embedding <=> q LIMIT k through the graph index
     "knn_ann_cosine" -> ((s, d) => {
       val path = ensureIndex(s, d, "cos", emb(s, d), labeled = false)
@@ -306,6 +312,35 @@ object AnnQueries {
     // compact in between — the reference's aminsert/vacuum visibility
     // (build.rs:464-535, scan.rs:229-235).
     "ann_sql_fresh" -> ((s, d) => sqlFresh(s, d)),
+
+    // G9→V2 closure: micro-batch appends FOLDED INTO the graph by the
+    // incremental LIVE-INSERT compaction (the reference's aminsert,
+    // build.rs:464-557, per routed shard): twins of vec 0-2 land in the
+    // delta, compact inserts each into exactly the shard its id routes to
+    // (untouched shards carried as manifest references — O(appended) graph
+    // work), and the post-fold search must rank base ∪ twins exactly.
+    "ann_tier_fold" -> ((s, d) => {
+      val path = buildLock.synchronized {
+        val p = indexPath(d, "cos_tierfold")
+        val baseN = emb(s, d).count()
+        if (!new java.io.File(s"$p/_meta/_SUCCESS").exists())
+          DiskannIndex.build(emb(s, d), "vec_id", "embedding", None, p,
+            DiskannParams(metric = "cosine", shardTargetRows = 256))
+        // one-time append + tiered compact, guarded by the folded row
+        // count (idempotent across warm bench re-runs and cached indexes)
+        if (DiskannIndex.loadMeta(s, p).numRows < baseN + 3) {
+          if (!graft.streaming.StreamingIngest.hasDelta(s, p))
+            graft.streaming.StreamingIngest.appendBatchToDelta(p)(
+              emb(s, d).filter(col("vec_id") < 3)
+                .select((col("vec_id") + 9000).as("row_id"),
+                  col("embedding").as("vec")), 0L)
+          graft.streaming.StreamingIngest.compact(s, p)
+        }
+        p
+      }
+      finish(DiskannIndex.search(s, path, queryDf(s, d, None), k = 11,
+        searchListSize = 200, rescore = 150), 10, excludeSelf = true)
+    }),
 
     // G9: micro-batch append — main index over vec_id < 400, the rest is an
     // unindexed delta answered exactly and merged into the final top-k.
@@ -455,6 +490,29 @@ object AnnQueries {
          |ORDER BY vec_cosine_dist(embedding, $qsql) LIMIT 10""".stripMargin)
   }
 
+  /** The radius shape via the SQL planner: WHERE dist <= r, no LIMIT —
+    * KnnStrategy rewrites the Filter onto rangeSearch with the whole
+    * predicate re-checked above the scan. Same rounded-distance boundary
+    * discipline as knn_range_cosine (the raw radius is nudged past the
+    * round(…,6) cut so raw-vs-rounded boundary rows cannot differ). */
+  def sqlRange(s: SparkSession, d: String): DataFrame = {
+    val path = ensureIndex(s, d, "cos", emb(s, d), labeled = false)
+    graft.plans.Graft.enable(s)
+    val src = s"$d/embeddings.parquet"
+    graft.plans.KnnCatalog.register(src, graft.plans.KnnCatalog.Entry(
+      path, src, "vec_id", "embedding", None, "cosine"))
+    val q = emb(s, d).filter(col("vec_id") === 0).head()
+      .getAs[scala.collection.mutable.ArraySeq[Float]]("embedding")
+    val qsql = s"CAST(array(${q.mkString(", ")}) AS ARRAY<FLOAT>)"
+    s.sql(
+      s"""SELECT vec_id, round(vec_cosine_dist(embedding, $qsql), 6) AS dist
+         |FROM parquet.`$src`
+         |WHERE vec_cosine_dist(embedding, $qsql) <= 0.8000005
+         |  AND vec_id <> 0
+         |ORDER BY dist, vec_id""".stripMargin)
+      .filter(col("dist") <= 0.8)
+  }
+
   /** G9+V1 via the SQL planner: build main on vec_id < 400 once, install
     * the >= 400 rows as an un-compacted delta and the vec_id % 9 == 0 rows
     * as persisted tombstones (both guarded for re-runs), then run the same
@@ -547,6 +605,25 @@ object AnnQueries {
          |FROM embeddings WHERE vec_id <> 0 ORDER BY dist, vec_id LIMIT 10""".stripMargin,
     // radius scan: EVERY row within rounded distance 0.8, no LIMIT
     "knn_range_cosine" ->
+      s"""SELECT vec_id, round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) AS dist
+         |FROM embeddings WHERE vec_id <> 0
+         |  AND round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) <= 0.8
+         |ORDER BY dist, vec_id""".stripMargin,
+    // base ∪ folded twins, ranked exactly: twin 9000 (same vector as the
+    // query row) must sit at rank 1 with dist 0 — a fold that lost the
+    // delta, double-inserted it, or corrupted a folded shard's graph
+    // hash-mismatches here
+    "ann_tier_fold" ->
+      s"""WITH uni AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 9000 AS vec_id, embedding FROM embeddings WHERE vec_id < 3
+         |)
+         |SELECT vec_id, round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) AS dist
+         |FROM uni WHERE vec_id <> 0 ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+    // identical retrieval contract as knn_range_cosine, reached through the
+    // SQL planner's Filter rewrite instead of the API
+    "knn_range_sql" ->
       s"""SELECT vec_id, round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) AS dist
          |FROM embeddings WHERE vec_id <> 0
          |  AND round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) <= 0.8

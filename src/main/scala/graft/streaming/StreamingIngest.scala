@@ -555,16 +555,20 @@ object StreamingIngest {
       val tmp = new org.apache.hadoop.fs.Path(vdir,
         s".tmp-${java.util.UUID.randomUUID()}")
       val params = tune(meta.toParams)
-      // INCREMENTAL path (IVF only): delta rows route to exactly one
-      // centroid's shard, so only shards receiving delta or losing
-      // tombstones rebuild; the rest copy raw. Requires unchanged params
-      // (tune = identity) — mixed-parameter shards would be a lie — and is
-      // the default; graft.compact.incremental=false forces full rebuilds.
-      // `force` (REINDEX) always rebuilds in full: a forced pass exists to
-      // re-train centroids / restore shard sizing, which the carry-forward
-      // incremental path by design does not do
+      // INCREMENTAL path: delta rows route to exactly one shard (nearest
+      // frozen centroid for ivf, pmod(xxhash64(row_id)) for hash), so only
+      // shards receiving delta or losing tombstones get graph work — and a
+      // delta-only shard is served by the LIVE-INSERT fold (Graph::insert
+      // per shard, not a rebuild; see DiskannIndex.insertFoldNodes) while
+      // untouched shards are carried as manifest references. Requires
+      // unchanged params (tune = identity) — mixed-parameter shards would
+      // be a lie — and is the default; graft.compact.incremental=false
+      // forces full rebuilds. `force` (REINDEX) always rebuilds in full: a
+      // forced pass exists to re-train centroids / restore shard sizing,
+      // which the carry-forward incremental path by design does not do
       val incremental = !force &&
-        meta.partitioner == "ivf" && meta.centroids.nonEmpty &&
+        (meta.partitioner == "hash" ||
+          (meta.partitioner == "ivf" && meta.centroids.nonEmpty)) &&
         params == meta.toParams &&
         spark.conf.get("graft.compact.incremental", "true").toBoolean
       // rebuildShardsInto may REFUSE (None) when a frozen-centroid hot spot

@@ -68,7 +68,53 @@ object TierProbe {
     val js = rows.map { case (m, n, tt, tf) =>
       f"""{"mult":$m,"base_docs":$n,"tier_fold_s":$tt%.2f,"full_fold_s":$tf%.2f}"""
     }.mkString("[", ",", "]")
-    println(s"""{"metric":"tierprobe","sf":"$sfDir","points":$js}""")
+
+    // ---- ANN index: LIVE-INSERT fold vs full rebuild. Same protocol —
+    // fixed-size delta (20 twins), growing base corpus (shard size pinned
+    // by shardTargetRows, shard COUNT grows): the insert fold touches only
+    // the <=20 shards the delta routes to and inserts O(delta) rows into
+    // their frozen graphs, so its cost is bounded by the delta; the full
+    // rebuild re-runs Vamana over every row and grows with the corpus.
+    import graft.index.{DiskannIndex, DiskannParams}
+    import graft.streaming.StreamingIngest
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val nEmb = emb.count()
+    def deltaTwins(off: Long) = emb.filter($"vec_id" < 20)
+      .select(($"vec_id" + off).as("row_id"), $"embedding".as("vec"))
+    val annRows = Seq(1, 8, 32).map { mult =>
+      val path = s"/tmp/graft_tierprobe/ann_x$mult"
+      deleteRec(new java.io.File(path))
+      val base = (0 until mult).map(r =>
+        emb.select(($"vec_id" + lit(r.toLong * 1000000L)).as("row_id"),
+          $"embedding".as("vec"))).reduce(_ unionByName _)
+      DiskannIndex.build(base, "row_id", "vec", None, path,
+        DiskannParams(metric = "cosine", shardTargetRows = 2000))
+      def time(body: => Unit): Double = {
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      StreamingIngest.appendBatchToDelta(path)(deltaTwins(900000000L), 0L)
+      val tFold = time(StreamingIngest.compact(spark, path))
+      StreamingIngest.appendBatchToDelta(path)(deltaTwins(910000000L), 1L)
+      spark.conf.set("graft.compact.incremental", "false")
+      val tFull =
+        try time(StreamingIngest.compact(spark, path))
+        finally spark.conf.unset("graft.compact.incremental")
+      // sanity: a folded twin serves at distance ~0 — the base holds `mult`
+      // exact replicas of the query vector (all dist 0, lower row_ids win
+      // the tie-break), so k must clear them before the twins can surface
+      val q = emb.filter($"vec_id" === 0)
+        .select(lit(0L).as("qid"), $"embedding".as("qvec"))
+      val hits = DiskannIndex.search(spark, path, q, k = mult + 3,
+        searchListSize = 400, rescore = 300)
+        .collect().map(_.getLong(1)).toSet
+      require(hits.contains(900000000L) || hits.contains(910000000L),
+        s"folded twin not served at x$mult: $hits")
+      (mult, nEmb * mult, tFold, tFull)
+    }
+    val annJs = annRows.map { case (m, n, tt, tf) =>
+      f"""{"mult":$m,"base_rows":$n,"insert_fold_s":$tt%.2f,"full_rebuild_s":$tf%.2f}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"tierprobe","sf":"$sfDir","points":$js,"ann_points":$annJs}""")
     spark.stop()
   }
 }

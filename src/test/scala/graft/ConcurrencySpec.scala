@@ -178,6 +178,49 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(!fs.exists(lock), "winner must release the lease on exit")
   }
 
+  test("cross-process lease: a subprocess holder makes this process fail fast; release unblocks") {
+    val base = "/tmp/graft_test_index/conc_lease_xproc"
+    deleteRec(new java.io.File(base))
+    new java.io.File(base).mkdirs()
+    // the forked test JVM carries the full classpath + module flags Spark
+    // needs on JDK 17 — reuse both for the child process
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val moduleArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.toArray.map(_.toString)
+      .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-modules"))
+    val cmd = Seq(javaBin) ++ moduleArgs ++ Seq(
+      "-Xmx1g", "-cp", System.getProperty("java.class.path"),
+      "graft.tools.LeaseProbe", "hold", base, "15000")
+    val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    try {
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(p.getInputStream))
+      // synchronize on the child's HELD line, not on timing
+      var line = reader.readLine()
+      while (line != null && !line.contains("HELD")) line = reader.readLine()
+      assert(line != null, "subprocess never acquired the lease")
+      // the FILE lease (not the same-JVM gate) must make this process fail
+      // fast: the lock is fresh (not stale), owned by another pid
+      val e = intercept[IllegalStateException] {
+        graft.index.WriterLock.withLease(spark, base) { fail("entered under a foreign lease") }
+      }
+      assert(e.getMessage.contains("another writer"), e.getMessage)
+      // interrupt the hold: the child's sleep dies, its finally releases the
+      // lease, and this process can then acquire it
+      p.destroy()
+      assert(p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS))
+    } finally if (p.isAlive) p.destroyForcibly()
+    // child killed mid-hold may have leaked its lease file (a crashed
+    // writer): steal it through the documented horizon instead of waiting 1h
+    spark.conf.set("graft.compact.lockTimeoutMs", "1")
+    try {
+      Thread.sleep(5)
+      var ran = false
+      graft.index.WriterLock.withLease(spark, base) { ran = true }
+      assert(ran, "lease not acquirable after the foreign holder died")
+    } finally spark.conf.unset("graft.compact.lockTimeoutMs")
+  }
+
   test("ANN index: racing delta appends / deletes / compactions / searches lose nothing") {
     val path = "/tmp/graft_test_index/conc_ann"
     deleteRec(new java.io.File(path))

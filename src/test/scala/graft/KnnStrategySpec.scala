@@ -383,6 +383,68 @@ class KnnStrategySpec extends AnyFunSuite {
     } finally KnnCatalog.unregister(dSrc)
   }
 
+  test("SQL radius filter (no LIMIT) plans as KnnRangeScan and matches brute force") {
+    setup
+    val q = spark.sql(
+      s"""SELECT vec_id FROM parquet.`$srcPath`
+         |WHERE vec_cosine_dist(embedding, $qvecSql) <= 0.8 AND vec_id % 2 = 0
+         |ORDER BY vec_id""".stripMargin)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("KnnRangeScan"), s"expected radius index scan:\n$plan")
+    val got = q.collect().map(_.getLong(0)).toSeq
+    val brute = spark.read.parquet(srcPath)
+      .crossJoin(broadcast(spark.read.parquet(srcPath).filter($"vec_id" === 0)
+        .select($"embedding".as("q"))))
+      .filter(vec_cosine_dist($"embedding", $"q") <= 0.8 && $"vec_id" % 2 === 0)
+      .select($"vec_id").orderBy($"vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == brute, s"radius scan diverged: got ${got.length} vs ${brute.length} rows")
+    assert(got.nonEmpty && got.length < 500, "fixture radius should be selective but non-empty")
+    // reversed operand + strict `<` plan through the same rewrite
+    val rev = spark.sql(
+      s"""SELECT count(*) FROM parquet.`$srcPath`
+         |WHERE 0.8 > vec_cosine_dist(embedding, $qvecSql)""".stripMargin)
+    assert(rev.queryExecution.executedPlan.toString.contains("KnnRangeScan"))
+    assert(rev.head().getLong(0) > 0)
+  }
+
+  test("SQL radius filter masks tombstones and falls back to native on a pending delta") {
+    val rSrc = "/tmp/graft_test_index/strategy_range_src"
+    val rIdx = "/tmp/graft_test_index/strategy_range_idx"
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    deleteRec(new java.io.File(rIdx))
+    spark.read.parquet(srcPath).write.mode("overwrite").parquet(rSrc)
+    DiskannIndex.build(spark.read.parquet(rSrc), "vec_id", "embedding",
+      None, rIdx, DiskannParams(metric = "cosine"))
+    Graft.enable(spark)
+    KnnCatalog.register(rSrc, KnnCatalog.Entry(rIdx, rSrc,
+      "vec_id", "embedding", None, "cosine"))
+    try {
+      def rangeQ = spark.sql(
+        s"""SELECT vec_id FROM parquet.`$rSrc`
+           |WHERE vec_cosine_dist(embedding, $qvecSql) <= 0.5""".stripMargin)
+      assert(rangeQ.queryExecution.executedPlan.toString.contains("KnnRangeScan"))
+      val before = rangeQ.collect().map(_.getLong(0)).toSet
+      assert(before.contains(0L), "query row itself (dist 0) must be in radius")
+      // a tombstoned row is masked inside the traversal: it cannot be
+      // re-checked above (the heap still physically holds it)
+      DiskannIndex.deleteRows(spark, rIdx, Seq(0L))
+      val after = rangeQ.collect().map(_.getLong(0)).toSet
+      assert(after == before - 0L, s"tombstoned row served: $after vs $before")
+      // a pending delta has rows the graph cannot see: the rewrite must
+      // decline and the native plan answers (including the delta row's heap
+      // twin, which IS in the source)
+      spark.read.parquet(rSrc).filter($"vec_id" === 1)
+        .select(($"vec_id" + 9000).as("row_id"), $"embedding".as("vec"))
+        .write.mode("append").parquet(s"$rIdx/delta")
+      val fresh = rangeQ
+      assert(!fresh.queryExecution.executedPlan.toString.contains("KnnRangeScan"),
+        "pending delta must force the native plan")
+    } finally KnnCatalog.unregister(rSrc)
+  }
+
   test("KnnIndexScan reports scan telemetry via SQLMetrics (V5)") {
     setup
     val df = spark.sql(

@@ -153,6 +153,76 @@ class StreamingSpec extends AnyFunSuite {
     assert(oldHits.nonEmpty && oldHits.forall(_.getLong(1) < 400L))
   }
 
+  test("live-insert fold: a delta-only shard keeps its node ids, appended rows take the next slots") {
+    val path = "/tmp/graft_test_index/insert_fold"
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    deleteRec(new java.io.File(path))
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n0 = e.count()
+    // hash partitioner — the default production shape, now also incremental
+    DiskannIndex.build(e, "vec_id", "embedding", None, path,
+      DiskannParams(metric = "cosine", shardTargetRows = 200))
+    val meta0 = DiskannIndex.loadMeta(spark, path)
+    assert(meta0.numShards >= 3)
+    val nodes0 = spark.read.parquet(s"$path/nodes")
+
+    // twins (new ids) of 4 existing rows; hash routing scatters them — the
+    // fold must insert each into exactly the shard its id routes to
+    val delta = e.filter($"vec_id" < 4)
+      .select(($"vec_id" + 10000).as("row_id"), $"embedding".as("vec"))
+    val deltaShards = delta
+      .select(pmod(xxhash64($"row_id"), lit(meta0.numShards)).cast("int").as("s"))
+      .collect().map(_.getInt(0)).toSet
+    delta.write.mode("append").parquet(s"$path/delta")
+    StreamingIngest.compact(spark, path)
+
+    val root1 = DiskannIndex.resolveRoot(spark, path)
+    val meta1 = DiskannIndex.loadMetaAt(spark, root1)
+    assert(meta1.numRows == n0 + 4)
+    // metadata-only commit: ONLY the delta shards materialize in the new
+    // generation, everything else is a manifest reference with its warm
+    // cache epoch preserved
+    val materialized = Option(new java.io.File(s"$root1/nodes").list())
+      .map(_.filter(_.startsWith("shard=")).toSet).getOrElse(Set.empty)
+    assert(materialized == deltaShards.map(s => s"shard=$s"),
+      s"folded generation holds $materialized, delta routed to $deltaShards")
+    (0 until meta0.numShards).filterNot(deltaShards).foreach { s =>
+      assert(meta1.shardDirs(s) == "." && meta1.shardBuildIds(s) ==
+        meta0.shardBuildIds(s), s"untouched shard $s must carry forward")
+    }
+    // LIVE-INSERT, not rebuild: every pre-existing node keeps its exact
+    // (node -> row_id) slot; appended rows take the NEXT ids in row_id order
+    deltaShards.foreach { s =>
+      val before = nodes0.filter($"shard" === s)
+        .select($"node", $"row_id").collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val after = spark.read.parquet(s"$root1/nodes")
+        .filter($"shard" === s).select($"node", $"row_id").collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(before.forall { case (nd, rid) => after.get(nd).contains(rid) },
+        s"shard $s: pre-existing node slots moved — that is a rebuild")
+      val appended = after.filter(_._1 >= before.size).toSeq.sortBy(_._1)
+      assert(appended.map(_._2) == appended.map(_._2).sorted &&
+        appended.forall(_._2 >= 10000L),
+        s"shard $s: appended rows not in ascending row_id order: $appended")
+    }
+    // the folded rows are served: each twin is retrievable at distance ~0
+    // next to its original
+    val probe = e.filter($"vec_id" < 4)
+      .select($"vec_id", $"embedding").collect()
+    probe.foreach { r =>
+      val q = Seq((0L, r.getAs[scala.collection.mutable.Seq[Float]]("embedding").toArray))
+        .toDF("qid", "qvec")
+      val hits = DiskannIndex.search(spark, path, q, k = 2,
+        searchListSize = 200, rescore = 150).collect().map(_.getLong(1)).toSet
+      assert(hits == Set(r.getLong(0), r.getLong(0) + 10000),
+        s"twin of ${r.getLong(0)} not served after the fold: $hits")
+    }
+  }
+
   test("incremental compaction: only delta/tombstone shards rebuild, the rest carried by manifest") {
     val path = "/tmp/graft_test_index/incr_compact"
     def deleteRec(f: java.io.File): Unit = {
@@ -909,14 +979,17 @@ class StreamingSpec extends AnyFunSuite {
     def batch(): org.apache.spark.sql.DataFrame = e.filter($"vec_id" >= 440)
       .select($"vec_id".as("row_id"), $"embedding".as("vec"))
 
-    // FULL-rebuild path (hash partitioner)
+    // FULL-rebuild path (incremental explicitly off — hash-partitioned
+    // indexes otherwise take the incremental insert-fold too)
     val path = "/tmp/graft_test_index/compact_dedup_full"
     deleteRec(new java.io.File(path))
     DiskannIndex.build(e.filter($"vec_id" < 450), "vec_id", "embedding", None,
       path, DiskannParams(metric = "cosine"))
     StreamingIngest.appendBatchToDelta(path)(batch(), 0L)
     StreamingIngest.appendBatchToDelta(path)(batch(), 1L) // the retry
-    StreamingIngest.compact(spark, path)
+    spark.conf.set("graft.compact.incremental", "false")
+    try StreamingIngest.compact(spark, path)
+    finally spark.conf.unset("graft.compact.incremental")
     assert(DiskannIndex.loadMeta(spark, path).numRows == 500)
     val root = DiskannIndex.resolveRoot(spark, path)
     val nodes = spark.read.parquet(s"$root/nodes")

@@ -155,6 +155,39 @@ class VamanaSpec extends AnyFunSuite {
     }
   }
 
+  test("live-insert fold: seedFrozen + buildAppended keeps connectivity and recall") {
+    val rnd = new scala.util.Random(11)
+    val vecs = Array.fill(1000)(randVec(rnd, 32, normalized = true))
+    // freeze a build over the first 800, then insert the rest live —
+    // the aminsert/Graph::insert shape (build.rs:464-557) on one shard
+    val base = vecs.take(800)
+    val frozen = new VamanaBuilder(base, null, Metric.Cosine, 32, 100, 1.2).build()
+    val adj = Array.tabulate(800)(frozen.neighborsOf)
+    val resumed = new VamanaBuilder(vecs, null, Metric.Cosine, 32, 100, 1.2)
+      .seedFrozen(adj).buildAppended()
+    assert(resumed.reachableCount() == 1000,
+      s"appended rows unreachable: ${resumed.reachableCount()}")
+    // finalize prune bound holds across the fold
+    assert(vecs.indices.forall(i => resumed.neighborsOf(i).length <= 32))
+    val searcher = toSearcher(resumed, null)
+    // every appended row is a first-class citizen: its own vector finds it
+    (800 until 1000 by 37).foreach { i =>
+      val got = searcher.search(vecs(i), 1, 100, 50, null, _ => false,
+        (a, x) => VectorKernels.cosineDist(a, x))
+      assert(got.head._1.toInt == i, s"appended row $i not retrievable")
+    }
+    // recall over mixed old+new ground truth matches the full-build gate
+    val recalls = (0 until 20).map { _ =>
+      val q = randVec(rnd, 32, normalized = true)
+      val exact = bruteTopK(vecs, q, 10, Metric.Cosine).toSet
+      val got = searcher.search(q, 10, 100, 50, null, _ => false,
+        (a, x) => VectorKernels.cosineDist(a, x)).take(10).map(_._1.toInt).toSet
+      exact.intersect(got).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall after live-insert fold $mean")
+  }
+
   private def toSearcher(b: VamanaBuilder, labels: Array[Array[Short]]): GraphSearcher = {
     val n = b.n
     val off = new Array[Int](n + 1)
