@@ -456,8 +456,13 @@ object Similarity {
       nClusters: Int, tau: Double, seed: String = "semdedup"): DataFrame = {
     val spark = df.sparkSession
     VectorFunctions.register(spark)
-    val model = trainIvfDeterministic(df, idCol, vecCol, nClusters, seed)
-    val assigned = ivfAssign(df, idCol, vecCol, model)
+    // the input lineage is evaluated by BOTH the centroid pick and the
+    // assignment pass — callers often feed a computed projection (the
+    // SemDeDup paper's pipeline arrives post-embedding-transform), so pin
+    // it once instead of paying the upstream compute twice
+    val src = graft.CacheScope.persist(df)
+    val model = trainIvfDeterministic(src, idCol, vecCol, nClusters, seed)
+    val assigned = ivfAssign(src, idCol, vecCol, model)
       .transform(graft.CacheScope.persist)
     val a = assigned.select(col("cluster"), col("id").as("id_a"),
       col("vec").as("__va"))
