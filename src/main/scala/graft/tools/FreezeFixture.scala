@@ -213,6 +213,46 @@ object FreezeManifestFixture {
 }
 
 /**
+ * Freezes the LIVE-INSERT-FOLD fixture (`index_gen10f`): a hash-partitioned
+ * index whose installed generation was produced by the round-10 incremental
+ * insert fold — delta rows INSERTED into their routed shards' frozen graphs
+ * (old node slots preserved, appended rows on the next ids) with untouched
+ * shards carried as manifest references. UpgradeFixtureSpec asserts future
+ * readers keep resolving and serving this layout exactly.
+ */
+object FreezeFoldFixture {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse(
+      "src/test/resources/fixtures/index_gen10f")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val src = spark.range(96).selectExpr(
+      "id AS row_id",
+      "transform(sequence(1, 8), d -> CAST(pmod(hash(id, d), 997) / 997.0 AS FLOAT)) AS vec")
+    DiskannIndex.build(src, "row_id", "vec", None, out,
+      DiskannParams(metric = "cosine", numNeighbors = 16, searchListSize = 32,
+        shardTargetRows = 16))
+    // twins (+1000 ids) of rows 0-2: xxhash64 routing scatters 3 twins over
+    // at most 3 of the 6 shards, so the generation carries BOTH folded ("")
+    // and referenced (".") manifest entries; no tombstones ⇒ live-insert fold
+    src.filter("row_id < 3")
+      .selectExpr("row_id + 1000 AS row_id", "vec")
+      .write.mode("append").parquet(s"$out/delta")
+    graft.streaming.StreamingIngest.compact(spark, out)
+    val meta = DiskannIndex.loadMeta(spark, out)
+    require(meta.numRows == 99, s"numRows=${meta.numRows}")
+    require(meta.shardDirs.contains("") && meta.shardDirs.contains("."),
+      s"fixture must carry manifest refs, got ${meta.shardDirs.mkString(",")}")
+    println(s"frozen: $out -> ${DiskannIndex.resolveRoot(spark, out)}")
+    println(meta.shardDirs.mkString(","))
+    spark.stop()
+  }
+}
+
+/**
  * Freezes the COMPACTED text-index fixture (`textidx_gen9c`): the round-9
  * lifecycle state the gen-8 flat fixture cannot cover — a versioned
  * generation installed by [[graft.operators.TextIndex.compactTextIndex]]

@@ -98,7 +98,11 @@ object PlanAudit {
     // bands; the quality pair must be ONE aggregate pass each; the salted
     // join's keys must include the salt column
     "bm25_chunks", "dedup_incremental_index", "data_profile",
-    "dq_expectations", "salted_join")
+    "dq_expectations", "salted_join",
+    // round 10: the SQL radius rewrite must plan KnnRangeScan under one
+    // FilterExec recheck (no corpus scan); the tier-fold query's serving
+    // plan is the standard pruned ANN shape over the folded generation
+    "knn_range_sql", "ann_tier_fold")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -407,6 +407,42 @@ class KnnStrategySpec extends AnyFunSuite {
     assert(rev.head().getLong(0) > 0)
   }
 
+  test("SQL radius filter claims the label overlap for the traversal") {
+    val lSrc = "/tmp/graft_test_index/strategy_range_lbl_src"
+    val lIdx = "/tmp/graft_test_index/strategy_range_lbl_idx"
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    deleteRec(new java.io.File(lIdx))
+    spark.read.parquet(srcPath)
+      .withColumn("labels", array(($"vec_id" % 4).cast("short")))
+      .write.mode("overwrite").parquet(lSrc)
+    DiskannIndex.build(spark.read.parquet(lSrc), "vec_id", "embedding",
+      Some("labels"), lIdx, DiskannParams(metric = "cosine"))
+    Graft.enable(spark)
+    KnnCatalog.register(lSrc, KnnCatalog.Entry(lIdx, lSrc,
+      "vec_id", "embedding", Some("labels"), "cosine"))
+    try {
+      val q = spark.sql(
+        s"""SELECT vec_id FROM parquet.`$lSrc`
+           |WHERE arrays_overlap(labels, CAST(array(1) AS ARRAY<SHORT>))
+           |  AND vec_cosine_dist(embedding, $qvecSql) <= 0.8""".stripMargin)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("KnnRangeScan") && plan.contains("labels=[1]"),
+        s"label not claimed by the radius scan:\n$plan")
+      val got = q.collect().map(_.getLong(0)).toSeq.sorted
+      val brute = spark.read.parquet(lSrc)
+        .crossJoin(broadcast(spark.read.parquet(srcPath)
+          .filter($"vec_id" === 0).select($"embedding".as("q"))))
+        .filter($"vec_id" % 4 === 1 &&
+          vec_cosine_dist($"embedding", $"q") <= 0.8)
+        .select($"vec_id").collect().map(_.getLong(0)).toSeq.sorted
+      assert(got == brute, s"labeled radius scan diverged (${got.length} vs ${brute.length})")
+      assert(got.nonEmpty && got.forall(_ % 4 == 1))
+    } finally KnnCatalog.unregister(lSrc)
+  }
+
   test("SQL radius filter masks tombstones and falls back to native on a pending delta") {
     val rSrc = "/tmp/graft_test_index/strategy_range_src"
     val rIdx = "/tmp/graft_test_index/strategy_range_idx"

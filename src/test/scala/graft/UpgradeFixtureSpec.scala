@@ -51,6 +51,39 @@ class UpgradeFixtureSpec extends AnyFunSuite {
     }
   }
 
+  private val foldFixture = "src/test/resources/fixtures/index_gen10f"
+
+  test("frozen insert-fold index (gen10f): manifest refs resolve, twins serve exactly") {
+    // written by the round-10 LIVE-INSERT fold (FreezeFoldFixture): a
+    // hash-partitioned generation whose folded shards preserved their old
+    // node slots and whose untouched shards are "." manifest references
+    val m = DiskannIndex.loadMeta(spark, foldFixture)
+    assert(m.numRows == 99 && m.partitioner == "hash")
+    assert(m.shardDirs.contains("") && m.shardDirs.contains("."),
+      s"expected mixed manifest refs, got ${m.shardDirs.mkString(",")}")
+    val root = DiskannIndex.resolveRoot(spark, foldFixture)
+    val nodes = DiskannIndex.nodesDf(spark, root,
+        DiskannIndex.loadMetaAt(spark, root), 0 until m.numShards)
+      .select($"shard", $"node", $"row_id", $"vec").collect()
+    assert(nodes.length == 99)
+    // node ids stay contiguous per shard — the searcher decode contract a
+    // fold must never break
+    nodes.groupBy(_.getInt(0)).foreach { case (s, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (0 until rows.length),
+        s"shard $s lost node contiguity")
+    }
+    // each folded twin serves at distance ~0 next to its original
+    val byId = nodes.map(r => r.getLong(2) ->
+      r.getAs[scala.collection.mutable.Seq[Float]]("vec").toArray).toMap
+    (0L until 3L).foreach { i =>
+      val queries = Seq((0L, byId(i + 1000L))).toDF("qid", "qvec")
+      val got = DiskannIndex.search(spark, foldFixture, queries, k = 2,
+        searchListSize = 128, rescore = 99)
+        .collect().map(_.getLong(1)).toSet
+      assert(got == Set(i, i + 1000L), s"twin $i: $got")
+    }
+  }
+
   private val legacyFixture = "src/test/resources/fixtures/index_gen3flat"
 
   test("frozen pre-manifest (round-3 era) meta: legacy defaults fill and search serves exactly") {
