@@ -271,6 +271,24 @@ object DiskannIndex {
         .groupBy(col("label")).agg(count(lit(1)).as("cnt"))
         .coalesce(1).write.mode("overwrite").parquet(s"$path/labelstats")
 
+    // per-shard cluster radii (IVF only): max build-space Euclidean distance
+    // from a member to its centroid, from ONE column-pruned pass over the
+    // nodes table just written — the sound input to radius shard pruning
+    // ([[radiusShardsFor]]). Hash shards are random, their "radius" covers
+    // the space, so nothing is stored (empty = pruning off).
+    val shardRadii: Array[Double] =
+      if (ivfModel == null) Array.emptyDoubleArray
+      else {
+        val cBc = spark.sparkContext.broadcast(ivfModel.centroids)
+        val radiiMap = spark.read.parquet(s"$path/nodes")
+          .select(col("shard"), col("vec")).rdd.map { row =>
+            val s = row.getInt(0)
+            val bv = toBuildSpace(row.getAs[mutable.Seq[Float]](1).toArray)
+            (s, math.sqrt(VectorKernels.l2sq(bv, cBc.value(s))))
+          }.reduceByKey(math.max).collectAsMap()
+        Array.tabulate(numShards)(s => radiiMap.getOrElse(s, 0.0))
+      }
+
     // meta sidecar as a 1-row parquet (no JSON dependency, schema-checked).
     // buildId is a fresh epoch per (re)build and shardBuildIds one epoch PER
     // SHARD: executor caches key on (index path, shard, shard epoch), so a
@@ -291,7 +309,7 @@ object DiskannIndex {
         params.partitioner,
         if (ivfModel != null) ivfModel.centroids else Array.empty[Array[Float]],
         params.shardTargetRows, genId,
-        Array.fill(numShards)(genId), Array.fill(numShards)("")))
+        Array.fill(numShards)(genId), Array.fill(numShards)(""), shardRadii))
         .toDF().coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
     }
     GraphSearcher.invalidate(path)
@@ -365,7 +383,14 @@ object DiskannIndex {
         * shard, relative to the index path. Incremental compaction installs
         * a new generation by writing only the rebuilt shards and pointing
         * the rest here — no copy of the untouched 100 TB ever happens. */
-      shardDirs: Array[String]) {
+      shardDirs: Array[String],
+      /** per-shard cluster radius (IVF only; empty = unknown): max EUCLIDEAN
+        * distance in BUILD SPACE from a member to its centroid. Upper bound
+        * maintained across compactions (delta grows it, tombstones only
+        * tighten the true value), which makes [[radiusShardsFor]]'s triangle
+        * inequality SOUND: a shard with d(q, c_s) - radius_s > r cannot hold
+        * any row within r of q. */
+      shardRadii: Array[Double] = Array.emptyDoubleArray) {
     /** The params this index was built with (minus the SBQ auto-default
       * already resolved into bitsPerDim) — compaction/rebuild starts here so
       * storage type, quantization width and graph shape survive. */
@@ -680,9 +705,35 @@ object DiskannIndex {
       val newShardIds = meta.shardBuildIds.zipWithIndex.map { case (old, s) =>
         if (affectedSet(s)) freshEpoch else old
       }
+      // cluster radii stay a SOUND upper bound across the fold: delta rows
+      // can only grow a shard's radius (max with their centroid distances),
+      // tombstones only tighten the true value (the stored bound stays
+      // valid). Unknown (pre-round-10) radii stay unknown — only a full
+      // rebuild re-measures.
+      val newShardRadii: Array[Double] =
+        if (meta.partitioner != "ivf" ||
+            meta.shardRadii.length != meta.numShards ||
+            deltaByShard.isEmpty) meta.shardRadii
+        else {
+          val cBc = spark.sparkContext.broadcast(meta.centroids)
+          val met = metric
+          val dims = dimsToIndex
+          val deltaMax = deltaAssigned
+            .select(col("shard"), col("vec")).rdd.map { row =>
+              val s = row.getInt(0)
+              val raw = row.getAs[mutable.Seq[Float]](1).toArray
+              val sliced = if (dims > 0) raw.take(dims) else raw
+              val bv = if (met == Metric.Cosine) VectorKernels.normalize(sliced)
+                else sliced
+              (s, math.sqrt(VectorKernels.l2sq(bv, cBc.value(s))))
+            }.reduceByKey(math.max).collectAsMap()
+          Array.tabulate(meta.numShards)(s =>
+            math.max(meta.shardRadii(s), deltaMax.getOrElse(s, 0.0)))
+        }
       inPhase(spark, PhaseFinalizing, dstPath) {
         Seq(meta.copy(numRows = newRows, buildId = freshEpoch,
-          shardBuildIds = newShardIds, shardDirs = newShardDirs))
+          shardBuildIds = newShardIds, shardDirs = newShardDirs,
+          shardRadii = newShardRadii))
           .toDF().coalesce(1).write.mode("overwrite").parquet(s"$dstPath/_meta")
       }
       Some((newRows, affected))
@@ -958,6 +1009,11 @@ object DiskannIndex {
       // pre-manifest generations are self-contained: every shard lives in
       // the generation's own nodes dir
       df = df.withColumn("shardDirs", array_repeat(lit(""), col("numShards")))
+    if (!df.columns.contains("shardRadii"))
+      // pre-round-10 generations carry no cluster radii: empty = unknown,
+      // which disables radius shard pruning but changes nothing else
+      df = df.withColumn("shardRadii",
+        lit(Array.emptyDoubleArray).cast(ArrayType(DoubleType)))
     df.as[IndexMeta].head()
   }
 
@@ -974,6 +1030,40 @@ object DiskannIndex {
       val sliced = if (meta.dimsToIndex > 0) raw.take(meta.dimsToIndex) else raw
       val bv = if (metric == Metric.Cosine) VectorKernels.normalize(sliced) else sliced
       Some(graft.operators.Similarity.IvfModel(meta.centroids).nearest(bv, nProbe))
+    } else None
+
+  /**
+   * SOUND shard pruning for RADIUS queries over IVF-partitioned indexes —
+   * unlike nProbe (nearest-n heuristic, recall trade), this prune can never
+   * drop an in-radius row: by the triangle inequality in build space,
+   * every member m of shard s satisfies
+   * |q - m| >= |q - c_s| - radius_s, so a shard with
+   * |q - c_s| - radius_s > r holds nothing within Euclidean radius r.
+   * Report radii convert to build-space Euclidean per metric:
+   * cosine on unit vectors has cosineDist = |a-b|^2/2, so r -> sqrt(2r);
+   * true L2 is Euclidean already, and a Matryoshka slice only SHRINKS L2
+   * distances, so pruning with the full-vector radius stays a superset.
+   * Returns None (no pruning) when radii are unknown (pre-round-10 metas,
+   * hash partitioner), for inner product (not a metric space), or for
+   * sliced cosine (the slice breaks the unit-norm identity).
+   */
+  private[graft] def radiusShardsFor(meta: IndexMeta, metric: Metric,
+      qvec: Array[Float], radius: Double): Option[Array[Int]] =
+    if (meta.partitioner == "ivf" && meta.centroids.nonEmpty &&
+        meta.shardRadii.length == meta.numShards && qvec != null &&
+        metric != Metric.InnerProduct &&
+        !(metric == Metric.Cosine && meta.dimsToIndex > 0)) {
+      val sliced = if (meta.dimsToIndex > 0) qvec.take(meta.dimsToIndex) else qvec
+      val bv = if (metric == Metric.Cosine) VectorKernels.normalize(sliced) else sliced
+      val eR = metric match {
+        case Metric.Cosine => math.sqrt(2.0 * math.max(radius, 0.0))
+        case _ => math.max(radius, 0.0)
+      }
+      Some((0 until meta.numShards).filter { s =>
+        val dc = math.sqrt(VectorKernels.l2sq(bv, meta.centroids(s)))
+        // small slack: radii/centroid distances round-trip through floats
+        dc - meta.shardRadii(s) <= eR + 1e-6
+      }.toArray)
     } else None
 
   /** SQL-visible distance for projections (§4.3 note 1): true cosine / true
@@ -1498,8 +1588,16 @@ object DiskannIndex {
       radius: Double, searchListSize: Int = 100, rescore: Int = 50,
       qlabels: Array[Short] = null, tombstones: Set[Long] = Set.empty,
       nProbe: Int = 0, maxResults: Int = 65536): Seq[(Long, Double)] = {
+    // SOUND radius shard pruning (triangle inequality over the stored IVF
+    // cluster radii, [[radiusShardsFor]]): at thousands of shards a
+    // selective radius visits only the shards whose cluster ball can
+    // intersect it — a 100x serving lever that, unlike nProbe, can never
+    // drop an in-radius row. The prune is computed inside the open, from
+    // the same meta that routes the scan (no generation-swap straddle);
+    // the cold first call still pays the full searchPoint once (which
+    // warms the caches), every resumed round is pruned.
     var resumable = openResumableScan(spark, path0, qvec, qlabels,
-      tombstones, nProbe = nProbe)
+      tombstones, nProbe = nProbe, radiusPrune = Some(radius))
     def round(kk: Int, l: Int): Seq[(Long, Double)] = resumable match {
       case Some(h) =>
         h.topK(kk, math.max(l, kk), math.max(rescore, l))
@@ -1508,7 +1606,7 @@ object DiskannIndex {
         val hits = searchPoint(spark, path0, qvec, kk,
           math.max(l, kk), math.max(rescore, l), nProbe, qlabels, tombstones)
         resumable = openResumableScan(spark, path0, qvec, qlabels,
-          tombstones, nProbe = nProbe)
+          tombstones, nProbe = nProbe, radiusPrune = Some(radius))
         hits
     }
     // EXHAUSTIVENESS is owned here, not by caller-tuned parameters: the
@@ -1548,13 +1646,23 @@ object DiskannIndex {
       qvec: Array[Float], qlabels: Array[Short],
       tombstones: Set[Long] = Set.empty,
       metrics: Option[SearchMetrics] = None,
-      nProbe: Int = 0): Option[ResumableScanHandle] = {
+      nProbe: Int = 0,
+      /** when set, apply SOUND radius shard pruning ([[radiusShardsFor]])
+        * for this report-distance radius — computed from the SAME meta this
+        * scan resolves, so routing and radii can never straddle a
+        * generation swap; None = no pruning */
+      radiusPrune: Option[Double] = None): Option[ResumableScanHandle] = {
     val path = resolveRoot(spark, path0)
     val meta = loadMeta(spark, path)
     val metric = Metric(meta.metric)
-    val needed: Seq[Int] =
+    val routed: Seq[Int] =
       probeShardsFor(meta, metric, qvec, nProbe)
         .map(_.toSeq.sorted).getOrElse(0 until meta.numShards)
+    val needed: Seq[Int] =
+      radiusPrune.flatMap(r => radiusShardsFor(meta, metric, qvec, r)) match {
+        case Some(f) => val keep = f.toSet; routed.filter(keep)
+        case None => routed
+      }
     val searchers = needed.map(sh =>
       GraphSearcher.peek(s"$path0#$sh#${meta.shardBuildIds(sh)}"))
     if (searchers.exists(_.isEmpty)) None

@@ -289,8 +289,19 @@ class KnnStrategy(spark: SparkSession) extends SparkStrategy {
             case Seq((a, ls)) if entry.labelsCol.contains(a.name) => Some(ls)
             case _ => None
           }
-          val fullAttrs = lr.output.map(_.asInstanceOf[AttributeReference])
-          val scan = KnnRangeScanExec(fullAttrs, spark, entry, qvec,
+          // with a Project above, the scan (and its heap fetch) prunes to
+          // the columns the predicate + projection actually read; a bare
+          // Filter must emit the relation's full output (its parent plans
+          // against that schema)
+          val scanAttrs: Seq[AttributeReference] = projList match {
+            case Some(ps) =>
+              val refs = AttributeSet(
+                ps.flatMap(_.references) ++ conjuncts.flatMap(_.references))
+              lr.output.filter(refs.contains)
+                .map(_.asInstanceOf[AttributeReference])
+            case None => lr.output.map(_.asInstanceOf[AttributeReference])
+          }
+          val scan = KnnRangeScanExec(scanAttrs, spark, entry, qvec,
             scanRadius, filterLabels, rangeExpr = de)
           val filtered = FilterExec(cond, scan)
           projList match {
@@ -767,24 +778,29 @@ case class KnnRangeScanExec(outAttrs: Seq[AttributeReference],
       radius, searchList, rescore, filterLabels.orNull, tombs,
       nProbe = 0, maxResults = maxResults)
     longMetric("numRangeHits").add(hits.length)
+    // output may be pruned past the id column — fetch it for the join,
+    // then project back down to this node's schema
     val wantCols = outAttrs.map(_.name)
+    val fetchCols =
+      if (wantCols.contains(entry.idCol)) wantCols
+      else wantCols :+ entry.idCol
     import spark.implicits._
     if (hits.length >= maxResults) {
       // possible truncation: exact distributed bail-out (recheck above)
       var src = spark.read.parquet(entry.sourcePath)
-        .select(wantCols.map(col): _*)
         .filter(col(entry.vecCol).isNotNull)
+        .select(fetchCols.map(col): _*)
       if (tombs.nonEmpty)
         src = src.join(
           org.apache.spark.sql.functions.broadcast(
             tombs.toSeq.toDF("__tomb_id")),
           col(entry.idCol) === col("__tomb_id"), "left_anti")
-      src.queryExecution.toRdd
+      src.select(wantCols.map(col): _*).queryExecution.toRdd
     } else {
       longMetric("numHeapFetches").add(hits.length)
       val ids = hits.map(_._1)
       var src = spark.read.parquet(entry.sourcePath)
-        .select(wantCols.map(col): _*)
+        .select(fetchCols.map(col): _*)
       // pushed-down IN point-fetch while the hit list is small; past that,
       // a broadcast semi-join on the id (never an isin over 65k literals)
       if (ids.length <= pushdownLimit)
@@ -792,6 +808,7 @@ case class KnnRangeScanExec(outAttrs: Seq[AttributeReference],
       src.join(
           org.apache.spark.sql.functions.broadcast(ids.toDF("__hit_id")),
           col(entry.idCol) === col("__hit_id"), "left_semi")
+        .select(wantCols.map(col): _*)
         .queryExecution.toRdd
     }
   }

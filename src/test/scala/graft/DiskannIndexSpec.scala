@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.index.{DiskannIndex, DiskannParams}
+import graft.index.{DiskannIndex, DiskannParams, Metric}
 import graft.functions.VectorFunctions
 import graft.functions.VectorFunctions._
 
@@ -86,6 +86,59 @@ class DiskannIndexSpec extends AnyFunSuite {
     // tiny radius: only the query row itself (dist 0)
     val self = DiskannIndex.rangeSearch(spark, path, q, 1e-9)
     assert(self.map(_._1) == Seq(0L))
+  }
+
+  test("radius shard pruning: cluster radii prune soundly, results stay exact") {
+    val path = "/tmp/graft_test_index/range_prune"
+    // 3 well-separated clusters in 8-dim, deterministic jitter: Lloyd IVF
+    // at k=3 aligns shards with clusters, so radii are tight and a
+    // selective radius near one cluster must prune the other shards
+    val rows = spark.range(300).selectExpr(
+      "id AS vec_id",
+      """transform(sequence(1, 8), d ->
+        |  CAST((CASE WHEN d - 1 = CAST(pmod(id, 3) AS INT) THEN 10.0 ELSE 0.0 END)
+        |    + pmod(hash(id, d), 97) / 97.0 AS FLOAT)) AS embedding""".stripMargin)
+    DiskannIndex.build(rows, "vec_id", "embedding", None, path,
+      DiskannParams(metric = "l2", storage = "plain", partitioner = "ivf",
+        shardTargetRows = 100))
+    val meta = DiskannIndex.loadMeta(spark, path)
+    assert(meta.numShards == 3)
+    assert(meta.shardRadii.length == 3 && meta.shardRadii.forall(_ > 0.0),
+      s"cluster radii missing: ${meta.shardRadii.mkString(",")}")
+    val all = rows.collect().map(r => r.getLong(0) ->
+      r.getAs[scala.collection.mutable.Seq[Float]](1).toArray).toMap
+    def exactWithin(q: Array[Float], r: Double): Set[Long] =
+      all.filter { case (_, v) =>
+        math.sqrt(graft.functions.VectorKernels.l2sq(v, q)) <= r
+      }.keySet
+    // a tight radius around one cluster member: the prune must drop shards
+    // and the scan must still return the exact in-radius set
+    val q = all(0L)
+    val prunedShards = DiskannIndex.radiusShardsFor(meta, Metric.L2, q, 2.0)
+    assert(prunedShards.isDefined && prunedShards.get.length < 3,
+      s"expected pruning on separated clusters: ${prunedShards.map(_.mkString(","))}")
+    val got = DiskannIndex.rangeSearch(spark, path, q, 2.0)
+      .map(_._1).toSet
+    assert(got == exactWithin(q, 2.0), s"pruned radius scan diverged")
+    // soundness fuzz: across queries and radii (incl. ones spanning all
+    // clusters) the pruned scan equals brute force
+    Seq((1L, 1.5), (2L, 3.0), (7L, 12.0), (11L, 16.0), (42L, 0.5))
+      .foreach { case (id, r) =>
+        val qq = all(id)
+        val g = DiskannIndex.rangeSearch(spark, path, qq, r).map(_._1).toSet
+        assert(g == exactWithin(qq, r), s"q=$id r=$r diverged")
+      }
+    // a cross-generation fold keeps radii a sound upper bound: append a
+    // twin of row 0 (same cluster) and re-check after compact
+    spark.range(1).selectExpr("9000L AS row_id")
+      .crossJoin(rows.filter("vec_id = 0").select(col("embedding").as("vec")))
+      .write.mode("append").parquet(s"$path/delta")
+    graft.streaming.StreamingIngest.compact(spark, path)
+    val meta2 = DiskannIndex.loadMeta(spark, path)
+    assert(meta2.shardRadii.length == 3 &&
+      (0 until 3).forall(s => meta2.shardRadii(s) >= meta.shardRadii(s)))
+    val got2 = DiskannIndex.rangeSearch(spark, path, q, 2.0).map(_._1).toSet
+    assert(got2 == exactWithin(q, 2.0) + 9000L, s"post-fold radius scan diverged: $got2")
   }
 
   test("multi-shard build: 4 shards, search merges to the exact top-10") {
