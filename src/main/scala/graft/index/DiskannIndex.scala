@@ -223,12 +223,8 @@ object DiskannIndex {
     val l = params.searchListSize
     val alpha = params.maxAlpha
 
-    // build-space transform (Matryoshka slice + cosine normalize) applied to
-    // one raw vector — shared by IVF assignment here and routing at search
-    def toBuildSpace(v: Array[Float]): Array[Float] = {
-      val sliced = if (dimsToIndex > 0) v.take(dimsToIndex) else v
-      if (metric == Metric.Cosine) VectorKernels.normalize(sliced) else sliced
-    }
+    def toBuildSpace(v: Array[Float]): Array[Float] =
+      BuildSpace(v, dimsToIndex, metric)
 
     val ivfModel: graft.operators.Similarity.IvfModel =
       if (params.partitioner == "ivf") inPhase(spark, PhaseTraining, path) {
@@ -547,12 +543,8 @@ object DiskannIndex {
       if (meta.partitioner == "ivf") {
         val ivfBc = spark.sparkContext.broadcast(
           graft.operators.Similarity.IvfModel(meta.centroids))
-        val assign = udf((v: mutable.Seq[Float]) => {
-          val raw = v.toArray
-          val sliced = if (dimsToIndex > 0) raw.take(dimsToIndex) else raw
-          val bv = if (metric == Metric.Cosine) VectorKernels.normalize(sliced) else sliced
-          ivfBc.value.nearest(bv, 1)(0)
-        })
+        val assign = udf((v: mutable.Seq[Float]) =>
+          ivfBc.value.nearest(BuildSpace(v.toArray, dimsToIndex, metric), 1)(0))
         assign(col("vec"))
       } else
         pmod(xxhash64(col("row_id")), lit(meta.numShards)).cast(IntegerType)
@@ -721,10 +713,8 @@ object DiskannIndex {
           val deltaMax = deltaAssigned
             .select(col("shard"), col("vec")).rdd.map { row =>
               val s = row.getInt(0)
-              val raw = row.getAs[mutable.Seq[Float]](1).toArray
-              val sliced = if (dims > 0) raw.take(dims) else raw
-              val bv = if (met == Metric.Cosine) VectorKernels.normalize(sliced)
-                else sliced
+              val bv = BuildSpace(
+                row.getAs[mutable.Seq[Float]](1).toArray, dims, met)
               (s, math.sqrt(VectorKernels.l2sq(bv, cBc.value(s))))
             }.reduceByKey(math.max).collectAsMap()
           Array.tabulate(meta.numShards)(s =>
@@ -792,12 +782,6 @@ object DiskannIndex {
           val codes = if (m != null) new Array[Array[Long]](nAll) else null
           val lbs = if (hasLabels) new Array[Array[Short]](nAll) else null
           val adj = new Array[Array[Int]](nOld)
-          def buildSpace(v: Array[Float]): Array[Float] = {
-            val sliced = if (dimsToIndex > 0) v.take(dimsToIndex) else v
-            if (metric == Metric.Cosine)
-              graft.functions.VectorKernels.normalize(sliced)
-            else sliced
-          }
           val buildVecs = new Array[Array[Float]](nAll)
           var i = 0
           while (i < nAll) {
@@ -806,7 +790,7 @@ object DiskannIndex {
               s"insert fold: shard $shard arrived with non-contiguous nodes")
             rowIds(i) = row.getAs[Long]("row_id")
             rawVecs(i) = row.getAs[mutable.Seq[Float]]("vec").toArray
-            buildVecs(i) = buildSpace(rawVecs(i))
+            buildVecs(i) = BuildSpace(rawVecs(i), dimsToIndex, metric)
             if (codes != null)
               codes(i) =
                 if (i < nOld) row.getAs[mutable.Seq[Long]]("code").toArray
@@ -1027,8 +1011,7 @@ object DiskannIndex {
         meta.centroids.nonEmpty) {
       val raw =
         if (qvec == null) new Array[Float](meta.centroids(0).length) else qvec
-      val sliced = if (meta.dimsToIndex > 0) raw.take(meta.dimsToIndex) else raw
-      val bv = if (metric == Metric.Cosine) VectorKernels.normalize(sliced) else sliced
+      val bv = BuildSpace(raw, meta.dimsToIndex, metric)
       Some(graft.operators.Similarity.IvfModel(meta.centroids).nearest(bv, nProbe))
     } else None
 
@@ -1053,8 +1036,7 @@ object DiskannIndex {
         meta.shardRadii.length == meta.numShards && qvec != null &&
         metric != Metric.InnerProduct &&
         !(metric == Metric.Cosine && meta.dimsToIndex > 0)) {
-      val sliced = if (meta.dimsToIndex > 0) qvec.take(meta.dimsToIndex) else qvec
-      val bv = if (metric == Metric.Cosine) VectorKernels.normalize(sliced) else sliced
+      val bv = BuildSpace(qvec, meta.dimsToIndex, metric)
       val eR = metric match {
         case Metric.Cosine => math.sqrt(2.0 * math.max(radius, 0.0))
         case _ => math.max(radius, 0.0)
@@ -1587,7 +1569,25 @@ object DiskannIndex {
   def rangeSearch(spark: SparkSession, path0: String, qvec: Array[Float],
       radius: Double, searchListSize: Int = 100, rescore: Int = 50,
       qlabels: Array[Short] = null, tombstones: Set[Long] = Set.empty,
-      nProbe: Int = 0, maxResults: Int = 65536): Seq[(Long, Double)] = {
+      nProbe: Int = 0, maxResults: Int = 65536): Seq[(Long, Double)] =
+    rangeSearchWithStatus(spark, path0, qvec, radius, searchListSize,
+      rescore, qlabels, tombstones, nProbe, maxResults)._1
+
+  /**
+   * [[rangeSearch]] plus a CONFIRMED flag: `true` means the escalation's
+   * stability contract held (the in-radius set was unchanged across a 4x
+   * widening, or the traversal genuinely exhausted), `false` means the
+   * `maxResults` cap cut escalation short and the set may be INCOMPLETE —
+   * note the returned count can be far below maxResults in that case (only
+   * a fraction of the capped top-k cleared the radius), so consumers
+   * needing exactness must branch on this flag, not on the result size
+   * (KnnRangeScanExec falls back to the exact distributed scan on false).
+   */
+  def rangeSearchWithStatus(spark: SparkSession, path0: String,
+      qvec: Array[Float],
+      radius: Double, searchListSize: Int = 100, rescore: Int = 50,
+      qlabels: Array[Short] = null, tombstones: Set[Long] = Set.empty,
+      nProbe: Int = 0, maxResults: Int = 65536): (Seq[(Long, Double)], Boolean) = {
     // SOUND radius shard pruning (triangle inequality over the stored IVF
     // cluster radii, [[radiusShardsFor]]): at thousands of shards a
     // selective radius visits only the shards whose cluster ball can
@@ -1624,22 +1624,26 @@ object DiskannIndex {
     var l = math.max(searchListSize, kk)
     var prevInRadius: Option[Set[Long]] = None
     var out: Seq[(Long, Double)] = null
+    var confirmed = true
     while (out == null) {
       val hits = round(kk, l)
       val inRadius = hits.filter(_._2 <= radius)
       val cleared = hits.length < kk || hits.lastOption.forall(_._2 > radius)
-      if (kk >= maxResults)
+      // stable-exit FIRST: a set confirmed at the cap boundary is still
+      // confirmed; only an exit FORCED by the cap is unconfirmed
+      if (cleared && prevInRadius.contains(inRadius.map(_._1).toSet))
         out = inRadius.take(maxResults)
-      else if (cleared && prevInRadius.contains(inRadius.map(_._1).toSet))
+      else if (kk >= maxResults) {
+        confirmed = false
         out = inRadius.take(maxResults)
-      else {
+      } else {
         prevInRadius =
           if (cleared) Some(inRadius.map(_._1).toSet) else None
         kk = math.min(maxResults, kk * 4)
         l = math.max(l * 4, kk)
       }
     }
-    out
+    (out, confirmed)
   }
 
   def openResumableScan(spark: SparkSession, path0: String,
@@ -1658,8 +1662,14 @@ object DiskannIndex {
     val routed: Seq[Int] =
       probeShardsFor(meta, metric, qvec, nProbe)
         .map(_.toSeq.sorted).getOrElse(0 until meta.numShards)
+    // graft.knn.range.shardPrune=false is the ops escape hatch (and the
+    // measurement baseline for RangeProbe) — pruning is sound, so turning
+    // it off can only cost time, never change results
+    val pruneOn =
+      spark.conf.get("graft.knn.range.shardPrune", "true").toBoolean
     val needed: Seq[Int] =
-      radiusPrune.flatMap(r => radiusShardsFor(meta, metric, qvec, r)) match {
+      radiusPrune.filter(_ => pruneOn)
+        .flatMap(r => radiusShardsFor(meta, metric, qvec, r)) match {
         case Some(f) => val keep = f.toSet; routed.filter(keep)
         case None => routed
       }
@@ -1719,8 +1729,7 @@ object DiskannIndex {
       else {
         val raw = Option(qv).map(_.toArray)
           .getOrElse(new Array[Float](centBc.value(0).length))
-        val sliced = if (dimsToIndex > 0) raw.take(dimsToIndex) else raw
-        val bv = if (metric == Metric.Cosine) VectorKernels.normalize(sliced) else sliced
+        val bv = BuildSpace(raw, dimsToIndex, metric)
         graft.operators.Similarity.IvfModel(centBc.value).nearest(bv, nProbe)
       })
     val hasQLabels = queries.columns.contains("qlabels")

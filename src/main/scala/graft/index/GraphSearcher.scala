@@ -94,10 +94,9 @@ final class GraphSearcher(
     // vectors are stored RAW; exact traversal (plain storage) orders by the
     // SQL-visible distance, which is ordering-equivalent for all metrics.
     private val qcode: Array[Long] =
-      if (!degenerate && model != null && codes != null) {
-        val qSliced = if (dimsToIndex > 0) query.take(dimsToIndex) else query
-        model.quantize(if (metric == Metric.Cosine) VectorKernels.normalize(qSliced) else qSliced)
-      } else null
+      if (!degenerate && model != null && codes != null)
+        model.quantize(BuildSpace(query, dimsToIndex, metric))
+      else null
 
     @inline private def traversalDist(i: Int): Double =
       if (codes != null) {

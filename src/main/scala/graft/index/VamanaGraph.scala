@@ -28,6 +28,22 @@ object Metric {
   }
 }
 
+/**
+ * THE build-space transform — Matryoshka slice, then cosine normalize —
+ * shared by the graph build, IVF routing (build assignment, probe routing,
+ * delta re-routing), cluster-radius maintenance and SBQ quantization. ONE
+ * definition on purpose: a drifted copy would mis-route delta rows or
+ * corrupt stored radii with no compile-time signal. A standalone
+ * Serializable object (not a DiskannIndex method) so closures INSIDE
+ * DiskannIndex can call it without capturing the whole module.
+ */
+private[graft] object BuildSpace extends Serializable {
+  def apply(raw: Array[Float], dimsToIndex: Int, metric: Metric): Array[Float] = {
+    val sliced = if (dimsToIndex > 0) raw.take(dimsToIndex) else raw
+    if (metric == Metric.Cosine) VectorKernels.normalize(sliced) else sliced
+  }
+}
+
 /** Sorted-dedup label-set algebra (labels/mod.rs:84-142). Arrays must be
   * sorted ascending; empty array = no labels. */
 object LabelSets {

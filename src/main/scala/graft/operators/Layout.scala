@@ -254,6 +254,13 @@ object Layout {
         // then contains no `_`, which makes `slice_<tag>_` prefixes
         // mutually non-nesting: the first `_` after "slice_" always ends
         // the tag, so distinct ids can never prefix-match each other.
+        // MIGRATION CAVEAT: files a PRE-encoding writer half-installed for
+        // an id containing `_` (legacy name `slice_a_b_*`) are invisible to
+        // the new prefix, so replaying such a crashed append duplicates
+        // that slice's rows. Legacy names are inherently ambiguous (the
+        // original bug), so they cannot be scrubbed safely by pattern —
+        // clean such leftovers manually before replaying; underscore-free
+        // ids (tag == id) migrate with no caveat.
         val tag = id.replace('_', '.')
         val marker = new org.apache.hadoop.fs.Path(root, s"_slice_$id")
         if (fs.exists(marker)) return

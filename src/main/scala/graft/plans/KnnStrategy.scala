@@ -452,6 +452,60 @@ class KnnStrategy(spark: SparkSession) extends SparkStrategy {
 }
 
 /**
+ * Heap-access plumbing shared by the top-k and radius scan nodes — ONE
+ * definition of "fetch these ids from the source relation" and of the
+ * exact brute-force bail-out, so the tombstone mask / isin-pushdown /
+ * broadcast-join disciplines can never drift between the two paths.
+ */
+private[plans] object HeapFetch {
+
+  /** The kk hit ids fetched from the source: a pushed-down IN point-fetch
+    * while the list is small, a broadcast semi-join past that (never an
+    * isin over tens of thousands of boxed literals). */
+  def byIds(spark: SparkSession, entry: KnnCatalog.Entry,
+      fetchCols: Seq[String], ids: Seq[Long], pushdownLimit: Int): DataFrame = {
+    import spark.implicits._
+    var src = spark.read.parquet(entry.sourcePath)
+      .select(fetchCols.map(col): _*)
+    if (ids.length <= pushdownLimit)
+      src = src.filter(col(entry.idCol).isin(ids.map(Long.box): _*))
+    src.join(
+        org.apache.spark.sql.functions.broadcast(ids.toDF("__hit_id")),
+        col(entry.idCol) === col("__hit_id"), "left_semi")
+      .select(fetchCols.map(col): _*)
+  }
+
+  /** Exact distributed bail-out: every row the index could ever serve —
+    * null vectors dropped, tombstones masked (the heap may physically hold
+    * them, like un-vacuumed dead tuples), the claimed label filter applied
+    * when the index is labeled. Callers re-check the real predicate above,
+    * so this only has to be a superset of the index-servable rows. */
+  def bruteScan(spark: SparkSession, entry: KnnCatalog.Entry,
+      wantCols: Seq[String], tombs: Set[Long],
+      filterLabels: Option[Array[Short]]): DataFrame = {
+    import spark.implicits._
+    // filters run BEFORE the projection: wantCols may be pruned past the
+    // vector/label columns the masks read (Catalyst pushes them into the
+    // scan either way)
+    var src = spark.read.parquet(entry.sourcePath)
+      .filter(col(entry.vecCol).isNotNull)
+    (filterLabels, entry.labelsCol) match {
+      case (Some(ls), Some(lc)) =>
+        src = src.filter(org.apache.spark.sql.functions.arrays_overlap(
+          col(lc), typedlit(ls).cast(org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.ShortType))))
+      case _ =>
+    }
+    if (tombs.nonEmpty)
+      src = src.join(
+        org.apache.spark.sql.functions.broadcast(
+          tombs.toSeq.toDF("__tomb_id")),
+        col(entry.idCol) === col("__tomb_id"), "left_anti")
+    src.select(wantCols.map(col): _*)
+  }
+}
+
+/**
  * Physical ANN top-k scan (the `amgettuple` analog, SURVEY.md §2.1 S2/S3):
  * searches the registered DiskANN index for the k nearest row ids, then
  * fetches those rows from the source relation (the heap-fetch S5 — a
@@ -592,6 +646,20 @@ case class KnnIndexScanExec(outAttrs: Seq[AttributeReference], spark: SparkSessi
     val hasDelta =
       graft.streaming.StreamingIngest.hasDelta(spark, entry.indexPath)
     val freshTombs = DiskannIndex.loadTombstones(spark, entry.indexPath)
+    // the delta term is its EXACT row count from parquet footers (O(#files)
+    // driver metadata) — added OUTSIDE the label min because labelstats only
+    // cover the built graph, and a delta row with a matching label is
+    // returnable too. ORDER MATTERS: the delta is counted FIRST, before the
+    // labelstats and generation row count are read, so a compact landing in
+    // between can only make `total` an OVER-count (delta counted + new
+    // meta/labelstats already containing those rows) — the safe direction
+    // for an exhaustion bound. The reverse order undercounts: old
+    // meta/labelstats (delta rows absent) + delta files already consumed =
+    // 0, and the scan would stop escalating while matching rows exist.
+    val deltaRows: Long =
+      if (hasDelta)
+        graft.streaming.StreamingIngest.deltaRowCount(spark, entry.indexPath)
+      else 0L
     // LABEL-SELECTIVITY-AWARE exhaustion bound (the reference's contsel
     // hook, mod.rs:243-256, re-expressed): a labeled traversal can never
     // return more nodes than carry one of the query labels, so the stored
@@ -603,17 +671,9 @@ case class KnnIndexScanExec(outAttrs: Seq[AttributeReference], spark: SparkSessi
       DiskannIndex.labelCounts(spark, entry.indexPath).map { m =>
         ls.map(l => m.getOrElse(l, 0L)).sum
       })
-    // the delta term is its EXACT row count from parquet footers (O(#files)
-    // driver metadata) — added OUTSIDE the label min because labelstats only
-    // cover the built graph, and a delta row with a matching label is
-    // returnable too. Over-count (tombstoned rows) is safe; the snapshot
-    // races are covered in deltaRowCount's doc.
     val total = math.min(
       labelPop.getOrElse(Long.MaxValue),
-      DiskannIndex.loadMeta(spark, entry.indexPath).numRows) +
-      (if (hasDelta)
-        graft.streaming.StreamingIngest.deltaRowCount(spark, entry.indexPath)
-      else 0L)
+      DiskannIndex.loadMeta(spark, entry.indexPath).numRows) + deltaRows
     val cap = math.max(k.toLong, math.min(total, maxOverfetch.toLong))
       .min(Int.MaxValue).toInt
 
@@ -698,28 +758,10 @@ case class KnnIndexScanExec(outAttrs: Seq[AttributeReference], spark: SparkSessi
     }
     if (bail) {
       // brute-force bail-out: emit the whole relation (minus rows the index
-      // never contains: null vectors; label-filtered when the index is;
-      // tombstoned rows masked — the heap may still hold them physically,
-      // like un-vacuumed dead tuples) and let FilterExec + TakeOrdered
-      // compute the exact answer, distributed
-      var src = spark.read.parquet(entry.sourcePath)
-        .select(wantCols.map(col): _*)
-        .filter(col(entry.vecCol).isNotNull)
-      if (freshTombs.nonEmpty) {
-        import spark.implicits._
-        src = src.join(
-          org.apache.spark.sql.functions.broadcast(
-            freshTombs.toSeq.toDF("__tomb_id")),
-          col(entry.idCol) === col("__tomb_id"), "left_anti")
-      }
-      (filterLabels, entry.labelsCol) match {
-        case (Some(ls), Some(lc)) =>
-          src = src.filter(org.apache.spark.sql.functions.arrays_overlap(
-            col(lc), typedlit(ls).cast(org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.ShortType))))
-        case _ =>
-      }
-      out = src.queryExecution.toRdd
+      // never contains — see HeapFetch.bruteScan) and let FilterExec +
+      // TakeOrdered compute the exact answer, distributed
+      out = HeapFetch.bruteScan(spark, entry, wantCols, freshTombs,
+        filterLabels).queryExecution.toRdd
     }
     out
   }
@@ -773,41 +815,33 @@ case class KnnRangeScanExec(outAttrs: Seq[AttributeReference],
       spark.conf.get("graft.knn.range.maxResults", "65536").toInt
     val pushdownLimit =
       spark.conf.get("graft.knn.residual.pushdownLimit", "1024").toInt
-    val tombs = DiskannIndex.loadTombstones(spark, entry.indexPath)
-    val hits = DiskannIndex.rangeSearch(spark, entry.indexPath, queryVec,
-      radius, searchList, rescore, filterLabels.orNull, tombs,
-      nProbe = 0, maxResults = maxResults)
-    longMetric("numRangeHits").add(hits.length)
-    // output may be pruned past the id column — fetch it for the join,
-    // then project back down to this node's schema
     val wantCols = outAttrs.map(_.name)
-    val fetchCols =
-      if (wantCols.contains(entry.idCol)) wantCols
-      else wantCols :+ entry.idCol
-    import spark.implicits._
-    if (hits.length >= maxResults) {
-      // possible truncation: exact distributed bail-out (recheck above)
-      var src = spark.read.parquet(entry.sourcePath)
-        .filter(col(entry.vecCol).isNotNull)
-        .select(fetchCols.map(col): _*)
-      if (tombs.nonEmpty)
-        src = src.join(
-          org.apache.spark.sql.functions.broadcast(
-            tombs.toSeq.toDF("__tomb_id")),
-          col(entry.idCol) === col("__tomb_id"), "left_anti")
-      src.select(wantCols.map(col): _*).queryExecution.toRdd
+    val tombs = DiskannIndex.loadTombstones(spark, entry.indexPath)
+    // freshness is re-checked PER EXECUTION, not at planning time: a delta
+    // appended after the plan was built holds rows the graph cannot see,
+    // so the scan bails to the exact distributed shape (the recheck above
+    // keeps it correct) instead of serving stale results off a cached plan
+    if (graft.streaming.StreamingIngest.hasDelta(spark, entry.indexPath))
+      return HeapFetch.bruteScan(spark, entry, wantCols, tombs, filterLabels)
+        .queryExecution.toRdd
+    val (hits, confirmed) = DiskannIndex.rangeSearchWithStatus(spark,
+      entry.indexPath, queryVec, radius, searchList, rescore,
+      filterLabels.orNull, tombs, nProbe = 0, maxResults = maxResults)
+    longMetric("numRangeHits").add(hits.length)
+    if (!confirmed) {
+      // the maxResults cap cut escalation before the in-radius set
+      // stabilized — the set may be incomplete (and its SIZE cannot tell):
+      // exact distributed bail-out, recheck above
+      HeapFetch.bruteScan(spark, entry, wantCols, tombs, filterLabels)
+        .queryExecution.toRdd
     } else {
       longMetric("numHeapFetches").add(hits.length)
-      val ids = hits.map(_._1)
-      var src = spark.read.parquet(entry.sourcePath)
-        .select(fetchCols.map(col): _*)
-      // pushed-down IN point-fetch while the hit list is small; past that,
-      // a broadcast semi-join on the id (never an isin over 65k literals)
-      if (ids.length <= pushdownLimit)
-        src = src.filter(col(entry.idCol).isin(ids.map(Long.box): _*))
-      src.join(
-          org.apache.spark.sql.functions.broadcast(ids.toDF("__hit_id")),
-          col(entry.idCol) === col("__hit_id"), "left_semi")
+      // output may be pruned past the id column — fetch it for the join,
+      // then project back down to this node's schema
+      val fetchCols =
+        if (wantCols.contains(entry.idCol)) wantCols
+        else wantCols :+ entry.idCol
+      HeapFetch.byIds(spark, entry, fetchCols, hits.map(_._1), pushdownLimit)
         .select(wantCols.map(col): _*)
         .queryExecution.toRdd
     }

@@ -113,11 +113,16 @@ object StreamingIngest {
   /** The delta's data files right now (Hadoop FS, so HDFS/S3 paths work the
     * same as local ones). */
   private[graft] def deltaFiles(spark: SparkSession,
-      indexPath: String): Array[org.apache.hadoop.fs.Path] = {
+      indexPath: String): Array[org.apache.hadoop.fs.Path] =
+    deltaFileStatuses(spark, indexPath).map(_.getPath)
+
+  private def deltaFileStatuses(spark: SparkSession,
+      indexPath: String): Array[org.apache.hadoop.fs.FileStatus] = {
     val (fs, _) = hadoopFs(spark, indexPath)
     val d = new org.apache.hadoop.fs.Path(s"$indexPath/delta")
-    try fs.listStatus(d).map(_.getPath)
-      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+    try fs.listStatus(d)
+      .filter(s => !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
     catch { case _: java.io.FileNotFoundException => Array.empty }
   }
 
@@ -174,15 +179,33 @@ object StreamingIngest {
     * the GENERATION row count the same caller reads (the compact moved
     * them into main); appends landing after the count are invisible to
     * this query's snapshot anyway. */
+  // per-JVM count cache keyed by the delta listing's fingerprint (names +
+  // sizes + mtimes — delta files are write-once, renamed in): a streaming
+  // index accumulating hundreds of micro-batch files between compactions
+  // would otherwise pay hundreds of sequential footer opens on EVERY query
+  // execution; warm it is one LIST, the same invalidation discipline as
+  // DiskannIndex.metaCache
+  private val deltaCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
   private[graft] def deltaRowCount(spark: SparkSession, indexPath: String): Long = {
+    val sts = deltaFileStatuses(spark, indexPath)
+    val fp = sts.map(s =>
+        s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString("|")
+    val hit = deltaCountCache.get(indexPath)
+    if (hit != null && hit._1 == fp) return hit._2
     val conf = spark.sessionState.newHadoopConf()
-    deltaFiles(spark, indexPath).map { p =>
+    val n = sts.map { s =>
       try {
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(s.getPath, conf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try r.getRecordCount finally r.close()
       } catch { case _: java.io.IOException => 0L }
     }.sum
+    deltaCountCache.put(indexPath, (fp, n))
+    n
   }
 
   /** Search main graph + current delta (exact over the delta side).

@@ -1,0 +1,67 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.index.{DiskannIndex, DiskannParams}
+
+/**
+ * Measured evidence for SOUND radius shard pruning (SCALING.md §round 10):
+ * a clustered corpus sharded by IVF, warm per-shard searchers, and the
+ * SAME selective radius query timed with `graft.knn.range.shardPrune`
+ * on vs off. Pruning is sound (identical results — asserted here), so the
+ * delta is pure avoided traversal: at `numShards` shards a query whose
+ * radius intersects k cluster balls does k/numShards of the work.
+ *
+ *   sbt 'runMain graft.tools.RangeProbe'
+ */
+object RangeProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val nClusters = 24
+    val perCluster = 2500
+    val n = nClusters * perCluster
+    // 16-dim, cluster c centered at 10 * e_{c mod 16} + deterministic jitter
+    val rows = spark.range(n).selectExpr(
+      "id AS row_id",
+      s"""transform(sequence(1, 16), d ->
+         |  CAST((CASE WHEN d - 1 = CAST(pmod(id, $nClusters) % 16 AS INT)
+         |          THEN 10.0 + CAST(pmod(id, $nClusters) AS INT) / 4.0
+         |          ELSE 0.0 END)
+         |    + pmod(hash(id, d), 97) / 97.0 AS FLOAT)) AS vec""".stripMargin)
+    val path = "/tmp/graft_rangeprobe/idx"
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    deleteRec(new java.io.File("/tmp/graft_rangeprobe"))
+    DiskannIndex.build(rows, "row_id", "vec", None, path,
+      DiskannParams(metric = "l2", storage = "plain", partitioner = "ivf",
+        shardTargetRows = perCluster))
+    val meta = DiskannIndex.loadMeta(spark, path)
+    val q = rows.filter("row_id = 0").head()
+      .getAs[scala.collection.mutable.Seq[Float]]("vec").toArray
+    val radius = 2.5 // covers ~one cluster's jitter ball
+    val prunedTo = DiskannIndex.radiusShardsFor(
+      meta, graft.index.Metric.L2, q, radius).map(_.length).getOrElse(-1)
+    def timeRuns(prune: Boolean, reps: Int): (Double, Set[Long]) = {
+      spark.conf.set("graft.knn.range.shardPrune", prune.toString)
+      // one untimed call warms every shard searcher this setting touches
+      DiskannIndex.rangeSearch(spark, path, q, radius)
+      var res: Set[Long] = Set.empty
+      val t0 = System.nanoTime()
+      (0 until reps).foreach { _ =>
+        res = DiskannIndex.rangeSearch(spark, path, q, radius).map(_._1).toSet
+      }
+      ((System.nanoTime() - t0) / 1e9 / reps, res)
+    }
+    val (tOff, rOff) = timeRuns(prune = false, reps = 20)
+    val (tOn, rOn) = timeRuns(prune = true, reps = 20)
+    require(rOn == rOff && rOn.nonEmpty,
+      s"pruning changed results: ${rOn.size} vs ${rOff.size}")
+    println(f"""{"metric":"rangeprobe","rows":$n,"shards":${meta.numShards},"pruned_to":$prunedTo,"in_radius":${rOn.size},"warm_ms_prune_off":${tOff * 1000}%.1f,"warm_ms_prune_on":${tOn * 1000}%.1f,"speedup":${tOff / tOn}%.1f}""")
+    spark.stop()
+  }
+}

@@ -443,7 +443,7 @@ class KnnStrategySpec extends AnyFunSuite {
     } finally KnnCatalog.unregister(lSrc)
   }
 
-  test("SQL radius filter masks tombstones and falls back to native on a pending delta") {
+  test("SQL radius filter masks tombstones and re-checks the delta per EXECUTION") {
     val rSrc = "/tmp/graft_test_index/strategy_range_src"
     val rIdx = "/tmp/graft_test_index/strategy_range_idx"
     def deleteRec(f: java.io.File): Unit = {
@@ -451,34 +451,74 @@ class KnnStrategySpec extends AnyFunSuite {
       f.delete()
     }
     deleteRec(new java.io.File(rIdx))
-    spark.read.parquet(srcPath).write.mode("overwrite").parquet(rSrc)
-    DiskannIndex.build(spark.read.parquet(rSrc), "vec_id", "embedding",
-      None, rIdx, DiskannParams(metric = "cosine"))
+    // the heap holds a twin of the query vector (id 9000) from the start;
+    // the index covers everything EXCEPT the twin, which arrives later as
+    // an un-compacted delta
+    val e = spark.read.parquet(srcPath).select($"vec_id", $"embedding")
+    e.unionByName(e.filter($"vec_id" === 0)
+        .select(lit(9000L).as("vec_id"), $"embedding"))
+      .write.mode("overwrite").parquet(rSrc)
+    DiskannIndex.build(spark.read.parquet(rSrc).filter($"vec_id" < 9000),
+      "vec_id", "embedding", None, rIdx, DiskannParams(metric = "cosine"))
     Graft.enable(spark)
     KnnCatalog.register(rSrc, KnnCatalog.Entry(rIdx, rSrc,
       "vec_id", "embedding", None, "cosine"))
     try {
-      def rangeQ = spark.sql(
+      def planQ = spark.sql(
         s"""SELECT vec_id FROM parquet.`$rSrc`
            |WHERE vec_cosine_dist(embedding, $qvecSql) <= 0.5""".stripMargin)
-      assert(rangeQ.queryExecution.executedPlan.toString.contains("KnnRangeScan"))
-      val before = rangeQ.collect().map(_.getLong(0)).toSet
+      val q1 = planQ
+      assert(q1.queryExecution.executedPlan.toString.contains("KnnRangeScan"))
+      val before = q1.collect().map(_.getLong(0)).toSet
       assert(before.contains(0L), "query row itself (dist 0) must be in radius")
+      assert(!before.contains(9000L), "twin not yet in the index")
       // a tombstoned row is masked inside the traversal: it cannot be
       // re-checked above (the heap still physically holds it)
       DiskannIndex.deleteRows(spark, rIdx, Seq(0L))
-      val after = rangeQ.collect().map(_.getLong(0)).toSet
+      val after = planQ.collect().map(_.getLong(0)).toSet
       assert(after == before - 0L, s"tombstoned row served: $after vs $before")
-      // a pending delta has rows the graph cannot see: the rewrite must
-      // decline and the native plan answers (including the delta row's heap
-      // twin, which IS in the source)
-      spark.read.parquet(rSrc).filter($"vec_id" === 1)
-        .select(($"vec_id" + 9000).as("row_id"), $"embedding".as("vec"))
+      // plan-vs-first-execution freshness: this DataFrame is PLANNED while
+      // no delta exists (so it plans as KnnRangeScan), but first EXECUTED
+      // after a delta lands — doExecute must re-check hasDelta and bail to
+      // the exact scan, or the index-only result silently misses the twin.
+      // (A DataFrame already executed once is a snapshot — Spark memoizes
+      // the plan's RDD — same as a held native parquet scan.)
+      val plannedEarly = planQ
+      assert(plannedEarly.queryExecution.executedPlan.toString
+        .contains("KnnRangeScan"))
+      spark.read.parquet(rSrc).filter($"vec_id" === 9000)
+        .select($"vec_id".as("row_id"), $"embedding".as("vec"))
         .write.mode("append").parquet(s"$rIdx/delta")
-      val fresh = rangeQ
-      assert(!fresh.queryExecution.executedPlan.toString.contains("KnnRangeScan"),
-        "pending delta must force the native plan")
+      val fresh = plannedEarly.collect().map(_.getLong(0)).toSet
+      assert(fresh == after + 9000L,
+        s"pre-delta plan missed the delta row on first execution: $fresh")
+      // and a NEWLY planned query declines the rewrite while a delta pends
+      assert(!planQ.queryExecution.executedPlan.toString.contains("KnnRangeScan"),
+        "pending delta must force the native plan at planning time")
     } finally KnnCatalog.unregister(rSrc)
+  }
+
+  test("SQL radius filter past the maxResults cap bails to the exact scan") {
+    setup
+    // cap far below the in-radius population: rangeSearch cannot confirm
+    // exhaustiveness, so the scan must fall back to the exact distributed
+    // shape instead of silently truncating
+    spark.conf.set("graft.knn.range.maxResults", "8")
+    try {
+      val q = spark.sql(
+        s"""SELECT vec_id FROM parquet.`$srcPath`
+           |WHERE vec_cosine_dist(embedding, $qvecSql) <= 0.8""".stripMargin)
+      assert(q.queryExecution.executedPlan.toString.contains("KnnRangeScan"))
+      val got = q.collect().map(_.getLong(0)).toSet
+      val brute = spark.read.parquet(srcPath)
+        .crossJoin(broadcast(spark.read.parquet(srcPath).filter($"vec_id" === 0)
+          .select($"embedding".as("q"))))
+        .filter(vec_cosine_dist($"embedding", $"q") <= 0.8)
+        .select($"vec_id").collect().map(_.getLong(0)).toSet
+      assert(got == brute,
+        s"capped radius scan truncated: ${got.size} vs ${brute.size} rows")
+      assert(brute.size > 8, "fixture must exceed the cap for this test to bite")
+    } finally spark.conf.unset("graft.knn.range.maxResults")
   }
 
   test("KnnIndexScan reports scan telemetry via SQLMetrics (V5)") {
