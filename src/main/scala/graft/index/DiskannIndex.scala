@@ -1043,8 +1043,13 @@ object DiskannIndex {
       }
       Some((0 until meta.numShards).filter { s =>
         val dc = math.sqrt(VectorKernels.l2sq(bv, meta.centroids(s)))
-        // small slack: radii/centroid distances round-trip through floats
-        dc - meta.shardRadii(s) <= eR + 1e-6
+        // RELATIVE slack sized to the kernels' worst case: with the SIMD
+        // float-lane kernels enabled, l2sq at high dims carries ~1e-3
+        // relative error, and both the stored radius and dc round-trip
+        // through it — an absolute epsilon would under-admit boundary
+        // shards and break soundness. Over-admitting only costs time.
+        val slack = 1e-3 * (dc + meta.shardRadii(s)) + 1e-6
+        dc - meta.shardRadii(s) <= eR + slack
       }.toArray)
     } else None
 
@@ -1620,6 +1625,15 @@ object DiskannIndex {
     // round re-pays little: the resumable frontier extends instead of
     // re-searching, and a stable set is typically confirmed in one extra
     // round at 4x the L that found it.
+    // for the cap-boundary confirmation below: a drained traversal
+    // (hits < kk) proves completeness only when the exploration bound
+    // provably covered the corpus — kk >= numRows guarantees it (bound >=
+    // 3kk); a drained look under heavy tombstone/label filtering with a
+    // SMALLER kk can be a truncated traversal whose eligible survivors
+    // just happen to be few, which must stay unconfirmed
+    val indexedRows: Long =
+      try loadMeta(spark, resolveRoot(spark, path0)).numRows
+      catch { case _: Exception => Long.MaxValue }
     var kk = math.max(1, math.min(64, maxResults))
     var l = math.max(searchListSize, kk)
     var prevInRadius: Option[Set[Long]] = None
@@ -1634,7 +1648,7 @@ object DiskannIndex {
       if (cleared && prevInRadius.contains(inRadius.map(_._1).toSet))
         out = inRadius.take(maxResults)
       else if (kk >= maxResults) {
-        confirmed = false
+        confirmed = hits.length < kk && kk >= indexedRows
         out = inRadius.take(maxResults)
       } else {
         prevInRadius =

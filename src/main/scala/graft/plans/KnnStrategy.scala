@@ -459,20 +459,44 @@ class KnnStrategy(spark: SparkSession) extends SparkStrategy {
  */
 private[plans] object HeapFetch {
 
-  /** The kk hit ids fetched from the source: a pushed-down IN point-fetch
-    * while the list is small, a broadcast semi-join past that (never an
-    * isin over tens of thousands of boxed literals). */
-  def byIds(spark: SparkSession, entry: KnnCatalog.Entry,
+  /** The pushed-down source scan both fetch shapes build on: an IN
+    * point-fetch while the id list is small (PushedFilters reaches the
+    * parquet footer), a plain pruned scan past that — the join above then
+    * restricts it (never an isin over tens of thousands of boxed
+    * literals, which blows up planning). */
+  private def pushedSrc(spark: SparkSession, entry: KnnCatalog.Entry,
       fetchCols: Seq[String], ids: Seq[Long], pushdownLimit: Int): DataFrame = {
-    import spark.implicits._
     var src = spark.read.parquet(entry.sourcePath)
       .select(fetchCols.map(col): _*)
     if (ids.length <= pushdownLimit)
       src = src.filter(col(entry.idCol).isin(ids.map(Long.box): _*))
-    src.join(
+    src
+  }
+
+  /** The hit ids' source rows (schema = fetchCols), via broadcast semi-join. */
+  def byIds(spark: SparkSession, entry: KnnCatalog.Entry,
+      fetchCols: Seq[String], ids: Seq[Long], pushdownLimit: Int): DataFrame = {
+    import spark.implicits._
+    pushedSrc(spark, entry, fetchCols, ids, pushdownLimit)
+      .join(
         org.apache.spark.sql.functions.broadcast(ids.toDF("__hit_id")),
         col(entry.idCol) === col("__hit_id"), "left_semi")
       .select(fetchCols.map(col): _*)
+  }
+
+  /** As [[byIds]] but with each row's distance RANK attached as `__rank`
+    * (schema = fetchCols :+ __rank) — the residual scan's survivor probe
+    * ranks on it executor-side. */
+  def byIdsWithRank(spark: SparkSession, entry: KnnCatalog.Entry,
+      fetchCols: Seq[String], pairs: Seq[(Long, Int)],
+      pushdownLimit: Int): DataFrame = {
+    import spark.implicits._
+    pushedSrc(spark, entry, fetchCols, pairs.map(_._1), pushdownLimit)
+      .join(
+        org.apache.spark.sql.functions.broadcast(
+          pairs.toDF("__hit_id", "__rank")),
+        col(entry.idCol) === col("__hit_id"))
+      .select(fetchCols.map(col) :+ col("__rank"): _*)
   }
 
   /** Exact distributed bail-out: every row the index could ever serve —
@@ -577,14 +601,15 @@ case class KnnIndexScanExec(outAttrs: Seq[AttributeReference], spark: SparkSessi
 
     residual match {
       case None =>
-        // exactly k ids: the pushed-down IN point-fetch is the right plan
-        // (PushedFilters: [In(id, ...)]) and k rows on the driver are free
+        // exactly k ids via the shared fetch (pushed-down IN while small,
+        // broadcast semi-join past that); k rows on the driver are free
         def fetchRanked(hits: Array[org.apache.spark.sql.Row]): Array[InternalRow] = {
           val rank: Map[Long, Int] = hits.sortBy(r => (r.getDouble(2), r.getLong(1)))
             .zipWithIndex.map { case (r, i) => r.getLong(1) -> i }.toMap
-          spark.read.parquet(entry.sourcePath)
-            .filter(col(entry.idCol).isin(rank.keys.toSeq.map(Long.box): _*))
-            .select(fetchCols.map(col): _*)
+          val pushdownLimit =
+            spark.conf.get("graft.knn.residual.pushdownLimit", "1024").toInt
+          HeapFetch.byIds(spark, entry, fetchCols, rank.keys.toSeq,
+              pushdownLimit)
             .queryExecution.toRdd.map(_.copy()).collect()
             .sortBy(r => rank.getOrElse(r.getLong(idIdx), Int.MaxValue))
         }
@@ -702,18 +727,13 @@ case class KnnIndexScanExec(outAttrs: Seq[AttributeReference], spark: SparkSessi
           hits
       }
 
-    import spark.implicits._
-    // the kk fetched rows with their distance rank attached, fully distributed
+    // the kk fetched rows with their distance rank attached, fully
+    // distributed — through the shared HeapFetch discipline
     def fetchedWithRank(hits: Array[org.apache.spark.sql.Row]): DataFrame = {
       val pairs = hits.sortBy(r => (r.getDouble(2), r.getLong(1)))
         .zipWithIndex.map { case (r, i) => (r.getLong(1), i) }
-      val ranks = pairs.toSeq.toDF("__hit_id", "__rank")
-      var src = spark.read.parquet(entry.sourcePath).select(fetchCols.map(col): _*)
-      if (pairs.length <= pushdownLimit)
-        src = src.filter(col(entry.idCol).isin(pairs.map(p => Long.box(p._1)).toSeq: _*))
-      src.join(org.apache.spark.sql.functions.broadcast(ranks),
-          col(entry.idCol) === col("__hit_id"))
-        .select(fetchCols.map(col) :+ col("__rank"): _*)
+      HeapFetch.byIdsWithRank(spark, entry, fetchCols, pairs.toSeq,
+        pushdownLimit)
     }
 
     var kk = math.min(cap.toLong, math.max(k * 4L, 64L)).toInt

@@ -196,16 +196,22 @@ object StreamingIngest {
     val hit = deltaCountCache.get(indexPath)
     if (hit != null && hit._1 == fp) return hit._2
     val conf = spark.sessionState.newHadoopConf()
+    var failed = false
     val n = sts.map { s =>
       try {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromPath(s.getPath, conf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try r.getRecordCount finally r.close()
-      } catch { case _: java.io.IOException => 0L }
+      } catch { case _: java.io.IOException => failed = true; 0L }
     }.sum
-    deltaCountCache.put(indexPath, (fp, n))
-    n
+    // the count feeds an EXHAUSTION bound, so only over-counting is safe:
+    // a transiently unreadable footer (store throttle, listing race that
+    // isn't a consume) makes the whole count a pessimistic "unknown" — one
+    // extra escalation round, never a silently-missing row — and is NEVER
+    // cached (the next call retries the read)
+    if (failed) Long.MaxValue / 4
+    else { deltaCountCache.put(indexPath, (fp, n)); n }
   }
 
   /** Search main graph + current delta (exact over the delta side).
