@@ -519,12 +519,23 @@ object DiskannIndex {
    *    the untouched corpus;
    *  - a fresh `_meta` (updated numRows, new buildId) finalizes the root.
    *
-   * Returns the new row count — or None REFUSING the partial rebuild when
-   * any affected shard would grow past `graft.compact.maxShardGrowth`
-   * (default 2.0) × shardTargetRows: frozen centroids mean a hot-spot
-   * centroid's shard would otherwise grow without bound across
-   * compactions until its in-heap build OOMs; the caller answers a refusal
-   * with the FULL rebuild, which re-trains centroids and re-shards.
+   * Growth gate: an affected shard growing past
+   * `graft.compact.maxShardGrowth` (default 2.0) × shardTargetRows would
+   * eventually OOM its in-heap build (frozen centroids mean a hot-spot
+   * centroid's shard grows without bound across compactions). An IVF index
+   * answers that with a HOT-SHARD SPLIT (round 11): the one overgrown
+   * shard re-clusters its own members into ceil(total/target) fresh
+   * sub-centroids and rebuilds as that many sub-shards — O(hot shard)
+   * work, so a persistently skewed append stream keeps compaction
+   * O(ingest window) forever instead of paying an O(corpus) re-shard at
+   * every fold (`graft.compact.shardSplit=false` restores the refusal).
+   * A HASH index returns None REFUSING the partial rebuild — hash routing
+   * bakes numShards into every row's placement, so one shard cannot split;
+   * the caller answers the refusal with the FULL rebuild, which re-shards
+   * (and, for ivf, re-trains centroids).
+   *
+   * Returns (new row count, shard ids needing cache invalidation) on
+   * success.
    */
   private[graft] def rebuildShardsInto(spark: SparkSession, srcRoot: String,
       meta: IndexMeta, delta: DataFrame, tombstones: Set[Long],
@@ -598,62 +609,141 @@ object DiskannIndex {
 
       val fs = new org.apache.hadoop.fs.Path(dstPath)
         .getFileSystem(spark.sessionState.newHadoopConf())
+      // HOT-SHARD SPLIT plan (IVF only): a frozen-centroid hot spot that
+      // would overgrow a shard past the heap-sizing invariant no longer
+      // forces the O(corpus) full rebuild — the one hot shard SPLITS into
+      // ceil(total/target) sub-shards (local k-means over its own members),
+      // keeping the compaction O(ingest window) even under a persistently
+      // skewed append stream. Hash routing bakes numShards into every
+      // row's placement, so a hash index cannot split one shard — there
+      // the refusal (→ full re-shard) remains the only sound answer; hash
+      // shards grow uniformly anyway, so an overgrown hash shard means the
+      // WHOLE index outgrew its shard count.
+      var splitPlan: Seq[(Int, Array[Int], Array[Array[Float]])] = Seq.empty
+      var numShardsOut = meta.numShards
       if (affected.nonEmpty) {
-        val affectedCol = affected.map(Integer.valueOf)
         val oldByShard = countsByShard(
-          existing.filter(col("shard").isin(affectedCol: _*)))
-        // growth gate: refuse before any graph work if a frozen-centroid
-        // hot spot would push a shard past the heap-sizing invariant
+          existing.filter(col("shard").isin(affected.map(Integer.valueOf): _*)))
+        // growth gate: refuse (or split, ivf) before any graph work if a
+        // frozen-centroid hot spot would push a shard past the heap-sizing
+        // invariant
         val growthCap = (spark.conf.get("graft.compact.maxShardGrowth", "2.0")
           .toDouble * meta.shardTargetRows).toLong
-        val oversized = affected.filter { s =>
+        def postFoldRows(s: Int): Long =
           oldByShard.getOrElse(s, 0L) - tombByShard.getOrElse(s, 0L) +
-            deltaByShard.getOrElse(s, 0L) > growthCap
-        }
-        if (oversized.nonEmpty) return None
+            deltaByShard.getOrElse(s, 0L)
+        val oversized = affected.filter(s => postFoldRows(s) > growthCap)
+        val splitOn = meta.partitioner == "ivf" && meta.centroids.nonEmpty &&
+          spark.conf.get("graft.compact.shardSplit", "true").toBoolean
+        if (oversized.nonEmpty && !splitOn) return None
+        val oversizedSet = oversized.toSet
 
         // LIVE-INSERT fold (the reference's aminsert / Graph::insert,
         // build.rs:464-557, applied per routed shard): a shard that only
         // RECEIVES delta rows keeps its frozen graph and has the new rows
         // inserted into it — O(inserted · search) graph work instead of an
         // O(shard) rebuild. A shard LOSING tombstoned rows must rebuild
-        // (removal shifts the node indices its edges point at).
+        // (removal shifts the node indices its edges point at); an
+        // OVERSIZED shard splits (below) instead of folding.
         val insertFoldOn =
           spark.conf.get("graft.compact.insertFold", "true").toBoolean
         val insertShards =
           if (insertFoldOn)
-            affected.filter(s => tombByShard.getOrElse(s, 0L) == 0L &&
+            affected.filter(s => !oversizedSet(s) &&
+              tombByShard.getOrElse(s, 0L) == 0L &&
               deltaByShard.getOrElse(s, 0L) > 0L)
           else Seq.empty[Int]
         val insertSet = insertShards.toSet
-        val rebuildShards = affected.filterNot(insertSet)
+        val rebuildShards =
+          affected.filterNot(insertSet).filterNot(oversizedSet)
 
-        val rebuiltNodes: Option[DataFrame] =
-          if (rebuildShards.isEmpty) None
+        // the split: per oversized shard, (surviving ∪ delta) members are
+        // re-clustered into nSub fresh sub-centroids (sampled Lloyd,
+        // [[graft.operators.Similarity.trainIvf]], over BUILD-SPACE
+        // vectors — the space routing and radii live in); sub 0 keeps the
+        // old shard id, the rest take fresh ids appended past numShards.
+        // All sub-shards then rebuild through the normal shard-build
+        // kernel — O(hot shard), bounded by the growth cap, never
+        // O(corpus).
+        val splitInput: Option[DataFrame] =
+          if (oversized.isEmpty) None
           else {
-            val rCol = rebuildShards.map(Integer.valueOf)
-            val oldAffected = existing.filter(col("shard").isin(rCol: _*))
+            val oCol = oversized.map(Integer.valueOf)
+            val old = existing.filter(col("shard").isin(oCol: _*))
               .select(col("row_id"), col("vec"), col("labels"), col("shard"))
             val survivors =
-              if (tombstones.isEmpty) oldAffected
-              else oldAffected.join(broadcast(tombDf), Seq("row_id"), "left_anti")
-            val rebuildRows = survivors
-              .unionByName(deltaAssigned.filter(col("shard").isin(rCol: _*)))
-              .repartition(rebuildShards.length, col("shard"))
-            Some(buildShardNodes(rebuildRows, metric, modelBc,
-              meta.hasLabels, dimsToIndex, meta.numNeighbors,
-              meta.searchListSize, meta.maxAlpha))
+              if (tombstones.isEmpty) old
+              else old.join(broadcast(tombDf), Seq("row_id"), "left_anti")
+            Some(survivors
+              .unionByName(deltaAssigned.filter(col("shard").isin(oCol: _*)))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
           }
-        val foldedNodes: Option[DataFrame] =
-          if (insertShards.isEmpty) None
-          else Some(insertFoldNodes(spark, srcRoot, meta, insertShards,
-            deltaAssigned, metric, modelBc))
-        val nodes = (rebuiltNodes.toSeq ++ foldedNodes.toSeq)
-          .reduce(_ unionByName _)
-        inPhase(spark, PhaseBuilding, dstPath) {
-          nodes.write.mode("overwrite").partitionBy("shard")
-            .parquet(s"$dstPath/nodes")
-        }
+        try {
+          if (oversized.nonEmpty) {
+            val met = metric
+            val dims = dimsToIndex
+            val toBuild = udf((v: mutable.Seq[Float]) =>
+              BuildSpace(v.toArray, dims, met))
+            var nextId = meta.numShards
+            splitPlan = oversized.map { s =>
+              val nSub = math.max(2, math.ceil(
+                postFoldRows(s).toDouble / meta.shardTargetRows).toInt)
+              val sub = graft.operators.Similarity.trainIvf(
+                splitInput.get.filter(col("shard") === s)
+                  .withColumn("bv", toBuild(col("vec"))), "bv", nSub)
+              val ids = Array.tabulate(nSub)(j =>
+                if (j == 0) s else { val id = nextId; nextId += 1; id })
+              (s, ids, sub.centroids)
+            }
+            numShardsOut = nextId
+          }
+          val splitNodes: Option[DataFrame] = splitPlan.headOption.map { _ =>
+            val splitBc = spark.sparkContext.broadcast(
+              splitPlan.map { case (s, ids, cents) =>
+                s -> (ids, graft.operators.Similarity.IvfModel(cents))
+              }.toMap)
+            val met = metric
+            val dims = dimsToIndex
+            val reassign = udf((s: Int, v: mutable.Seq[Float]) => {
+              val (ids, model) = splitBc.value(s)
+              ids(model.nearest(BuildSpace(v.toArray, dims, met), 1)(0))
+            })
+            val nSubTotal = splitPlan.map(_._2.length).sum
+            val rows = splitInput.get
+              .withColumn("shard", reassign(col("shard"), col("vec")))
+              .repartition(nSubTotal, col("shard"))
+            buildShardNodes(rows, metric, modelBc, meta.hasLabels,
+              dimsToIndex, meta.numNeighbors, meta.searchListSize,
+              meta.maxAlpha)
+          }
+
+          val rebuiltNodes: Option[DataFrame] =
+            if (rebuildShards.isEmpty) None
+            else {
+              val rCol = rebuildShards.map(Integer.valueOf)
+              val oldAffected = existing.filter(col("shard").isin(rCol: _*))
+                .select(col("row_id"), col("vec"), col("labels"), col("shard"))
+              val survivors =
+                if (tombstones.isEmpty) oldAffected
+                else oldAffected.join(broadcast(tombDf), Seq("row_id"), "left_anti")
+              val rebuildRows = survivors
+                .unionByName(deltaAssigned.filter(col("shard").isin(rCol: _*)))
+                .repartition(rebuildShards.length, col("shard"))
+              Some(buildShardNodes(rebuildRows, metric, modelBc,
+                meta.hasLabels, dimsToIndex, meta.numNeighbors,
+                meta.searchListSize, meta.maxAlpha))
+            }
+          val foldedNodes: Option[DataFrame] =
+            if (insertShards.isEmpty) None
+            else Some(insertFoldNodes(spark, srcRoot, meta, insertShards,
+              deltaAssigned, metric, modelBc))
+          val nodes = (rebuiltNodes.toSeq ++ foldedNodes.toSeq ++
+            splitNodes.toSeq).reduce(_ unionByName _)
+          inPhase(spark, PhaseBuilding, dstPath) {
+            nodes.write.mode("overwrite").partitionBy("shard")
+              .parquet(s"$dstPath/nodes")
+          }
+        } finally splitInput.foreach(_.unpersist(false))
       } else fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dstPath/nodes"))
 
       // Untouched shards: MANIFEST entries, not copies — the new generation
@@ -664,14 +754,16 @@ object DiskannIndex {
       // it, never through intermediate manifests.
       // `graft.compact.manifest=false` is the ops escape hatch: raw file
       // copies into the new generation (self-contained dirs, old behavior).
-      val affectedSet = affected.toSet
+      val splitNewIds: Seq[Int] = splitPlan.flatMap(_._2.drop(1))
+      val splitIdsSet: Set[Int] = splitPlan.flatMap(_._2).toSet
+      val affectedSet = affected.toSet ++ splitNewIds
       val untouched = (0 until meta.numShards).filterNot(affectedSet)
       val manifestMode =
         spark.conf.get("graft.compact.manifest", "true").toBoolean
       val newShardDirs: Array[String] =
         if (manifestMode)
-          (0 until meta.numShards).map { s =>
-            if (affectedSet(s)) ""
+          (0 until numShardsOut).map { s =>
+            if (s >= meta.numShards || affectedSet(s)) ""
             else meta.shardDirs(s) match {
               case "" => relGenOf(srcRoot)
               case ref => ref
@@ -687,46 +779,84 @@ object DiskannIndex {
                 new org.apache.hadoop.fs.Path(s"$dstPath/nodes/shard=$s"),
                 false, conf)
           }
-          Array.fill(meta.numShards)("")
+          Array.fill(numShardsOut)("")
         }
       import spark.implicits._
-      // per-shard cache epochs: fresh for rebuilt shards, PRESERVED for
-      // carried-forward ones — executor caches of untouched shards survive
-      // the generation change
+      // per-shard cache epochs: fresh for rebuilt/split shards, PRESERVED
+      // for carried-forward ones — executor caches of untouched shards
+      // survive the generation change
       val freshEpoch = java.util.UUID.randomUUID().toString
-      val newShardIds = meta.shardBuildIds.zipWithIndex.map { case (old, s) =>
-        if (affectedSet(s)) freshEpoch else old
+      val newShardIds = Array.tabulate(numShardsOut) { s =>
+        if (s >= meta.numShards || affectedSet(s)) freshEpoch
+        else meta.shardBuildIds(s)
       }
+      // split shards REPLACE their centroid with the sub-centroids trained
+      // over their own members; everything else keeps its frozen centroid
+      // (retraining would invalidate every untouched shard's routing)
+      val newCentroids: Array[Array[Float]] =
+        if (splitPlan.isEmpty) meta.centroids
+        else {
+          val out = java.util.Arrays.copyOf(meta.centroids, numShardsOut)
+          splitPlan.foreach { case (_, ids, cents) =>
+            ids.indices.foreach(j => out(ids(j)) = cents(j))
+          }
+          out
+        }
       // cluster radii stay a SOUND upper bound across the fold: delta rows
-      // can only grow a shard's radius (max with their centroid distances),
-      // tombstones only tighten the true value (the stored bound stays
-      // valid). Unknown (pre-round-10) radii stay unknown — only a full
+      // can only grow an (un-split) shard's radius (max with their centroid
+      // distances), tombstones only tighten the true value (the stored
+      // bound stays valid), and SPLIT shards re-measure exactly against
+      // their fresh centroids (the old bound is meaningless for a new
+      // centroid). Unknown (pre-round-10) radii stay unknown — only a full
       // rebuild re-measures.
       val newShardRadii: Array[Double] =
         if (meta.partitioner != "ivf" ||
             meta.shardRadii.length != meta.numShards ||
-            deltaByShard.isEmpty) meta.shardRadii
+            (deltaByShard.isEmpty && splitPlan.isEmpty)) meta.shardRadii
         else {
-          val cBc = spark.sparkContext.broadcast(meta.centroids)
           val met = metric
           val dims = dimsToIndex
-          val deltaMax = deltaAssigned
-            .select(col("shard"), col("vec")).rdd.map { row =>
-              val s = row.getInt(0)
-              val bv = BuildSpace(
-                row.getAs[mutable.Seq[Float]](1).toArray, dims, met)
-              (s, math.sqrt(VectorKernels.l2sq(bv, cBc.value(s))))
-            }.reduceByKey(math.max).collectAsMap()
-          Array.tabulate(meta.numShards)(s =>
-            math.max(meta.shardRadii(s), deltaMax.getOrElse(s, 0.0)))
+          val out = java.util.Arrays.copyOf(meta.shardRadii, numShardsOut)
+          if (deltaByShard.nonEmpty) {
+            val cBc = spark.sparkContext.broadcast(meta.centroids)
+            val deltaMax = deltaAssigned
+              .select(col("shard"), col("vec")).rdd.map { row =>
+                val s = row.getInt(0)
+                val bv = BuildSpace(
+                  row.getAs[mutable.Seq[Float]](1).toArray, dims, met)
+                (s, math.sqrt(VectorKernels.l2sq(bv, cBc.value(s))))
+              }.reduceByKey(math.max).collectAsMap()
+            (0 until meta.numShards).foreach { s =>
+              if (!splitIdsSet(s))
+                out(s) = math.max(out(s), deltaMax.getOrElse(s, 0.0))
+            }
+          }
+          if (splitIdsSet.nonEmpty) {
+            // one column-pruned pass over the just-written split shards
+            // (bounded by the hot shard's size), exactly like the build's
+            // radius measurement
+            val ncBc = spark.sparkContext.broadcast(newCentroids)
+            val measured = spark.read.parquet(s"$dstPath/nodes")
+              .filter(col("shard").isin(splitIdsSet.toSeq
+                .map(Integer.valueOf): _*))
+              .select(col("shard"), col("vec")).rdd.map { row =>
+                val s = row.getInt(0)
+                val bv = BuildSpace(
+                  row.getAs[mutable.Seq[Float]](1).toArray, dims, met)
+                (s, math.sqrt(VectorKernels.l2sq(bv, ncBc.value(s))))
+              }.reduceByKey(math.max).collectAsMap()
+            splitIdsSet.foreach(s => out(s) = measured.getOrElse(s, 0.0))
+          }
+          out
         }
       inPhase(spark, PhaseFinalizing, dstPath) {
         Seq(meta.copy(numRows = newRows, buildId = freshEpoch,
+          numShards = numShardsOut, centroids = newCentroids,
           shardBuildIds = newShardIds, shardDirs = newShardDirs,
           shardRadii = newShardRadii))
           .toDF().coalesce(1).write.mode("overwrite").parquet(s"$dstPath/_meta")
       }
-      Some((newRows, affected))
+      Some((newRows, affected ++ splitNewIds))
     } finally deltaAssigned0.unpersist(false)
   }
 
@@ -1932,6 +2062,55 @@ object DiskannIndex {
         Window.partitionBy(col("qid")).orderBy(col("dist"), col("row_id"))))
       .filter(col("rnk") <= k)
       .drop("rnk")
+  }
+
+  /**
+   * Exact radius pass over an UNINDEXED delta (the radius twin of
+   * [[searchWithDelta]]'s delta kernel): every delta row within `radius`
+   * of the query in REPORT distance, tombstone-masked, label-filtered with
+   * the same empty-set/null rules as the graph traversal
+   * (labels/mod.rs:188-204). One map-side job over the (small-by-the-
+   * compaction-contract) delta snapshot; the result collects because the
+   * caller ([[graft.streaming.StreamingIngest.rangeSearchFresh]]) merges
+   * it with the driver-side graph hits — both are bounded by the
+   * maxResults discipline above this.
+   */
+  private[graft] def rangeOverDelta(spark: SparkSession, path: String,
+      delta: DataFrame, qvec: Array[Float], radius: Double,
+      qlabels: Array[Short] = null,
+      tombstones: Set[Long] = Set.empty): Seq[(Long, Double)] = {
+    val meta = loadMeta(spark, path)
+    val report = reportDistFn(Metric(meta.metric))
+    val hasDLabels = delta.columns.contains("labels")
+    val nq = Option(qlabels).map(l => LabelSets.normalize(l.clone())).orNull
+    val tombBc = spark.sparkContext.broadcast(tombstones)
+    // null query vector => zero-vector search (labels/mod.rs:214-216)
+    val qv0 = qvec
+    delta.mapPartitions { it =>
+      val tomb = tombBc.value
+      it.flatMap { r =>
+        val rid = r.getAs[Long]("row_id")
+        val vs = r.getAs[mutable.Seq[Float]]("vec")
+        if (tomb.contains(rid) || vs == null) Iterator.empty
+        else {
+          val v = vs.toArray
+          val lbs = if (hasDLabels) Option(r.getAs[mutable.Seq[Short]]("labels"))
+            .map(s => LabelSets.normalize(s.toArray))
+            .getOrElse(Array.emptyShortArray)
+          else null
+          val ok = nq == null || (lbs != null && LabelSets.overlaps(lbs, nq))
+          if (!ok) Iterator.empty
+          else {
+            val qv = if (qv0 == null) new Array[Float](v.length) else qv0
+            val d = report(v, qv)
+            if (d <= radius) Iterator.single((rid, d)) else Iterator.empty
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaDouble))
+      .collect().toSeq
   }
 
   /**

@@ -370,7 +370,13 @@ final class VamanaBuilder(
   }
 
   /** Insert every node [[seedFrozen]] did not cover, then re-apply the
-    * finalize prune — the resumed-build analog of [[build]]. */
+    * finalize prune — the resumed-build analog of [[build]]. Fold depth
+    * does NOT erode the graph through the repeated finalize: 20 successive
+    * folds score recall@10 equal to one fold of the identical rows (the
+    * StreamingSpec endurance gate); the only quality delta vs a one-shot
+    * build of everything is the FROZEN quantizer (trained on the base
+    * corpus only — the reference's aminsert freezes it identically), which
+    * a forced full rebuild (REINDEX) re-trains. */
   def buildAppended(): VamanaBuilder = {
     var i = preBuilt
     while (i < n) { insert(i); i += 1 }

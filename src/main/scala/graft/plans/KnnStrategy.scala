@@ -219,11 +219,13 @@ class KnnStrategy(spark: SparkSession) extends SparkStrategy {
    * ENTIRE original predicate re-checked by a FilterExec above — the scan is
    * a superset generator (its radius gets a hair of slack for the float
    * boundary), so correctness never rests on the traversal, only
-   * completeness does, and that is rangeSearch's own contract. Falls back to
-   * the native scan when: no single distance-threshold conjunct, unknown
-   * relation/metric/column, a pending DELTA (its rows are not in the graph
-   * and the radius path has no delta merge), or residual conjuncts that
-   * cannot be re-evaluated (non-deterministic / subqueries).
+   * completeness does, and that is rangeSearch's own contract. Pending
+   * micro-batch appends are served by the scan itself (the
+   * [[graft.streaming.StreamingIngest.rangeSearchFresh]] delta merge), so
+   * freshness never forces the native plan. Falls back to the native scan
+   * only when: no single distance-threshold conjunct, unknown
+   * relation/metric/column, or residual conjuncts that cannot be
+   * re-evaluated (non-deterministic / subqueries).
    */
   private def planRange(cond: Expression, rel: LogicalRelation,
       projList: Option[Seq[NamedExpression]]): Option[SparkPlan] = {
@@ -267,7 +269,6 @@ class KnnStrategy(spark: SparkSession) extends SparkStrategy {
             case _ => None
           }
           qvec <- evalFloatArray(rhs)
-          if !graft.streaming.StreamingIngest.hasDelta(spark, entry.indexPath)
           if conjuncts.forall(c => c.deterministic &&
             c.references.subsetOf(rel.outputSet) &&
             !c.exists(_.isInstanceOf[PlanExpression[_]]))
@@ -803,9 +804,13 @@ case class KnnIndexScanExec(outAttrs: Seq[AttributeReference], spark: SparkSessi
  *
  * Freshness: persisted tombstones are masked inside the traversal (they
  * cannot be re-checked above — the heap may still hold the rows
- * physically); a pending delta makes the strategy fall back to the native
- * scan entirely. nProbe routing is deliberately NOT honored here: a radius
- * answer must see every shard, probing a subset would silently truncate it.
+ * physically), and pending micro-batch appends are merged in by
+ * [[graft.streaming.StreamingIngest.rangeSearchFresh]] — an exact radius
+ * pass over ONLY the (small) delta files, the searchWithDelta discipline
+ * applied to the radius shape, so the reference's every-scan-sees-inserts
+ * semantics (build.rs:464-535) hold on this scan shape too. nProbe routing
+ * is deliberately NOT honored here: a radius answer must see every shard,
+ * probing a subset would silently truncate it.
  *
  * Scale bail-out: a radius that matches `graft.knn.range.maxResults` rows
  * (default 65536) is a scan wearing a point-lookup costume — emit the
@@ -837,21 +842,19 @@ case class KnnRangeScanExec(outAttrs: Seq[AttributeReference],
       spark.conf.get("graft.knn.residual.pushdownLimit", "1024").toInt
     val wantCols = outAttrs.map(_.name)
     val tombs = DiskannIndex.loadTombstones(spark, entry.indexPath)
-    // freshness is re-checked PER EXECUTION, not at planning time: a delta
-    // appended after the plan was built holds rows the graph cannot see,
-    // so the scan bails to the exact distributed shape (the recheck above
-    // keeps it correct) instead of serving stale results off a cached plan
-    if (graft.streaming.StreamingIngest.hasDelta(spark, entry.indexPath))
-      return HeapFetch.bruteScan(spark, entry, wantCols, tombs, filterLabels)
-        .queryExecution.toRdd
-    val (hits, confirmed) = DiskannIndex.rangeSearchWithStatus(spark,
-      entry.indexPath, queryVec, radius, searchList, rescore,
-      filterLabels.orNull, tombs, nProbe = 0, maxResults = maxResults)
+    // freshness is owned PER EXECUTION, not at planning time: the delta is
+    // snapshotted and merged inside rangeSearchFresh, so a delta appended
+    // after the plan was built is still served exactly — no stale results
+    // off a cached plan, and no O(corpus) bail just because appends pend
+    val (hits, confirmed) = graft.streaming.StreamingIngest.rangeSearchFresh(
+      spark, entry.indexPath, queryVec, radius, searchList, rescore,
+      filterLabels.orNull, tombs, maxResults = maxResults)
     longMetric("numRangeHits").add(hits.length)
     if (!confirmed) {
       // the maxResults cap cut escalation before the in-radius set
-      // stabilized — the set may be incomplete (and its SIZE cannot tell):
-      // exact distributed bail-out, recheck above
+      // stabilized, or the delta merge overflowed it — the set may be
+      // incomplete (and its SIZE cannot tell): exact distributed bail-out,
+      // recheck above
       HeapFetch.bruteScan(spark, entry, wantCols, tombs, filterLabels)
         .queryExecution.toRdd
     } else {

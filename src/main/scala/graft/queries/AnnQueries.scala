@@ -215,6 +215,15 @@ object AnnQueries {
     // re-checked above — asserted index-planned in KnnStrategySpec
     "knn_range_sql" -> ((s, d) => sqlRange(s, d)),
 
+    // the radius shape under PENDING freshness state (round-11 closure of
+    // the last delta-blind scan shape): main graph covers vec_id < 400,
+    // vec_id >= 400 pends un-compacted in the delta, vec_id % 9 == 0 rows
+    // are persisted tombstones — the SQL-planned KnnRangeScan must merge
+    // the delta exactly and mask the deletes with NO compact
+    // (StreamingIngest.rangeSearchFresh), never bail to the O(corpus)
+    // scan just because appends pend.
+    "knn_range_sql_fresh" -> ((s, d) => sqlRangeFresh(s, d)),
+
     // T1/S2/S3: ORDER BY embedding <=> q LIMIT k through the graph index
     "knn_ann_cosine" -> ((s, d) => {
       val path = ensureIndex(s, d, "cos", emb(s, d), labeled = false)
@@ -538,8 +547,12 @@ object AnnQueries {
     * as persisted tombstones (both guarded for re-runs), then run the same
     * ORDER BY-distance SQL as [[sqlTopK]] — the index plan must answer with
     * delta rows visible and deleted rows masked. */
-  def sqlFresh(s: SparkSession, d: String): DataFrame = {
-    val path = buildLock.synchronized {
+  /** The shared pending-freshness fixture: main graph over vec_id < 400,
+    * vec_id >= 400 un-compacted in the delta, vec_id % 9 == 0 persisted
+    * tombstones — used by both the top-k ([[sqlFresh]]) and radius
+    * ([[sqlRangeFresh]]) SQL freshness rows. */
+  private def ensureFreshIndex(s: SparkSession, d: String): String =
+    buildLock.synchronized {
       val p = indexPath(d, "cos_fresh")
       if (!new java.io.File(s"$p/_meta/_SUCCESS").exists())
         DiskannIndex.build(emb(s, d).filter(col("vec_id") < 400), "vec_id",
@@ -554,6 +567,9 @@ object AnnQueries {
           .select("vec_id").collect().map(_.getLong(0)).toSeq)
       p
     }
+
+  def sqlFresh(s: SparkSession, d: String): DataFrame = {
+    val path = ensureFreshIndex(s, d)
     graft.plans.Graft.enable(s)
     val src = s"$d/embeddings.parquet"
     graft.plans.KnnCatalog.register(src, graft.plans.KnnCatalog.Entry(
@@ -567,6 +583,31 @@ object AnnQueries {
       s"""SELECT vec_id, round(vec_cosine_dist(embedding, $qsql), 6) AS dist
          |FROM parquet.`$src`
          |ORDER BY vec_cosine_dist(embedding, $qsql) LIMIT 10""".stripMargin)
+  }
+
+  /** The radius shape via the SQL planner with PENDING freshness state
+    * (delta + tombstones, no compact): the plan must stay KnnRangeScan —
+    * the scan itself merges an exact pass over the delta files
+    * ([[graft.streaming.StreamingIngest.rangeSearchFresh]]) and masks the
+    * persisted tombstones, the reference's every-scan-sees-inserts
+    * semantics (build.rs:464-535) on the radius shape. Same rounded-
+    * distance boundary discipline as [[sqlRange]]. */
+  def sqlRangeFresh(s: SparkSession, d: String): DataFrame = {
+    val path = ensureFreshIndex(s, d)
+    graft.plans.Graft.enable(s)
+    val src = s"$d/embeddings.parquet"
+    graft.plans.KnnCatalog.register(src, graft.plans.KnnCatalog.Entry(
+      path, src, "vec_id", "embedding", None, "cosine"))
+    val q = emb(s, d).filter(col("vec_id") === 0).head()
+      .getAs[scala.collection.mutable.ArraySeq[Float]]("embedding")
+    val qsql = s"CAST(array(${q.mkString(", ")}) AS ARRAY<FLOAT>)"
+    s.sql(
+      s"""SELECT vec_id, round(vec_cosine_dist(embedding, $qsql), 6) AS dist
+         |FROM parquet.`$src`
+         |WHERE vec_cosine_dist(embedding, $qsql) <= 0.8000005
+         |  AND vec_id <> 0
+         |ORDER BY dist, vec_id""".stripMargin)
+      .filter(col("dist") <= 0.8)
   }
 
   val oracleSql: Map[String, String] = Map(
@@ -641,6 +682,15 @@ object AnnQueries {
          |)
          |SELECT vec_id, round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) AS dist
          |FROM uni WHERE vec_id <> 0 ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+    // the radius contract under pending freshness: delta rows (>= 400)
+    // visible, tombstoned rows (% 9 == 0, incl. the query row) masked —
+    // a scan that bailed to stale graph-only results, lost delta rows, or
+    // resurrected deletes hash-mismatches here
+    "knn_range_sql_fresh" ->
+      s"""SELECT vec_id, round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) AS dist
+         |FROM embeddings WHERE vec_id <> 0 AND vec_id % 9 <> 0
+         |  AND round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) <= 0.8
+         |ORDER BY dist, vec_id""".stripMargin,
     // identical retrieval contract as knn_range_cosine, reached through the
     // SQL planner's Filter rewrite instead of the API
     "knn_range_sql" ->

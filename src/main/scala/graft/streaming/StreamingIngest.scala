@@ -46,22 +46,43 @@ object StreamingIngest {
     // CLOCK-SKEW CONTRACT (shared with the lease-steal horizon): the
     // embedded timestamp is the CREATING writer's clock, the comparison
     // below uses the SCRUBBING writer's — cross-host skew greater than
-    // lockTimeoutMs could classify a live peer's staging as stale. The
-    // failure is loud, not silent (the victim's rename into delta/ fails
-    // and the micro-batch replays under the at-least-once contract), but
-    // deployments with unsynchronized clocks should raise
-    // graft.compact.lockTimeoutMs well above their worst-case skew.
+    // lockTimeoutMs could classify a live peer's staging as stale. Two
+    // defenses: the SETTLE RE-LIST below (a dir whose contents change
+    // across a short settle window is a live writer, skewed clock or not —
+    // skip it; it only re-qualifies if genuinely idle for the horizon),
+    // and even past that the failure is loud, not silent (the victim's
+    // rename into delta/ fails and the micro-batch replays under the
+    // at-least-once contract). Deployments with unsynchronized clocks
+    // should still raise graft.compact.lockTimeoutMs above their
+    // worst-case skew.
     val staleMs =
       spark.conf.get("graft.compact.lockTimeoutMs", "3600000").toLong
     val bornRe = "_deltatmp_(\\d+)_.*".r
-    try fs.listStatus(root)
-      .filter(s => s.isDirectory && (s.getPath.getName match {
-        case bornRe(ts) =>
-          System.currentTimeMillis() - ts.toLong > staleMs
-        case n => n.startsWith("_deltatmp_") // legacy unstamped: dead layout
-      }))
-      .foreach(s => fs.delete(s.getPath, true))
-    catch { case _: java.io.FileNotFoundException => () }
+    def staleCandidates(): Array[org.apache.hadoop.fs.FileStatus] =
+      try fs.listStatus(root)
+        .filter(s => s.isDirectory && (s.getPath.getName match {
+          case bornRe(ts) =>
+            System.currentTimeMillis() - ts.toLong > staleMs
+          case n => n.startsWith("_deltatmp_") // legacy unstamped: dead layout
+        }))
+      catch { case _: java.io.FileNotFoundException => Array.empty }
+    val candidates = staleCandidates()
+    if (candidates.nonEmpty) {
+      // contents fingerprint, not mtime (frozen on HDFS, 0 on S3A dirs)
+      def snap(p: org.apache.hadoop.fs.Path): String =
+        try fs.listStatus(p).map(s => s"${s.getPath.getName}:${s.getLen}")
+          .sorted.mkString("|")
+        catch { case _: java.io.FileNotFoundException => "<gone>" }
+      val before = candidates.map(s => s.getPath -> snap(s.getPath)).toMap
+      Thread.sleep(
+        spark.conf.get("graft.compact.scrubSettleMs", "250").toLong)
+      candidates.foreach { s =>
+        val now = snap(s.getPath)
+        // grew/changed during the settle => live writer; leave it alone
+        if (now == before(s.getPath) && now != "<gone>")
+          fs.delete(s.getPath, true)
+      }
+    }
     val uid =
       s"${System.currentTimeMillis()}_${java.util.UUID.randomUUID()}"
     val staging = new org.apache.hadoop.fs.Path(s"$indexPath/_deltatmp_$uid")
@@ -281,6 +302,55 @@ object StreamingIngest {
         .collect()
         .map(r => (r.getLong(1), r.getDouble(2)))
         .sortBy { case (rid, d) => (d, rid) }.toSeq
+    }
+  }
+
+  /**
+   * Freshness-aware twin of [[DiskannIndex.rangeSearchWithStatus]] — the
+   * radius scan that SEES pending micro-batch appends: the graph side runs
+   * the normal escalate-until-stable range traversal, the delta side is an
+   * exact radius pass over ONLY the (small) un-compacted delta files
+   * ([[DiskannIndex.rangeOverDelta]] — the searchWithDelta discipline
+   * applied to the radius shape), and the union collapses by row_id. This
+   * closes the last scan shape where a pending delta forced an O(corpus)
+   * fallback: the reference's index serves inserted rows on EVERY scan
+   * (build.rs:464-535), so a streaming table's radius queries must too.
+   *
+   * Race-with-compact invariant (same as [[searchFresh]]): the delta is
+   * snapshotted — eagerly, lineage-truncated — BEFORE the graph search
+   * resolves its generation, so a compact landing in between can only
+   * surface a row on both sides (collapsed below), never on neither.
+   *
+   * Returns (hits, confirmed): `confirmed = false` means either the graph
+   * traversal could not prove exhaustiveness (its own maxResults contract)
+   * or the merged result overflowed `maxResults` — in both cases the
+   * result may be incomplete and exactness-needing callers
+   * ([[graft.plans.KnnRangeScanExec]]) must fall back to the exact scan.
+   */
+  def rangeSearchFresh(spark: SparkSession, indexPath: String,
+      qvec: Array[Float], radius: Double, searchListSize: Int = 100,
+      rescore: Int = 50, qlabels: Array[Short] = null,
+      tombstones: Set[Long] = Set.empty,
+      maxResults: Int = 65536): (Seq[(Long, Double)], Boolean) = {
+    val tombs = tombstones ++ DiskannIndex.loadTombstones(spark, indexPath)
+    val deltaSnap = readDeltaSnapshot(spark, indexPath, eager = true)
+    val (mainHits, confirmed) = DiskannIndex.rangeSearchWithStatus(spark,
+      indexPath, qvec, radius, searchListSize, rescore, qlabels, tombs,
+      nProbe = 0, maxResults = maxResults)
+    deltaSnap match {
+      case None => (mainHits, confirmed)
+      case _ if !confirmed => (mainHits, false)
+      case Some(delta) =>
+        val deltaHits = DiskannIndex.rangeOverDelta(spark, indexPath, delta,
+          qvec, radius, qlabels, tombs)
+        // a row can transiently exist in BOTH main and delta (compaction
+        // folded it, file delete not yet visible) — collapse by row_id
+        val merged = (mainHits ++ deltaHits)
+          .groupBy(_._1).iterator
+          .map { case (rid, ds) => (rid, ds.iterator.map(_._2).min) }
+          .toSeq.sortBy { case (rid, d) => (d, rid) }
+        if (merged.length > maxResults) (merged.take(maxResults), false)
+        else (merged, true)
     }
   }
 
@@ -600,9 +670,11 @@ object StreamingIngest {
           (meta.partitioner == "ivf" && meta.centroids.nonEmpty)) &&
         params == meta.toParams &&
         spark.conf.get("graft.compact.incremental", "true").toBoolean
-      // rebuildShardsInto may REFUSE (None) when a frozen-centroid hot spot
-      // would overgrow a shard — fall through to the full rebuild, which
-      // re-trains centroids and restores the shard-sizing invariant
+      // rebuildShardsInto answers a frozen-centroid hot spot by SPLITTING
+      // the overgrown shard (ivf — O(hot shard), the compaction stays
+      // O(ingest window) under skew) and may still REFUSE (None) for hash
+      // indexes, whose routing cannot split one shard — fall through to
+      // the full rebuild, which re-shards and restores the sizing invariant
       val partial: Option[(Long, Seq[Int])] =
         if (incremental)
           DiskannIndex.rebuildShardsInto(spark, root, meta, delta, allTombs,

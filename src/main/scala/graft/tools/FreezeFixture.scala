@@ -253,6 +253,70 @@ object FreezeFoldFixture {
 }
 
 /**
+ * Freezes the HOT-SHARD-SPLIT fixture (`index_gen11s`): an IVF index whose
+ * compaction SPLIT an overgrown shard (round-11 layout: numShards grew past
+ * the build's count, split sub-shards carry fresh centroids + re-measured
+ * radii, untouched shards ride the manifest). Future readers must keep
+ * resolving the grown per-shard arrays, routing/pruning over the replaced
+ * centroids, and serving the split sub-shards exactly. The full corpus
+ * (base + appended twins) is frozen inside as `_corpus` so the spec's
+ * oracle recomputes ground truth from first principles.
+ */
+object FreezeSplitFixture {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse(
+      "src/test/resources/fixtures/index_gen11s")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val src = spark.range(96).selectExpr(
+      "id AS row_id",
+      "transform(sequence(1, 8), d -> CAST(pmod(hash(id, d), 997) / 997.0 AS FLOAT)) AS vec")
+    DiskannIndex.build(src, "row_id", "vec", None, out,
+      DiskannParams(metric = "cosine", numNeighbors = 16, searchListSize = 32,
+        shardTargetRows = 16, partitioner = "ivf", ivfSeed = Some("g11s")))
+    val meta0 = DiskannIndex.loadMeta(spark, out)
+    // skew waves: exact twins of ONE shard's members route back to it via
+    // the frozen centroids until the growth gate trips the split
+    val nodes0 = spark.read.parquet(s"$out/nodes")
+    val hot = nodes0.groupBy("shard").count()
+      .orderBy("count", "shard").head().getInt(0)
+    val hotIds = nodes0.filter(s"shard = $hot")
+      .selectExpr("row_id").collect().map(_.getLong(0))
+    var wave = 0
+    var appended = Seq.empty[Long]
+    while (DiskannIndex.loadMeta(spark, out).numShards == meta0.numShards
+        && wave < 8) {
+      wave += 1
+      val w = wave
+      src.filter(src("row_id").isin(hotIds.map(java.lang.Long.valueOf): _*))
+        .selectExpr(s"row_id + ${1000L * w} AS row_id", "vec")
+        .write.mode("append").parquet(s"$out/delta")
+      appended = appended ++ hotIds.map(_ + 1000L * w)
+      graft.streaming.StreamingIngest.compact(spark, out)
+    }
+    val meta = DiskannIndex.loadMeta(spark, out)
+    require(meta.numShards > meta0.numShards,
+      s"no split after $wave waves (numShards=${meta.numShards})")
+    require(meta.shardDirs.exists(_ != "") && meta.shardDirs.contains(""),
+      s"fixture must carry manifest refs, got ${meta.shardDirs.mkString(",")}")
+    // the corpus the spec's oracle replays: base ∪ every appended twin
+    val twins = appended.map(id => (id, id - 1000L * (id / 1000L)))
+    src.unionByName(
+      spark.createDataFrame(twins).toDF("row_id", "base_id")
+        .join(src.withColumnRenamed("row_id", "base_id"), "base_id")
+        .select("row_id", "vec"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/_corpus")
+    println(s"frozen: $out -> ${DiskannIndex.resolveRoot(spark, out)}")
+    println(s"shards ${meta0.numShards} -> ${meta.numShards}, " +
+      s"rows ${meta.numRows}, dirs ${meta.shardDirs.mkString(",")}")
+    spark.stop()
+  }
+}
+
+/**
  * Freezes the COMPACTED text-index fixture (`textidx_gen9c`): the round-9
  * lifecycle state the gen-8 flat fixture cannot cover — a versioned
  * generation installed by [[graft.operators.TextIndex.compactTextIndex]]

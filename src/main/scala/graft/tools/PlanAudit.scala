@@ -102,7 +102,11 @@ object PlanAudit {
     // round 10: the SQL radius rewrite must plan KnnRangeScan under one
     // FilterExec recheck (no corpus scan); the tier-fold query's serving
     // plan is the standard pruned ANN shape over the folded generation
-    "knn_range_sql", "ann_tier_fold")
+    "knn_range_sql", "ann_tier_fold",
+    // round 11: the radius rewrite must STAY KnnRangeScan under pending
+    // delta + tombstones (the rangeSearchFresh merge), never regress to
+    // the corpus scan whenever appends pend
+    "knn_range_sql_fresh")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

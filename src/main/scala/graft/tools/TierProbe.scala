@@ -114,7 +114,62 @@ object TierProbe {
     val annJs = annRows.map { case (m, n, tt, tf) =>
       f"""{"mult":$m,"base_rows":$n,"insert_fold_s":$tt%.2f,"full_rebuild_s":$tf%.2f}"""
     }.mkString("[", ",", "]")
-    println(s"""{"metric":"tierprobe","sf":"$sfDir","points":$js,"ann_points":$annJs}""")
+
+    // ---- persistently SKEWED stream (round-11 hot-shard split): every
+    // wave's delta routes to ONE frozen IVF centroid, the workload that
+    // used to trip the growth gate into an O(corpus) re-shard at every
+    // compaction. With the split, per-wave compact cost must stay ~flat —
+    // bounded by the (capped) hot shard, not the corpus — while numShards
+    // grows and untouched shards keep their cache epochs (proof no full
+    // rebuild ever ran). One full rebuild is timed at the end as the
+    // per-wave price the split avoids.
+    val skewJs = {
+      val mult = 32
+      val path = "/tmp/graft_tierprobe/ann_skew"
+      deleteRec(new java.io.File(path))
+      val base = (0 until mult).map(r =>
+        emb.select(($"vec_id" + lit(r.toLong * 1000000L)).as("row_id"),
+          $"embedding".as("vec"))).reduce(_ unionByName _)
+      DiskannIndex.build(base, "row_id", "vec", None, path,
+        DiskannParams(metric = "cosine", partitioner = "ivf",
+          shardTargetRows = 2000))
+      val meta0 = DiskannIndex.loadMeta(spark, path)
+      val nodes0 = spark.read.parquet(s"$path/nodes")
+      val hot = nodes0.groupBy($"shard").count()
+        .orderBy($"count".desc, $"shard").head().getInt(0)
+      val hotMembers = nodes0.filter($"shard" === hot)
+        .select($"row_id", $"vec").limit(1000).cache()
+      hotMembers.count()
+      def time(body: => Unit): Double = {
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      val waves = (1 to 6).map { w =>
+        StreamingIngest.appendBatchToDelta(path)(
+          hotMembers.select(($"row_id" + lit(w * 10000000L)).as("row_id"),
+            $"vec"), w.toLong)
+        val t = time(StreamingIngest.compact(spark, path))
+        val m = DiskannIndex.loadMeta(spark, path)
+        (w, t, m.numShards)
+      }
+      val metaN = DiskannIndex.loadMeta(spark, path)
+      val untouchedStable = (0 until meta0.numShards)
+        .filterNot(_ == hot)
+        .forall(s => metaN.shardBuildIds(s) == meta0.shardBuildIds(s))
+      require(untouchedStable,
+        "skew waves rebuilt untouched shards — full-rebuild fallback fired")
+      require(metaN.numShards > meta0.numShards,
+        "skew waves never split the hot shard")
+      hotMembers.unpersist()
+      spark.conf.set("graft.compact.incremental", "false")
+      val tFull =
+        try time(StreamingIngest.compact(spark, path, force = true))
+        finally spark.conf.unset("graft.compact.incremental")
+      val ws = waves.map { case (w, t, ns) =>
+        f"""{"wave":$w,"compact_s":$t%.2f,"num_shards":$ns}"""
+      }.mkString("[", ",", "]")
+      f""""skew_waves":$ws,"skew_full_rebuild_s":$tFull%.2f"""
+    }
+    println(s"""{"metric":"tierprobe","sf":"$sfDir","points":$js,"ann_points":$annJs,$skewJs}""")
     spark.stop()
   }
 }

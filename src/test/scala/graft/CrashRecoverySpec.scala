@@ -294,6 +294,52 @@ class CrashRecoverySpec extends AnyFunSuite {
 
   // ---------------------------------------------------- rag chunk replay
 
+  test("staging scrub: an actively-growing 'stale' dir survives (clock skew), a dead one goes") {
+    val path = "/tmp/graft_test_index/scrub_settle"
+    deleteRec(new java.io.File(path))
+    new java.io.File(path).mkdirs()
+    // two staging dirs wearing timestamps older than the stale horizon: one
+    // is genuinely dead, the other belongs to a LIVE writer whose clock is
+    // skewed — it keeps writing files during the scrubber's settle window
+    val born = System.currentTimeMillis() - 2 * 3600 * 1000L
+    val deadDir = new java.io.File(s"$path/_deltatmp_${born}_dead")
+    val liveDir = new java.io.File(s"$path/_deltatmp_${born}_live")
+    assert(deadDir.mkdirs() && liveDir.mkdirs())
+    java.nio.file.Files.writeString(
+      deadDir.toPath.resolve("part-0"), "stale")
+    @volatile var keepWriting = true
+    val writer = new Thread(() => {
+      var i = 0
+      while (keepWriting) {
+        try java.nio.file.Files.writeString(
+          liveDir.toPath.resolve(s"part-$i"), "x" * (i + 1))
+        catch { case _: java.io.IOException => () } // dir raced away = fail below
+        i += 1
+        Thread.sleep(20)
+      }
+    })
+    writer.start()
+    try {
+      spark.conf.set("graft.compact.scrubSettleMs", "400")
+      val batch = Seq((1L, Array(0.1f, 0.2f))).toDF("row_id", "vec")
+      graft.streaming.StreamingIngest.appendBatchToDelta(path)(batch, 0L)
+    } finally {
+      keepWriting = false
+      writer.join(5000)
+      spark.conf.unset("graft.compact.scrubSettleMs")
+    }
+    assert(!deadDir.exists(), "dead staging dir must be scrubbed")
+    assert(liveDir.exists(),
+      "actively-growing staging dir scrubbed — live skewed writer destroyed")
+    // the batch itself landed despite the survivor
+    assert(spark.read.parquet(s"$path/delta").count() == 1)
+    // once the writer is genuinely idle for the horizon, the next scrub
+    // reclaims it
+    val batch2 = Seq((2L, Array(0.3f, 0.4f))).toDF("row_id", "vec")
+    graft.streaming.StreamingIngest.appendBatchToDelta(path)(batch2, 1L)
+    assert(!liveDir.exists(), "idle stale dir must be reclaimed on the next scrub")
+  }
+
   test("rag_context_pack replays bit-identically against a freshly built chunk index") {
     // kill any cached chunk index for this sf so the query path exercises a
     // FRESH build (the round-8 red row was a stale-artifact hazard)

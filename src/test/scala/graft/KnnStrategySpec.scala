@@ -478,11 +478,11 @@ class KnnStrategySpec extends AnyFunSuite {
       val after = planQ.collect().map(_.getLong(0)).toSet
       assert(after == before - 0L, s"tombstoned row served: $after vs $before")
       // plan-vs-first-execution freshness: this DataFrame is PLANNED while
-      // no delta exists (so it plans as KnnRangeScan), but first EXECUTED
-      // after a delta lands — doExecute must re-check hasDelta and bail to
-      // the exact scan, or the index-only result silently misses the twin.
-      // (A DataFrame already executed once is a snapshot — Spark memoizes
-      // the plan's RDD — same as a held native parquet scan.)
+      // no delta exists, but first EXECUTED after a delta lands —
+      // doExecute snapshots and merges the delta per execution
+      // (rangeSearchFresh), so the twin appears with no re-plan. (A
+      // DataFrame already executed once is a snapshot — Spark memoizes the
+      // plan's RDD — same as a held native parquet scan.)
       val plannedEarly = planQ
       assert(plannedEarly.queryExecution.executedPlan.toString
         .contains("KnnRangeScan"))
@@ -492,9 +492,30 @@ class KnnStrategySpec extends AnyFunSuite {
       val fresh = plannedEarly.collect().map(_.getLong(0)).toSet
       assert(fresh == after + 9000L,
         s"pre-delta plan missed the delta row on first execution: $fresh")
-      // and a NEWLY planned query declines the rewrite while a delta pends
-      assert(!planQ.queryExecution.executedPlan.toString.contains("KnnRangeScan"),
-        "pending delta must force the native plan at planning time")
+      // a NEWLY planned query KEEPS the index rewrite while a delta pends
+      // (round 11: the radius path merges the delta instead of bailing),
+      // and the index scan — not the brute fallback — serves it: the
+      // brute bail-out leaves numHeapFetches at 0
+      val q2 = planQ
+      assert(q2.queryExecution.executedPlan.toString.contains("KnnRangeScan"),
+        "pending delta must NOT force the native plan anymore")
+      val got2 = q2.collect().map(_.getLong(0)).toSet
+      assert(got2 == after + 9000L, s"fresh radius scan diverged: $got2")
+      val rscan = q2.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case k: graft.plans.KnnRangeScanExec => k }
+      assert(rscan.isDefined)
+      assert(rscan.get.metrics("numHeapFetches").value > 0,
+        "delta-pending radius execution fell back to the brute scan")
+      // tombstones keep masking THROUGH the delta merge: delta-append a
+      // twin and tombstone it in the same pending window — it must not
+      // surface on either side
+      spark.read.parquet(rSrc).filter($"vec_id" === 0)
+        .select(lit(9001L).as("row_id"), $"embedding".as("vec"))
+        .write.mode("append").parquet(s"$rIdx/delta")
+      DiskannIndex.deleteRows(spark, rIdx, Seq(9001L))
+      val gotTomb = planQ.collect().map(_.getLong(0)).toSet
+      assert(gotTomb == after + 9000L,
+        s"tombstoned delta row resurrected through the merge: $gotTomb")
     } finally KnnCatalog.unregister(rSrc)
   }
 

@@ -361,14 +361,21 @@ class StreamingSpec extends AnyFunSuite {
       s"$path/versions/v000000001/nodes/shard=$srcShard").exists(),
       "v1's srcShard dir is still referenced by grace v2 and must survive")
 
-    // growth gate: with a tiny cap, the partial rebuild REFUSES and compact
-    // falls back to the full rebuild (fresh centroids, invariant restored)
+    // growth gate with the split DISABLED (the ops escape hatch — and the
+    // only behavior available to hash routing): with a tiny cap, the
+    // partial rebuild REFUSES and compact falls back to the full rebuild
+    // (fresh centroids, invariant restored). The default split path has
+    // its own test below.
     Seq((probe(3).getLong(0) + 30000,
       probe(3).getAs[scala.collection.mutable.Seq[Float]]("vec").toArray))
       .toDF("row_id", "vec").write.mode("append").parquet(s"$path/delta")
     spark.conf.set("graft.compact.maxShardGrowth", "0.001")
+    spark.conf.set("graft.compact.shardSplit", "false")
     try StreamingIngest.compact(spark, path)
-    finally spark.conf.unset("graft.compact.maxShardGrowth")
+    finally {
+      spark.conf.unset("graft.compact.maxShardGrowth")
+      spark.conf.unset("graft.compact.shardSplit")
+    }
     val metaF = DiskannIndex.loadMeta(spark, path)
     assert(metaF.numRows == n0 + 5) // +1 new delta row, full rebuild counted it
     // probe(3)'s vector now has THREE copies: the original, the first
@@ -399,6 +406,185 @@ class StreamingSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$path/nodes").exists(),
       "flat root leftovers must be GC'd once nothing references them")
     assert(DiskannIndex.loadMeta(spark, path).numRows == n0 + 6)
+  }
+
+  test("hot-shard split: a skewed append stream splits the hot shard, never pays a full rebuild") {
+    val path = "/tmp/graft_test_index/hot_split"
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    deleteRec(new java.io.File(path))
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n0 = e.count()
+    DiskannIndex.build(e, "vec_id", "embedding", None, path,
+      DiskannParams(metric = "cosine", partitioner = "ivf",
+        ivfSeed = Some("hs42"), shardTargetRows = 64))
+    val meta0 = DiskannIndex.loadMeta(spark, path)
+    assert(meta0.numShards >= 4, s"want several shards, got ${meta0.numShards}")
+
+    // the skew fixture: every appended row is an exact copy (new id) of a
+    // member of ONE shard — frozen-centroid routing funnels the whole
+    // stream into it, the workload that used to force an O(corpus)
+    // re-shard at every compaction once the growth gate tripped
+    val nodes0 = spark.read.parquet(s"$path/nodes")
+    val hot = nodes0.groupBy($"shard").count()
+      .orderBy($"count", $"shard").head().getInt(0) // smallest = most waves
+    val hotMembers = nodes0.filter($"shard" === hot)
+      .orderBy($"row_id").select($"row_id", $"vec").collect()
+      .map(r => (r.getLong(0),
+        r.getAs[scala.collection.mutable.Seq[Float]]("vec").toArray))
+    val untouchedShards = (0 until meta0.numShards).filterNot(_ == hot)
+
+    var appended = 0L
+    var wave = 0
+    var splitAt = -1
+    while (splitAt < 0 && wave < 8) {
+      wave += 1
+      spark.createDataFrame(hotMembers.toSeq.map { case (id, v) =>
+        (id + 100000L * wave, v)
+      }).toDF("row_id", "vec").write.mode("append").parquet(s"$path/delta")
+      appended += hotMembers.length
+      StreamingIngest.compact(spark, path)
+      val m = DiskannIndex.loadMeta(spark, path)
+      assert(m.numRows == n0 + appended, s"wave $wave lost rows")
+      // the never-touched shards must keep their cache epochs through
+      // EVERY compaction — a full rebuild would mint all-fresh epochs
+      untouchedShards.foreach { u =>
+        assert(m.shardBuildIds(u) == meta0.shardBuildIds(u),
+          s"wave $wave: untouched shard $u rebuilt (full-rebuild fallback?)")
+      }
+      if (m.numShards > meta0.numShards) splitAt = wave
+    }
+    assert(splitAt > 0, "growth gate never tripped a split in 8 skew waves")
+    val metaS = DiskannIndex.loadMeta(spark, path)
+    assert(metaS.centroids.length == metaS.numShards &&
+      metaS.shardBuildIds.length == metaS.numShards &&
+      metaS.shardDirs.length == metaS.numShards &&
+      metaS.shardRadii.length == metaS.numShards,
+      "split must grow every per-shard meta array consistently")
+
+    // stored radii stay SOUND over the split shards (they were re-measured
+    // against the fresh sub-centroids): no member may sit outside its
+    // shard's stored ball
+    val metric = graft.index.Metric(metaS.metric)
+    val root = DiskannIndex.resolveRoot(spark, path)
+    val members = DiskannIndex
+      .nodesDf(spark, root, metaS, 0 until metaS.numShards)
+      .select($"shard", $"vec").collect()
+      .map(r => (r.getInt(0),
+        r.getAs[scala.collection.mutable.Seq[Float]]("vec").toArray))
+    members.foreach { case (s, v) =>
+      val bv = graft.index.BuildSpace(v, metaS.dimsToIndex, metric)
+      val d = math.sqrt(graft.functions.VectorKernels.l2sq(bv, metaS.centroids(s)))
+      assert(d <= metaS.shardRadii(s) + 1e-6,
+        s"member of shard $s at $d outside stored radius ${metaS.shardRadii(s)}")
+    }
+
+    // keep the skew flowing AFTER the split: the next wave routes to the
+    // new sub-centroids and folds/splits O(ingest) — still no full rebuild
+    spark.createDataFrame(hotMembers.toSeq.map { case (id, v) =>
+      (id + 900000L, v)
+    }).toDF("row_id", "vec").write.mode("append").parquet(s"$path/delta")
+    appended += hotMembers.length
+    StreamingIngest.compact(spark, path)
+    val metaN = DiskannIndex.loadMeta(spark, path)
+    assert(metaN.numRows == n0 + appended)
+    untouchedShards.foreach { u =>
+      assert(metaN.shardBuildIds(u) == meta0.shardBuildIds(u),
+        s"post-split wave rebuilt untouched shard $u")
+    }
+
+    // exactness after the split, top-k AND radius: all twins of member 0
+    // must come back (the twins live across split sub-shards now)
+    val (m0id, m0vec) = hotMembers(0)
+    val waves = (1 to splitAt).map(_ * 100000L) :+ 900000L
+    val twins = (Set(m0id) ++ waves.map(m0id + _)).map(java.lang.Long.valueOf)
+    val q = Seq((0L, m0vec)).toDF("qid", "qvec")
+    val hits = DiskannIndex.search(spark, path, q, k = twins.size,
+        searchListSize = 300, rescore = 300)
+      .collect().map(r => java.lang.Long.valueOf(r.getLong(1))).toSet
+    assert(hits == twins, s"post-split top-k diverged: $hits vs $twins")
+    // radius path exercises radiusShardsFor over the GROWN centroid/radii
+    // arrays — a twin (dist 0) missing here means the split broke either
+    // the traversal or the triangle-inequality prune
+    val rhits = DiskannIndex.rangeSearch(spark, path, m0vec, radius = 1e-9)
+      .map(t => java.lang.Long.valueOf(t._1)).toSet
+    assert(rhits == twins, s"post-split radius scan diverged: $rhits vs $twins")
+  }
+
+  test("insert-fold endurance: 20 successive append+fold cycles keep recall and exactness") {
+    val path = "/tmp/graft_test_index/fold_endurance"
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    deleteRec(new java.io.File(path))
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // default params (R=50, build L=100, SBQ, hash): the reference's
+    // insert-after-create accuracy shape (build.rs:1804-1853) run 20 deep —
+    // repeated lazy-NaN seeded folds must not degrade the graph
+    // cumulatively in ways one fold cannot show
+    DiskannIndex.build(e.filter($"vec_id" < 100), "vec_id", "embedding",
+      None, path, DiskannParams(metric = "cosine"))
+    (0 until 20).foreach { i =>
+      e.filter($"vec_id" >= 100 + 20 * i && $"vec_id" < 120 + 20 * i)
+        .select($"vec_id".as("row_id"), $"embedding".as("vec"))
+        .write.mode("append").parquet(s"$path/delta")
+      StreamingIngest.compact(spark, path)
+    }
+    val meta = DiskannIndex.loadMeta(spark, path)
+    assert(meta.numRows == 500, s"folds lost rows: ${meta.numRows}")
+
+    // exact ground truth from the engine's own report metric
+    val report = DiskannIndex.reportDistFn(graft.index.Metric("cosine"))
+    val corpus = e.select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getAs[scala.collection.mutable.Seq[Float]]("embedding").toArray))
+    def exactTopK(qv: Array[Float], k: Int): Seq[Long] =
+      corpus.map { case (id, v) => (id, report(v, qv)) }
+        .sortBy { case (id, d) => (d, id) }.take(k).map(_._1).toSeq
+
+    // recall gate at the reference's DEFAULT query params (L=100,
+    // rescore=50), COMPARATIVE against ONE fold of the same 400 rows into
+    // the same base — the cumulative-degradation question the reference's
+    // insert-after-create test asks (build.rs:1804-1853): 20 successive
+    // lazy-NaN seeded folds must score like a single fold of the identical
+    // data, or fold depth is eroding the graph. (A fresh 500-row one-shot
+    // build is NOT the right baseline: it re-trains the SBQ quantizer on
+    // all 500 rows, while every fold keeps the 100-row-trained frozen
+    // quantizer — the reference's aminsert freezes it the same way.)
+    val oneFoldPath = s"${path}_one_fold"
+    deleteRec(new java.io.File(oneFoldPath))
+    DiskannIndex.build(e.filter($"vec_id" < 100), "vec_id", "embedding",
+      None, oneFoldPath, DiskannParams(metric = "cosine"))
+    e.filter($"vec_id" >= 100 && $"vec_id" < 500)
+      .select($"vec_id".as("row_id"), $"embedding".as("vec"))
+      .write.mode("append").parquet(s"$oneFoldPath/delta")
+    StreamingIngest.compact(spark, oneFoldPath)
+    assert(DiskannIndex.loadMeta(spark, oneFoldPath).numRows == 500)
+    val qs = corpus.filter(_._1 < 10)
+    def avgRecall(p: String): Double = {
+      val rs = qs.map { case (_, qv) =>
+        val got = DiskannIndex.searchPoint(spark, p, qv, 10,
+          searchListSize = 100, rescore = 50).map(_._1).toSet
+        exactTopK(qv, 10).count(got) / 10.0
+      }
+      rs.sum / rs.length
+    }
+    val deepRecall = avgRecall(path)
+    val oneRecall = avgRecall(oneFoldPath)
+    assert(deepRecall >= oneRecall - 0.05 && deepRecall >= 0.7,
+      s"recall@10: 20 folds = $deepRecall vs one fold = $oneRecall")
+
+    // exact-equality gate at verification width: the folded graph must
+    // still reach the true top-10 for every probe when the frontier covers
+    // the corpus
+    qs.foreach { case (qid, qv) =>
+      val got = DiskannIndex.searchPoint(spark, path, qv, 10,
+        searchListSize = 500, rescore = 500).map(_._1).toSeq
+      assert(got == exactTopK(qv, 10), s"fold endurance: probe $qid diverged")
+    }
   }
 
   test("searchFreshDistributed: offline batch path sees the delta without a compact") {

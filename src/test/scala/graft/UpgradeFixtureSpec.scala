@@ -84,6 +84,68 @@ class UpgradeFixtureSpec extends AnyFunSuite {
     }
   }
 
+  private val splitFixture = "src/test/resources/fixtures/index_gen11s"
+
+  test("frozen hot-shard-split index (gen11s): grown arrays resolve, split shards serve exactly") {
+    // written by the round-11 HOT-SHARD SPLIT (FreezeSplitFixture): an IVF
+    // generation whose compaction split one overgrown shard — numShards
+    // grew past the build's count, the split sub-shards carry fresh
+    // centroids + re-measured radii, untouched shards ride the manifest
+    val m = DiskannIndex.loadMeta(spark, splitFixture)
+    assert(m.partitioner == "ivf" && m.numShards == 8 && m.numRows == 124)
+    assert(m.centroids.length == m.numShards &&
+      m.shardBuildIds.length == m.numShards &&
+      m.shardDirs.length == m.numShards &&
+      m.shardRadii.length == m.numShards,
+      "per-shard arrays must have grown consistently with the split")
+    assert(m.shardDirs.contains("") && m.shardDirs.exists(_ != ""),
+      s"expected mixed manifest refs, got ${m.shardDirs.mkString(",")}")
+    val root = DiskannIndex.resolveRoot(spark, splitFixture)
+    val nodes = DiskannIndex.nodesDf(spark, root,
+        DiskannIndex.loadMetaAt(spark, root), 0 until m.numShards)
+      .select($"shard", $"node", $"row_id", $"vec").collect()
+    assert(nodes.length == 124)
+    nodes.groupBy(_.getInt(0)).foreach { case (s, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (0 until rows.length),
+        s"shard $s lost node contiguity")
+    }
+    // stored radii stay sound over the split sub-shards (re-measured
+    // against the fresh centroids)
+    val metric = graft.index.Metric(m.metric)
+    nodes.foreach { r =>
+      val s = r.getInt(0)
+      val bv = graft.index.BuildSpace(
+        r.getAs[scala.collection.mutable.Seq[Float]]("vec").toArray,
+        m.dimsToIndex, metric)
+      val d = math.sqrt(graft.functions.VectorKernels.l2sq(bv, m.centroids(s)))
+      assert(d <= m.shardRadii(s) + 1e-6,
+        s"shard $s member at $d outside stored radius ${m.shardRadii(s)}")
+    }
+    // exact serving against the frozen corpus oracle, through BOTH scan
+    // shapes — top-k and radius (the radius path exercises the
+    // triangle-inequality prune over the grown centroid/radii arrays)
+    val corpus = spark.read.parquet(s"$splitFixture/_corpus")
+      .select($"row_id", $"vec").collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.mutable.Seq[Float]]("vec").toArray)
+    assert(corpus.length == 124)
+    val report = DiskannIndex.reportDistFn(metric)
+    val (qid, qv) = corpus.find(_._1 >= 1000L).get
+    val brute = corpus.map { case (id, v) => (id, report(v, qv)) }
+      .sortBy { case (id, d) => (d, id) }
+    val got = DiskannIndex.search(spark, splitFixture,
+        Seq((0L, qv)).toDF("qid", "qvec"), k = 10,
+        searchListSize = 256, rescore = 256)
+      .orderBy($"dist", $"row_id").collect().map(_.getLong(1)).toSeq
+    assert(got == brute.take(10).map(_._1).toSeq, s"split serving diverged: $got")
+    val twinSet = corpus.filter { case (_, v) =>
+      report(v, qv) <= 1e-9 }.map(_._1).toSet
+    assert(twinSet.contains(qid) && twinSet.size >= 2)
+    val rhits = DiskannIndex.rangeSearch(spark, splitFixture, qv,
+      radius = 1e-9).map(_._1).toSet
+    assert(rhits == twinSet, s"split radius scan diverged: $rhits vs $twinSet")
+  }
+
   private val legacyFixture = "src/test/resources/fixtures/index_gen3flat"
 
   test("frozen pre-manifest (round-3 era) meta: legacy defaults fill and search serves exactly") {
