@@ -297,13 +297,25 @@ object Similarity {
    * Scale note: all-pairs exact is inherently bounded to corpora that fit a
    * broadcast (the reference's exact rescoring plays the same role); beyond
    * that the LSH/ANN paths are the design ([[cosineNearDupPairs]], DiskANN).
+   * Enforced, not advisory: the collect is capped at `maxBroadcastRows`
+   * (same guard discipline as [[knnGraph]]) so an oversized corpus fails
+   * with a pointed error instead of OOMing the driver.
    */
   def bruteCosineTopPairs(df: DataFrame, idCol: String, vecCol: String,
-      topN: Int, slack: Int = 256): DataFrame = {
+      topN: Int, slack: Int = 256, maxBroadcastRows: Int = 2000000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val corpus = df.select(col(idCol).cast(LongType), col(vecCol))
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    // bounded guard IN the collect (the knnGraph discipline): the limit
+    // caps what can reach the driver, one extra row proves oversize
+    val corpus0 = df.select(col(idCol).cast(LongType), col(vecCol))
+      .limit(maxBroadcastRows + 1)
+      .as[(Long, Array[Float])].collect()
+    require(corpus0.length <= maxBroadcastRows,
+      s"bruteCosineTopPairs: corpus exceeds $maxBroadcastRows rows — the " +
+        "exact broadcast kernel is for broadcast-sized corpora; at scale " +
+        "use cosineNearDupPairs (LSH) or DiskannIndex.edges (the Vamana " +
+        "graph's out-edges) as the candidate-pair source")
+    val corpus = corpus0.sortBy(_._1)
     val ids = corpus.map(_._1)
     val vecs = corpus.map(_._2)
     val nsq = vecs.map { v =>

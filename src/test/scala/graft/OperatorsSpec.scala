@@ -155,6 +155,23 @@ class OperatorsSpec extends AnyFunSuite {
       "zero vector must be unranked, not top-ranked")
   }
 
+  test("broadcast kernels refuse oversized corpora with the scale-path alternative named") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pairsErr = intercept[IllegalArgumentException] {
+      Similarity.bruteCosineTopPairs(e, "vec_id", "embedding", topN = 5,
+        maxBroadcastRows = 10)
+    }
+    assert(pairsErr.getMessage.contains("cosineNearDupPairs") &&
+      pairsErr.getMessage.contains("DiskannIndex.edges"),
+      s"oversize error must name the scale path: ${pairsErr.getMessage}")
+    val graphErr = intercept[IllegalArgumentException] {
+      Similarity.knnGraph(e, "vec_id", "embedding", k = 5,
+        maxBroadcastRows = 10)
+    }
+    assert(graphErr.getMessage.contains("DiskannIndex.edges"),
+      s"oversize error must name the scale path: ${graphErr.getMessage}")
+  }
+
   test("topK aggregator knnJoin == window-ranked exact result") {
     VectorFunctions.register(spark)
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
