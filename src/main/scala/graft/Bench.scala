@@ -74,29 +74,51 @@ object Bench {
     // OUTLIER SELF-HEAL: a best-of-2 sample is still hostage to a host
     // contention burst that spans both runs (round 8's graph_pagerank was
     // recorded at 22× its isolated re-timing). After the suite, re-run any
-    // query whose time exceeds 4× its previous round's BENCH_DETAIL entry
-    // (and is over an absolute floor — sub-0.3 s jitter isn't worth a
-    // re-run) and keep the min, so phantom regressions self-heal inside the
-    // artifact instead of poisoning round-over-round comparison.
-    val prev: Map[String, Double] = try {
+    // query whose time exceeds a threshold × its previous round's
+    // BENCH_DETAIL entry (and is over an absolute floor — sub-0.3 s jitter
+    // isn't worth a re-run) and keep the min, so phantom regressions
+    // self-heal inside the artifact instead of poisoning round-over-round
+    // comparison.
+    //
+    // CALIBRATION-AWARE threshold (round-11 fix): a host running the whole
+    // window ~3× slower inflates every query ~3× — under a fixed 4× gate
+    // those all slip through and bake contention into the artifact (round
+    // 10: bloom_decontam at 3.90×, cms_heavy_ngrams at 3.76× — both in
+    // untouched code). Scale the gate by the sentinel ratio vs the
+    // previous round, floored at 2×: a genuinely slow host lowers the bar
+    // so its artifacts get re-timed, a fast host keeps the conservative 4×.
+    val (prev: Map[String, Double], prevCalib: Seq[Double]) = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("BENCH_DETAIL.json")), "UTF-8")
       // only a SAME-SF detail file is a valid reference: comparing against
-      // a smaller sf would flag most of the suite as >4x "outliers" and
-      // re-run it wholesale
+      // a smaller sf would flag most of the suite as outliers and re-run
+      // it wholesale
       val prevSf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
-      if (!prevSf.contains(sfDir)) Map.empty
+      if (!prevSf.contains(sfDir)) (Map.empty[String, Double], Seq.empty[Double])
       else {
         val body = txt.drop(txt.indexOf("\"queries\":{") + 11)
           .takeWhile(_ != '}')
-        "\"([A-Za-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(body)
+        val qs = "\"([A-Za-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(body)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val cs = "\"calib\":\\[([0-9.,]+)\\]".r.findFirstMatchIn(txt)
+          .map(_.group(1).split(',').toSeq.map(_.toDouble)).getOrElse(Seq.empty)
+        (qs, cs)
       }
-    } catch { case _: Throwable => Map.empty }
+    } catch { case _: Throwable => (Map.empty[String, Double], Seq.empty[Double]) }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s(s.length / 2)
+    }
+    val calibRatio =
+      if (calib.isEmpty || prevCalib.isEmpty) 1.0
+      else math.max(median(calib.toSeq) / math.max(median(prevCalib), 1e-9), 1e-3)
+    // capped both ways: a fast host raises the bar only mildly (re-runs are
+    // cheap insurance), and a corrupt/tiny previous sentinel can never push
+    // the threshold so high that healing silently turns off
+    val healThreshold = math.min(8.0, math.max(2.0, 4.0 / calibRatio))
     val reran = scala.collection.mutable.ArrayBuffer[String]()
     val results = firstPass.map { case (name, t) =>
       val suspicious = t > 0.3 &&
-        prev.get(name).exists(p => p > 0 && t > 4 * p)
+        prev.get(name).exists(p => p > 0 && t > healThreshold * p)
       if (!suspicious) name -> t
       else {
         reran += name

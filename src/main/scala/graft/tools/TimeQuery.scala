@@ -21,6 +21,15 @@ object TimeQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the Bench calibration sentinel, so isolated re-timings carry the same
+    // host-contention evidence as the suite artifact they are checked against
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(1L << 22).selectExpr("sum(id)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // sentinel JIT warm-up, untimed
+    println(f"[time] calib=${calibrate()}%.3f")
     val names = if (args.nonEmpty) args.toSeq else sys.error("pass query names")
     names.foreach { name =>
       def once(): Double = {
