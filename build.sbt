@@ -30,6 +30,11 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Forked run/test JVMs size their heap from SPARK_DRIVER_MEM. The sbt
+// LAUNCHER itself only orchestrates these forks; its fixed -Xmx4g lives in
+// .jvmopts (which cannot carry comments), and SBT_OPTS/JAVA_TOOL_OPTIONS
+// take precedence over that file when an environment needs a different
+// launcher heap.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "--add-modules=jdk.incubator.vector",
   "-Dspark.ui.enabled=false",

@@ -483,14 +483,23 @@ object DiskannIndex {
       return nodesDf(spark, root, meta, 0 until meta.numShards)
         .filter(lit(false))
     val all = shards == (0 until meta.numShards)
+    // EXPLICIT schema, not inference: a generation whose only affected
+    // shard rebuilt to ZERO rows (a tombstone wipe of a whole shard) has a
+    // nodes dir with no part files at all — inference throws
+    // UNABLE_TO_INFER_SCHEMA and every read of the generation dies. With
+    // the declared schema an empty dir is just an empty scan (and every
+    // non-empty read skips the footer-sampling inference job too). The
+    // `shard` field doubles as the partition-dir column; `code`/`labels`
+    // are nullable, so files from generations that predate a column read
+    // back as nulls.
     if (meta.shardDirs.forall(_.isEmpty)) {
-      val df = spark.read.parquet(s"$root/nodes")
+      val df = spark.read.schema(nodeSchema).parquet(s"$root/nodes")
       if (all) df
       else df.filter(col("shard").isin(shards.map(Integer.valueOf): _*))
     } else {
       shards.groupBy(s => shardGenRoot(root, meta, s)).toSeq.sortBy(_._1)
         .map { case (base, ss) =>
-          spark.read.parquet(s"$base/nodes")
+          spark.read.schema(nodeSchema).parquet(s"$base/nodes")
             .filter(col("shard").isin(ss.map(Integer.valueOf): _*))
         }
         .reduce(_ unionByName _)
@@ -697,25 +706,39 @@ object DiskannIndex {
             }
             numShardsOut = nextId
           }
-          val splitNodes: Option[DataFrame] = splitPlan.headOption.map { _ =>
-            val splitBc = spark.sparkContext.broadcast(
-              splitPlan.map { case (s, ids, cents) =>
-                s -> (ids, graft.operators.Similarity.IvfModel(cents))
-              }.toMap)
-            val met = metric
-            val dims = dimsToIndex
-            val reassign = udf((s: Int, v: mutable.Seq[Float]) => {
-              val (ids, model) = splitBc.value(s)
-              ids(model.nearest(BuildSpace(v.toArray, dims, met), 1)(0))
-            })
-            val nSubTotal = splitPlan.map(_._2.length).sum
-            val rows = splitInput.get
-              .withColumn("shard", reassign(col("shard"), col("vec")))
-              .repartition(nSubTotal, col("shard"))
-            buildShardNodes(rows, metric, modelBc, meta.hasLabels,
-              dimsToIndex, meta.numNeighbors, meta.searchListSize,
-              meta.maxAlpha)
-          }
+          val splitNodes: Option[DataFrame] =
+            if (splitPlan.isEmpty) None
+            else {
+              val splitBc = spark.sparkContext.broadcast(
+                splitPlan.map { case (s, ids, cents) =>
+                  s -> (ids, graft.operators.Similarity.IvfModel(cents))
+                }.toMap)
+              val met = metric
+              val dims = dimsToIndex
+              val reassign = udf((s: Int, v: mutable.Seq[Float]) => {
+                val (ids, model) = splitBc.value(s)
+                ids(model.nearest(BuildSpace(v.toArray, dims, met), 1)(0))
+              })
+              val nSubTotal = splitPlan.map(_._2.length).sum
+              val rows = splitInput.get
+                .withColumn("shard", reassign(col("shard"), col("vec")))
+                .repartition(nSubTotal, col("shard"))
+              // PROGRESS gate: a point-mass cluster (e.g. a shard of
+              // identical vectors) cannot be subdivided by ANY centroid
+              // router — every member ties to one sub-centroid, the
+              // overgrown sub persists, and re-splitting each compaction
+              // would mint empty shards forever. If the split leaves any
+              // sub-shard still past the cap, refuse (None → the caller's
+              // full rebuild) instead of spiraling. One small aggregate
+              // over the (bounded, persisted) split input.
+              val subCounts = countsByShard(rows)
+              val worst = splitPlan.iterator.flatMap(_._2)
+                .map(subCounts.getOrElse(_, 0L)).max
+              if (worst > growthCap) return None
+              Some(buildShardNodes(rows, metric, modelBc, meta.hasLabels,
+                dimsToIndex, meta.numNeighbors, meta.searchListSize,
+                meta.maxAlpha))
+            }
 
           val rebuiltNodes: Option[DataFrame] =
             if (rebuildShards.isEmpty) None
@@ -836,7 +859,7 @@ object DiskannIndex {
             // (bounded by the hot shard's size), exactly like the build's
             // radius measurement
             val ncBc = spark.sparkContext.broadcast(newCentroids)
-            val measured = spark.read.parquet(s"$dstPath/nodes")
+            val measured = spark.read.schema(nodeSchema).parquet(s"$dstPath/nodes")
               .filter(col("shard").isin(splitIdsSet.toSeq
                 .map(Integer.valueOf): _*))
               .select(col("shard"), col("vec")).rdd.map { row =>
@@ -1817,8 +1840,30 @@ object DiskannIndex {
         case Some(f) => val keep = f.toSet; routed.filter(keep)
         case None => routed
       }
-    val searchers = needed.map(sh =>
-      GraphSearcher.peek(s"$path0#$sh#${meta.shardBuildIds(sh)}"))
+    val model =
+      if (meta.storage == "sbq")
+        SbqModel(meta.modelCount, meta.modelMean, meta.modelM2, meta.bitsPerDim)
+      else null
+    val searchers = needed.map { sh =>
+      val key = s"$path0#$sh#${meta.shardBuildIds(sh)}"
+      GraphSearcher.peek(key).orElse {
+        // an EMPTY shard (a tombstone wipe rebuilt it to zero rows, or a
+        // degenerate split sub-cluster) never flows through the scan paths
+        // that build searchers, so it would block this open FOREVER — the
+        // whole index's resumable serving wedged by one rowless shard.
+        // Emptiness is decidable from one FS call (partitionBy writes no
+        // dir for a shard with no rows): synthesize + cache the empty
+        // searcher. A merely COLD (non-empty) shard still returns None
+        // and the caller pays the normal warming search once.
+        val dir = new org.apache.hadoop.fs.Path(
+          s"${shardGenRoot(path, meta, sh)}/nodes/shard=$sh")
+        val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(dir)) None
+        else Some(GraphSearcher.getOrBuild(key,
+          () => buildShardSearcher(path, sh, Array.empty, metric, model,
+            meta.hasLabels, meta.dimsToIndex)))
+      }
+    }
     if (searchers.exists(_.isEmpty)) None
     else {
       val report = reportDistFn(metric)

@@ -440,6 +440,39 @@ class KnnStrategySpec extends AnyFunSuite {
         .select($"vec_id").collect().map(_.getLong(0)).toSeq.sorted
       assert(got == brute, s"labeled radius scan diverged (${got.length} vs ${brute.length})")
       assert(got.nonEmpty && got.forall(_ % 4 == 1))
+      // labeled radius THROUGH the delta merge: two twins of the query
+      // vector land in the delta — one carrying the claimed label, one not.
+      // The heap must hold them (they are fetched by id), the plan must
+      // stay KnnRangeScan, and only the matching twin may surface.
+      val q0 = spark.read.parquet(srcPath).filter($"vec_id" === 0)
+        .select($"embedding").head()
+        .getAs[scala.collection.mutable.ArraySeq[Float]](0).toArray
+      val twoRows = spark.createDataFrame(Seq(
+          (8001L, q0, Array(1.toShort)), (8002L, q0, Array(2.toShort))))
+        .toDF("vec_id", "embedding", "labels")
+      spark.read.parquet(lSrc).select($"vec_id", $"embedding", $"labels")
+        .unionByName(twoRows)
+        .write.mode("overwrite").parquet(s"${lSrc}_plus")
+      KnnCatalog.register(s"${lSrc}_plus", KnnCatalog.Entry(lIdx,
+        s"${lSrc}_plus", "vec_id", "embedding", Some("labels"), "cosine"))
+      try {
+        twoRows.select($"vec_id".as("row_id"), $"embedding".as("vec"),
+            $"labels")
+          .write.mode("append").parquet(s"$lIdx/delta")
+        val qd = spark.sql(
+          s"""SELECT vec_id FROM parquet.`${lSrc}_plus`
+             |WHERE arrays_overlap(labels, CAST(array(1) AS ARRAY<SHORT>))
+             |  AND vec_cosine_dist(embedding, $qvecSql) <= 0.8""".stripMargin)
+        assert(qd.queryExecution.executedPlan.toString.contains("KnnRangeScan"),
+          "labeled radius must stay index-planned under a pending delta")
+        val gotD = qd.collect().map(_.getLong(0)).toSet
+        assert(gotD == brute.toSet + 8001L,
+          s"labeled delta merge diverged: $gotD (want brute + 8001, not 8002)")
+      } finally {
+        KnnCatalog.unregister(s"${lSrc}_plus")
+        // scrub the delta so re-runs of the suite rebuild a clean fixture
+        deleteRec(new java.io.File(s"$lIdx/delta"))
+      }
     } finally KnnCatalog.unregister(lSrc)
   }
 

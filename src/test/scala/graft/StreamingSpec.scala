@@ -513,6 +513,140 @@ class StreamingSpec extends AnyFunSuite {
     assert(rhits == twins, s"post-split radius scan diverged: $rhits vs $twins")
   }
 
+  test("labeled live-insert fold: appended labels filter exactly, a NEW label gets a start node") {
+    val path = "/tmp/graft_test_index/fold_labeled"
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    deleteRec(new java.io.File(path))
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val labeled = e.withColumn("labels",
+      array($"label".cast(org.apache.spark.sql.types.ShortType)))
+    DiskannIndex.build(labeled.filter($"vec_id" < 400), "vec_id", "embedding",
+      Some("labels"), path, DiskannParams(metric = "cosine"))
+    // delta rows 400-499 carry their own label PLUS the never-seen label
+    // 77 — the fold's dual insert must elect a start node for it among the
+    // APPENDED node indices (GraphSearcher replays the same election)
+    labeled.filter($"vec_id" >= 400)
+      .select($"vec_id".as("row_id"), $"embedding".as("vec"),
+        array_union($"labels", array(lit(77).cast(
+          org.apache.spark.sql.types.ShortType))).as("labels"))
+      .write.mode("append").parquet(s"$path/delta")
+    StreamingIngest.compact(spark, path)
+    assert(DiskannIndex.loadMeta(spark, path).numRows == 500)
+
+    val report = DiskannIndex.reportDistFn(graft.index.Metric("cosine"))
+    val corpus = labeled
+      .select($"vec_id", $"embedding", $"label".cast("long")).collect()
+      .map(r => (r.getLong(0),
+        r.getAs[scala.collection.mutable.Seq[Float]]("embedding").toArray,
+        r.getLong(2)))
+    val qv = corpus.find(_._1 == 0L).get._2
+    // the NEW label 77 exists only on folded rows: filtered search must
+    // return exactly the appended population's nearest, none older
+    val brute77 = corpus.filter(_._1 >= 400)
+      .map { case (id, v, _) => (id, report(v, qv)) }
+      .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toSeq
+    val got77 = DiskannIndex.searchPoint(spark, path, qv, 5,
+      searchListSize = 500, rescore = 500, qlabels = Array(77.toShort))
+      .map(_._1).toSeq
+    assert(got77 == brute77, s"new-label filter diverged: $got77 vs $brute77")
+    // a pre-existing label filters across BOTH base and folded rows
+    val lbl = 1L
+    val brute1 = corpus.filter { case (id, _, l) => l == lbl }
+      .map { case (id, v, _) => (id, report(v, qv)) }
+      .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toSeq
+    val got1 = DiskannIndex.searchPoint(spark, path, qv, 5,
+      searchListSize = 500, rescore = 500, qlabels = Array(lbl.toShort))
+      .map(_._1).toSeq
+    assert(got1 == brute1, s"old-label filter diverged: $got1 vs $brute1")
+  }
+
+  test("degenerate split (point-mass shard) refuses and falls back to the full rebuild") {
+    val path = "/tmp/graft_test_index/split_pointmass"
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    deleteRec(new java.io.File(path))
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    DiskannIndex.build(e, "vec_id", "embedding", None, path,
+      DiskannParams(metric = "cosine", partitioner = "ivf",
+        ivfSeed = Some("pm42"), shardTargetRows = 64))
+    val meta0 = DiskannIndex.loadMeta(spark, path)
+    // 200 EXACT copies of one vector: every copy routes to that vector's
+    // shard, and no centroid router can subdivide an identical point mass
+    // — the split's progress gate must refuse (one sub-shard would still
+    // exceed the cap) and the compact must fall back to the full rebuild
+    // instead of spiraling into empty sub-shards
+    val v0 = e.filter($"vec_id" === 0).select($"embedding")
+    e.filter($"vec_id" === 0)
+      .crossJoin(spark.range(200).select(($"id" + 50000L).as("row_id")))
+      .select($"row_id", $"embedding".as("vec"))
+      .write.mode("append").parquet(s"$path/delta")
+    StreamingIngest.compact(spark, path)
+    val meta = DiskannIndex.loadMeta(spark, path)
+    assert(meta.numRows == 500 + 200)
+    // full rebuild took over: every shard carries the same fresh epoch
+    assert(meta.shardBuildIds.distinct.length == 1 &&
+      meta.shardBuildIds.head != meta0.shardBuildIds.head,
+      "point-mass split should have fallen back to the full rebuild")
+    // the mass serves: top-k at the point mass returns copies at dist 0
+    val qv = v0.head().getAs[scala.collection.mutable.Seq[Float]](0).toArray
+    val hits = DiskannIndex.searchPoint(spark, path, qv, 10,
+      searchListSize = 700, rescore = 700)
+    assert(hits.forall(_._2 <= 1e-9) && hits.map(_._1).contains(0L),
+      s"point-mass serving broke: $hits")
+  }
+
+  test("tombstone-wipe of an entire shard leaves a servable, resumable index") {
+    val path = "/tmp/graft_test_index/shard_wipe"
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    deleteRec(new java.io.File(path))
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    DiskannIndex.build(e, "vec_id", "embedding", None, path,
+      DiskannParams(metric = "cosine", partitioner = "ivf",
+        ivfSeed = Some("wipe42"), shardTargetRows = 64))
+    val meta0 = DiskannIndex.loadMeta(spark, path)
+    val nodes0 = spark.read.parquet(s"$path/nodes")
+    val victim = nodes0.groupBy($"shard").count()
+      .orderBy($"count", $"shard").head().getInt(0)
+    val wiped = nodes0.filter($"shard" === victim)
+      .select($"row_id").collect().map(_.getLong(0)).toSet
+    assert(wiped.nonEmpty)
+    // the ONLY affected shard rebuilds to ZERO rows: the new generation's
+    // own nodes dir holds no part files at all — reads of it must not die
+    // on parquet schema inference (explicit node schema), and the empty
+    // shard must not wedge the resumable path
+    StreamingIngest.compact(spark, path, tombstones = wiped)
+    val meta = DiskannIndex.loadMeta(spark, path)
+    assert(meta.numRows == 500 - wiped.size)
+    val survivors = e.filter(!$"vec_id".isin(wiped.toSeq.map(Long.box): _*))
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getAs[scala.collection.mutable.Seq[Float]]("embedding").toArray))
+    val report = DiskannIndex.reportDistFn(graft.index.Metric("cosine"))
+    val (qid0, qv) = survivors.head
+    val brute = survivors.map { case (id, v) => (id, report(v, qv)) }
+      .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSeq
+    val got = DiskannIndex.searchPoint(spark, path, qv, 10,
+      searchListSize = 500, rescore = 500).map(_._1).toSeq
+    assert(got == brute, s"post-wipe search diverged: $got vs $brute")
+    assert(!got.exists(wiped), "wiped rows resurfaced")
+    // the radius path and its resumable frontier survive the empty shard:
+    // after one warm search, every needed shard (including the empty one)
+    // has a cached searcher, so the resumable handle OPENS
+    val rhits = DiskannIndex.rangeSearch(spark, path, qv, radius = 1e-9)
+      .map(_._1).toSet
+    assert(rhits == Set(qid0), s"post-wipe radius diverged: $rhits")
+    assert(DiskannIndex.openResumableScan(spark, path, qv, null).isDefined,
+      "empty shard left the resumable scan permanently un-openable")
+  }
+
   test("insert-fold endurance: 20 successive append+fold cycles keep recall and exactness") {
     val path = "/tmp/graft_test_index/fold_endurance"
     def deleteRec(f: java.io.File): Unit = {
