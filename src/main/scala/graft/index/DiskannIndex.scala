@@ -2047,6 +2047,257 @@ object DiskannIndex {
   }
 
   /**
+   * Shard-LOCAL radius search: the escalate-until-stable exhaustiveness
+   * loop of [[rangeSearchWithStatus]] applied to ONE searcher. Because a
+   * row lives in exactly one shard, per-shard exhaustiveness composes: the
+   * union of confirmed shard answers IS the confirmed global answer — the
+   * property that lets [[rangeSearchDistributed]] run the radius shape
+   * over millions of queries with no cross-shard coordination. Returns
+   * (in-radius hits, confirmed); `confirmed = false` only when the
+   * maxResults cap forced an exit before the in-radius set stabilized.
+   */
+  private def rangeOnSearcher(searcher: GraphSearcher, qvec: Array[Float],
+      qlabels: Array[Short], radius: Double, searchListSize: Int,
+      rescore: Int, maxResults: Int, tombstoned: Long => Boolean,
+      report: (Array[Float], Array[Float]) => Double): (Seq[(Long, Double)], Boolean) = {
+    val rs = searcher.resumable(qvec, qlabels, tombstoned, report)
+    var kk = math.max(1, math.min(64, maxResults))
+    var l = math.max(searchListSize, kk)
+    var prevInRadius: Option[Set[Long]] = None
+    var out: Seq[(Long, Double)] = null
+    var confirmed = true
+    while (out == null) {
+      val hits = rs.advance(kk, math.max(l, kk), math.max(rescore, l))
+      val inRadius = hits.filter(_._2 <= radius).toSeq
+      val cleared = hits.length < kk || hits.lastOption.forall(_._2 > radius)
+      if (cleared && prevInRadius.contains(inRadius.map(_._1).toSet))
+        out = inRadius.take(maxResults)
+      else if (kk >= maxResults) {
+        confirmed = hits.length < kk && kk >= searcher.n
+        out = inRadius.take(maxResults)
+      } else {
+        prevInRadius =
+          if (cleared) Some(inRadius.map(_._1).toSet) else None
+        kk = math.min(maxResults, kk * 4)
+        l = math.max(l * 4, kk)
+      }
+    }
+    (out, confirmed)
+  }
+
+  /**
+   * Fully distributed RADIUS search for LARGE query sets — the offline
+   * "every row's in-radius matches" workload (positive-pair mining,
+   * duplicate sweeps at a distance threshold), the radius twin of
+   * [[searchDistributed]]. Same co-location kernel (zip-partitioned
+   * pruned shard scans, warm executor searchers, the nodes table never
+   * shuffles); per (query, shard) the answer comes from the shard-local
+   * escalate-until-stable loop ([[rangeOnSearcher]]), whose per-shard
+   * confirmations compose into global exhaustiveness because every row
+   * lives in exactly one shard. Routing uses the SOUND triangle-inequality
+   * prune over broadcast (centroids, radii) when stored — per query only
+   * the shards whose cluster ball can intersect the query ball are
+   * visited; hash/unknown-radii indexes fan to every shard.
+   *
+   * Truncation is LOUD, never silent: a (query, shard) pair whose
+   * in-radius set could not be confirmed under `maxResults` (per shard)
+   * fails the job with the cap's name unless `strict = false`, which
+   * keeps the possibly-partial rows instead. Output: (qid, row_id, dist),
+   * exactly one row per in-radius match.
+   */
+  def rangeSearchDistributed(spark: SparkSession, path0: String,
+      queries: DataFrame, radius: Double, searchListSize: Int = 100,
+      rescore: Int = 50, tombstones: Set[Long] = Set.empty,
+      maxResults: Int = 65536, strict: Boolean = true): DataFrame = {
+    val path = resolveRoot(spark, path0)
+    val meta = loadMeta(spark, path)
+    val metric = Metric(meta.metric)
+    val model =
+      if (meta.storage == "sbq") SbqModel(meta.modelCount, meta.modelMean, meta.modelM2, meta.bitsPerDim)
+      else null
+    val report = reportDistFn(metric)
+    val shardIds = meta.shardBuildIds
+    val cachePath = path0
+    val numShards = meta.numShards
+    val dimsToIndex = meta.dimsToIndex
+    val hasLabels = meta.hasLabels
+    val tombBc = spark.sparkContext.broadcast(tombstones)
+    val metaBc = spark.sparkContext.broadcast(meta)
+
+    // per-query shard routing, executor-side: the same sound prune as the
+    // point path ([[radiusShardsFor]]) over the broadcast meta — soundness
+    // means a pruned-away shard provably holds nothing within the radius,
+    // so routing can never truncate the answer
+    val pruneOn =
+      spark.conf.get("graft.knn.range.shardPrune", "true").toBoolean
+    val met = metric
+    val probeShards = udf((qv: mutable.Seq[Float]) => {
+      val m = metaBc.value
+      val raw = Option(qv).map(_.toArray)
+        .getOrElse(new Array[Float](
+          if (m.centroids.nonEmpty) m.centroids(0).length else 1))
+      (if (pruneOn) radiusShardsFor(m, met, raw, radius) else None)
+        .getOrElse((0 until m.numShards).toArray)
+    })
+    val hasQLabels = queries.columns.contains("qlabels")
+    val q2 = queries.select(col("qid"), col("qvec"),
+      (if (hasQLabels) col("qlabels")
+       else lit(null).cast(ArrayType(ShortType))).as("qlabels"),
+      explode_outer(probeShards(col("qvec"))).as("shard"))
+      .filter(col("shard").isNotNull)
+
+    val neededShards: Seq[Int] =
+      if (meta.partitioner == "ivf" && pruneOn &&
+          meta.shardRadii.length == numShards)
+        q2.select("shard").distinct().collect().map(_.getInt(0)).sorted.toSeq
+      else 0 until numShards
+    val nodes = nodesDf(spark, path, meta, neededShards)
+
+    import spark.implicits._
+    val sl = searchListSize
+    val rc = rescore
+    val mr = maxResults
+    val strictOn = strict
+    def answerShard(shard: Int, nodeRows: () => Array[Row],
+        qs: Array[Row]): Iterator[(Long, Long, Double)] = {
+      val searcher = GraphSearcher.getOrBuild(
+        s"$cachePath#$shard#${shardIds(shard)}",
+        () => buildShardSearcher(path, shard, nodeRows(), metric, model,
+          hasLabels, dimsToIndex))
+      val tomb = tombBc.value
+      qs.iterator.flatMap { r =>
+        val qid = r.getAs[Long]("qid")
+        val qvec = Option(r.getAs[mutable.Seq[Float]]("qvec")).map(_.toArray).orNull
+        val qlabels = Option(r.getAs[mutable.Seq[Short]]("qlabels"))
+          .map(s => LabelSets.normalize(s.toArray)).orNull
+        val (hits, confirmed) = rangeOnSearcher(searcher, qvec, qlabels,
+          radius, sl, rc, mr, rid => tomb.contains(rid), report)
+        if (!confirmed && strictOn)
+          throw new IllegalStateException(
+            s"rangeSearchDistributed: query $qid shard $shard hit the " +
+              s"graft maxResults cap ($mr) before its in-radius set " +
+              "stabilized — raise maxResults, or pass strict=false to " +
+              "keep possibly-partial rows")
+        hits.iterator.map { case (rid, d) => (qid, rid, d) }
+      }
+    }
+    // same bucketed zip co-location as searchDistributed: nodes never
+    // shuffle, only the (pruned) query fan-out does
+    val zipMaxShards =
+      spark.conf.get("graft.search.zipMaxShards", "4096").toInt
+    val bucketSize = math.max(1,
+      math.ceil(neededShards.length.toDouble / zipMaxShards).toInt)
+    val buckets: IndexedSeq[Seq[Int]] =
+      neededShards.grouped(bucketSize).toIndexedSeq
+    val nBuckets = buckets.length
+    val bucketIndex: Map[Int, Int] = buckets.zipWithIndex
+      .flatMap { case (ss, b) => ss.map(_ -> b) }.toMap
+    val nodesRdd =
+      if (bucketSize == 1) shardAlignedNodesRdd(spark, nodes, neededShards)
+      else bucketedNodesRdd(spark, nodes, buckets)
+    val byBucket = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = nBuckets
+      override def getPartition(key: Any): Int =
+        bucketIndex(key.asInstanceOf[Int])
+    }
+    val qRdd = q2.rdd.map(r => (r.getAs[Int]("shard"), r))
+      .partitionBy(byBucket).values
+    require(nodesRdd.getNumPartitions == nBuckets,
+      s"nodes RDD has ${nodesRdd.getNumPartitions} partitions, expected $nBuckets")
+    require(qRdd.getNumPartitions == nBuckets,
+      s"query RDD has ${qRdd.getNumPartitions} partitions, expected $nBuckets")
+    val bIdxBc = spark.sparkContext.broadcast(bucketIndex)
+    val resRdd = nodesRdd.zipPartitions(qRdd) { (nodeIt, qIt) =>
+      val qs = qIt.toArray
+      if (qs.isEmpty) Iterator.empty
+      else {
+        lazy val nodeByShard: Map[Int, Array[Row]] = {
+          val arr = nodeIt.toArray
+          val expected = bIdxBc.value(qs(0).getAs[Int]("shard"))
+          require(arr.isEmpty ||
+            bIdxBc.value(arr(0).getAs[Int]("shard")) == expected,
+            s"nodes partition misaligned with query bucket $expected")
+          arr.groupBy(_.getAs[Int]("shard"))
+        }
+        qs.groupBy(_.getAs[Int]("shard")).iterator
+          .flatMap { case (shard, shardQs) =>
+            answerShard(shard,
+              () => nodeByShard.getOrElse(shard, Array.empty), shardQs)
+          }
+      }
+    }
+    // a row lives in exactly one shard: no cross-shard duplicates, no merge
+    spark.createDataset(resRdd).toDF("qid", "row_id", "dist")
+  }
+
+  /**
+   * [[rangeSearchDistributed]] + delta freshness — the radius twin of
+   * [[searchDistributedFresh]], same role flip: the query table is the big
+   * side and stays distributed, the (compaction-bounded) delta collects
+   * once and BROADCASTS; every query partition adds an exact map-side
+   * radius pass over it (tombstone-masked, label-filtered with the
+   * searchWithDelta rules). A row transiently in both main and delta
+   * (compact mid-flight) is collapsed by (qid, row_id) min-dist.
+   */
+  def rangeSearchDistributedFresh(spark: SparkSession, path0: String,
+      queries: DataFrame, delta: DataFrame, radius: Double,
+      searchListSize: Int = 100, rescore: Int = 50,
+      tombstones: Set[Long] = Set.empty, maxResults: Int = 65536,
+      strict: Boolean = true): DataFrame = {
+    val meta = loadMeta(spark, resolveRoot(spark, path0))
+    val report = reportDistFn(Metric(meta.metric))
+    // SNAPSHOT the delta before the main search resolves its generation
+    // (the race-with-compact invariant — see searchDistributedFresh)
+    val hasDLabels = delta.columns.contains("labels")
+    val deltaRows: Array[(Long, Array[Float], Array[Short])] =
+      delta.collect().map { r =>
+        (r.getAs[Long]("row_id"),
+          Option(r.getAs[mutable.Seq[Float]]("vec")).map(_.toArray).orNull,
+          if (hasDLabels) Option(r.getAs[mutable.Seq[Short]]("labels"))
+            .map(s => LabelSets.normalize(s.toArray))
+            .getOrElse(Array.emptyShortArray)
+          else null)
+      }
+    val main = rangeSearchDistributed(spark, path0, queries, radius,
+      searchListSize, rescore, tombstones, maxResults, strict)
+    val dBc = spark.sparkContext.broadcast(deltaRows)
+    val tombBc = spark.sparkContext.broadcast(tombstones)
+    val hasQLabels = queries.columns.contains("qlabels")
+    val q3 = queries.select(col("qid"), col("qvec"),
+      (if (hasQLabels) col("qlabels")
+       else lit(null).cast(ArrayType(ShortType))).as("qlabels"))
+    val resultSchema = StructType(Seq(
+      StructField("qid", LongType, nullable = false),
+      StructField("row_id", LongType, nullable = false),
+      StructField("dist", DoubleType, nullable = false)))
+    val deltaHits = q3.mapPartitions { it =>
+      val tomb = tombBc.value
+      val dr = dBc.value
+      it.flatMap { r =>
+        val qid = r.getAs[Long]("qid")
+        val qv0 = Option(r.getAs[mutable.Seq[Float]]("qvec")).map(_.toArray).orNull
+        val ql = Option(r.getAs[mutable.Seq[Short]]("qlabels"))
+          .map(s => LabelSets.normalize(s.toArray)).orNull
+        dr.iterator.flatMap { case (rid, v, lbs) =>
+          if (tomb.contains(rid) || v == null) Iterator.empty
+          else {
+            val ok = ql == null || (lbs != null && LabelSets.overlaps(lbs, ql))
+            if (!ok) Iterator.empty
+            else {
+              val qv = if (qv0 == null) new Array[Float](v.length) else qv0
+              val d = report(v, qv)
+              if (d <= radius) Iterator.single(Row(qid, rid, d))
+              else Iterator.empty
+            }
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(resultSchema))
+    main.unionByName(deltaHits)
+      .groupBy(col("qid"), col("row_id")).agg(min(col("dist")).as("dist"))
+  }
+
+  /**
    * Search main index + an unindexed delta (micro-batch appends, §3.3 / G9):
    * the delta side is answered by exact brute force and merged into the final
    * top-k. `delta` has columns (row_id, vec [, labels]).

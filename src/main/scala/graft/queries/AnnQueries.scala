@@ -224,6 +224,25 @@ object AnnQueries {
     // scan just because appends pend.
     "knn_range_sql_fresh" -> ((s, d) => sqlRangeFresh(s, d)),
 
+    // BATCH radius (round 11): every query row's in-radius matches through
+    // the distributed kernel — per (query, shard) the shard-LOCAL
+    // escalate-until-stable loop owns exhaustiveness (a row lives in
+    // exactly one shard, so per-shard confirmations compose), queries stay
+    // distributed, the nodes table never shuffles. The offline
+    // positive-pair-mining shape; same rounded-boundary discipline as the
+    // point radius rows.
+    "knn_range_batch" -> ((s, d) => {
+      val path = ensureIndex(s, d, "cos", emb(s, d), labeled = false)
+      val qs = emb(s, d).filter(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      DiskannIndex.rangeSearchDistributed(s, path, qs, radius = 0.8000005)
+        .filter(col("row_id") =!= col("qid"))
+        .select(col("qid"), col("row_id").as("vec_id"),
+          round(col("dist"), 6).as("dist"))
+        .filter(col("dist") <= 0.8)
+        .orderBy(col("qid"), col("dist"), col("vec_id"))
+    }),
+
     // T1/S2/S3: ORDER BY embedding <=> q LIMIT k through the graph index
     "knn_ann_cosine" -> ((s, d) => {
       val path = ensureIndex(s, d, "cos", emb(s, d), labeled = false)
@@ -725,6 +744,18 @@ object AnnQueries {
     "ann_insert_delta" ->
       s"""SELECT vec_id, round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) AS dist
          |FROM embeddings WHERE vec_id <> 0 ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+    // every (query, in-radius row) pair, exactly — a shard whose local
+    // escalation stopped early, a dropped query fan-out row, or a sharding
+    // duplicate all hash-mismatch here
+    "knn_range_batch" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 4)
+        |SELECT q.qid, e.vec_id,
+        |  round(1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS dist
+        |FROM q CROSS JOIN embeddings e
+        |WHERE e.vec_id <> q.qid
+        |  AND round(1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) <= 0.8
+        |ORDER BY qid, dist, vec_id""".stripMargin,
     "knn_ann_batch" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 8),

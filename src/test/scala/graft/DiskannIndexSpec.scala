@@ -141,6 +141,66 @@ class DiskannIndexSpec extends AnyFunSuite {
     assert(got2 == exactWithin(q, 2.0) + 9000L, s"post-fold radius scan diverged: $got2")
   }
 
+  test("rangeSearchDistributed: batch radius == per-query truth, pruned routing, loud cap, fresh delta") {
+    val path = "/tmp/graft_test_index/range_dist"
+    val rows = spark.range(300).selectExpr(
+      "id AS vec_id",
+      """transform(sequence(1, 8), d ->
+        |  CAST((CASE WHEN d - 1 = CAST(pmod(id, 3) AS INT) THEN 10.0 ELSE 0.0 END)
+        |    + pmod(hash(id, d), 97) / 97.0 AS FLOAT)) AS embedding""".stripMargin)
+    DiskannIndex.build(rows, "vec_id", "embedding", None, path,
+      DiskannParams(metric = "l2", storage = "plain", partitioner = "ivf",
+        shardTargetRows = 100))
+    val all = rows.collect().map(r => r.getLong(0) ->
+      r.getAs[scala.collection.mutable.Seq[Float]](1).toArray).toMap
+    def exactWithin(q: Array[Float], r: Double): Set[Long] =
+      all.filter { case (_, v) =>
+        math.sqrt(graft.functions.VectorKernels.l2sq(v, q)) <= r
+      }.keySet
+    val qs = rows.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // selective radius (prune drops shards per query) AND one spanning all
+    // clusters — both must equal brute force for every query
+    Seq(2.0, 12.0).foreach { r =>
+      val got = DiskannIndex.rangeSearchDistributed(spark, path, qs, r)
+        .collect().map(x => (x.getLong(0), x.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      (0L until 6L).foreach { qid =>
+        val want = exactWithin(all(qid), r)
+        assert(got.getOrElse(qid, Set.empty) == want,
+          s"qid=$qid r=$r diverged: got ${got.get(qid).map(_.size)} want ${want.size}")
+      }
+    }
+    // strict truncation is LOUD: a per-shard cap far below the population
+    // fails the job naming maxResults; strict=false keeps partial rows
+    val err = intercept[org.apache.spark.SparkException] {
+      DiskannIndex.rangeSearchDistributed(spark, path, qs, 12.0,
+        maxResults = 4).collect()
+    }
+    assert(err.getMessage.contains("maxResults") ||
+      Option(err.getCause).exists(_.getMessage.contains("maxResults")),
+      s"cap error must name the knob: ${err.getMessage}")
+    val partial = DiskannIndex.rangeSearchDistributed(spark, path, qs, 12.0,
+      maxResults = 4, strict = false).collect()
+    assert(partial.nonEmpty)
+    // fresh twin: a pending delta row (copy of row 0) surfaces for every
+    // query whose ball covers row 0; a tombstoned delta row never does
+    import spark.implicits._
+    val delta = Seq((9000L, all(0L)), (9001L, all(0L)))
+      .toDF("row_id", "vec")
+    val fresh = DiskannIndex.rangeSearchDistributedFresh(spark, path, qs,
+        delta, radius = 2.0, tombstones = Set(9001L))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    (0L until 6L).foreach { qid =>
+      val base = exactWithin(all(qid), 2.0)
+      val want = if (math.sqrt(graft.functions.VectorKernels.l2sq(
+        all(qid), all(0L))) <= 2.0) base + 9000L else base
+      assert(fresh.getOrElse(qid, Set.empty) == want,
+        s"fresh qid=$qid diverged")
+    }
+  }
+
   test("multi-shard build: 4 shards, search merges to the exact top-10") {
     val path = "/tmp/graft_test_index/multishard"
     DiskannIndex.build(emb, "vec_id", "embedding", None, path,
