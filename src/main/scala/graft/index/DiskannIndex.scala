@@ -1936,9 +1936,14 @@ object DiskannIndex {
     val neededShards: Seq[Int] =
       if (routed) q2.select("shard").distinct().collect().map(_.getInt(0)).sorted.toSeq
       else 0 until numShards
+    import spark.implicits._
+    // an empty (routed) query batch routes nowhere — zero buckets would
+    // make the zip partitioner degenerate, so short-circuit
+    if (neededShards.isEmpty)
+      return spark.emptyDataset[(Long, Long, Double)]
+        .toDF("qid", "row_id", "dist")
     val nodes = nodesDf(spark, path, meta, neededShards)
 
-    import spark.implicits._
     def answerShard(shard: Int, nodeRows: () => Array[Row],
         qs: Array[Row]): Iterator[(Long, Long, Double)] = {
       val searcher = GraphSearcher.getOrBuild(
@@ -2151,9 +2156,13 @@ object DiskannIndex {
           meta.shardRadii.length == numShards)
         q2.select("shard").distinct().collect().map(_.getInt(0)).sorted.toSeq
       else 0 until numShards
-    val nodes = nodesDf(spark, path, meta, neededShards)
-
     import spark.implicits._
+    // an empty query batch routes nowhere — zero buckets would make the
+    // zip partitioner degenerate, so short-circuit the empty result
+    if (neededShards.isEmpty)
+      return spark.emptyDataset[(Long, Long, Double)]
+        .toDF("qid", "row_id", "dist")
+    val nodes = nodesDf(spark, path, meta, neededShards)
     val sl = searchListSize
     val rc = rescore
     val mr = maxResults

@@ -386,6 +386,31 @@ object StreamingIngest {
       }
       .start()
 
+  /**
+   * Streaming RADIUS enrichment — [[streamingKnnEnrich]] with a distance
+   * threshold instead of k: each micro-batch's query vectors get their
+   * full in-radius match set (main graph through the distributed batch
+   * kernel, pending delta merged, tombstones masked) handed to `sink` as
+   * `(qid, row_id, dist)` rows with the batch id. Same foreachBatch
+   * rationale and at-least-once/sink-idempotency contract as the top-k
+   * twin; batch cost is the [[DiskannIndex.rangeSearchDistributed]] shape
+   * over a batch-sized query table.
+   */
+  def streamingRangeEnrich(queries: DataFrame, indexPath: String,
+      checkpoint: String, radius: Double, searchListSize: Int = 100,
+      rescore: Int = 50, maxResults: Int = 65536)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          sink(rangeSearchFreshDistributed(spark, indexPath, batch, radius,
+            searchListSize, rescore, maxResults = maxResults), batchId)
+        }
+      }
+      .start()
+
   /** Distributed twin of [[searchFresh]] for offline batch query tables:
     * main-index results come from the shard-aligned zip path, the delta is
     * broadcast and scored map-side ([[DiskannIndex.searchDistributedFresh]])
@@ -485,6 +510,26 @@ object StreamingIngest {
       case None =>
         DiskannIndex.searchDistributed(spark, indexPath, queries, k,
           searchListSize, rescore, tombs, nProbe)
+    }
+  }
+
+  /** One-call BATCH radius with freshness — the radius twin of
+    * [[searchFreshDistributed]]: snapshots the index's own pending delta
+    * and routes through [[DiskannIndex.rangeSearchDistributedFresh]]'s
+    * broadcast-delta merge; with no delta pending it is exactly
+    * [[DiskannIndex.rangeSearchDistributed]]. */
+  def rangeSearchFreshDistributed(spark: SparkSession, indexPath: String,
+      queries: DataFrame, radius: Double, searchListSize: Int = 100,
+      rescore: Int = 50, tombstones: Set[Long] = Set.empty,
+      maxResults: Int = 65536, strict: Boolean = true): DataFrame = {
+    val tombs = tombstones ++ DiskannIndex.loadTombstones(spark, indexPath)
+    readDeltaSnapshot(spark, indexPath, eager = false) match {
+      case Some(delta) =>
+        DiskannIndex.rangeSearchDistributedFresh(spark, indexPath, queries,
+          delta, radius, searchListSize, rescore, tombs, maxResults, strict)
+      case None =>
+        DiskannIndex.rangeSearchDistributed(spark, indexPath, queries,
+          radius, searchListSize, rescore, tombs, maxResults, strict)
     }
   }
 

@@ -61,7 +61,41 @@ object RangeProbe {
     val (tOn, rOn) = timeRuns(prune = true, reps = 20)
     require(rOn == rOff && rOn.nonEmpty,
       s"pruning changed results: ${rOn.size} vs ${rOff.size}")
-    println(f"""{"metric":"rangeprobe","rows":$n,"shards":${meta.numShards},"pruned_to":$prunedTo,"in_radius":${rOn.size},"warm_ms_prune_off":${tOff * 1000}%.1f,"warm_ms_prune_on":${tOn * 1000}%.1f,"speedup":${tOff / tOn}%.1f}""")
+
+    // BATCH radius (round 11, rangeSearchDistributed): 960 queries spread
+    // over every cluster, per-query pruned routing — the fan-out is
+    // queries × intersecting-shards instead of queries × numShards, and
+    // the per-(query, shard) work is the same shard-local escalation the
+    // point path pays. Equality vs the point path is asserted on a sample.
+    val qdf = rows.filter(s"row_id % ${n / 960} = 0")
+      .selectExpr("row_id AS qid", "vec AS qvec")
+    def timeBatch(prune: Boolean): (Double, Long) = {
+      spark.conf.set("graft.knn.range.shardPrune", prune.toString)
+      DiskannIndex.rangeSearchDistributed(spark, path, qdf, radius).count()
+      val t0 = System.nanoTime()
+      val cnt = DiskannIndex.rangeSearchDistributed(spark, path, qdf, radius).count()
+      ((System.nanoTime() - t0) / 1e9, cnt)
+    }
+    val (tbOff, cbOff) = timeBatch(prune = false)
+    val (tbOn, cbOn) = timeBatch(prune = true)
+    require(cbOn == cbOff && cbOn > 0,
+      s"batch pruning changed results: $cbOn vs $cbOff")
+    spark.conf.set("graft.knn.range.shardPrune", "true")
+    val sample = rows.filter("row_id % 7919 = 0").collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.mutable.Seq[Float]]("vec").toArray)
+    val batchByQ = DiskannIndex.rangeSearchDistributed(spark, path,
+        qdf, radius).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    sample.foreach { case (qid, qv) =>
+      if (batchByQ.contains(qid)) {
+        val point = DiskannIndex.rangeSearch(spark, path, qv, radius)
+          .map(_._1).toSet
+        require(batchByQ(qid) == point, s"batch != point for q $qid")
+      }
+    }
+    println(f"""{"metric":"rangeprobe","rows":$n,"shards":${meta.numShards},"pruned_to":$prunedTo,"in_radius":${rOn.size},"warm_ms_prune_off":${tOff * 1000}%.1f,"warm_ms_prune_on":${tOn * 1000}%.1f,"speedup":${tOff / tOn}%.1f,"batch_queries":${qdf.count()},"batch_pairs":$cbOn,"batch_s_prune_off":$tbOff%.2f,"batch_s_prune_on":$tbOn%.2f}""")
     spark.stop()
   }
 }

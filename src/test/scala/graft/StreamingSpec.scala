@@ -1254,6 +1254,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == (0L until 6L).map(i => (i, i)), s"got $got")
   }
 
+  test("streaming radius enrichment: per-batch in-radius sets, delta visible, tombstone masked") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = "/tmp/graft_test_index/streaming_range"
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    deleteRec(new java.io.File(path))
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    DiskannIndex.build(e.filter($"vec_id" < 300), "vec_id", "embedding", None,
+      path, DiskannParams(metric = "cosine"))
+    // a pending delta twin of row 0 and a tombstone on row 1: the per-batch
+    // radius answer must include the twin and never the tombstoned row
+    e.filter($"vec_id" === 0)
+      .select(lit(9000L).as("row_id"), $"embedding".as("vec"))
+      .write.mode("append").parquet(s"$path/delta")
+    DiskannIndex.deleteRows(spark, path, Seq(1L))
+
+    val qs = e.filter($"vec_id" < 2)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamingIngest.streamingRangeEnrich(
+      mem.toDF().toDF("qid", "qvec"), path,
+      s"/tmp/graft_ckpt_range_${System.nanoTime()}", radius = 1e-9) {
+      (batch, _) =>
+        batch.collect().foreach(r => results.add((r.getLong(0), r.getLong(1))))
+    }
+    mem.addData(qs.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val got = results.toArray(Array.empty[(Long, Long)]).toSet
+    // query 0 (radius ~0): itself + the delta twin; query 1: tombstoned,
+    // so its own vector matches NOTHING
+    assert(got == Set((0L, 0L), (0L, 9000L)), s"got $got")
+  }
+
   test("stream-stream interval join: window matches, outside-window excluded, outer nulls emit") {
     implicit val sqlCtx = spark.sqlContext
     def ts(ms: Long) = new java.sql.Timestamp(ms)
