@@ -224,6 +224,45 @@ object AnnQueries {
     // scan just because appends pend.
     "knn_range_sql_fresh" -> ((s, d) => sqlRangeFresh(s, d)),
 
+    // radius over a MULTI-SHARD IVF index (round 11): the sound
+    // triangle-inequality shard prune is active (stored per-shard radii,
+    // 4+ shards at verify scale) and, being sound, must not change a
+    // single row vs the exact oracle — the pruning-under-oracle pin the
+    // single-shard radius rows cannot give.
+    "knn_range_ivf" -> ((s, d) => {
+      import s.implicits._
+      val path = ensureIndex(s, d, "cos_ivf_det", emb(s, d), labeled = false,
+        DiskannParams(metric = "cosine", partitioner = "ivf",
+          shardTargetRows = 128, ivfSeed = Some("ivfidx")))
+      val q = emb(s, d).filter(col("vec_id") === 0)
+        .head().getAs[scala.collection.mutable.ArraySeq[Float]]("embedding")
+      DiskannIndex.rangeSearch(s, path, q.toArray, radius = 0.8000005)
+        .toDF("vec_id", "dist")
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+        .filter(col("dist") <= 0.8)
+        .orderBy(col("dist"), col("vec_id"))
+    }),
+
+    // LABELED radius (round 11): Filtered-DiskANN semantics on the range
+    // shape — the in-traversal label skip must not hide any in-radius
+    // carrier (exhaustiveness escalates through the sparser label
+    // subgraph until the set stabilizes).
+    "knn_range_labeled" -> ((s, d) => {
+      import s.implicits._
+      val path = ensureIndex(s, d, "cos_lbl", withLabels(emb(s, d)),
+        labeled = true)
+      val q = emb(s, d).filter(col("vec_id") === 0)
+        .head().getAs[scala.collection.mutable.ArraySeq[Float]]("embedding")
+      DiskannIndex.rangeSearch(s, path, q.toArray, radius = 0.8000005,
+          qlabels = Array[Short](1, 3))
+        .toDF("vec_id", "dist")
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+        .filter(col("dist") <= 0.8)
+        .orderBy(col("dist"), col("vec_id"))
+    }),
+
     // BATCH radius (round 11): every query row's in-radius matches through
     // the distributed kernel — per (query, shard) the shard-LOCAL
     // escalate-until-stable loop owns exhaustiveness (a row lives in
@@ -744,6 +783,18 @@ object AnnQueries {
     "ann_insert_delta" ->
       s"""SELECT vec_id, round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) AS dist
          |FROM embeddings WHERE vec_id <> 0 ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+    // sound pruning means the multi-shard IVF radius answer is EXACTLY the
+    // unpruned exact answer — the oracle needs no routing replay at all
+    "knn_range_ivf" ->
+      s"""SELECT vec_id, round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) AS dist
+         |FROM embeddings WHERE vec_id <> 0
+         |  AND round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) <= 0.8
+         |ORDER BY dist, vec_id""".stripMargin,
+    "knn_range_labeled" ->
+      s"""SELECT vec_id, round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) AS dist
+         |FROM embeddings WHERE vec_id <> 0 AND label IN (1, 3)
+         |  AND round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQvec), 6) <= 0.8
+         |ORDER BY dist, vec_id""".stripMargin,
     // every (query, in-radius row) pair, exactly — a shard whose local
     // escalation stopped early, a dropped query fan-out row, or a sharding
     // duplicate all hash-mismatch here
