@@ -697,12 +697,20 @@ object DiskannIndex {
             splitPlan = oversized.map { s =>
               val nSub = math.max(2, math.ceil(
                 postFoldRows(s).toDouble / meta.shardTargetRows).toInt)
+              // sampleSize must cover nSub (trainIvf returns at most
+              // sample.length centroids); size the plan arrays from the
+              // RETURNED count, never the requested one — an extreme
+              // one-compaction pile-up that outruns the capped sample
+              // yields fewer, larger sub-shards (still gated for progress
+              // below) instead of indexing past the centroid array
               val sub = graft.operators.Similarity.trainIvf(
                 splitInput.get.filter(col("shard") === s)
-                  .withColumn("bv", toBuild(col("vec"))), "bv", nSub)
-              val ids = Array.tabulate(nSub)(j =>
+                  .withColumn("bv", toBuild(col("vec"))), "bv", nSub,
+                sampleSize = math.max(4096, math.min(nSub * 16, 1 << 17)))
+              val cents = sub.centroids
+              val ids = Array.tabulate(cents.length)(j =>
                 if (j == 0) s else { val id = nextId; nextId += 1; id })
-              (s, ids, sub.centroids)
+              (s, ids, cents)
             }
             numShardsOut = nextId
           }
@@ -1855,10 +1863,18 @@ object DiskannIndex {
         // dir for a shard with no rows): synthesize + cache the empty
         // searcher. A merely COLD (non-empty) shard still returns None
         // and the caller pays the normal warming search once.
-        val dir = new org.apache.hadoop.fs.Path(
-          s"${shardGenRoot(path, meta, sh)}/nodes/shard=$sh")
+        val genRoot = shardGenRoot(path, meta, sh)
+        val dir = new org.apache.hadoop.fs.Path(s"$genRoot/nodes/shard=$sh")
         val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
         if (fs.exists(dir)) None
+        // a missing shard dir proves emptiness ONLY while its generation
+        // is alive — if the generation's own _meta vanished too (a GC from
+        // a racing compaction landed between our resolveRoot and here),
+        // this reader's meta is stale and synthesizing "empty" would
+        // silently truncate results; return None and stay on the cold
+        // path, whose scan fails LOUD on the vanished generation
+        else if (!fs.exists(new org.apache.hadoop.fs.Path(s"$genRoot/_meta")))
+          None
         else Some(GraphSearcher.getOrBuild(key,
           () => buildShardSearcher(path, sh, Array.empty, metric, model,
             meta.hasLabels, meta.dimsToIndex)))
@@ -2288,17 +2304,8 @@ object DiskannIndex {
         val ql = Option(r.getAs[mutable.Seq[Short]]("qlabels"))
           .map(s => LabelSets.normalize(s.toArray)).orNull
         dr.iterator.flatMap { case (rid, v, lbs) =>
-          if (tomb.contains(rid) || v == null) Iterator.empty
-          else {
-            val ok = ql == null || (lbs != null && LabelSets.overlaps(lbs, ql))
-            if (!ok) Iterator.empty
-            else {
-              val qv = if (qv0 == null) new Array[Float](v.length) else qv0
-              val d = report(v, qv)
-              if (d <= radius) Iterator.single(Row(qid, rid, d))
-              else Iterator.empty
-            }
-          }
+          deltaRadiusMatch(rid, v, lbs, qv0, ql, radius, tomb.contains,
+            report).map(d => Row(qid, rid, d)).iterator
         }
       }
     }(org.apache.spark.sql.Encoders.row(resultSchema))
@@ -2380,6 +2387,26 @@ object DiskannIndex {
    * it with the driver-side graph hits — both are bounded by the
    * maxResults discipline above this.
    */
+  /** Score one delta row against one radius query — THE definition of the
+    * delta-side radius semantics (tombstone mask, null-vector row skip,
+    * searchWithDelta's label rules incl. unlabeled-delta-vs-labeled-query
+    * = no match, null query = zero-vector search, labels/mod.rs:214-216),
+    * shared by [[rangeOverDelta]] and [[rangeSearchDistributedFresh]] so
+    * the two fresh radius paths can never drift. `lbs` must already be
+    * normalized (null = delta has no labels column), `ql` likewise. */
+  private def deltaRadiusMatch(rid: Long, v: Array[Float],
+      lbs: Array[Short], qv0: Array[Float], ql: Array[Short],
+      radius: Double, tombstoned: Long => Boolean,
+      report: (Array[Float], Array[Float]) => Double): Option[Double] =
+    if (tombstoned(rid) || v == null) None
+    else if (!(ql == null || (lbs != null && LabelSets.overlaps(lbs, ql))))
+      None
+    else {
+      val qv = if (qv0 == null) new Array[Float](v.length) else qv0
+      val d = report(v, qv)
+      if (d <= radius) Some(d) else None
+    }
+
   private[graft] def rangeOverDelta(spark: SparkSession, path: String,
       delta: DataFrame, qvec: Array[Float], radius: Double,
       qlabels: Array[Short] = null,
@@ -2389,28 +2416,18 @@ object DiskannIndex {
     val hasDLabels = delta.columns.contains("labels")
     val nq = Option(qlabels).map(l => LabelSets.normalize(l.clone())).orNull
     val tombBc = spark.sparkContext.broadcast(tombstones)
-    // null query vector => zero-vector search (labels/mod.rs:214-216)
     val qv0 = qvec
     delta.mapPartitions { it =>
       val tomb = tombBc.value
       it.flatMap { r =>
         val rid = r.getAs[Long]("row_id")
-        val vs = r.getAs[mutable.Seq[Float]]("vec")
-        if (tomb.contains(rid) || vs == null) Iterator.empty
-        else {
-          val v = vs.toArray
-          val lbs = if (hasDLabels) Option(r.getAs[mutable.Seq[Short]]("labels"))
-            .map(s => LabelSets.normalize(s.toArray))
-            .getOrElse(Array.emptyShortArray)
-          else null
-          val ok = nq == null || (lbs != null && LabelSets.overlaps(lbs, nq))
-          if (!ok) Iterator.empty
-          else {
-            val qv = if (qv0 == null) new Array[Float](v.length) else qv0
-            val d = report(v, qv)
-            if (d <= radius) Iterator.single((rid, d)) else Iterator.empty
-          }
-        }
+        val v = Option(r.getAs[mutable.Seq[Float]]("vec")).map(_.toArray).orNull
+        val lbs = if (hasDLabels) Option(r.getAs[mutable.Seq[Short]]("labels"))
+          .map(s => LabelSets.normalize(s.toArray))
+          .getOrElse(Array.emptyShortArray)
+        else null
+        deltaRadiusMatch(rid, v, lbs, qv0, nq, radius, tomb.contains, report)
+          .map(rid -> _).iterator
       }
     }(org.apache.spark.sql.Encoders.tuple(
       org.apache.spark.sql.Encoders.scalaLong,

@@ -841,20 +841,25 @@ case class KnnRangeScanExec(outAttrs: Seq[AttributeReference],
     val pushdownLimit =
       spark.conf.get("graft.knn.residual.pushdownLimit", "1024").toInt
     val wantCols = outAttrs.map(_.name)
-    val tombs = DiskannIndex.loadTombstones(spark, entry.indexPath)
     // freshness is owned PER EXECUTION, not at planning time: the delta is
-    // snapshotted and merged inside rangeSearchFresh, so a delta appended
-    // after the plan was built is still served exactly — no stale results
-    // off a cached plan, and no O(corpus) bail just because appends pend
+    // snapshotted and merged inside rangeSearchFresh (which also loads the
+    // tombstone registry itself — ONE snapshot owns the index path), so a
+    // delta appended after the plan was built is still served exactly — no
+    // stale results off a cached plan, and no O(corpus) bail just because
+    // appends pend
     val (hits, confirmed) = graft.streaming.StreamingIngest.rangeSearchFresh(
       spark, entry.indexPath, queryVec, radius, searchList, rescore,
-      filterLabels.orNull, tombs, maxResults = maxResults)
+      filterLabels.orNull, maxResults = maxResults)
     longMetric("numRangeHits").add(hits.length)
     if (!confirmed) {
       // the maxResults cap cut escalation before the in-radius set
       // stabilized, or the delta merge overflowed it — the set may be
       // incomplete (and its SIZE cannot tell): exact distributed bail-out,
-      // recheck above
+      // recheck above. Tombstones are loaded HERE, at the bail, never
+      // earlier: a snapshot taken before rangeSearchFresh's own load could
+      // miss a deleteRows landing in between and resurrect the deleted row
+      // through the brute scan (the index path would have masked it).
+      val tombs = DiskannIndex.loadTombstones(spark, entry.indexPath)
       HeapFetch.bruteScan(spark, entry, wantCols, tombs, filterLabels)
         .queryExecution.toRdd
     } else {

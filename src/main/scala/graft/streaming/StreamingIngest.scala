@@ -68,11 +68,23 @@ object StreamingIngest {
       catch { case _: java.io.FileNotFoundException => Array.empty }
     val candidates = staleCandidates()
     if (candidates.nonEmpty) {
-      // contents fingerprint, not mtime (frozen on HDFS, 0 on S3A dirs)
-      def snap(p: org.apache.hadoop.fs.Path): String =
-        try fs.listStatus(p).map(s => s"${s.getPath.getName}:${s.getLen}")
-          .sorted.mkString("|")
-        catch { case _: java.io.FileNotFoundException => "<gone>" }
+      // contents fingerprint, not mtime (frozen on HDFS, 0 on S3A dirs) —
+      // and RECURSIVE: a live Spark write keeps all its activity under
+      // `_temporary/.../` task dirs, so a top-level listing of the staging
+      // dir looks identical before and after the settle and the live
+      // writer would be scrubbed anyway. Depth is bounded by the
+      // committer's fixed layout (~4 levels), file count by one batch.
+      def snap(p: org.apache.hadoop.fs.Path): String = {
+        def walk(q: org.apache.hadoop.fs.Path, prefix: String): Seq[String] =
+          try fs.listStatus(q).toSeq.flatMap { s =>
+            val name = s"$prefix${s.getPath.getName}"
+            if (s.isDirectory) s"$name/" +: walk(s.getPath, s"$name/")
+            else Seq(s"$name:${s.getLen}")
+          } catch {
+            case _: java.io.FileNotFoundException => Seq(s"$prefix<gone>")
+          }
+        walk(p, "").sorted.mkString("|")
+      }
       val before = candidates.map(s => s.getPath -> snap(s.getPath)).toMap
       Thread.sleep(
         spark.conf.get("graft.compact.scrubSettleMs", "250").toLong)
@@ -398,7 +410,14 @@ object StreamingIngest {
    */
   def streamingRangeEnrich(queries: DataFrame, indexPath: String,
       checkpoint: String, radius: Double, searchListSize: Int = 100,
-      rescore: Int = 50, maxResults: Int = 65536)(
+      rescore: Int = 50, maxResults: Int = 65536,
+      /** strict=true (default) fails the micro-batch when any query's
+        * in-radius set cannot be confirmed under maxResults — note the
+        * checkpoint replays that batch, so a single over-dense query is a
+        * POISON PILL until maxResults is raised; a stream that must keep
+        * flowing past such queries should run strict=false and treat their
+        * rows as possibly partial. */
+      strict: Boolean = true)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     queries.writeStream
       .option("checkpointLocation", checkpoint)
@@ -406,7 +425,8 @@ object StreamingIngest {
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           sink(rangeSearchFreshDistributed(spark, indexPath, batch, radius,
-            searchListSize, rescore, maxResults = maxResults), batchId)
+            searchListSize, rescore, maxResults = maxResults,
+            strict = strict), batchId)
         }
       }
       .start()

@@ -81,19 +81,24 @@ object RangeProbe {
     require(cbOn == cbOff && cbOn > 0,
       s"batch pruning changed results: $cbOn vs $cbOff")
     spark.conf.set("graft.knn.range.shardPrune", "true")
-    val sample = rows.filter("row_id % 7919 = 0").collect()
-      .map(r => r.getLong(0) ->
-        r.getAs[scala.collection.mutable.Seq[Float]]("vec").toArray)
     val batchByQ = DiskannIndex.rangeSearchDistributed(spark, path,
         qdf, radius).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    sample.foreach { case (qid, qv) =>
-      if (batchByQ.contains(qid)) {
-        val point = DiskannIndex.rangeSearch(spark, path, qv, radius)
-          .map(_._1).toSet
-        require(batchByQ(qid) == point, s"batch != point for q $qid")
-      }
+    // the sample MUST come from the batch's own qid set — an independent
+    // modulus silently skips the compare for qids the batch never ran
+    val sampleIds = batchByQ.keySet.toSeq.sorted
+    val sample = sampleIds.indices.filter(_ % (sampleIds.size / 8) == 0)
+      .map(sampleIds)
+    val vecById = rows
+      .filter(rows("row_id").isin(sample.map(java.lang.Long.valueOf): _*))
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[scala.collection.mutable.Seq[Float]]("vec").toArray).toMap
+    require(sample.size >= 8, s"sample too small: ${sample.size}")
+    sample.foreach { qid =>
+      val point = DiskannIndex.rangeSearch(spark, path, vecById(qid), radius)
+        .map(_._1).toSet
+      require(batchByQ(qid) == point, s"batch != point for q $qid")
     }
     println(f"""{"metric":"rangeprobe","rows":$n,"shards":${meta.numShards},"pruned_to":$prunedTo,"in_radius":${rOn.size},"warm_ms_prune_off":${tOff * 1000}%.1f,"warm_ms_prune_on":${tOn * 1000}%.1f,"speedup":${tOff / tOn}%.1f,"batch_queries":${qdf.count()},"batch_pairs":$cbOn,"batch_s_prune_off":$tbOff%.2f,"batch_s_prune_on":$tbOn%.2f}""")
     spark.stop()

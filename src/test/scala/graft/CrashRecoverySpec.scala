@@ -307,12 +307,19 @@ class CrashRecoverySpec extends AnyFunSuite {
     assert(deadDir.mkdirs() && liveDir.mkdirs())
     java.nio.file.Files.writeString(
       deadDir.toPath.resolve("part-0"), "stale")
+    // the live writer uses the REAL committer layout: all activity happens
+    // under `_temporary/...` task dirs, the staging root itself never
+    // changes — the case a top-level contents fingerprint cannot see (it
+    // would scrub the live writer every time)
+    val liveTask = new java.io.File(
+      s"$liveDir/_temporary/0/_temporary/attempt_x_0/")
+    assert(liveTask.mkdirs())
     @volatile var keepWriting = true
     val writer = new Thread(() => {
       var i = 0
       while (keepWriting) {
         try java.nio.file.Files.writeString(
-          liveDir.toPath.resolve(s"part-$i"), "x" * (i + 1))
+          liveTask.toPath.resolve(s"part-$i"), "x" * (i + 1))
         catch { case _: java.io.IOException => () } // dir raced away = fail below
         i += 1
         Thread.sleep(20)
