@@ -285,6 +285,16 @@ object DiskannIndex {
         Array.tabulate(numShards)(s => radiiMap.getOrElse(s, 0.0))
       }
 
+    // per-shard exact row counts (round 11): one tiny column-pruned
+    // aggregate over the nodes table just written — makes shard emptiness
+    // decidable from the meta alone (see IndexMeta.shardRows)
+    val shardRowCounts: Array[Long] = {
+      val m = spark.read.schema(nodeSchema).parquet(s"$path/nodes")
+        .groupBy(col("shard")).agg(count(lit(1)).as("c")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      Array.tabulate(numShards)(s => m.getOrElse(s, 0L))
+    }
+
     // meta sidecar as a 1-row parquet (no JSON dependency, schema-checked).
     // buildId is a fresh epoch per (re)build and shardBuildIds one epoch PER
     // SHARD: executor caches key on (index path, shard, shard epoch), so a
@@ -305,7 +315,8 @@ object DiskannIndex {
         params.partitioner,
         if (ivfModel != null) ivfModel.centroids else Array.empty[Array[Float]],
         params.shardTargetRows, genId,
-        Array.fill(numShards)(genId), Array.fill(numShards)(""), shardRadii))
+        Array.fill(numShards)(genId), Array.fill(numShards)(""), shardRadii,
+        shardRowCounts))
         .toDF().coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
     }
     GraphSearcher.invalidate(path)
@@ -386,7 +397,15 @@ object DiskannIndex {
         * tighten the true value), which makes [[radiusShardsFor]]'s triangle
         * inequality SOUND: a shard with d(q, c_s) - radius_s > r cannot hold
         * any row within r of q. */
-      shardRadii: Array[Double] = Array.emptyDoubleArray) {
+      shardRadii: Array[Double] = Array.emptyDoubleArray,
+      /** per-shard EXACT row count (round 11; empty = unknown, pre-round-11
+        * generations). Makes shard emptiness decidable from the meta alone
+        * — a tombstone wipe can rebuild a shard to zero rows, whose missing
+        * partition dir is otherwise indistinguishable from a GC'd one
+        * (deciding "empty" from the filesystem under a racing GC can
+        * silently truncate results). Maintained exactly across incremental
+        * compactions from the fold arithmetic. */
+      shardRows: Array[Long] = Array.emptyLongArray) {
     /** The params this index was built with (minus the SBQ auto-default
       * already resolved into bitsPerDim) — compaction/rebuild starts here so
       * storage type, quantization width and graph shape survive. */
@@ -629,6 +648,7 @@ object DiskannIndex {
       // shards grow uniformly anyway, so an overgrown hash shard means the
       // WHOLE index outgrew its shard count.
       var splitPlan: Seq[(Int, Array[Int], Array[Array[Float]])] = Seq.empty
+      var splitSubCounts: Map[Int, Long] = Map.empty
       var numShardsOut = meta.numShards
       if (affected.nonEmpty) {
         val oldByShard = countsByShard(
@@ -740,6 +760,7 @@ object DiskannIndex {
               // full rebuild) instead of spiraling. One small aggregate
               // over the (bounded, persisted) split input.
               val subCounts = countsByShard(rows)
+              splitSubCounts = subCounts
               val worst = splitPlan.iterator.flatMap(_._2)
                 .map(subCounts.getOrElse(_, 0L)).max
               if (worst > growthCap) return None
@@ -880,11 +901,29 @@ object DiskannIndex {
           }
           out
         }
+      // per-shard row counts from the fold arithmetic — EXACT, no extra
+      // scan: an affected shard loses its tombstone hits and gains its
+      // (deduped) delta rows; split shards take their measured sub-counts
+      // (a sub-shard the assignment left empty is 0). Unknown stays
+      // unknown — only a full rebuild re-measures a pre-round-11 index.
+      val newShardRows: Array[Long] =
+        if (meta.shardRows.length != meta.numShards) Array.emptyLongArray
+        else {
+          val out = java.util.Arrays.copyOf(meta.shardRows, numShardsOut)
+          (deltaByShard.keySet ++ tombByShard.keySet).foreach { s =>
+            out(s) = out(s) - tombByShard.getOrElse(s, 0L) +
+              deltaByShard.getOrElse(s, 0L)
+          }
+          splitPlan.foreach { case (_, ids, _) =>
+            ids.foreach(id => out(id) = splitSubCounts.getOrElse(id, 0L))
+          }
+          out
+        }
       inPhase(spark, PhaseFinalizing, dstPath) {
         Seq(meta.copy(numRows = newRows, buildId = freshEpoch,
           numShards = numShardsOut, centroids = newCentroids,
           shardBuildIds = newShardIds, shardDirs = newShardDirs,
-          shardRadii = newShardRadii))
+          shardRadii = newShardRadii, shardRows = newShardRows))
           .toDF().coalesce(1).write.mode("overwrite").parquet(s"$dstPath/_meta")
       }
       Some((newRows, affected ++ splitNewIds))
@@ -1159,6 +1198,11 @@ object DiskannIndex {
       // which disables radius shard pruning but changes nothing else
       df = df.withColumn("shardRadii",
         lit(Array.emptyDoubleArray).cast(ArrayType(DoubleType)))
+    if (!df.columns.contains("shardRows"))
+      // pre-round-11 generations carry no per-shard row counts: empty =
+      // unknown, which only disables the empty-shard fast answer
+      df = df.withColumn("shardRows",
+        lit(Array.emptyLongArray).cast(ArrayType(LongType)))
     df.as[IndexMeta].head()
   }
 
@@ -1859,25 +1903,20 @@ object DiskannIndex {
         // degenerate split sub-cluster) never flows through the scan paths
         // that build searchers, so it would block this open FOREVER — the
         // whole index's resumable serving wedged by one rowless shard.
-        // Emptiness is decidable from one FS call (partitionBy writes no
-        // dir for a shard with no rows): synthesize + cache the empty
-        // searcher. A merely COLD (non-empty) shard still returns None
-        // and the caller pays the normal warming search once.
-        val genRoot = shardGenRoot(path, meta, sh)
-        val dir = new org.apache.hadoop.fs.Path(s"$genRoot/nodes/shard=$sh")
-        val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-        if (fs.exists(dir)) None
-        // a missing shard dir proves emptiness ONLY while its generation
-        // is alive — if the generation's own _meta vanished too (a GC from
-        // a racing compaction landed between our resolveRoot and here),
-        // this reader's meta is stale and synthesizing "empty" would
-        // silently truncate results; return None and stay on the cold
-        // path, whose scan fails LOUD on the vanished generation
-        else if (!fs.exists(new org.apache.hadoop.fs.Path(s"$genRoot/_meta")))
-          None
-        else Some(GraphSearcher.getOrBuild(key,
-          () => buildShardSearcher(path, sh, Array.empty, metric, model,
-            meta.hasLabels, meta.dimsToIndex)))
+        // Emptiness is decided from the META's exact per-shard row counts,
+        // never the filesystem: a GC racing this open can legitimately
+        // remove a superseded shard dir (even inside a generation whose
+        // _meta survives), and an FS probe would call that "empty" and
+        // silently truncate results. shardRows is immutable per
+        // generation; unknown (pre-round-11) metas never synthesize and
+        // stay on the loud cold path. A merely COLD (non-empty) shard
+        // returns None and the caller pays the normal warming search once.
+        if (meta.shardRows.length == meta.numShards &&
+            meta.shardRows(sh) == 0L)
+          Some(GraphSearcher.getOrBuild(key,
+            () => buildShardSearcher(path, sh, Array.empty, metric, model,
+              meta.hasLabels, meta.dimsToIndex)))
+        else None
       }
     }
     if (searchers.exists(_.isEmpty)) None
@@ -2421,13 +2460,20 @@ object DiskannIndex {
       val tomb = tombBc.value
       it.flatMap { r =>
         val rid = r.getAs[Long]("row_id")
-        val v = Option(r.getAs[mutable.Seq[Float]]("vec")).map(_.toArray).orNull
-        val lbs = if (hasDLabels) Option(r.getAs[mutable.Seq[Short]]("labels"))
-          .map(s => LabelSets.normalize(s.toArray))
-          .getOrElse(Array.emptyShortArray)
-        else null
-        deltaRadiusMatch(rid, v, lbs, qv0, nq, radius, tomb.contains, report)
-          .map(rid -> _).iterator
+        // tombstone short-circuit BEFORE materializing the vector/labels:
+        // a heavily-tombstoned delta would otherwise pay an array copy +
+        // label normalize per masked row for no output (the kernel
+        // re-checks — harmless)
+        if (tomb.contains(rid)) Iterator.empty
+        else {
+          val v = Option(r.getAs[mutable.Seq[Float]]("vec")).map(_.toArray).orNull
+          val lbs = if (hasDLabels) Option(r.getAs[mutable.Seq[Short]]("labels"))
+            .map(s => LabelSets.normalize(s.toArray))
+            .getOrElse(Array.emptyShortArray)
+          else null
+          deltaRadiusMatch(rid, v, lbs, qv0, nq, radius, tomb.contains, report)
+            .map(rid -> _).iterator
+        }
       }
     }(org.apache.spark.sql.Encoders.tuple(
       org.apache.spark.sql.Encoders.scalaLong,

@@ -86,15 +86,17 @@ object RangeProbe {
       .map(r => (r.getLong(0), r.getLong(1)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     // the sample MUST come from the batch's own qid set — an independent
-    // modulus silently skips the compare for qids the batch never ran
+    // modulus silently skips the compare for qids the batch never ran —
+    // and the size guard fires BEFORE the stride divides by it
     val sampleIds = batchByQ.keySet.toSeq.sorted
+    require(sampleIds.size >= 8,
+      s"too few batch queries with hits to sample: ${sampleIds.size}")
     val sample = sampleIds.indices.filter(_ % (sampleIds.size / 8) == 0)
       .map(sampleIds)
     val vecById = rows
       .filter(rows("row_id").isin(sample.map(java.lang.Long.valueOf): _*))
       .collect().map(r => r.getLong(0) ->
         r.getAs[scala.collection.mutable.Seq[Float]]("vec").toArray).toMap
-    require(sample.size >= 8, s"sample too small: ${sample.size}")
     sample.foreach { qid =>
       val point = DiskannIndex.rangeSearch(spark, path, vecById(qid), radius)
         .map(_._1).toSet
