@@ -461,8 +461,12 @@ class StreamingSpec extends AnyFunSuite {
     assert(metaS.centroids.length == metaS.numShards &&
       metaS.shardBuildIds.length == metaS.numShards &&
       metaS.shardDirs.length == metaS.numShards &&
-      metaS.shardRadii.length == metaS.numShards,
+      metaS.shardRadii.length == metaS.numShards &&
+      metaS.shardRows.length == metaS.numShards,
       "split must grow every per-shard meta array consistently")
+    // the exact per-shard counts stay CONSERVED through folds and splits
+    assert(metaS.shardRows.sum == metaS.numRows,
+      s"shardRows drifted: ${metaS.shardRows.mkString(",")} vs ${metaS.numRows}")
 
     // stored radii stay SOUND over the split shards (they were re-measured
     // against the fresh sub-centroids): no member may sit outside its
@@ -625,6 +629,11 @@ class StreamingSpec extends AnyFunSuite {
     StreamingIngest.compact(spark, path, tombstones = wiped)
     val meta = DiskannIndex.loadMeta(spark, path)
     assert(meta.numRows == 500 - wiped.size)
+    // the wiped shard's exact count reads ZERO from the meta — the
+    // authoritative emptiness signal the resumable open relies on
+    assert(meta.shardRows.length == meta.numShards &&
+      meta.shardRows(victim) == 0L && meta.shardRows.sum == meta.numRows,
+      s"shardRows wrong after wipe: ${meta.shardRows.mkString(",")}")
     val survivors = e.filter(!$"vec_id".isin(wiped.toSeq.map(Long.box): _*))
       .select($"vec_id", $"embedding").collect()
       .map(r => (r.getLong(0),
@@ -669,6 +678,8 @@ class StreamingSpec extends AnyFunSuite {
     }
     val meta = DiskannIndex.loadMeta(spark, path)
     assert(meta.numRows == 500, s"folds lost rows: ${meta.numRows}")
+    assert(meta.shardRows.sum == 500,
+      s"shardRows drifted across 20 folds: ${meta.shardRows.mkString(",")}")
 
     // exact ground truth from the engine's own report metric
     val report = DiskannIndex.reportDistFn(graft.index.Metric("cosine"))
