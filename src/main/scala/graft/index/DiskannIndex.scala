@@ -261,8 +261,12 @@ object DiskannIndex {
     // never by re-evaluating `base` — the caller's lineage can be an
     // arbitrary corpus-sized pipeline (compact passes a join+union over
     // everything), and re-running it for a count would double build IO.
+    // explicit schema on every read of the just-written nodes dir: a full
+    // rebuild to ZERO rows (vacuum-everything REINDEX) writes no part
+    // files, and schema inference would abort the build here — leaving the
+    // index permanently un-vacuumable
     if (hasLabels)
-      spark.read.parquet(s"$path/nodes")
+      spark.read.schema(nodeSchema).parquet(s"$path/nodes")
         .select(explode(col("labels")).as("label"))
         .groupBy(col("label")).agg(count(lit(1)).as("cnt"))
         .coalesce(1).write.mode("overwrite").parquet(s"$path/labelstats")
@@ -276,7 +280,7 @@ object DiskannIndex {
       if (ivfModel == null) Array.emptyDoubleArray
       else {
         val cBc = spark.sparkContext.broadcast(ivfModel.centroids)
-        val radiiMap = spark.read.parquet(s"$path/nodes")
+        val radiiMap = spark.read.schema(nodeSchema).parquet(s"$path/nodes")
           .select(col("shard"), col("vec")).rdd.map { row =>
             val s = row.getInt(0)
             val bv = toBuildSpace(row.getAs[mutable.Seq[Float]](1).toArray)
@@ -404,7 +408,8 @@ object DiskannIndex {
         * partition dir is otherwise indistinguishable from a GC'd one
         * (deciding "empty" from the filesystem under a racing GC can
         * silently truncate results). Maintained exactly across incremental
-        * compactions from the fold arithmetic. */
+        * compactions from the fold arithmetic; unknown (legacy) metas are
+        * backfilled at their first incremental compact. */
       shardRows: Array[Long] = Array.emptyLongArray) {
     /** The params this index was built with (minus the SBQ auto-default
       * already resolved into bitsPerDim) — compaction/rebuild starts here so
@@ -904,21 +909,31 @@ object DiskannIndex {
       // per-shard row counts from the fold arithmetic — EXACT, no extra
       // scan: an affected shard loses its tombstone hits and gains its
       // (deduped) delta rows; split shards take their measured sub-counts
-      // (a sub-shard the assignment left empty is 0). Unknown stays
-      // unknown — only a full rebuild re-measures a pre-round-11 index.
-      val newShardRows: Array[Long] =
-        if (meta.shardRows.length != meta.numShards) Array.emptyLongArray
-        else {
-          val out = java.util.Arrays.copyOf(meta.shardRows, numShardsOut)
-          (deltaByShard.keySet ++ tombByShard.keySet).foreach { s =>
-            out(s) = out(s) - tombByShard.getOrElse(s, 0L) +
-              deltaByShard.getOrElse(s, 0L)
+      // (a sub-shard the assignment left empty is 0). A pre-round-11 meta
+      // (counts unknown) is BACKFILLED here with one group-by-partition-
+      // column count over the existing nodes — footer/metadata scale, paid
+      // once per legacy index — so legacy indexes gain the exact counts
+      // (and the empty-shard fast answer) at their first incremental
+      // compact instead of staying unknown forever.
+      val newShardRows: Array[Long] = {
+        val base: Array[Long] =
+          if (meta.shardRows.length == meta.numShards)
+            java.util.Arrays.copyOf(meta.shardRows, numShardsOut)
+          else {
+            val m = countsByShard(existing)
+            val out = new Array[Long](numShardsOut)
+            (0 until meta.numShards).foreach(s => out(s) = m.getOrElse(s, 0L))
+            out
           }
-          splitPlan.foreach { case (_, ids, _) =>
-            ids.foreach(id => out(id) = splitSubCounts.getOrElse(id, 0L))
-          }
-          out
+        (deltaByShard.keySet ++ tombByShard.keySet).foreach { s =>
+          base(s) = base(s) - tombByShard.getOrElse(s, 0L) +
+            deltaByShard.getOrElse(s, 0L)
         }
+        splitPlan.foreach { case (_, ids, _) =>
+          ids.foreach(id => base(id) = splitSubCounts.getOrElse(id, 0L))
+        }
+        base
+      }
       inPhase(spark, PhaseFinalizing, dstPath) {
         Seq(meta.copy(numRows = newRows, buildId = freshEpoch,
           numShards = numShardsOut, centroids = newCentroids,

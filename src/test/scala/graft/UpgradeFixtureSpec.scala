@@ -200,6 +200,11 @@ class UpgradeFixtureSpec extends AnyFunSuite {
     assert(root.endsWith("versions/v000000001"), root)
     val m = DiskannIndex.loadMeta(spark, tmp)
     assert(m.numRows == 49 && m.buildId != "legacy")
+    // round 11: the first incremental compact BACKFILLS the exact
+    // per-shard row counts a legacy meta lacks (the empty-shard fast
+    // answer and the conservation invariant start holding here)
+    assert(m.shardRows.length == m.numShards && m.shardRows.sum == m.numRows,
+      s"legacy shardRows not backfilled: ${m.shardRows.mkString(",")}")
     val q = v0.getAs[scala.collection.mutable.Seq[Float]]("vec").toArray
     val hits = DiskannIndex.search(spark, tmp,
       Seq((0L, q)).toDF("qid", "qvec"), k = 2,
