@@ -1854,6 +1854,19 @@ object DiskannIndex {
     val indexedRows: Long =
       try loadMeta(spark, resolveRoot(spark, path0)).numRows
       catch { case _: Exception => Long.MaxValue }
+    escalateRadius(round, radius, searchListSize, maxResults, indexedRows)
+  }
+
+  /** THE escalate-until-stable radius loop — ONE definition shared by the
+    * point path ([[rangeSearchWithStatus]], multi-shard resumable scan) and
+    * the distributed per-(query, shard) kernel ([[rangeOnSearcher]]) so the
+    * exhaustiveness contract can never drift between them. `round(kk, l)`
+    * returns the current top-kk by report distance under exploration bound
+    * l; `coverRows` is the row count a drained round (hits < kk) must have
+    * provably covered for a cap-boundary exit to stay confirmed. */
+  private def escalateRadius(round: (Int, Int) => Seq[(Long, Double)],
+      radius: Double, searchListSize: Int, maxResults: Int,
+      coverRows: => Long): (Seq[(Long, Double)], Boolean) = {
     var kk = math.max(1, math.min(64, maxResults))
     var l = math.max(searchListSize, kk)
     var prevInRadius: Option[Set[Long]] = None
@@ -1868,7 +1881,7 @@ object DiskannIndex {
       if (cleared && prevInRadius.contains(inRadius.map(_._1).toSet))
         out = inRadius.take(maxResults)
       else if (kk >= maxResults) {
-        confirmed = hits.length < kk && kk >= indexedRows
+        confirmed = hits.length < kk && kk >= coverRows
         out = inRadius.take(maxResults)
       } else {
         prevInRadius =
@@ -2136,28 +2149,9 @@ object DiskannIndex {
       rescore: Int, maxResults: Int, tombstoned: Long => Boolean,
       report: (Array[Float], Array[Float]) => Double): (Seq[(Long, Double)], Boolean) = {
     val rs = searcher.resumable(qvec, qlabels, tombstoned, report)
-    var kk = math.max(1, math.min(64, maxResults))
-    var l = math.max(searchListSize, kk)
-    var prevInRadius: Option[Set[Long]] = None
-    var out: Seq[(Long, Double)] = null
-    var confirmed = true
-    while (out == null) {
-      val hits = rs.advance(kk, math.max(l, kk), math.max(rescore, l))
-      val inRadius = hits.filter(_._2 <= radius).toSeq
-      val cleared = hits.length < kk || hits.lastOption.forall(_._2 > radius)
-      if (cleared && prevInRadius.contains(inRadius.map(_._1).toSet))
-        out = inRadius.take(maxResults)
-      else if (kk >= maxResults) {
-        confirmed = hits.length < kk && kk >= searcher.n
-        out = inRadius.take(maxResults)
-      } else {
-        prevInRadius =
-          if (cleared) Some(inRadius.map(_._1).toSet) else None
-        kk = math.min(maxResults, kk * 4)
-        l = math.max(l * 4, kk)
-      }
-    }
-    (out, confirmed)
+    escalateRadius(
+      (kk, l) => rs.advance(kk, math.max(l, kk), math.max(rescore, l)).toSeq,
+      radius, searchListSize, maxResults, searcher.n)
   }
 
   /**
@@ -2328,8 +2322,19 @@ object DiskannIndex {
     // SNAPSHOT the delta before the main search resolves its generation
     // (the race-with-compact invariant — see searchDistributedFresh)
     val hasDLabels = delta.columns.contains("labels")
+    // enforced, not advisory (the knnGraph guard discipline): the limit
+    // caps what can reach the driver, one extra row proves oversize
+    val maxDeltaBc = spark.conf
+      .get("graft.delta.maxBroadcastRows", "4000000").toInt
+    val collected = delta.limit(maxDeltaBc + 1).collect()
+    require(collected.length <= maxDeltaBc,
+      s"rangeSearchDistributedFresh: pending delta exceeds " +
+        s"graft.delta.maxBroadcastRows ($maxDeltaBc) — the fresh batch " +
+        "paths broadcast the delta, which the compaction contract keeps " +
+        "small; fold it with StreamingIngest.compactNow (or enable " +
+        "autoCompact), or raise the knob if the driver can hold it")
     val deltaRows: Array[(Long, Array[Float], Array[Short])] =
-      delta.collect().map { r =>
+      collected.map { r =>
         (r.getAs[Long]("row_id"),
           Option(r.getAs[mutable.Seq[Float]]("vec")).map(_.toArray).orNull,
           if (hasDLabels) Option(r.getAs[mutable.Seq[Short]]("labels"))
@@ -2464,14 +2469,21 @@ object DiskannIndex {
   private[graft] def rangeOverDelta(spark: SparkSession, path: String,
       delta: DataFrame, qvec: Array[Float], radius: Double,
       qlabels: Array[Short] = null,
-      tombstones: Set[Long] = Set.empty): Seq[(Long, Double)] = {
+      tombstones: Set[Long] = Set.empty,
+      /** driver-boundedness: the collect below is capped at maxResults + 1
+        * rows (a Spark-side limit, so overflow never reaches the driver) —
+        * one extra row lets [[graft.streaming.StreamingIngest
+        * .rangeSearchFresh]] detect the overflow and return unconfirmed
+        * (its caller's exact-scan bail), the same loud-truncation
+        * discipline as the graph side's cap. 0 = uncapped (tests). */
+      maxResults: Int = 0): Seq[(Long, Double)] = {
     val meta = loadMeta(spark, path)
     val report = reportDistFn(Metric(meta.metric))
     val hasDLabels = delta.columns.contains("labels")
     val nq = Option(qlabels).map(l => LabelSets.normalize(l.clone())).orNull
     val tombBc = spark.sparkContext.broadcast(tombstones)
     val qv0 = qvec
-    delta.mapPartitions { it =>
+    val hitsDs = delta.mapPartitions { it =>
       val tomb = tombBc.value
       it.flatMap { r =>
         val rid = r.getAs[Long]("row_id")
@@ -2493,6 +2505,7 @@ object DiskannIndex {
     }(org.apache.spark.sql.Encoders.tuple(
       org.apache.spark.sql.Encoders.scalaLong,
       org.apache.spark.sql.Encoders.scalaDouble))
+    (if (maxResults > 0) hitsDs.limit(maxResults + 1) else hitsDs)
       .collect().toSeq
   }
 
@@ -2526,8 +2539,20 @@ object DiskannIndex {
     // both copies enter the bounded heap and can evict a DISTINCT true
     // neighbor from the top-k (the online twin collapses by row_id before
     // ranking and is immune)
+    // enforced, not advisory (the knnGraph guard discipline): the limit
+    // caps what can reach the driver, one extra row proves oversize
+    val maxDeltaBc = spark.conf
+      .get("graft.delta.maxBroadcastRows", "4000000").toInt
+    val collected =
+      delta.filter(col("vec").isNotNull).limit(maxDeltaBc + 1).collect()
+    require(collected.length <= maxDeltaBc,
+      s"searchDistributedFresh: pending delta exceeds " +
+        s"graft.delta.maxBroadcastRows ($maxDeltaBc) — the fresh batch " +
+        "paths broadcast the delta, which the compaction contract keeps " +
+        "small; fold it with StreamingIngest.compactNow (or enable " +
+        "autoCompact), or raise the knob if the driver can hold it")
     val deltaRows: Array[(Long, Array[Float], Array[Short])] =
-      delta.filter(col("vec").isNotNull).collect().map { r =>
+      collected.map { r =>
         (r.getAs[Long]("row_id"), r.getAs[mutable.Seq[Float]]("vec").toArray,
           if (hasDLabels) Option(r.getAs[mutable.Seq[Short]]("labels"))
             .map(s => LabelSets.normalize(s.toArray)).getOrElse(Array.emptyShortArray)

@@ -354,14 +354,19 @@ object StreamingIngest {
       case _ if !confirmed => (mainHits, false)
       case Some(delta) =>
         val deltaHits = DiskannIndex.rangeOverDelta(spark, indexPath, delta,
-          qvec, radius, qlabels, tombs)
+          qvec, radius, qlabels, tombs, maxResults)
         // a row can transiently exist in BOTH main and delta (compaction
-        // folded it, file delete not yet visible) — collapse by row_id
+        // folded it, file delete not yet visible) — collapse by row_id.
+        // deltaHits arriving ABOVE maxResults means its capped collect
+        // truncated (rows past the cap never reached the driver), so the
+        // merge below may be missing rows even if collapsing shrinks it
+        // under the cap — unconfirmed, like any other cap-forced exit
         val merged = (mainHits ++ deltaHits)
           .groupBy(_._1).iterator
           .map { case (rid, ds) => (rid, ds.iterator.map(_._2).min) }
           .toSeq.sortBy { case (rid, d) => (d, rid) }
-        if (merged.length > maxResults) (merged.take(maxResults), false)
+        if (merged.length > maxResults || deltaHits.size > maxResults)
+          (merged.take(maxResults), false)
         else (merged, true)
     }
   }

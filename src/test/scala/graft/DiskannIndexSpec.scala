@@ -614,4 +614,58 @@ class DiskannIndexSpec extends AnyFunSuite {
       t.getFileSystem(spark.sessionState.newHadoopConf()).delete(t, true)
     }
   }
+
+  test("delta driver-boundedness: capped radius pass stays unconfirmed, oversize broadcast fails naming compactNow") {
+    val path = "/tmp/graft_test_index/delta_guard"
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    deleteRec(new java.io.File(path))
+    import spark.implicits._
+    def vec(base: Float, seed: Int): Array[Float] =
+      Array.tabulate(8)(d =>
+        if (d == 0) base + seed * 0.01f else seed * 0.001f * (d + 1))
+    val main = (0 until 50).map(i => (i.toLong, vec(10f, i)))
+      .toDF("vec_id", "embedding")
+    DiskannIndex.build(main, "vec_id", "embedding", None, path,
+      DiskannParams(metric = "l2", storage = "plain"))
+    // 80 pending delta rows clustered far from every main row
+    (0 until 80).map(i => (9000L + i, vec(-10f, i))).toDF("row_id", "vec")
+      .write.mode("append").parquet(s"$path/delta")
+    val q = vec(-10f, 40)
+
+    // the point path's delta collect is capped at maxResults + 1: with 80
+    // in-radius delta rows and a cap of 70, rows past the cap never reach
+    // the driver and the answer must be UNCONFIRMED (the SQL scan's signal
+    // to bail to the exact scan) — even though collapsing could have
+    // shrunk the merge under the cap
+    val (_, confirmed) = graft.streaming.StreamingIngest.rangeSearchFresh(
+      spark, path, q, radius = 5.0, maxResults = 70)
+    assert(!confirmed, "delta overflow past maxResults must be unconfirmed")
+    // a generous cap returns the full exact delta set, confirmed
+    val (hits, ok) = graft.streaming.StreamingIngest.rangeSearchFresh(
+      spark, path, q, radius = 5.0, maxResults = 500)
+    assert(ok, "generous cap must confirm")
+    assert(hits.map(_._1).toSet == (0 until 80).map(9000L + _).toSet)
+
+    // the fresh BATCH paths broadcast the delta — oversize is enforced,
+    // not advisory, and the error names the real fix (folding the delta)
+    val qs = Seq((0L, q)).toDF("qid", "qvec")
+    val deltaDf = spark.read.parquet(s"$path/delta")
+    spark.conf.set("graft.delta.maxBroadcastRows", "4")
+    try {
+      val e1 = intercept[IllegalArgumentException] {
+        DiskannIndex.rangeSearchDistributedFresh(spark, path, qs, deltaDf,
+          radius = 5.0).collect()
+      }
+      assert(e1.getMessage.contains("compactNow") &&
+        e1.getMessage.contains("graft.delta.maxBroadcastRows"), e1.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        DiskannIndex.searchDistributedFresh(spark, path, qs, deltaDf, k = 3)
+          .collect()
+      }
+      assert(e2.getMessage.contains("compactNow"), e2.getMessage)
+    } finally spark.conf.unset("graft.delta.maxBroadcastRows")
+  }
 }
