@@ -317,6 +317,55 @@ object FreezeSplitFixture {
 }
 
 /**
+ * Freezes the SHARD-WIPE fixture (`index_gen11w`): the round-11-FINAL meta
+ * layout — exact per-shard row counts (`shardRows`) written by the
+ * compaction fold, including a shard tombstone-wiped to ZERO rows whose
+ * generation nodes dir holds no partition dir for it at all. Future readers
+ * must keep treating the meta's zero count (never a filesystem probe) as
+ * the emptiness signal: serve around the empty shard, keep the resumable
+ * scan openable, and read the part-file-less dir through the declared node
+ * schema. Untouched shards ride the manifest, pinning the mixed state.
+ */
+object FreezeWipeFixture {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse(
+      "src/test/resources/fixtures/index_gen11w")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val src = spark.range(96).selectExpr(
+      "id AS row_id",
+      "transform(sequence(1, 8), d -> CAST(pmod(hash(id, d), 997) / 997.0 AS FLOAT)) AS vec")
+    DiskannIndex.build(src, "row_id", "vec", None, out,
+      DiskannParams(metric = "cosine", numNeighbors = 16, searchListSize = 32,
+        shardTargetRows = 16, partitioner = "ivf", ivfSeed = Some("g11w")))
+    val meta0 = DiskannIndex.loadMeta(spark, out)
+    require(meta0.shardRows.length == meta0.numShards,
+      "build must write exact per-shard counts")
+    val nodes0 = spark.read.parquet(s"$out/nodes")
+    val victim = nodes0.groupBy("shard").count()
+      .orderBy("count", "shard").head().getInt(0)
+    val wiped = nodes0.filter(s"shard = $victim")
+      .select("row_id").collect().map(_.getLong(0)).toSet
+    require(wiped.nonEmpty)
+    graft.streaming.StreamingIngest.compact(spark, out, tombstones = wiped)
+    val meta = DiskannIndex.loadMeta(spark, out)
+    require(meta.shardRows(victim) == 0L &&
+      meta.shardRows.sum == meta.numRows &&
+      meta.numRows == 96L - wiped.size,
+      s"wipe did not zero shard $victim: ${meta.shardRows.mkString(",")}")
+    require(meta.shardDirs.contains("") && meta.shardDirs.exists(_ != ""),
+      s"fixture must carry manifest refs, got ${meta.shardDirs.mkString(",")}")
+    println(s"frozen: $out -> ${DiskannIndex.resolveRoot(spark, out)}")
+    println(s"wiped shard $victim (${wiped.size} rows), " +
+      s"shardRows ${meta.shardRows.mkString(",")}")
+    spark.stop()
+  }
+}
+
+/**
  * Freezes the COMPACTED text-index fixture (`textidx_gen9c`): the round-9
  * lifecycle state the gen-8 flat fixture cannot cover — a versioned
  * generation installed by [[graft.operators.TextIndex.compactTextIndex]]

@@ -146,6 +146,53 @@ class UpgradeFixtureSpec extends AnyFunSuite {
     assert(rhits == twinSet, s"split radius scan diverged: $rhits vs $twinSet")
   }
 
+  private val wipeFixture = "src/test/resources/fixtures/index_gen11w"
+
+  test("frozen shard-wipe index (gen11w): meta-decided empty shard serves and stays resumable") {
+    // written by FreezeWipeFixture: the round-11-FINAL meta layout — exact
+    // per-shard row counts (shardRows), one shard tombstone-WIPED to zero
+    // whose generation holds no partition dir for it. Future readers must
+    // keep deciding emptiness from the meta (never a filesystem probe),
+    // reading the part-file-less dir through the declared node schema, and
+    // serving/resuming around the hole.
+    val m = DiskannIndex.loadMeta(spark, wipeFixture)
+    assert(m.partitioner == "ivf",
+      s"fixture shape drifted: ${m.partitioner}")
+    assert(m.shardRows.length == m.numShards,
+      "round-11-final meta must carry exact per-shard counts")
+    val empties = m.shardRows.zipWithIndex.filter(_._1 == 0L).map(_._2)
+    assert(empties.length == 1,
+      s"exactly one wiped shard expected: ${m.shardRows.mkString(",")}")
+    assert(m.shardRows.sum == m.numRows,
+      s"count conservation broke: ${m.shardRows.mkString(",")} vs ${m.numRows}")
+    assert(m.shardDirs.contains("") && m.shardDirs.exists(_ != ""),
+      s"expected mixed manifest refs, got ${m.shardDirs.mkString(",")}")
+    val root = DiskannIndex.resolveRoot(spark, wipeFixture)
+    val nodes = DiskannIndex.nodesDf(spark, root,
+        DiskannIndex.loadMetaAt(spark, root), 0 until m.numShards)
+      .select($"shard", $"row_id", $"vec").collect()
+    assert(nodes.length == m.numRows.toInt)
+    assert(!nodes.exists(_.getInt(0) == empties(0)),
+      "wiped shard must hold no rows")
+    // exact serving around the hole, both scan shapes, then the resumable
+    // open — the path that synthesizes the empty shard's searcher FROM THE
+    // META's zero count
+    val corpus = nodes.map(r => r.getLong(1) ->
+      r.getAs[scala.collection.mutable.Seq[Float]]("vec").toArray)
+    val report = DiskannIndex.reportDistFn(graft.index.Metric(m.metric))
+    val (qid, qv) = corpus.head
+    val brute = corpus.map { case (id, v) => (id, report(v, qv)) }
+      .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSeq
+    val got = DiskannIndex.searchPoint(spark, wipeFixture, qv, 10,
+      searchListSize = 256, rescore = 256).map(_._1).toSeq
+    assert(got == brute, s"post-wipe frozen serving diverged: $got vs $brute")
+    val rhits = DiskannIndex.rangeSearch(spark, wipeFixture, qv,
+      radius = 1e-9).map(_._1).toSet
+    assert(rhits == Set(qid), s"post-wipe frozen radius diverged: $rhits")
+    assert(DiskannIndex.openResumableScan(spark, wipeFixture, qv, null).isDefined,
+      "frozen empty shard left the resumable scan un-openable")
+  }
+
   private val legacyFixture = "src/test/resources/fixtures/index_gen3flat"
 
   test("frozen pre-manifest (round-3 era) meta: legacy defaults fill and search serves exactly") {
