@@ -2325,7 +2325,7 @@ object DiskannIndex {
     // enforced, not advisory (the knnGraph guard discipline): the limit
     // caps what can reach the driver, one extra row proves oversize
     val maxDeltaBc = spark.conf
-      .get("graft.delta.maxBroadcastRows", "4000000").toInt
+      .get("graft.delta.maxBroadcastRows", "2000000").toInt
     val collected = delta.limit(maxDeltaBc + 1).collect()
     require(collected.length <= maxDeltaBc,
       s"rangeSearchDistributedFresh: pending delta exceeds " +
@@ -2542,7 +2542,7 @@ object DiskannIndex {
     // enforced, not advisory (the knnGraph guard discipline): the limit
     // caps what can reach the driver, one extra row proves oversize
     val maxDeltaBc = spark.conf
-      .get("graft.delta.maxBroadcastRows", "4000000").toInt
+      .get("graft.delta.maxBroadcastRows", "2000000").toInt
     val collected =
       delta.filter(col("vec").isNotNull).limit(maxDeltaBc + 1).collect()
     require(collected.length <= maxDeltaBc,
