@@ -1845,12 +1845,10 @@ object DiskannIndex {
     // round re-pays little: the resumable frontier extends instead of
     // re-searching, and a stable set is typically confirmed in one extra
     // round at 4x the L that found it.
-    // for the cap-boundary confirmation below: a drained traversal
-    // (hits < kk) proves completeness only when the exploration bound
-    // provably covered the corpus — kk >= numRows guarantees it (bound >=
-    // 3kk); a drained look under heavy tombstone/label filtering with a
-    // SMALLER kk can be a truncated traversal whose eligible survivors
-    // just happen to be few, which must stay unconfirmed
+    // for the cap-boundary confirmation (see escalateRadius): numRows is
+    // the cover bound — kk >= numRows proves the exploration covered the
+    // corpus (bound >= 3kk), the one condition under which a cap exit may
+    // still confirm
     val indexedRows: Long =
       try loadMeta(spark, resolveRoot(spark, path0)).numRows
       catch { case _: Exception => Long.MaxValue }
@@ -1864,7 +1862,7 @@ object DiskannIndex {
     * returns the current top-kk by report distance under exploration bound
     * l; `coverRows` is the row count a drained round (hits < kk) must have
     * provably covered for a cap-boundary exit to stay confirmed. */
-  private def escalateRadius(round: (Int, Int) => Seq[(Long, Double)],
+  private[graft] def escalateRadius(round: (Int, Int) => Seq[(Long, Double)],
       radius: Double, searchListSize: Int, maxResults: Int,
       coverRows: => Long): (Seq[(Long, Double)], Boolean) = {
     var kk = math.max(1, math.min(64, maxResults))
@@ -1881,7 +1879,14 @@ object DiskannIndex {
       if (cleared && prevInRadius.contains(inRadius.map(_._1).toSet))
         out = inRadius.take(maxResults)
       else if (kk >= maxResults) {
-        confirmed = hits.length < kk && kk >= coverRows
+        // cap exit confirms iff the exploration bound provably covered the
+        // corpus: with kk >= coverRows (and L >= kk), either the traversal
+        // drained (hits < kk — frontier exhausted) or it returned kk >=
+        // coverRows rows, i.e. every row there is; both are complete. A
+        // drained look under a SMALLER kk stays unconfirmed — heavy
+        // tombstone/label filtering can drain a truncated traversal whose
+        // eligible survivors just happen to be few.
+        confirmed = kk >= coverRows
         out = inRadius.take(maxResults)
       } else {
         prevInRadius =
