@@ -200,20 +200,26 @@ object WarcSource {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
-  /** The crawl → documents-table bridge: keep `response` records whose
-    * HTTP payload is HTML, split the HTTP header block off the body, and
-    * emit `(url, fetch_date, text)` rows ready for the dedup/quality
-    * pipeline. The HTTP-header split is the WARC convention (response
-    * payloads embed the full HTTP message). */
+  /** The crawl → documents-table bridge, covering both crawl shapes:
+    * `response` records (raw WARC — the HTTP header block is split off the
+    * payload per the WARC convention, then HTML-stripped) and `conversion`
+    * records (WET, the pre-extracted-text twin corpus — the payload IS the
+    * text, no split, no stripping). Emits `(url, fetch_date, text)` rows
+    * ready for the dedup/quality pipeline. */
   def warcToDocuments(records: DataFrame): DataFrame = {
-    val body = regexp_replace(col("payload").cast("string"),
+    val httpBody = regexp_replace(col("payload").cast("string"),
       "(?s)^.*?\\r?\\n\\r?\\n", "")
+    val isResponse = col("warcType") === "response" &&
+      (col("contentType").startsWith("application/http") ||
+        col("contentType").startsWith("text/html"))
+    val isWet = col("warcType") === "conversion" &&
+      col("contentType").startsWith("text/plain")
     records
-      .filter(col("warcType") === "response" &&
-        (col("contentType").startsWith("application/http") ||
-          col("contentType").startsWith("text/html")))
+      .filter(isResponse || isWet)
       .select(col("targetUri").as("url"), col("date").as("fetch_date"),
-        WarcSource.htmlText(body).as("text"),
+        when(isWet,
+            trim(regexp_replace(col("payload").cast("string"), "\\s+", " ")))
+          .otherwise(WarcSource.htmlText(httpBody)).as("text"),
         col("file"), col("offset"))
       .filter(length(col("text")) > 0)
   }

@@ -110,6 +110,22 @@ class WarcSourceSpec extends AnyFunSuite {
     assert(text == "T Hello & world ! Caf&eacute;? A B", s"got '$text'")
     assert(!text.contains("var a=1") && !text.contains("p{x}"),
       "script/style content must not leak into text")
+
+    // WET (pre-extracted text) twin: conversion/text-plain records pass
+    // through as-is — no HTTP split, no HTML stripping, whitespace
+    // normalized only
+    val wet = rec("conversion", "http://example.com/a",
+      "Already   extracted <not-a-tag>\n text.".getBytes(UTF_8),
+      "text/plain")
+    java.nio.file.Files.write(
+      new java.io.File(dir, "seg2.warc").toPath, wet)
+    val wetDocs = WarcSource.warcToDocuments(
+      WarcSource.readWarc(spark, s"$dir/seg2.warc", gzipped = false))
+      .collect()
+    assert(wetDocs.length == 1 &&
+      wetDocs.head.getAs[String]("text") ==
+        "Already extracted <not-a-tag> text.",
+      s"WET passthrough diverged: '${wetDocs.head.getAs[String]("text")}'")
   }
 
   test("htmlText is a pure Column pipeline (no UDF): survives codegen and nulls") {
