@@ -57,23 +57,66 @@ object WarcSource {
       else spark.sparkContext.defaultParallelism
     spark.sparkContext.binaryFiles(pathGlob, mp)
       .flatMap { case (file, pds) =>
-        val raw = pds.open()
+        val raw = if (gzipped) new EofProbingInputStream(pds.open())
+          else pds.open()
         val in = new BufferedInputStream(
-          if (gzipped) new GZIPInputStream(raw) else raw, 1 << 16)
-        closeOnExhaust(parseStream(file, in, keepPayload), in)
+          if (gzipped) new GZIPInputStream(raw, 1 << 16) else raw, 1 << 16)
+        // a consumer that abandons the iterator early (df.limit, a failed
+        // task) never drains it — close on task completion as the backstop
+        // so the handle + inflater don't outlive the task (closeOnExhaust
+        // is idempotent via its `closed` flag; double-close is a no-op)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => in.close()))
+        closeOnExhaust(parseStream(file, in, keepPayload), in, () =>
+          // drain-time exhaustion check: the JDK gzip reader treats a
+          // malformed next-member header as clean EOF (readTrailer swallows
+          // the IOException) — raw bytes left behind mean records were about
+          // to be silently dropped, which in a dedup corpus is data loss
+          if (gzipped && raw.read() >= 0) throw new java.io.IOException(
+            s"$file: trailing bytes after gzip EOF — corrupt or non-gzip " +
+              "member boundary; records would be silently dropped"))
       }
       .toDF()
   }
 
+  /**
+   * Defeats the JDK `GZIPInputStream` multi-member truncation heuristic:
+   * at a member boundary it continues to the next member only if
+   * `in.available() > 0` or the inflater holds >26 leftover bytes — but on
+   * Hadoop/S3A input streams `available()` can legitimately return 0
+   * mid-file, so a multi-member Common Crawl segment would SILENTLY drop
+   * every record after the first boundary that lands on an empty buffer.
+   * This wrapper makes `available()` authoritative: it answers 0 only at
+   * true EOF, proven by a blocking one-byte read-ahead (fine here — the
+   * consumer is a batch parser, not a non-blocking poller).
+   */
+  private[graft] final class EofProbingInputStream(in: InputStream)
+      extends java.io.PushbackInputStream(in, 1) {
+    override def available(): Int = {
+      val a = super.available()
+      if (a > 0) a
+      else {
+        val b = read()
+        if (b < 0) 0 else { unread(b); 1 }
+      }
+    }
+  }
+
   /** Wrap a record iterator so the underlying stream closes exactly when
     * the iterator drains (flatMap over binaryFiles has no other close
-    * hook) — and also on a parse failure, before the error propagates. */
+    * hook) — and also on a parse failure, before the error propagates.
+    * `onDrain` runs once at clean exhaustion, BEFORE the close (the
+    * trailing-bytes probe above needs the stream still open). */
   private def closeOnExhaust(it: Iterator[WarcRecord],
-      in: InputStream): Iterator[WarcRecord] = new Iterator[WarcRecord] {
+      in: InputStream, onDrain: () => Unit = () => ()):
+      Iterator[WarcRecord] = new Iterator[WarcRecord] {
     private var closed = false
     override def hasNext: Boolean = {
-      val h = try it.hasNext
-        catch { case e: Throwable => if (!closed) { closed = true; in.close() }; throw e }
+      val h = try {
+        val more = it.hasNext
+        if (!more && !closed) onDrain()
+        more
+      } catch { case e: Throwable => if (!closed) { closed = true; in.close() }; throw e }
       if (!h && !closed) { closed = true; in.close() }
       h
     }
@@ -192,11 +235,37 @@ object WarcSource {
     val noBlocks = regexp_replace(html,
       "(?is)<(script|style)[^>]*>.*?</\\1>|<!--.*?-->", " ")
     val noTags = regexp_replace(noBlocks, "(?s)<[^>]*>", " ")
-    val entities = Seq("&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<",
-      "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'")
-    val decoded = entities.foldLeft(noTags) { case (c, (from, to)) =>
+    // Entity decoding in the standard unescape order: everything else
+    // FIRST, ampersand-producing forms LAST — decoding `&amp;` early would
+    // double-decode escaped entities (`&amp;lt;` means the literal text
+    // "&lt;", not "<"). Numeric character references (`&#160;`,
+    // `&#x2019;` — ubiquitous in real crawl HTML) decode for the common
+    // whitespace/punctuation codepoints and STRIP to a space otherwise, so
+    // they can never pollute shingles/n-grams downstream. All regex, all
+    // codegen'd — no UDF.
+    val named = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'")
+    val namedDone = named.foldLeft(noTags) { case (c, (from, to)) =>
       regexp_replace(c, java.util.regex.Pattern.quote(from), to)
     }
+    // decimal|hex alternates for the high-frequency punctuation codepoints
+    val numeric = Seq(
+      "160|[xX][aA]0" -> " ",        // no-break space
+      "8211|[xX]2013" -> "–",   // en dash
+      "8212|[xX]2014" -> "—",   // em dash
+      "8216|[xX]2018" -> "‘",   // left single quote
+      "8217|[xX]2019" -> "’",   // right single quote (apostrophe)
+      "8220|[xX]201[cC]" -> "“", // left double quote
+      "8221|[xX]201[dD]" -> "”", // right double quote
+      "8230|[xX]2026" -> "…")   // ellipsis
+    val numDone = numeric.foldLeft(namedDone) { case (c, (pat, to)) =>
+      regexp_replace(c, s"&#(?:$pat);", to)
+    }
+    // strip every remaining numeric reference EXCEPT the ampersand ones
+    // (those join `&amp;` in the final, order-sensitive pass)
+    val stripped = regexp_replace(numDone,
+      "&#(?!38;|[xX]26;)(?:\\d{1,7}|[xX][0-9a-fA-F]{1,6});", " ")
+    val decoded = regexp_replace(stripped, "&amp;|&#38;|&#[xX]26;", "&")
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
@@ -207,18 +276,23 @@ object WarcSource {
     * text, no split, no stripping). Emits `(url, fetch_date, text)` rows
     * ready for the dedup/quality pipeline. */
   def warcToDocuments(records: DataFrame): DataFrame = {
-    val httpBody = regexp_replace(col("payload").cast("string"),
-      "(?s)^.*?\\r?\\n\\r?\\n", "")
-    val isResponse = col("warcType") === "response" &&
-      (col("contentType").startsWith("application/http") ||
-        col("contentType").startsWith("text/html"))
+    val payloadStr = col("payload").cast("string")
+    // the HTTP header block exists ONLY in application/http payloads (the
+    // WARC response convention); a text/html record's payload is raw HTML,
+    // where splitting at the first blank line would silently drop the whole
+    // document prefix up to any blank line in the markup
+    val httpBody = regexp_replace(payloadStr, "(?s)^.*?\\r?\\n\\r?\\n", "")
+    val isHttp = col("warcType") === "response" &&
+      col("contentType").startsWith("application/http")
+    val isRawHtml = col("warcType") === "response" &&
+      col("contentType").startsWith("text/html")
     val isWet = col("warcType") === "conversion" &&
       col("contentType").startsWith("text/plain")
     records
-      .filter(isResponse || isWet)
+      .filter(isHttp || isRawHtml || isWet)
       .select(col("targetUri").as("url"), col("date").as("fetch_date"),
-        when(isWet,
-            trim(regexp_replace(col("payload").cast("string"), "\\s+", " ")))
+        when(isWet, trim(regexp_replace(payloadStr, "\\s+", " ")))
+          .when(isRawHtml, WarcSource.htmlText(payloadStr))
           .otherwise(WarcSource.htmlText(httpBody)).as("text"),
         col("file"), col("offset"))
       .filter(length(col("text")) > 0)

@@ -338,6 +338,10 @@ object StreamingIngest {
    * or the merged result overflowed `maxResults` — in both cases the
    * result may be incomplete and exactness-needing callers
    * ([[graft.plans.KnnRangeScanExec]]) must fall back to the exact scan.
+   * When unconfirmed BECAUSE the delta-side collect truncated, the
+   * returned prefix is an ARBITRARY subset of the delta's in-radius rows
+   * (Spark `limit` order, not nearest-first) — unconfirmed hits are a
+   * fallback trigger, not a best-effort answer; do not rank or serve them.
    */
   def rangeSearchFresh(spark: SparkSession, indexPath: String,
       qvec: Array[Float], radius: Double, searchListSize: Int = 100,

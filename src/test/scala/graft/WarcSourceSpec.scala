@@ -128,6 +128,102 @@ class WarcSourceSpec extends AnyFunSuite {
       s"WET passthrough diverged: '${wetDocs.head.getAs[String]("text")}'")
   }
 
+  test("multi-member gzip survives available()==0 boundaries (the S3A/HDFS stream shape)") {
+    // Hadoop input streams can legitimately answer available()=0 mid-file;
+    // the JDK GZIPInputStream then silently STOPS at a member boundary when
+    // the inflater holds <=26 leftover bytes. Model that stream shape:
+    // available()=0 always, and reads dole out ONE byte per call so the
+    // inflater never holds a read-ahead of the next member.
+    class StingyStream(in: java.io.InputStream)
+        extends java.io.FilterInputStream(in) {
+      override def available(): Int = 0
+      override def read(b: Array[Byte], off: Int, len: Int): Int =
+        super.read(b, off, math.min(len, 1))
+    }
+    val gz = new java.io.ByteArrayOutputStream()
+    Seq("first-member-payload", "second-member-payload").foreach { s =>
+      val g = new GZIPOutputStream(gz); g.write(s.getBytes(UTF_8)); g.finish(); g.close()
+    }
+    val bytes = gz.toByteArray
+    def drain(in: java.io.InputStream): String = {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](256)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, UTF_8)
+    }
+    // This JDK build (17.0.20 Debian) ships the fixed readTrailer that
+    // attempts the next member unconditionally (bytecode shows no
+    // available() call), so the hazard does not reproduce HERE — but the
+    // heuristic is live in older JDK 17 builds and every JDK 8/11, and the
+    // wrapper must be a strict no-op on fixed runtimes. Assert both paths
+    // read both members on the hostile stream shape.
+    val plainJdk = drain(new java.util.zip.GZIPInputStream(
+      new StingyStream(new ByteArrayInputStream(bytes)), 1 << 16))
+    val full = drain(new java.util.zip.GZIPInputStream(
+      new WarcSource.EofProbingInputStream(
+        new StingyStream(new ByteArrayInputStream(bytes))), 1 << 16))
+    assert(full == "first-member-payloadsecond-member-payload", s"got '$full'")
+    assert(plainJdk == full,
+      "wrapper must be transparent when the runtime already concatenates")
+    // the wrapper's own contract: available() answers 0 only at true EOF
+    val probe = new WarcSource.EofProbingInputStream(
+      new StingyStream(new ByteArrayInputStream("x".getBytes(UTF_8))))
+    assert(probe.available() == 1 && probe.read() == 'x' &&
+      probe.available() == 0 && probe.read() == -1)
+  }
+
+  test("warcToDocuments: raw text/html payloads are NOT split at the first blank line") {
+    val dir = new java.io.File("/tmp/graft_test_warc_rawhtml")
+    dir.mkdirs()
+    // a blank line INSIDE the markup — under the old unconditional HTTP
+    // split this dropped everything before "tail"
+    val rawHtml = "<html><body><p>head part</p>\r\n\r\n<p>tail part</p></body></html>"
+    java.nio.file.Files.write(new java.io.File(dir, "raw.warc").toPath,
+      rec("response", "http://example.com/raw", rawHtml.getBytes(UTF_8),
+        "text/html"))
+    val docs = WarcSource.warcToDocuments(
+      WarcSource.readWarc(spark, s"$dir/raw.warc", gzipped = false)).collect()
+    assert(docs.length == 1)
+    assert(docs.head.getAs[String]("text") == "head part tail part",
+      s"got '${docs.head.getAs[String]("text")}'")
+  }
+
+  test("htmlText: numeric character references decode/strip; no double-decode of escaped entities") {
+    import spark.implicits._
+    val df = Seq(
+      // &#160; / &#xA0; (nbsp), &#8217;/&#x2019; (apostrophe) decode;
+      // an uncommon ref (&#9731; snowman) strips to a space;
+      // &#38;/&#x26; decode to & LAST
+      "A&#160;B&#xA0;C it&#8217;s it&#x2019;s x&#9731;y a&#38;b c&#x26;d",
+      // escaped entities must survive as literal text (single decode only)
+      "&amp;lt; &amp;#8217; &amp;amp;").toDF("h")
+      .select(WarcSource.htmlText(col("h")).as("t"))
+    val got = df.collect().map(_.getString(0))
+    assert(got(0) == "A B C it’s it’s x y a&b c&d", s"got '${got(0)}'")
+    assert(got(1) == "&lt; &#8217; &amp;", s"double-decode: got '${got(1)}'")
+    assert(!df.queryExecution.executedPlan.toString.contains("UDF"))
+  }
+
+  test("readWarc fails loud on trailing non-gzip bytes (dropped-member defense)") {
+    val dir = new java.io.File("/tmp/graft_test_warc_trail")
+    dir.mkdirs()
+    val gz = new java.io.ByteArrayOutputStream()
+    val g = new GZIPOutputStream(gz)
+    g.write(rec("response", "http://example.com/a", html)); g.finish(); g.close()
+    // trailing garbage larger than the 64 KiB inflater read-ahead, so some
+    // of it is provably still in the raw stream at gzip EOF
+    val garbage = Array.fill[Byte](80000)(0x51)
+    java.nio.file.Files.write(new java.io.File(dir, "trail.warc.gz").toPath,
+      gz.toByteArray ++ garbage)
+    val e = intercept[org.apache.spark.SparkException] {
+      WarcSource.readWarc(spark, s"$dir/trail.warc.gz").count()
+    }
+    assert(e.getMessage.contains("trailing bytes") ||
+      Option(e.getCause).exists(_.getMessage.contains("trailing bytes")),
+      s"expected loud trailing-bytes failure, got: ${e.getMessage.take(200)}")
+  }
+
   test("htmlText is a pure Column pipeline (no UDF): survives codegen and nulls") {
     import spark.implicits._
     val df = Seq(
