@@ -15,6 +15,7 @@ object SparkEntry {
     _root_.graft.queries.AnnQueries.queries,
     _root_.graft.queries.PipelineQueries.queries,
     _root_.graft.queries.RelationalQueries.queries,
+    _root_.graft.queries.WarcQueries.queries,
   )
   private def allOracles = Seq(
     _root_.graft.queries.VectorQueries.oracleSql,
@@ -22,6 +23,7 @@ object SparkEntry {
     _root_.graft.queries.AnnQueries.oracleSql,
     _root_.graft.queries.PipelineQueries.oracleSql,
     _root_.graft.queries.RelationalQueries.oracleSql,
+    _root_.graft.queries.WarcQueries.oracleSql,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -490,3 +490,92 @@ object FreezeLabelstatsFixture {
     spark.stop()
   }
 }
+
+/**
+ * Freezes the WARC crawl-ingestion fixture (`warc_gen12`): one deterministic
+ * multi-member `.warc.gz` segment — one gzip member per record, the Common
+ * Crawl framing — exercising every `warcToDocuments` branch: an
+ * `application/http` response (HTTP header split + HTML extraction with
+ * named AND numeric character references), a raw `text/html` response (no
+ * split — a blank line inside the markup must survive), a WET `conversion`
+ * record (passthrough), and two records the bridge must DROP (warcinfo,
+ * octet-stream). This is the corpus behind the `warc_ingest`/`warc_census`
+ * DuckDB-oracle rows — the crawl entry point gets the same independent
+ * correctness gate as every other operator (the reference drives every AM
+ * path through real SQL `#[pg_test]`s: build.rs:1179-1418).
+ *
+ * Determinism: fixed record bytes, and the JDK `GZIPOutputStream` header
+ * carries MTIME=0 — a regeneration is byte-stable, so the committed binary
+ * is reviewable by re-running this main.
+ */
+object FreezeWarcFixture {
+  private def rec(warcType: String, uri: String, date: String,
+      contentType: String, payload: Array[Byte]): Array[Byte] = {
+    val h = new StringBuilder()
+      .append("WARC/1.0\r\n")
+      .append(s"WARC-Type: $warcType\r\n")
+    if (uri.nonEmpty) h.append(s"WARC-Target-URI: $uri\r\n")
+    h.append(s"WARC-Date: $date\r\n")
+      .append(s"Content-Type: $contentType\r\n")
+      .append(s"Content-Length: ${payload.length}\r\n\r\n")
+    h.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8) ++
+      payload ++ "\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  private def ascii(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  val date = "2026-03-04T05:06:07Z"
+
+  def records: Seq[Array[Byte]] = Seq(
+    rec("warcinfo", "", date, "application/warc-fields",
+      ascii("software: graft-crawler\r\nformat: WARC/1.0")),
+    rec("response", "http://example.org/alpha", date,
+      "application/http; msgtype=response",
+      ascii("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n" +
+        "Server: httpd\r\n\r\n" +
+        "<html><head><title>Graft</title>" +
+        "<style>h1{font-weight:bold}</style></head><body>" +
+        "<!-- header --><script>var tracker=1;</script>" +
+        "<h1>Alpha &amp; beta&#8217;s&#160;report</h1>" +
+        "<p>Latency: &lt;10ms &#8212; 99th percentile.</p></body></html>")),
+    rec("response", "http://example.org/raw", date, "text/html",
+      ascii("<html><body><p>First block.</p>\r\n\r\n" +
+        "<p>Second block &#9731; end.</p></body></html>")),
+    rec("conversion", "http://example.org/alpha", date, "text/plain",
+      ascii("Graft Alpha report\n  pre-extracted   text.")),
+    rec("response", "http://example.org/bin", date,
+      "application/octet-stream",
+      Array.tabulate[Byte](32)(i => (i * 7 + 1).toByte)))
+
+  def main(args: Array[String]): Unit = {
+    val dir = new java.io.File(args.headOption.getOrElse(
+      "src/test/resources/fixtures/warc_gen12"))
+    dir.mkdirs()
+    val seg = new java.io.File(dir, "seg-00000.warc.gz")
+    val out = new java.io.FileOutputStream(seg)
+    records.foreach { r =>
+      val g = new java.util.zip.GZIPOutputStream(out)
+      g.write(r); g.finish()
+    }
+    out.close()
+    println(s"frozen: $seg (${seg.length()} bytes, ${records.length} members)")
+    // self-check: parse back through the real serving path and print the
+    // exact rows the DuckDB oracle must carry
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.sources.WarcSource.warcToDocuments(
+      graft.sources.WarcSource.readWarc(spark, seg.getAbsolutePath))
+      .orderBy("offset").collect()
+      .foreach(r => println(s"[doc] ${r.toSeq.mkString(" | ")}"))
+    graft.sources.WarcSource.readWarc(spark, seg.getAbsolutePath,
+        keepPayload = false)
+      .selectExpr("offset", "warcType", "contentType", "contentLength")
+      .orderBy("offset").collect()
+      .foreach(r => println(s"[census] ${r.toSeq.mkString(" | ")}"))
+    spark.stop()
+  }
+}
