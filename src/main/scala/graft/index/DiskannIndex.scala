@@ -320,7 +320,7 @@ object DiskannIndex {
         if (ivfModel != null) ivfModel.centroids else Array.empty[Array[Float]],
         params.shardTargetRows, genId,
         Array.fill(numShards)(genId), Array.fill(numShards)(""), shardRadii,
-        shardRowCounts))
+        shardRowCounts, n))
         .toDF().coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
     }
     GraphSearcher.invalidate(path)
@@ -410,7 +410,19 @@ object DiskannIndex {
         * silently truncate results). Maintained exactly across incremental
         * compactions from the fold arithmetic; unknown (legacy) metas are
         * backfilled at their first incremental compact. */
-      shardRows: Array[Long] = Array.emptyLongArray) {
+      shardRows: Array[Long] = Array.emptyLongArray,
+      /** row count at the last FULL build (round 12; 0 = unknown, pre-
+        * round-12 generations). A full build trains the SBQ quantizer and
+        * elects the IVF centroids from exactly these rows; incremental
+        * folds grow numRows but carry this (and the frozen models)
+        * unchanged — so `(numRows - fullBuildRows) / fullBuildRows` is the
+        * model-staleness fraction [[graft.streaming.StreamingIngest
+        * .maybeCompact]] uses to escalate a fold into an automatic REINDEX.
+        * The reference never retrains (aminsert freezes the quantizer
+        * forever, build.rs:464-535); at 100 TB streaming that is a
+        * measured recall leak (StreamingSpec endurance gate), hence the
+        * trigger. */
+      fullBuildRows: Long = 0L) {
     /** The params this index was built with (minus the SBQ auto-default
       * already resolved into bitsPerDim) — compaction/rebuild starts here so
       * storage type, quantization width and graph shape survive. */
@@ -1218,6 +1230,11 @@ object DiskannIndex {
       // unknown, which only disables the empty-shard fast answer
       df = df.withColumn("shardRows",
         lit(Array.emptyLongArray).cast(ArrayType(LongType)))
+    if (!df.columns.contains("fullBuildRows"))
+      // pre-round-12 generations don't record the last-full-build row
+      // count: 0 = unknown, which disables the auto-REINDEX staleness
+      // trigger until the index's first full rebuild stamps it
+      df = df.withColumn("fullBuildRows", lit(0L))
     df.as[IndexMeta].head()
   }
 

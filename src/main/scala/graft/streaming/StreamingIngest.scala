@@ -585,12 +585,34 @@ object StreamingIngest {
       case None => return false
       case Some(df) => df.count()
     }
-    val mainRows =
-      try DiskannIndex.loadMeta(spark, indexPath).numRows
-      catch { case _: Exception => 0L }
+    val meta =
+      try Some(DiskannIndex.loadMeta(spark, indexPath))
+      catch { case _: Exception => None }
+    val mainRows = meta.map(_.numRows).getOrElse(0L)
     val due = deltaRows >= maxDeltaRows ||
       (mainRows > 0 && deltaRows.toDouble / mainRows >= maxDeltaFrac)
-    if (due) compact(spark, indexPath, tune)
+    if (due) {
+      // MODEL-STALENESS escalation (the automatic REINDEX): the SBQ
+      // quantizer and IVF centroids are trained at FULL builds only —
+      // incremental folds keep them frozen (the reference's aminsert
+      // semantics), which the endurance gate measures as the one recall
+      // leak under long streaming (0.79 vs 0.88 once the corpus outgrows
+      // the training set ~4x). When the rows added since the last full
+      // build exceed `graft.reindex.staleFraction` (default 2.0; <=0
+      // disables) of that build's row count, this fold runs as force=true:
+      // a full rebuild that retrains the models, restores shard sizing and
+      // re-stamps fullBuildRows — same lease, same installed-generation
+      // swap, just a bigger rebuild, still amortized O(corpus) once per
+      // staleFraction-fold growth (geometric, so total work stays
+      // O(corpus) amortized across the stream's lifetime).
+      val staleFraction = spark.conf
+        .get("graft.reindex.staleFraction", "2.0").toDouble
+      val trained = meta.map(_.fullBuildRows).getOrElse(0L)
+      val stale = staleFraction > 0 && trained > 0 &&
+        (mainRows + deltaRows - trained).toDouble / trained >= staleFraction
+      if (stale) compact(spark, indexPath, tune, force = true)
+      else compact(spark, indexPath, tune)
+    }
     due
   }
 

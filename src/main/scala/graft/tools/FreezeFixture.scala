@@ -579,3 +579,40 @@ object FreezeWarcFixture {
     spark.stop()
   }
 }
+
+/**
+ * Freezes the AUTO-REINDEX-era fixture (`index_gen12r`): a generation
+ * installed by the round-12 model-staleness escalation — `maybeCompact`
+ * detected rows-since-full-build past `graft.reindex.staleFraction` and ran
+ * the fold as force=true, retraining the SBQ quantizer and stamping the new
+ * `fullBuildRows` meta field. Future readers must keep loading the field
+ * (and defaulting it to 0=unknown on every OLDER fixture — the gen-4 path
+ * proves that side) and keep serving the retrained generation exactly.
+ * The corpus is frozen inside as `_corpus` for the spec's oracle.
+ */
+object FreezeReindexFixture {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse(
+      "src/test/resources/fixtures/index_gen12r")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def vecs(lo: Int, hi: Int) = spark.range(lo, hi).selectExpr(
+      "id AS row_id",
+      "transform(sequence(1, 8), d -> CAST(pmod(hash(id, d), 997) / 997.0 AS FLOAT)) AS vec")
+    DiskannIndex.build(vecs(0, 32), "row_id", "vec", None, out,
+      DiskannParams(metric = "cosine", numNeighbors = 16, searchListSize = 32))
+    // 80 appended rows: (112-32)/32 = 2.5 >= 2.0 default -> auto-REINDEX
+    vecs(32, 112).write.mode("append").parquet(s"$out/delta")
+    require(graft.streaming.StreamingIngest.maybeCompact(spark, out,
+      maxDeltaRows = 1))
+    val meta = DiskannIndex.loadMeta(spark, out)
+    require(meta.numRows == 112 && meta.fullBuildRows == 112 &&
+      meta.modelCount == 112, s"escalation did not retrain: $meta")
+    vecs(0, 112).write.mode("overwrite").parquet(s"$out/_corpus")
+    println(s"frozen: $out -> ${DiskannIndex.resolveRoot(spark, out)}")
+    spark.stop()
+  }
+}

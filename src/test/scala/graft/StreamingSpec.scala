@@ -732,6 +732,102 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("maybeCompact: quantizer staleness fires exactly one automatic REINDEX") {
+    val path = "/tmp/graft_test_index/auto_reindex"
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    deleteRec(new java.io.File(path))
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def appendDelta(lo: Int, hi: Int): Unit =
+      e.filter($"vec_id" >= lo && $"vec_id" < hi)
+        .select($"vec_id".as("row_id"), $"embedding".as("vec"))
+        .write.mode("append").parquet(s"$path/delta")
+
+    // full build on 100 rows: quantizer trained here, fullBuildRows stamped
+    DiskannIndex.build(e.filter($"vec_id" < 100), "vec_id", "embedding",
+      None, path, DiskannParams(metric = "cosine"))
+    val m0 = DiskannIndex.loadMeta(spark, path)
+    assert(m0.fullBuildRows == 100 && m0.modelCount == 100,
+      s"full build must stamp fullBuildRows/modelCount: $m0")
+
+    // fold 1: (180-100)/100 = 0.8 < 2.0 default — incremental, models FROZEN
+    appendDelta(100, 180)
+    assert(StreamingIngest.maybeCompact(spark, path, maxDeltaRows = 1))
+    val m1 = DiskannIndex.loadMeta(spark, path)
+    assert(m1.numRows == 180 && m1.fullBuildRows == 100 && m1.modelCount == 100,
+      s"below-threshold fold must carry the frozen models: $m1")
+
+    // fold 2: (180+110-100)/100 = 1.9 < 2.0 — still incremental
+    appendDelta(180, 290)
+    assert(StreamingIngest.maybeCompact(spark, path, maxDeltaRows = 1))
+    assert(DiskannIndex.loadMeta(spark, path).fullBuildRows == 100)
+
+    // fold 3: (290+210-100)/100 = 4.0 >= 2.0 — escalates to force=true,
+    // retrains the quantizer on the whole corpus, re-stamps fullBuildRows
+    appendDelta(290, 500)
+    assert(StreamingIngest.maybeCompact(spark, path, maxDeltaRows = 1))
+    val m2 = DiskannIndex.loadMeta(spark, path)
+    assert(m2.numRows == 500 && m2.fullBuildRows == 500 && m2.modelCount == 500,
+      s"staleness must escalate into a retraining REINDEX: $m2")
+
+    // fold 4: a duplicate-only delta (at-least-once replay shape) — folds
+    // incrementally, models stay: EXACTLY one REINDEX fired
+    appendDelta(450, 500)
+    assert(StreamingIngest.maybeCompact(spark, path, maxDeltaRows = 1))
+    val m3 = DiskannIndex.loadMeta(spark, path)
+    assert(m3.numRows == 500 && m3.fullBuildRows == 500 && m3.modelCount == 500,
+      s"post-REINDEX folds must go back to incremental: $m3")
+    // four compacts, four installed generations (GC keeps current+grace, so
+    // the max version NAME is the install count) — lease discipline intact
+    assert(DiskannIndex.listVersions(spark, path).max == "v000000004")
+
+    // recall returns to the fresh-build envelope: after the REINDEX the
+    // index is a full build of the identical 500 rows, so it must score
+    // like a one-shot build — the exact envelope the endurance gate
+    // measures the FROZEN quantizer against (0.79 frozen vs 0.88 fresh)
+    val freshPath = s"${path}_fresh"
+    deleteRec(new java.io.File(freshPath))
+    DiskannIndex.build(e, "vec_id", "embedding", None, freshPath,
+      DiskannParams(metric = "cosine"))
+    val report = DiskannIndex.reportDistFn(graft.index.Metric("cosine"))
+    val corpus = e.select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getAs[scala.collection.mutable.Seq[Float]]("embedding").toArray))
+    val qs = corpus.filter(_._1 < 10)
+    def avgRecall(p: String): Double = {
+      val rs = qs.map { case (_, qv) =>
+        val got = DiskannIndex.searchPoint(spark, p, qv, 10,
+          searchListSize = 100, rescore = 50).map(_._1).toSet
+        corpus.map { case (id, v) => (id, report(v, qv)) }
+          .sortBy { case (id, d) => (d, id) }.take(10).count(t => got(t._1)) / 10.0
+      }
+      rs.sum / rs.length
+    }
+    val reindexed = avgRecall(path)
+    val fresh = avgRecall(freshPath)
+    assert(reindexed >= fresh - 0.05,
+      s"auto-REINDEX did not restore the fresh-build envelope: $reindexed vs $fresh")
+
+    // disabling the trigger (<=0) keeps every fold incremental
+    spark.conf.set("graft.reindex.staleFraction", "0")
+    try {
+      val path2 = "/tmp/graft_test_index/auto_reindex_off"
+      deleteRec(new java.io.File(path2))
+      DiskannIndex.build(e.filter($"vec_id" < 50), "vec_id", "embedding",
+        None, path2, DiskannParams(metric = "cosine"))
+      e.filter($"vec_id" >= 50 && $"vec_id" < 400)
+        .select($"vec_id".as("row_id"), $"embedding".as("vec"))
+        .write.mode("append").parquet(s"$path2/delta")
+      assert(StreamingIngest.maybeCompact(spark, path2, maxDeltaRows = 1))
+      val mOff = DiskannIndex.loadMeta(spark, path2)
+      assert(mOff.numRows == 400 && mOff.fullBuildRows == 50 &&
+        mOff.modelCount == 50,
+        s"staleFraction<=0 must disable the trigger: $mOff")
+    } finally spark.conf.unset("graft.reindex.staleFraction")
+  }
+
   test("searchFreshDistributed: offline batch path sees the delta without a compact") {
     val path = "/tmp/graft_test_index/fresh_dist"
     def deleteRec(f: java.io.File): Unit = {

@@ -25,6 +25,9 @@ class UpgradeFixtureSpec extends AnyFunSuite {
     assert(m.numRows == 64 && m.numShards == 1 && m.hasLabels)
     assert(m.bitsPerDim == 2 && m.partitioner == "hash")
     assert(m.buildId.nonEmpty && m.buildId != "legacy")
+    // round-12 field defaults on every pre-round-12 generation: 0 = unknown
+    // (auto-REINDEX trigger disabled until the first full rebuild stamps it)
+    assert(m.fullBuildRows == 0L)
   }
 
   test("frozen gen-4 index: search answers exactly against the fixture's own vectors") {
@@ -194,6 +197,38 @@ class UpgradeFixtureSpec extends AnyFunSuite {
   }
 
   private val legacyFixture = "src/test/resources/fixtures/index_gen3flat"
+
+  private val reindexFixture = "src/test/resources/fixtures/index_gen12r"
+
+  test("frozen auto-REINDEX index (gen12r): fullBuildRows loads, retrained generation serves exactly") {
+    // written by the round-12 model-staleness escalation
+    // (FreezeReindexFixture): maybeCompact saw rows-since-full-build past
+    // graft.reindex.staleFraction and ran the fold as force=true — the
+    // installed generation is a full retrain and the meta carries the new
+    // fullBuildRows field with the retrained count
+    val m = DiskannIndex.loadMeta(spark, reindexFixture)
+    assert(m.numRows == 112 && m.fullBuildRows == 112 && m.modelCount == 112,
+      s"gen12r meta drifted: $m")
+    assert(DiskannIndex.listVersions(spark, reindexFixture)
+      .contains("v000000001"))
+    // exact serving against the frozen corpus oracle
+    val corpus = spark.read.parquet(s"$reindexFixture/_corpus")
+      .select($"row_id", $"vec").collect()
+      .map(r => (r.getLong(0),
+        r.getAs[scala.collection.mutable.Seq[Float]]("vec").toArray))
+    assert(corpus.length == 112)
+    val report = DiskannIndex.reportDistFn(graft.index.Metric(m.metric))
+    Seq(0L, 40L, 111L).foreach { qid =>
+      val qv = corpus.find(_._1 == qid).get._2
+      val brute = corpus.map { case (id, v) => (id, report(v, qv)) }
+        .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toSeq
+      val got = DiskannIndex.search(spark, reindexFixture,
+        Seq((qid, qv)).toDF("qid", "qvec"), k = 5,
+        searchListSize = 256, rescore = 112)
+        .orderBy($"dist", $"row_id").collect().map(_.getLong(1)).toSeq
+      assert(got == brute, s"gen12r probe $qid: $got vs $brute")
+    }
+  }
 
   test("frozen pre-manifest (round-3 era) meta: legacy defaults fill and search serves exactly") {
     val m = DiskannIndex.loadMeta(spark, legacyFixture)
