@@ -620,9 +620,15 @@ object Dedup {
     * the stored bands, and only candidates join the stored shingle sets.
     * Tombstoned corpus docs are masked BEFORE the candidate join, so a
     * taken-down doc stops generating candidates the moment it is deleted. */
+  /** `excludeBatch >= 0` drops that PHYSICAL batch id from the corpus side
+    * before probing — the replay-stability hook for
+    * [[graft.streaming.CrawlIngest]]: a retried micro-batch whose previous
+    * attempt already appended (torn, unmarked — folds skip unmarked
+    * batches, so the id is stable) must not see its own rows as corpus
+    * matches, or the replay would drop every document it is re-landing. */
   def nearDupAgainstDedupIndex(spark: SparkSession, path: String,
       batch: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, excludeBatch: Long = -1L): DataFrame = {
     TextAnalysis.register(spark)
     val m = spark.read.parquet(s"$path/idxmeta").head()
     val (shingleSize, numHashes, nBands) = (m.getAs[Int]("shingle_size"),
@@ -630,8 +636,11 @@ object Dedup {
     val root = graft.index.DiskannIndex.resolveRoot(spark, path)
     val batchBase = signatureTable(batch, idCol, textCol, shingleSize,
       numHashes)
-    val candidates = maskDedupDeleted(spark, path,
-        graft.index.TierManifest.tableDfAt(spark, root, "bands"), "id").as("c")
+    val corpusBands = {
+      val all = graft.index.TierManifest.tableDfAt(spark, root, "bands")
+      if (excludeBatch >= 0) all.filter(col("batch") =!= excludeBatch) else all
+    }
+    val candidates = maskDedupDeleted(spark, path, corpusBands, "id").as("c")
       .join(broadcast(bandTable(batchBase, numHashes, nBands)).as("b"),
         col("c.band") === col("b.band") && col("c.bucket") === col("b.bucket"))
       .select(col("b.id").as("batch_id"), col("c.id").as("corpus_id"))

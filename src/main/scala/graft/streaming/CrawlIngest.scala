@@ -1,0 +1,180 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis}
+import graft.sources.WarcSource
+
+/**
+ * Streaming crawl bridge: WARC segments → documents table + dedup state,
+ * exactly-once — the front door of the 100 TB pretraining pipeline wired
+ * into the same micro-batch machinery that feeds the stored indexes.
+ *
+ * Shape: Structured Streaming's file source does the DISCOVERY (new
+ * `.warc.gz` segments under a glob, checkpointed, `maxFilesPerTrigger`
+ * bounds a batch), but carries only the file PATHS — each micro-batch then
+ * re-reads its segments through [[WarcSource.readWarc]]'s streaming parser,
+ * so payload bytes flow task-side exactly as in the batch path and the
+ * per-batch driver state is a bounded list of segment names. Per batch:
+ *
+ *   paths → warcToDocuments → quality gate (qualityScore >= minQuality)
+ *         → near-dup probe against the stored dedup index (drop hits)
+ *         → in-batch near-dup collapse (keep smallest doc_id)
+ *         → append survivors to the documents table (replace-by-batch)
+ *         → append survivors' signatures to the dedup index
+ *
+ * Exactly-once under foreachBatch's at-least-once contract, per store:
+ *
+ *  - `doc_id` is a deterministic provenance hash (segment basename,
+ *    record ordinal), so a replay regenerates identical ids.
+ *  - the documents append is replace-by-batch: data files carry a
+ *    `crawl_b<batchId>_` prefix, a retry deletes the torn prefix before
+ *    rewriting, and a marker (`_stream/b<id>`, the
+ *    [[graft.operators.TextIndex.appendBatchIdempotent]] discipline)
+ *    commits AFTER the rename — marked batches are skipped wholesale.
+ *  - the dedup append reuses [[Dedup.appendDedupBatchIdempotent]] verbatim
+ *    (its own marker under the index path, lease-serialized).
+ *  - the probe excludes this batch's own PHYSICAL dedup batch id
+ *    (`excludeBatch`): a replay whose previous attempt already appended
+ *    signatures (torn, unmarked — folds skip unmarked batches, so the id
+ *    is stable) must not match its own rows and drop the documents it is
+ *    re-landing.
+ *  - ORDER: documents first, dedup marker last. The dedup index only
+ *    becomes foldable once its marker lands, and the marker lands after
+ *    the documents batch committed — so no compaction can fold this
+ *    batch's signatures into the anonymous corpus while any part of the
+ *    batch might still replay.
+ *
+ * 100 TB cost shape: discovery is one checkpointed listing per trigger;
+ * per segment the work is one streaming parse (O(record) memory) + the
+ * extraction/quality Columns (codegen'd, no shuffle) + the dedup probe
+ * (banded bucket join against the stored index — the batch side is
+ * broadcast, the corpus side stays partitioned) + two bounded appends.
+ * Nothing scans the corpus; cost per micro-batch is O(batch) with the
+ * probe's bucket-join fan-in, independent of how many segments have ever
+ * been ingested.
+ */
+object CrawlIngest {
+
+  /** Deterministic provenance id: hash of (segment basename, record
+    * ordinal). Stable across replays AND across checkout locations (the
+    * absolute path is not hashed). */
+  def withDocIds(docs: DataFrame): DataFrame = docs
+    .withColumn("file", regexp_extract(col("file"), "([^/]+)$", 1))
+    .withColumn("doc_id", xxhash64(col("file"), col("offset")))
+
+  /**
+   * The foreachBatch kernel, callable directly for tests/backfills: ingest
+   * `segmentPaths` as micro-batch `streamBatchId`. Idempotent — a replay
+   * of a fully-committed batch is a no-op; a replay of a torn batch
+   * completes it without duplicates.
+   */
+  def ingestSegments(spark: SparkSession, segmentPaths: Seq[String],
+      documentsPath: String, dedupIndexPath: String, streamBatchId: Long,
+      minQuality: Double = 0.35, dedupThreshold: Double = 0.8): Unit = {
+    if (segmentPaths.isEmpty) return
+    val conf = spark.sessionState.newHadoopConf()
+    val docsMarker = new org.apache.hadoop.fs.Path(
+      s"$documentsPath/_stream/b$streamBatchId")
+    val docsFs = docsMarker.getFileSystem(conf)
+    val dedupMarker = new org.apache.hadoop.fs.Path(
+      s"$dedupIndexPath/_stream/b${Dedup.STREAM_BATCH_BASE + streamBatchId}")
+    val dedupFs = dedupMarker.getFileSystem(conf)
+    if (docsFs.exists(docsMarker) && dedupFs.exists(dedupMarker)) return
+
+    val docs = withDocIds(WarcSource.warcToDocuments(
+      WarcSource.readWarc(spark, segmentPaths.sorted.mkString(","))))
+    val gated = docs.filter(
+      TextAnalysis.qualityScore(col("text")) >= minQuality)
+    // near-dups against the CORPUS state (minus this batch's own physical
+    // contribution — replay stability, see the class doc)
+    val corpusDups = Dedup.nearDupAgainstDedupIndex(spark, dedupIndexPath,
+        gated, "doc_id", "text", dedupThreshold,
+        excludeBatch = Dedup.STREAM_BATCH_BASE + streamBatchId)
+      .select(col("batch_id").as("doc_id")).distinct()
+    // in-batch near-dups: keep the smallest doc_id of each pair —
+    // deterministic, so a replay collapses identically
+    val inBatchDups = Dedup.minhashNearDupPairs(
+        gated.join(broadcast(corpusDups), Seq("doc_id"), "left_anti"),
+        "doc_id", "text", threshold = dedupThreshold)
+      .select(greatest(col("id_a"), col("id_b")).as("doc_id")).distinct()
+    val fresh = gated
+      .join(broadcast(corpusDups), Seq("doc_id"), "left_anti")
+      .join(broadcast(inBatchDups), Seq("doc_id"), "left_anti")
+      // two passes consume `fresh` (documents write + signature append):
+      // pin it so the parse/probe doesn't run twice
+      .localCheckpoint()
+    try {
+      appendDocumentsIdempotent(fresh, documentsPath, streamBatchId)
+      Dedup.appendDedupBatchIdempotent("doc_id", "text", dedupIndexPath)(
+        fresh, streamBatchId)
+    } finally fresh.unpersist()
+  }
+
+  /** Replace-by-batch documents append: scrub `crawl_b<id>_`-prefixed
+    * files from a torn previous attempt, staged write + rename, marker
+    * commits last. Readers (`spark.read.parquet(documentsPath)`) never see
+    * `_`-prefixed staging/marker dirs. */
+  private def appendDocumentsIdempotent(docs: DataFrame,
+      documentsPath: String, streamBatchId: Long): Unit = {
+    val spark = docs.sparkSession
+    val dst = new org.apache.hadoop.fs.Path(documentsPath)
+    val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$documentsPath/_stream/b$streamBatchId")
+    if (fs.exists(marker)) return
+    fs.mkdirs(dst)
+    val tag = s"crawl_b${streamBatchId}_"
+    fs.listStatus(dst)
+      .filter(_.getPath.getName.startsWith(tag))
+      .foreach(s => fs.delete(s.getPath, false))
+    val staging = new org.apache.hadoop.fs.Path(
+      s"$documentsPath/_crawltmp_${streamBatchId}_${java.util.UUID.randomUUID()}")
+    docs.write.mode("overwrite").parquet(staging.toString)
+    fs.listStatus(staging).foreach { s =>
+      val name = s.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith("."))
+        if (!fs.rename(s.getPath,
+            new org.apache.hadoop.fs.Path(dst, s"$tag$name")))
+          sys.error(s"crawl ingest: rename ${s.getPath} failed")
+    }
+    fs.delete(staging, true)
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
+  }
+
+  /**
+   * Start the bridge: watch `segmentsDir` (glob ok) for new `.warc.gz`
+   * segments and land each discovered batch through [[ingestSegments]].
+   * The file source checkpoint remembers which segments were SEEN; the
+   * per-store markers make the processing of each batch idempotent — the
+   * two compose to exactly-once. Only paths cross the driver: the
+   * discovery stream selects nothing but `path` (the binaryFile source
+   * prunes the content column away), so a trigger's driver state is
+   * `maxFilesPerTrigger` strings.
+   */
+  def startCrawlIngest(spark: SparkSession, segmentsDir: String,
+      documentsPath: String, dedupIndexPath: String, checkpoint: String,
+      minQuality: Double = 0.35, dedupThreshold: Double = 0.8,
+      maxFilesPerTrigger: Int = 32): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .format("binaryFile")
+      // the source's own fixed schema (streaming file sources demand it
+      // explicitly); only `path` is ever selected, and BinaryFileFormat
+      // prunes the content column, so no payload byte crosses the driver
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY"))
+      .option("pathGlobFilter", "*.warc.gz")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(segmentsDir)
+      .select(col("path"))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val paths = batch.collect().map(_.getString(0)).toSeq
+        ingestSegments(batch.sparkSession, paths, documentsPath,
+          dedupIndexPath, batchId, minQuality, dedupThreshold)
+      }
+      .start()
+}

@@ -1,0 +1,139 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.GZIPOutputStream
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+import graft.streaming.CrawlIngest
+
+/** The streaming crawl bridge: WARC segment discovery → quality gate →
+  * dedup probe → documents + dedup state, exactly-once across micro-batch
+  * replays (foreachBatch is at-least-once; the per-store markers and the
+  * replay-stable probe must make it exactly-once). */
+class CrawlIngestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def rec(warcType: String, uri: String, payload: String,
+      contentType: String): Array[Byte] = {
+    val p = payload.getBytes(UTF_8)
+    val h = (s"WARC/1.0\r\n" +
+      s"WARC-Type: $warcType\r\n" +
+      s"WARC-Target-URI: $uri\r\n" +
+      "WARC-Date: 2026-05-06T07:08:09Z\r\n" +
+      s"Content-Type: $contentType\r\n" +
+      s"Content-Length: ${p.length}\r\n\r\n").getBytes(UTF_8)
+    h ++ p ++ "\r\n\r\n".getBytes(UTF_8)
+  }
+
+  private def html(uri: String, text: String): Array[Byte] =
+    rec("response", uri, s"<html><body><p>$text</p></body></html>",
+      "text/html")
+
+  /** One gzip member per record — the Common Crawl segment framing. */
+  private def writeSegment(path: java.io.File,
+      recs: Seq[Array[Byte]]): Unit = {
+    val out = new java.io.FileOutputStream(path)
+    recs.foreach { r =>
+      val g = new GZIPOutputStream(out); g.write(r); g.finish()
+    }
+    out.close()
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete()
+  }
+
+  private val seedText =
+    "the quick brown fox jumps over the lazy dog and runs far away home"
+  private val goodA =
+    "Organic gardening is a rewarding hobby that anyone with patience " +
+      "and a small plot of land can enjoy through the seasons."
+  private val goodB =
+    "Mountain weather changes quickly and hikers should always carry " +
+      "warm layers even on a sunny summer morning."
+  private val twinText =
+    "Libraries remain one of the few public spaces where anyone can " +
+      "sit and read for hours without spending any money at all."
+
+  test("crawl bridge: two micro-batches (one replayed) land exactly-once") {
+    val base = new java.io.File("/tmp/graft_test_crawl")
+    deleteRec(base)
+    val segments = new java.io.File(base, "segments"); segments.mkdirs()
+    val docsPath = s"$base/documents"
+    val dedupPath = s"$base/dedup_index"
+    val ckpt = s"$base/ckpt"
+
+    // corpus state the probe runs against: one seeded document
+    Dedup.buildDedupIndex(
+      Seq((9000L, seedText)).toDF("doc_id", "text"), "doc_id", "text",
+      dedupPath)
+
+    // segment A (batch 0): one keeper, one low-quality drop (digit soup),
+    // one near-dup of the SEED (one trailing token added: J ~= 12/13)
+    writeSegment(new java.io.File(segments, "segA.warc.gz"), Seq(
+      html("http://x.test/a1", goodA),
+      html("http://x.test/a2",
+        "84 3921 555 0193 7777 1234 9876 5432 1111 2222"),
+      html("http://x.test/a3", seedText + " today")))
+
+    val q = CrawlIngest.startCrawlIngest(spark, segments.getAbsolutePath,
+      docsPath, dedupPath, ckpt)
+    try {
+      q.processAllAvailable()
+      val r0 = spark.read.parquet(docsPath)
+        .select("url", "text").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(r0.keySet == Set("http://x.test/a1"),
+        s"batch 0 landed ${r0.keySet}")
+      assert(r0("http://x.test/a1") == goodA)
+
+      // segment B (batch 1): one keeper, one corpus near-dup (the exact
+      // text batch 0 landed, different url), and two identical in-batch
+      // twins of which exactly one may survive
+      writeSegment(new java.io.File(segments, "segB.warc.gz"), Seq(
+        html("http://x.test/b1", goodB),
+        html("http://x.test/b2", goodA),
+        html("http://x.test/b3", twinText),
+        html("http://x.test/b4", twinText)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def state(): Seq[String] = spark.read.parquet(docsPath)
+      .select("url").collect().map(_.getString(0)).sorted.toSeq
+    val after = state()
+    val twins = after.filter(u => u == "http://x.test/b3" || u == "http://x.test/b4")
+    assert(twins.size == 1, s"in-batch twins must collapse to one: $after")
+    assert(after.toSet ==
+      Set("http://x.test/a1", "http://x.test/b1", twins.head),
+      s"batch 1 landed $after")
+
+    // full replay of batch 1 (at-least-once retry after both markers): no-op
+    val segB = new java.io.File(segments, "segB.warc.gz").getAbsolutePath
+    CrawlIngest.ingestSegments(spark, Seq(segB), docsPath, dedupPath, 1L)
+    assert(state() == after, "fully-committed replay must be a no-op")
+
+    // torn replay: crash landed the documents AND the dedup signatures but
+    // neither marker — delete both markers and re-run. The probe excludes
+    // this batch's own physical dedup batch, so the replay must re-land
+    // the identical rows, not drop them as self-near-dups.
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(docsPath).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$docsPath/_stream/b1"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$dedupPath/_stream/b${Dedup.STREAM_BATCH_BASE + 1L}"), false)
+    CrawlIngest.ingestSegments(spark, Seq(segB), docsPath, dedupPath, 1L)
+    assert(state() == after,
+      "torn replay must rewrite the batch, never duplicate or drop it")
+
+    // dedup state sanity: the landed keepers probe as exact matches, once
+    val probe = Dedup.nearDupAgainstDedupIndex(spark, dedupPath,
+      Seq((1L, goodB)).toDF("doc_id", "text"), "doc_id", "text", 0.99)
+      .collect()
+    assert(probe.length == 1,
+      s"goodB must sit in the dedup index exactly once: ${probe.length}")
+  }
+}
