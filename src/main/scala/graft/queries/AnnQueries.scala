@@ -282,6 +282,24 @@ object AnnQueries {
         .orderBy(col("qid"), col("dist"), col("vec_id"))
     }),
 
+    // LABELED batch radius (round 12): the distributed kernel honors a
+    // per-query `qlabels` column — in-traversal overlap skip + per-label
+    // start nodes per shard, same exhaustiveness contract as the unlabeled
+    // batch (per-shard escalate-until-stable confirmations compose)
+    "knn_range_batch_labeled" -> ((s, d) => {
+      val path = ensureIndex(s, d, "cos_lbl", withLabels(emb(s, d)),
+        labeled = true)
+      val qs = emb(s, d).filter(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          array(lit(1.toShort), lit(3.toShort)).as("qlabels"))
+      DiskannIndex.rangeSearchDistributed(s, path, qs, radius = 0.8000005)
+        .filter(col("row_id") =!= col("qid"))
+        .select(col("qid"), col("row_id").as("vec_id"),
+          round(col("dist"), 6).as("dist"))
+        .filter(col("dist") <= 0.8)
+        .orderBy(col("qid"), col("dist"), col("vec_id"))
+    }),
+
     // T1/S2/S3: ORDER BY embedding <=> q LIMIT k through the graph index
     "knn_ann_cosine" -> ((s, d) => {
       val path = ensureIndex(s, d, "cos", emb(s, d), labeled = false)
@@ -805,6 +823,18 @@ object AnnQueries {
         |  round(1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS dist
         |FROM q CROSS JOIN embeddings e
         |WHERE e.vec_id <> q.qid
+        |  AND round(1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) <= 0.8
+        |ORDER BY qid, dist, vec_id""".stripMargin,
+    // the labeled twin: the kernel's qlabels overlap filter against the
+    // indexed label sets must equal a plain label IN (...) predicate
+    "knn_range_batch_labeled" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 4)
+        |SELECT q.qid, e.vec_id,
+        |  round(1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS dist
+        |FROM q CROSS JOIN embeddings e
+        |WHERE e.vec_id <> q.qid
+        |  AND e.label IN (1, 3)
         |  AND round(1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) <= 0.8
         |ORDER BY qid, dist, vec_id""".stripMargin,
     "knn_ann_batch" ->
