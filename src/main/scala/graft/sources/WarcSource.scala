@@ -243,23 +243,28 @@ object WarcSource {
     // whitespace/punctuation codepoints and STRIP to a space otherwise, so
     // they can never pollute shingles/n-grams downstream. All regex, all
     // codegen'd — no UDF.
-    val named = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'")
-    val namedDone = named.foldLeft(noTags) { case (c, (from, to)) =>
-      regexp_replace(c, java.util.regex.Pattern.quote(from), to)
-    }
-    // decimal|hex alternates for the high-frequency punctuation codepoints
-    val numeric = Seq(
-      "160|[xX][aA]0" -> " ",        // no-break space
-      "8211|[xX]2013" -> "–",   // en dash
-      "8212|[xX]2014" -> "—",   // em dash
-      "8216|[xX]2018" -> "‘",   // left single quote
-      "8217|[xX]2019" -> "’",   // right single quote (apostrophe)
-      "8220|[xX]201[cC]" -> "“", // left double quote
-      "8221|[xX]201[dD]" -> "”", // right double quote
-      "8230|[xX]2026" -> "…")   // ellipsis
-    val numDone = numeric.foldLeft(namedDone) { case (c, (pat, to)) =>
-      regexp_replace(c, s"&#(?:$pat);", to)
+    // one pattern per TARGET CHARACTER, named|decimal|hex alternates
+    // folded together — the high-frequency entities of real crawl HTML
+    val entities = Seq(
+      "nbsp|#160|#[xX][aA]0" -> " ",
+      "lt|#60|#[xX]3[cC]" -> "<",
+      "gt|#62|#[xX]3[eE]" -> ">",
+      "quot|#34|#[xX]22" -> "\"",
+      "apos|#39|#[xX]27" -> "'",
+      "ndash|#8211|#[xX]2013" -> "–",
+      "mdash|#8212|#[xX]2014" -> "—",
+      "lsquo|#8216|#[xX]2018" -> "‘",
+      "rsquo|#8217|#[xX]2019" -> "’",
+      "ldquo|#8220|#[xX]201[cC]" -> "“",
+      "rdquo|#8221|#[xX]201[dD]" -> "”",
+      "hellip|#8230|#[xX]2026" -> "…",
+      "middot|#183|#[xX][bB]7" -> "·",
+      "copy|#169|#[xX][aA]9" -> "©",
+      "reg|#174|#[xX][aA][eE]" -> "®",
+      "trade|#8482|#[xX]2122" -> "™",
+      "eacute|#233|#[xX][eE]9" -> "é")
+    val numDone = entities.foldLeft(noTags) { case (c, (pat, to)) =>
+      regexp_replace(c, s"&(?:$pat);", to)
     }
     // strip every remaining numeric reference EXCEPT the ampersand ones
     // (those join `&amp;` in the final, order-sensitive pass)

@@ -157,7 +157,10 @@ object CrawlIngest {
   def startCrawlIngest(spark: SparkSession, segmentsDir: String,
       documentsPath: String, dedupIndexPath: String, checkpoint: String,
       minQuality: Double = 0.35, dedupThreshold: Double = 0.8,
-      maxFilesPerTrigger: Int = 32): org.apache.spark.sql.streaming.StreamingQuery =
+      maxFilesPerTrigger: Int = 32,
+      // default matches both raw segments (*.warc.gz) and the WET
+      // pre-extracted twins (*.warc.wet.gz) — warcToDocuments handles both
+      segmentGlob: String = "*.warc*.gz"): org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream
       .format("binaryFile")
       // the source's own fixed schema (streaming file sources demand it
@@ -165,7 +168,7 @@ object CrawlIngest {
       // prunes the content column, so no payload byte crosses the driver
       .schema(org.apache.spark.sql.types.StructType.fromDDL(
         "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY"))
-      .option("pathGlobFilter", "*.warc.gz")
+      .option("pathGlobFilter", segmentGlob)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .load(segmentsDir)
       .select(col("path"))

@@ -107,7 +107,7 @@ class WarcSourceSpec extends AnyFunSuite {
     assert(row.getAs[String]("url") == "http://example.com/a")
     val text = row.getAs[String]("text")
     // tags become spaces (never glue adjacent words), so "</b>!" keeps one
-    assert(text == "T Hello & world ! Caf&eacute;? A B", s"got '$text'")
+    assert(text == "T Hello & world ! Café? A B", s"got '$text'")
     assert(!text.contains("var a=1") && !text.contains("p{x}"),
       "script/style content must not leak into text")
 
