@@ -72,7 +72,8 @@ object CrawlIngest {
    */
   def ingestSegments(spark: SparkSession, segmentPaths: Seq[String],
       documentsPath: String, dedupIndexPath: String, streamBatchId: Long,
-      minQuality: Double = 0.35, dedupThreshold: Double = 0.8): Unit = {
+      minQuality: Double = 0.35, dedupThreshold: Double = 0.8,
+      textIndexPath: Option[String] = None): Unit = {
     if (segmentPaths.isEmpty) return
     val conf = spark.sessionState.newHadoopConf()
     val docsMarker = new org.apache.hadoop.fs.Path(
@@ -81,7 +82,13 @@ object CrawlIngest {
     val dedupMarker = new org.apache.hadoop.fs.Path(
       s"$dedupIndexPath/_stream/b${Dedup.STREAM_BATCH_BASE + streamBatchId}")
     val dedupFs = dedupMarker.getFileSystem(conf)
-    if (docsFs.exists(docsMarker) && dedupFs.exists(dedupMarker)) return
+    val textDone = textIndexPath.forall { tp =>
+      val m = new org.apache.hadoop.fs.Path(
+        s"$tp/_stream/b${graft.operators.TextIndex.STREAM_BATCH_BASE + streamBatchId}")
+      m.getFileSystem(conf).exists(m)
+    }
+    if (docsFs.exists(docsMarker) && dedupFs.exists(dedupMarker) && textDone)
+      return
 
     val docs = withDocIds(WarcSource.warcToDocuments(
       WarcSource.readWarc(spark, segmentPaths.sorted.mkString(","))))
@@ -107,6 +114,14 @@ object CrawlIngest {
       .localCheckpoint()
     try {
       appendDocumentsIdempotent(fresh, documentsPath, streamBatchId)
+      // optional BM25 text index: the crawl corpus becomes full-text
+      // searchable in the same exactly-once batch (its own marker +
+      // replace-by-batch-id discipline, see appendBatchIdempotent)
+      textIndexPath.foreach(tp =>
+        graft.operators.TextIndex.appendBatchIdempotent("doc_id", "text",
+          tp)(fresh, streamBatchId))
+      // dedup signatures LAST: the index only becomes foldable once this
+      // marker lands, i.e. after every other store committed (see class doc)
       Dedup.appendDedupBatchIdempotent("doc_id", "text", dedupIndexPath)(
         fresh, streamBatchId)
     } finally fresh.unpersist()
@@ -160,7 +175,8 @@ object CrawlIngest {
       maxFilesPerTrigger: Int = 32,
       // default matches both raw segments (*.warc.gz) and the WET
       // pre-extracted twins (*.warc.wet.gz) — warcToDocuments handles both
-      segmentGlob: String = "*.warc*.gz"): org.apache.spark.sql.streaming.StreamingQuery =
+      segmentGlob: String = "*.warc*.gz",
+      textIndexPath: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream
       .format("binaryFile")
       // the source's own fixed schema (streaming file sources demand it
@@ -177,7 +193,8 @@ object CrawlIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val paths = batch.collect().map(_.getString(0)).toSeq
         ingestSegments(batch.sparkSession, paths, documentsPath,
-          dedupIndexPath, batchId, minQuality, dedupThreshold)
+          dedupIndexPath, batchId, minQuality, dedupThreshold,
+          textIndexPath)
       }
       .start()
 }

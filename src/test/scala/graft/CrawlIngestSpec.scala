@@ -65,12 +65,17 @@ class CrawlIngestSpec extends AnyFunSuite {
     val segments = new java.io.File(base, "segments"); segments.mkdirs()
     val docsPath = s"$base/documents"
     val dedupPath = s"$base/dedup_index"
+    val textPath = s"$base/text_index"
     val ckpt = s"$base/ckpt"
 
-    // corpus state the probe runs against: one seeded document
+    // corpus state the probe runs against: one seeded document — in both
+    // the dedup index and the BM25 text index the bridge keeps in lockstep
     Dedup.buildDedupIndex(
       Seq((9000L, seedText)).toDF("doc_id", "text"), "doc_id", "text",
       dedupPath)
+    graft.operators.TextIndex.buildTextIndex(
+      Seq((9000L, seedText)).toDF("doc_id", "text"), "doc_id", "text",
+      textPath, nBuckets = 8)
 
     // segment A (batch 0): one keeper, one low-quality drop (digit soup),
     // one near-dup of the SEED (one trailing token added: J ~= 12/13)
@@ -81,7 +86,7 @@ class CrawlIngestSpec extends AnyFunSuite {
       html("http://x.test/a3", seedText + " today")))
 
     val q = CrawlIngest.startCrawlIngest(spark, segments.getAbsolutePath,
-      docsPath, dedupPath, ckpt)
+      docsPath, dedupPath, ckpt, textIndexPath = Some(textPath))
     try {
       q.processAllAvailable()
       val r0 = spark.read.parquet(docsPath)
@@ -111,10 +116,24 @@ class CrawlIngestSpec extends AnyFunSuite {
       Set("http://x.test/a1", "http://x.test/b1", twins.head),
       s"batch 1 landed $after")
 
+    // the text index landed the same survivors: goodB's distinctive term
+    // resolves to exactly one doc, and the corpus doc count tracks the
+    // documents table (+1 for the seed)
+    def bm25Docs(): Long = spark.read.parquet(
+      s"${graft.operators.TextIndex.resolveRoot(spark, textPath)}/corpusstats")
+      .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    val hikers = graft.operators.TextIndex.bm25SearchIndexed(spark, textPath,
+      Seq("hikers")).collect()
+    assert(hikers.length == 1, s"bm25 'hikers' hits: ${hikers.length}")
+    assert(bm25Docs() == after.size + 1L,
+      s"text index doc count ${bm25Docs()} vs documents ${after.size}+seed")
+
     // full replay of batch 1 (at-least-once retry after both markers): no-op
     val segB = new java.io.File(segments, "segB.warc.gz").getAbsolutePath
-    CrawlIngest.ingestSegments(spark, Seq(segB), docsPath, dedupPath, 1L)
+    CrawlIngest.ingestSegments(spark, Seq(segB), docsPath, dedupPath, 1L,
+      textIndexPath = Some(textPath))
     assert(state() == after, "fully-committed replay must be a no-op")
+    assert(bm25Docs() == after.size + 1L, "replay must not inflate bm25 stats")
 
     // torn replay: crash landed the documents AND the dedup signatures but
     // neither marker — delete both markers and re-run. The probe excludes
@@ -125,9 +144,15 @@ class CrawlIngestSpec extends AnyFunSuite {
     fs.delete(new org.apache.hadoop.fs.Path(s"$docsPath/_stream/b1"), false)
     fs.delete(new org.apache.hadoop.fs.Path(
       s"$dedupPath/_stream/b${Dedup.STREAM_BATCH_BASE + 1L}"), false)
-    CrawlIngest.ingestSegments(spark, Seq(segB), docsPath, dedupPath, 1L)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$textPath/_stream/b${graft.operators.TextIndex.STREAM_BATCH_BASE + 1L}"),
+      false)
+    CrawlIngest.ingestSegments(spark, Seq(segB), docsPath, dedupPath, 1L,
+      textIndexPath = Some(textPath))
     assert(state() == after,
       "torn replay must rewrite the batch, never duplicate or drop it")
+    assert(bm25Docs() == after.size + 1L,
+      "torn replay must replace the text batch, not re-append it")
 
     // dedup state sanity: the landed keepers probe as exact matches, once
     val probe = Dedup.nearDupAgainstDedupIndex(spark, dedupPath,
