@@ -280,6 +280,31 @@ object WarcSource {
     * records (WET, the pre-extracted-text twin corpus — the payload IS the
     * text, no split, no stripping). Emits `(url, fetch_date, text)` rows
     * ready for the dedup/quality pipeline. */
+  /** The crawl → MEDIA-table bridge: response records whose Content-Type
+    * is an image, audio or video type project to the
+    * [[graft.operators.Multimodal]] media schema
+    * (media_id, modality, payload) plus crawl provenance — the decode /
+    * feature-extract / resize passes chain directly
+    * (`Multimodal.decodeMeta(warcToMedia(recs), ImageIODecoder)`). The
+    * media_id is the same deterministic (segment basename, ordinal) hash
+    * the documents bridge uses, so text and media rows from one crawl
+    * share a provenance keyspace. */
+  def warcToMedia(records: DataFrame): DataFrame = {
+    val base = regexp_extract(col("file"), "([^/]+)$", 1)
+    val modality = when(col("contentType").startsWith("image/"), "image")
+      .when(col("contentType").startsWith("audio/"), "audio")
+      .when(col("contentType").startsWith("video/"), "video")
+    records
+      .filter(col("warcType") === "response" && modality.isNotNull)
+      .select(
+        xxhash64(base, col("offset")).as("media_id"),
+        modality.as("modality"),
+        col("payload"),
+        col("targetUri").as("url"),
+        base.as("file"),
+        col("offset"))
+  }
+
   def warcToDocuments(records: DataFrame): DataFrame = {
     val payloadStr = col("payload").cast("string")
     // the HTTP header block exists ONLY in application/http payloads (the

@@ -224,6 +224,36 @@ class WarcSourceSpec extends AnyFunSuite {
       s"expected loud trailing-bytes failure, got: ${e.getMessage.take(200)}")
   }
 
+  test("warcToMedia: image responses flow into the multimodal decode pass") {
+    // a real 7x5 PNG, so the crawl->media->decodeMeta chain exercises the
+    // actual header parse, not the stub
+    val img = new java.awt.image.BufferedImage(7, 5,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    val dir = new java.io.File("/tmp/graft_test_warc_media")
+    dir.mkdirs()
+    java.nio.file.Files.write(new java.io.File(dir, "m.warc").toPath,
+      rec("response", "http://example.com/logo.png", png, "image/png") ++
+        rec("response", "http://example.com/page", html) ++
+        rec("response", "http://example.com/clip", Array.fill[Byte](24)(3),
+          "video/mp4"))
+    val recs = WarcSource.readWarc(spark, s"$dir/m.warc", gzipped = false)
+    val media = WarcSource.warcToMedia(recs)
+    val rows = media.orderBy("offset").collect()
+    // the HTML response is NOT media; image + video are, with provenance
+    assert(rows.map(_.getAs[String]("modality")).toSeq == Seq("image", "video"))
+    assert(rows.head.getAs[String]("url") == "http://example.com/logo.png" &&
+      rows.head.getAs[String]("file") == "m.warc")
+    val meta = graft.operators.Multimodal
+      .decodeMeta(media, graft.operators.ImageIODecoder)
+      .filter(col("modality") === "image").head()
+    assert(meta.getAs[String]("format") == "png" &&
+      meta.getAs[Int]("width") == 7 && meta.getAs[Int]("height") == 5,
+      s"real PNG header must decode: $meta")
+  }
+
   test("htmlText is a pure Column pipeline (no UDF): survives codegen and nulls") {
     import spark.implicits._
     val df = Seq(
