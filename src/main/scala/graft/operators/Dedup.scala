@@ -855,13 +855,22 @@ object Dedup {
           val spark = batch.sparkSession
           val maxB =
             spark.conf.get("graft.compact.dedupMaxBatches", "64").toInt
-          val root = graft.index.DiskannIndex.resolveRoot(spark, path)
-          val local = spark.read.parquet(s"$root/bands")
-            .select(col("batch")).distinct().count()
-          if (local > maxB) { compactDedupIndex(spark, path, tiered = true); () }
+          if (localBatchCount(spark, path) > maxB) {
+            compactDedupIndex(spark, path, tiered = true); ()
+          }
         }
       }
       .start()
+
+  /** Batch count local to the ACTIVE generation (the tiered-fold trigger
+    * input) — shared by [[startDedupIngest]] and
+    * [[graft.streaming.CrawlIngest]] so the autovacuum gates cannot
+    * drift apart. */
+  def localBatchCount(spark: SparkSession, path: String): Long = {
+    val root = graft.index.DiskannIndex.resolveRoot(spark, path)
+    spark.read.parquet(s"$root/bands")
+      .select(col("batch")).distinct().count()
+  }
 
   /**
    * SimHash near-dup pairs with Hamming distance <= maxHamming over the

@@ -877,10 +877,17 @@ object TextIndex {
           val spark = batch.sparkSession
           val maxB =
             spark.conf.get("graft.compact.textMaxBatches", "64").toInt
-          val local = spark.read
-            .parquet(s"${resolveRoot(spark, path)}/corpusstats").count()
-          if (local > maxB) { compactTextIndex(spark, path, tiered = true); () }
+          if (localBatchCount(spark, path) > maxB) {
+            compactTextIndex(spark, path, tiered = true); ()
+          }
         }
       }
       .start()
+
+  /** Batch count local to the ACTIVE generation (the tiered-fold trigger
+    * input) — shared by [[startTextIngest]] and
+    * [[graft.streaming.CrawlIngest]] so the autovacuum gates cannot
+    * drift apart. */
+  def localBatchCount(spark: SparkSession, path: String): Long =
+    spark.read.parquet(s"${resolveRoot(spark, path)}/corpusstats").count()
 }

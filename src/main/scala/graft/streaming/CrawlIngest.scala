@@ -176,7 +176,13 @@ object CrawlIngest {
       // default matches both raw segments (*.warc.gz) and the WET
       // pre-extracted twins (*.warc.wet.gz) — warcToDocuments handles both
       segmentGlob: String = "*.warc*.gz",
-      textIndexPath: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+      textIndexPath: Option[String] = None,
+      // tiered folds inside the batch callback once a store's local batch
+      // count passes graft.compact.dedupMaxBatches / textMaxBatches
+      // (default 64) — the startDedupIngest/startTextIngest autovacuum
+      // analog: O(appended data) per fold, one writer by construction, so
+      // an unbounded crawl never accumulates unbounded batch counts
+      autoCompact: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream
       .format("binaryFile")
       // the source's own fixed schema (streaming file sources demand it
@@ -191,10 +197,23 @@ object CrawlIngest {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
         val paths = batch.collect().map(_.getString(0)).toSeq
-        ingestSegments(batch.sparkSession, paths, documentsPath,
-          dedupIndexPath, batchId, minQuality, dedupThreshold,
-          textIndexPath)
+        ingestSegments(s, paths, documentsPath, dedupIndexPath, batchId,
+          minQuality, dedupThreshold, textIndexPath)
+        if (autoCompact && paths.nonEmpty) {
+          val dedupMax =
+            s.conf.get("graft.compact.dedupMaxBatches", "64").toInt
+          if (Dedup.localBatchCount(s, dedupIndexPath) > dedupMax)
+            Dedup.compactDedupIndex(s, dedupIndexPath, tiered = true)
+          textIndexPath.foreach { tp =>
+            val textMax =
+              s.conf.get("graft.compact.textMaxBatches", "64").toInt
+            if (graft.operators.TextIndex.localBatchCount(s, tp) > textMax)
+              graft.operators.TextIndex.compactTextIndex(s, tp, tiered = true)
+          }
+          ()
+        }
       }
       .start()
 }

@@ -161,4 +161,39 @@ class CrawlIngestSpec extends AnyFunSuite {
     assert(probe.length == 1,
       s"goodB must sit in the dedup index exactly once: ${probe.length}")
   }
+
+  test("crawl bridge autoCompact: tiered folds keep store batch counts bounded") {
+    val base = new java.io.File("/tmp/graft_test_crawl_ac")
+    deleteRec(base)
+    val segments = new java.io.File(base, "segments"); segments.mkdirs()
+    val docsPath = s"$base/documents"
+    val dedupPath = s"$base/dedup_index"
+    Dedup.buildDedupIndex(Seq((9000L, seedText)).toDF("doc_id", "text"),
+      "doc_id", "text", dedupPath)
+    // every committed batch trips the fold
+    spark.conf.set("graft.compact.dedupMaxBatches", "1")
+    val texts = Seq(goodA, goodB, twinText)
+    try {
+      texts.zipWithIndex.foreach { case (t, i) =>
+        writeSegment(new java.io.File(segments, s"s$i.warc.gz"),
+          Seq(html(s"http://ac.test/$i", t)))
+      }
+      val q = CrawlIngest.startCrawlIngest(spark, segments.getAbsolutePath,
+        docsPath, dedupPath, s"$base/ckpt", maxFilesPerTrigger = 1,
+        autoCompact = true)
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.unset("graft.compact.dedupMaxBatches")
+    // every doc landed exactly once…
+    val landed = spark.read.parquet(docsPath)
+      .select("text").collect().map(_.getString(0)).sorted.toSeq
+    assert(landed == texts.sorted, s"autoCompact lost/duplicated docs: $landed")
+    // …and the folds collapsed the stream batches (base tier + at most the
+    // newest unfolded append)
+    assert(Dedup.localBatchCount(spark, dedupPath) <= 2,
+      s"batch count unbounded: ${Dedup.localBatchCount(spark, dedupPath)}")
+    // the folded state still answers probes (no signatures lost to a fold)
+    val p = Dedup.nearDupAgainstDedupIndex(spark, dedupPath,
+      Seq((1L, goodA)).toDF("doc_id", "text"), "doc_id", "text", 0.99)
+    assert(p.count() == 1)
+  }
 }
