@@ -54,6 +54,19 @@ object WarcQueries {
           col("contentType").as("content_type"),
           col("contentLength").as("content_length"))
         .orderBy(col("offset"))
+    }),
+    // crawl → media bridge + REAL header decode: the fixture's committed
+    // PNG bytes through warcToMedia and ImageIODecoder — dimensions are a
+    // property of the frozen bytes, so the literal oracle replays them
+    "warc_media" -> ((s, _) => {
+      val media = WarcSource.warcToMedia(WarcSource.readWarc(s, fixture))
+      graft.operators.Multimodal
+        .decodeMeta(media, graft.operators.ImageIODecoder)
+        .join(media.select(col("media_id"), col("url"), col("offset")),
+          Seq("media_id"))
+        .select(col("offset"), col("url"), col("modality"), col("format"),
+          col("width"), col("height"), col("n_bytes"))
+        .orderBy(col("offset"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -73,7 +86,13 @@ object WarcQueries {
         |  (1, 'response', 'application/http; msgtype=response', 308),
         |  (2, 'response', 'text/html', 81),
         |  (3, 'conversion', 'text/plain', 42),
-        |  (4, 'response', 'application/octet-stream', 32)
+        |  (4, 'response', 'application/octet-stream', 32),
+        |  (5, 'response', 'image/png', 117)
         |) AS t("offset", warc_type, content_type, content_length)
+        |ORDER BY "offset"""".stripMargin,
+    "warc_media" ->
+      """SELECT * FROM (VALUES
+        |  (5, 'http://example.org/logo.png', 'image', 'png', 6, 4, 117)
+        |) AS t("offset", url, modality, format, width, height, n_bytes)
         |ORDER BY "offset"""".stripMargin)
 }

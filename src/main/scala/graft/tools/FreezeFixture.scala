@@ -525,6 +525,17 @@ object FreezeWarcFixture {
   private def ascii(s: String): Array[Byte] =
     s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
 
+  /** A FIXED 6x4 RGB PNG (117 bytes) — embedded as a constant rather than
+    * ImageIO-encoded at freeze time so regeneration stays byte-stable
+    * across JVM/encoder versions. Drives the `warc_media` oracle row
+    * through the REAL header decode. */
+  val pngBytes: Array[Byte] =
+    ("89504e470d0a1a0a0000000d49484452000000060000000408020000002266d914" +
+      "0000003c49444154785e0dc8410100300803b14ab9272210819cca414445206bcb" +
+      "33922831c262c509a9a9661a37db5cff3265c6d8ac39ff0a1526386cb8f0007742" +
+      "14d1e7da5d950000000049454e44ae426082")
+      .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
   val date = "2026-03-04T05:06:07Z"
 
   def records: Seq[Array[Byte]] = Seq(
@@ -546,7 +557,9 @@ object FreezeWarcFixture {
       ascii("Graft Alpha report\n  pre-extracted   text.")),
     rec("response", "http://example.org/bin", date,
       "application/octet-stream",
-      Array.tabulate[Byte](32)(i => (i * 7 + 1).toByte)))
+      Array.tabulate[Byte](32)(i => (i * 7 + 1).toByte)),
+    rec("response", "http://example.org/logo.png", date, "image/png",
+      pngBytes))
 
   def main(args: Array[String]): Unit = {
     val dir = new java.io.File(args.headOption.getOrElse(
@@ -576,6 +589,12 @@ object FreezeWarcFixture {
       .selectExpr("offset", "warcType", "contentType", "contentLength")
       .orderBy("offset").collect()
       .foreach(r => println(s"[census] ${r.toSeq.mkString(" | ")}"))
+    graft.operators.Multimodal.decodeMeta(
+        graft.sources.WarcSource.warcToMedia(
+          graft.sources.WarcSource.readWarc(spark, seg.getAbsolutePath)),
+        graft.operators.ImageIODecoder)
+      .collect()
+      .foreach(r => println(s"[media] ${r.toSeq.mkString(" | ")}"))
     spark.stop()
   }
 }
