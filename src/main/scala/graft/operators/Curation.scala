@@ -31,6 +31,46 @@ object Curation {
       .cast(DoubleType) / 1.152921504606846976e18
 
   /**
+   * URL canonicalization — the crawl pipeline's pre-text dedup key (two
+   * fetches of one page differ in case, default ports, fragments, tracking
+   * params and param order; deduping on the RAW url misses most of them).
+   * Pure Column pipeline (codegen'd, map-side, composes with the scan):
+   *
+   *  - scheme and authority lowercase (RFC 3986 §6.2.2.1); path/query keep
+   *    their case (they are case-sensitive)
+   *  - default ports dropped (`:80` for http, `:443` for https)
+   *  - the fragment dropped (never sent to the server)
+   *  - tracking params removed (`utm_*`, `gclid`, `fbclid`, `msclkid`)
+   *  - remaining query params SORTED (split → array_sort → rejoin), empty
+   *    query dropped
+   *  - a bare root path normalizes away (`http://x.com/` == `http://x.com`)
+   *
+   * Heuristic-grade by design (full RFC 3986 percent-encoding
+   * normalization needs a real parser); deterministic, so the key is
+   * replayable across engines. Non-URL strings pass through best-effort.
+   */
+  def urlNormalize(url: Column): Column = {
+    val u = trim(url)
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth0 = lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val auth = when(scheme === "http", regexp_replace(auth0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth0, ":443$", ""))
+      .otherwise(auth0)
+    val rest = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    val path0 = regexp_extract(rest, "^([^?]*)", 1)
+    val path = when(path0 === "/", "").otherwise(path0)
+    val query0 = regexp_extract(rest, "\\?(.*)$", 1)
+    // drop tracking params, then sort what survives for an order-free key
+    val kept = filter(split(query0, "&"), p =>
+      !(p.rlike("^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid)=") || p === ""))
+    val query = array_join(array_sort(kept), "&")
+    val canon = concat(scheme, lit("://"), auth, path,
+      when(length(query) > 0, concat(lit("?"), query)).otherwise(lit("")))
+    // not a scheme://... string at all — pass through trimmed
+    when(scheme === "", u).otherwise(canon)
+  }
+
+  /**
    * Deterministic stratified sampling: keep a row iff md5-uniform(seed, id)
    * < rate(stratum). Pure map-side (no shuffle, no state); at 100 TB this
    * composes with the parquet scan and costs one md5 per row. Strata missing

@@ -16,6 +16,21 @@ object PipelineQueries {
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Deterministic messy-URL fixture for the url_normalize/url_dedup
+    * oracles: six variant families keyed by doc_id%6 over forty page ids
+    * (doc_id%40). The same construction runs in the DuckDB oracle; the
+    * EXPECTED canonicals there are hand-derived per family. */
+  private def syntheticUrls(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).selectExpr("doc_id",
+      """CASE CAST(pmod(doc_id, 6) AS INT)
+        |  WHEN 0 THEN concat('HTTP://Example.COM/page/', pmod(doc_id, 40))
+        |  WHEN 1 THEN concat('http://example.com:80/page/', pmod(doc_id, 40), '#section2')
+        |  WHEN 2 THEN concat('https://example.com/page/', pmod(doc_id, 40), '?b=2&a=1&gclid=XYZ')
+        |  WHEN 3 THEN concat('https://example.com/page/', pmod(doc_id, 40), '?a=1&fbclid=J&b=2')
+        |  WHEN 4 THEN concat('http://site', pmod(doc_id, 40), '.Example.com/')
+        |  ELSE concat('http://SITE', pmod(doc_id, 40), '.example.COM')
+        |END AS url""".stripMargin)
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
@@ -1140,6 +1155,28 @@ object PipelineQueries {
       Curation.stratifiedSample(docs(s, d), "doc_id", "lang",
         Map("en" -> 0.25), defaultRate = 0.75, seed = "strat42")
         .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))),
+
+    // URL canonicalization (the crawl pipeline's pre-text dedup key):
+    // deterministic messy-URL variants built from doc_id — case noise,
+    // default ports, fragments, tracking params, param order, root-slash —
+    // and the ORACLE derives every expected canonical BY HAND from the RFC
+    // rules (a CASE per variant family), not by mirroring the regexes, so
+    // it is an independent check of the normalization semantics
+    "url_normalize" -> ((s, d) =>
+      syntheticUrls(s, d)
+        .select(col("doc_id"), col("url"),
+          Curation.urlNormalize(col("url")).as("url_norm"))
+        .orderBy(col("doc_id"))),
+
+    // URL-level dedup over the canonical key: families {0,1}, {2,3} and
+    // {4,5} collapse per page id — keeper = min doc_id, fetch count kept
+    // for the crawl-frequency audit
+    "url_dedup" -> ((s, d) =>
+      syntheticUrls(s, d)
+        .groupBy(Curation.urlNormalize(col("url")).as("url_norm"))
+        .agg(min(col("doc_id")).as("keeper"),
+          count(lit(1)).as("n_fetches"))
+        .orderBy(col("url_norm"))),
 
     // deterministic 90/5/5 train/val/test split audit: assignment is
     // md5-uniform (map-side, stable under reruns/backfills, replayable by
@@ -3078,6 +3115,37 @@ object PipelineQueries {
         |      / 1152921504606846976.0
         |      < CASE WHEN lang = 'en' THEN 0.25 ELSE 0.75 END
         |ORDER BY doc_id""".stripMargin,
+
+    // the messy inputs are rebuilt verbatim; the expected canonicals are
+    // hand-derived per variant family from the RFC rules — an independent
+    // statement of what normalization MUST produce, not a regex mirror
+    "url_normalize" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 6 AS INT)
+        |    WHEN 0 THEN 'HTTP://Example.COM/page/' || CAST(doc_id % 40 AS VARCHAR)
+        |    WHEN 1 THEN 'http://example.com:80/page/' || CAST(doc_id % 40 AS VARCHAR) || '#section2'
+        |    WHEN 2 THEN 'https://example.com/page/' || CAST(doc_id % 40 AS VARCHAR) || '?b=2&a=1&gclid=XYZ'
+        |    WHEN 3 THEN 'https://example.com/page/' || CAST(doc_id % 40 AS VARCHAR) || '?a=1&fbclid=J&b=2'
+        |    WHEN 4 THEN 'http://site' || CAST(doc_id % 40 AS VARCHAR) || '.Example.com/'
+        |    ELSE 'http://SITE' || CAST(doc_id % 40 AS VARCHAR) || '.example.COM'
+        |  END AS url,
+        |  CASE WHEN doc_id % 6 IN (0, 1)
+        |         THEN 'http://example.com/page/' || CAST(doc_id % 40 AS VARCHAR)
+        |       WHEN doc_id % 6 IN (2, 3)
+        |         THEN 'https://example.com/page/' || CAST(doc_id % 40 AS VARCHAR) || '?a=1&b=2'
+        |       ELSE 'http://site' || CAST(doc_id % 40 AS VARCHAR) || '.example.com'
+        |  END AS url_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "url_dedup" ->
+      """WITH c AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 6 IN (0, 1)
+        |         THEN 'http://example.com/page/' || CAST(doc_id % 40 AS VARCHAR)
+        |       WHEN doc_id % 6 IN (2, 3)
+        |         THEN 'https://example.com/page/' || CAST(doc_id % 40 AS VARCHAR) || '?a=1&b=2'
+        |       ELSE 'http://site' || CAST(doc_id % 40 AS VARCHAR) || '.example.com'
+        |  END AS url_norm FROM documents)
+        |SELECT url_norm, min(doc_id) AS keeper, count(*) AS n_fetches
+        |FROM c GROUP BY url_norm ORDER BY url_norm""".stripMargin,
 
     // the merge loop replayed as a recursive CTE: word state = '~'-joined
     // symbol strings (no corpus char collides with '~'), one merge round =

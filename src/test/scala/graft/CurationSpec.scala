@@ -274,4 +274,33 @@ class CurationSpec extends AnyFunSuite {
       Curation.hashSplit(ids, "id", Seq("a" -> 0.5, "b" -> 0.4))
     }
   }
+
+  test("urlNormalize: case, ports, fragments, tracking params, param order, root slash") {
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      // scheme+host lowercase; PATH case preserved (case-sensitive)
+      "HTTP://Example.COM/Page/One" -> "http://example.com/Page/One",
+      // default ports drop only for their scheme
+      "http://example.com:80/a" -> "http://example.com/a",
+      "https://example.com:443/a" -> "https://example.com/a",
+      "http://example.com:443/a" -> "http://example.com:443/a",
+      "http://example.com:8080/a" -> "http://example.com:8080/a",
+      // fragment dropped, tracking params dropped, survivors sorted
+      "http://x.com/a?b=2&utm_source=rss&a=1#top" -> "http://x.com/a?a=1&b=2",
+      // query that is ONLY tracking junk vanishes entirely
+      "http://x.com/a?utm_campaign=spring&gclid=Z" -> "http://x.com/a",
+      // bare root slash == no path
+      "http://x.com/" -> "http://x.com",
+      "http://x.com" -> "http://x.com",
+      // query param VALUES keep their case and their repeats
+      "http://x.com/p?Q=Al&Q=aL" -> "http://x.com/p?Q=Al&Q=aL",
+      // not a URL: best-effort passthrough, trimmed
+      "  not a url  " -> "not a url")
+    val got = cases.map(_._1).toDF("url")
+      .select(Curation.urlNormalize(col("url")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    cases.map(_._2).zip(got).zip(cases.map(_._1)).foreach {
+      case ((want, g), in) => assert(g == want, s"'$in' -> '$g', want '$want'")
+    }
+  }
 }
