@@ -139,6 +139,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     VectorFunctions.injectInto(ext)
     graft.operators.TextAnalysis.injectInto(ext)
     TextIndexTvf.injectInto(ext)
+    WarcTvf.injectInto(ext)
   }
 }
 

@@ -254,6 +254,46 @@ class WarcSourceSpec extends AnyFunSuite {
       s"real PNG header must decode: $meta")
   }
 
+  test("graft_warc TVFs: crawl segments queryable from pure SQL, plans compose") {
+    val fixture = new java.io.File(
+      "src/test/resources/fixtures/warc_gen12/seg-00000.warc.gz").getAbsolutePath
+    val prev = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .withExtensions(new graft.plans.GraftExtensions).getOrCreate()
+      // header-only census through SQL: aggregation composes on the TVF
+      val census = s2.sql(
+        s"""SELECT warcType, count(*) AS n
+           |FROM graft_warc('$fixture', false)
+           |GROUP BY warcType ORDER BY warcType""".stripMargin)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      assert(census == Seq("conversion" -> 1L, "response" -> 4L,
+        "warcinfo" -> 1L), census.toString)
+      // documents bridge + predicate in the enclosing query
+      val docs = s2.sql(
+        s"""SELECT url FROM graft_warc_docs('$fixture')
+           |WHERE text LIKE 'Graft%' ORDER BY url""".stripMargin)
+        .collect().map(_.getString(0)).toSeq
+      assert(docs == Seq("http://example.org/alpha", "http://example.org/alpha"))
+      // media bridge
+      val media = s2.sql(
+        s"SELECT modality, url FROM graft_warc_media('$fixture')").collect()
+      assert(media.length == 1 && media.head.getString(0) == "image")
+      // non-literal glob fails loud
+      val e = intercept[Exception](
+        s2.sql("SELECT * FROM graft_warc(concat('a', 'b'))").collect())
+      assert(e.getMessage.contains("literal"))
+      // NOT s2.stop(): the two sessions share one SparkContext — stopping
+      // it would kill every later suite in this JVM
+    } finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(prev)
+      org.apache.spark.sql.SparkSession.setDefaultSession(prev)
+    }
+  }
+
   test("htmlText is a pure Column pipeline (no UDF): survives codegen and nulls") {
     import spark.implicits._
     val df = Seq(
