@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, TextAnalysis}
@@ -59,10 +59,23 @@ object CrawlIngest {
 
   /** Deterministic provenance id: hash of (segment basename, record
     * ordinal). Stable across replays AND across checkout locations (the
-    * absolute path is not hashed). */
+    * absolute path is not hashed) — which also makes segment BASENAME
+    * uniqueness part of the corpus contract (Common Crawl's names carry
+    * the full crawl/segment coordinates, so they are; two directories both
+    * holding a `seg0.warc.gz` would collide ids). */
   def withDocIds(docs: DataFrame): DataFrame = docs
     .withColumn("file", regexp_extract(col("file"), "([^/]+)$", 1))
     .withColumn("doc_id", xxhash64(col("file"), col("offset")))
+
+  /** STUB text embedding — deterministic hash features, NOT semantic: the
+    * container ships no encoder, so this stands in for the
+    * `mapInPandas`-hosted model call a real deployment swaps in (same
+    * column type, same normalization contract as the `embeddings` table).
+    * Everything downstream — the delta append, freshness-honoring search,
+    * compaction folds — is the real production path. */
+  def stubTextEmbedding(text: Column, dim: Int = 64): Column =
+    transform(sequence(lit(0), lit(dim - 1)),
+      i => (pmod(xxhash64(text, i), lit(997L)) / 997.0 - 0.5).cast("float"))
 
   /**
    * The foreachBatch kernel, callable directly for tests/backfills: ingest
@@ -73,7 +86,8 @@ object CrawlIngest {
   def ingestSegments(spark: SparkSession, segmentPaths: Seq[String],
       documentsPath: String, dedupIndexPath: String, streamBatchId: Long,
       minQuality: Double = 0.35, dedupThreshold: Double = 0.8,
-      textIndexPath: Option[String] = None): Unit = {
+      textIndexPath: Option[String] = None,
+      annIndexPath: Option[String] = None, embedDim: Int = 64): Unit = {
     if (segmentPaths.isEmpty) return
     val conf = spark.sessionState.newHadoopConf()
     val docsMarker = new org.apache.hadoop.fs.Path(
@@ -120,6 +134,18 @@ object CrawlIngest {
       textIndexPath.foreach(tp =>
         graft.operators.TextIndex.appendBatchIdempotent("doc_id", "text",
           tp)(fresh, streamBatchId))
+      // optional ANN leg: survivors become vector-searchable through the
+      // freshness-honoring delta. No marker needed — the ANN ingest is
+      // at-least-once BY DESIGN (replayed rows dedup by row_id at the
+      // fold, and serving is duplicate-tolerant; see
+      // StreamingIngest.appendBatchToDelta's contract). The embedding here
+      // is the documented STUB; swap a real encoder without touching the
+      // plumbing.
+      annIndexPath.foreach(ap =>
+        StreamingIngest.appendBatchToDelta(ap)(
+          fresh.select(col("doc_id").as("row_id"),
+            stubTextEmbedding(col("text"), embedDim).as("vec")),
+          streamBatchId))
       // dedup signatures LAST: the index only becomes foldable once this
       // marker lands, i.e. after every other store committed (see class doc)
       Dedup.appendDedupBatchIdempotent("doc_id", "text", dedupIndexPath)(
@@ -177,6 +203,7 @@ object CrawlIngest {
       // pre-extracted twins (*.warc.wet.gz) — warcToDocuments handles both
       segmentGlob: String = "*.warc*.gz",
       textIndexPath: Option[String] = None,
+      annIndexPath: Option[String] = None, embedDim: Int = 64,
       // tiered folds inside the batch callback once a store's local batch
       // count passes graft.compact.dedupMaxBatches / textMaxBatches
       // (default 64) — the startDedupIngest/startTextIngest autovacuum
@@ -200,7 +227,7 @@ object CrawlIngest {
         val s = batch.sparkSession
         val paths = batch.collect().map(_.getString(0)).toSeq
         ingestSegments(s, paths, documentsPath, dedupIndexPath, batchId,
-          minQuality, dedupThreshold, textIndexPath)
+          minQuality, dedupThreshold, textIndexPath, annIndexPath, embedDim)
         if (autoCompact && paths.nonEmpty) {
           val dedupMax =
             s.conf.get("graft.compact.dedupMaxBatches", "64").toInt

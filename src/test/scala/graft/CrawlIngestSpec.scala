@@ -3,6 +3,7 @@ package graft
 import java.nio.charset.StandardCharsets.UTF_8
 import java.util.zip.GZIPOutputStream
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Dedup
@@ -76,6 +77,15 @@ class CrawlIngestSpec extends AnyFunSuite {
     graft.operators.TextIndex.buildTextIndex(
       Seq((9000L, seedText)).toDF("doc_id", "text"), "doc_id", "text",
       textPath, nBuckets = 8)
+    // ANN leg: seed a small stub-embedding index the bridge appends into
+    val annPath = s"$base/ann_index"
+    graft.index.DiskannIndex.build(
+      (0 until 4).map(i => (9000L + i, s"$seedText seed $i"))
+        .toDF("doc_id", "text")
+        .select(col("doc_id").as("row_id"),
+          CrawlIngest.stubTextEmbedding(col("text")).as("vec")),
+      "row_id", "vec", None, annPath,
+      graft.index.DiskannParams(metric = "cosine"))
 
     // segment A (batch 0): one keeper, one low-quality drop (digit soup),
     // one near-dup of the SEED (one trailing token added: J ~= 12/13)
@@ -86,7 +96,8 @@ class CrawlIngestSpec extends AnyFunSuite {
       html("http://x.test/a3", seedText + " today")))
 
     val q = CrawlIngest.startCrawlIngest(spark, segments.getAbsolutePath,
-      docsPath, dedupPath, ckpt, textIndexPath = Some(textPath))
+      docsPath, dedupPath, ckpt, textIndexPath = Some(textPath),
+      annIndexPath = Some(annPath))
     try {
       q.processAllAvailable()
       val r0 = spark.read.parquet(docsPath)
@@ -128,12 +139,31 @@ class CrawlIngestSpec extends AnyFunSuite {
     assert(bm25Docs() == after.size + 1L,
       s"text index doc count ${bm25Docs()} vs documents ${after.size}+seed")
 
+    // ANN leg: the landed keeper is vector-searchable through the
+    // freshness-honoring path, at its own stub embedding, distance ~0
+    val goodBId = spark.read.parquet(docsPath)
+      .filter(col("url") === "http://x.test/b1")
+      .head().getAs[Long]("doc_id")
+    def annTop1(): (Long, Double) = {
+      val r = graft.streaming.StreamingIngest.searchFresh(spark, annPath,
+        Seq((0L, goodB)).toDF("qid", "text")
+          .select(col("qid"),
+            CrawlIngest.stubTextEmbedding(col("text")).as("qvec")),
+        k = 1, searchListSize = 64, rescore = 64).head()
+      (r.getAs[Long]("row_id"), r.getAs[Double]("dist"))
+    }
+    val (annId, annDist) = annTop1()
+    assert(annId == goodBId && annDist < 1e-6,
+      s"ANN leg missed the landed doc: $annId at $annDist (want $goodBId)")
+
     // full replay of batch 1 (at-least-once retry after both markers): no-op
     val segB = new java.io.File(segments, "segB.warc.gz").getAbsolutePath
     CrawlIngest.ingestSegments(spark, Seq(segB), docsPath, dedupPath, 1L,
-      textIndexPath = Some(textPath))
+      textIndexPath = Some(textPath), annIndexPath = Some(annPath))
     assert(state() == after, "fully-committed replay must be a no-op")
     assert(bm25Docs() == after.size + 1L, "replay must not inflate bm25 stats")
+    assert(annTop1() == ((goodBId, annDist)),
+      "ANN replay must stay duplicate-tolerant")
 
     // torn replay: crash landed the documents AND the dedup signatures but
     // neither marker — delete both markers and re-run. The probe excludes
@@ -148,9 +178,11 @@ class CrawlIngestSpec extends AnyFunSuite {
       s"$textPath/_stream/b${graft.operators.TextIndex.STREAM_BATCH_BASE + 1L}"),
       false)
     CrawlIngest.ingestSegments(spark, Seq(segB), docsPath, dedupPath, 1L,
-      textIndexPath = Some(textPath))
+      textIndexPath = Some(textPath), annIndexPath = Some(annPath))
     assert(state() == after,
       "torn replay must rewrite the batch, never duplicate or drop it")
+    assert(annTop1()._1 == goodBId,
+      "ANN state must survive the torn replay (duplicates fold away)")
     assert(bm25Docs() == after.size + 1L,
       "torn replay must replace the text batch, not re-append it")
 
