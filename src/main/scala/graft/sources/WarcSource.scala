@@ -1,8 +1,6 @@
 package graft.sources
 
 import java.io.{BufferedInputStream, EOFException, InputStream}
-import java.util.zip.GZIPInputStream
-
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -18,8 +16,9 @@ import org.apache.spark.sql.functions._
  * STREAMS records off it (memory is O(one record), never O(file); the
  * 100 TB job is bounded by segment count × segment scan, embarrassingly
  * parallel, zero shuffle). Common Crawl gzips one MEMBER per record
- * precisely so a streaming reader can resynchronize; the JDK's
- * `GZIPInputStream` concatenates members transparently, so the same code
+ * precisely so a streaming reader can resynchronize; member framing is
+ * parsed EXPLICITLY ([[MultiMemberGzipInputStream]] — the JDK reader's
+ * concatenation heuristic has silent-truncation modes), so the same code
  * path serves per-record-gzipped and whole-file-gzipped segments. A
  * header-only projection (`keepPayload = false`) drops the payload bytes
  * map-side for index/census passes over the crawl.
@@ -45,7 +44,7 @@ object WarcSource {
   /**
    * Read WARC segments under `pathGlob` (any Hadoop-visible glob) into a
    * DataFrame of records. `gzipped = true` (the crawl default) layers a
-   * multi-member-aware GZIPInputStream over each segment;
+   * multi-member-exact [[MultiMemberGzipInputStream]] over each segment;
    * `keepPayload = false` emits empty payloads (header census without the
    * bytes ever leaving the task's read buffer).
    */
@@ -57,66 +56,143 @@ object WarcSource {
       else spark.sparkContext.defaultParallelism
     spark.sparkContext.binaryFiles(pathGlob, mp)
       .flatMap { case (file, pds) =>
-        val raw = if (gzipped) new EofProbingInputStream(pds.open())
-          else pds.open()
         val in = new BufferedInputStream(
-          if (gzipped) new GZIPInputStream(raw, 1 << 16) else raw, 1 << 16)
+          if (gzipped) new MultiMemberGzipInputStream(pds.open())
+          else pds.open(), 1 << 16)
         // a consumer that abandons the iterator early (df.limit, a failed
         // task) never drains it — close on task completion as the backstop
         // so the handle + inflater don't outlive the task (closeOnExhaust
         // is idempotent via its `closed` flag; double-close is a no-op)
         Option(org.apache.spark.TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit](_ => in.close()))
-        closeOnExhaust(parseStream(file, in, keepPayload), in, () =>
-          // drain-time exhaustion check: the JDK gzip reader treats a
-          // malformed next-member header as clean EOF (readTrailer swallows
-          // the IOException) — raw bytes left behind mean records were about
-          // to be silently dropped, which in a dedup corpus is data loss
-          if (gzipped && raw.read() >= 0) throw new java.io.IOException(
-            s"$file: trailing bytes after gzip EOF — corrupt or non-gzip " +
-              "member boundary; records would be silently dropped"))
+        closeOnExhaust(parseStream(file, in, keepPayload), in)
       }
       .toDF()
   }
 
   /**
-   * Defeats the JDK `GZIPInputStream` multi-member truncation heuristic:
-   * at a member boundary it continues to the next member only if
-   * `in.available() > 0` or the inflater holds >26 leftover bytes — but on
-   * Hadoop/S3A input streams `available()` can legitimately return 0
-   * mid-file, so a multi-member Common Crawl segment would SILENTLY drop
-   * every record after the first boundary that lands on an empty buffer.
-   * This wrapper makes `available()` authoritative: it answers 0 only at
-   * true EOF, proven by a blocking one-byte read-ahead (fine here — the
-   * consumer is a batch parser, not a non-blocking poller).
+   * Exact multi-member gzip reader — replaces the JDK `GZIPInputStream`
+   * concatenation HEURISTIC, which has two silent-data-loss modes on crawl
+   * segments (one gzip member per record, millions of boundaries):
+   *
+   *  1. older JDKs continue past a member boundary only when
+   *     `in.available() > 0` or the inflater holds >26 leftover bytes — on
+   *     Hadoop/S3A streams `available()` can legitimately be 0 mid-file,
+   *     so every record after such a boundary is silently dropped;
+   *  2. every JDK swallows a malformed next-member header (`readTrailer`
+   *     catches the IOException and reports clean EOF), so a corrupt
+   *     boundary silently drops the rest of the segment.
+   *
+   * This reader owns the framing: gzip headers are parsed explicitly
+   * (flags, FEXTRA/FNAME/FCOMMENT/FHCRC), each member inflates with a raw
+   * `Inflater`, leftover read-ahead is PUSHED BACK at member end, trailers
+   * verify CRC32 + ISIZE, and non-gzip bytes at a member boundary throw
+   * with the offending magic — a dropped record is impossible without a
+   * loud error, whatever the stream's `available()` semantics.
    */
-  private[graft] final class EofProbingInputStream(in: InputStream)
-      extends java.io.PushbackInputStream(in, 1) {
-    override def available(): Int = {
-      val a = super.available()
-      if (a > 0) a
-      else {
-        val b = read()
-        if (b < 0) 0 else { unread(b); 1 }
-      }
+  private[graft] final class MultiMemberGzipInputStream(raw0: InputStream)
+      extends InputStream {
+    private val BUF = 1 << 16
+    private val raw = new java.io.PushbackInputStream(raw0, BUF)
+    private val inf = new java.util.zip.Inflater(true)
+    private val crc = new java.util.zip.CRC32()
+    private val inBuf = new Array[Byte](BUF)
+    private var lastFill = 0
+    private var inMember = false
+    private var eof = false
+
+    private def readU8(): Int = {
+      val b = raw.read()
+      if (b < 0) throw new EOFException("gzip: truncated header/trailer")
+      b
     }
+    private def skipN(n: Int): Unit = (0 until n).foreach(_ => readU8())
+    private def readU32(): Long =
+      readU8() | (readU8() << 8) | (readU8() << 16) | (readU8().toLong << 24)
+
+    /** Parse the next member header; false at clean EOF; LOUD on anything
+      * that is not a well-formed gzip member start. */
+    private def tryStartMember(): Boolean = {
+      val b0 = raw.read()
+      if (b0 < 0) return false
+      val b1 = raw.read()
+      if (b1 < 0 || b0 != 0x1f || b1 != 0x8b)
+        throw new java.io.IOException(
+          f"gzip: expected member magic 1f 8b at member boundary, got " +
+            f"0x$b0%02x${if (b1 < 0) " <eof>" else f" 0x$b1%02x"} — corrupt " +
+            "or non-gzip bytes; records would otherwise be silently dropped")
+      val method = readU8()
+      if (method != 8) throw new java.io.IOException(
+        s"gzip: unsupported compression method $method")
+      val flags = readU8()
+      skipN(6) // MTIME(4) XFL OS
+      if ((flags & 0x04) != 0) { // FEXTRA
+        val lo = readU8(); val hi = readU8(); skipN(lo | (hi << 8))
+      }
+      if ((flags & 0x08) != 0) while (readU8() != 0) () // FNAME
+      if ((flags & 0x10) != 0) while (readU8() != 0) () // FCOMMENT
+      if ((flags & 0x02) != 0) skipN(2) // FHCRC
+      inf.reset(); crc.reset(); inMember = true
+      true
+    }
+
+    /** Push back the inflater's read-ahead (the next member's bytes), then
+      * verify this member's trailer. */
+    private def finishMember(): Unit = {
+      val rem = inf.getRemaining
+      if (rem > 0) raw.unread(inBuf, lastFill - rem, rem)
+      val crcV = readU32()
+      val isize = readU32()
+      if (crc.getValue != crcV) throw new java.io.IOException(
+        f"gzip: member CRC mismatch (got 0x${crc.getValue}%08x, " +
+          f"trailer 0x$crcV%08x)")
+      if ((inf.getBytesWritten & 0xffffffffL) != isize)
+        throw new java.io.IOException("gzip: member ISIZE mismatch")
+      inMember = false
+    }
+
+    override def read(): Int = {
+      val b = new Array[Byte](1)
+      val n = read(b, 0, 1)
+      if (n < 0) -1 else b(0) & 0xff
+    }
+
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (eof) return -1
+      if (len == 0) return 0
+      if (!inMember && !tryStartMember()) { eof = true; return -1 }
+      var n = 0
+      while (n == 0) {
+        if (inf.finished()) {
+          finishMember()
+          if (!tryStartMember()) { eof = true; return -1 }
+        }
+        if (inf.needsInput()) {
+          lastFill = raw.read(inBuf, 0, BUF)
+          if (lastFill < 0) throw new EOFException(
+            "gzip: truncated member (EOF inside deflate stream)")
+          inf.setInput(inBuf, 0, lastFill)
+        }
+        n = inf.inflate(b, off, len)
+        if (n == 0 && inf.needsDictionary()) throw new java.io.IOException(
+          "gzip: preset dictionary not supported")
+      }
+      crc.update(b, off, n)
+      n
+    }
+
+    override def close(): Unit = { inf.end(); raw.close() }
   }
 
   /** Wrap a record iterator so the underlying stream closes exactly when
     * the iterator drains (flatMap over binaryFiles has no other close
-    * hook) — and also on a parse failure, before the error propagates.
-    * `onDrain` runs once at clean exhaustion, BEFORE the close (the
-    * trailing-bytes probe above needs the stream still open). */
+    * hook) — and also on a parse failure, before the error propagates. */
   private def closeOnExhaust(it: Iterator[WarcRecord],
-      in: InputStream, onDrain: () => Unit = () => ()):
-      Iterator[WarcRecord] = new Iterator[WarcRecord] {
+      in: InputStream): Iterator[WarcRecord] = new Iterator[WarcRecord] {
     private var closed = false
     override def hasNext: Boolean = {
-      val h = try {
-        val more = it.hasNext
-        if (!more && !closed) onDrain()
-        more
-      } catch { case e: Throwable => if (!closed) { closed = true; in.close() }; throw e }
+      val h = try it.hasNext
+        catch { case e: Throwable => if (!closed) { closed = true; in.close() }; throw e }
       if (!h && !closed) { closed = true; in.close() }
       h
     }
@@ -244,33 +320,35 @@ object WarcSource {
     // they can never pollute shingles/n-grams downstream. All regex, all
     // codegen'd — no UDF.
     // one pattern per TARGET CHARACTER, named|decimal|hex alternates
-    // folded together — the high-frequency entities of real crawl HTML
+    // folded together — the high-frequency entities of real crawl HTML.
+    // Numeric forms tolerate leading zeros (`&#038;` is what WordPress —
+    // the single most common CMS in any crawl — emits for ampersand)
     val entities = Seq(
-      "nbsp|#160|#[xX][aA]0" -> " ",
-      "lt|#60|#[xX]3[cC]" -> "<",
-      "gt|#62|#[xX]3[eE]" -> ">",
-      "quot|#34|#[xX]22" -> "\"",
-      "apos|#39|#[xX]27" -> "'",
-      "ndash|#8211|#[xX]2013" -> "–",
-      "mdash|#8212|#[xX]2014" -> "—",
-      "lsquo|#8216|#[xX]2018" -> "‘",
-      "rsquo|#8217|#[xX]2019" -> "’",
-      "ldquo|#8220|#[xX]201[cC]" -> "“",
-      "rdquo|#8221|#[xX]201[dD]" -> "”",
-      "hellip|#8230|#[xX]2026" -> "…",
-      "middot|#183|#[xX][bB]7" -> "·",
-      "copy|#169|#[xX][aA]9" -> "©",
-      "reg|#174|#[xX][aA][eE]" -> "®",
-      "trade|#8482|#[xX]2122" -> "™",
-      "eacute|#233|#[xX][eE]9" -> "é")
+      "nbsp|#0*160|#[xX]0*[aA]0" -> " ",
+      "lt|#0*60|#[xX]0*3[cC]" -> "<",
+      "gt|#0*62|#[xX]0*3[eE]" -> ">",
+      "quot|#0*34|#[xX]0*22" -> "\"",
+      "apos|#0*39|#[xX]0*27" -> "'",
+      "ndash|#0*8211|#[xX]0*2013" -> "–",
+      "mdash|#0*8212|#[xX]0*2014" -> "—",
+      "lsquo|#0*8216|#[xX]0*2018" -> "‘",
+      "rsquo|#0*8217|#[xX]0*2019" -> "’",
+      "ldquo|#0*8220|#[xX]0*201[cC]" -> "“",
+      "rdquo|#0*8221|#[xX]0*201[dD]" -> "”",
+      "hellip|#0*8230|#[xX]0*2026" -> "…",
+      "middot|#0*183|#[xX]0*[bB]7" -> "·",
+      "copy|#0*169|#[xX]0*[aA]9" -> "©",
+      "reg|#0*174|#[xX]0*[aA][eE]" -> "®",
+      "trade|#0*8482|#[xX]0*2122" -> "™",
+      "eacute|#0*233|#[xX]0*[eE]9" -> "é")
     val numDone = entities.foldLeft(noTags) { case (c, (pat, to)) =>
       regexp_replace(c, s"&(?:$pat);", to)
     }
     // strip every remaining numeric reference EXCEPT the ampersand ones
     // (those join `&amp;` in the final, order-sensitive pass)
     val stripped = regexp_replace(numDone,
-      "&#(?!38;|[xX]26;)(?:\\d{1,7}|[xX][0-9a-fA-F]{1,6});", " ")
-    val decoded = regexp_replace(stripped, "&amp;|&#38;|&#[xX]26;", "&")
+      "&#(?!0*38;|[xX]0*26;)(?:\\d{1,7}|[xX][0-9a-fA-F]{1,6});", " ")
+    val decoded = regexp_replace(stripped, "&amp;|&#0*38;|&#[xX]0*26;", "&")
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 

@@ -104,10 +104,14 @@ object CrawlIngest {
     if (docsFs.exists(docsMarker) && dedupFs.exists(dedupMarker) && textDone)
       return
 
-    val docs = withDocIds(WarcSource.warcToDocuments(
-      WarcSource.readWarc(spark, segmentPaths.sorted.mkString(","))))
-    val gated = docs.filter(
-      TextAnalysis.qualityScore(col("text")) >= minQuality)
+    // pin the parsed+gated batch ONCE: four consumers follow (corpus
+    // probe, in-batch pairs, documents write, signature/vector appends),
+    // and without the checkpoint each would re-run the gunzip+parse+
+    // extract+quality subtree — 3-4x the per-segment I/O and CPU
+    val gated = withDocIds(WarcSource.warcToDocuments(
+        WarcSource.readWarc(spark, segmentPaths.sorted.mkString(","))))
+      .filter(TextAnalysis.qualityScore(col("text")) >= minQuality)
+      .localCheckpoint()
     // near-dups against the CORPUS state (minus this batch's own physical
     // contribution — replay stability, see the class doc)
     val corpusDups = Dedup.nearDupAgainstDedupIndex(spark, dedupIndexPath,
@@ -115,16 +119,26 @@ object CrawlIngest {
         excludeBatch = Dedup.STREAM_BATCH_BASE + streamBatchId)
       .select(col("batch_id").as("doc_id")).distinct()
     // in-batch near-dups: keep the smallest doc_id of each pair —
-    // deterministic, so a replay collapses identically
+    // deterministic, so a replay collapses identically. Candidate geometry
+    // comes from the stored index's OWN params: a pair arriving in one
+    // batch must face the same false-negative rate as the same pair split
+    // across batches (which the corpus probe handles at idxmeta geometry)
+    val im = spark.read.parquet(s"$dedupIndexPath/idxmeta").head()
     val inBatchDups = Dedup.minhashNearDupPairs(
         gated.join(broadcast(corpusDups), Seq("doc_id"), "left_anti"),
-        "doc_id", "text", threshold = dedupThreshold)
+        "doc_id", "text", shingleSize = im.getAs[Int]("shingle_size"),
+        numHashes = im.getAs[Int]("num_hashes"),
+        bands = im.getAs[Int]("bands"), threshold = dedupThreshold)
       .select(greatest(col("id_a"), col("id_b")).as("doc_id")).distinct()
     val fresh = gated
       .join(broadcast(corpusDups), Seq("doc_id"), "left_anti")
       .join(broadcast(inBatchDups), Seq("doc_id"), "left_anti")
-      // two passes consume `fresh` (documents write + signature append):
-      // pin it so the parse/probe doesn't run twice
+      // pinned for its own reason (beyond the re-compute cost): the dedup
+      // append below DELETES this batch's torn partition dirs before
+      // rewriting them, and an unpinned `fresh` would re-execute the probe
+      // plan mid-append against the just-deleted signature files
+      // (FILE_NOT_EXIST on a torn replay). Materializing here runs the
+      // probes exactly once, strictly before any store mutates.
       .localCheckpoint()
     try {
       appendDocumentsIdempotent(fresh, documentsPath, streamBatchId)
@@ -150,7 +164,7 @@ object CrawlIngest {
       // marker lands, i.e. after every other store committed (see class doc)
       Dedup.appendDedupBatchIdempotent("doc_id", "text", dedupIndexPath)(
         fresh, streamBatchId)
-    } finally fresh.unpersist()
+    } finally { fresh.unpersist(); gated.unpersist() }
   }
 
   /** Replace-by-batch documents append: scrub `crawl_b<id>_`-prefixed
@@ -239,6 +253,13 @@ object CrawlIngest {
             if (graft.operators.TextIndex.localBatchCount(s, tp) > textMax)
               graft.operators.TextIndex.compactTextIndex(s, tp, tiered = true)
           }
+          // the ANN leg folds through the delta autovacuum (startDeltaIngest
+          // thresholds) — without this the vector delta grows without bound
+          // and every fresh search pays an ever-larger exact delta pass
+          annIndexPath.foreach(ap =>
+            StreamingIngest.maybeCompact(s, ap,
+              s.conf.get("graft.compact.maxDeltaRows", "100000").toLong,
+              s.conf.get("graft.compact.maxDeltaFrac", "0.1").toDouble))
           ()
         }
       }

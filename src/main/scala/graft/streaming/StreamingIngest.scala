@@ -581,7 +581,8 @@ object StreamingIngest {
     // list-then-read race the fresh-search paths defend) re-lists and sees
     // the post-compact (smaller or empty) delta — the check then correctly
     // comes back not-due
-    val deltaRows = readDeltaSnapshot(spark, indexPath, eager = false) match {
+    val deltaSnap = readDeltaSnapshot(spark, indexPath, eager = false)
+    val deltaRows = deltaSnap match {
       case None => return false
       case Some(df) => df.count()
     }
@@ -608,8 +609,18 @@ object StreamingIngest {
       val staleFraction = spark.conf
         .get("graft.reindex.staleFraction", "2.0").toDouble
       val trained = meta.map(_.fullBuildRows).getOrElse(0L)
-      val stale = staleFraction > 0 && trained > 0 &&
-        (mainRows + deltaRows - trained).toDouble / trained >= staleFraction
+      // growth estimate from UNIQUE delta ids, not raw rows: at-least-once
+      // ingest leaves replay duplicates in the delta, and a duplicate adds
+      // no model staleness but would bias the trigger toward a premature
+      // O(corpus) retraining rebuild — the single cost this threshold
+      // exists to ration. (Unique ids already present in main still count
+      // once — bounded bias, and the fold consumes them either way.) The
+      // distinct count is paid only on fold-due batches, over the bounded
+      // delta.
+      val stale = staleFraction > 0 && trained > 0 && {
+        val uniqueDelta = deltaSnap.get.select("row_id").distinct().count()
+        (mainRows + uniqueDelta - trained).toDouble / trained >= staleFraction
+      }
       if (stale) compact(spark, indexPath, tune, force = true)
       else compact(spark, indexPath, tune)
     }

@@ -772,10 +772,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(m2.numRows == 500 && m2.fullBuildRows == 500 && m2.modelCount == 500,
       s"staleness must escalate into a retraining REINDEX: $m2")
 
-    // fold 4: a duplicate-only delta (at-least-once replay shape) — folds
-    // incrementally, models stay: EXACTLY one REINDEX fired
-    appendDelta(450, 500)
-    assert(StreamingIngest.maybeCompact(spark, path, maxDeltaRows = 1))
+    // fold 4: a TRIPLE-replayed duplicate-only delta (at-least-once shape:
+    // 150 raw rows, 50 unique, 0 new) under a threshold the RAW count
+    // would cross ((500+150-500)/500 = 0.3 >= 0.25) but the unique count
+    // must not ((500+50-500)/500 = 0.1) — replay duplicates add no model
+    // staleness and must not buy a premature O(corpus) REINDEX
+    spark.conf.set("graft.reindex.staleFraction", "0.25")
+    try {
+      appendDelta(450, 500); appendDelta(450, 500); appendDelta(450, 500)
+      assert(StreamingIngest.maybeCompact(spark, path, maxDeltaRows = 1))
+    } finally spark.conf.unset("graft.reindex.staleFraction")
     val m3 = DiskannIndex.loadMeta(spark, path)
     assert(m3.numRows == 500 && m3.fullBuildRows == 500 && m3.modelCount == 500,
       s"post-REINDEX folds must go back to incremental: $m3")

@@ -128,23 +128,25 @@ class WarcSourceSpec extends AnyFunSuite {
       s"WET passthrough diverged: '${wetDocs.head.getAs[String]("text")}'")
   }
 
-  test("multi-member gzip survives available()==0 boundaries (the S3A/HDFS stream shape)") {
-    // Hadoop input streams can legitimately answer available()=0 mid-file;
-    // the JDK GZIPInputStream then silently STOPS at a member boundary when
-    // the inflater holds <=26 leftover bytes. Model that stream shape:
-    // available()=0 always, and reads dole out ONE byte per call so the
-    // inflater never holds a read-ahead of the next member.
+  test("MultiMemberGzipInputStream: exact framing on hostile streams, loud on every corruption") {
+    // Hadoop input streams can legitimately answer available()=0 mid-file
+    // and dole out tiny reads; the JDK GZIPInputStream's concatenation
+    // heuristic silently truncates there (and silently swallows corrupt
+    // next-member headers on EVERY JDK). The explicit-framing reader must
+    // read both members regardless, and fail LOUD on corruption.
     class StingyStream(in: java.io.InputStream)
         extends java.io.FilterInputStream(in) {
       override def available(): Int = 0
       override def read(b: Array[Byte], off: Int, len: Int): Int =
         super.read(b, off, math.min(len, 1))
     }
-    val gz = new java.io.ByteArrayOutputStream()
-    Seq("first-member-payload", "second-member-payload").foreach { s =>
-      val g = new GZIPOutputStream(gz); g.write(s.getBytes(UTF_8)); g.finish(); g.close()
+    def members(ss: String*): Array[Byte] = {
+      val gz = new java.io.ByteArrayOutputStream()
+      ss.foreach { s =>
+        val g = new GZIPOutputStream(gz); g.write(s.getBytes(UTF_8)); g.finish(); g.close()
+      }
+      gz.toByteArray
     }
-    val bytes = gz.toByteArray
     def drain(in: java.io.InputStream): String = {
       val out = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](256)
@@ -152,25 +154,45 @@ class WarcSourceSpec extends AnyFunSuite {
       while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
       new String(out.toByteArray, UTF_8)
     }
-    // This JDK build (17.0.20 Debian) ships the fixed readTrailer that
-    // attempts the next member unconditionally (bytecode shows no
-    // available() call), so the hazard does not reproduce HERE — but the
-    // heuristic is live in older JDK 17 builds and every JDK 8/11, and the
-    // wrapper must be a strict no-op on fixed runtimes. Assert both paths
-    // read both members on the hostile stream shape.
-    val plainJdk = drain(new java.util.zip.GZIPInputStream(
-      new StingyStream(new ByteArrayInputStream(bytes)), 1 << 16))
-    val full = drain(new java.util.zip.GZIPInputStream(
-      new WarcSource.EofProbingInputStream(
-        new StingyStream(new ByteArrayInputStream(bytes))), 1 << 16))
+    val two = members("first-member-payload", "second-member-payload")
+    // hostile stream shape: full content anyway
+    val full = drain(new WarcSource.MultiMemberGzipInputStream(
+      new StingyStream(new ByteArrayInputStream(two))))
     assert(full == "first-member-payloadsecond-member-payload", s"got '$full'")
-    assert(plainJdk == full,
-      "wrapper must be transparent when the runtime already concatenates")
-    // the wrapper's own contract: available() answers 0 only at true EOF
-    val probe = new WarcSource.EofProbingInputStream(
-      new StingyStream(new ByteArrayInputStream("x".getBytes(UTF_8))))
-    assert(probe.available() == 1 && probe.read() == 'x' &&
-      probe.available() == 0 && probe.read() == -1)
+    // normal stream shape: identical
+    assert(drain(new WarcSource.MultiMemberGzipInputStream(
+      new ByteArrayInputStream(two))) == full)
+
+    // SMALL trailing garbage (the case the JDK heuristic swallows after
+    // buffering it into the inflater read-ahead): loud, names the magic
+    val trail = intercept[java.io.IOException] {
+      drain(new WarcSource.MultiMemberGzipInputStream(
+        new ByteArrayInputStream(two ++ Array[Byte](0x51, 0x51, 0x51))))
+    }
+    assert(trail.getMessage.contains("member magic"), trail.getMessage)
+
+    // corrupt bytes BETWEEN members: loud, second member never silently lost
+    val m1 = members("first-member-payload")
+    val m2 = members("second-member-payload")
+    val between = intercept[java.io.IOException] {
+      drain(new WarcSource.MultiMemberGzipInputStream(
+        new ByteArrayInputStream(m1 ++ Array[Byte](0, 1, 2, 3) ++ m2)))
+    }
+    assert(between.getMessage.contains("member magic"), between.getMessage)
+
+    // flipped payload byte: CRC mismatch is loud
+    val corrupt = two.clone()
+    corrupt(m1.length / 2) = (corrupt(m1.length / 2) ^ 0x40).toByte
+    intercept[java.io.IOException] {
+      drain(new WarcSource.MultiMemberGzipInputStream(
+        new ByteArrayInputStream(corrupt)))
+    }
+
+    // truncated mid-member: loud EOF, never a short clean stream
+    intercept[java.io.EOFException] {
+      drain(new WarcSource.MultiMemberGzipInputStream(
+        new ByteArrayInputStream(two.dropRight(m2.length / 2))))
+    }
   }
 
   test("warcToDocuments: raw text/html payloads are NOT split at the first blank line") {
@@ -195,12 +217,14 @@ class WarcSourceSpec extends AnyFunSuite {
       // &#160; / &#xA0; (nbsp), &#8217;/&#x2019; (apostrophe) decode;
       // an uncommon ref (&#9731; snowman) strips to a space;
       // &#38;/&#x26; decode to & LAST
-      "A&#160;B&#xA0;C it&#8217;s it&#x2019;s x&#9731;y a&#38;b c&#x26;d",
+      "A&#160;B&#xA0;C it&#8217;s it&#x2019;s x&#9731;y a&#38;b c&#x26;d " +
+        "Fish&#0160;&#038;&#x026; chips&#08217;",
       // escaped entities must survive as literal text (single decode only)
       "&amp;lt; &amp;#8217; &amp;amp;").toDF("h")
       .select(WarcSource.htmlText(col("h")).as("t"))
     val got = df.collect().map(_.getString(0))
-    assert(got(0) == "A B C it’s it’s x y a&b c&d", s"got '${got(0)}'")
+    assert(got(0) == "A B C it’s it’s x y a&b c&d Fish && chips’",
+      s"got '${got(0)}'")
     assert(got(1) == "&lt; &#8217; &amp;", s"double-decode: got '${got(1)}'")
     assert(!df.queryExecution.executedPlan.toString.contains("UDF"))
   }
@@ -211,17 +235,20 @@ class WarcSourceSpec extends AnyFunSuite {
     val gz = new java.io.ByteArrayOutputStream()
     val g = new GZIPOutputStream(gz)
     g.write(rec("response", "http://example.com/a", html)); g.finish(); g.close()
-    // trailing garbage larger than the 64 KiB inflater read-ahead, so some
-    // of it is provably still in the raw stream at gzip EOF
-    val garbage = Array.fill[Byte](80000)(0x51)
+    // SMALL garbage — small enough to sit entirely inside the inflater
+    // read-ahead, the case the JDK reader's heuristic swallows silently;
+    // the explicit-framing reader must fail loud regardless
+    val garbage = Array.fill[Byte](24)(0x51)
     java.nio.file.Files.write(new java.io.File(dir, "trail.warc.gz").toPath,
       gz.toByteArray ++ garbage)
     val e = intercept[org.apache.spark.SparkException] {
       WarcSource.readWarc(spark, s"$dir/trail.warc.gz").count()
     }
-    assert(e.getMessage.contains("trailing bytes") ||
-      Option(e.getCause).exists(_.getMessage.contains("trailing bytes")),
-      s"expected loud trailing-bytes failure, got: ${e.getMessage.take(200)}")
+    def mentionsMagic(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("member magic")) ||
+        mentionsMagic(t.getCause))
+    assert(mentionsMagic(e),
+      s"expected loud member-magic failure, got: ${e.getMessage.take(200)}")
   }
 
   test("warcToMedia: image responses flow into the multimodal decode pass") {
