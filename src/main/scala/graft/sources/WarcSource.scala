@@ -90,20 +90,36 @@ object WarcSource {
    * with the offending magic — a dropped record is impossible without a
    * loud error, whatever the stream's `available()` semantics.
    */
-  private[graft] final class MultiMemberGzipInputStream(raw0: InputStream)
+  private[graft] final class MultiMemberGzipInputStream(raw: InputStream)
       extends InputStream {
     private val BUF = 1 << 16
-    private val raw = new java.io.PushbackInputStream(raw0, BUF)
     private val inf = new java.util.zip.Inflater(true)
     private val crc = new java.util.zip.CRC32()
+    // one owned read-ahead window over `raw`: [pos, end) is unconsumed.
+    // Header/trailer bytes read from it directly; the inflater is handed
+    // the window and its leftover is RECLAIMED by moving `pos` back —
+    // zero copies at member boundaries (a PushbackInputStream design
+    // memcpy'd the ~64 KiB read-ahead twice per member, which at Common
+    // Crawl's ~1 KiB members dominated the decode cost).
     private val inBuf = new Array[Byte](BUF)
-    private var lastFill = 0
+    private var pos = 0
+    private var end = 0
     private var inMember = false
     private var eof = false
 
+    /** Ensure the window is non-empty; false at raw EOF. */
+    private def fillWindow(): Boolean =
+      pos < end || {
+        end = raw.read(inBuf, 0, BUF)
+        pos = 0
+        end > 0
+      }
+
     private def readU8(): Int = {
-      val b = raw.read()
-      if (b < 0) throw new EOFException("gzip: truncated header/trailer")
+      if (!fillWindow()) throw new EOFException(
+        "gzip: truncated header/trailer")
+      val b = inBuf(pos) & 0xff
+      pos += 1
       b
     }
     private def skipN(n: Int): Unit = (0 until n).foreach(_ => readU8())
@@ -113,10 +129,10 @@ object WarcSource {
     /** Parse the next member header; false at clean EOF; LOUD on anything
       * that is not a well-formed gzip member start. */
     private def tryStartMember(): Boolean = {
-      val b0 = raw.read()
-      if (b0 < 0) return false
-      val b1 = raw.read()
-      if (b1 < 0 || b0 != 0x1f || b1 != 0x8b)
+      if (!fillWindow()) return false
+      val b0 = readU8()
+      val b1 = if (fillWindow()) readU8() else -1
+      if (b0 != 0x1f || b1 != 0x8b)
         throw new java.io.IOException(
           f"gzip: expected member magic 1f 8b at member boundary, got " +
             f"0x$b0%02x${if (b1 < 0) " <eof>" else f" 0x$b1%02x"} — corrupt " +
@@ -136,11 +152,10 @@ object WarcSource {
       true
     }
 
-    /** Push back the inflater's read-ahead (the next member's bytes), then
-      * verify this member's trailer. */
+    /** Reclaim the inflater's read-ahead (the trailer + next member's
+      * bytes) by moving `pos`, then verify this member's trailer. */
     private def finishMember(): Unit = {
-      val rem = inf.getRemaining
-      if (rem > 0) raw.unread(inBuf, lastFill - rem, rem)
+      pos = end - inf.getRemaining
       val crcV = readU32()
       val isize = readU32()
       if (crc.getValue != crcV) throw new java.io.IOException(
@@ -168,10 +183,10 @@ object WarcSource {
           if (!tryStartMember()) { eof = true; return -1 }
         }
         if (inf.needsInput()) {
-          lastFill = raw.read(inBuf, 0, BUF)
-          if (lastFill < 0) throw new EOFException(
+          if (!fillWindow()) throw new EOFException(
             "gzip: truncated member (EOF inside deflate stream)")
-          inf.setInput(inBuf, 0, lastFill)
+          inf.setInput(inBuf, pos, end - pos)
+          pos = end // handed to the inflater; reclaimed at member end
         }
         n = inf.inflate(b, off, len)
         if (n == 0 && inf.needsDictionary()) throw new java.io.IOException(

@@ -102,6 +102,33 @@ object CrawlProbe {
     val tBig = timed(CrawlIngest.ingestSegments(spark,
       Seq(big.getAbsolutePath), docsPath, dedupPath, 100L))
     println(f"[crawl] big segment (${perDoc * 4} docs) t=$tBig%.2fs")
+
+    // probe 3: raw decode throughput of the explicit-framing gzip reader
+    // vs the JDK reader on the same multi-member bytes — the hand-rolled
+    // framing must not tax the decode (both bottleneck on Inflater)
+    val bytes = java.nio.file.Files.readAllBytes(big.toPath)
+    def drainAll(mk: () => java.io.InputStream): (Double, Long) = {
+      var total = 0L
+      val t = timed {
+        (0 until 5).foreach { _ =>
+          val in = mk(); val buf = new Array[Byte](1 << 16)
+          var n = in.read(buf)
+          while (n >= 0) { total += n; n = in.read(buf) }
+          in.close()
+        }
+      }
+      (t, total)
+    }
+    drainAll(() => new graft.sources.WarcSource.MultiMemberGzipInputStream(
+      new java.io.ByteArrayInputStream(bytes))) // JIT warm-up
+    val (tOurs, nOurs) = drainAll(() =>
+      new graft.sources.WarcSource.MultiMemberGzipInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+    val (tJdk, nJdk) = drainAll(() => new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes), 1 << 16))
+    require(nOurs == nJdk, s"decoded byte counts diverged: $nOurs vs $nJdk")
+    println(f"[crawl] gzip decode: ours=${nOurs / tOurs / 1e6}%.0f MB/s " +
+      f"jdk=${nJdk / tJdk / 1e6}%.0f MB/s (${nOurs / 5} bytes/pass)")
     spark.stop()
   }
 }

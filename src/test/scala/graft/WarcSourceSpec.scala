@@ -193,6 +193,35 @@ class WarcSourceSpec extends AnyFunSuite {
       drain(new WarcSource.MultiMemberGzipInputStream(
         new ByteArrayInputStream(two.dropRight(m2.length / 2))))
     }
+
+    // an EMPTY member between data members parses through
+    assert(drain(new WarcSource.MultiMemberGzipInputStream(
+      new ByteArrayInputStream(members("a", "", "b")))) == "ab")
+
+    // optional header fields (FEXTRA|FNAME|FCOMMENT|FHCRC — real crawl
+    // members carry FNAME routinely; the JDK writer never emits them, so
+    // hand-craft the header around a raw deflate stream)
+    val payload = "optional-header-member".getBytes(UTF_8)
+    val deflater = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    deflater.setInput(payload); deflater.finish()
+    val dbuf = new Array[Byte](256)
+    val dlen = deflater.deflate(dbuf)
+    deflater.end()
+    val crc = new java.util.zip.CRC32(); crc.update(payload)
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val fancy =
+      Array[Byte](0x1f, 0x8b.toByte, 8, 0x1e, 0, 0, 0, 0, 0, 0) ++ // flags=FHCRC|FEXTRA|FNAME|FCOMMENT
+        Array[Byte](4, 0) ++ Array[Byte](1, 2, 3, 4) ++            // FEXTRA len=4 + data
+        ("name.warc".getBytes(UTF_8) :+ 0.toByte) ++             // FNAME (NUL-terminated)
+        ("a comment".getBytes(UTF_8) :+ 0.toByte) ++             // FCOMMENT (NUL-terminated)
+        Array[Byte](0x42, 0x43) ++                                  // FHCRC (skipped)
+        dbuf.take(dlen) ++ le32(crc.getValue) ++ le32(payload.length.toLong)
+    assert(drain(new WarcSource.MultiMemberGzipInputStream(
+      new ByteArrayInputStream(fancy ++ members("tail")))) ==
+      "optional-header-membertail")
   }
 
   test("warcToDocuments: raw text/html payloads are NOT split at the first blank line") {
