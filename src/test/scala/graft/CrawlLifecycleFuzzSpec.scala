@@ -60,7 +60,12 @@ class CrawlLifecycleFuzzSpec extends AnyFunSuite {
         .stringHash(s"fuzz:$n:$i"), vocab.length))
     }.mkString(" ")
 
-  test("crawl bridge lifecycle fuzz: 25 seeded steps keep exactly-once") {
+  // seed overridable for local sweeps (env — sbt's forked test JVM
+  // inherits the environment but not launcher -D flags):
+  //   GRAFT_FUZZ_SEED=7 sbt 'testOnly graft.CrawlLifecycleFuzzSpec'
+  private val seed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(12L)
+
+  test(s"crawl bridge lifecycle fuzz: 25 seeded steps keep exactly-once (seed=$seed)") {
     val base = new java.io.File("/tmp/graft_test_crawl_fuzz")
     def deleteRec(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
@@ -73,7 +78,7 @@ class CrawlLifecycleFuzzSpec extends AnyFunSuite {
     Dedup.buildDedupIndex(Seq((0L, freshText(999)))
       .toDF("doc_id", "text"), "doc_id", "text", dedupPath)
 
-    val rnd = new scala.util.Random(12L)
+    val rnd = new scala.util.Random(seed)
     var nextText = 0
     var nextBatch = 0L
     var introduced = Vector.empty[String] // unique fresh texts, in order

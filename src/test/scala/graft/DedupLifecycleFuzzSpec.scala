@@ -34,7 +34,10 @@ class DedupLifecycleFuzzSpec extends AnyFunSuite {
     }
     deleteRec(new java.io.File(path))
 
-    val rnd = new scala.util.Random(42)
+    // seed overridable for local sweeps (env; forked test JVMs inherit it):
+    //   GRAFT_FUZZ_SEED=7 sbt 'testOnly graft.DedupLifecycleFuzzSpec'
+    val rnd = new scala.util.Random(
+      sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(42L))
     val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo",
       "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima",
       "mike", "november", "oscar", "papa", "quebec", "romeo", "sierra",

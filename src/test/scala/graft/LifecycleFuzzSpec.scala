@@ -31,7 +31,10 @@ class LifecycleFuzzSpec extends AnyFunSuite {
     }
     deleteRec(new java.io.File(path))
 
-    val rnd = new scala.util.Random(42)
+    // seed overridable for local sweeps (env; forked test JVMs inherit it):
+    //   GRAFT_FUZZ_SEED=7 sbt 'testOnly graft.LifecycleFuzzSpec'
+    val rnd = new scala.util.Random(
+      sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(42L))
     val dim = 8
     def vec(id: Long): Array[Float] = {
       val r = new scala.util.Random(id * 2654435761L + 1)
