@@ -103,6 +103,21 @@ object CrawlProbe {
       Seq(big.getAbsolutePath), docsPath, dedupPath, 100L))
     println(f"[crawl] big segment (${perDoc * 4} docs) t=$tBig%.2fs")
 
+    // probe 4 (runs before 3 to reuse the warm session): segment-parallel
+    // batches — 8 segments in ONE micro-batch vs the 8 single-segment
+    // waves above. binaryFiles gives one task per segment, so the parse/
+    // extract/quality work fans out across cores and the batch costs far
+    // less than 8x a single wave (the fixed per-batch overhead amortizes) —
+    // the shape a real trigger (maxFilesPerTrigger segments) runs at.
+    val wideSegs = (0 until 8).map { i =>
+      val f = new java.io.File(segs, f"wide-$i%05d.warc.gz")
+      writeSegment(f, (100L + i) * perDoc + 1, perDoc)
+      f.getAbsolutePath
+    }
+    val tWide = timed(CrawlIngest.ingestSegments(spark, wideSegs,
+      docsPath, dedupPath, 200L))
+    println(f"[crawl] 8-segment batch (${8 * perDoc} docs) t=$tWide%.2fs")
+
     // probe 3: raw decode throughput of the explicit-framing gzip reader
     // vs the JDK reader on the same multi-member bytes — the hand-rolled
     // framing must not tax the decode (both bottleneck on Inflater)
