@@ -25,6 +25,10 @@ object VectorFunctions {
     "vec_l1" -> (es => VectorL1(es(0), es(1))),
     "binary_quantize" -> (es => BinaryQuantize(es(0))),
     "jaccard_dist" -> (es => JaccardDistance(es(0), es(1))),
+    // crawl-ingestion charset decode (REPLACE semantics, UTF-8 fallback on
+    // unknown labels) — the built-in `decode` whitelist + ANSI throw rules
+    // make it unusable on untrusted HTTP charset labels
+    "charset_decode" -> (es => CharsetDecode(es(0), es(1))),
     // pgvector SQL-function aliases, so the reference's function-call
     // spellings run verbatim: vector_dims/vector_norm/l2_normalize/
     // subvector (all 1-based, like pgvector) map onto the same expressions
@@ -121,6 +125,8 @@ object VectorFunctions {
   def vec_l1(l: Column, r: Column): Column = call_function("vec_l1", l, r)
   def binary_quantize(c: Column): Column = call_function("binary_quantize", c)
   def jaccard_dist(l: Column, r: Column): Column = call_function("jaccard_dist", l, r)
+  def charset_decode(payload: Column, charset: Column): Column =
+    call_function("charset_decode", payload, charset)
 }
 
 /**

@@ -18,18 +18,23 @@ object PipelineQueries {
     spark.read.parquet(s"$dir/documents.parquet")
 
   /** Deterministic messy-URL fixture for the url_normalize/url_dedup
-    * oracles: six variant families keyed by doc_id%6 over forty page ids
-    * (doc_id%40). The same construction runs in the DuckDB oracle; the
-    * EXPECTED canonicals there are hand-derived per family. */
+    * oracles: six variant families keyed by doc_id%6 over forty page ids.
+    * The page id is doc_id DIV 6 (mod 40) — COPRIME to the family key, so
+    * consecutive doc_ids 6k..6k+5 all carry page id k%40 and the paired
+    * families {0,1}, {2,3}, {4,5} genuinely share page ids: the dedup
+    * oracle really does test two DIFFERENT raw variants collapsing to one
+    * canonical key (a doc_id%40 page id preserves parity and the pairs
+    * would never meet). The same construction runs in the DuckDB oracle;
+    * the EXPECTED canonicals there are hand-derived per family. */
   private def syntheticUrls(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).selectExpr("doc_id",
       """CASE CAST(pmod(doc_id, 6) AS INT)
-        |  WHEN 0 THEN concat('HTTP://Example.COM/page/', pmod(doc_id, 40))
-        |  WHEN 1 THEN concat('http://example.com:80/page/', pmod(doc_id, 40), '#section2')
-        |  WHEN 2 THEN concat('https://example.com/page/', pmod(doc_id, 40), '?b=2&a=1&gclid=XYZ')
-        |  WHEN 3 THEN concat('https://example.com/page/', pmod(doc_id, 40), '?a=1&fbclid=J&b=2')
-        |  WHEN 4 THEN concat('http://site', pmod(doc_id, 40), '.Example.com/')
-        |  ELSE concat('http://SITE', pmod(doc_id, 40), '.example.COM')
+        |  WHEN 0 THEN concat('HTTP://Example.COM/page/', pmod(doc_id div 6, 40))
+        |  WHEN 1 THEN concat('http://example.com:80/page/', pmod(doc_id div 6, 40), '#section2')
+        |  WHEN 2 THEN concat('https://example.com/page/', pmod(doc_id div 6, 40), '?b=2&a=1&gclid=XYZ')
+        |  WHEN 3 THEN concat('https://example.com/page/', pmod(doc_id div 6, 40), '?a=1&fbclid=J&b=2')
+        |  WHEN 4 THEN concat('http://site', pmod(doc_id div 6, 40), '.Example.com/')
+        |  ELSE concat('http://SITE', pmod(doc_id div 6, 40), '.example.COM')
         |END AS url""".stripMargin)
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
@@ -3122,27 +3127,27 @@ object PipelineQueries {
     "url_normalize" ->
       """SELECT doc_id,
         |  CASE CAST(doc_id % 6 AS INT)
-        |    WHEN 0 THEN 'HTTP://Example.COM/page/' || CAST(doc_id % 40 AS VARCHAR)
-        |    WHEN 1 THEN 'http://example.com:80/page/' || CAST(doc_id % 40 AS VARCHAR) || '#section2'
-        |    WHEN 2 THEN 'https://example.com/page/' || CAST(doc_id % 40 AS VARCHAR) || '?b=2&a=1&gclid=XYZ'
-        |    WHEN 3 THEN 'https://example.com/page/' || CAST(doc_id % 40 AS VARCHAR) || '?a=1&fbclid=J&b=2'
-        |    WHEN 4 THEN 'http://site' || CAST(doc_id % 40 AS VARCHAR) || '.Example.com/'
-        |    ELSE 'http://SITE' || CAST(doc_id % 40 AS VARCHAR) || '.example.COM'
+        |    WHEN 0 THEN 'HTTP://Example.COM/page/' || CAST((doc_id // 6) % 40 AS VARCHAR)
+        |    WHEN 1 THEN 'http://example.com:80/page/' || CAST((doc_id // 6) % 40 AS VARCHAR) || '#section2'
+        |    WHEN 2 THEN 'https://example.com/page/' || CAST((doc_id // 6) % 40 AS VARCHAR) || '?b=2&a=1&gclid=XYZ'
+        |    WHEN 3 THEN 'https://example.com/page/' || CAST((doc_id // 6) % 40 AS VARCHAR) || '?a=1&fbclid=J&b=2'
+        |    WHEN 4 THEN 'http://site' || CAST((doc_id // 6) % 40 AS VARCHAR) || '.Example.com/'
+        |    ELSE 'http://SITE' || CAST((doc_id // 6) % 40 AS VARCHAR) || '.example.COM'
         |  END AS url,
         |  CASE WHEN doc_id % 6 IN (0, 1)
-        |         THEN 'http://example.com/page/' || CAST(doc_id % 40 AS VARCHAR)
+        |         THEN 'http://example.com/page/' || CAST((doc_id // 6) % 40 AS VARCHAR)
         |       WHEN doc_id % 6 IN (2, 3)
-        |         THEN 'https://example.com/page/' || CAST(doc_id % 40 AS VARCHAR) || '?a=1&b=2'
-        |       ELSE 'http://site' || CAST(doc_id % 40 AS VARCHAR) || '.example.com'
+        |         THEN 'https://example.com/page/' || CAST((doc_id // 6) % 40 AS VARCHAR) || '?a=1&b=2'
+        |       ELSE 'http://site' || CAST((doc_id // 6) % 40 AS VARCHAR) || '.example.com'
         |  END AS url_norm
         |FROM documents ORDER BY doc_id""".stripMargin,
     "url_dedup" ->
       """WITH c AS (SELECT doc_id,
         |  CASE WHEN doc_id % 6 IN (0, 1)
-        |         THEN 'http://example.com/page/' || CAST(doc_id % 40 AS VARCHAR)
+        |         THEN 'http://example.com/page/' || CAST((doc_id // 6) % 40 AS VARCHAR)
         |       WHEN doc_id % 6 IN (2, 3)
-        |         THEN 'https://example.com/page/' || CAST(doc_id % 40 AS VARCHAR) || '?a=1&b=2'
-        |       ELSE 'http://site' || CAST(doc_id % 40 AS VARCHAR) || '.example.com'
+        |         THEN 'https://example.com/page/' || CAST((doc_id // 6) % 40 AS VARCHAR) || '?a=1&b=2'
+        |       ELSE 'http://site' || CAST((doc_id // 6) % 40 AS VARCHAR) || '.example.com'
         |  END AS url_norm FROM documents)
         |SELECT url_norm, min(doc_id) AS keeper, count(*) AS n_fetches
         |FROM c GROUP BY url_norm ORDER BY url_norm""".stripMargin,

@@ -1,9 +1,12 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.Dedup
 import graft.sources.WarcSource
+import graft.streaming.CrawlIngest
 
 /**
  * Crawl-ingestion queries under the DuckDB oracle: the WARC source is the
@@ -13,14 +16,16 @@ import graft.sources.WarcSource
  * applied to ingestion). DuckDB cannot parse WARC, so the oracle side is the
  * fixture's EXPECTED rows as literal VALUES: the fixture is deterministic
  * (committed binary, byte-stable regeneration via
- * [[graft.tools.FreezeWarcFixture]]), which makes the literal oracle exactly
- * as strong as a recomputed one — and independent of this parser.
+ * [[graft.tools.FreezeWarcFixture13]]), which makes the literal oracle
+ * exactly as strong as a recomputed one — and independent of this parser.
  *
  * The fixture segment is multi-member gzip (one member per record, the
- * Common Crawl framing) and exercises every `warcToDocuments` branch:
- * HTTP-response split + HTML extraction with named AND numeric character
- * references, raw text/html (blank line inside markup must survive), WET
- * conversion passthrough, and two record types the bridge must drop.
+ * Common Crawl framing). Gen-13 supersets gen-12 with the HTTP-ENVELOPE
+ * corpus — the shape a production segment is actually made of: enveloped
+ * PNG (media arrives inside `application/http`), enveloped JSON (must NOT
+ * become mojibake "text"), `charset=windows-1252` and `Shift_JIS` payload
+ * decodes, `WARC-Identified-Payload-Type` precedence over a lying server,
+ * and a `revisit` record surfaced as a dedup signal.
  */
 object WarcQueries {
 
@@ -29,14 +34,15 @@ object WarcQueries {
     * run elsewhere. */
   private def fixture: String = {
     val local = new java.io.File(
-      "src/test/resources/fixtures/warc_gen12/seg-00000.warc.gz")
+      "src/test/resources/fixtures/warc_gen13/seg-00000.warc.gz")
     if (local.isFile) local.getAbsolutePath
-    else "/root/repo/src/test/resources/fixtures/warc_gen12/seg-00000.warc.gz"
+    else "/root/repo/src/test/resources/fixtures/warc_gen13/seg-00000.warc.gz"
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // crawl → documents bridge: record framing across gzip members, the
-    // three payload shapes, the two drops, full text extraction
+    // HTTP-envelope routing (real content type, identified-payload-type
+    // precedence, non-text drops), charset-aware decode, full extraction
     "warc_ingest" -> ((s, _) => {
       WarcSource.warcToDocuments(WarcSource.readWarc(s, fixture))
         .select(
@@ -55,9 +61,10 @@ object WarcQueries {
           col("contentLength").as("content_length"))
         .orderBy(col("offset"))
     }),
-    // crawl → media bridge + REAL header decode: the fixture's committed
-    // PNG bytes through warcToMedia and ImageIODecoder — dimensions are a
-    // property of the frozen bytes, so the literal oracle replays them
+    // crawl → media bridge + REAL header decode: both media shapes — the
+    // raw image/png record AND the HTTP-enveloped PNG (the production
+    // shape; the envelope's header block must be sliced off so the decoder
+    // sees exact image bytes) — through warcToMedia and ImageIODecoder
     "warc_media" -> ((s, _) => {
       val media = WarcSource.warcToMedia(WarcSource.readWarc(s, fixture))
       graft.operators.Multimodal
@@ -67,7 +74,88 @@ object WarcQueries {
         .select(col("offset"), col("url"), col("modality"), col("format"),
           col("width"), col("height"), col("n_bytes"))
         .orderBy(col("offset"))
-    }))
+    }),
+    // revisit records as a crawl-level dedup signal: the crawler already
+    // paid for this dedup verdict — surface (url, original date, digest)
+    // into the URL-dedup family instead of dropping it
+    "warc_revisits" -> ((s, _) => {
+      WarcSource.warcToRevisits(WarcSource.readWarc(s, fixture))
+        .select(col("offset"), col("url"), col("fetch_date"),
+          col("original_date"), col("payload_digest"), col("profile"))
+        .orderBy(col("offset"))
+    }),
+    // the FULL bridge, end-to-end under the oracle: ingestSegments on the
+    // fixture into fresh temp stores with every leg on (documents + dedup
+    // + BM25 + ANN), then one serving probe per store — the exactly-once
+    // machinery is fuzz-pinned elsewhere; this row pins the data-path
+    // composition itself
+    "crawl_pipeline" -> ((s, _) => crawlPipeline(s)))
+
+  /** See the `crawl_pipeline` entry. Probes, one per store the bridge
+    * writes: `doc` rows are the landed documents (item = url#offset,
+    * metric = text length in codepoints); `bm25` rows are the indexed
+    * ranks for the term "report"; `ann` is the freshness-honoring top-1
+    * for the WET document's own (stub) embedding; `dedup` is the stored
+    * index's hit count probing an exact copy of that document. Everything
+    * is deterministic: provenance-hash ids, hash-feature embeddings,
+    * decimal BM25. */
+  private def crawlPipeline(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_crawl_pipeline").toFile
+    val docsPath = s"$base/documents"
+    val dedupPath = s"$base/dedup_index"
+    val textPath = s"$base/text_index"
+    val annPath = s"$base/ann_index"
+    // pre-existing corpus state the bridge appends into (the steady-state
+    // shape — stores exist before any crawl batch): one seed document that
+    // shares nothing with the fixture
+    val seedText = "seed placeholder corpus document nothing inside the " +
+      "fixture segment duplicates this particular sentence at all"
+    val seed = Seq((900001L, seedText)).toDF("doc_id", "text")
+    Dedup.buildDedupIndex(seed, "doc_id", "text", dedupPath)
+    graft.operators.TextIndex.buildTextIndex(seed, "doc_id", "text",
+      textPath, nBuckets = 8)
+    graft.index.DiskannIndex.build(
+      (0 until 4).map(i => (900010L + i, s"$seedText seed $i"))
+        .toDF("doc_id", "text")
+        .select(col("doc_id").as("row_id"),
+          CrawlIngest.stubTextEmbedding(col("text")).as("vec")),
+      "row_id", "vec", None, annPath,
+      graft.index.DiskannParams(metric = "cosine"))
+    CrawlIngest.ingestSegments(s, Seq(fixture), docsPath, dedupPath, 0L,
+      minQuality = 0.0, dedupThreshold = 0.9,
+      textIndexPath = Some(textPath), annIndexPath = Some(annPath))
+
+    val docs = s.read.parquet(docsPath)
+    val byId = docs.select(col("doc_id"),
+      concat(col("url"), lit("#"), col("offset")).as("item"))
+    val docRows = docs.select(lit("doc").as("part"),
+      concat(col("url"), lit("#"), col("offset")).as("item"),
+      length(col("text")).cast("long").as("metric"))
+    // bounded global window: at most the n=20 indexed hits for one term
+    val bmRows = graft.operators.TextIndex
+      .bm25SearchIndexed(s, textPath, Seq("report"))
+      .join(byId, col("id") === col("doc_id"))
+      .select(lit("bm25").as("part"), col("item"),
+        row_number().over(Window.orderBy(col("bm25").desc, col("id")))
+          .cast("long").as("metric"))
+    val wetText = "Graft Alpha report pre-extracted text."
+    val annRows = graft.streaming.StreamingIngest.searchFresh(s, annPath,
+        Seq((0L, wetText)).toDF("qid", "text")
+          .select(col("qid"),
+            CrawlIngest.stubTextEmbedding(col("text")).as("qvec")),
+        k = 1, searchListSize = 64, rescore = 64)
+      .join(byId, col("row_id") === col("doc_id"))
+      .select(lit("ann").as("part"), col("item"), lit(1L).as("metric"))
+    val probeHits = Dedup.nearDupAgainstDedupIndex(s, dedupPath,
+      Seq((1L, wetText)).toDF("doc_id", "text"), "doc_id", "text", 0.99)
+      .count()
+    val dedupRows = Seq(("dedup", "probe_hits", probeHits))
+      .toDF("part", "item", "metric")
+    docRows.unionAll(bmRows).unionAll(annRows).unionAll(dedupRows)
+      .orderBy(col("part"), col("item"))
+  }
 
   def oracleSql: Map[String, String] = Map(
     "warc_ingest" ->
@@ -77,7 +165,13 @@ object WarcQueries {
         |  ('seg-00000.warc.gz', 2, 'http://example.org/raw', '2026-03-04T05:06:07Z',
         |   'First block. Second block end.'),
         |  ('seg-00000.warc.gz', 3, 'http://example.org/alpha', '2026-03-04T05:06:07Z',
-        |   'Graft Alpha report pre-extracted text.')
+        |   'Graft Alpha report pre-extracted text.'),
+        |  ('seg-00000.warc.gz', 8, 'http://example.org/cafe', '2026-03-04T05:06:07Z',
+        |   'Café “smart” – dash'),
+        |  ('seg-00000.warc.gz', 9, 'http://example.org/sniffed', '2026-03-04T05:06:07Z',
+        |   'Sniffed as HTML.'),
+        |  ('seg-00000.warc.gz', 10, 'http://example.org/tokyo', '2026-03-04T05:06:07Z',
+        |   'Tokyo 東京 note')
         |) AS t(file, "offset", url, fetch_date, text)
         |ORDER BY "offset"""".stripMargin,
     "warc_census" ->
@@ -87,12 +181,40 @@ object WarcQueries {
         |  (2, 'response', 'text/html', 81),
         |  (3, 'conversion', 'text/plain', 42),
         |  (4, 'response', 'application/octet-stream', 32),
-        |  (5, 'response', 'image/png', 117)
+        |  (5, 'response', 'image/png', 117),
+        |  (6, 'response', 'application/http; msgtype=response', 176),
+        |  (7, 'response', 'application/http; msgtype=response', 79),
+        |  (8, 'response', 'application/http; msgtype=response', 118),
+        |  (9, 'response', 'application/http; msgtype=response', 101),
+        |  (10, 'response', 'application/http; msgtype=response', 79),
+        |  (11, 'revisit', 'application/http; msgtype=response', 29)
         |) AS t("offset", warc_type, content_type, content_length)
         |ORDER BY "offset"""".stripMargin,
     "warc_media" ->
       """SELECT * FROM (VALUES
-        |  (5, 'http://example.org/logo.png', 'image', 'png', 6, 4, 117)
+        |  (5, 'http://example.org/logo.png', 'image', 'png', 6, 4, 117),
+        |  (6, 'http://example.org/logo2.png', 'image', 'png', 6, 4, 117)
         |) AS t("offset", url, modality, format, width, height, n_bytes)
-        |ORDER BY "offset"""".stripMargin)
+        |ORDER BY "offset"""".stripMargin,
+    "warc_revisits" ->
+      """SELECT * FROM (VALUES
+        |  (11, 'http://example.org/alpha', '2026-03-04T05:06:07Z',
+        |   '2026-01-02T03:04:05Z', 'sha1:3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ',
+        |   'http://netpreserve.org/warc/1.0/revisit/identical-payload-digest')
+        |) AS t("offset", url, fetch_date, original_date, payload_digest, profile)
+        |ORDER BY "offset"""".stripMargin,
+    "crawl_pipeline" ->
+      """SELECT * FROM (VALUES
+        |  ('ann', 'http://example.org/alpha#3', 1),
+        |  ('bm25', 'http://example.org/alpha#1', 2),
+        |  ('bm25', 'http://example.org/alpha#3', 1),
+        |  ('dedup', 'probe_hits', 1),
+        |  ('doc', 'http://example.org/alpha#1', 61),
+        |  ('doc', 'http://example.org/alpha#3', 38),
+        |  ('doc', 'http://example.org/cafe#8', 19),
+        |  ('doc', 'http://example.org/raw#2', 30),
+        |  ('doc', 'http://example.org/sniffed#9', 16),
+        |  ('doc', 'http://example.org/tokyo#10', 13)
+        |) AS t(part, item, metric)
+        |ORDER BY part, item""".stripMargin)
 }

@@ -367,57 +367,166 @@ object WarcSource {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
-  /** The crawl → documents-table bridge, covering both crawl shapes:
-    * `response` records (raw WARC — the HTTP header block is split off the
-    * payload per the WARC convention, then HTML-stripped) and `conversion`
-    * records (WET, the pre-extracted-text twin corpus — the payload IS the
-    * text, no split, no stripping). Emits `(url, fetch_date, text)` rows
-    * ready for the dedup/quality pipeline. */
-  /** The crawl → MEDIA-table bridge: response records whose Content-Type
-    * is an image, audio or video type project to the
-    * [[graft.operators.Multimodal]] media schema
+  // ---- HTTP-envelope routing ----------------------------------------------
+  // Real crawl `response` records are `application/http; msgtype=response`
+  // ENVELOPES: the WARC-level Content-Type only says "this is an HTTP
+  // message"; the payload's REAL type lives in the HTTP header block (or in
+  // WARC-Identified-Payload-Type, written by crawlers that content-sniff —
+  // Common Crawl runs Apache Tika and records the sniffed type there).
+  // Routing on the envelope type alone has two production failure modes:
+  // the media bridge sees ZERO rows (media arrives enveloped), and the text
+  // bridge HTML-strips binary/JSON bodies into mojibake "text" gated only by
+  // the downstream quality score.
+
+  /** HTTP headers live in the first bytes of the payload; 16 KiB is well
+    * past any server's header-size cap (Apache defaults to 8 K, nginx to
+    * 4-8 K), and windowing keeps the header-scan copy O(16 KiB) per record
+    * instead of O(payload) on multi-MB media bodies. */
+  private val HttpHeaderWindow = 16384
+
+  /**
+   * Appends the envelope-routing columns to raw records:
+   *
+   *  - `eff_type` — the payload's REAL lowercase media type, parameters
+   *    stripped: `WARC-Identified-Payload-Type` when the crawler recorded
+   *    one (content-sniffed — trumps the server's self-declaration, which
+   *    misconfigured servers get wrong constantly), else the HTTP header
+   *    block's `Content-Type:` line for `application/http` envelopes, else
+   *    the WARC-level Content-Type for raw records;
+   *  - `eff_charset` — the server-declared `charset=` parameter (envelopes
+   *    only; empty means unknown → UTF-8 downstream);
+   *  - `body` — the payload BYTES with any HTTP header block sliced off
+   *    (binary-safe, so enveloped media decodes from the exact image bytes).
+   *
+   * All pure Column (codegen'd, zero shuffle). The byte↔char trick: ISO-8859-1
+   * maps byte i to codepoint i bijectively, so `decode(payload-prefix,
+   * 'ISO-8859-1')` gives a string where CHARACTER positions equal BYTE
+   * offsets in the original payload — `instr` locates the header/body split
+   * and the ASCII header block reads directly, then the BINARY column is
+   * sliced at that offset. One built-in decode of a bounded prefix per
+   * record; no UDF.
+   */
+  private[graft] def withHttpRouting(records: DataFrame): DataFrame = {
+    val isHttp = col("warcType") === "response" &&
+      col("contentType").startsWith("application/http")
+    val l1 = decode(substring(col("payload"), 1, HttpHeaderWindow),
+      "ISO-8859-1")
+    val crlf = instr(l1, "\r\n\r\n")
+    val lf = instr(l1, "\n\n")
+    // 1-based byte offset of the body; null when the envelope is malformed
+    // (no blank line in the header window — e.g. a header-only 304, where
+    // an empty body is the right answer). "\n\n" never occurs inside
+    // "\r\n\r\n", so whichever separator sits first is genuinely first.
+    val bodyStart = when(isHttp,
+      when(crlf > lit(0) && (lf === lit(0) || crlf < lf), crlf + lit(4))
+        .when(lf > lit(0), lf + lit(2)))
+    val hdrBlock = when(bodyStart.isNotNull,
+      l1.substr(lit(1), bodyStart - lit(1))).otherwise(lit(""))
+    val httpCt = regexp_extract(hdrBlock,
+      "(?im)^content-type:[ \\t]*([^\\r\\n]+)", 1)
+    val idType = col("headers").getItem("warc-identified-payload-type")
+    val fullCt = when(isHttp,
+        coalesce(nullif(idType, lit("")), nullif(httpCt, lit("")), lit("")))
+      .otherwise(col("contentType"))
+    records
+      .withColumn("eff_type",
+        lower(trim(regexp_extract(fullCt, "^([^;]*)", 1))))
+      .withColumn("eff_charset", regexp_extract(httpCt,
+        "(?i)charset\\s*=\\s*\"?\\s*([A-Za-z0-9][A-Za-z0-9_.:+-]*)", 1))
+      .withColumn("body",
+        when(bodyStart.isNotNull,
+          col("payload").substr(bodyStart, length(col("payload"))))
+          .when(isHttp, lit(Array.emptyByteArray))
+          .otherwise(col("payload")))
+  }
+
+  /** The crawl → MEDIA-table bridge: records whose EFFECTIVE payload type
+    * (HTTP-envelope aware — see [[withHttpRouting]]) is an image, audio or
+    * video type project to the [[graft.operators.Multimodal]] media schema
     * (media_id, modality, payload) plus crawl provenance — the decode /
     * feature-extract / resize passes chain directly
     * (`Multimodal.decodeMeta(warcToMedia(recs), ImageIODecoder)`). The
+    * payload is the BODY bytes (HTTP headers sliced off), so the enveloped
+    * `image/png` of a real crawl decodes from its exact image bytes. The
     * media_id is the same deterministic (segment basename, ordinal) hash
     * the documents bridge uses, so text and media rows from one crawl
     * share a provenance keyspace. */
   def warcToMedia(records: DataFrame): DataFrame = {
     val base = regexp_extract(col("file"), "([^/]+)$", 1)
-    val modality = when(col("contentType").startsWith("image/"), "image")
-      .when(col("contentType").startsWith("audio/"), "audio")
-      .when(col("contentType").startsWith("video/"), "video")
-    records
+    val modality = when(col("eff_type").startsWith("image/"), "image")
+      .when(col("eff_type").startsWith("audio/"), "audio")
+      .when(col("eff_type").startsWith("video/"), "video")
+    withHttpRouting(records)
       .filter(col("warcType") === "response" && modality.isNotNull)
       .select(
         xxhash64(base, col("offset")).as("media_id"),
         modality.as("modality"),
-        col("payload"),
+        col("body").as("payload"),
         col("targetUri").as("url"),
         base.as("file"),
         col("offset"))
   }
 
+  /** The crawl → documents-table bridge, routed by the EFFECTIVE payload
+    * type (see [[withHttpRouting]]):
+    *
+    *  - `response` + effective `text/html` → HTTP header block sliced off
+    *    (envelopes), charset-aware decode, [[htmlText]] extraction;
+    *  - `response` + effective `text/plain` → charset-aware decode,
+    *    whitespace collapse (no HTML stripping);
+    *  - `conversion` + `text/plain` (WET, the pre-extracted-text twin
+    *    corpus) → the payload IS the text: UTF-8 by the WET spec,
+    *    passthrough with whitespace collapse;
+    *  - everything else — enveloped JSON/PDF/media, warcinfo, request,
+    *    revisit ([[warcToRevisits]] surfaces those) — DROPPED, never fed to
+    *    the text path as mojibake.
+    *
+    * Raw (non-enveloped) `text/html` records keep their whole payload — a
+    * blank line inside markup is not a header/body split. Text decodes per
+    * the server's `charset=` parameter with U+FFFD replacement and UTF-8
+    * fallback ([[graft.functions.CharsetDecode]]), so Latin-1/Windows-1252/
+    * Shift-JIS pages enter the dedup/quality stack as real text, not
+    * mojibake. Emits `(url, fetch_date, text)` + provenance. */
   def warcToDocuments(records: DataFrame): DataFrame = {
-    val payloadStr = col("payload").cast("string")
-    // the HTTP header block exists ONLY in application/http payloads (the
-    // WARC response convention); a text/html record's payload is raw HTML,
-    // where splitting at the first blank line would silently drop the whole
-    // document prefix up to any blank line in the markup
-    val httpBody = regexp_replace(payloadStr, "(?s)^.*?\\r?\\n\\r?\\n", "")
-    val isHttp = col("warcType") === "response" &&
-      col("contentType").startsWith("application/http")
-    val isRawHtml = col("warcType") === "response" &&
-      col("contentType").startsWith("text/html")
+    graft.functions.VectorFunctions.register(records.sparkSession)
+    val isResponse = col("warcType") === "response"
     val isWet = col("warcType") === "conversion" &&
       col("contentType").startsWith("text/plain")
-    records
-      .filter(isHttp || isRawHtml || isWet)
+    val isHtml = isResponse && col("eff_type") === "text/html"
+    val isPlain = isResponse && col("eff_type") === "text/plain"
+    val decodedBody =
+      call_function("charset_decode", col("body"), col("eff_charset"))
+    withHttpRouting(records)
+      .filter(isWet || isHtml || isPlain)
       .select(col("targetUri").as("url"), col("date").as("fetch_date"),
-        when(isWet, trim(regexp_replace(payloadStr, "\\s+", " ")))
-          .when(isRawHtml, WarcSource.htmlText(payloadStr))
-          .otherwise(WarcSource.htmlText(httpBody)).as("text"),
+        when(isWet,
+          trim(regexp_replace(col("payload").cast("string"), "\\s+", " ")))
+          .when(isHtml, WarcSource.htmlText(decodedBody))
+          .otherwise(trim(regexp_replace(decodedBody, "\\s+", " ")))
+          .as("text"),
         col("file"), col("offset"))
       .filter(length(col("text")) > 0)
   }
+
+  /** WARC `revisit` records surfaced as a crawl-level dedup SIGNAL instead
+    * of dropped: the crawler already detected that this fetch matched an
+    * earlier capture (by payload digest — the
+    * `identical-payload-digest` profile) and recorded WHICH one; discarding
+    * that re-pays the dedup cost downstream. The projection joins the
+    * URL-dedup family directly: `url` is the re-fetched page,
+    * `original_date` the capture it duplicates, `payload_digest` the
+    * content key two revisits of the same page share. Map-side, zero
+    * shuffle. */
+  def warcToRevisits(records: DataFrame): DataFrame =
+    records.filter(col("warcType") === "revisit")
+      .select(
+        col("targetUri").as("url"),
+        col("date").as("fetch_date"),
+        coalesce(col("headers").getItem("warc-refers-to-date"), lit(""))
+          .as("original_date"),
+        coalesce(col("headers").getItem("warc-payload-digest"), lit(""))
+          .as("payload_digest"),
+        coalesce(col("headers").getItem("warc-profile"), lit(""))
+          .as("profile"),
+        col("file"), col("offset"))
 }

@@ -77,6 +77,41 @@ object CrawlIngest {
     transform(sequence(lit(0), lit(dim - 1)),
       i => (pmod(xxhash64(text, i), lit(997L)) / 997.0 - 0.5).cast("float"))
 
+  /** The ANN leg's encoder CONTRACT: a function from the fresh-survivors
+    * frame (`doc_id`, `url`, `fetch_date`, `text`, `file`, `offset`) to
+    * `(row_id LONG, vec ARRAY<FLOAT>)` — one row per input document,
+    * `row_id = doc_id` (provenance-stable, so replays regenerate identical
+    * rows and the delta fold dedups them), `vec` at the stored index's
+    * dimension/normalization. A real deployment passes its model call
+    * (typically `mapInPandas` hosting the encoder); this default is the
+    * documented [[stubTextEmbedding]] hash-feature stand-in. */
+  def defaultEncoder(embedDim: Int = 64): DataFrame => DataFrame =
+    docs => docs.select(col("doc_id").as("row_id"),
+      stubTextEmbedding(col("text"), embedDim).as("vec"))
+
+  /** Doc-id collision detector: provenance ids are 64-bit hashes, so at
+    * ~25 B documents (100 TB at ~4 KB/doc) the birthday bound expects a
+    * handful of collisions corpus-wide — and a collision SILENTLY merges
+    * two unrelated documents in the dedup index (one real document dropped
+    * as a "duplicate"). This surfaces them: doc_ids carrying more than one
+    * distinct (file, offset) provenance. One hash-aggregation, O(input),
+    * ordinary shuffle — run it in-batch (ingestSegments does, loud) and at
+    * fold/audit time over the corpus ([[auditDocIdCollisions]]). */
+  def docIdCollisions(docs: DataFrame): DataFrame =
+    docs.groupBy(col("doc_id"))
+      .agg(countDistinct(struct(col("file"), col("offset")))
+        .as("n_provenances"))
+      .filter(col("n_provenances") > 1)
+
+  /** Corpus-wide twin of [[docIdCollisions]] over the stored documents
+    * table — the fold-time/offline audit (projection-pruned scan of three
+    * columns, one shuffle; not per-batch, where the corpus-sized join
+    * would dominate the batch cost). */
+  def auditDocIdCollisions(spark: SparkSession,
+      documentsPath: String): DataFrame =
+    docIdCollisions(
+      spark.read.parquet(documentsPath).select("doc_id", "file", "offset"))
+
   /**
    * The foreachBatch kernel, callable directly for tests/backfills: ingest
    * `segmentPaths` as micro-batch `streamBatchId`. Idempotent — a replay
@@ -87,8 +122,15 @@ object CrawlIngest {
       documentsPath: String, dedupIndexPath: String, streamBatchId: Long,
       minQuality: Double = 0.35, dedupThreshold: Double = 0.8,
       textIndexPath: Option[String] = None,
-      annIndexPath: Option[String] = None, embedDim: Int = 64): Unit = {
+      annIndexPath: Option[String] = None, embedDim: Int = 64,
+      encoder: Option[DataFrame => DataFrame] = None): Unit = {
     if (segmentPaths.isEmpty) return
+    // the paths are joined into one binaryFiles spec below, where ',' is a
+    // separator and '{[*?' are glob metacharacters — a path containing one
+    // would silently read the WRONG file set; fail loud instead
+    segmentPaths.foreach(p => require(!p.exists(",{[*?".contains(_)),
+      s"crawl ingest: segment path contains a comma/glob metacharacter " +
+        s"and would be misread by the path spec: $p"))
     val conf = spark.sessionState.newHadoopConf()
     val docsMarker = new org.apache.hadoop.fs.Path(
       s"$documentsPath/_stream/b$streamBatchId")
@@ -112,6 +154,16 @@ object CrawlIngest {
         WarcSource.readWarc(spark, segmentPaths.sorted.mkString(","))))
       .filter(TextAnalysis.qualityScore(col("text")) >= minQuality)
       .localCheckpoint()
+    // in-batch doc-id collision guard: a 64-bit provenance-hash collision
+    // would silently merge two documents in the dedup index — fail the
+    // batch loudly instead (O(batch) aggregation over the pinned frame;
+    // the corpus-wide sweep is auditDocIdCollisions, run at audit time)
+    val collided = docIdCollisions(gated).limit(3).collect()
+    if (collided.nonEmpty) sys.error(
+      s"crawl ingest batch $streamBatchId: doc_id collision(s) — distinct " +
+        s"(file, offset) provenances hashing to one id: " +
+        collided.map(_.getLong(0)).mkString(", ") +
+        " — widen the id scheme or rename the colliding segments")
     // near-dups against the CORPUS state (minus this batch's own physical
     // contribution — replay stability, see the class doc)
     val corpusDups = Dedup.nearDupAgainstDedupIndex(spark, dedupIndexPath,
@@ -152,13 +204,12 @@ object CrawlIngest {
       // freshness-honoring delta. No marker needed — the ANN ingest is
       // at-least-once BY DESIGN (replayed rows dedup by row_id at the
       // fold, and serving is duplicate-tolerant; see
-      // StreamingIngest.appendBatchToDelta's contract). The embedding here
-      // is the documented STUB; swap a real encoder without touching the
-      // plumbing.
+      // StreamingIngest.appendBatchToDelta's contract). The encoder is a
+      // TYPED swap point ([[defaultEncoder]] states the contract): pass a
+      // real model call via `encoder`; the default is the documented stub.
       annIndexPath.foreach(ap =>
         StreamingIngest.appendBatchToDelta(ap)(
-          fresh.select(col("doc_id").as("row_id"),
-            stubTextEmbedding(col("text"), embedDim).as("vec")),
+          encoder.getOrElse(defaultEncoder(embedDim))(fresh),
           streamBatchId))
       // dedup signatures LAST: the index only becomes foldable once this
       // marker lands, i.e. after every other store committed (see class doc)
@@ -213,11 +264,17 @@ object CrawlIngest {
       documentsPath: String, dedupIndexPath: String, checkpoint: String,
       minQuality: Double = 0.35, dedupThreshold: Double = 0.8,
       maxFilesPerTrigger: Int = 32,
-      // default matches both raw segments (*.warc.gz) and the WET
-      // pre-extracted twins (*.warc.wet.gz) — warcToDocuments handles both
-      segmentGlob: String = "*.warc*.gz",
+      // raw segments only by default. Common Crawl mirrors every segment
+      // as BOTH shapes (x.warc.gz and x.warc.wet.gz); a combined glob over
+      // such a directory would ingest each page TWICE under different
+      // doc_ids (HTML-extracted vs WET text — near but not identical, so
+      // the dedup probe cannot be relied on to collapse them). Point a
+      // WET-only crawl at "*.warc.wet.gz" explicitly; use a combined glob
+      // only for directories holding ONE shape per crawl.
+      segmentGlob: String = "*.warc.gz",
       textIndexPath: Option[String] = None,
       annIndexPath: Option[String] = None, embedDim: Int = 64,
+      encoder: Option[DataFrame => DataFrame] = None,
       // tiered folds inside the batch callback once a store's local batch
       // count passes graft.compact.dedupMaxBatches / textMaxBatches
       // (default 64) — the startDedupIngest/startTextIngest autovacuum
@@ -241,7 +298,8 @@ object CrawlIngest {
         val s = batch.sparkSession
         val paths = batch.collect().map(_.getString(0)).toSeq
         ingestSegments(s, paths, documentsPath, dedupIndexPath, batchId,
-          minQuality, dedupThreshold, textIndexPath, annIndexPath, embedDim)
+          minQuality, dedupThreshold, textIndexPath, annIndexPath, embedDim,
+          encoder)
         if (autoCompact && paths.nonEmpty) {
           val dedupMax =
             s.conf.get("graft.compact.dedupMaxBatches", "64").toInt

@@ -509,20 +509,22 @@ object FreezeLabelstatsFixture {
  * is reviewable by re-running this main.
  */
 object FreezeWarcFixture {
-  private def rec(warcType: String, uri: String, date: String,
-      contentType: String, payload: Array[Byte]): Array[Byte] = {
+  private[tools] def rec(warcType: String, uri: String, date: String,
+      contentType: String, payload: Array[Byte],
+      extra: Seq[String] = Nil): Array[Byte] = {
     val h = new StringBuilder()
       .append("WARC/1.0\r\n")
       .append(s"WARC-Type: $warcType\r\n")
     if (uri.nonEmpty) h.append(s"WARC-Target-URI: $uri\r\n")
     h.append(s"WARC-Date: $date\r\n")
-      .append(s"Content-Type: $contentType\r\n")
+    extra.foreach(e => h.append(s"$e\r\n"))
+    h.append(s"Content-Type: $contentType\r\n")
       .append(s"Content-Length: ${payload.length}\r\n\r\n")
     h.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8) ++
       payload ++ "\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)
   }
 
-  private def ascii(s: String): Array[Byte] =
+  private[tools] def ascii(s: String): Array[Byte] =
     s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
 
   /** A FIXED 6x4 RGB PNG (117 bytes) — embedded as a constant rather than
@@ -595,6 +597,110 @@ object FreezeWarcFixture {
         graft.operators.ImageIODecoder)
       .collect()
       .foreach(r => println(s"[media] ${r.toSeq.mkString(" | ")}"))
+    spark.stop()
+  }
+}
+
+/**
+ * Freezes the round-13 WARC fixture (`warc_gen13`) — a SUPERSET of
+ * `warc_gen12` (committed fixtures are immutable once specs replay them, so
+ * the gen-12 segment keeps its byte-stable regeneration; this one appends)
+ * adding the HTTP-ENVELOPE routing corpus, i.e. the shapes a PRODUCTION
+ * Common Crawl segment is actually made of:
+ *
+ *  - 6: an `application/http`-enveloped PNG — all real crawl media arrives
+ *    this way; `warcToMedia` must surface it with the exact image bytes
+ *    (header block sliced off);
+ *  - 7: an enveloped JSON response — must be DROPPED by the documents
+ *    bridge (before envelope routing it became mojibake "text");
+ *  - 8: enveloped HTML declared `charset=windows-1252` — the `charset=`
+ *    parameter must drive the payload decode;
+ *  - 9: a server that lies (`Content-Type: application/octet-stream`) about
+ *    an HTML body the crawler's sniffer identified —
+ *    `WARC-Identified-Payload-Type` must take precedence;
+ *  - 10: enveloped `text/plain` in Shift_JIS — a java.nio charset outside
+ *    Spark's built-in `decode` whitelist, through the plain-text route;
+ *  - 11: a `revisit` record — the crawler's own dedup verdict, surfaced by
+ *    `warcToRevisits` instead of silently dropped.
+ *
+ * Determinism: fixed bytes, GZIPOutputStream MTIME=0 — regeneration is
+ * byte-stable, so the committed binary is reviewable by re-running this.
+ */
+object FreezeWarcFixture13 {
+  import FreezeWarcFixture.{ascii, date, pngBytes, rec}
+
+  def records: Seq[Array[Byte]] = FreezeWarcFixture.records ++ Seq(
+    rec("response", "http://example.org/logo2.png", date,
+      "application/http; msgtype=response",
+      ascii("HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n" +
+        "Server: httpd\r\n\r\n") ++ pngBytes),
+    rec("response", "http://example.org/api/data", date,
+      "application/http; msgtype=response",
+      ascii("HTTP/1.1 200 OK\r\nContent-Type: application/json\r\n\r\n" +
+        "{\"alpha\": 1, \"beta\": [2, 3]}")),
+    rec("response", "http://example.org/cafe", date,
+      "application/http; msgtype=response",
+      ascii("HTTP/1.1 200 OK\r\n" +
+        "Content-Type: text/html; charset=windows-1252\r\n\r\n" +
+        "<html><body><p>Caf") ++ Array(0xE9.toByte) ++ ascii(" ") ++
+        Array(0x93.toByte) ++ ascii("smart") ++ Array(0x94.toByte) ++
+        ascii(" ") ++ Array(0x96.toByte) ++
+        ascii(" dash</p></body></html>")),
+    rec("response", "http://example.org/sniffed", date,
+      "application/http; msgtype=response",
+      ascii("HTTP/1.1 200 OK\r\n" +
+        "Content-Type: application/octet-stream\r\n\r\n" +
+        "<html><body>Sniffed as HTML.</body></html>"),
+      extra = Seq("WARC-Identified-Payload-Type: text/html")),
+    rec("response", "http://example.org/tokyo", date,
+      "application/http; msgtype=response",
+      ascii("HTTP/1.1 200 OK\r\n" +
+        "Content-Type: text/plain; charset=Shift_JIS\r\n\r\n" +
+        "Tokyo ") ++ "東京".getBytes("Shift_JIS") ++ ascii(" note")),
+    rec("revisit", "http://example.org/alpha", date,
+      "application/http; msgtype=response",
+      ascii("HTTP/1.1 304 Not Modified\r\n\r\n"),
+      extra = Seq(
+        "WARC-Refers-To-Date: 2026-01-02T03:04:05Z",
+        "WARC-Payload-Digest: sha1:3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ",
+        "WARC-Profile: http://netpreserve.org/warc/1.0/revisit/identical-payload-digest")))
+
+  def main(args: Array[String]): Unit = {
+    val dir = new java.io.File(args.headOption.getOrElse(
+      "src/test/resources/fixtures/warc_gen13"))
+    dir.mkdirs()
+    val seg = new java.io.File(dir, "seg-00000.warc.gz")
+    val out = new java.io.FileOutputStream(seg)
+    records.foreach { r =>
+      val g = new java.util.zip.GZIPOutputStream(out)
+      g.write(r); g.finish()
+    }
+    out.close()
+    println(s"frozen: $seg (${seg.length()} bytes, ${records.length} members)")
+    // self-check: parse back through the real serving paths and print the
+    // exact rows the DuckDB literal oracles must carry
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val recs = graft.sources.WarcSource.readWarc(spark, seg.getAbsolutePath)
+    graft.sources.WarcSource.warcToDocuments(recs)
+      .orderBy("offset").collect()
+      .foreach(r => println(s"[doc] ${r.toSeq.mkString(" | ")}"))
+    graft.sources.WarcSource.readWarc(spark, seg.getAbsolutePath,
+        keepPayload = false)
+      .selectExpr("offset", "warcType", "contentType", "contentLength")
+      .orderBy("offset").collect()
+      .foreach(r => println(s"[census] ${r.toSeq.mkString(" | ")}"))
+    graft.operators.Multimodal.decodeMeta(
+        graft.sources.WarcSource.warcToMedia(recs),
+        graft.operators.ImageIODecoder)
+      .orderBy("media_id").collect()
+      .foreach(r => println(s"[media] ${r.toSeq.mkString(" | ")}"))
+    graft.sources.WarcSource.warcToRevisits(recs)
+      .orderBy("offset").collect()
+      .foreach(r => println(s"[revisit] ${r.toSeq.mkString(" | ")}"))
     spark.stop()
   }
 }
