@@ -3,7 +3,7 @@ package graft
 import java.nio.charset.StandardCharsets.UTF_8
 import java.util.zip.GZIPOutputStream
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, reverse}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Dedup
@@ -227,5 +227,92 @@ class CrawlIngestSpec extends AnyFunSuite {
     val p = Dedup.nearDupAgainstDedupIndex(spark, dedupPath,
       Seq((1L, goodA)).toDF("doc_id", "text"), "doc_id", "text", 0.99)
     assert(p.count() == 1)
+  }
+
+  test("encoder contract: a custom encoder flows through delta/fold/search") {
+    val base = new java.io.File("/tmp/graft_test_crawl_encoder")
+    deleteRec(base)
+    val segments = new java.io.File(base, "segments"); segments.mkdirs()
+    val docsPath = s"$base/documents"
+    val dedupPath = s"$base/dedup_index"
+    val annPath = s"$base/ann_index"
+    Dedup.buildDedupIndex(Seq((9000L, seedText)).toDF("doc_id", "text"),
+      "doc_id", "text", dedupPath)
+    graft.index.DiskannIndex.build(
+      (0 until 4).map(i => (9000L + i, s"$seedText seed $i"))
+        .toDF("doc_id", "text")
+        .select(col("doc_id").as("row_id"),
+          CrawlIngest.stubTextEmbedding(col("text")).as("vec")),
+      "row_id", "vec", None, annPath,
+      graft.index.DiskannParams(metric = "cosine"))
+    writeSegment(new java.io.File(segments, "s0.warc.gz"),
+      Seq(html("http://enc.test/a", goodA)))
+    // the custom encoder: same contract (doc_id->row_id, ARRAY<FLOAT> vec),
+    // DIFFERENT embedding function — stub features of the REVERSED text
+    val custom: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      docs => docs.select(col("doc_id").as("row_id"),
+        CrawlIngest.stubTextEmbedding(reverse(col("text"))).as("vec"))
+    CrawlIngest.ingestSegments(spark,
+      Seq(new java.io.File(segments, "s0.warc.gz").getAbsolutePath),
+      docsPath, dedupPath, 0L, annIndexPath = Some(annPath),
+      encoder = Some(custom))
+    val docId = spark.read.parquet(docsPath).head().getAs[Long]("doc_id")
+    def top1(qvec: org.apache.spark.sql.Column): (Long, Double) = {
+      val r = graft.streaming.StreamingIngest.searchFresh(spark, annPath,
+        Seq((0L, goodA)).toDF("qid", "text")
+          .select(col("qid"), qvec.as("qvec")),
+        k = 1, searchListSize = 64, rescore = 64).head()
+      (r.getAs[Long]("row_id"), r.getAs[Double]("dist"))
+    }
+    // the landed vector is the CUSTOM embedding: its own query hits at ~0…
+    val (hitId, hitDist) = top1(
+      CrawlIngest.stubTextEmbedding(reverse(col("text"))))
+    assert(hitId == docId && hitDist < 1e-9,
+      s"custom-encoded doc must serve through the delta: $hitId@$hitDist")
+    // …and the DEFAULT embedding of the same text does NOT sit at ~0 —
+    // proof the custom encoder (not the stub) produced the stored vector
+    val (_, defDist) = top1(CrawlIngest.stubTextEmbedding(col("text")))
+    assert(defDist > 1e-6, s"default-stub query should miss: $defDist")
+    // fold the delta into the graph; the custom vector must survive
+    assert(graft.streaming.StreamingIngest.maybeCompact(spark, annPath,
+      maxDeltaRows = 1), "fold should trigger")
+    val (postId, postDist) = top1(
+      CrawlIngest.stubTextEmbedding(reverse(col("text"))))
+    assert(postId == docId && postDist < 1e-9,
+      s"custom vector must survive the fold: $postId@$postDist")
+  }
+
+  test("doc-id collision audit: distinct provenances on one id fail loud") {
+    // the detector itself, on a synthetic collision (a real xxhash64
+    // collision needs ~2^32 docs — the audit is what makes the silent-loss
+    // mode detectable at fold/audit time)
+    val collided = Seq(
+      (1L, "segA.warc.gz", 0L), (1L, "segB.warc.gz", 4L),
+      (2L, "segA.warc.gz", 1L),
+      (3L, "segC.warc.gz", 2L), (3L, "segC.warc.gz", 2L)) // same prov: OK
+      .toDF("doc_id", "file", "offset")
+    val hits = CrawlIngest.docIdCollisions(collided).collect()
+    assert(hits.length == 1 && hits.head.getLong(0) == 1L,
+      s"exactly the two-provenance id must flag: ${hits.toSeq}")
+    // corpus-wide audit over a stored documents table
+    val base = new java.io.File("/tmp/graft_test_crawl_audit")
+    deleteRec(base)
+    collided.write.parquet(s"$base/documents")
+    val audit = CrawlIngest.auditDocIdCollisions(spark, s"$base/documents")
+      .collect()
+    assert(audit.length == 1 && audit.head.getLong(0) == 1L)
+  }
+
+  test("segment paths with commas or glob metacharacters fail loud") {
+    val e = intercept[IllegalArgumentException] {
+      CrawlIngest.ingestSegments(spark, Seq("/tmp/a,b.warc.gz"),
+        "/tmp/x_docs", "/tmp/x_dedup", 0L)
+    }
+    assert(e.getMessage.contains("metacharacter"), e.getMessage)
+    val g = intercept[IllegalArgumentException] {
+      CrawlIngest.ingestSegments(spark, Seq("/tmp/seg{0,1}.warc.gz"),
+        "/tmp/x_docs", "/tmp/x_dedup", 0L)
+    }
+    assert(g.getMessage.contains("metacharacter"), g.getMessage)
   }
 }

@@ -15,11 +15,13 @@ class WarcSourceSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
   private def rec(warcType: String, uri: String, payload: Array[Byte],
-      contentType: String = "application/http; msgtype=response"): Array[Byte] = {
+      contentType: String = "application/http; msgtype=response",
+      extra: Seq[String] = Nil): Array[Byte] = {
     val h = (s"WARC/1.0\r\n" +
       s"WARC-Type: $warcType\r\n" +
       s"WARC-Target-URI: $uri\r\n" +
       "WARC-Date: 2026-01-02T03:04:05Z\r\n" +
+      extra.map(_ + "\r\n").mkString +
       s"Content-Type: $contentType\r\n" +
       s"Content-Length: ${payload.length}\r\n" +
       "WARC-Custom-Header: kept\r\n\r\n").getBytes(UTF_8)
@@ -362,5 +364,141 @@ class WarcSourceSpec extends AnyFunSuite {
     // no ScalaUDF anywhere in the plan — the extraction is codegen'd
     assert(!df.queryExecution.executedPlan.toString.contains("UDF"),
       "htmlText must stay expression-only")
+  }
+
+  test("HTTP-envelope routing: the REAL payload type drives both bridges") {
+    // a real PNG so the enveloped-media path proves byte-exact body slicing
+    val img = new java.awt.image.BufferedImage(9, 3,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    val dir = new java.io.File("/tmp/graft_test_warc_envelope")
+    dir.mkdirs()
+    java.nio.file.Files.write(new java.io.File(dir, "e.warc").toPath,
+      // enveloped PNG: media despite the application/http WARC type
+      rec("response", "http://e.test/pic.png",
+        ("HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\n").getBytes(UTF_8)
+          ++ png) ++
+        // enveloped JSON: neither text nor media — silently-dropped class
+        rec("response", "http://e.test/api",
+          ("HTTP/1.1 200 OK\r\nContent-Type: application/json\r\n\r\n" +
+            "{\"k\": [1, 2]}").getBytes(UTF_8)) ++
+        // server lies octet-stream; crawler's sniffer recorded text/html —
+        // WARC-Identified-Payload-Type must win
+        rec("response", "http://e.test/sniffed",
+          ("HTTP/1.1 200 OK\r\nContent-Type: application/octet-stream\r\n" +
+            "\r\n<html><body>Actually HTML.</body></html>").getBytes(UTF_8),
+          extra = Seq("WARC-Identified-Payload-Type: text/html")) ++
+        // enveloped HTML, the happy path, still routed
+        rec("response", "http://e.test/page", html))
+    val recs = WarcSource.readWarc(spark, s"$dir/e.warc", gzipped = false)
+    val docs = WarcSource.warcToDocuments(recs)
+      .select("url", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(docs.keySet == Set("http://e.test/sniffed", "http://e.test/page"),
+      s"routing must pass html (declared or sniffed) and drop png/json: " +
+        s"${docs.keySet}")
+    assert(docs("http://e.test/sniffed") == "Actually HTML.")
+    val media = WarcSource.warcToMedia(recs).collect()
+    assert(media.length == 1 && media.head.getAs[String]("modality") == "image")
+    assert(java.util.Arrays.equals(
+      media.head.getAs[Array[Byte]]("payload"), png),
+      "enveloped media payload must be the exact body bytes, headers sliced")
+    val meta = graft.operators.Multimodal.decodeMeta(
+      WarcSource.warcToMedia(recs), graft.operators.ImageIODecoder).head()
+    assert(meta.getAs[String]("format") == "png" &&
+      meta.getAs[Int]("width") == 9 && meta.getAs[Int]("height") == 3,
+      s"enveloped PNG must decode from its body bytes: $meta")
+  }
+
+  test("charset routing: the HTTP charset= parameter drives the text decode") {
+    val dir = new java.io.File("/tmp/graft_test_warc_charset")
+    dir.mkdirs()
+    val cp1252 = ("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html; charset=windows-1252\r\n\r\n").getBytes(UTF_8) ++
+      "<p>Caf".getBytes(UTF_8) ++ Array(0xE9.toByte) ++
+      " ".getBytes(UTF_8) ++ Array(0x93.toByte) ++ "q".getBytes(UTF_8) ++
+      Array(0x94.toByte) ++ "</p>".getBytes(UTF_8)
+    val sjis = ("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/plain; charset=Shift_JIS\r\n\r\nTokyo ").getBytes(UTF_8) ++
+      "東京".getBytes("Shift_JIS")
+    java.nio.file.Files.write(new java.io.File(dir, "c.warc").toPath,
+      rec("response", "http://c.test/cafe", cp1252) ++
+        rec("response", "http://c.test/tokyo", sjis))
+    val docs = WarcSource.warcToDocuments(
+        WarcSource.readWarc(spark, s"$dir/c.warc", gzipped = false))
+      .select("url", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(docs("http://c.test/cafe") == "Café “q”",
+      s"windows-1252 must decode per the charset param: " +
+        s"'${docs("http://c.test/cafe")}'")
+    assert(docs("http://c.test/tokyo") == "Tokyo 東京",
+      "Shift_JIS (outside the built-in decode whitelist) must decode")
+  }
+
+  test("charset_decode: REPLACE on malformed bytes, UTF-8 fallback on junk labels") {
+    graft.functions.VectorFunctions.register(spark)
+    import spark.implicits._
+    val bad = Array(0x48.toByte, 0x69.toByte, 0xC3.toByte) // "Hi" + torn UTF-8
+    val rows = Seq(
+      (1L, bad, "utf-8"),
+      (2L, bad, "no-such-charset-label"),  // unknown label -> UTF-8, no throw
+      (3L, "ok".getBytes(UTF_8), ""),      // empty label -> UTF-8
+      (4L, null.asInstanceOf[Array[Byte]], "utf-8"))
+      .toDF("id", "payload", "cs")
+      .select(col("id"),
+        graft.functions.VectorFunctions
+          .charset_decode(col("payload"), col("cs")).as("t"))
+      .orderBy("id").collect()
+    assert(rows(0).getString(1) == "Hi�",
+      "malformed UTF-8 must REPLACE, never throw (ANSI decode would)")
+    assert(rows(1).getString(1) == "Hi�",
+      "an unknown charset label must fall back to UTF-8, never throw")
+    assert(rows(2).getString(1) == "ok")
+    assert(rows(3).isNullAt(1), "null payload stays null")
+    // and the SQL spelling resolves through the registry
+    val viaSql = spark.sql(
+      "SELECT charset_decode(encode('x', 'UTF-8'), 'windows-1252')").head()
+    assert(viaSql.getString(0) == "x")
+  }
+
+  test("warcToRevisits: the crawler's dedup verdicts surface, not drop") {
+    val dir = new java.io.File("/tmp/graft_test_warc_revisit")
+    dir.mkdirs()
+    java.nio.file.Files.write(new java.io.File(dir, "r.warc").toPath,
+      rec("revisit", "http://r.test/page",
+        "HTTP/1.1 304 Not Modified\r\n\r\n".getBytes(UTF_8),
+        extra = Seq(
+          "WARC-Refers-To-Date: 2025-12-31T00:00:00Z",
+          "WARC-Payload-Digest: sha1:AAAABBBB",
+          "WARC-Profile: http://netpreserve.org/warc/1.0/revisit/identical-payload-digest")) ++
+        rec("response", "http://r.test/other", html))
+    val recs = WarcSource.readWarc(spark, s"$dir/r.warc", gzipped = false)
+    val rv = WarcSource.warcToRevisits(recs).collect()
+    assert(rv.length == 1)
+    assert(rv.head.getAs[String]("url") == "http://r.test/page" &&
+      rv.head.getAs[String]("original_date") == "2025-12-31T00:00:00Z" &&
+      rv.head.getAs[String]("payload_digest") == "sha1:AAAABBBB")
+    // and revisits never leak into the documents table
+    assert(WarcSource.warcToDocuments(recs)
+      .filter(col("url") === "http://r.test/page").count() == 0)
+  }
+
+  test("warc_gen13 fixture replays: envelope corpus pinned") {
+    val fixture = new java.io.File(
+      "src/test/resources/fixtures/warc_gen13/seg-00000.warc.gz").getAbsolutePath
+    val recs = WarcSource.readWarc(spark, fixture)
+    assert(recs.count() == 12)
+    val docs = WarcSource.warcToDocuments(recs)
+      .select("offset", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(docs.keySet == Set(1L, 2L, 3L, 8L, 9L, 10L),
+      s"gen13 doc routing drifted: ${docs.keySet}")
+    assert(docs(8L) == "Café “smart” – dash")
+    assert(docs(10L) == "Tokyo 東京 note")
+    assert(WarcSource.warcToMedia(recs).count() == 2,
+      "raw AND enveloped PNG must both reach the media bridge")
+    assert(WarcSource.warcToRevisits(recs).count() == 1)
   }
 }
