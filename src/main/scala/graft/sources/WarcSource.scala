@@ -393,8 +393,10 @@ object WarcSource {
    *    misconfigured servers get wrong constantly), else the HTTP header
    *    block's `Content-Type:` line for `application/http` envelopes, else
    *    the WARC-level Content-Type for raw records;
-   *  - `eff_charset` — the server-declared `charset=` parameter (envelopes
-   *    only; empty means unknown → UTF-8 downstream);
+   *  - `eff_charset` — the server-declared `charset=` parameter, falling
+   *    back to the document's own `meta charset` tag for HTML with a
+   *    silent server (the HTML5-common case); empty means unknown → UTF-8
+   *    downstream;
    *  - `body` — the payload BYTES with any HTTP header block sliced off
    *    (binary-safe, so enveloped media decodes from the exact image bytes).
    *
@@ -428,11 +430,23 @@ object WarcSource {
     val fullCt = when(isHttp,
         coalesce(nullif(idType, lit("")), nullif(httpCt, lit("")), lit("")))
       .otherwise(col("contentType"))
+    val effType = lower(trim(regexp_extract(fullCt, "^([^;]*)", 1)))
+    val headerCs = regexp_extract(httpCt,
+      "(?i)charset\\s*=\\s*\"?\\s*([A-Za-z0-9][A-Za-z0-9_.:+-]*)", 1)
+    // the HTML5-common case: NO charset in the HTTP header, a meta tag in
+    // the document head instead (either the charset or the http-equiv
+    // form — both spell charset=). The spec requires it within the first
+    // 1024 bytes; scan 2048 of the body, HTML rows only, and only as the
+    // fallback when the server declared nothing
+    val bodyHead = when(bodyStart.isNotNull, l1.substr(bodyStart, lit(2048)))
+      .otherwise(l1.substr(lit(1), lit(2048)))
+    val metaCs = when(effType === "text/html", regexp_extract(bodyHead,
+      "(?i)<meta[^>]*charset\\s*=\\s*[\"']?\\s*([A-Za-z0-9][A-Za-z0-9_.:+-]*)",
+      1))
     records
-      .withColumn("eff_type",
-        lower(trim(regexp_extract(fullCt, "^([^;]*)", 1))))
-      .withColumn("eff_charset", regexp_extract(httpCt,
-        "(?i)charset\\s*=\\s*\"?\\s*([A-Za-z0-9][A-Za-z0-9_.:+-]*)", 1))
+      .withColumn("eff_type", effType)
+      .withColumn("eff_charset",
+        coalesce(nullif(headerCs, lit("")), nullif(metaCs, lit("")), lit("")))
       .withColumn("body",
         when(bodyStart.isNotNull,
           col("payload").substr(bodyStart, length(col("payload"))))

@@ -663,7 +663,15 @@ object FreezeWarcFixture13 {
       extra = Seq(
         "WARC-Refers-To-Date: 2026-01-02T03:04:05Z",
         "WARC-Payload-Digest: sha1:3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ",
-        "WARC-Profile: http://netpreserve.org/warc/1.0/revisit/identical-payload-digest")))
+        "WARC-Profile: http://netpreserve.org/warc/1.0/revisit/identical-payload-digest")),
+    // 12: HTML5's everyday shape — the server declares no charset, the
+    // document's own meta tag does; body is Windows-1252
+    rec("response", "http://example.org/meta", date,
+      "application/http; msgtype=response",
+      ascii("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+        "<html><head><meta charset=\"windows-1252\"></head><body>na") ++
+        Array(0xEF.toByte) ++ ascii("ve r") ++ Array(0xE9.toByte) ++
+        ascii("sum") ++ Array(0xE9.toByte) ++ ascii("</body></html>")))
 
   def main(args: Array[String]): Unit = {
     val dir = new java.io.File(args.headOption.getOrElse(

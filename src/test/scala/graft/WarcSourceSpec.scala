@@ -423,9 +423,16 @@ class WarcSourceSpec extends AnyFunSuite {
     val sjis = ("HTTP/1.1 200 OK\r\n" +
       "Content-Type: text/plain; charset=Shift_JIS\r\n\r\nTokyo ").getBytes(UTF_8) ++
       "東京".getBytes("Shift_JIS")
+    // a RAW text/html record (no HTTP headers at all) whose charset only
+    // the document's own meta tag declares — the HTML5-common shape
+    val rawMeta =
+      "<html><head><meta http-equiv=\"Content-Type\" content=\"text/html; charset=windows-1252\"></head><body>r"
+        .getBytes(UTF_8) ++ Array(0xE9.toByte) ++ "sum".getBytes(UTF_8) ++
+        Array(0xE9.toByte) ++ "</body></html>".getBytes(UTF_8)
     java.nio.file.Files.write(new java.io.File(dir, "c.warc").toPath,
       rec("response", "http://c.test/cafe", cp1252) ++
-        rec("response", "http://c.test/tokyo", sjis))
+        rec("response", "http://c.test/tokyo", sjis) ++
+        rec("response", "http://c.test/meta", rawMeta, "text/html"))
     val docs = WarcSource.warcToDocuments(
         WarcSource.readWarc(spark, s"$dir/c.warc", gzipped = false))
       .select("url", "text").collect()
@@ -435,6 +442,9 @@ class WarcSourceSpec extends AnyFunSuite {
         s"'${docs("http://c.test/cafe")}'")
     assert(docs("http://c.test/tokyo") == "Tokyo 東京",
       "Shift_JIS (outside the built-in decode whitelist) must decode")
+    assert(docs("http://c.test/meta") == "résumé",
+      s"raw html must honor its meta http-equiv charset: " +
+        s"'${docs("http://c.test/meta")}'")
   }
 
   test("charset_decode: REPLACE on malformed bytes, UTF-8 fallback on junk labels") {
@@ -489,14 +499,16 @@ class WarcSourceSpec extends AnyFunSuite {
     val fixture = new java.io.File(
       "src/test/resources/fixtures/warc_gen13/seg-00000.warc.gz").getAbsolutePath
     val recs = WarcSource.readWarc(spark, fixture)
-    assert(recs.count() == 12)
+    assert(recs.count() == 13)
     val docs = WarcSource.warcToDocuments(recs)
       .select("offset", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(docs.keySet == Set(1L, 2L, 3L, 8L, 9L, 10L),
+    assert(docs.keySet == Set(1L, 2L, 3L, 8L, 9L, 10L, 12L),
       s"gen13 doc routing drifted: ${docs.keySet}")
     assert(docs(8L) == "Café “smart” – dash")
     assert(docs(10L) == "Tokyo 東京 note")
+    assert(docs(12L) == "naïve résumé",
+      "meta-charset fallback must decode the HTML5-common shape")
     assert(WarcSource.warcToMedia(recs).count() == 2,
       "raw AND enveloped PNG must both reach the media bridge")
     assert(WarcSource.warcToRevisits(recs).count() == 1)
