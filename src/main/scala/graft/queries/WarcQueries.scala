@@ -84,6 +84,19 @@ object WarcQueries {
           col("original_date"), col("payload_digest"), col("profile"))
         .orderBy(col("offset"))
     }),
+    // revisits JOINED INTO the URL-dedup family: variants of one page
+    // (case/default-port/fragment noise, tracking params) roll up under
+    // the canonical key + payload digest — the crawler's dedup verdicts
+    // become a per-page refetch ledger instead of three stray rows
+    "warc_revisit_rollup" -> ((s, _) => {
+      WarcSource.warcToRevisits(WarcSource.readWarc(s, fixture))
+        .groupBy(
+          graft.operators.Curation.urlNormalize(col("url")).as("url_norm"),
+          col("payload_digest"))
+        .agg(count(lit(1)).as("n_revisits"),
+          min(col("original_date")).as("first_seen"))
+        .orderBy(col("url_norm"))
+    }),
     // the FULL bridge, end-to-end under the oracle: ingestSegments on the
     // fixture into fresh temp stores with every leg on (documents + dedup
     // + BM25 + ANN), then one serving probe per store — the exactly-once
@@ -210,7 +223,9 @@ object WarcQueries {
         |  (9, 'response', 'application/http; msgtype=response', 101),
         |  (10, 'response', 'application/http; msgtype=response', 79),
         |  (11, 'revisit', 'application/http; msgtype=response', 29),
-        |  (12, 'response', 'application/http; msgtype=response', 124)
+        |  (12, 'response', 'application/http; msgtype=response', 124),
+        |  (13, 'revisit', 'application/http; msgtype=response', 29),
+        |  (14, 'revisit', 'application/http; msgtype=response', 29)
         |) AS t("offset", warc_type, content_type, content_length)
         |ORDER BY "offset"""".stripMargin,
     "warc_media" ->
@@ -223,9 +238,21 @@ object WarcQueries {
       """SELECT * FROM (VALUES
         |  (11, 'http://example.org/alpha', '2026-03-04T05:06:07Z',
         |   '2026-01-02T03:04:05Z', 'sha1:3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ',
+        |   'http://netpreserve.org/warc/1.0/revisit/identical-payload-digest'),
+        |  (13, 'HTTP://Example.ORG:80/alpha#frag', '2026-03-04T05:06:07Z',
+        |   '2026-01-02T03:04:05Z', 'sha1:3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ',
+        |   'http://netpreserve.org/warc/1.0/revisit/identical-payload-digest'),
+        |  (14, 'http://example.org/alpha?utm_source=feed', '2026-03-04T05:06:07Z',
+        |   '2026-02-03T04:05:06Z', 'sha1:3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ',
         |   'http://netpreserve.org/warc/1.0/revisit/identical-payload-digest')
         |) AS t("offset", url, fetch_date, original_date, payload_digest, profile)
         |ORDER BY "offset"""".stripMargin,
+    "warc_revisit_rollup" ->
+      """SELECT * FROM (VALUES
+        |  ('http://example.org/alpha', 'sha1:3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ',
+        |   3, '2026-01-02T03:04:05Z')
+        |) AS t(url_norm, payload_digest, n_revisits, first_seen)
+        |ORDER BY url_norm""".stripMargin,
     "crawl_pipeline" ->
       """SELECT * FROM (VALUES
         |  ('ann', 'http://example.org/alpha#3', 1),

@@ -671,7 +671,24 @@ object FreezeWarcFixture13 {
       ascii("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
         "<html><head><meta charset=\"windows-1252\"></head><body>na") ++
         Array(0xEF.toByte) ++ ascii("ve r") ++ Array(0xE9.toByte) ++
-        ascii("sum") ++ Array(0xE9.toByte) ++ ascii("</body></html>")))
+        ascii("sum") ++ Array(0xE9.toByte) ++ ascii("</body></html>")),
+    // 13+14: revisits of URL VARIANTS of the same page (case/default-port/
+    // fragment noise, a tracking param) — they must roll up under ONE
+    // canonical key in the warc_revisit_rollup composition
+    rec("revisit", "HTTP://Example.ORG:80/alpha#frag", date,
+      "application/http; msgtype=response",
+      ascii("HTTP/1.1 304 Not Modified\r\n\r\n"),
+      extra = Seq(
+        "WARC-Refers-To-Date: 2026-01-02T03:04:05Z",
+        "WARC-Payload-Digest: sha1:3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ",
+        "WARC-Profile: http://netpreserve.org/warc/1.0/revisit/identical-payload-digest")),
+    rec("revisit", "http://example.org/alpha?utm_source=feed", date,
+      "application/http; msgtype=response",
+      ascii("HTTP/1.1 304 Not Modified\r\n\r\n"),
+      extra = Seq(
+        "WARC-Refers-To-Date: 2026-02-03T04:05:06Z",
+        "WARC-Payload-Digest: sha1:3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ",
+        "WARC-Profile: http://netpreserve.org/warc/1.0/revisit/identical-payload-digest")))
 
   def main(args: Array[String]): Unit = {
     val dir = new java.io.File(args.headOption.getOrElse(

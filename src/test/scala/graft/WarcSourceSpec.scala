@@ -499,7 +499,7 @@ class WarcSourceSpec extends AnyFunSuite {
     val fixture = new java.io.File(
       "src/test/resources/fixtures/warc_gen13/seg-00000.warc.gz").getAbsolutePath
     val recs = WarcSource.readWarc(spark, fixture)
-    assert(recs.count() == 13)
+    assert(recs.count() == 15)
     val docs = WarcSource.warcToDocuments(recs)
       .select("offset", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -511,6 +511,6 @@ class WarcSourceSpec extends AnyFunSuite {
       "meta-charset fallback must decode the HTML5-common shape")
     assert(WarcSource.warcToMedia(recs).count() == 2,
       "raw AND enveloped PNG must both reach the media bridge")
-    assert(WarcSource.warcToRevisits(recs).count() == 1)
+    assert(WarcSource.warcToRevisits(recs).count() == 3)
   }
 }
