@@ -51,6 +51,161 @@ object CharsetDecodeKernel {
 }
 
 /**
+ * Runtime kernel for [[HttpBodyDecode]] — HTTP body CODINGS, the layer
+ * between the header/body split and the charset decode: real crawl
+ * payloads arrive `Transfer-Encoding: chunked` and/or `Content-Encoding:
+ * gzip|deflate` (wget/heritrix-written WARCs store the wire bytes; some
+ * Common Crawl eras too). Without decoding, a chunked or gzipped HTML
+ * body reaches the text extractor as framing-noise/binary garbage.
+ *
+ * Contract (crawl-robust, like [[CharsetDecodeKernel]]):
+ *  - `chunked` transfer coding is decoded (hex sizes, extensions ignored,
+ *    trailers ignored); a TRUNCATED tail (the crawler's size cap cut the
+ *    stream) yields the bytes accumulated so far, but a framing VIOLATION
+ *    with bytes remaining yields null;
+ *  - `gzip`/`x-gzip` and `deflate` (zlib, with the raw-deflate retry many
+ *    servers actually send) content codings are inflated, output capped at
+ *    [[MaxInflated]] (zip-bomb defense — past the cap yields null);
+ *  - `identity`/empty codings pass through; anything else (`br`, `zstd`,
+ *    `compress`, a TE list beyond chunked) yields null — the router DROPS
+ *    the record rather than feeding garbage downstream;
+ *  - any parse/inflate error yields null, never a throw: one hostile
+ *    server must not kill a segment task.
+ */
+object HttpBodyKernels {
+  /** 64 MiB inflated-body cap: a page bigger than this is not training
+    * text, and an unbounded inflate is a zip-bomb denial vector. */
+  val MaxInflated: Int = 64 << 20
+
+  private def hexVal(b: Byte): Int = b match {
+    case c if c >= '0' && c <= '9' => c - '0'
+    case c if c >= 'a' && c <= 'f' => c - 'a' + 10
+    case c if c >= 'A' && c <= 'F' => c - 'A' + 10
+    case _ => -1
+  }
+
+  /** RFC 9112 §7.1 chunked decoding; null on violation, lenient at EOF. */
+  def dechunk(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.min(b.length, 1 << 16))
+    var i = 0
+    while (true) {
+      if (i >= b.length) return out.toByteArray // truncated tail: keep
+      var size = 0L
+      var any = false
+      while (i < b.length && hexVal(b(i)) >= 0) {
+        size = size * 16 + hexVal(b(i)); i += 1; any = true
+        if (size > MaxInflated) return null
+      }
+      if (!any) return null // no hex where a chunk size must be
+      // skip chunk extensions up to the line end
+      while (i < b.length && b(i) != '\r' && b(i) != '\n') i += 1
+      if (i < b.length && b(i) == '\r') i += 1
+      if (i >= b.length) return out.toByteArray // truncated in framing
+      if (b(i) != '\n') return null
+      i += 1
+      if (size == 0) return out.toByteArray // last-chunk; trailers ignored
+      val n = math.min(size, (b.length - i).toLong).toInt
+      out.write(b, i, n)
+      i += n
+      if (n < size) return out.toByteArray // truncated inside chunk data
+      if (i < b.length && b(i) == '\r') i += 1
+      if (i < b.length) {
+        if (b(i) != '\n') return null // data must end at CRLF
+        i += 1
+      }
+    }
+    null // unreachable
+  }
+
+  private def inflateThrough(in: java.io.InputStream): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(1 << 16)
+    val buf = new Array[Byte](1 << 16)
+    var total = 0
+    var n = in.read(buf)
+    while (n > 0) {
+      total += n
+      if (total > MaxInflated) return null
+      out.write(buf, 0, n)
+      n = in.read(buf)
+    }
+    out.toByteArray
+  }
+
+  def gunzip(b: Array[Byte]): Array[Byte] =
+    try inflateThrough(new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(b)))
+    catch { case _: Exception => null }
+
+  def inflate(b: Array[Byte]): Array[Byte] =
+    try inflateThrough(new java.util.zip.InflaterInputStream(
+      new java.io.ByteArrayInputStream(b)))
+    catch {
+      case _: Exception =>
+        // the raw-deflate (no zlib wrapper) shape many servers send
+        try inflateThrough(new java.util.zip.InflaterInputStream(
+          new java.io.ByteArrayInputStream(b),
+          new java.util.zip.Inflater(true)))
+        catch { case _: Exception => null }
+    }
+
+  def decodeBody(body: Array[Byte], te: UTF8String,
+      ce: UTF8String): Array[Byte] = {
+    var b = body
+    val teS = if (te == null) "" else te.toString.trim.toLowerCase(java.util.Locale.ROOT)
+    if (teS.nonEmpty && teS != "identity") {
+      val tokens = teS.split(",").map(_.trim).filter(t => t.nonEmpty && t != "identity")
+      if (!tokens.forall(_ == "chunked")) return null // TE gzip etc: unsupported
+      if (tokens.nonEmpty) { b = dechunk(b); if (b == null) return null }
+    }
+    val ceS = if (ce == null) "" else ce.toString.trim.toLowerCase(java.util.Locale.ROOT)
+    ceS match {
+      case "" | "identity" => b
+      case "gzip" | "x-gzip" => gunzip(b)
+      case "deflate" => inflate(b)
+      case _ => null // br / zstd / compress / lists: drop, don't garble
+    }
+  }
+}
+
+/**
+ * `http_body_decode(body BINARY, transfer_encoding STRING,
+ * content_encoding STRING) → BINARY` — undo the HTTP body codings per
+ * [[HttpBodyKernels]]; null result means "unsupported or malformed coding,
+ * drop the record". Null-safe: null in any input → null.
+ */
+case class HttpBodyDecode(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with Serializable {
+  override def prettyName: String = "http_body_decode"
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  // a legal all-inputs-present call can still yield null (bad coding)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType == BinaryType &&
+        second.dataType.isInstanceOf[StringType] &&
+        third.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (BINARY, STRING, STRING), got " +
+        s"(${first.dataType.simpleString}, ${second.dataType.simpleString}, " +
+        s"${third.dataType.simpleString})")
+
+  override def nullSafeEval(b: Any, te: Any, ce: Any): Any =
+    HttpBodyKernels.decodeBody(b.asInstanceOf[Array[Byte]],
+      te.asInstanceOf[UTF8String], ce.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, te, ce) =>
+      s"""${ev.value} = graft.functions.HttpBodyKernels.decodeBody($b, $te, $ce);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(first = f, second = s, third = t)
+}
+
+/**
  * `charset_decode(payload BINARY, charset STRING) → STRING` — decode bytes
  * per a server-declared charset label with U+FFFD replacement, UTF-8
  * fallback on unknown labels (see [[CharsetDecodeKernel]] for the exact

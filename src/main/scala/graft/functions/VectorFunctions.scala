@@ -29,6 +29,9 @@ object VectorFunctions {
     // unknown labels) — the built-in `decode` whitelist + ANSI throw rules
     // make it unusable on untrusted HTTP charset labels
     "charset_decode" -> (es => CharsetDecode(es(0), es(1))),
+    // HTTP body codings (chunked / gzip / deflate) — null = unsupported or
+    // malformed coding, the router drops the record
+    "http_body_decode" -> (es => HttpBodyDecode(es(0), es(1), es(2))),
     // pgvector SQL-function aliases, so the reference's function-call
     // spellings run verbatim: vector_dims/vector_norm/l2_normalize/
     // subvector (all 1-based, like pgvector) map onto the same expressions
@@ -127,6 +130,9 @@ object VectorFunctions {
   def jaccard_dist(l: Column, r: Column): Column = call_function("jaccard_dist", l, r)
   def charset_decode(payload: Column, charset: Column): Column =
     call_function("charset_decode", payload, charset)
+  def http_body_decode(body: Column, transferEnc: Column,
+      contentEnc: Column): Column =
+    call_function("http_body_decode", body, transferEnc, contentEnc)
 }
 
 /**

@@ -206,7 +206,11 @@ object WarcQueries {
         |  ('seg-00000.warc.gz', 10, 'http://example.org/tokyo', '2026-03-04T05:06:07Z',
         |   'Tokyo 東京 note'),
         |  ('seg-00000.warc.gz', 12, 'http://example.org/meta', '2026-03-04T05:06:07Z',
-        |   'naïve résumé')
+        |   'naïve résumé'),
+        |  ('seg-00000.warc.gz', 15, 'http://example.org/chunked', '2026-03-04T05:06:07Z',
+        |   'Chunked body works.'),
+        |  ('seg-00000.warc.gz', 16, 'http://example.org/gzipped', '2026-03-04T05:06:07Z',
+        |   'Gzip body works.')
         |) AS t(file, "offset", url, fetch_date, text)
         |ORDER BY "offset"""".stripMargin,
     "warc_census" ->
@@ -225,7 +229,10 @@ object WarcQueries {
         |  (11, 'revisit', 'application/http; msgtype=response', 29),
         |  (12, 'response', 'application/http; msgtype=response', 124),
         |  (13, 'revisit', 'application/http; msgtype=response', 29),
-        |  (14, 'revisit', 'application/http; msgtype=response', 29)
+        |  (14, 'revisit', 'application/http; msgtype=response', 29),
+        |  (15, 'response', 'application/http; msgtype=response', 134),
+        |  (16, 'response', 'application/http; msgtype=response', 121),
+        |  (17, 'response', 'application/http; msgtype=response', 86)
         |) AS t("offset", warc_type, content_type, content_length)
         |ORDER BY "offset"""".stripMargin,
     "warc_media" ->
@@ -262,6 +269,8 @@ object WarcQueries {
         |  ('doc', 'http://example.org/alpha#1', 61),
         |  ('doc', 'http://example.org/alpha#3', 38),
         |  ('doc', 'http://example.org/cafe#8', 19),
+        |  ('doc', 'http://example.org/chunked#15', 19),
+        |  ('doc', 'http://example.org/gzipped#16', 16),
         |  ('doc', 'http://example.org/meta#12', 12),
         |  ('doc', 'http://example.org/raw#2', 30),
         |  ('doc', 'http://example.org/sniffed#9', 16),

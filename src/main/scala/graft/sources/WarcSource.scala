@@ -409,6 +409,7 @@ object WarcSource {
    * record; no UDF.
    */
   private[graft] def withHttpRouting(records: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(records.sparkSession)
     val isHttp = col("warcType") === "response" &&
       col("contentType").startsWith("application/http")
     val l1 = decode(substring(col("payload"), 1, HttpHeaderWindow),
@@ -448,8 +449,18 @@ object WarcSource {
       .withColumn("eff_charset",
         coalesce(nullif(headerCs, lit("")), nullif(metaCs, lit("")), lit("")))
       .withColumn("body",
+        // the wire bytes may still carry HTTP BODY CODINGS (chunked
+        // transfer framing, gzip/deflate content coding — heritrix/wget
+        // WARCs store them as received): undo them here, or drop the row
+        // (null) on an unsupported/malformed coding rather than feeding
+        // framing noise to the extractor — see HttpBodyKernels
         when(bodyStart.isNotNull,
-          col("payload").substr(bodyStart, length(col("payload"))))
+          call_function("http_body_decode",
+            col("payload").substr(bodyStart, length(col("payload"))),
+            lower(trim(regexp_extract(hdrBlock,
+              "(?im)^transfer-encoding:[ \\t]*([^\\r\\n]+)", 1))),
+            lower(trim(regexp_extract(hdrBlock,
+              "(?im)^content-encoding:[ \\t]*([^\\r\\n]+)", 1)))))
           .when(isHttp, lit(Array.emptyByteArray))
           .otherwise(col("payload")))
   }
@@ -471,7 +482,9 @@ object WarcSource {
       .when(col("eff_type").startsWith("audio/"), "audio")
       .when(col("eff_type").startsWith("video/"), "video")
     withHttpRouting(records)
-      .filter(col("warcType") === "response" && modality.isNotNull)
+      // body null = unsupported/malformed HTTP body coding — dropped
+      .filter(col("warcType") === "response" && modality.isNotNull &&
+        col("body").isNotNull)
       .select(
         xxhash64(base, col("offset")).as("media_id"),
         modality.as("modality"),

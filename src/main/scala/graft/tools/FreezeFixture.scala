@@ -629,6 +629,19 @@ object FreezeWarcFixture {
 object FreezeWarcFixture13 {
   import FreezeWarcFixture.{ascii, date, pngBytes, rec}
 
+  /** RFC 9112 chunked framing over the given pieces (hex sizes, CRLF,
+    * terminated by the last-chunk). */
+  private def chunked(parts: Seq[String]): Array[Byte] =
+    ascii(parts.map(p => f"${p.length}%x\r\n$p\r\n").mkString + "0\r\n\r\n")
+
+  /** JDK-gzip of `<html><body>Gzip body works.</body></html>` — embedded
+    * as a constant (like [[FreezeWarcFixture.pngBytes]]) so regeneration
+    * stays byte-stable across zlib/JDK versions. */
+  val gzHtmlBytes: Array[Byte] =
+    ("1f8b08000000000000ffb3c928c9cdb1b349ca4fa9b473afca2c5000b114caf38b" +
+      "b28bf56cf4c1c236fa6035000f49329f2a000000")
+      .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
   def records: Seq[Array[Byte]] = FreezeWarcFixture.records ++ Seq(
     rec("response", "http://example.org/logo2.png", date,
       "application/http; msgtype=response",
@@ -688,7 +701,26 @@ object FreezeWarcFixture13 {
       extra = Seq(
         "WARC-Refers-To-Date: 2026-02-03T04:05:06Z",
         "WARC-Payload-Digest: sha1:3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ",
-        "WARC-Profile: http://netpreserve.org/warc/1.0/revisit/identical-payload-digest")))
+        "WARC-Profile: http://netpreserve.org/warc/1.0/revisit/identical-payload-digest")),
+    // 15: Transfer-Encoding: chunked — the wire framing heritrix/wget
+    // WARCs store; the text must reassemble across chunk boundaries
+    rec("response", "http://example.org/chunked", date,
+      "application/http; msgtype=response",
+      ascii("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+        "Transfer-Encoding: chunked\r\n\r\n") ++
+        chunked(Seq("<html><body>Chunk", "ed body works.</body></html>"))),
+    // 16: Content-Encoding: gzip — the body inflates before extraction
+    rec("response", "http://example.org/gzipped", date,
+      "application/http; msgtype=response",
+      ascii("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+        "Content-Encoding: gzip\r\n\r\n") ++ gzHtmlBytes),
+    // 17: Content-Encoding: br — unsupported coding, must DROP (a brotli
+    // body fed to the extractor would be framing noise)
+    rec("response", "http://example.org/brotli", date,
+      "application/http; msgtype=response",
+      ascii("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+        "Content-Encoding: br\r\n\r\n") ++
+        Array.tabulate[Byte](20)(i => (i * 11 + 3).toByte)))
 
   def main(args: Array[String]): Unit = {
     val dir = new java.io.File(args.headOption.getOrElse(

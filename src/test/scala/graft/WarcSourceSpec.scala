@@ -495,16 +495,55 @@ class WarcSourceSpec extends AnyFunSuite {
       .filter(col("url") === "http://r.test/page").count() == 0)
   }
 
+  test("http_body_decode: chunked/gzip/deflate kernels, drops on junk") {
+    import graft.functions.HttpBodyKernels._
+    // chunked: reassembly, extension tolerance, trailer ignorance
+    val ch = "5;ext=1\r\nHello\r\n7\r\n, world\r\n0\r\nX-T: v\r\n\r\n"
+      .getBytes(UTF_8)
+    assert(new String(dechunk(ch), UTF_8) == "Hello, world")
+    // truncated tail (crawler size cap): keep what arrived
+    assert(new String(dechunk("5\r\nHello\r\n7\r\n, wo".getBytes(UTF_8)),
+      UTF_8) == "Hello, wo")
+    // framing violation with bytes remaining: null, not garbage
+    assert(dechunk("zz\r\nHello\r\n".getBytes(UTF_8)) == null)
+    // gzip roundtrip + corrupt-input null
+    val bo = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bo)
+    g.write("payload".getBytes(UTF_8)); g.close()
+    assert(new String(gunzip(bo.toByteArray), UTF_8) == "payload")
+    assert(gunzip("not gzip at all".getBytes(UTF_8)) == null)
+    // deflate: zlib AND the raw shape many servers send
+    val zl = { val d = new java.util.zip.Deflater()
+      d.setInput("zlib body".getBytes(UTF_8)); d.finish()
+      val b = new Array[Byte](64); val n = d.deflate(b); b.take(n) }
+    assert(new String(inflate(zl), UTF_8) == "zlib body")
+    val raw = { val d = new java.util.zip.Deflater(-1, true)
+      d.setInput("raw body".getBytes(UTF_8)); d.finish()
+      val b = new Array[Byte](64); val n = d.deflate(b); b.take(n) }
+    assert(new String(inflate(raw), UTF_8) == "raw body")
+    // coding router: unknown codings are null (drop), identity passes
+    def dec(body: Array[Byte], te: String, ce: String) =
+      decodeBody(body, org.apache.spark.unsafe.types.UTF8String.fromString(te),
+        org.apache.spark.unsafe.types.UTF8String.fromString(ce))
+    assert(dec("x".getBytes(UTF_8), "", "br") == null)
+    assert(dec("x".getBytes(UTF_8), "gzip, chunked", "") == null)
+    assert(new String(dec("x".getBytes(UTF_8), "identity", "Identity"),
+      UTF_8) == "x")
+  }
+
   test("warc_gen13 fixture replays: envelope corpus pinned") {
     val fixture = new java.io.File(
       "src/test/resources/fixtures/warc_gen13/seg-00000.warc.gz").getAbsolutePath
     val recs = WarcSource.readWarc(spark, fixture)
-    assert(recs.count() == 15)
+    assert(recs.count() == 18)
     val docs = WarcSource.warcToDocuments(recs)
       .select("offset", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(docs.keySet == Set(1L, 2L, 3L, 8L, 9L, 10L, 12L),
+    assert(docs.keySet == Set(1L, 2L, 3L, 8L, 9L, 10L, 12L, 15L, 16L),
       s"gen13 doc routing drifted: ${docs.keySet}")
+    assert(docs(15L) == "Chunked body works." &&
+      docs(16L) == "Gzip body works.",
+      "transfer/content codings must decode before extraction")
     assert(docs(8L) == "Café “smart” – dash")
     assert(docs(10L) == "Tokyo 東京 note")
     assert(docs(12L) == "naïve résumé",
