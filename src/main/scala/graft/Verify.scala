@@ -19,11 +19,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     // wipe stale dumps first: a query that fails this run must NOT pass the
     // compare on the back of a result parquet left by a previous run
-    def deleteRec(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
-      f.delete()
-    }
-    deleteRec(new java.io.File(outDir))
+    graft.tools.LocalFs.deleteRec(new java.io.File(outDir))
     new java.io.File(outDir).mkdirs()
     var failed = 0
     val selected = SparkEntry.queries

@@ -33,10 +33,17 @@ object CharsetDecodeKernel {
   private def lookup(name: UTF8String): Charset = {
     if (name == null) return StandardCharsets.UTF_8
     val s = name.toString.trim
-    if (s.isEmpty) StandardCharsets.UTF_8
-    else cache.computeIfAbsent(s.toLowerCase(java.util.Locale.ROOT), k =>
-      try Charset.forName(k)
-      catch { case _: Exception => StandardCharsets.UTF_8 })
+    if (s.isEmpty) return StandardCharsets.UTF_8
+    val k = s.toLowerCase(java.util.Locale.ROOT)
+    val hit = cache.get(k)
+    if (hit != null) hit
+    else
+      // cache ONLY successful lookups: the label is untrusted header text,
+      // and caching failures would let hostile/garbled servers grow the
+      // map without bound over a long-running ingest (valid charset names
+      // are a finite JVM-defined set, so the success cache is bounded)
+      try { val c = Charset.forName(k); cache.putIfAbsent(k, c); c }
+      catch { case _: Exception => StandardCharsets.UTF_8 }
   }
 
   def decode(bytes: Array[Byte], charsetName: UTF8String): UTF8String = {

@@ -133,11 +133,7 @@ object WarcQueries {
     val annPath = s"$base/ann_index"
     val done = new java.io.File(base, "_done")
     crawlPipelineLock.synchronized { if (!done.isFile) {
-      def deleteRec(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
-        f.delete()
-      }
-      deleteRec(base); base.mkdirs()
+      graft.tools.LocalFs.deleteRec(base); base.mkdirs()
       // pre-existing corpus state the bridge appends into (the
       // steady-state shape — stores exist before any crawl batch): one
       // seed document that shares nothing with the fixture
@@ -210,7 +206,9 @@ object WarcQueries {
         |  ('seg-00000.warc.gz', 15, 'http://example.org/chunked', '2026-03-04T05:06:07Z',
         |   'Chunked body works.'),
         |  ('seg-00000.warc.gz', 16, 'http://example.org/gzipped', '2026-03-04T05:06:07Z',
-        |   'Gzip body works.')
+        |   'Gzip body works.'),
+        |  ('seg-00000.warc.gz', 18, 'http://example.org/untyped', '2026-03-04T05:06:07Z',
+        |   'Untyped but HTML.')
         |) AS t(file, "offset", url, fetch_date, text)
         |ORDER BY "offset"""".stripMargin,
     "warc_census" ->
@@ -232,7 +230,8 @@ object WarcQueries {
         |  (14, 'revisit', 'application/http; msgtype=response', 29),
         |  (15, 'response', 'application/http; msgtype=response', 134),
         |  (16, 'response', 'application/http; msgtype=response', 121),
-        |  (17, 'response', 'application/http; msgtype=response', 86)
+        |  (17, 'response', 'application/http; msgtype=response', 86),
+        |  (18, 'response', 'application/http; msgtype=response', 92)
         |) AS t("offset", warc_type, content_type, content_length)
         |ORDER BY "offset"""".stripMargin,
     "warc_media" ->
@@ -274,7 +273,8 @@ object WarcQueries {
         |  ('doc', 'http://example.org/meta#12', 12),
         |  ('doc', 'http://example.org/raw#2', 30),
         |  ('doc', 'http://example.org/sniffed#9', 16),
-        |  ('doc', 'http://example.org/tokyo#10', 13)
+        |  ('doc', 'http://example.org/tokyo#10', 13),
+        |  ('doc', 'http://example.org/untyped#18', 17)
         |) AS t(part, item, metric)
         |ORDER BY part, item""".stripMargin)
 }

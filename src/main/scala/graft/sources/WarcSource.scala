@@ -391,12 +391,17 @@ object WarcSource {
    *    stripped: `WARC-Identified-Payload-Type` when the crawler recorded
    *    one (content-sniffed — trumps the server's self-declaration, which
    *    misconfigured servers get wrong constantly), else the HTTP header
-   *    block's `Content-Type:` line for `application/http` envelopes, else
-   *    the WARC-level Content-Type for raw records;
-   *  - `eff_charset` — the server-declared `charset=` parameter, falling
-   *    back to the document's own `meta charset` tag for HTML with a
-   *    silent server (the HTML5-common case); empty means unknown → UTF-8
-   *    downstream;
+   *    block's `Content-Type:` line for `application/http` envelopes —
+   *    and when BOTH are absent (a server may legally omit Content-Type;
+   *    heritrix/wget write no identified type), an html-ish sniff of the
+   *    decoded body head, so untyped HTML pages route instead of
+   *    vanishing. Raw records keep the WARC-level Content-Type;
+   *  - `eff_charset` — the server-declared `charset=` parameter (the HTTP
+   *    header line for envelopes, the WARC-level Content-Type for raw
+   *    records), falling back to the document's own `meta charset` tag
+   *    for HTML with a silent server (the HTML5-common case; scanned on
+   *    the DECODED body, after any transfer/content coding is undone);
+   *    empty means unknown → UTF-8 downstream;
    *  - `body` — the payload BYTES with any HTTP header block sliced off
    *    (binary-safe, so enveloped media decodes from the exact image bytes).
    *
@@ -428,26 +433,8 @@ object WarcSource {
     val httpCt = regexp_extract(hdrBlock,
       "(?im)^content-type:[ \\t]*([^\\r\\n]+)", 1)
     val idType = col("headers").getItem("warc-identified-payload-type")
-    val fullCt = when(isHttp,
-        coalesce(nullif(idType, lit("")), nullif(httpCt, lit("")), lit("")))
-      .otherwise(col("contentType"))
-    val effType = lower(trim(regexp_extract(fullCt, "^([^;]*)", 1)))
-    val headerCs = regexp_extract(httpCt,
-      "(?i)charset\\s*=\\s*\"?\\s*([A-Za-z0-9][A-Za-z0-9_.:+-]*)", 1)
-    // the HTML5-common case: NO charset in the HTTP header, a meta tag in
-    // the document head instead (either the charset or the http-equiv
-    // form — both spell charset=). The spec requires it within the first
-    // 1024 bytes; scan 2048 of the body, HTML rows only, and only as the
-    // fallback when the server declared nothing
-    val bodyHead = when(bodyStart.isNotNull, l1.substr(bodyStart, lit(2048)))
-      .otherwise(l1.substr(lit(1), lit(2048)))
-    val metaCs = when(effType === "text/html", regexp_extract(bodyHead,
-      "(?i)<meta[^>]*charset\\s*=\\s*[\"']?\\s*([A-Za-z0-9][A-Za-z0-9_.:+-]*)",
-      1))
+    val csRe = "(?i)charset\\s*=\\s*\"?\\s*([A-Za-z0-9][A-Za-z0-9_.:+-]*)"
     records
-      .withColumn("eff_type", effType)
-      .withColumn("eff_charset",
-        coalesce(nullif(headerCs, lit("")), nullif(metaCs, lit("")), lit("")))
       .withColumn("body",
         // the wire bytes may still carry HTTP BODY CODINGS (chunked
         // transfer framing, gzip/deflate content coding — heritrix/wget
@@ -463,6 +450,34 @@ object WarcSource {
               "(?im)^content-encoding:[ \\t]*([^\\r\\n]+)", 1)))))
           .when(isHttp, lit(Array.emptyByteArray))
           .otherwise(col("payload")))
+      .withColumn("eff_type", lower(trim(regexp_extract(
+        when(isHttp, coalesce(
+            nullif(idType, lit("")),
+            nullif(httpCt, lit("")),
+            // a server may LEGALLY omit Content-Type, and heritrix/wget
+            // write no identified-payload-type: sniff an html-ish DECODED
+            // body head (doctype or <html> lead) rather than silently
+            // dropping the page — everything else untyped stays dropped
+            when(decode(substring(col("body"), 1, 256), "ISO-8859-1")
+              .rlike("(?is)^\\s*(?:<!doctype\\s+html|<html)"), "text/html"),
+            lit("")))
+          .otherwise(col("contentType")),
+        "^([^;]*)", 1))))
+      .withColumn("eff_charset", coalesce(
+        // the server's own charset= parameter: HTTP header line for
+        // envelopes, the WARC-level Content-Type for raw records
+        nullif(regexp_extract(httpCt, csRe, 1), lit("")),
+        nullif(regexp_extract(col("contentType"), csRe, 1), lit("")),
+        // the HTML5-common fallback: a meta tag in the document head
+        // (charset= or the http-equiv form — both spell charset=). The
+        // spec requires it within the first 1024 bytes; scan 2048 of the
+        // DECODED body (post-codings — a gzipped/chunked head would never
+        // match on wire bytes), HTML rows only
+        when(col("eff_type") === "text/html", nullif(regexp_extract(
+          decode(substring(col("body"), 1, 2048), "ISO-8859-1"),
+          "(?i)<meta[^>]*charset\\s*=\\s*[\"']?\\s*" +
+            "([A-Za-z0-9][A-Za-z0-9_.:+-]*)", 1), lit(""))),
+        lit("")))
   }
 
   /** The crawl → MEDIA-table bridge: records whose EFFECTIVE payload type

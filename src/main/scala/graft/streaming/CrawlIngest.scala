@@ -96,7 +96,13 @@ object CrawlIngest {
     * as a "duplicate"). This surfaces them: doc_ids carrying more than one
     * distinct (file, offset) provenance. One hash-aggregation, O(input),
     * ordinary shuffle — run it in-batch (ingestSegments does, loud) and at
-    * fold/audit time over the corpus ([[auditDocIdCollisions]]). */
+    * fold/audit time over the corpus ([[auditDocIdCollisions]]).
+    *
+    * Scope: `file` here is the segment BASENAME (what the id hashes), so
+    * this detects TRUE 64-bit hash collisions. The other collision mode —
+    * two different paths sharing a basename, which would produce identical
+    * (file, offset) provenance — is excluded by contract, enforced exactly
+    * at ingest time (the duplicate-basename check in [[ingestSegments]]). */
   def docIdCollisions(docs: DataFrame): DataFrame =
     docs.groupBy(col("doc_id"))
       .agg(countDistinct(struct(col("file"), col("offset")))
@@ -131,6 +137,20 @@ object CrawlIngest {
     segmentPaths.foreach(p => require(!p.exists(",{[*?".contains(_)),
       s"crawl ingest: segment path contains a comma/glob metacharacter " +
         s"and would be misread by the path spec: $p"))
+    // doc ids hash the segment BASENAME (checkout-relocatable — see
+    // withDocIds), which makes basename uniqueness part of the corpus
+    // contract: two different paths sharing a basename would collide every
+    // doc_id with IDENTICAL (file, offset) provenance — invisible to the
+    // hash-collision guard below. Enforce the contract exactly,
+    // driver-side, on the bounded path list (this also rejects the same
+    // path listed twice, which would double-ingest the segment).
+    val dupBases = segmentPaths
+      .map(p => p.substring(p.lastIndexOf('/') + 1))
+      .groupBy(identity).collect { case (b, ps) if ps.size > 1 => b }
+    require(dupBases.isEmpty,
+      s"crawl ingest: duplicate segment basename(s) in one batch — doc ids " +
+        s"hash the basename, so these would silently collide: " +
+        dupBases.mkString(", "))
     val conf = spark.sessionState.newHadoopConf()
     val docsMarker = new org.apache.hadoop.fs.Path(
       s"$documentsPath/_stream/b$streamBatchId")
@@ -163,7 +183,7 @@ object CrawlIngest {
       s"crawl ingest batch $streamBatchId: doc_id collision(s) — distinct " +
         s"(file, offset) provenances hashing to one id: " +
         collided.map(_.getLong(0)).mkString(", ") +
-        " — widen the id scheme or rename the colliding segments")
+        " — a true 64-bit hash collision; widen the id scheme")
     // near-dups against the CORPUS state (minus this batch's own physical
     // contribution — replay stability, see the class doc)
     val corpusDups = Dedup.nearDupAgainstDedupIndex(spark, dedupIndexPath,

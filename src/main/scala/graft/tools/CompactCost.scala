@@ -27,11 +27,7 @@ object CompactCost {
 
     Seq(false, true).foreach { manifest =>
       val path = s"/tmp/graft_test_index/compact_cost_$manifest"
-      def deleteRec(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
-        f.delete()
-      }
-      deleteRec(new java.io.File(path))
+      graft.tools.LocalFs.deleteRec(new java.io.File(path))
       DiskannIndex.build(e, "vec_id", "embedding", None, path,
         DiskannParams(metric = "cosine", partitioner = "ivf",
           ivfSeed = Some("cc42"), shardTargetRows = 64))

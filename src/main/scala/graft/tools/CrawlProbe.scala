@@ -68,11 +68,7 @@ object CrawlProbe {
     import spark.implicits._
 
     val base = new java.io.File("/tmp/graft_crawl_probe")
-    def deleteRec(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
-      f.delete()
-    }
-    deleteRec(base)
+    graft.tools.LocalFs.deleteRec(base)
     val segs = new java.io.File(base, "segments"); segs.mkdirs()
     val docsPath = s"$base/documents"
     val dedupPath = s"$base/dedup_index"

@@ -159,11 +159,7 @@ object FreezeLegacyFixture {
     val legacy = spark.read.parquet(s"$out/_meta").select(legacyCols.map(col): _*)
     val schema = legacy.schema
     val rows = java.util.Arrays.asList(legacy.collect(): _*)
-    def deleteRec(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
-      f.delete()
-    }
-    deleteRec(new java.io.File(s"$out/_meta"))
+    graft.tools.LocalFs.deleteRec(new java.io.File(s"$out/_meta"))
     spark.createDataFrame(rows, schema)
       .coalesce(1).write.parquet(s"$out/_meta")
     println(s"frozen: $out")
@@ -720,7 +716,14 @@ object FreezeWarcFixture13 {
       "application/http; msgtype=response",
       ascii("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
         "Content-Encoding: br\r\n\r\n") ++
-        Array.tabulate[Byte](20)(i => (i * 11 + 3).toByte)))
+        Array.tabulate[Byte](20)(i => (i * 11 + 3).toByte)),
+    // 18: a server that legally omits Content-Type on an HTML page, from
+    // a crawler that wrote no identified-payload-type: the html-ish
+    // body-head sniff must route it to text instead of dropping it
+    rec("response", "http://example.org/untyped", date,
+      "application/http; msgtype=response",
+      ascii("HTTP/1.1 200 OK\r\nServer: httpd\r\n\r\n" +
+        "<!DOCTYPE html><html><body>Untyped but HTML.</body></html>")))
 
   def main(args: Array[String]): Unit = {
     val dir = new java.io.File(args.headOption.getOrElse(

@@ -32,11 +32,7 @@ object RangeProbe {
          |          ELSE 0.0 END)
          |    + pmod(hash(id, d), 97) / 97.0 AS FLOAT)) AS vec""".stripMargin)
     val path = "/tmp/graft_rangeprobe/idx"
-    def deleteRec(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
-      f.delete()
-    }
-    deleteRec(new java.io.File("/tmp/graft_rangeprobe"))
+    graft.tools.LocalFs.deleteRec(new java.io.File("/tmp/graft_rangeprobe"))
     DiskannIndex.build(rows, "row_id", "vec", None, path,
       DiskannParams(metric = "l2", storage = "plain", partitioner = "ivf",
         shardTargetRows = perCluster))

@@ -27,10 +27,6 @@ object TierProbe {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val nDocs = docs.count()
-    def deleteRec(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
-      f.delete()
-    }
 
     // two fixed 200-doc append batches, identical at every scale — the
     // "daily ingest" whose fold cost we are isolating
@@ -41,7 +37,7 @@ object TierProbe {
 
     val rows = Seq(1, 16, 64).map { mult =>
       val path = s"/tmp/graft_tierprobe/text_x$mult"
-      deleteRec(new java.io.File(path))
+      graft.tools.LocalFs.deleteRec(new java.io.File(path))
       // base corpus ×mult (replicated ids stay unique per replica)
       val base = (0 until mult).map(r =>
         docs.select(($"doc_id" + lit(r.toLong * 1000000L)).as("doc_id"),
@@ -83,7 +79,7 @@ object TierProbe {
       .select(($"vec_id" + off).as("row_id"), $"embedding".as("vec"))
     val annRows = Seq(1, 8, 32).map { mult =>
       val path = s"/tmp/graft_tierprobe/ann_x$mult"
-      deleteRec(new java.io.File(path))
+      graft.tools.LocalFs.deleteRec(new java.io.File(path))
       val base = (0 until mult).map(r =>
         emb.select(($"vec_id" + lit(r.toLong * 1000000L)).as("row_id"),
           $"embedding".as("vec"))).reduce(_ unionByName _)
@@ -126,7 +122,7 @@ object TierProbe {
     val skewJs = {
       val mult = 32
       val path = "/tmp/graft_tierprobe/ann_skew"
-      deleteRec(new java.io.File(path))
+      graft.tools.LocalFs.deleteRec(new java.io.File(path))
       val base = (0 until mult).map(r =>
         emb.select(($"vec_id" + lit(r.toLong * 1000000L)).as("row_id"),
           $"embedding".as("vec"))).reduce(_ unionByName _)

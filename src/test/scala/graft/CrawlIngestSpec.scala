@@ -303,6 +303,18 @@ class CrawlIngestSpec extends AnyFunSuite {
     assert(audit.length == 1 && audit.head.getLong(0) == 1L)
   }
 
+  test("duplicate segment basenames in one batch fail loud") {
+    // doc ids hash the basename: two paths sharing one would collide every
+    // id with IDENTICAL provenance — invisible to the hash-collision guard,
+    // so the contract is enforced exactly on the path list
+    val e = intercept[IllegalArgumentException] {
+      CrawlIngest.ingestSegments(spark,
+        Seq("/crawlA/seg0.warc.gz", "/crawlB/seg0.warc.gz"),
+        "/tmp/x_docs", "/tmp/x_dedup", 0L)
+    }
+    assert(e.getMessage.contains("basename"), e.getMessage)
+  }
+
   test("segment paths with commas or glob metacharacters fail loud") {
     val e = intercept[IllegalArgumentException] {
       CrawlIngest.ingestSegments(spark, Seq("/tmp/a,b.warc.gz"),

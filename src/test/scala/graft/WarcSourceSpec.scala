@@ -429,10 +429,16 @@ class WarcSourceSpec extends AnyFunSuite {
       "<html><head><meta http-equiv=\"Content-Type\" content=\"text/html; charset=windows-1252\"></head><body>r"
         .getBytes(UTF_8) ++ Array(0xE9.toByte) ++ "sum".getBytes(UTF_8) ++
         Array(0xE9.toByte) ++ "</body></html>".getBytes(UTF_8)
+    // a RAW record whose charset lives on the WARC-LEVEL Content-Type
+    // (no HTTP layer at all) — the legacy shape must still decode
+    val rawWarcCs = "r".getBytes(UTF_8) ++ Array(0xE9.toByte) ++
+      "el".getBytes(UTF_8)
     java.nio.file.Files.write(new java.io.File(dir, "c.warc").toPath,
       rec("response", "http://c.test/cafe", cp1252) ++
         rec("response", "http://c.test/tokyo", sjis) ++
-        rec("response", "http://c.test/meta", rawMeta, "text/html"))
+        rec("response", "http://c.test/meta", rawMeta, "text/html") ++
+        rec("response", "http://c.test/warccs", rawWarcCs,
+          "text/plain; charset=windows-1252"))
     val docs = WarcSource.warcToDocuments(
         WarcSource.readWarc(spark, s"$dir/c.warc", gzipped = false))
       .select("url", "text").collect()
@@ -445,6 +451,8 @@ class WarcSourceSpec extends AnyFunSuite {
     assert(docs("http://c.test/meta") == "résumé",
       s"raw html must honor its meta http-equiv charset: " +
         s"'${docs("http://c.test/meta")}'")
+    assert(docs("http://c.test/warccs") == "réel",
+      "a raw record's WARC-level charset= parameter must drive the decode")
   }
 
   test("charset_decode: REPLACE on malformed bytes, UTF-8 fallback on junk labels") {
@@ -535,12 +543,14 @@ class WarcSourceSpec extends AnyFunSuite {
     val fixture = new java.io.File(
       "src/test/resources/fixtures/warc_gen13/seg-00000.warc.gz").getAbsolutePath
     val recs = WarcSource.readWarc(spark, fixture)
-    assert(recs.count() == 18)
+    assert(recs.count() == 19)
     val docs = WarcSource.warcToDocuments(recs)
       .select("offset", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(docs.keySet == Set(1L, 2L, 3L, 8L, 9L, 10L, 12L, 15L, 16L),
+    assert(docs.keySet == Set(1L, 2L, 3L, 8L, 9L, 10L, 12L, 15L, 16L, 18L),
       s"gen13 doc routing drifted: ${docs.keySet}")
+    assert(docs(18L) == "Untyped but HTML.",
+      "missing Content-Type + html-ish body must route, not vanish")
     assert(docs(15L) == "Chunked body works." &&
       docs(16L) == "Gzip body works.",
       "transfer/content codings must decode before extraction")
