@@ -23,7 +23,9 @@ import org.apache.spark.sql.types.{BooleanType, StringType}
  * `graft_warc(glob[, keepPayload])` surfaces the record framing (census
  * passes want `keepPayload=false` — header-only, payload bytes never leave
  * the task read buffer); `graft_warc_docs(glob)` is the crawl→documents
- * bridge; `graft_warc_media(glob)` the crawl→media bridge.
+ * bridge; `graft_warc_media(glob)` the crawl→media bridge;
+ * `graft_warc_revisits(glob)` the crawler's own dedup verdicts (joinable
+ * against the URL-dedup family straight from SQL).
  */
 object WarcTvf {
 
@@ -76,6 +78,17 @@ object WarcTvf {
         val glob = strLit(args(0), "graft_warc_media", "pathGlob")
         graft.sources.WarcSource
           .warcToMedia(
+            graft.sources.WarcSource.readWarc(SparkSession.active, glob))
+          .queryExecution.logical: LogicalPlan
+      }))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_warc_revisits"),
+      new ExpressionInfo("graft.sources.WarcSource", "graft_warc_revisits"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "graft_warc_revisits(pathGlob)")
+        val glob = strLit(args(0), "graft_warc_revisits", "pathGlob")
+        graft.sources.WarcSource
+          .warcToRevisits(
             graft.sources.WarcSource.readWarc(SparkSession.active, glob))
           .queryExecution.logical: LogicalPlan
       }))

@@ -340,6 +340,14 @@ class WarcSourceSpec extends AnyFunSuite {
       val media = s2.sql(
         s"SELECT modality, url FROM graft_warc_media('$fixture')").collect()
       assert(media.length == 1 && media.head.getString(0) == "image")
+      // revisit bridge: crawler dedup verdicts from pure SQL, aggregable
+      val f13 = new java.io.File(
+        "src/test/resources/fixtures/warc_gen13/seg-00000.warc.gz")
+        .getAbsolutePath
+      val rv = s2.sql(
+        s"""SELECT count(1) AS n, count(DISTINCT payload_digest) AS d
+           |FROM graft_warc_revisits('$f13')""".stripMargin).head()
+      assert(rv.getLong(0) == 3 && rv.getLong(1) == 1, rv.toString)
       // non-literal glob fails loud
       val e = intercept[Exception](
         s2.sql("SELECT * FROM graft_warc(concat('a', 'b'))").collect())
