@@ -58,6 +58,34 @@ object CharsetDecodeKernel {
 }
 
 /**
+ * `graft_barrier(expr)` — the IDENTITY of its child, flagged
+ * nondeterministic so the optimizer must leave it where it stands: no
+ * predicate pushdown, no constant folding, no splitting. Use it to pin a
+ * filter ABOVE a projection whose columns the predicate references —
+ * Spark's pushdown substitutes referenced aliases with their full trees
+ * (once PER REFERENCE, with no size guard), which for the crawl routing
+ * predicates inlined a multi-level extraction tree into a source-level
+ * filter: ~30x the generated code and the extraction re-run per row just
+ * to evaluate the predicate (measured by `graft.tools.RoutingProbe`;
+ * `rand() >= 0` guards don't survive — the optimizer range-folds them).
+ * The value and the query RESULT stay fully deterministic; only the
+ * optimizer's freedom is restricted.
+ */
+case class OptimizerBarrier(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with Serializable {
+  override def prettyName: String = "graft_barrier"
+  override def dataType: DataType = child.dataType
+  override lazy val deterministic: Boolean = false
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(v: Any): Any = v
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => c)
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/**
  * Runtime kernel for [[HttpBodyDecode]] — HTTP body CODINGS, the layer
  * between the header/body split and the charset decode: real crawl
  * payloads arrive `Transfer-Encoding: chunked` and/or `Content-Encoding:

@@ -32,6 +32,9 @@ object VectorFunctions {
     // HTTP body codings (chunked / gzip / deflate) — null = unsupported or
     // malformed coding, the router drops the record
     "http_body_decode" -> (es => HttpBodyDecode(es(0), es(1), es(2))),
+    // identity flagged nondeterministic: pins filters above projections
+    // (see OptimizerBarrier — pushdown's per-reference tree substitution)
+    "graft_barrier" -> (es => OptimizerBarrier(es(0))),
     // pgvector SQL-function aliases, so the reference's function-call
     // spellings run verbatim: vector_dims/vector_norm/l2_normalize/
     // subvector (all 1-based, like pgvector) map onto the same expressions

@@ -417,31 +417,54 @@ object WarcSource {
     graft.functions.VectorFunctions.register(records.sparkSession)
     val isHttp = col("warcType") === "response" &&
       col("contentType").startsWith("application/http")
-    val l1 = decode(substring(col("payload"), 1, HttpHeaderWindow),
-      "ISO-8859-1")
-    val crlf = instr(l1, "\r\n\r\n")
-    val lf = instr(l1, "\n\n")
-    // 1-based byte offset of the body; null when the envelope is malformed
-    // (no blank line in the header window — e.g. a header-only 304, where
-    // an empty body is the right answer). "\n\n" never occurs inside
-    // "\r\n\r\n", so whichever separator sits first is genuinely first.
-    val bodyStart = when(isHttp,
-      when(crlf > lit(0) && (lf === lit(0) || crlf < lf), crlf + lit(4))
-        .when(lf > lit(0), lf + lit(2)))
-    val hdrBlock = when(bodyStart.isNotNull,
-      l1.substr(lit(1), bodyStart - lit(1))).otherwise(lit(""))
-    val httpCt = regexp_extract(hdrBlock,
-      "(?im)^content-type:[ \\t]*([^\\r\\n]+)", 1)
+    // Each shared building block is STAGED as its own materialized column
+    // (dropped at the end) rather than a Scala `val` inlined into every
+    // consumer tree: the nesting here is ~6 levels deep with fanout 2-3,
+    // and inlining multiplied the latin1-decode subtree into HUNDREDS of
+    // copies — 3.8 MB of generated code, ~2 s of per-plan fixed cost
+    // (measured by graft.tools.RoutingProbe). Multi-referenced non-cheap
+    // aliases block CollapseProject, so each stage computes once per row
+    // and the generated code stays linear in the number of DISTINCT
+    // expressions; same semantics, same single WholeStageCodegen.
+    val staged = records
+      .withColumn("__l1",
+        decode(substring(col("payload"), 1, HttpHeaderWindow), "ISO-8859-1"))
+      // 1-based byte offset of the body; null when the envelope is
+      // malformed (no blank line in the header window — e.g. a header-only
+      // 304, where an empty body is the right answer). "\n\n" never occurs
+      // inside "\r\n\r\n", so whichever separator sits first is first.
+      .withColumn("__bodyStart", {
+        val crlf = instr(col("__l1"), "\r\n\r\n")
+        val lf = instr(col("__l1"), "\n\n")
+        when(isHttp,
+          when(crlf > lit(0) && (lf === lit(0) || crlf < lf), crlf + lit(4))
+            .when(lf > lit(0), lf + lit(2)))
+      })
+      .withColumn("__hdr",
+        when(col("__bodyStart").isNotNull,
+          col("__l1").substr(lit(1), col("__bodyStart") - lit(1)))
+          .otherwise(lit("")))
+      .withColumn("__httpCt", regexp_extract(col("__hdr"),
+        "(?im)^content-type:[ \\t]*([^\\r\\n]+)", 1))
+    val bodyStart = col("__bodyStart")
+    val hdrBlock = col("__hdr")
+    val httpCt = col("__httpCt")
     val idType = col("headers").getItem("warc-identified-payload-type")
     val csRe = "(?i)charset\\s*=\\s*\"?\\s*([A-Za-z0-9][A-Za-z0-9_.:+-]*)"
-    records
+    staged
       .withColumn("body",
         // the wire bytes may still carry HTTP BODY CODINGS (chunked
         // transfer framing, gzip/deflate content coding — heritrix/wget
         // WARCs store them as received): undo them here, or drop the row
         // (null) on an unsupported/malformed coding rather than feeding
-        // framing noise to the extractor — see HttpBodyKernels
-        when(bodyStart.isNotNull,
+        // framing noise to the extractor — see HttpBodyKernels.
+        // graft_barrier makes this projection a pushdown/collapse fence:
+        // filters above reference eff_type/body, and Spark substitutes
+        // referenced aliases with their full trees (once PER REFERENCE, no
+        // size guard) when pushing through deterministic projects — which
+        // inlined this whole tree into source-level filters, re-running
+        // the routing per row at ~30x the generated code (RoutingProbe)
+        call_function("graft_barrier", when(bodyStart.isNotNull,
           call_function("http_body_decode",
             col("payload").substr(bodyStart, length(col("payload"))),
             lower(trim(regexp_extract(hdrBlock,
@@ -449,7 +472,7 @@ object WarcSource {
             lower(trim(regexp_extract(hdrBlock,
               "(?im)^content-encoding:[ \\t]*([^\\r\\n]+)", 1)))))
           .when(isHttp, lit(Array.emptyByteArray))
-          .otherwise(col("payload")))
+          .otherwise(col("payload"))))
       .withColumn("eff_type", lower(trim(regexp_extract(
         when(isHttp, coalesce(
             nullif(idType, lit("")),
@@ -478,6 +501,7 @@ object WarcSource {
           "(?i)<meta[^>]*charset\\s*=\\s*[\"']?\\s*" +
             "([A-Za-z0-9][A-Za-z0-9_.:+-]*)", 1), lit(""))),
         lit("")))
+      .drop("__l1", "__bodyStart", "__hdr", "__httpCt")
   }
 
   /** The crawl → MEDIA-table bridge: records whose EFFECTIVE payload type
@@ -541,10 +565,15 @@ object WarcSource {
     withHttpRouting(records)
       .filter(isWet || isHtml || isPlain)
       .select(col("targetUri").as("url"), col("date").as("fetch_date"),
-        when(isWet,
-          trim(regexp_replace(col("payload").cast("string"), "\\s+", " ")))
-          .when(isHtml, WarcSource.htmlText(decodedBody))
-          .otherwise(trim(regexp_replace(decodedBody, "\\s+", " ")))
+        // the text column is a graft_barrier fence like `body` above: the
+        // emptiness filter below references it, and pushdown would
+        // otherwise inline the whole extraction tree into the predicate —
+        // evaluating the extraction TWICE per row (see OptimizerBarrier)
+        call_function("graft_barrier",
+          when(isWet,
+            trim(regexp_replace(col("payload").cast("string"), "\\s+", " ")))
+            .when(isHtml, WarcSource.htmlText(decodedBody))
+            .otherwise(trim(regexp_replace(decodedBody, "\\s+", " "))))
           .as("text"),
         col("file"), col("offset"))
       .filter(length(col("text")) > 0)
