@@ -59,7 +59,6 @@ object Bench {
       catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    val calib = scala.collection.mutable.ArrayBuffer[Double]()
     def timed(batch: Seq[String]): Seq[(String, Double)] = batch.map { name =>
       val t = name -> math.min(timeOnce(name), timeOnce(name))
       // free operator-internal persists between queries (cache reuse WITHIN
@@ -68,9 +67,37 @@ object Bench {
       t
     }
     val (firstHalf, secondHalf) = names.splitAt(names.length / 2)
-    calib += calibrate()
-    val firstPass = timed(firstHalf) ++ { calib += calibrate(); timed(secondHalf) }
-    calib += calibrate()
+    def runPass(): (Seq[(String, Double)], Seq[Double]) = {
+      val c = scala.collection.mutable.ArrayBuffer[Double]()
+      c += calibrate()
+      val p = timed(firstHalf) ++ { c += calibrate(); timed(secondHalf) }
+      c += calibrate()
+      (p, c.toSeq)
+    }
+    // CONTENTION RE-RECORD (round-14): when the sentinel samples within ONE
+    // run spread more than 2× (round 13 shipped calib [0.92, 0.30, 0.32] —
+    // the suite overlapped a host contention burst and 20+ untouched
+    // queries read 1.5–3.4× slower), the artifact is re-recorded instead of
+    // shipped-with-an-asterisk: one full re-pass, per-query MIN across
+    // passes (the same best-of estimator), final calib from the re-pass.
+    // One retry only — a persistently contended host is then at least
+    // visible in the recorded spread.
+    var (firstPass, calibSeq) = runPass()
+    var repass = 0
+    while (repass < 1 &&
+        calibSeq.max / math.max(calibSeq.min, 1e-9) > 2.0) {
+      repass += 1
+      Console.err.println(f"[bench] calibration spread " +
+        f"${calibSeq.max / math.max(calibSeq.min, 1e-9)}%.2f× " +
+        s"(${calibSeq.map(v => f"$v%.2f").mkString(", ")}) — host " +
+        "contention mid-suite; re-recording the timed pass")
+      val (p2, c2) = runPass()
+      val m2 = p2.toMap
+      firstPass = firstPass.map { case (n, t) =>
+        n -> math.min(t, m2.getOrElse(n, t)) }
+      calibSeq = c2
+    }
+    val calib = calibSeq
     // OUTLIER SELF-HEAL: a best-of-2 sample is still hostage to a host
     // contention burst that spans both runs (round 8's graph_pagerank was
     // recorded at 22× its isolated re-timing). After the suite, re-run any
@@ -133,7 +160,7 @@ object Bench {
     val cs = calib.map(v => f"$v%.4f").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val fullLine =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","calib":$cs,"rerun":$rerunJson,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","calib":$cs,"repass":$repass,"rerun":$rerunJson,"queries":$qs,"sf":"$sfDir"}"""
     // Full per-query map: one line for humans reading stdout, and a file for
     // the per-query round-over-round comparison. The file matters because the
     // harness that archives this run keeps only a bounded tail of stdout
@@ -165,7 +192,7 @@ object Bench {
     val rm = results.toMap
     val hq = headline.filter(rm.contains)
       .map(k => "\"" + k + f"""\":${rm(k)}%.4f""").mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","calib":$cs,"nq":${results.length},"queries":$hq,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","calib":$cs,"repass":$repass,"nq":${results.length},"queries":$hq,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
