@@ -40,6 +40,11 @@ import graft.sources.WarcSource
  *    signatures (torn, unmarked — folds skip unmarked batches, so the id
  *    is stable) must not match its own rows and drop the documents it is
  *    re-landing.
+ *  - the optional revisit LEDGER (`revisitsPath`) lands the crawler's own
+ *    dedup verdicts ([[graft.sources.WarcSource.warcToRevisits]]) with the
+ *    same replace-by-batch + marker discipline (`revisits_b<id>_` prefix),
+ *    header-only re-read — joinable with the URL-dedup family at serve
+ *    time;
  *  - ORDER: documents first, dedup marker last. The dedup index only
  *    becomes foldable once its marker lands, and the marker lands after
  *    the documents batch committed — so no compaction can fold this
@@ -118,6 +123,63 @@ object CrawlIngest {
     docIdCollisions(
       spark.read.parquet(documentsPath).select("doc_id", "file", "offset"))
 
+  /** The production cadence for [[auditDocIdCollisions]]: every
+    * `everyBatches`-th batch (aligned so batch `everyBatches - 1` is the
+    * first — batch 0 has an empty-or-tiny corpus), sweep the corpus and
+    * fail LOUD on any collision, exactly like the in-batch guard. Wired
+    * into [[startCrawlIngest]]'s autoCompact maintenance, so the offline
+    * audit actually runs in production instead of existing as an API. */
+  def maybeAuditCollisions(spark: SparkSession, documentsPath: String,
+      streamBatchId: Long, everyBatches: Int): Unit =
+    if (everyBatches > 0 && (streamBatchId + 1) % everyBatches == 0) {
+      val hits = auditDocIdCollisions(spark, documentsPath).limit(3).collect()
+      if (hits.nonEmpty) sys.error(
+        s"crawl ingest corpus audit (batch $streamBatchId): doc_id " +
+          s"collision(s) in the stored documents table — " +
+          hits.map(_.getLong(0)).mkString(", ") +
+          " — a true 64-bit hash collision; widen the id scheme")
+    }
+
+  /** Per-batch ingest accounting — what [[ingestSegments]] returns, and
+    * what its named Spark accumulators (`graft.crawl.*`, visible in the
+    * UI/metrics sinks) accumulate across a stream's lifetime. A 100 TB
+    * operator reads these to tell "this crawl is 40% near-dup" from "my
+    * quality gate is eating everything". The WARC-level drop reasons
+    * (unsupported coding, non-text types, malformed envelopes) live in
+    * [[graft.sources.WarcSource.warcToDispositions]] — this covers the
+    * stages AFTER extraction, which need ingest state the census can't see.
+    * Accounting is AT-LEAST-ONCE, matching foreachBatch: a torn replay
+    * re-counts its batch (the stores stay exactly-once; the counters are
+    * operational telemetry, not a ledger). */
+  case class IngestStats(docsExtracted: Long, droppedQuality: Long,
+      droppedCorpusDup: Long, droppedInBatchDup: Long, docsLanded: Long,
+      revisitsLanded: Long, skippedAsCommitted: Boolean = false)
+
+  private val counterNames = Seq("docs_extracted", "dropped_quality",
+    "dropped_corpus_dup", "dropped_inbatch_dup", "docs_landed",
+    "revisits_landed")
+  // single-slot cache, not a map keyed by context: a JVM that restarts
+  // its SparkContext (test harnesses, driver recovery) must not pin every
+  // stopped context + its accumulators for the process lifetime
+  private var counterSlot: Option[(org.apache.spark.SparkContext,
+    Map[String, org.apache.spark.util.LongAccumulator])] = None
+
+  /** The stream-lifetime ingest counters, registered once per context
+    * (named accumulators — they surface in the Spark UI and any metrics
+    * sink that reads accumulators). */
+  def ingestCounters(spark: SparkSession):
+      Map[String, org.apache.spark.util.LongAccumulator] = synchronized {
+    val sc = spark.sparkContext
+    counterSlot match {
+      case Some((c, m)) if c eq sc => m
+      case _ =>
+        val m = counterNames
+          .map(n => n -> sc.longAccumulator(s"graft.crawl.$n")).toMap
+        counterSlot = Some((sc, m))
+        m
+    }
+  }
+
   /**
    * The foreachBatch kernel, callable directly for tests/backfills: ingest
    * `segmentPaths` as micro-batch `streamBatchId`. Idempotent — a replay
@@ -129,8 +191,9 @@ object CrawlIngest {
       minQuality: Double = 0.35, dedupThreshold: Double = 0.8,
       textIndexPath: Option[String] = None,
       annIndexPath: Option[String] = None, embedDim: Int = 64,
-      encoder: Option[DataFrame => DataFrame] = None): Unit = {
-    if (segmentPaths.isEmpty) return
+      encoder: Option[DataFrame => DataFrame] = None,
+      revisitsPath: Option[String] = None): IngestStats = {
+    if (segmentPaths.isEmpty) return IngestStats(0, 0, 0, 0, 0, 0)
     // the paths are joined into one binaryFiles spec below, where ',' is a
     // separator and '{[*?' are glob metacharacters — a path containing one
     // would silently read the WRONG file set; fail loud instead
@@ -163,17 +226,32 @@ object CrawlIngest {
         s"$tp/_stream/b${graft.operators.TextIndex.STREAM_BATCH_BASE + streamBatchId}")
       m.getFileSystem(conf).exists(m)
     }
-    if (docsFs.exists(docsMarker) && dedupFs.exists(dedupMarker) && textDone)
-      return
+    val revDone = revisitsPath.forall { rp =>
+      val m = new org.apache.hadoop.fs.Path(s"$rp/_stream/b$streamBatchId")
+      m.getFileSystem(conf).exists(m)
+    }
+    if (docsFs.exists(docsMarker) && dedupFs.exists(dedupMarker) &&
+        textDone && revDone)
+      return IngestStats(0, 0, 0, 0, 0, 0, skippedAsCommitted = true)
 
-    // pin the parsed+gated batch ONCE: four consumers follow (corpus
-    // probe, in-batch pairs, documents write, signature/vector appends),
-    // and without the checkpoint each would re-run the gunzip+parse+
-    // extract+quality subtree — 3-4x the per-segment I/O and CPU
-    val gated = withDocIds(WarcSource.warcToDocuments(
-        WarcSource.readWarc(spark, segmentPaths.sorted.mkString(","))))
-      .filter(TextAnalysis.qualityScore(col("text")) >= minQuality)
+    val pathSpec = segmentPaths.sorted.mkString(",")
+    // pin the parsed batch ONCE, quality score included: four consumers
+    // follow (corpus probe, in-batch pairs, documents write,
+    // signature/vector appends), and without the checkpoint each would
+    // re-run the gunzip+parse+extract+quality subtree — 3-4x the
+    // per-segment I/O and CPU. Keeping the pre-gate rows in the pin (and
+    // gating by the stored score below) costs only the dropped rows'
+    // bytes and buys the quality-drop counter without a second parse.
+    val parsed = withDocIds(WarcSource.warcToDocuments(
+        WarcSource.readWarc(spark, pathSpec)))
+      .withColumn("__q", TextAnalysis.qualityScore(col("text")))
       .localCheckpoint()
+    val gated = parsed.filter(col("__q") >= minQuality).drop("__q")
+    // one bounded aggregation over the pinned rows: extraction + gate counts
+    val qrow = parsed.agg(count(lit(1)),
+      count(when(col("__q") >= minQuality, 1))).head()
+    val nExtracted = qrow.getLong(0)
+    val nGated = qrow.getLong(1)
     // in-batch doc-id collision guard: a 64-bit provenance-hash collision
     // would silently merge two documents in the dedup index — fail the
     // batch loudly instead (O(batch) aggregation over the pinned frame;
@@ -185,11 +263,15 @@ object CrawlIngest {
         collided.map(_.getLong(0)).mkString(", ") +
         " — a true 64-bit hash collision; widen the id scheme")
     // near-dups against the CORPUS state (minus this batch's own physical
-    // contribution — replay stability, see the class doc)
+    // contribution — replay stability, see the class doc). Pinned: TWO
+    // anti-joins consume it (fresh + the in-batch candidate input), and
+    // the stats below count it — without the pin the index probe plan
+    // would execute once per consumer.
     val corpusDups = Dedup.nearDupAgainstDedupIndex(spark, dedupIndexPath,
         gated, "doc_id", "text", dedupThreshold,
         excludeBatch = Dedup.STREAM_BATCH_BASE + streamBatchId)
       .select(col("batch_id").as("doc_id")).distinct()
+      .localCheckpoint()
     // in-batch near-dups: keep the smallest doc_id of each pair —
     // deterministic, so a replay collapses identically. Candidate geometry
     // comes from the stored index's OWN params: a pair arriving in one
@@ -202,6 +284,7 @@ object CrawlIngest {
         numHashes = im.getAs[Int]("num_hashes"),
         bands = im.getAs[Int]("bands"), threshold = dedupThreshold)
       .select(greatest(col("id_a"), col("id_b")).as("doc_id")).distinct()
+      .localCheckpoint()
     val fresh = gated
       .join(broadcast(corpusDups), Seq("doc_id"), "left_anti")
       .join(broadcast(inBatchDups), Seq("doc_id"), "left_anti")
@@ -212,8 +295,22 @@ object CrawlIngest {
       // (FILE_NOT_EXIST on a torn replay). Materializing here runs the
       // probes exactly once, strictly before any store mutates.
       .localCheckpoint()
+    // the refetch LEDGER: revisit records are the crawler's own dedup
+    // verdicts — land them beside the corpus (joinable with url_dedup /
+    // the rollup TVF) instead of dropping them on the floor. Header-only
+    // re-read (keepPayload=false — a revisit's payload is empty or a bare
+    // 304 header; the bytes never leave the task read buffer), pinned
+    // before any store mutation, own marker + replace-by-batch.
+    val revisits = revisitsPath.map { _ =>
+      WarcSource.warcToRevisits(
+          WarcSource.readWarc(spark, pathSpec, keepPayload = false))
+        .withColumn("file", regexp_extract(col("file"), "([^/]+)$", 1))
+        .localCheckpoint()
+    }
     try {
-      appendDocumentsIdempotent(fresh, documentsPath, streamBatchId)
+      appendIdempotent(fresh, documentsPath, streamBatchId, "crawl")
+      revisitsPath.foreach(rp =>
+        appendIdempotent(revisits.get, rp, streamBatchId, "revisits"))
       // optional BM25 text index: the crawl corpus becomes full-text
       // searchable in the same exactly-once batch (its own marker +
       // replace-by-batch-id discipline, see appendBatchIdempotent)
@@ -235,15 +332,40 @@ object CrawlIngest {
       // marker lands, i.e. after every other store committed (see class doc)
       Dedup.appendDedupBatchIdempotent("doc_id", "text", dedupIndexPath)(
         fresh, streamBatchId)
-    } finally { fresh.unpersist(); gated.unpersist() }
+      // accounting: cheap counts over the pinned frames (no replanning),
+      // returned per-batch AND accumulated stream-lifetime (Spark UI)
+      val nCorpusDup = corpusDups.count()
+      val nInBatchDup = inBatchDups.count()
+      val stats = IngestStats(
+        docsExtracted = nExtracted,
+        droppedQuality = nExtracted - nGated,
+        droppedCorpusDup = nCorpusDup,
+        droppedInBatchDup = nInBatchDup,
+        docsLanded = nGated - nCorpusDup - nInBatchDup,
+        revisitsLanded = revisits.map(_.count()).getOrElse(0L))
+      val acc = ingestCounters(spark)
+      acc("docs_extracted").add(stats.docsExtracted)
+      acc("dropped_quality").add(stats.droppedQuality)
+      acc("dropped_corpus_dup").add(stats.droppedCorpusDup)
+      acc("dropped_inbatch_dup").add(stats.droppedInBatchDup)
+      acc("docs_landed").add(stats.docsLanded)
+      acc("revisits_landed").add(stats.revisitsLanded)
+      stats
+    } finally {
+      fresh.unpersist(); parsed.unpersist()
+      corpusDups.unpersist(); inBatchDups.unpersist()
+      revisits.foreach(_.unpersist())
+    }
   }
 
-  /** Replace-by-batch documents append: scrub `crawl_b<id>_`-prefixed
-    * files from a torn previous attempt, staged write + rename, marker
-    * commits last. Readers (`spark.read.parquet(documentsPath)`) never see
-    * `_`-prefixed staging/marker dirs. */
-  private def appendDocumentsIdempotent(docs: DataFrame,
-      documentsPath: String, streamBatchId: Long): Unit = {
+  /** Replace-by-batch parquet append (documents, revisit ledger): scrub
+    * `<tagPrefix>_b<id>_`-prefixed files from a torn previous attempt,
+    * staged write + rename, marker commits last. Readers
+    * (`spark.read.parquet(path)`) never see `_`-prefixed staging/marker
+    * dirs. */
+  private def appendIdempotent(docs: DataFrame,
+      documentsPath: String, streamBatchId: Long,
+      tagPrefix: String): Unit = {
     val spark = docs.sparkSession
     val dst = new org.apache.hadoop.fs.Path(documentsPath)
     val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
@@ -251,12 +373,12 @@ object CrawlIngest {
       s"$documentsPath/_stream/b$streamBatchId")
     if (fs.exists(marker)) return
     fs.mkdirs(dst)
-    val tag = s"crawl_b${streamBatchId}_"
+    val tag = s"${tagPrefix}_b${streamBatchId}_"
     fs.listStatus(dst)
       .filter(_.getPath.getName.startsWith(tag))
       .foreach(s => fs.delete(s.getPath, false))
     val staging = new org.apache.hadoop.fs.Path(
-      s"$documentsPath/_crawltmp_${streamBatchId}_${java.util.UUID.randomUUID()}")
+      s"$documentsPath/_${tagPrefix}tmp_${streamBatchId}_${java.util.UUID.randomUUID()}")
     docs.write.mode("overwrite").parquet(staging.toString)
     fs.listStatus(staging).foreach { s =>
       val name = s.getPath.getName
@@ -295,12 +417,38 @@ object CrawlIngest {
       textIndexPath: Option[String] = None,
       annIndexPath: Option[String] = None, embedDim: Int = 64,
       encoder: Option[DataFrame => DataFrame] = None,
+      revisitsPath: Option[String] = None,
       // tiered folds inside the batch callback once a store's local batch
       // count passes graft.compact.dedupMaxBatches / textMaxBatches
       // (default 64) — the startDedupIngest/startTextIngest autovacuum
       // analog: O(appended data) per fold, one writer by construction, so
       // an unbounded crawl never accumulates unbounded batch counts
-      autoCompact: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
+      autoCompact: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
+    // loud start-time check: a glob that matches NOTHING is overwhelmingly
+    // a deployment mistake (e.g. a WET-only directory relying on the old
+    // `*.warc*.gz` default after it narrowed to `*.warc.gz`) — the stream
+    // would otherwise run forever silently ingesting zero segments. A
+    // warning, not an error: starting the watcher before the first
+    // segment arrives is legitimate.
+    try {
+      val probe = new org.apache.hadoop.fs.Path(
+        segmentsDir.stripSuffix("/") + "/" + segmentGlob)
+      val hits = probe.getFileSystem(spark.sessionState.newHadoopConf())
+        .globStatus(probe)
+      if (hits == null || hits.isEmpty)
+        Console.err.println(
+          s"[graft] WARN crawl ingest: glob '$segmentGlob' under " +
+            s"'$segmentsDir' matches ZERO files at start — for WET-only " +
+            "directories pass segmentGlob=\"*.warc.wet.gz\" explicitly " +
+            "(the default narrowed from *.warc*.gz to *.warc.gz to stop " +
+            "double-ingesting mirrored WARC+WET pairs); the stream will " +
+            "ingest nothing until matching files appear")
+    } catch {
+      case e: Exception => Console.err.println(
+        s"[graft] WARN crawl ingest: cannot list '$segmentsDir' at start " +
+          s"(${e.getMessage}); the stream will ingest nothing until the " +
+          "directory becomes readable")
+    }
     spark.readStream
       .format("binaryFile")
       // the source's own fixed schema (streaming file sources demand it
@@ -319,7 +467,7 @@ object CrawlIngest {
         val paths = batch.collect().map(_.getString(0)).toSeq
         ingestSegments(s, paths, documentsPath, dedupIndexPath, batchId,
           minQuality, dedupThreshold, textIndexPath, annIndexPath, embedDim,
-          encoder)
+          encoder, revisitsPath)
         if (autoCompact && paths.nonEmpty) {
           val dedupMax =
             s.conf.get("graft.compact.dedupMaxBatches", "64").toInt
@@ -338,8 +486,17 @@ object CrawlIngest {
             StreamingIngest.maybeCompact(s, ap,
               s.conf.get("graft.compact.maxDeltaRows", "100000").toLong,
               s.conf.get("graft.compact.maxDeltaFrac", "0.1").toDouble))
+          // the corpus-wide collision sweep, on the same maintenance
+          // cadence (bounded: a 3-column projection-pruned scan + one
+          // shuffle, every Nth batch — not per batch, where it would
+          // dominate small batches). Fails the stream LOUD, like the
+          // in-batch guard: a silent 64-bit collision merges two real
+          // documents in the dedup index.
+          maybeAuditCollisions(s, documentsPath, batchId,
+            s.conf.get("graft.crawl.auditEveryBatches", "32").toInt)
           ()
         }
       }
       .start()
+  }
 }

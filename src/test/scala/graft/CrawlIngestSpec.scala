@@ -18,12 +18,13 @@ class CrawlIngestSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def rec(warcType: String, uri: String, payload: String,
-      contentType: String): Array[Byte] = {
+      contentType: String, extra: Seq[String] = Nil): Array[Byte] = {
     val p = payload.getBytes(UTF_8)
     val h = (s"WARC/1.0\r\n" +
       s"WARC-Type: $warcType\r\n" +
       s"WARC-Target-URI: $uri\r\n" +
       "WARC-Date: 2026-05-06T07:08:09Z\r\n" +
+      extra.map(_ + "\r\n").mkString +
       s"Content-Type: $contentType\r\n" +
       s"Content-Length: ${p.length}\r\n\r\n").getBytes(UTF_8)
     h ++ p ++ "\r\n\r\n".getBytes(UTF_8)
@@ -280,6 +281,75 @@ class CrawlIngestSpec extends AnyFunSuite {
       CrawlIngest.stubTextEmbedding(reverse(col("text"))))
     assert(postId == docId && postDist < 1e-9,
       s"custom vector must survive the fold: $postId@$postDist")
+  }
+
+  test("ingest stats + revisit ledger: every drop is counted, verdicts land") {
+    val base = new java.io.File("/tmp/graft_test_crawl_stats")
+    deleteRec(base)
+    val segments = new java.io.File(base, "segments"); segments.mkdirs()
+    val docsPath = s"$base/documents"
+    val dedupPath = s"$base/dedup_index"
+    val revPath = s"$base/revisits"
+    Dedup.buildDedupIndex(Seq((9000L, seedText)).toDF("doc_id", "text"),
+      "doc_id", "text", dedupPath)
+    // one keeper, one below-quality, one corpus near-dup of the seed, two
+    // in-batch twins, and two revisit records (the crawler's own verdicts)
+    writeSegment(new java.io.File(segments, "st0.warc.gz"), Seq(
+      html("http://st.test/keep", goodA),
+      html("http://st.test/junk",
+        "84 3921 555 0193 7777 1234 9876 5432 1111 2222"),
+      html("http://st.test/cdup", seedText + " today"),
+      html("http://st.test/twin1", twinText),
+      html("http://st.test/twin2", twinText),
+      rec("revisit", "http://st.test/keep", "", "application/http",
+        extra = Seq("WARC-Payload-Digest: sha1:AAAA",
+          "WARC-Refers-To-Date: 2026-01-01T00:00:00Z")),
+      rec("revisit", "http://st.test/KEEP#frag", "", "application/http",
+        extra = Seq("WARC-Payload-Digest: sha1:AAAA"))))
+    val seg = new java.io.File(segments, "st0.warc.gz").getAbsolutePath
+    val stats = CrawlIngest.ingestSegments(spark, Seq(seg), docsPath,
+      dedupPath, 0L, revisitsPath = Some(revPath))
+    assert(stats == CrawlIngest.IngestStats(
+      docsExtracted = 5, droppedQuality = 1, droppedCorpusDup = 1,
+      droppedInBatchDup = 1, docsLanded = 2, revisitsLanded = 2), stats)
+    // the ledger landed, header-only, with basename provenance
+    val rev = spark.read.parquet(revPath)
+    assert(rev.count() == 2)
+    assert(rev.select("file").distinct().head().getString(0)
+      == "st0.warc.gz")
+    assert(rev.filter(col("payload_digest") === "sha1:AAAA").count() == 2)
+    // a fully-committed replay is a no-op and says so
+    val replay = CrawlIngest.ingestSegments(spark, Seq(seg), docsPath,
+      dedupPath, 0L, revisitsPath = Some(revPath))
+    assert(replay.skippedAsCommitted && replay.docsLanded == 0)
+    assert(spark.read.parquet(revPath).count() == 2)
+    // a torn revisit replay (marker lost) replaces the batch, not appends
+    val fs = new org.apache.hadoop.fs.Path(revPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$revPath/_stream/b0"), false)
+    CrawlIngest.ingestSegments(spark, Seq(seg), docsPath, dedupPath, 0L,
+      revisitsPath = Some(revPath))
+    assert(spark.read.parquet(revPath).count() == 2,
+      "torn revisit replay must replace-by-batch, never duplicate")
+    // lifetime counters accumulated across the (one real) ingest
+    val acc = CrawlIngest.ingestCounters(spark)
+    assert(acc("docs_landed").value >= 2 && acc("revisits_landed").value >= 2)
+  }
+
+  test("collision audit cadence: a seeded corpus collision fails loud") {
+    val base = new java.io.File("/tmp/graft_test_crawl_cadence")
+    deleteRec(base)
+    Seq((1L, "segA.warc.gz", 0L), (1L, "segB.warc.gz", 4L),
+        (2L, "segA.warc.gz", 1L))
+      .toDF("doc_id", "file", "offset").write.parquet(s"$base/documents")
+    // off-cadence batches and a disabled cadence are no-ops…
+    CrawlIngest.maybeAuditCollisions(spark, s"$base/documents", 30L, 32)
+    CrawlIngest.maybeAuditCollisions(spark, s"$base/documents", 31L, 0)
+    // …the aligned batch sweeps the corpus and fails loud
+    val e = intercept[RuntimeException] {
+      CrawlIngest.maybeAuditCollisions(spark, s"$base/documents", 31L, 32)
+    }
+    assert(e.getMessage.contains("collision"), e.getMessage)
   }
 
   test("doc-id collision audit: distinct provenances on one id fail loud") {

@@ -36,6 +36,14 @@ class CrawlLifecycleFuzzSpec extends AnyFunSuite {
     h ++ p ++ "\r\n\r\n".getBytes(UTF_8)
   }
 
+  private def revisitRec(uri: String, digest: String): Array[Byte] =
+    (s"WARC/1.0\r\nWARC-Type: revisit\r\n" +
+      s"WARC-Target-URI: $uri\r\n" +
+      "WARC-Date: 2026-05-06T07:08:09Z\r\n" +
+      s"WARC-Payload-Digest: $digest\r\n" +
+      "Content-Type: application/http\r\n" +
+      "Content-Length: 0\r\n\r\n\r\n\r\n").getBytes(UTF_8)
+
   private def writeSegment(path: java.io.File,
       recs: Seq[Array[Byte]]): Unit = {
     val out = new java.io.FileOutputStream(path)
@@ -75,6 +83,7 @@ class CrawlLifecycleFuzzSpec extends AnyFunSuite {
     val segs = new java.io.File(base, "segments"); segs.mkdirs()
     val docsPath = s"$base/documents"
     val dedupPath = s"$base/dedup_index"
+    val revPath = s"$base/revisits"
     Dedup.buildDedupIndex(Seq((0L, freshText(999)))
       .toDF("doc_id", "text"), "doc_id", "text", dedupPath)
 
@@ -82,6 +91,7 @@ class CrawlLifecycleFuzzSpec extends AnyFunSuite {
     var nextText = 0
     var nextBatch = 0L
     var introduced = Vector.empty[String] // unique fresh texts, in order
+    var revIntroduced = Vector.empty[String] // unique revisit urls, in order
     var lastBatch: Option[(String, Long)] = None // (segment path, batchId)
     var lastBatchFolded = true
     val conf = spark.sessionState.newHadoopConf()
@@ -97,6 +107,20 @@ class CrawlLifecycleFuzzSpec extends AnyFunSuite {
       }
       assert(landed.size == introduced.size,
         s"step $step: ${landed.size} landed texts vs ${introduced.size} introduced")
+      // the revisit LEDGER holds the same exactly-once invariant: every
+      // revisit record ever ingested appears once, whatever replays/tears
+      // happened (urls are unique per record by construction)
+      if (revIntroduced.nonEmpty) {
+        val ledger = spark.read.parquet(revPath)
+          .groupBy($"url").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        revIntroduced.foreach { u =>
+          assert(ledger.getOrElse(u, 0L) == 1L,
+            s"step $step: revisit '$u' count=${ledger.getOrElse(u, 0L)}")
+        }
+        assert(ledger.size == revIntroduced.size,
+          s"step $step: ${ledger.size} ledger urls vs ${revIntroduced.size}")
+      }
     }
 
     (0 until 25).foreach { step =>
@@ -109,20 +133,26 @@ class CrawlLifecycleFuzzSpec extends AnyFunSuite {
           val reintro = if (introduced.nonEmpty && rnd.nextBoolean())
             Seq(introduced(rnd.nextInt(introduced.size))) else Seq.empty
           val texts = rnd.shuffle(fresh ++ reintro)
+          // 0-2 revisit records ride along in the same segment — the
+          // crawler's dedup verdicts, landed into the fifth store
+          val nRev = rnd.nextInt(3)
+          val revUrls = (0 until nRev)
+            .map(i => s"http://fuzz.test/rev/$nextBatch/$i")
           val f = new java.io.File(segs, f"seg-$nextBatch%05d.warc.gz")
           writeSegment(f, texts.zipWithIndex.map { case (t, i) =>
             rec(s"http://fuzz.test/$nextBatch/$i", t)
-          })
+          } ++ revUrls.map(u => revisitRec(u, s"sha1:D$nextBatch")))
           CrawlIngest.ingestSegments(spark, Seq(f.getAbsolutePath),
-            docsPath, dedupPath, nextBatch)
+            docsPath, dedupPath, nextBatch, revisitsPath = Some(revPath))
           introduced = introduced ++ fresh
+          revIntroduced = revIntroduced ++ revUrls
           lastBatch = Some((f.getAbsolutePath, nextBatch))
           lastBatchFolded = false
           nextBatch += 1
         case 2 => // replay (possibly torn) of the newest unfolded batch
           lastBatch.foreach { case (seg, id) =>
             if (!lastBatchFolded) {
-              // randomly tear zero, one, or both markers — a crash between
+              // randomly tear zero, one, or more markers — a crash between
               // the appends and their marker commits
               if (rnd.nextBoolean())
                 fs.delete(new org.apache.hadoop.fs.Path(
@@ -131,9 +161,12 @@ class CrawlLifecycleFuzzSpec extends AnyFunSuite {
                 fs.delete(new org.apache.hadoop.fs.Path(
                   s"$dedupPath/_stream/b${Dedup.STREAM_BATCH_BASE + id}"),
                   false)
+              if (rnd.nextBoolean())
+                fs.delete(new org.apache.hadoop.fs.Path(
+                  s"$revPath/_stream/b$id"), false)
             }
             CrawlIngest.ingestSegments(spark, Seq(seg), docsPath,
-              dedupPath, id)
+              dedupPath, id, revisitsPath = Some(revPath))
           }
         case 3 => // tiered fold of the dedup index (marked batches only)
           Dedup.compactDedupIndex(spark, dedupPath, tiered = true)
