@@ -29,6 +29,14 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 object CharsetDecodeKernel {
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Charset]()
+  // negative cache, SIZE-CAPPED: a corpus where many rows carry the same
+  // junk label (`charset=utf8mb4` is endemic) would otherwise pay
+  // Charset.forName + exception construction per row on the hot decode
+  // path. The cap keeps hostile servers from growing executor state
+  // unboundedly — past it, unknown labels just pay the lookup again.
+  private val BadLabelCap = 4096
+  private val badLabels =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private def lookup(name: UTF8String): Charset = {
     if (name == null) return StandardCharsets.UTF_8
@@ -37,13 +45,16 @@ object CharsetDecodeKernel {
     val k = s.toLowerCase(java.util.Locale.ROOT)
     val hit = cache.get(k)
     if (hit != null) hit
+    else if (badLabels.contains(k)) StandardCharsets.UTF_8
     else
-      // cache ONLY successful lookups: the label is untrusted header text,
-      // and caching failures would let hostile/garbled servers grow the
-      // map without bound over a long-running ingest (valid charset names
-      // are a finite JVM-defined set, so the success cache is bounded)
+      // the success cache is bounded by nature (valid charset names are a
+      // finite JVM-defined set); the failure cache is bounded by the cap
       try { val c = Charset.forName(k); cache.putIfAbsent(k, c); c }
-      catch { case _: Exception => StandardCharsets.UTF_8 }
+      catch {
+        case _: Exception =>
+          if (badLabels.size < BadLabelCap) badLabels.add(k)
+          StandardCharsets.UTF_8
+      }
   }
 
   def decode(bytes: Array[Byte], charsetName: UTF8String): UTF8String = {
@@ -53,7 +64,13 @@ object CharsetDecodeKernel {
     val dec = cs.newDecoder()
       .onMalformedInput(CodingErrorAction.REPLACE)
       .onUnmappableCharacter(CodingErrorAction.REPLACE)
-    UTF8String.fromString(dec.decode(ByteBuffer.wrap(bytes)).toString)
+    val out = dec.decode(ByteBuffer.wrap(bytes))
+    // a leading U+FEFF is the byte-order mark, a SIGNATURE, not content
+    // (java.nio strips it only for the BOM-detecting "UTF-16" charset, not
+    // for UTF-8/UTF-16LE/UTF-16BE labels) — drop it so BOM'd pages don't
+    // enter shingles/tokens with a zero-width prefix char
+    val start = if (out.length > 0 && out.charAt(0) == '\uFEFF') 1 else 0
+    UTF8String.fromString(out.subSequence(start, out.length).toString)
   }
 }
 
@@ -98,10 +115,11 @@ case class OptimizerBarrier(child: Expression)
  *    trailers ignored); a TRUNCATED tail (the crawler's size cap cut the
  *    stream) yields the bytes accumulated so far, but a framing VIOLATION
  *    with bytes remaining yields null;
- *  - `gzip`/`x-gzip` and `deflate` (zlib, with the raw-deflate retry many
- *    servers actually send) content codings are inflated, output capped at
- *    [[MaxInflated]] (zip-bomb defense — past the cap yields null);
- *  - `identity`/empty codings pass through; anything else (`br`, `zstd`,
+ *  - `gzip`/`x-gzip`, `deflate` (zlib, with the raw-deflate retry many
+ *    servers actually send) and `zstd` (via the zstd-jni Spark already
+ *    ships) content codings are decoded, output capped at [[MaxInflated]]
+ *    (zip-bomb defense — past the cap yields null);
+ *  - `identity`/empty codings pass through; anything else (`br`,
  *    `compress`, a TE list beyond chunked) yields null — the router DROPS
  *    the record rather than feeding garbage downstream;
  *  - any parse/inflate error yields null, never a throw: one hostile
@@ -152,19 +170,24 @@ object HttpBodyKernels {
     null // unreachable
   }
 
-  private def inflateThrough(in: java.io.InputStream): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(1 << 16)
-    val buf = new Array[Byte](1 << 16)
-    var total = 0
-    var n = in.read(buf)
-    while (n > 0) {
-      total += n
-      if (total > MaxInflated) return null
-      out.write(buf, 0, n)
-      n = in.read(buf)
-    }
-    out.toByteArray
-  }
+  // closes `in` on every exit path: the zlib Inflater and (for zstd) the
+  // native decompression context are freed eagerly, not left to a
+  // finalizer — this runs per record on the ingest hot path, where
+  // finalizer-paced native memory is an OOM vector
+  private def inflateThrough(in: java.io.InputStream): Array[Byte] =
+    try {
+      val out = new java.io.ByteArrayOutputStream(1 << 16)
+      val buf = new Array[Byte](1 << 16)
+      var total = 0
+      var n = in.read(buf)
+      while (n > 0) {
+        total += n
+        if (total > MaxInflated) return null
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      out.toByteArray
+    } finally in.close()
 
   def gunzip(b: Array[Byte]): Array[Byte] =
     try inflateThrough(new java.util.zip.GZIPInputStream(
@@ -183,6 +206,20 @@ object HttpBodyKernels {
         catch { case _: Exception => null }
     }
 
+  /** `Content-Encoding: zstd` (RFC 8878) — decoded, not dropped: zstd-jni
+    * already ships on Spark's classpath (it backs Spark's own shuffle/
+    * parquet codecs), so supporting the coding costs nothing. Same
+    * [[MaxInflated]] cap and null-on-malformed contract as gzip/deflate;
+    * `setContinuous` accepts the streaming-written frames (no embedded
+    * content size) real servers emit. */
+  def unzstd(b: Array[Byte]): Array[Byte] =
+    try {
+      val zin = new com.github.luben.zstd.ZstdInputStream(
+        new java.io.ByteArrayInputStream(b))
+      zin.setContinuous(true)
+      inflateThrough(zin)
+    } catch { case _: Exception => null }
+
   def decodeBody(body: Array[Byte], te: UTF8String,
       ce: UTF8String): Array[Byte] = {
     var b = body
@@ -197,7 +234,8 @@ object HttpBodyKernels {
       case "" | "identity" => b
       case "gzip" | "x-gzip" => gunzip(b)
       case "deflate" => inflate(b)
-      case _ => null // br / zstd / compress / lists: drop, don't garble
+      case "zstd" => unzstd(b)
+      case _ => null // br / compress / coding lists: drop, don't garble
     }
   }
 }

@@ -25,7 +25,9 @@ import org.apache.spark.sql.types.{BooleanType, StringType}
  * the task read buffer); `graft_warc_docs(glob)` is the crawl→documents
  * bridge; `graft_warc_media(glob)` the crawl→media bridge;
  * `graft_warc_revisits(glob)` the crawler's own dedup verdicts (joinable
- * against the URL-dedup family straight from SQL).
+ * against the URL-dedup family straight from SQL);
+ * `graft_warc_dispositions(glob[, minQuality])` the per-record drop census
+ * (what fraction of a crawl was discarded, and why).
  */
 object WarcTvf {
 
@@ -79,6 +81,27 @@ object WarcTvf {
         graft.sources.WarcSource
           .warcToMedia(
             graft.sources.WarcSource.readWarc(SparkSession.active, glob))
+          .queryExecution.logical: LogicalPlan
+      }))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_warc_dispositions"),
+      new ExpressionInfo("graft.sources.WarcSource",
+        "graft_warc_dispositions"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1 || args.size == 2,
+          "graft_warc_dispositions(pathGlob[, minQuality])")
+        val glob = strLit(args(0), "graft_warc_dispositions", "pathGlob")
+        val minQ = if (args.size == 2) args(1) match {
+          case l: Literal if l.value != null &&
+              l.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+            l.value.toString.toDouble
+          case _ => throw new IllegalArgumentException(
+            "graft_warc_dispositions: minQuality must be a numeric literal")
+        } else 0.0
+        graft.sources.WarcSource
+          .warcToDispositions(
+            graft.sources.WarcSource.readWarc(SparkSession.active, glob),
+            minQuality = minQ)
           .queryExecution.logical: LogicalPlan
       }))
     ext.injectTableFunction((

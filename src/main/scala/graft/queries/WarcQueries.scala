@@ -20,12 +20,14 @@ import graft.streaming.CrawlIngest
  * exactly as strong as a recomputed one — and independent of this parser.
  *
  * The fixture segment is multi-member gzip (one member per record, the
- * Common Crawl framing). Gen-13 supersets gen-12 with the HTTP-ENVELOPE
- * corpus — the shape a production segment is actually made of: enveloped
- * PNG (media arrives inside `application/http`), enveloped JSON (must NOT
- * become mojibake "text"), `charset=windows-1252` and `Shift_JIS` payload
- * decodes, `WARC-Identified-Payload-Type` precedence over a lying server,
- * and a `revisit` record surfaced as a dedup signal.
+ * Common Crawl framing). Gen-14 supersets gen-13 (which superset gen-12's
+ * HTTP-ENVELOPE corpus) with the SILENT-LOSS corpus: enveloped XHTML and
+ * XHTML-served-as-text/xml (routed, not dropped), an untyped XML-prolog
+ * page (sniffed), a `Content-Encoding: zstd` body (decoded via the
+ * classpath zstd-jni), a UTF-16LE page whose BOM drives the decode,
+ * wget/heritrix `resource` captures through both bridges, a malformed
+ * envelope and an all-digits page for the disposition census, and an rss
+ * feed as the XML-sniff negative.
  */
 object WarcQueries {
 
@@ -34,9 +36,9 @@ object WarcQueries {
     * run elsewhere. */
   private def fixture: String = {
     val local = new java.io.File(
-      "src/test/resources/fixtures/warc_gen13/seg-00000.warc.gz")
+      "src/test/resources/fixtures/warc_gen14/seg-00000.warc.gz")
     if (local.isFile) local.getAbsolutePath
-    else "/root/repo/src/test/resources/fixtures/warc_gen13/seg-00000.warc.gz"
+    else "/root/repo/src/test/resources/fixtures/warc_gen14/seg-00000.warc.gz"
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -97,11 +99,24 @@ object WarcQueries {
           min(col("original_date")).as("first_seen"))
         .orderBy(col("url_norm"))
     }),
+    // drop OBSERVABILITY at the crawl front door: one row per disposition
+    // with its record count, at the ingest gate's quality threshold — the
+    // census an operator reads to tell "this crawl is 30% br" from "my
+    // parser is broken". Routed by the SAME shared predicates as the
+    // bridges, so this oracle also pins that feeds/JSON stay OUT of the
+    // text path while xhtml/zstd/resource records stay IN.
+    "warc_drop_census" -> ((s, _) => {
+      WarcSource.warcToDispositions(WarcSource.readWarc(s, fixture),
+          minQuality = 0.35)
+        .groupBy(col("disposition"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("disposition"))
+    }),
     // the FULL bridge, end-to-end under the oracle: ingestSegments on the
     // fixture into fresh temp stores with every leg on (documents + dedup
-    // + BM25 + ANN), then one serving probe per store — the exactly-once
-    // machinery is fuzz-pinned elsewhere; this row pins the data-path
-    // composition itself
+    // + BM25 + ANN + revisit ledger), then one serving probe per store —
+    // the exactly-once machinery is fuzz-pinned elsewhere; this row pins
+    // the data-path composition itself
     "crawl_pipeline" -> ((s, _) => crawlPipeline(s)))
 
   /** See the `crawl_pipeline` entry. Probes, one per store the bridge
@@ -126,35 +141,50 @@ object WarcQueries {
       .digest(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(fixture)))
       .map("%02x".format(_)).mkString.take(12)
-    val base = new java.io.File(s"/tmp/graft_index/crawl_pipeline1_$fp")
+    val base = new java.io.File(s"/tmp/graft_index/crawl_pipeline2_$fp")
     val docsPath = s"$base/documents"
     val dedupPath = s"$base/dedup_index"
     val textPath = s"$base/text_index"
     val annPath = s"$base/ann_index"
+    val revPath = s"$base/revisits"
     val done = new java.io.File(base, "_done")
-    crawlPipelineLock.synchronized { if (!done.isFile) {
-      graft.tools.LocalFs.deleteRec(base); base.mkdirs()
-      // pre-existing corpus state the bridge appends into (the
-      // steady-state shape — stores exist before any crawl batch): one
-      // seed document that shares nothing with the fixture
-      val seedText = "seed placeholder corpus document nothing inside the " +
-        "fixture segment duplicates this particular sentence at all"
-      val seed = Seq((900001L, seedText)).toDF("doc_id", "text")
-      Dedup.buildDedupIndex(seed, "doc_id", "text", dedupPath)
-      graft.operators.TextIndex.buildTextIndex(seed, "doc_id", "text",
-        textPath, nBuckets = 8)
-      graft.index.DiskannIndex.build(
-        (0 until 4).map(i => (900010L + i, s"$seedText seed $i"))
-          .toDF("doc_id", "text")
-          .select(col("doc_id").as("row_id"),
-            CrawlIngest.stubTextEmbedding(col("text")).as("vec")),
-        "row_id", "vec", None, annPath,
-        graft.index.DiskannParams(metric = "cosine"))
-      CrawlIngest.ingestSegments(s, Seq(fixture), docsPath, dedupPath, 0L,
-        minQuality = 0.0, dedupThreshold = 0.9,
-        textIndexPath = Some(textPath), annIndexPath = Some(annPath))
-      done.createNewFile()
-    } }
+    // two guards compose: the JVM-local lock serializes threads in THIS
+    // process; the OS FileLock serializes PROCESSES (parallel sbt
+    // Verify/Bench is a known repo reality) — without it, two JVMs can
+    // both see !done and one deleteRec(base) wipes the stores mid-ingest
+    // of the other
+    crawlPipelineLock.synchronized {
+      base.getParentFile.mkdirs()
+      val lockCh = java.nio.channels.FileChannel.open(
+        new java.io.File(base.getParent, base.getName + ".lock").toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val flock = lockCh.lock()
+      try { if (!done.isFile) {
+        graft.tools.LocalFs.deleteRec(base); base.mkdirs()
+        // pre-existing corpus state the bridge appends into (the
+        // steady-state shape — stores exist before any crawl batch): one
+        // seed document that shares nothing with the fixture
+        val seedText = "seed placeholder corpus document nothing inside the " +
+          "fixture segment duplicates this particular sentence at all"
+        val seed = Seq((900001L, seedText)).toDF("doc_id", "text")
+        Dedup.buildDedupIndex(seed, "doc_id", "text", dedupPath)
+        graft.operators.TextIndex.buildTextIndex(seed, "doc_id", "text",
+          textPath, nBuckets = 8)
+        graft.index.DiskannIndex.build(
+          (0 until 4).map(i => (900010L + i, s"$seedText seed $i"))
+            .toDF("doc_id", "text")
+            .select(col("doc_id").as("row_id"),
+              CrawlIngest.stubTextEmbedding(col("text")).as("vec")),
+          "row_id", "vec", None, annPath,
+          graft.index.DiskannParams(metric = "cosine"))
+        CrawlIngest.ingestSegments(s, Seq(fixture), docsPath, dedupPath, 0L,
+          minQuality = 0.0, dedupThreshold = 0.9,
+          textIndexPath = Some(textPath), annIndexPath = Some(annPath),
+          revisitsPath = Some(revPath))
+        done.createNewFile()
+      } } finally { flock.release(); lockCh.close() }
+    }
 
     val docs = s.read.parquet(docsPath)
     val byId = docs.select(col("doc_id"),
@@ -182,7 +212,16 @@ object WarcQueries {
       .count()
     val dedupRows = Seq(("dedup", "probe_hits", probeHits))
       .toDF("part", "item", "metric")
+    // the fifth store: the landed refetch LEDGER, rolled up under the
+    // canonical URL key — the crawler's dedup verdicts served back out
+    val revRows = s.read.parquet(revPath)
+      .groupBy(graft.operators.Curation.urlNormalize(col("url"))
+        .as("item"))
+      .agg(count(lit(1)).as("metric"))
+      .select(lit("revisit").as("part"), col("item"),
+        col("metric").cast("long").as("metric"))
     docRows.unionAll(bmRows).unionAll(annRows).unionAll(dedupRows)
+      .unionAll(revRows)
       .orderBy(col("part"), col("item"))
   }
 
@@ -208,7 +247,25 @@ object WarcQueries {
         |  ('seg-00000.warc.gz', 16, 'http://example.org/gzipped', '2026-03-04T05:06:07Z',
         |   'Gzip body works.'),
         |  ('seg-00000.warc.gz', 18, 'http://example.org/untyped', '2026-03-04T05:06:07Z',
-        |   'Untyped but HTML.')
+        |   'Untyped but HTML.'),
+        |  ('seg-00000.warc.gz', 19, 'http://example.org/xhtml', '2026-03-04T05:06:07Z',
+        |   'XHTML page works.'),
+        |  ('seg-00000.warc.gz', 20, 'http://example.org/asxml', '2026-03-04T05:06:07Z',
+        |   'Served as XML.'),
+        |  ('seg-00000.warc.gz', 21, 'http://example.org/untyped-xml', '2026-03-04T05:06:07Z',
+        |   'Untyped XHTML.'),
+        |  ('seg-00000.warc.gz', 22, 'http://example.org/zstd', '2026-03-04T05:06:07Z',
+        |   'Zstandard coding decodes fine.'),
+        |  ('seg-00000.warc.gz', 23, 'http://example.org/utf16', '2026-03-04T05:06:07Z',
+        |   'UTF-16 déjà vu.'),
+        |  ('seg-00000.warc.gz', 24, 'http://example.org/local.html', '2026-03-04T05:06:07Z',
+        |   'Resource capture.'),
+        |  ('seg-00000.warc.gz', 27, 'http://example.org/numbers', '2026-03-04T05:06:07Z',
+        |   '12345 67890 12345 67890 12345'),
+        |  ('seg-00000.warc.gz', 29, 'http://example.org/prolog', '2026-03-04T05:06:07Z',
+        |   'Prologue café declares its own encoding.'),
+        |  ('seg-00000.warc.gz', 30, 'http://example.org/metaxml', '2026-03-04T05:06:07Z',
+        |   'Méta charset inside an XML document.')
         |) AS t(file, "offset", url, fetch_date, text)
         |ORDER BY "offset"""".stripMargin,
     "warc_census" ->
@@ -231,15 +288,40 @@ object WarcQueries {
         |  (15, 'response', 'application/http; msgtype=response', 134),
         |  (16, 'response', 'application/http; msgtype=response', 121),
         |  (17, 'response', 'application/http; msgtype=response', 86),
-        |  (18, 'response', 'application/http; msgtype=response', 92)
+        |  (18, 'response', 'application/http; msgtype=response', 92),
+        |  (19, 'response', 'application/http; msgtype=response', 312),
+        |  (20, 'response', 'application/http; msgtype=response', 126),
+        |  (21, 'response', 'application/http; msgtype=response', 112),
+        |  (22, 'response', 'application/http; msgtype=response', 133),
+        |  (23, 'response', 'application/http; msgtype=response', 128),
+        |  (24, 'resource', 'text/html', 43),
+        |  (25, 'resource', 'image/png', 117),
+        |  (26, 'response', 'application/http; msgtype=response', 42),
+        |  (27, 'response', 'application/http; msgtype=response', 74),
+        |  (28, 'response', 'application/http; msgtype=response', 127),
+        |  (29, 'response', 'application/http; msgtype=response', 190),
+        |  (30, 'response', 'application/http; msgtype=response', 162)
         |) AS t("offset", warc_type, content_type, content_length)
         |ORDER BY "offset"""".stripMargin,
     "warc_media" ->
       """SELECT * FROM (VALUES
         |  (5, 'http://example.org/logo.png', 'image', 'png', 6, 4, 117),
-        |  (6, 'http://example.org/logo2.png', 'image', 'png', 6, 4, 117)
+        |  (6, 'http://example.org/logo2.png', 'image', 'png', 6, 4, 117),
+        |  (25, 'http://example.org/local.png', 'image', 'png', 6, 4, 117)
         |) AS t("offset", url, modality, format, width, height, n_bytes)
         |ORDER BY "offset"""".stripMargin,
+    "warc_drop_census" ->
+      """SELECT * FROM (VALUES
+        |  ('below_quality', 1),
+        |  ('document', 18),
+        |  ('malformed_envelope', 1),
+        |  ('media', 3),
+        |  ('non_document_type', 1),
+        |  ('non_text_type', 3),
+        |  ('revisit', 3),
+        |  ('unsupported_coding', 1)
+        |) AS t(disposition, n)
+        |ORDER BY disposition""".stripMargin,
     "warc_revisits" ->
       """SELECT * FROM (VALUES
         |  (11, 'http://example.org/alpha', '2026-03-04T05:06:07Z',
@@ -267,14 +349,24 @@ object WarcQueries {
         |  ('dedup', 'probe_hits', 1),
         |  ('doc', 'http://example.org/alpha#1', 61),
         |  ('doc', 'http://example.org/alpha#3', 38),
+        |  ('doc', 'http://example.org/asxml#20', 14),
         |  ('doc', 'http://example.org/cafe#8', 19),
         |  ('doc', 'http://example.org/chunked#15', 19),
         |  ('doc', 'http://example.org/gzipped#16', 16),
+        |  ('doc', 'http://example.org/local.html#24', 17),
         |  ('doc', 'http://example.org/meta#12', 12),
+        |  ('doc', 'http://example.org/metaxml#30', 36),
+        |  ('doc', 'http://example.org/numbers#27', 29),
+        |  ('doc', 'http://example.org/prolog#29', 40),
         |  ('doc', 'http://example.org/raw#2', 30),
         |  ('doc', 'http://example.org/sniffed#9', 16),
         |  ('doc', 'http://example.org/tokyo#10', 13),
-        |  ('doc', 'http://example.org/untyped#18', 17)
+        |  ('doc', 'http://example.org/untyped#18', 17),
+        |  ('doc', 'http://example.org/untyped-xml#21', 14),
+        |  ('doc', 'http://example.org/utf16#23', 15),
+        |  ('doc', 'http://example.org/xhtml#19', 17),
+        |  ('doc', 'http://example.org/zstd#22', 30),
+        |  ('revisit', 'http://example.org/alpha', 3)
         |) AS t(part, item, metric)
         |ORDER BY part, item""".stripMargin)
 }

@@ -384,6 +384,21 @@ object WarcSource {
     * instead of O(payload) on multi-MB media bodies. */
   private val HttpHeaderWindow = 16384
 
+  /** An html-ish body head: a doctype or `<html` lead, optionally behind an
+    * XML prolog — the shape XHTML serialized as XML starts with. Matched on
+    * a bounded ISO-8859-1-decoded head (byte↔char bijective). */
+  private val HtmlishHeadRe =
+    "(?is)^\\s*(?:<\\?xml[^>]*\\?>\\s*)?(?:<!doctype\\s+html|<html)"
+
+  /** Every effective type the text bridge can route — the set whose rows
+    * must get in-document charset detection (a routed page whose charset
+    * arm never fires decodes as UTF-8 mojibake). */
+  private def TextishTypeCol: Column =
+    col("eff_type") === "text/html" ||
+      col("eff_type") === "application/xhtml+xml" ||
+      col("eff_type").isin("text/xml", "application/xml") ||
+      col("eff_type").endsWith("+xml")
+
   /**
    * Appends the envelope-routing columns to raw records:
    *
@@ -479,28 +494,50 @@ object WarcSource {
             nullif(httpCt, lit("")),
             // a server may LEGALLY omit Content-Type, and heritrix/wget
             // write no identified-payload-type: sniff an html-ish DECODED
-            // body head (doctype or <html> lead) rather than silently
+            // body head (doctype or <html> lead, with or without an XML
+            // prolog — untyped XHTML is still HTML) rather than silently
             // dropping the page — everything else untyped stays dropped
             when(decode(substring(col("body"), 1, 256), "ISO-8859-1")
-              .rlike("(?is)^\\s*(?:<!doctype\\s+html|<html)"), "text/html"),
+              .rlike(HtmlishHeadRe), "text/html"),
             lit("")))
           .otherwise(col("contentType")),
         "^([^;]*)", 1))))
       .withColumn("eff_charset", coalesce(
+        // a byte-order mark FIRST (the WHATWG decode order: a BOM trumps
+        // even the server's declared charset) — a UTF-16 page could never
+        // match the ISO-8859-1-decoded meta-charset regex below, so
+        // without this arm it decodes to alternating-NUL mojibake
+        when(substring(col("body"), 1, 3) ===
+          lit(Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte)), "UTF-8"),
+        when(substring(col("body"), 1, 2) ===
+          lit(Array(0xFF.toByte, 0xFE.toByte)), "UTF-16LE"),
+        when(substring(col("body"), 1, 2) ===
+          lit(Array(0xFE.toByte, 0xFF.toByte)), "UTF-16BE"),
         // the server's own charset= parameter: HTTP header line for
         // envelopes, the WARC-level Content-Type for raw records
         nullif(regexp_extract(httpCt, csRe, 1), lit("")),
         nullif(regexp_extract(col("contentType"), csRe, 1), lit("")),
-        // the HTML5-common fallback: a meta tag in the document head
-        // (charset= or the http-equiv form — both spell charset=). The
-        // spec requires it within the first 1024 bytes; scan 2048 of the
-        // DECODED body (post-codings — a gzipped/chunked head would never
-        // match on wire bytes), HTML rows only
-        when(col("eff_type") === "text/html", nullif(regexp_extract(
+        // the document's OWN declaration, for every type the text bridge
+        // can route (html AND the xhtml/xml family — a routed page whose
+        // charset arm doesn't fire decodes as UTF-8 mojibake): first the
+        // XML prolog's encoding= (XHTML's native form), then the
+        // HTML5-common meta tag (charset= or the http-equiv form — both
+        // spell charset=; the spec requires it within the first 1024
+        // bytes). Scan 2048 of the DECODED body (post-codings — a
+        // gzipped/chunked head would never match on wire bytes).
+        when(TextishTypeCol, nullif(regexp_extract(
+          decode(substring(col("body"), 1, 2048), "ISO-8859-1"),
+          "(?is)^\\s*<\\?xml[^>]*encoding\\s*=\\s*[\"']?\\s*" +
+            "([A-Za-z0-9][A-Za-z0-9_.:+-]*)", 1), lit(""))),
+        when(TextishTypeCol, nullif(regexp_extract(
           decode(substring(col("body"), 1, 2048), "ISO-8859-1"),
           "(?i)<meta[^>]*charset\\s*=\\s*[\"']?\\s*" +
             "([A-Za-z0-9][A-Za-z0-9_.:+-]*)", 1), lit(""))),
         lit("")))
+      // observability, not routing: an `application/http` envelope with no
+      // header/body split inside the scan window — the body is empty by
+      // construction, and the disposition census reports WHY
+      .withColumn("envelope_malformed", isHttp && col("__bodyStart").isNull)
       .drop("__l1", "__bodyStart", "__hdr", "__httpCt")
   }
 
@@ -515,15 +552,38 @@ object WarcSource {
     * media_id is the same deterministic (segment basename, ordinal) hash
     * the documents bridge uses, so text and media rows from one crawl
     * share a provenance keyspace. */
-  def warcToMedia(records: DataFrame): DataFrame = {
-    val base = regexp_extract(col("file"), "([^/]+)$", 1)
-    val modality = when(col("eff_type").startsWith("image/"), "image")
+  // Routing predicates shared by both bridges AND the disposition census —
+  // one definition each, so the census can never drift from what the
+  // bridges actually keep/drop. All reference [[withHttpRouting]] output.
+  private def docTypeCol: Column = col("warcType").isin("response", "resource")
+  private def wetCol: Column = col("warcType") === "conversion" &&
+    col("contentType").startsWith("text/plain")
+  private def modalityCol: Column =
+    when(col("eff_type").startsWith("image/"), "image")
       .when(col("eff_type").startsWith("audio/"), "audio")
       .when(col("eff_type").startsWith("video/"), "video")
+  private def htmlRouteCol: Column = {
+    val xmlBodyIsHtml = decode(substring(col("body"), 1, 256), "ISO-8859-1")
+      .rlike(HtmlishHeadRe)
+    // modalityCol.isNull keeps the bridges MUTUALLY EXCLUSIVE: an
+    // `image/svg+xml` (or any media `+xml` registration) whose body head
+    // happens to read html-ish belongs to the media bridge, not both
+    docTypeCol && modalityCol.isNull && (col("eff_type") === "text/html" ||
+      col("eff_type") === "application/xhtml+xml" ||
+      ((col("eff_type").isin("text/xml", "application/xml") ||
+        col("eff_type").endsWith("+xml")) && xmlBodyIsHtml))
+  }
+  private def plainRouteCol: Column =
+    docTypeCol && col("eff_type") === "text/plain"
+
+  def warcToMedia(records: DataFrame): DataFrame = {
+    val base = regexp_extract(col("file"), "([^/]+)$", 1)
+    val modality = modalityCol
     withHttpRouting(records)
-      // body null = unsupported/malformed HTTP body coding — dropped
-      .filter(col("warcType") === "response" && modality.isNotNull &&
-        col("body").isNotNull)
+      // body null = unsupported/malformed HTTP body coding — dropped.
+      // `resource` records (wget/heritrix direct captures) carry the
+      // payload raw; routing passes them through, so they qualify too.
+      .filter(docTypeCol && modality.isNotNull && col("body").isNotNull)
       .select(
         xxhash64(base, col("offset")).as("media_id"),
         modality.as("modality"),
@@ -534,9 +594,12 @@ object WarcSource {
   }
 
   /** The crawl → documents-table bridge, routed by the EFFECTIVE payload
-    * type (see [[withHttpRouting]]):
+    * type (see [[withHttpRouting]]; `response` below includes `resource` —
+    * the wget/heritrix direct-capture record type):
     *
-    *  - `response` + effective `text/html` → HTTP header block sliced off
+    *  - `response` + effective `text/html` or `application/xhtml+xml` (or a
+    *    generic XML type whose body head reads as HTML — real servers serve
+    *    XHTML as `text/xml` constantly) → HTTP header block sliced off
     *    (envelopes), charset-aware decode, [[htmlText]] extraction;
     *  - `response` + effective `text/plain` → charset-aware decode,
     *    whitespace collapse (no HTML stripping);
@@ -545,7 +608,8 @@ object WarcSource {
     *    passthrough with whitespace collapse;
     *  - everything else — enveloped JSON/PDF/media, warcinfo, request,
     *    revisit ([[warcToRevisits]] surfaces those) — DROPPED, never fed to
-    *    the text path as mojibake.
+    *    the text path as mojibake ([[warcToDispositions]] reports what was
+    *    dropped and why).
     *
     * Raw (non-enveloped) `text/html` records keep their whole payload — a
     * blank line inside markup is not a header/body split. Text decodes per
@@ -555,11 +619,15 @@ object WarcSource {
     * mojibake. Emits `(url, fetch_date, text)` + provenance. */
   def warcToDocuments(records: DataFrame): DataFrame = {
     graft.functions.VectorFunctions.register(records.sparkSession)
-    val isResponse = col("warcType") === "response"
-    val isWet = col("warcType") === "conversion" &&
-      col("contentType").startsWith("text/plain")
-    val isHtml = isResponse && col("eff_type") === "text/html"
-    val isPlain = isResponse && col("eff_type") === "text/plain"
+    // `resource` records (wget/heritrix write them for directly-captured
+    // payloads — no HTTP envelope, the WARC-level Content-Type is the real
+    // type) route exactly like responses: withHttpRouting already passes
+    // their payload/type/charset through untouched. XHTML is HTML by
+    // definition; generic XML types route only when the body head reads as
+    // an HTML document (see htmlRouteCol).
+    val isWet = wetCol
+    val isHtml = htmlRouteCol
+    val isPlain = plainRouteCol
     val decodedBody =
       call_function("charset_decode", col("body"), col("eff_charset"))
     withHttpRouting(records)
@@ -600,4 +668,59 @@ object WarcSource {
         coalesce(col("headers").getItem("warc-profile"), lit(""))
           .as("profile"),
         col("file"), col("offset"))
+
+  /** Drop OBSERVABILITY for the crawl front door: one disposition per
+    * record, by the SAME predicates the bridges route with (shared private
+    * Columns — the census cannot drift from the real keep/drop decisions).
+    * At 100 TB an operator must be able to see "this crawl is 30% br" vs
+    * "my parser is broken"; silent drops make those indistinguishable.
+    *
+    * Dispositions, first match wins (mirroring bridge order):
+    *  - `revisit` — surfaced by [[warcToRevisits]], not a loss;
+    *  - `non_document_type` — warcinfo/request/metadata framing records;
+    *  - `malformed_envelope` — an `application/http` envelope with no
+    *    header/body split in the scan window;
+    *  - `unsupported_coding` — the HTTP body coding could not be undone
+    *    (br/compress, malformed gzip/zstd, chunked framing violation);
+    *  - `media` — routed to [[warcToMedia]], not a loss;
+    *  - `non_text_type` — effective type outside the text routes
+    *    (JSON/PDF/feeds/...), the intended drop;
+    *  - `empty_text` — extraction produced nothing;
+    *  - `below_quality` — landed text under `minQuality` (only when
+    *    `minQuality > 0`; pass the ingest gate's value to census it);
+    *  - `document` — lands in the documents table.
+    *
+    * Map-side, zero shuffle (aggregate by disposition on top as needed —
+    * that one-row-per-reason rollup is the only shuffle). */
+  def warcToDispositions(records: DataFrame,
+      minQuality: Double = 0.0): DataFrame = {
+    graft.functions.VectorFunctions.register(records.sparkSession)
+    val decodedBody =
+      call_function("charset_decode", col("body"), col("eff_charset"))
+    withHttpRouting(records)
+      // staged + fenced like the bridges' text column: `disposition` below
+      // references `text` three times, and without the barrier each
+      // reference would inline the whole extraction tree (the round-13
+      // codegen-blowup lesson); null = not a text route
+      .withColumn("text", call_function("graft_barrier",
+        when(wetCol,
+          trim(regexp_replace(col("payload").cast("string"), "\\s+", " ")))
+          .when(htmlRouteCol, htmlText(decodedBody))
+          .when(plainRouteCol, trim(regexp_replace(decodedBody, "\\s+", " ")))))
+      .withColumn("disposition", {
+        val routed = when(col("warcType") === "revisit", "revisit")
+          .when(!(docTypeCol || wetCol), "non_document_type")
+          .when(col("envelope_malformed"), "malformed_envelope")
+          .when(col("body").isNull, "unsupported_coding")
+          .when(modalityCol.isNotNull, "media")
+          .when(col("text").isNull, "non_text_type")
+          .when(length(col("text")) === 0, "empty_text")
+        (if (minQuality > 0.0)
+          routed.when(graft.operators.TextAnalysis.qualityScore(col("text"))
+            < lit(minQuality), "below_quality")
+         else routed).otherwise("document")
+      })
+      .select(col("file"), col("offset"), col("targetUri").as("url"),
+        col("warcType").as("warc_type"), col("eff_type"), col("disposition"))
+  }
 }

@@ -766,6 +766,166 @@ object FreezeWarcFixture13 {
 }
 
 /**
+ * Freezes the round-14 WARC fixture (`warc_gen14`) — a SUPERSET of
+ * `warc_gen13` (committed fixtures are immutable once specs replay them;
+ * this one appends), adding the SILENT-LOSS corpus: every record here is a
+ * page a production crawl carries that round-13's front door either dropped
+ * without a trace or decoded wrong:
+ *
+ *  - 19: enveloped `application/xhtml+xml` — a visible share of real crawls;
+ *    must route to the text bridge (it IS html);
+ *  - 20: XHTML served as `text/xml` (XML prolog + html doctype) — routes via
+ *    the body-head sniff;
+ *  - 21: an UNTYPED response whose body leads with an XML prolog then
+ *    `<html` — the untyped sniff must know the XML-prolog shape;
+ *  - 22: `Content-Encoding: zstd` — decodable for free via the zstd-jni on
+ *    Spark's classpath, previously null-dropped;
+ *  - 23: UTF-16LE page with BOM, server silent on charset — the BOM must
+ *    drive the decode (a UTF-16 page can never match an ISO-8859-1-decoded
+ *    meta-charset regex);
+ *  - 24/25: `resource` records (wget/heritrix direct captures — payload
+ *    raw, no HTTP envelope): one text/html into the documents bridge, one
+ *    image/png into the media bridge;
+ *  - 26: a MALFORMED envelope (header block, no blank line) — must surface
+ *    in the disposition census as `malformed_envelope`;
+ *  - 27: an all-digits `text/plain` page — lands in `warcToDocuments` but
+ *    pins `below_quality` in the census at the ingest gate's threshold;
+ *  - 28: a real `text/xml` FEED (rss root) — the sniff-negative: generic
+ *    XML that is NOT html must stay out of the text path.
+ *
+ * Determinism: fixed bytes (the zstd member is an embedded constant, like
+ * the PNG), GZIPOutputStream MTIME=0 — regeneration is byte-stable.
+ */
+object FreezeWarcFixture14 {
+  import FreezeWarcFixture.{ascii, date, pngBytes, rec}
+
+  /** zstd frame of `<html><body>Zstandard coding decodes fine.</body></html>`
+    * — embedded as a constant so regeneration never depends on the zstd
+    * library version's compression choices. */
+  val zstdHtmlBytes: Array[Byte] =
+    ("28b52ffd2038c101003c68746d6c3e3c626f64793e5a7374616e6461726420636f" +
+      "64696e67206465636f6465732066696e652e3c2f626f64793e3c2f68746d6c3e")
+      .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  def records: Seq[Array[Byte]] = FreezeWarcFixture13.records ++ Seq(
+    // 19: enveloped XHTML under its own media type
+    rec("response", "http://example.org/xhtml", date,
+      "application/http; msgtype=response",
+      ascii("HTTP/1.1 200 OK\r\n" +
+        "Content-Type: application/xhtml+xml; charset=utf-8\r\n\r\n" +
+        "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+        "<!DOCTYPE html PUBLIC \"-//W3C//DTD XHTML 1.0 Strict//EN\" " +
+        "\"http://www.w3.org/TR/xhtml1/DTD/xhtml1-strict.dtd\">\n" +
+        "<html xmlns=\"http://www.w3.org/1999/xhtml\"><body>" +
+        "<p>XHTML page&#160;works.</p></body></html>")),
+    // 20: XHTML a misconfigured server labels text/xml — body-head sniff
+    rec("response", "http://example.org/asxml", date,
+      "application/http; msgtype=response",
+      ascii("HTTP/1.1 200 OK\r\nContent-Type: text/xml\r\n\r\n" +
+        "<?xml version=\"1.0\"?><!DOCTYPE html><html><body>" +
+        "<p>Served as XML.</p></body></html>")),
+    // 21: no Content-Type at all, body leads with an XML prolog
+    rec("response", "http://example.org/untyped-xml", date,
+      "application/http; msgtype=response",
+      ascii("HTTP/1.1 200 OK\r\nServer: httpd\r\n\r\n" +
+        "<?xml version=\"1.0\" encoding=\"utf-8\"?>" +
+        "<html><body>Untyped XHTML.</body></html>")),
+    // 22: Content-Encoding: zstd — decodes via the classpath zstd-jni
+    rec("response", "http://example.org/zstd", date,
+      "application/http; msgtype=response",
+      ascii("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+        "Content-Encoding: zstd\r\n\r\n") ++ zstdHtmlBytes),
+    // 23: UTF-16LE with BOM, no declared charset anywhere
+    rec("response", "http://example.org/utf16", date,
+      "application/http; msgtype=response",
+      ascii("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n") ++
+        Array(0xFF.toByte, 0xFE.toByte) ++
+        "<html><body>UTF-16 déjà vu.</body></html>".getBytes(
+          java.nio.charset.StandardCharsets.UTF_16LE)),
+    // 24/25: wget/heritrix resource captures — raw payload, no envelope
+    rec("resource", "http://example.org/local.html", date, "text/html",
+      ascii("<html><body>Resource capture.</body></html>")),
+    rec("resource", "http://example.org/local.png", date, "image/png",
+      pngBytes),
+    // 26: envelope with no header/body split in the record at all
+    rec("response", "http://example.org/broken", date,
+      "application/http; msgtype=response",
+      ascii("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n")),
+    // 27: extractable but junk — the quality gate's census row
+    rec("response", "http://example.org/numbers", date,
+      "application/http; msgtype=response",
+      ascii("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" +
+        "12345 67890 12345 67890 12345")),
+    // 28: genuine XML that is NOT html — must NOT leak into documents
+    rec("response", "http://example.org/feed", date,
+      "application/http; msgtype=response",
+      ascii("HTTP/1.1 200 OK\r\nContent-Type: text/xml\r\n\r\n" +
+        "<?xml version=\"1.0\"?><rss version=\"2.0\"><channel>" +
+        "<title>Feed</title></channel></rss>")),
+    // 29: XHTML declaring its charset ONLY in the XML prolog (no header
+    // param, no meta) — the prolog encoding= must drive the decode
+    rec("response", "http://example.org/prolog", date,
+      "application/http; msgtype=response",
+      ascii("HTTP/1.1 200 OK\r\n" +
+        "Content-Type: application/xhtml+xml\r\n\r\n" +
+        "<?xml version=\"1.0\" encoding=\"windows-1252\"?>\n" +
+        "<!DOCTYPE html><html><body><p>Prologue caf") ++
+        Array(0xE9.toByte) ++
+        ascii(" declares its own encoding.</p></body></html>")),
+    // 30: XHTML served as text/xml whose charset lives in a META tag —
+    // the meta arm must fire for xml-routed types too, not just text/html
+    rec("response", "http://example.org/metaxml", date,
+      "application/http; msgtype=response",
+      ascii("HTTP/1.1 200 OK\r\nContent-Type: text/xml\r\n\r\n" +
+        "<!DOCTYPE html><html><head>" +
+        "<meta charset=\"windows-1252\"></head><body>M") ++
+        Array(0xE9.toByte) ++
+        ascii("ta charset inside an XML document.</body></html>")))
+
+  def main(args: Array[String]): Unit = {
+    val dir = new java.io.File(args.headOption.getOrElse(
+      "src/test/resources/fixtures/warc_gen14"))
+    dir.mkdirs()
+    val seg = new java.io.File(dir, "seg-00000.warc.gz")
+    val out = new java.io.FileOutputStream(seg)
+    records.foreach { r =>
+      val g = new java.util.zip.GZIPOutputStream(out)
+      g.write(r); g.finish()
+    }
+    out.close()
+    println(s"frozen: $seg (${seg.length()} bytes, ${records.length} members)")
+    // self-check: parse back through the real serving paths and print the
+    // exact rows the DuckDB literal oracles must carry
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val recs = graft.sources.WarcSource.readWarc(spark, seg.getAbsolutePath)
+    graft.sources.WarcSource.warcToDocuments(recs)
+      .orderBy("offset").collect()
+      .foreach(r => println(s"[doc] ${r.toSeq.mkString(" | ")}"))
+    graft.sources.WarcSource.readWarc(spark, seg.getAbsolutePath,
+        keepPayload = false)
+      .selectExpr("offset", "warcType", "contentType", "contentLength")
+      .orderBy("offset").collect()
+      .foreach(r => println(s"[census] ${r.toSeq.mkString(" | ")}"))
+    graft.operators.Multimodal.decodeMeta(
+        graft.sources.WarcSource.warcToMedia(recs),
+        graft.operators.ImageIODecoder)
+      .orderBy("media_id").collect()
+      .foreach(r => println(s"[media] ${r.toSeq.mkString(" | ")}"))
+    graft.sources.WarcSource.warcToRevisits(recs)
+      .orderBy("offset").collect()
+      .foreach(r => println(s"[revisit] ${r.toSeq.mkString(" | ")}"))
+    graft.sources.WarcSource.warcToDispositions(recs, minQuality = 0.35)
+      .orderBy("offset").collect()
+      .foreach(r => println(s"[disp] ${r.toSeq.mkString(" | ")}"))
+    spark.stop()
+  }
+}
+
+/**
  * Freezes the AUTO-REINDEX-era fixture (`index_gen12r`): a generation
  * installed by the round-12 model-staleness escalation — `maybeCompact`
  * detected rows-since-full-build past `graft.reindex.staleFraction` and ran

@@ -348,6 +348,17 @@ class WarcSourceSpec extends AnyFunSuite {
         s"""SELECT count(1) AS n, count(DISTINCT payload_digest) AS d
            |FROM graft_warc_revisits('$f13')""".stripMargin).head()
       assert(rv.getLong(0) == 3 && rv.getLong(1) == 1, rv.toString)
+      // disposition census from pure SQL, quality threshold as a literal
+      val f14 = new java.io.File(
+        "src/test/resources/fixtures/warc_gen14/seg-00000.warc.gz")
+        .getAbsolutePath
+      val dc = s2.sql(
+        s"""SELECT disposition, count(1) AS n
+           |FROM graft_warc_dispositions('$f14', 0.35)
+           |WHERE disposition IN ('below_quality', 'document')
+           |GROUP BY 1 ORDER BY 1""".stripMargin)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      assert(dc == Seq("below_quality" -> 1L, "document" -> 18L), dc.toString)
       // non-literal glob fails loud
       val e = intercept[Exception](
         s2.sql("SELECT * FROM graft_warc(concat('a', 'b'))").collect())
@@ -545,6 +556,102 @@ class WarcSourceSpec extends AnyFunSuite {
     assert(dec("x".getBytes(UTF_8), "gzip, chunked", "") == null)
     assert(new String(dec("x".getBytes(UTF_8), "identity", "Identity"),
       UTF_8) == "x")
+  }
+
+  test("http_body_decode: zstd coding decodes via the classpath zstd-jni") {
+    import graft.functions.HttpBodyKernels.decodeBody
+    def dec(body: Array[Byte], te: String, ce: String) =
+      decodeBody(body, org.apache.spark.unsafe.types.UTF8String.fromString(te),
+        org.apache.spark.unsafe.types.UTF8String.fromString(ce))
+    val src = "zstd payload body works".getBytes(UTF_8)
+    val comp = com.github.luben.zstd.Zstd.compress(src, 3)
+    assert(new String(dec(comp, "", "zstd"), UTF_8) ==
+      "zstd payload body works")
+    // malformed zstd bytes drop (null), never throw
+    assert(dec("not a zstd frame".getBytes(UTF_8), "", "zstd") == null)
+    // chunked + zstd compose like chunked + gzip
+    val chunkedZstd =
+      (f"${comp.length}%x\r\n".getBytes(UTF_8) ++ comp ++
+        "\r\n0\r\n\r\n".getBytes(UTF_8))
+    assert(new String(dec(chunkedZstd, "chunked", "zstd"), UTF_8) ==
+      "zstd payload body works")
+  }
+
+  test("charset_decode strips a leading BOM (it is a signature, not content)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def d(bytes: Array[Byte], cs: String): String =
+      graft.functions.CharsetDecodeKernel
+        .decode(bytes, UTF8String.fromString(cs)).toString
+    val utf8Bom = Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte)
+    assert(d(utf8Bom ++ "hi".getBytes(UTF_8), "utf-8") == "hi")
+    val le = Array(0xFF.toByte, 0xFE.toByte) ++
+      "déjà".getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+    assert(d(le, "UTF-16LE") == "déjà")
+    val be = Array(0xFE.toByte, 0xFF.toByte) ++
+      "ok".getBytes(java.nio.charset.StandardCharsets.UTF_16BE)
+    assert(d(be, "UTF-16BE") == "ok")
+    // no BOM → nothing stripped; junk labels still fall back (and the
+    // negative cache keeps repeated junk cheap — same answer every time)
+    assert(d("plain".getBytes(UTF_8), "utf-8") == "plain")
+    (0 until 3).foreach(_ =>
+      assert(d("x".getBytes(UTF_8), "utf8mb4-nonsense") == "x"))
+  }
+
+  test("warc_gen14 fixture replays: silent-loss corpus pinned") {
+    val fixture = new java.io.File(
+      "src/test/resources/fixtures/warc_gen14/seg-00000.warc.gz").getAbsolutePath
+    val recs = WarcSource.readWarc(spark, fixture)
+    assert(recs.count() == 31)
+    val docs = WarcSource.warcToDocuments(recs)
+      .select("offset", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(docs.keySet == Set(1L, 2L, 3L, 8L, 9L, 10L, 12L, 15L, 16L, 18L,
+      19L, 20L, 21L, 22L, 23L, 24L, 27L, 29L, 30L),
+      s"gen14 doc routing drifted: ${docs.keySet}")
+    assert(docs(19L) == "XHTML page works.",
+      "enveloped application/xhtml+xml must route to the text bridge")
+    assert(docs(20L) == "Served as XML.",
+      "XHTML served as text/xml must route via the body-head sniff")
+    assert(docs(21L) == "Untyped XHTML.",
+      "the untyped sniff must know the XML-prolog shape")
+    assert(docs(22L) == "Zstandard coding decodes fine.",
+      "Content-Encoding: zstd must decode, not drop")
+    assert(docs(23L) == "UTF-16 déjà vu.",
+      "a UTF-16LE BOM must drive the decode when the server is silent")
+    assert(docs(24L) == "Resource capture.",
+      "wget/heritrix resource records must route like responses")
+    assert(docs(29L) == "Prologue café declares its own encoding.",
+      "the XML prolog's encoding= must drive the decode of routed XHTML")
+    assert(docs(30L) == "Méta charset inside an XML document.",
+      "the meta-charset arm must fire for xml-routed types, not just html")
+    assert(WarcSource.warcToMedia(recs).count() == 3,
+      "raw, enveloped AND resource PNGs must all reach the media bridge")
+    // the disposition census mirrors the bridges exactly — including the
+    // feed NOT leaking into documents and the quality gate's view
+    val disp = WarcSource.warcToDispositions(recs, minQuality = 0.35)
+      .groupBy("disposition").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(disp == Map("document" -> 18L, "media" -> 3L, "revisit" -> 3L,
+      "non_document_type" -> 1L, "non_text_type" -> 3L,
+      "unsupported_coding" -> 1L, "malformed_envelope" -> 1L,
+      "below_quality" -> 1L), s"dispositions drifted: $disp")
+  }
+
+  test("bridges stay mutually exclusive: html-ish svg+xml is media, not text") {
+    import spark.implicits._
+    // a misconfigured server serving an HTML error page under a media
+    // +xml type: exactly one bridge may claim it (double-landing a record
+    // in documents AND media would double-count it corpus-wide)
+    val svg = WarcSource.WarcRecord("f.warc.gz", 0L, "response",
+      "http://x.test/fake.svg", "2026-01-01T00:00:00Z", "image/svg+xml",
+      34L, Map.empty,
+      "<html><body>error page</body></html>".getBytes(UTF_8))
+    val df = Seq(svg).toDF()
+    assert(WarcSource.warcToMedia(df).count() == 1)
+    assert(WarcSource.warcToDocuments(df).count() == 0,
+      "a media-typed record must never also land in documents")
+    assert(WarcSource.warcToDispositions(df)
+      .select("disposition").head().getString(0) == "media")
   }
 
   test("warc_gen13 fixture replays: envelope corpus pinned") {
