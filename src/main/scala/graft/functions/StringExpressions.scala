@@ -279,6 +279,202 @@ case class HttpBodyDecode(first: Expression, second: Expression,
 }
 
 /**
+ * Runtime kernel for [[HtmlToText]] — the single-pass twin of
+ * [[graft.sources.WarcSource.htmlText]]'s chained-`regexp_replace`
+ * pipeline. The regex chain is the SPECIFICATION (kept, and spec-pinned
+ * equal); this kernel exists because the chain costs ~22 full
+ * regex-engine passes (each a scan + copy) per document on the ingest
+ * hot path — the kernel does the same work in two linear char scans with
+ * zero regex machinery. Equivalence is exact BY CONSTRUCTION, pass for
+ * pass:
+ *
+ *  - scan 1 = `regexp_replace("(?is)<(script|style)[^>]*>.*?</\1>|<!--.*?-->", " ")`:
+ *    left-to-right, a script/style open tag (`<script` + any non-`>` run +
+ *    `>`, case-insensitive, no word boundary — `<scriptfoo>` opens a block,
+ *    exactly like the regex) whose matching `</script>`/`</style>` exists
+ *    becomes ONE space (lazy close = first occurrence); a closed comment
+ *    becomes one space; anything else — including an UNCLOSED open tag or
+ *    comment — copies through one char and rescans (so blocks INSIDE an
+ *    unclosed comment are still removed, which is why this cannot fuse
+ *    with scan 2: the regex chain removes them in its own full pass first);
+ *  - scan 2 = tag strip + entity decode + whitespace collapse, interleaved
+ *    (safe: a stripped tag emits a space, which can neither create nor
+ *    break an entity match; entity outputs are never rescanned, matching
+ *    the chain's amp-LAST ordering where `&amp;lt;` yields literal
+ *    "&lt;"): `<` + any non-`>` run + `>` → one space ( `<` with no later
+ *    `>` stays literal); `&name;` per the 17-entry table (case-sensitive)
+ *    + `&amp;`; numeric refs by VALUE for table characters and `&#38;`/
+ *    `&#x26;` (leading zeros unbounded, like the `0*` patterns), else
+ *    stripped to a space only within the chain's digit-count caps (≤7
+ *    decimal / ≤6 hex digits COUNTING zeros), else literal; ASCII
+ *    whitespace runs collapse to one space with leading/trailing trimmed.
+ */
+object HtmlTextKernel {
+  // value → replacement for every character the chain's entity table
+  // decodes (named, decimal and hex forms all share the codepoint)
+  private val entityByValue: java.util.HashMap[Long, String] = {
+    val m = new java.util.HashMap[Long, String]()
+    m.put(160L, " "); m.put(60L, "<"); m.put(62L, ">"); m.put(34L, "\"")
+    m.put(39L, "'"); m.put(8211L, "–"); m.put(8212L, "—")
+    m.put(8216L, "‘"); m.put(8217L, "’"); m.put(8220L, "“")
+    m.put(8221L, "”"); m.put(8230L, "…"); m.put(183L, "·")
+    m.put(169L, "©"); m.put(174L, "®"); m.put(8482L, "™"); m.put(233L, "é")
+    m
+  }
+  private val namedEntities: Array[(String, String)] = Array(
+    "nbsp;" -> " ", "lt;" -> "<", "gt;" -> ">", "quot;" -> "\"",
+    "apos;" -> "'", "ndash;" -> "–", "mdash;" -> "—", "lsquo;" -> "‘",
+    "rsquo;" -> "’", "ldquo;" -> "“", "rdquo;" -> "”", "hellip;" -> "…",
+    "middot;" -> "·", "copy;" -> "©", "reg;" -> "®", "trade;" -> "™",
+    "eacute;" -> "é", "amp;" -> "&")
+
+  /** Scan 1: script/style blocks and closed comments → one space each. */
+  private def stripBlocks(s: String): String = {
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      var advanced = false
+      if (c == '<') {
+        val name =
+          if (s.regionMatches(true, i + 1, "script", 0, 6)) "script"
+          else if (s.regionMatches(true, i + 1, "style", 0, 5)) "style"
+          else null
+        if (name != null) {
+          // the open tag: any non-'>' run then '>'
+          var j = i + 1 + name.length
+          while (j < n && s.charAt(j) != '>') j += 1
+          if (j < n) {
+            // lazy close: the first exact `</name>` (case-insensitive)
+            val close = "</" + name + ">"
+            var e = j + 1
+            var found = -1
+            while (found < 0 && e + close.length <= n) {
+              if (s.regionMatches(true, e, close, 0, close.length)) found = e
+              else e += 1
+            }
+            if (found >= 0) {
+              sb.append(' ')
+              i = found + close.length
+              advanced = true
+            }
+          }
+        } else if (s.startsWith("<!--", i)) {
+          val e = s.indexOf("-->", i + 4)
+          if (e >= 0) { sb.append(' '); i = e + 3; advanced = true }
+        }
+      }
+      if (!advanced) { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  def extract(in: UTF8String): UTF8String = {
+    val s = stripBlocks(in.toString)
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var pendingSpace = false
+    def emit(c: Char): Unit =
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
+          c == '\r') pendingSpace = true
+      else {
+        if (pendingSpace && sb.length > 0) sb.append(' ')
+        pendingSpace = false
+        sb.append(c)
+      }
+    def emitStr(str: String): Unit = {
+      var k = 0
+      while (k < str.length) { emit(str.charAt(k)); k += 1 }
+    }
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        val j = s.indexOf('>', i + 1)
+        if (j >= 0) { emit(' '); i = j + 1 }
+        else { emit('<'); i += 1 } // no '>' to EOF: the regex leaves it
+      } else if (c == '&') {
+        var matched = false
+        if (i + 1 < n && s.charAt(i + 1) == '#') {
+          // numeric reference: optional x/X, digit run, ';'
+          var j = i + 2
+          val hex = j < n && (s.charAt(j) == 'x' || s.charAt(j) == 'X')
+          if (hex) j += 1
+          val digitsStart = j
+          var value = 0L
+          var saturated = false
+          while (j < n && {
+            val d = s.charAt(j)
+            if (hex) (d >= '0' && d <= '9') || (d >= 'a' && d <= 'f') ||
+              (d >= 'A' && d <= 'F')
+            else d >= '0' && d <= '9'
+          }) {
+            if (!saturated) {
+              value = value * (if (hex) 16 else 10) + Character.digit(s.charAt(j), 16)
+              if (value > 0x7FFFFFFFL) saturated = true // only compared vs small table values
+            }
+            j += 1
+          }
+          val nDigits = j - digitsStart
+          if (nDigits > 0 && j < n && s.charAt(j) == ';') {
+            if (!saturated && value == 38L) { emit('&'); i = j + 1; matched = true }
+            else {
+              val repl = if (saturated) null else entityByValue.get(value)
+              if (repl != null) { emitStr(repl); i = j + 1; matched = true }
+              else if ((!hex && nDigits <= 7) || (hex && nDigits <= 6)) {
+                emit(' '); i = j + 1; matched = true
+              } // else: over the chain's digit caps — stays literal
+            }
+          }
+        } else {
+          var k = 0
+          while (!matched && k < namedEntities.length) {
+            val (pat, repl) = namedEntities(k)
+            if (s.startsWith(pat, i + 1)) {
+              emitStr(repl); i = i + 1 + pat.length; matched = true
+            }
+            k += 1
+          }
+        }
+        if (!matched) { emit('&'); i += 1 }
+      } else { emit(c); i += 1 }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/**
+ * `html_to_text(html STRING) → STRING` — single-pass HTML → text
+ * extraction, value-identical to [[graft.sources.WarcSource.htmlText]]'s
+ * regex chain (the chain is the specification; [[HtmlTextKernel]] explains
+ * the pass-for-pass equivalence, and the spec fuzzes them against each
+ * other). Null in → null out.
+ */
+case class HtmlToText(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with Serializable {
+  override def prettyName: String = "html_to_text"
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(v: Any): Any =
+    HtmlTextKernel.extract(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HtmlTextKernel.extract($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/**
  * `charset_decode(payload BINARY, charset STRING) → STRING` — decode bytes
  * per a server-declared charset label with U+FFFD replacement, UTF-8
  * fallback on unknown labels (see [[CharsetDecodeKernel]] for the exact

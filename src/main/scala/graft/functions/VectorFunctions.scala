@@ -35,6 +35,12 @@ object VectorFunctions {
     // identity flagged nondeterministic: pins filters above projections
     // (see OptimizerBarrier — pushdown's per-reference tree substitution)
     "graft_barrier" -> (es => OptimizerBarrier(es(0))),
+    // single-pass HTML → text extraction, value-identical to the
+    // WarcSource.htmlText regex chain (which stays as the specification)
+    "html_to_text" -> (es => HtmlToText(es(0))),
+    // single-pass quality score, bit-identical to the Column formula
+    // (TextAnalysis.qualityScore stays as the specification)
+    "quality_score" -> (es => graft.operators.QualityScore(es(0))),
     // pgvector SQL-function aliases, so the reference's function-call
     // spellings run verbatim: vector_dims/vector_norm/l2_normalize/
     // subvector (all 1-based, like pgvector) map onto the same expressions

@@ -110,10 +110,21 @@ object TextAnalysis {
       (when(avgTokenLen >= 3 && avgTokenLen <= 10, 1.0).otherwise(0.0) * 0.2) +
       ((lit(1.0) - least(digitRatio * 5.0, lit(1.0))) * 0.1)
 
+  /** [[qualityScore]]'s single-pass native twin — one char scan instead of
+    * a tokenize + four regex strips + a stopword filter (the gate runs per
+    * document on the crawl-ingest hot path). Value-identical BY
+    * CONSTRUCTION ([[QualityScoreKernel]] replicates count-for-count and
+    * in the same double-arithmetic order; the spec fuzzes the two).
+    * Requires [[register]] (or `VectorFunctions.register`) on the session —
+    * use [[qualityScore]] where registration isn't guaranteed. */
+  def qualityScoreFast(text: Column): Column =
+    call_function("quality_score", text)
+
   /** [[quality]]'s score as ONE stateless column expression — for pipelines
     * that must keep their other columns (e.g. the streaming curation gate,
     * where a select-only transform would drop ts/text). Identical formula
-    * via [[combineQuality]]. */
+    * via [[combineQuality]]. Also the SPECIFICATION of
+    * [[qualityScoreFast]]'s native kernel. */
   def qualityScore(text: Column): Column = {
     val toks = tokens(text)
     val nTok = size(toks).cast(DoubleType)
@@ -769,6 +780,7 @@ object TextAnalysis {
   }
 
   private val builders: Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    "quality_score" -> (es => QualityScore(es.head)),
     "doc_fingerprint" -> (es => DocFingerprint(es.head)),
     "doc_fingerprint_md5" -> (es => DocFingerprintMd5(es.head)),
     "simhash64" -> (es => SimHash64(es.head)),
@@ -1246,4 +1258,95 @@ object SimHashMd5 {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
+}
+
+/**
+ * Runtime kernel for [[QualityScore]]: [[TextAnalysis.qualityScore]]'s
+ * whole formula in ONE codepoint scan — the Column form costs a tokenize
+ * (split + higher-order filter) plus four full regex strips plus a
+ * stopword array filter per document, all on the ingest hot path.
+ * Count-for-count equivalence with the Column form:
+ *
+ *  - `nChar` = Spark `length` = Unicode CODEPOINTS (not UTF-16 units);
+ *  - `strip` = codepoints that are not ASCII whitespace (`\s` = space, \t,
+ *    \n, \x0B, \f, \r — Java regex `\s` is ASCII-only);
+ *  - `alpha` / `digit` = [A-Za-z] / [0-9] codepoints;
+ *  - tokens = maximal runs of non-ASCII-whitespace (what
+ *    `filter(split(trim(text), "\\s+"), length > 0)` produces);
+ *  - `stop` = tokens exactly equal (case-sensitive) to the "en" stopword
+ *    profile;
+ *  - the combine runs in [[TextAnalysis.combineQuality]]'s exact
+ *    double-arithmetic order, so scores are BIT-identical.
+ */
+object QualityScoreKernel {
+  private val stopEn: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    TextAnalysis.stopwords("en").foreach(s.add)
+    s
+  }
+
+  def score(in: UTF8String): Double = {
+    val s = in.toString
+    val len = s.length
+    var nChar = 0L; var strip = 0L; var alpha = 0L; var digit = 0L
+    var nTok = 0L; var stop = 0L
+    var tokenStart = -1
+    var i = 0
+    while (i < len) {
+      val cp = s.codePointAt(i)
+      val cw = Character.charCount(cp)
+      nChar += 1
+      val ws = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+        cp == '\f' || cp == '\r'
+      if (!ws) strip += 1
+      if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')) alpha += 1
+      if (cp >= '0' && cp <= '9') digit += 1
+      if (!ws && tokenStart < 0) tokenStart = i
+      if (ws && tokenStart >= 0) {
+        nTok += 1
+        if (stopEn.contains(s.substring(tokenStart, i))) stop += 1
+        tokenStart = -1
+      }
+      i += cw
+    }
+    if (tokenStart >= 0) {
+      nTok += 1
+      if (stopEn.contains(s.substring(tokenStart, len))) stop += 1
+    }
+    val alphaRatio = if (nChar > 0) alpha.toDouble / nChar.toDouble else 0.0
+    val stopRatio = if (nTok > 0) stop.toDouble / nTok.toDouble else 0.0
+    val avgTokenLen = if (nTok > 0) strip.toDouble / nTok.toDouble else 0.0
+    val digitRatio = if (nChar > 0) digit.toDouble / nChar.toDouble else 0.0
+    // combineQuality's exact shape and association order
+    alphaRatio * 0.4 +
+      math.min(stopRatio * 5.0, 1.0) * 0.3 +
+      (if (avgTokenLen >= 3 && avgTokenLen <= 10) 1.0 else 0.0) * 0.2 +
+      (1.0 - math.min(digitRatio * 5.0, 1.0)) * 0.1
+  }
+}
+
+/** `quality_score(text STRING) → DOUBLE` — see [[QualityScoreKernel]];
+  * bit-identical to [[TextAnalysis.qualityScore]] (spec-fuzzed). Null in →
+  * null out. */
+case class QualityScore(child: Expression) extends UnaryExpression
+    with Serializable {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  override def prettyName: String = "quality_score"
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(v: Any): Any =
+    QualityScoreKernel.score(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.operators.QualityScoreKernel.score($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }

@@ -300,7 +300,9 @@ object WarcQueries {
         |  (27, 'response', 'application/http; msgtype=response', 74),
         |  (28, 'response', 'application/http; msgtype=response', 127),
         |  (29, 'response', 'application/http; msgtype=response', 190),
-        |  (30, 'response', 'application/http; msgtype=response', 162)
+        |  (30, 'response', 'application/http; msgtype=response', 162),
+        |  (31, 'response', 'application/http; msgtype=response', 102),
+        |  (32, 'response', 'application/http; msgtype=response', 153)
         |) AS t("offset", warc_type, content_type, content_length)
         |ORDER BY "offset"""".stripMargin,
     "warc_media" ->
@@ -317,6 +319,7 @@ object WarcQueries {
         |  ('malformed_envelope', 1),
         |  ('media', 3),
         |  ('non_document_type', 1),
+        |  ('non_success_status', 2),
         |  ('non_text_type', 3),
         |  ('revisit', 3),
         |  ('unsupported_coding', 1)

@@ -321,6 +321,12 @@ object WarcSource {
    * (the trafilatura/jusText class of boilerplate REMOVAL is the
    * downstream [[graft.operators.TextAnalysis]] quality stack's job) but
    * deterministic, so extraction is replayable across engines.
+   *
+   * This regex chain is the SPECIFICATION of the extraction. The bridges
+   * run [[graft.functions.HtmlTextKernel]] (`html_to_text`), a
+   * value-identical single-pass native expression — the chain costs ~22
+   * regex-engine passes per document, the kernel two linear scans — and
+   * the spec fuzzes the two against each other.
    */
   def htmlText(html: Column): Column = {
     val noBlocks = regexp_replace(html,
@@ -538,6 +544,11 @@ object WarcSource {
       // header/body split inside the scan window — the body is empty by
       // construction, and the disposition census reports WHY
       .withColumn("envelope_malformed", isHttp && col("__bodyStart").isNull)
+      // the HTTP status (null for non-enveloped records): a 404's HTML
+      // body is an error page, not corpus text — the bridges gate on it
+      .withColumn("http_status", when(isHttp,
+        nullif(regexp_extract(hdrBlock,
+          "^HTTP/[0-9.]+[ \\t]+([0-9]{3})", 1), lit("")).cast("int")))
       .drop("__l1", "__bodyStart", "__hdr", "__httpCt")
   }
 
@@ -575,6 +586,14 @@ object WarcSource {
   }
   private def plainRouteCol: Column =
     docTypeCol && col("eff_type") === "text/plain"
+  /** Success gate: only 2xx payloads are page content — a 404's HTML body
+    * is an error page, a 30x's is a redirect stub; both pollute the corpus
+    * (and near-dup MASSIVELY: every "Not Found" page of one server is
+    * identical). Records with no HTTP envelope (raw, resource, WET) carry
+    * no status — they pass. */
+  private def statusOkCol: Column =
+    col("http_status").isNull ||
+      (col("http_status") >= 200 && col("http_status") < 300)
 
   def warcToMedia(records: DataFrame): DataFrame = {
     val base = regexp_extract(col("file"), "([^/]+)$", 1)
@@ -583,7 +602,8 @@ object WarcSource {
       // body null = unsupported/malformed HTTP body coding — dropped.
       // `resource` records (wget/heritrix direct captures) carry the
       // payload raw; routing passes them through, so they qualify too.
-      .filter(docTypeCol && modality.isNotNull && col("body").isNotNull)
+      .filter(docTypeCol && statusOkCol && modality.isNotNull &&
+        col("body").isNotNull)
       .select(
         xxhash64(base, col("offset")).as("media_id"),
         modality.as("modality"),
@@ -631,7 +651,7 @@ object WarcSource {
     val decodedBody =
       call_function("charset_decode", col("body"), col("eff_charset"))
     withHttpRouting(records)
-      .filter(isWet || isHtml || isPlain)
+      .filter((isWet || isHtml || isPlain) && statusOkCol)
       .select(col("targetUri").as("url"), col("date").as("fetch_date"),
         // the text column is a graft_barrier fence like `body` above: the
         // emptiness filter below references it, and pushdown would
@@ -640,7 +660,7 @@ object WarcSource {
         call_function("graft_barrier",
           when(isWet,
             trim(regexp_replace(col("payload").cast("string"), "\\s+", " ")))
-            .when(isHtml, WarcSource.htmlText(decodedBody))
+            .when(isHtml, call_function("html_to_text", decodedBody))
             .otherwise(trim(regexp_replace(decodedBody, "\\s+", " "))))
           .as("text"),
         col("file"), col("offset"))
@@ -705,18 +725,19 @@ object WarcSource {
       .withColumn("text", call_function("graft_barrier",
         when(wetCol,
           trim(regexp_replace(col("payload").cast("string"), "\\s+", " ")))
-          .when(htmlRouteCol, htmlText(decodedBody))
+          .when(htmlRouteCol, call_function("html_to_text", decodedBody))
           .when(plainRouteCol, trim(regexp_replace(decodedBody, "\\s+", " ")))))
       .withColumn("disposition", {
         val routed = when(col("warcType") === "revisit", "revisit")
           .when(!(docTypeCol || wetCol), "non_document_type")
           .when(col("envelope_malformed"), "malformed_envelope")
+          .when(!statusOkCol, "non_success_status")
           .when(col("body").isNull, "unsupported_coding")
           .when(modalityCol.isNotNull, "media")
           .when(col("text").isNull, "non_text_type")
           .when(length(col("text")) === 0, "empty_text")
         (if (minQuality > 0.0)
-          routed.when(graft.operators.TextAnalysis.qualityScore(col("text"))
+          routed.when(graft.operators.TextAnalysis.qualityScoreFast(col("text"))
             < lit(minQuality), "below_quality")
          else routed).otherwise("document")
       })

@@ -244,7 +244,7 @@ object CrawlIngest {
     // bytes and buys the quality-drop counter without a second parse.
     val parsed = withDocIds(WarcSource.warcToDocuments(
         WarcSource.readWarc(spark, pathSpec)))
-      .withColumn("__q", TextAnalysis.qualityScore(col("text")))
+      .withColumn("__q", TextAnalysis.qualityScoreFast(col("text")))
       .localCheckpoint()
     val gated = parsed.filter(col("__q") >= minQuality).drop("__q")
     // one bounded aggregation over the pinned rows: extraction + gate counts

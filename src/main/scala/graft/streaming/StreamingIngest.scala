@@ -1075,7 +1075,7 @@ object StreamingIngest {
     graft.operators.TextAnalysis.register(stream.sparkSession)
     val q = stream
       .withColumn("quality_score",
-        graft.operators.TextAnalysis.qualityScore(col(textCol)))
+        graft.operators.TextAnalysis.qualityScoreFast(col(textCol)))
       .filter(col("quality_score") >= minQuality)
     val gated = bloom match {
       case Some(g) =>

@@ -880,7 +880,21 @@ object FreezeWarcFixture14 {
         "<!DOCTYPE html><html><head>" +
         "<meta charset=\"windows-1252\"></head><body>M") ++
         Array(0xE9.toByte) ++
-        ascii("ta charset inside an XML document.</body></html>")))
+        ascii("ta charset inside an XML document.</body></html>")),
+    // 31: a 404 whose HTML body is an ERROR PAGE — not corpus text (and a
+    // mass near-dup generator: every Not Found page of a server is
+    // identical); the status gate must drop it
+    rec("response", "http://example.org/missing", date,
+      "application/http; msgtype=response",
+      ascii("HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\n" +
+        "<html><body>Not found on this server.</body></html>")),
+    // 32: a 301 redirect stub body — same reasoning
+    rec("response", "http://example.org/moved", date,
+      "application/http; msgtype=response",
+      ascii("HTTP/1.1 301 Moved Permanently\r\n" +
+        "Location: http://example.org/alpha\r\n" +
+        "Content-Type: text/html\r\n\r\n" +
+        "<html><body>Moved <a href=\"/alpha\">here</a>.</body></html>")))
 
   def main(args: Array[String]): Unit = {
     val dir = new java.io.File(args.headOption.getOrElse(

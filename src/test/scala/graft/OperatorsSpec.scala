@@ -656,6 +656,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pair.get.getAs[Double]("containment") == 1.0)
   }
 
+  test("quality_score kernel is bit-identical to the Column specification") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, call_function}
+    graft.operators.TextAnalysis.register(spark)
+    val edge = Seq(
+      "", " ", "\t\n", "the quick brown fox", "THE A OF", "the",
+      "a b c d e f g h", "12345 67890", "word, word; word!",
+      "  leading", "trailing  ", "tab\tsep\ttokens", "Tokyo 東京 note",
+      "déjà vu naïve résumé", "a" * 50, ("word " * 30).trim,
+      "the the the the the", "mixed 123abc tokens 456def",
+      " vertical \f formfeed \r cr", "𝄞 supplementary 𝄞 chars",
+      "one", "is is is is is is is is is is")
+    val rnd = new scala.util.Random(11)
+    val vocab = Array("the", "a", "of", "and", "to", "in", "is", "word",
+      "123", "x", "longertoken", "东京", "é", ",", ".", " ", "\t", "\n",
+      "UPPER", "MiXeD", "0", "supercalifragilistic")
+    val fuzz = (0 until 500).map(_ =>
+      (0 until rnd.nextInt(40)).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(rnd.nextInt(3) match {
+          case 0 => " "
+          case 1 => "  "
+          case _ => "\t"
+        }))
+    val diff = (edge ++ fuzz).toDF("t")
+      .select(col("t"),
+        graft.operators.TextAnalysis.qualityScore(col("t")).as("ref"),
+        call_function("quality_score", col("t")).as("fast"))
+      .filter(!(col("ref") <=> col("fast")))
+      .collect()
+    assert(diff.isEmpty, diff.take(5).map(r =>
+      s"t=<${r.getString(0)}> ref=${r.getDouble(1)} fast=${r.getDouble(2)}")
+      .mkString("\n"))
+    assert(Seq[Option[String]](None).toDF("t")
+      .select(call_function("quality_score", col("t"))).head().isNullAt(0))
+  }
+
   test("qualityClassifier: clean prose outscores digit soup; keep follows threshold") {
     val prose = "the quick brown fox is a friend of the lazy dog and " * 8
     val digits = "12345 67890 11111 22222 33333 44444 55555 66666 " * 8

@@ -558,6 +558,65 @@ class WarcSourceSpec extends AnyFunSuite {
       UTF_8) == "x")
   }
 
+  test("html_to_text: single-pass kernel is value-identical to the regex chain") {
+    import spark.implicits._
+    // handcrafted edges, each pinning one regex-chain behavior the kernel
+    // must replicate exactly
+    val edge = Seq(
+      "", "plain text", "a  b\t\nc",
+      "<html><body>x</body></html>",
+      "<script>var a=1;</script>after",
+      "<SCRIPT foo>x</sCrIpT>y", // case-insensitive open AND close
+      "<scriptfoo>hidden</script>visible", // no word boundary: opens a block
+      "<script>unclosed", // tag stripped by pass 2, the JS TEXT remains
+      "<style>p{}</style>z",
+      "<!-- comment -->x",
+      "<!-- unclosed <script>y</script> tail", // interior block still removed
+      "<!-- unclosed > tail", // generic tag rule eats to the first '>'
+      "a<b-unclosed tail", // '<' with no '>' stays literal
+      "&amp;lt; &lt; &gt; &quot; &apos; &nbsp;x",
+      "&amp;amp; &AMP; &times; &unknown;", // case-sensitive; unknown stays
+      "&#160;&#00160;&#x2019;&#X2013;&#038;&#x26;&#0038;",
+      "&#00000160;done", // unbounded leading zeros on TABLE values
+      "&#00000001;", // 8 decimal digits: over the strip cap, stays literal
+      "&#1234567;", // 7 digits: stripped to a space
+      "&#12345678;", // 8 digits: literal
+      "&#x10FFF;", // 5 hex digits: stripped
+      "&#x1234567;", // 7 hex digits: literal
+      "&#;", "&#x;", "&#xGG;", "&", "&&amp;lt;", "&#38 x",
+      "<p>Caf&eacute;</p>", "t &hellip;&middot;&copy;&reg;&trade;",
+      "&ndash;&mdash;&lsquo;&rsquo;&ldquo;&rdquo;",
+      "<b><script>x</script></b>", "<script>a <!-- b --> c</script>d",
+      "<!-- <script> -->x</script>", "<script <!-- >y",
+      "<script/>self-closing", "</script>stray close",
+      "a\u00A0b", // RAW U+00A0 is not ASCII whitespace: preserved
+      "<div title=\"a > b\">x</div>", // regex strips to the FIRST '>'
+      "  leading and trailing  ", "\f\r vertical ws ")
+    // seeded fuzz over html-ish building blocks — the composition space
+    // where hand reasoning runs out
+    val rnd = new scala.util.Random(7)
+    val pieces = Array("<p>", "</p>", "<script>", "</script>", "<style>",
+      "</style>", "<!--", "-->", "&amp;", "&lt;", "&#160;", "&#x2019;",
+      "&#038;", "&eacute;", "&bogus;", "&#99999999;", "&#xA0;", "text",
+      " ", "\n", "<", ">", "&", ";", "<b foo=1>", "word", "x<y", "5>3",
+      "<scriptfoo>", "</ script>", "<!-- x", "\t", "é", "東京", "&#", "#x26;")
+    val fuzz = (0 until 800).map(_ =>
+      (0 until (1 + rnd.nextInt(20)))
+        .map(_ => pieces(rnd.nextInt(pieces.length))).mkString)
+    graft.functions.VectorFunctions.register(spark)
+    val diff = (edge ++ fuzz).toDF("h")
+      .select(col("h"), WarcSource.htmlText(col("h")).as("ref"),
+        call_function("html_to_text", col("h")).as("fast"))
+      .filter(!(col("ref") <=> col("fast")))
+      .collect()
+    assert(diff.isEmpty, diff.take(5).map(r =>
+      s"input=<${r.getString(0)}> ref=<${r.getString(1)}> " +
+        s"fast=<${r.getString(2)}>").mkString("\n"))
+    // null passthrough
+    assert(Seq[Option[String]](None).toDF("h")
+      .select(call_function("html_to_text", col("h"))).head().isNullAt(0))
+  }
+
   test("http_body_decode: zstd coding decodes via the classpath zstd-jni") {
     import graft.functions.HttpBodyKernels.decodeBody
     def dec(body: Array[Byte], te: String, ce: String) =
@@ -601,7 +660,7 @@ class WarcSourceSpec extends AnyFunSuite {
     val fixture = new java.io.File(
       "src/test/resources/fixtures/warc_gen14/seg-00000.warc.gz").getAbsolutePath
     val recs = WarcSource.readWarc(spark, fixture)
-    assert(recs.count() == 31)
+    assert(recs.count() == 33)
     val docs = WarcSource.warcToDocuments(recs)
       .select("offset", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -634,7 +693,11 @@ class WarcSourceSpec extends AnyFunSuite {
     assert(disp == Map("document" -> 18L, "media" -> 3L, "revisit" -> 3L,
       "non_document_type" -> 1L, "non_text_type" -> 3L,
       "unsupported_coding" -> 1L, "malformed_envelope" -> 1L,
+      "non_success_status" -> 2L,
       "below_quality" -> 1L), s"dispositions drifted: $disp")
+    // the status gate: 404/301 bodies are error/redirect stubs, not text
+    assert(!docs.contains(31L) && !docs.contains(32L),
+      "non-2xx response bodies must never land in the documents table")
   }
 
   test("bridges stay mutually exclusive: html-ish svg+xml is media, not text") {
