@@ -53,15 +53,20 @@ object TextAnalysis {
    * each row exponentially many times. Pass a *materialized* token column
    * (two-phase select) to keep tokenization to once per row.
    */
-  def langIdFromTokens(toks: Column): Column = {
-    val h = Seq("en", "es", "de", "fr", "zh").map(l => stopwordHits(toks, stopwords(l)))
+  def langIdFromTokens(toks: Column): Column =
+    langIdFromCounts(
+      Seq("en", "es", "de", "fr", "zh").map(l => stopwordHits(toks, stopwords(l))))
+
+  /** The argmax CASE over per-language hit counts — shared by
+    * [[langIdFromTokens]] (counts from token-array filters) and [[quality]]
+    * (counts from the [[TextStatsKernel]] scan), so the two cannot drift. */
+  private[graft] def langIdFromCounts(h: Seq[Column]): Column =
     when(h(4) > greatest(lit(0), h(0), h(1), h(2), h(3)), lit("zh"))
       .when(h(3) > greatest(lit(0), h(0), h(1), h(2)), lit("fr"))
       .when(h(2) > greatest(lit(0), h(0), h(1)), lit("de"))
       .when(h(1) > greatest(lit(0), h(0)), lit("es"))
       .when(h(0) > lit(0), lit("en"))
       .otherwise(lit("und"))
-  }
 
   def langId(text: Column): Column = langIdFromTokens(tokens(text))
 
@@ -74,6 +79,46 @@ object TextAnalysis {
    * pipelines get lang + quality in ONE tokenization pass.
    */
   def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    register(df.sparkSession)
+    val text = col(textCol)
+    // ONE kernel scan per row ([[TextStatsKernel]]) replaces the tokenize +
+    // five regex strips + six interpreted stopword array filters the staged
+    // Column form paid — same counts by construction ([[qualitySpec]] is
+    // the kept specification; the spec fuzzes full output rows). The
+    // struct alias is non-cheap and multi-referenced, so CollapseProject
+    // leaves it materialized — the kernel runs once per row, and the field
+    // reads below are plain struct gets.
+    val raw = df.select(col(idCol), text,
+      call_function("text_stats", text).as("__st"))
+    val h = (0 until 5).map(i => col("__st").getField("stops").getItem(i))
+    val parts = raw.select(col(idCol),
+      langIdFromCounts(h).as("lang"),
+      col("__st").getField("n_tok").cast(DoubleType).as("__n_tok"),
+      col("__st").getField("n_char").cast(DoubleType).as("__n_char"),
+      col("__st").getField("strip").cast(DoubleType).as("__strip"),
+      col("__st").getField("alpha").cast(DoubleType).as("__alpha"),
+      col("__st").getField("digit").cast(DoubleType).as("__digit"),
+      col("__st").getField("punct").cast(DoubleType).as("__punct"),
+      col("__st").getField("stops").getItem(0).cast(DoubleType).as("__stop"))
+    val nTok = col("__n_tok"); val nChar = col("__n_char")
+    val ratios = parts.select(col(idCol),
+      col("lang"),
+      nTok.cast("long").as("n_tokens"),
+      when(nTok > 0, col("__strip") / nTok).otherwise(0.0).as("avg_token_len"),
+      when(nChar > 0, col("__alpha") / nChar).otherwise(0.0).as("alpha_ratio"),
+      when(nChar > 0, col("__digit") / nChar).otherwise(0.0).as("digit_ratio"),
+      when(nChar > 0, col("__punct") / nChar).otherwise(0.0).as("punct_ratio"),
+      when(nTok > 0, col("__stop") / nTok).otherwise(0.0).as("stopword_ratio"))
+    ratios.withColumn("quality_score",
+      combineQuality(col("alpha_ratio"), col("stopword_ratio"),
+        col("avg_token_len"), col("digit_ratio")))
+  }
+
+  /** [[quality]]'s original staged-Column implementation, kept as the
+    * SPECIFICATION of the [[TextStatsKernel]]-backed form (the spec
+    * fuzzes full output rows of the two against each other). */
+  private[graft] def qualitySpec(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val text = col(textCol)
     val raw = df.select(col(idCol), text,
       tokens(text).as("__toks"))
@@ -781,6 +826,7 @@ object TextAnalysis {
 
   private val builders: Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
     "quality_score" -> (es => QualityScore(es.head)),
+    "text_stats" -> (es => TextStats(es.head)),
     "doc_fingerprint" -> (es => DocFingerprint(es.head)),
     "doc_fingerprint_md5" -> (es => DocFingerprintMd5(es.head)),
     "simhash64" -> (es => SimHash64(es.head)),
@@ -1349,4 +1395,100 @@ case class QualityScore(child: Expression) extends UnaryExpression
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+/**
+ * Runtime kernel for [[TextStats]]: every count [[TextAnalysis.quality]]
+ * derives its ratios/lang from, in ONE codepoint scan — the staged Column
+ * form paid a tokenize (split + interpreted higher-order filter), five
+ * full regex strips, and SIX more interpreted stopword array filters (one
+ * per language profile + the en ratio) per document. Count semantics match
+ * the Column form exactly (see [[QualityScoreKernel]] for the
+ * codepoint/ASCII-whitespace/token rules; `punct` counts the [.,;:!?]
+ * class; `stops` holds exact-match token hits per profile in en, es, de,
+ * fr, zh order).
+ */
+object TextStatsKernel {
+  private val langs = Array("en", "es", "de", "fr", "zh")
+  private val profiles: Array[java.util.HashSet[String]] = langs.map { l =>
+    val s = new java.util.HashSet[String]()
+    TextAnalysis.stopwords(l).foreach(s.add)
+    s
+  }
+
+  def stats(in: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = in.toString
+    val len = s.length
+    var nChar = 0L; var strip = 0L; var alpha = 0L; var digit = 0L
+    var punct = 0L; var nTok = 0L
+    val stops = new Array[Long](profiles.length)
+    var tokenStart = -1
+    def closeToken(end: Int): Unit = {
+      nTok += 1
+      val t = s.substring(tokenStart, end)
+      var p = 0
+      while (p < profiles.length) {
+        if (profiles(p).contains(t)) stops(p) += 1
+        p += 1
+      }
+      tokenStart = -1
+    }
+    var i = 0
+    while (i < len) {
+      val cp = s.codePointAt(i)
+      val cw = Character.charCount(cp)
+      nChar += 1
+      val ws = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+        cp == '\f' || cp == '\r'
+      if (!ws) strip += 1
+      if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')) alpha += 1
+      if (cp >= '0' && cp <= '9') digit += 1
+      if (cp == '.' || cp == ',' || cp == ';' || cp == ':' || cp == '!' ||
+        cp == '?') punct += 1
+      if (!ws && tokenStart < 0) tokenStart = i
+      if (ws && tokenStart >= 0) closeToken(i)
+      i += cw
+    }
+    if (tokenStart >= 0) closeToken(len)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTok, nChar, strip, alpha, digit, punct,
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(stops)))
+  }
+}
+
+/** `text_stats(text STRING) → STRUCT` — see [[TextStatsKernel]]. Null in →
+  * null out. */
+case class TextStats(child: Expression) extends UnaryExpression
+    with Serializable {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  override def prettyName: String = "text_stats"
+  override def dataType: DataType = TextStats.schema
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(v: Any): Any =
+    TextStatsKernel.stats(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.operators.TextStatsKernel.stats($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object TextStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_tok", LongType, nullable = false),
+    StructField("n_char", LongType, nullable = false),
+    StructField("strip", LongType, nullable = false),
+    StructField("alpha", LongType, nullable = false),
+    StructField("digit", LongType, nullable = false),
+    StructField("punct", LongType, nullable = false),
+    StructField("stops", ArrayType(LongType, containsNull = false),
+      nullable = false)))
 }

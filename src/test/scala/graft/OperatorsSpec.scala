@@ -692,6 +692,41 @@ class OperatorsSpec extends AnyFunSuite {
       .select(call_function("quality_score", col("t"))).head().isNullAt(0))
   }
 
+  test("quality() kernel form matches the staged-Column specification row-for-row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val edge = Seq(
+      "", " ", "the quick brown fox jumps, and runs; fast!",
+      "el la de y que en los", "der die und das ist", "le la et les des",
+      "的 了 是 我 不 在 有", "12345 67890 111", "MiXeD case Words",
+      "punct.,;:!?dense", "Tokyo 東京 note", "déjà vu 𝄞 music",
+      "the el der le 的", "a of to in is and the")
+    val rnd = new scala.util.Random(23)
+    val vocab = Array("the", "a", "of", "el", "la", "de", "der", "die",
+      "le", "et", "的", "是", "word", "123", ".", ",", "!", "x", " ",
+      "\t", "é", "TOKEN", "in", "is", "und", "les", "que", "not")
+    val fuzz = (0 until 400).map(_ =>
+      (0 until rnd.nextInt(30)).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(" "))
+    val df = (edge ++ fuzz).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val fast = TextAnalysis.quality(df, "doc_id", "text")
+    val spec = TextAnalysis.qualitySpec(df, "doc_id", "text")
+    val joined = fast.as("f").join(spec.as("s"), Seq("doc_id"))
+    val mismatch = joined.filter(
+      !(col("f.lang") <=> col("s.lang")) ||
+        !(col("f.n_tokens") <=> col("s.n_tokens")) ||
+        !(col("f.avg_token_len") <=> col("s.avg_token_len")) ||
+        !(col("f.alpha_ratio") <=> col("s.alpha_ratio")) ||
+        !(col("f.digit_ratio") <=> col("s.digit_ratio")) ||
+        !(col("f.punct_ratio") <=> col("s.punct_ratio")) ||
+        !(col("f.stopword_ratio") <=> col("s.stopword_ratio")) ||
+        !(col("f.quality_score") <=> col("s.quality_score")))
+      .collect()
+    assert(mismatch.isEmpty, mismatch.take(3).mkString("\n"))
+    assert(fast.count() == edge.size + fuzz.size)
+  }
+
   test("qualityClassifier: clean prose outscores digit soup; keep follows threshold") {
     val prose = "the quick brown fox is a friend of the lazy dog and " * 8
     val digits = "12345 67890 11111 22222 33333 44444 55555 66666 " * 8
