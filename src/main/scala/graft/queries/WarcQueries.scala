@@ -302,7 +302,8 @@ object WarcQueries {
         |  (29, 'response', 'application/http; msgtype=response', 190),
         |  (30, 'response', 'application/http; msgtype=response', 162),
         |  (31, 'response', 'application/http; msgtype=response', 102),
-        |  (32, 'response', 'application/http; msgtype=response', 153)
+        |  (32, 'response', 'application/http; msgtype=response', 153),
+        |  (33, 'response', 'application/http; msgtype=response', 97)
         |) AS t("offset", warc_type, content_type, content_length)
         |ORDER BY "offset"""".stripMargin,
     "warc_media" ->
@@ -316,6 +317,7 @@ object WarcQueries {
       """SELECT * FROM (VALUES
         |  ('below_quality', 1),
         |  ('document', 18),
+        |  ('empty_text', 1),
         |  ('malformed_envelope', 1),
         |  ('media', 3),
         |  ('non_document_type', 1),

@@ -894,7 +894,13 @@ object FreezeWarcFixture14 {
       ascii("HTTP/1.1 301 Moved Permanently\r\n" +
         "Location: http://example.org/alpha\r\n" +
         "Content-Type: text/html\r\n\r\n" +
-        "<html><body>Moved <a href=\"/alpha\">here</a>.</body></html>")))
+        "<html><body>Moved <a href=\"/alpha\">here</a>.</body></html>")),
+    // 33: a 200 HTML page whose extraction yields NOTHING (markup +
+    // comment only) — pins the census's empty_text disposition
+    rec("response", "http://example.org/empty", date,
+      "application/http; msgtype=response",
+      ascii("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+        "<html><body><!-- nothing to extract --></body></html>")))
 
   def main(args: Array[String]): Unit = {
     val dir = new java.io.File(args.headOption.getOrElse(

@@ -660,7 +660,7 @@ class WarcSourceSpec extends AnyFunSuite {
     val fixture = new java.io.File(
       "src/test/resources/fixtures/warc_gen14/seg-00000.warc.gz").getAbsolutePath
     val recs = WarcSource.readWarc(spark, fixture)
-    assert(recs.count() == 33)
+    assert(recs.count() == 34)
     val docs = WarcSource.warcToDocuments(recs)
       .select("offset", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -693,7 +693,7 @@ class WarcSourceSpec extends AnyFunSuite {
     assert(disp == Map("document" -> 18L, "media" -> 3L, "revisit" -> 3L,
       "non_document_type" -> 1L, "non_text_type" -> 3L,
       "unsupported_coding" -> 1L, "malformed_envelope" -> 1L,
-      "non_success_status" -> 2L,
+      "non_success_status" -> 2L, "empty_text" -> 1L,
       "below_quality" -> 1L), s"dispositions drifted: $disp")
     // the status gate: 404/301 bodies are error/redirect stubs, not text
     assert(!docs.contains(31L) && !docs.contains(32L),
