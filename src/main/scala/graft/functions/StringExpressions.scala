@@ -42,6 +42,11 @@ object CharsetDecodeKernel {
     if (name == null) return StandardCharsets.UTF_8
     val s = name.toString.trim
     if (s.isEmpty) return StandardCharsets.UTF_8
+    // no real charset name comes close to 64 chars; a longer "label" is
+    // hostile header junk — refuse it outright (and never cache it: the
+    // negative cache caps COUNT, this caps per-entry SIZE, so junk labels
+    // cannot pin unbounded executor heap)
+    if (s.length > 64) return StandardCharsets.UTF_8
     val k = s.toLowerCase(java.util.Locale.ROOT)
     val hit = cache.get(k)
     if (hit != null) hit

@@ -16,7 +16,7 @@ import graft.streaming.CrawlIngest
  * applied to ingestion). DuckDB cannot parse WARC, so the oracle side is the
  * fixture's EXPECTED rows as literal VALUES: the fixture is deterministic
  * (committed binary, byte-stable regeneration via
- * [[graft.tools.FreezeWarcFixture13]]), which makes the literal oracle
+ * [[graft.tools.FreezeWarcFixture14]]), which makes the literal oracle
  * exactly as strong as a recomputed one — and independent of this parser.
  *
  * The fixture segment is multi-member gzip (one member per record, the
@@ -159,8 +159,10 @@ object WarcQueries {
         new java.io.File(base.getParent, base.getName + ".lock").toPath,
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.WRITE)
-      val flock = lockCh.lock()
-      try { if (!done.isFile) {
+      // lock() inside the try: if it throws (an unexpected same-JVM holder
+      // raises OverlappingFileLockException), the channel must still close
+      var flock: java.nio.channels.FileLock = null
+      try { flock = lockCh.lock(); if (!done.isFile) {
         graft.tools.LocalFs.deleteRec(base); base.mkdirs()
         // pre-existing corpus state the bridge appends into (the
         // steady-state shape — stores exist before any crawl batch): one
@@ -183,7 +185,10 @@ object WarcQueries {
           textIndexPath = Some(textPath), annIndexPath = Some(annPath),
           revisitsPath = Some(revPath))
         done.createNewFile()
-      } } finally { flock.release(); lockCh.close() }
+      } } finally {
+        if (flock != null) flock.release()
+        lockCh.close()
+      }
     }
 
     val docs = s.read.parquet(docsPath)
@@ -265,7 +270,9 @@ object WarcQueries {
         |  ('seg-00000.warc.gz', 29, 'http://example.org/prolog', '2026-03-04T05:06:07Z',
         |   'Prologue café declares its own encoding.'),
         |  ('seg-00000.warc.gz', 30, 'http://example.org/metaxml', '2026-03-04T05:06:07Z',
-        |   'Méta charset inside an XML document.')
+        |   'Méta charset inside an XML document.'),
+        |  ('seg-00000.warc.gz', 34, 'http://example.org/bom-untyped', '2026-03-04T05:06:07Z',
+        |   'BOM sniffed fine.')
         |) AS t(file, "offset", url, fetch_date, text)
         |ORDER BY "offset"""".stripMargin,
     "warc_census" ->
@@ -303,7 +310,8 @@ object WarcQueries {
         |  (30, 'response', 'application/http; msgtype=response', 162),
         |  (31, 'response', 'application/http; msgtype=response', 102),
         |  (32, 'response', 'application/http; msgtype=response', 153),
-        |  (33, 'response', 'application/http; msgtype=response', 97)
+        |  (33, 'response', 'application/http; msgtype=response', 97),
+        |  (34, 'response', 'application/http; msgtype=response', 80)
         |) AS t("offset", warc_type, content_type, content_length)
         |ORDER BY "offset"""".stripMargin,
     "warc_media" ->
@@ -316,7 +324,7 @@ object WarcQueries {
     "warc_drop_census" ->
       """SELECT * FROM (VALUES
         |  ('below_quality', 1),
-        |  ('document', 18),
+        |  ('document', 19),
         |  ('empty_text', 1),
         |  ('malformed_envelope', 1),
         |  ('media', 3),
@@ -355,6 +363,7 @@ object WarcQueries {
         |  ('doc', 'http://example.org/alpha#1', 61),
         |  ('doc', 'http://example.org/alpha#3', 38),
         |  ('doc', 'http://example.org/asxml#20', 14),
+        |  ('doc', 'http://example.org/bom-untyped#34', 17),
         |  ('doc', 'http://example.org/cafe#8', 19),
         |  ('doc', 'http://example.org/chunked#15', 19),
         |  ('doc', 'http://example.org/gzipped#16', 16),

@@ -390,11 +390,22 @@ object WarcSource {
     * instead of O(payload) on multi-MB media bodies. */
   private val HttpHeaderWindow = 16384
 
-  /** An html-ish body head: a doctype or `<html` lead, optionally behind an
-    * XML prolog — the shape XHTML serialized as XML starts with. Matched on
-    * a bounded ISO-8859-1-decoded head (byte↔char bijective). */
+  /** An html-ish body head: a doctype or `<html` lead, optionally behind a
+    * UTF-8 BOM (EF BB BF reads as ï»¿ under the ISO-8859-1 view — BOM'd
+    * pages are common and must still sniff; UTF-16 heads are undetectable
+    * under a byte view and stay unsniffable) and/or an XML prolog — the
+    * shape XHTML serialized as XML starts with. Matched on a bounded
+    * ISO-8859-1-decoded head (byte↔char bijective). */
   private val HtmlishHeadRe =
-    "(?is)^\\s*(?:<\\?xml[^>]*\\?>\\s*)?(?:<!doctype\\s+html|<html)"
+    "(?is)^(?:\\u00EF\\u00BB\\u00BF)?\\s*(?:<\\?xml[^>]*\\?>\\s*)?" +
+      "(?:<!doctype\\s+html|<html)"
+
+  /** The generic XML family (`text/xml`, `application/xml`, any `+xml`
+    * registration) — ONE definition composed into both the routing and the
+    * charset-detection predicates, so the two cannot drift. */
+  private def xmlFamilyTypeCol: Column =
+    col("eff_type").isin("text/xml", "application/xml") ||
+      col("eff_type").endsWith("+xml")
 
   /** Every effective type the text bridge can route — the set whose rows
     * must get in-document charset detection (a routed page whose charset
@@ -402,8 +413,7 @@ object WarcSource {
   private def TextishTypeCol: Column =
     col("eff_type") === "text/html" ||
       col("eff_type") === "application/xhtml+xml" ||
-      col("eff_type").isin("text/xml", "application/xml") ||
-      col("eff_type").endsWith("+xml")
+      xmlFamilyTypeCol
 
   /**
    * Appends the envelope-routing columns to raw records:
@@ -581,8 +591,7 @@ object WarcSource {
     // happens to read html-ish belongs to the media bridge, not both
     docTypeCol && modalityCol.isNull && (col("eff_type") === "text/html" ||
       col("eff_type") === "application/xhtml+xml" ||
-      ((col("eff_type").isin("text/xml", "application/xml") ||
-        col("eff_type").endsWith("+xml")) && xmlBodyIsHtml))
+      (xmlFamilyTypeCol && xmlBodyIsHtml))
   }
   private def plainRouteCol: Column =
     docTypeCol && col("eff_type") === "text/plain"

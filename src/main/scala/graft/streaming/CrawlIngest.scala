@@ -300,8 +300,10 @@ object CrawlIngest {
     // the rollup TVF) instead of dropping them on the floor. Header-only
     // re-read (keepPayload=false — a revisit's payload is empty or a bare
     // 304 header; the bytes never leave the task read buffer), pinned
-    // before any store mutation, own marker + replace-by-batch.
-    val revisits = revisitsPath.map { _ =>
+    // before any store mutation, own marker + replace-by-batch. Skipped
+    // entirely when the revisit marker already committed (`revDone`) — a
+    // replay torn elsewhere must not pay a wasted segment re-parse here.
+    val revisits = revisitsPath.filter(_ => !revDone).map { _ =>
       WarcSource.warcToRevisits(
           WarcSource.readWarc(spark, pathSpec, keepPayload = false))
         .withColumn("file", regexp_extract(col("file"), "([^/]+)$", 1))
@@ -309,8 +311,8 @@ object CrawlIngest {
     }
     try {
       appendIdempotent(fresh, documentsPath, streamBatchId, "crawl")
-      revisitsPath.foreach(rp =>
-        appendIdempotent(revisits.get, rp, streamBatchId, "revisits"))
+      revisits.foreach(rev =>
+        appendIdempotent(rev, revisitsPath.get, streamBatchId, "revisits"))
       // optional BM25 text index: the crawl corpus becomes full-text
       // searchable in the same exactly-once batch (its own marker +
       // replace-by-batch-id discipline, see appendBatchIdempotent)

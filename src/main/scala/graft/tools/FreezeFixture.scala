@@ -900,7 +900,15 @@ object FreezeWarcFixture14 {
     rec("response", "http://example.org/empty", date,
       "application/http; msgtype=response",
       ascii("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
-        "<html><body><!-- nothing to extract --></body></html>")))
+        "<html><body><!-- nothing to extract --></body></html>")),
+    // 34: an UNTYPED response whose body leads with a UTF-8 BOM then
+    // <html> — the sniff must see through the BOM (which reads as ï»¿
+    // under the ISO-8859-1 byte view) instead of dropping the page
+    rec("response", "http://example.org/bom-untyped", date,
+      "application/http; msgtype=response",
+      ascii("HTTP/1.1 200 OK\r\nServer: httpd\r\n\r\n") ++
+        Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+        ascii("<html><body>BOM sniffed fine.</body></html>")))
 
   def main(args: Array[String]): Unit = {
     val dir = new java.io.File(args.headOption.getOrElse(

@@ -358,7 +358,7 @@ class WarcSourceSpec extends AnyFunSuite {
            |WHERE disposition IN ('below_quality', 'document')
            |GROUP BY 1 ORDER BY 1""".stripMargin)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
-      assert(dc == Seq("below_quality" -> 1L, "document" -> 18L), dc.toString)
+      assert(dc == Seq("below_quality" -> 1L, "document" -> 19L), dc.toString)
       // non-literal glob fails loud
       val e = intercept[Exception](
         s2.sql("SELECT * FROM graft_warc(concat('a', 'b'))").collect())
@@ -660,12 +660,12 @@ class WarcSourceSpec extends AnyFunSuite {
     val fixture = new java.io.File(
       "src/test/resources/fixtures/warc_gen14/seg-00000.warc.gz").getAbsolutePath
     val recs = WarcSource.readWarc(spark, fixture)
-    assert(recs.count() == 34)
+    assert(recs.count() == 35)
     val docs = WarcSource.warcToDocuments(recs)
       .select("offset", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(docs.keySet == Set(1L, 2L, 3L, 8L, 9L, 10L, 12L, 15L, 16L, 18L,
-      19L, 20L, 21L, 22L, 23L, 24L, 27L, 29L, 30L),
+      19L, 20L, 21L, 22L, 23L, 24L, 27L, 29L, 30L, 34L),
       s"gen14 doc routing drifted: ${docs.keySet}")
     assert(docs(19L) == "XHTML page works.",
       "enveloped application/xhtml+xml must route to the text bridge")
@@ -679,6 +679,8 @@ class WarcSourceSpec extends AnyFunSuite {
       "a UTF-16LE BOM must drive the decode when the server is silent")
     assert(docs(24L) == "Resource capture.",
       "wget/heritrix resource records must route like responses")
+    assert(docs(34L) == "BOM sniffed fine.",
+      "the untyped sniff must see through a UTF-8 BOM")
     assert(docs(29L) == "Prologue café declares its own encoding.",
       "the XML prolog's encoding= must drive the decode of routed XHTML")
     assert(docs(30L) == "Méta charset inside an XML document.",
@@ -690,7 +692,7 @@ class WarcSourceSpec extends AnyFunSuite {
     val disp = WarcSource.warcToDispositions(recs, minQuality = 0.35)
       .groupBy("disposition").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(disp == Map("document" -> 18L, "media" -> 3L, "revisit" -> 3L,
+    assert(disp == Map("document" -> 19L, "media" -> 3L, "revisit" -> 3L,
       "non_document_type" -> 1L, "non_text_type" -> 3L,
       "unsupported_coding" -> 1L, "malformed_envelope" -> 1L,
       "non_success_status" -> 2L, "empty_text" -> 1L,
