@@ -70,6 +70,17 @@ object TextAnalysis {
 
   def langId(text: Column): Column = langIdFromTokens(tokens(text))
 
+  /** Per-language stopword hit counts (en, es, de, fr, zh order) from ONE
+    * [[TextStatsKernel]] scan — the kernel-backed feed for
+    * [[langIdFromCounts]], replacing a tokenize + five interpreted
+    * higher-order filters per row. STAGE the result in its own projection
+    * (`.select(stopHitsFast(text).as("__h")).select(langIdFromCounts(...))`)
+    * — the CASE references the counts ~15 times, and a staged non-cheap
+    * alias is what keeps the kernel at one run per row. Requires
+    * [[register]] on the session. */
+  def stopHitsFast(text: Column): Column =
+    call_function("text_stats", text).getField("stops")
+
   /**
    * Quality signals in the Gopher/C4 style, as a staged DataFrame transform:
    * the expensive pieces (tokenize, regex strips, stopword filter) are

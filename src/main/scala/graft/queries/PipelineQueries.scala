@@ -646,25 +646,33 @@ object PipelineQueries {
     }),
 
     // ---- text analysis ----
-    "lang_id" -> ((s, d) =>
+    "lang_id" -> ((s, d) => {
+      TextAnalysis.register(s)
+      // one text_stats kernel scan per row feeds the shared argmax CASE —
+      // the tokens + five interpreted stopword filters the staged form
+      // paid are gone; the staged "__h" alias keeps the kernel at one run
       docs(s, d)
-        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
-        .select(col("doc_id"), TextAnalysis.langIdFromTokens(col("w")).as("lang_pred"))
-        .orderBy(col("doc_id"))),
+        .select(col("doc_id"),
+          TextAnalysis.stopHitsFast(col("text")).as("__h"))
+        .select(col("doc_id"), TextAnalysis.langIdFromCounts(
+          (0 until 5).map(i => col("__h").getItem(i))).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
 
     // language-ID confusion matrix vs the stored lang column — the accuracy
     // report a pipeline watches when tuning the classifier; one map-side
     // prediction pass + one tiny (lang, pred) aggregation
-    "lang_confusion" -> ((s, d) =>
+    "lang_confusion" -> ((s, d) => {
+      TextAnalysis.register(s)
       docs(s, d)
-        // two-phase: materialize tokens first — the CASE chain probes the
-        // stop lists ~15 times and an inlined tokenizer would re-run per
-        // probe (HOFs are interpreted, no CSE; same staging as lang_id)
-        .select(col("lang"), TextAnalysis.tokens(col("text")).as("__w"))
-        .select(col("lang"), TextAnalysis.langIdFromTokens(col("__w")).as("lang_pred"))
+        // same kernel staging as lang_id (one text_stats scan per row)
+        .select(col("lang"), TextAnalysis.stopHitsFast(col("text")).as("__h"))
+        .select(col("lang"), TextAnalysis.langIdFromCounts(
+          (0 until 5).map(i => col("__h").getItem(i))).as("lang_pred"))
         .groupBy(col("lang"), col("lang_pred"))
         .agg(count(lit(1)).as("n"))
-        .orderBy(col("lang"), col("lang_pred"))),
+        .orderBy(col("lang"), col("lang_pred"))
+    }),
 
     "token_counts" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
@@ -1590,17 +1598,21 @@ object PipelineQueries {
 
     // per-language corpus statistics with exact percentiles; tokens are
     // materialized ONCE (HOFs are interpreted — no CSE across lang + count)
-    "corpus_stats" -> ((s, d) =>
+    "corpus_stats" -> ((s, d) => {
+      TextAnalysis.register(s)
       docs(s, d)
-        .select(TextAnalysis.tokens(col("text")).as("__w"))
-        .select(TextAnalysis.langIdFromTokens(col("__w")).as("lang"),
-          size(col("__w")).cast("long").as("n_tokens"))
+        // one text_stats scan: lang counts AND the token count together
+        .select(call_function("text_stats", col("text")).as("__st"))
+        .select(TextAnalysis.langIdFromCounts((0 until 5).map(i =>
+            col("__st").getField("stops").getItem(i))).as("lang"),
+          col("__st").getField("n_tok").as("n_tokens"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"),
           round(avg(col("n_tokens")), 6).as("mean_tokens"),
           round(expr("percentile(n_tokens, 0.5)"), 6).as("median_tokens"))
-        .orderBy(col("lang"))),
+        .orderBy(col("lang"))
+    }),
 
     // CCNet-style bigram LM quality score: mean add-one-smoothed bigram log
     // probability per doc, fixed-point sums for order-free exact means
