@@ -698,6 +698,46 @@ object WarcSource {
           .as("profile"),
         col("file"), col("offset"))
 
+  /** One-pass fusion of [[warcToDocuments]] + [[warcToRevisits]]: the
+    * revisit ledger rows come out of the SAME scan/gunzip the document
+    * rows do. A union of the two bridges would read every segment twice
+    * (Catalyst does not common-subexpression unions' scan subtrees, and
+    * gzip cannot skip payloads without inflating them) — at 100 TB that
+    * is 2x front-door decompression for a ledger of tiny rows. Emits the
+    * superset of both projections plus `kind` ('doc' / 'rev'); doc rows
+    * carry null ledger columns and vice versa. Same routing, fencing and
+    * emptiness semantics as the dedicated bridges. */
+  def warcToDocumentsAndRevisits(records: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(records.sparkSession)
+    val isRev = col("warcType") === "revisit"
+    val decodedBody =
+      call_function("charset_decode", col("body"), col("eff_charset"))
+    def hdr(name: String) =
+      coalesce(col("headers").getItem(name), lit(""))
+    withHttpRouting(records)
+      // revisits are NOT gated on the HTTP status: a revisit envelope is
+      // typically a bare 304/empty capture — the ledger wants it anyway
+      .filter(isRev ||
+        ((wetCol || htmlRouteCol || plainRouteCol) && statusOkCol))
+      .select(
+        when(isRev, lit("rev")).otherwise(lit("doc")).as("kind"),
+        col("targetUri").as("url"), col("date").as("fetch_date"),
+        // fenced like warcToDocuments' text (the emptiness filter below
+        // references it; see OptimizerBarrier)
+        call_function("graft_barrier",
+          when(isRev, lit(null).cast("string"))
+            .when(wetCol, trim(
+              regexp_replace(col("payload").cast("string"), "\\s+", " ")))
+            .when(htmlRouteCol, call_function("html_to_text", decodedBody))
+            .otherwise(trim(regexp_replace(decodedBody, "\\s+", " "))))
+          .as("text"),
+        when(isRev, hdr("warc-refers-to-date")).as("original_date"),
+        when(isRev, hdr("warc-payload-digest")).as("payload_digest"),
+        when(isRev, hdr("warc-profile")).as("profile"),
+        col("file"), col("offset"))
+      .filter(col("kind") === "rev" || length(col("text")) > 0)
+  }
+
   /** Drop OBSERVABILITY for the crawl front door: one disposition per
     * record, by the SAME predicates the bridges route with (shared private
     * Columns — the census cannot drift from the real keep/drop decisions).
@@ -709,8 +749,10 @@ object WarcSource {
     *  - `non_document_type` — warcinfo/request/metadata framing records;
     *  - `malformed_envelope` — an `application/http` envelope with no
     *    header/body split in the scan window;
+    *  - `non_success_status` — the HTTP status line is present and not
+    *    2xx (error pages, redirect stubs — the near-dup flood);
     *  - `unsupported_coding` — the HTTP body coding could not be undone
-    *    (br/compress, malformed gzip/zstd, chunked framing violation);
+    *    (compress, malformed gzip/zstd/br, chunked framing violation);
     *  - `media` — routed to [[warcToMedia]], not a loss;
     *  - `non_text_type` — effective type outside the text routes
     *    (JSON/PDF/feeds/...), the intended drop;

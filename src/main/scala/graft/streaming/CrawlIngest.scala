@@ -150,7 +150,15 @@ object CrawlIngest {
     * stages AFTER extraction, which need ingest state the census can't see.
     * Accounting is AT-LEAST-ONCE, matching foreachBatch: a torn replay
     * re-counts its batch (the stores stay exactly-once; the counters are
-    * operational telemetry, not a ledger). */
+    * operational telemetry, not a ledger).
+    *
+    * `droppedCorpusDup` and `droppedInBatchDup` are PER-CAUSE tallies and
+    * may OVERLAP: a document can both near-dup the stored corpus and be
+    * the larger member of an in-batch pair, so their sum can exceed the
+    * number of distinct dropped documents. `docsLanded` is the exact
+    * count of the landed frame (gated minus the UNION of the dup sets) —
+    * `docsExtracted - droppedQuality - docsLanded` is the true distinct
+    * dup-drop count. */
   case class IngestStats(docsExtracted: Long, droppedQuality: Long,
       droppedCorpusDup: Long, droppedInBatchDup: Long, docsLanded: Long,
       revisitsLanded: Long, skippedAsCommitted: Boolean = false)
@@ -242,11 +250,25 @@ object CrawlIngest {
     // per-segment I/O and CPU. Keeping the pre-gate rows in the pin (and
     // gating by the stored score below) costs only the dropped rows'
     // bytes and buys the quality-drop counter without a second parse.
-    val parsed = withDocIds(WarcSource.warcToDocuments(
-        WarcSource.readWarc(spark, pathSpec)))
-      .withColumn("__q", TextAnalysis.qualityScoreFast(col("text")))
-      .localCheckpoint()
-    val gated = parsed.filter(col("__q") >= minQuality).drop("__q")
+    // When the revisit ledger is on, its rows ride the SAME parse
+    // (warcToDocumentsAndRevisits): the leg used to pay a second full
+    // gunzip of every segment per batch — 2x front-door decompression at
+    // scale for a handful of header rows.
+    val wantRev = revisitsPath.isDefined && !revDone
+    val pinned = {
+      val raw = WarcSource.readWarc(spark, pathSpec)
+      val bridged =
+        if (wantRev) WarcSource.warcToDocumentsAndRevisits(raw)
+        else WarcSource.warcToDocuments(raw).withColumn("kind", lit("doc"))
+      withDocIds(bridged)
+        .withColumn("__q", when(col("kind") === "doc",
+          TextAnalysis.qualityScoreFast(col("text"))))
+        .localCheckpoint()
+    }
+    val parsed = pinned.filter(col("kind") === "doc")
+    // same column order the store has always had (url..offset, doc_id)
+    val gated = parsed.filter(col("__q") >= minQuality)
+      .select("url", "fetch_date", "text", "file", "offset", "doc_id")
     // one bounded aggregation over the pinned rows: extraction + gate counts
     val qrow = parsed.agg(count(lit(1)),
       count(when(col("__q") >= minQuality, 1))).head()
@@ -297,18 +319,17 @@ object CrawlIngest {
       .localCheckpoint()
     // the refetch LEDGER: revisit records are the crawler's own dedup
     // verdicts — land them beside the corpus (joinable with url_dedup /
-    // the rollup TVF) instead of dropping them on the floor. Header-only
-    // re-read (keepPayload=false — a revisit's payload is empty or a bare
-    // 304 header; the bytes never leave the task read buffer), pinned
-    // before any store mutation, own marker + replace-by-batch. Skipped
-    // entirely when the revisit marker already committed (`revDone`) — a
-    // replay torn elsewhere must not pay a wasted segment re-parse here.
-    val revisits = revisitsPath.filter(_ => !revDone).map { _ =>
-      WarcSource.warcToRevisits(
-          WarcSource.readWarc(spark, pathSpec, keepPayload = false))
-        .withColumn("file", regexp_extract(col("file"), "([^/]+)$", 1))
-        .localCheckpoint()
-    }
+    // the rollup TVF) instead of dropping them on the floor. The rows are
+    // already in the pinned frame (same single segment parse as the
+    // documents — no second read, no second gunzip), own marker +
+    // replace-by-batch. Skipped entirely when the revisit marker already
+    // committed (`revDone` folded into `wantRev`) — a replay torn
+    // elsewhere must not re-land the ledger.
+    val revisits = if (wantRev) Some(pinned
+        .filter(col("kind") === "rev")
+        .select("url", "fetch_date", "original_date", "payload_digest",
+          "profile", "file", "offset"))
+      else None
     try {
       appendIdempotent(fresh, documentsPath, streamBatchId, "crawl")
       revisits.foreach(rev =>
@@ -336,14 +357,16 @@ object CrawlIngest {
         fresh, streamBatchId)
       // accounting: cheap counts over the pinned frames (no replanning),
       // returned per-batch AND accumulated stream-lifetime (Spark UI)
-      val nCorpusDup = corpusDups.count()
-      val nInBatchDup = inBatchDups.count()
       val stats = IngestStats(
         docsExtracted = nExtracted,
         droppedQuality = nExtracted - nGated,
-        droppedCorpusDup = nCorpusDup,
-        droppedInBatchDup = nInBatchDup,
-        docsLanded = nGated - nCorpusDup - nInBatchDup,
+        droppedCorpusDup = corpusDups.count(),
+        droppedInBatchDup = inBatchDups.count(),
+        // counted on the landed frame itself (checkpointed — the count is
+        // a local scan, no replan), NOT gated minus the per-cause tallies:
+        // those tallies are allowed to overlap (see IngestStats doc), and
+        // subtracting them would double-count any doc in both dup sets
+        docsLanded = fresh.count(),
         revisitsLanded = revisits.map(_.count()).getOrElse(0L))
       val acc = ingestCounters(spark)
       acc("docs_extracted").add(stats.docsExtracted)
@@ -354,9 +377,8 @@ object CrawlIngest {
       acc("revisits_landed").add(stats.revisitsLanded)
       stats
     } finally {
-      fresh.unpersist(); parsed.unpersist()
+      fresh.unpersist(); pinned.unpersist()
       corpusDups.unpersist(); inBatchDups.unpersist()
-      revisits.foreach(_.unpersist())
     }
   }
 

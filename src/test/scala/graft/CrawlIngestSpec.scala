@@ -292,13 +292,17 @@ class CrawlIngestSpec extends AnyFunSuite {
     val revPath = s"$base/revisits"
     Dedup.buildDedupIndex(Seq((9000L, seedText)).toDF("doc_id", "text"),
       "doc_id", "text", dedupPath)
-    // one keeper, one below-quality, one corpus near-dup of the seed, two
-    // in-batch twins, and two revisit records (the crawler's own verdicts)
+    // one keeper, one below-quality, TWO corpus near-dups of the seed that
+    // are also in-batch twins of EACH OTHER (the overlap case: per-cause
+    // tallies may intersect; docsLanded must count the landed frame, not
+    // gated minus the tally sum), two plain in-batch twins, and two
+    // revisit records (the crawler's own verdicts)
     writeSegment(new java.io.File(segments, "st0.warc.gz"), Seq(
       html("http://st.test/keep", goodA),
       html("http://st.test/junk",
         "84 3921 555 0193 7777 1234 9876 5432 1111 2222"),
       html("http://st.test/cdup", seedText + " today"),
+      html("http://st.test/cdup2", seedText + " now"),
       html("http://st.test/twin1", twinText),
       html("http://st.test/twin2", twinText),
       rec("revisit", "http://st.test/keep", "", "application/http",
@@ -309,9 +313,18 @@ class CrawlIngestSpec extends AnyFunSuite {
     val seg = new java.io.File(segments, "st0.warc.gz").getAbsolutePath
     val stats = CrawlIngest.ingestSegments(spark, Seq(seg), docsPath,
       dedupPath, 0L, revisitsPath = Some(revPath))
+    // both cdup docs near-dup the corpus seed (droppedCorpusDup = 2); the
+    // in-batch pass then runs on the corpus-dup-free remainder, so only the
+    // twin pair contributes there. docsLanded is the landed frame's exact
+    // count — and must equal what actually sits in the documents store.
     assert(stats == CrawlIngest.IngestStats(
-      docsExtracted = 5, droppedQuality = 1, droppedCorpusDup = 1,
+      docsExtracted = 6, droppedQuality = 1, droppedCorpusDup = 2,
       droppedInBatchDup = 1, docsLanded = 2, revisitsLanded = 2), stats)
+    assert(spark.read.parquet(docsPath).count() == stats.docsLanded)
+    // per-cause tallies are allowed to overlap; the distinct dup-drop count
+    // is the difference identity, never the tally sum
+    assert(stats.docsExtracted - stats.droppedQuality - stats.docsLanded
+      == 3)
     // the ledger landed, header-only, with basename provenance
     val rev = spark.read.parquet(revPath)
     assert(rev.count() == 2)
