@@ -30,13 +30,30 @@ object TextAnalysis {
     size(filter(split(trim(text), "[\\s]+|(?<=[a-z])(?=[A-Z0-9])|(?=[^\\w\\s])"),
       t => length(t) > 0))
 
-  /** Tiny per-language stopword profiles for n-gram language ID. */
+  /** Tiny per-language stopword profiles for n-gram language ID. The
+    * classifier extends by DATA: add a profile here and to [[langOrder]]
+    * and every consumer — the argmax CASE, the `text_stats` kernel's
+    * per-profile counts, the SQL oracles — picks it up from the shared
+    * order. Words are chosen to be distinctive (high-frequency function
+    * words that do NOT collide with an earlier profile's list), because
+    * ties resolve to the earlier profile. */
   val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
     "es" -> Seq("el", "la", "de", "y", "que", "en", "los"),
     "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein"),
     "fr" -> Seq("le", "la", "et", "les", "des", "une", "est"),
-    "zh" -> Seq("的", "了", "是", "我", "不", "在", "有"))
+    "zh" -> Seq("的", "了", "是", "我", "不", "在", "有"),
+    "pt" -> Seq("não", "uma", "os", "das", "em", "para", "com"),
+    "it" -> Seq("il", "che", "di", "per", "con", "sono", "anche"),
+    "nl" -> Seq("het", "een", "van", "niet", "dat", "zijn", "voor"),
+    "ru" -> Seq("и", "в", "не", "на", "что", "это", "как"))
+
+  /** Priority order of the language profiles: earlier wins ties, and the
+    * `stops` array of [[TextStatsKernel]] is indexed in this order. The
+    * original five keep their historic positions (their pairwise tie
+    * behavior is pinned by stored oracles); new profiles append. */
+  val langOrder: Seq[String] =
+    Seq("en", "es", "de", "fr", "zh", "pt", "it", "nl", "ru")
 
   /** Count of tokens that appear in `words`. */
   def stopwordHits(toks: Column, words: Seq[String]): Column =
@@ -54,19 +71,27 @@ object TextAnalysis {
    * (two-phase select) to keep tokenization to once per row.
    */
   def langIdFromTokens(toks: Column): Column =
-    langIdFromCounts(
-      Seq("en", "es", "de", "fr", "zh").map(l => stopwordHits(toks, stopwords(l))))
+    langIdFromCounts(langOrder.map(l => stopwordHits(toks, stopwords(l))))
 
   /** The argmax CASE over per-language hit counts — shared by
     * [[langIdFromTokens]] (counts from token-array filters) and [[quality]]
-    * (counts from the [[TextStatsKernel]] scan), so the two cannot drift. */
-  private[graft] def langIdFromCounts(h: Seq[Column]): Column =
-    when(h(4) > greatest(lit(0), h(0), h(1), h(2), h(3)), lit("zh"))
-      .when(h(3) > greatest(lit(0), h(0), h(1), h(2)), lit("fr"))
-      .when(h(2) > greatest(lit(0), h(0), h(1)), lit("de"))
-      .when(h(1) > greatest(lit(0), h(0)), lit("es"))
-      .when(h(0) > lit(0), lit("en"))
-      .otherwise(lit("und"))
+    * (counts from the [[TextStatsKernel]] scan), so the two cannot drift.
+    * Checked from the LAST profile down: profile i wins only on a strict
+    * majority over every earlier profile (ties → the earlier one), so the
+    * chain is a flat CASE with each count referenced a bounded number of
+    * times (pass staged/materialized count columns, see callers). */
+  private[graft] def langIdFromCounts(h: Seq[Column]): Column = {
+    require(h.length == langOrder.length,
+      s"langIdFromCounts: expected ${langOrder.length} counts, got ${h.length}")
+    val n = h.length
+    val fromLast = ((n - 1) to 1 by -1).foldLeft(None: Option[Column]) {
+      (acc, i) =>
+        val wins = h(i) > greatest((lit(0) +: h.take(i)): _*)
+        Some(acc.fold(when(wins, lit(langOrder(i))))(
+          _.when(wins, lit(langOrder(i)))))
+    }.get
+    fromLast.when(h(0) > lit(0), lit(langOrder(0))).otherwise(lit("und"))
+  }
 
   def langId(text: Column): Column = langIdFromTokens(tokens(text))
 
@@ -101,7 +126,7 @@ object TextAnalysis {
     // reads below are plain struct gets.
     val raw = df.select(col(idCol), text,
       call_function("text_stats", text).as("__st"))
-    val h = (0 until 5).map(i => col("__st").getField("stops").getItem(i))
+    val h = langOrder.indices.map(i => col("__st").getField("stops").getItem(i))
     val parts = raw.select(col(idCol),
       langIdFromCounts(h).as("lang"),
       col("__st").getField("n_tok").cast(DoubleType).as("__n_tok"),
@@ -1420,7 +1445,7 @@ case class QualityScore(child: Expression) extends UnaryExpression
  * fr, zh order).
  */
 object TextStatsKernel {
-  private val langs = Array("en", "es", "de", "fr", "zh")
+  private val langs = TextAnalysis.langOrder.toArray
   private val profiles: Array[java.util.HashSet[String]] = langs.map { l =>
     val s = new java.util.HashSet[String]()
     TextAnalysis.stopwords(l).foreach(s.add)

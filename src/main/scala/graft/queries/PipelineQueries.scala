@@ -655,7 +655,7 @@ object PipelineQueries {
         .select(col("doc_id"),
           TextAnalysis.stopHitsFast(col("text")).as("__h"))
         .select(col("doc_id"), TextAnalysis.langIdFromCounts(
-          (0 until 5).map(i => col("__h").getItem(i))).as("lang_pred"))
+          TextAnalysis.langOrder.indices.map(i => col("__h").getItem(i))).as("lang_pred"))
         .orderBy(col("doc_id"))
     }),
 
@@ -668,10 +668,25 @@ object PipelineQueries {
         // same kernel staging as lang_id (one text_stats scan per row)
         .select(col("lang"), TextAnalysis.stopHitsFast(col("text")).as("__h"))
         .select(col("lang"), TextAnalysis.langIdFromCounts(
-          (0 until 5).map(i => col("__h").getItem(i))).as("lang_pred"))
+          TextAnalysis.langOrder.indices.map(i => col("__h").getItem(i))).as("lang_pred"))
         .groupBy(col("lang"), col("lang_pred"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("lang_pred"))
+    }),
+
+    // the 9-profile classifier pinned on in-code fixture texts — one per
+    // profile (incl. the round-15 pt/it/nl/ru additions), an unknown, and
+    // a deliberate es/pt TIE (earlier profile must win). The sf documents
+    // table has no text in the new languages, so this is the row that
+    // proves the added profiles classify, not just compile.
+    "lang_id_multi" -> ((s, d) => {
+      TextAnalysis.register(s)
+      s.createDataFrame(langFixture).toDF("doc_id", "text")
+        .select(col("doc_id"), TextAnalysis.stopHitsFast(col("text")).as("__h"))
+        .select(col("doc_id"), TextAnalysis.langIdFromCounts(
+          TextAnalysis.langOrder.indices.map(i => col("__h").getItem(i)))
+          .as("lang_pred"))
+        .orderBy(col("doc_id"))
     }),
 
     "token_counts" -> ((s, d) =>
@@ -1603,7 +1618,7 @@ object PipelineQueries {
       docs(s, d)
         // one text_stats scan: lang counts AND the token count together
         .select(call_function("text_stats", col("text")).as("__st"))
-        .select(TextAnalysis.langIdFromCounts((0 until 5).map(i =>
+        .select(TextAnalysis.langIdFromCounts(TextAnalysis.langOrder.indices.map(i =>
             col("__st").getField("stops").getItem(i))).as("lang"),
           col("__st").getField("n_tok").as("n_tokens"))
         .groupBy(col("lang"))
@@ -2229,6 +2244,38 @@ object PipelineQueries {
   )
 
   private val enList = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
+  // lang_id_multi's fixture texts: one per profile, an unknown, and an
+  // es/pt tie (2 hits each — the EARLIER profile must win). Apostrophes
+  // avoided: the same literals are spliced into the DuckDB VALUES oracle.
+  private[queries] val langFixture: Seq[(Long, String)] = Seq(
+    1L -> "the cat is in the garden and a dog is of note to all",
+    2L -> "el perro y la casa grande de los vecinos que viven en madrid",
+    3L -> "der hund und die katze das ist nicht ein spiel heute",
+    4L -> "le chat et les chiens des rues une belle ville est grande",
+    5L -> "的 了 是 我 不 在 有 人 大 小",
+    6L -> "não vou para casa em uma hora com os amigos e depois das aulas",
+    7L -> "il cane che corre di notte per la strada con i suoi amici sono anche qui",
+    8L -> "het is een mooie dag van de week dat wij niet zijn voor het werk",
+    9L -> "и в не на что это как всегда было и будет потом",
+    10L -> "zzz qqq www rrr",
+    11L -> "en los para com")
+
+  // per-profile hit columns + the argmax CASE chain, generated from the
+  // SAME TextAnalysis.langOrder the Column/kernel forms read — adding a
+  // profile extends engine, kernel and oracle together (no drift)
+  private def langHitsSql: String = TextAnalysis.langOrder
+    .map(l => s"${hitsSql(l)} AS h_$l").mkString(",\n             ")
+
+  private def langCaseSql: String = {
+    val o = TextAnalysis.langOrder
+    val whens = ((o.length - 1) to 1 by -1).map { i =>
+      s"WHEN h_${o(i)} > greatest(${("0" +: o.take(i).map("h_" + _)).mkString(", ")}) THEN '${o(i)}'"
+    }
+    (s"CASE ${whens.head}" +: whens.tail.map("       " + _) :+
+      s"       WHEN h_${o.head} > 0 THEN '${o.head}'" :+
+      "       ELSE 'und' END").mkString("\n")
+  }
+
   private def hitsSql(lang: String) = {
     val list = TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ")
     s"len(list_filter(w, x -> x IN ($list)))"
@@ -2483,16 +2530,9 @@ object PipelineQueries {
 
     "lang_id" ->
       s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
-         |h AS (SELECT doc_id, ${hitsSql("en")} AS h_en, ${hitsSql("es")} AS h_es,
-         |             ${hitsSql("de")} AS h_de, ${hitsSql("fr")} AS h_fr,
-         |             ${hitsSql("zh")} AS h_zh FROM t)
+         |h AS (SELECT doc_id, $langHitsSql FROM t)
          |SELECT doc_id,
-         |  CASE WHEN h_zh > greatest(0, h_en, h_es, h_de, h_fr) THEN 'zh'
-         |       WHEN h_fr > greatest(0, h_en, h_es, h_de) THEN 'fr'
-         |       WHEN h_de > greatest(0, h_en, h_es) THEN 'de'
-         |       WHEN h_es > greatest(0, h_en) THEN 'es'
-         |       WHEN h_en > 0 THEN 'en'
-         |       ELSE 'und' END AS lang_pred
+         |  $langCaseSql AS lang_pred
          |FROM h ORDER BY doc_id""".stripMargin,
 
     "token_counts" ->
@@ -2502,19 +2542,22 @@ object PipelineQueries {
     // confusion matrix: the lang_id CASE chain grouped against stored lang
     "lang_confusion" ->
       s"""WITH t AS (SELECT doc_id, lang, $sqlTokens AS w FROM documents),
-         |h AS (SELECT doc_id, lang, ${hitsSql("en")} AS h_en, ${hitsSql("es")} AS h_es,
-         |             ${hitsSql("de")} AS h_de, ${hitsSql("fr")} AS h_fr,
-         |             ${hitsSql("zh")} AS h_zh FROM t),
+         |h AS (SELECT doc_id, lang, $langHitsSql FROM t),
          |p AS (SELECT lang,
-         |  CASE WHEN h_zh > greatest(0, h_en, h_es, h_de, h_fr) THEN 'zh'
-         |       WHEN h_fr > greatest(0, h_en, h_es, h_de) THEN 'fr'
-         |       WHEN h_de > greatest(0, h_en, h_es) THEN 'de'
-         |       WHEN h_es > greatest(0, h_en) THEN 'es'
-         |       WHEN h_en > 0 THEN 'en'
-         |       ELSE 'und' END AS lang_pred
+         |  $langCaseSql AS lang_pred
          |  FROM h)
          |SELECT lang, lang_pred, count(*) AS n
          |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // same generated hits/CASE chain over the in-code fixture texts — the
+    // VALUES are spliced from the SAME Scala literal the engine query reads
+    "lang_id_multi" ->
+      s"""WITH v(doc_id, text) AS (VALUES
+         |  ${langFixture.map { case (i, t) => s"($i, '$t')" }.mkString(",\n  ")}),
+         |t AS (SELECT doc_id, $sqlTokens AS w FROM v),
+         |h AS (SELECT doc_id, $langHitsSql FROM t)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, $langCaseSql AS lang_pred
+         |FROM h ORDER BY doc_id""".stripMargin,
 
     // alpha-sampling replay: exact integer token totals, shares flattened by
     // pow(p, -0.7), rates rounded to 9 decimals (engine-replayable pow),
@@ -3549,16 +3592,9 @@ object PipelineQueries {
 
     "pipeline_curate" ->
       s"""WITH t AS (SELECT doc_id, text, $sqlTokens AS w FROM documents),
-         |h AS (SELECT doc_id, text, w, ${hitsSql("en")} AS h_en, ${hitsSql("es")} AS h_es,
-         |             ${hitsSql("de")} AS h_de, ${hitsSql("fr")} AS h_fr,
-         |             ${hitsSql("zh")} AS h_zh FROM t),
+         |h AS (SELECT doc_id, text, w, $langHitsSql FROM t),
          |q AS (SELECT doc_id, text,
-         |  CASE WHEN h_zh > greatest(0, h_en, h_es, h_de, h_fr) THEN 'zh'
-         |       WHEN h_fr > greatest(0, h_en, h_es, h_de) THEN 'fr'
-         |       WHEN h_de > greatest(0, h_en, h_es) THEN 'de'
-         |       WHEN h_es > greatest(0, h_en) THEN 'es'
-         |       WHEN h_en > 0 THEN 'en'
-         |       ELSE 'und' END AS lang,
+         |  $langCaseSql AS lang,
          |  len(w) AS n_tokens,
          |  CASE WHEN len(w) > 0 THEN CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(w) ELSE 0.0 END AS avg_token_len,
          |  CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS alpha_ratio,
@@ -3647,16 +3683,9 @@ object PipelineQueries {
 
     "corpus_stats" ->
       s"""WITH t AS (SELECT doc_id, text, $sqlTokens AS w FROM documents),
-         |h AS (SELECT doc_id, len(w) AS n_tokens, ${hitsSql("en")} AS h_en, ${hitsSql("es")} AS h_es,
-         |             ${hitsSql("de")} AS h_de, ${hitsSql("fr")} AS h_fr,
-         |             ${hitsSql("zh")} AS h_zh FROM t),
+         |h AS (SELECT doc_id, len(w) AS n_tokens, $langHitsSql FROM t),
          |l AS (SELECT
-         |  CASE WHEN h_zh > greatest(0, h_en, h_es, h_de, h_fr) THEN 'zh'
-         |       WHEN h_fr > greatest(0, h_en, h_es, h_de) THEN 'fr'
-         |       WHEN h_de > greatest(0, h_en, h_es) THEN 'de'
-         |       WHEN h_es > greatest(0, h_en) THEN 'es'
-         |       WHEN h_en > 0 THEN 'en'
-         |       ELSE 'und' END AS lang,
+         |  $langCaseSql AS lang,
          |  CAST(n_tokens AS BIGINT) AS n_tokens FROM h)
          |SELECT lang, count(*) AS n_docs,
          |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,

@@ -700,11 +700,16 @@ class OperatorsSpec extends AnyFunSuite {
       "el la de y que en los", "der die und das ist", "le la et les des",
       "的 了 是 我 不 在 有", "12345 67890 111", "MiXeD case Words",
       "punct.,;:!?dense", "Tokyo 東京 note", "déjà vu 𝄞 music",
-      "the el der le 的", "a of to in is and the")
+      "the el der le 的", "a of to in is and the",
+      "não vou para casa em uma hora com os amigos",
+      "il che di per con sono anche", "het een van niet dat zijn voor",
+      "и в не на что это как", "en los para com")
     val rnd = new scala.util.Random(23)
     val vocab = Array("the", "a", "of", "el", "la", "de", "der", "die",
       "le", "et", "的", "是", "word", "123", ".", ",", "!", "x", " ",
-      "\t", "é", "TOKEN", "in", "is", "und", "les", "que", "not")
+      "\t", "é", "TOKEN", "in", "is", "und", "les", "que", "not",
+      "não", "para", "com", "il", "che", "di", "het", "van", "niet",
+      "и", "не", "что")
     val fuzz = (0 until 400).map(_ =>
       (0 until rnd.nextInt(30)).map(_ => vocab(rnd.nextInt(vocab.length)))
         .mkString(" "))
