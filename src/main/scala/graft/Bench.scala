@@ -74,28 +74,52 @@ object Bench {
       c += calibrate()
       (p, c.toSeq)
     }
-    // CONTENTION RE-RECORD (round-14): when the sentinel samples within ONE
-    // run spread more than 2× (round 13 shipped calib [0.92, 0.30, 0.32] —
-    // the suite overlapped a host contention burst and 20+ untouched
-    // queries read 1.5–3.4× slower), the artifact is re-recorded instead of
-    // shipped-with-an-asterisk: one full re-pass, per-query MIN across
-    // passes (the same best-of estimator), final calib from the re-pass.
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s(s.length / 2)
+    }
+    // committed calm-host sentinel reference (BENCH_CALIB.json, recorded
+    // once on a host verified idle via /proc/stat): catches UNIFORM
+    // DC-level load an intra-run spread test cannot see — round 14 shipped
+    // 71.3 s with spread only 1.42× on a host that was ~7-13% loaded for
+    // the WHOLE window, so every sample was equally inflated.
+    val refCalibMedian: Option[Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BENCH_CALIB.json")), "UTF-8")
+      "\"calib_median\":\\s*([0-9.]+)".r.findFirstMatchIn(txt)
+        .map(_.group(1).toDouble)
+    } catch { case _: Throwable => None }
+    // CONTENTION RE-RECORD (round-14, extended round-15): re-record when
+    // the sentinel samples within ONE run spread more than 2× (round 13
+    // shipped calib [0.92, 0.30, 0.32] — a mid-suite burst; 20+ untouched
+    // queries read 1.5–3.4× slower) OR when the run's sentinel median
+    // exceeds 1.5× the committed calm reference (uniform load). One full
+    // re-pass, per-query MIN across passes (the same best-of estimator).
     // One retry only — a persistently contended host is then at least
-    // visible in the recorded spread.
+    // visible in the recorded samples, and EVERY pass's calibration ships
+    // in "calib_passes" so the artifact preserves the evidence that
+    // triggered (or survived) the re-record.
+    def contention(c: Seq[Double]): Option[String] = {
+      val spread = c.max / math.max(c.min, 1e-9)
+      if (spread > 2.0)
+        Some(f"spread $spread%.2f× (${c.map(v => f"$v%.2f").mkString(", ")})")
+      else refCalibMedian.collect {
+        case r if median(c) > 1.5 * r =>
+          f"median ${median(c)}%.3f s > 1.5× calm reference $r%.3f s"
+      }
+    }
     var (firstPass, calibSeq) = runPass()
+    val calibPasses = scala.collection.mutable.ArrayBuffer(calibSeq)
     var repass = 0
-    while (repass < 1 &&
-        calibSeq.max / math.max(calibSeq.min, 1e-9) > 2.0) {
+    while (repass < 1 && contention(calibSeq).isDefined) {
       repass += 1
-      Console.err.println(f"[bench] calibration spread " +
-        f"${calibSeq.max / math.max(calibSeq.min, 1e-9)}%.2f× " +
-        s"(${calibSeq.map(v => f"$v%.2f").mkString(", ")}) — host " +
-        "contention mid-suite; re-recording the timed pass")
+      Console.err.println(s"[bench] host contention " +
+        s"(${contention(calibSeq).get}); re-recording the timed pass")
       val (p2, c2) = runPass()
       val m2 = p2.toMap
       firstPass = firstPass.map { case (n, t) =>
         n -> math.min(t, m2.getOrElse(n, t)) }
       calibSeq = c2
+      calibPasses += c2
     }
     val calib = calibSeq
     // OUTLIER SELF-HEAL: a best-of-2 sample is still hostage to a host
@@ -132,9 +156,6 @@ object Bench {
         (qs, cs)
       }
     } catch { case _: Throwable => (Map.empty[String, Double], Seq.empty[Double]) }
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted; s(s.length / 2)
-    }
     val calibRatio =
       if (calib.isEmpty || prevCalib.isEmpty) 1.0
       else math.max(median(calib.toSeq) / math.max(median(prevCalib), 1e-9), 1e-3)
@@ -158,9 +179,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.4f""" }
       .mkString("{", ",", "}")
     val cs = calib.map(v => f"$v%.4f").mkString("[", ",", "]")
+    val cps = calibPasses
+      .map(_.map(v => f"$v%.4f").mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val fullLine =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","calib":$cs,"repass":$repass,"rerun":$rerunJson,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","calib":$cs,"calib_passes":$cps,"repass":$repass,"rerun":$rerunJson,"queries":$qs,"sf":"$sfDir"}"""
     // Full per-query map: one line for humans reading stdout, and a file for
     // the per-query round-over-round comparison. The file matters because the
     // harness that archives this run keeps only a bounded tail of stdout
@@ -192,7 +216,7 @@ object Bench {
     val rm = results.toMap
     val hq = headline.filter(rm.contains)
       .map(k => "\"" + k + f"""\":${rm(k)}%.4f""").mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","calib":$cs,"repass":$repass,"nq":${results.length},"queries":$hq,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","calib":$cs,"calib_passes":$cps,"repass":$repass,"nq":${results.length},"queries":$hq,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
