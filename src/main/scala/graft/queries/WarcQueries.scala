@@ -20,7 +20,11 @@ import graft.streaming.CrawlIngest
  * exactly as strong as a recomputed one — and independent of this parser.
  *
  * The fixture segment is multi-member gzip (one member per record, the
- * Common Crawl framing). Gen-14 supersets gen-13 (which superset gen-12's
+ * Common Crawl framing). Gen-15 supersets gen-14 with a
+ * `WARC-Truncated: length` capture (lands as a document but with the
+ * `truncated` reason surfaced on the row and in the census — a fragment
+ * must be visible to quality/dedup/packing, not masquerade as a whole
+ * page). Gen-14 superset gen-13 (which superset gen-12's
  * HTTP-ENVELOPE corpus) with the SILENT-LOSS corpus: enveloped XHTML and
  * XHTML-served-as-text/xml (routed, not dropped), an untyped XML-prolog
  * page (sniffed), a `Content-Encoding: zstd` body (decoded via the
@@ -36,9 +40,9 @@ object WarcQueries {
     * run elsewhere. */
   private def fixture: String = {
     val local = new java.io.File(
-      "src/test/resources/fixtures/warc_gen14/seg-00000.warc.gz")
+      "src/test/resources/fixtures/warc_gen15/seg-00000.warc.gz")
     if (local.isFile) local.getAbsolutePath
-    else "/root/repo/src/test/resources/fixtures/warc_gen14/seg-00000.warc.gz"
+    else "/root/repo/src/test/resources/fixtures/warc_gen15/seg-00000.warc.gz"
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -51,7 +55,8 @@ object WarcQueries {
           // basename, not the absolute path — provenance must hash-match
           // regardless of where the checkout lives
           regexp_extract(col("file"), "([^/]+)$", 1).as("file"),
-          col("offset"), col("url"), col("fetch_date"), col("text"))
+          col("offset"), col("url"), col("fetch_date"), col("text"),
+          col("truncated"))
         .orderBy(col("offset"))
     }),
     // header-only census (keepPayload=false): the index/stats pass shape —
@@ -109,7 +114,8 @@ object WarcQueries {
       WarcSource.warcToDispositions(WarcSource.readWarc(s, fixture),
           minQuality = 0.35)
         .groupBy(col("disposition"))
-        .agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n"),
+          count(col("truncated")).as("n_truncated"))
         .orderBy(col("disposition"))
     }),
     // the FULL bridge, end-to-end under the oracle: ingestSegments on the
@@ -234,46 +240,48 @@ object WarcQueries {
     "warc_ingest" ->
       """SELECT * FROM (VALUES
         |  ('seg-00000.warc.gz', 1, 'http://example.org/alpha', '2026-03-04T05:06:07Z',
-        |   'Graft Alpha & beta’s report Latency: <10ms — 99th percentile.'),
+        |   'Graft Alpha & beta’s report Latency: <10ms — 99th percentile.', CAST(NULL AS VARCHAR)),
         |  ('seg-00000.warc.gz', 2, 'http://example.org/raw', '2026-03-04T05:06:07Z',
-        |   'First block. Second block end.'),
+        |   'First block. Second block end.', NULL),
         |  ('seg-00000.warc.gz', 3, 'http://example.org/alpha', '2026-03-04T05:06:07Z',
-        |   'Graft Alpha report pre-extracted text.'),
+        |   'Graft Alpha report pre-extracted text.', NULL),
         |  ('seg-00000.warc.gz', 8, 'http://example.org/cafe', '2026-03-04T05:06:07Z',
-        |   'Café “smart” – dash'),
+        |   'Café “smart” – dash', NULL),
         |  ('seg-00000.warc.gz', 9, 'http://example.org/sniffed', '2026-03-04T05:06:07Z',
-        |   'Sniffed as HTML.'),
+        |   'Sniffed as HTML.', NULL),
         |  ('seg-00000.warc.gz', 10, 'http://example.org/tokyo', '2026-03-04T05:06:07Z',
-        |   'Tokyo 東京 note'),
+        |   'Tokyo 東京 note', NULL),
         |  ('seg-00000.warc.gz', 12, 'http://example.org/meta', '2026-03-04T05:06:07Z',
-        |   'naïve résumé'),
+        |   'naïve résumé', NULL),
         |  ('seg-00000.warc.gz', 15, 'http://example.org/chunked', '2026-03-04T05:06:07Z',
-        |   'Chunked body works.'),
+        |   'Chunked body works.', NULL),
         |  ('seg-00000.warc.gz', 16, 'http://example.org/gzipped', '2026-03-04T05:06:07Z',
-        |   'Gzip body works.'),
+        |   'Gzip body works.', NULL),
         |  ('seg-00000.warc.gz', 18, 'http://example.org/untyped', '2026-03-04T05:06:07Z',
-        |   'Untyped but HTML.'),
+        |   'Untyped but HTML.', NULL),
         |  ('seg-00000.warc.gz', 19, 'http://example.org/xhtml', '2026-03-04T05:06:07Z',
-        |   'XHTML page works.'),
+        |   'XHTML page works.', NULL),
         |  ('seg-00000.warc.gz', 20, 'http://example.org/asxml', '2026-03-04T05:06:07Z',
-        |   'Served as XML.'),
+        |   'Served as XML.', NULL),
         |  ('seg-00000.warc.gz', 21, 'http://example.org/untyped-xml', '2026-03-04T05:06:07Z',
-        |   'Untyped XHTML.'),
+        |   'Untyped XHTML.', NULL),
         |  ('seg-00000.warc.gz', 22, 'http://example.org/zstd', '2026-03-04T05:06:07Z',
-        |   'Zstandard coding decodes fine.'),
+        |   'Zstandard coding decodes fine.', NULL),
         |  ('seg-00000.warc.gz', 23, 'http://example.org/utf16', '2026-03-04T05:06:07Z',
-        |   'UTF-16 déjà vu.'),
+        |   'UTF-16 déjà vu.', NULL),
         |  ('seg-00000.warc.gz', 24, 'http://example.org/local.html', '2026-03-04T05:06:07Z',
-        |   'Resource capture.'),
+        |   'Resource capture.', NULL),
         |  ('seg-00000.warc.gz', 27, 'http://example.org/numbers', '2026-03-04T05:06:07Z',
-        |   '12345 67890 12345 67890 12345'),
+        |   '12345 67890 12345 67890 12345', NULL),
         |  ('seg-00000.warc.gz', 29, 'http://example.org/prolog', '2026-03-04T05:06:07Z',
-        |   'Prologue café declares its own encoding.'),
+        |   'Prologue café declares its own encoding.', NULL),
         |  ('seg-00000.warc.gz', 30, 'http://example.org/metaxml', '2026-03-04T05:06:07Z',
-        |   'Méta charset inside an XML document.'),
+        |   'Méta charset inside an XML document.', NULL),
         |  ('seg-00000.warc.gz', 34, 'http://example.org/bom-untyped', '2026-03-04T05:06:07Z',
-        |   'BOM sniffed fine.')
-        |) AS t(file, "offset", url, fetch_date, text)
+        |   'BOM sniffed fine.', NULL),
+        |  ('seg-00000.warc.gz', 35, 'http://example.org/cutoff', '2026-03-04T05:06:07Z',
+        |   'Length cap hit: this capture stops mid-sent', 'length')
+        |) AS t(file, "offset", url, fetch_date, text, truncated)
         |ORDER BY "offset"""".stripMargin,
     "warc_census" ->
       """SELECT * FROM (VALUES
@@ -311,7 +319,8 @@ object WarcQueries {
         |  (31, 'response', 'application/http; msgtype=response', 102),
         |  (32, 'response', 'application/http; msgtype=response', 153),
         |  (33, 'response', 'application/http; msgtype=response', 97),
-        |  (34, 'response', 'application/http; msgtype=response', 80)
+        |  (34, 'response', 'application/http; msgtype=response', 80),
+        |  (35, 'response', 'application/http; msgtype=response', 102)
         |) AS t("offset", warc_type, content_type, content_length)
         |ORDER BY "offset"""".stripMargin,
     "warc_media" ->
@@ -323,17 +332,17 @@ object WarcQueries {
         |ORDER BY "offset"""".stripMargin,
     "warc_drop_census" ->
       """SELECT * FROM (VALUES
-        |  ('below_quality', 1),
-        |  ('document', 19),
-        |  ('empty_text', 1),
-        |  ('malformed_envelope', 1),
-        |  ('media', 3),
-        |  ('non_document_type', 1),
-        |  ('non_success_status', 2),
-        |  ('non_text_type', 3),
-        |  ('revisit', 3),
-        |  ('unsupported_coding', 1)
-        |) AS t(disposition, n)
+        |  ('below_quality', 1, 0),
+        |  ('document', 20, 1),
+        |  ('empty_text', 1, 0),
+        |  ('malformed_envelope', 1, 0),
+        |  ('media', 3, 0),
+        |  ('non_document_type', 1, 0),
+        |  ('non_success_status', 2, 0),
+        |  ('non_text_type', 3, 0),
+        |  ('revisit', 3, 0),
+        |  ('unsupported_coding', 1, 0)
+        |) AS t(disposition, n, n_truncated)
         |ORDER BY disposition""".stripMargin,
     "warc_revisits" ->
       """SELECT * FROM (VALUES
@@ -366,6 +375,7 @@ object WarcQueries {
         |  ('doc', 'http://example.org/bom-untyped#34', 17),
         |  ('doc', 'http://example.org/cafe#8', 19),
         |  ('doc', 'http://example.org/chunked#15', 19),
+        |  ('doc', 'http://example.org/cutoff#35', 43),
         |  ('doc', 'http://example.org/gzipped#16', 16),
         |  ('doc', 'http://example.org/local.html#24', 17),
         |  ('doc', 'http://example.org/meta#12', 12),

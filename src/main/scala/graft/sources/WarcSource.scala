@@ -595,6 +595,20 @@ object WarcSource {
   }
   private def plainRouteCol: Column =
     docTypeCol && col("eff_type") === "text/plain"
+  /** `WARC-Truncated` surfaced as a column, not swallowed: a crawler that
+    * hit its length/time cap wrote a PARTIAL capture, and the extracted
+    * text ends mid-sentence — downstream quality scoring, dedup and
+    * sequence packing must be able to see that this document is a
+    * fragment, not a whole page. Value is the spec's reason token
+    * (`length`/`time`/`disconnect`/`unspecified`; a bare header with no
+    * value means `unspecified` per WARC 1.0 §5.13), null when the record
+    * is complete. Common Crawl caps payloads (1 MiB historically), so
+    * these occur at a visible rate in every real segment. */
+  private def truncatedCol: Column =
+    when(map_contains_key(col("headers"), lit("warc-truncated")),
+      coalesce(
+        nullif(lower(trim(col("headers").getItem("warc-truncated"))), lit("")),
+        lit("unspecified")))
   /** Success gate: only 2xx payloads are page content — a 404's HTML body
     * is an error page, a 30x's is a redirect stub; both pollute the corpus
     * (and near-dup MASSIVELY: every "Not Found" page of one server is
@@ -645,7 +659,9 @@ object WarcSource {
     * the server's `charset=` parameter with U+FFFD replacement and UTF-8
     * fallback ([[graft.functions.CharsetDecode]]), so Latin-1/Windows-1252/
     * Shift-JIS pages enter the dedup/quality stack as real text, not
-    * mojibake. Emits `(url, fetch_date, text)` + provenance. */
+    * mojibake. Emits `(url, fetch_date, text, truncated)` + provenance —
+    * `truncated` is the `WARC-Truncated` reason (see [[truncatedCol]]),
+    * null for complete captures. */
   def warcToDocuments(records: DataFrame): DataFrame = {
     graft.functions.VectorFunctions.register(records.sparkSession)
     // `resource` records (wget/heritrix write them for directly-captured
@@ -672,6 +688,7 @@ object WarcSource {
             .when(isHtml, call_function("html_to_text", decodedBody))
             .otherwise(trim(regexp_replace(decodedBody, "\\s+", " "))))
           .as("text"),
+        truncatedCol.as("truncated"),
         col("file"), col("offset"))
       .filter(length(col("text")) > 0)
   }
@@ -731,6 +748,7 @@ object WarcSource {
             .when(htmlRouteCol, call_function("html_to_text", decodedBody))
             .otherwise(trim(regexp_replace(decodedBody, "\\s+", " "))))
           .as("text"),
+        when(!isRev, truncatedCol).as("truncated"),
         when(isRev, hdr("warc-refers-to-date")).as("original_date"),
         when(isRev, hdr("warc-payload-digest")).as("payload_digest"),
         when(isRev, hdr("warc-profile")).as("profile"),
@@ -793,6 +811,11 @@ object WarcSource {
          else routed).otherwise("document")
       })
       .select(col("file"), col("offset"), col("targetUri").as("url"),
-        col("warcType").as("warc_type"), col("eff_type"), col("disposition"))
+        col("warcType").as("warc_type"), col("eff_type"), col("disposition"),
+        // orthogonal to the disposition: a `WARC-Truncated` capture can
+        // still land as `document` (a fragment, visible downstream via the
+        // documents bridge's own `truncated` column) — the census carries
+        // the flag so "how much of this crawl is cut off" is one rollup
+        truncatedCol.as("truncated"))
   }
 }

@@ -954,6 +954,68 @@ object FreezeWarcFixture14 {
 }
 
 /**
+ * Freezes the round-15 WARC fixture (`warc_gen15`) — a SUPERSET of
+ * `warc_gen14` (committed fixtures are immutable once specs replay them;
+ * this one appends):
+ *
+ *  - 35: a `WARC-Truncated: length` capture — the crawler's size cap cut
+ *    the page mid-sentence (Common Crawl historically caps at 1 MiB, so
+ *    real segments carry these at a visible rate). The page must still
+ *    LAND (a fragment is data), but with `truncated='length'` on the
+ *    documents row and the census flag set — invisible truncation was
+ *    round-14's verdict item #2.
+ *
+ * Determinism: fixed bytes, GZIPOutputStream MTIME=0 — regeneration is
+ * byte-stable.
+ */
+object FreezeWarcFixture15 {
+  import FreezeWarcFixture.{ascii, date, rec}
+
+  def records: Seq[Array[Byte]] = FreezeWarcFixture14.records ++ Seq(
+    // 35: the crawler hit its length cap — partial capture, text ends
+    // mid-sentence; WARC-Truncated says so and the bridge must surface it
+    rec("response", "http://example.org/cutoff", date,
+      "application/http; msgtype=response",
+      ascii("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+        "<html><body><p>Length cap hit: this capture stops mid-sent"),
+      extra = Seq("WARC-Truncated: length")))
+
+  def main(args: Array[String]): Unit = {
+    val dir = new java.io.File(args.headOption.getOrElse(
+      "src/test/resources/fixtures/warc_gen15"))
+    dir.mkdirs()
+    val seg = new java.io.File(dir, "seg-00000.warc.gz")
+    val out = new java.io.FileOutputStream(seg)
+    records.foreach { r =>
+      val g = new java.util.zip.GZIPOutputStream(out)
+      g.write(r); g.finish()
+    }
+    out.close()
+    println(s"frozen: $seg (${seg.length()} bytes, ${records.length} members)")
+    // self-check: parse back through the real serving paths and print the
+    // exact rows the DuckDB literal oracles must carry
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val recs = graft.sources.WarcSource.readWarc(spark, seg.getAbsolutePath)
+    graft.sources.WarcSource.warcToDocuments(recs)
+      .orderBy("offset").collect()
+      .foreach(r => println(s"[doc] ${r.toSeq.mkString(" | ")}"))
+    graft.sources.WarcSource.readWarc(spark, seg.getAbsolutePath,
+        keepPayload = false)
+      .selectExpr("offset", "warcType", "contentType", "contentLength")
+      .orderBy("offset").collect()
+      .foreach(r => println(s"[census] ${r.toSeq.mkString(" | ")}"))
+    graft.sources.WarcSource.warcToDispositions(recs, minQuality = 0.35)
+      .orderBy("offset").collect()
+      .foreach(r => println(s"[disp] ${r.toSeq.mkString(" | ")}"))
+    spark.stop()
+  }
+}
+
+/**
  * Freezes the AUTO-REINDEX-era fixture (`index_gen12r`): a generation
  * installed by the round-12 model-staleness escalation — `maybeCompact`
  * detected rows-since-full-build past `graft.reindex.staleFraction` and ran

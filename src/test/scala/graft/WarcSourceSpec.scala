@@ -702,6 +702,38 @@ class WarcSourceSpec extends AnyFunSuite {
       "non-2xx response bodies must never land in the documents table")
   }
 
+  test("warc_gen15 fixture replays: WARC-Truncated captures are visible") {
+    val fixture = new java.io.File(
+      "src/test/resources/fixtures/warc_gen15/seg-00000.warc.gz").getAbsolutePath
+    val recs = WarcSource.readWarc(spark, fixture)
+    assert(recs.count() == 36)
+    val docs = WarcSource.warcToDocuments(recs)
+      .select("offset", "text", "truncated").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), Option(r.getString(2))))
+      .toMap
+    // the cut-off page LANDS (a fragment is data) but carries the reason
+    assert(docs(35L) == ("Length cap hit: this capture stops mid-sent",
+      Some("length")),
+      "a WARC-Truncated capture must land with its reason surfaced")
+    // every complete capture carries null — the column never invents flags
+    assert(docs.removed(35L).values.forall(_._2.isEmpty),
+      "complete captures must have truncated = null")
+    // census view: the flag is orthogonal to the disposition
+    val disp = WarcSource.warcToDispositions(recs)
+      .filter(col("offset") === 35).select("disposition", "truncated")
+      .head()
+    assert(disp.getString(0) == "document" && disp.getString(1) == "length")
+    // a bare WARC-Truncated header (no value) means unspecified per the
+    // WARC 1.0 spec — exercised off-fixture via a synthetic record
+    import spark.implicits._
+    val bare = WarcSource.WarcRecord("f.warc.gz", 0L, "response",
+      "http://x.test/bare", "2026-01-01T00:00:00Z", "text/html", 20L,
+      Map("warc-truncated" -> ""),
+      "<html><body>cut</body></html>".getBytes(UTF_8))
+    assert(WarcSource.warcToDocuments(Seq(bare).toDF())
+      .select("truncated").head().getString(0) == "unspecified")
+  }
+
   test("bridges stay mutually exclusive: html-ish svg+xml is media, not text") {
     import spark.implicits._
     // a misconfigured server serving an HTML error page under a media
