@@ -121,12 +121,14 @@ case class OptimizerBarrier(child: Expression)
  *    stream) yields the bytes accumulated so far, but a framing VIOLATION
  *    with bytes remaining yields null;
  *  - `gzip`/`x-gzip`, `deflate` (zlib, with the raw-deflate retry many
- *    servers actually send) and `zstd` (via the zstd-jni Spark already
- *    ships) content codings are decoded, output capped at [[MaxInflated]]
- *    (zip-bomb defense — past the cap yields null);
- *  - `identity`/empty codings pass through; anything else (`br`,
- *    `compress`, a TE list beyond chunked) yields null — the router DROPS
- *    the record rather than feeding garbage downstream;
+ *    servers actually send), `zstd` (via the zstd-jni Spark already
+ *    ships) and `br` (via the pure-Scala [[BrotliKernel]] — RFC 7932,
+ *    the most common coding after gzip) content codings are decoded,
+ *    output capped at [[MaxInflated]] (zip-bomb defense — past the cap
+ *    yields null);
+ *  - `identity`/empty codings pass through; anything else (`compress`,
+ *    a TE list beyond chunked) yields null — the router DROPS the
+ *    record rather than feeding garbage downstream;
  *  - any parse/inflate error yields null, never a throw: one hostile
  *    server must not kill a segment task.
  */
@@ -225,6 +227,14 @@ object HttpBodyKernels {
       inflateThrough(zin)
     } catch { case _: Exception => null }
 
+  /** `Content-Encoding: br` (RFC 7932) — the most common coding on the
+    * modern web after gzip, decoded by the pure-Scala [[BrotliKernel]]
+    * (nothing on Spark's classpath decodes Brotli). Same [[MaxInflated]]
+    * cap and null-on-malformed contract as the other codings — the kernel
+    * implements both natively. */
+  def unbrotli(b: Array[Byte]): Array[Byte] =
+    BrotliKernel.decompress(b, MaxInflated)
+
   def decodeBody(body: Array[Byte], te: UTF8String,
       ce: UTF8String): Array[Byte] = {
     var b = body
@@ -240,7 +250,8 @@ object HttpBodyKernels {
       case "gzip" | "x-gzip" => gunzip(b)
       case "deflate" => inflate(b)
       case "zstd" => unzstd(b)
-      case _ => null // br / compress / coding lists: drop, don't garble
+      case "br" => unbrotli(b)
+      case _ => null // compress / coding lists: drop, don't garble
     }
   }
 }

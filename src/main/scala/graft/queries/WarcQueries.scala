@@ -16,11 +16,14 @@ import graft.streaming.CrawlIngest
  * applied to ingestion). DuckDB cannot parse WARC, so the oracle side is the
  * fixture's EXPECTED rows as literal VALUES: the fixture is deterministic
  * (committed binary, byte-stable regeneration via
- * [[graft.tools.FreezeWarcFixture14]]), which makes the literal oracle
+ * [[graft.tools.FreezeWarcFixture16]]), which makes the literal oracle
  * exactly as strong as a recomputed one — and independent of this parser.
  *
  * The fixture segment is multi-member gzip (one member per record, the
- * Common Crawl framing). Gen-15 supersets gen-14 with a
+ * Common Crawl framing). Gen-16 supersets gen-15 with a VALID
+ * `Content-Encoding: br` page, decoded by the pure-Scala
+ * [[graft.functions.BrotliKernel]] (record 17's junk-br stays the
+ * negative pin — still `unsupported_coding`). Gen-15 supersets gen-14 with a
  * `WARC-Truncated: length` capture (lands as a document but with the
  * `truncated` reason surfaced on the row and in the census — a fragment
  * must be visible to quality/dedup/packing, not masquerade as a whole
@@ -40,9 +43,9 @@ object WarcQueries {
     * run elsewhere. */
   private def fixture: String = {
     val local = new java.io.File(
-      "src/test/resources/fixtures/warc_gen15/seg-00000.warc.gz")
+      "src/test/resources/fixtures/warc_gen16/seg-00000.warc.gz")
     if (local.isFile) local.getAbsolutePath
-    else "/root/repo/src/test/resources/fixtures/warc_gen15/seg-00000.warc.gz"
+    else "/root/repo/src/test/resources/fixtures/warc_gen16/seg-00000.warc.gz"
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -280,7 +283,9 @@ object WarcQueries {
         |  ('seg-00000.warc.gz', 34, 'http://example.org/bom-untyped', '2026-03-04T05:06:07Z',
         |   'BOM sniffed fine.', NULL),
         |  ('seg-00000.warc.gz', 35, 'http://example.org/cutoff', '2026-03-04T05:06:07Z',
-        |   'Length cap hit: this capture stops mid-sent', 'length')
+        |   'Length cap hit: this capture stops mid-sent', 'length'),
+        |  ('seg-00000.warc.gz', 36, 'http://example.org/br-page', '2026-03-04T05:06:07Z',
+        |   'Brotli coding decodes natively.', NULL)
         |) AS t(file, "offset", url, fetch_date, text, truncated)
         |ORDER BY "offset"""".stripMargin,
     "warc_census" ->
@@ -320,7 +325,8 @@ object WarcQueries {
         |  (32, 'response', 'application/http; msgtype=response', 153),
         |  (33, 'response', 'application/http; msgtype=response', 97),
         |  (34, 'response', 'application/http; msgtype=response', 80),
-        |  (35, 'response', 'application/http; msgtype=response', 102)
+        |  (35, 'response', 'application/http; msgtype=response', 102),
+        |  (36, 'response', 'application/http; msgtype=response', 123)
         |) AS t("offset", warc_type, content_type, content_length)
         |ORDER BY "offset"""".stripMargin,
     "warc_media" ->
@@ -333,7 +339,7 @@ object WarcQueries {
     "warc_drop_census" ->
       """SELECT * FROM (VALUES
         |  ('below_quality', 1, 0),
-        |  ('document', 20, 1),
+        |  ('document', 21, 1),
         |  ('empty_text', 1, 0),
         |  ('malformed_envelope', 1, 0),
         |  ('media', 3, 0),
@@ -373,6 +379,7 @@ object WarcQueries {
         |  ('doc', 'http://example.org/alpha#3', 38),
         |  ('doc', 'http://example.org/asxml#20', 14),
         |  ('doc', 'http://example.org/bom-untyped#34', 17),
+        |  ('doc', 'http://example.org/br-page#36', 31),
         |  ('doc', 'http://example.org/cafe#8', 19),
         |  ('doc', 'http://example.org/chunked#15', 19),
         |  ('doc', 'http://example.org/cutoff#35', 43),

@@ -1016,6 +1016,73 @@ object FreezeWarcFixture15 {
 }
 
 /**
+ * Freezes the round-15 Brotli fixture (`warc_gen16`) — a SUPERSET of
+ * `warc_gen15` (committed fixtures are immutable once specs replay them;
+ * this one appends):
+ *
+ *  - 36: `Content-Encoding: br` with a VALID Brotli body — decoded by the
+ *    pure-Scala [[graft.functions.BrotliKernel]] (RFC 7932) instead of
+ *    null-dropped. Record 17 (gen-13's junk-bytes br record) stays in the
+ *    corpus as the NEGATIVE pin: malformed br still drops as
+ *    `unsupported_coding`, so the census now separates "br we can't
+ *    decode" (none, ideally) from "br that is garbage".
+ *
+ * Determinism: the br member is an embedded constant (like the PNG/zstd
+ * ones) so regeneration never depends on an encoder's choices;
+ * GZIPOutputStream MTIME=0 — regeneration is byte-stable.
+ */
+object FreezeWarcFixture16 {
+  import FreezeWarcFixture.{ascii, date, rec}
+
+  /** Brotli frame of `<html><body>Brotli coding decodes natively.</body>
+    * </html>` (libbrotli q11) — embedded as a constant. */
+  val brHtmlBytes: Array[Byte] =
+    ("1b3800e09d09364ea877377c844a6fa131323909c24657656fed92c6960736e0" +
+      "c0a580329bf07875aa05c3f13d832dcb4f1e5c1a801fa74106")
+      .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  def records: Seq[Array[Byte]] = FreezeWarcFixture15.records ++ Seq(
+    // 36: a real br-coded page — the largest remaining front-door loss
+    // bucket on real crawls, now decoded
+    rec("response", "http://example.org/br-page", date,
+      "application/http; msgtype=response",
+      ascii("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+        "Content-Encoding: br\r\n\r\n") ++ brHtmlBytes))
+
+  def main(args: Array[String]): Unit = {
+    val dir = new java.io.File(args.headOption.getOrElse(
+      "src/test/resources/fixtures/warc_gen16"))
+    dir.mkdirs()
+    val seg = new java.io.File(dir, "seg-00000.warc.gz")
+    val out = new java.io.FileOutputStream(seg)
+    records.foreach { r =>
+      val g = new java.util.zip.GZIPOutputStream(out)
+      g.write(r); g.finish()
+    }
+    out.close()
+    println(s"frozen: $seg (${seg.length()} bytes, ${records.length} members)")
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val recs = graft.sources.WarcSource.readWarc(spark, seg.getAbsolutePath)
+    graft.sources.WarcSource.warcToDocuments(recs)
+      .orderBy("offset").collect()
+      .foreach(r => println(s"[doc] ${r.toSeq.mkString(" | ")}"))
+    graft.sources.WarcSource.readWarc(spark, seg.getAbsolutePath,
+        keepPayload = false)
+      .selectExpr("offset", "warcType", "contentType", "contentLength")
+      .orderBy("offset").collect()
+      .foreach(r => println(s"[census] ${r.toSeq.mkString(" | ")}"))
+    graft.sources.WarcSource.warcToDispositions(recs, minQuality = 0.35)
+      .orderBy("offset").collect()
+      .foreach(r => println(s"[disp] ${r.toSeq.mkString(" | ")}"))
+    spark.stop()
+  }
+}
+
+/**
  * Freezes the AUTO-REINDEX-era fixture (`index_gen12r`): a generation
  * installed by the round-12 model-staleness escalation — `maybeCompact`
  * detected rows-since-full-build past `graft.reindex.staleFraction` and ran

@@ -734,6 +734,25 @@ class WarcSourceSpec extends AnyFunSuite {
       .select("truncated").head().getString(0) == "unspecified")
   }
 
+  test("warc_gen16 fixture replays: br coding decodes, junk br still drops") {
+    val fixture = new java.io.File(
+      "src/test/resources/fixtures/warc_gen16/seg-00000.warc.gz").getAbsolutePath
+    val recs = WarcSource.readWarc(spark, fixture)
+    assert(recs.count() == 37)
+    val docs = WarcSource.warcToDocuments(recs)
+      .select("offset", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(docs(36L) == "Brotli coding decodes natively.",
+      "Content-Encoding: br must decode through BrotliKernel")
+    assert(!docs.contains(17L),
+      "malformed br bytes must still drop, not garble")
+    val disp = WarcSource.warcToDispositions(recs)
+      .filter(col("offset").isin(17, 36))
+      .select("offset", "disposition").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(disp == Map(17L -> "unsupported_coding", 36L -> "document"))
+  }
+
   test("bridges stay mutually exclusive: html-ish svg+xml is media, not text") {
     import spark.implicits._
     // a misconfigured server serving an HTML error page under a media
