@@ -344,6 +344,11 @@ object HtmlTextKernel {
     "middot;" -> "·", "copy;" -> "©", "reg;" -> "®", "trade;" -> "™",
     "eacute;" -> "é", "amp;" -> "&")
 
+  /** Scan 1 shared with [[MainTextKernel]] (which segments blocks over the
+    * same script/style/comment-free view the text extraction sees). */
+  private[functions] def stripScriptStyleComments(s: String): String =
+    stripBlocks(s)
+
   /** Scan 1: script/style blocks and closed comments → one space each. */
   private def stripBlocks(s: String): String = {
     val n = s.length

@@ -38,6 +38,9 @@ object VectorFunctions {
     // single-pass HTML → text extraction, value-identical to the
     // WarcSource.htmlText regex chain (which stays as the specification)
     "html_to_text" -> (es => HtmlToText(es(0))),
+    // boilerplate-reduced main content (block scoring: structural tags,
+    // unlikely class/id, length, link density — see MainTextKernel)
+    "main_html_text" -> (es => MainHtmlText(es(0))),
     // single-pass quality score, bit-identical to the Column formula
     // (TextAnalysis.qualityScore stays as the specification)
     "quality_score" -> (es => graft.operators.QualityScore(es(0))),

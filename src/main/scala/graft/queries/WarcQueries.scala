@@ -16,11 +16,14 @@ import graft.streaming.CrawlIngest
  * applied to ingestion). DuckDB cannot parse WARC, so the oracle side is the
  * fixture's EXPECTED rows as literal VALUES: the fixture is deterministic
  * (committed binary, byte-stable regeneration via
- * [[graft.tools.FreezeWarcFixture16]]), which makes the literal oracle
+ * [[graft.tools.FreezeWarcFixture17]]), which makes the literal oracle
  * exactly as strong as a recomputed one — and independent of this parser.
  *
  * The fixture segment is multi-member gzip (one member per record, the
- * Common Crawl framing). Gen-16 supersets gen-15 with a VALID
+ * Common Crawl framing). Gen-17 supersets gen-16 with a chrome-wrapped
+ * page (nav + cookie banner + link-farm footer around real prose) for
+ * the opt-in boilerplate-reduced `main_text` column
+ * ([[graft.functions.MainTextKernel]]). Gen-16 supersets gen-15 with a VALID
  * `Content-Encoding: br` page, decoded by the pure-Scala
  * [[graft.functions.BrotliKernel]] (record 17's junk-br stays the
  * negative pin — still `unsupported_coding`). Gen-15 supersets gen-14 with a
@@ -43,9 +46,9 @@ object WarcQueries {
     * run elsewhere. */
   private def fixture: String = {
     val local = new java.io.File(
-      "src/test/resources/fixtures/warc_gen16/seg-00000.warc.gz")
+      "src/test/resources/fixtures/warc_gen17/seg-00000.warc.gz")
     if (local.isFile) local.getAbsolutePath
-    else "/root/repo/src/test/resources/fixtures/warc_gen16/seg-00000.warc.gz"
+    else "/root/repo/src/test/resources/fixtures/warc_gen17/seg-00000.warc.gz"
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -120,6 +123,17 @@ object WarcQueries {
         .agg(count(lit(1)).as("n"),
           count(col("truncated")).as("n_truncated"))
         .orderBy(col("disposition"))
+    }),
+    // boilerplate-reduced main content beside the full extraction: the
+    // chrome page (nav + cookie banner + link-farm footer around two
+    // paragraphs of prose) pins that main_text drops the chrome while
+    // text keeps it, and that markup-free routes pass through identity
+    "warc_main_text" -> ((s, _) => {
+      WarcSource.warcToDocuments(WarcSource.readWarc(s, fixture),
+          withMainText = true)
+        .filter(col("offset").isin(3, 37))
+        .select(col("offset"), col("url"), col("text"), col("main_text"))
+        .orderBy(col("offset"))
     }),
     // the FULL bridge, end-to-end under the oracle: ingestSegments on the
     // fixture into fresh temp stores with every leg on (documents + dedup
@@ -285,7 +299,9 @@ object WarcQueries {
         |  ('seg-00000.warc.gz', 35, 'http://example.org/cutoff', '2026-03-04T05:06:07Z',
         |   'Length cap hit: this capture stops mid-sent', 'length'),
         |  ('seg-00000.warc.gz', 36, 'http://example.org/br-page', '2026-03-04T05:06:07Z',
-        |   'Brotli coding decodes natively.', NULL)
+        |   'Brotli coding decodes natively.', NULL),
+        |  ('seg-00000.warc.gz', 37, 'http://example.org/chrome', '2026-03-04T05:06:07Z',
+        |   'Main content demo Home About Contact This website uses cookies to improve your browsing experience. Accept Decline Graft extracts the main article content from crawled pages by scoring text blocks on length and link density, following the public jusText and Boilerpipe family of algorithms. Short navigation rows and link farms drop out; long running prose stays in the corpus. Privacy | Terms | © 2026 Example', NULL)
         |) AS t(file, "offset", url, fetch_date, text, truncated)
         |ORDER BY "offset"""".stripMargin,
     "warc_census" ->
@@ -326,7 +342,8 @@ object WarcQueries {
         |  (33, 'response', 'application/http; msgtype=response', 97),
         |  (34, 'response', 'application/http; msgtype=response', 80),
         |  (35, 'response', 'application/http; msgtype=response', 102),
-        |  (36, 'response', 'application/http; msgtype=response', 123)
+        |  (36, 'response', 'application/http; msgtype=response', 123),
+        |  (37, 'response', 'application/http; msgtype=response', 747)
         |) AS t("offset", warc_type, content_type, content_length)
         |ORDER BY "offset"""".stripMargin,
     "warc_media" ->
@@ -339,7 +356,7 @@ object WarcQueries {
     "warc_drop_census" ->
       """SELECT * FROM (VALUES
         |  ('below_quality', 1, 0),
-        |  ('document', 21, 1),
+        |  ('document', 22, 1),
         |  ('empty_text', 1, 0),
         |  ('malformed_envelope', 1, 0),
         |  ('media', 3, 0),
@@ -369,6 +386,16 @@ object WarcQueries {
         |   3, '2026-01-02T03:04:05Z')
         |) AS t(url_norm, payload_digest, n_revisits, first_seen)
         |ORDER BY url_norm""".stripMargin,
+    "warc_main_text" ->
+      """SELECT * FROM (VALUES
+        |  (3, 'http://example.org/alpha',
+        |   'Graft Alpha report pre-extracted text.',
+        |   'Graft Alpha report pre-extracted text.'),
+        |  (37, 'http://example.org/chrome',
+        |   'Main content demo Home About Contact This website uses cookies to improve your browsing experience. Accept Decline Graft extracts the main article content from crawled pages by scoring text blocks on length and link density, following the public jusText and Boilerpipe family of algorithms. Short navigation rows and link farms drop out; long running prose stays in the corpus. Privacy | Terms | © 2026 Example',
+        |   'Graft extracts the main article content from crawled pages by scoring text blocks on length and link density, following the public jusText and Boilerpipe family of algorithms. Short navigation rows and link farms drop out; long running prose stays in the corpus.')
+        |) AS t("offset", url, text, main_text)
+        |ORDER BY "offset"""".stripMargin,
     "crawl_pipeline" ->
       """SELECT * FROM (VALUES
         |  ('ann', 'http://example.org/alpha#3', 1),
@@ -381,6 +408,7 @@ object WarcQueries {
         |  ('doc', 'http://example.org/bom-untyped#34', 17),
         |  ('doc', 'http://example.org/br-page#36', 31),
         |  ('doc', 'http://example.org/cafe#8', 19),
+        |  ('doc', 'http://example.org/chrome#37', 410),
         |  ('doc', 'http://example.org/chunked#15', 19),
         |  ('doc', 'http://example.org/cutoff#35', 43),
         |  ('doc', 'http://example.org/gzipped#16', 16),

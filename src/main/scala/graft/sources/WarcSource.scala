@@ -661,8 +661,20 @@ object WarcSource {
     * Shift-JIS pages enter the dedup/quality stack as real text, not
     * mojibake. Emits `(url, fetch_date, text, truncated)` + provenance —
     * `truncated` is the `WARC-Truncated` reason (see [[truncatedCol]]),
-    * null for complete captures. */
-  def warcToDocuments(records: DataFrame): DataFrame = {
+    * null for complete captures.
+    *
+    * `withMainText = true` adds a `main_text` column: the
+    * boilerplate-REDUCED content per [[graft.functions.MainTextKernel]]
+    * (block scoring — structural tags, unlikely class/id, length, link
+    * density; the public jusText/Boilerpipe/Readability family). At
+    * 100 TB, site chrome (nav/footer/cookie banners) dominates near-dup
+    * pair volume and skews quality ratios — `main_text` is the column the
+    * curation family should score and dedup when it is on. For the
+    * non-HTML routes (WET, text/plain) `main_text` equals `text`: there
+    * is no markup to scope, the whole document is content. Opt-in because
+    * it costs a second extraction pass per HTML document. */
+  def warcToDocuments(records: DataFrame,
+      withMainText: Boolean = false): DataFrame = {
     graft.functions.VectorFunctions.register(records.sparkSession)
     // `resource` records (wget/heritrix write them for directly-captured
     // payloads — no HTTP envelope, the WARC-level Content-Type is the real
@@ -675,7 +687,7 @@ object WarcSource {
     val isPlain = plainRouteCol
     val decodedBody =
       call_function("charset_decode", col("body"), col("eff_charset"))
-    withHttpRouting(records)
+    val base = withHttpRouting(records)
       .filter((isWet || isHtml || isPlain) && statusOkCol)
       .select(col("targetUri").as("url"), col("date").as("fetch_date"),
         // the text column is a graft_barrier fence like `body` above: the
@@ -688,9 +700,20 @@ object WarcSource {
             .when(isHtml, call_function("html_to_text", decodedBody))
             .otherwise(trim(regexp_replace(decodedBody, "\\s+", " "))))
           .as("text"),
+        // main_text rides the SAME routed frame (no second parse/decode):
+        // a second kernel pass over the decoded body for HTML, identity
+        // for the markup-free routes
+        (if (withMainText)
+          when(isHtml, call_function("main_html_text", decodedBody))
+          else lit(null).cast("string")).as("__main"),
         truncatedCol.as("truncated"),
         col("file"), col("offset"))
       .filter(length(col("text")) > 0)
+    if (withMainText)
+      base.select(col("url"), col("fetch_date"), col("text"),
+        coalesce(col("__main"), col("text")).as("main_text"),
+        col("truncated"), col("file"), col("offset"))
+    else base.drop("__main")
   }
 
   /** WARC `revisit` records surfaced as a crawl-level dedup SIGNAL instead
@@ -723,8 +746,10 @@ object WarcSource {
     * is 2x front-door decompression for a ledger of tiny rows. Emits the
     * superset of both projections plus `kind` ('doc' / 'rev'); doc rows
     * carry null ledger columns and vice versa. Same routing, fencing and
-    * emptiness semantics as the dedicated bridges. */
-  def warcToDocumentsAndRevisits(records: DataFrame): DataFrame = {
+    * emptiness semantics as the dedicated bridges (incl. the opt-in
+    * `main_text` — see [[warcToDocuments]]). */
+  def warcToDocumentsAndRevisits(records: DataFrame,
+      withMainText: Boolean = false): DataFrame = {
     graft.functions.VectorFunctions.register(records.sparkSession)
     val isRev = col("warcType") === "revisit"
     val decodedBody =
@@ -748,12 +773,21 @@ object WarcSource {
             .when(htmlRouteCol, call_function("html_to_text", decodedBody))
             .otherwise(trim(regexp_replace(decodedBody, "\\s+", " "))))
           .as("text"),
+        (if (withMainText)
+          when(!isRev && htmlRouteCol,
+            call_function("main_html_text", decodedBody))
+          else lit(null).cast("string")).as("__main"),
         when(!isRev, truncatedCol).as("truncated"),
         when(isRev, hdr("warc-refers-to-date")).as("original_date"),
         when(isRev, hdr("warc-payload-digest")).as("payload_digest"),
         when(isRev, hdr("warc-profile")).as("profile"),
         col("file"), col("offset"))
       .filter(col("kind") === "rev" || length(col("text")) > 0)
+      .withColumns(
+        if (withMainText) Map("main_text" ->
+          when(col("kind") === "doc", coalesce(col("__main"), col("text"))))
+        else Map.empty[String, Column])
+      .drop("__main")
   }
 
   /** Drop OBSERVABILITY for the crawl front door: one disposition per

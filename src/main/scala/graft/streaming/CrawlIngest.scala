@@ -200,7 +200,11 @@ object CrawlIngest {
       textIndexPath: Option[String] = None,
       annIndexPath: Option[String] = None, embedDim: Int = 64,
       encoder: Option[DataFrame => DataFrame] = None,
-      revisitsPath: Option[String] = None): IngestStats = {
+      revisitsPath: Option[String] = None,
+      // opt-in boilerplate-reduced `main_text` column on the documents
+      // store (see WarcSource.warcToDocuments) — one extra kernel pass
+      // per HTML document, same single segment read
+      mainText: Boolean = false): IngestStats = {
     if (segmentPaths.isEmpty) return IngestStats(0, 0, 0, 0, 0, 0)
     // the paths are joined into one binaryFiles spec below, where ',' is a
     // separator and '{[*?' are glob metacharacters — a path containing one
@@ -258,17 +262,23 @@ object CrawlIngest {
     val pinned = {
       val raw = WarcSource.readWarc(spark, pathSpec)
       val bridged =
-        if (wantRev) WarcSource.warcToDocumentsAndRevisits(raw)
-        else WarcSource.warcToDocuments(raw).withColumn("kind", lit("doc"))
+        if (wantRev) WarcSource.warcToDocumentsAndRevisits(raw, mainText)
+        else WarcSource.warcToDocuments(raw, mainText)
+          .withColumn("kind", lit("doc"))
       withDocIds(bridged)
         .withColumn("__q", when(col("kind") === "doc",
           TextAnalysis.qualityScoreFast(col("text"))))
         .localCheckpoint()
     }
     val parsed = pinned.filter(col("kind") === "doc")
-    // same column order the store has always had (url..offset, doc_id)
+    // same column order the store has always had (url..offset, doc_id);
+    // main_text lands after text when the opt-in is on
+    val storeCols =
+      if (mainText) Seq("url", "fetch_date", "text", "main_text", "file",
+        "offset", "doc_id")
+      else Seq("url", "fetch_date", "text", "file", "offset", "doc_id")
     val gated = parsed.filter(col("__q") >= minQuality)
-      .select("url", "fetch_date", "text", "file", "offset", "doc_id")
+      .select(storeCols.head, storeCols.tail: _*)
     // one bounded aggregation over the pinned rows: extraction + gate counts
     val qrow = parsed.agg(count(lit(1)),
       count(when(col("__q") >= minQuality, 1))).head()
@@ -442,6 +452,7 @@ object CrawlIngest {
       annIndexPath: Option[String] = None, embedDim: Int = 64,
       encoder: Option[DataFrame => DataFrame] = None,
       revisitsPath: Option[String] = None,
+      mainText: Boolean = false,
       // tiered folds inside the batch callback once a store's local batch
       // count passes graft.compact.dedupMaxBatches / textMaxBatches
       // (default 64) — the startDedupIngest/startTextIngest autovacuum
@@ -491,7 +502,7 @@ object CrawlIngest {
         val paths = batch.collect().map(_.getString(0)).toSeq
         ingestSegments(s, paths, documentsPath, dedupIndexPath, batchId,
           minQuality, dedupThreshold, textIndexPath, annIndexPath, embedDim,
-          encoder, revisitsPath)
+          encoder, revisitsPath, mainText)
         if (autoCompact && paths.nonEmpty) {
           val dedupMax =
             s.conf.get("graft.compact.dedupMaxBatches", "64").toInt

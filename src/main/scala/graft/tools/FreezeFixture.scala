@@ -1083,6 +1083,76 @@ object FreezeWarcFixture16 {
 }
 
 /**
+ * Freezes the round-15 main-content fixture (`warc_gen17`) — a SUPERSET of
+ * `warc_gen16` (committed fixtures are immutable once specs replay them;
+ * this one appends):
+ *
+ *  - 37: a page wrapped in the chrome every real site has — nav bar,
+ *    cookie-consent banner (`class="cookie-banner"`), link-farm footer —
+ *    around two paragraphs of actual prose. `html_to_text` keeps all of
+ *    it (by design: deterministic full extraction); the opt-in
+ *    `main_text` ([[graft.functions.MainTextKernel]]) must keep ONLY the
+ *    prose. The `warc_main_text` oracle pins both columns side by side.
+ *
+ * Determinism: fixed bytes, GZIPOutputStream MTIME=0.
+ */
+object FreezeWarcFixture17 {
+  import FreezeWarcFixture.{ascii, date, rec}
+
+  val boilerplateHtml: String =
+    "<html><head><title>Main content demo</title></head><body>" +
+      "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+      "<a href=\"/contact\">Contact</a></nav>" +
+      "<div class=\"cookie-banner\">This website uses cookies to improve " +
+      "your browsing experience. <a href=\"/accept\">Accept</a> " +
+      "<a href=\"/decline\">Decline</a></div>" +
+      "<article><p>Graft extracts the main article content from crawled " +
+      "pages by scoring text blocks on length and link density, following " +
+      "the public jusText and Boilerpipe family of algorithms.</p>" +
+      "<p>Short navigation rows and link farms drop out; long running " +
+      "prose stays in the corpus.</p></article>" +
+      "<footer><a href=\"/privacy\">Privacy</a> | " +
+      "<a href=\"/terms\">Terms</a> | © 2026 Example</footer>" +
+      "</body></html>"
+
+  def records: Seq[Array[Byte]] = FreezeWarcFixture16.records ++ Seq(
+    rec("response", "http://example.org/chrome", date,
+      "application/http; msgtype=response",
+      ascii("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+        boilerplateHtml)))
+
+  def main(args: Array[String]): Unit = {
+    val dir = new java.io.File(args.headOption.getOrElse(
+      "src/test/resources/fixtures/warc_gen17"))
+    dir.mkdirs()
+    val seg = new java.io.File(dir, "seg-00000.warc.gz")
+    val out = new java.io.FileOutputStream(seg)
+    records.foreach { r =>
+      val g = new java.util.zip.GZIPOutputStream(out)
+      g.write(r); g.finish()
+    }
+    out.close()
+    println(s"frozen: $seg (${seg.length()} bytes, ${records.length} members)")
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val recs = graft.sources.WarcSource.readWarc(spark, seg.getAbsolutePath)
+    graft.sources.WarcSource.warcToDocuments(recs, withMainText = true)
+      .filter(org.apache.spark.sql.functions.col("offset") >= 35)
+      .orderBy("offset").collect()
+      .foreach(r => println(s"[doc] ${r.toSeq.mkString(" | ")}"))
+    graft.sources.WarcSource.readWarc(spark, seg.getAbsolutePath,
+        keepPayload = false)
+      .selectExpr("offset", "contentLength")
+      .orderBy("offset").collect().takeRight(2)
+      .foreach(r => println(s"[census] ${r.toSeq.mkString(" | ")}"))
+    spark.stop()
+  }
+}
+
+/**
  * Freezes the AUTO-REINDEX-era fixture (`index_gen12r`): a generation
  * installed by the round-12 model-staleness escalation — `maybeCompact`
  * detected rows-since-full-build past `graft.reindex.staleFraction` and ran

@@ -753,6 +753,33 @@ class WarcSourceSpec extends AnyFunSuite {
     assert(disp == Map(17L -> "unsupported_coding", 36L -> "document"))
   }
 
+  test("warc_gen17 fixture replays: main_text drops chrome, text keeps it") {
+    val fixture = new java.io.File(
+      "src/test/resources/fixtures/warc_gen17/seg-00000.warc.gz").getAbsolutePath
+    val recs = WarcSource.readWarc(spark, fixture)
+    assert(recs.count() == 38)
+    val row = WarcSource.warcToDocuments(recs, withMainText = true)
+      .filter(col("offset") === 37).select("text", "main_text").head()
+    val text = row.getString(0)
+    val main = row.getString(1)
+    // the full extraction keeps the chrome (deterministic, replayable)
+    assert(text.contains("Home About Contact") &&
+      text.contains("uses cookies") && text.contains("Privacy"),
+      s"text must keep the chrome: $text")
+    // main_text keeps ONLY the prose: nav (structural), cookie banner
+    // (class heuristic) and link-farm footer (link density) all drop
+    assert(main.startsWith("Graft extracts the main article content") &&
+      main.endsWith("prose stays in the corpus."), s"main_text: $main")
+    assert(!main.contains("cookies") && !main.contains("Home") &&
+      !main.contains("Privacy"), s"main_text must drop the chrome: $main")
+    // markup-free routes pass through as identity
+    val wet = WarcSource.warcToDocuments(recs, withMainText = true)
+      .filter(col("offset") === 3).select("text", "main_text").head()
+    assert(wet.getString(0) == wet.getString(1))
+    // flag off → no main_text column (schema stays what it always was)
+    assert(!WarcSource.warcToDocuments(recs).columns.contains("main_text"))
+  }
+
   test("bridges stay mutually exclusive: html-ish svg+xml is media, not text") {
     import spark.implicits._
     // a misconfigured server serving an HTML error page under a media
