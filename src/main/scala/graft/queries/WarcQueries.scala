@@ -164,12 +164,16 @@ object WarcQueries {
       .digest(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(fixture)))
       .map("%02x".format(_)).mkString.take(12)
-    val base = new java.io.File(s"/tmp/graft_index/crawl_pipeline2_$fp")
+    // the "3" namespaces the store LAYOUT (six legs since the census
+    // landed): a layout change must not reuse a _done-marked build of the
+    // previous layout even for identical fixture bytes
+    val base = new java.io.File(s"/tmp/graft_index/crawl_pipeline3_$fp")
     val docsPath = s"$base/documents"
     val dedupPath = s"$base/dedup_index"
     val textPath = s"$base/text_index"
     val annPath = s"$base/ann_index"
     val revPath = s"$base/revisits"
+    val dispPath = s"$base/dispositions"
     val done = new java.io.File(base, "_done")
     // two guards compose: the JVM-local lock serializes threads in THIS
     // process; the OS FileLock serializes PROCESSES (parallel sbt
@@ -206,7 +210,7 @@ object WarcQueries {
         CrawlIngest.ingestSegments(s, Seq(fixture), docsPath, dedupPath, 0L,
           minQuality = 0.0, dedupThreshold = 0.9,
           textIndexPath = Some(textPath), annIndexPath = Some(annPath),
-          revisitsPath = Some(revPath))
+          revisitsPath = Some(revPath), dispositionsPath = Some(dispPath))
         done.createNewFile()
       } } finally {
         if (flock != null) flock.release()
@@ -248,8 +252,13 @@ object WarcQueries {
       .agg(count(lit(1)).as("metric"))
       .select(lit("revisit").as("part"), col("item"),
         col("metric").cast("long").as("metric"))
+    // the sixth store: the landed drop census — per-disposition counts at
+    // the ingest gate's own quality threshold, one batch here
+    val censusRows = s.read.parquet(dispPath)
+      .select(lit("census").as("part"), col("disposition").as("item"),
+        col("n").cast("long").as("metric"))
     docRows.unionAll(bmRows).unionAll(annRows).unionAll(dedupRows)
-      .unionAll(revRows)
+      .unionAll(revRows).unionAll(censusRows)
       .orderBy(col("part"), col("item"))
   }
 
@@ -401,6 +410,15 @@ object WarcQueries {
         |  ('ann', 'http://example.org/alpha#3', 1),
         |  ('bm25', 'http://example.org/alpha#1', 2),
         |  ('bm25', 'http://example.org/alpha#3', 1),
+        |  ('census', 'document', 23),
+        |  ('census', 'empty_text', 1),
+        |  ('census', 'malformed_envelope', 1),
+        |  ('census', 'media', 3),
+        |  ('census', 'non_document_type', 1),
+        |  ('census', 'non_success_status', 2),
+        |  ('census', 'non_text_type', 3),
+        |  ('census', 'revisit', 3),
+        |  ('census', 'unsupported_coding', 1),
         |  ('dedup', 'probe_hits', 1),
         |  ('doc', 'http://example.org/alpha#1', 61),
         |  ('doc', 'http://example.org/alpha#3', 38),

@@ -609,6 +609,22 @@ object WarcSource {
       coalesce(
         nullif(lower(trim(col("headers").getItem("warc-truncated"))), lit("")),
         lit("unspecified")))
+  /** The shared disposition chain (first match wins, mirroring bridge
+    * order) over [[withHttpRouting]] output + an already-computed `text`
+    * column — ONE definition consumed by [[warcToDispositions]] and the
+    * fused bridge's census leg, so the two can never drift. Returned
+    * WITHOUT a final otherwise: callers append their own quality arm
+    * (the TVF census scores in-line; the streaming leg reclassifies by
+    * the ingest gate's stored score) before closing with 'document'. */
+  private def dispositionChain(text: Column): Column =
+    when(col("warcType") === "revisit", "revisit")
+      .when(!(docTypeCol || wetCol), "non_document_type")
+      .when(col("envelope_malformed"), "malformed_envelope")
+      .when(!statusOkCol, "non_success_status")
+      .when(col("body").isNull, "unsupported_coding")
+      .when(modalityCol.isNotNull, "media")
+      .when(text.isNull, "non_text_type")
+      .when(length(text) === 0, "empty_text")
   /** Success gate: only 2xx payloads are page content — a 404's HTML body
     * is an error page, a 30x's is a redirect stub; both pollute the corpus
     * (and near-dup MASSIVELY: every "Not Found" page of one server is
@@ -749,30 +765,44 @@ object WarcSource {
     * emptiness semantics as the dedicated bridges (incl. the opt-in
     * `main_text` — see [[warcToDocuments]]). */
   def warcToDocumentsAndRevisits(records: DataFrame,
-      withMainText: Boolean = false): DataFrame = {
+      withMainText: Boolean = false,
+      withDispositions: Boolean = false): DataFrame = {
     graft.functions.VectorFunctions.register(records.sparkSession)
     val isRev = col("warcType") === "revisit"
+    val isRoute = wetCol || htmlRouteCol || plainRouteCol
     val decodedBody =
       call_function("charset_decode", col("body"), col("eff_charset"))
     def hdr(name: String) =
       coalesce(col("headers").getItem(name), lit(""))
-    withHttpRouting(records)
+    val routed = withHttpRouting(records)
       // revisits are NOT gated on the HTTP status: a revisit envelope is
-      // typically a bare 304/empty capture — the ledger wants it anyway
-      .filter(isRev ||
-        ((wetCol || htmlRouteCol || plainRouteCol) && statusOkCol))
+      // typically a bare 304/empty capture — the ledger wants it anyway.
+      // With the census leg on, NOTHING filters here: dropped records
+      // flow through as kind='drop' rows carrying their disposition
+      // (metadata only — their text is null, so the pin stays tiny)
+      .filter(if (withDispositions) lit(true)
+        else isRev || (isRoute && statusOkCol))
+      // fenced like warcToDocuments' text (the kind/emptiness predicates
+      // below reference it; see OptimizerBarrier). The explicit plain arm
+      // + otherwise(null) makes the same expression correct for BOTH
+      // modes: under the route filter the otherwise is unreachable, with
+      // drops kept it marks "not a text route" exactly like the census.
+      .withColumn("__text", call_function("graft_barrier",
+        when(isRev, lit(null).cast("string"))
+          .when(wetCol, trim(
+            regexp_replace(col("payload").cast("string"), "\\s+", " ")))
+          .when(htmlRouteCol, call_function("html_to_text", decodedBody))
+          .when(plainRouteCol,
+            trim(regexp_replace(decodedBody, "\\s+", " ")))))
+    val projected = routed
       .select(
-        when(isRev, lit("rev")).otherwise(lit("doc")).as("kind"),
+        (if (withDispositions)
+          when(isRev, lit("rev"))
+            .when(isRoute && statusOkCol && length(col("__text")) > 0, "doc")
+            .otherwise("drop")
+        else when(isRev, lit("rev")).otherwise(lit("doc"))).as("kind"),
         col("targetUri").as("url"), col("date").as("fetch_date"),
-        // fenced like warcToDocuments' text (the emptiness filter below
-        // references it; see OptimizerBarrier)
-        call_function("graft_barrier",
-          when(isRev, lit(null).cast("string"))
-            .when(wetCol, trim(
-              regexp_replace(col("payload").cast("string"), "\\s+", " ")))
-            .when(htmlRouteCol, call_function("html_to_text", decodedBody))
-            .otherwise(trim(regexp_replace(decodedBody, "\\s+", " "))))
-          .as("text"),
+        col("__text").as("text"),
         (if (withMainText)
           when(!isRev && htmlRouteCol,
             call_function("main_html_text", decodedBody))
@@ -781,13 +811,19 @@ object WarcSource {
         when(isRev, hdr("warc-refers-to-date")).as("original_date"),
         when(isRev, hdr("warc-payload-digest")).as("payload_digest"),
         when(isRev, hdr("warc-profile")).as("profile"),
+        (if (withDispositions)
+          dispositionChain(col("__text")).otherwise("document")
+        else lit(null).cast("string")).as("__disp"),
         col("file"), col("offset"))
-      .filter(col("kind") === "rev" || length(col("text")) > 0)
+      .filter(if (withDispositions) lit(true)
+        else col("kind") === "rev" || length(col("text")) > 0)
       .withColumns(
         if (withMainText) Map("main_text" ->
           when(col("kind") === "doc", coalesce(col("__main"), col("text"))))
         else Map.empty[String, Column])
-      .drop("__main")
+    (if (withDispositions)
+      projected.withColumn("disposition", col("__disp"))
+    else projected).drop("__main", "__disp")
   }
 
   /** Drop OBSERVABILITY for the crawl front door: one disposition per
@@ -831,14 +867,7 @@ object WarcSource {
           .when(htmlRouteCol, call_function("html_to_text", decodedBody))
           .when(plainRouteCol, trim(regexp_replace(decodedBody, "\\s+", " ")))))
       .withColumn("disposition", {
-        val routed = when(col("warcType") === "revisit", "revisit")
-          .when(!(docTypeCol || wetCol), "non_document_type")
-          .when(col("envelope_malformed"), "malformed_envelope")
-          .when(!statusOkCol, "non_success_status")
-          .when(col("body").isNull, "unsupported_coding")
-          .when(modalityCol.isNotNull, "media")
-          .when(col("text").isNull, "non_text_type")
-          .when(length(col("text")) === 0, "empty_text")
+        val routed = dispositionChain(col("text"))
         (if (minQuality > 0.0)
           routed.when(graft.operators.TextAnalysis.qualityScoreFast(col("text"))
             < lit(minQuality), "below_quality")

@@ -204,7 +204,14 @@ object CrawlIngest {
       // opt-in boilerplate-reduced `main_text` column on the documents
       // store (see WarcSource.warcToDocuments) — one extra kernel pass
       // per HTML document, same single segment read
-      mainText: Boolean = false): IngestStats = {
+      mainText: Boolean = false,
+      // opt-in PERSISTENT drop census: per batch, one row per disposition
+      // (reason, n, n_truncated, batch_id) landed with the same marker
+      // discipline — the TVF census turned into an operator dashboard
+      // that accumulates across the stream's life. Rides the same single
+      // segment parse (drop rows flow through the pinned frame as
+      // metadata-only rows); the rollup is one tiny aggregation per batch
+      dispositionsPath: Option[String] = None): IngestStats = {
     if (segmentPaths.isEmpty) return IngestStats(0, 0, 0, 0, 0, 0)
     // the paths are joined into one binaryFiles spec below, where ',' is a
     // separator and '{[*?' are glob metacharacters — a path containing one
@@ -242,8 +249,12 @@ object CrawlIngest {
       val m = new org.apache.hadoop.fs.Path(s"$rp/_stream/b$streamBatchId")
       m.getFileSystem(conf).exists(m)
     }
+    val dispDone = dispositionsPath.forall { dp =>
+      val m = new org.apache.hadoop.fs.Path(s"$dp/_stream/b$streamBatchId")
+      m.getFileSystem(conf).exists(m)
+    }
     if (docsFs.exists(docsMarker) && dedupFs.exists(dedupMarker) &&
-        textDone && revDone)
+        textDone && revDone && dispDone)
       return IngestStats(0, 0, 0, 0, 0, 0, skippedAsCommitted = true)
 
     val pathSpec = segmentPaths.sorted.mkString(",")
@@ -259,10 +270,14 @@ object CrawlIngest {
     // gunzip of every segment per batch — 2x front-door decompression at
     // scale for a handful of header rows.
     val wantRev = revisitsPath.isDefined && !revDone
+    val wantDisp = dispositionsPath.isDefined && !dispDone
     val pinned = {
       val raw = WarcSource.readWarc(spark, pathSpec)
+      // the census needs the DROPPED records too — the fused bridge keeps
+      // them as metadata-only 'drop' rows in the same single parse
       val bridged =
-        if (wantRev) WarcSource.warcToDocumentsAndRevisits(raw, mainText)
+        if (wantRev || wantDisp) WarcSource.warcToDocumentsAndRevisits(raw,
+          mainText, withDispositions = wantDisp)
         else WarcSource.warcToDocuments(raw, mainText)
           .withColumn("kind", lit("doc"))
       withDocIds(bridged)
@@ -340,10 +355,26 @@ object CrawlIngest {
         .select("url", "fetch_date", "original_date", "payload_digest",
           "profile", "file", "offset"))
       else None
+    // the census rollup: the bridge's disposition, with landing docs the
+    // ingest gate rejects reclassified `below_quality` (same first-match
+    // position the TVF census gives the quality arm). One row per reason
+    // per batch — a stream's whole life of census is a tiny table.
+    val census = if (wantDisp) Some(pinned
+        .select(
+          when(col("kind") === "doc" && col("__q") < minQuality,
+            "below_quality").otherwise(col("disposition"))
+            .as("disposition"),
+          col("truncated"))
+        .groupBy(col("disposition"))
+        .agg(count(lit(1)).as("n"), count(col("truncated")).as("n_truncated"))
+        .withColumn("batch_id", lit(streamBatchId)))
+      else None
     try {
       appendIdempotent(fresh, documentsPath, streamBatchId, "crawl")
       revisits.foreach(rev =>
         appendIdempotent(rev, revisitsPath.get, streamBatchId, "revisits"))
+      census.foreach(c =>
+        appendIdempotent(c, dispositionsPath.get, streamBatchId, "census"))
       // optional BM25 text index: the crawl corpus becomes full-text
       // searchable in the same exactly-once batch (its own marker +
       // replace-by-batch-id discipline, see appendBatchIdempotent)
@@ -453,6 +484,7 @@ object CrawlIngest {
       encoder: Option[DataFrame => DataFrame] = None,
       revisitsPath: Option[String] = None,
       mainText: Boolean = false,
+      dispositionsPath: Option[String] = None,
       // tiered folds inside the batch callback once a store's local batch
       // count passes graft.compact.dedupMaxBatches / textMaxBatches
       // (default 64) — the startDedupIngest/startTextIngest autovacuum
@@ -502,7 +534,7 @@ object CrawlIngest {
         val paths = batch.collect().map(_.getString(0)).toSeq
         ingestSegments(s, paths, documentsPath, dedupIndexPath, batchId,
           minQuality, dedupThreshold, textIndexPath, annIndexPath, embedDim,
-          encoder, revisitsPath, mainText)
+          encoder, revisitsPath, mainText, dispositionsPath)
         if (autoCompact && paths.nonEmpty) {
           val dedupMax =
             s.conf.get("graft.compact.dedupMaxBatches", "64").toInt

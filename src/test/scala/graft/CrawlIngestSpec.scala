@@ -349,6 +349,56 @@ class CrawlIngestSpec extends AnyFunSuite {
     assert(acc("docs_landed").value >= 2 && acc("revisits_landed").value >= 2)
   }
 
+  test("census leg: per-batch disposition rollups land exactly-once") {
+    val base = new java.io.File("/tmp/graft_test_crawl_census")
+    deleteRec(base)
+    val segments = new java.io.File(base, "segments"); segments.mkdirs()
+    val docsPath = s"$base/documents"
+    val dedupPath = s"$base/dedup_index"
+    val dispPath = s"$base/dispositions"
+    Dedup.buildDedupIndex(Seq((9000L, seedText)).toDF("doc_id", "text"),
+      "doc_id", "text", dedupPath)
+    // a keeper, a below-quality page, a warcinfo framing record, a PNG and
+    // a revisit — each a distinct disposition; the keeper carries a
+    // WARC-Truncated header so n_truncated flows through the rollup
+    writeSegment(new java.io.File(segments, "cn0.warc.gz"), Seq(
+      rec("response", "http://cn.test/keep",
+        s"<html><body><p>$goodA</p></body></html>", "text/html",
+        extra = Seq("WARC-Truncated: length")),
+      html("http://cn.test/junk",
+        "84 3921 555 0193 7777 1234 9876 5432 1111 2222"),
+      rec("warcinfo", "", "software: graft", "application/warc-fields"),
+      rec("response", "http://cn.test/logo.png", "fakepng", "image/png"),
+      rec("revisit", "http://cn.test/keep", "", "application/http",
+        extra = Seq("WARC-Payload-Digest: sha1:AAAA"))))
+    val seg = new java.io.File(segments, "cn0.warc.gz").getAbsolutePath
+    val stats = CrawlIngest.ingestSegments(spark, Seq(seg), docsPath,
+      dedupPath, 0L, dispositionsPath = Some(dispPath))
+    assert(stats.docsLanded == 1 && stats.droppedQuality == 1)
+    val rows = spark.read.parquet(dispPath)
+      .collect().map(r => r.getAs[String]("disposition") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_truncated"),
+          r.getAs[Long]("batch_id")))).toMap
+    assert(rows == Map(
+      "document" -> ((1L, 1L, 0L)),
+      "below_quality" -> ((1L, 0L, 0L)),
+      "non_document_type" -> ((1L, 0L, 0L)),
+      "media" -> ((1L, 0L, 0L)),
+      "revisit" -> ((1L, 0L, 0L))), s"census drifted: $rows")
+    // the documents store is unaffected by the census leg's extra rows
+    assert(spark.read.parquet(docsPath).count() == 1)
+    // committed replay: no-op; torn replay (marker lost): replace-by-batch
+    assert(CrawlIngest.ingestSegments(spark, Seq(seg), docsPath, dedupPath,
+      0L, dispositionsPath = Some(dispPath)).skippedAsCommitted)
+    val fs = new org.apache.hadoop.fs.Path(dispPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dispPath/_stream/b0"), false)
+    CrawlIngest.ingestSegments(spark, Seq(seg), docsPath, dedupPath, 0L,
+      dispositionsPath = Some(dispPath))
+    assert(spark.read.parquet(dispPath).count() == 5,
+      "torn census replay must replace-by-batch, never duplicate")
+  }
+
   test("collision audit cadence: a seeded corpus collision fails loud") {
     val base = new java.io.File("/tmp/graft_test_crawl_cadence")
     deleteRec(base)
