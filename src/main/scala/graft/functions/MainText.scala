@@ -160,13 +160,21 @@ object MainTextKernel {
         while (j < n && Character.isLetterOrDigit(s.charAt(j))) j += 1
         val name = s.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
         val tagEnd = s.indexOf('>', j)
-        if (name.isEmpty || tagEnd < 0) {
-          // not a parsable tag ('<' in text, or unterminated): literal,
-          // matching html_to_text's unterminated-tag behavior closely
-          // enough for boilerplate purposes
+        if (tagEnd < 0) {
+          // unterminated '<' to EOF stays literal — same as html_to_text
           block.append(c)
           if (anchorDepth > 0) anchor.append(c)
           i += 1
+        } else if (name.isEmpty) {
+          // a name-less construct (<!doctype>, <?xml?>, "</<", <>): no
+          // structural meaning, but html_to_text strips ANY <...> span —
+          // mirror that here so a dangling '<' can never strand inside a
+          // block whose closing '>' lies beyond the block boundary (the
+          // block text re-extraction would then keep it literal while the
+          // full extraction stripped it)
+          block.append(' ')
+          if (anchorDepth > 0) anchor.append(' ')
+          i = tagEnd + 1
         } else {
           val attrs = s.substring(j, tagEnd)
           val selfClosed = attrs.endsWith("/") ||

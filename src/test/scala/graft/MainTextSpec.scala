@@ -66,4 +66,33 @@ class MainTextSpec extends AnyFunSuite {
     assert(m("") == "")
     assert(m(prose) == prose) // bare text = one block
   }
+
+  test("fuzz: main_text tokens ⊆ html_to_text tokens, and never a throw") {
+    // main_text is a SELECTION of the full extraction, never a rewrite:
+    // every whitespace token it emits must appear among html_to_text's
+    // tokens for the same document (block text reuses HtmlTextKernel, so
+    // the containment holds even on the broken markup real crawls carry)
+    val rnd = new scala.util.Random(151515)
+    val frags = Array(
+      "<p>", "</p>", "<div>", "</div>", "<a href=\"/x\">", "</a>",
+      "<nav>", "</nav>", "<footer>", "</footer>", "<br>", "<span>",
+      "</span>", "<div class=\"cookie\">", "<div class=\"content\">",
+      "<!doctype html>", "<!-- note -->", "<!--", "<script>x</script>",
+      "<script>", "<style>a{}</style>", "< notag", "&amp;", "&#8212;",
+      "&nbsp;", "&broken", "words of ordinary prose ", "linktext ",
+      "Another reasonably long sentence fragment to fill blocks up. ",
+      "short ", "  ", "\n", "é漢字 ", "<p est>", "x>y ", "</", ">")
+    (0 until 400).foreach { _ =>
+      val html = (0 until (2 + rnd.nextInt(40)))
+        .map(_ => frags(rnd.nextInt(frags.length))).mkString
+      val main = m(html) // must not throw
+      val full = graft.functions.HtmlTextKernel
+        .extract(UTF8String.fromString(html)).toString
+      val fullTokens = full.split(" ").toSet
+      val bad = main.split(" ").filter(t => t.nonEmpty && !fullTokens(t))
+      assert(bad.isEmpty,
+        s"main_text tokens ${bad.toSeq} not in full extraction\n" +
+          s"html=$html\nmain=$main\nfull=$full")
+    }
+  }
 }
