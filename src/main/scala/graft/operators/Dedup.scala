@@ -560,7 +560,7 @@ object Dedup {
       textCol: String, batchId: Long): Unit = {
     require(batchId > 0L, "append batches start at 1 (0 is the build)")
     val spark = batch.sparkSession
-    val m = spark.read.parquet(s"$path/idxmeta").head()
+    val m = graft.index.ParquetMetaCache.headRow(spark, s"$path/idxmeta")
     graft.index.WriterLock.withLease(spark, path) {
       val root = graft.index.DiskannIndex.resolveRoot(spark, path)
       // retry safety: scrub this batch id's partition dirs first (see
@@ -630,7 +630,8 @@ object Dedup {
       batch: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, excludeBatch: Long = -1L): DataFrame = {
     TextAnalysis.register(spark)
-    val m = spark.read.parquet(s"$path/idxmeta").head()
+    // mtime-memoized: the probe path pays this on every call
+    val m = graft.index.ParquetMetaCache.headRow(spark, s"$path/idxmeta")
     val (shingleSize, numHashes, nBands) = (m.getAs[Int]("shingle_size"),
       m.getAs[Int]("num_hashes"), m.getAs[Int]("bands"))
     val root = graft.index.DiskannIndex.resolveRoot(spark, path)

@@ -17,9 +17,13 @@ import org.apache.spark.sql.functions._
  * sort-merge join's sort on the hot partition already paid the cost).
  *
  * Rewrite: the fact side gets a deterministic per-row salt in
- * `[0, nSalts)` (md5 of a caller-named row-identity column — the repo's
- * engine-independent route, [[Curation.md5Low60]]; never `rand()`, whose
- * retry non-determinism can drop/duplicate rows in a recomputed stage);
+ * `[0, nSalts)` (xxhash64 of a caller-named row-identity column — a pure
+ * codegen'd builtin, so a recomputed stage reproduces the same salts;
+ * never `rand()`, whose retry non-determinism can drop/duplicate rows in
+ * a recomputed stage. The salt is internal — dropped before the result —
+ * so unlike the repo's oracle-replayed hashes it does not need the
+ * md5-low-60 idiom, and xxhash64 is an order of magnitude cheaper per
+ * row than md5 + hex conv);
  * the dim side is replicated `nSalts`× with a generated salt column, and
  * the join key becomes `(key, salt)` — the hot key now spreads over
  * `nSalts` reducers. Cost: dim rows shuffled `nSalts`× (choose the
@@ -44,8 +48,7 @@ object SkewJoin {
         s"not '$joinType' (a replicated dim side would multiply its " +
         "unmatched rows)")
     val salted = fact.withColumn("__salt",
-      pmod(Curation.md5Low60(
-        concat_ws(":", lit(seed), col(factIdCol))), lit(nSalts.toLong)))
+      pmod(xxhash64(lit(seed), col(factIdCol)), lit(nSalts.toLong)))
     val replicated = dim
       .withColumn("__salt", explode(
         sequence(lit(0L), lit(nSalts.toLong - 1))))

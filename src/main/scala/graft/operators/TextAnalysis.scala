@@ -372,21 +372,30 @@ object TextAnalysis {
   def cmsNgramEstimates(df: DataFrame, textCol: String, n: Int = 5,
       width: Int = 1 << 14, depth: Int = 4, topK: Int = 20): DataFrame = {
     require(width > 0 && depth > 0 && n > 0, "width, depth, n must be positive")
-    val grams = df.select(tokens(col(textCol)).as("__w"))
+    // aggregate FIRST, hash per DISTINCT gram: a CMS cell's count is the sum
+    // of its grams' occurrence counts (linearity), so feeding the sketch
+    // (gram, count) rows instead of raw occurrences is exactly equivalent —
+    // and the 4 md5s per row now run once per distinct gram, not once per
+    // occurrence (the md5-determinism tax shrinks with corpus repetition,
+    // which is precisely what grows at 100 TB). One gram shuffle total: the
+    // count aggregation; the persisted frame is the (distinct-gram)-sized
+    // count table, not the exploded occurrence stream.
+    val counts = df.select(tokens(col(textCol)).as("__w"))
       .filter(size(col("__w")) >= n)
       .select(explode(expr(
         s"transform(sequence(1, size(__w) - ${n - 1})," +
           s" i -> array_join(slice(__w, i, $n), ' '))")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("n_true"))
       .transform(graft.CacheScope.persist)
     def pos(j: Int, g: Column): Column =
       conv(substring(md5(concat(lit(s"$j:"), g)), 18, 15), 16, 10)
         .cast(LongType) % width
-    val sketch = grams
-      .select(posexplode(array((0 until depth).map(j => pos(j, col("g"))): _*)))
-      .select(col("pos").as("j"), col("col").as("p"))
-      .groupBy(col("j"), col("p")).agg(count(lit(1)).as("c"))
-    val top = grams.groupBy(col("g")).agg(count(lit(1)).as("n_true"))
-      .orderBy(col("n_true").desc, col("g")).limit(topK)
+    val sketch = counts
+      .select(col("n_true"),
+        posexplode(array((0 until depth).map(j => pos(j, col("g"))): _*)))
+      .select(col("pos").as("j"), col("col").as("p"), col("n_true"))
+      .groupBy(col("j"), col("p")).agg(sum(col("n_true")).as("c"))
+    val top = counts.orderBy(col("n_true").desc, col("g")).limit(topK)
     top
       .select(col("g"), col("n_true"),
         posexplode(array((0 until depth).map(j => pos(j, col("g"))): _*)))

@@ -134,7 +134,9 @@ object TextIndex {
   case class TextIndexMeta(nBuckets: Int, positions: Boolean)
 
   def readMeta(spark: SparkSession, path: String): TextIndexMeta = {
-    val r = spark.read.parquet(s"$path/idxmeta").head()
+    // mtime-memoized: build constants are read on EVERY serving call, and
+    // the unmemoized head() is a whole Spark job of fixed overhead
+    val r = graft.index.ParquetMetaCache.headRow(spark, s"$path/idxmeta")
     TextIndexMeta(r.getAs[Int]("n_buckets"), r.getAs[Boolean]("positions"))
   }
 

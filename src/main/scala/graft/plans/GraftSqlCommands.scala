@@ -466,7 +466,8 @@ case class DescribeDiskannIndexCommand(target: Either[String, String])
           return graft.operators.TextIndex.textIndexStats(spark, sourcePath)
             .collect().toSeq
         case Some("dedup") =>
-          val m = spark.read.parquet(s"$sourcePath/idxmeta").head()
+          val m = graft.index.ParquetMetaCache.headRow(spark,
+            s"$sourcePath/idxmeta")
           val root = graft.index.DiskannIndex.resolveRoot(spark, sourcePath)
           val nDocs = graft.index.TierManifest
             .tableDfAt(spark, root, "signatures").count()

@@ -279,7 +279,13 @@ object PipelineQueries {
   private[queries] val ChunkSize = 200
   private[queries] val ChunkStride = 150
   private[queries] def ragChunks(s: SparkSession, d: String): DataFrame =
-    TextAnalysis.slidingChunks(docs(s, d), "doc_id", "text",
+    ragChunksOf(docs(s, d))
+
+  /** The same chunk definition over an arbitrary (doc_id, text) frame —
+    * rag_context_pack re-chunks just the top list's docs through this, so
+    * the pruned recompute cannot drift from the index build's chunking. */
+  private[queries] def ragChunksOf(df: DataFrame): DataFrame =
+    TextAnalysis.slidingChunks(df, "doc_id", "text",
         chunkSize = ChunkSize, stride = ChunkStride)
       .select((col("id") * lit(100000L) + col("chunk_ix")).as("chunk_id"),
         col("chunk_text"))
@@ -756,9 +762,13 @@ object PipelineQueries {
     // token self-join (blowup bounded by sources-per-token²), sizes joined
     // back — never a collect of any vocabulary
     "vocab_overlap" -> ((s, d) => {
+      // per-doc array_distinct ahead of the global distinct(): the shuffle's
+      // map side starts from the already-deduped within-doc token set (same
+      // distinct (source, token) pairs, fewer exploded rows)
       val st = docs(s, d)
         .select(col("source"),
-          explode_outer(TextAnalysis.tokens(col("text"))).as("tok"))
+          explode_outer(array_distinct(TextAnalysis.tokens(col("text"))))
+            .as("tok"))
         .filter(col("tok").isNotNull)
         .distinct()
         .transform(graft.CacheScope.persist)
@@ -789,9 +799,13 @@ object PipelineQueries {
     // md5-low-60 hash makes the sketch — and so the ESTIMATE — replayable
     // bit-for-bit by the DuckDB oracle, which engine-native HLL cannot be.
     "kmv_vocab_distinct" -> ((s, d) => {
+      // array_distinct BEFORE the explode: per-doc repeats never reach the
+      // md5 or the aggregator — map-side, no extra shuffle, and the distinct
+      // hash set per source (all KMV or countDistinct ever see) is unchanged
       val hashed = docs(s, d)
         .select(col("source"),
-          explode_outer(TextAnalysis.tokens(col("text"))).as("tok"))
+          explode_outer(array_distinct(TextAnalysis.tokens(col("text"))))
+            .as("tok"))
         .filter(col("tok").isNotNull)
         .select(col("source"), Curation.md5Low60(col("tok")).as("h"))
       Sketches.kmvDistinctAudit(hashed, "source", "h", k = 256)
@@ -803,9 +817,12 @@ object PipelineQueries {
     // nPairs×2k sketch rows, independent of vocabulary size (the union
     // sketch's rank window runs over ≤2k rows per pair, never over data)
     "kmv_vocab_overlap" -> ((s, d) => {
+      // same per-doc array_distinct as kmv_vocab_distinct: identical sketch,
+      // fewer md5s and aggregator rows
       val hashed = docs(s, d)
         .select(col("source"),
-          explode_outer(TextAnalysis.tokens(col("text"))).as("tok"))
+          explode_outer(array_distinct(TextAnalysis.tokens(col("text"))))
+            .as("tok"))
         .filter(col("tok").isNotNull)
         .select(col("source"), Curation.md5Low60(col("tok")).as("h"))
       val sk = Sketches.kmvSketches(hashed, "source", "h", k = 256)
@@ -1903,10 +1920,24 @@ object PipelineQueries {
     // recompute here keeps the oracle self-contained.
     "rag_context_pack" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val top = TextIndex.bm25SearchIndexed(s, ensureChunkIndex(s, d),
-          Seq("vector", "query", "dup"), n = 20)
-        .select(col("id").as("chunk_id"), col("bm25"))
-      val chunks = ragChunks(s, d)
+      // persisted: the 20-row top list feeds BOTH the doc-id prune below and
+      // the text join — one index search, not two
+      val top = graft.CacheScope.persist(
+        TextIndex.bm25SearchIndexed(s, ensureChunkIndex(s, d),
+            Seq("vector", "query", "dup"), n = 20)
+          .select(col("id").as("chunk_id"), col("bm25")))
+      // re-chunk ONLY the top list's own documents (chunk_id encodes the
+      // doc id), not the whole corpus: an inner join on chunk_id can only
+      // match chunks of those docs, so the result is unchanged while the
+      // chunk-text recompute drops from O(corpus) to O(top-list docs).
+      // The id set is collected (bounded by n=20 by construction — the
+      // same bounded-collect class as the limit(3) probes) so the filter
+      // is a LITERAL In that pushes down to the parquet scan, instead of a
+      // semi-join exchange.
+      val ids = top.select(floor(col("chunk_id") / lit(100000L))
+          .cast("long").as("d")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val chunks = ragChunksOf(docs(s, d).filter(col("doc_id").isin(ids: _*)))
       top.join(chunks, "chunk_id")
         .withColumn("n_tokens",
           size(TextAnalysis.tokens(col("chunk_text"))).cast("long"))

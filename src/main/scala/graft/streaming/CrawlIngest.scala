@@ -324,7 +324,8 @@ object CrawlIngest {
     // comes from the stored index's OWN params: a pair arriving in one
     // batch must face the same false-negative rate as the same pair split
     // across batches (which the corpus probe handles at idxmeta geometry)
-    val im = spark.read.parquet(s"$dedupIndexPath/idxmeta").head()
+    val im = graft.index.ParquetMetaCache.headRow(spark,
+      s"$dedupIndexPath/idxmeta")
     val inBatchDups = Dedup.minhashNearDupPairs(
         gated.join(broadcast(corpusDups), Seq("doc_id"), "left_anti"),
         "doc_id", "text", shingleSize = im.getAs[Int]("shingle_size"),

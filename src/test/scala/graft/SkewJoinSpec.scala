@@ -36,9 +36,10 @@ class SkewJoinSpec extends AnyFunSuite {
   }
 
   test("the hot key actually spreads across salts") {
+    // mirrors saltedJoin's salt expression (xxhash64 of seed + id column)
     val spread = fact.filter($"k" === 1L)
-      .withColumn("__salt", pmod(graft.operators.Curation.md5Low60(
-        concat_ws(":", lit("salt"), $"rid")), lit(8L)))
+      .withColumn("__salt",
+        pmod(xxhash64(lit("salt"), $"rid"), lit(8L)))
       .select($"__salt").distinct().count()
     assert(spread == 8L, s"900 hot rows landed on only $spread of 8 salts")
   }
