@@ -133,6 +133,36 @@ object TextIndex {
 
   case class TextIndexMeta(nBuckets: Int, positions: Boolean)
 
+  /** Corpus totals (N docs, Σdl) of the CURRENT generation, memoized on the
+    * generation root + the corpusstats directory's mtime: every serving
+    * call needs these two longs, and recomputing them was a per-query
+    * broadcast-exchange materialization (scan + agg + collect) of values
+    * that only change when a batch lands (append/compact both write into
+    * `corpusstats/` or install a new root, bumping the key). Same
+    * metadata-memo class as [[graft.index.ParquetMetaCache]] — DELETEs
+    * deliberately do NOT invalidate, because pre-vacuum scoring keeps
+    * counting tombstoned docs (the documented staleness window).
+    * [[textIndexStats]] does not use this memo: it is the integrity audit
+    * and must recompute from the stores. */
+  private val corpusTotalsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, (Long, Long))]()
+  private def corpusTotals(spark: SparkSession, root: String): (Long, Long) = {
+    val dir = new org.apache.hadoop.fs.Path(s"$root/corpusstats")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val mtime = fs.getFileStatus(dir).getModificationTime
+    val cached = corpusTotalsCache.get(root)
+    if (cached != null && cached._1 == mtime) cached._2
+    else {
+      val r = tableDfAt(spark, root, "corpusstats")
+        .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl")).head()
+      // an empty-corpus build writes n=0 with a NULL sum — fold to 0
+      val v = (if (r.isNullAt(0)) 0L else r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1))
+      corpusTotalsCache.put(root, (mtime, v))
+      v
+    }
+  }
+
   def readMeta(spark: SparkSession, path: String): TextIndexMeta = {
     // mtime-memoized: build constants are read on EVERY serving call, and
     // the unmemoized head() is a whole Spark job of fixed overhead
@@ -321,8 +351,9 @@ object TextIndex {
     val nB = effectiveBuckets(spark, path, nBuckets)
     val bks = terms.map(termBucketOf(_, nB)).distinct
       .map(java.lang.Long.valueOf)
-    val st = tableDfAt(spark, root, "corpusstats")
-      .agg(sum(col("n")).as("__n"), sum(col("sumdl")).as("__sumdl"))
+    // corpus totals as LITERALS (memoized per generation): same longs the
+    // broadcast-crossJoin form carried, minus one exchange per query
+    val (nDocs, sumDl) = corpusTotals(spark, root)
     val tstats = tableDfAt(spark, root, "termstats")
       .filter(col("tb").isin(bks: _*) && col("term").isin(terms: _*))
       .groupBy(col("term")).agg(sum(col("df")).as("__df"))
@@ -330,13 +361,13 @@ object TextIndex {
       tableDfAt(spark, root, "postings")
         .filter(col("tb").isin(bks: _*) && col("term").isin(terms: _*)),
       "id")
-    val avgdl = col("__sumdl").cast(DoubleType) / col("__n")
+    val avgdl = lit(sumDl).cast(DoubleType) / lit(nDocs)
     val lenNorm = lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl)
     val idf = log(lit(1.0) +
-      (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
+      (lit(nDocs) - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
     val termScore = round(idf * col("tf").cast(DoubleType) * lit(k1 + 1.0) /
       (col("tf").cast(DoubleType) + lenNorm), 6)
-    post.join(broadcast(tstats), "term").crossJoin(broadcast(st))
+    post.join(broadcast(tstats), "term")
       .select(col("id"), termScore.cast(DecimalType(20, 6)).as("__ts"))
       .groupBy(col("id")).agg(sum(col("__ts")).as("__s"))
       .select(col("id"), col("__s").cast(DoubleType).as("bm25"))
@@ -494,8 +525,8 @@ object TextIndex {
     require(allTerms.nonEmpty, "bm25SearchIndexedBatch: no query terms")
     val bks = allTerms.map(termBucketOf(_, nB)).distinct
       .map(java.lang.Long.valueOf)
-    val st = tableDfAt(spark, root, "corpusstats")
-      .agg(sum(col("n")).as("__n"), sum(col("sumdl")).as("__sumdl"))
+    // literal corpus totals — see bm25SearchIndexed
+    val (nDocs, sumDl) = corpusTotals(spark, root)
     val tstats = tableDfAt(spark, root, "termstats")
       .filter(col("tb").isin(bks: _*) && col("term").isin(allTerms: _*))
       .groupBy(col("term")).agg(sum(col("df")).as("__df"))
@@ -503,14 +534,14 @@ object TextIndex {
       tableDfAt(spark, root, "postings")
         .filter(col("tb").isin(bks: _*) && col("term").isin(allTerms: _*)),
       "id")
-    val avgdl = col("__sumdl").cast(DoubleType) / col("__n")
+    val avgdl = lit(sumDl).cast(DoubleType) / lit(nDocs)
     val lenNorm = lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl)
     val idf = log(lit(1.0) +
-      (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
+      (lit(nDocs) - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
     val termScore = round(idf * col("tf").cast(DoubleType) * lit(k1 + 1.0) /
       (col("tf").cast(DoubleType) + lenNorm), 6)
     val scored = post.join(broadcast(qt), "term")
-      .join(broadcast(tstats), "term").crossJoin(broadcast(st))
+      .join(broadcast(tstats), "term")
       .select(col("qid"), col("id"),
         termScore.cast(DecimalType(20, 6)).as("__ts"))
       .groupBy(col("qid"), col("id")).agg(sum(col("__ts")).as("__s"))

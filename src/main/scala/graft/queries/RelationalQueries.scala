@@ -345,20 +345,27 @@ object RelationalQueries {
         .orderBy(col("event_type"))
     }),
 
-    // TPC-H Q4 shape — LEFT SEMI join with a correlated condition (the
-    // EXISTS flavor): orders counted by priority when ANY lineitem
-    // shipped more than 60 days after the order date. The semi join
-    // carries no lineitem columns past the probe, so only order rows
-    // reach the aggregation.
-    "order_priority_late" -> ((s, d) =>
+    // TPC-H Q4 shape — the EXISTS flavor, algebraized: "ANY lineitem
+    // shipped > 60 days after the order date" ⇔ "the order's MAX
+    // l_shipdate does", so lineitem is first reduced to one (orderkey,
+    // max_shipdate) row (map-side-combined — at 100 TB the fact table's
+    // token stream never reaches the join; the semi-join form builds a
+    // hash relation over EVERY lineitem row). The ≤1-row-per-key build
+    // side keeps order multiplicity exactly, so the counts are identical
+    // to the correlated semi join.
+    "order_priority_late" -> ((s, d) => {
+      val lastShip = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(max(col("l_shipdate")).as("__maxship"))
       t(s, d, "orders")
-        .join(t(s, d, "lineitem"),
+        .join(lastShip,
           col("o_orderkey") === col("l_orderkey") &&
-            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+            col("__maxship") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
           "left_semi")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"))
-        .orderBy(col("o_orderpriority"))),
+        .orderBy(col("o_orderpriority"))
+    }),
 
     // the LEFT ANTI flavor (NOT EXISTS): customers with no order since
     // 2000, by segment — the churn audit; the date filter pushes into the

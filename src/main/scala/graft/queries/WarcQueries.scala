@@ -239,11 +239,14 @@ object WarcQueries {
         k = 1, searchListSize = 64, rescore = 64)
       .join(byId, col("row_id") === col("doc_id"))
       .select(lit("ann").as("part"), col("item"), lit(1L).as("metric"))
-    val probeHits = Dedup.nearDupAgainstDedupIndex(s, dedupPath,
-      Seq((1L, wetText)).toDF("doc_id", "text"), "doc_id", "text", 0.99)
-      .count()
-    val dedupRows = Seq(("dedup", "probe_hits", probeHits))
-      .toDF("part", "item", "metric")
+    // lazy count (global agg yields exactly one row, like count()): the
+    // probe rides the SAME action as the other five stores instead of a
+    // blocking driver round-trip before the union is even built
+    val dedupRows = Dedup.nearDupAgainstDedupIndex(s, dedupPath,
+        Seq((1L, wetText)).toDF("doc_id", "text"), "doc_id", "text", 0.99)
+      .agg(count(lit(1)).as("metric"))
+      .select(lit("dedup").as("part"), lit("probe_hits").as("item"),
+        col("metric").cast("long").as("metric"))
     // the fifth store: the landed refetch LEDGER, rolled up under the
     // canonical URL key — the crawler's dedup verdicts served back out
     val revRows = s.read.parquet(revPath)
