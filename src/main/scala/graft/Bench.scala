@@ -85,7 +85,16 @@ object Bench {
     val refCalibMedian: Option[Double] = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("BENCH_CALIB.json")), "UTF-8")
-      "\"calib_median\":\\s*([0-9.]+)".r.findFirstMatchIn(txt)
+      // the reference is only meaningful at the core count it was recorded
+      // at: the sentinel is a fixed job, so at SPARK_GRAFT_CPUS below the
+      // recorded value its median is inherently higher and the 1.5× rule
+      // would fire on EVERY low-core run (the driver also benches at a
+      // lower core count to measure scaling), silently doubling that run
+      // and turning its best-of-2 estimator into best-of-4
+      val refCpus = "\"cpus\":\\s*([0-9]+)".r.findFirstMatchIn(txt)
+        .map(_.group(1))
+      if (refCpus.exists(_ != cpus)) None
+      else "\"calib_median\":\\s*([0-9.]+)".r.findFirstMatchIn(txt)
         .map(_.group(1).toDouble)
     } catch { case _: Throwable => None }
     // CONTENTION RE-RECORD (round-14, extended round-15): re-record when
@@ -141,11 +150,16 @@ object Bench {
     val (prev: Map[String, Double], prevCalib: Seq[Double]) = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("BENCH_DETAIL.json")), "UTF-8")
-      // only a SAME-SF detail file is a valid reference: comparing against
-      // a smaller sf would flag most of the suite as outliers and re-run
-      // it wholesale
+      // only a SAME-SF, SAME-CORE-COUNT detail file is a valid reference:
+      // comparing against a smaller sf (or a 32-core detail from an 8-core
+      // run — the driver's scaling pass) would flag most of the suite as
+      // outliers and re-run it wholesale. A detail file with no "cpus"
+      // field predates this guard and is treated as 32-core.
       val prevSf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
-      if (!prevSf.contains(sfDir)) (Map.empty[String, Double], Seq.empty[Double])
+      val prevCpus = "\"cpus\":\"?([0-9]+)\"?".r.findFirstMatchIn(txt)
+        .map(_.group(1)).getOrElse("32")
+      if (!prevSf.contains(sfDir) || prevCpus != cpus)
+        (Map.empty[String, Double], Seq.empty[Double])
       else {
         val body = txt.drop(txt.indexOf("\"queries\":{") + 11)
           .takeWhile(_ != '}')
@@ -184,7 +198,7 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val fullLine =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","calib":$cs,"calib_passes":$cps,"repass":$repass,"rerun":$rerunJson,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","calib":$cs,"calib_passes":$cps,"repass":$repass,"rerun":$rerunJson,"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}"""
     // Full per-query map: one line for humans reading stdout, and a file for
     // the per-query round-over-round comparison. The file matters because the
     // harness that archives this run keeps only a bounded tail of stdout
@@ -216,7 +230,7 @@ object Bench {
     val rm = results.toMap
     val hq = headline.filter(rm.contains)
       .map(k => "\"" + k + f"""\":${rm(k)}%.4f""").mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","calib":$cs,"calib_passes":$cps,"repass":$repass,"nq":${results.length},"queries":$hq,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","calib":$cs,"calib_passes":$cps,"repass":$repass,"nq":${results.length},"cpus":$cpus,"queries":$hq,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
