@@ -177,6 +177,18 @@ object StreamingIngest {
    * truncation, so a lost partition FAILS loud rather than silently
    * recomputing-to-empty from deleted files (see [[searchFresh]]).
    */
+  // per-JVM memo of the EAGER (checkpointed) delta snapshot, keyed by the
+  // session instance + the delta listing's fingerprint (names + sizes +
+  // mtimes — delta files are write-once, renamed in; the deltaCountCache
+  // discipline): every fresh-serving query was re-reading and
+  // re-checkpointing an UNCHANGED delta — one eager Spark job of fixed
+  // overhead per query. An append or compact changes the listing, so the
+  // fingerprint invalidates naturally; a superseded entry's checkpoint
+  // blocks are freed by the ContextCleaner once unreachable. Index STATE
+  // memoization (the GraphSearcher-cache class) — never query results.
+  private val deltaSnapshotCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]()
+
   private def readDeltaSnapshot(spark: SparkSession, indexPath: String,
       eager: Boolean): Option[DataFrame] = {
     val maxAttempts = 4
@@ -184,12 +196,25 @@ object StreamingIngest {
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
-      val files = deltaFiles(spark, indexPath)
-      if (files.isEmpty) return None
+      val sts = deltaFileStatuses(spark, indexPath)
+      if (sts.isEmpty) return None
+      val files = sts.map(_.getPath)
+      val key = s"${System.identityHashCode(spark)}#$indexPath"
+      val fp = sts.map(s =>
+          s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+        .sorted.mkString("|")
+      if (eager) {
+        val hit = deltaSnapshotCache.get(key)
+        if (hit != null && hit._1 == fp) return Some(hit._2)
+      }
       try {
         val df = spark.read.option("ignoreMissingFiles", "true")
           .parquet(files.map(_.toString).toIndexedSeq: _*)
-        return Some(if (eager) df.localCheckpoint(true) else df)
+        return Some(if (eager) {
+          val snap = df.localCheckpoint(true)
+          deltaSnapshotCache.put(key, (fp, snap))
+          snap
+        } else df)
       } catch {
         // plan-time path-not-exist from the list-then-read race; re-list
         case e: org.apache.spark.sql.AnalysisException => lastErr = e
