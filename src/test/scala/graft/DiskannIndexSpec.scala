@@ -668,4 +668,41 @@ class DiskannIndexSpec extends AnyFunSuite {
       assert(e2.getMessage.contains("compactNow"), e2.getMessage)
     } finally spark.conf.unset("graft.delta.maxBroadcastRows")
   }
+
+  test("serving memos invalidate: delta append and in-place rebuild stay visible") {
+    // The round-15 serving memos (nodesBaseDf keyed on the nodes dir mtime,
+    // readDeltaSnapshot keyed on the delta listing fingerprint) must never
+    // serve stale index state: an append changes the delta fingerprint, a
+    // wipe-and-rebuild at the SAME path recreates the nodes dir (new mtime).
+    val path = "/tmp/graft_test_index/memo_invalidation"
+    graft.tools.LocalFs.deleteRec(new java.io.File(path))
+    def buildOver(lo: Long, hi: Long): Unit = DiskannIndex.build(
+      emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .select(col("vec_id").as("row_id"), col("embedding").as("vec")),
+      "row_id", "vec", None, path, DiskannParams(metric = "cosine"))
+    buildOver(0L, 100L)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(lit(0L).as("qid"), col("embedding").as("qvec"))
+    def hits(): Set[Long] = graft.streaming.StreamingIngest
+      .searchFresh(spark, path, q, k = 5, searchListSize = 64, rescore = 64)
+      .collect().map(_.getLong(1)).toSet
+    val h1 = hits()
+    assert(h1.nonEmpty && h1.forall(_ < 100L), s"base hits: $h1")
+    assert(hits() == h1) // memo-warm repeat serves the same state
+    // append a twin of the query vector: the delta fingerprint changes, so
+    // the memoized (empty) snapshot must NOT be served — the twin is an
+    // exact match and must surface
+    graft.streaming.StreamingIngest.appendBatchToDelta(path)(
+      emb.filter(col("vec_id") === 0)
+        .select((col("vec_id") + 9000L).as("row_id"), col("embedding").as("vec")), 0L)
+    assert(hits().contains(9000L), "delta append invisible: stale snapshot memo")
+    // wipe-and-rebuild at the SAME path over a DISJOINT id slice (the
+    // fixture-regen scenario): the recreated nodes dir has a new mtime, so
+    // the memoized nodes scan must not serve the old generation's rows
+    graft.tools.LocalFs.deleteRec(new java.io.File(path))
+    buildOver(100L, 200L)
+    val h3 = hits()
+    assert(h3.nonEmpty && h3.forall(id => id >= 100L && id < 200L),
+      s"post-rebuild hits leak the old generation: $h3")
+  }
 }
