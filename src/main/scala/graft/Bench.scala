@@ -90,18 +90,35 @@ object Bench {
       // recorded value its median is inherently higher and the 1.5× rule
       // would fire on EVERY low-core run (the driver also benches at a
       // lower core count to measure scaling), silently doubling that run
-      // and turning its best-of-2 estimator into best-of-4
-      val refCpus = "\"cpus\":\\s*([0-9]+)".r.findFirstMatchIn(txt)
-        .map(_.group(1))
-      if (refCpus.exists(_ != cpus)) None
-      else "\"calib_median\":\\s*([0-9.]+)".r.findFirstMatchIn(txt)
-        .map(_.group(1).toDouble)
+      // and turning its best-of-2 estimator into best-of-4.
+      // round-16: the file now carries a PER-CORE-COUNT map
+      // ("calib_median_by_cpus") so the calm rule works at every core
+      // count the driver uses — in round 15 the 8-core pass had no
+      // reference at all and shipped a 39.7 s bm25_search stall unhealed.
+      // The flat cpus+calib_median pair stays as the fallback.
+      val byCpus: Option[Double] =
+        "\"calib_median_by_cpus\"\\s*:\\s*\\{([^}]*)\\}".r
+          .findFirstMatchIn(txt).map(_.group(1)).flatMap { body =>
+            "\"([0-9]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(body)
+              .collectFirst { case m if m.group(1) == cpus =>
+                m.group(2).toDouble }
+          }
+      byCpus.orElse {
+        val refCpus = "\"cpus\":\\s*([0-9]+)".r.findFirstMatchIn(txt)
+          .map(_.group(1))
+        if (refCpus.exists(_ != cpus)) None
+        else "\"calib_median\":\\s*([0-9.]+)".r.findFirstMatchIn(txt)
+          .map(_.group(1).toDouble)
+      }
     } catch { case _: Throwable => None }
-    // CONTENTION RE-RECORD (round-14, extended round-15): re-record when
-    // the sentinel samples within ONE run spread more than 2× (round 13
-    // shipped calib [0.92, 0.30, 0.32] — a mid-suite burst; 20+ untouched
-    // queries read 1.5–3.4× slower) OR when the run's sentinel median
-    // exceeds 1.5× the committed calm reference (uniform load). One full
+    // CONTENTION RE-RECORD (round-14, extended rounds 15/16): re-record
+    // when the sentinel samples within ONE run spread more than 2× (round
+    // 13 shipped calib [0.92, 0.30, 0.32] — a mid-suite burst; 20+
+    // untouched queries read 1.5–3.4× slower) OR when ANY sample exceeds
+    // 1.5× the committed calm reference (round 16: the round-15 driver
+    // run shipped calib [0.316, 0.495, 0.358] — the 0.495 mid-suite
+    // sample was 1.7× calm, visible, and ignored by the old median rule,
+    // so half the suite was timed inside a slow window). One full
     // re-pass, per-query MIN across passes (the same best-of estimator).
     // One retry only — a persistently contended host is then at least
     // visible in the recorded samples, and EVERY pass's calibration ships
@@ -112,8 +129,8 @@ object Bench {
       if (spread > 2.0)
         Some(f"spread $spread%.2f× (${c.map(v => f"$v%.2f").mkString(", ")})")
       else refCalibMedian.collect {
-        case r if median(c) > 1.5 * r =>
-          f"median ${median(c)}%.3f s > 1.5× calm reference $r%.3f s"
+        case r if c.exists(_ > 1.5 * r) =>
+          f"sample ${c.max}%.3f s > 1.5× calm reference $r%.3f s"
       }
     }
     var (firstPass, calibSeq) = runPass()
@@ -189,14 +206,36 @@ object Bench {
         name -> t2
       }
     }
+    // REFERENCE-FREE OUTLIER HEAL (round 16): the prev-detail gate above
+    // only works when a same-sf/same-cpus BENCH_DETAIL exists — the
+    // driver's low-core scaling pass never has one (its detail file is the
+    // 32-core run's), which is how round 15 shipped bm25_search at 39.66 s
+    // (52× its 32-core time) and dedup_exact at 2.84 s: mid-run stall
+    // bursts with no reference to heal against. A query that reads BOTH
+    // over an absolute 5 s floor AND over 10× the suite median needs no
+    // reference to be suspect — nothing in this suite is legitimately 10×
+    // the median AND that absolute-slow at any core count (the slowest
+    // calm query is ~6× the median). Same remedy: one re-run, keep the min.
+    val suiteMedian = median(results.map(_._2).filter(_ > 0) match {
+      case s if s.nonEmpty => s
+      case _ => Seq(0.0)
+    })
+    val healed = results.map { case (name, t) =>
+      if (t > 5.0 && t > 10 * suiteMedian) {
+        reran += name
+        val t2 = math.min(t, timeOnce(name))
+        CacheScope.releaseAll()
+        name -> t2
+      } else name -> t
+    }
     val rerunJson = reran.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.4f""" }
+    val qs = healed.map { case (k, v) => "\"" + k + f"""\":$v%.4f""" }
       .mkString("{", ",", "}")
     val cs = calib.map(v => f"$v%.4f").mkString("[", ",", "]")
     val cps = calibPasses
       .map(_.map(v => f"$v%.4f").mkString("[", ",", "]"))
       .mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    val total = healed.map(_._2).sum
     val fullLine =
       f"""{"metric":"total","value":$total%.4f,"unit":"sec","calib":$cs,"calib_passes":$cps,"repass":$repass,"rerun":$rerunJson,"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}"""
     // Full per-query map: one line for humans reading stdout, and a file for
@@ -227,10 +266,10 @@ object Bench {
       "maxsim_topk", "hard_negatives", "retrieval_metrics", "hubness_audit",
       "graph_pagerank", "label_propagation", "source_lm_matrix",
       "winnow_pairs", "shard_plan")
-    val rm = results.toMap
+    val rm = healed.toMap
     val hq = headline.filter(rm.contains)
       .map(k => "\"" + k + f"""\":${rm(k)}%.4f""").mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","calib":$cs,"calib_passes":$cps,"repass":$repass,"nq":${results.length},"cpus":$cpus,"queries":$hq,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","calib":$cs,"calib_passes":$cps,"repass":$repass,"nq":${healed.length},"cpus":$cpus,"queries":$hq,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -514,23 +514,32 @@ object DiskannIndex {
    * in-place rebuild recreates the directory and bumps its mtime, which
    * invalidates naturally. Metadata memoization only — no rows are cached.
    */
-  private val nodesDfCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, DataFrame)]()
-  private def nodesBaseDf(spark: SparkSession, base: String): DataFrame = {
+  // round-16 hardening (ADVICE): (a) the validity token is the generation's
+  // BUILD ID, not the nodes dir's mtime — a UUID minted per (re)build, so a
+  // same-second in-place rebuild invalidates exactly, and object stores
+  // whose directory mtimes are 0 / don't track children (S3A) can never
+  // alias two generations; (b) the session key is applicationId (unique per
+  // context — identityHashCode can be reused after a GC'd session and would
+  // serve a DataFrame bound to a dead context); (c) bounded access-order
+  // LRU — compaction installs a new root per swap, so an unbounded map
+  // retains one resolved file index per DEAD generation for the JVM's life.
+  private val nodesDfCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, (String, DataFrame)](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (String, DataFrame)]): Boolean =
+        size() > 64
+    })
+  private def nodesBaseDf(spark: SparkSession, base: String,
+      genFp: String): DataFrame = {
     val dirStr = s"$base/nodes"
-    // a DataFrame is bound to its session: key per session instance so a
-    // fresh session (tests stop/start many) never serves a stale plan
-    val key = s"${System.identityHashCode(spark)}#$dirStr"
-    val mtime = try {
-      val p = new org.apache.hadoop.fs.Path(dirStr)
-      p.getFileSystem(spark.sessionState.newHadoopConf())
-        .getFileStatus(p).getModificationTime
-    } catch { case _: java.io.FileNotFoundException => -1L }
+    // a DataFrame is bound to its context: key per applicationId so a fresh
+    // session (tests stop/start many) never serves a stale plan
+    val key = s"${spark.sparkContext.applicationId}#$dirStr"
     val hit = nodesDfCache.get(key)
-    if (hit != null && mtime >= 0 && hit._1 == mtime) hit._2
+    if (hit != null && hit._1 == genFp) hit._2
     else {
       val df = spark.read.schema(nodeSchema).parquet(dirStr)
-      if (mtime >= 0) nodesDfCache.put(key, (mtime, df))
+      nodesDfCache.put(key, (genFp, df))
       df
     }
   }
@@ -564,13 +573,20 @@ object DiskannIndex {
     // are nullable, so files from generations that predate a column read
     // back as nulls.
     if (meta.shardDirs.forall(_.isEmpty)) {
-      val df = nodesBaseDf(spark, root)
+      val df = nodesBaseDf(spark, root, meta.buildId)
       if (all) df
       else df.filter(col("shard").isin(shards.map(Integer.valueOf): _*))
     } else {
       shards.groupBy(s => shardGenRoot(root, meta, s)).toSeq.sortBy(_._1)
         .map { case (base, ss) =>
-          nodesBaseDf(spark, base)
+          // a referenced base generation's nodes are identified by ITS OWN
+          // buildId (loadMetaAt is memoized on the _meta listing, so this
+          // is one cheap LIST, not a Spark job) — meta.buildId would be the
+          // CURRENT generation's id and miss an in-place rewrite of the base
+          val baseFp =
+            if (base == root) meta.buildId
+            else loadMetaAt(spark, base).buildId
+          nodesBaseDf(spark, base, baseFp)
             .filter(col("shard").isin(ss.map(Integer.valueOf): _*))
         }
         .reduce(_ unionByName _)
@@ -1495,6 +1511,46 @@ object DiskannIndex {
     }
   }
 
+  /** Memoized bucket-aligned zip scan for [[searchDistributed]] /
+    * [[rangeSearchDistributed]] (round 16): partition i holds exactly
+    * `buckets(i)`'s shards. Building it costs one pruned-scan
+    * QueryExecution PER BUCKET (~20 ms each — ZipPlanCost's measurement;
+    * ~0.5 s per query on the 500-shard fixture, and O(zipMaxShards)
+    * branches in general), all driver-side — paid once per (generation,
+    * routing set, bucket layout) instead of once per query. Fingerprint =
+    * generation root + per-shard epochs + applicationId + the exact shard
+    * set and bucket size, so compaction, an in-place rebuild, a different
+    * IVF routing set or a different zipMaxShards all invalidate naturally.
+    * The [[servingRddCache]] discipline — index STATE memoization, never
+    * query results (every execution still scans the parquet nodes). */
+  private val zipRddCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, (String, org.apache.spark.rdd.RDD[Row])](
+      8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (String, org.apache.spark.rdd.RDD[Row])]): Boolean =
+        size() > 16
+    })
+
+  private def zipNodesRdd(spark: SparkSession, path0: String, root: String,
+      meta: IndexMeta, neededShards: Seq[Int],
+      buckets: IndexedSeq[Seq[Int]],
+      bucketSize: Int): org.apache.spark.rdd.RDD[Row] = {
+    val fp = root + "#" + meta.shardBuildIds.mkString(",") + "#" +
+      spark.sparkContext.applicationId + "#" + neededShards.mkString(",") +
+      "#" + bucketSize
+    val key = s"$path0#zip#$bucketSize"
+    val hit = zipRddCache.get(key)
+    if (hit != null && hit._1 == fp) hit._2
+    else {
+      val nodes = nodesDf(spark, root, meta, neededShards)
+      val rdd =
+        if (bucketSize == 1) shardAlignedNodesRdd(spark, nodes, neededShards)
+        else bucketedNodesRdd(spark, nodes, buckets)
+      zipRddCache.put(key, (fp, rdd))
+      rdd
+    }
+  }
+
   /**
    * CLUSTER-MODE serving: answer a small query batch from EXECUTOR-resident
    * warm searchers — the path that does not exist through [[searchPoint]]
@@ -2082,8 +2138,6 @@ object DiskannIndex {
     if (neededShards.isEmpty)
       return spark.emptyDataset[(Long, Long, Double)]
         .toDF("qid", "row_id", "dist")
-    val nodes = nodesDf(spark, path, meta, neededShards)
-
     def answerShard(shard: Int, nodeRows: () => Array[Row],
         qs: Array[Row]): Iterator[(Long, Long, Double)] = {
       val searcher = GraphSearcher.getOrBuild(
@@ -2117,7 +2171,7 @@ object DiskannIndex {
     // the cap) is gone.
     val zipMaxShards =
       spark.conf.get("graft.search.zipMaxShards", "4096").toInt
-    val partial: org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    val partial: org.apache.spark.rdd.RDD[(Long, Long, Double)] = {
       val bucketSize = math.max(1,
         math.ceil(neededShards.length.toDouble / zipMaxShards).toInt)
       val buckets: IndexedSeq[Seq[Int]] =
@@ -2129,8 +2183,7 @@ object DiskannIndex {
       // each branch's directory listing local. bucketSize == 1 is exactly
       // the round-4 per-shard zip.
       val nodesRdd =
-        if (bucketSize == 1) shardAlignedNodesRdd(spark, nodes, neededShards)
-        else bucketedNodesRdd(spark, nodes, buckets)
+        zipNodesRdd(spark, path0, path, meta, neededShards, buckets, bucketSize)
       val byBucket = new org.apache.spark.Partitioner {
         override def numPartitions: Int = nBuckets
         override def getPartition(key: Any): Int =
@@ -2174,21 +2227,30 @@ object DiskannIndex {
             }
         }
       }
-      spark.createDataset(resRdd)
+      resRdd
     }
 
     // final per-query top-k as a MERGEABLE bounded aggregation: map-side
     // combine caps each task's contribution at k rows per query BEFORE the
     // shuffle, so only ~k rows per query cross the wire instead of the
     // nProbe×k per-shard candidates a window row_number merge would shuffle
-    // (and there is no sort). Same (dist, row_id) tie-break.
+    // (and there is no sort). Same (dist, row_id) tie-break, the SAME
+    // TopKAggregator insert kernel — but run as an RDD aggregateByKey
+    // (round 16): the typed groupByKey().agg() form re-paid two Catalyst
+    // QueryExecutions plus an AQE stage-materialization round of pure
+    // driver overhead on EVERY query, while the RDD form plans nothing and
+    // shuffles the identical ≤k-rows-per-(query,task) combiner output.
     val agg = new graft.operators.Similarity.TopKAggregator(k)
-    partial.groupByKey(_._1)
-      .mapValues(t => (t._2, t._3))
-      .agg(agg.toColumn.name("topk"))
-      .toDF("qid", "topk")
-      .select(col("qid"), explode(col("topk")).as("hit"))
-      .select(col("qid"), col("hit._1").as("row_id"), col("hit._2").as("dist"))
+    val merged = partial
+      .map { case (qid, rid, d) => (qid, (rid, d)) }
+      .aggregateByKey(agg.zero)(
+        (st, v) => agg.reduce(st, v), (a, b) => agg.merge(a, b))
+      .flatMap { case (qid, st) =>
+        st.ids.indices.iterator.map(i => Row(qid, st.ids(i), st.dists(i))) }
+    spark.createDataFrame(merged, StructType(Seq(
+      StructField("qid", LongType, nullable = false),
+      StructField("row_id", LongType, nullable = false),
+      StructField("dist", DoubleType, nullable = false))))
   }
 
   /**
@@ -2283,7 +2345,6 @@ object DiskannIndex {
     if (neededShards.isEmpty)
       return spark.emptyDataset[(Long, Long, Double)]
         .toDF("qid", "row_id", "dist")
-    val nodes = nodesDf(spark, path, meta, neededShards)
     val sl = searchListSize
     val rc = rescore
     val mr = maxResults
@@ -2323,8 +2384,7 @@ object DiskannIndex {
     val bucketIndex: Map[Int, Int] = buckets.zipWithIndex
       .flatMap { case (ss, b) => ss.map(_ -> b) }.toMap
     val nodesRdd =
-      if (bucketSize == 1) shardAlignedNodesRdd(spark, nodes, neededShards)
-      else bucketedNodesRdd(spark, nodes, buckets)
+      zipNodesRdd(spark, path0, path, meta, neededShards, buckets, bucketSize)
     val byBucket = new org.apache.spark.Partitioner {
       override def numPartitions: Int = nBuckets
       override def getPartition(key: Any): Int =

@@ -11,30 +11,41 @@ import org.apache.spark.sql.{Row, SparkSession}
  * every probe of an artifact whose constants, by contract, only change on
  * a rebuild.
  *
- * Entries are keyed on the directory's modification time, so a rebuild
- * (files renamed into the dir by the committer, then `_SUCCESS`) naturally
- * invalidates — no writer coordination, correct across processes. This is
+ * Entries are validated against the directory's CHILD LISTING fingerprint
+ * (file names + sizes + mtimes — the DiskannIndex.metaCache discipline), so
+ * a rebuild (files renamed into the dir by the committer, then `_SUCCESS`)
+ * naturally invalidates — no writer coordination, correct across processes,
+ * and correct on stores whose DIRECTORY mtimes are unreliable (S3A reports
+ * 0 / marker mtimes; a same-second rebuild aliases a bare dir mtime). One
+ * cheap LIST per call, no Spark job. Bounded access-order LRU: compaction
+ * installs a new generation dir per swap, so an unbounded path-keyed map
+ * would retain one row per dead generation for the JVM's life. This is
  * METADATA memoization (build constants), the same class as the
  * tier-manifest cache and the query layer's corpus-size memo: query
  * results are never cached here.
  */
 object ParquetMetaCache {
-  private case class Entry(mtime: Long, row: Row)
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, (String, Row)](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (String, Row)]): Boolean =
+        size() > 64
+    })
 
-  /** `spark.read.parquet(dir).head()`, memoized on `dir`'s mtime. Throws
-    * `FileNotFoundException` when the dir is missing (callers that treat a
-    * missing meta as "no index yet" already catch exactly that). */
+  /** `spark.read.parquet(dir).head()`, memoized on `dir`'s child listing.
+    * Throws `FileNotFoundException` when the dir is missing (callers that
+    * treat a missing meta as "no index yet" already catch exactly that). */
   def headRow(spark: SparkSession, dir: String): Row = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val mtime = fs.getFileStatus(p).getModificationTime
+    val fp = fs.listStatus(p).map(s =>
+        s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString("|")
     val e = cache.get(dir)
-    if (e != null && e.mtime == mtime) e.row
+    if (e != null && e._1 == fp) e._2
     else {
       val row = spark.read.parquet(dir).head()
-      cache.put(dir, Entry(mtime, row))
+      cache.put(dir, (fp, row))
       row
     }
   }

@@ -144,21 +144,32 @@ object TextIndex {
     * counting tombstoned docs (the documented staleness window).
     * [[textIndexStats]] does not use this memo: it is the integrity audit
     * and must recompute from the stores. */
-  private val corpusTotalsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, (Long, Long))]()
+  // round-16: validated against the corpusstats CHILD LISTING (batch dirs'
+  // names + mtimes — an append lands a new batch=N dir or files into one,
+  // changing the listing), not the bare dir mtime, which aliases on
+  // same-second appends and is unreliable on object stores; bounded LRU so
+  // dead generations don't accumulate (the metaCache discipline).
+  private val corpusTotalsCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, (String, (Long, Long))](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (String, (Long, Long))]): Boolean =
+        size() > 64
+    })
   private def corpusTotals(spark: SparkSession, root: String): (Long, Long) = {
     val dir = new org.apache.hadoop.fs.Path(s"$root/corpusstats")
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    val mtime = fs.getFileStatus(dir).getModificationTime
+    val fp = fs.listStatus(dir).map(s =>
+        s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString("|")
     val cached = corpusTotalsCache.get(root)
-    if (cached != null && cached._1 == mtime) cached._2
+    if (cached != null && cached._1 == fp) cached._2
     else {
       val r = tableDfAt(spark, root, "corpusstats")
         .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl")).head()
       // an empty-corpus build writes n=0 with a NULL sum — fold to 0
       val v = (if (r.isNullAt(0)) 0L else r.getLong(0),
         if (r.isNullAt(1)) 0L else r.getLong(1))
-      corpusTotalsCache.put(root, (mtime, v))
+      corpusTotalsCache.put(root, (fp, v))
       v
     }
   }

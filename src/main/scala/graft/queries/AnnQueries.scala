@@ -17,7 +17,7 @@ import graft.index.{DiskannIndex, DiskannParams}
 object AnnQueries {
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/embeddings.parquet")
+    graft.sources.TableResolver.parquet(spark, s"$dir/embeddings.parquet")
 
   /** Deterministic per-sf index location; built once, reused across queries
     * and rounds (rebuilt only if the driver wipes /tmp). */
@@ -93,7 +93,7 @@ object AnnQueries {
         // global window is BOUNDED: the 50-row post-finish top list only
         .withColumn("ra",
           row_number().over(Window.orderBy(col("vdist"), col("id"))))
-      val docs = s.read.parquet(s"$d/documents.parquet")
+      val docs = graft.sources.TableResolver.parquet(s, s"$d/documents.parquet")
       graft.operators.Similarity.rrfFuse(vtop,
         graft.operators.TextAnalysis.bm25TopRanked(docs, "doc_id", "text",
           Seq("vector", "query", "dup"), n = 50))
@@ -497,7 +497,7 @@ object AnnQueries {
       val pr = graft.operators.GraphOps.pageRank(edges, nIter = 3, damping = 0.85)
         .select(col("id").as("doc_id"), round(col("r"), 9).as("pagerank"))
       val q = graft.operators.TextAnalysis.quality(
-          s.read.parquet(s"$d/documents.parquet"), "doc_id", "text")
+          graft.sources.TableResolver.parquet(s, s"$d/documents.parquet"), "doc_id", "text")
         .select(col("doc_id"), round(col("quality_score"), 6).as("quality"))
       pr.join(q, "doc_id")
         .select(col("doc_id"), col("pagerank"), col("quality"),

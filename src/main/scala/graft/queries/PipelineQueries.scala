@@ -15,7 +15,7 @@ import graft.functions.VectorFunctions
 object PipelineQueries {
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    graft.sources.TableResolver.parquet(spark, s"$dir/documents.parquet")
 
   /** Deterministic messy-URL fixture for the url_normalize/url_dedup
     * oracles: six variant families keyed by doc_id%6 over forty page ids.
@@ -37,7 +37,7 @@ object PipelineQueries {
         |  ELSE concat('http://SITE', pmod(doc_id div 6, 40), '.example.COM')
         |END AS url""".stripMargin)
   private def emb(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/embeddings.parquet")
+    graft.sources.TableResolver.parquet(spark, s"$dir/embeddings.parquet")
 
   /** Deterministic per-sf text-index location, fingerprinted on the source
     * table's file listing — same staleness defense as

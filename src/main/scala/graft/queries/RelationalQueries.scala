@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
 object RelationalQueries {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    graft.sources.TableResolver.parquet(spark, s"$dir/$name.parquet")
 
   /** The events table's `ts` physical type has changed across test-data
     * generations: TIMESTAMP(NANOS) (no native Spark type — read as long via

@@ -8,7 +8,7 @@ import graft.functions.{Sbq, VectorFunctions}
 object SbqQueries {
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/embeddings.parquet")
+    graft.sources.TableResolver.parquet(spark, s"$dir/embeddings.parquet")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1: per-dimension Welford stats (the quantizer training pass), as rows.

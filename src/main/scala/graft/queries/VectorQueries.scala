@@ -24,7 +24,7 @@ import graft.functions.VectorFunctions._
 object VectorQueries {
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/embeddings.parquet")
+    graft.sources.TableResolver.parquet(spark, s"$dir/embeddings.parquet")
 
   /** 1-row DataFrame holding the query vector (vec_id QID), for broadcast. */
   private val QID = 0

@@ -218,7 +218,7 @@ object WarcQueries {
       }
     }
 
-    val docs = s.read.parquet(docsPath)
+    val docs = graft.sources.TableResolver.parquet(s, docsPath)
     val byId = docs.select(col("doc_id"),
       concat(col("url"), lit("#"), col("offset")).as("item"))
     val docRows = docs.select(lit("doc").as("part"),
@@ -249,7 +249,7 @@ object WarcQueries {
         col("metric").cast("long").as("metric"))
     // the fifth store: the landed refetch LEDGER, rolled up under the
     // canonical URL key — the crawler's dedup verdicts served back out
-    val revRows = s.read.parquet(revPath)
+    val revRows = graft.sources.TableResolver.parquet(s, revPath)
       .groupBy(graft.operators.Curation.urlNormalize(col("url"))
         .as("item"))
       .agg(count(lit(1)).as("metric"))
@@ -257,7 +257,7 @@ object WarcQueries {
         col("metric").cast("long").as("metric"))
     // the sixth store: the landed drop census — per-disposition counts at
     // the ingest gate's own quality threshold, one batch here
-    val censusRows = s.read.parquet(dispPath)
+    val censusRows = graft.sources.TableResolver.parquet(s, dispPath)
       .select(lit("census").as("part"), col("disposition").as("item"),
         col("n").cast("long").as("metric"))
     docRows.unionAll(bmRows).unionAll(annRows).unionAll(dedupRows)

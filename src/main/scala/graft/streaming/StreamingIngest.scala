@@ -186,8 +186,17 @@ object StreamingIngest {
   // fingerprint invalidates naturally; a superseded entry's checkpoint
   // blocks are freed by the ContextCleaner once unreachable. Index STATE
   // memoization (the GraphSearcher-cache class) — never query results.
-  private val deltaSnapshotCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]()
+  // round-16 hardening (ADVICE): keyed on applicationId (unique per
+  // context; identityHashCode can be reused after a GC'd session and would
+  // serve a checkpointed DataFrame bound to a dead context) and bounded —
+  // an unbounded map pins one localCheckpointed snapshot per dead
+  // (session, index) pair on the driver for the JVM's life.
+  private val deltaSnapshotCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, (String, DataFrame)](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (String, DataFrame)]): Boolean =
+        size() > 16
+    })
 
   private def readDeltaSnapshot(spark: SparkSession, indexPath: String,
       eager: Boolean): Option[DataFrame] = {
@@ -199,14 +208,20 @@ object StreamingIngest {
       val sts = deltaFileStatuses(spark, indexPath)
       if (sts.isEmpty) return None
       val files = sts.map(_.getPath)
-      val key = s"${System.identityHashCode(spark)}#$indexPath"
+      // eager and lazy snapshots are cached under distinct keys: the eager
+      // entry is a localCheckpointed DataFrame, the lazy one (round 16) is
+      // just the RESOLVED read — un-memoized, every distributed fresh
+      // search re-paid the schema-inference Spark job + file-index build
+      // for an UNCHANGED delta. A hit requires the CURRENT listing to
+      // match, so the race-with-compact window is identical to a fresh
+      // list-then-read.
+      val key = s"${spark.sparkContext.applicationId}#$indexPath" +
+        (if (eager) "" else "#lazy")
       val fp = sts.map(s =>
           s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
         .sorted.mkString("|")
-      if (eager) {
-        val hit = deltaSnapshotCache.get(key)
-        if (hit != null && hit._1 == fp) return Some(hit._2)
-      }
+      val hit = deltaSnapshotCache.get(key)
+      if (hit != null && hit._1 == fp) return Some(hit._2)
       try {
         val df = spark.read.option("ignoreMissingFiles", "true")
           .parquet(files.map(_.toString).toIndexedSeq: _*)
@@ -214,7 +229,10 @@ object StreamingIngest {
           val snap = df.localCheckpoint(true)
           deltaSnapshotCache.put(key, (fp, snap))
           snap
-        } else df)
+        } else {
+          deltaSnapshotCache.put(key, (fp, df))
+          df
+        })
       } catch {
         // plan-time path-not-exist from the list-then-read race; re-list
         case e: org.apache.spark.sql.AnalysisException => lastErr = e

@@ -670,10 +670,15 @@ class DiskannIndexSpec extends AnyFunSuite {
   }
 
   test("serving memos invalidate: delta append and in-place rebuild stay visible") {
-    // The round-15 serving memos (nodesBaseDf keyed on the nodes dir mtime,
+    // The serving memos (nodesBaseDf keyed on the generation BUILD ID since
+    // round 16 — a UUID minted per (re)build, so even a rebuild landing
+    // within the same filesystem-timestamp second, or on a store whose
+    // directory mtimes don't track children, invalidates exactly;
     // readDeltaSnapshot keyed on the delta listing fingerprint) must never
     // serve stale index state: an append changes the delta fingerprint, a
-    // wipe-and-rebuild at the SAME path recreates the nodes dir (new mtime).
+    // wipe-and-rebuild at the SAME path mints a new buildId. The rebuild
+    // below typically lands within the same second as the first build, so
+    // this test IS the same-second-rebuild aliasing case.
     val path = "/tmp/graft_test_index/memo_invalidation"
     graft.tools.LocalFs.deleteRec(new java.io.File(path))
     def buildOver(lo: Long, hi: Long): Unit = DiskannIndex.build(
@@ -699,8 +704,12 @@ class DiskannIndexSpec extends AnyFunSuite {
     // wipe-and-rebuild at the SAME path over a DISJOINT id slice (the
     // fixture-regen scenario): the recreated nodes dir has a new mtime, so
     // the memoized nodes scan must not serve the old generation's rows
+    val buildId1 = DiskannIndex.loadMeta(spark, path).buildId
     graft.tools.LocalFs.deleteRec(new java.io.File(path))
     buildOver(100L, 200L)
+    // the invalidation token: every (re)build mints a fresh UUID
+    assert(DiskannIndex.loadMeta(spark, path).buildId != buildId1,
+      "rebuild must mint a fresh buildId (the nodes-memo invalidation token)")
     val h3 = hits()
     assert(h3.nonEmpty && h3.forall(id => id >= 100L && id < 200L),
       s"post-rebuild hits leak the old generation: $h3")
