@@ -2711,19 +2711,21 @@ object DiskannIndex {
       }
     }(org.apache.spark.sql.Encoders.row(resultSchema))
 
-    import spark.implicits._
-    // collapse transient main∩delta duplicates, then the same bounded
-    // mergeable top-k merge as searchDistributed — no sort, ~k rows/query
+    // collapse transient main∩delta duplicates (min dist per (qid, row_id)),
+    // then the same bounded mergeable top-k merge as searchDistributed —
+    // no sort, ~k rows/query; run as RDD ops with the same TopKAggregator
+    // insert kernel (round 16): the typed groupBy/groupByKey form re-paid
+    // two Catalyst plans + AQE stage materializations per query
     val agg = new graft.operators.Similarity.TopKAggregator(k)
-    main.unionByName(deltaHits)
-      .groupBy(col("qid"), col("row_id")).agg(min(col("dist")).as("dist"))
-      .as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues(t => (t._2, t._3))
-      .agg(agg.toColumn.name("topk"))
-      .toDF("qid", "topk")
-      .select(col("qid"), explode(col("topk")).as("hit"))
-      .select(col("qid"), col("hit._1").as("row_id"), col("hit._2").as("dist"))
+    val merged = main.rdd.union(deltaHits.rdd)
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .reduceByKey((a, b) => math.min(a, b))
+      .map { case ((qid, rid), d) => (qid, (rid, d)) }
+      .aggregateByKey(agg.zero)(
+        (st, v) => agg.reduce(st, v), (a, b) => agg.merge(a, b))
+      .flatMap { case (qid, st) =>
+        st.ids.indices.iterator.map(i => Row(qid, st.ids(i), st.dists(i))) }
+    spark.createDataFrame(merged, resultSchema)
   }
 
   /** Index introspection (V2, vacuum.rs:138-157 page-count analog): size and
